@@ -1,0 +1,32 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory with the scale-oriented defaults this engine assumes.
+  *
+  * Mirrors the reference's tuning surface (scalding `Job.config`,
+  * reference `Job.scala:132-156`) but delegates everything it can to
+  * Catalyst/AQE: adaptive execution replaces manual reducer counts
+  * (`GroupBuilder.scala:88-93`), AQE skew-join replaces
+  * `skewJoinWithSmaller` sampling (`JoinAlgorithms.scala:365-458`).
+  */
+object GraftSession {
+
+  /** Build a local session for tests/benchmarks. On a real cluster the
+    * same confs apply; only `master` changes.
+    */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
+    configure(SparkSession.builder().master(s"local[$cores]"), cores).getOrCreate()
+
+  def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  /** Read one of the star-schema tables from a scale-factor directory. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+}

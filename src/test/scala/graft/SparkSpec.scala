@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Shared local SparkSession for all specs (one JVM-wide session, like
+  * the reference's JobTest local mode, JobTest.scala:38-152).
+  */
+object SparkSpec {
+  lazy val spark: SparkSession = {
+    val s = graft.core.GraftSession
+      .configure(SparkSession.builder().master("local[4]").appName("graft-test"), 4)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
+
+abstract class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkSpec.spark
+  def sf(dir: String = "sf0.001"): String = s"/root/testdata/$dir"
+}

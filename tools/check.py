@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 tools/check.py <verifyOutDir> <sfDir>
+
+Reads each <name>/ parquet result written by graft.Verify, runs the
+corresponding oracle SQL from oracle_sql.json in DuckDB against the
+parquet tables in <sfDir>, and compares: column names (sorted), row
+count, and a hash of the value matrix with rows+columns sorted.
+"""
+import sys, os, json, glob, math
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(round(v, 9))
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def table_matrix(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    mat = sorted(tuple(canon(r[i]) for i in order) for r in rows)
+    return [cols[i] for i in order], mat
+
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    n_pass = n_fail = 0
+    results = {}
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    for name in names:
+        files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        if not files:
+            results[name] = "NO_OUTPUT"
+            n_fail += 1
+            continue
+        tbl = pq.read_table(files[0])
+        scols = tbl.column_names
+        data = tbl.to_pydict()
+        srows = list(zip(*[data[c] for c in scols])) if scols else []
+        if name not in oracles:
+            results[name] = f"ROWS_ONLY({len(srows)})"
+            n_pass += 1
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception as e:
+            results[name] = f"ORACLE_ERROR: {e}"
+            n_fail += 1
+            continue
+        sc, sm = table_matrix(scols, srows)
+        oc, om = table_matrix(ocols, orows)
+        if sc != oc:
+            results[name] = f"SCHEMA_MISMATCH spark={sc} oracle={oc}"
+            n_fail += 1
+        elif len(sm) != len(om):
+            results[name] = f"ROWCOUNT spark={len(sm)} oracle={len(om)}"
+            n_fail += 1
+        elif sm != om:
+            diffs = [(a, b) for a, b in zip(sm, om) if a != b][:3]
+            results[name] = f"VALUE_MISMATCH first_diffs={diffs}"
+            n_fail += 1
+        else:
+            results[name] = f"OK({len(sm)})"
+            n_pass += 1
+    for name in names:
+        status = results[name]
+        flag = "PASS" if status.startswith(("OK", "ROWS_ONLY")) else "FAIL"
+        print(f"{flag}  {name}: {status[:300]}")
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
