@@ -14,7 +14,14 @@ import graft.queries._
 object SparkEntry {
 
   private def groups: Seq[QueryGroup] = Seq(
-    RelationalQueries)
+    RelationalQueries,
+    JoinStrategyQueries,
+    TypedQueries,
+    EventQueries,
+    MatrixQueries,
+    TextQueries,
+    DedupQueries,
+    EmbeddingQueries)
 
   private lazy val defs: Seq[QueryDef] = groups.flatMap(_.all)
 

@@ -25,6 +25,13 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Java wraparound integer semantics — required by the hash
+      // arithmetic in MinHash signatures and matching the reference's
+      // JVM behavior (scalding had no ANSI overflow checks).
+      .config("spark.sql.ansi.enabled", "false")
+      // events.parquet carries TIMESTAMP(NANOS); read as epoch-nano
+      // longs (Spark has no nanosecond timestamp type).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   /** Read one of the star-schema tables from a scale-factor directory. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =

@@ -1,0 +1,204 @@
+package graft.dsl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+
+/** Fields-style DataFrame facade — the rebuild of the reference's
+  * `RichPipe` (RichPipe.scala:59-594). Where the reference ran
+  * arbitrary Scala closures per row, this facade takes `Column`
+  * expressions so every operation stays declarative and Catalyst keeps
+  * pushdown/pruning/codegen; closure escapes go through the typed API
+  * (graft.typed).
+  */
+object FieldsApi {
+
+  implicit class RichDataFrame(val df: DataFrame) extends AnyVal {
+
+    /** Keep only these fields (RichPipe.project, RichPipe.scala:126). */
+    def project(fields: String*): DataFrame = df.select(fields.map(col): _*)
+
+    /** Drop fields (RichPipe.discard, RichPipe.scala:134). */
+    def discard(fields: String*): DataFrame = df.drop(fields: _*)
+
+    /** Rename fields pairwise (RichPipe.rename, RichPipe.scala:296). */
+    def rename(pairs: (String, String)*): DataFrame =
+      df.withColumnsRenamed(pairs.toMap)
+
+    /** Add a constant/computed column (RichPipe.insert,
+      * RichPipe.scala:277).
+      */
+    def insert(field: String, value: Column): DataFrame =
+      df.withColumn(field, value)
+
+    /** Map selected fields into a new field — the declarative
+      * counterpart of `map(fs)(fn)` (RichPipe.scala:372); `mapTo`
+      * keeps only the results.
+      */
+    def mapField(field: String, expr: Column): DataFrame =
+      df.withColumn(field, expr)
+
+    def mapTo(exprs: (Column, String)*): DataFrame =
+      df.select(exprs.map { case (e, n) => e.as(n) }: _*)
+
+    /** Explode an array column to rows (RichPipe.flatten,
+      * RichPipe.scala:406).
+      */
+    def flatten(field: String, as: String): DataFrame =
+      df.withColumn(as, explode(col(field))).drop(field)
+
+    /** Approximate-in-reference, exact here (RichPipe.limit:477). */
+    def limitTo(n: Int): DataFrame = df.limit(n)
+
+    def sampleRows(fraction: Double, seed: Long = 42L): DataFrame =
+      df.sample(withReplacement = false, fraction, seed)
+
+    /** Print rows (RichPipe.debug, RichPipe.scala:494). */
+    def debugDump(n: Int = 20): DataFrame = { df.show(n, truncate = false); df }
+
+    /** Union-all (RichPipe.++, RichPipe.scala:170). */
+    def ++(other: DataFrame): DataFrame = df.unionAll(other)
+
+    /** Random repartition to exactly n tasks (RichPipe.shard,
+      * RichPipe.scala:199).
+      */
+    def shard(n: Int): DataFrame = df.repartition(n)
+
+    /** Global random reorder with fixed seed (RichPipe.shuffle,
+      * RichPipe.scala:243).
+      */
+    def shuffleRows(seed: Long = 42L): DataFrame = df.orderBy(rand(seed))
+
+    /** Materialization barrier (RichPipe.forceToDisk:428). */
+    def forceToDisk: DataFrame = df.persist()
+
+    /** Wide → long (RichPipe.unpivot, RichPipe.scala:469). */
+    def unpivotTo(ids: Seq[String], values: Seq[String],
+        keyField: String = "feature", valueField: String = "value"): DataFrame =
+      df.unpivot(ids.map(col).toArray, values.map(col).toArray, keyField, valueField)
+
+    /** Divide a column by its global sum (RichPipe.normalize:528) —
+      * scalar aggregate broadcast back, no single-reducer stage.
+      */
+    def normalize(field: String): DataFrame = {
+      val total = df.agg(sum(col(field)).as("__total"))
+      df.crossJoin(broadcast(total))
+        .withColumn(field, col(field) / col("__total"))
+        .drop("__total")
+    }
+
+    /** Classify rows then aggregate per class
+      * (RichPipe.partition:324).
+      */
+    def partitionBy(cls: Column, as: String)(
+        agg: GroupBuilder => GroupBuilder): DataFrame =
+      df.withColumn(as, cls).groupByFields(as)(agg)
+
+    /** groupBy with a builder block — reference
+      * `pipe.groupBy('k){ _.sum('v) }` (RichPipe.scala:153).
+      */
+    def groupByFields(keys: String*)(build: GroupBuilder => GroupBuilder): DataFrame =
+      build(new GroupBuilder(Nil)).applyTo(df, keys)
+
+    /** Single global group (RichPipe.groupAll:178). */
+    def groupAllFields(build: GroupBuilder => GroupBuilder): DataFrame =
+      build(new GroupBuilder(Nil)).applyGlobal(df)
+
+    /** Route rows that fail a validity predicate to a side sink
+      * instead of failing the flow (addTrap, RichPipe.scala:515-518).
+      * Returns (good, trapped). The reference caught closure
+      * exceptions; declaratively the contract is a predicate.
+      */
+    def trap(valid: Column): (DataFrame, DataFrame) =
+      (df.filter(valid), df.filter(!coalesce(valid, lit(false))))
+  }
+
+  /** Chained aggregation builder — reference `GroupBuilder`
+    * (GroupBuilder.scala:34-355). Accumulates Column aggregates; all
+    * compile into one `RelationalGroupedDataset.agg`, so Catalyst
+    * plans a single partial+final hash aggregate (the reference's
+    * `AggregateBy` mode, GroupBuilder.scala:266-303, with no manual
+    * spill-threshold tuning needed).
+    */
+  final class GroupBuilder private[dsl] (aggs: List[Column]) {
+
+    private def add(c: Column): GroupBuilder = new GroupBuilder(c :: aggs)
+
+    /** COUNT(*) (ReduceOperations.size:402). */
+    def size(as: String = "size"): GroupBuilder = add(count(lit(1)).as(as))
+
+    /** COUNT_IF (ReduceOperations.count:135). */
+    def countIf(pred: Column, as: String): GroupBuilder =
+      add(count_if(pred).as(as))
+
+    def sum(field: String, as: String = ""): GroupBuilder =
+      add(F.sum(col(field)).as(ifEmpty(as, field)))
+
+    def average(field: String, as: String = ""): GroupBuilder =
+      add(avg(col(field)).as(ifEmpty(as, field)))
+
+    /** (count, mean, stddev) one pass (ReduceOperations:192). */
+    def sizeAveStdev(field: String, sizeAs: String, aveAs: String,
+        stdevAs: String): GroupBuilder =
+      add(count(lit(1)).as(sizeAs))
+        .add(avg(col(field)).as(aveAs))
+        .add(stddev_pop(col(field)).as(stdevAs))
+
+    def max(field: String, as: String = ""): GroupBuilder =
+      add(F.max(col(field)).as(ifEmpty(as, field)))
+
+    def min(field: String, as: String = ""): GroupBuilder =
+      add(F.min(col(field)).as(ifEmpty(as, field)))
+
+    /** First/last by an order key (ReduceOperations.head/last:207). */
+    def headBy(field: String, order: Column, as: String): GroupBuilder =
+      add(min_by(col(field), order).as(as))
+
+    def lastBy(field: String, order: Column, as: String): GroupBuilder =
+      add(max_by(col(field), order).as(as))
+
+    def toList(field: String, as: String = ""): GroupBuilder =
+      add(collect_list(col(field)).as(ifEmpty(as, field)))
+
+    def toSet(field: String, as: String = ""): GroupBuilder =
+      add(collect_set(col(field)).as(ifEmpty(as, field)))
+
+    /** Deterministic ordered string join (ReduceOperations:276). */
+    def mkString(field: String, sep: String, as: String = ""): GroupBuilder =
+      add(array_join(array_sort(collect_list(col(field))), sep)
+        .as(ifEmpty(as, field)))
+
+    /** HLL estimate (approximateUniqueCount, ReduceOperations:103);
+      * rsd default matches the reference's 1% error default.
+      */
+    def approximateUniqueCount(field: String, as: String = "",
+        rsd: Double = 0.01): GroupBuilder =
+      add(approx_count_distinct(col(field), rsd).as(ifEmpty(as, field)))
+
+    def uniqueCount(field: String, as: String = ""): GroupBuilder =
+      add(countDistinct(col(field)).as(ifEmpty(as, field)))
+
+    /** AND over group (ReduceOperations.forall:200). */
+    def forall(pred: Column, as: String): GroupBuilder =
+      add(bool_and(pred).as(as))
+
+    /** Σ lᵢ·rᵢ (ReduceOperations.dot:389). */
+    def dot(l: String, r: String, as: String): GroupBuilder =
+      add(F.sum(col(l) * col(r)).as(as))
+
+    /** Any raw aggregate Column. */
+    def agg(c: Column): GroupBuilder = add(c)
+
+    private def ifEmpty(as: String, field: String) = if (as.isEmpty) field else as
+
+    private[dsl] def applyTo(df: DataFrame, keys: Seq[String]): DataFrame = {
+      val cols = aggs.reverse
+      df.groupBy(keys.map(col): _*).agg(cols.head, cols.tail: _*)
+    }
+
+    private[dsl] def applyGlobal(df: DataFrame): DataFrame = {
+      val cols = aggs.reverse
+      df.agg(cols.head, cols.tail: _*)
+    }
+  }
+}

@@ -1,0 +1,99 @@
+package graft.join
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Join strategy surface — the rebuild of the reference's
+  * `JoinAlgorithms` (JoinAlgorithms.scala:53-458).
+  *
+  * The reference exposed a *manual* physical-join menu because
+  * MapReduce had no planner: the user chose reduce-side vs replicated
+  * vs salted. Under Catalyst + AQE most of that choice is automatic,
+  * so these helpers are (a) API fidelity, (b) explicit hints for the
+  * cases a planner cannot infer (broadcast of a side whose smallness
+  * the stats don't show; salting when AQE skew-split is disabled).
+  */
+object Joins {
+
+  /** Reduce-side equi-join (`joinWithSmaller`,
+    * JoinAlgorithms.scala:155-182). Catalyst picks sort-merge or
+    * shuffled-hash; "smaller/larger" hints are obsolete.
+    */
+  def joinWithSmaller(left: DataFrame, right: DataFrame, keys: Seq[String],
+      how: String = "inner"): DataFrame =
+    left.join(right, keys, how)
+
+  /** `joinWithLarger` flipped its arguments so the bigger pipe
+    * streamed (JoinAlgorithms.scala:187-189); side selection is
+    * Catalyst's job now.
+    */
+  def joinWithLarger(left: DataFrame, right: DataFrame, keys: Seq[String],
+      how: String = "inner"): DataFrame =
+    left.join(right, keys, how)
+
+  /** Map-side replicated hash join (`joinWithTiny`,
+    * JoinAlgorithms.scala:221-236): right side broadcast to every
+    * task; inner/left only, like the reference.
+    */
+  def joinWithTiny(left: DataFrame, tiny: DataFrame, keys: Seq[String],
+      how: String = "inner"): DataFrame = {
+    require(how == "inner" || how == "left",
+      s"joinWithTiny supports inner/left (got $how) — JoinAlgorithms.scala:221")
+    left.join(broadcast(tiny), keys, how)
+  }
+
+  /** Cartesian with broadcast tiny side (`crossWithTiny`,
+    * JoinAlgorithms.scala:70-75).
+    */
+  def crossWithTiny(left: DataFrame, tiny: DataFrame): DataFrame =
+    left.crossJoin(broadcast(tiny))
+
+  /** Replicate-fragment ("block") join for skewed keys
+    * (`blockJoinWithSmaller`, JoinAlgorithms.scala:265-341): the left
+    * side gets a random salt in [0, rightReplication), the right side
+    * is exploded once per salt value, and the join key becomes
+    * (keys..., salt) — splitting each hot key across
+    * `rightReplication` reducers at the cost of replicating the right
+    * side. Deterministic given `seed`.
+    */
+  def blockJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      rightReplication: Int = 8, how: String = "inner",
+      seed: Long = 42L): DataFrame = {
+    require(rightReplication >= 1, "replication must be >= 1")
+    require(how == "inner", "blockJoin is inner-only, like the reference skew join")
+    val salted = left.withColumn("__salt",
+      (rand(seed) * rightReplication).cast("int"))
+    val replicated = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(rightReplication - 1))))
+    salted.join(replicated, keys :+ "__salt", how).drop("__salt")
+  }
+
+  /** Adaptive skew join (`skewJoinWithSmaller`,
+    * JoinAlgorithms.scala:365-458). The reference sampled both sides
+    * at rate 0.001 and derived per-key replication
+    * (SkewReplication.scala:106-152); AQE's runtime skew-split
+    * (`spark.sql.adaptive.skewJoin.enabled`) does the same from exact
+    * shuffle statistics, so this asserts AQE and delegates. Falls back
+    * to salting when AQE is off.
+    */
+  def skewJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      fallbackReplication: Int = 8): DataFrame = {
+    val conf = left.sparkSession.conf
+    val aqeOn = conf.get("spark.sql.adaptive.enabled", "true").toBoolean &&
+      conf.get("spark.sql.adaptive.skewJoin.enabled", "true").toBoolean
+    if (aqeOn) left.join(right, keys, "inner")
+    else blockJoin(left, right, keys, fallbackReplication)
+  }
+
+  /** N-way star join (`coGroupBy` + MixedJoin,
+    * CoGroupBuilder.scala:27-61): chained joins on one key; per-pipe
+    * inner/outer mode list mirrors the reference's `JoinMode`s.
+    */
+  def coGroup(pipes: Seq[DataFrame], key: String,
+      modes: Seq[String]): DataFrame = {
+    require(pipes.size >= 2 && modes.size == pipes.size - 1)
+    pipes.tail.zip(modes).foldLeft(pipes.head) { case (acc, (p, how)) =>
+      acc.join(p, Seq(key), how)
+    }
+  }
+}

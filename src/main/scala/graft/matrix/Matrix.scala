@@ -1,0 +1,167 @@
+package graft.matrix
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Sparse linear algebra over COO triples — rebuild of the reference's
+  * matrix library (mathematics/Matrix.scala:33-993) on DataFrames.
+  *
+  * A matrix is a DataFrame with columns (row, col, val); zero = absent
+  * row, exactly like the reference ("sparse by default",
+  * Matrix.scala:33-50). Products are joins + group-sums; the
+  * broadcast-vs-shuffle choice mirrors the reference's SizeHint cost
+  * model (MatrixProduct.scala:88-108, maxTinyJoin=100000 cells) but
+  * defers to Catalyst/AQE when no hint is given.
+  */
+final case class Matrix(df: DataFrame) {
+
+  import Matrix._
+
+  def rows: DataFrame = df
+
+  /** A^T (Matrix.transpose). */
+  def transpose: Matrix =
+    Matrix(df.select(col(C).as(R), col(R).as(C), col(V)))
+
+  def mapValues(f: Column => Column): Matrix =
+    Matrix(df.withColumn(V, f(col(V))))
+
+  /** Drop explicit zeros (reference keeps matrices sparse). */
+  def dropZeros: Matrix = Matrix(df.filter(col(V) =!= 0.0))
+
+  /** Element-wise filter by predicate on value. */
+  def filterValues(p: Column): Matrix = Matrix(df.filter(p))
+
+  /** A * B — join on A.col == B.row, sum products per (row, col)
+    * (MatrixProduct.scala). `tinyRight` forces the reference's "tiny
+    * join" replicated strategy (maxTinyJoin, MatrixProduct.scala:88).
+    */
+  def product(other: Matrix, tinyRight: Boolean = false): Matrix = {
+    val a = df.select(col(R).as("a_row"), col(C).as("k"), col(V).as("a_val"))
+    val b0 = other.df.select(col(R).as("k"), col(C).as("b_col"), col(V).as("b_val"))
+    val b = if (tinyRight) broadcast(b0) else b0
+    Matrix(a.join(b, "k")
+      .groupBy(col("a_row").as(R), col("b_col").as(C))
+      .agg(sum(col("a_val") * col("b_val")).as(V)))
+  }
+
+  def *(other: Matrix): Matrix = product(other)
+
+  /** Scalar multiply. */
+  def *(k: Double): Matrix = mapValues(_ * k)
+
+  /** Element-wise sum: union + group-sum (Matrix.+). */
+  def +(other: Matrix): Matrix =
+    Matrix(df.unionByName(other.df)
+      .groupBy(R, C).agg(sum(V).as(V)))
+
+  def -(other: Matrix): Matrix = this + (other * -1.0)
+
+  /** Hadamard (element-wise) product (Matrix.elemWiseOp). */
+  def hProd(other: Matrix): Matrix =
+    Matrix(df.alias("a")
+      .join(other.df.alias("b"), Seq(R, C), "inner")
+      .select(col(R), col(C), (col(s"a.$V") * col(s"b.$V")).as(V)))
+
+  /** Keep entries whose (row,col) appear in `that` — left-semi
+    * (keepElementsBy, Matrix.scala:632).
+    */
+  def keepElementsBy(that: Matrix): Matrix =
+    Matrix(df.join(that.df.select(R, C), Seq(R, C), "left_semi"))
+
+  /** Remove entries present in `that` — left-anti (removeElementsBy,
+    * Matrix.scala:637-640; the reference implemented this as LeftJoin
+    * + null filter, identical semantics).
+    */
+  def removeElementsBy(that: Matrix): Matrix =
+    Matrix(df.join(that.df.select(R, C), Seq(R, C), "left_anti"))
+
+  def keepRowsBy(keys: DataFrame): Matrix =
+    Matrix(df.join(keys.toDF(R), Seq(R), "left_semi"))
+
+  def removeRowsBy(keys: DataFrame): Matrix =
+    Matrix(df.join(keys.toDF(R), Seq(R), "left_anti"))
+
+  def keepColsBy(keys: DataFrame): Matrix =
+    Matrix(df.join(keys.toDF(C), Seq(C), "left_semi"))
+
+  def removeColsBy(keys: DataFrame): Matrix =
+    Matrix(df.join(keys.toDF(C), Seq(C), "left_anti"))
+
+  /** Row sums as a column vector (sumColVectors / rowL1 building
+    * block).
+    */
+  def sumRowVectors: DataFrame =
+    df.groupBy(R).agg(sum(V).as(V))
+
+  /** L1-normalize each row (Matrix.rowL1Normalize:725). */
+  def rowL1Normalize: Matrix = {
+    val norms = df.groupBy(col(R)).agg(sum(abs(col(V))).as("__n"))
+    Matrix(df.join(norms, R)
+      .select(col(R), col(C), (col(V) / col("__n")).as(V)))
+  }
+
+  /** L2-normalize each row (Matrix.rowL2Normalize:775). */
+  def rowL2Normalize: Matrix = {
+    val norms = df.groupBy(col(R))
+      .agg(sqrt(sum(col(V) * col(V))).as("__n"))
+    Matrix(df.join(norms, R)
+      .select(col(R), col(C), (col(V) / col("__n")).as(V)))
+  }
+
+  /** Replace all values with `v` (binarizeAs when v=1). */
+  def binarizeAs(v: Double = 1.0): Matrix = mapValues(_ => lit(v))
+
+  /** Per-row top-k elements by value (topRowElems,
+    * Matrix.scala:296-322). The reference switched between a PQ monoid
+    * (k < 1000) and sort+take; the window form below shuffles by row
+    * once — the PQ-aggregator path is available via
+    * graft.agg.Aggregators.sortedTake for the typed pipeline.
+    */
+  def topRowElems(k: Int): Matrix = {
+    val w = Window.partitionBy(col(R)).orderBy(col(V).desc, col(C))
+    Matrix(df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn"))
+  }
+
+  /** Diagonal as a matrix (diagonal). */
+  def diagonal: Matrix = Matrix(df.filter(col(R) === col(C)))
+
+  /** trace = Σ diagonal (Scalar in the reference, Matrix.scala:706). */
+  def trace: DataFrame = diagonal.df.agg(sum(V).as("trace"))
+
+  /** Propagate row labels through the graph: for each edge (r,c,w),
+    * emit c ← w * rowLabel(r), summed per target — the reference's
+    * `propagate` used for label/rank propagation
+    * (Matrix.scala:
+    * used by PageRank-like pipelines). `labels` is (row, val).
+    */
+  def propagate(labels: DataFrame): DataFrame =
+    df.join(labels.toDF(R, "__label"), Seq(R))
+      .groupBy(col(C).as(R))
+      .agg(sum(col(V) * col("__label")).as(V))
+
+  /** Cosine similarity of all row pairs via normalized self-product:
+    * (L2-normalized A) * (L2-normalized A)^T.
+    */
+  def rowCosineSimilarity: Matrix = {
+    val n = rowL2Normalize
+    n.product(n.transpose)
+  }
+}
+
+object Matrix {
+  /** Canonical COO column names. */
+  val R = "row"
+  val C = "col"
+  val V = "val"
+
+  /** Reference broadcast cutoff (MatrixProduct.maxTinyJoin,
+    * MatrixProduct.scala:88).
+    */
+  val maxTinyJoin = 100000L
+
+  def fromCoo(df: DataFrame, row: String, colName: String, v: String): Matrix =
+    Matrix(df.select(col(row).as(R), col(colName).as(C), col(v).cast("double").as(V)))
+}

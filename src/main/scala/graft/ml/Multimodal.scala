@@ -1,0 +1,85 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed in partition-sized batches.
+  *
+  * The Spark-side machinery (schema, batch iteration, partitioning,
+  * metadata propagation) is real and tested; the actual codec step is
+  * STUBBED with a deterministic fake because no image/audio libraries
+  * exist in this container — swap `decodeStub` for a real decoder
+  * (e.g. javacv / a JNI codec) without touching the plumbing.
+  */
+object Multimodal {
+
+  /** A decoded-media metadata record. */
+  case class MediaMeta(
+      id: Long,
+      byteLen: Long,
+      contentHash: String,
+      width: Int,
+      height: Int,
+      format: String)
+
+  /** Deterministic fake "decode": derives width/height/format from
+    * the byte content. STUB — replace with a real codec; the
+    * signature (bytes in, metadata out) is the real contract.
+    */
+  def decodeStub(id: Long, bytes: Array[Byte]): MediaMeta = {
+    val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val hex = md.map("%02x".format(_)).mkString
+    // dimensions/format derived from the hex digest characters so the
+    // fake is reproducible from the content hash alone
+    val w = 64 + (hex.charAt(0).toInt % 16) * 64
+    val h = 64 + (hex.charAt(1).toInt % 16) * 64
+    val fmt = Seq("jpeg", "png", "webp")(hex.charAt(2).toInt % 3)
+    MediaMeta(id, bytes.length.toLong, hex, w, h, fmt)
+  }
+
+  /** Decode a (id, media: binary) DataFrame into metadata — batch
+    * iteration per partition (the Scala analogue of `mapInPandas`
+    * batches: one decoder instance per partition, streaming rows).
+    */
+  def decodeMetadata(df: DataFrame, idCol: String = "id",
+      mediaCol: String = "media"): Dataset[MediaMeta] = {
+    implicit val enc = Encoders.product[MediaMeta]
+    df.select(col(idCol).cast("long"), col(mediaCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        // per-partition decoder lifecycle: open once, stream batch
+        // (the reference's `using` resource pattern,
+        // RichPipe.scala:73-119)
+        it.map { case (id, bytes) => decodeStub(id, bytes) }
+      }
+  }
+
+  /** "Resize" stub: deterministic byte-slice standing in for a pixel
+    * transform; preserves the batch/partition shape of a real kernel.
+    */
+  def resizeStub(df: DataFrame, targetW: Int, targetH: Int,
+      idCol: String = "id", mediaCol: String = "media"): DataFrame = {
+    val target = targetW.toLong * targetH
+    df.withColumn("resized",
+      expr(s"substring($mediaCol, 1, int(least(octet_length($mediaCol), ${target}L)))"))
+      .withColumn("target_w", lit(targetW))
+      .withColumn("target_h", lit(targetH))
+  }
+
+  /** Frame sampling for video-like payloads: split the byte stream
+    * into `frameSize` chunks, keep every `stride`-th — the
+    * explode/partition shape of real frame extraction (the chunking
+    * is real; only the downstream decode would be a codec).
+    */
+  def frameSample(df: DataFrame, frameSize: Int, stride: Int,
+      idCol: String = "id", mediaCol: String = "media"): DataFrame =
+    df.select(col(idCol),
+      posexplode(
+        transform(
+          sequence(lit(0),
+            greatest((octet_length(col(mediaCol)) - 1) / frameSize, lit(0))),
+          i => col(mediaCol).substr(i * frameSize + 1, lit(frameSize))))
+        .as(Seq("frame_idx", "frame")))
+      .filter(col("frame_idx") % stride === 0)
+}

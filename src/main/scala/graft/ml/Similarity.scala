@@ -1,0 +1,100 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (`Array[Float]`):
+  * brute-force cosine top-k as the exact baseline, and an LSH
+  * (random-hyperplane) bucketed variant as the scale path.
+  *
+  * The dot products are pure Column expressions (`zip_with` +
+  * `aggregate`) — codegen'd, no UDF. At 100 TB the brute-force path is
+  * only for (small query set) × (large corpus): the corpus scan is
+  * linear and the per-row cost is the query count; the LSH path cuts
+  * the candidate set per query to one bucket.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ over two float-array columns, computed in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact top-k neighbors for each query vector: broadcast the
+    * queries, one linear scan of the corpus, per-query top-k.
+    * `queries`/`corpus`: (id, vec).
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("id").as("qid"), col("vec").as("qvec")))
+    val c = corpus.select(col("id").as("cid"), col("vec").as("cvec"))
+    val scored = c.crossJoin(q)
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cos", cosine(col("qvec"), col("cvec")))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", "cid", "cos")
+  }
+
+  /** Random-hyperplane signature: `nBits` sign bits of projections
+    * onto fixed pseudo-random directions (deterministic for a seed).
+    * Cosine-similar vectors agree on most bits (Charikar '02).
+    */
+  def hyperplaneSignature(vec: Column, dim: Int, nBits: Int = 16,
+      seed: Long = 42L): Column = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+    planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (plane, b)) =>
+      val proj = aggregate(
+        zip_with(vec, array(plane.map(lit): _*),
+          (x, p) => x.cast("double") * p),
+        lit(0.0), (s, v) => s + v)
+      acc.bitwiseOR(when(proj > 0, lit(1L << b)).otherwise(lit(0L)))
+    }
+  }
+
+  /** ANN via LSH buckets: group the corpus by signature bucket, score
+    * only same-bucket candidates, top-k per query. Recall < 1 by
+    * construction; `nBits` trades bucket size vs recall.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
+      nBits: Int = 8, seed: Long = 42L): DataFrame = {
+    val sig = (v: Column) => hyperplaneSignature(v, dim, nBits, seed)
+    val q = broadcast(queries.select(col("id").as("qid"), col("vec").as("qvec"))
+      .withColumn("bucket", sig(col("qvec"))))
+    val c = corpus.select(col("id").as("cid"), col("vec").as("cvec"))
+      .withColumn("bucket", sig(col("cvec")))
+    val scored = c.join(q, "bucket")
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cos", cosine(col("qvec"), col("cvec")))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", "cid", "cos")
+  }
+
+  /** Embedding near-duplicate pairs: all pairs with cosine >=
+    * threshold, blocked by LSH bucket (exact within buckets).
+    * For the exact variant over modest corpora use `blockCols = Nil`.
+    */
+  def cosineNearDuplicates(df: DataFrame, threshold: Double, dim: Int,
+      useLsh: Boolean = true, nBits: Int = 6, seed: Long = 42L): DataFrame = {
+    val base = df.select(col("id"), col("vec"))
+    val withBucket =
+      if (useLsh) base.withColumn("bucket",
+        hyperplaneSignature(col("vec"), dim, nBits, seed))
+      else base.withColumn("bucket", lit(0L))
+    val l = withBucket.select(col("id").as("id1"), col("vec").as("v1"), col("bucket"))
+    val r = withBucket.select(col("id").as("id2"), col("vec").as("v2"), col("bucket"))
+    l.join(r, "bucket")
+      .filter(col("id1") < col("id2"))
+      .withColumn("cos", cosine(col("v1"), col("v2")))
+      .filter(col("cos") >= threshold)
+      .select("id1", "id2", "cos")
+  }
+}

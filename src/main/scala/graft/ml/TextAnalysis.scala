@@ -1,0 +1,104 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, fingerprinting. All
+  * are pure Column expressions — codegen'd, pushdown-friendly, no
+  * UDFs — so they run at full scan speed over 100 TB of documents.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(tokens(text)))
+
+  /** BPE-ish subword count estimate: word-piece runs + digits +
+    * punctuation, the standard pre-tokenizer shape (letters runs,
+    * digit runs, single punctuation marks).
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Canonical normalization used by fingerprinting/dedup: lowercase,
+    * strip non-alphanumerics to spaces, collapse whitespace.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** Document fingerprint: md5 of the normalized text — a stable
+    * content address for exact dedup at any scale.
+    */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Quality components: character count, word count, mean word
+    * length, punctuation ratio, stopword ratio, and a composite score
+    * in [0,1]. Heuristics follow the public C4/Gopher-style filters.
+    */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "be", "this")
+
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      size(regexp_extract_all(text, lit("[\\p{Punct}]"), lit(0))).cast("double")
+        / length(text))
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(lower(text))
+    when(size(toks) === 0, 0.0).otherwise(
+      size(filter(toks, t => t.isInCollection(stopwords))).cast("double")
+        / size(toks))
+  }
+
+  def meanWordLength(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, 0.0).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+        / size(toks))
+  }
+
+  /** Composite quality score in [0,1]: rewards sane length, word
+    * shape and some stopword presence; punishes punctuation soup.
+    */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text)
+    val lenOk = when(n.between(10, 100000), 1.0).otherwise(0.3)
+    val mwl = meanWordLength(text)
+    val mwlOk = when(mwl.between(2.0, 12.0), 1.0).otherwise(0.4)
+    val stopOk = when(stopwordRatio(text) > 0.05, 1.0).otherwise(0.6)
+    val punctOk = when(punctRatio(text) < 0.2, 1.0).otherwise(0.5)
+    (lenOk * 0.3 + mwlOk * 0.2 + stopOk * 0.3 + punctOk * 0.2)
+  }
+
+  /** Marker-word profiles for the n-gram language-ID heuristic. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "es" -> Seq("el", "los", "las", "una", "es", "y", "que", "para"),
+    "fr" -> Seq("le", "les", "des", "est", "et", "une", "pour", "dans"),
+    "en" -> Seq("the", "a", "and", "is", "of", "to", "that", "with"))
+
+  /** Language ID: score = marker-word hits per language; CJK
+    * codepoints short-circuit to zh; deterministic tie-break by score
+    * then alphabetical. A heuristic n-gram classifier as a pure
+    * expression tree — no model, no UDF.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    def score(markers: Seq[String]): Column =
+      size(filter(toks, t => t.isInCollection(markers)))
+    val scored = langMarkers.map { case (lang, ms) =>
+      struct(score(ms).as("s"), lit(lang).as("l"))
+    }
+    val best = array_max(array(scored: _*))
+    val hasCjk = size(regexp_extract_all(text, lit("[\\u4e00-\\u9fff]"), lit(0))) > 0
+    when(hasCjk, "zh")
+      .when(best.getField("s") > 0, best.getField("l"))
+      .otherwise("unknown")
+  }
+}

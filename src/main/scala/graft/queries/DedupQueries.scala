@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ml.Dedup
+
+/** Deduplication coverage over `documents`. The raw synthetic corpus
+  * has no duplicates, so each query first *augments* it
+  * deterministically — exact copies (doc_id+1000000) for every 10th
+  * doc, 90%-prefix near-copies (doc_id+2000000) for every 7th — in
+  * both engines, then runs the dedup operator. The probabilistic
+  * paths (MinHash LSH, SimHash) verify candidates with true Jaccard,
+  * so their confirmed-pairs output equals the exact all-pairs answer
+  * whenever recall holds — with 32 bands × 4 rows, a Jaccard-0.8 pair
+  * is missed with p ≈ 5e-8 (the prefix copies sit ≥ 0.8).
+  */
+object DedupQueries extends QueryGroup {
+
+  /** documents ∪ exact copies ∪ prefix near-copies. */
+  private def augmented(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text", "lang", "source")
+    val exact = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+        col("lang"), col("source"))
+    val prefix = d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        substring(col("text"), 1, 10000).substr(lit(1),
+          floor(length(col("text")) * 0.9).cast("int")).as("text"),
+        col("lang"), col("source"))
+    d.unionByName(exact).unionByName(prefix)
+  }
+
+  private val augmentedSql =
+    """WITH docs AS (
+      |  SELECT doc_id, text, lang, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text, lang, source FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000,
+      |         substr(text, 1, CAST(floor(strlen(text) * 0.9) AS INT)),
+      |         lang, source
+      |  FROM documents WHERE doc_id % 7 = 0
+      |)""".stripMargin
+
+  // DuckDB mirror of Dedup.shingles (2-word shingles of normalized
+  // text, as strings — Jaccard over string sets equals Jaccard over
+  // the 64-bit shingle hashes Spark uses, absent collisions).
+  private val shinglesSql =
+    """list_distinct(list_transform(
+      |  range(1, greatest(len(string_split(trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')), 2)),
+      |  i -> string_split(trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')[i] || ' ' ||
+      |       string_split(trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')[i+1]))""".stripMargin
+      .replace("\n", " ")
+
+  /** All near-dup pairs by exact 2-shingle Jaccard >= 0.7, blocked by
+    * (lang, source) — the shared oracle for all three near-dup paths.
+    */
+  private val exactPairsSql =
+    s"""$augmentedSql, sh AS (
+       |  SELECT doc_id, lang, source, $shinglesSql AS s FROM docs
+       |)
+       |SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |  round(len(list_intersect(a.s, b.s)) * 1.0::DOUBLE /
+       |        len(list_distinct(a.s || b.s)), 6) AS jaccard
+       |FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source
+       |WHERE a.doc_id < b.doc_id
+       |  AND len(list_intersect(a.s, b.s)) * 1.0::DOUBLE /
+       |      len(list_distinct(a.s || b.s)) >= 0.7
+       |ORDER BY id1, id2""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+
+    // exact dedup: fingerprint hash group-by, min-id representative.
+    q("q_dedup_exact",
+      s"""$augmentedSql, fp AS (
+         |  SELECT doc_id AS id,
+         |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+         |      '\\s+', ' ', 'g'))) AS fingerprint
+         |  FROM docs
+         |)
+         |SELECT id, min(id) OVER (PARTITION BY fingerprint) AS canonical_id, fingerprint
+         |FROM fp ORDER BY id""".stripMargin) { (s, dir) =>
+      Dedup.exactDuplicates(augmented(s, dir), "doc_id", "text")
+        .orderBy("id")
+    },
+
+    // exact all-pairs n-gram Jaccard within (lang, source) blocks.
+    q("q_dedup_ngram_jaccard", exactPairsSql) { (s, dir) =>
+      Dedup.ngramJaccardPairs(augmented(s, dir), "doc_id", "text",
+        Seq("lang", "source"), 0.7)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id1", "id2")
+    },
+
+    // MinHash LSH near-dups, Jaccard-verified: must equal the exact
+    // answer (restricted to the same blocks is NOT applied here — LSH
+    // finds cross-block pairs too, so the oracle drops blocking).
+    q("q_dedup_minhash",
+      s"""$augmentedSql, sh AS (
+         |  SELECT doc_id, $shinglesSql AS s FROM docs
+         |)
+         |SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |  round(len(list_intersect(a.s, b.s)) * 1.0::DOUBLE /
+         |        len(list_distinct(a.s || b.s)), 6) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.s, b.s)) * 1.0::DOUBLE /
+         |      len(list_distinct(a.s || b.s)) >= 0.7
+         |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+      Dedup.minHashNearDuplicates(augmented(s, dir), "doc_id", "text",
+        threshold = 0.7)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id1", "id2")
+    },
+
+    // SimHash property gate: the pigeonhole candidate step is
+    // recall-lossy by construction, so instead of a set-equality
+    // oracle this checks the deterministic *contract*: an exact copy
+    // has Hamming distance 0 and a 90%-prefix copy stays within a
+    // small Hamming radius of its original. (The discovery pipeline
+    // `simHashNearDuplicates` is exercised in the test suite.)
+    q("q_dedup_simhash",
+      s"""$augmentedSql
+         |SELECT a.doc_id,
+         |  (b.doc_id = a.doc_id + 1000000) AS is_exact_copy,
+         |  true AS hamming_ok
+         |FROM docs a JOIN docs b
+         |  ON b.doc_id = a.doc_id + 1000000 OR b.doc_id = a.doc_id + 2000000
+         |WHERE a.doc_id < 1000000
+         |ORDER BY a.doc_id, is_exact_copy""".stripMargin) { (s, dir) =>
+      val sigs = augmented(s, dir)
+        .select(col("doc_id"), Dedup.simHash(col("text")).as("sim"))
+      val orig = sigs.filter(col("doc_id") < 1000000L)
+        .select(col("doc_id"), col("sim").as("sim_a"))
+      val copies = sigs.filter(col("doc_id") >= 1000000L)
+        .select(col("doc_id").as("copy_id"), col("sim").as("sim_b"))
+      orig.join(copies,
+          col("copy_id") === col("doc_id") + 1000000L ||
+            col("copy_id") === col("doc_id") + 2000000L)
+        .select(col("doc_id"),
+          (col("copy_id") === col("doc_id") + 1000000L).as("is_exact_copy"),
+          when(col("copy_id") === col("doc_id") + 1000000L,
+            Dedup.hammingDistance(col("sim_a"), col("sim_b")) === 0)
+            .otherwise(Dedup.hammingDistance(col("sim_a"), col("sim_b")) <= 24)
+            .as("hamming_ok"))
+        .orderBy("doc_id", "is_exact_copy")
+    }
+  )
+}

@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Time/event coverage over `events` and `orders`: date truncation,
+  * tumbling windows (batch form), JSON extraction, gap-based
+  * sessionization — the reference's time-partitioned idioms
+  * (scalding-date, SURVEY §2.7-2.8) plus the streaming-shaped
+  * aggregations its batch model could only approximate.
+  *
+  * `events.ts` is TIMESTAMP(NANOS) parquet: Spark reads it as
+  * epoch-nano longs (`spark.sql.legacy.parquet.nanosAsLong`), DuckDB
+  * as TIMESTAMP_NS — both sides reduce to epoch seconds before any
+  * arithmetic so the math is identical.
+  */
+object EventQueries extends QueryGroup {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // calendar truncation (RichDate/Duration.floorOf,
+    // Duration.scala:56): monthly revenue.
+    q("q_date_trunc_month",
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy("month")
+    },
+
+    // DateRange-driven partition filter (TimePathedSource semantics:
+    // only the selected interval is scanned — here as a pushed-down
+    // predicate on the date column).
+    q("q_date_range_filter",
+      """SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1995-04-01'
+        |GROUP BY 1 ORDER BY day""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("day")
+    },
+
+    // tumbling window aggregation (Structured Streaming
+    // window(ts, "1 hour") in its batch form): hourly event counts.
+    // Hour bucket = epoch seconds floored to 3600, formatted
+    // identically on both engines.
+    q("q_events_tumbling",
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .withColumn("hour",
+          date_format(timestamp_seconds(floor(col("ts") / 3600000000000L) * 3600L),
+            "yyyy-MM-dd HH:00:00"))
+        .groupBy("hour", "event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("hour", "event_type")
+    },
+
+    // JSON column extraction (JsonLine, FileSource.scala:450-503):
+    // pull a field out of the props JSON string.
+    q("q_events_json",
+      """SELECT event_id,
+        |  json_extract_string(props, '$.device') AS device
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.device").as("device"))
+        .orderBy("event_id")
+    },
+
+    // gap-based sessionization (30-min inactivity): the canonical
+    // stateful-streaming op, batch form = lag + cumulative-sum
+    // windows, on floored epoch seconds in both engines.
+    q("q_events_sessionize",
+      """WITH evts AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events
+        |), gaps AS (
+        |  SELECT user_id, event_id, sec,
+        |    CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) IS NULL
+        |      OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) > 1800
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM evts
+        |), sessions AS (
+        |  SELECT user_id,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM gaps
+        |)
+        |SELECT user_id, count(DISTINCT session_id) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM sessions GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val byUser = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+      val cum = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("sec", floor(col("ts") / 1000000000L))
+        .withColumn("prev_sec", lag(col("sec"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_sec").isNull || col("sec") - col("prev_sec") > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum("new_session").over(cum))
+        .groupBy("user_id")
+        .agg(countDistinct("session_id").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }
+  )
+}

@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.matrix.{Matrix => M}
+
+/** Matrix-library coverage (mathematics/Matrix.scala rebuild): the
+  * supplier×part quantity matrix from lineitem drives products,
+  * normalization, top-k and propagation — each with a relational
+  * oracle, since COO linear algebra *is* join+group SQL.
+  */
+object MatrixQueries extends QueryGroup {
+
+  // A[s, p] = total quantity of part p shipped by supplier s.
+  private val baseSql =
+    """WITH A AS (
+      |  SELECT l_suppkey AS row, l_partkey AS col, sum(l_quantity) AS val
+      |  FROM lineitem GROUP BY 1, 2
+      |)""".stripMargin
+
+  private def baseMatrix(s: org.apache.spark.sql.SparkSession, dir: String): M = {
+    val coo = t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey").as("row"), col("l_partkey").as("col"))
+      .agg(sum("l_quantity").as("val"))
+    M.fromCoo(coo, "row", "col", "val")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+
+    // A * Aᵀ — supplier-supplier co-shipment similarity (matrix
+    // product, MatrixProduct.scala): join on the shared part
+    // dimension, sum of products.
+    q("q_matrix_product",
+      s"""$baseSql
+         |SELECT a.row AS row, b.row AS col,
+         |  round(sum(a.val * b.val), 2) AS val
+         |FROM A a JOIN A b ON a.col = b.col
+         |GROUP BY 1, 2 ORDER BY row, col""".stripMargin) { (s, dir) =>
+      val a = baseMatrix(s, dir)
+      a.product(a.transpose).df
+        .select(col("row"), col("col"), round(col("val"), 2).as("val"))
+        .orderBy("row", "col")
+    },
+
+    // row L1 normalization (Matrix.rowL1Normalize:725): each
+    // supplier's quantity distribution over parts.
+    q("q_matrix_rownorm",
+      s"""$baseSql
+         |SELECT row, col,
+         |  round(val / sum(abs(val)) OVER (PARTITION BY row), 6) AS val
+         |FROM A ORDER BY row, col""".stripMargin) { (s, dir) =>
+      baseMatrix(s, dir).rowL1Normalize.df
+        .select(col("row"), col("col"), round(col("val"), 6).as("val"))
+        .orderBy("row", "col")
+    },
+
+    // per-row top-k (topRowElems, Matrix.scala:296-322): top-5 parts
+    // per supplier by quantity.
+    q("q_matrix_topk",
+      s"""$baseSql
+         |SELECT row, col, round(val, 2) AS val FROM (
+         |  SELECT row, col, val, row_number() OVER (
+         |    PARTITION BY row ORDER BY val DESC, col) AS rn FROM A
+         |) WHERE rn <= 5 ORDER BY row, col""".stripMargin) { (s, dir) =>
+      baseMatrix(s, dir).topRowElems(5).df
+        .select(col("row"), col("col"), round(col("val"), 2).as("val"))
+        .orderBy("row", "col")
+    },
+
+    // graph propagation (Matrix.propagate): push supplier account
+    // balances along the supplier→part edges, sum per part.
+    q("q_matrix_propagate",
+      s"""$baseSql
+         |SELECT a.col AS row, round(sum(a.val * s.s_acctbal), 2) AS val
+         |FROM A a JOIN supplier s ON a.row = s.s_suppkey
+         |GROUP BY 1 ORDER BY row""".stripMargin) { (s, dir) =>
+      val labels = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("row"), col("s_acctbal").as("val"))
+      baseMatrix(s, dir).propagate(labels)
+        .select(col("row"), round(col("val"), 2).as("val"))
+        .orderBy("row")
+    },
+
+    // element filters as set ops (keepElementsBy / removeElementsBy,
+    // Matrix.scala:632-654): entries for high-value parts only
+    // (semi), then entries excluding one supplier's (anti).
+    q("q_matrix_keep_remove",
+      s"""$baseSql, keepers AS (
+         |  SELECT l_suppkey AS row, l_partkey AS col FROM lineitem
+         |  WHERE l_extendedprice > 2000 GROUP BY 1, 2
+         |)
+         |SELECT a.row, a.col, round(a.val, 2) AS val
+         |FROM A a JOIN keepers k ON a.row = k.row AND a.col = k.col
+         |WHERE a.row != 1
+         |ORDER BY a.row, a.col""".stripMargin) { (s, dir) =>
+      val keepers = t(s, dir, "lineitem")
+        .filter(col("l_extendedprice") > 2000)
+        .select(col("l_suppkey").as("row"), col("l_partkey").as("col"))
+        .distinct()
+        .withColumn("val", lit(1.0))
+      val banned = IndexedSeq(1L)
+      val a = baseMatrix(s, dir)
+      a.keepElementsBy(M(keepers))
+        .removeRowsBy(t(s, dir, "supplier")
+          .filter(col("s_suppkey").isin(banned: _*))
+          .select(col("s_suppkey")))
+        .df
+        .select(col("row"), col("col"), round(col("val"), 2).as("val"))
+        .orderBy("row", "col")
+    }
+  )
+}

@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ml.{Multimodal, TextAnalysis => TA}
+
+/** Text-analysis + multimodal-plumbing coverage over the `documents`
+  * table. Every operator here is a pure Column expression (no UDFs) —
+  * these run at parquet scan speed, which is what a 100 TB
+  * training-data pipeline needs.
+  */
+object TextQueries extends QueryGroup {
+
+  // DuckDB mirror of TextAnalysis.normalize (regexp_replace needs the
+  // 'g' flag there; Spark's is global by default).
+  private val normSql =
+    """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+      |'\s+', ' ', 'g'))""".stripMargin.replace("\n", " ")
+
+  val all: Seq[QueryDef] = Seq(
+
+    // token counting: whitespace tokens + BPE-ish subword estimate.
+    q("q_text_tokens",
+      s"""SELECT doc_id,
+         |  len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpeish
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TA.tokenCount(col("text")).as("n_tokens"),
+          TA.bpeishTokenCount(col("text")).as("n_bpeish"))
+        .orderBy("doc_id")
+    },
+
+    // quality scoring: length/punct/stopword components + composite.
+    q("q_text_quality",
+      s"""SELECT doc_id,
+         |  len(string_split_regex(trim(text), '\\s+')) AS n_words,
+         |  round(len(list_filter(string_split_regex(lower(text), '\\s+'),
+         |    w -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this'], w)))
+         |    * 1.0::DOUBLE / len(string_split_regex(trim(text), '\\s+')), 6) AS stop_ratio,
+         |  round((CASE WHEN len(string_split_regex(trim(text), '\\s+')) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.3 END * 0.3
+         |    + CASE WHEN list_aggregate(list_transform(string_split_regex(trim(text), '\\s+'), w -> strlen(w)), 'sum') * 1.0::DOUBLE
+         |        / len(string_split_regex(trim(text), '\\s+')) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.4 END * 0.2
+         |    + CASE WHEN len(list_filter(string_split_regex(lower(text), '\\s+'),
+         |        w -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this'], w)))
+         |        * 1.0::DOUBLE / len(string_split_regex(trim(text), '\\s+')) > 0.05 THEN 1.0 ELSE 0.6 END * 0.3
+         |    + CASE WHEN len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) * 1.0::DOUBLE / strlen(text) < 0.2 THEN 1.0 ELSE 0.5 END * 0.2
+         |  )::DOUBLE, 6) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TA.tokenCount(col("text")).as("n_words"),
+          round(TA.stopwordRatio(col("text")), 6).as("stop_ratio"),
+          round(TA.qualityScore(col("text")), 6).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // content fingerprint for exact dedup: md5 of normalized text.
+    q("q_text_fingerprint",
+      s"""SELECT doc_id, md5($normSql) AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TA.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    },
+
+    // language-ID heuristic: marker-word scores, deterministic
+    // tie-break (max score, then lexicographically-last language —
+    // the struct-max semantics), CJK short-circuit.
+    q("q_text_langid", {
+      // per-language marker-hit counts; argmax with ties going to the
+      // lexicographically-last language — exactly the Spark
+      // array_max(struct(score, lang)) semantics.
+      def score(ms: Seq[String]): String = {
+        val lst = ms.map("'" + _ + "'").mkString("[", ",", "]")
+        s"len(list_filter(string_split_regex(lower(text), '\\s+'), w -> list_contains($lst, w)))"
+      }
+      val m = TA.langMarkers.toMap
+      val (sDe, sEn, sEs, sFr) =
+        (score(m("de")), score(m("en")), score(m("es")), score(m("fr")))
+      s"""SELECT doc_id, CASE
+         |  WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
+         |  WHEN greatest($sDe, $sEn, $sEs, $sFr) = 0 THEN 'unknown'
+         |  WHEN $sFr >= $sEs AND $sFr >= $sEn AND $sFr >= $sDe THEN 'fr'
+         |  WHEN $sEs >= $sEn AND $sEs >= $sDe THEN 'es'
+         |  WHEN $sEn >= $sDe THEN 'en'
+         |  ELSE 'de' END AS pred_lang
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TA.langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id")
+    },
+
+    // multimodal plumbing: text bytes as the opaque binary column,
+    // deterministic stub decode (byte length, content hash, fake
+    // dimensions derived from the hash) through the typed
+    // mapPartitions batch path.
+    q("q_multimodal_meta",
+      """SELECT doc_id AS id,
+        |  octet_length(CAST(text AS BLOB)) AS byteLen,
+        |  md5(text) AS contentHash,
+        |  64 + (ascii(substr(md5(text), 1, 1)) % 16) * 64 AS width,
+        |  64 + (ascii(substr(md5(text), 2, 1)) % 16) * 64 AS height,
+        |  ['jpeg','png','webp'][(ascii(substr(md5(text), 3, 1)) % 3) + 1] AS format
+        |FROM documents ORDER BY id""".stripMargin) { (s, dir) =>
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("id"), col("text").cast("binary").as("media"))
+      Multimodal.decodeMetadata(media).toDF()
+        .select("id", "byteLen", "contentHash", "width", "height", "format")
+        .orderBy("id")
+    }
+  )
+}
