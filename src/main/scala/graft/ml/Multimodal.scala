@@ -77,9 +77,11 @@ object Multimodal {
     df.select(col(idCol),
       posexplode(
         transform(
-          sequence(lit(0),
-            greatest((octet_length(col(mediaCol)) - 1) / frameSize, lit(0))),
-          i => col(mediaCol).substr(i * frameSize + 1, lit(frameSize))))
+          sequence(lit(0L),
+            greatest(floor((octet_length(col(mediaCol)) - 1) / frameSize)
+              .cast("long"), lit(0L))),
+          i => col(mediaCol).substr((i * frameSize + 1).cast("int"),
+            lit(frameSize))))
         .as(Seq("frame_idx", "frame")))
       .filter(col("frame_idx") % stride === 0)
 }

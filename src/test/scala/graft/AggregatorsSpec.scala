@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{Encoder, Encoders}
+import graft.agg._
+
+/** Monoid laws + aggregator semantics (the reference's algebird-law
+  * reliance, AlgebraicReductionsTest.scala).
+  */
+class AggregatorsSpec extends AnyFunSuite {
+
+  private def laws[T](m: Monoid[T], samples: Seq[T]): Unit = {
+    for (a <- samples; b <- samples; c <- samples) {
+      assert(m.plus(m.plus(a, b), c) == m.plus(a, m.plus(b, c)), "associativity")
+    }
+    samples.foreach { a =>
+      assert(m.plus(m.zero, a) == a, "left identity")
+      assert(m.plus(a, m.zero) == a, "right identity")
+    }
+  }
+
+  test("numeric / collection monoid laws") {
+    laws(Monoid.longMonoid, Seq(-3L, 0L, 7L, 100L))
+    laws(Monoid.doubleMonoid, Seq(-1.5, 0.0, 2.25))
+    laws(Monoid.listMonoid[Int], Seq(Nil, List(1), List(2, 3)))
+    laws(Monoid.setMonoid[Int], Seq(Set.empty[Int], Set(1), Set(1, 2)))
+    laws(Monoid.mapMonoid[String, Long], Seq(
+      Map.empty[String, Long], Map("a" -> 1L), Map("a" -> 2L, "b" -> 3L)))
+  }
+
+  test("map monoid merges values by semigroup") {
+    val m = Monoid.mapMonoid[String, Long]
+    assert(m.plus(Map("a" -> 1L, "b" -> 2L), Map("a" -> 10L, "c" -> 3L)) ==
+      Map("a" -> 11L, "b" -> 2L, "c" -> 3L))
+  }
+
+  test("moments merge matches direct computation") {
+    val xs = Seq(1.0, 2.0, 3.0, 4.0, 10.0)
+    val (l, r) = xs.splitAt(2)
+    def of(s: Seq[Double]) = s.map(x => Aggregators.Moments(1, x, 0.0))
+      .reduce(Aggregators.momentsMonoid.plus)
+    val merged = Aggregators.momentsMonoid.plus(of(l), of(r))
+    val mean = xs.sum / xs.size
+    val variance = xs.map(x => (x - mean) * (x - mean)).sum / xs.size
+    assert(merged.count == 5)
+    assert(math.abs(merged.mean - mean) < 1e-12)
+    assert(math.abs(merged.variance - variance) < 1e-12)
+  }
+
+  test("sortedTake keeps k smallest in order under arbitrary merge trees") {
+    implicit val intEnc: Encoder[Int] = Encoders.scalaInt
+    val agg = Aggregators.sortedTake[Int](3)
+    val xs = Seq(9, 1, 8, 4, 7, 3, 2, 6, 5)
+    // sequential reduce
+    val seqBuf = xs.foldLeft(agg.zero)(agg.reduce)
+    assert(seqBuf == Seq(1, 2, 3))
+    // split-merge
+    val (a, b) = xs.splitAt(4)
+    val merged = agg.merge(
+      a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce))
+    assert(merged == Seq(1, 2, 3))
+    // reversed ordering = top-k
+    val top = Aggregators.sortedTake[Int](3)(
+      implicitly, implicitly, Ordering.Int.reverse)
+    assert(xs.foldLeft(top.zero)(top.reduce) == Seq(9, 8, 7))
+  }
+}

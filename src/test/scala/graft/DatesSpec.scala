@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dates._
+import java.time.ZoneId
+
+/** scalding-date semantics on java.time (reference
+  * DateProperties.scala / DateTest.scala).
+  */
+class DatesSpec extends AnyFunSuite {
+  implicit val utc: ZoneId = ZoneId.of("UTC")
+
+  test("parse the reference's accepted formats") {
+    assert(RichDate.parse("2011-10-02").format("yyyy-MM-dd") == "2011-10-02")
+    assert(RichDate.parse("2011-10-02 14:30").format("HH:mm") == "14:30")
+    assert(RichDate.parse("2011-10-02 14:30:00").format("HH:mm:ss") == "14:30:00")
+    assert(RichDate.parse("20111002").format("yyyy-MM-dd") == "2011-10-02")
+    intercept[IllegalArgumentException] { RichDate.parse("not a date") }
+  }
+
+  test("calendar arithmetic") {
+    val d = RichDate.parse("2020-02-28")
+    assert((d + Days(1)).format("yyyy-MM-dd") == "2020-02-29") // leap year
+    assert((d + Months(1)).format("yyyy-MM-dd") == "2020-03-28")
+    assert((d + Years(1)).format("yyyy-MM-dd") == "2021-02-28")
+    assert((d - Days(28)).format("yyyy-MM-dd") == "2020-01-31")
+  }
+
+  test("floorOf truncation") {
+    val d = RichDate.parse("2020-06-17 13:45:12")
+    assert(Days(1).floorOf(d).format("yyyy-MM-dd HH:mm") == "2020-06-17 00:00")
+    assert(Months(1).floorOf(d).format("yyyy-MM-dd") == "2020-06-01")
+    assert(Years(1).floorOf(d).format("yyyy-MM-dd") == "2020-01-01")
+    assert(Hours(1).floorOf(d).format("HH:mm") == "13:00")
+    // ISO week floors to Monday
+    assert(Weeks(1).floorOf(d).format("yyyy-MM-dd") == "2020-06-15")
+  }
+
+  test("DateRange each/contains/embiggen") {
+    val r = DateRange.parse("2020-01-01", "2020-01-03")
+    val days = r.each(Days(1)).toSeq
+    assert(days.size == 3)
+    assert(days.head.start.format("yyyy-MM-dd") == "2020-01-01")
+    assert(r.contains(RichDate.parse("2020-01-03 23:59:59")))
+    assert(!r.contains(RichDate.parse("2020-01-04")))
+    assert(r.embiggen(Days(1)).contains(RichDate.parse("2020-01-04")))
+  }
+
+  test("add/subtract round-trips (property sweep, fixed seed)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val millis = 1500000000000L + rnd.nextLong(1000000000000L)
+      val n = rnd.nextInt(1000) + 1
+      val d = RichDate(millis)
+      assert(((d + Days(n)) - Days(n)) == d)
+      assert(((d + Hours(n)) - Hours(n)) == d)
+      // months can clamp at month-end; round trip stays within 3 days
+      val diff = ((d + Months(n)) - Months(n)).timestamp - d.timestamp
+      assert(math.abs(diff) <= 3L * 24 * 3600 * 1000)
+    }
+  }
+
+  test("TimePathUtil expands day paths over a range") {
+    val r = DateRange.parse("2020-01-30", "2020-02-02")
+    val ps = TimePathUtil.paths("/logs/%1$tY/%1$tm/%1$td", r, Days(1))
+    assert(ps == Seq(
+      "/logs/2020/01/30", "/logs/2020/01/31",
+      "/logs/2020/02/01", "/logs/2020/02/02"))
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dsl.FieldsApi._
+import graft.join.Joins
+
+/** Fields DSL + join-strategy semantics over in-memory frames
+  * (reference CoreTest.scala operator jobs).
+  */
+class FieldsApiSpec extends SparkSpec {
+
+  private lazy val kv = {
+    import spark.implicits._
+    Seq(("a", 1, 10.0), ("a", 2, 20.0), ("b", 3, 30.0)).toDF("k", "n", "x")
+  }
+
+  test("project/discard/rename/insert") {
+    assert(kv.project("k", "n").columns.toSeq == Seq("k", "n"))
+    assert(kv.discard("x").columns.toSeq == Seq("k", "n"))
+    assert(kv.rename("n" -> "m").columns.contains("m"))
+    assert(kv.insert("one", lit(1)).select("one").head().getInt(0) == 1)
+  }
+
+  test("groupByFields builder chains aggregates into one agg") {
+    val out = kv.groupByFields("k") {
+      _.size("cnt").sum("x", "sum_x").max("n", "max_n")
+        .countIf(col("n") > 1, "n_big").mkString("n", ",", "ns")
+    }.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getDouble(2), r.getInt(3), r.getLong(4), r.getString(5)))
+      .toMap
+    assert(out("a") == ((2L, 30.0, 2, 1L, "1,2")))
+    assert(out("b") == ((1L, 30.0, 3, 1L, "3")))
+  }
+
+  test("groupAllFields aggregates globally without a key") {
+    val r = kv.groupAllFields(_.size("cnt").average("x", "avg_x")).head()
+    assert(r.getLong(0) == 3L && r.getDouble(1) == 20.0)
+  }
+
+  test("normalize divides by the global sum") {
+    val shares = kv.normalize("x").select("k", "x").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(math.abs(shares("b") - 0.5) < 1e-12)
+  }
+
+  test("unpivot produces long form") {
+    val long = kv.unpivotTo(Seq("k"), Seq("n", "x"))
+    assert(long.columns.toSeq == Seq("k", "feature", "value"))
+    assert(long.count() == 6)
+  }
+
+  test("trap splits valid and invalid rows without failing the flow") {
+    import spark.implicits._
+    val df = Seq(("1", 1), ("boom", 2), ("3", 3)).toDF("s", "n")
+    val (good, bad) = df.trap(col("s").cast("int").isNotNull)
+    assert(good.count() == 2)
+    assert(bad.select("s").as[String].collect().toSeq == Seq("boom"))
+  }
+
+  test("shard/shuffleRows/limit/sample keep row multiset") {
+    import spark.implicits._
+    val df = (1 to 100).toDF("x")
+    assert(df.shard(4).rdd.getNumPartitions == 4)
+    assert(df.shuffleRows(7L).as[Int].collect().sorted.toSeq == (1 to 100))
+    assert(df.limitTo(10).count() == 10)
+    val s = df.sampleRows(0.5, 42L).count()
+    assert(s > 20 && s < 80)
+  }
+
+  test("block join equals plain join (reference differential contract)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val l = (1 to 1000).map(_ => (rnd.nextInt(100), rnd.nextInt(10))).toDF("k", "a")
+    val r = (1 to 300).map(_ => (rnd.nextInt(100), rnd.nextInt(10))).toDF("k", "b")
+    val plain = l.join(r, "k").groupBy("k").count()
+      .collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
+    val block = Joins.blockJoin(l, r, Seq("k"), rightReplication = 5)
+      .groupBy("k").count().collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
+    assert(block == plain)
+    val skew = Joins.skewJoin(l, r, Seq("k"))
+      .groupBy("k").count().collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
+    assert(skew == plain)
+  }
+
+  test("joinWithTiny broadcasts and rejects unsupported modes") {
+    import spark.implicits._
+    val l = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val r = Seq((1, 1.0)).toDF("k", "w")
+    assert(Joins.joinWithTiny(l, r, Seq("k")).count() == 1)
+    assert(Joins.joinWithTiny(l, r, Seq("k"), "left").count() == 2)
+    intercept[IllegalArgumentException] {
+      Joins.joinWithTiny(l, r, Seq("k"), "full_outer")
+    }
+  }
+
+  test("coGroup chains joins with per-pipe modes (star join)") {
+    import spark.implicits._
+    val a = Seq((1, "a1"), (2, "a2")).toDF("x", "a")
+    val b = Seq((1, "b1")).toDF("x", "b")
+    val c = Seq((1, "c1"), (3, "c3")).toDF("x", "c")
+    val star = Joins.coGroup(Seq(a, b, c), "x", Seq("left", "full_outer"))
+    assert(star.count() == 3) // keys 1, 2 (left-kept), 3 (outer-added)
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import graft.matrix.Matrix
+
+/** Golden tests on a small sparse matrix (reference MatrixTest.scala
+  * golden-output pattern; graph from tutorial/data/graph.tsv shape).
+  */
+class MatrixSpec extends SparkSpec {
+
+  private def m(entries: (Long, Long, Double)*): Matrix = {
+    import spark.implicits._
+    Matrix(entries.toDF("row", "col", "val"))
+  }
+
+  private def entriesOf(x: Matrix): Set[(Long, Long, Double)] =
+    x.df.collect().map(r => (r.getLong(0), r.getLong(1),
+      math.rint(r.getDouble(2) * 1e9) / 1e9)).toSet
+
+  //  A = | 1 2 |      B = | 1 0 |
+  //      | 3 4 |          | 0 2 |
+  private lazy val a = m((0, 0, 1.0), (0, 1, 2.0), (1, 0, 3.0), (1, 1, 4.0))
+  private lazy val diag = m((0, 0, 1.0), (1, 1, 2.0))
+
+  test("product") {
+    assert(entriesOf(a.product(diag)) ==
+      Set((0L, 0L, 1.0), (0L, 1L, 4.0), (1L, 0L, 3.0), (1L, 1L, 8.0)))
+    // A * A = | 7 10 ; 15 22 |
+    assert(entriesOf(a * a) ==
+      Set((0L, 0L, 7.0), (0L, 1L, 10.0), (1L, 0L, 15.0), (1L, 1L, 22.0)))
+  }
+
+  test("transpose / add / subtract / hadamard") {
+    assert(entriesOf(a.transpose) ==
+      Set((0L, 0L, 1.0), (1L, 0L, 2.0), (0L, 1L, 3.0), (1L, 1L, 4.0)))
+    assert(entriesOf(a + a) ==
+      Set((0L, 0L, 2.0), (0L, 1L, 4.0), (1L, 0L, 6.0), (1L, 1L, 8.0)))
+    assert(entriesOf((a - a).dropZeros) == Set.empty)
+    assert(entriesOf(a.hProd(a)) ==
+      Set((0L, 0L, 1.0), (0L, 1L, 4.0), (1L, 0L, 9.0), (1L, 1L, 16.0)))
+  }
+
+  test("normalizations") {
+    assert(entriesOf(a.rowL1Normalize) == Set(
+      (0L, 0L, 1.0 / 3), (0L, 1L, 2.0 / 3),
+      (1L, 0L, 3.0 / 7), (1L, 1L, 4.0 / 7)).map {
+      case (r, c, v) => (r, c, math.rint(v * 1e9) / 1e9)
+    })
+    val l2 = entriesOf(a.rowL2Normalize)
+    val n0 = math.sqrt(1 + 4)
+    assert(l2.contains((0L, 0L, math.rint(1.0 / n0 * 1e9) / 1e9)))
+  }
+
+  test("topRowElems / diagonal / trace") {
+    assert(entriesOf(a.topRowElems(1)) ==
+      Set((0L, 1L, 2.0), (1L, 1L, 4.0)))
+    assert(entriesOf(a.diagonal) == Set((0L, 0L, 1.0), (1L, 1L, 4.0)))
+    assert(a.trace.collect().head.getDouble(0) == 5.0)
+  }
+
+  test("element/row/col set ops preserve reference semantics") {
+    val keep = m((0, 0, 9.0), (1, 1, 9.0))
+    assert(entriesOf(a.keepElementsBy(keep)) ==
+      Set((0L, 0L, 1.0), (1L, 1L, 4.0)))
+    assert(entriesOf(a.removeElementsBy(keep)) ==
+      Set((0L, 1L, 2.0), (1L, 0L, 3.0)))
+    import spark.implicits._
+    val rows = Seq(0L).toDF("row")
+    assert(entriesOf(a.keepRowsBy(rows)) == Set((0L, 0L, 1.0), (0L, 1L, 2.0)))
+    assert(entriesOf(a.removeRowsBy(rows)) == Set((1L, 0L, 3.0), (1L, 1L, 4.0)))
+  }
+
+  test("propagate pushes labels along edges") {
+    import spark.implicits._
+    // graph 1->2, 1->3, 3->2 with unit weights; labels: node 1 = 5, node 3 = 7
+    val g = m((1, 2, 1.0), (1, 3, 1.0), (3, 2, 1.0))
+    val labels = Seq((1L, 5.0), (3L, 7.0)).toDF("row", "val")
+    val out = g.propagate(labels).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out == Map(2L -> 12.0, 3L -> 5.0))
+  }
+
+  test("pagerank converges on a small graph (iterative driver loop)") {
+    import spark.implicits._
+    // reference examples/PageRank.scala semantics: damping 0.85
+    val edges = m((1, 2, 1.0), (2, 3, 1.0), (3, 1, 1.0)).rowL1Normalize
+    var ranks = Seq((1L, 1.0), (2L, 1.0), (3L, 1.0)).toDF("row", "val")
+    (1 to 10).foreach { _ =>
+      ranks = edges.propagate(ranks)
+        .select(org.apache.spark.sql.functions.col("row"),
+          (org.apache.spark.sql.functions.col("val") * 0.85 + 0.15).as("val"))
+      ranks.persist()
+    }
+    val r = ranks.collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // symmetric cycle ⇒ all ranks equal 1.0
+    assert(r.values.forall(v => math.abs(v - 1.0) < 1e-6), r.toString)
+  }
+}

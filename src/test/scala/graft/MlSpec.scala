@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+
+/** LLM-pipeline operators: dedup discovery recall, ANN recall vs
+  * brute force, language ID on real-language samples, multimodal
+  * plumbing.
+  */
+class MlSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away"),
+      (2L, "the quick brown fox jumps over the lazy dog and runs far"), // near-dup of 1
+      (3L, "completely different content about spark query engines at scale"),
+      (4L, "completely different content about spark query engines at scale"), // exact dup of 3
+      (5L, "unrelated short text"))
+    base.toDF("doc_id", "text")
+  }
+
+  test("exact duplicates map to the canonical min id") {
+    val canon = Dedup.exactDuplicates(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(canon(3L) == 3L && canon(4L) == 3L)
+    assert(canon(1L) == 1L && canon(2L) == 2L) // near-dup is NOT exact
+  }
+
+  test("minhash LSH finds the near-dup pair and skips unrelated docs") {
+    val pairs = Dedup.minHashNearDuplicates(docs, "doc_id", "text",
+      threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"missing near-dup pair, got $pairs")
+    assert(pairs.contains((3L, 4L)))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("simhash of near-identical text is near in hamming distance") {
+    val sigs = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(3L), sigs(4L)) == 0)
+    assert(ham(sigs(1L), sigs(2L)) <= 16)
+    assert(ham(sigs(1L), sigs(3L)) > 10)
+    val found = Dedup.simHashNearDuplicates(docs, "doc_id", "text",
+      maxHamming = 16, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.contains((3L, 4L)))
+  }
+
+  test("lsh ANN recalls a reasonable share of brute-force neighbors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // clustered vectors: 3 centers + noise, so LSH buckets are useful
+    val centers = Array.fill(3)(Array.fill(16)(rnd.nextGaussian()))
+    val vecs = (0 until 90).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.1).toFloat))
+    }
+    val df = vecs.toDF("id", "vec")
+    val queries = df.filter(col("id") < 5)
+    val exact = Similarity.bruteForceTopK(queries, df, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(queries, df, dim = 16, k = 5, nBits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"LSH recall too low: $recall")
+  }
+
+  test("language ID on real-language samples") {
+    import spark.implicits._
+    val samples = Seq(
+      ("en", "the cat is on the mat and it is happy with that"),
+      ("de", "der hund und die katze das ist nicht ein problem"),
+      ("es", "el perro y los gatos es una casa para todos que"),
+      ("fr", "le chien et les chats est une maison pour dans"),
+      ("zh", "这是一个中文句子"))
+    val pred = samples.toDF("truth", "text")
+      .select(col("truth"), TA.langId(col("text")).as("pred"))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    pred.foreach { case (truth, p) => assert(p == truth, s"$truth -> $p") }
+  }
+
+  test("quality score separates empty/spam from real text") {
+    import spark.implicits._
+    val df = Seq(
+      ("good", "the quick brown fox jumps over the lazy dog and keeps running for a while"),
+      ("punct", "!!! ??? ;;; ### $$$ %%% @@@ !!!! ???? ;;;; #### $$$$$ %%%%% @@@@@"),
+      ("short", "hi")).toDF("k", "text")
+    val scores = df.select(col("k"), TA.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(scores("good") > scores("punct"))
+    assert(scores("good") > scores("short"))
+    assert(scores("good") == 1.0)
+  }
+
+  test("multimodal decode + frame sampling plumbing") {
+    import spark.implicits._
+    val media = Seq((1L, Array.fill[Byte](1000)(7)), (2L, Array.fill[Byte](64)(1)))
+      .toDF("id", "media")
+    val meta = Multimodal.decodeMetadata(media).collect().map(m => m.id -> m).toMap
+    assert(meta(1L).byteLen == 1000L)
+    assert(meta(1L).width >= 64 && meta(1L).width <= 64 + 15 * 64)
+    assert(Set("jpeg", "png", "webp").contains(meta(1L).format))
+    // deterministic: same bytes → same meta
+    val again = Multimodal.decodeMetadata(media).collect().map(m => m.id -> m).toMap
+    assert(again(1L) == meta(1L))
+    val frames = Multimodal.frameSample(media, frameSize = 100, stride = 2)
+    // 1000 bytes → 10 frames → every 2nd → 5; 64 bytes → 1 frame → 1
+    val counts = frames.groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts(1L) == 5L)
+    assert(counts(2L) == 1L)
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources._
+import java.nio.file.Files
+
+/** Source layer round-trips and the versioned-store protocol
+  * (reference FileSourceTest.scala, VersionedKeyValSource semantics).
+  */
+class SourcesSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-src").toString
+
+  test("Tsv/Csv round trip") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    Tsv(dir, header = true).write(df)
+    val back = Tsv(dir, header = true).read(spark)
+      .select(col("k").cast("int"), col("v"))
+    assert(back.collect().map(r => (r.getInt(0), r.getString(1))).toSet ==
+      Set((1, "a"), (2, "b")))
+  }
+
+  test("JsonLine round trip") {
+    import spark.implicits._
+    val dir = tmp() + "/j"
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "name")
+    JsonLine(dir).write(df)
+    assert(JsonLine(dir).read(spark).count() == 2)
+  }
+
+  test("TextLine reads lines, optional offsets") {
+    import spark.implicits._
+    val dir = tmp() + "/txt"
+    Seq("hello world", "goodbye world").toDF("value").write.text(dir)
+    val lines = TextLine(dir).read(spark).as[String].collect().toSet
+    assert(lines == Set("hello world", "goodbye world"))
+    assert(TextLine(dir, withOffset = true).read(spark).columns.toSet ==
+      Set("line", "offset"))
+  }
+
+  test("IterableSource and NullSink") {
+    import spark.implicits._
+    val ds = IterableSource(spark, Seq(1, 2, 3))
+    assert(ds.count() == 3)
+    NullSink.write(ds.toDF()) // must not throw
+  }
+
+  test("versioned KV store: write/read/incremental merge/prune") {
+    import spark.implicits._
+    val store = VersionedKeyValStore(tmp() + "/kv", versionsToKeep = 2)
+    val v0 = store.write(Seq(("a", 1L), ("b", 2L)).toDF("key", "value"))
+    assert(v0 == 0L)
+    // incremental: monoid-sum overlapping keys (reference
+    // writeIncremental, VersionedKeyValSource.scala:163-210)
+    val v1 = store.writeIncremental(Seq(("a", 10L), ("c", 3L)).toDF("key", "value"))
+    assert(v1 == 1L)
+    val latest = store.read(spark).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(latest == Map("a" -> 11L, "b" -> 2L, "c" -> 3L))
+    // third version prunes v0 (keep 2)
+    store.writeIncremental(Seq(("a", 100L)).toDF("key", "value"))
+    assert(store.versions(spark) == Seq(1L, 2L))
+  }
+
+  test("checkpoint computes once, then reads back") {
+    import spark.implicits._
+    val dir = tmp() + "/ck"
+    var computes = 0
+    def expensive = { computes += 1; Seq(1, 2, 3).toDF("x") }
+    val first = Checkpoint(spark, dir)(expensive)
+    assert(first.count() == 3 && computes == 1)
+    val second = Checkpoint(spark, dir)(expensive)
+    assert(second.count() == 3 && computes == 1) // not recomputed
+  }
+
+  test("partitioned sink writes hive-style partitions") {
+    import spark.implicits._
+    val dir = tmp() + "/p"
+    val df = Seq((1, "x", "2020"), (2, "y", "2021")).toDF("id", "v", "year")
+    PartitionedSink.write(df, dir, Seq("year"))
+    assert(new java.io.File(dir, "year=2020").exists())
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
+  test("time-pathed source resolves only existing paths and reads them") {
+    import spark.implicits._
+    import graft.dates._
+    implicit val utc: java.time.ZoneId = java.time.ZoneId.of("UTC")
+    val root = tmp()
+    // write two daily partitions, leave a gap
+    Seq(1).toDF("x").write.parquet(s"$root/2020/01/01")
+    Seq(2).toDF("x").write.parquet(s"$root/2020/01/03")
+    val src = TimePathedSource(s"$root/%1$$tY/%1$$tm/%1$$td",
+      DateRange.parse("2020-01-01", "2020-01-03"), Days(1))
+    assert(src.resolvedPaths(spark).size == 2)
+    assert(src.read(spark).count() == 2)
+    assert(MostRecentGood(spark, Seq(s"$root/2020/01/01", s"$root/2020/01/02",
+      s"$root/2020/01/03")).contains(s"$root/2020/01/03"))
+  }
+}

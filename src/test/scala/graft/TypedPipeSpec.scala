@@ -1,0 +1,101 @@
+package graft
+
+import graft.typed.TypedPipe
+import graft.agg.Monoid
+
+/** Typed API semantics over in-memory data — the JobTest-analog
+  * harness (reference TypedPipeTest.scala:28-448, CoreTest scan/fold
+  * tests :950-1036 are the secondary-sort oracle).
+  */
+class TypedPipeSpec extends SparkSpec {
+
+  private def pipe[T: org.apache.spark.sql.Encoder](xs: Seq[T]) =
+    TypedPipe.from(spark, xs)
+
+  test("map/filter/flatMap/distinct/union") {
+    import spark.implicits._
+    val p = pipe(Seq(1, 2, 3, 4))
+    assert(p.map(_ * 2).ds.collect().sorted.toSeq == Seq(2, 4, 6, 8))
+    assert(p.filter(_ % 2 == 0).ds.collect().sorted.toSeq == Seq(2, 4))
+    assert(p.flatMap(x => Seq(x, x)).ds.count() == 8)
+    assert((p ++ p).distinct.ds.collect().sorted.toSeq == Seq(1, 2, 3, 4))
+  }
+
+  test("group sum with monoid (wordcount shape)") {
+    import spark.implicits._
+    val words = pipe(Seq("a b", "b c", "c b")).flatMap(_.split(" ").toSeq)
+    val counts = words.map((_, 1L)).group[String, Long]
+      .sum(Monoid.longMonoid).ds.collect().toMap
+    assert(counts == Map("a" -> 1L, "b" -> 3L, "c" -> 2L))
+  }
+
+  test("group reduce / max / min / size / toList / toSet") {
+    import spark.implicits._
+    val kvs = pipe(Seq(("k1", 3), ("k1", 1), ("k2", 5), ("k1", 2)))
+      .group[String, Int]
+    assert(kvs.reduce(_ + _).ds.collect().toMap == Map("k1" -> 6, "k2" -> 5))
+    assert(kvs.max.ds.collect().toMap == Map("k1" -> 3, "k2" -> 5))
+    assert(kvs.min.ds.collect().toMap == Map("k1" -> 1, "k2" -> 5))
+    assert(kvs.size.ds.collect().toMap == Map("k1" -> 3L, "k2" -> 1L))
+    val lists = kvs.toList.ds.collect().toMap
+    assert(lists("k1").sorted == List(1, 2, 3))
+    val sets = kvs.toSet.ds.collect().toMap
+    assert(sets("k2") == Set(5))
+  }
+
+  test("sortedTake is a bounded per-key top-k") {
+    import spark.implicits._
+    val kvs = pipe((1 to 100).map(i => (i % 3, i))).group[Int, Int]
+    val smallest = kvs.sortedTake(4).ds.collect().toMap
+    assert(smallest(0) == Seq(3, 6, 9, 12))
+    assert(smallest(1) == Seq(1, 4, 7, 10))
+    val largest = kvs.sortedReverseTake(2).ds.collect().toMap
+    assert(largest(0) == Seq(99, 96))
+  }
+
+  test("secondary-sorted scanLeft/foldLeft/take preserve value order") {
+    import spark.implicits._
+    // values arrive shuffled; sortBy must restore per-key order
+    val rnd = new scala.util.Random(7)
+    val data = rnd.shuffle((1 to 50).map(i => ("k" + (i % 4), i)).toList)
+    val g = pipe(data).group[String, Int].sortBy(identity)
+    val folded = g.foldLeft(List.empty[Int])((acc, v) => v :: acc)
+      .ds.collect().toMap
+    folded.foreach { case (k, vs) =>
+      assert(vs.reverse == vs.reverse.sorted, s"unsorted fold for $k")
+    }
+    val scans = g.scanLeft(0)((acc, v) => acc + v).ds.collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toList).toMap
+    // running sums must be strictly increasing (values positive+sorted)
+    scans.foreach { case (_, sums) => assert(sums == sums.sorted) }
+    val takes = pipe(data).group[String, Int].sortBy(identity).take(2)
+      .ds.collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted.toList).toMap
+    assert(takes("k1") == List(1, 5))
+  }
+
+  test("typed joins: inner/left/outer/hash/cogroup") {
+    import spark.implicits._
+    val l = pipe(Seq((1, "a"), (2, "b"), (3, "c"))).group[Int, String]
+    val r = pipe(Seq((2, 20.0), (3, 30.0), (4, 40.0))).group[Int, Double]
+    assert(l.join(r).ds.collect().toMap ==
+      Map(2 -> ("b", 20.0), 3 -> ("c", 30.0)))
+    val left = l.leftJoin(r).ds.collect().toMap
+    assert(left(1) == ("a", None) && left(2) == ("b", Some(20.0)))
+    val outer = l.outerJoin(r).ds.collect().toMap
+    assert(outer(4) == (None, Some(40.0)))
+    assert(outer(1) == (Some("a"), None))
+    assert(l.hashJoin(r).ds.collect().toMap ==
+      Map(2 -> ("b", 20.0), 3 -> ("c", 30.0)))
+    val co = l.cogroup(r) { (_, ls, rs) =>
+      Iterator.single(ls.size + rs.size)
+    }.ds.collect().toMap
+    assert(co == Map(1 -> 1, 2 -> 2, 3 -> 2, 4 -> 1))
+  }
+
+  test("cross with tiny side") {
+    import spark.implicits._
+    val a = pipe(Seq(1, 2, 3))
+    val b = pipe(Seq("x", "y"))
+    assert(a.cross(b).ds.count() == 6)
+  }
+}
