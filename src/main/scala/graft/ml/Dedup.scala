@@ -37,14 +37,19 @@ object Dedup {
   /** MinHash signature of a shingle-hash array: nHashes affine
     * permutations h_i(x) = a_i*x + b_i (64-bit wraparound), min per
     * i. Deterministic for a fixed seed.
+    *
+    * Column form, for composition in expression pipelines. NOTE: for
+    * large nHashes this expands to nHashes array traversals of
+    * generated code; the discovery pipeline below uses the typed
+    * single-pass [[MinHashUtil]] instead, which is O(shingles ×
+    * nHashes) primitive ops with no giant codegen class.
     */
   def minHashSignature(shingleHashes: Column, nHashes: Int = 128,
       seed: Long = 42L): Column = {
-    val rnd = new scala.util.Random(seed)
-    val coeffs = Array.fill(nHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
+    val coeffs = MinHashUtil.coefficients(nHashes, seed)
     array(coeffs.map { case (a, b) =>
       array_min(transform(shingleHashes, x => x * a + b))
-    }: _*)
+    }.toIndexedSeq: _*)
   }
 
   /** Banded bucket keys for LSH: split the signature into `bands`
@@ -75,20 +80,32 @@ object Dedup {
   /** Near-duplicate candidate pairs via MinHash LSH, verified with
     * true shingle Jaccard >= `threshold`. Returns (id1, id2, jaccard)
     * with id1 < id2.
+    *
+    * Scale shape: one linear typed pass computes (shingle set,
+    * signature, band hashes) per document; candidate generation is a
+    * self-join on (band, bandHash) buckets — all-pairs work happens
+    * only inside collision buckets; verification re-joins shingle
+    * sets for candidates only.
     */
   def minHashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.6, nHashes: Int = 128, bands: Int = 32,
       shingleWidth: Int = 2, seed: Long = 42L): DataFrame = {
     val rowsPer = nHashes / bands
-    val sigs = df.select(
-      col(idCol).as("id"),
-      shingles(col(textCol), shingleWidth).as("sh"))
-      .withColumn("sig", minHashSignature(col("sh"), nHashes, seed))
-      .withColumn("bk", lshBandKeys(col("sig"), bands, rowsPer))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val coeffs = MinHashUtil.coefficients(nHashes, seed)
+    val sigs = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val sh = MinHashUtil.shingleHashes(text, shingleWidth)
+        val sig = MinHashUtil.signature(sh, coeffs)
+        (id, sh, MinHashUtil.bandHashes(sig, bands, rowsPer))
+      }
+      .toDF("id", "sh", "bands")
       .persist()
 
-    val buckets = sigs.select(col("id"), explode(col("bk")).as("b"))
-      .select(col("id"), col("b.band"), col("b.h"))
+    val buckets = sigs.select(col("id"),
+      posexplode(col("bands")).as(Seq("band", "h")))
 
     val candidates = buckets.alias("l")
       .join(buckets.alias("r"), Seq("band", "h"))
@@ -96,7 +113,8 @@ object Dedup {
       .select(col("l.id").as("id1"), col("r.id").as("id2"))
       .distinct()
 
-    verifyJaccard(candidates, sigs.select("id", "sh"), threshold)
+    val out = verifyJaccard(candidates, sigs.select("id", "sh"), threshold)
+    out
   }
 
   /** True Jaccard verification of candidate pairs against shingle
@@ -139,9 +157,100 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Typed single-pass MinHash kernels: plain Scala per row, no
+    * expression-tree blowup. Deterministic for fixed seeds.
+    */
+  object MinHashUtil {
+
+    def coefficients(nHashes: Int, seed: Long): Array[(Long, Long)] = {
+      val rnd = new scala.util.Random(seed)
+      Array.fill(nHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
+    }
+
+    def normalize(s: String): String =
+      s.toLowerCase.replaceAll("[^a-z0-9\\s]", " ").replaceAll("\\s+", " ").trim
+
+    /** 64-bit string hash from two seeded 32-bit murmurs. */
+    def hash64(s: String): Long = {
+      import scala.util.hashing.MurmurHash3
+      (MurmurHash3.stringHash(s, 0x9747b28c).toLong << 32) |
+        (MurmurHash3.stringHash(s, 0x85ebca6b).toLong & 0xffffffffL)
+    }
+
+    /** Distinct hashed word w-shingles of normalized text. */
+    def shingleHashes(text: String, w: Int): Array[Long] = {
+      val words = normalize(text).split(" ")
+      val grams =
+        if (words.length <= w) Iterator.single(words.mkString(" "))
+        else words.sliding(w).map(_.mkString(" "))
+      grams.map(hash64).toArray.distinct.sorted
+    }
+
+    /** One pass over the shingles, nHashes running minima. */
+    def signature(sh: Array[Long], coeffs: Array[(Long, Long)]): Array[Long] = {
+      val sig = Array.fill(coeffs.length)(Long.MaxValue)
+      var i = 0
+      while (i < sh.length) {
+        val x = sh(i)
+        var j = 0
+        while (j < coeffs.length) {
+          val h = x * coeffs(j)._1 + coeffs(j)._2
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
+        i += 1
+      }
+      sig
+    }
+
+    /** FNV-1a style mix of each band's signature slice. */
+    def bandHashes(sig: Array[Long], bands: Int, rowsPer: Int): Array[Long] = {
+      val out = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        var h = 0xcbf29ce484222325L
+        var r = 0
+        while (r < rowsPer) {
+          h ^= sig(b * rowsPer + r)
+          h *= 0x100000001b3L
+          r += 1
+        }
+        out(b) = h
+        b += 1
+      }
+      out
+    }
+
+    /** Typed 64-bit SimHash over normalized word multiset. */
+    def simHash64(text: String): Long = {
+      val words = normalize(text).split(" ")
+      val sums = new Array[Int](64)
+      var i = 0
+      while (i < words.length) {
+        val h = hash64(words(i))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) != 0L) sums(b) += 1 else sums(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) {
+        if (sums(b) > 0) sig |= (1L << b)
+        b += 1
+      }
+      sig
+    }
+  }
+
   /** 64-bit SimHash of the token multiset: per bit, sum +1/-1 over
     * token hashes (weighted by term frequency via the token list),
     * sign → bit. Near-dups have small Hamming distance.
+    *
+    * Column form (composable); the discovery pipeline uses
+    * [[MinHashUtil.simHash64]], the typed single-pass kernel.
     */
   def simHash(text: Column): Column = {
     val toks = split(TextAnalysis.normalize(text), " ")
@@ -166,10 +275,16 @@ object Dedup {
   def simHashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 16, threshold: Double = 0.6,
       shingleWidth: Int = 2): DataFrame = {
-    val sigs = df.select(
-      col(idCol).as("id"),
-      simHash(col(textCol)).as("sim"),
-      shingles(col(textCol), shingleWidth).as("sh")).persist()
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sigs = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        (id, MinHashUtil.simHash64(text),
+          MinHashUtil.shingleHashes(text, shingleWidth))
+      }
+      .toDF("id", "sim", "sh")
+      .persist()
     val chunks = sigs.select(col("id"), col("sim"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),

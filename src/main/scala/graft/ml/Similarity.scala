@@ -25,20 +25,57 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
-  /** Exact top-k neighbors for each query vector: broadcast the
-    * queries, one linear scan of the corpus, per-query top-k.
-    * `queries`/`corpus`: (id, vec).
+  /** Typed kernels for the hot loops — primitive while-loops over the
+    * float arrays, no per-pair array allocation.
+    */
+  object VecUtil {
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def norm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+  }
+
+  /** Exact top-k neighbors for each query vector: the query set is
+    * collected and broadcast (small by contract — it is the "probe"
+    * side), the corpus is scanned ONCE with a typed kernel, and
+    * per-query top-k is a bounded-buffer aggregation — the shuffle
+    * carries k rows per (query, task), never the corpus. This is the
+    * shape that survives a 100 TB corpus.
+    * `queries`/`corpus`: (id, vec: Array[Float]).
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col("id").as("qid"), col("vec").as("qvec")))
-    val c = corpus.select(col("id").as("cid"), col("vec").as("cvec"))
-    val scored = c.crossJoin(q)
-      .filter(col("qid") =!= col("cid"))
-      .withColumn("cos", cosine(col("qvec"), col("cvec")))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select("qid", "cid", "cos")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qs = queries.select(col("id"), col("vec")).as[(Long, Array[Float])]
+      .collect().map { case (id, v) => (id, v, VecUtil.norm(v)) }
+    val bq = spark.sparkContext.broadcast(qs)
+
+    val scored = corpus.select(col("id"), col("vec")).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val queries = bq.value
+        it.flatMap { case (cid, cv) =>
+          val cn = VecUtil.norm(cv)
+          queries.iterator.collect {
+            case (qid, qv, qn) if qid != cid =>
+              (qid, (VecUtil.dot(qv, cv) / (qn * cn), cid))
+          }
+        }
+      }
+
+    // bounded per-query top-k (cos desc, cid asc tie-break): partial
+    // top-k on the map side via the PQ-style aggregator
+    implicit val ord: Ordering[(Double, Long)] =
+      Ordering.by((t: (Double, Long)) => (-t._1, t._2))(
+        Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+    new graft.typed.Grouped(scored)
+      .sortedTake(k)
+      .ds.flatMap { case (qid, tops) =>
+        tops.map { case (cos, cid) => (qid, cid, cos) }
+      }
+      .toDF("qid", "cid", "cos")
   }
 
   /** Random-hyperplane signature: `nBits` sign bits of projections

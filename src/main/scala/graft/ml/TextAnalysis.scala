@@ -49,32 +49,50 @@ object TextAnalysis {
       size(regexp_extract_all(text, lit("[\\p{Punct}]"), lit(0))).cast("double")
         / length(text))
 
-  def stopwordRatio(text: Column): Column = {
-    val toks = tokens(lower(text))
+  /** Component forms over a precomputed token array — tokenize once
+    * per row, reuse across all metrics (CollapseProject keeps
+    * non-cheap duplicated aliases materialized, so the split really
+    * happens once).
+    */
+  def stopwordRatioOf(toks: Column): Column =
     when(size(toks) === 0, 0.0).otherwise(
-      size(filter(toks, t => t.isInCollection(stopwords))).cast("double")
+      size(filter(toks, t => lower(t).isInCollection(stopwords))).cast("double")
         / size(toks))
-  }
 
-  def meanWordLength(text: Column): Column = {
-    val toks = tokens(text)
+  def meanWordLengthOf(toks: Column): Column =
     when(size(toks) === 0, 0.0).otherwise(
       aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
         / size(toks))
+
+  def stopwordRatio(text: Column): Column = stopwordRatioOf(tokens(lower(text)))
+
+  def meanWordLength(text: Column): Column = meanWordLengthOf(tokens(text))
+
+  /** Composite quality score in [0,1] from precomputed tokens +
+    * the raw text (for the punctuation component).
+    */
+  def qualityScoreOf(toks: Column, text: Column): Column =
+    qualityFromComponents(size(toks), meanWordLengthOf(toks),
+      stopwordRatioOf(toks), punctRatio(text))
+
+  /** Scoring from already-materialized scalar components — lets a
+    * pipeline compute each component once in its own (small) codegen
+    * stage instead of one giant expression tree.
+    */
+  def qualityFromComponents(nWords: Column, mwl: Column, stopRatio: Column,
+      punct: Column): Column = {
+    val lenOk = when(nWords.between(10, 100000), 1.0).otherwise(0.3)
+    val mwlOk = when(mwl.between(2.0, 12.0), 1.0).otherwise(0.4)
+    val stopOk = when(stopRatio > 0.05, 1.0).otherwise(0.6)
+    val punctOk = when(punct < 0.2, 1.0).otherwise(0.5)
+    (lenOk * 0.3 + mwlOk * 0.2 + stopOk * 0.3 + punctOk * 0.2)
   }
 
   /** Composite quality score in [0,1]: rewards sane length, word
     * shape and some stopword presence; punishes punctuation soup.
+    * Heuristics follow the public C4/Gopher-style filters.
     */
-  def qualityScore(text: Column): Column = {
-    val n = tokenCount(text)
-    val lenOk = when(n.between(10, 100000), 1.0).otherwise(0.3)
-    val mwl = meanWordLength(text)
-    val mwlOk = when(mwl.between(2.0, 12.0), 1.0).otherwise(0.4)
-    val stopOk = when(stopwordRatio(text) > 0.05, 1.0).otherwise(0.6)
-    val punctOk = when(punctRatio(text) < 0.2, 1.0).otherwise(0.5)
-    (lenOk * 0.3 + mwlOk * 0.2 + stopOk * 0.3 + punctOk * 0.2)
-  }
+  def qualityScore(text: Column): Column = qualityScoreOf(tokens(text), text)
 
   /** Marker-word profiles for the n-gram language-ID heuristic. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(

@@ -130,8 +130,11 @@ object DedupQueries extends QueryGroup {
          |  ON b.doc_id = a.doc_id + 1000000 OR b.doc_id = a.doc_id + 2000000
          |WHERE a.doc_id < 1000000
          |ORDER BY a.doc_id, is_exact_copy""".stripMargin) { (s, dir) =>
+      import s.implicits._
       val sigs = augmented(s, dir)
-        .select(col("doc_id"), Dedup.simHash(col("text")).as("sim"))
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) => (id, Dedup.MinHashUtil.simHash64(text)) }
+        .toDF("doc_id", "sim")
       val orig = sigs.filter(col("doc_id") < 1000000L)
         .select(col("doc_id"), col("sim").as("sim_a"))
       val copies = sigs.filter(col("doc_id") >= 1000000L)

@@ -48,10 +48,15 @@ object TextQueries extends QueryGroup {
          |  )::DOUBLE, 6) AS quality
          |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       t(s, dir, "documents")
-        .select(col("doc_id"),
-          TA.tokenCount(col("text")).as("n_words"),
-          round(TA.stopwordRatio(col("text")), 6).as("stop_ratio"),
-          round(TA.qualityScore(col("text")), 6).as("quality"))
+        .withColumn("toks", TA.tokens(col("text")))
+        .withColumn("n_words", size(col("toks")))
+        .withColumn("mwl", TA.meanWordLengthOf(col("toks")))
+        .withColumn("sr", TA.stopwordRatioOf(col("toks")))
+        .withColumn("pr", TA.punctRatio(col("text")))
+        .select(col("doc_id"), col("n_words"),
+          round(col("sr"), 6).as("stop_ratio"),
+          round(TA.qualityFromComponents(col("n_words"), col("mwl"),
+            col("sr"), col("pr")), 6).as("quality"))
         .orderBy("doc_id")
     },
 
