@@ -21,7 +21,8 @@ object SparkEntry {
     MatrixQueries,
     TextQueries,
     DedupQueries,
-    EmbeddingQueries)
+    EmbeddingQueries,
+    ExtrasQueries)
 
   private lazy val defs: Seq[QueryDef] = groups.flatMap(_.all)
 

@@ -104,6 +104,26 @@ object FieldsApi {
     def groupAllFields(build: GroupBuilder => GroupBuilder): DataFrame =
       build(new GroupBuilder(Nil)).applyGlobal(df)
 
+    /** Function application for pipeline composition (RichPipe.then,
+      * RichPipe.scala:139) — same as Dataset.transform, kept for API
+      * fidelity.
+      */
+    def thenDo(fn: DataFrame => DataFrame): DataFrame = fn(df)
+
+    /** Pack fields into one struct column (RichPipe.pack,
+      * RichPipe.scala:550-565; TuplePacker reflection becomes a
+      * native struct).
+      */
+    def pack(as: String, fields: String*): DataFrame =
+      df.withColumn(as, struct(fields.map(col): _*)).drop(fields: _*)
+
+    /** Unpack a struct column back into top-level fields
+      * (RichPipe.unpack, RichPipe.scala:577-594).
+      */
+    def unpack(field: String): DataFrame =
+      df.select((df.columns.filter(_ != field).map(col).toSeq :+
+        col(s"$field.*")): _*)
+
     /** Route rows that fail a validity predicate to a side sink
       * instead of failing the flow (addTrap, RichPipe.scala:515-518).
       * Returns (good, trapped). The reference caught closure

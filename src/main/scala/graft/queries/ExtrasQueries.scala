@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.agg.{Aggregators, Hll, Monoid}
+import graft.dsl.FieldsApi._
+import graft.matrix.Combinatorics
+import graft.typed.TypedPipe
+
+/** Coverage for the remaining SURVEY §2 operators: ring product,
+  * sketch-valued HLL, custom Aggregator through the DataFrame udaf
+  * path, combinatorics streams, resource-lifecycle maps, pack/unpack.
+  */
+object ExtrasQueries extends QueryGroup {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // times[T: Ring] — product over a group via the generic monoid
+    // aggregator (ReduceOperations.scala:357-370).
+    q("q_agg_times",
+      """SELECT l_orderkey, round(product(1 + l_tax), 6) AS tax_factor
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      implicit val prod: Monoid[Double] = Monoid.product[Double]
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), (lit(1.0) + col("l_tax")).as("f"))
+        .as[(Long, Double)]
+      TypedPipe.from(li).group[Long, Double].sum
+        // half-up rounding to match the oracle's round()
+        .ds.map { case (k, v) => (k, math.floor(v * 1e6 + 0.5) / 1e6) }
+        .toDF("l_orderkey", "tax_factor")
+        .orderBy("l_orderkey")
+    },
+
+    // hyperLogLog — mergeable sketch-valued aggregation
+    // (ReduceOperations.scala:108-111): the estimate must sit within
+    // 5% of exact; the oracle asserts the bound (portable contract,
+    // like q_agg_approx_distinct).
+    q("q_agg_hll_sketch",
+      """SELECT l_returnflag, true AS within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_partkey").cast("string"))
+        .as[(String, String)]
+      val est = TypedPipe.from(li).group[String, String]
+        .aggregate(Hll.countAggregator(0.01))(
+          org.apache.spark.sql.Encoders.scalaLong)
+        .toDF("l_returnflag", "estimate")
+      val exact = t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct("l_partkey").as("exact"))
+      est.join(exact, "l_returnflag")
+        .select(col("l_returnflag"),
+          (abs(col("estimate") - col("exact")) <= col("exact") * 0.05)
+            .as("within_5pct"))
+        .orderBy("l_returnflag")
+    },
+
+    // custom Aggregator[IN,BUF,OUT] through the DataFrame udaf path
+    // (the reference's mapReduceMap as a UDAF,
+    // ReduceOperations.scala:46-74): one-pass moments vs the SQL
+    // var_pop oracle.
+    q("q_agg_moments_udaf",
+      """SELECT o_orderpriority, count(*) AS cnt,
+        |  round(avg(o_totalprice), 4) AS mean,
+        |  round(var_pop(o_totalprice), 2) AS variance
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val momentsUdaf = udaf(Aggregators.moments)
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(momentsUdaf(col("o_totalprice")).as("m"))
+        .select(col("o_orderpriority"),
+          col("m.count").as("cnt"),
+          round(col("m.mean"), 4).as("mean"),
+          round(col("m.m2") / col("m.count"), 2).as("variance"))
+        .orderBy("o_orderpriority")
+    },
+
+    // combinatorics streams (mathematics/Combinatorics.scala:46-127):
+    // C(6,3) enumerated distributively.
+    q("q_combinations",
+      """SELECT a.range AS c1, b.range AS c2, c.range AS c3
+        |FROM range(1,7) a, range(1,7) b, range(1,7) c
+        |WHERE a.range < b.range AND b.range < c.range
+        |ORDER BY c1, c2, c3""".stripMargin) { (s, _) =>
+      Combinatorics.combinations(s, 6, 3).orderBy("c1", "c2", "c3")
+    },
+
+    // per-task resource lifecycle (`using`, RichPipe.scala:73-119):
+    // a "connection" formats rows; open once per partition, released
+    // at exhaustion.
+    q("q_typed_using",
+      """SELECT o_orderkey, 'order-' || CAST(o_orderkey AS VARCHAR) AS tag
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val orders = t(s, dir, "orders").select(col("o_orderkey")).as[Long]
+      TypedPipe.from(orders)
+        .usingMap(() => new java.lang.StringBuilder, (_: java.lang.StringBuilder) => ())(
+          (sb, k) => {
+            sb.setLength(0)
+            (k, sb.append("order-").append(k).toString)
+          })
+        .toDF("o_orderkey", "tag")
+        .orderBy("o_orderkey")
+    },
+
+    // pack/unpack round trip (RichPipe.pack/unpack,
+    // RichPipe.scala:550-594): fields → struct → fields.
+    q("q_pack_unpack",
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .pack("packed", "c_name", "c_acctbal")
+        .unpack("packed")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    }
+  )
+}

@@ -74,6 +74,48 @@ final class TypedPipe[T](val ds: Dataset[T]) extends Serializable {
 
   def toDF(cols: String*): org.apache.spark.sql.DataFrame =
     if (cols.isEmpty) ds.toDF() else ds.toDF(cols: _*)
+
+  /** Function application for pipeline composition (reference `then`,
+    * RichPipe.scala:139).
+    */
+  def thenDo[U](fn: TypedPipe[T] => TypedPipe[U]): TypedPipe[U] = fn(this)
+
+  /** Per-task expensive non-serializable resource with a release
+    * lifecycle — reference `using(resource){...}` (RichPipe.scala:
+    * 73-119, Operations.scala:168-219). `open` runs once per
+    * partition; `release` is called when the partition's iterator is
+    * exhausted, matching the reference's flush-at-end semantics.
+    */
+  def usingMap[C, U: Encoder](open: () => C, release: C => Unit)(
+      fn: (C, T) => U): TypedPipe[U] =
+    new TypedPipe(ds.mapPartitions { it =>
+      val resource = open()
+      new Iterator[U] {
+        private var released = false
+        def hasNext: Boolean = {
+          val h = it.hasNext
+          if (!h && !released) { released = true; release(resource) }
+          h
+        }
+        def next(): U = fn(resource, it.next())
+      }
+    })
+
+  def usingFlatMap[C, U: Encoder](open: () => C, release: C => Unit)(
+      fn: (C, T) => IterableOnce[U]): TypedPipe[U] =
+    new TypedPipe(ds.mapPartitions { it =>
+      val resource = open()
+      val out = it.flatMap(t => fn(resource, t))
+      new Iterator[U] {
+        private var released = false
+        def hasNext: Boolean = {
+          val h = out.hasNext
+          if (!h && !released) { released = true; release(resource) }
+          h
+        }
+        def next(): U = out.next()
+      }
+    })
 }
 
 object TypedPipe {

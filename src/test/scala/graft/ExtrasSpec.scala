@@ -1,0 +1,60 @@
+package graft
+
+import graft.agg.{Histogram, Hll}
+import graft.matrix.Combinatorics
+import graft.typed.TypedPipe
+import scala.collection.immutable.SortedMap
+
+/** HLL sketch accuracy/merging, client-side histogram stats,
+  * combinatorics counts, resource lifecycle.
+  */
+class ExtrasSpec extends SparkSpec {
+
+  test("HLL estimates within rsd and merges like a set union") {
+    val a = (1 to 5000).map("a" + _).foldLeft(Hll.empty(12))((h, s) => h.add(Hll.hash(s)))
+    val b = (2500 to 7500).map("a" + _).foldLeft(Hll.empty(12))((h, s) => h.add(Hll.hash(s)))
+    assert(math.abs(a.estimate - 5000) < 5000 * 0.05)
+    val merged = a.merge(b)
+    assert(math.abs(merged.estimate - 7500) < 7500 * 0.05)
+    // idempotent merge
+    assert(merged.merge(merged).estimate == merged.estimate)
+  }
+
+  test("HLL pForError matches the rsd relation") {
+    assert(Hll.pForError(0.01) >= 13) // 1% needs ~2^13.4 registers
+    assert(Hll.pForError(0.05) <= 10)
+  }
+
+  test("histogram client-side stats") {
+    val h = Histogram(10.0, Seq((0.0, 5L), (10.0, 3L), (20.0, 2L)))
+    assert(h.total == 10L)
+    assert(h.median == 0.0) // 5 of 10 at bin 0
+    assert(h.percentile(0.8) == 10.0)
+    assert(h.percentile(1.0) == 20.0)
+    assert(math.abs(h.mean - 7.0) < 1e-12)
+    assert(h.cdf.last._2 == 1.0)
+  }
+
+  test("combinations and permutations counts") {
+    assert(Combinatorics.combinations(spark, 6, 3).count() == 20)
+    assert(Combinatorics.permutations(spark, 5, 2).count() == 20)
+    val ws = Combinatorics.weightedSum(spark, Seq(2L, 3L), 12L).collect()
+    // 2x + 3y = 12: (0,4), (3,2), (6,0)
+    assert(ws.length == 3)
+    assert(Combinatorics.positiveWeightedSum(spark, Seq(2L, 3L), 12L).count() == 1)
+  }
+
+  test("usingMap opens one resource per partition and releases it") {
+    import spark.implicits._
+    val opened = spark.sparkContext.longAccumulator("opened")
+    val released = spark.sparkContext.longAccumulator("released")
+    val out = TypedPipe.from(spark, (1 to 100).toSeq)
+      .thenDo(p => new TypedPipe(p.ds.repartition(4)))
+      .usingMap(() => { opened.add(1); new Object },
+        (_: Object) => released.add(1))((_, x) => x * 2)
+      .ds.collect()
+    assert(out.sorted.toSeq == (2 to 200 by 2))
+    assert(opened.value == 4L)
+    assert(released.value == 4L)
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streaming
+import graft.streaming.Streaming.{SessionAssignment, SessionEvent, SessionState}
+
+/** Structured-Streaming shapes against MemoryStream micro-batches. */
+class StreamingSpec extends SparkSpec {
+
+  test("tumbling window aggregation over a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "k", "v")
+    val agg = Streaming.tumblingAgg(events, "ts", "k", "v", "1 hour", "2 hours")
+    val query = agg.writeStream.format("memory").queryName("tumbling")
+      .outputMode("update").start()
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2020-01-01 $h%02d:$m%02d:00")
+    input.addData((ts(10, 5), "a", 1.0), (ts(10, 40), "a", 2.0), (ts(11, 5), "a", 4.0))
+    query.processAllAvailable()
+    val rows = spark.table("tumbling")
+      .select(col("window.start").cast("string"), col("k"), col("n"), col("sum_value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    query.stop()
+    assert(rows == Set(
+      ("2020-01-01 10:00:00", "a", 2L, 3.0),
+      ("2020-01-01 11:00:00", "a", 1L, 4.0)))
+  }
+
+  test("stateful gap sessionization across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val out = Streaming.sessionize(input.toDS(), gapSeconds = 1800)
+    val query = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    // batch 1: two events 10 min apart (same session)
+    input.addData(SessionEvent(1L, 1000L), SessionEvent(1L, 1600L))
+    query.processAllAvailable()
+    // batch 2: an event 2h later (new session) — state carries over
+    input.addData(SessionEvent(1L, 9000L))
+    query.processAllAvailable()
+    val rows = spark.table("sessions").as[SessionAssignment].collect()
+      .sortBy(_.sec).map(a => (a.sec, a.sessionId)).toSeq
+    query.stop()
+    assert(rows == Seq((1000L, 1L), (1600L, 1L), (9000L, 2L)))
+  }
+}
