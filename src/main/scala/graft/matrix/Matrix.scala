@@ -48,6 +48,14 @@ final case class Matrix(df: DataFrame) {
 
   def *(other: Matrix): Matrix = product(other)
 
+  /** Product with the reference's SizeHint-driven strategy selection
+    * (MatrixProduct.getJoiner, MatrixProduct.scala:88-108): a right
+    * side at or under `maxTinyJoin` cells is broadcast ("tiny join"),
+    * otherwise a shuffle join.
+    */
+  def productWithHint(other: Matrix, otherCells: Long): Matrix =
+    product(other, tinyRight = otherCells <= Matrix.maxTinyJoin)
+
   /** Scalar multiply. */
   def *(k: Double): Matrix = mapValues(_ * k)
 

@@ -115,6 +115,55 @@ object Similarity {
       .select("qid", "cid", "cos")
   }
 
+  /** IVF (inverted-file) ANN: coarse-quantize the corpus onto
+    * `nCentroids` sampled centroids, probe the `nProbe` nearest lists
+    * per query — the standard scale path when hyperplane buckets are
+    * too coarse. Centroids come from a deterministic sample (a k-means
+    * refinement can replace pickCentroids without touching the rest).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 2, seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = corpus.select(col("id"), col("vec")).as[(Long, Array[Float])]
+      .sample(withReplacement = false, 0.5, seed)
+      .limit(nCentroids).collect().map(_._2)
+      .zipWithIndex.map { case (v, i) => (i, v, VecUtil.norm(v)) }
+    require(cents.nonEmpty, "empty corpus")
+    val bc = spark.sparkContext.broadcast(cents)
+
+    def assign(n: Int) = (idVec: (Long, Array[Float])) => {
+      val (id, v) = idVec
+      val vn = VecUtil.norm(v)
+      bc.value.map { case (ci, cv, cn) =>
+        (ci, VecUtil.dot(v, cv) / (vn * cn))
+      }.sortBy(-_._2).take(n).toSeq.map { case (ci, _) => (ci, id, v) }
+    }
+
+    val corpusLists = corpus.select(col("id"), col("vec"))
+      .as[(Long, Array[Float])].flatMap(assign(1))
+      .toDF("centroid", "cid", "cvec")
+    val queryLists = broadcast(queries.select(col("id"), col("vec"))
+      .as[(Long, Array[Float])].flatMap(assign(nProbe))
+      .toDF("centroid", "qid", "qvec"))
+
+    val scored = corpusLists.join(queryLists, "centroid")
+      .filter(col("qid") =!= col("cid"))
+      .as[(Int, Long, Array[Float], Long, Array[Float])]
+      .map { case (_, cid, cv, qid, qv) =>
+        (qid, (VecUtil.dot(qv, cv) / (VecUtil.norm(qv) * VecUtil.norm(cv)), cid))
+      }
+    implicit val ord: Ordering[(Double, Long)] =
+      Ordering.by((t: (Double, Long)) => (-t._1, t._2))(
+        Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+    new graft.typed.Grouped(scored)
+      .sortedTake(k)
+      .ds.flatMap { case (qid, tops) =>
+        tops.map { case (cos, cid) => (qid, cid, cos) }
+      }
+      .toDF("qid", "cid", "cos")
+  }
+
   /** Embedding near-duplicate pairs: all pairs with cosine >=
     * threshold, blocked by LSH bucket (exact within buckets).
     * For the exact variant over modest corpora use `blockCols = Nil`.
