@@ -16,14 +16,18 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ over two float-array columns, computed in double. */
+  /** Σ aᵢ·bᵢ over two float-array columns, computed in double — a
+    * native codegen'd Expression (graft.functions.DotProduct), not an
+    * interpreted zip_with lambda.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.dot_f(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Fused single-pass cosine (native Expression). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosine_f(a, b)
 
   /** Typed kernels for the hot loops — primitive while-loops over the
     * float arrays, no per-pair array allocation.
