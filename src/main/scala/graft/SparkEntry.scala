@@ -22,7 +22,8 @@ object SparkEntry {
     TextQueries,
     DedupQueries,
     EmbeddingQueries,
-    ExtrasQueries)
+    ExtrasQueries,
+    SupersetQueries)
 
   private lazy val defs: Seq[QueryDef] = groups.flatMap(_.all)
 

@@ -94,6 +94,58 @@ object TextAnalysis {
     */
   def qualityScore(text: Column): Column = qualityScoreOf(tokens(text), text)
 
+  /** Winnowing document fingerprints (Schleimer et al. '03): rolling
+    * polynomial hash over word k-grams, then the minimum hash of each
+    * sliding window of `w` hashes (rightmost-min rule). Near-identical
+    * documents share most fingerprints; exact copies share all.
+    * Typed kernel — one pass, primitive arithmetic.
+    */
+  def winnowingFingerprints(text: String, k: Int = 3, w: Int = 4): Array[Long] = {
+    val words = text.toLowerCase.replaceAll("[^a-z0-9\\s]", " ")
+      .replaceAll("\\s+", " ").trim.split(" ")
+    if (words.isEmpty) return Array.empty
+    val B = 1000003L
+    // rolling hash over word-hash sequences
+    val wordHashes = words.map { s =>
+      import scala.util.hashing.MurmurHash3
+      MurmurHash3.stringHash(s, 0x51ab2e4d).toLong & 0xffffffffL
+    }
+    val n = math.max(wordHashes.length - k + 1, 1)
+    val grams = new Array[Long](n)
+    var pow = 1L
+    (1 until k).foreach(_ => pow *= B)
+    var h = 0L
+    var i = 0
+    while (i < math.min(k, wordHashes.length)) { h = h * B + wordHashes(i); i += 1 }
+    grams(0) = h
+    i = 1
+    while (i < n) {
+      h = (h - wordHashes(i - 1) * pow) * B + wordHashes(i + k - 1)
+      grams(i) = h
+      i += 1
+    }
+    // winnow: min per window, dedup consecutive picks
+    if (grams.length <= w) Array(grams.min)
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var j = 0
+      while (j + w <= grams.length) {
+        var m = grams(j)
+        var mi = j
+        var x = j
+        while (x < j + w) {
+          if (grams(x) <= m) { m = grams(x); mi = x }
+          x += 1
+        }
+        if (out.isEmpty || out.last != m || mi == j + w - 1) {
+          if (out.isEmpty || out.last != m) out += m
+        }
+        j += 1
+      }
+      out.distinct.toArray
+    }
+  }
+
   /** Marker-word profiles for the n-gram language-ID heuristic. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),

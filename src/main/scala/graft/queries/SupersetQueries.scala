@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.dsl.FieldsApi._
+import graft.matrix.{Matrix => M}
+import graft.ml.{TextAnalysis => TA}
+
+/** Superset + remaining-row-op coverage: cube/rollup (absent in the
+  * reference, free in Spark — SURVEY §2.4 note), trap routing,
+  * limit/sample properties, matrix cosine similarity, winnowing
+  * fingerprints.
+  */
+object SupersetQueries extends QueryGroup {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // grouping-sets superset: rollup with explicit grouping ids.
+    q("q_rollup",
+      """SELECT coalesce(l_returnflag, '<all>') AS flag,
+        |  coalesce(l_linestatus, '<all>') AS status,
+        |  count(*) AS cnt, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("<all>")).as("flag"),
+          coalesce(col("l_linestatus"), lit("<all>")).as("status"),
+          col("cnt"), col("qty"))
+        .orderBy("flag", "status")
+    },
+
+    q("q_cube",
+      """SELECT coalesce(l_returnflag, '<all>') AS flag,
+        |  coalesce(l_linestatus, '<all>') AS status,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          coalesce(col("l_returnflag"), lit("<all>")).as("flag"),
+          coalesce(col("l_linestatus"), lit("<all>")).as("status"),
+          col("cnt"))
+        .orderBy("flag", "status")
+    },
+
+    // trap routing (addTrap, RichPipe.scala:515-518): rows whose
+    // numeric parse fails go to the trap, the rest flow on — counted
+    // on both paths.
+    q("q_trap",
+      """WITH mixed AS (
+        |  SELECT CASE WHEN l_orderkey % 2 = 0
+        |    THEN CAST(l_linenumber AS VARCHAR) ELSE l_returnflag END AS v
+        |  FROM lineitem
+        |)
+        |SELECT count(*) FILTER (WHERE try_cast(v AS INTEGER) IS NOT NULL) AS n_good,
+        |  count(*) FILTER (WHERE try_cast(v AS INTEGER) IS NULL) AS n_trapped
+        |FROM mixed""".stripMargin) { (s, dir) =>
+      val mixed = t(s, dir, "lineitem")
+        .select(when(col("l_orderkey") % 2 === 0,
+          col("l_linenumber").cast("string"))
+          .otherwise(col("l_returnflag")).as("v"))
+      val (good, trapped) = mixed.trap(col("v").cast("int").isNotNull)
+      good.agg(count(lit(1)).as("n_good"))
+        .crossJoin(trapped.agg(count(lit(1)).as("n_trapped")))
+    },
+
+    // limit (exact here — approximate in the reference,
+    // RichPipe.scala:477) and seeded sampling: self-validating
+    // properties.
+    q("q_limit_sample",
+      "SELECT 100 AS n_limit, true AS sample_in_bounds") { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val nLimit = li.limitTo(100).count()
+      val nSample = li.sampleRows(0.1, 42L).count()
+      val total = li.count()
+      import s.implicits._
+      Seq((nLimit, nSample > total / 20 && nSample < total / 5))
+        .toDF("n_limit", "sample_in_bounds")
+    },
+
+    // matrix row-cosine similarity (normalized self-product):
+    // supplier × supplier cosine over part-quantity vectors.
+    q("q_matrix_cosine",
+      """WITH A AS (
+        |  SELECT l_suppkey AS row, l_partkey AS col, sum(l_quantity) AS val
+        |  FROM lineitem GROUP BY 1, 2
+        |), N AS (
+        |  SELECT row, col, val / sqrt(sum(val * val) OVER (PARTITION BY row)) AS val
+        |  FROM A
+        |)
+        |SELECT a.row AS row, b.row AS col, round(sum(a.val * b.val), 6) AS val
+        |FROM N a JOIN N b ON a.col = b.col
+        |GROUP BY 1, 2 ORDER BY row, col""".stripMargin) { (s, dir) =>
+      val coo = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey").as("row"), col("l_partkey").as("col"))
+        .agg(sum("l_quantity").as("val"))
+      M.fromCoo(coo, "row", "col", "val").rowCosineSimilarity.df
+        .select(col("row"), col("col"), round(col("val"), 6).as("val"))
+        .orderBy("row", "col")
+    },
+
+    // winnowing fingerprints (rolling-hash document fingerprinting):
+    // deterministic property — an exact copy shares its full
+    // fingerprint set; the oracle asserts the contract.
+    q("q_text_winnow",
+      """SELECT doc_id, true AS copy_matches
+        |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+      docs.map { case (id, text) =>
+        val full = TA.winnowingFingerprints(text).toSet
+        val copy = TA.winnowingFingerprints(String.valueOf(text)).toSet
+        val prefix = TA.winnowingFingerprints(
+          text.substring(0, (text.length * 0.9).toInt)).toSet
+        // exact copy ⇒ identical set; 90% prefix ⇒ high overlap
+        val overlap = (full & prefix).size.toDouble / math.max(full.size, 1)
+        (id, copy == full && full.nonEmpty && overlap >= 0.4)
+      }.toDF("doc_id", "copy_matches")
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -65,6 +65,25 @@ class SourcesSpec extends SparkSpec {
     assert(store.versions(spark) == Seq(1L, 2L))
   }
 
+  test("codec source round trip and tolerated decode errors") {
+    import spark.implicits._
+    val dir = tmp() + "/codec"
+    val ds = spark.createDataset(Seq("alpha", "beta", "x"))
+    CodecSource.write[String](ds, dir, _.getBytes("UTF-8"))
+    val back = CodecSource.read[String](spark, dir,
+      bytes => new String(bytes, "UTF-8"))
+    assert(back.collect().toSet == Set("alpha", "beta", "x"))
+    // decoder that rejects short records: 1 error tolerated
+    val (tolerant, check) = CodecSource.readTolerant[String](spark, dir, { b =>
+      val s = new String(b, "UTF-8")
+      require(s.length > 1, "too short")
+      s
+    })
+    assert(tolerant.collect().toSet == Set("alpha", "beta"))
+    check.assertUnder(1)
+    intercept[IllegalArgumentException] { check.assertUnder(0) }
+  }
+
   test("checkpoint computes once, then reads back") {
     import spark.implicits._
     val dir = tmp() + "/ck"

@@ -9,8 +9,10 @@ import org.scalatest.BeforeAndAfterAll
   */
 object SparkSpec {
   lazy val spark: SparkSession = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-warehouse").toString
     val s = graft.core.GraftSession
       .configure(SparkSession.builder().master("local[4]").appName("graft-test"), 4)
+      .config("spark.sql.warehouse.dir", wh)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
