@@ -94,6 +94,16 @@ object FieldsApi {
         agg: GroupBuilder => GroupBuilder): DataFrame =
       df.withColumn(as, cls).groupByFields(as)(agg)
 
+    /** Per-group fixed-width histogram (ReduceOperations.histogram:
+      * 446): two-phase group-by, one row per (keys..., bin) with its
+      * count — collect and feed graft.agg.Histogram for client-side
+      * percentile/cdf stats.
+      */
+    def histogramBy(field: String, binWidth: Double, keys: String*): DataFrame =
+      df.groupBy((keys.map(col) :+
+        (floor(col(field) / binWidth) * binWidth).as("bin")): _*)
+        .agg(count(lit(1)).as("cnt"))
+
     /** groupBy with a builder block — reference
       * `pipe.groupBy('k){ _.sum('v) }` (RichPipe.scala:153).
       */
@@ -205,6 +215,17 @@ object FieldsApi {
     /** Σ lᵢ·rᵢ (ReduceOperations.dot:389). */
     def dot(l: String, r: String, as: String): GroupBuilder =
       add(F.sum(col(l) * col(r)).as(as))
+
+    /** Bounded top-k values per group (`sortedTake` in the fields
+      * API): sorted ascending, at most k survive — implemented as a
+      * sorted-array slice of the collected group (use the typed
+      * `Grouped.sortedTake` aggregator when groups are large).
+      */
+    def sortedTake(field: String, k: Int, as: String): GroupBuilder =
+      add(slice(array_sort(collect_list(col(field))), 1, k).as(as))
+
+    def sortedReverseTake(field: String, k: Int, as: String): GroupBuilder =
+      add(slice(reverse(array_sort(collect_list(col(field)))), 1, k).as(as))
 
     /** Any raw aggregate Column. */
     def agg(c: Column): GroupBuilder = add(c)

@@ -23,6 +23,17 @@ object Streaming {
       .groupBy(window(col(tsCol), windowLen), col(keyCol))
       .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
 
+  /** Sliding-window aggregation: windows of `windowLen` advancing by
+    * `slide` (each event lands in windowLen/slide windows).
+    */
+  def slidingAgg(events: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, windowLen: String, slide: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen, slide), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
+
   /** Incremental monoid merge into a keyed store — the streaming form
     * of `writeIncremental` (VersionedKeyValSource.scala:163-210):
     * each micro-batch is monoid-merged into the versioned store.

@@ -49,6 +49,20 @@ class FieldsApiSpec extends SparkSpec {
     assert(long.count() == 6)
   }
 
+  test("group sortedTake and histogramBy") {
+    import spark.implicits._
+    val df = (1 to 20).map(i => (i % 2, i.toDouble)).toDF("k", "v")
+    val tops = df.groupByFields("k")(_.sortedTake("v", 3, "smallest"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(tops(0) == Seq(2.0, 4.0, 6.0))
+    assert(tops(1) == Seq(1.0, 3.0, 5.0))
+    val hist = df.histogramBy("v", 10.0, "k")
+      .collect().map(r => (r.getInt(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    assert(hist((0, 0.0)) == 4L) // evens 2..8
+    assert(hist((0, 10.0)) == 5L) // evens 10..18
+    assert(hist((0, 20.0)) == 1L) // 20
+  }
+
   test("trap splits valid and invalid rows without failing the flow") {
     import spark.implicits._
     val df = Seq(("1", 1), ("boom", 2), ("3", 3)).toDF("s", "n")

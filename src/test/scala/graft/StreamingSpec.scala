@@ -29,6 +29,24 @@ class StreamingSpec extends SparkSpec {
       ("2020-01-01 11:00:00", "a", 1L, 4.0)))
   }
 
+  test("sliding windows place events into overlapping windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "k", "v")
+    val agg = Streaming.slidingAgg(events, "ts", "k", "v",
+      "1 hour", "30 minutes", "2 hours")
+    val query = agg.writeStream.format("memory").queryName("sliding")
+      .outputMode("update").start()
+    input.addData((java.sql.Timestamp.valueOf("2020-01-01 10:40:00"), "a", 1.0))
+    query.processAllAvailable()
+    val windows = spark.table("sliding")
+      .select(col("window.start").cast("string")).collect().map(_.getString(0)).toSet
+    query.stop()
+    // 10:40 lands in [10:00,11:00) and [10:30,11:30)
+    assert(windows == Set("2020-01-01 10:00:00", "2020-01-01 10:30:00"))
+  }
+
   test("stateful gap sessionization across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
