@@ -14,6 +14,37 @@ object SupersetQueries extends QueryGroup {
 
   val all: Seq[QueryDef] = Seq(
 
+    // the fields-DSL groupBy builder end-to-end (RichPipe.groupBy +
+    // GroupBuilder chains compile into ONE agg).
+    q("q_fields_groupby",
+      """SELECT l_returnflag, count(*) AS cnt,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  count(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+        |  max(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").groupByFields("l_returnflag") {
+        _.size("cnt")
+          .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"))
+          .agg(round(avg(col("l_quantity")), 6).as("avg_qty"))
+          .countIf(col("l_discount") > 0.05, "n_disc")
+          .max("l_quantity", "max_qty")
+      }.orderBy("l_returnflag")
+    },
+
+    // fields-DSL row ops chained: project/rename/insert/mapTo.
+    q("q_fields_rowops",
+      """SELECT o_orderkey AS okey, o_totalprice AS price,
+        |  round(o_totalprice * 0.5, 3) AS half_price, 1 AS one
+        |FROM orders ORDER BY okey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .project("o_orderkey", "o_totalprice")
+        .rename("o_orderkey" -> "okey", "o_totalprice" -> "price")
+        .insert("half_price", round(col("price") * 0.5, 3))
+        .insert("one", lit(1))
+        .orderBy("okey")
+    },
+
     // grouping-sets superset: rollup with explicit grouping ids.
     q("q_rollup",
       """SELECT coalesce(l_returnflag, '<all>') AS flag,
