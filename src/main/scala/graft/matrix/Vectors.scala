@@ -1,0 +1,92 @@
+package graft.matrix
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Row/column vector and scalar views over sparse COO data — the
+  * reference's `RowVector`/`ColVector`/`DiagonalMatrix`/`Scalar`
+  * abstractions (mathematics/Matrix.scala:184-187, 706-723) on
+  * DataFrames. A vector is (idx, val); zero entries are absent.
+  */
+final case class RowVector(df: DataFrame) {
+
+  import Matrix.{C, R, V}
+
+  def transpose: ColVector = ColVector(df)
+
+  /** v * M : (1×n)(n×m) = 1×m. */
+  def *(m: Matrix): RowVector =
+    RowVector(df.select(col("idx").as("k"), col(V).as("v_val"))
+      .join(m.df.select(col(R).as("k"), col(C), col(V)), "k")
+      .groupBy(col(C).as("idx"))
+      .agg(sum(col("v_val") * col(V)).as(V)))
+
+  def *(k: Double): RowVector = RowVector(df.withColumn(V, col(V) * k))
+
+  def +(other: RowVector): RowVector =
+    RowVector(df.unionByName(other.df).groupBy("idx").agg(sum(V).as(V)))
+
+  /** Σ vᵢ·wᵢ — a Scalar. */
+  def dot(other: ColVector): DataFrame =
+    df.alias("a").join(other.df.alias("b"), "idx")
+      .agg(sum(col(s"a.$V") * col(s"b.$V")).as("scalar"))
+
+  def l1Normalize: RowVector = {
+    val total = df.agg(sum(abs(col(V))).as("__n"))
+    RowVector(df.crossJoin(broadcast(total))
+      .select(col("idx"), (col(V) / col("__n")).as(V)))
+  }
+
+  def sum_ : DataFrame = df.agg(sum(V).as("scalar"))
+
+  /** Place on a matrix diagonal (DiagonalMatrix). */
+  def diag: Matrix =
+    Matrix(df.select(col("idx").as(R), col("idx").as(C), col(V)))
+
+  def topElems(k: Int): RowVector = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(V).desc, col("idx"))
+    RowVector(df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn"))
+  }
+}
+
+final case class ColVector(df: DataFrame) {
+
+  import Matrix.{C, R, V}
+
+  def transpose: RowVector = RowVector(df)
+
+  /** M * v : (n×m)(m×1) = n×1. */
+  def leftMultiply(m: Matrix): ColVector =
+    ColVector(m.df.select(col(R), col(C).as("idx"), col(V).as("m_val"))
+      .join(df, "idx")
+      .groupBy(col(R).as("idx"))
+      .agg(sum(col("m_val") * col(V)).as(V)))
+
+  def *(k: Double): ColVector = ColVector(df.withColumn(V, col(V) * k))
+
+  /** Outer product v wᵀ — a full matrix. */
+  def outer(row: RowVector): Matrix =
+    Matrix(df.select(col("idx").as(R), col(V).as("c_val"))
+      .crossJoin(row.df.select(col("idx").as(C), col(V).as("r_val")))
+      .select(col(R), col(C), (col("c_val") * col("r_val")).as(V)))
+}
+
+object Vectors {
+  /** Extract row `r` of a matrix as a RowVector. */
+  def rowOf(m: Matrix, r: Long): RowVector =
+    RowVector(m.df.filter(col(Matrix.R) === r)
+      .select(col(Matrix.C).as("idx"), col(Matrix.V)))
+
+  /** Extract column `c` as a ColVector. */
+  def colOf(m: Matrix, c: Long): ColVector =
+    ColVector(m.df.filter(col(Matrix.C) === c)
+      .select(col(Matrix.R).as("idx"), col(Matrix.V)))
+
+  def fromSeq(spark: org.apache.spark.sql.SparkSession,
+      entries: Seq[(Long, Double)]): DataFrame = {
+    import spark.implicits._
+    entries.toDF("idx", Matrix.V)
+  }
+}

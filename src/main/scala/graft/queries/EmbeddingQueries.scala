@@ -63,6 +63,28 @@ object EmbeddingQueries extends QueryGroup {
       Similarity.lshTopK(e.filter(col("id") < 10), e, dim = 64, k = 5, nBits = 4)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("qid", "cid")
+    },
+
+    // IVF ANN: recall-bounded contract vs brute force — the query
+    // reports whether IVF(nProbe=4) recovers >= 40% of the exact
+    // top-5 per query; the oracle asserts the bound.
+    q("q_ann_ivf",
+      """SELECT q.vec_id AS qid, true AS recall_ok
+        |FROM embeddings q WHERE q.vec_id < 10 ORDER BY qid""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = e.filter(col("id") < 10)
+      val exact = Similarity.bruteForceTopK(queries, e, 5)
+        .select(col("qid"), col("cid").as("exact_cid"))
+      val ivf = Similarity.ivfTopK(queries, e, k = 5, nCentroids = 16, nProbe = 6)
+        .select(col("qid"), col("cid"))
+      val hits = exact.join(ivf,
+          exact("qid") === ivf("qid") && col("exact_cid") === col("cid"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+      queries.select(col("id").as("qid")).join(hits, Seq("qid"), "left")
+        .select(col("qid"),
+          (coalesce(col("n_hit"), lit(0L)) >= 2).as("recall_ok"))
+        .orderBy("qid")
     }
   )
 }

@@ -79,6 +79,28 @@ class MatrixSpec extends SparkSpec {
     assert(out == Map(2L -> 12.0, 3L -> 5.0))
   }
 
+  test("row/col vectors: products, dot, outer, diag") {
+    import graft.matrix.{ColVector, RowVector, Vectors}
+    val v = RowVector(Vectors.fromSeq(spark, Seq((0L, 1.0), (1L, 2.0))))
+    // v * A = (1*1+2*3, 1*2+2*4) = (7, 10)
+    val vA = (v * a).df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(vA == Map(0L -> 7.0, 1L -> 10.0))
+    // A * v (as column) = (1*1+2*2, 3*1+4*2) = (5, 11)
+    val cv = ColVector(Vectors.fromSeq(spark, Seq((0L, 1.0), (1L, 2.0))))
+    val Av = cv.leftMultiply(a).df.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(Av == Map(0L -> 5.0, 1L -> 11.0))
+    // dot = 1*1 + 2*2 = 5
+    assert(v.dot(cv).collect().head.getDouble(0) == 5.0)
+    // outer product is rank-1
+    assert(cv.outer(v).df.count() == 4)
+    // diag embeds on the diagonal
+    assert(entriesOf(v.diag) == Set((0L, 0L, 1.0), (1L, 1L, 2.0)))
+    // row extraction round-trip
+    assert(Vectors.rowOf(a, 1L).df.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap == Map(0L -> 3.0, 1L -> 4.0))
+  }
+
   test("pagerank converges on a small graph (iterative driver loop)") {
     import spark.implicits._
     // reference examples/PageRank.scala semantics: damping 0.85
