@@ -30,7 +30,7 @@ object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
-    defs.head.run(spark, dir)
+    queries("q_agg_groupby")(spark, dir)
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -109,4 +109,57 @@ object Aggregators {
     mapReduceMap[Double, Moments, Moments](
       x => Moments(1L, x, 0.0), identity)(
       Encoders.product[Moments], Encoders.product[Moments], momentsMonoid)
+
+  /** Numerically-stable running mean — the reference's algebird
+    * `AveragedValue` behind `average` (ReduceOperations.scala:83-84).
+    */
+  case class AveragedValue(count: Long, value: Double)
+
+  implicit val averagedMonoid: Monoid[AveragedValue] =
+    Monoid.from(AveragedValue(0L, 0.0)) { (a, b) =>
+      if (a.count == 0) b
+      else if (b.count == 0) a
+      else {
+        val n = a.count + b.count
+        AveragedValue(n, a.value + (b.value - a.value) * b.count / n)
+      }
+    }
+
+  def averaged: Aggregator[Double, AveragedValue, Double] =
+    mapReduceMap[Double, AveragedValue, Double](
+      x => AveragedValue(1L, x), _.value)(
+      Encoders.product[AveragedValue], Encoders.scalaDouble, averagedMonoid)
+
+  /** Exponentially time-decayed sum — the reference's algebird
+    * `DecayedValue` (Kryo-registered aggregation value,
+    * KryoHadoop.scala:79-121): each contribution decays with the
+    * configured half-life; merging rescales both sides to the newer
+    * timestamp, so the merge is associative and commutative.
+    */
+  case class DecayedValue(value: Double, scaledTime: Double)
+
+  object DecayedValue {
+    def build(value: Double, time: Double, halfLife: Double): DecayedValue =
+      DecayedValue(value, time * math.log(2.0) / halfLife)
+
+    implicit val monoid: Monoid[DecayedValue] =
+      Monoid.from(DecayedValue(0.0, Double.NegativeInfinity)) { (a, b) =>
+        if (a.scaledTime == Double.NegativeInfinity) b
+        else if (b.scaledTime == Double.NegativeInfinity) a
+        else {
+          val (older, newer) =
+            if (a.scaledTime <= b.scaledTime) (a, b) else (b, a)
+          DecayedValue(
+            newer.value + older.value * math.exp(older.scaledTime - newer.scaledTime),
+            newer.scaledTime)
+        }
+      }
+  }
+
+  /** Decayed-sum aggregator over (value, epochTime) pairs. */
+  def decayedSum(halfLife: Double): Aggregator[(Double, Double), DecayedValue, DecayedValue] =
+    mapReduceMap[(Double, Double), DecayedValue, DecayedValue](
+      { case (v, t) => DecayedValue.build(v, t, halfLife) }, identity)(
+      Encoders.product[DecayedValue], Encoders.product[DecayedValue],
+      DecayedValue.monoid)
 }

@@ -47,6 +47,35 @@ class AggregatorsSpec extends AnyFunSuite {
     assert(math.abs(merged.variance - variance) < 1e-12)
   }
 
+  test("averaged value merges to the true mean") {
+    val xs = Seq(1.0, 2.0, 3.0, 10.0)
+    val (l, r) = xs.splitAt(1)
+    def of(s: Seq[Double]) = s.map(Aggregators.AveragedValue(1L, _))
+      .reduce(Aggregators.averagedMonoid.plus)
+    val merged = Aggregators.averagedMonoid.plus(of(l), of(r))
+    assert(merged.count == 4)
+    assert(math.abs(merged.value - 4.0) < 1e-12)
+  }
+
+  test("decayed value halves over one half-life, any merge order") {
+    import Aggregators.DecayedValue
+    val hl = 10.0
+    val a = DecayedValue.build(8.0, 0.0, hl) // at t=0
+    val b = DecayedValue.build(1.0, 10.0, hl) // one half-life later
+    val ab = DecayedValue.monoid.plus(a, b)
+    val ba = DecayedValue.monoid.plus(b, a)
+    // 8 decayed to 4 plus the fresh 1
+    assert(math.abs(ab.value - 5.0) < 1e-9)
+    assert(ab == ba) // commutative
+    // associative across a third point
+    val c = DecayedValue.build(2.0, 20.0, hl)
+    val abc1 = DecayedValue.monoid.plus(DecayedValue.monoid.plus(a, b), c)
+    val abc2 = DecayedValue.monoid.plus(a, DecayedValue.monoid.plus(b, c))
+    assert(math.abs(abc1.value - abc2.value) < 1e-9)
+    // 8→2, 1→0.5, +2 = 4.5
+    assert(math.abs(abc1.value - 4.5) < 1e-9)
+  }
+
   test("sortedTake keeps k smallest in order under arbitrary merge trees") {
     implicit val intEnc: Encoder[Int] = Encoders.scalaInt
     val agg = Aggregators.sortedTake[Int](3)
