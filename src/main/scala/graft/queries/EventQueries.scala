@@ -18,6 +18,81 @@ object EventQueries extends QueryGroup {
 
   val all: Seq[QueryDef] = Seq(
 
+    // exponentially time-decayed sum per user (algebird DecayedValue
+    // analogue): value mass decays with a 1-hour half-life, evaluated
+    // at each user's newest event. The typed aggregator's merge
+    // rescales to the newer timestamp; the oracle computes the closed
+    // form directly.
+    q("q_agg_decayed",
+      """WITH e AS (
+        |  SELECT user_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events
+        |), m AS (SELECT user_id, max(sec) AS mx FROM e GROUP BY user_id)
+        |SELECT e.user_id,
+        |  round(sum(e.value * exp((e.sec - m.mx) * ln(2) / 3600.0)), 4) AS decayed
+        |FROM e JOIN m ON e.user_id = m.user_id
+        |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.agg.Aggregators
+      val events = t(s, dir, "events")
+        .select(col("user_id"), col("value"),
+          floor(col("ts") / 1000000000L).cast("double").as("sec"))
+        .as[(Long, Double, Double)]
+      graft.typed.TypedPipe.from(events)
+        .map { case (u, v, sec) => (u, (v, sec)) }
+        .group[Long, (Double, Double)]
+        .aggregate(Aggregators.decayedSum(3600.0))(
+          org.apache.spark.sql.Encoders.product[Aggregators.DecayedValue])
+        .ds.map { case (u, dv) =>
+          (u, math.floor(dv.value * 1e4 + 0.5) / 1e4)
+        }
+        .toDF("user_id", "decayed")
+        .orderBy("user_id")
+    },
+
+    // sessionization through the secondary-sort machinery
+    // (SortedGrouped.mapValueStream): same answer as the window-based
+    // q_events_sessionize, via one shuffle + in-partition sorted runs
+    // instead of two window passes.
+    q("q_typed_sessionize",
+      """WITH evts AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events
+        |), gaps AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) IS NULL
+        |      OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) > 1800
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM evts
+        |)
+        |SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+        |FROM gaps GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val events = t(s, dir, "events")
+        .select(col("user_id"),
+          floor(col("ts") / 1000000000L).cast("long").as("sec"),
+          col("event_id"))
+        .as[(Long, Long, Long)]
+      graft.typed.TypedPipe.from(events)
+        .map { case (u, sec, eid) => (u, (sec, eid)) }
+        .group[Long, (Long, Long)]
+        .sortBy(identity)
+        .mapValueStream[(Long, Long)] { (_, vs) =>
+          var sessions = 0L
+          var events = 0L
+          var lastSec = Long.MinValue
+          vs.foreach { case (sec, _) =>
+            if (lastSec == Long.MinValue || sec - lastSec > 1800) sessions += 1
+            lastSec = sec
+            events += 1
+          }
+          Iterator.single((sessions, events))
+        }
+        .ds.map { case (u, (ns, ne)) => (u, ns, ne) }
+        .toDF("user_id", "n_sessions", "n_events")
+        .orderBy("user_id")
+    },
+
     // calendar truncation (RichDate/Duration.floorOf,
     // Duration.scala:56): monthly revenue.
     q("q_date_trunc_month",
