@@ -104,6 +104,29 @@ object FieldsApi {
         (floor(col(field) / binWidth) * binWidth).as("bin")): _*)
         .agg(count(lit(1)).as("cnt"))
 
+    /** Long→wide pivot with the reference's strictness
+      * (ReduceOperations.pivot:174-186): a repeated (key, feature)
+      * pair is an error (the reference asserted), absent cells take
+      * `default`. Spark's own pivot silently keeps `first`; this wraps
+      * it with an any-duplicate check that fails the job like the
+      * reference did.
+      */
+    def pivotStrict(keyCol: String, featureCol: String, valueCol: String,
+        features: Seq[String], default: Column): DataFrame = {
+      val counted = df.groupBy(col(keyCol), col(featureCol))
+        .agg(count(lit(1)).as("__n"), first(col(valueCol)).as("__v"))
+        .withColumn("__v",
+          when(col("__n") > 1,
+            raise_error(concat(lit("duplicate pivot cell for key="),
+              col(keyCol).cast("string"), lit(" feature="), col(featureCol))))
+            .otherwise(col("__v")))
+      counted.groupBy(keyCol)
+        .pivot(featureCol, features)
+        .agg(first("__v"))
+        .select(col(keyCol) +: features.map(f =>
+          coalesce(col(s"`$f`"), default).as(f)): _*)
+    }
+
     /** groupBy with a builder block — reference
       * `pipe.groupBy('k){ _.sum('v) }` (RichPipe.scala:153).
       */

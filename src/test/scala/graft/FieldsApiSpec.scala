@@ -63,6 +63,22 @@ class FieldsApiSpec extends SparkSpec {
     assert(hist((0, 20.0)) == 1L) // 20
   }
 
+  test("pivotStrict fills defaults and rejects duplicate cells") {
+    import spark.implicits._
+    val long = Seq((1, "w", 10.0), (1, "x", 11.0), (2, "w", 20.0))
+      .toDF("key", "feature", "value")
+    val wide = long.pivotStrict("key", "feature", "value",
+      Seq("w", "x"), lit(0.0)).orderBy("key")
+    assert(wide.collect().map(r =>
+      (r.getInt(0), r.getDouble(1), r.getDouble(2))).toSeq ==
+      Seq((1, 10.0, 11.0), (2, 20.0, 0.0))) // default fills the hole
+    val dup = long.unionAll(Seq((1, "w", 99.0)).toDF("key", "feature", "value"))
+    intercept[Exception] { // SparkRuntimeException from raise_error
+      dup.pivotStrict("key", "feature", "value", Seq("w", "x"), lit(0.0))
+        .collect()
+    }
+  }
+
   test("trap splits valid and invalid rows without failing the flow") {
     import spark.implicits._
     val df = Seq(("1", 1), ("boom", 2), ("3", 3)).toDF("s", "n")

@@ -92,6 +92,13 @@ class TypedPipeSpec extends SparkSpec {
     assert(co == Map(1 -> 1, 2 -> 2, 3 -> 2, 4 -> 1))
   }
 
+  test("self-join of the same grouped pipe (SURVEY §7.5 risk 6)") {
+    import spark.implicits._
+    val g = pipe(Seq((1, "a"), (2, "b"))).group[Int, String]
+    val selfed = g.join(g).ds.collect().toMap
+    assert(selfed == Map(1 -> ("a", "a"), 2 -> ("b", "b")))
+  }
+
   test("cross with tiny side") {
     import spark.implicits._
     val a = pipe(Seq(1, 2, 3))
