@@ -48,6 +48,28 @@ final case class Matrix(df: DataFrame) {
 
   def *(other: Matrix): Matrix = product(other)
 
+  /** A·Aᵀ (the Gram matrix of the rows) exploiting symmetry: only the
+    * upper triangle is aggregated (half the shuffle/agg work of a
+    * general product), then mirrored. Off-diagonal (i,j) and (j,i) are
+    * numerically identical by construction.
+    */
+  def grammian: Matrix = {
+    val a = df.select(col(R).as("r1"), col(C).as("k"), col(V).as("v1"))
+    val b = df.select(col(R).as("r2"), col(C).as("k"), col(V).as("v2"))
+    val upper = a.join(b, Seq("k"))
+      .filter(col("r1") <= col("r2"))
+      .groupBy("r1", "r2")
+      .agg(sum(col("v1") * col("v2")).as(V))
+    // mirror in the same pass (explode, not union — a union would
+    // recompute the join+agg once per branch)
+    Matrix(upper.select(explode(array(
+        struct(col("r1").as(R), col("r2").as(C), col(V)),
+        when(col("r1") =!= col("r2"),
+          struct(col("r2").as(R), col("r1").as(C), col(V))))).as("e"))
+      .filter(col("e").isNotNull)
+      .select(col(s"e.$R"), col(s"e.$C"), col(s"e.$V")))
+  }
+
   /** Product with the reference's SizeHint-driven strategy selection
     * (MatrixProduct.getJoiner, MatrixProduct.scala:88-108): a right
     * side at or under `maxTinyJoin` cells is broadcast ("tiny join"),

@@ -35,8 +35,7 @@ object MatrixQueries extends QueryGroup {
          |  round(sum(a.val * b.val), 2) AS val
          |FROM A a JOIN A b ON a.col = b.col
          |GROUP BY 1, 2 ORDER BY row, col""".stripMargin) { (s, dir) =>
-      val a = baseMatrix(s, dir)
-      a.product(a.transpose).df
+      baseMatrix(s, dir).grammian.df
         .select(col("row"), col("col"), round(col("val"), 2).as("val"))
         .orderBy("row", "col")
     },

@@ -29,6 +29,10 @@ class MatrixSpec extends SparkSpec {
       Set((0L, 0L, 7.0), (0L, 1L, 10.0), (1L, 0L, 15.0), (1L, 1L, 22.0)))
   }
 
+  test("grammian equals the general A * transpose(A)") {
+    assert(entriesOf(a.grammian) == entriesOf(a.product(a.transpose)))
+  }
+
   test("transpose / add / subtract / hadamard") {
     assert(entriesOf(a.transpose) ==
       Set((0L, 0L, 1.0), (1L, 0L, 2.0), (0L, 1L, 3.0), (1L, 1L, 4.0)))
