@@ -173,12 +173,9 @@ final case class Matrix(df: DataFrame) {
       .agg(sum(col(V) * col("__label")).as(V))
 
   /** Cosine similarity of all row pairs via normalized self-product:
-    * (L2-normalized A) * (L2-normalized A)^T.
+    * the Gram matrix of the L2-normalized rows (symmetric fast path).
     */
-  def rowCosineSimilarity: Matrix = {
-    val n = rowL2Normalize
-    n.product(n.transpose)
-  }
+  def rowCosineSimilarity: Matrix = rowL2Normalize.grammian
 }
 
 object Matrix {

@@ -34,6 +34,16 @@ object Streaming {
       .groupBy(window(col(tsCol), windowLen, slide), col(keyCol))
       .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
 
+  /** Streaming exact dedup: drop rows whose `keyCols` were already
+    * seen within the watermark horizon — the unbounded form of the
+    * batch fingerprint dedup, with state bounded by the watermark.
+    */
+  def dedupStream(events: DataFrame, tsCol: String, watermark: String,
+      keyCols: String*): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.toSeq)
+
   /** Incremental monoid merge into a keyed store — the streaming form
     * of `writeIncremental` (VersionedKeyValSource.scala:163-210):
     * each micro-batch is monoid-merged into the versioned store.

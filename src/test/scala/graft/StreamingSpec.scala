@@ -47,6 +47,24 @@ class StreamingSpec extends SparkSpec {
     assert(windows == Set("2020-01-01 10:00:00", "2020-01-01 10:30:00"))
   }
 
+  test("streaming dedup drops repeats within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val events = input.toDF().toDF("ts", "id")
+    val out = Streaming.dedupStream(events, "ts", "1 hour", "id")
+    val query = out.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2020-01-01 10:00:00")
+    input.addData((t0, 1L), (t0, 1L), (t0, 2L))
+    query.processAllAvailable()
+    input.addData((java.sql.Timestamp.valueOf("2020-01-01 10:10:00"), 1L))
+    query.processAllAvailable()
+    val ids = spark.table("dedup").select("id").collect().map(_.getLong(0)).toSeq
+    query.stop()
+    assert(ids.sorted == Seq(1L, 2L)) // the repeats were dropped
+  }
+
   test("stateful gap sessionization across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
