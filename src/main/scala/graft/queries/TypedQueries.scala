@@ -110,6 +110,31 @@ object TypedQueries extends QueryGroup {
         .orderBy("o_custkey")
     },
 
+    // arbitrary per-group list computation (mapList/mapStream,
+    // ReduceOperations.scala:231-241): median order value per
+    // customer computed inside the closure, matching DuckDB's
+    // median() (mean of middle two for even counts).
+    q("q_typed_median",
+      """SELECT o_custkey, round(median(o_totalprice), 4) AS median_price
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_totalprice"))
+        .as[(Long, Double)]
+      TypedPipe.from(orders)
+        .group[Long, Double]
+        .mapGroup[Double] { (_, vs) =>
+          val sorted = vs.toArray.sorted
+          val n = sorted.length
+          val m =
+            if (n % 2 == 1) sorted(n / 2)
+            else (sorted(n / 2 - 1) + sorted(n / 2)) / 2.0
+          Iterator.single(math.floor(m * 1e4 + 0.5) / 1e4)
+        }
+        .toDF("o_custkey", "median_price")
+        .orderBy("o_custkey")
+    },
+
     // typed cogroup with a joiner closure (CoGrouped2.scala:95-175):
     // per nation, customer count × supplier count computed inside the
     // closure.
