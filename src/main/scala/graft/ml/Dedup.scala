@@ -132,6 +132,14 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Geometric length-bucket blocking column: documents can only be
+    * near-dups if their lengths are within the bucket ratio, so
+    * bucketing by floor(log_r(len)) bounds all-pairs groups at scale
+    * without losing pairs above the corresponding Jaccard bound.
+    */
+  def lengthBucket(text: Column, ratio: Double = 1.3): Column =
+    floor(log(length(text) + 1) / math.log(ratio)).cast("int")
+
   /** Exact all-pairs n-gram Jaccard within blocking groups — the
     * correctness oracle for the probabilistic paths, and usable
     * directly when a good blocking key (language, source, length
