@@ -85,6 +85,50 @@ object Joins {
     else blockJoin(left, right, keys, fallbackReplication)
   }
 
+  /** As-of join (superset — absent in the reference, which had only
+    * equi-joins, JoinAlgorithms.scala:169): for every left row, attach
+    * the latest right row with the same key whose timestamp is <= the
+    * left timestamp.
+    *
+    * Composed from built-ins (the guide's preference (a)): one union +
+    * one window pass — a single shuffle by key, values carried forward
+    * with last(ignoreNulls), no range-join blowup. `rightCols` are the
+    * value columns pulled from the right side.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, rightCols: Seq[String],
+      how: String = "inner"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(how == "inner" || how == "left", s"asofJoin: inner/left, got $how")
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__tag", lit(1))
+      .withColumn("__rts", lit(null).cast("long"))
+      .select((keys.map(col) :+ col("__ts") :+ col("__tag") :+ col("__rts")) ++
+        leftCols.filterNot(keys.contains).map(col) ++
+        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val r = right
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__tag", lit(0))
+      .withColumn("__rts", col(rightTs).cast("long"))
+      .select((keys.map(col) :+ col("__ts") :+ col("__tag") :+ col("__rts")) ++
+        leftCols.filterNot(keys.contains)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightCols.map(col): _*)
+    // at equal timestamps the right value sorts first (tag 0), so it
+    // is visible to the left row — matching ASOF's >= semantics
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = (rightCols :+ "__rts").foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    val lefts = filled.filter(col("__tag") === 1)
+    val out = if (how == "inner") lefts.filter(col("__rts").isNotNull) else lefts
+    out.drop("__ts", "__tag", "__rts")
+  }
+
   /** N-way star join (`coGroupBy` + MixedJoin,
     * CoGroupBuilder.scala:27-61): chained joins on one key; per-pipe
     * inner/outer mode list mirrors the reference's `JoinMode`s.

@@ -50,6 +50,38 @@ object EventQueries extends QueryGroup {
         .orderBy("user_id")
     },
 
+    // as-of join (superset operator — Spark lacks it natively; DuckDB
+    // 1.0 has ASOF JOIN as the oracle): each click picks up the value
+    // of the user's most recent view at-or-before it. One union + one
+    // window pass — a single shuffle by key, no range-join blowup.
+    q("q_join_asof",
+      """WITH clicks AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events WHERE event_type = 'click'
+        |), views AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    max(value) AS view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+        |)
+        |SELECT c.user_id, c.event_id, round(v.view_value, 4) AS view_value
+        |FROM clicks c ASOF JOIN views v
+        |  ON c.user_id = v.user_id AND c.sec >= v.sec
+        |ORDER BY c.user_id, c.event_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .withColumn("sec", floor(col("ts") / 1000000000L).cast("long"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "event_id", "sec")
+      // dedupe views per (user, sec) so as-of ties are deterministic
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "sec")
+        .agg(max("value").as("view_value"))
+      graft.join.Joins.asofJoin(clicks, views, Seq("user_id"),
+          "sec", "sec", Seq("view_value"))
+        .select(col("user_id"), col("event_id"),
+          round(col("view_value"), 4).as("view_value"))
+        .orderBy("user_id", "event_id")
+    },
+
     // sessionization through the secondary-sort machinery
     // (SortedGrouped.mapValueStream): same answer as the window-based
     // q_events_sessionize, via one shuffle + in-partition sorted runs

@@ -123,6 +123,24 @@ class FieldsApiSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin attaches the latest right row at-or-before each left row") {
+    import spark.implicits._
+    val quotes = Seq((1, 10L, 100.0), (1, 20L, 110.0), (2, 5L, 50.0))
+      .toDF("k", "qts", "px")
+    val trades = Seq((1, 15L, "t1"), (1, 20L, "t2"), (1, 5L, "t0"), (2, 9L, "t3"))
+      .toDF("k", "tts", "tid")
+    val inner = graft.join.Joins.asofJoin(trades, quotes, Seq("k"),
+      "tts", "qts", Seq("px"))
+      .select("tid", "px").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // t0 (ts 5) has no quote at-or-before → dropped by inner
+    assert(inner == Map("t1" -> 100.0, "t2" -> 110.0, "t3" -> 50.0))
+    val left = graft.join.Joins.asofJoin(trades, quotes, Seq("k"),
+      "tts", "qts", Seq("px"), how = "left")
+    assert(left.count() == 4)
+    assert(left.filter(col("tid") === "t0").head().isNullAt(
+      left.columns.indexOf("px")))
+  }
+
   test("coGroup chains joins with per-pipe modes (star join)") {
     import spark.implicits._
     val a = Seq((1, "a1"), (2, "a2")).toDF("x", "a")
