@@ -129,6 +129,28 @@ object Joins {
     out.drop("__ts", "__tag", "__rts")
   }
 
+  /** Range (interval) join — superset operator: match each left point
+    * `pointCol` to right intervals [startCol, endCol). A naive
+    * inequality join is a cross-product per key; this composes the
+    * standard scalable form: quantize to fixed buckets of `bucketWidth`,
+    * explode each interval over the buckets it spans, equi-join on the
+    * bucket, then apply the exact range predicate. Each point lives in
+    * exactly one bucket, so no dedup is needed.
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame,
+      pointCol: String, startCol: String, endCol: String,
+      bucketWidth: Double, keys: Seq[String] = Nil): DataFrame = {
+    val p = points.withColumn("__bucket",
+      floor(col(pointCol) / bucketWidth).cast("long"))
+    val iv = intervals.withColumn("__bucket",
+      explode(sequence(
+        floor(col(startCol) / bucketWidth).cast("long"),
+        floor((col(endCol) - 1e-9) / bucketWidth).cast("long"))))
+    p.join(iv, keys :+ "__bucket")
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("__bucket")
+  }
+
   /** N-way star join (`coGroupBy` + MixedJoin,
     * CoGroupBuilder.scala:27-61): chained joins on one key; per-pipe
     * inner/outer mode list mirrors the reference's `JoinMode`s.

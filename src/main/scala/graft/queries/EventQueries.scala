@@ -82,6 +82,30 @@ object EventQueries extends QueryGroup {
         .orderBy("user_id", "event_id")
     },
 
+    // range (interval) join — bucketed composition vs the exact
+    // inequality-join oracle: lineitem quantities classified into
+    // irregular quadratic bands [b², (b+1)²).
+    q("q_join_range",
+      """WITH bands AS (
+        |  SELECT range AS band, CAST(range * range AS DOUBLE) AS lo,
+        |    CAST((range + 1) * (range + 1) AS DOUBLE) AS hi
+        |  FROM range(0, 8)
+        |)
+        |SELECT band, count(*) AS n, round(sum(l_extendedprice), 2) AS price
+        |FROM lineitem JOIN bands
+        |  ON l_quantity >= lo AND l_quantity < hi
+        |GROUP BY band ORDER BY band""".stripMargin) { (s, dir) =>
+      val bands = s.range(0, 8).toDF("band")
+        .withColumn("lo", (col("band") * col("band")).cast("double"))
+        .withColumn("hi", ((col("band") + 1) * (col("band") + 1)).cast("double"))
+      graft.join.Joins.rangeJoin(
+          t(s, dir, "lineitem").select("l_quantity", "l_extendedprice"),
+          bands, "l_quantity", "lo", "hi", bucketWidth = 5.0)
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("price"))
+        .orderBy("band")
+    },
+
     // sessionization through the secondary-sort machinery
     // (SortedGrouped.mapValueStream): same answer as the window-based
     // q_events_sessionize, via one shuffle + in-partition sorted runs

@@ -141,6 +141,19 @@ class FieldsApiSpec extends SparkSpec {
       left.columns.indexOf("px")))
   }
 
+  test("rangeJoin equals the naive inequality join") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val pts = (1 to 500).map(_ => rnd.nextDouble() * 100).toDF("v")
+    val ivs = Seq((0.0, 10.0, "a"), (5.0, 40.0, "b"), (39.9, 100.0, "c"),
+      (97.0, 98.0, "d")).toDF("lo", "hi", "label")
+    val naive = pts.join(ivs, col("v") >= col("lo") && col("v") < col("hi"))
+      .groupBy("label").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bucketed = graft.join.Joins.rangeJoin(pts, ivs, "v", "lo", "hi", 7.0)
+      .groupBy("label").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bucketed == naive)
+  }
+
   test("coGroup chains joins with per-pipe modes (star join)") {
     import spark.implicits._
     val a = Seq((1, "a1"), (2, "a2")).toDF("x", "a")
