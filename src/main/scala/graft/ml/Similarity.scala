@@ -126,14 +126,58 @@ object Similarity {
     * refinement can replace pickCentroids without touching the rest).
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 2, seed: Long = 42L): DataFrame = {
+      nCentroids: Int = 16, nProbe: Int = 2, seed: Long = 42L,
+      kmeansIters: Int = 2): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cents = corpus.select(col("id"), col("vec")).as[(Long, Array[Float])]
+    val corpusVecs = corpus.select(col("id"), col("vec")).as[(Long, Array[Float])]
+    var centroids = corpusVecs
       .sample(withReplacement = false, 0.5, seed)
       .limit(nCentroids).collect().map(_._2)
+    require(centroids.nonEmpty, "empty corpus")
+
+    // Lloyd refinement of the sampled centroids: distributed cosine
+    // assignment emits per-partition partial (sum, count) per
+    // centroid; the tiny partial set is merged on the driver.
+    (1 to kmeansIters).foreach { _ =>
+      val cbc = spark.sparkContext.broadcast(
+        centroids.zipWithIndex.map { case (v, i) => (i, v, VecUtil.norm(v)) })
+      val dim = centroids.head.length
+      val partials = corpusVecs.mapPartitions { it =>
+        val cents = cbc.value
+        val acc = Array.fill(cents.length)(new Array[Double](dim))
+        val counts = new Array[Long](cents.length)
+        it.foreach { case (_, v) =>
+          val vn = VecUtil.norm(v)
+          var best = 0
+          var bestScore = Double.MinValue
+          cents.foreach { case (ci, cv, cn) =>
+            val s = VecUtil.dot(v, cv) / (vn * cn + 1e-12)
+            if (s > bestScore) { bestScore = s; best = ci }
+          }
+          var d = 0
+          while (d < dim) { acc(best)(d) += v(d); d += 1 }
+          counts(best) += 1
+        }
+        acc.indices.iterator.filter(counts(_) > 0)
+          .map(i => (i, acc(i), counts(i)))
+      }.collect()
+      centroids = centroids.zipWithIndex.map { case (old, i) =>
+        val mine = partials.filter(_._1 == i)
+        val n = mine.map(_._3).sum
+        if (n == 0) old
+        else {
+          val sum = new Array[Double](dim)
+          mine.foreach { case (_, s, _) =>
+            var d = 0
+            while (d < dim) { sum(d) += s(d); d += 1 }
+          }
+          sum.map(x => (x / n).toFloat)
+        }
+      }
+    }
+    val cents = centroids
       .zipWithIndex.map { case (v, i) => (i, v, VecUtil.norm(v)) }
-    require(cents.nonEmpty, "empty corpus")
     val bc = spark.sparkContext.broadcast(cents)
 
     def assign(n: Int) = (idVec: (Long, Array[Float])) => {
