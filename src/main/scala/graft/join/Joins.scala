@@ -101,32 +101,40 @@ object Joins {
     import org.apache.spark.sql.expressions.Window
     require(how == "inner" || how == "left", s"asofJoin: inner/left, got $how")
     val leftCols = left.columns.toSeq
+    // All right values ride in ONE struct so a single
+    // last(ignoreNulls) attaches one complete right row — filling each
+    // column independently could mix values from different right rows
+    // whenever some rightCols are null.
+    val rightStruct = struct(
+      (col(rightTs).cast("long").as("__rts") +: rightCols.map(col)): _*)
+    val rightStructType = right
+      .select(rightStruct.as("__rv")).schema("__rv").dataType
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__tag", lit(1))
-      .withColumn("__rts", lit(null).cast("long"))
-      .select((keys.map(col) :+ col("__ts") :+ col("__tag") :+ col("__rts")) ++
-        leftCols.filterNot(keys.contains).map(col) ++
-        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+      .withColumn("__rv", lit(null).cast(rightStructType))
+      .select((keys.map(col) :+ col("__ts") :+ col("__tag") :+ col("__rv")) ++
+        leftCols.filterNot(keys.contains).map(col): _*)
     val r = right
       .withColumn("__ts", col(rightTs))
       .withColumn("__tag", lit(0))
-      .withColumn("__rts", col(rightTs).cast("long"))
-      .select((keys.map(col) :+ col("__ts") :+ col("__tag") :+ col("__rts")) ++
+      .withColumn("__rv", rightStruct)
+      .select((keys.map(col) :+ col("__ts") :+ col("__tag") :+ col("__rv")) ++
         leftCols.filterNot(keys.contains)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightCols.map(col): _*)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     // at equal timestamps the right value sorts first (tag 0), so it
     // is visible to the left row — matching ASOF's >= semantics
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = (rightCols :+ "__rts").foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
+    val filled = l.unionByName(r)
+      .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
     val lefts = filled.filter(col("__tag") === 1)
-    val out = if (how == "inner") lefts.filter(col("__rts").isNotNull) else lefts
-    out.drop("__ts", "__tag", "__rts")
+    val matched = if (how == "inner") lefts.filter(col("__rv").isNotNull) else lefts
+    val unpacked = rightCols.foldLeft(matched) { (df, c) =>
+      df.withColumn(c, col("__rv").getField(c))
+    }
+    unpacked.drop("__ts", "__tag", "__rv")
   }
 
   /** Range (interval) join — superset operator: match each left point
@@ -142,10 +150,14 @@ object Joins {
       bucketWidth: Double, keys: Seq[String] = Nil): DataFrame = {
     val p = points.withColumn("__bucket",
       floor(col(pointCol) / bucketWidth).cast("long"))
-    val iv = intervals.withColumn("__bucket",
-      explode(sequence(
-        floor(col(startCol) / bucketWidth).cast("long"),
-        floor((col(endCol) - 1e-9) / bucketWidth).cast("long"))))
+    // Empty/inverted intervals (end <= start) would make `sequence`
+    // DESCEND and explode spurious buckets — drop them up front (they
+    // can match no point), and clamp hi to lo for sub-epsilon spans.
+    val lo = floor(col(startCol) / bucketWidth).cast("long")
+    val hi = floor((col(endCol) - 1e-9) / bucketWidth).cast("long")
+    val iv = intervals
+      .filter(col(endCol) > col(startCol))
+      .withColumn("__bucket", explode(sequence(lo, greatest(lo, hi))))
     p.join(iv, keys :+ "__bucket")
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__bucket")

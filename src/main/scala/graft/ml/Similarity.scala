@@ -119,6 +119,54 @@ object Similarity {
       .select("qid", "cid", "cos")
   }
 
+  /** Deterministic axis-pair LSH signature for one band: bit j is
+    * `sign(v[2*(band*bitsPerBand+j)] + v[2*(band*bitsPerBand+j)+1])` —
+    * an axis-aligned projection (the degenerate hyperplane family with
+    * ±coordinate directions). Unlike the Gaussian hyperplanes of
+    * [[hyperplaneSignature]] this is pure double addition + comparison,
+    * so an external engine (the DuckDB oracle) reproduces the buckets
+    * bit-for-bit.
+    */
+  def axisBandSignature(vec: Column, band: Int, bitsPerBand: Int): Column =
+    (0 until bitsPerBand).foldLeft(lit(0L)) { (acc, j) =>
+      val i = band * bitsPerBand + j
+      val proj = element_at(vec, 2 * i + 1).cast("double") +
+        element_at(vec, 2 * i + 2).cast("double")
+      acc + when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+
+  /** Banded ANN with the deterministic axis signature: a candidate is
+    * any corpus row sharing at least one band bucket with the query
+    * (OR-amplification), re-scored with exact cosine, bounded top-k.
+    * The corpus is scanned once; the query side is broadcast; only
+    * candidate pairs reach the shuffle. Requires
+    * `dim >= 2 * nBands * bitsPerBand`.
+    */
+  def bandedLshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nBands: Int = 4, bitsPerBand: Int = 8): DataFrame = {
+    def sigs(df: DataFrame, idName: String, vecName: String) = df
+      .select(col("id").as(idName), col("vec").as(vecName))
+      .withColumn("__bands", explode(array(
+        (0 until nBands).map(b => struct(lit(b).as("band"),
+          axisBandSignature(col(vecName), b, bitsPerBand).as("sig"))): _*)))
+      .select(col(idName), col(vecName),
+        col("__bands.band").as("band"), col("__bands.sig").as("sig"))
+    val qs = broadcast(sigs(queries, "qid", "qvec"))
+    val cs = sigs(corpus, "cid", "cvec")
+    // same (band, sig) ⇒ candidate; dedup multi-band collisions to one
+    // row per (qid, cid) BEFORE scoring so each cosine runs once
+    val w = Window.partitionBy("qid", "cid").orderBy("band")
+    val cand = cs.join(qs, Seq("band", "sig"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val scored = cand.withColumn("cos", cosine(col("qvec"), col("cvec")))
+    val topw = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(topw))
+      .filter(col("rn") <= k)
+      .select("qid", "cid", "cos")
+  }
+
   /** IVF (inverted-file) ANN: coarse-quantize the corpus onto
     * `nCentroids` sampled centroids, probe the `nProbe` nearest lists
     * per query — the standard scale path when hyperplane buckets are

@@ -10,6 +10,41 @@ import graft.ml.Similarity
   */
 object EmbeddingQueries extends QueryGroup {
 
+  /** DuckDB replica of `Similarity.bandedLshTopK(k=5, 4 bands × 8
+    * bits)`: per-band signatures from the same axis-pair sign bits
+    * (1-indexed list access; CAST to DOUBLE[] makes the adds identical
+    * to Spark's float→double arithmetic), OR-amplified candidate join,
+    * exact cosine re-score, top-5 by (cos DESC, cid).
+    */
+  private def lshOracleSql: String = {
+    val bands = (0 until 4).map { b =>
+      val sig = (0 until 8).map { j =>
+        val i = b * 8 + j
+        s"(CASE WHEN v[${2 * i + 1}] + v[${2 * i + 2}] > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $b AS band, CAST($sig AS BIGINT) AS sig FROM e"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), sigs AS (
+       |  $bands
+       |), cand AS (
+       |  SELECT DISTINCT qs.vec_id AS qid, cs.vec_id AS cid
+       |  FROM sigs qs JOIN sigs cs ON qs.band = cs.band AND qs.sig = cs.sig
+       |  WHERE qs.vec_id < 10 AND cs.vec_id <> qs.vec_id
+       |), scored AS (
+       |  SELECT c.qid, c.cid,
+       |    list_cosine_similarity(qe.v, ce.v) AS cos_exact
+       |  FROM cand c
+       |  JOIN e qe ON qe.vec_id = c.qid
+       |  JOIN e ce ON ce.vec_id = c.cid
+       |)
+       |SELECT qid, cid, round(cos_exact, 6) AS cos FROM scored
+       |QUALIFY row_number() OVER (PARTITION BY qid
+       |  ORDER BY cos_exact DESC, cid) <= 5
+       |ORDER BY qid, cid""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // exact brute-force top-k: 10 query vectors against the full
@@ -54,13 +89,17 @@ object EmbeddingQueries extends QueryGroup {
     },
 
     // LSH-bucketed ANN (the 100 TB path: bucket join instead of cross
-    // join). Probabilistic recall ⇒ no SQL oracle; the driver records
-    // a rows-only check, and the spec suite checks recall >= 0.4
-    // against brute force.
-    qNoOracle("q_ann_lsh") { (s, dir) =>
+    // join), with the DETERMINISTIC axis-pair signature so the full
+    // candidate generation + exact re-score is replicated in the
+    // DuckDB oracle bit-for-bit (4 bands × 8 bits over 64 dims; bit j
+    // of band b = sign(v[2i]+v[2i+1]), i = 8b+j — pure double
+    // adds, no RNG). The Gaussian-hyperplane lshTopK stays as the
+    // API-parity variant, recall-tested in MlSpec.
+    q("q_ann_lsh", EmbeddingQueries.lshOracleSql) { (s, dir) =>
       val e = t(s, dir, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      Similarity.lshTopK(e.filter(col("id") < 10), e, dim = 64, k = 5, nBits = 4)
+      Similarity.bandedLshTopK(e.filter(col("id") < 10), e, k = 5,
+          nBands = 4, bitsPerBand = 8)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("qid", "cid")
     },

@@ -121,7 +121,8 @@ object EventQueries extends QueryGroup {
         |      THEN 1 ELSE 0 END AS new_session
         |  FROM evts
         |)
-        |SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+        |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
         |FROM gaps GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       val events = t(s, dir, "events")

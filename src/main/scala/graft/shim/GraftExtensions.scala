@@ -1,10 +1,9 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, If, IsNull, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.DoubleType
 
 /** Catalyst extension wiring for the graft engine — the
   * `SparkSessionExtensions` registration path (the guide's (b)/(c)
@@ -32,16 +31,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 }
 
-/** Algebraic simplification: cosine(x, x) ≡ 1.0 for any
-  * deterministic x (null-propagating) — fold it instead of scanning
-  * the array per row.
+/** Algebraic simplification: cosine(x, x) needs no dot/norm
+  * accumulators — rewrite to [[SelfCosine]], which keeps the exact
+  * runtime semantics (NaN for empty/all-zero vectors, null
+  * propagation) with a single norm-only scan instead of three
+  * accumulators, and folds the division away entirely.
   */
 object SimplifySelfCosine extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case CosineSimilarity(a, b) if a.semanticEquals(b) && a.deterministic =>
-        if (a.nullable)
-          If(IsNull(a), Literal(null, DoubleType), Literal(1.0, DoubleType))
-        else Literal(1.0, DoubleType)
+        SelfCosine(a)
     }
 }

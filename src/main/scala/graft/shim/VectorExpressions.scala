@@ -114,6 +114,54 @@ case class CosineSimilarity(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(newLeft, newRight)
 }
 
+/** cosine(x, x) without the redundant dot/norm accumulators: 1.0 when
+  * the vector has positive norm, NaN when it is empty or all-zero
+  * (matching `CosineSimilarity`'s 0/0), null propagated. Produced by
+  * the `SimplifySelfCosine` optimizer rule — never constructed by
+  * users directly.
+  */
+case class SelfCosine(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes with Serializable {
+
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var na = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      na += xi * xi
+      i += 1
+    }
+    if (na > 0.0) 1.0 else Double.NaN
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val na = ctx.freshName("na")
+      val xi = ctx.freshName("xi")
+      s"""
+         |int $n = $a.numElements();
+         |double $na = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = (double) $a.getFloat($i);
+         |  $na += $xi * $xi;
+         |}
+         |${ev.value} = ($na > 0.0) ? 1.0 : Double.NaN;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(newChild)
+}
+
 object VectorFunctions {
   def dot_f(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(

@@ -89,31 +89,32 @@ final class TypedPipe[T](val ds: Dataset[T]) extends Serializable {
   def usingMap[C, U: Encoder](open: () => C, release: C => Unit)(
       fn: (C, T) => U): TypedPipe[U] =
     new TypedPipe(ds.mapPartitions { it =>
-      val resource = open()
-      new Iterator[U] {
-        private var released = false
-        def hasNext: Boolean = {
-          val h = it.hasNext
-          if (!h && !released) { released = true; release(resource) }
-          h
+      TypedPipe.withResource(open, release) { (res, onDrained) =>
+        val mapped = it.map(t => fn(res, t))
+        new Iterator[U] {
+          def hasNext: Boolean = {
+            val h = mapped.hasNext
+            if (!h) onDrained()
+            h
+          }
+          def next(): U = mapped.next()
         }
-        def next(): U = fn(resource, it.next())
       }
     })
 
   def usingFlatMap[C, U: Encoder](open: () => C, release: C => Unit)(
       fn: (C, T) => IterableOnce[U]): TypedPipe[U] =
     new TypedPipe(ds.mapPartitions { it =>
-      val resource = open()
-      val out = it.flatMap(t => fn(resource, t))
-      new Iterator[U] {
-        private var released = false
-        def hasNext: Boolean = {
-          val h = out.hasNext
-          if (!h && !released) { released = true; release(resource) }
-          h
+      TypedPipe.withResource(open, release) { (res, onDrained) =>
+        val out = it.flatMap(t => fn(res, t))
+        new Iterator[U] {
+          def hasNext: Boolean = {
+            val h = out.hasNext
+            if (!h) onDrained()
+            h
+          }
+          def next(): U = out.next()
         }
-        def next(): U = out.next()
       }
     })
 }
@@ -123,6 +124,23 @@ object TypedPipe {
 
   def from[T: Encoder](spark: SparkSession, items: Seq[T]): TypedPipe[T] =
     new TypedPipe(spark.createDataset(items))
+
+  /** Per-partition resource lifecycle: `release` fires exactly once —
+    * eagerly when the output iterator is drained (the reference's
+    * flush-at-end, Operations.scala:168-219) AND as a task-completion
+    * listener, so early-terminating consumers (limit/take) or task
+    * failures cannot leak the resource.
+    */
+  private[typed] def withResource[C, U](open: () => C, release: C => Unit)(
+      body: (C, () => Unit) => Iterator[U]): Iterator[U] = {
+    val resource = open()
+    var released = false
+    def releaseOnce(): Unit =
+      if (!released) { released = true; release(resource) }
+    val ctx = org.apache.spark.TaskContext.get()
+    if (ctx != null) ctx.addTaskCompletionListener[Unit](_ => releaseOnce())
+    body(resource, () => releaseOnce())
+  }
 }
 
 /** Post-groupBy surface — reference `Grouped[K,T]` / `KeyedList`
@@ -228,10 +246,15 @@ final class Grouped[K, V](val kvs: Dataset[(K, V)])(
 
   /** Install a secondary sort on values (reference `sortBy`,
     * GroupBuilder.scala:231-236): order-sensitive ops then run on
-    * value-sorted runs without re-shuffling per key.
+    * value-sorted runs without re-shuffling per key. Sorts ascending
+    * in the sort key's natural (Spark column) order; use
+    * [[SortedGrouped.reverse]] for descending. Custom `Ordering`s are
+    * deliberately not accepted — the sort happens in Spark's sort
+    * machinery (spillable, not memory-bound), which only understands
+    * column order.
     */
-  def sortBy[S: Encoder: Ordering](f: V => S): SortedGrouped[K, V, S] =
-    new SortedGrouped(this, f)
+  def sortBy[S: Encoder](f: V => S): SortedGrouped[K, V, S] =
+    new SortedGrouped(this, f, descending = false)
 
   // ---- joins (reference typed join/leftJoin/outerJoin,
   // TypedPipe.scala:476-482) ----
@@ -315,17 +338,28 @@ final class Grouped[K, V](val kvs: Dataset[(K, V)])(
   * sorted within each key run, no per-key memory needed beyond the
   * operator's own state.
   */
-final class SortedGrouped[K, V, S](g: Grouped[K, V], sortFn: V => S)(
-    implicit sEnc: Encoder[S], sOrd: Ordering[S]) extends Serializable {
+final class SortedGrouped[K, V, S](g: Grouped[K, V], sortFn: V => S,
+    descending: Boolean)(
+    implicit sEnc: Encoder[S]) extends Serializable {
 
   import g.{kEnc, vEnc, kvEnc}
+
+  /** Descending value order (reference `sortBy(f).reverse`,
+    * GroupBuilder.scala:308-318).
+    */
+  def reverse: SortedGrouped[K, V, S] =
+    new SortedGrouped(g, sortFn, !descending)
 
   /** Sorted runs: one shuffle by key, values sorted within key. */
   private def sortedRuns: Dataset[(K, S, V)] = {
     implicit val ksv: Encoder[(K, S, V)] = Encoders.tuple(kEnc, sEnc, vEnc)
+    val sortKey = {
+      val c = org.apache.spark.sql.functions.col("_2")
+      if (descending) c.desc else c.asc
+    }
     g.kvs.map { case (k, v) => (k, sortFn(v), v) }
       .repartition(org.apache.spark.sql.functions.col("_1"))
-      .sortWithinPartitions("_1", "_2")
+      .sortWithinPartitions(org.apache.spark.sql.functions.col("_1"), sortKey)
   }
 
   /** Stream each key's values in sort order through `f`. */

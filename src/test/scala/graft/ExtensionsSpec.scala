@@ -28,7 +28,7 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getDouble(1) == 0.0)
   }
 
-  test("self-cosine folds to a literal via the optimizer rule") {
+  test("self-cosine rewrites to SelfCosine via the optimizer rule") {
     import spark.implicits._
     // a real scan — over a LocalRelation, ConvertToLocalRelation
     // evaluates the expression before user-injected rules run
@@ -37,10 +37,22 @@ class ExtensionsSpec extends AnyFunSuite {
     val df = spark.read.parquet(dir)
     val out = df.selectExpr("vec_cosine(vec, vec) AS c")
     val optimized = out.queryExecution.optimizedPlan.toString
-    assert(!optimized.toLowerCase.contains("cosine"),
-      s"rule did not fold:\n$optimized")
+    assert(optimized.toLowerCase.contains("selfcosine"),
+      s"rule did not rewrite:\n$optimized")
     // value is exactly 1.0 with no float round-off — proof the rule
     // replaced the computation
     assert(out.head().getDouble(0) == 1.0)
+  }
+
+  test("self-cosine rewrite preserves NaN for zero/empty and null for null") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ext").toString + "/v2"
+    Seq((1L, Array(0.0f, 0.0f)), (2L, Array.empty[Float]), (3L, null))
+      .toDF("id", "vec").write.parquet(dir)
+    val out = spark.read.parquet(dir)
+      .selectExpr("id", "vec_cosine(vec, vec) AS c").orderBy("id").collect()
+    assert(out(0).getDouble(1).isNaN, "zero vector must stay NaN")
+    assert(out(1).getDouble(1).isNaN, "empty vector must stay NaN")
+    assert(out(2).isNullAt(1), "null vector must stay null")
   }
 }

@@ -57,4 +57,21 @@ class ExtrasSpec extends SparkSpec {
     assert(opened.value == 4L)
     assert(released.value == 4L)
   }
+
+  test("usingMap releases resources when the consumer stops early (limit)") {
+    import spark.implicits._
+    val opened = spark.sparkContext.longAccumulator("opened2")
+    val released = spark.sparkContext.longAccumulator("released2")
+    val out = TypedPipe.from(spark, (1 to 1000).toSeq)
+      .thenDo(p => new TypedPipe(p.ds.repartition(4)))
+      .usingMap(() => { opened.add(1); new Object },
+        (_: Object) => released.add(1))((_, x) => x)
+      .ds.limit(5).collect()
+    assert(out.length == 5)
+    // limit short-circuits the iterator mid-partition; the
+    // task-completion listener must still release every opened resource
+    assert(opened.value > 0L)
+    assert(released.value == opened.value,
+      s"leaked ${opened.value - released.value} resources")
+  }
 }

@@ -141,12 +141,31 @@ class FieldsApiSpec extends SparkSpec {
       left.columns.indexOf("px")))
   }
 
+  test("asofJoin attaches one complete right row even when rightCols have nulls") {
+    import spark.implicits._
+    // latest quote has px=null: the left row must see (null, 2.0) from
+    // THAT row, not mix the older row's px with the newer row's sz
+    val quotes = Seq(
+      (1, 10L, Option(100.0), Option(1.0)),
+      (1, 20L, Option.empty[Double], Option(2.0))
+    ).toDF("k", "qts", "px", "sz")
+    val trades = Seq((1, 25L, "t1")).toDF("k", "tts", "tid")
+    val row = graft.join.Joins.asofJoin(trades, quotes, Seq("k"),
+      "tts", "qts", Seq("px", "sz")).head()
+    assert(row.isNullAt(row.fieldIndex("px")),
+      "px must come from the as-of row (null), not an older row")
+    assert(row.getDouble(row.fieldIndex("sz")) == 2.0)
+  }
+
   test("rangeJoin equals the naive inequality join") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
     val pts = (1 to 500).map(_ => rnd.nextDouble() * 100).toDF("v")
+    // includes an empty (e) and an inverted (f) interval — both must
+    // match nothing and must not explode spurious bucket rows
     val ivs = Seq((0.0, 10.0, "a"), (5.0, 40.0, "b"), (39.9, 100.0, "c"),
-      (97.0, 98.0, "d")).toDF("lo", "hi", "label")
+      (97.0, 98.0, "d"), (50.0, 50.0, "e"), (80.0, 20.0, "f"))
+      .toDF("lo", "hi", "label")
     val naive = pts.join(ivs, col("v") >= col("lo") && col("v") < col("hi"))
       .groupBy("label").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val bucketed = graft.join.Joins.rangeJoin(pts, ivs, "v", "lo", "hi", 7.0)

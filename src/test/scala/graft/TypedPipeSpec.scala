@@ -73,6 +73,23 @@ class TypedPipeSpec extends SparkSpec {
     assert(takes("k1") == List(1, 5))
   }
 
+  test("sortBy.reverse iterates values in descending order") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val data = rnd.shuffle((1 to 40).map(i => ("k" + (i % 3), i)).toList)
+    val folded = pipe(data).group[String, Int].sortBy(identity).reverse
+      .foldLeft(List.empty[Int])((acc, v) => v :: acc)
+      .ds.collect().toMap
+    folded.foreach { case (k, vs) =>
+      // fold prepends, so the accumulated list is the reverse of the
+      // iteration order: descending iteration ⇒ ascending list
+      assert(vs == vs.sorted, s"reverse sort not honored for $k: $vs")
+    }
+    val heads = pipe(data).group[String, Int].sortBy(identity).reverse.head
+      .ds.collect().toMap
+    assert(heads("k0") == 39 && heads("k1") == 40 && heads("k2") == 38)
+  }
+
   test("typed joins: inner/left/outer/hash/cogroup") {
     import spark.implicits._
     val l = pipe(Seq((1, "a"), (2, "b"), (3, "c"))).group[Int, String]
