@@ -20,6 +20,10 @@ object GraftSession {
 
   def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
     b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // the engine's Catalyst surface: injected SQL functions
+      // (vec_dot/vec_cosine), optimizer rules, and the native as-of
+      // join strategy all register through this extension
+      .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -137,6 +137,30 @@ object Joins {
     unpacked.drop("__ts", "__tag", "__rv")
   }
 
+  /** As-of join on the native Catalyst operator (the guide's
+    * preference (c): LogicalPlan + Strategy + SparkPlan, registered by
+    * `GraftExtensions`): same contract as [[asofJoin]] but planned as
+    * a single sorted-merge pass — one shuffle per side instead of a
+    * union + window, O(1) merge state, and the output keeps the left
+    * side's hash partitioning for downstream per-key operators.
+    * Requires the session to be built with
+    * `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`.
+    */
+  def asofJoinNative(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, rightCols: Seq[String],
+      how: String = "inner"): DataFrame = {
+    // project/rename the right side so the join output has no
+    // duplicate column names: keys and ts get reserved names that are
+    // dropped after the join, rightCols keep theirs
+    val rightSel = right.select(
+      keys.map(k => col(k).as(s"__rk_$k")) ++
+        (col(rightTs).as("__asof_rts") +: rightCols.map(col)): _*)
+    org.apache.spark.sql.graft.AsOfNative
+      .asofJoin(left, rightSel, keys, keys.map(k => s"__rk_$k"),
+        leftTs, "__asof_rts", how)
+      .drop(keys.map(k => s"__rk_$k") :+ "__asof_rts": _*)
+  }
+
   /** Range (interval) join — superset operator: match each left point
     * `pointCol` to right intervals [startCol, endCol). A naive
     * inequality join is a cross-product per key; this composes the

@@ -52,9 +52,21 @@ final case class Matrix(df: DataFrame) {
     * upper triangle is aggregated (half the shuffle/agg work of a
     * general product), then mirrored. Off-diagonal (i,j) and (j,i) are
     * numerically identical by construction.
+    *
+    * The self-join is hinted SHUFFLE_HASH: both inputs are the same
+    * relation, so the sort-merge plan sorts the data twice for no
+    * benefit (measured 1.4× slower at sf0.1 — tools/GramBench). Hash
+    * build sides hold one key-partition of A; AQE skew-join splits
+    * oversized contraction keys (supported for shuffled-hash since
+    * Spark 3.2). Pass `preferShuffleHash = false` to let Catalyst
+    * fall back to sort-merge when a partition of A cannot fit in
+    * executor memory.
     */
-  def grammian: Matrix = {
-    val a = df.select(col(R).as("r1"), col(C).as("k"), col(V).as("v1"))
+  def grammian: Matrix = grammian(preferShuffleHash = true)
+
+  def grammian(preferShuffleHash: Boolean): Matrix = {
+    val a0 = df.select(col(R).as("r1"), col(C).as("k"), col(V).as("v1"))
+    val a = if (preferShuffleHash) a0.hint("SHUFFLE_HASH") else a0
     val b = df.select(col(R).as("r2"), col(C).as("k"), col(V).as("v2"))
     val upper = a.join(b, Seq("k"))
       .filter(col("r1") <= col("r2"))

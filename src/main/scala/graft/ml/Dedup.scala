@@ -20,6 +20,33 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Caches created by the discovery pipelines (the signature scan
+    * feeds both candidate generation and verification, so it is
+    * persisted rather than recomputed). Spark evicts persisted blocks
+    * LRU under memory pressure, but long-lived sessions should drop
+    * them eagerly once a pipeline's results are consumed.
+    */
+  private val trackedCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def persistTracked(df: DataFrame): DataFrame = {
+    val p = df.persist()
+    trackedCaches.add(p)
+    p
+  }
+
+  /** Unpersist every cache created by pipelines in this object. Call
+    * after consuming a pipeline's output (results already computed
+    * stay valid; re-running the returned plan recomputes the scan).
+    */
+  def unpersistPipelineCaches(): Unit = {
+    var df = trackedCaches.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      df = trackedCaches.poll()
+    }
+  }
+
   /** Word w-shingles of normalized text, hashed to 64-bit via
     * xxhash64 — the shingle *set* column used by both MinHash and
     * exact-Jaccard verification.
@@ -102,7 +129,7 @@ object Dedup {
         (id, sh, MinHashUtil.bandHashes(sig, bands, rowsPer))
       }
       .toDF("id", "sh", "bands")
-      .persist()
+      .transform(persistTracked)
 
     val buckets = sigs.select(col("id"),
       posexplode(col("bands")).as(Seq("band", "h")))
@@ -292,7 +319,7 @@ object Dedup {
           MinHashUtil.shingleHashes(text, shingleWidth))
       }
       .toDF("id", "sim", "sh")
-      .persist()
+      .transform(persistTracked)
     val chunks = sigs.select(col("id"), col("sim"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),

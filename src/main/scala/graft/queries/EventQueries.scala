@@ -82,6 +82,37 @@ object EventQueries extends QueryGroup {
         .orderBy("user_id", "event_id")
     },
 
+    // the same as-of semantics through the NATIVE Catalyst operator
+    // (AsOfJoinPlan.scala: LogicalPlan + Strategy + sorted-merge
+    // SparkPlan injected by GraftExtensions) — gate-verifies the
+    // custom exec against DuckDB's ASOF JOIN.
+    q("q_join_asof_native",
+      """WITH clicks AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events WHERE event_type = 'click'
+        |), views AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    max(value) AS view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+        |)
+        |SELECT c.user_id, c.event_id, round(v.view_value, 4) AS view_value
+        |FROM clicks c ASOF JOIN views v
+        |  ON c.user_id = v.user_id AND c.sec >= v.sec
+        |ORDER BY c.user_id, c.event_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .withColumn("sec", floor(col("ts") / 1000000000L).cast("long"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "event_id", "sec")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "sec")
+        .agg(max("value").as("view_value"))
+      graft.join.Joins.asofJoinNative(clicks, views, Seq("user_id"),
+          "sec", "sec", Seq("view_value"))
+        .select(col("user_id"), col("event_id"),
+          round(col("view_value"), 4).as("view_value"))
+        .orderBy("user_id", "event_id")
+    },
+
     // range (interval) join — bucketed composition vs the exact
     // inequality-join oracle: lineitem quantities classified into
     // irregular quadratic bands [b², (b+1)²).

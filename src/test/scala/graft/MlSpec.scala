@@ -28,12 +28,21 @@ class MlSpec extends SparkSpec {
   }
 
   test("minhash LSH finds the near-dup pair and skips unrelated docs") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val pairs = Dedup.minHashNearDuplicates(docs, "doc_id", "text",
       threshold = 0.5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)), s"missing near-dup pair, got $pairs")
     assert(pairs.contains((3L, 4L)))
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+    // the signature scan is persisted for reuse; the cleanup API must
+    // drop exactly the caches this pipeline created
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.nonEmpty, "pipeline should have persisted its signature scan")
+    Dedup.unpersistPipelineCaches()
+    val remaining = spark.sparkContext.getPersistentRDDs.keySet
+    assert(added.forall(id => !remaining.contains(id)),
+      "tracked pipeline caches leaked after unpersistPipelineCaches()")
   }
 
   test("simhash of near-identical text is near in hamming distance") {
