@@ -1,0 +1,80 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-profiling + deterministic-sampling utilities for pipeline
+  * hygiene at scale.
+  */
+object Profile {
+
+  /** Per-column profile in ONE scan: rows, non-nulls, distincts,
+    * min/max (stringified so heterogeneous columns stack into one
+    * relation). `exact = false` switches the distinct count to
+    * HyperLogLog (`approx_count_distinct`) — at 100 TB exact
+    * multi-column distincts expand the scan once per column (Spark's
+    * Expand operator), while the HLL sketches all columns in the one
+    * pass with fixed memory.
+    */
+  def profile(df: DataFrame, cols: Seq[String],
+      exact: Boolean = true): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__nn_$c"),
+        (if (exact) countDistinct(col(c))
+         else approx_count_distinct(col(c))).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    } :+ count(lit(1)).as("__n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      struct(lit(c).as("col_name"), col("__n").as("n_rows"),
+        col(s"__nn_$c").as("n_non_null"), col(s"__nd_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_value"), col(s"__mx_$c").as("max_value"))
+    }
+    one.select(explode(array(stacked: _*)).as("p")).select("p.*")
+  }
+
+  /** Deterministic hash sample: keep a row iff
+    * `scramble(key) < fraction * M`. No RNG state, no seed plumbing —
+    * the same key set is selected on every run, on every engine, at
+    * any parallelism, and membership is stable under appends (the
+    * property panel/holdout splits need; `df.sample` re-draws when
+    * partitioning changes). Nested fractions are subsets: the 10%
+    * sample is contained in the 20% sample.
+    *
+    * The scramble is multiplicative Fibonacci hashing — `key * g mod
+    * M` with g/M ≈ the golden ratio (M = 2^31-1) — whose outputs are
+    * maximally equidistributed for sequential keys (three-distance
+    * theorem), in plain 64-bit-safe integer arithmetic an external SQL
+    * engine replays exactly. (A small multiplier like Park-Miller's
+    * 48271 would keep RUNS of ~fraction·M/g consecutive keys —
+    * unusable below key ranges of millions.) Not adversarial-grade
+    * mixing: keys chosen as multiples of M would collide, fine for
+    * split/holdout use.
+    */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
+    df.filter(fibScramble(col(keyCol)) < lit((fraction * 2147483647L).toLong))
+
+  /** `((key mod M) * g) mod M`, M = 2^31-1, g = 1327217885 ≈ 0.618 M.
+    * Intermediate bounded by 2^31 · 1.33e9 ≈ 2.9e18 — inside 64-bit
+    * for any input.
+    */
+  def fibScramble(key: Column): Column =
+    pmod(pmod(key.cast("long"), lit(2147483647L)) * lit(1327217885L),
+      lit(2147483647L))
+
+  /** Stratified deterministic sample: per-stratum fractions with the
+    * same hash rule (unlisted strata are dropped).
+    */
+  def stratifiedHashSample(df: DataFrame, keyCol: String, strataCol: String,
+      fractions: Map[String, Double]): DataFrame = {
+    val frac = fractions.foldLeft(lit(-1.0)) { case (acc, (k, f)) =>
+      when(col(strataCol) === k, lit(f)).otherwise(acc)
+    }
+    df.withColumn("__frac", frac)
+      .filter(fibScramble(col(keyCol)).cast("double") <
+        col("__frac") * 2147483647L)
+      .drop("__frac")
+  }
+}

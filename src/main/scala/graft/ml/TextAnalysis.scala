@@ -101,8 +101,9 @@ object TextAnalysis {
     * Typed kernel — one pass, primitive arithmetic.
     */
   def winnowingFingerprints(text: String, k: Int = 3, w: Int = 4): Array[Long] = {
-    val words = text.toLowerCase.replaceAll("[^a-z0-9\\s]", " ")
-      .replaceAll("\\s+", " ").trim.split(" ")
+    // shares Dedup's precompiled normalizer — String.replaceAll would
+    // recompile its regex per document
+    val words = graft.ml.Dedup.MinHashUtil.normalize(text).split(" ")
     if (words.isEmpty) return Array.empty
     val B = 1000003L
     // rolling hash over word-hash sequences

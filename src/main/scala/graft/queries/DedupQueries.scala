@@ -115,6 +115,34 @@ object DedupQueries extends QueryGroup {
         .orderBy("id1", "id2")
     },
 
+    // near-dup pairs → connected components → canonical doc per
+    // cluster (Dedup.connectedComponents: min-label propagation with
+    // pointer jumping). Oracle: transitive closure via recursive CTE
+    // over the same exact-Jaccard pair set.
+    q("q_dedup_components",
+      s"""${augmentedSql.replaceFirst("WITH ", "WITH RECURSIVE ")}, sh AS (
+         |  SELECT doc_id, $shinglesSql AS s FROM docs
+         |), pairs AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.s, b.s)) * 1.0::DOUBLE /
+         |        len(list_distinct(a.s || b.s)) >= 0.7
+         |), edges AS (
+         |  SELECT id1 AS src, id2 AS dst FROM pairs
+         |  UNION ALL SELECT id2, id1 FROM pairs
+         |), reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+         |)
+         |SELECT id, min(r) AS component FROM reach
+         |GROUP BY id ORDER BY id""".stripMargin) { (s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.minHashNearDuplicates(augmented(s, dir), "doc_id", "text",
+          threshold = 0.7))
+        .orderBy("id")
+    },
+
     // SimHash property gate: the pigeonhole candidate step is
     // recall-lossy by construction, so instead of a set-equality
     // oracle this checks the deterministic *contract*: an exact copy

@@ -14,6 +14,50 @@ object ExtrasQueries extends QueryGroup {
 
   val all: Seq[QueryDef] = Seq(
 
+    // one-pass multi-column profile (rows / non-nulls / distincts /
+    // min / max stringified and stacked): pipeline hygiene at scale —
+    // the approx (HLL) variant is the 100 TB path, the exact form is
+    // gate-matched here.
+    q("q_profile",
+      """WITH p AS (
+        |  SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
+        |    count(o_custkey) AS n_non_null,
+        |    count(DISTINCT o_custkey) AS n_distinct,
+        |    CAST(min(o_custkey) AS VARCHAR) AS min_value,
+        |    CAST(max(o_custkey) AS VARCHAR) AS max_value
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', count(*), count(o_totalprice),
+        |    count(DISTINCT o_totalprice),
+        |    CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', count(*), count(o_orderpriority),
+        |    count(DISTINCT o_orderpriority),
+        |    CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+        |  FROM orders
+        |)
+        |SELECT * FROM p ORDER BY col_name""".stripMargin) { (s, dir) =>
+      graft.ml.Profile.profile(t(s, dir, "orders"),
+        Seq("o_custkey", "o_totalprice", "o_orderpriority"))
+        .orderBy("col_name")
+    },
+
+    // deterministic hash sampling (Fibonacci multiplicative scramble,
+    // pure integer arithmetic): the same keys are kept on every engine
+    // and every run — reproducible holdout splits without RNG state.
+    // The oracle replays the identical arithmetic.
+    q("q_sample_hash",
+      """SELECT o_orderkey, o_custkey
+        |FROM orders
+        |WHERE (o_orderkey % 2147483647) * 1327217885 % 2147483647
+        |      < CAST(0.1 * 2147483647 AS BIGINT)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      graft.ml.Profile.hashSample(t(s, dir, "orders"), "o_orderkey", 0.1)
+        .select("o_orderkey", "o_custkey")
+        .orderBy("o_orderkey")
+    },
+
     // times[T: Ring] — product over a group via the generic monoid
     // aggregator (ReduceOperations.scala:357-370).
     q("q_agg_times",

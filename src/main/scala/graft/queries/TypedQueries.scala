@@ -12,6 +12,12 @@ import graft.agg.Monoid
   */
 object TypedQueries extends QueryGroup {
 
+  // precompiled whitespace splitter — String.split("\\s+") recompiles
+  // the regex on every row
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+  private[queries] def wsSplit(s: String): Seq[String] =
+    ws.split(s.trim).toSeq.filter(_.nonEmpty)
+
   val all: Seq[QueryDef] = Seq(
 
     // WordCount — the reference's flagship example
@@ -25,7 +31,7 @@ object TypedQueries extends QueryGroup {
       import s.implicits._
       val docs = t(s, dir, "documents").select("text").as[String]
       TypedPipe.from(docs)
-        .flatMap(_.trim.split("\\s+").toSeq.filter(_.nonEmpty))
+        .flatMap(TypedQueries.wsSplit(_))
         .map(w => (w, 1L))
         .group[String, Long]
         .sum(Monoid.longMonoid)

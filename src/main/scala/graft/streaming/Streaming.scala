@@ -44,6 +44,36 @@ object Streaming {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.toSeq)
 
+  /** Stream-stream event-time interval join: match left and right
+    * rows with equal `keyCol` whose right timestamp lies within
+    * [leftTs - maxDelay, leftTs]. The watermarks plus the time-range
+    * condition let Spark prune both state stores — state is bounded by
+    * (watermark + maxDelay), never unbounded. The streaming
+    * counterpart of the batch as-of/range joins (a streaming join
+    * without a time bound would accumulate state forever; Spark
+    * rejects unbounded outer variants outright).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, watermark: String, maxDelay: String,
+      how: String = "inner"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    l.join(r,
+      expr(s"l.$keyCol = r.$keyCol AND " +
+        s"r.$rightTs >= l.$leftTs - interval '$maxDelay' AND " +
+        s"r.$rightTs <= l.$leftTs"),
+      how)
+  }
+
+  /** Stream-static enrichment: join a stream against a slowly-changing
+    * dimension, broadcast so the streaming side never shuffles. The
+    * static side is re-read per micro-batch, so an updated dimension
+    * table is picked up without restarting the query.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String],
+      how: String = "left"): DataFrame =
+    stream.join(broadcast(dim), keys, how)
+
   /** Incremental monoid merge into a keyed store — the streaming form
     * of `writeIncremental` (VersionedKeyValSource.scala:163-210):
     * each micro-batch is monoid-merged into the versioned store.

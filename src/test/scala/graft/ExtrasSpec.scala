@@ -74,4 +74,45 @@ class ExtrasSpec extends SparkSpec {
     assert(released.value == opened.value,
       s"leaked ${opened.value - released.value} resources")
   }
+
+  test("hashSample is deterministic, append-stable, and roughly proportional") {
+    import spark.implicits._
+    val df = (1L to 10000L).toDF("id")
+    val a = graft.ml.Profile.hashSample(df, "id", 0.2).collect().map(_.getLong(0)).toSet
+    val b = graft.ml.Profile.hashSample(df, "id", 0.2).collect().map(_.getLong(0)).toSet
+    assert(a == b, "re-run must select identical keys")
+    assert(math.abs(a.size - 2000) < 300, s"fraction off: ${a.size}")
+    // membership is stable under appends: the sample of a prefix is a
+    // subset of the sample of the whole
+    val prefix = graft.ml.Profile.hashSample((1L to 5000L).toDF("id"), "id", 0.2)
+      .collect().map(_.getLong(0)).toSet
+    assert(prefix.subsetOf(a))
+    // nested fraction: a 10% sample is a subset of the 20% sample
+    val tighter = graft.ml.Profile.hashSample(df, "id", 0.1)
+      .collect().map(_.getLong(0)).toSet
+    assert(tighter.subsetOf(a))
+  }
+
+  test("stratified hash sample applies per-stratum fractions") {
+    import spark.implicits._
+    val df = (1L to 6000L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "s")
+    val out = graft.ml.Profile.stratifiedHashSample(df, "id", "s",
+      Map("a" -> 0.5, "b" -> 0.05))
+    val counts = out.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("a") - 1500L) < 300, s"a: ${counts("a")}")
+    assert(math.abs(counts.getOrElse("b", 0L) - 150L) < 80, s"b: ${counts.getOrElse("b", 0L)}")
+  }
+
+  test("profile: approx variant stays close to exact distincts") {
+    import spark.implicits._
+    val df = (1L to 5000L).map(i => (i % 97, i.toDouble)).toDF("k", "v")
+    val exact = graft.ml.Profile.profile(df, Seq("k", "v"), exact = true)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(exact("k") == 97L && exact("v") == 5000L)
+    val approx = graft.ml.Profile.profile(df, Seq("k", "v"), exact = false)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(math.abs(approx("k") - 97.0) / 97.0 < 0.1)
+    assert(math.abs(approx("v") - 5000.0) / 5000.0 < 0.1)
+  }
 }

@@ -45,6 +45,29 @@ class MlSpec extends SparkSpec {
       "tracked pipeline caches leaked after unpersistPipelineCaches()")
   }
 
+  test("connected components collapse chains and map docs to canonical ids") {
+    import spark.implicits._
+    // a 5-node chain (pointer jumping must collapse it), a pair, and
+    // an isolated pair of nodes via one edge
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("id1", "id2")
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(comp(_) == 1L), s"chain not collapsed: $comp")
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+    Dedup.unpersistPipelineCaches()
+  }
+
+  test("dedupGroups maps every doc to a canonical representative") {
+    val groups = Dedup.dedupGroups(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // near-dups 1~2 and 3~4 share canonicals; 5 is its own
+    assert(groups(1L) == 1L && groups(2L) == 1L)
+    assert(groups(3L) == 3L && groups(4L) == 3L)
+    assert(groups(5L) == 5L)
+    Dedup.unpersistPipelineCaches()
+  }
+
   test("simhash of near-identical text is near in hamming distance") {
     val sigs = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

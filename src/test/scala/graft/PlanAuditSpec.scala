@@ -1,0 +1,69 @@
+package graft
+
+/** Locks in the physical-plan properties docs/PLANS.md documents — the
+  * shapes that make these operators viable at 100 TB. A regression
+  * here (a filter that stops reaching the scan, a broadcast that
+  * becomes a shuffle, a partial agg that disappears) would pass every
+  * value-correctness test and still be a scale bug.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+
+  test("q_filter_project pushes the predicate into the parquet scan") {
+    val p = plan("q_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity"),
+      s"filter not pushed:\n$p")
+    // column pruning: the scan must read exactly the 4 referenced
+    // columns, not the full 16-col lineitem
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema"))
+      .flatMap(_.split("ReadSchema: ").lastOption).getOrElse("")
+    val nCols = readSchema.count(_ == ',') + 1
+    assert(nCols == 4, s"scan reads $nCols columns: $readSchema")
+  }
+
+  test("q_join_broadcast plans a broadcast hash join, never a shuffle of the fact side") {
+    val p = plan("q_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(p.contains("BroadcastExchange"), s"no broadcast exchange:\n$p")
+  }
+
+  test("q_typed_sortedtake ships partial top-k before the exchange") {
+    val p = plan("q_typed_sortedtake")
+    val lines = p.linesIterator.toSeq
+    val partialIdx = lines.indexWhere(l =>
+      l.contains("ObjectHashAggregate") && l.contains("partial_"))
+    val exchangeIdx = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    assert(partialIdx >= 0, s"no partial object agg:\n$p")
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"partial agg must sit below (after in tree print) the exchange:\n$p")
+  }
+
+  test("q_agg_groupby is a two-phase hash aggregation (map-side combine)") {
+    val p = plan("q_agg_groupby")
+    val partials = p.linesIterator.count(l =>
+      l.contains("HashAggregate") && l.contains("partial_"))
+    val finals = p.linesIterator.count(l =>
+      l.contains("HashAggregate") && !l.contains("partial_"))
+    assert(partials >= 1 && finals >= 1, s"missing partial/final split:\n$p")
+  }
+
+  test("q_ann_bruteforce scans the corpus once and aggregates bounded top-k") {
+    val p = plan("q_ann_bruteforce")
+    // the probe side is collected + captured (no second distributed
+    // scan of embeddings); the corpus is scanned exactly once
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected one corpus scan, got $scans:\n$p")
+    // the per-query top-k rides the bounded aggregator, so the only
+    // exchange after scoring carries at most k rows per query per task
+    assert(p.contains("ObjectHashAggregate"), s"no bounded top-k agg:\n$p")
+  }
+
+  test("q_date_range_filter prunes with pushed timestamp bounds") {
+    val p = plan("q_date_range_filter")
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"date bound not pushed:\n$p")
+  }
+}

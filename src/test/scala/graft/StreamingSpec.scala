@@ -65,6 +65,47 @@ class StreamingSpec extends SparkSpec {
     assert(ids.sorted == Seq(1L, 2L)) // the repeats were dropped
   }
 
+  test("stream-stream interval join matches within the delay bound only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val views = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val out = Streaming.intervalJoin(
+      clicks.toDF().toDF("cts", "k", "cid"),
+      views.toDF().toDF("vts", "k", "v"),
+      "k", "cts", "vts", watermark = "1 hour", maxDelay = "30 minutes")
+    val query = out.writeStream.format("memory").queryName("ivjoin")
+      .outputMode("append").start()
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2020-01-01 $h%02d:$m%02d:00")
+    views.addData((ts(10, 0), 1L, 5.0), (ts(9, 0), 1L, 7.0), (ts(10, 10), 2L, 9.0))
+    clicks.addData((ts(10, 20), 1L, "c1"), (ts(10, 20), 2L, "c2"))
+    query.processAllAvailable()
+    val rows = spark.table("ivjoin").select("cid", "v").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet
+    query.stop()
+    // c1 matches only the 10:00 view (9:00 is outside the 30-min bound);
+    // c2 matches the 10:10 view on key 2
+    assert(rows == Set(("c1", 5.0), ("c2", 9.0)))
+  }
+
+  test("stream-static enrichment joins each micro-batch to the dimension") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("k", "tier")
+    val out = Streaming.enrich(input.toDF().toDF("ts", "k"), dim, Seq("k"))
+    val query = out.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    input.addData(
+      (java.sql.Timestamp.valueOf("2020-01-01 10:00:00"), 1L),
+      (java.sql.Timestamp.valueOf("2020-01-01 10:01:00"), 3L))
+    query.processAllAvailable()
+    val rows = spark.table("enriched").select("k", "tier").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    query.stop()
+    assert(rows == Set((1L, Some("gold")), (3L, None))) // left join keeps unmatched
+  }
+
   test("stateful gap sessionization across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
