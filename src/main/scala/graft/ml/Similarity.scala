@@ -175,7 +175,7 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 2, seed: Long = 42L,
-      kmeansIters: Int = 2): DataFrame = {
+      kmeansIters: Int = 2, corpusAssign: Int = 1): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val corpusVecs = corpus.select(col("id"), col("vec")).as[(Long, Array[Float])]
@@ -236,19 +236,26 @@ object Similarity {
       }.sortBy(-_._2).take(n).toSeq.map { case (ci, _) => (ci, id, v) }
     }
 
+    // corpusAssign > 1 = soft assignment: each corpus vector joins its
+    // `corpusAssign` nearest lists, cutting the probability that a
+    // query's probe set misses a true neighbor's list — the standard
+    // IVF replication/recall trade (x corpusAssign storage)
     val corpusLists = corpus.select(col("id"), col("vec"))
-      .as[(Long, Array[Float])].flatMap(assign(1))
+      .as[(Long, Array[Float])].flatMap(assign(corpusAssign))
       .toDF("centroid", "cid", "cvec")
     val queryLists = broadcast(queries.select(col("id"), col("vec"))
       .as[(Long, Array[Float])].flatMap(assign(nProbe))
       .toDF("centroid", "qid", "qvec"))
 
-    val scored = corpusLists.join(queryLists, "centroid")
+    val scored0 = corpusLists.join(queryLists, "centroid")
       .filter(col("qid") =!= col("cid"))
       .as[(Int, Long, Array[Float], Long, Array[Float])]
       .map { case (_, cid, cv, qid, qv) =>
         (qid, (VecUtil.dot(qv, cv) / (VecUtil.norm(qv) * VecUtil.norm(cv)), cid))
       }
+    // soft assignment can surface the same (qid, cid) via several
+    // lists; dedup so the bounded top-k never returns duplicates
+    val scored = if (corpusAssign > 1) scored0.distinct() else scored0
     implicit val ord: Ordering[(Double, Long)] =
       Ordering.by((t: (Double, Long)) => (-t._1, t._2))(
         Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))

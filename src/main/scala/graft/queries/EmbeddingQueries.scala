@@ -115,7 +115,8 @@ object EmbeddingQueries extends QueryGroup {
       val queries = e.filter(col("id") < 10)
       val exact = Similarity.bruteForceTopK(queries, e, 5)
         .select(col("qid"), col("cid").as("exact_cid"))
-      val ivf = Similarity.ivfTopK(queries, e, k = 5, nCentroids = 16, nProbe = 8)
+      val ivf = Similarity.ivfTopK(queries, e, k = 5, nCentroids = 16, nProbe = 8,
+        corpusAssign = 2)
         .select(col("qid"), col("cid"))
       val hits = exact.join(ivf,
           exact("qid") === ivf("qid") && col("exact_cid") === col("cid"), "left_semi")

@@ -3,7 +3,7 @@ package org.apache.spark.sql.graft
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, BoundReference, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.classic
@@ -108,12 +108,15 @@ case class AsOfJoinExec(
       (lIter, rIter) =>
         val lProj = UnsafeProjection.create(lSortExprs, lOutput)
         val rProj = UnsafeProjection.create(rSortExprs, rOutput)
-        // natural orderings compare ordinal-by-ordinal, so the key
-        // ordering simply ignores the trailing ts ordinal
-        val fullOrd =
-          RowOrdering.createNaturalAscendingOrdering(lSortExprs.map(_.dataType))
+        // compiled comparators (codegen, interpreted fallback); a
+        // natural ascending ordering compares ordinal-by-ordinal, so
+        // the key ordering simply ignores the trailing ts ordinal
+        val sortRefs = lSortExprs.map(_.dataType).zipWithIndex.map {
+          case (dt, i) => BoundReference(i, dt, nullable = true)
+        }
+        val fullOrd = RowOrdering.create(sortRefs.map(SortOrder(_, Ascending)), Nil)
         val keyOrd =
-          RowOrdering.createNaturalAscendingOrdering(leftKeys.map(_.dataType))
+          RowOrdering.create(sortRefs.take(nKeys).map(SortOrder(_, Ascending)), Nil)
         // in left-outer mode the right side of the JoinedRow can be
         // all-null, so the projection must treat every right column as
         // nullable — otherwise codegen reads raw zeros from null slots
@@ -122,47 +125,61 @@ case class AsOfJoinExec(
         val nullRight = new GenericInternalRow(rOutput.size)
         val joined = new JoinedRow
         val rBuf = rIter.buffered
-        var lastRight: InternalRow = null
-        var lastRightSort: InternalRow = null
 
-        def keyIsNull(row: InternalRow): Boolean = {
-          var i = 0
-          while (i < nKeys) {
-            if (row.isNullAt(i)) return true
-            i += 1
+        new Iterator[InternalRow] {
+          private var lastRight: InternalRow = null
+          private var lastRightSort: InternalRow = null
+          private var out: InternalRow = null
+
+          private def keyIsNull(row: InternalRow): Boolean = {
+            var i = 0
+            while (i < nKeys) {
+              if (row.isNullAt(i)) return true
+              i += 1
+            }
+            row.isNullAt(nKeys) // null ts never satisfies rightTs <= leftTs
           }
-          row.isNullAt(nKeys) // null ts can never satisfy rightTs <= leftTs
-        }
 
-        lIter.flatMap { lrow =>
-          val lSort = lProj(lrow)
-          if (keyIsNull(lSort)) {
-            // SQL join semantics: null keys match nothing
-            if (inner) Iterator.empty
-            else {
-              numOutputRows += 1
-              Iterator.single(resultProj(joined(lrow, nullRight)))
+          // pull left rows until one produces output (inner mode skips
+          // unmatched lefts, so a single left row is not 1:1 with output)
+          private def advance(): Unit = {
+            while (out == null && lIter.hasNext) {
+              val lrow = lIter.next()
+              val lSort = lProj(lrow)
+              if (keyIsNull(lSort)) {
+                // SQL join semantics: null keys match nothing
+                if (!inner) out = resultProj(joined(lrow, nullRight))
+              } else {
+                var scanning = true
+                while (scanning && rBuf.hasNext) {
+                  val rSort = rProj(rBuf.head)
+                  if (keyIsNull(rSort)) { rBuf.next() } // matches no left
+                  else if (fullOrd.compare(rSort, lSort) <= 0) {
+                    lastRightSort = rSort.copy()
+                    lastRight = rBuf.next().copy()
+                  } else scanning = false
+                }
+                if (lastRight != null &&
+                    keyOrd.compare(lastRightSort, lSort) == 0) {
+                  out = resultProj(joined(lrow, lastRight))
+                } else if (!inner) {
+                  out = resultProj(joined(lrow, nullRight))
+                }
+              }
             }
-          } else {
-            var scanning = true
-            while (scanning && rBuf.hasNext) {
-              val rSort = rProj(rBuf.head)
-              if (keyIsNull(rSort)) { rBuf.next() } // unmatched by any left
-              else if (fullOrd.compare(rSort, lSort) <= 0) {
-                lastRightSort = rSort.copy()
-                lastRight = rBuf.next().copy()
-              } else scanning = false
-            }
-            val matched = lastRight != null &&
-              keyOrd.compare(lastRightSort, lSort) == 0
-            if (matched) {
-              numOutputRows += 1
-              Iterator.single(resultProj(joined(lrow, lastRight)))
-            } else if (inner) Iterator.empty
-            else {
-              numOutputRows += 1
-              Iterator.single(resultProj(joined(lrow, nullRight)))
-            }
+          }
+
+          override def hasNext: Boolean = {
+            if (out == null) advance()
+            out != null
+          }
+
+          override def next(): InternalRow = {
+            if (out == null) advance()
+            val r = out
+            out = null
+            numOutputRows += 1
+            r
           }
         }
     }

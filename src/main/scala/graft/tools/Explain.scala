@@ -16,6 +16,7 @@ object Explain {
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = graft.SparkEntry.queries(name)(spark, dir)
+    if (mode == "show") { df.show(200, truncate = false); spark.stop(); return }
     if (mode != "time") df.explain("formatted")
     if (mode != "explain") {
       (1 to 3).foreach { i =>
