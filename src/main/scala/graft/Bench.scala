@@ -24,6 +24,8 @@ object Bench {
     "q_typed_wordcount",
     "q_typed_sortedtake",
     "q_matrix_product",
+    "q_join_asof",
+    "q_join_asof_native",
     "q_events_sessionize",
     "q_text_quality",
     "q_dedup_minhash",

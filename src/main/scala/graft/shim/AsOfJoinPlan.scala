@@ -104,7 +104,15 @@ case class AsOfJoinExec(
     val rOutput = right.output
     val allOutput = output
     val inner = isInner
-    left.execute().zipPartitions(right.execute(), preservesPartitioning = true) {
+    val lRdd = left.execute()
+    val rRdd = right.execute()
+    // EnsureRequirements co-partitions the children; guard the merge's
+    // zip assumption anyway so a future planner change (e.g. one-sided
+    // AQE coalescing) fails loudly instead of zipping wrong partitions
+    require(lRdd.getNumPartitions == rRdd.getNumPartitions,
+      s"AsOfJoinExec children not co-partitioned: " +
+        s"${lRdd.getNumPartitions} vs ${rRdd.getNumPartitions}")
+    lRdd.zipPartitions(rRdd, preservesPartitioning = true) {
       (lIter, rIter) =>
         val lProj = UnsafeProjection.create(lSortExprs, lOutput)
         val rProj = UnsafeProjection.create(rSortExprs, rOutput)
