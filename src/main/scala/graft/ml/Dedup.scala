@@ -195,6 +195,89 @@ object Dedup {
     labels.select(col("id"), col("label").as("component"))
   }
 
+  /** Connected components via alternating large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the web-graph-scale alternative to
+    * [[connectedComponents]]. Label propagation moves a component's
+    * min one hop (plus one pointer jump) per round, so a long chain or
+    * a high-diameter mesh costs O(log d) rounds of join+groupBy over
+    * the FULL edge set; the star operations instead rewire edges
+    * toward the minimum each round, provably converging in
+    * O(log² n) (O(log n) in practice) while *shrinking* the live edge
+    * set as stars collapse — and, critically for skewed web graphs, a
+    * high-degree hub is handled by one groupBy partition rather than
+    * replicating its label to every neighbor through a join.
+    *
+    *  - large-star: every neighbor larger than u links to
+    *    m = min(N(u) ∪ {u});
+    *  - small-star: each node's smaller-or-equal neighborhood
+    *    collapses onto its minimum.
+    *
+    * Each round is two groupBy+join passes over the current edge set.
+    * Convergence = edge-set fixpoint, detected with a driver-side
+    * (count, xor-of-hashes) signature — exact up to 64-bit collision,
+    * one cheap aggregate instead of a full `except` anti-join per
+    * round. Returns (id, component) with component = the component's
+    * minimum node id, for every node appearing in `pairs` — the same
+    * contract as [[connectedComponents]].
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val raw = pairs
+      .select(col("id1").cast("long").as("src"), col("id2").cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+    val nodes = raw.select(col("src").as("id"))
+      .unionByName(raw.select(col("dst").as("id"))).distinct()
+      .transform(persistTracked)
+    var edges = raw
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .distinct().transform(persistTracked)
+    def sigOf(df: DataFrame): (Long, Long) = {
+      val row = df.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("src"), col("dst"))), lit(0L))).head()
+      (row.getLong(0), row.getLong(1))
+    }
+    var lastSig = sigOf(edges)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // large-star: group the undirected neighborhood of u, link every
+      // strictly-larger neighbor to m = min(N(u) ∪ {u})
+      val und = edges
+        .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      val largeMin = und.groupBy("src").agg(min("dst").as("mn"))
+        .select(col("src").as("u"), least(col("src"), col("mn")).as("m"))
+      val large = und.join(largeMin, col("src") === col("u"))
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+      // small-star: orient edges toward the smaller endpoint; each
+      // group (u, Γ(u)) rewires {Γ(u) ∪ {u}} \ {m} onto m = min Γ(u).
+      // The one row where v == m carries u's own edge (u, m).
+      val oriented = large
+        .select(greatest(col("src"), col("dst")).as("u"),
+          least(col("src"), col("dst")).as("v"))
+        .distinct()
+      val smallMin = oriented.groupBy("u").agg(min("v").as("m"))
+      edges = oriented.join(smallMin, "u")
+        .select(when(col("v") === col("m"), col("u")).otherwise(col("v")).as("src"),
+          col("m").as("dst"))
+        .distinct()
+        .transform(persistTracked)
+      val sig = sigOf(edges)
+      converged = sig == lastSig
+      lastSig = sig
+      i += 1
+    }
+    // fixpoint edges form min-rooted stars: every non-root points at
+    // its component minimum; roots appear only on the dst side
+    nodes
+      .join(edges.groupBy("src").agg(min("dst").as("component"))
+        .withColumnRenamed("src", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
   /** Full dedup grouping: near-dup discovery (MinHash LSH) →
     * connected components → every document mapped to its canonical
     * representative (docs with no near-dup map to themselves).

@@ -71,6 +71,28 @@ object DedupQueries extends QueryGroup {
        |      len(list_distinct(a.s || b.s)) >= 0.7
        |ORDER BY id1, id2""".stripMargin
 
+  /** Transitive closure over the exact-Jaccard pair set (recursive
+    * CTE) — shared oracle for both connected-components algorithms.
+    */
+  private val componentsOracleSql =
+    s"""${augmentedSql.replaceFirst("WITH ", "WITH RECURSIVE ")}, sh AS (
+       |  SELECT doc_id, $shinglesSql AS s FROM docs
+       |), pairs AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.s, b.s)) * 1.0::DOUBLE /
+       |        len(list_distinct(a.s || b.s)) >= 0.7
+       |), edges AS (
+       |  SELECT id1 AS src, id2 AS dst FROM pairs
+       |  UNION ALL SELECT id2, id1 FROM pairs
+       |), reach(id, r) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+       |)
+       |SELECT id, min(r) AS component FROM reach
+       |GROUP BY id ORDER BY id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // exact dedup: fingerprint hash group-by, min-id representative.
@@ -119,25 +141,17 @@ object DedupQueries extends QueryGroup {
     // cluster (Dedup.connectedComponents: min-label propagation with
     // pointer jumping). Oracle: transitive closure via recursive CTE
     // over the same exact-Jaccard pair set.
-    q("q_dedup_components",
-      s"""${augmentedSql.replaceFirst("WITH ", "WITH RECURSIVE ")}, sh AS (
-         |  SELECT doc_id, $shinglesSql AS s FROM docs
-         |), pairs AS (
-         |  SELECT a.doc_id AS id1, b.doc_id AS id2
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |  WHERE len(list_intersect(a.s, b.s)) * 1.0::DOUBLE /
-         |        len(list_distinct(a.s || b.s)) >= 0.7
-         |), edges AS (
-         |  SELECT id1 AS src, id2 AS dst FROM pairs
-         |  UNION ALL SELECT id2, id1 FROM pairs
-         |), reach(id, r) AS (
-         |  SELECT DISTINCT src, src FROM edges
-         |  UNION
-         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
-         |)
-         |SELECT id, min(r) AS component FROM reach
-         |GROUP BY id ORDER BY id""".stripMargin) { (s, dir) =>
+    q("q_dedup_components", componentsOracleSql) { (s, dir) =>
       Dedup.connectedComponents(
+        Dedup.minHashNearDuplicates(augmented(s, dir), "doc_id", "text",
+          threshold = 0.7))
+        .orderBy("id")
+    },
+
+    // same clusters via alternating large/small-star (Kiveris et al.)
+    // — the skew-robust web-graph-scale algorithm; identical oracle.
+    q("q_dedup_components_star", componentsOracleSql) { (s, dir) =>
+      Dedup.connectedComponentsStar(
         Dedup.minHashNearDuplicates(augmented(s, dir), "doc_id", "text",
           threshold = 0.7))
         .orderBy("id")

@@ -58,6 +58,34 @@ object ExtrasQueries extends QueryGroup {
         .orderBy("o_orderkey")
     },
 
+    // Morton z-value (the ZOrder clustered-layout key): pure integer/
+    // double Column arithmetic, so the oracle replays it exactly —
+    // rank-scale both dimensions into [0,255] (floor matches Spark's
+    // truncating cast on the clamped non-negative range) and
+    // interleave the 8 bits of each. Ordering a table by this key is
+    // what writeZOrdered does before range-partitioning into files.
+    q("q_zorder_value", {
+      val terms = (for { i <- 0 until 8; j <- 0 until 2 } yield
+        s"(((s$j >> $i) & 1) << ${i * 2 + j})").mkString(" + ")
+      s"""WITH s AS (
+         |  SELECT p_partkey,
+         |    LEAST(GREATEST(CAST(FLOOR(((CAST(p_size AS DOUBLE) - 1.0::DOUBLE)
+         |      / 49.0::DOUBLE) * 255) AS BIGINT), 0), 255) AS s0,
+         |    LEAST(GREATEST(CAST(FLOOR(((CAST(p_retailprice AS DOUBLE) - 900.0::DOUBLE)
+         |      / 1200.0::DOUBLE) * 255) AS BIGINT), 0), 255) AS s1
+         |  FROM part
+         |)
+         |SELECT p_partkey, $terms AS z
+         |FROM s ORDER BY p_partkey""".stripMargin
+    }) { (s, dir) =>
+      t(s, dir, "part").select(col("p_partkey"),
+        graft.sources.ZOrder.zValue(
+          Seq(col("p_size"), col("p_retailprice")),
+          mins = Seq(1.0, 900.0), maxs = Seq(50.0, 2100.0),
+          bits = 8).as("z"))
+        .orderBy("p_partkey")
+    },
+
     // times[T: Ring] — product over a group via the generic monoid
     // aggregator (ReduceOperations.scala:357-370).
     q("q_agg_times",

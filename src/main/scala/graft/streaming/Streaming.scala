@@ -87,6 +87,94 @@ object Streaming {
       }
       .start()
 
+  /** Tagged union row for the stream-stream as-of join; `ts` carries
+    * the event-time watermark through the union.
+    */
+  case class AsOfEvent(key: Long, ts: java.sql.Timestamp, isLeft: Boolean,
+      value: Double)
+  /** One joined output row: the left event plus the latest right event
+    * at-or-before it within the lookback (None = no match ⇒ left-outer
+    * semantics).
+    */
+  case class AsOfMatch(key: Long, sec: Long, value: Double,
+      rightSec: Option[Long], rightValue: Option[Double])
+  /** Per-key buffers: lefts awaiting the watermark, rights within the
+    * lookback horizon. Both (sec, value) pairs.
+    */
+  case class AsOfBuffers(lefts: Seq[(Long, Double)], rights: Seq[(Long, Double)])
+
+  /** Stream-stream AS-OF join — attach to each left event the LATEST
+    * right event with the same key and `rightTs <= leftTs`, looking
+    * back at most `lookbackSec`. The batch operator's streaming
+    * counterpart (`Joins.asofJoin` / native `AsOfJoinExec`), and the
+    * one join Structured Streaming cannot express relationally: the
+    * interval join returns ALL rights in the window, not the single
+    * latest, and "latest" is not monotone under out-of-order arrival.
+    *
+    * Mechanics: both sides are tagged and unioned into one keyed
+    * stream; per-key state buffers events; a left row is emitted only
+    * once the watermark passes its event time — at that point every
+    * non-late right row at-or-before it has arrived, so "latest ≤ ts"
+    * is final (the same allowed-lateness contract as every watermarked
+    * op). An event-time timeout re-invokes the group when the
+    * watermark passes the earliest pending left, so quiet keys still
+    * flush. State is bounded: pending lefts sit above the watermark
+    * and rights prune to the lookback window below it — at 1000
+    * executors this is one hash exchange of each stream and O(active
+    * keys × window) state, the same envelope as Spark's own
+    * stream-stream interval join.
+    */
+  def asofJoinStream(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, leftVal: String, rightTs: String, rightVal: String,
+      watermark: String, lookbackSec: Long): Dataset[AsOfMatch] = {
+    val session = left.sparkSession
+    import session.implicits._
+    def tag(df: DataFrame, ts: String, v: String, isLeft: Boolean) =
+      df.select(col(keyCol).cast("long").as("key"), col(ts).as("ts"),
+          lit(isLeft).as("isLeft"), col(v).cast("double").as("value"))
+        .withWatermark("ts", watermark)
+        .as[AsOfEvent]
+    tag(left, leftTs, leftVal, isLeft = true)
+      .unionByName(tag(right, rightTs, rightVal, isLeft = false))
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[AsOfBuffers, AsOfMatch](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, rows: Iterator[AsOfEvent], state: GroupState[AsOfBuffers]) =>
+          val wmSec = state.getCurrentWatermarkMs() / 1000
+          val st = state.getOption.getOrElse(AsOfBuffers(Nil, Nil))
+          val incoming = rows.toVector
+          def sec(e: AsOfEvent): Long = e.ts.getTime / 1000
+          val lefts = st.lefts ++
+            incoming.filter(_.isLeft).map(e => (sec(e), e.value))
+          val rights = (st.rights ++
+            incoming.filterNot(_.isLeft).map(e => (sec(e), e.value)))
+            .sortBy(_._1)
+          // finalize lefts the watermark has passed: all non-late
+          // rights ≤ their ts have arrived
+          val (ready, pending) = lefts.partition(_._1 <= wmSec)
+          val out = ready.sortBy(_._1).map { case (ls, lv) =>
+            val m = rights.filter(r => r._1 <= ls && ls - r._1 <= lookbackSec)
+              .lastOption
+            AsOfMatch(key, ls, lv, m.map(_._1), m.map(_._2))
+          }
+          // rights at or below (wm - lookback) can never match again:
+          // every remaining/future left has sec > wm
+          val keptRights = rights.filter(_._1 > wmSec - lookbackSec)
+          if (pending.isEmpty && keptRights.isEmpty) state.remove()
+          else {
+            state.update(AsOfBuffers(pending, keptRights))
+            // wake this key when the watermark passes its next deadline
+            // (earliest pending left, or the last right's expiry);
+            // timeouts must be set strictly beyond the current watermark
+            val deadline =
+              if (pending.nonEmpty) pending.map(_._1).min * 1000
+              else (keptRights.map(_._1).max + lookbackSec) * 1000
+            state.setTimeoutTimestamp(math.max(deadline, wmSec * 1000 + 1))
+          }
+          out.iterator
+      }
+  }
+
   /** Per-key session state for gap-based sessionization. */
   case class SessionState(sessionId: Long, lastSec: Long)
   case class SessionEvent(key: Long, sec: Long)

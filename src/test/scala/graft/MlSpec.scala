@@ -58,6 +58,36 @@ class MlSpec extends SparkSpec {
     Dedup.unpersistPipelineCaches()
   }
 
+  test("large/small-star components agree with label propagation on chains, hubs, and random graphs") {
+    import spark.implicits._
+    // chain + pair (the propagation test's shape)
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("id1", "id2")
+    val star = Dedup.connectedComponentsStar(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(star(_) == 1L), s"chain not collapsed: $star")
+    assert(star(10L) == 10L && star(11L) == 10L)
+    // a skewed hub (web-graph shape the star algorithm exists for):
+    // node 500 connects to everything, plus a disjoint chain
+    val hub = ((1L to 400L).map(i => (500L, i)) ++
+      Seq((600L, 601L), (601L, 602L))).toDF("id1", "id2")
+    val hubComp = Dedup.connectedComponentsStar(hub).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hubComp(500L) == 1L && (1L to 400L).forall(hubComp(_) == 1L))
+    assert(Seq(600L, 601L, 602L).forall(hubComp(_) == 600L))
+    // random graph: both algorithms must produce identical labelings
+    val rnd = new scala.util.Random(11)
+    val random = (1 to 300).map(_ =>
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter(p => p._1 != p._2).toDF("id1", "id2")
+    val a = Dedup.connectedComponents(random).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Dedup.connectedComponentsStar(random).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, s"labelings diverge: ${a.toSet.diff(b.toSet)}")
+    Dedup.unpersistPipelineCaches()
+  }
+
   test("dedupGroups maps every doc to a canonical representative") {
     val groups = Dedup.dedupGroups(docs, "doc_id", "text", threshold = 0.5)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -88,6 +88,57 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set(("c1", 5.0), ("c2", 9.0)))
   }
 
+  test("stream-stream as-of join attaches the single latest right row, across batches and out of order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val trades = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val quotes = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val out = Streaming.asofJoinStream(
+      trades.toDF().toDF("tts", "k", "qty"),
+      quotes.toDF().toDF("qts", "k", "px"),
+      "k", "tts", "qty", "qts", "px",
+      watermark = "10 seconds", lookbackSec = 3600L)
+    val query = out.writeStream.format("memory").queryName("asofstream")
+      .outputMode("append").start()
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2020-01-01 $h%02d:$m%02d:00")
+    // batch 1: quotes arrive OUT OF ORDER (10:05 before 10:02), plus a
+    // trade between them and one on a quote-less key
+    quotes.addData((ts(10, 5), 1L, 105.0), (ts(10, 2), 1L, 102.0))
+    trades.addData((ts(10, 3), 1L, 7.0), (ts(10, 4), 2L, 9.0))
+    query.processAllAvailable()
+    // batch 2: later events push the watermark past the batch-1 trades
+    quotes.addData((ts(10, 30), 1L, 130.0))
+    trades.addData((ts(10, 31), 1L, 8.0))
+    query.processAllAvailable()
+    // batch 3: advance the watermark past 10:31 so trade 2 flushes
+    trades.addData((ts(11, 0), 3L, 1.0))
+    quotes.addData((ts(11, 0), 3L, 50.0))
+    query.processAllAvailable()
+    trades.addData((ts(11, 30), 3L, 2.0))
+    query.processAllAvailable()
+    // batch 5: unrelated key pushes the watermark past 11:00, so key
+    // 3's EVENT-TIME TIMER fires inside a data batch (no-data batches
+    // can run after processAllAvailable returns) and flushes its
+    // pending trade with no new rows for that key
+    quotes.addData((ts(12, 0), 9L, 1.0))
+    query.processAllAvailable()
+    val rows = spark.table("asofstream")
+      .select("key", "sec", "value", "rightSec", "rightValue").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).toSet
+    query.stop()
+    def s(h: Int, m: Int) = ts(h, m).getTime / 1000
+    // the 10:03 trade matches the 10:02 quote (NOT the later 10:05 one
+    // that arrived first); the key-2 trade has no quote (left outer);
+    // the 10:31 trade matches the 10:30 quote across batches
+    assert(rows.contains((1L, s(10, 3), 7.0, Some(s(10, 2)), Some(102.0))),
+      s"out-of-order as-of wrong: $rows")
+    assert(rows.contains((2L, s(10, 4), 9.0, None, None)))
+    assert(rows.contains((1L, s(10, 31), 8.0, Some(s(10, 30)), Some(130.0))))
+    assert(rows.contains((3L, s(11, 0), 1.0, Some(s(11, 0)), Some(50.0))))
+  }
+
   test("stream-static enrichment joins each micro-batch to the dimension") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
