@@ -117,19 +117,8 @@ object Dedup {
   def minHashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.6, nHashes: Int = 128, bands: Int = 32,
       shingleWidth: Int = 2, seed: Long = 42L): DataFrame = {
-    val rowsPer = nHashes / bands
-    val spark = df.sparkSession
-    import spark.implicits._
-    val coeffs = MinHashUtil.coefficients(nHashes, seed)
-    val sigs = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
-      .as[(Long, String)]
-      .map { case (id, text) =>
-        val sh = MinHashUtil.shingleHashes(text, shingleWidth)
-        val sig = MinHashUtil.signature(sh, coeffs)
-        (id, sh, MinHashUtil.bandHashes(sig, bands, rowsPer))
-      }
-      .toDF("id", "sh", "bands")
-      .transform(persistTracked)
+    val sigs = buildSignatureStore(df, idCol, textCol, nHashes, bands,
+      shingleWidth, seed).transform(persistTracked)
 
     val buckets = sigs.select(col("id"),
       posexplode(col("bands")).as(Seq("band", "h")))
@@ -142,6 +131,60 @@ object Dedup {
 
     val out = verifyJaccard(candidates, sigs.select("id", "sh"), threshold)
     out
+  }
+
+  /** One linear typed pass over the corpus: per document its shingle
+    * hash set, and its LSH band hashes — the durable signature record.
+    * Persist this (parquet) and a growing corpus never rescans old
+    * text: [[incrementalNearDuplicates]] dedups each new batch against
+    * the store, then the batch's signatures are unioned in. Schema:
+    * (id, sh: Array[Long], bands: Array[Long]).
+    */
+  def buildSignatureStore(df: DataFrame, idCol: String, textCol: String,
+      nHashes: Int = 128, bands: Int = 32, shingleWidth: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    val rowsPer = nHashes / bands
+    val spark = df.sparkSession
+    import spark.implicits._
+    val coeffs = MinHashUtil.coefficients(nHashes, seed)
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val sh = MinHashUtil.shingleHashes(text, shingleWidth)
+        val sig = MinHashUtil.signature(sh, coeffs)
+        (id, sh, MinHashUtil.bandHashes(sig, bands, rowsPer))
+      }
+      .toDF("id", "sh", "bands")
+  }
+
+  /** Incremental near-dup discovery: find all pairs (new × corpus) and
+    * (new × new) at true Jaccard ≥ `threshold`, WITHOUT touching the
+    * corpus text — only `store` (from [[buildSignatureStore]], same
+    * nHashes/bands/shingleWidth/seed) is read. The daily-append shape
+    * at 100 TB: per batch the cost is one linear scan of the DELTA
+    * plus a band-bucket join of the delta against the store — the
+    * store side shuffles only rows whose (band, hash) collides with
+    * the delta after the join's bucket pruning, never the corpus scan.
+    * Returns (id1, id2, jaccard), id1 < id2, each pair touching ≥ 1
+    * new document. Union the delta's signatures into the store
+    * afterwards to advance the corpus.
+    */
+  def incrementalNearDuplicates(newDocs: DataFrame, store: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.6,
+      nHashes: Int = 128, bands: Int = 32, shingleWidth: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    val newSigs = buildSignatureStore(newDocs, idCol, textCol, nHashes,
+      bands, shingleWidth, seed).transform(persistTracked)
+    val allSigs = store.select("id", "sh", "bands").unionByName(newSigs)
+    def explodeBands(sigs: DataFrame) = sigs.select(col("id"),
+      posexplode(col("bands")).as(Seq("band", "h")))
+    val candidates = explodeBands(newSigs).alias("l")
+      .join(explodeBands(allSigs).alias("r"), Seq("band", "h"))
+      .filter(col("l.id") =!= col("r.id"))
+      .select(least(col("l.id"), col("r.id")).as("id1"),
+        greatest(col("l.id"), col("r.id")).as("id2"))
+      .distinct()
+    verifyJaccard(candidates, allSigs.select("id", "sh"), threshold)
   }
 
   /** Connected components over near-duplicate pairs — the clustering

@@ -157,6 +157,34 @@ object DedupQueries extends QueryGroup {
         .orderBy("id")
     },
 
+    // incremental dedup: originals form the signature STORE, the
+    // planted copies arrive as a new batch — dedup the batch against
+    // the store without re-reading corpus text. Every qualifying pair
+    // touches a new doc (copies have ids ≥ 1000000, so with id1 < id2
+    // that's exactly the pairs with id2 ≥ 1000000: new×old and
+    // new×new); old×old pairs must NOT appear.
+    q("q_dedup_incremental",
+      s"""$augmentedSql, sh AS (
+         |  SELECT doc_id, $shinglesSql AS s FROM docs
+         |)
+         |SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |  round(len(list_intersect(a.s, b.s)) * 1.0::DOUBLE /
+         |        len(list_distinct(a.s || b.s)), 6) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE b.doc_id >= 1000000
+         |  AND len(list_intersect(a.s, b.s)) * 1.0::DOUBLE /
+         |      len(list_distinct(a.s || b.s)) >= 0.7
+         |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+      val aug = augmented(s, dir)
+      val store = Dedup.buildSignatureStore(
+        aug.filter(col("doc_id") < 1000000L), "doc_id", "text")
+      Dedup.incrementalNearDuplicates(
+        aug.filter(col("doc_id") >= 1000000L), store, "doc_id", "text",
+        threshold = 0.7)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id1", "id2")
+    },
+
     // SimHash property gate: the pigeonhole candidate step is
     // recall-lossy by construction, so instead of a set-equality
     // oracle this checks the deterministic *contract*: an exact copy

@@ -88,6 +88,28 @@ class MlSpec extends SparkSpec {
     Dedup.unpersistPipelineCaches()
   }
 
+  test("incremental dedup finds new-vs-store and new-vs-new pairs without corpus text") {
+    import spark.implicits._
+    val store = Dedup.buildSignatureStore(
+      docs.filter(col("doc_id").isin(1L, 3L, 5L)), "doc_id", "text")
+    // a batch holding doc 2 (near-dup of stored 1), doc 4 (near-dup of
+    // stored 3), and an exact copy of 4 (a new×new pair)
+    val batch = docs.filter(col("doc_id").isin(2L, 4L))
+      .unionByName(docs.filter(col("doc_id") === 4L)
+        .select(lit(40L).as("doc_id"), col("text")))
+    val pairs = Dedup.incrementalNearDuplicates(batch, store,
+      "doc_id", "text", threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"new-vs-store pair missing: $pairs")
+    assert(pairs.contains((3L, 4L)))
+    assert(pairs.contains((4L, 40L)), s"new-vs-new pair missing: $pairs")
+    // no old×old pair may be emitted (1,3,5 are all mutually distinct
+    // anyway, but the contract is that the store is never self-joined)
+    assert(pairs.forall { case (a, b) => b == 2L || b == 4L || b == 40L },
+      s"pair not touching the new batch: $pairs")
+    Dedup.unpersistPipelineCaches()
+  }
+
   test("dedupGroups maps every doc to a canonical representative") {
     val groups = Dedup.dedupGroups(docs, "doc_id", "text", threshold = 0.5)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -104,6 +104,32 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 2)
   }
 
+  test("compaction rewrites many small files into few target-sized ones, per partition") {
+    import spark.implicits._
+    import graft.sources.Compaction
+    val in = tmp()
+    // 64 tiny files per partition (a month of hourly micro-batches)
+    (1 to 2000).map(i => (i.toLong, "p" + (i % 2), "x" * 50))
+      .toDF("id", "part", "payload")
+      .repartition(64).write.mode("overwrite").partitionBy("part").parquet(in)
+    def files(d: String) = new java.io.File(d).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files(s"$in/part=p0") > 30, "setup should create many small files")
+    val out = tmp()
+    val counts = Compaction.compactPartitioned(spark, in, out,
+      targetBytes = 512L * 1024)
+    assert(counts.keySet == Set("part=p0", "part=p1"))
+    assert(counts.values.forall(_ == 1), s"should bin-pack to one file: $counts")
+    assert(files(s"$out/part=p0") == 1, "on-disk file count must match plan")
+    // contents survive byte-identical row-wise
+    val a = spark.read.parquet(in).select("id", "payload")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = spark.read.option("basePath", out).parquet(out)
+      .select("id", "payload")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a == b)
+  }
+
   test("time-pathed source resolves only existing paths and reads them") {
     import spark.implicits._
     import graft.dates._
