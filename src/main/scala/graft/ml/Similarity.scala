@@ -82,6 +82,98 @@ object Similarity {
       .toDF("qid", "cid", "cos")
   }
 
+  /** Int8 scalar quantization kernels. Per-vector max-abs scale:
+    * qᵢ = round(127·xᵢ/max|x|), so x ≈ (max|x|/127)·q. Cosine is
+    * SCALE-FREE — cos(x,y) ≈ intDot(qx,qy)/(|qx|·|qy|) with the scales
+    * cancelling — so ranking needs only the int8 vectors: 4× less
+    * memory/IO than float32, and the error per dimension is ≤ 1/254 of
+    * the vector's max component (≈0.5 quantization step).
+    */
+  object QuantUtil {
+    def maxAbs(v: Array[Float]): Float = {
+      var m = 0f; var i = 0
+      while (i < v.length) { val a = math.abs(v(i)); if (a > m) m = a; i += 1 }
+      m
+    }
+    /** int8 codes; all-zero input stays all-zero. */
+    def quantize(v: Array[Float]): Array[Byte] = {
+      val m = maxAbs(v)
+      val s = if (m == 0f) 0f else 127f / m
+      val q = new Array[Byte](v.length)
+      var i = 0
+      while (i < v.length) {
+        val r = math.round(v(i) * s)
+        q(i) = (if (r > 127) 127 else if (r < -127) -127 else r).toByte
+        i += 1
+      }
+      q
+    }
+    /** Σ aᵢ·bᵢ in integer arithmetic (exact: |Σ| ≤ n·127² fits Long). */
+    def intDot(a: Array[Byte], b: Array[Byte]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { s += a(i).toLong * b(i); i += 1 }
+      s
+    }
+    def intNorm(a: Array[Byte]): Double = math.sqrt(intDot(a, a).toDouble)
+  }
+
+  /** Quantize an embedding table (id, vec: Array[Float]) into the
+    * compact ANN corpus representation: (id, qvec: Binary, qscale:
+    * Float, qnorm: Double). `qscale` (= max|x|/127) dequantizes for
+    * dot/L2 uses; cosine ranking reads only qvec/qnorm. Write THIS to
+    * parquet as the serving corpus — at 10⁹ × 768-dim vectors the
+    * difference between a 3 TB and a 0.75 TB scan per query batch.
+    */
+  def quantizeInt8(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id"), col("vec")).as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val q = QuantUtil.quantize(v)
+        (id, q, QuantUtil.maxAbs(v) / 127f, QuantUtil.intNorm(q))
+      }
+      .toDF("id", "qvec", "qscale", "qnorm")
+  }
+
+  /** Brute-force cosine top-k over an int8-quantized corpus (from
+    * [[quantizeInt8]]): same broadcast-probe/bounded-top-k shape as
+    * [[bruteForceTopK]], but the scan reads ¼ the bytes and the inner
+    * loop is integer multiply-adds. Queries stay float and are
+    * quantized driver-side. Output (qid, cid, cos) with cos the
+    * quantized approximation.
+    */
+  def bruteForceTopKQuantized(queries: DataFrame, corpusQ: DataFrame,
+      k: Int): DataFrame = {
+    val spark = corpusQ.sparkSession
+    import spark.implicits._
+    val qs = queries.select(col("id"), col("vec")).as[(Long, Array[Float])]
+      .collect().map { case (id, v) =>
+        val q = QuantUtil.quantize(v)
+        (id, q, QuantUtil.intNorm(q))
+      }
+    val bq = spark.sparkContext.broadcast(qs)
+    val scored = corpusQ.select(col("id"), col("qvec"), col("qnorm"))
+      .as[(Long, Array[Byte], Double)]
+      .mapPartitions { it =>
+        val queries = bq.value
+        it.flatMap { case (cid, cv, cn) =>
+          queries.iterator.collect {
+            case (qid, qv, qn) if qid != cid =>
+              (qid, (QuantUtil.intDot(qv, cv) / (qn * cn), cid))
+          }
+        }
+      }
+    implicit val ord: Ordering[(Double, Long)] =
+      Ordering.by((t: (Double, Long)) => (-t._1, t._2))(
+        Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+    new graft.typed.Grouped(scored)
+      .sortedTake(k)
+      .ds.flatMap { case (qid, tops) =>
+        tops.map { case (cos, cid) => (qid, cid, cos) }
+      }
+      .toDF("qid", "cid", "cos")
+  }
+
   /** Random-hyperplane signature: `nBits` sign bits of projections
     * onto fixed pseudo-random directions (deterministic for a seed).
     * Cosine-similar vectors agree on most bits (Charikar '02).

@@ -107,6 +107,35 @@ object EmbeddingQueries extends QueryGroup {
     // IVF ANN: recall-bounded contract vs brute force — the query
     // reports whether IVF(nProbe=4) recovers >= 40% of the exact
     // top-5 per query; the oracle asserts the bound.
+    // int8 scalar quantization (4× smaller ANN corpus): for the EXACT
+    // top-5 pairs, the quantized cosine must sit within 0.03 of the
+    // float cosine — a deterministic tolerance contract (recall-style
+    // gates are SF-sensitive; numeric error bounds are not).
+    q("q_ann_quantized",
+      """SELECT q.vec_id AS qid, true AS quant_ok
+        |FROM embeddings q WHERE q.vec_id < 10 ORDER BY qid""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = e.filter(col("id") < 10)
+      val exact = Similarity.bruteForceTopK(queries, e, 5)
+      val corpusQ = Similarity.quantizeInt8(e)
+      val qq = corpusQ.select(col("id").as("qid"), col("qvec").as("qv"),
+        col("qnorm").as("qn"))
+      val cq = corpusQ.select(col("id").as("cid"), col("qvec").as("cv"),
+        col("qnorm").as("cn"))
+      exact.join(qq, "qid").join(cq, "cid")
+        .select(col("qid"), col("cos"), col("qv"), col("qn"), col("cv"), col("cn"))
+        .as[(Long, Double, Array[Byte], Double, Array[Byte], Double)]
+        .map { case (qid, cos, qv, qn, cv, cn) =>
+          (qid,
+            math.abs(Similarity.QuantUtil.intDot(qv, cv) / (qn * cn) - cos))
+        }
+        .toDF("qid", "err")
+        .groupBy("qid").agg((max("err") <= 0.03).as("quant_ok"))
+        .orderBy("qid")
+    },
+
     q("q_ann_ivf",
       """SELECT q.vec_id AS qid, true AS recall_ok
         |FROM embeddings q WHERE q.vec_id < 10 ORDER BY qid""".stripMargin) { (s, dir) =>

@@ -88,6 +88,28 @@ class MlSpec extends SparkSpec {
     Dedup.unpersistPipelineCaches()
   }
 
+  test("int8-quantized ANN search nearly reproduces exact top-k ranking") {
+    val e = spark.read.parquet(sf() + "/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = e.filter(col("id") < 5)
+    val exact = Similarity.bruteForceTopK(queries, e, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val quant = Similarity.bruteForceTopKQuantized(
+      queries, Similarity.quantizeInt8(e), 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(exact.keySet == quant.keySet)
+    val recalls = exact.map { case (qid, ex) =>
+      quant(qid).intersect(ex).size.toDouble / ex.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"int8 recall@10 degraded: $mean ($recalls)")
+    // quantization round-trip: codes bounded, zero vector stays zero
+    val z = Similarity.QuantUtil.quantize(Array(0f, 0f, 0f))
+    assert(z.forall(_ == 0))
+  }
+
   test("incremental dedup finds new-vs-store and new-vs-new pairs without corpus text") {
     import spark.implicits._
     val store = Dedup.buildSignatureStore(
