@@ -23,6 +23,51 @@ abstract class GraftJob(val args: Args) {
   def next: Option[GraftJob] = None
 }
 
+/** Multi-flow orchestration — rebuild of the reference's `CascadeJob`
+  * (CascadeJob.scala:6-36), which ran several flows with Cascading's
+  * topology solver inferring order from shared source/sink taps. Here
+  * the dependency DAG is DECLARED (explicit (before, after) index
+  * pairs into `jobs`) and the cascade runs members in topological
+  * order — deterministic, no path inference; within one SparkSession
+  * each member's stages still schedule in parallel where independent.
+  * Each member's own `next` chain is honored before its dependents
+  * start (the reference ran flows to completion the same way).
+  */
+abstract class CascadeJob(args: Args) extends GraftJob(args) {
+
+  /** Member jobs of the cascade. */
+  def jobs: Seq[GraftJob]
+
+  /** DAG edges (beforeIdx, afterIdx); default = listed order. */
+  def dependencies: Seq[(Int, Int)] =
+    jobs.indices.dropRight(1).map(i => (i, i + 1))
+
+  final def run(spark: SparkSession): Unit = {
+    val n = jobs.size
+    val deps = dependencies
+    deps.foreach { case (a, b) =>
+      require(a >= 0 && a < n && b >= 0 && b < n, s"bad edge ($a,$b)") }
+    val indeg = Array.fill(n)(0)
+    deps.foreach { case (_, b) => indeg(b) += 1 }
+    val order = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val ready = scala.collection.mutable.Queue(
+      jobs.indices.filter(indeg(_) == 0): _*)
+    while (ready.nonEmpty) {
+      val i = ready.dequeue()
+      order += i
+      deps.foreach { case (a, b) =>
+        if (a == i) { indeg(b) -= 1; if (indeg(b) == 0) ready.enqueue(b) }
+      }
+    }
+    require(order.size == n,
+      s"cascade dependency cycle among jobs ${jobs.indices.toSet -- order.toSet}")
+    order.foreach { i =>
+      var j = Option(jobs(i))
+      while (j.isDefined) { j.get.run(spark); j = j.get.next }
+    }
+  }
+}
+
 object Tool {
 
   /** `Tool.main(Array("com.foo.MyJob", "--input", ...))`: reflectively

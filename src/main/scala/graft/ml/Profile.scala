@@ -64,6 +64,33 @@ object Profile {
     pmod(pmod(key.cast("long"), lit(2147483647L)) * lit(1327217885L),
       lit(2147483647L))
 
+  /** Adversarial-grade deterministic sample: membership =
+    * `md5(key) prefix < threshold`. Same determinism/append-stability/
+    * nesting properties as [[hashSample]], but the selection is
+    * cryptographic — no key-arithmetic structure (sequential blocks,
+    * common factors with the modulus, adversarially-chosen ids) can
+    * bias the split. The cost is a hash per row instead of one
+    * multiply; use it when the key space is not under your control.
+    *
+    * Engine-portable by construction: every engine's md5 of the same
+    * decimal string yields the same lowercase hex, and the comparison
+    * is on the 8-char hex PREFIX as a string (lexicographic =
+    * numeric for fixed-width hex), so an external SQL oracle replays
+    * membership exactly — no binary/bigint conversion needed.
+    */
+  def hashSampleStrong(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
+    df.filter(strongBucket(col(keyCol)) < lit(strongThreshold(fraction)))
+
+  /** 8-hex-char md5 prefix of the key's decimal string form. */
+  def strongBucket(key: Column): Column =
+    substring(md5(key.cast("long").cast("string")), 1, 8)
+
+  /** `fraction` of the 16^8 prefix space, as fixed-width lowercase hex
+    * (the comparison literal for [[strongBucket]]).
+    */
+  def strongThreshold(fraction: Double): String =
+    f"${math.round(fraction * 4294967296.0).min(4294967295L)}%08x"
+
   /** Stratified deterministic sample: per-stratum fractions with the
     * same hash rule (unlisted strata are dropped).
     */

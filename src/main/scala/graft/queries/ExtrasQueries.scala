@@ -58,6 +58,23 @@ object ExtrasQueries extends QueryGroup {
         .orderBy("o_orderkey")
     },
 
+    // adversarial-grade deterministic sampling: membership by md5-hex
+    // PREFIX comparison — portable because every engine md5s the same
+    // decimal string to the same lowercase hex, and fixed-width hex
+    // compares lexicographically as numerically. (The Fibonacci
+    // sampler above is faster but arithmetic-structured; this one is
+    // safe for key spaces you don't control.)
+    q("q_sample_hash_strong",
+      s"""SELECT o_orderkey, o_custkey
+         |FROM orders
+         |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) <
+         |      '${graft.ml.Profile.strongThreshold(0.1)}'
+         |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      graft.ml.Profile.hashSampleStrong(t(s, dir, "orders"), "o_orderkey", 0.1)
+        .select("o_orderkey", "o_custkey")
+        .orderBy("o_orderkey")
+    },
+
     // Morton z-value (the ZOrder clustered-layout key): pure integer/
     // double Column arithmetic, so the oracle replays it exactly —
     // rank-scale both dimensions into [0,255] (floor matches Spark's

@@ -93,6 +93,28 @@ class ExtrasSpec extends SparkSpec {
     assert(tighter.subsetOf(a))
   }
 
+  test("strong hash sample stays proportional on adversarial key structure") {
+    import spark.implicits._
+    val df = (1L to 10000L).toDF("id")
+    val a = graft.ml.Profile.hashSampleStrong(df, "id", 0.2)
+      .collect().map(_.getLong(0)).toSet
+    val b = graft.ml.Profile.hashSampleStrong(df, "id", 0.2)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b, "re-run must select identical keys")
+    assert(math.abs(a.size - 2000) < 300, s"fraction off: ${a.size}")
+    val tighter = graft.ml.Profile.hashSampleStrong(df, "id", 0.1)
+      .collect().map(_.getLong(0)).toSet
+    assert(tighter.subsetOf(a), "nested fractions must be subsets")
+    // adversarial keys: multiples of M = 2^31-1 all collide to 0 under
+    // the Fibonacci scramble (every one selected at any fraction); the
+    // crypto sampler keeps the fraction honest
+    val adv = (1L to 2000L).map(_ * 2147483647L).toDF("id")
+    val fib = graft.ml.Profile.hashSample(adv, "id", 0.1).count()
+    val strong = graft.ml.Profile.hashSampleStrong(adv, "id", 0.1).count()
+    assert(fib == 2000L, s"fib scramble should degenerate here, got $fib")
+    assert(math.abs(strong - 200L) < 80, s"strong sample biased: $strong")
+  }
+
   test("stratified hash sample applies per-stratum fractions") {
     import spark.implicits._
     val df = (1L to 6000L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "s")

@@ -25,7 +25,34 @@ object CountJob {
   @volatile var observed: Seq[Long] = Nil
 }
 
+/** Cascade members recording execution order (top-level for clarity). */
+class StepJob(args: Args, tagged: String) extends GraftJob(args) {
+  def run(spark: SparkSession): Unit = { StepJob.trace = StepJob.trace :+ tagged }
+}
+object StepJob {
+  @volatile var trace: Seq[String] = Nil
+}
+
 class HarnessSpec extends SparkSpec {
+
+  test("CascadeJob runs members in declared-dependency topological order") {
+    import graft.core.CascadeJob
+    StepJob.trace = Nil
+    val a = Args("")
+    // declared out of order: C listed first but depends on A and B
+    val cascade = new CascadeJob(a) {
+      val jobs = Seq(new StepJob(a, "C"), new StepJob(a, "A"), new StepJob(a, "B"))
+      override def dependencies = Seq((1, 2), (2, 0)) // A -> B -> C
+    }
+    cascade.run(spark)
+    assert(StepJob.trace == Seq("A", "B", "C"), s"order: ${StepJob.trace}")
+    // a cycle must be rejected loudly, not silently dropped
+    val cyclic = new CascadeJob(a) {
+      val jobs = Seq(new StepJob(a, "X"), new StepJob(a, "Y"))
+      override def dependencies = Seq((0, 1), (1, 0))
+    }
+    intercept[IllegalArgumentException] { cyclic.run(spark) }
+  }
 
   test("Tool instantiates jobs by reflection and follows next") {
     CountJob.observed = Nil

@@ -61,6 +61,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"), s"no bounded top-k agg:\n$p")
   }
 
+  test("quantized ANN keeps the broadcast-probe shape: one corpus pass, bounded top-k") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(sf() + "/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val df = graft.ml.Similarity.bruteForceTopKQuantized(
+      e.filter(col("id") < 3), graft.ml.Similarity.quantizeInt8(e), 5)
+    val p = df.queryExecution.executedPlan.toString
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected one corpus scan, got $scans:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"no bounded top-k agg:\n$p")
+    val lines = p.linesIterator.toSeq
+    val partialIdx = lines.indexWhere(l =>
+      l.contains("ObjectHashAggregate") && l.contains("partial_"))
+    val exchangeIdx = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    assert(partialIdx > exchangeIdx && exchangeIdx >= 0,
+      s"partial top-k must ride below the exchange:\n$p")
+  }
+
   test("q_date_range_filter prunes with pushed timestamp bounds") {
     val p = plan("q_date_range_filter")
     assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(o_orderdate"),

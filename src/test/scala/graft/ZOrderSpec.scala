@@ -32,11 +32,17 @@ class ZOrderSpec extends SparkSpec {
       .toDF("x", "y")
     val base = java.nio.file.Files.createTempDirectory("graft-zorder").toString
 
-    // layout A: sorted by x only (the single-dimension best case)
-    data.repartitionByRange(200, col("x")).sortWithinPartitions("x")
+    // layout A: sorted by x only (the single-dimension best case).
+    // 512 files in both layouts: pruning resolution = file count, and
+    // the x-stripe survivor count is density-bound (~10% of rows)
+    // regardless of granularity, while the z-layout's boundary
+    // overhang shrinks with file size — the margin must not hinge on
+    // where the range-sampler (seeded by session-history RDD ids)
+    // happens to cut boundaries.
+    data.repartitionByRange(512, col("x")).sortWithinPartitions("x")
       .write.mode("overwrite").parquet(s"$base/xsort")
     // layout B: z-ordered on (x, y)
-    ZOrder.writeZOrdered(data, s"$base/zorder", Seq("x", "y"), nFiles = 200)
+    ZOrder.writeZOrdered(data, s"$base/zorder", Seq("x", "y"), nFiles = 512)
 
     def box(path: String) = spark.read.parquet(path)
       .filter(col("x") >= 100 && col("x") < 200 &&
