@@ -29,6 +29,16 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // runtime row-level filtering: a selective dimension filter
+      // becomes a bloom filter pushed into the fact-table scan before
+      // the shuffle — at 100 TB this is the difference between
+      // shuffling the whole fact table and shuffling the ~matching
+      // rows. (Size thresholds still gate activation per query.)
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // MIN/MAX/COUNT over parquet without filters answer from footer
+      // metadata — a stats query over a 100 TB table becomes a
+      // metadata-only job
+      .config("spark.sql.parquet.aggregatePushdown", "true")
       // Java wraparound integer semantics — required by the hash
       // arithmetic in MinHash signatures and matching the reference's
       // JVM behavior (scalding had no ANSI overflow checks).

@@ -1,0 +1,123 @@
+package graft.events
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over (user, timestamp, type) streams —
+  * funnels and cohort retention, the two queries every large-scale
+  * event pipeline runs daily. The reference has no equivalent (its
+  * closest idiom is hand-rolled groupBy buffers); these are
+  * first-class here because they stress exactly the shapes that
+  * matter at 100 TB: ONE shuffle by user for an arbitrary-depth
+  * funnel (never one join per step), and distinct-aggregation for
+  * cohort grids.
+  */
+object Events {
+
+  /** Per-user funnel completion: how deep into `steps` (ordered event
+    * types) each user progressed, matching greedily by earliest
+    * qualifying time — step 1 at its global earliest t₁, step k at the
+    * earliest occurrence ≥ step k-1's time (and ≤ t₁ + `windowSec`
+    * when set; `0` or negative = unwindowed). Ties at the same second
+    * match (≥ comparisons on whole seconds), so semantics are exactly
+    * replayable by chained-min SQL.
+    *
+    * Input: `events` with (userCol: long, secCol: long epoch seconds,
+    * typeCol: string). Output: (user, reached) — the number of steps
+    * completed, 1-based; users with no step-1 event are absent.
+    *
+    * Scale shape: ONE hash shuffle by user (groupByKey), then a
+    * per-user chained-min over that user's events held in memory —
+    * per-user event counts are bounded in practice; depth K costs K
+    * passes over the in-memory array, NOT K joins over the table.
+    */
+  def funnel(events: DataFrame, userCol: String, secCol: String,
+      typeCol: String, steps: Seq[String],
+      windowSec: Long = 0L): Dataset[(Long, Int)] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    events
+      .select(col(userCol).cast("long"), col(secCol).cast("long"),
+        col(typeCol).cast("string"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroups { (user, it) =>
+        // (sec, stepIndex) for step-relevant events only
+        val evs = it.flatMap { case (_, sec, tp) =>
+          stepIdx.get(tp).map(i => (sec, i))
+        }.toArray
+        var reached = 0
+        var prevT = Long.MinValue
+        var deadline = Long.MaxValue
+        var k = 0
+        var more = true
+        while (more && k < steps.length) {
+          // earliest occurrence of step k at-or-after the previous
+          // step's time and within the window anchored at step 1
+          var best = Long.MaxValue
+          var i = 0
+          while (i < evs.length) {
+            val (sec, si) = evs(i)
+            if (si == k && sec >= prevT && sec <= deadline && sec < best)
+              best = sec
+            i += 1
+          }
+          if (best == Long.MaxValue) more = false
+          else {
+            reached = k + 1
+            prevT = best
+            if (k == 0 && windowSec > 0) deadline = best + windowSec
+            k += 1
+          }
+        }
+        (user, reached)
+      }
+      .filter(_._2 > 0)
+  }
+
+  /** Funnel conversion counts: (step, step_name, n_users) where
+    * n_users = users whose [[funnel]] depth reached that step.
+    */
+  def funnelCounts(events: DataFrame, userCol: String, secCol: String,
+      typeCol: String, steps: Seq[String],
+      windowSec: Long = 0L): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val depths = funnel(events, userCol, secCol, typeCol, steps, windowSec)
+      .toDF("user", "reached")
+    val stepDf = steps.zipWithIndex
+      .map { case (name, i) => (i + 1, name) }.toDF("step", "step_name")
+    // left join + count(non-null): steps nobody reached still emit a
+    // zero row, keeping the output schema total over `steps`
+    stepDf.join(depths, col("reached") >= col("step"), "left")
+      .groupBy("step", "step_name").agg(count(col("reached")).as("n_users"))
+  }
+
+  /** Cohort retention grid: users are cohorted by the period of their
+    * FIRST `anchorType` event (period = floor(sec / periodSec)), and
+    * counted in (cohort, period-offset p) when they have any
+    * `returnTypes` event p periods later (p ≥ 0; p = 0 is the anchor
+    * period itself). Output: (cohort, period, n_users) — distinct
+    * users per cell.
+    *
+    * Two shuffles at any scale: the per-user anchor min, and the
+    * distinct (cohort, p, user) aggregation.
+    */
+  def retention(events: DataFrame, userCol: String, secCol: String,
+      typeCol: String, anchorType: String, returnTypes: Seq[String],
+      periodSec: Long): DataFrame = {
+    val e = events.select(col(userCol).cast("long").as("user"),
+      floor(col(secCol).cast("long") / periodSec).cast("long").as("w"),
+      col(typeCol).as("tp"))
+    val anchors = e.filter(col("tp") === anchorType)
+      .groupBy("user").agg(min("w").as("cohort"))
+    e.filter(col("tp").isin(returnTypes: _*))
+      .join(anchors, "user")
+      .filter(col("w") >= col("cohort"))
+      .select(col("cohort"), (col("w") - col("cohort")).as("period"), col("user"))
+      .distinct()
+      .groupBy("cohort", "period").agg(count(lit(1)).as("n_users"))
+  }
+}

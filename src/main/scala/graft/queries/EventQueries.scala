@@ -276,6 +276,68 @@ object EventQueries extends QueryGroup {
         .agg(countDistinct("session_id").as("n_sessions"),
           count(lit(1)).as("n_events"))
         .orderBy("user_id")
+    },
+
+    // ordered funnel view → click → purchase within a 7-day window of
+    // the first view: greedy earliest matching (step k = earliest
+    // occurrence ≥ step k-1's time), so chained mins replay it
+    // exactly. One shuffle by user regardless of depth.
+    q("q_events_funnel",
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events
+        |), s1 AS (
+        |  SELECT user_id, min(sec) AS t FROM e WHERE event_type = 'view'
+        |  GROUP BY user_id
+        |), s2 AS (
+        |  SELECT e.user_id, min(e.sec) AS t, min(s1.t) AS t1
+        |  FROM e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.sec >= s1.t
+        |    AND e.sec <= s1.t + 604800
+        |  GROUP BY e.user_id
+        |), s3 AS (
+        |  SELECT e.user_id FROM e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.sec >= s2.t
+        |    AND e.sec <= s2.t1 + 604800
+        |  GROUP BY e.user_id
+        |)
+        |SELECT 1 AS step, 'view' AS step_name,
+        |  (SELECT count(*) FROM s1) AS n_users
+        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+        |ORDER BY step""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events").select(col("user_id"),
+        floor(col("ts") / 1000000000L).cast("long").as("sec"),
+        col("event_type"))
+      graft.events.Events.funnelCounts(e, "user_id", "sec", "event_type",
+        Seq("view", "click", "purchase"), windowSec = 604800L)
+        .orderBy("step")
+    },
+
+    // weekly cohort retention: cohort = week of first signup, a user
+    // lands in (cohort, p) when they click/purchase p weeks later.
+    q("q_events_retention",
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 604800) AS BIGINT) AS w,
+        |    event_type
+        |  FROM events
+        |), a AS (
+        |  SELECT user_id, min(w) AS cohort FROM e WHERE event_type = 'signup'
+        |  GROUP BY user_id
+        |), r AS (
+        |  SELECT DISTINCT a.cohort, e.w - a.cohort AS period, e.user_id
+        |  FROM e JOIN a ON e.user_id = a.user_id
+        |  WHERE e.event_type IN ('click', 'purchase') AND e.w >= a.cohort
+        |)
+        |SELECT cohort, period, count(*) AS n_users FROM r
+        |GROUP BY cohort, period ORDER BY cohort, period""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events").select(col("user_id"),
+        floor(col("ts") / 1000000000L).cast("long").as("sec"),
+        col("event_type"))
+      graft.events.Events.retention(e, "user_id", "sec", "event_type",
+        "signup", Seq("click", "purchase"), 604800L)
+        .orderBy("cohort", "period")
     }
   )
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.events.Events
+
+/** Funnel / retention semantics on constructed sequences. */
+class EventsSpec extends SparkSpec {
+
+  private def ev(rows: (Long, Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("u", "sec", "tp")
+  }
+
+  test("funnel matches greedily in order, honors the window, ties at same second") {
+    val steps = Seq("A", "B", "C")
+    val events = ev(
+      // user 1: clean A→B→C
+      (1L, 100L, "A"), (1L, 200L, "B"), (1L, 300L, "C"),
+      // user 2: B only BEFORE A — order matters, depth 1
+      (2L, 100L, "B"), (2L, 200L, "A"),
+      // user 3: C falls outside the window anchored at A — depth 2
+      (3L, 100L, "A"), (3L, 150L, "B"), (3L, 9999L, "C"),
+      // user 4: never does A — absent from the funnel
+      (4L, 100L, "B"), (4L, 200L, "C"),
+      // user 5: B at the SAME second as A matches (>= semantics)
+      (5L, 100L, "A"), (5L, 100L, "B"))
+    val depths = Events.funnel(events, "u", "sec", "tp", steps,
+      windowSec = 1000L).collect().toMap
+    assert(depths == Map(1L -> 3, 2L -> 1, 3L -> 2, 5L -> 2), s"got $depths")
+    val counts = Events.funnelCounts(events, "u", "sec", "tp", steps,
+      windowSec = 1000L).orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    // 4 users start; 3 reach B; only user 1 finishes
+    assert(counts == Seq((1, "A", 4L), (2, "B", 3L), (3, "C", 1L)), s"got $counts")
+  }
+
+  test("funnel greedy picks the earliest first step even when a later one would convert") {
+    // documents the greedy contract: anchor = EARLIEST step-1 event;
+    // user 6's second A at 5000 would let C convert, but the window
+    // anchors at the first A
+    val events = ev((6L, 100L, "A"), (6L, 5000L, "A"),
+      (6L, 5100L, "B"), (6L, 5200L, "C"))
+    val d = Events.funnel(events, "u", "sec", "tp", Seq("A", "B", "C"),
+      windowSec = 1000L).collect().toMap
+    assert(d == Map(6L -> 1), s"got $d")
+  }
+
+  test("retention cohorts users by first anchor period and counts distinct returners") {
+    // period = 100 s; user 1 anchors in period 1, returns periods 1 and 3
+    // (duplicate returns in one period count once); user 2 anchors in
+    // period 2, returns period 2 (offset 0); user 3 never anchors
+    val events = ev(
+      (1L, 100L, "signup"), (1L, 150L, "click"), (1L, 160L, "click"),
+      (1L, 350L, "click"),
+      (2L, 200L, "signup"), (2L, 250L, "purchase"),
+      (3L, 100L, "click"))
+    val grid = Events.retention(events, "u", "sec", "tp",
+      "signup", Seq("click", "purchase"), 100L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(grid == Map((1L, 0L) -> 1L, (1L, 2L) -> 1L, (2L, 0L) -> 1L),
+      s"got $grid")
+  }
+}

@@ -79,6 +79,58 @@ class PlanAuditSpec extends SparkSpec {
       s"partial top-k must ride below the exchange:\n$p")
   }
 
+  test("selective dim filter injects a runtime bloom filter into the fact scan") {
+    import org.apache.spark.sql.functions.col
+    // production thresholds need a ≥10 GB application side; shrink
+    // them so the optimizer's injection logic is exercised at test
+    // scale (the conf itself ships enabled in GraftSession)
+    val settings = Seq(
+      // app side must exceed this (default 10 GB) — drop to 0
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      // creation side must stay UNDER this cap — raise it
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB",
+      // a broadcast join would filter row-by-row anyway; force the
+      // shuffle-join shape the bloom filter exists for
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = settings.map { case (k, _) => k -> spark.conf.getOption(k) }
+    settings.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.read.parquet(sf("sf0.01") + "/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_quantity")
+      val dim = spark.read.parquet(sf("sf0.01") + "/part.parquet")
+        .filter(col("p_size") === 1)
+        .select("p_partkey")
+      val joined = fact.join(dim, fact("l_partkey") === dim("p_partkey"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter") || p.contains("BloomFilter") ||
+        p.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("parquet aggregate pushdown answers unfiltered min/max/count from metadata") {
+    import org.apache.spark.sql.functions._
+    // aggregate pushdown is a DSv2 reader feature; the engine defaults
+    // to V1 (bucketed tables need it), so a stats-only job opts into
+    // V2 for the metadata-only scan
+    val key = "spark.sql.sources.useV1SourceList"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "")
+    try {
+      val p = spark.read.parquet(sf("sf0.01") + "/orders.parquet")
+        .agg(min("o_orderkey"), max("o_orderkey"), count(lit(1)))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("PushedAggregation: [MIN(o_orderkey), MAX(o_orderkey), COUNT(*)]"),
+        s"aggregate not pushed to parquet footers:\n$p")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("q_date_range_filter prunes with pushed timestamp bounds") {
     val p = plan("q_date_range_filter")
     assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(o_orderdate"),
