@@ -95,6 +95,24 @@ object Events {
       .groupBy("step", "step_name").agg(count(col("reached")).as("n_users"))
   }
 
+  /** Event-transition (path) counts: for each user's event sequence
+    * ordered by (sec, tie-break id), count consecutive (from → to)
+    * type pairs — the Markov-chain view of product flows ("what do
+    * users do after X?"). One window pass: shuffle by user, sort
+    * within partition, lag — no self-join. `idCol` breaks same-second
+    * ties deterministically.
+    */
+  def transitionCounts(events: DataFrame, userCol: String, secCol: String,
+      typeCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy(col(secCol), col(idCol))
+    events
+      .withColumn("__from", lag(col(typeCol), 1).over(w))
+      .filter(col("__from").isNotNull)
+      .groupBy(col("__from").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Cohort retention grid: users are cohorted by the period of their
     * FIRST `anchorType` event (period = floor(sec / periodSec)), and
     * counted in (cohort, period-offset p) when they have any

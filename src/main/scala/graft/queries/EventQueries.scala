@@ -314,6 +314,31 @@ object EventQueries extends QueryGroup {
         .orderBy("step")
     },
 
+    // event-transition counts (path analysis): consecutive (from→to)
+    // event-type pairs per user, one window pass, tie-broken by
+    // event_id so both engines see identical sequences.
+    q("q_events_transitions",
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events
+        |), seq AS (
+        |  SELECT event_type AS to_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+        |      AS from_type
+        |  FROM e
+        |)
+        |SELECT from_type, to_type, count(*) AS n FROM seq
+        |WHERE from_type IS NOT NULL
+        |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        floor(col("ts") / 1000000000L).cast("long").as("sec"),
+        col("event_type"))
+      graft.events.Events.transitionCounts(e, "user_id", "sec",
+        "event_type", "event_id")
+        .orderBy("from_type", "to_type")
+    },
+
     // weekly cohort retention: cohort = week of first signup, a user
     // lands in (cohort, p) when they click/purchase p weeks later.
     q("q_events_retention",

@@ -45,6 +45,18 @@ class EventsSpec extends SparkSpec {
     assert(d == Map(6L -> 1), s"got $d")
   }
 
+  test("transition counts follow per-user order with deterministic tie-breaks") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, 1L, 100L, "A"), (1L, 2L, 200L, "B"), (1L, 3L, 300L, "A"),
+      (2L, 4L, 100L, "A"), (2L, 5L, 100L, "B"), // tie → id order A then B
+      (3L, 6L, 50L, "C")) // single event: no transition
+      .toDF("u", "id", "sec", "tp")
+    val counts = Events.transitionCounts(events, "u", "sec", "tp", "id")
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(counts == Map(("A", "B") -> 2L, ("B", "A") -> 1L), s"got $counts")
+  }
+
   test("retention cohorts users by first anchor period and counts distinct returners") {
     // period = 100 s; user 1 anchors in period 1, returns periods 1 and 3
     // (duplicate returns in one period count once); user 2 anchors in
