@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -271,14 +271,62 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val corpusVecs = corpus.select(col("id"), col("vec")).as[(Long, Array[Float])]
+    val cents = trainCentroids(corpusVecs, nCentroids, seed, kmeansIters)
+      .zipWithIndex.map { case (v, i) => (i, v, VecUtil.norm(v)) }
+    val bc = spark.sparkContext.broadcast(cents)
+
+    def assign(n: Int) = (idVec: (Long, Array[Float])) => {
+      val (id, v) = idVec
+      val vn = VecUtil.norm(v)
+      bc.value.map { case (ci, cv, cn) =>
+        (ci, VecUtil.dot(v, cv) / (vn * cn))
+      }.sortBy(-_._2).take(n).toSeq.map { case (ci, _) => (ci, id, v) }
+    }
+
+    // corpusAssign > 1 = soft assignment: each corpus vector joins its
+    // `corpusAssign` nearest lists, cutting the probability that a
+    // query's probe set misses a true neighbor's list — the standard
+    // IVF replication/recall trade (x corpusAssign storage)
+    val corpusLists = corpus.select(col("id"), col("vec"))
+      .as[(Long, Array[Float])].flatMap(assign(corpusAssign))
+      .toDF("centroid", "cid", "cvec")
+    val queryLists = broadcast(queries.select(col("id"), col("vec"))
+      .as[(Long, Array[Float])].flatMap(assign(nProbe))
+      .toDF("centroid", "qid", "qvec"))
+
+    val scored0 = corpusLists.join(queryLists, "centroid")
+      .filter(col("qid") =!= col("cid"))
+      .as[(Int, Long, Array[Float], Long, Array[Float])]
+      .map { case (_, cid, cv, qid, qv) =>
+        (qid, (VecUtil.dot(qv, cv) / (VecUtil.norm(qv) * VecUtil.norm(cv)), cid))
+      }
+    // soft assignment can surface the same (qid, cid) via several
+    // lists; dedup so the bounded top-k never returns duplicates
+    val scored = if (corpusAssign > 1) scored0.distinct() else scored0
+    implicit val ord: Ordering[(Double, Long)] =
+      Ordering.by((t: (Double, Long)) => (-t._1, t._2))(
+        Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+    new graft.typed.Grouped(scored)
+      .sortedTake(k)
+      .ds.flatMap { case (qid, tops) =>
+        tops.map { case (cos, cid) => (qid, cid, cos) }
+      }
+      .toDF("qid", "cid", "cos")
+  }
+
+  /** Sample `nCentroids` seeds and refine with `kmeansIters` Lloyd
+    * steps: distributed cosine assignment emits per-partition partial
+    * (sum, count) per centroid; the tiny partial set merges on the
+    * driver. Deterministic for a fixed seed.
+    */
+  private def trainCentroids(corpusVecs: Dataset[(Long, Array[Float])],
+      nCentroids: Int, seed: Long, kmeansIters: Int): Array[Array[Float]] = {
+    val spark = corpusVecs.sparkSession
+    import spark.implicits._
     var centroids = corpusVecs
       .sample(withReplacement = false, 0.5, seed)
       .limit(nCentroids).collect().map(_._2)
     require(centroids.nonEmpty, "empty corpus")
-
-    // Lloyd refinement of the sampled centroids: distributed cosine
-    // assignment emits per-partition partial (sum, count) per
-    // centroid; the tiny partial set is merged on the driver.
     (1 to kmeansIters).foreach { _ =>
       val cbc = spark.sparkContext.broadcast(
         centroids.zipWithIndex.map { case (v, i) => (i, v, VecUtil.norm(v)) })
@@ -316,37 +364,50 @@ object Similarity {
         }
       }
     }
-    val cents = centroids
+    centroids
+  }
+
+  /** IVF over an int8-quantized corpus — the production ANN shape:
+    * coarse centroids bound the candidate set per probe, the int8
+    * codes cut list storage/scan 4×, and cosine ranks on integer
+    * dots (scales cancel; see [[QuantUtil]]). Same
+    * centroids/assignment as [[ivfTopK]] (training runs in float; the
+    * lists store codes), so recall differs from float IVF only by the
+    * quantization's ≤0.03 cosine error.
+    */
+  def ivfTopKQuantized(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 2, seed: Long = 42L,
+      kmeansIters: Int = 2, corpusAssign: Int = 1): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val corpusVecs = corpus.select(col("id"), col("vec")).as[(Long, Array[Float])]
+    val cents = trainCentroids(corpusVecs, nCentroids, seed, kmeansIters)
       .zipWithIndex.map { case (v, i) => (i, v, VecUtil.norm(v)) }
     val bc = spark.sparkContext.broadcast(cents)
 
-    def assign(n: Int) = (idVec: (Long, Array[Float])) => {
+    def assignQ(n: Int) = (idVec: (Long, Array[Float])) => {
       val (id, v) = idVec
       val vn = VecUtil.norm(v)
+      val q = QuantUtil.quantize(v)
+      val qn = QuantUtil.intNorm(q)
       bc.value.map { case (ci, cv, cn) =>
         (ci, VecUtil.dot(v, cv) / (vn * cn))
-      }.sortBy(-_._2).take(n).toSeq.map { case (ci, _) => (ci, id, v) }
+      }.sortBy(-_._2).take(n).toSeq.map { case (ci, _) => (ci, id, q, qn) }
     }
 
-    // corpusAssign > 1 = soft assignment: each corpus vector joins its
-    // `corpusAssign` nearest lists, cutting the probability that a
-    // query's probe set misses a true neighbor's list — the standard
-    // IVF replication/recall trade (x corpusAssign storage)
-    val corpusLists = corpus.select(col("id"), col("vec"))
-      .as[(Long, Array[Float])].flatMap(assign(corpusAssign))
-      .toDF("centroid", "cid", "cvec")
+    val corpusLists = corpusVecs.flatMap(assignQ(corpusAssign))
+      .toDF("centroid", "cid", "cq", "cn")
     val queryLists = broadcast(queries.select(col("id"), col("vec"))
-      .as[(Long, Array[Float])].flatMap(assign(nProbe))
-      .toDF("centroid", "qid", "qvec"))
+      .as[(Long, Array[Float])].flatMap(assignQ(nProbe))
+      .toDF("centroid", "qid", "qq", "qn"))
 
     val scored0 = corpusLists.join(queryLists, "centroid")
       .filter(col("qid") =!= col("cid"))
-      .as[(Int, Long, Array[Float], Long, Array[Float])]
-      .map { case (_, cid, cv, qid, qv) =>
-        (qid, (VecUtil.dot(qv, cv) / (VecUtil.norm(qv) * VecUtil.norm(cv)), cid))
+      .select(col("qid"), col("cid"), col("qq"), col("qn"), col("cq"), col("cn"))
+      .as[(Long, Long, Array[Byte], Double, Array[Byte], Double)]
+      .map { case (qid, cid, qq, qn, cq, cn) =>
+        (qid, (QuantUtil.intDot(qq, cq) / (qn * cn), cid))
       }
-    // soft assignment can surface the same (qid, cid) via several
-    // lists; dedup so the bounded top-k never returns duplicates
     val scored = if (corpusAssign > 1) scored0.distinct() else scored0
     implicit val ord: Ordering[(Double, Long)] =
       Ordering.by((t: (Double, Long)) => (-t._1, t._2))(

@@ -139,21 +139,42 @@ object EmbeddingQueries extends QueryGroup {
     q("q_ann_ivf",
       """SELECT q.vec_id AS qid, true AS recall_ok
         |FROM embeddings q WHERE q.vec_id < 10 ORDER BY qid""".stripMargin) { (s, dir) =>
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val queries = e.filter(col("id") < 10)
-      val exact = Similarity.bruteForceTopK(queries, e, 5)
-        .select(col("qid"), col("cid").as("exact_cid"))
-      val ivf = Similarity.ivfTopK(queries, e, k = 5, nCentroids = 16, nProbe = 8,
-        corpusAssign = 2)
-        .select(col("qid"), col("cid"))
-      val hits = exact.join(ivf,
-          exact("qid") === ivf("qid") && col("exact_cid") === col("cid"), "left_semi")
-        .groupBy("qid").agg(count(lit(1)).as("n_hit"))
-      queries.select(col("id").as("qid")).join(hits, Seq("qid"), "left")
-        .select(col("qid"),
-          (coalesce(col("n_hit"), lit(0L)) >= 2).as("recall_ok"))
-        .orderBy("qid")
+      ivfRecallContract(s, dir, quantized = false)
+    },
+
+    // same probe structure over int8 lists (¼ the scan bytes): the
+    // only added error is the bounded quantized-cosine wobble, so the
+    // identical recall contract must hold.
+    q("q_ann_ivf_quantized",
+      """SELECT q.vec_id AS qid, true AS recall_ok
+        |FROM embeddings q WHERE q.vec_id < 10 ORDER BY qid""".stripMargin) { (s, dir) =>
+      ivfRecallContract(s, dir, quantized = true)
     }
   )
+
+  /** ≥2-of-top-5 exact neighbors recovered, per query — shared by the
+    * float and int8 IVF gates.
+    */
+  private def ivfRecallContract(s: org.apache.spark.sql.SparkSession,
+      dir: String, quantized: Boolean): org.apache.spark.sql.DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = e.filter(col("id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, e, 5)
+      .select(col("qid"), col("cid").as("exact_cid"))
+    val ivf = (if (quantized)
+        Similarity.ivfTopKQuantized(queries, e, k = 5, nCentroids = 16,
+          nProbe = 8, corpusAssign = 2)
+      else
+        Similarity.ivfTopK(queries, e, k = 5, nCentroids = 16, nProbe = 8,
+          corpusAssign = 2))
+      .select(col("qid"), col("cid"))
+    val hits = exact.join(ivf,
+        exact("qid") === ivf("qid") && col("exact_cid") === col("cid"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+    queries.select(col("id").as("qid")).join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        (coalesce(col("n_hit"), lit(0L)) >= 2).as("recall_ok"))
+      .orderBy("qid")
+  }
 }

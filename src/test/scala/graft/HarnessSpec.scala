@@ -87,5 +87,13 @@ class HarnessSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & ivf).size.toDouble / exact.size
     assert(recall >= 0.5, s"IVF recall too low: $recall")
+    // the int8-list variant probes the same centroid structure; the
+    // only extra error is the ≤0.03 quantized-cosine wobble, so its
+    // recall must stay in the same band
+    val ivfQ = Similarity.ivfTopKQuantized(queries, df, k = 5,
+      nCentroids = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallQ = (exact & ivfQ).size.toDouble / exact.size
+    assert(recallQ >= 0.5, s"quantized IVF recall too low: $recallQ (float: $recall)")
   }
 }
