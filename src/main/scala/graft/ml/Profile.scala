@@ -35,6 +35,51 @@ object Profile {
     one.select(explode(array(stacked: _*)).as("p")).select("p.*")
   }
 
+  /** Key-skew diagnostic: the `topN` heaviest values of `keyCol` with
+    * their counts and share of all rows, plus the skew ratio vs a
+    * perfectly uniform spread over the observed distinct keys. Run it
+    * BEFORE a big join/groupBy: a skew_vs_uniform in the hundreds
+    * says "salt this key or lean on AQE skew-join" — the measurement
+    * behind the reference's skewJoinWithSmaller sampling phase
+    * (JoinAlgorithms.scala:383-392), as a first-class one-shot tool.
+    * One shuffle (the key count) + a tiny global agg.
+    */
+  def keySkew(df: DataFrame, keyCol: String, topN: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum("n").as("__total"),
+      count(lit(1)).as("__nkeys")).head()
+    val total = totals.getLong(0)
+    val nKeys = totals.getLong(1)
+    counts
+      .withColumn("share", col("n") / lit(total.toDouble))
+      .withColumn("skew_vs_uniform",
+        col("n") * lit(nKeys.toDouble) / lit(total.toDouble))
+      .orderBy(col("n").desc, col("key"))
+      .limit(topN)
+  }
+
+  /** Approximate per-column quantiles in one pass
+    * (Greenwald-Khanna via `approx_percentile`): stacked
+    * (col_name, p, value) rows. Rank error ≤ 1/`accuracy` — at any
+    * scale the state is O(accuracy · log n) per column, vs a full
+    * sort for exact quantiles.
+    */
+  def quantiles(df: DataFrame, cols: Seq[String],
+      probs: Seq[Double] = Seq(0.25, 0.5, 0.75),
+      accuracy: Int = 10000): DataFrame = {
+    val pArr = array(probs.map(lit): _*)
+    val aggs = cols.map(c =>
+      percentile_approx(col(c).cast("double"), pArr, lit(accuracy)).as(s"__q_$c"))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.flatMap { c =>
+      probs.zipWithIndex.map { case (p, i) =>
+        struct(lit(c).as("col_name"), lit(p).as("p"),
+          col(s"__q_$c").getItem(i).as("value"))
+      }
+    }
+    one.select(explode(array(stacked: _*)).as("q")).select("q.*")
+  }
+
   /** Deterministic hash sample: keep a row iff
     * `scramble(key) < fraction * M`. No RNG state, no seed plumbing —
     * the same key set is selected on every run, on every engine, at

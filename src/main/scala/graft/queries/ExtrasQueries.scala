@@ -58,6 +58,63 @@ object ExtrasQueries extends QueryGroup {
         .orderBy("o_orderkey")
     },
 
+    // key-skew diagnostic (the pre-join planning tool): top-10 heavy
+    // keys with share + uniform-relative skew. Rounding uses
+    // floor(x·10^d + 0.5) on the Spark side — binary half-up,
+    // matching DuckDB's round() on doubles at every representable
+    // boundary (Spark's round() re-rounds the decimal string and
+    // disagrees on .xx5 edges).
+    q("q_profile_skew",
+      """WITH c AS (
+        |  SELECT l_suppkey AS key, count(*) AS n FROM lineitem GROUP BY 1
+        |), t AS (SELECT sum(n) AS total, count(*) AS nkeys FROM c)
+        |SELECT key, n,
+        |  round(n * 1.0::DOUBLE / t.total, 6) AS share,
+        |  round(n * t.nkeys * 1.0::DOUBLE / t.total, 2) AS skew_vs_uniform
+        |FROM c, t ORDER BY n DESC, key LIMIT 10""".stripMargin) { (s, dir) =>
+      graft.ml.Profile.keySkew(t(s, dir, "lineitem"), "l_suppkey", topN = 10)
+        .withColumn("share", floor(col("share") * 1e6 + 0.5) / 1e6)
+        .withColumn("skew_vs_uniform",
+          floor(col("skew_vs_uniform") * 100 + 0.5) / 100)
+    },
+
+    // one-pass approximate quantiles: rank-error contract (the
+    // quantile's true rank within accuracy bounds), checked by
+    // re-counting — the oracle asserts the bound holds.
+    q("q_profile_quantiles", {
+      val rows = for {
+        c <- Seq("l_extendedprice", "l_quantity")
+        p <- Seq(0.25, 0.5, 0.75)
+      } yield s"SELECT '$c' AS col_name, ${p}::DOUBLE AS p, true AS within_bound"
+      rows.mkString("", " UNION ALL ", " ORDER BY col_name, p")
+    }) { (s, dir) =>
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val cols = Seq("l_extendedprice", "l_quantity")
+      val probs = Seq(0.25, 0.5, 0.75)
+      val qs = graft.ml.Profile.quantiles(li, cols, probs).collect()
+        .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+      val n = li.count().toDouble
+      // tie-aware rank check: a discrete column's count(<= v) jumps
+      // by whole tie blocks, so v is a valid p-quantile when the rank
+      // INTERVAL [count(< v), count(<= v)] intersects the target band
+      val rankAggs = qs.toSeq.flatMap { case ((c, p), v) =>
+        Seq(
+          sum(when(col(c).cast("double") < v, 1L).otherwise(0L))
+            .as(s"${c}__lo__$p"),
+          sum(when(col(c).cast("double") <= v, 1L).otherwise(0L))
+            .as(s"${c}__hi__$p"))
+      }
+      val ranks = li.agg(rankAggs.head, rankAggs.tail: _*).head()
+      val tol = n * 0.001 + 2
+      qs.keys.toSeq.map { case (c, p) =>
+        val lo = ranks.getAs[Long](s"${c}__lo__$p").toDouble
+        val hi = ranks.getAs[Long](s"${c}__hi__$p").toDouble
+        (c, p, lo <= p * n + tol && hi >= p * n - tol)
+      }.toDF("col_name", "p", "within_bound")
+        .orderBy("col_name", "p")
+    },
+
     // adversarial-grade deterministic sampling: membership by md5-hex
     // PREFIX comparison — portable because every engine md5s the same
     // decimal string to the same lowercase hex, and fixed-width hex
