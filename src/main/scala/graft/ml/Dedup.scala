@@ -334,6 +334,33 @@ object Dedup {
       .select(col("id"), coalesce(col("component"), col("id")).as("canonical_id"))
   }
 
+  /** Eval-set contamination: (corpus_id, probe_id, n_shared) for every
+    * corpus/probe document pair sharing at least `minShared` distinct
+    * word `n`-grams — the train/test-leakage check a training corpus
+    * runs against its benchmark suites before release. Documents
+    * shorter than `n` words are skipped on both sides (no partial
+    * grams).
+    *
+    * Scale shape: per side one linear scan explodes distinct gram
+    * hashes; the join touches only grams present in BOTH corpora —
+    * with a probe side orders of magnitude smaller than the corpus
+    * (eval suites vs 100 TB), broadcast-hash the probe grams and the
+    * corpus never shuffles. For astronomically large corpora sample
+    * the corpus side's grams with `TextAnalysis.winnowingFingerprints`
+    * (bounded recall loss) before joining.
+    */
+  def contamination(corpus: DataFrame, probes: DataFrame, idCol: String,
+      textCol: String, n: Int = 8, minShared: Int = 3): DataFrame = {
+    def grams(df: DataFrame, idName: String) = df
+      .filter(size(split(TextAnalysis.normalize(col(textCol)), " ")) >= n)
+      .select(col(idCol).cast("long").as(idName),
+        explode(shingles(col(textCol), n)).as("g"))
+    grams(corpus, "corpus_id").join(grams(probes, "probe_id"), "g")
+      // shingles() is per-doc distinct, so matches = distinct shared grams
+      .groupBy("corpus_id", "probe_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** True Jaccard verification of candidate pairs against shingle
     * sets: join both sides' sets, intersect/union sizes.
     */

@@ -185,6 +185,48 @@ object DedupQueries extends QueryGroup {
         .orderBy("id1", "id2")
     },
 
+    // eval-set contamination: probes are mid-document substrings of
+    // every 13th doc (planted leakage); a pair is contaminated at ≥3
+    // shared distinct 8-grams. Both engines build identical probes
+    // (character-based substr/length) and identical gram sets.
+    q("q_dedup_contamination", {
+      val words = "string_split(trim(regexp_replace(regexp_replace(lower(text), " +
+        "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')"
+      val gram8 = (0 until 8).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+      s"""WITH probes AS (
+         |  SELECT doc_id + 3000000 AS doc_id,
+         |    substr(text, CAST(floor(length(text) * 0.25) AS INT) + 1,
+         |      CAST(floor(length(text) * 0.5) AS INT)) AS text
+         |  FROM documents WHERE doc_id % 13 = 0
+         |), cw AS (
+         |  SELECT doc_id, $words AS w FROM documents
+         |), pw AS (
+         |  SELECT doc_id, $words AS w FROM probes
+         |), cg AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, greatest(len(w) - 6, 2)), i -> $gram8))) AS g
+         |  FROM cw WHERE len(w) >= 8
+         |), pg AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, greatest(len(w) - 6, 2)), i -> $gram8))) AS g
+         |  FROM pw WHERE len(w) >= 8
+         |)
+         |SELECT c.doc_id AS corpus_id, p.doc_id AS probe_id,
+         |  count(*) AS n_shared
+         |FROM cg c JOIN pg p ON c.g = p.g
+         |GROUP BY 1, 2 HAVING count(*) >= 3
+         |ORDER BY corpus_id, probe_id""".stripMargin
+    }) { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val probes = d.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          col("text").substr(
+            floor(length(col("text")) * 0.25).cast("int") + 1,
+            floor(length(col("text")) * 0.5).cast("int")).as("text"))
+      Dedup.contamination(d, probes, "doc_id", "text", n = 8, minShared = 3)
+        .orderBy("corpus_id", "probe_id")
+    },
+
     // SimHash property gate: the pigeonhole candidate step is
     // recall-lossy by construction, so instead of a set-equality
     // oracle this checks the deterministic *contract*: an exact copy

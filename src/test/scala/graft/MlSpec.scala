@@ -132,6 +132,24 @@ class MlSpec extends SparkSpec {
     Dedup.unpersistPipelineCaches()
   }
 
+  test("contamination flags probes lifted from corpus docs, skips clean and short ones") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (2L, "one two three four five six seven eight nine ten eleven twelve"),
+      (3L, "tiny doc")).toDF("doc_id", "text")
+    val probes = Seq(
+      // lifted verbatim from doc 1 (9 words → 2 grams... needs >= 3:
+      // use a longer span: 11 words → 4 8-grams)
+      (100L, "beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (101L, "totally unrelated words that appear in no corpus document at all here"),
+      (102L, "short")).toDF("doc_id", "text")
+    val hits = Dedup.contamination(corpus, probes, "doc_id", "text",
+      n = 8, minShared = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(hits == Set((1L, 100L, 4L)), s"got $hits")
+  }
+
   test("dedupGroups maps every doc to a canonical representative") {
     val groups = Dedup.dedupGroups(docs, "doc_id", "text", threshold = 0.5)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
