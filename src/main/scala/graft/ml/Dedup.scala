@@ -355,7 +355,10 @@ object Dedup {
       .filter(size(split(TextAnalysis.normalize(col(textCol)), " ")) >= n)
       .select(col(idCol).cast("long").as(idName),
         explode(shingles(col(textCol), n)).as("g"))
-    grams(corpus, "corpus_id").join(grams(probes, "probe_id"), "g")
+    // the probe side is small by contract (eval suites vs the corpus):
+    // broadcast its grams so the corpus scan never shuffles
+    grams(corpus, "corpus_id")
+      .join(broadcast(grams(probes, "probe_id")), "g")
       // shingles() is per-doc distinct, so matches = distinct shared grams
       .groupBy("corpus_id", "probe_id").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

@@ -175,6 +175,91 @@ object Streaming {
       }
   }
 
+  /** Streaming funnel state: events buffered above the watermark plus
+    * the greedy progression (reached steps, last matched time, window
+    * deadline).
+    */
+  case class FunnelState(pending: Seq[(Long, Int)], reached: Int,
+      prevT: Long, deadline: Long)
+  /** One funnel advance: `key` reached `step` (1-based) at `sec`. */
+  case class FunnelProgress(key: Long, step: Int, sec: Long)
+
+  /** Streaming form of `graft.events.Events.funnel`: per-key greedy
+    * ordered-step matching with a window anchored at step 1, emitting
+    * a [[FunnelProgress]] row the moment each step is reached. Events
+    * buffer in keyed state until the watermark passes them (so
+    * out-of-order arrival within the allowed lateness matches exactly
+    * like the batch operator: the pass over ready events repeatedly
+    * takes the earliest occurrence of the NEXT needed step at-or-after
+    * the previous step's time); event-time timeouts flush quiet keys.
+    * State is bounded by the watermark: processed events are dropped,
+    * only above-watermark events and the O(1) progression survive.
+    */
+  def funnelStream(events: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String], windowSec: Long,
+      watermark: String): Dataset[FunnelProgress] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val session = events.sparkSession
+    import session.implicits._
+    val nSteps = steps.length
+    // tag the step index with Column expressions — a typed flatMap
+    // would rebuild the row and drop the event-time watermark tag
+    val stepCol = steps.zipWithIndex.foldLeft(lit(null).cast("int")) {
+      case (acc, (name, i)) => when(col("tp") === name, lit(i)).otherwise(acc)
+    }
+    events
+      .select(col(keyCol).cast("long").as("key"), col(tsCol).as("ts"),
+        col(typeCol).cast("string").as("tp"))
+      .select(col("key"), col("ts"), stepCol.as("step"))
+      .filter(col("step").isNotNull)
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelProgress](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key, rows, state) =>
+          val wmSec = state.getCurrentWatermarkMs() / 1000
+          val st0 = state.getOption.getOrElse(
+            FunnelState(Nil, 0, Long.MinValue, Long.MaxValue))
+          val all = st0.pending ++
+            rows.map { case (_, ts, i) => (ts.getTime / 1000, i) }
+          val (ready, pending) = all.partition(_._1 <= wmSec)
+          var reached = st0.reached
+          var prevT = st0.prevT
+          var deadline = st0.deadline
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelProgress]
+          var advancing = reached < nSteps
+          while (advancing) {
+            // earliest ready occurrence of the next needed step within
+            // [prevT, deadline] — chained-min, exactly the batch rule
+            val cands = ready.filter { case (sec, i) =>
+              i == reached && sec >= prevT && sec <= deadline
+            }
+            if (cands.isEmpty) advancing = false
+            else {
+              val sec = cands.map(_._1).min
+              reached += 1
+              prevT = sec
+              if (reached == 1 && windowSec > 0) deadline = sec + windowSec
+              out += FunnelProgress(key, reached, sec)
+              advancing = reached < nSteps
+            }
+          }
+          // processed (ready) events are dropped: a future match needs
+          // sec >= prevT, and a needed-step event below the watermark
+          // would be beyond allowed lateness anyway — state holds only
+          // above-watermark events plus the O(1) progression
+          if (pending.isEmpty && reached == 0) state.remove()
+          else {
+            state.update(FunnelState(pending, reached, prevT, deadline))
+            if (pending.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(pending.map(_._1).min * 1000, wmSec * 1000 + 1))
+          }
+          out.iterator
+      }
+  }
+
   /** Per-key session state for gap-based sessionization. */
   case class SessionState(sessionId: Long, lastSec: Long)
   case class SessionEvent(key: Long, sec: Long)

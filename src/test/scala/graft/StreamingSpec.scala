@@ -139,6 +139,45 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((3L, s(11, 0), 1.0, Some(s(11, 0)), Some(50.0))))
   }
 
+  test("streaming funnel advances greedily across out-of-order batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val out = Streaming.funnelStream(input.toDF().toDF("ts", "u", "tp"),
+      "u", "ts", "tp", Seq("A", "B", "C"), windowSec = 3600L,
+      watermark = "500 seconds")
+    val query = out.writeStream.format("memory").queryName("funnelstream")
+      .outputMode("append").start()
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    // batch 1: user 1's A and C arrive FIRST (B missing); user 2's A.
+    // Watermark stays 500 s behind the max event so B isn't late.
+    input.addData((ts(1000100), 1L, "A"), (ts(1000250), 1L, "C"),
+      (ts(1000100), 2L, "A"))
+    query.processAllAvailable()
+    // batch 2: the missing B arrives out of order, above the watermark
+    input.addData((ts(1000200), 1L, "B"))
+    query.processAllAvailable()
+    // batch 3: key 9 starts; user 2's B lands outside the 1 h window
+    input.addData((ts(1001500), 9L, "A"), (ts(1007300), 2L, "B"))
+    query.processAllAvailable()
+    // batches 4-5: advance the watermark so every buffered event and
+    // timer flushes inside data batches
+    input.addData((ts(1007900), 8L, "B"))
+    query.processAllAvailable()
+    input.addData((ts(1050000), 8L, "B"))
+    query.processAllAvailable()
+    val rows = spark.table("funnelstream")
+      .as[Streaming.FunnelProgress].collect()
+      .map(p => (p.key, p.step, p.sec)).toSet
+    query.stop()
+    // user 1 completes all three steps despite C arriving before B;
+    // user 2 stops at step 1 (their B is outside the window); key 9
+    // reaches step 1; key 8's lone Bs never start a funnel
+    assert(rows == Set(
+      (1L, 1, 1000100L), (1L, 2, 1000200L), (1L, 3, 1000250L),
+      (2L, 1, 1000100L), (9L, 1, 1001500L)), s"got $rows")
+  }
+
   test("stream-static enrichment joins each micro-batch to the dimension") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
