@@ -29,7 +29,11 @@ object Bench {
     "q_events_sessionize",
     "q_text_quality",
     "q_dedup_minhash",
-    "q_ann_bruteforce")
+    "q_ann_bruteforce",
+    // round-3 flagship additions
+    "q_dedup_incremental",
+    "q_events_funnel",
+    "q_ann_ivf_quantized")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
