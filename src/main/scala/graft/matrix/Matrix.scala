@@ -188,6 +188,49 @@ final case class Matrix(df: DataFrame) {
     * the Gram matrix of the L2-normalized rows (symmetric fast path).
     */
   def rowCosineSimilarity: Matrix = rowL2Normalize.grammian
+
+  /** DIMSUM entry sampling (Zadeh & Carlsson, "Dimension Independent
+    * Matrix Square using MapReduce"; the algorithm behind Spark
+    * MLlib's RowMatrix.columnSimilarities — public). Each entry of row
+    * i survives with probability p_i = min(1, t / ||r_i||) and carries
+    * weight v / (||r_i|| · p_i), so products of surviving entries are
+    * unbiased estimators of normalized-row products. The coin is a
+    * deterministic xxhash64 of (row, col, seed): results are exactly
+    * reproducible across runs and partitionings.
+    *
+    * Rows with ||r_i|| <= t keep every entry (exact); only heavy rows
+    * are thinned. This is the 100 TB escape hatch for the grammian's
+    * inherent Σ_k deg(k)² join intermediate: after sampling, the
+    * expected number of surviving co-occurrences for a similar row
+    * pair is ~t² regardless of how many the raw data holds, so the
+    * contraction shuffle stops growing with the data.
+    */
+  def dimsumSample(t: Double, seed: Long = 0x5eed): Matrix = {
+    require(t > 0.0, s"sampling scale t must be positive, got $t")
+    val norms = df.groupBy(R).agg(sqrt(sum(col(V) * col(V))).as("__norm"))
+    val u = xxhash64(col(R), col(C), lit(seed))
+      .bitwiseAND(lit(Long.MaxValue)).cast("double") / Long.MaxValue.toDouble
+    Matrix(df.join(norms, Seq(R))
+      .withColumn("__p", least(lit(1.0), lit(t) / col("__norm")))
+      .filter(u < col("__p"))
+      .select(col(R), col(C),
+        (col(V) / (col("__norm") * col("__p"))).as(V)))
+  }
+
+  /** Approximate all-pairs row cosine similarity: grammian of the
+    * DIMSUM-sampled normalized matrix. Off-diagonal entries are
+    * unbiased estimates of the true cosines (both-sides survival is
+    * independent, probability p_i·p_j); the diagonal estimator is
+    * biased (self-pairs survive with p_i, not p_i²), so diagonal
+    * values are forced to their exact value 1. A row whose entries
+    * were all sampled away contributes no pairs (estimate 0 — treat
+    * absent as 0, exactly like the sparse zero convention).
+    */
+  def rowCosineDimsum(t: Double, seed: Long = 0x5eed): Matrix = {
+    val est = dimsumSample(t, seed).grammian
+    Matrix(est.df.withColumn(V,
+      when(col(R) === col(C), 1.0).otherwise(col(V))))
+  }
 }
 
 object Matrix {

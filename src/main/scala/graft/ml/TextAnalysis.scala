@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -145,6 +145,35 @@ object TextAnalysis {
       }
       out.distinct.toArray
     }
+  }
+
+  /** EXACT corpus heavy hitters at sketch cost: every term whose
+    * frequency exceeds total/denom, with its exact count. Two linear
+    * passes, neither of which shuffles the vocabulary:
+    *
+    *  1. a Misra-Gries [[graft.agg.FreqSketch]] global aggregation —
+    *     map-side partials carry at most 2k counters per task, and the
+    *     merged sketch provably contains every term with true count >
+    *     total/(k+1) ⊇ the requested threshold (requires denom <= k);
+    *  2. an exact count of ONLY the <= 2k candidate terms (an InSet
+    *     filter reaches the scan), so the groupBy shuffles a bounded
+    *     set no matter how large the vocabulary is.
+    *
+    * Because pass 2 is exact and pass 1 cannot miss a qualifying term,
+    * the result equals the full exact `GROUP BY term HAVING
+    * count(*) * denom > total` — at a fraction of its shuffle. The
+    * naive form shuffles the whole vocabulary (the classic wordcount
+    * weakness at 100 TB); this form ships ~k counters per task.
+    */
+  def heavyHitters(tokens: Dataset[String], k: Int, denom: Long): DataFrame = {
+    require(denom <= k,
+      s"no-false-negative guarantee needs denom <= k, got denom=$denom k=$k")
+    val sk = tokens.select(graft.agg.FreqSketch.aggregator(k).toColumn).head()
+    val candidates = sk.counters.keySet
+    tokens.filter(col("value").isInCollection(candidates))
+      .groupBy(col("value").as("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * denom > sk.total)
   }
 
   /** Marker-word profiles for the n-gram language-ID heuristic. */

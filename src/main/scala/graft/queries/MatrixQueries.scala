@@ -79,6 +79,50 @@ object MatrixQueries extends QueryGroup {
         .orderBy("row")
     },
 
+    // DIMSUM approximate all-pairs cosine (Zadeh & Carlsson; MLlib
+    // columnSimilarities): the 100 TB path for the gram — entries of
+    // heavy rows survive with p = min(1, t/||r||) under a
+    // deterministic hash coin, so the contraction shuffle stops
+    // growing with the data. Contract: every supplier pair with exact
+    // cosine >= 0.15 is estimated within ±0.08, and sampling really
+    // dropped entries. n_pairs (the exact high-similarity pair count)
+    // is recomputed independently by the oracle.
+    q("q_matrix_gram_dimsum",
+      s"""$baseSql, N AS (
+         |  SELECT row, sqrt(sum(val * val)) AS nrm FROM A GROUP BY 1
+         |), C AS (
+         |  SELECT a.row AS r1, b.row AS r2, sum(a.val * b.val) AS dot
+         |  FROM A a JOIN A b ON a.col = b.col AND a.row < b.row
+         |  GROUP BY 1, 2
+         |)
+         |SELECT count(*) AS n_pairs, true AS dimsum_ok,
+         |  true AS downsampled
+         |FROM C JOIN N n1 ON C.r1 = n1.row JOIN N n2 ON C.r2 = n2.row
+         |WHERE round(dot / (n1.nrm * n2.nrm), 6) >= 0.15""".stripMargin) { (s, dir) =>
+      val base = baseMatrix(s, dir)
+      // t tuned on tools/DimsumTune: max |est-exact| over the 4811
+      // sf0.01 contract pairs is 0.059 at t=650 (0.10 at t=500), with
+      // 18% of entries sampled away. coalesce: vacuously true at SFs
+      // where no pair clears the similarity threshold.
+      val t = 650.0
+      val exact = base.rowCosineSimilarity.df
+        .filter(col("row") < col("col"))
+        .filter(round(col("val"), 6) >= 0.15)
+        .select(col("row"), col("col"), col("val").as("cos"))
+      val est = base.rowCosineDimsum(t).df
+        .filter(col("row") < col("col"))
+        .select(col("row"), col("col"), col("val").as("est"))
+      val contract = exact.join(est, Seq("row", "col"), "left")
+        .select(abs(coalesce(col("est"), lit(0.0)) - col("cos")).as("err"))
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(max(col("err")) <= 0.08, lit(true)).as("dimsum_ok"))
+      contract
+        .crossJoin(base.dimsumSample(t).df.agg(count(lit(1)).as("__ns")))
+        .crossJoin(base.df.agg(count(lit(1)).as("__nb")))
+        .select(col("n_pairs"), col("dimsum_ok"),
+          (col("__ns") < col("__nb")).as("downsampled"))
+    },
+
     // element filters as set ops (keepElementsBy / removeElementsBy,
     // Matrix.scala:632-654): entries for high-value parts only
     // (semi), then entries excluding one supplier's (anti).

@@ -101,6 +101,38 @@ object TextQueries extends QueryGroup {
     // deterministic stub decode (byte length, content hash, fake
     // dimensions derived from the hash) through the typed
     // mapPartitions batch path.
+    // EXACT heavy hitters at sketch cost (Misra-Gries candidates +
+    // candidate-only exact verify — TextAnalysis.heavyHitters). The
+    // token stream mixes unigrams and word bigrams, so the 947-term
+    // vocabulary overflows the k=64 sketch and compaction really
+    // fires, yet the final answer is exact and the oracle recomputes
+    // it with a full GROUP BY. Integer threshold compare
+    // (cnt * 64 > total) — no float boundary.
+    q("q_text_heavy_hitters",
+      """WITH words AS (
+        |  SELECT string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents
+        |), toks AS (
+        |  SELECT unnest(ws) AS term FROM words
+        |  UNION ALL
+        |  SELECT unnest(list_transform(range(1, len(ws)),
+        |    i -> ws[i] || ' ' || ws[i + 1])) AS term FROM words
+        |)
+        |SELECT term, count(*) AS cnt FROM toks WHERE term <> ''
+        |GROUP BY term
+        |HAVING count(*) * 64 > (SELECT count(*) FROM toks WHERE term <> '')
+        |ORDER BY term""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val toks = t(s, dir, "documents")
+        .select(lower(trim(col("text"))).as("t")).as[String]
+        .flatMap { txt =>
+          val ws = txt.split("\\s+").filter(_.nonEmpty)
+          ws.iterator ++
+            ws.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+        }
+      TA.heavyHitters(toks, k = 64, denom = 64).orderBy("term")
+    },
+
     q("q_multimodal_meta",
       """SELECT doc_id AS id,
         |  octet_length(CAST(text AS BLOB)) AS byteLen,

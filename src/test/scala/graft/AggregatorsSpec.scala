@@ -93,4 +93,38 @@ class AggregatorsSpec extends AnyFunSuite {
       implicitly, implicitly, Ordering.Int.reverse)
     assert(xs.foldLeft(top.zero)(top.reduce) == Seq(9, 8, 7))
   }
+
+  test("FreqSketch: exact total, bounded undercount, no false negatives") {
+    // Zipf-ish stream: item i appears 1000/i times, over a long
+    // uniform tail — far more distinct items than counters.
+    val stream = new scala.util.Random(7).shuffle(
+      (1 to 50).flatMap(i => Seq.fill(1000 / i)(s"head$i")) ++
+        (1 to 2000).map(i => s"tail$i"))
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = stream.size.toLong
+    val k = 20
+
+    def check(sk: FreqSketch): Unit = {
+      assert(sk.total == n)
+      assert(sk.counters.size <= 2 * k)
+      assert(sk.errorBound == n / (k + 1))
+      sk.counters.foreach { case (t, c) =>
+        assert(c <= truth(t), s"$t overcounted: $c > ${truth(t)}")
+        assert(truth(t) - c <= sk.errorBound,
+          s"$t undercount ${truth(t) - c} > bound ${sk.errorBound}")
+      }
+      // the heavy-hitter guarantee: true count above the error bound
+      // ⇒ the item is tracked
+      truth.foreach { case (t, c) =>
+        if (c > sk.errorBound)
+          assert(sk.counters.contains(t), s"lost heavy hitter $t ($c)")
+      }
+    }
+
+    check(stream.foldLeft(FreqSketch.empty(k))(_.add(_)))
+    // arbitrary merge tree keeps every guarantee
+    val parts = stream.grouped(700).toSeq
+      .map(_.foldLeft(FreqSketch.empty(k))(_.add(_)))
+    check(parts.reduce(_.merge(_)))
+  }
 }

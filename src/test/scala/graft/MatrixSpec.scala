@@ -105,6 +105,38 @@ class MatrixSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap == Map(0L -> 3.0, 1L -> 4.0))
   }
 
+  test("DIMSUM sampled cosine: exact when t covers norms, close when sampling") {
+    import spark.implicits._
+    // two 400-entry unit rows overlapping on 200 columns (cos = 0.5),
+    // plus a light 3-entry row that must never be sampled
+    val entries =
+      (0 until 400).map(c => (1L, c.toLong, 1.0)) ++
+        (200 until 600).map(c => (2L, c.toLong, 1.0)) ++
+        Seq((3L, 0L, 1.0), (3L, 1L, 1.0), (3L, 200L, 1.0))
+    val mat = Matrix(entries.toDF("row", "col", "val"))
+    val exact = mat.rowCosineSimilarity.df
+      .filter($"row" < $"col").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    // t >= every norm (max norm = 20): no entry sampled away, the
+    // estimate IS the exact cosine matrix
+    val full = mat.rowCosineDimsum(t = 25.0).df
+      .filter($"row" < $"col").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    exact.foreach { case (k, v) => assert(math.abs(full(k) - v) < 1e-9) }
+
+    // t = 10: heavy rows thinned to p = 0.5 — sampling really drops
+    // entries, light row untouched, estimates stay close
+    val sampled = mat.dimsumSample(t = 10.0).df
+    assert(sampled.count() < entries.size)
+    assert(sampled.filter($"row" === 3L).count() == 3)
+    val est = mat.rowCosineDimsum(t = 10.0).df
+      .filter($"row" === 1L && $"col" === 2L).collect()
+    assert(est.nonEmpty)
+    assert(math.abs(est.head.getDouble(2) - exact((1L, 2L))) < 0.25,
+      s"estimate ${est.head.getDouble(2)} too far from ${exact((1L, 2L))}")
+  }
+
   test("pagerank converges on a small graph (iterative driver loop)") {
     import spark.implicits._
     // reference examples/PageRank.scala semantics: damping 0.85

@@ -45,6 +45,21 @@ class MlSpec extends SparkSpec {
       "tracked pipeline caches leaked after unpersistPipelineCaches()")
   }
 
+  test("heavyHitters equals the exact GROUP BY answer with a tiny sketch") {
+    import spark.implicits._
+    // 8 heavy terms (600+ each) over a 3000-term uniform tail; k = 32
+    // counters cannot hold the tail, so compaction churns constantly
+    val raw = (1 to 8).flatMap(i => Seq.fill(500 + 100 * i)(s"hot$i")) ++
+      (1 to 3000).flatMap(i => Seq.fill(2)(s"cold$i"))
+    val tokens = new scala.util.Random(11).shuffle(raw).toDS()
+    val n = raw.size.toLong
+    val got = TA.heavyHitters(tokens, k = 32, denom = 20).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = raw.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter { case (_, c) => c * 20 > n }.toMap
+    assert(got == expected, s"got $got expected $expected")
+  }
+
   test("connected components collapse chains and map docs to canonical ids") {
     import spark.implicits._
     // a 5-node chain (pointer jumping must collapse it), a pair, and
