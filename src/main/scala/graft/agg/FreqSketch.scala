@@ -81,4 +81,44 @@ object FreqSketch {
       def bufferEncoder: Encoder[FreqSketch] = Encoders.kryo[FreqSketch]
       def outputEncoder: Encoder[FreqSketch] = Encoders.kryo[FreqSketch]
     }
+
+  /** Stable binary form for persisting sketches in stores (versioned
+    * parquet binary column): k, total, then (term, count) pairs.
+    */
+  def toBytes(s: FreqSketch): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(s.k)
+    out.writeLong(s.total)
+    out.writeInt(s.counters.size)
+    s.counters.foreach { case (t, n) => out.writeUTF(t); out.writeLong(n) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  def fromBytes(bytes: Array[Byte]): FreqSketch = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val k = in.readInt()
+    val total = in.readLong()
+    val size = in.readInt()
+    val counters = (1 to size).map(_ => (in.readUTF(), in.readLong())).toMap
+    FreqSketch(k, total, counters)
+  }
+
+  /** Untyped (DataFrame) aggregate merging serialized sketches — the
+    * `merge` column for `VersionedKeyValStore.writeIncremental`, so a
+    * store can keep folding per-batch sketches forever with the
+    * error bound intact.
+    */
+  def mergeBytesUdaf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(
+      new Aggregator[Array[Byte], FreqSketch, Array[Byte]] {
+        def zero: FreqSketch = empty(k)
+        def reduce(b: FreqSketch, a: Array[Byte]): FreqSketch =
+          b.merge(fromBytes(a))
+        def merge(a: FreqSketch, b: FreqSketch): FreqSketch = a.merge(b)
+        def finish(b: FreqSketch): Array[Byte] = toBytes(b)
+        def bufferEncoder: Encoder[FreqSketch] = Encoders.kryo[FreqSketch]
+        def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+      }, Encoders.BINARY)
 }

@@ -227,7 +227,14 @@ final case class Matrix(df: DataFrame) {
     * absent as 0, exactly like the sparse zero convention).
     */
   def rowCosineDimsum(t: Double, seed: Long = 0x5eed): Matrix = {
-    val est = dimsumSample(t, seed).grammian
+    // materialize the sampled matrix once: the grammian self-joins it,
+    // and AQE's exchange reuse does not reliably dedup the two derived
+    // subtrees (observed: norms + sampling recomputed per side) — at
+    // scale that is two extra input passes. Tracked in the shared
+    // registry; callers drop via PipelineCaches.unpersistAll().
+    val sampled =
+      graft.core.PipelineCaches.persistTracked(dimsumSample(t, seed).df)
+    val est = Matrix(sampled).grammian
     Matrix(est.df.withColumn(V,
       when(col(R) === col(C), 1.0).otherwise(col(V))))
   }

@@ -26,26 +26,17 @@ object Dedup {
     * LRU under memory pressure, but long-lived sessions should drop
     * them eagerly once a pipeline's results are consumed.
     */
-  private val trackedCaches =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private def persistTracked(df: DataFrame): DataFrame =
+    graft.core.PipelineCaches.persistTracked(df)
 
-  private def persistTracked(df: DataFrame): DataFrame = {
-    val p = df.persist()
-    trackedCaches.add(p)
-    p
-  }
-
-  /** Unpersist every cache created by pipelines in this object. Call
-    * after consuming a pipeline's output (results already computed
-    * stay valid; re-running the returned plan recomputes the scan).
+  /** Unpersist every tracked pipeline cache (delegates to the shared
+    * [[graft.core.PipelineCaches]] registry — matrix pipelines track
+    * there too). Call after consuming a pipeline's output (results
+    * already computed stay valid; re-running the returned plan
+    * recomputes the scan).
     */
-  def unpersistPipelineCaches(): Unit = {
-    var df = trackedCaches.poll()
-    while (df != null) {
-      df.unpersist(blocking = false)
-      df = trackedCaches.poll()
-    }
-  }
+  def unpersistPipelineCaches(): Unit =
+    graft.core.PipelineCaches.unpersistAll()
 
   /** Word w-shingles of normalized text, hashed to 64-bit via
     * xxhash64 — the shingle *set* column used by both MinHash and

@@ -87,6 +87,34 @@ object Streaming {
       }
       .start()
 
+  /** Streaming heavy-hitter maintenance: each micro-batch folds into a
+    * batch-local Misra-Gries sketch (one bounded row per batch — the
+    * sketch aggregation itself runs with map-side partials), which is
+    * then monoid-merged into the versioned store under the sketch
+    * merge aggregate. Unbounded vocabulary, O(k) state, and the
+    * undercount stays <= total/(k+1) across any number of batches —
+    * the streaming form of the reference's monoid `writeIncremental`
+    * idiom with a sketch algebra instead of numeric sum.
+    */
+  def incrementalFreqSketch(tokens: Dataset[String],
+      store: graft.sources.VersionedKeyValStore, k: Int): StreamingQuery =
+    tokens.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[String], _: Long) =>
+        if (!batch.isEmpty) {
+          import graft.agg.FreqSketch
+          val sk = batch.select(FreqSketch.aggregator(k).toColumn).head()
+          val spark = batch.sparkSession
+          import spark.implicits._
+          val delta = Seq(("vocab", FreqSketch.toBytes(sk)))
+            .toDF(store.keyCol, store.valCol)
+          store.writeIncremental(delta,
+            Some(FreqSketch.mergeBytesUdaf(k)(col(store.valCol)).as(store.valCol)))
+          ()
+        }
+      }
+      .start()
+
   /** Tagged union row for the stream-stream as-of join; `ts` carries
     * the event-time watermark through the union.
     */

@@ -136,4 +136,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(o_orderdate"),
       s"date bound not pushed:\n$p")
   }
+
+  test("heavy hitters verify pass filters to candidates before the exchange") {
+    // the returned plan is pass 2 (the sketch pass already ran); the
+    // vocabulary shuffle must be gated by the candidate-set filter and
+    // the count must split partial/final
+    val p = plan("q_text_heavy_hitters")
+    val lines = p.linesIterator.toSeq
+    val exchangeIdx = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    val filterIdx = lines.indexWhere(l =>
+      l.contains("Filter") && (l.contains("INSET") || l.contains(" IN (")))
+    assert(filterIdx >= 0, s"no candidate-set filter:\n$p")
+    assert(exchangeIdx >= 0 && filterIdx > exchangeIdx,
+      s"candidate filter must run below the exchange:\n$p")
+    assert(lines.exists(l => l.contains("HashAggregate") && l.contains("partial_")),
+      s"no partial count:\n$p")
+  }
+
+  test("DIMSUM gram keeps the shuffled-hash self-join on the sampled matrix") {
+    import org.apache.spark.sql.functions._
+    // audit the operator directly (the gate query also runs the exact
+    // gram for its contract, which would make the plan ambiguous)
+    val coo = graft.core.GraftSession.table(spark, sf("sf0.001"), "lineitem")
+      .groupBy(col("l_suppkey").as("row"), col("l_partkey").as("col"))
+      .agg(sum("l_quantity").as("val"))
+    val p = graft.matrix.Matrix.fromCoo(coo, "row", "col", "val")
+      .rowCosineDimsum(650.0).df.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), s"gram contraction lost its hash join:\n$p")
+    // the sampled matrix is materialized once: both self-join sides
+    // must read the tracked cache, not recompute sampling + norms
+    // (AQE exchange reuse does not reliably dedup the derived subtrees)
+    // (the InMemoryRelation print inlines its own defining FileScans —
+    // those run once at materialization, so don't count raw scans here)
+    val cacheReads = p.linesIterator.count(_.contains("InMemoryTableScan"))
+    assert(cacheReads >= 2, s"self-join sides should read the cache:\n$p")
+    graft.core.PipelineCaches.unpersistAll()
+  }
 }

@@ -196,6 +196,38 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set((1L, Some("gold")), (3L, None))) // left join keeps unmatched
   }
 
+  test("incremental frequency sketch merges per-batch partials into the versioned store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-freq").toString
+    val store = graft.sources.VersionedKeyValStore(dir)
+    val input = MemoryStream[String]
+    val query = Streaming.incrementalFreqSketch(input.toDS(), store, k = 8)
+    // three skewed batches over a vocabulary wider than the sketch
+    input.addData(Seq.fill(40)("hot") ++ (1 to 10).map(i => s"a$i"): _*)
+    query.processAllAvailable()
+    input.addData(Seq.fill(35)("hot") ++ (1 to 10).map(i => s"b$i"): _*)
+    query.processAllAvailable()
+    input.addData(Seq.fill(25)("warm") ++ (1 to 10).map(i => s"c$i"): _*)
+    query.processAllAvailable()
+    query.stop()
+
+    val sk = graft.agg.FreqSketch.fromBytes(
+      store.read(spark).select(store.valCol).head().getAs[Array[Byte]](0))
+    val n = 40 + 35 + 25 + 30
+    assert(sk.total == n, s"total must stay exact, got ${sk.total}")
+    assert(sk.counters.size <= 16)
+    // the error bound survives cross-batch merging: hot (75) and warm
+    // (25) both clear n/(k+1) = 14 and must be tracked within bound
+    assert(sk.errorBound == n / 9)
+    Seq("hot" -> 75L, "warm" -> 25L).foreach { case (t, c) =>
+      assert(sk.counters.contains(t), s"lost $t")
+      assert(sk.lowerBound(t) <= c && c - sk.lowerBound(t) <= sk.errorBound)
+    }
+    // three incremental writes => three store versions
+    assert(store.versions(spark).size == 3)
+  }
+
   test("stateful gap sessionization across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
