@@ -33,7 +33,11 @@ object Bench {
     // round-3 flagship additions
     "q_dedup_incremental",
     "q_events_funnel",
-    "q_ann_ivf_quantized")
+    "q_ann_ivf_quantized",
+    // round-4: corpus assembly + skew-safe collect
+    "q_text_pack",
+    "q_corpus_mix",
+    "q_agg_salted_collect")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,90 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators for training-data pipelines: turning a
+  * cleaned document set into the thing a trainer actually consumes —
+  * fixed-length token sequences with controlled domain mix.
+  *
+  * The reference stops at per-record transforms (map/filter closures,
+  * RichPipe.scala:372-395); these are the post-dedup steps a modern
+  * pretraining pipeline adds on top. Everything here is pure Column
+  * arithmetic over one hash-partitioned window — exact, deterministic,
+  * and one shuffle per operator regardless of corpus size.
+  */
+object Corpus {
+
+  /** Deterministic pseudo-random placement key: md5 of the id, a
+    * cryptographic 128-bit hash, so ordering by it is an
+    * indistinguishable-from-random permutation that any engine can
+    * replay (same idiom as Profile.hashSampleStrong).
+    */
+  private def placementKey(id: Column): Column = md5(id.cast("string"))
+
+  /** GPT-style sequence packing (concat-and-chunk): documents are
+    * deterministically sharded, pseudo-randomly ordered within their
+    * shard, logically concatenated, and the token stream is cut every
+    * `ctxLen` tokens. Each document is assigned the sequence in which
+    * it STARTS (`seq_id`, local to its shard — the global key is
+    * `(shard, seq_id)`) and its token offset within that sequence. A downstream writer groups by (shard, seq_id) to emit
+    * trainer-ready rows; documents longer than `ctxLen` simply span
+    * multiple sequences (`n_seqs`).
+    *
+    * Plan shape at scale: one hashpartitioning(shard) exchange + one
+    * in-partition sort — the cumulative sum is a running window, never
+    * a global sort. Shards are the unit of parallelism: pick nShards
+    * ≈ cluster cores so each shard's running sum streams.
+    *
+    * All arithmetic is integer (`div`/`pmod`), so results are exact
+    * and engine-independent — no floating-point drift.
+    */
+  def packSequences(docs: DataFrame, idCol: String, tokCol: String,
+      ctxLen: Int, nShards: Int): DataFrame = {
+    val id = col(idCol)
+    val shard = pmod(id, lit(nShards)).cast("long")
+    val w = Window.partitionBy("shard").orderBy(col("__h"), id)
+    docs
+      .withColumn("shard", shard)
+      .withColumn("__h", placementKey(id))
+      .withColumn("__cum", sum(col(tokCol)).over(w))
+      .withColumn("__start", col("__cum") - col(tokCol))
+      .select(
+        id,
+        col("shard"),
+        expr(s"__start div $ctxLen").as("seq_id"),
+        pmod(col("__start"), lit(ctxLen.toLong)).as("seq_offset"),
+        // sequences this doc touches: first cut strictly before the
+        // doc's last token (empty docs touch exactly one)
+        when(col(tokCol) <= 0, lit(1L))
+          .otherwise(expr(s"(__cum - 1) div $ctxLen") - expr(s"__start div $ctxLen") + 1L)
+          .as("n_seqs"))
+  }
+
+  /** Domain-quota corpus mixing: keep, per domain, a pseudo-random
+    * subset whose token total stays within `tokenBudget`. The
+    * selection is a running sum over the md5-ordered permutation —
+    * the distributed form of "shuffle the domain, take docs until the
+    * budget is hit", and deterministic across engines/runs (critical
+    * for reproducible training mixes).
+    *
+    * Greedy prefix semantics: a doc is kept iff the running total
+    * INCLUDING it is ≤ budget, so one oversized doc early in the
+    * permutation blocks later ones in the same domain — this is the
+    * exact prefix rule (simple + replayable), not best-fit knapsack.
+    *
+    * One hashpartitioning(domain) exchange; domains are the window
+    * partitions, so skewed domains stream through a running sum
+    * rather than materializing.
+    */
+  def mixByBudget(docs: DataFrame, idCol: String, domainCol: String,
+      tokCol: String, tokenBudget: Long): DataFrame = {
+    val w = Window.partitionBy(domainCol).orderBy(col("__h"), col(idCol))
+    docs
+      .withColumn("__h", placementKey(col(idCol)))
+      .withColumn("cum_tokens", sum(col(tokCol)).over(w))
+      .filter(col("cum_tokens") <= tokenBudget)
+      .drop("__h")
+  }
+}

@@ -67,6 +67,41 @@ object Multimodal {
       .withColumn("target_h", lit(targetH))
   }
 
+  /** A media embedding row: id + fixed-dimension feature vector. */
+  case class MediaEmbedding(id: Long, embedding: Array[Float])
+
+  /** Batched feature extraction — the inference step of a multimodal
+    * pipeline. The plumbing is the real contract: one "model" handle
+    * per partition, rows grouped into fixed-size batches (GPU-shaped
+    * inference wants batched tensors, exactly like `mapInPandas`
+    * batch iteration), one output vector per input row, order
+    * preserved. The model itself is a STUB — a deterministic
+    * hash-seeded projection — swappable for a real ONNX/JNI runtime
+    * without touching the batching.
+    */
+  def featureExtractStub(df: DataFrame, dim: Int, batchSize: Int = 32,
+      idCol: String = "id", mediaCol: String = "media"): Dataset[MediaEmbedding] = {
+    implicit val enc = Encoders.product[MediaEmbedding]
+    df.select(col(idCol).cast("long"), col(mediaCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        // "load the model" once per partition (resource lifecycle),
+        // then stream fixed-size batches through it
+        val model = new java.util.Random(42) // stand-in for a session handle
+        val _ = model
+        it.grouped(batchSize).flatMap { batch =>
+          // a real runtime would run ONE forward pass on the batch
+          batch.map { case (id, bytes) =>
+            val seed = java.util.Arrays.hashCode(bytes).toLong & 0xffffffffL
+            val rnd = new java.util.Random(seed)
+            val v = Array.fill(dim)(rnd.nextFloat() * 2f - 1f)
+            val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+            MediaEmbedding(id, if (n == 0f) v else v.map(_ / n))
+          }
+        }
+      }
+  }
+
   /** Frame sampling for video-like payloads: split the byte stream
     * into `frameSize` chunks, keep every `stride`-th — the
     * explode/partition shape of real frame extraction (the chunking

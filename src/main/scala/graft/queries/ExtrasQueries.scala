@@ -232,6 +232,34 @@ object ExtrasQueries extends QueryGroup {
       Combinatorics.combinations(s, 6, 3).orderBy("c1", "c2", "c3")
     },
 
+    // salted two-phase collect: non-algebraic agg on a skewed key
+    // without concentrating a hot key on one reducer. Result sorted,
+    // so it's routing-independent and equals the plain collect.
+    q("q_agg_salted_collect",
+      """SELECT l_suppkey,
+        |  array_to_string(list_sort(list(l_partkey)), ',') AS parts
+        |FROM lineitem GROUP BY l_suppkey
+        |ORDER BY l_suppkey""".stripMargin) { (s, dir) =>
+      graft.agg.SaltedAgg.saltedCollectList(
+          t(s, dir, "lineitem"), Seq("l_suppkey"), "l_partkey", nSalts = 16)
+        .select(col("l_suppkey"),
+          concat_ws(",", transform(col("l_partkey_list"),
+            x => x.cast("string"))).as("parts"))
+        .orderBy("l_suppkey")
+    },
+
+    // knapsack-style enumeration (`weightedSum`,
+    // mathematics/Combinatorics.scala:170-219): all non-negative
+    // integer solutions of 3·x1 + 5·x2 + 7·x3 = 100.
+    q("q_weighted_sum",
+      """SELECT a.range AS x1, b.range AS x2, c.range AS x3
+        |FROM range(0, 34) a, range(0, 21) b, range(0, 15) c
+        |WHERE a.range * 3 + b.range * 5 + c.range * 7 = 100
+        |ORDER BY x1, x2, x3""".stripMargin) { (s, _) =>
+      Combinatorics.weightedSum(s, Seq(3L, 5L, 7L), 100L)
+        .orderBy("x1", "x2", "x3")
+    },
+
     // per-task resource lifecycle (`using`, RichPipe.scala:73-119):
     // a "connection" formats rows; open once per partition, released
     // at exhaustion.

@@ -146,6 +146,73 @@ object TextQueries extends QueryGroup {
       Multimodal.decodeMetadata(media).toDF()
         .select("id", "byteLen", "contentHash", "width", "height", "format")
         .orderBy("id")
+    },
+
+    // GPT-style sequence packing: shard → md5-permute → concat →
+    // chunk every ctxLen tokens. Pure integer window math (exact in
+    // both engines); one hashpartitioning(shard) exchange at scale.
+    q("q_text_pack",
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN strlen(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS tok,
+        |    doc_id % 8 AS shard,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, shard, tok,
+        |    sum(tok) OVER (PARTITION BY shard ORDER BY h, doc_id) AS cum
+        |  FROM d
+        |)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+        |  CAST((cum - tok) // 128 AS BIGINT) AS seq_id,
+        |  CAST((cum - tok) % 128 AS BIGINT) AS seq_offset,
+        |  CAST(CASE WHEN tok <= 0 THEN 1
+        |       ELSE (cum - 1) // 128 - (cum - tok) // 128 + 1 END AS BIGINT) AS n_seqs
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TA.tokenCount(col("text")).cast("long").as("tok"))
+      graft.ml.Corpus.packSequences(docs, "doc_id", "tok",
+          ctxLen = 128, nShards = 8)
+        .orderBy("doc_id")
+    },
+
+    // BPE vocabulary induction: 12 merges learned from the corpus.
+    // Iterative (argmax + re-merge per round) so not SQL-expressible —
+    // rows-only gate; BpeSpec proves byte-equality against a
+    // single-node reference implementation on the same table.
+    qNoOracle("q_text_bpe") { (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents").select("text").as[String]
+      graft.ml.Bpe.train(docs, nMerges = 12)
+        .toDF().select("rank", "left", "right").orderBy("rank")
+    },
+
+    // domain-quota corpus mixing: per source, keep the md5-ordered
+    // prefix whose running token total stays within the budget — the
+    // deterministic, replayable form of "shuffle and take until full".
+    q("q_corpus_mix",
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN strlen(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS tok,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, source, tok,
+        |    sum(tok) OVER (PARTITION BY source ORDER BY h, doc_id) AS cum
+        |  FROM d
+        |)
+        |SELECT doc_id, source, CAST(tok AS BIGINT) AS tok,
+        |  CAST(cum AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum <= 800 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TA.tokenCount(col("text")).cast("long").as("tok"))
+      graft.ml.Corpus.mixByBudget(docs, "doc_id", "source", "tok",
+          tokenBudget = 800L)
+        .select("doc_id", "source", "tok", "cum_tokens")
+        .orderBy("doc_id")
     }
   )
 }

@@ -1,0 +1,70 @@
+package graft
+
+import graft.ml.Bpe
+
+/** Distributed BPE trainer vs an exact driver-side reference
+  * implementation over the same corpus.
+  */
+class BpeSpec extends SparkSpec {
+
+  /** Single-node reference BPE with the same determinism contract
+    * (count desc, left asc, right asc).
+    */
+  private def localBpe(words: Map[String, Long], n: Int): Seq[(String, String)] = {
+    var syms: Seq[(Vector[String], Long)] =
+      words.toSeq.map { case (w, c) => (w.map(_.toString).toVector :+ Bpe.Eow, c) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (out.size < n && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      syms.foreach { case (s, c) =>
+        s.sliding(2).filter(_.size == 2).foreach { p =>
+          val k = (p(0), p(1)); counts(k) = counts.getOrElse(k, 0L) + c
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val best = counts.toSeq.sortBy { case ((l, r), c) => (-c, l, r) }.head._1
+        out += best
+        syms = syms.map { case (s, c) =>
+          (Bpe.applyMerge(s.toArray, best._1, best._2).toVector, c)
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  test("applyMerge is greedy left-to-right on overlaps") {
+    assert(Bpe.applyMerge(Array("a", "a", "a"), "a", "a").toSeq == Seq("aa", "a"))
+    assert(Bpe.applyMerge(Array("a", "b", "a", "b"), "a", "b").toSeq == Seq("ab", "ab"))
+    assert(Bpe.applyMerge(Array("x"), "a", "b").toSeq == Seq("x"))
+  }
+
+  test("distributed BPE learns exactly the reference merge sequence on real documents") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("text").as[String]
+    val got = Bpe.train(docs, nMerges = 15)
+
+    val wc = scala.collection.mutable.Map.empty[String, Long]
+    docs.collect().foreach(
+      _.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach(w =>
+        wc(w) = wc.getOrElse(w, 0L) + 1))
+    val expected = localBpe(wc.toMap, 15)
+
+    assert(got.map(m => (m.left, m.right)) == expected)
+    assert(got.map(_.rank) == (0 until 15))
+  }
+
+  test("encodeWord applies merges in rank order") {
+    import spark.implicits._
+    val docs = Seq.fill(50)("low lower lowest").toDS()
+    val merges = Bpe.train(docs, nMerges = 6)
+    val enc = Bpe.encodeWord("lower", merges)
+    // all merges learned from 'low*' words: encoding must reconstruct
+    // the word and contain the fused 'low' prefix unit
+    assert(enc.mkString == "lower" + Bpe.Eow)
+    assert(enc.exists(_.startsWith("low")))
+    assert(enc.length < "lower".length + 1)
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.Corpus
+
+/** Sequence packing + corpus mixing, verified against a driver-side
+  * replay of the exact same md5-permutation arithmetic.
+  */
+class CorpusSpec extends SparkSpec {
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  // (id, tok) corpus with short docs, an empty doc, and one doc longer
+  // than the context window
+  private val docs = Seq(
+    (0L, 7L), (1L, 40L), (2L, 3L), (3L, 0L), (4L, 12L),
+    (5L, 9L), (6L, 25L), (7L, 5L), (8L, 11L), (9L, 2L))
+
+  test("packSequences matches an exact driver-side replay") {
+    import spark.implicits._
+    val ctx = 10
+    val nShards = 2
+    val got = Corpus.packSequences(docs.toDF("doc_id", "tok"),
+        "doc_id", "tok", ctxLen = ctx, nShards = nShards)
+      .select("doc_id", "shard", "seq_id", "seq_offset", "n_seqs")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+
+    val expected = docs.groupBy { case (id, _) => id % nShards }.toSeq
+      .flatMap { case (shard, ds) =>
+        var cum = 0L
+        ds.sortBy { case (id, _) => (md5hex(id.toString), id) }
+          .map { case (id, tok) =>
+            val start = cum
+            cum += tok
+            val seqId = start / ctx
+            val nSeqs = if (tok <= 0) 1L else (cum - 1) / ctx - seqId + 1
+            (id, shard, seqId, start % ctx, nSeqs)
+          }
+      }.sortBy(_._1)
+    assert(got.toSeq == expected)
+    // the 40-token doc spans multiple context windows
+    assert(expected.find(_._1 == 1L).get._5 == 4 + (expected.find(_._1 == 1L).get._4 min 1))
+  }
+
+  test("packSequences conserves tokens: chunk cuts tile the shard stream") {
+    import spark.implicits._
+    val packed = Corpus.packSequences(docs.toDF("doc_id", "tok"),
+      "doc_id", "tok", ctxLen = 10, nShards = 1)
+    val joined = packed.join(docs.toDF("doc_id", "tok"), "doc_id")
+    // reconstruct each doc's absolute start from (seq_id, seq_offset)
+    // and check the shard stream is gapless: sorted starts chain
+    // exactly by token length
+    // sort by (start, tok) so the zero-length doc, which shares its
+    // start with its successor, sits first and the chain stays exact
+    val rows = joined.select(col("seq_id") * 10 + col("seq_offset"), col("tok"))
+      .as[(Long, Long)].collect().sortBy(r => (r._1, r._2))
+    rows.zip(rows.scanLeft(0L) { case (acc, (_, tok)) => acc + tok }).foreach {
+      case ((start, _), expectedStart) => assert(start == expectedStart)
+    }
+  }
+
+  test("mixByBudget keeps exactly the within-budget md5-ordered prefix per domain") {
+    import spark.implicits._
+    val dd = Seq(
+      (0L, "a", 30L), (1L, "a", 30L), (2L, "a", 30L), (3L, "a", 30L),
+      (4L, "b", 80L), (5L, "b", 10L), (6L, "b", 10L))
+    val budget = 70L
+    val got = Corpus.mixByBudget(dd.toDF("doc_id", "source", "tok"),
+        "doc_id", "source", "tok", budget)
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toMap
+
+    val expected = dd.groupBy(_._2).toSeq.flatMap { case (_, ds) =>
+      var cum = 0L
+      ds.sortBy { case (id, _, _) => (md5hex(id.toString), id) }
+        .flatMap { case (id, _, tok) =>
+          cum += tok
+          if (cum <= budget) Some(id -> cum) else None
+        }
+    }.toMap
+    assert(got == expected)
+    // budget binds: domain a fits only 2 of 4 docs (30+30 ≤ 70 < 90)
+    assert(expected.count { case (id, _) => id <= 3 } == 2)
+  }
+
+  test("gate queries run and pack output covers every document once") {
+    val pack = graft.queries.TextQueries.all.find(_.name == "q_text_pack").get
+    val out = pack.run(spark, sf())
+    val n = spark.read.parquet(s"${sf()}/documents.parquet").count()
+    assert(out.count() == n)
+    assert(out.select("doc_id").distinct().count() == n)
+    val mix = graft.queries.TextQueries.all.find(_.name == "q_corpus_mix").get
+    val m = mix.run(spark, sf())
+    assert(m.count() > 0 && m.count() < n)
+    assert(m.filter(col("cum_tokens") > 800).count() == 0)
+  }
+}

@@ -252,4 +252,29 @@ class MlSpec extends SparkSpec {
     assert(counts(1L) == 5L)
     assert(counts(2L) == 1L)
   }
+
+  test("multimodal feature extraction: batched, unit-norm, deterministic, order-preserving") {
+    import spark.implicits._
+    val media = (1L to 70L).map(i => (i, Array.fill[Byte](32)((i % 11).toByte)))
+      .toDF("id", "media").repartition(2)
+    val dim = 16
+    val out = Multimodal.featureExtractStub(media, dim, batchSize = 32)
+    val vecs = out.collect().map(e => e.id -> e.embedding).toMap
+    assert(vecs.size == 70 && vecs.values.forall(_.length == dim))
+    // unit-norm (model contract) and content-deterministic: ids with
+    // identical bytes (i % 11 equal) share an embedding
+    vecs.values.foreach { v =>
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 1e-5)
+    }
+    assert(vecs(1L).toSeq == vecs(12L).toSeq)   // 1 % 11 == 12 % 11
+    assert(vecs(1L).toSeq != vecs(2L).toSeq)
+    // plumbs into the ANN surface: top-1 neighbor of a probe is an
+    // identical-content row (cos ≈ 1)
+    val e = out.toDF().select(col("id"), col("embedding").as("vec"))
+    val top = graft.ml.Similarity.bruteForceTopK(
+      e.filter(col("id") === 1), e.filter(col("id") =!= 1), k = 1)
+    val best = top.collect().head
+    assert(math.abs(best.getAs[Double]("cos") - 1.0) < 1e-5)
+  }
 }

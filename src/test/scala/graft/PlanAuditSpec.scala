@@ -153,6 +153,36 @@ class PlanAuditSpec extends SparkSpec {
       s"no partial count:\n$p")
   }
 
+  test("salted collect is two bounded aggregations, not one hot-key reducer") {
+    val p = plan("q_agg_salted_collect")
+    // phase 1 groups by (key, salt), phase 2 by key — two hash
+    // exchanges, each with per-task state bounded by ~1/nSalts of the
+    // hottest key (plus the final ORDER BY's range exchange)
+    val saltEx = p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("__salt"))
+    val keyEx = p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("l_suppkey") &&
+        !l.contains("__salt"))
+    assert(saltEx, s"no (key, salt) exchange:\n$p")
+    assert(keyEx, s"no final key exchange:\n$p")
+  }
+
+  test("sequence packing runs on a single shard exchange, no global sort") {
+    // the whole pack is one hashpartitioning(shard) exchange + one
+    // in-partition sort for the running sum; the final ORDER BY adds
+    // its range exchange. No rangepartitioning before the window and
+    // no extra hash exchanges — the property that keeps packing a
+    // single-shuffle operator at 100 TB.
+    val p = plan("q_text_pack")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected exactly one hash exchange:\n$p")
+    val sortIdx = p.linesIterator.indexWhere(l =>
+      l.contains("Sort [") && l.contains("__h"))
+    val winIdx = p.linesIterator.indexWhere(_.contains("Window"))
+    assert(winIdx >= 0 && sortIdx > winIdx,
+      s"window running sum must sort within the shard partition:\n$p")
+  }
+
   test("DIMSUM gram keeps the shuffled-hash self-join on the sampled matrix") {
     import org.apache.spark.sql.functions._
     // audit the operator directly (the gate query also runs the exact
