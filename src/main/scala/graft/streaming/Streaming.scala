@@ -115,6 +115,69 @@ object Streaming {
       }
       .start()
 
+  /** Streaming corpus ingestion — the streaming form of
+    * examples.CorpusPrepJob: each micro-batch of raw (doc_id, text)
+    * is quality/language filtered, exact-deduped within the batch,
+    * near-dup-deduped against the durable MinHash signature store
+    * (and against earlier docs in the same batch), and only then
+    * appended to the corpus; accepted signatures append to the store
+    * so later batches (and later runs — the store is the state, not
+    * the streaming checkpoint) dedup against everything ever
+    * accepted. Per batch the cost is linear in the DELTA plus the
+    * band-bucket join against the store — the corpus itself is never
+    * re-read.
+    */
+  def corpusIngest(docs: DataFrame, sigDir: String, corpusDir: String,
+      lang: String, minQuality: Double, threshold: Double = 0.7): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.ml.{Dedup, TextAnalysis => TA}
+        val spark = batch.sparkSession
+        // 1. annotate + filter (pure columns — scan-speed)
+        val clean = batch
+          .filter(TA.langId(col("text")) === lang &&
+            TA.qualityScore(col("text")) >= minQuality)
+        // 2. exact dedup within the batch: min id per content hash
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(TA.fingerprint(col("text")))
+        val exact = clean
+          .withColumn("__minId", min(col("doc_id")).over(w))
+          .filter(col("doc_id") === col("__minId")).drop("__minId")
+          .persist()
+        val store =
+          try spark.read.parquet(sigDir)
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            Dedup.buildSignatureStore(exact.limit(0), "doc_id", "text")
+          }
+        // 3. near-dup dedup vs store + within batch: drop a new doc if
+        // it matches an accepted (old) doc, or a smaller-id batch doc
+        val pairs = Dedup.incrementalNearDuplicates(
+          exact, store, "doc_id", "text", threshold)
+        val ids = exact.select(col("doc_id").as("__bid"))
+        val drops = pairs
+          .join(ids.as("b1"), col("id1") === col("__bid"), "left")
+          .withColumnRenamed("__bid", "__new1")
+          .join(ids.as("b2"), col("id2") === col("__bid"), "left")
+          .withColumnRenamed("__bid", "__new2")
+          .select(
+            // old×new → drop the new side; new×new → drop the greater
+            when(col("__new1").isNull, col("id2"))
+              .when(col("__new2").isNull, col("id1"))
+              .otherwise(col("id2")).as("doc_id"))
+          .distinct()
+        val accepted = exact.join(drops, Seq("doc_id"), "left_anti").persist()
+        // 4. append corpus + advance the signature store
+        accepted.write.mode("append").parquet(corpusDir)
+        Dedup.buildSignatureStore(accepted, "doc_id", "text")
+          .write.mode("append").parquet(sigDir)
+        accepted.unpersist(blocking = false)
+        exact.unpersist(blocking = false)
+        Dedup.unpersistPipelineCaches()
+        ()
+      }
+      .start()
+
   /** Tagged union row for the stream-stream as-of join; `ts` carries
     * the event-time watermark through the union.
     */

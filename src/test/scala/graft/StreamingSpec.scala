@@ -228,6 +228,44 @@ class StreamingSpec extends SparkSpec {
     assert(store.versions(spark).size == 3)
   }
 
+  test("streaming corpus ingest filters, dedups vs batch and store, appends corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val sigDir = s"$root/sigs"
+    val corpusDir = s"$root/corpus"
+    val base = "the quick brown fox jumps over the lazy dog and it is a " +
+      "good day for running in the park with friends"
+    val other = "many people enjoy reading books about science and history " +
+      "because they offer new ideas and it is fun to learn something"
+    val input = MemoryStream[(Long, String)]
+    val query = Streaming.corpusIngest(input.toDS().toDF("doc_id", "text"),
+      sigDir, corpusDir, lang = "en", minQuality = 0.9, threshold = 0.7)
+    // batch 1: near-dup within batch (2 vs 1) and a junk doc
+    input.addData((1L, base), (2L, base + " indeed"), (3L, "zzz zzz zzz"))
+    query.processAllAvailable()
+    // batch 2: near-dup of an ACCEPTED doc across batches + a fresh doc
+    input.addData((10L, base + " really truly"), (11L, other))
+    query.processAllAvailable()
+    query.stop()
+
+    val corpus = spark.read.parquet(corpusDir)
+    assert(corpus.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 11L))
+    // the store carries exactly the accepted signatures
+    val sigs = spark.read.parquet(sigDir)
+    assert(sigs.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 11L))
+    // restart-safety: a new query over the same store still drops
+    // near-dups of previously accepted docs (state lives in the store)
+    val input2 = MemoryStream[(Long, String)]
+    val query2 = Streaming.corpusIngest(input2.toDS().toDF("doc_id", "text"),
+      sigDir, corpusDir, lang = "en", minQuality = 0.9, threshold = 0.7)
+    input2.addData((20L, base + " once more"))
+    query2.processAllAvailable()
+    query2.stop()
+    assert(spark.read.parquet(corpusDir).select("doc_id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 11L))
+  }
+
   test("stateful gap sessionization across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
