@@ -62,6 +62,24 @@ object Corpus {
           .as("n_seqs"))
   }
 
+  /** Trainer-ready sequence manifest: one row per (shard, seq_id)
+    * listing the documents that START in that sequence in stream
+    * order — the writer-side view of [[packSequences]] a downstream
+    * job joins with the text to emit fixed-length training rows.
+    * Groups are bounded by ctxLen (a sequence can start at most
+    * ~ctxLen docs plus one), so the collect is safe at any scale.
+    */
+  def sequenceManifest(docs: DataFrame, idCol: String, tokCol: String,
+      ctxLen: Int, nShards: Int): DataFrame =
+    packSequences(docs, idCol, tokCol, ctxLen, nShards)
+      .groupBy("shard", "seq_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        concat_ws(",",
+          transform(
+            array_sort(collect_list(struct(col("seq_offset"), col(idCol)))),
+            p => p.getField(idCol).cast("string"))).as("doc_ids"))
+
   /** Domain-quota corpus mixing: keep, per domain, a pseudo-random
     * subset whose token total stays within `tokenBudget`. The
     * selection is a running sum over the md5-ordered permutation —

@@ -88,6 +88,30 @@ object EmbeddingQueries extends QueryGroup {
         .orderBy("id1", "id2")
     },
 
+    // the SQL-injected native expression path: the same near-dup
+    // pairs computed through `spark.sql` with the codegen'd
+    // `vec_cosine` Catalyst expression registered by GraftExtensions
+    // (SparkSessionExtensions) — exercising SQL function injection
+    // end-to-end through the gate, not just in a spec.
+    q("q_sql_vec_cosine",
+      """SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE a.vec_id < 40 AND b.vec_id < 40
+        |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.5
+        |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+      t(s, dir, "embeddings").createOrReplaceTempView("graft_embeddings")
+      s.sql(
+        """SELECT a.vec_id AS id1, b.vec_id AS id2,
+          |  round(vec_cosine(a.embedding, b.embedding), 6) AS cos
+          |FROM graft_embeddings a JOIN graft_embeddings b
+          |  ON a.label = b.label AND a.vec_id < b.vec_id
+          |WHERE a.vec_id < 40 AND b.vec_id < 40
+          |  AND vec_cosine(a.embedding, b.embedding) >= 0.5
+          |ORDER BY id1, id2""".stripMargin)
+    },
+
     // LSH-bucketed ANN (the 100 TB path: bucket join instead of cross
     // join), with the DETERMINISTIC axis-pair signature so the full
     // candidate generation + exact re-score is replicated in the

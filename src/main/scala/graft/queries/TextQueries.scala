@@ -177,6 +177,37 @@ object TextQueries extends QueryGroup {
         .orderBy("doc_id")
     },
 
+    // the writer-side view of packing: per (shard, sequence), the
+    // stream-ordered doc list a trainer row is assembled from.
+    q("q_text_pack_manifest",
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN strlen(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS tok,
+        |    doc_id % 8 AS shard,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, shard, tok,
+        |    sum(tok) OVER (PARTITION BY shard ORDER BY h, doc_id) AS cum
+        |  FROM d
+        |), p AS (
+        |  SELECT doc_id, shard,
+        |    (cum - tok) // 128 AS seq_id, (cum - tok) % 128 AS seq_offset
+        |  FROM c
+        |)
+        |SELECT CAST(shard AS BIGINT) AS shard, CAST(seq_id AS BIGINT) AS seq_id,
+        |  count(*) AS n_docs,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY seq_offset, doc_id) AS doc_ids
+        |FROM p GROUP BY shard, seq_id
+        |ORDER BY shard, seq_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TA.tokenCount(col("text")).cast("long").as("tok"))
+      graft.ml.Corpus.sequenceManifest(docs, "doc_id", "tok",
+          ctxLen = 128, nShards = 8)
+        .orderBy("shard", "seq_id")
+    },
+
     // BPE vocabulary induction: 12 merges learned from the corpus.
     // Iterative (argmax + re-merge per round) so not SQL-expressible —
     // rows-only gate; BpeSpec proves byte-equality against a

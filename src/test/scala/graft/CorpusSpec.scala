@@ -61,6 +61,29 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("sequenceManifest lists starting docs in stream order per sequence") {
+    import spark.implicits._
+    val manifest = Corpus.sequenceManifest(docs.toDF("doc_id", "tok"),
+        "doc_id", "tok", ctxLen = 10, nShards = 1)
+      .select("seq_id", "n_docs", "doc_ids")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    // replay: same permutation as packSequences, group by start/10
+    val md5 = (id: Long) => md5hex(id.toString)
+    var cum = 0L
+    val packed = docs.sortBy { case (id, _) => (md5(id), id) }.map { case (id, tok) =>
+      val start = cum; cum += tok; (start / 10, start % 10, id)
+    }
+    // the manifest orders by (seq_offset, doc_id) — a zero-length doc
+    // shares its offset with its successor, so replay that exact sort
+    val expected = packed.groupBy(_._1).toSeq.sortBy(_._1).map { case (seq, ds) =>
+      val ordered = ds.sortBy { case (_, off, id) => (off, id) }.map(_._3)
+      (seq, ds.size.toLong, ordered.mkString(","))
+    }
+    assert(manifest.toSeq == expected)
+    // every doc appears exactly once across the manifest
+    assert(manifest.flatMap(_._3.split(",")).length == docs.size)
+  }
+
   test("mixByBudget keeps exactly the within-budget md5-ordered prefix per domain") {
     import spark.implicits._
     val dd = Seq(
