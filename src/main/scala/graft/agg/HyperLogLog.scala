@@ -100,6 +100,38 @@ object Hll {
     }
   }
 
+  /** Stable binary form (p + registers) for persisting sketches in a
+    * versioned store's binary column — same idiom as
+    * [[FreqSketch.toBytes]].
+    */
+  def toBytes(h: Hll): Array[Byte] = {
+    val out = new Array[Byte](1 + h.registers.length)
+    out(0) = h.p.toByte
+    System.arraycopy(h.registers, 0, out, 1, h.registers.length)
+    out
+  }
+
+  def fromBytes(bytes: Array[Byte]): Hll =
+    Hll(bytes(0).toInt, java.util.Arrays.copyOfRange(bytes, 1, bytes.length))
+
+  /** Untyped aggregate merging serialized sketches — the `merge`
+    * column for `VersionedKeyValStore.writeIncremental`, so per-key
+    * distinct counts (daily uniques per domain, per language, …) fold
+    * forever in O(2^p) state per key with the rsd bound intact.
+    */
+  def mergeBytesUdaf(err: Double = 0.01): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val p = pForError(err)
+    org.apache.spark.sql.functions.udaf(
+      new Aggregator[Array[Byte], Hll, Array[Byte]] {
+        def zero: Hll = empty(p)
+        def reduce(b: Hll, a: Array[Byte]): Hll = b.merge(fromBytes(a))
+        def merge(a: Hll, b: Hll): Hll = a.merge(b)
+        def finish(b: Hll): Array[Byte] = toBytes(b)
+        def bufferEncoder: Encoder[Hll] = Encoders.kryo[Hll]
+        def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+      }, Encoders.BINARY)
+  }
+
   /** Estimate-valued variant for direct use in typed pipelines. */
   def countAggregator(err: Double = 0.01): Aggregator[String, Hll, Long] = {
     val p = pForError(err)

@@ -80,6 +80,24 @@ object Corpus {
             array_sort(collect_list(struct(col("seq_offset"), col(idCol)))),
             p => p.getField(idCol).cast("string"))).as("doc_ids"))
 
+  /** Exact-count stratified sampling: exactly `min(n, |stratum|)`
+    * pseudo-random docs per stratum — balanced eval/calibration sets
+    * where "10k docs per language" is the spec, vs [[mixByBudget]]'s
+    * token-capped selection. Deterministic (md5 permutation) and one
+    * hashpartitioning(stratum) exchange; `sample_rank` (1-based) is
+    * the stable within-stratum order, so `n` can shrink downstream
+    * without resampling.
+    */
+  def stratifiedTake(docs: DataFrame, idCol: String, strataCol: String,
+      n: Int): DataFrame = {
+    val w = Window.partitionBy(strataCol).orderBy(col("__h"), col(idCol))
+    docs
+      .withColumn("__h", placementKey(col(idCol)))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= n)
+      .drop("__h")
+  }
+
   /** Domain-quota corpus mixing: keep, per domain, a pseudo-random
     * subset whose token total stays within `tokenBudget`. The
     * selection is a running sum over the md5-ordered permutation —

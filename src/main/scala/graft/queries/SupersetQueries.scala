@@ -45,6 +45,32 @@ object SupersetQueries extends QueryGroup {
         .orderBy("okey")
     },
 
+    // ranking-function superset (SURVEY §2.4 note: the reference
+    // expresses ranking only via sortedTake; rank/dense_rank/ntile
+    // come free): per-flag price ranking with deterministic
+    // tie-breaks.
+    q("q_window_rank",
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  ntile(4) OVER w AS quartile
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_returnflag
+        |             ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_quantity)
+        |ORDER BY l_returnflag, rnk, l_orderkey, l_linenumber, quartile""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+          col("l_linenumber"), col("l_quantity"))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy(col("l_returnflag"), col("rnk"), col("l_orderkey"),
+          col("l_linenumber"), col("quartile"))
+    },
+
     // grouping-sets superset: rollup with explicit grouping ids.
     q("q_rollup",
       """SELECT coalesce(l_returnflag, '<all>') AS flag,

@@ -219,6 +219,23 @@ object TextQueries extends QueryGroup {
         .toDF().select("rank", "left", "right").orderBy("rank")
     },
 
+    // exact-count stratified sample: 5 pseudo-random docs per source
+    // (balanced-set construction; count-capped vs q_corpus_mix's
+    // token-capped selection).
+    q("q_sample_stratified",
+      """SELECT doc_id, source, sample_rank FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+        |  FROM documents
+        |) WHERE sample_rank <= 5
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.ml.Corpus.stratifiedTake(
+          t(s, dir, "documents"), "doc_id", "source", n = 5)
+        .select("doc_id", "source", "sample_rank")
+        .orderBy("doc_id")
+    },
+
     // domain-quota corpus mixing: per source, keep the md5-ordered
     // prefix whose running token total stays within the budget — the
     // deterministic, replayable form of "shuffle and take until full".

@@ -107,6 +107,26 @@ class CorpusSpec extends SparkSpec {
     assert(expected.count { case (id, _) => id <= 3 } == 2)
   }
 
+  test("stratifiedTake returns exactly n per stratum, deterministic across runs") {
+    import spark.implicits._
+    val dd = (0L until 40L).map(i => (i, s"s${i % 4}")).toDF("doc_id", "source")
+    val got = Corpus.stratifiedTake(dd, "doc_id", "source", n = 3)
+      .select("doc_id", "source", "sample_rank")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(got.groupBy(_._2).forall(_._2.length == 3))
+    assert(got.forall(r => r._3 >= 1 && r._3 <= 3))
+    // exact driver replay of the md5 permutation
+    val expected = (0L until 40L).groupBy(i => s"s${i % 4}").flatMap { case (src, ids) =>
+      ids.sortBy(i => (md5hex(i.toString), i)).take(3).zipWithIndex
+        .map { case (id, k) => (id, src, k + 1L) }
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == expected)
+    // a stratum smaller than n yields its full population
+    val small = Corpus.stratifiedTake(
+      Seq((1L, "x"), (2L, "x")).toDF("doc_id", "source"), "doc_id", "source", 5)
+    assert(small.count() == 2)
+  }
+
   test("gate queries run and pack output covers every document once") {
     val pack = graft.queries.TextQueries.all.find(_.name == "q_text_pack").get
     val out = pack.run(spark, sf())

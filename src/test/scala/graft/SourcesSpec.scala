@@ -65,6 +65,31 @@ class SourcesSpec extends SparkSpec {
     assert(store.versions(spark) == Seq(1L, 2L))
   }
 
+  test("versioned store maintains per-key HLL distinct sketches across versions") {
+    import spark.implicits._
+    import graft.agg.Hll
+    val store = VersionedKeyValStore(tmp() + "/hll")
+    def sketchOf(values: Seq[String]): Array[Byte] =
+      Hll.toBytes(values.foldLeft(Hll.empty(Hll.pForError(0.01)))(
+        (h, v) => h.add(Hll.hash(v))))
+    // day 1: domain a sees u1..u100, domain b sees u1..u50
+    store.write(Seq(
+      ("a", sketchOf((1 to 100).map(i => s"u$i"))),
+      ("b", sketchOf((1 to 50).map(i => s"u$i")))).toDF("key", "value"))
+    // day 2: overlapping + new visitors
+    store.writeIncremental(
+      Seq(("a", sketchOf((51 to 150).map(i => s"u$i"))),
+          ("c", sketchOf((1 to 10).map(i => s"u$i")))).toDF("key", "value"),
+      Some(Hll.mergeBytesUdaf(0.01)(col("value")).as("value")))
+    val est = store.read(spark).collect()
+      .map(r => r.getString(0) ->
+        Hll.fromBytes(r.getAs[Array[Byte]](1)).estimate).toMap
+    // union semantics with ~1% rsd: a = |u1..u150| = 150, not 200
+    assert(math.abs(est("a") - 150L) <= 8, s"a: ${est("a")}")
+    assert(math.abs(est("b") - 50L) <= 4, s"b: ${est("b")}")
+    assert(math.abs(est("c") - 10L) <= 2, s"c: ${est("c")}")
+  }
+
   test("codec source round trip and tolerated decode errors") {
     import spark.implicits._
     val dir = tmp() + "/codec"
