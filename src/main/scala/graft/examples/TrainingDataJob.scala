@@ -1,0 +1,97 @@
+package graft.examples
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Args, GraftJob}
+import graft.ml.{Corpus, Dedup}
+
+/** The full training-data assembly line, [[CorpusPrepJob]] carried
+  * through to trainer-ready output — every beyond-reference operator
+  * family composed in the order a production pretraining pipeline
+  * runs them:
+  *
+  *  1-6. curate ([[CorpusPrepJob.prepare]]): single-scan language +
+  *       quality annotate/filter, exact dedup, MinHash near-dup
+  *       cluster dedup, token accounting, deterministic
+  *       train/holdout split;
+  *  7.   decontaminate: drop TRAIN docs sharing ≥ `minShared`
+  *       distinct 8-grams with the HOLDOUT set (the eval-leakage
+  *       screen; probe grams broadcast, the corpus never shuffles);
+  *  8.   mix: per-source token budget ([[Corpus.mixByBudget]]) — the
+  *       corpus-balance knob;
+  *  9.   pack: concat-and-chunk into fixed `ctxLen` sequences +
+  *       per-sequence manifests ([[Corpus.sequenceManifest]]).
+  *
+  * Writes `<output>/docs` (curated train docs, partitioned by
+  * source), `<output>/holdout`, and `<output>/manifest` (one row per
+  * training sequence). Shuffle audit at 100 TB: curate is scan +
+  * LSH-bucket joins, decontaminate is a broadcast join, mix and pack
+  * are one hash exchange each — no stage shuffles the corpus twice.
+  *
+  * Args: --input <documents parquet> --output <dir>
+  *       [--lang en] [--min-quality 0.5] [--jaccard 0.8]
+  *       [--holdout 0.05] [--budget 100000] [--ctx 2048] [--shards 64]
+  */
+class TrainingDataJob(args: Args) extends GraftJob(args) {
+
+  def run(spark: SparkSession): Unit = {
+    val out = args("output")
+    val r = TrainingDataJob.assemble(
+      spark.read.parquet(args("input")),
+      lang = args.getOrElse("lang", "en"),
+      minQuality = args.getOrElse("min-quality", "0.5").toDouble,
+      jaccard = args.getOrElse("jaccard", "0.8").toDouble,
+      holdout = args.getOrElse("holdout", "0.05").toDouble,
+      budget = args.getOrElse("budget", "100000").toLong,
+      ctxLen = args.getOrElse("ctx", "2048").toInt,
+      nShards = args.getOrElse("shards", "64").toInt)
+    r.train.write.partitionBy("source").mode("overwrite").parquet(s"$out/docs")
+    r.holdout.write.mode("overwrite").parquet(s"$out/holdout")
+    r.manifest.write.mode("overwrite").parquet(s"$out/manifest")
+    Dedup.unpersistPipelineCaches()
+  }
+}
+
+object TrainingDataJob {
+
+  final case class Assembled(train: DataFrame, holdout: DataFrame,
+      manifest: DataFrame)
+
+  def assemble(docs: DataFrame, lang: String, minQuality: Double,
+      jaccard: Double, holdout: Double, budget: Long, ctxLen: Int,
+      nShards: Int): Assembled = {
+    // 1-6: curate (keeps doc_id, text, lang, quality, n_tokens, split).
+    // `source` survives via join-back below so mixing can see it.
+    val curated = CorpusPrepJob.prepare(docs, lang, minQuality, jaccard,
+        holdout)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .persist()
+
+    val holdoutDocs = curated.filter(col("split") === "holdout")
+    val trainDocs = curated.filter(col("split") === "train")
+
+    // 7: eval-leakage screen — any train doc sharing enough distinct
+    // 8-grams with a holdout doc is dropped (holdout is the probe
+    // side: small by contract, broadcast).
+    val leaked = Dedup.contamination(trainDocs, holdoutDocs,
+        "doc_id", "text")
+      .select(col("corpus_id").as("doc_id")).distinct()
+    val cleanTrain = trainDocs.join(leaked, Seq("doc_id"), "left_anti")
+
+    // 8: per-source token budget
+    val mixed = Corpus.mixByBudget(cleanTrain, "doc_id", "source",
+      "n_tokens", budget)
+
+    // 9: pack + manifest
+    val manifest = Corpus.sequenceManifest(
+      mixed.select(col("doc_id"), col("n_tokens").cast("long").as("tok")),
+      "doc_id", "tok", ctxLen, nShards)
+
+    Assembled(
+      train = mixed.select("doc_id", "text", "source", "quality",
+        "n_tokens", "cum_tokens"),
+      holdout = holdoutDocs.select("doc_id", "text", "source", "quality",
+        "n_tokens"),
+      manifest = manifest)
+  }
+}

@@ -232,6 +232,25 @@ object ExtrasQueries extends QueryGroup {
       Combinatorics.combinations(s, 6, 3).orderBy("c1", "c2", "c3")
     },
 
+    // per-stratum weighted sampling — the training-mix ratio knob
+    // ("downweight src X to 5%"): deterministic Fibonacci-scramble
+    // thresholds per domain, replayed exactly by the oracle.
+    q("q_sample_weighted",
+      """SELECT doc_id, source FROM documents
+        |WHERE (doc_id % 2147483647) * 1327217885 % 2147483647 <
+        |  (CASE WHEN source IN ('src0','src4','src8','src12','src16') THEN 0.5::DOUBLE
+        |        WHEN source IN ('src1','src5','src9','src13','src17') THEN 0.2::DOUBLE
+        |        WHEN source IN ('src2','src6','src10','src14','src18') THEN 0.1::DOUBLE
+        |        ELSE 0.05::DOUBLE END) * 2147483647
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val weights = (0 until 20)
+        .map(i => s"src$i" -> Seq(0.5, 0.2, 0.1, 0.05)(i % 4)).toMap
+      graft.ml.Profile.stratifiedHashSample(
+          t(s, dir, "documents"), "doc_id", "source", weights)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    },
+
     // salted two-phase collect: non-algebraic agg on a skewed key
     // without concentrating a hot key on one reducer. Result sorted,
     // so it's routing-independent and equals the plain collect.
