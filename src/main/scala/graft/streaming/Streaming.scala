@@ -115,6 +115,35 @@ object Streaming {
       }
       .start()
 
+  /** Streaming per-key distinct maintenance: each micro-batch folds
+    * (key, value) pairs into per-key HLL sketches (one bounded row
+    * per key per batch), merged into the versioned store under the
+    * register-max monoid. The streaming "daily uniques per domain"
+    * query in O(2^p) state per key, exact-input-order independent.
+    */
+  def incrementalDistinct(pairs: Dataset[(String, String)],
+      store: graft.sources.VersionedKeyValStore,
+      err: Double = 0.01): StreamingQuery =
+    pairs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[(String, String)], _: Long) =>
+        if (!batch.isEmpty) {
+          import graft.agg.Hll
+          val spark = batch.sparkSession
+          import spark.implicits._
+          val delta = batch
+            .groupByKey(_._1)
+            .mapValues(_._2)
+            .agg(Hll.aggregator(err).toColumn.name("sketch"))
+            .map { case (k, h) => (k, Hll.toBytes(h)) }
+            .toDF(store.keyCol, store.valCol)
+          store.writeIncremental(delta,
+            Some(Hll.mergeBytesUdaf(err)(col(store.valCol)).as(store.valCol)))
+          ()
+        }
+      }
+      .start()
+
   /** Streaming corpus ingestion — the streaming form of
     * examples.CorpusPrepJob: each micro-batch of raw (doc_id, text)
     * is quality/language filtered, exact-deduped within the batch,

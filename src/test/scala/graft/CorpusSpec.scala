@@ -127,6 +127,27 @@ class CorpusSpec extends SparkSpec {
     assert(small.count() == 2)
   }
 
+  test("edge cases: empty corpus, all-zero tokens, ctxLen 1") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "tok")
+    assert(Corpus.packSequences(empty, "doc_id", "tok", 10, 2).count() == 0)
+    assert(Corpus.sequenceManifest(empty, "doc_id", "tok", 10, 2).count() == 0)
+    assert(Corpus.mixByBudget(
+      Seq.empty[(Long, String, Long)].toDF("doc_id", "source", "tok"),
+      "doc_id", "source", "tok", 10L).count() == 0)
+    // all-zero tokens: everything lands in seq 0 at offset 0, one seq
+    val zeros = (0L until 5L).map((_, 0L)).toDF("doc_id", "tok")
+    val pz = Corpus.packSequences(zeros, "doc_id", "tok", 10, 1)
+      .select("seq_id", "seq_offset", "n_seqs")
+      .as[(Long, Long, Long)].collect()
+    assert(pz.forall(_ == ((0L, 0L, 1L))))
+    // ctxLen 1: each token is its own sequence; a 3-token doc spans 3
+    val one = Seq((1L, 3L), (2L, 2L)).toDF("doc_id", "tok")
+    val p1 = Corpus.packSequences(one, "doc_id", "tok", ctxLen = 1, nShards = 1)
+      .select("doc_id", "n_seqs").as[(Long, Long)].collect().toMap
+    assert(p1 == Map(1L -> 3L, 2L -> 2L))
+  }
+
   test("gate queries run and pack output covers every document once") {
     val pack = graft.queries.TextQueries.all.find(_.name == "q_text_pack").get
     val out = pack.run(spark, sf())

@@ -228,6 +228,29 @@ class StreamingSpec extends SparkSpec {
     assert(store.versions(spark).size == 3)
   }
 
+  test("incremental distinct maintains per-key HLL uniques across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-hll").toString
+    val store = graft.sources.VersionedKeyValStore(dir)
+    val input = MemoryStream[(String, String)]
+    val query = Streaming.incrementalDistinct(input.toDS(), store)
+    // batch 1: a sees u1..u80, b sees u1..u30
+    input.addData((1 to 80).map(i => ("a", s"u$i")) ++
+      (1 to 30).map(i => ("b", s"u$i")): _*)
+    query.processAllAvailable()
+    // batch 2: a re-sees u41..u80 (no new) plus u81..u120 (new)
+    input.addData((41 to 120).map(i => ("a", s"u$i")): _*)
+    query.processAllAvailable()
+    query.stop()
+
+    val est = store.read(spark).collect().map(r => r.getString(0) ->
+      graft.agg.Hll.fromBytes(r.getAs[Array[Byte]](1)).estimate).toMap
+    // union across batches, not sum: a = |u1..u120| = 120 (±1% rsd)
+    assert(math.abs(est("a") - 120L) <= 6, s"a: ${est("a")}")
+    assert(math.abs(est("b") - 30L) <= 3, s"b: ${est("b")}")
+  }
+
   test("streaming corpus ingest filters, dedups vs batch and store, appends corpus") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
