@@ -123,4 +123,44 @@ object Corpus {
       .filter(col("cum_tokens") <= tokenBudget)
       .drop("__h")
   }
+
+  /** Temperature-based domain mixing (the multilingual-sampling rule
+    * of mBERT/XLM-R, and the domain-weight shape of The Pile): domain
+    * d with token mass W_d is sampled toward target share
+    * `p_d ∝ W_d^alpha` of `tokenBudget` total tokens. `alpha = 1`
+    * keeps natural proportions; `alpha → 0` flattens toward uniform,
+    * up-sampling small domains. Each domain gets an independent
+    * Bernoulli keep-rate `r_d = min(1, budget·p_d / W_d)` (rates are
+    * NOT re-normalized when one clamps at 1 — the usual single-pass
+    * convention; run again with a higher budget if exact totals
+    * matter).
+    *
+    * Membership is the deterministic md5-prefix rule of
+    * [[graft.ml.Profile.hashSampleStrong]], so the mix is reproducible
+    * across engines and appends: a doc's fate depends only on its id
+    * and its domain's rate. Rates are rounded to 6 decimals before
+    * thresholding to keep the float math engine-portable.
+    *
+    * Plan shape at scale: one partial/final aggregation over domains
+    * (a tiny table), a window total over that table (not the corpus),
+    * and a broadcast join of the rates back onto the corpus — the
+    * 100 TB scan is a single pass with no corpus-wide shuffle.
+    */
+  def mixByTemperature(docs: DataFrame, idCol: String, domainCol: String,
+      tokCol: String, alpha: Double, tokenBudget: Long): DataFrame = {
+    val mass = pow(col("__w"), lit(alpha))
+    val rates = docs.groupBy(domainCol)
+      .agg(sum(col(tokCol)).cast("double").as("__w"))
+      .withColumn("rate",
+        when(col("__w") > 0,
+          round(least(lit(1.0),
+            lit(tokenBudget.toDouble) * mass
+              / sum(mass).over(Window.partitionBy()) / col("__w")), 6))
+        .otherwise(lit(0.0)))
+      .select(col(domainCol), col("rate"))
+    val threshold = format_string("%08x",
+      least(round(col("rate") * 4294967296.0), lit(4294967295L)).cast("long"))
+    docs.join(broadcast(rates), domainCol)
+      .filter(Profile.strongBucket(col(idCol)) < threshold)
+  }
 }

@@ -176,6 +176,78 @@ object TextAnalysis {
       .filter(col("cnt") * denom > sk.total)
   }
 
+  // ===== repetition filters (Gopher-style, Rae et al. '21 §A1.1) =====
+  // Natural documents repeat little; boilerplate and spam repeat a
+  // lot. Both metrics are pure per-row Column expressions — no
+  // shuffle, no UDF — so a 100 TB quality pass stays a single scan.
+
+  /** Fraction of tokens that are repeats of an earlier token:
+    * `1 - |distinct| / |tokens|`. 0 for an empty document.
+    */
+  def duplicateTokenFraction(toks: Column): Column =
+    when(size(toks) <= 0, 0.0).otherwise(
+      (size(toks) - size(array_distinct(toks))).cast("double") / size(toks))
+
+  /** Adjacent word bigrams of a token array (`["a","b","c"]` →
+    * `["a b","b c"]`); empty below 2 tokens.
+    */
+  def bigramsOf(toks: Column): Column =
+    when(size(toks) < 2, array().cast("array<string>")).otherwise(
+      zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat_ws(" ", a, b)))
+
+  /** Fraction of bigram occurrences taken by the single most common
+    * bigram (the Gopher "top 2-gram" signal). Computed by sorting the
+    * row's bigram array and folding the longest equal run — O(d log d)
+    * per document instead of the O(d²) count-per-distinct form, so
+    * long documents stay cheap.
+    */
+  def topBigramFraction(toks: Column): Column = {
+    val g = bigramsOf(toks)
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
+    val folded = aggregate(array_sort(g), zero, (st, x) => {
+      val run = when(x === st.getField("prev"), st.getField("run") + 1L)
+        .otherwise(lit(1L))
+      struct(x.as("prev"), run.as("run"),
+        greatest(st.getField("best"), run).as("best"))
+    })
+    when(size(g) <= 0, 0.0)
+      .otherwise(folded.getField("best").cast("double") / size(g))
+  }
+
+  // ===== PII scrubbing =====
+  // Conservative patterns expressible identically in Java regex and
+  // RE2 (no lookaround, no backreferences) so an external SQL engine
+  // replays the scrub byte-for-byte.
+
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  val ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Per-document PII hit counts as (n_email, n_phone, n_ip). Counted
+    * on the RAW text (before scrubbing), email first — the same
+    * precedence [[scrubPii]] applies.
+    */
+  def piiCounts(text: Column): Column = {
+    def n(p: String) = size(regexp_extract_all(text, lit(p), lit(0)))
+    struct(n(emailPattern).as("n_email"),
+      n(phonePattern).as("n_phone"),
+      n(ipv4Pattern).as("n_ip"))
+  }
+
+  /** Replace emails, then phone numbers, then IPv4 addresses with
+    * typed placeholder tokens. Email runs first so a numeric mail
+    * domain is never half-eaten by the IP pattern.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        phonePattern, "<PHONE>"),
+      ipv4Pattern, "<IP>")
+
   /** Marker-word profiles for the n-gram language-ID heuristic. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),

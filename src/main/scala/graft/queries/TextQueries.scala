@@ -208,6 +208,128 @@ object TextQueries extends QueryGroup {
         .orderBy("shard", "seq_id")
     },
 
+    // Gopher-style repetition filters: duplicate-token fraction and
+    // the share of the most common bigram — both pure per-row Column
+    // expressions (single scan, no shuffle). The oracle recomputes the
+    // top-bigram share with an explicit unnest + GROUP BY mode count;
+    // the engine's sorted-run fold must agree exactly.
+    q("q_text_repetition",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents
+        |), big AS (
+        |  SELECT doc_id, t,
+        |    list_transform(generate_series(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i + 1]) AS g
+        |  FROM toks
+        |), cnt AS (
+        |  SELECT doc_id, max(c) AS maxc, sum(c) AS ng FROM (
+        |    SELECT doc_id, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(g) AS gram FROM big)
+        |    GROUP BY doc_id, gram
+        |  ) GROUP BY doc_id
+        |)
+        |SELECT b.doc_id,
+        |  round((len(b.t) - len(list_distinct(b.t))) * 1.0::DOUBLE / len(b.t), 6)
+        |    AS dup_tok_frac,
+        |  round(COALESCE(c.maxc * 1.0::DOUBLE / c.ng, 0.0), 6) AS top_bigram_frac
+        |FROM big b LEFT JOIN cnt c USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("toks", TA.tokens(col("text")))
+        .select(col("doc_id"),
+          round(TA.duplicateTokenFraction(col("toks")), 6).as("dup_tok_frac"),
+          round(TA.topBigramFraction(col("toks")), 6).as("top_bigram_frac"))
+        .orderBy("doc_id")
+    },
+
+    // PII scrubbing: deterministic synthetic emails/phones/IPs are
+    // appended to some docs (the corpus itself is PII-free), then
+    // counted and replaced with typed placeholders. Both engines run
+    // the same RE2-safe patterns; the md5 of the scrubbed text proves
+    // byte-identical replacement, not just equal counts.
+    q("q_text_pii", {
+      val email = TA.emailPattern
+      s"""WITH s AS (
+         |  SELECT doc_id, text
+         |    || CASE WHEN doc_id % 3 = 0 THEN ' reach me at user' ||
+         |         CAST(doc_id AS VARCHAR) || '@mail' ||
+         |         CAST(doc_id % 7 AS VARCHAR) || '.com' ELSE '' END
+         |    || CASE WHEN doc_id % 4 = 0 THEN ' call 415-555-' ||
+         |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         |    || CASE WHEN doc_id % 5 = 0 THEN ' host 10.0.' ||
+         |         CAST(doc_id % 256 AS VARCHAR) || '.' ||
+         |         CAST(doc_id % 100 AS VARCHAR) ELSE '' END AS t
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(t, '$email')) AS n_email,
+         |  len(regexp_extract_all(t, '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b')) AS n_phone,
+         |  len(regexp_extract_all(t, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS n_ip,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$email', '<EMAIL>', 'g'),
+         |    '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g'),
+         |    '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'))
+         |    AS scrubbed_md5
+         |FROM s ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val synth = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" reach me at user"), col("doc_id").cast("string"),
+            lit("@mail"), (col("doc_id") % 7).cast("string"), lit(".com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" call 415-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" host 10.0."), (col("doc_id") % 256).cast("string"),
+            lit("."), (col("doc_id") % 100).cast("string")))
+          .otherwise(lit("")))
+      t(s, dir, "documents")
+        .withColumn("t", synth)
+        .withColumn("pii", TA.piiCounts(col("t")))
+        .select(col("doc_id"),
+          col("pii.n_email").as("n_email"),
+          col("pii.n_phone").as("n_phone"),
+          col("pii.n_ip").as("n_ip"),
+          md5(TA.scrubPii(col("t"))).as("scrubbed_md5"))
+        .orderBy("doc_id")
+    },
+
+    // temperature-based domain mixing (mBERT/XLM-R sampling rule):
+    // alpha=0.5 up-samples small sources toward a 4000-token target;
+    // membership is the engine-portable md5-prefix rule, so the oracle
+    // replays the exact kept set, not just its size.
+    q("q_corpus_mix_temperature",
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN strlen(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS tok
+        |  FROM documents
+        |), w AS (
+        |  SELECT source, CAST(sum(tok) AS DOUBLE) AS mass FROM d GROUP BY source
+        |), r AS (
+        |  SELECT source,
+        |    CASE WHEN mass > 0 THEN round(least(1.0,
+        |      4000 * pow(mass, 0.5) / (sum(pow(mass, 0.5)) OVER ()) / mass), 6)
+        |    ELSE 0.0 END AS rate
+        |  FROM w
+        |)
+        |SELECT d.doc_id, d.source, CAST(d.tok AS BIGINT) AS tok, r.rate
+        |FROM d JOIN r USING (source)
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        |  printf('%08x', CAST(least(round(rate * 4294967296.0), 4294967295) AS BIGINT))
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TA.tokenCount(col("text")).cast("long").as("tok"))
+      graft.ml.Corpus.mixByTemperature(docs, "doc_id", "source", "tok",
+          alpha = 0.5, tokenBudget = 4000L)
+        .select(col("doc_id"), col("source"), col("tok"), col("rate"))
+        .orderBy("doc_id")
+    },
+
     // BPE vocabulary induction: 12 merges learned from the corpus.
     // Iterative (argmax + re-merge per round) so not SQL-expressible —
     // rows-only gate; BpeSpec proves byte-equality against a

@@ -148,6 +148,39 @@ class CorpusSpec extends SparkSpec {
     assert(p1 == Map(1L -> 3L, 2L -> 2L))
   }
 
+  test("mixByTemperature: clamped temperature rates + exact md5 membership") {
+    import spark.implicits._
+    // domain a: 100 docs × 1 token (W=100); domain b: 300 docs × 1 token
+    val docs = ((0L until 100L).map((_, "a", 1L)) ++
+      (100L until 400L).map((_, "b", 1L))).toDF("doc_id", "source", "tok")
+
+    // alpha=1 (natural proportions), budget 200: p=(0.25,0.75) →
+    // both rates = budget·p_d/W_d = 0.5
+    val nat = Corpus.mixByTemperature(docs, "doc_id", "source", "tok",
+      alpha = 1.0, tokenBudget = 200L)
+    val natRates = nat.select("source", "rate").distinct()
+      .as[(String, Double)].collect().toMap
+    assert(natRates == Map("a" -> 0.5, "b" -> 0.5))
+
+    // alpha=0 (uniform target), budget 200: p=(0.5,0.5) → rate_a =
+    // min(1, 100/100) = 1.0 (clamped), rate_b = 100/300 ≈ 0.333333
+    val flat = Corpus.mixByTemperature(docs, "doc_id", "source", "tok",
+      alpha = 0.0, tokenBudget = 200L)
+    val flatRates = flat.select("source", "rate").distinct()
+      .as[(String, Double)].collect().toMap
+    assert(flatRates == Map("a" -> 1.0, "b" -> 0.333333))
+    // every domain-a doc survives a rate-1.0 threshold
+    assert(flat.filter(col("source") === "a").count() == 100)
+
+    // membership replays the strongBucket rule exactly
+    val kept = flat.select("doc_id").as[Long].collect().toSet
+    val expected = ((0L until 100L) ++ (100L until 400L).filter { id =>
+      md5hex(id.toString).take(8) <
+        f"${math.round(0.333333 * 4294967296.0).min(4294967295L)}%08x"
+    }).toSet
+    assert(kept == expected)
+  }
+
   test("gate queries run and pack output covers every document once") {
     val pack = graft.queries.TextQueries.all.find(_.name == "q_text_pack").get
     val out = pack.run(spark, sf())

@@ -234,6 +234,38 @@ class MlSpec extends SparkSpec {
     assert(scores("good") == 1.0)
   }
 
+  test("repetition metrics: duplicate-token and top-bigram fractions") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b a"),            // 5 toks, 2 distinct; bigrams a b, b a, a b, b a
+      (2L, "all fresh words here"), // no repeats; 3 distinct bigrams
+      (3L, "x"),                    // single token: no bigrams
+      (4L, "y y y y")               // pure repetition
+    ).toDF("id", "text")
+    val got = df.withColumn("t", TA.tokens(col("text")))
+      .select(col("id"), TA.duplicateTokenFraction(col("t")).as("d"),
+        TA.topBigramFraction(col("t")).as("b"))
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    def close(x: Double, y: Double) = math.abs(x - y) < 1e-9
+    assert(close(got(0)._2, 0.6) && close(got(0)._3, 0.5))
+    assert(close(got(1)._2, 0.0) && close(got(1)._3, 1.0 / 3))
+    assert(close(got(2)._2, 0.0) && close(got(2)._3, 0.0))
+    assert(close(got(3)._2, 0.75) && close(got(3)._3, 1.0))
+  }
+
+  test("pii scrub replaces emails, phones, ips with placeholders") {
+    import spark.implicits._
+    val text = "mail bob.smith+x@ex-ample.co.uk call 415-555-1234 " +
+      "or 650-555-000 ip 10.0.0.1 done"
+    val df = Seq((1L, text)).toDF("id", "text")
+    val row = df.select(TA.piiCounts(col("text")).as("c"),
+      TA.scrubPii(col("text")).as("s")).head()
+    val c = row.getStruct(0)
+    assert(c.getInt(0) == 1 && c.getInt(1) == 1 && c.getInt(2) == 1)
+    assert(row.getString(1) ==
+      "mail <EMAIL> call <PHONE> or 650-555-000 ip <IP> done")
+  }
+
   test("multimodal decode + frame sampling plumbing") {
     import spark.implicits._
     val media = Seq((1L, Array.fill[Byte](1000)(7)), (2L, Array.fill[Byte](64)(1)))
