@@ -37,7 +37,10 @@ object Bench {
     // round-4: corpus assembly + skew-safe collect
     "q_text_pack",
     "q_corpus_mix",
-    "q_agg_salted_collect")
+    "q_agg_salted_collect",
+    // round-5: quality-filter scan + temperature mixing
+    "q_text_repetition",
+    "q_corpus_mix_temperature")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -202,4 +202,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(cacheReads >= 2, s"self-join sides should read the cache:\n$p")
     graft.core.PipelineCaches.unpersistAll()
   }
+
+  test("repetition metrics are a single corpus scan: no join, no mid-plan shuffle") {
+    val p = plan("q_text_repetition")
+    assert(!p.contains("Join"), s"repetition scan should not join:\n$p")
+    // the only exchange is the final deterministic ORDER BY's range
+    // partitioning — the metric computation itself never shuffles
+    assert(p.linesIterator.count(_.contains("Exchange")) == 1,
+      s"expected exactly the sort exchange:\n$p")
+  }
+
+  test("temperature mixing broadcasts the tiny rate table, never shuffles the corpus") {
+    val p = plan("q_corpus_mix_temperature")
+    assert(p.contains("BroadcastHashJoin"), s"rate join should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus side must not shuffle for the join:\n$p")
+  }
 }
