@@ -552,4 +552,39 @@ object Dedup {
       .distinct()
     verifyJaccard(candidates, sigs.select("id", "sh"), threshold)
   }
+
+  /** SemDeDup-style semantic near-duplicates (the embedding-space
+    * analogue of MinHash dedup, after Abbas et al. '23): k-means
+    * blocks the embedding space via
+    * [[Similarity.clusterAssignments]], exact cosine runs only inside
+    * a block, pairs scoring >= `threshold` survive. `softAssign > 1`
+    * replicates each vector into its nearest clusters so boundary
+    * pairs still co-bucket — the same recall/storage trade as IVF
+    * soft assignment.
+    *
+    * Scale shape: the quadratic step is per-block (Σ|block|², not
+    * |corpus|²); blocking is a linear scan against a broadcast
+    * centroid table. Precision is exact by construction (every emitted
+    * pair carries its true cosine); recall depends on co-bucketing,
+    * which `q_dedup_semantic` gates against the exact pair set.
+    */
+  def semanticDuplicates(embeddings: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, nCentroids: Int = 16,
+      softAssign: Int = 2, seed: Long = 42L,
+      kmeansIters: Int = 2): DataFrame = {
+    val e = embeddings.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("vec"))
+    val assigned = Similarity.clusterAssignments(e, nCentroids, softAssign,
+      seed, kmeansIters)
+    val a = assigned.select(col("centroid"), col("id").as("id1"),
+      col("vec").as("v1"))
+    val b = assigned.select(col("centroid"), col("id").as("id2"),
+      col("vec").as("v2"))
+    a.join(b, "centroid")
+      .filter(col("id1") < col("id2"))
+      .withColumn("cos", Similarity.cosine(col("v1"), col("v2")))
+      .filter(col("cos") >= threshold)
+      .select("id1", "id2", "cos")
+      .distinct()
+  }
 }

@@ -314,6 +314,30 @@ object Similarity {
       .toDF("qid", "cid", "cos")
   }
 
+  /** K-means coarse clustering of an (id, vec) corpus: train
+    * `nCentroids` centroids (deterministic for a fixed seed) and emit
+    * each vector's `softAssign` nearest cluster ids as
+    * `(centroid, id, vec)` rows. The blocking primitive shared by IVF
+    * ANN (corpus inverted lists) and SemDeDup-style semantic dedup —
+    * one linear scan against a broadcast centroid table, no shuffle.
+    */
+  def clusterAssignments(corpus: DataFrame, nCentroids: Int,
+      softAssign: Int = 1, seed: Long = 42L,
+      kmeansIters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.select(col("id"), col("vec")).as[(Long, Array[Float])]
+    val cents = trainCentroids(vecs, nCentroids, seed, kmeansIters)
+      .zipWithIndex.map { case (v, i) => (i, v, VecUtil.norm(v)) }
+    val bc = spark.sparkContext.broadcast(cents)
+    vecs.flatMap { case (id, v) =>
+      val vn = VecUtil.norm(v)
+      bc.value.map { case (ci, cv, cn) =>
+        (ci, VecUtil.dot(v, cv) / (vn * cn + 1e-12))
+      }.sortBy(-_._2).take(softAssign).toSeq.map { case (ci, _) => (ci, id, v) }
+    }.toDF("centroid", "id", "vec")
+  }
+
   /** Sample `nCentroids` seeds and refine with `kmeansIters` Lloyd
     * steps: distributed cosine assignment emits per-partition partial
     * (sum, count) per centroid; the tiny partial set merges on the

@@ -199,13 +199,16 @@ object TextAnalysis {
         (a, b) => concat_ws(" ", a, b)))
 
   /** Fraction of bigram occurrences taken by the single most common
-    * bigram (the Gopher "top 2-gram" signal). Computed by sorting the
-    * row's bigram array and folding the longest equal run — O(d log d)
-    * per document instead of the O(d²) count-per-distinct form, so
-    * long documents stay cheap.
+    * bigram (the Gopher "top 2-gram" signal), over a PRE-MATERIALIZED
+    * bigram column. Computed by sorting the row's bigram array and
+    * folding the longest equal run — O(d log d) per document instead
+    * of the O(d²) count-per-distinct form. Pass an attribute (a
+    * `withColumn("g", bigramsOf(toks))` output), not the raw
+    * `bigramsOf(...)` expression: this column is referenced three
+    * times, and an inline expression would re-run tokenize+zip per
+    * reference.
     */
-  def topBigramFraction(toks: Column): Column = {
-    val g = bigramsOf(toks)
+  def topBigramFractionOf(g: Column): Column = {
     val zero = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
     val folded = aggregate(array_sort(g), zero, (st, x) => {
       val run = when(x === st.getField("prev"), st.getField("run") + 1L)
@@ -216,6 +219,13 @@ object TextAnalysis {
     when(size(g) <= 0, 0.0)
       .otherwise(folded.getField("best").cast("double") / size(g))
   }
+
+  /** Convenience form over a token array; prefer materializing
+    * [[bigramsOf]] as its own column and calling
+    * [[topBigramFractionOf]] in wide scans.
+    */
+  def topBigramFraction(toks: Column): Column =
+    topBigramFractionOf(bigramsOf(toks))
 
   // ===== PII scrubbing =====
   // Conservative patterns expressible identically in Java regex and

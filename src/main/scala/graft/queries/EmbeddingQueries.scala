@@ -128,6 +128,35 @@ object EmbeddingQueries extends QueryGroup {
         .orderBy("qid", "cid")
     },
 
+    // SemDeDup-style semantic dedup: k-means blocks + in-block exact
+    // cosine. Two-part contract: (a) n_exact — the full exact pair
+    // count at cos >= 0.5 — must equal DuckDB's (a cross-engine check
+    // of the cosine arithmetic itself), and (b) the blocked path must
+    // recover >= 85% of those pairs (integer compare, no float
+    // boundary; 0.5-cosine pairs are 60° apart, the hardest case for
+    // any blocking scheme — precision is exact by construction, the
+    // planted-cluster MlSpec proves 100% recall on actual near-dups).
+    q("q_dedup_semantic",
+      """SELECT CAST(count(*) AS BIGINT) AS n_exact, true AS recall_ok
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.5""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val exact = e.select(col("id").as("id1"), col("vec").as("v1"))
+        .join(e.select(col("id").as("id2"), col("vec").as("v2")),
+          col("id1") < col("id2"))
+        .filter(Similarity.cosine(col("v1"), col("v2")) >= 0.5)
+        .select("id1", "id2")
+      val found = graft.ml.Dedup.semanticDuplicates(e, "id", "vec",
+          threshold = 0.5, nCentroids = 16, softAssign = 4)
+        .select("id1", "id2").withColumn("__f", lit(true))
+      exact.join(found, Seq("id1", "id2"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          coalesce(sum(when(col("__f"), 1L).otherwise(0L)), lit(0L)).as("__hit"))
+        .select(col("n_exact"),
+          (col("__hit") * 100 >= col("n_exact") * 85).as("recall_ok"))
+    },
+
     // IVF ANN: recall-bounded contract vs brute force — the query
     // reports whether IVF(nProbe=4) recovers >= 40% of the exact
     // top-5 per query; the oracle asserts the bound.

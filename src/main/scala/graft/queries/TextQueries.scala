@@ -237,9 +237,10 @@ object TextQueries extends QueryGroup {
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       t(s, dir, "documents")
         .withColumn("toks", TA.tokens(col("text")))
+        .withColumn("g", TA.bigramsOf(col("toks")))
         .select(col("doc_id"),
           round(TA.duplicateTokenFraction(col("toks")), 6).as("dup_tok_frac"),
-          round(TA.topBigramFraction(col("toks")), 6).as("top_bigram_frac"))
+          round(TA.topBigramFractionOf(col("g")), 6).as("top_bigram_frac"))
         .orderBy("doc_id")
     },
 
@@ -327,6 +328,22 @@ object TextQueries extends QueryGroup {
       graft.ml.Corpus.mixByTemperature(docs, "doc_id", "source", "tok",
           alpha = 0.5, tokenBudget = 4000L)
         .select(col("doc_id"), col("source"), col("tok"), col("rate"))
+        .orderBy("doc_id")
+    },
+
+    // per-stratum quantile gate: drop the shortest 20% of each
+    // language's documents — exact percent_rank semantics, so the cut
+    // point is deterministic under ties and replayable in SQL.
+    q("q_corpus_quality_filter",
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    percent_rank() OVER (PARTITION BY lang
+        |      ORDER BY n_chars, doc_id) AS pr
+        |  FROM documents
+        |) WHERE pr >= 0.2 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.ml.Corpus.dropBottomByScore(
+          t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+          "lang", "n_chars", "doc_id", fraction = 0.2)
         .orderBy("doc_id")
     },
 

@@ -234,6 +234,35 @@ class MlSpec extends SparkSpec {
     assert(scores("good") == 1.0)
   }
 
+  test("semantic dedup finds planted embedding clusters, equals brute force") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(7)
+    def jitter(base: Array[Float]): Array[Float] =
+      base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f)
+    val b1 = Array.tabulate(dim)(i => if (i < 8) 1.0f else 0.0f)
+    val b2 = Array.tabulate(dim)(i => if (i >= 8) 1.0f else 0.0f)
+    // two tight planted clusters + orthogonal-ish noise vectors
+    val vecs = (0L until 5L).map(i => (i, jitter(b1))) ++
+      (5L until 10L).map(i => (i, jitter(b2))) ++
+      (10L until 30L).map { i =>
+        (i, Array.tabulate(dim)(d => if (d == (i % dim).toInt) 1.0f else 0.0f))
+      }
+    val df = vecs.toDF("id", "vec")
+    val found = graft.ml.Dedup.semanticDuplicates(df, "id", "vec",
+        threshold = 0.9, nCentroids = 4, softAssign = 2, kmeansIters = 2)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val exact = (for {
+      (i, vi) <- vecs; (j, vj) <- vecs if i < j
+      ni = math.sqrt(vi.map(x => x * x.toDouble).sum)
+      nj = math.sqrt(vj.map(x => x * x.toDouble).sum)
+      cos = vi.zip(vj).map { case (x, y) => x * y.toDouble }.sum / (ni * nj)
+      if cos >= 0.9
+    } yield (i, j)).toSet
+    assert(exact.nonEmpty && found == exact,
+      s"missed ${exact -- found}, extra ${found -- exact}")
+  }
+
   test("repetition metrics: duplicate-token and top-bigram fractions") {
     import spark.implicits._
     val df = Seq(
