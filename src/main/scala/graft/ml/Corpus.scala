@@ -124,6 +124,23 @@ object Corpus {
       .drop("__h")
   }
 
+  /** Per-stratum quantile gate: drop the lowest `fraction` of each
+    * stratum by score (e.g. "drop the shortest 20% per language", or
+    * the bottom decile by quality score). Exact rank-based semantics —
+    * `percent_rank() >= fraction` over (score, id) — so the cut is
+    * deterministic under ties and identical across engines (rank
+    * arithmetic, not an approximate quantile sketch). One
+    * hashpartitioning(stratum) window; skewed strata stream through
+    * the rank pass rather than materializing.
+    */
+  def dropBottomByScore(docs: DataFrame, strataCol: String,
+      scoreCol: String, idCol: String, fraction: Double): DataFrame = {
+    val w = Window.partitionBy(strataCol).orderBy(col(scoreCol), col(idCol))
+    docs.withColumn("__pr", percent_rank().over(w))
+      .filter(col("__pr") >= fraction)
+      .drop("__pr")
+  }
+
   /** Temperature-based domain mixing (the multilingual-sampling rule
     * of mBERT/XLM-R, and the domain-weight shape of The Pile): domain
     * d with token mass W_d is sampled toward target share

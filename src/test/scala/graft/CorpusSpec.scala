@@ -181,6 +181,22 @@ class CorpusSpec extends SparkSpec {
     assert(kept == expected)
   }
 
+  test("dropBottomByScore cuts exactly the bottom fraction per stratum, ties broken by id") {
+    import spark.implicits._
+    // stratum a: scores 1..10 → pr >= 0.3 keeps ranks 4..10 (pr of
+    // rank r is (r-1)/9); stratum b: all-tied scores → order falls to
+    // id, same keep count
+    val docs = ((1L to 10L).map(i => (i, "a", i * 10.0)) ++
+      (11L to 20L).map(i => (i, "b", 5.0))).toDF("id", "st", "score")
+    val kept = Corpus.dropBottomByScore(docs, "st", "score", "id", 0.3)
+      .select("id").as[Long].collect().toSet
+    assert(kept == ((4L to 10L) ++ (14L to 20L)).toSet)
+    // fraction 0 keeps everything; 1.0 keeps exactly the per-stratum max
+    assert(Corpus.dropBottomByScore(docs, "st", "score", "id", 0.0).count() == 20)
+    assert(Corpus.dropBottomByScore(docs, "st", "score", "id", 1.0)
+      .select("id").as[Long].collect().toSet == Set(10L, 20L))
+  }
+
   test("gate queries run and pack output covers every document once") {
     val pack = graft.queries.TextQueries.all.find(_.name == "q_text_pack").get
     val out = pack.run(spark, sf())
