@@ -89,10 +89,16 @@ object Events {
       .toDF("user", "reached")
     val stepDf = steps.zipWithIndex
       .map { case (name, i) => (i + 1, name) }.toDF("step", "step_name")
-    // left join + count(non-null): steps nobody reached still emit a
-    // zero row, keeping the output schema total over `steps`
-    stepDf.join(depths, col("reached") >= col("step"), "left")
-      .groupBy("step", "step_name").agg(count(col("reached")).as("n_users"))
+    // a user at depth d counts toward steps 1..d: explode that range
+    // (≤ |steps| rows per user) and aggregate — an equi join against
+    // the step table, not an inequality nested-loop join; the left
+    // join keeps zero rows for steps nobody reached
+    val reachedCounts = depths.filter(col("reached") >= 1)
+      .select(explode(sequence(lit(1), col("reached"))).as("step"))
+      .groupBy("step").agg(count(lit(1)).as("__n"))
+    stepDf.join(reachedCounts, Seq("step"), "left")
+      .select(col("step"), col("step_name"),
+        coalesce(col("__n"), lit(0L)).as("n_users"))
   }
 
   /** Event-transition (path) counts: for each user's event sequence

@@ -249,11 +249,13 @@ object DedupQueries extends QueryGroup {
         .toDF("doc_id", "sim")
       val orig = sigs.filter(col("doc_id") < 1000000L)
         .select(col("doc_id"), col("sim").as("sim_a"))
+      // copy ids are doc_id + 1e6 (exact copy) and doc_id + 2e6
+      // (perturbed); deriving the original id makes this an EQUI join
+      // (hash-joinable) instead of an OR-disjunction nested-loop join
       val copies = sigs.filter(col("doc_id") >= 1000000L)
-        .select(col("doc_id").as("copy_id"), col("sim").as("sim_b"))
-      orig.join(copies,
-          col("copy_id") === col("doc_id") + 1000000L ||
-            col("copy_id") === col("doc_id") + 2000000L)
+        .select(col("doc_id").as("copy_id"), col("sim").as("sim_b"),
+          (col("doc_id") % 1000000L).as("doc_id"))
+      orig.join(copies, "doc_id")
         .select(col("doc_id"),
           (col("copy_id") === col("doc_id") + 1000000L).as("is_exact_copy"),
           when(col("copy_id") === col("doc_id") + 1000000L,

@@ -1,0 +1,69 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Automated physical-plan linter: walks a query's executed plan and
+  * flags the shapes that stop scaling — the systematic version of the
+  * hand-picked audits in PlanAuditSpec. A smell is not automatically a
+  * bug (a cartesian against a broadcast 8-row band table is the right
+  * plan), so the lint contract is: every occurrence must be EXPLICITLY
+  * whitelisted with a justification, and the whitelist may not go
+  * stale. PlanLintSpec runs this over every registered gate query.
+  *
+  * Rules:
+  *  - `cartesian`: CartesianProductExec / BroadcastNestedLoopJoin —
+  *    row-count products; fatal at scale unless one side is tiny by
+  *    construction.
+  *  - `global-window`: WindowExec with an empty partition spec — all
+  *    rows to ONE task; fine only over already-tiny inputs (e.g. a
+  *    per-domain rate table).
+  */
+object PlanLint {
+
+  final case class Finding(rule: String, node: String)
+
+  /** All physical nodes, descending through AQE wrappers and
+    * subquery plans.
+    */
+  private def nodes(root: SparkPlan): Seq[SparkPlan] = {
+    val adaptiveInner = root.collectWithSubqueries {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+    }
+    (root +: adaptiveInner).flatMap(_.collectWithSubqueries { case p => p })
+  }
+
+  def lint(df: DataFrame): Seq[Finding] =
+    nodes(df.queryExecution.executedPlan).flatMap {
+      case _: CartesianProductExec =>
+        Some(Finding("cartesian", "CartesianProductExec"))
+      case j: BroadcastNestedLoopJoinExec =>
+        Some(Finding("cartesian", s"BroadcastNestedLoopJoin(${j.joinType})"))
+      case w: WindowExec if w.partitionSpec.isEmpty =>
+        Some(Finding("global-window", "WindowExec[no partition]"))
+      case _ => None
+    }.distinct
+
+  /** Sweep every registered gate query and print its findings. */
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = graft.core.GraftSession.configure(
+      org.apache.spark.sql.SparkSession.builder().master(s"local[$cpus]"),
+      cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
+      try {
+        val fs = lint(fn(spark, dir))
+        if (fs.nonEmpty) println(s"LINT $n: ${fs.mkString("; ")}")
+      } catch {
+        case e: Throwable => println(s"LINT $n: ERROR ${e.getMessage}")
+      }
+    }
+    println("LINT done")
+    spark.stop()
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.tools.PlanLint
+
+/** Systematic scale lint over EVERY registered gate query: any
+  * cartesian-family join or unpartitioned window in a physical plan
+  * must be explicitly whitelisted with a justification. The hand
+  * audits in PlanAuditSpec prove chosen queries have the RIGHT plan;
+  * this spec proves no query quietly has a WRONG one — the class of
+  * regression that passes all value-correctness tests and then dies
+  * at 100 TB.
+  */
+class PlanLintSpec extends SparkSpec {
+
+  /** query -> rules allowed there, each with the reason the shape is
+    * correct by construction (bounded side / tiny input / contract
+    * evaluator rather than the operator under test).
+    */
+  private val allowed: Map[String, Map[String, String]] = Map(
+    "q_cross_tiny" -> Map("cartesian" ->
+      "crossWithTiny IS a cartesian against a broadcast 5-row dim"),
+    "q_combinations" -> Map("cartesian" ->
+      "distributive C(n,k) generator over tiny literal ranges"),
+    "q_weighted_sum" -> Map("cartesian" ->
+      "knapsack enumeration over tiny literal ranges"),
+    "q_normalize" -> Map("cartesian" ->
+      "1-row global-total aggregate broadcast back onto the stream"),
+    "q_trap" -> Map("cartesian" ->
+      "two 1-row count aggregates cross-joined into the report row"),
+    "q_matrix_gram_dimsum" -> Map("cartesian" ->
+      "1-row norm/threshold scalar broadcast onto the sampled matrix"),
+    "q_dedup_semantic" -> Map("cartesian" ->
+      "exact all-pairs CONTRACT evaluation; the operator itself joins on centroid"),
+    "q_corpus_mix_temperature" -> Map("global-window" ->
+      "normalizing constant over the per-domain rate table (~|domains| rows)"))
+
+  test("every cartesian/global-window in any gate plan is whitelisted") {
+    val dir = sf("sf0.001")
+    val hits = scala.collection.mutable.Map.empty[String, Set[String]]
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val findings = PlanLint.lint(fn(spark, dir))
+        if (findings.nonEmpty)
+          hits(name) = findings.map(_.rule).toSet
+        findings.filterNot(f =>
+          allowed.get(name).exists(_.contains(f.rule)))
+          .map(f => s"$name: ${f.rule} (${f.node})")
+    }
+    graft.core.PipelineCaches.unpersistAll()
+    graft.ml.Dedup.unpersistPipelineCaches()
+    assert(violations.isEmpty,
+      s"unwhitelisted scale smells:\n  ${violations.mkString("\n  ")}")
+    // the whitelist may not go stale: every entry must still be
+    // exercised by the plan it excuses
+    val stale = allowed.flatMap { case (name, rules) =>
+      rules.keys.filterNot(r => hits.getOrElse(name, Set.empty).contains(r))
+        .map(r => s"$name/$r")
+    }
+    assert(stale.isEmpty, s"stale whitelist entries: ${stale.mkString(", ")}")
+  }
+}
