@@ -44,6 +44,17 @@ final case class Hll(p: Int, registers: Array[Byte]) {
   /** Cardinality estimate with the standard small/large-range
     * corrections.
     */
+  /** Inclusion–exclusion overlap estimate: |A∩B| ≈ |A| + |B| − |A∪B|
+    * (the union is exact at the sketch level — register-wise max).
+    * Relative error compounds (~3× the per-sketch error vs the UNION
+    * size, so small intersections of huge sets are noisy — the known
+    * HLL limitation; use a theta-style sample-and-intersect sketch
+    * when that regime matters). Clamped at 0 since the difference can
+    * go slightly negative under estimation noise.
+    */
+  def intersectionEstimate(other: Hll): Long =
+    math.max(0L, estimate + other.estimate - merge(other).estimate)
+
   def estimate: Long = {
     val alpha = m match {
       case 16 => 0.673

@@ -202,6 +202,31 @@ object ExtrasQueries extends QueryGroup {
         .orderBy("l_returnflag")
     },
 
+    // sketch set algebra: HLL inclusion–exclusion intersection
+    // estimate between the even- and odd-order halves of lineitem's
+    // part keys. n_exact cross-checks the true intersection against
+    // DuckDB INTERSECT; the estimate must land within 15% (+5 absolute
+    // slack) — integer arithmetic, no float boundary. The union sketch
+    // is exact at the register level (pointwise max), so only the
+    // three estimates contribute error.
+    q("q_agg_hll_intersect",
+      """SELECT CAST(count(*) AS BIGINT) AS n_exact, true AS within_tol FROM (
+        |  SELECT l_partkey FROM lineitem WHERE l_orderkey % 2 = 0
+        |  INTERSECT
+        |  SELECT l_partkey FROM lineitem WHERE l_orderkey % 2 = 1
+        |)""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      def half(r: Int) = li.filter(col("l_orderkey") % 2 === r)
+        .select(col("l_partkey").cast("string").as("value")).as[String]
+      val ha = half(0).select(Hll.aggregator(0.01).toColumn).head()
+      val hb = half(1).select(Hll.aggregator(0.01).toColumn).head()
+      val est = ha.intersectionEstimate(hb)
+      val exact = half(0).distinct().intersect(half(1).distinct()).count()
+      Seq((exact, math.abs(est - exact) * 100 <= exact * 15 + 500))
+        .toDF("n_exact", "within_tol")
+    },
+
     // custom Aggregator[IN,BUF,OUT] through the DataFrame udaf path
     // (the reference's mapReduceMap as a UDAF,
     // ReduceOperations.scala:46-74): one-pass moments vs the SQL

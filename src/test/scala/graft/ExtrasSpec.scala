@@ -20,6 +20,19 @@ class ExtrasSpec extends SparkSpec {
     assert(merged.merge(merged).estimate == merged.estimate)
   }
 
+  test("HLL intersection estimate tracks true overlap and clamps at zero") {
+    def sketch(keys: Seq[String]): Hll =
+      keys.foldLeft(Hll.empty(12))((h, s) => h.add(Hll.hash(s)))
+    val a = sketch((0 until 2000).map(i => s"k$i"))
+    val b = sketch((1000 until 3000).map(i => s"k$i")) // true overlap 1000
+    val est = a.intersectionEstimate(b)
+    assert(math.abs(est - 1000) <= 150, s"overlap estimate off: $est")
+    // near-disjoint sets: estimate must clamp at >= 0 and stay small
+    val c = sketch((50000 until 51000).map(i => s"k$i"))
+    val dis = a.intersectionEstimate(c)
+    assert(dis >= 0 && dis <= 200, s"disjoint estimate off: $dis")
+  }
+
   test("HLL pForError matches the rsd relation") {
     assert(Hll.pForError(0.01) >= 13) // 1% needs ~2^13.4 registers
     assert(Hll.pForError(0.05) <= 10)
