@@ -40,7 +40,10 @@ object Bench {
     "q_agg_salted_collect",
     // round-5: quality-filter scan + temperature mixing
     "q_text_repetition",
-    "q_corpus_mix_temperature")
+    "q_corpus_mix_temperature",
+    // round-6: substring-span dedup + corpus LM scoring
+    "q_dedup_spans",
+    "q_text_unigram_nll")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

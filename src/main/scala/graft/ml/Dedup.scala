@@ -587,4 +587,59 @@ object Dedup {
       .select("id1", "id2", "cos")
       .distinct()
   }
+
+  /** Exact duplicated-substring spans: maximal runs of k-token grams
+    * that appear in >= `minDocs` distinct documents — the distributed
+    * re-expression of suffix-array substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"):
+    * instead of one global suffix array, every k-token window is
+    * fingerprinted (xxhash64), duplicated fingerprints are found with
+    * a hash group-by, and surviving window positions are merged into
+    * maximal spans per document. Any duplicated substring of >= k
+    * tokens is covered by a chain of duplicated k-grams, so the
+    * merged spans are a superset envelope of the true duplicated
+    * regions, with <= k-1 tokens of slack at each edge.
+    *
+    * Returns (doc_id, span_start, span_end, span_tokens); positions
+    * are 1-based token indices of the normalized tokenization.
+    *
+    * Scale shape: one linear scan emits (doc, pos, gramHash); finding
+    * duplicated grams is a distinct + count group-by on the hash (two
+    * shuffles of 16-byte rows, map-side partial aggregation on both);
+    * the left-semi join back is a shuffle on the hash; span merge is
+    * one window partitioned by document over only the *flagged*
+    * positions (usually a tiny fraction of the corpus). Nothing holds
+    * a whole document's grams in memory and no step is quadratic.
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = split(TextAnalysis.normalize(col(textCol)), " ")
+    val grams = df
+      .select(col(idCol).as("doc_id"), words.as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("w")) - (k - 1)),
+          i => struct(i.as("pos"),
+            xxhash64(array_join(slice(col("w"), i, lit(k)), " ")).as("gh"))))
+        .as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
+    val g = persistTracked(grams)
+    val dup = g.select("gh", "doc_id").distinct()
+      .groupBy("gh").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs).select("gh")
+    val flagged = g.join(dup, Seq("gh"), "left_semi")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val run = byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged
+      .withColumn("prev", lag("pos", 1).over(byDoc))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") - col("prev") > k, 1).otherwise(0))
+      .withColumn("grp", sum("brk").over(run))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").cast("long").as("span_start"),
+        (max("pos") + (k - 1)).cast("long").as("span_end"))
+      .withColumn("span_tokens", col("span_end") - col("span_start") + 1L)
+      .select("doc_id", "span_start", "span_end", "span_tokens")
+  }
 }

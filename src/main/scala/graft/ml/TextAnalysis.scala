@@ -283,4 +283,36 @@ object TextAnalysis {
       .when(best.getField("s") > 0, best.getField("l"))
       .otherwise("unknown")
   }
+
+  /** Corpus-trained unigram language-model score per document: the
+    * mean negative log-likelihood of each document's tokens under an
+    * additively-smoothed unigram model fit on the whole input — the
+    * same "perplexity bucketing" signal CCNet-style pipelines use to
+    * rank web text by fluency (there with a KenLM n-gram model; here
+    * the deterministic unigram special case, oracle-checkable
+    * cross-engine). p(t) = (c(t) + a) / (N + a·V) over normalized
+    * whitespace tokens; returns (doc_id, nll), docs with no tokens
+    * are dropped.
+    *
+    * Scale shape: one token-explode scan feeds both the vocabulary
+    * count (hash group-by with map-side partials) and the scoring
+    * join; the (token → count) join is a shuffle on the token —
+    * heavy-hitter tokens are exactly the keys AQE skew-split handles
+    * — and the 1-row (N, V) total is a broadcast. Nothing collects a
+    * vocabulary to the driver.
+    */
+  def unigramNll(df: DataFrame, idCol: String, textCol: String,
+      smoothing: Double = 0.5): DataFrame = {
+    val tok = df.select(col(idCol).as("doc_id"),
+      explode(split(normalize(col(textCol)), " ")).as("tk"))
+      .filter(length(col("tk")) > 0)
+    val t = graft.core.PipelineCaches.persistTracked(tok)
+    val tc = t.groupBy("tk").agg(count(lit(1)).as("c"))
+    val tot = tc.agg(sum("c").as("n"), count(lit(1)).as("v"))
+    t.join(tc, "tk")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(avg(-log((col("c") + smoothing) /
+        (col("n") + col("v") * smoothing))).as("nll"))
+  }
 }

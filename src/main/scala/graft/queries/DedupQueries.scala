@@ -227,6 +227,49 @@ object DedupQueries extends QueryGroup {
         .orderBy("corpus_id", "probe_id")
     },
 
+    // exact duplicated-substring spans (suffix-array dedup semantics
+    // via k-gram fingerprints): maximal runs of 8-token grams shared
+    // by >= 2 docs. The oracle rebuilds the same gram/position/merge
+    // pipeline on gram *strings*; Spark groups on xxhash64 of the
+    // gram (the 100 TB path) — equal outputs absent 64-bit collisions.
+    q("q_dedup_spans", {
+      val words = "string_split(trim(regexp_replace(regexp_replace(lower(text), " +
+        "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')"
+      val gram8 = (0 until 8)
+        .map(j => if (j == 0) "w[u.i]" else s"w[u.i+$j]")
+        .mkString(" || ' ' || ")
+      s"""$augmentedSql, cw AS (
+         |  SELECT doc_id, $words AS w FROM docs
+         |), g AS (
+         |  SELECT doc_id, u.i AS pos, $gram8 AS gm
+         |  FROM cw, unnest(range(1, len(w) - 6)) AS u(i)
+         |  WHERE len(w) >= 8
+         |), dup AS (
+         |  SELECT gm FROM (SELECT DISTINCT gm, doc_id FROM g)
+         |  GROUP BY gm HAVING count(*) >= 2
+         |), p AS (
+         |  SELECT g.doc_id, g.pos FROM g JOIN dup USING (gm)
+         |), m AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+         |      OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+         |      THEN 1 ELSE 0 END AS brk
+         |  FROM p
+         |), s AS (
+         |  SELECT doc_id, pos,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS UNBOUNDED PRECEDING) AS grp
+         |  FROM m
+         |)
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         |  CAST(max(pos) + 7 AS BIGINT) AS span_end,
+         |  CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_tokens
+         |FROM s GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin
+    }) { (s, dir) =>
+      Dedup.duplicateSpans(augmented(s, dir), "doc_id", "text", k = 8)
+        .orderBy("doc_id", "span_start")
+    },
+
     // SimHash property gate: the pigeonhole candidate step is
     // recall-lossy by construction, so instead of a set-equality
     // oracle this checks the deterministic *contract*: an exact copy

@@ -60,6 +60,31 @@ object TextQueries extends QueryGroup {
         .orderBy("doc_id")
     },
 
+    // corpus-trained unigram LM score (CCNet-style perplexity
+    // bucketing, deterministic unigram special case): mean token NLL
+    // under an add-0.5-smoothed model fit on the whole corpus.
+    q("q_text_unigram_nll", {
+      val words = "string_split(trim(regexp_replace(regexp_replace(lower(text), " +
+        "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')"
+      s"""WITH cw AS (
+         |  SELECT doc_id, $words AS w FROM documents
+         |), tok AS (
+         |  SELECT doc_id, tk FROM (SELECT doc_id, unnest(w) AS tk FROM cw)
+         |  WHERE strlen(tk) > 0
+         |), tc AS (
+         |  SELECT tk, count(*) AS c FROM tok GROUP BY tk
+         |), tot AS (
+         |  SELECT sum(c) AS n, count(*) AS v FROM tc
+         |)
+         |SELECT doc_id, round(avg(-ln((c + 0.5) / (n + 0.5 * v))), 6) AS nll
+         |FROM tok JOIN tc USING (tk), tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      TA.unigramNll(t(s, dir, "documents"), "doc_id", "text")
+        .withColumn("nll", round(col("nll"), 6))
+        .orderBy("doc_id")
+    },
+
     // content fingerprint for exact dedup: md5 of normalized text.
     q("q_text_fingerprint",
       s"""SELECT doc_id, md5($normSql) AS fingerprint

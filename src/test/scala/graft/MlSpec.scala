@@ -338,4 +338,50 @@ class MlSpec extends SparkSpec {
     val best = top.collect().head
     assert(math.abs(best.getAs[Double]("cos") - 1.0) < 1e-5)
   }
+
+  test("duplicateSpans merges shared k-gram runs into maximal spans") {
+    import spark.implicits._
+    // docs 10/11 share tokens 1..12 exactly; doc 12 shares nothing.
+    val shared = (1 to 12).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (10L, s"$shared alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, s"$shared iota kappa lambda mu nu xi omicron pi"),
+      (12L, "totally disjoint vocabulary one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(d, "doc_id", "text", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // shared 12-token prefix → 4-gram positions 1..9 → one span [1, 12]
+    assert(spans == Set((10L, 1L, 12L), (11L, 1L, 12L)))
+  }
+
+  test("duplicateSpans reports separate spans across a gap") {
+    import spark.implicits._
+    val a = (1 to 6).map(i => s"a$i").mkString(" ")
+    val b = (1 to 6).map(i => s"b$i").mkString(" ")
+    // both docs share runs a1..a6 and b1..b6, with distinct middles
+    // longer than k tokens — two spans each, not one.
+    val d = Seq(
+      (1L, s"$a m1 m2 m3 m4 m5 $b"),
+      (2L, s"$a z1 z2 z3 z4 z5 $b"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(d, "doc_id", "text", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans == Set((1L, 1L, 6L), (1L, 12L, 17L),
+      (2L, 1L, 6L), (2L, 12L, 17L)))
+  }
+
+  test("unigramNll matches a hand-computed smoothed model") {
+    import spark.implicits._
+    val d = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // counts: a=2 b=2 c=1, N=5, V=3, denom = 5 + 0.5*3 = 6.5
+    def p(c: Double) = (c + 0.5) / 6.5
+    val exp1 = -(math.log(p(2)) * 2 + math.log(p(2))) / 3
+    val exp2 = -(math.log(p(2)) + math.log(p(1))) / 2
+    val got = TA.unigramNll(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(1L) - exp1) < 1e-9)
+    assert(math.abs(got(2L) - exp2) < 1e-9)
+    // rarer vocabulary ⇒ higher NLL
+    assert(got(2L) > got(1L))
+  }
 }

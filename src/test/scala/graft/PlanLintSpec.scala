@@ -32,7 +32,9 @@ class PlanLintSpec extends SparkSpec {
     "q_dedup_semantic" -> Map("cartesian" ->
       "exact all-pairs CONTRACT evaluation; the operator itself joins on centroid"),
     "q_corpus_mix_temperature" -> Map("global-window" ->
-      "normalizing constant over the per-domain rate table (~|domains| rows)"))
+      "normalizing constant over the per-domain rate table (~|domains| rows)"),
+    "q_text_unigram_nll" -> Map("cartesian" ->
+      "1-row (N, V) model-total aggregate broadcast onto the token stream"))
 
   test("every cartesian/global-window in any gate plan is whitelisted") {
     val dir = sf("sf0.001")
