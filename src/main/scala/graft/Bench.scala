@@ -59,9 +59,8 @@ object Bench {
     headline.filter(queries.contains).foreach { name =>
       try runOne(spark, queries(name), "/root/testdata/sf0.001")
       catch { case _: Throwable => }
+      finally graft.ml.Dedup.unpersistPipelineCaches()
     }
-    // drop warmup-pass caches before timing
-    graft.ml.Dedup.unpersistPipelineCaches()
 
     val results = headline.filter(queries.contains).map { name =>
       val t0 = System.nanoTime()
@@ -69,9 +68,13 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
       }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop pipeline caches a query persisted before timing the next
+      // one — resident blocks from earlier queries otherwise squeeze
+      // executor memory and skew later numbers
+      graft.ml.Dedup.unpersistPipelineCaches()
+      name -> (if (ok) dt else -1.0)
     }
-    graft.ml.Dedup.unpersistPipelineCaches()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum

@@ -111,4 +111,42 @@ object Bpe {
     merges.sortBy(_.rank).foreach(m => syms = applyMerge(syms, m.left, m.right))
     syms
   }
+
+  /** Distributed tokenizer application: encode every document with a
+    * learned merge list. Returns (id, tokens).
+    *
+    * Scale shape: the ranked merge table is tiny (`nMerges` rows) and
+    * ships inside the task closure, so encoding is a single
+    * mapPartitions scan — no shuffle at any corpus size. Within a
+    * partition the per-word merge loop is memoized per *distinct*
+    * word (capped at 100k entries, the reference's map-side cache
+    * constant, GroupBuilder.scala:83), so hot vocabulary words are
+    * segmented once per partition rather than once per occurrence.
+    */
+  def encode(docs: Dataset[(Long, String)],
+      merges: Seq[Merge]): Dataset[(Long, Array[String])] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranked = merges.sortBy(_.rank).map(m => (m.left, m.right)).toArray
+    docs.mapPartitions { it =>
+      val memo = new java.util.HashMap[String, Array[String]]()
+      def enc(word: String): Array[String] = {
+        val hit = memo.get(word)
+        if (hit != null) hit
+        else {
+          var syms = word.map(_.toString).toArray :+ Eow
+          var i = 0
+          while (i < ranked.length) {
+            syms = applyMerge(syms, ranked(i)._1, ranked(i)._2); i += 1
+          }
+          if (memo.size < 100000) memo.put(word, syms)
+          syms
+        }
+      }
+      it.map { case (id, text) =>
+        (id, text.toLowerCase.split("\\s+").iterator
+          .filter(_.nonEmpty).flatMap(enc).toArray)
+      }
+    }
+  }
 }

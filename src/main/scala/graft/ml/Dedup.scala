@@ -624,7 +624,10 @@ object Dedup {
             xxhash64(array_join(slice(col("w"), i, lit(k)), " ")).as("gh"))))
         .as("g"))
       .select(col("doc_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
-    val g = persistTracked(grams)
+    // deliberately NOT cached: regenerating the gram stream for the
+    // semi join is a narrow re-scan, cheaper than materializing a
+    // corpus-sized gram cache (which could not be resident at 100 TB)
+    val g = grams
     val dup = g.select("gh", "doc_id").distinct()
       .groupBy("gh").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= minDocs).select("gh")

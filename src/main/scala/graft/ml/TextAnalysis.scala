@@ -301,15 +301,51 @@ object TextAnalysis {
     * — and the 1-row (N, V) total is a broadcast. Nothing collects a
     * vocabulary to the driver.
     */
-  def unigramNll(df: DataFrame, idCol: String, textCol: String,
-      smoothing: Double = 0.5): DataFrame = {
+  /** Per-document top-k terms by TF-IDF over the input corpus:
+    * tf-idf(t, d) = tf(t, d) · (ln((N+1)/(df(t)+1)) + 1) with the
+    * smoothed idf, ties broken lexicographically. Returns
+    * (doc_id, rank, tk, tf, tfidf) with rank 1..k — the standard
+    * keyword-extraction / relevance signal over a corpus.
+    *
+    * Scale shape: one token-explode scan → (doc, term) counts (hash
+    * group-by with map-side partials); document frequency is a second
+    * group-by over the already-distinct (doc, term) rows; the idf
+    * join shuffles on the term; per-document ranking is a window
+    * partitioned by document (documents are the parallel unit, terms
+    * per document are bounded). The 1-row corpus count N broadcasts.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val tok = df.select(col(idCol).as("doc_id"),
       explode(split(normalize(col(textCol)), " ")).as("tk"))
       .filter(length(col("tk")) > 0)
-    val t = graft.core.PipelineCaches.persistTracked(tok)
-    val tc = t.groupBy("tk").agg(count(lit(1)).as("c"))
+    val tf = tok.groupBy("doc_id", "tk").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tk").agg(count(lit(1)).as("df"))
+    val n = df.select(countDistinct(col(idCol)).as("n"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("tk"))
+    tf.join(dfreq, "tk")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf") * (log((col("n") + 1.0) / (col("df") + 1.0)) + 1.0))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("tk"), col("tf"), col("tfidf"))
+  }
+
+  def unigramNll(df: DataFrame, idCol: String, textCol: String,
+      smoothing: Double = 0.5): DataFrame = {
+    // deliberately NOT cached: the token stream is regenerated for
+    // the scoring join — a cheap narrow re-scan — because materializing
+    // a corpus-sized token cache costs more than recomputing it (and
+    // at 100 TB could not be resident anyway)
+    val tok = df.select(col(idCol).as("doc_id"),
+      explode(split(normalize(col(textCol)), " ")).as("tk"))
+      .filter(length(col("tk")) > 0)
+    val tc = tok.groupBy("tk").agg(count(lit(1)).as("c"))
     val tot = tc.agg(sum("c").as("n"), count(lit(1)).as("v"))
-    t.join(tc, "tk")
+    tok.join(tc, "tk")
       .crossJoin(broadcast(tot))
       .groupBy("doc_id")
       .agg(avg(-log((col("c") + smoothing) /

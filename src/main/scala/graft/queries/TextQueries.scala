@@ -85,6 +85,40 @@ object TextQueries extends QueryGroup {
         .orderBy("doc_id")
     },
 
+    // per-doc top-5 terms by corpus TF-IDF (smoothed idf,
+    // lexicographic tie-break) — keyword extraction / relevance.
+    q("q_text_tfidf", {
+      val words = "string_split(trim(regexp_replace(regexp_replace(lower(text), " +
+        "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')"
+      s"""WITH cw AS (
+         |  SELECT doc_id, $words AS w FROM documents
+         |), tok AS (
+         |  SELECT doc_id, tk FROM (SELECT doc_id, unnest(w) AS tk FROM cw)
+         |  WHERE strlen(tk) > 0
+         |), tf AS (
+         |  SELECT doc_id, tk, count(*) AS tf FROM tok GROUP BY 1, 2
+         |), dfreq AS (
+         |  SELECT tk, count(*) AS df FROM tf GROUP BY tk
+         |), n AS (
+         |  SELECT count(DISTINCT doc_id) AS n FROM documents
+         |), scored AS (
+         |  SELECT doc_id, tk, tf,
+         |    tf * (ln((n + 1.0::DOUBLE) / (df + 1.0::DOUBLE)) + 1.0::DOUBLE) AS tfidf
+         |  FROM tf JOIN dfreq USING (tk), n
+         |), r AS (
+         |  SELECT doc_id, tk, tf, tfidf,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tk) AS rank
+         |  FROM scored
+         |)
+         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, tk, tf,
+         |  round(tfidf, 6) AS tfidf
+         |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
+    }) { (s, dir) =>
+      TA.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 5)
+        .withColumn("tfidf", round(col("tfidf"), 6))
+        .orderBy("doc_id", "rank")
+    },
+
     // content fingerprint for exact dedup: md5 of normalized text.
     q("q_text_fingerprint",
       s"""SELECT doc_id, md5($normSql) AS fingerprint

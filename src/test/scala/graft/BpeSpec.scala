@@ -67,4 +67,17 @@ class BpeSpec extends SparkSpec {
     assert(enc.exists(_.startsWith("low")))
     assert(enc.length < "lower".length + 1)
   }
+
+  test("distributed encode equals per-word encodeWord on every document") {
+    import spark.implicits._
+    val corpus = Seq("low lower lowest", "newer wider lower", "low low newest")
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDS()
+    val merges = Bpe.train(corpus.toDS(), nMerges = 8)
+    val got = Bpe.encode(docs, merges).collect().toMap
+    corpus.zipWithIndex.foreach { case (text, i) =>
+      val expected = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .flatMap(w => Bpe.encodeWord(w, merges))
+      assert(got(i.toLong).toSeq == expected.toSeq, s"doc $i")
+    }
+  }
 }

@@ -370,6 +370,23 @@ class MlSpec extends SparkSpec {
       (2L, 1L, 6L), (2L, 12L, 17L)))
   }
 
+  test("tfidfTopTerms ranks distinctive terms above common ones") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "shared shared zebra zebra zebra"),
+      (2L, "shared quark quark quark"),
+      (3L, "shared plain plain")).toDF("doc_id", "text")
+    val top = TA.tfidfTopTerms(d, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    // 'shared' appears in all 3 docs → idf = ln(4/4)+1 = 1, while each
+    // distinctive word has idf = ln(4/2)+1 ≈ 1.69; rank-1 must be the
+    // distinctive word in every doc, 'shared' second
+    assert(top((1L, 1L)) == "zebra")
+    assert(top((2L, 1L)) == "quark")
+    assert(top((3L, 1L)) == "plain")
+    assert(top((1L, 2L)) == "shared")
+  }
+
   test("unigramNll matches a hand-computed smoothed model") {
     import spark.implicits._
     val d = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")

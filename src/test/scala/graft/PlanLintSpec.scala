@@ -34,7 +34,9 @@ class PlanLintSpec extends SparkSpec {
     "q_corpus_mix_temperature" -> Map("global-window" ->
       "normalizing constant over the per-domain rate table (~|domains| rows)"),
     "q_text_unigram_nll" -> Map("cartesian" ->
-      "1-row (N, V) model-total aggregate broadcast onto the token stream"))
+      "1-row (N, V) model-total aggregate broadcast onto the token stream"),
+    "q_text_tfidf" -> Map("cartesian" ->
+      "1-row corpus-count aggregate broadcast onto the term-frequency stream"))
 
   test("every cartesian/global-window in any gate plan is whitelisted") {
     val dir = sf("sf0.001")
