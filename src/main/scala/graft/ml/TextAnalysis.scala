@@ -334,6 +334,41 @@ object TextAnalysis {
         col("tk"), col("tf"), col("tfidf"))
   }
 
+  /** Context-sensitive fluency score: mean negative log-likelihood of
+    * each document's token *bigrams* under an additively-smoothed
+    * bigram model fit on the whole input — one step closer to the
+    * KenLM n-gram perplexity CCNet ranks web text with than
+    * [[unigramNll]]. p(t | prev) = (c(prev,t) + a) / (c(prev·) + a·V);
+    * returns (doc_id, bigram_nll, n_bigrams), documents with fewer
+    * than 2 tokens are dropped.
+    *
+    * Scale shape: bigrams form with one lag window partitioned by
+    * document (no self-join of the token stream); bigram and
+    * left-context counts are hash group-bys with map-side partials;
+    * scoring joins shuffle on (prev, t) then prev — bounded by the
+    * bigram vocabulary, not the corpus; the 1-row V total broadcasts.
+    */
+  def bigramNll(df: DataFrame, idCol: String, textCol: String,
+      smoothing: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(col(idCol).as("doc_id"),
+      posexplode(split(normalize(col(textCol)), " ")).as(Seq("pos", "tk")))
+      .filter(length(col("tk")) > 0)
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val big = tok.withColumn("prev", lag("tk", 1).over(byDoc))
+      .filter(col("prev").isNotNull)
+    val vv = tok.agg(countDistinct(col("tk")).as("v"))
+    val bc = big.groupBy("prev", "tk").agg(count(lit(1)).as("cb"))
+    val pc = bc.groupBy("prev").agg(sum("cb").as("cp"))
+    big.join(bc, Seq("prev", "tk"))
+      .join(pc, Seq("prev"))
+      .crossJoin(broadcast(vv))
+      .groupBy("doc_id")
+      .agg(avg(-log((col("cb") + smoothing) /
+        (col("cp") + col("v") * smoothing))).as("bigram_nll"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
   def unigramNll(df: DataFrame, idCol: String, textCol: String,
       smoothing: Double = 0.5): DataFrame = {
     // deliberately NOT cached: the token stream is regenerated for

@@ -85,6 +85,39 @@ object TextQueries extends QueryGroup {
         .orderBy("doc_id")
     },
 
+    // context-sensitive fluency: bigram-model NLL (the n-gram step up
+    // from the unigram gate; same add-0.5 smoothing over V unigrams).
+    q("q_text_bigram_nll", {
+      val words = "string_split(trim(regexp_replace(regexp_replace(lower(text), " +
+        "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')"
+      s"""WITH cw AS (
+         |  SELECT doc_id, $words AS w FROM documents
+         |), tok AS (
+         |  SELECT doc_id, u.i AS pos, w[u.i] AS tk
+         |  FROM cw, unnest(range(1, len(w) + 1)) AS u(i)
+         |  WHERE strlen(w[u.i]) > 0
+         |), big AS (
+         |  SELECT doc_id, pos, tk,
+         |    lag(tk) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         |  FROM tok
+         |), uni AS (SELECT tk, count(*) AS c FROM tok GROUP BY tk),
+         |vv AS (SELECT count(*) AS v FROM uni),
+         |bc AS (SELECT prev, tk, count(*) AS cb FROM big
+         |       WHERE prev IS NOT NULL GROUP BY 1, 2),
+         |pc AS (SELECT prev, sum(cb) AS cp FROM bc GROUP BY prev)
+         |SELECT b.doc_id,
+         |  round(avg(-ln((cb + 0.5) / (cp + 0.5 * v))), 6) AS bigram_nll,
+         |  count(*) AS n_bigrams
+         |FROM big b JOIN bc ON b.prev = bc.prev AND b.tk = bc.tk
+         |JOIN pc ON b.prev = pc.prev, vv
+         |WHERE b.prev IS NOT NULL
+         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
+    }) { (s, dir) =>
+      TA.bigramNll(t(s, dir, "documents"), "doc_id", "text")
+        .withColumn("bigram_nll", round(col("bigram_nll"), 6))
+        .orderBy("doc_id")
+    },
+
     // per-doc top-5 terms by corpus TF-IDF (smoothed idf,
     // lexicographic tie-break) — keyword extraction / relevance.
     q("q_text_tfidf", {

@@ -387,6 +387,20 @@ class MlSpec extends SparkSpec {
     assert(top((1L, 2L)) == "shared")
   }
 
+  test("bigramNll matches a hand-computed smoothed model") {
+    import spark.implicits._
+    val d = Seq((1L, "a b a b"), (2L, "a a")).toDF("doc_id", "text")
+    // bigrams: doc1 = (a,b),(b,a),(a,b); doc2 = (a,a)
+    // cb: (a,b)=2 (b,a)=1 (a,a)=1; cp: a·=3, b·=1; V=2 → a·V=1
+    def pr(cb: Double, cp: Double) = (cb + 0.5) / (cp + 1.0)
+    val exp1 = -(math.log(pr(2, 3)) * 2 + math.log(pr(1, 1))) / 3
+    val exp2 = -math.log(pr(1, 3))
+    val got = TA.bigramNll(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(math.abs(got(1L)._1 - exp1) < 1e-9 && got(1L)._2 == 3L)
+    assert(math.abs(got(2L)._1 - exp2) < 1e-9 && got(2L)._2 == 1L)
+  }
+
   test("unigramNll matches a hand-computed smoothed model") {
     import spark.implicits._
     val d = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")

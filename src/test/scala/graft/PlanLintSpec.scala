@@ -36,7 +36,9 @@ class PlanLintSpec extends SparkSpec {
     "q_text_unigram_nll" -> Map("cartesian" ->
       "1-row (N, V) model-total aggregate broadcast onto the token stream"),
     "q_text_tfidf" -> Map("cartesian" ->
-      "1-row corpus-count aggregate broadcast onto the term-frequency stream"))
+      "1-row corpus-count aggregate broadcast onto the term-frequency stream"),
+    "q_text_bigram_nll" -> Map("cartesian" ->
+      "1-row vocabulary-size aggregate broadcast onto the bigram stream"))
 
   test("every cartesian/global-window in any gate plan is whitelisted") {
     val dir = sf("sf0.001")
