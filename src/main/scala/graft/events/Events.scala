@@ -144,4 +144,48 @@ object Events {
       .distinct()
       .groupBy("cohort", "period").agg(count(lit(1)).as("n_users"))
   }
+
+  /** Last-touch attribution: map every `conversionType` event to the
+    * user's most recent `touchTypes` event at-or-before it, attributed
+    * only when the touch falls within `lookbackSec` seconds. Output:
+    * one row per conversion — (user_id, conv_id, conv_sec, touch_id,
+    * touch_type, touch_sec, attributed); touch fields are null when no
+    * touch qualifies.
+    *
+    * Determinism: several touches can share a (user, second) — the
+    * canonical one is the max `idCol` at that second (and the as-of
+    * pick at equal seconds follows ASOF >= semantics), so results are
+    * exactly replayable cross-engine.
+    *
+    * Scale shape: touches are pre-reduced per (user, second) with one
+    * hash aggregation, then attached with ONE as-of join (union +
+    * per-user running window — no per-conversion range scan); the
+    * lookback is a post-filter on the attached pair. Never a
+    * conversions × touches join.
+    */
+  def lastTouchAttribution(events: DataFrame, userCol: String,
+      secCol: String, idCol: String, typeCol: String,
+      conversionType: String, touchTypes: Seq[String],
+      lookbackSec: Long): DataFrame = {
+    val conv = events.filter(col(typeCol) === conversionType)
+      .select(col(userCol).as("user_id"), col(idCol).as("conv_id"),
+        col(secCol).cast("long").as("conv_sec"))
+    val touches = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol).as("user_id"),
+        col(secCol).cast("long").as("touch_sec"),
+        col(idCol).as("touch_id"), col(typeCol).as("touch_type"))
+      .groupBy("user_id", "touch_sec")
+      .agg(max("touch_id").as("touch_id"),
+        max_by(col("touch_type"), col("touch_id")).as("touch_type"))
+    val joined = graft.join.Joins.asofJoin(conv, touches, Seq("user_id"),
+      "conv_sec", "touch_sec", Seq("touch_id", "touch_type", "touch_sec"),
+      how = "left")
+    val ok = col("touch_sec").isNotNull &&
+      col("conv_sec") - col("touch_sec") <= lookbackSec
+    joined.select(col("user_id"), col("conv_id"), col("conv_sec"),
+      when(ok, col("touch_id")).as("touch_id"),
+      when(ok, col("touch_type")).as("touch_type"),
+      when(ok, col("touch_sec")).as("touch_sec"),
+      ok.as("attributed"))
+  }
 }

@@ -62,6 +62,44 @@ object Corpus {
           .as("n_seqs"))
   }
 
+  /** Sliding-window document chunking: split each document into
+    * overlapping token-window chunks of at most `maxTokens`
+    * whitespace tokens, consecutive chunks sharing `overlap` tokens —
+    * the long-document splitting step of pretraining / retrieval
+    * prep (each chunk stays under a context limit without losing the
+    * text that straddles a boundary). Returns
+    * (doc_id, chunk_idx, n_tokens, chunk_text); chunk i covers token
+    * positions [i·stride + 1, i·stride + maxTokens] with
+    * stride = maxTokens − overlap.
+    *
+    * Scale shape: a single narrow scan — chunk boundaries are pure
+    * per-row array arithmetic (sequence + slice) with one explode, no
+    * shuffle, no window. Output size is input tokens × (1 +
+    * overlap/stride) — the only amplification is the chosen overlap.
+    */
+  def chunkByTokens(docs: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int, overlap: Int = 0): DataFrame = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      s"need 0 <= overlap < maxTokens, got maxTokens=$maxTokens overlap=$overlap")
+    val stride = maxTokens - overlap
+    docs.select(col(idCol).as("doc_id"),
+      split(trim(col(textCol)), "\\s+").as("w"))
+      .filter(size(col("w")) > 0)
+      .withColumn("n", size(col("w")).cast("long"))
+      .withColumn("n_chunks", (ceil(
+        greatest(col("n") - maxTokens, lit(0L)) / lit(stride.toDouble))
+        .cast("long") + 1L))
+      .select(col("doc_id"), col("n"), explode(expr(
+        s"""transform(sequence(0L, n_chunks - 1),
+           |  i -> struct(i AS chunk_idx,
+           |    array_join(slice(w, int(i * $stride + 1), $maxTokens), ' ')
+           |      AS chunk_text))""".stripMargin)).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+        least(col("n") - col("c.chunk_idx") * stride.toLong,
+          lit(maxTokens.toLong)).as("n_tokens"),
+        col("c.chunk_text").as("chunk_text"))
+  }
+
   /** Trainer-ready sequence manifest: one row per (shard, seq_id)
     * listing the documents that START in that sequence in stream
     * order — the writer-side view of [[packSequences]] a downstream

@@ -363,6 +363,51 @@ object EventQueries extends QueryGroup {
       graft.events.Events.retention(e, "user_id", "sec", "event_type",
         "signup", Seq("click", "purchase"), 604800L)
         .orderBy("cohort", "period")
+    },
+
+    // last-touch attribution: each purchase attributed to the user's
+    // most recent click/view within a 1-hour lookback (ASOF >=
+    // semantics at equal seconds; canonical touch per second = max
+    // event_id, so both engines resolve ties identically).
+    q("q_events_attribution",
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    event_type
+        |  FROM events
+        |), conv AS (
+        |  SELECT user_id, event_id AS conv_id, sec AS conv_sec
+        |  FROM e WHERE event_type = 'purchase'
+        |), tch AS (
+        |  SELECT user_id, sec AS touch_sec, max(event_id) AS touch_id,
+        |    arg_max(event_type, event_id) AS touch_type
+        |  FROM e WHERE event_type IN ('click', 'view') GROUP BY 1, 2
+        |), best AS (
+        |  SELECT c.user_id, c.conv_id, c.conv_sec,
+        |    t.touch_id, t.touch_type, t.touch_sec,
+        |    row_number() OVER (PARTITION BY c.user_id, c.conv_id
+        |      ORDER BY t.touch_sec DESC) AS rn
+        |  FROM conv c JOIN tch t
+        |    ON c.user_id = t.user_id AND t.touch_sec <= c.conv_sec
+        |)
+        |SELECT c.user_id, c.conv_id, c.conv_sec,
+        |  CASE WHEN b.touch_sec IS NOT NULL AND c.conv_sec - b.touch_sec <= 3600
+        |    THEN b.touch_id END AS touch_id,
+        |  CASE WHEN b.touch_sec IS NOT NULL AND c.conv_sec - b.touch_sec <= 3600
+        |    THEN b.touch_type END AS touch_type,
+        |  CASE WHEN b.touch_sec IS NOT NULL AND c.conv_sec - b.touch_sec <= 3600
+        |    THEN b.touch_sec END AS touch_sec,
+        |  COALESCE(b.touch_sec IS NOT NULL AND c.conv_sec - b.touch_sec <= 3600,
+        |    false) AS attributed
+        |FROM conv c LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+        |  ON c.user_id = b.user_id AND c.conv_id = b.conv_id
+        |ORDER BY c.user_id, c.conv_id""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        floor(col("ts") / 1000000000L).cast("long").as("sec"),
+        col("event_type"))
+      graft.events.Events.lastTouchAttribution(e, "user_id", "sec",
+        "event_id", "event_type", "purchase", Seq("click", "view"),
+        lookbackSec = 3600L)
+        .orderBy("user_id", "conv_id")
     }
   )
 }

@@ -243,6 +243,28 @@ object TextQueries extends QueryGroup {
     // GPT-style sequence packing: shard → md5-permute → concat →
     // chunk every ctxLen tokens. Pure integer window math (exact in
     // both engines); one hashpartitioning(shard) exchange at scale.
+    // sliding-window chunking: 64-token windows, 16-token overlap
+    // (stride 48) — long-document splitting for context limits.
+    q("q_text_chunk",
+      """WITH cw AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |), meta AS (
+        |  SELECT doc_id, w, len(w) AS n,
+        |    CAST(1 + ceil(greatest(len(w) - 64, 0) / 48.0) AS BIGINT) AS n_chunks
+        |  FROM cw WHERE len(w) > 0
+        |), ch AS (
+        |  SELECT doc_id, u.i AS chunk_idx,
+        |    array_to_string(w[(u.i * 48 + 1):(u.i * 48 + 64)], ' ') AS chunk_text,
+        |    least(CAST(n AS BIGINT) - u.i * 48, 64) AS n_tokens
+        |  FROM meta, unnest(range(0, n_chunks)) AS u(i)
+        |)
+        |SELECT doc_id, chunk_idx, n_tokens, chunk_text FROM ch
+        |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+      graft.ml.Corpus.chunkByTokens(t(s, dir, "documents"), "doc_id", "text",
+        maxTokens = 64, overlap = 16)
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     q("q_text_pack",
       """WITH d AS (
         |  SELECT doc_id,

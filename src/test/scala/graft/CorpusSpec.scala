@@ -197,6 +197,28 @@ class CorpusSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet == Set(10L, 20L))
   }
 
+  test("chunkByTokens tiles documents with the requested overlap") {
+    import spark.implicits._
+    val text10 = (1 to 10).map(i => s"t$i").mkString(" ")
+    val d = Seq((1L, text10), (2L, "a b c")).toDF("doc_id", "text")
+    val got = Corpus.chunkByTokens(d, "doc_id", "text",
+      maxTokens = 4, overlap = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3)))
+      .toMap
+    // doc 1: stride 2 → chunks at 1,3,5,7 (ceil((10-4)/2)=3 extra)
+    assert(got((1L, 0L)) == (4L, "t1 t2 t3 t4"))
+    assert(got((1L, 1L)) == (4L, "t3 t4 t5 t6"))
+    assert(got((1L, 3L)) == (4L, "t7 t8 t9 t10"))
+    // short doc: one chunk, untruncated
+    assert(got((2L, 0L)) == (3L, "a b c"))
+    assert(got.size == 5)
+    // consecutive chunks share exactly `overlap` tokens
+    val c0 = got((1L, 0L))._2.split(" ").takeRight(2).toSeq
+    val c1 = got((1L, 1L))._2.split(" ").take(2).toSeq
+    assert(c0 == c1)
+  }
+
   test("gate queries run and pack output covers every document once") {
     val pack = graft.queries.TextQueries.all.find(_.name == "q_text_pack").get
     val out = pack.run(spark, sf())

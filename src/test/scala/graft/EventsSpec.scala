@@ -72,4 +72,29 @@ class EventsSpec extends SparkSpec {
     assert(grid == Map((1L, 0L) -> 1L, (1L, 2L) -> 1L, (2L, 0L) -> 1L),
       s"got $grid")
   }
+
+  test("last-touch attribution picks the latest in-window touch, ties by max id") {
+    import spark.implicits._
+    val e = Seq(
+      // (id, user, sec, type)
+      (1L, 1L, 100L, "view"),
+      (2L, 1L, 150L, "click"),
+      (3L, 1L, 200L, "purchase"),  // → click@150
+      (4L, 1L, 5000L, "purchase"), // latest touch 150, outside 1000s → null
+      (5L, 2L, 300L, "view"),
+      (6L, 2L, 300L, "click"),     // same second: max id wins
+      (7L, 2L, 300L, "purchase"),  // equal-second touch counts (>= asof)
+      (8L, 3L, 400L, "purchase"))  // no touches at all
+      .toDF("id", "u", "sec", "tp")
+    val got = Events.lastTouchAttribution(e, "u", "sec", "id", "tp",
+      "purchase", Seq("view", "click"), lookbackSec = 1000L)
+      .collect()
+      .map(r => r.getLong(1) -> (Option(r.get(3)), Option(r.get(4)),
+        r.getBoolean(6)))
+      .toMap
+    assert(got(3L) == ((Some(2L), Some("click"), true)))
+    assert(got(4L) == ((None, None, false)))
+    assert(got(7L) == ((Some(6L), Some("click"), true)))
+    assert(got(8L) == ((None, None, false)))
+  }
 }
