@@ -218,4 +218,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       s"corpus side must not shuffle for the join:\n$p")
   }
+
+  test("document chunking is one narrow generate: no join, no mid-plan shuffle") {
+    val p = plan("q_text_chunk")
+    assert(!p.contains("Join"), s"chunking should not join:\n$p")
+    // chunk boundaries are per-row array arithmetic; the only exchange
+    // is the deterministic ORDER BY's range partitioning
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"chunking must not hash-shuffle:\n$p")
+  }
+
+  test("duplicate-span merge reuses the window's doc partitioning (no extra exchange)") {
+    val lines = plan("q_dedup_spans").linesIterator.toSeq
+    val lastWindow = lines.lastIndexWhere(_.trim.startsWith("+- Window"))
+    assert(lastWindow > 0, s"no window in plan:\n${lines.mkString("\n")}")
+    // everything above the span-merge window (the final agg + sort)
+    // must not re-shuffle: hashpartitioning(doc_id) already satisfies
+    // the (doc_id, grp) grouping
+    val above = lines.take(lastWindow)
+    assert(!above.exists(_.contains("Exchange hashpartitioning")),
+      s"span merge re-shuffled after the window:\n${lines.mkString("\n")}")
+  }
+
+  test("attribution pre-reduces touches map-side and fills with one as-of window") {
+    val p = plan("q_events_attribution")
+    val lines = p.linesIterator.toSeq
+    assert(p.contains("Window"), s"no as-of fill window:\n$p")
+    // the touch (user, sec) dedup must plant a partial aggregate
+    // before its exchange — never ship raw touch events
+    val partialIdx = lines.indexWhere(l =>
+      l.contains("Aggregate") && l.contains("partial"))
+    val exchangeAfter = lines.take(partialIdx).exists(_.contains("Exchange hashpartitioning"))
+    assert(partialIdx >= 0, s"no partial aggregate for touch dedup:\n$p")
+    assert(exchangeAfter, s"partial agg not below an exchange:\n$p")
+  }
 }
