@@ -41,9 +41,14 @@ object Bench {
     // round-5: quality-filter scan + temperature mixing
     "q_text_repetition",
     "q_corpus_mix_temperature",
-    // round-6: substring-span dedup + corpus LM scoring
+    // round-6: substring-span dedup + corpus LM scoring + chunking,
+    // TF-IDF, bigram LM, event attribution
     "q_dedup_spans",
-    "q_text_unigram_nll")
+    "q_text_unigram_nll",
+    "q_text_bigram_nll",
+    "q_text_tfidf",
+    "q_text_chunk",
+    "q_events_attribution")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
