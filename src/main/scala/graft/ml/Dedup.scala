@@ -628,9 +628,18 @@ object Dedup {
     // semi join is a narrow re-scan, cheaper than materializing a
     // corpus-sized gram cache (which could not be resident at 100 TB)
     val g = grams
-    val dup = g.select("gh", "doc_id").distinct()
-      .groupBy("gh").agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= minDocs).select("gh")
+    // minDocs == 2 (the default): "appears in >= 2 distinct docs" is
+    // exactly min(doc) != max(doc) — ONE partial/final aggregation,
+    // one exchange of (gh, min, max) triples, instead of the
+    // distinct + count pair of shuffles the general case needs
+    val dup =
+      if (minDocs == 2)
+        g.groupBy("gh").agg(min("doc_id").as("__lo"), max("doc_id").as("__hi"))
+          .filter(col("__lo") =!= col("__hi")).select("gh")
+      else
+        g.select("gh", "doc_id").distinct()
+          .groupBy("gh").agg(count(lit(1)).as("nd"))
+          .filter(col("nd") >= minDocs).select("gh")
     val flagged = g.join(dup, Seq("gh"), "left_semi")
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val run = byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -219,6 +219,37 @@ class CorpusSpec extends SparkSpec {
     assert(c0 == c1)
   }
 
+  test("chunkByTokens reconstruction: overlap-stripped chunks tile the document") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val params = Seq((5, 0), (5, 2), (8, 7), (3, 1))
+    params.foreach { case (maxTokens, overlap) =>
+      val docs = (1L to 25L).map { id =>
+        id -> Array.fill(1 + rnd.nextInt(30))(s"w${rnd.nextInt(9)}")
+      }
+      val got = Corpus.chunkByTokens(
+        docs.map { case (id, w) => (id, w.mkString(" ")) }.toDF("doc_id", "text"),
+        "doc_id", "text", maxTokens, overlap)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .groupBy(_._1)
+      docs.foreach { case (id, w) =>
+        val chunks = got(id).sortBy(_._2)
+        // every chunk obeys the size bound and reports its true count
+        chunks.foreach { case (_, _, n, text) =>
+          val toks = text.split(" ")
+          assert(toks.length <= maxTokens && toks.length == n)
+        }
+        // dropping the first `overlap` tokens of every chunk after the
+        // first reconstructs the document exactly
+        val rebuilt = chunks.head._4.split(" ") ++
+          chunks.tail.flatMap(_._4.split(" ").drop(overlap))
+        assert(rebuilt.toSeq == w.toSeq,
+          s"doc $id maxTokens=$maxTokens overlap=$overlap")
+      }
+    }
+  }
+
   test("gate queries run and pack output covers every document once") {
     val pack = graft.queries.TextQueries.all.find(_.name == "q_text_pack").get
     val out = pack.run(spark, sf())

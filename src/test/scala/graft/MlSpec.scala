@@ -387,6 +387,43 @@ class MlSpec extends SparkSpec {
     assert(top((1L, 2L)) == "shared")
   }
 
+  test("duplicateSpans equals a brute-force reference on random corpora") {
+    import spark.implicits._
+    val k = 3
+    def refSpans(docs: Seq[(Long, Array[String])]): Set[(Long, Long, Long, Long)] = {
+      val gramDocs = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
+      for ((id, w) <- docs; i <- 0 to w.length - k)
+        gramDocs.getOrElseUpdate(w.slice(i, i + k).mkString(" "),
+          scala.collection.mutable.Set.empty) += id
+      val dup = gramDocs.collect { case (g, ds) if ds.size >= 2 => g }.toSet
+      docs.flatMap { case (id, w) =>
+        val pos = (0 to w.length - k)
+          .filter(i => dup(w.slice(i, i + k).mkString(" "))).map(_ + 1)
+        val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        pos.foreach { p =>
+          if (spans.nonEmpty && p - spans.last._2 <= k) {
+            val (s, _) = spans.remove(spans.length - 1); spans += ((s, p))
+          } else spans += ((p, p))
+        }
+        spans.map { case (s, e) =>
+          (id, s.toLong, (e + k - 1).toLong, (e + k - s).toLong) }
+      }.toSet
+    }
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val docs = (1L to 30L).map { id =>
+        id -> Array.fill(rnd.nextInt(26))(s"t${rnd.nextInt(5)}")
+      }.filter(_._2.nonEmpty)
+      val got = Dedup.duplicateSpans(
+        docs.map { case (id, w) => (id, w.mkString(" ")) }.toDF("doc_id", "text"),
+        "doc_id", "text", k = k)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == refSpans(docs), s"seed $seed mismatch")
+    }
+  }
+
   test("bigramNll matches a hand-computed smoothed model") {
     import spark.implicits._
     val d = Seq((1L, "a b a b"), (2L, "a a")).toDF("doc_id", "text")

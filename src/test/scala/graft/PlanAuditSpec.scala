@@ -238,6 +238,12 @@ class PlanAuditSpec extends SparkSpec {
     val above = lines.take(lastWindow)
     assert(!above.exists(_.contains("Exchange hashpartitioning")),
       s"span merge re-shuffled after the window:\n${lines.mkString("\n")}")
+    // whole query: exactly 2 hash exchanges — the min≠max dup-gram
+    // aggregation (single shuffle, not distinct + count) and the
+    // per-doc window; the only other exchange is the ORDER BY's range
+    // partitioning
+    val nHash = lines.count(_.contains("Exchange hashpartitioning"))
+    assert(nHash == 2, s"expected 2 hash exchanges, got $nHash:\n${lines.mkString("\n")}")
   }
 
   test("attribution pre-reduces touches map-side and fills with one as-of window") {
