@@ -588,6 +588,67 @@ object Dedup {
       .distinct()
   }
 
+  /** Fuzzy entity-resolution pairs: all (id1, id2, dist) with
+    * levenshtein(s1, s2) <= maxDist, id1 < id2 — the classic
+    * filter-verify edit-distance self-join (record linkage / name
+    * matching). Three pruning layers, each a necessary condition for
+    * edit distance <= d:
+    *
+    *  1. length band: |len(a) − len(b)| <= d. Blocked by emitting each
+    *     string to the d+1 length keys [len, len+d] and joining the
+    *     other side on its exact length — every qualifying pair meets
+    *     exactly once, no neighboring-bucket double-joins.
+    *  2. character-bag prune: the L1 distance of 16-bucket character
+    *     histograms <= 2d (an edit changes at most one char out and
+    *     one in). Cheap per-candidate array arithmetic that kills most
+    *     same-length false candidates before the O(len²) verify.
+    *  3. exact levenshtein verify on the survivors.
+    *
+    * Scale shape: one shuffle of (lengthKey, id, string, sig) per
+    * side; all-pairs work happens only inside a length band (for
+    * corpora with degenerate uniform lengths — ids, SKUs — the bag
+    * prune is the effective filter; serious blocking for such data
+    * should add a domain key to `extraBlockCols`, e.g. a prefix or
+    * phonetic code, which ANDs into the join).
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int, extraBlockCols: Seq[String] = Nil): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val sig = expr(
+      s"""transform(sequence(0, 15), b ->
+         |  size(filter(split(s, ''), c -> c != '' AND ascii(c) % 16 = b)))"""
+        .stripMargin)
+    val base = df.select(
+      (col(idCol).as("id") +: col(strCol).as("s") +:
+        extraBlockCols.map(col)): _*)
+      .withColumn("len", length(col("s")))
+      .withColumn("sig", sig)
+    val probe = base.select(
+      (col("id").as("id1") +: col("s").as("s1") +: col("len").as("len1") +:
+        col("sig").as("sig1") +: explode(sequence(col("len"),
+          col("len") + maxDist)).as("lk") +:
+        extraBlockCols.map(c => col(c).as(s"__b1_$c"))): _*)
+    val build = base.select(
+      (col("id").as("id2") +: col("s").as("s2") +: col("len").as("len2") +:
+        col("sig").as("sig2") +: col("len").as("lk") +:
+        extraBlockCols.map(c => col(c).as(s"__b2_$c"))): _*)
+    val blockCond = extraBlockCols
+      .map(c => col(s"__b1_$c") === col(s"__b2_$c"))
+      .foldLeft(
+        // each unordered pair meets once: the shorter side probes the
+        // longer side's exact length (ties broken by id)
+        col("len1") < col("len2") ||
+          (col("len1") === col("len2") && col("id1") < col("id2")))(_ && _)
+    val l1 = aggregate(zip_with(col("sig1"), col("sig2"),
+      (a, b) => abs(a - b)), lit(0), (acc, x) => acc + x)
+    probe.join(build, Seq("lk")).filter(blockCond)
+      .filter(l1 <= 2 * maxDist)
+      .withColumn("dist", levenshtein(col("s1"), col("s2")))
+      .filter(col("dist") <= maxDist)
+      .select(least(col("id1"), col("id2")).as("id1"),
+        greatest(col("id1"), col("id2")).as("id2"), col("dist"))
+  }
+
   /** Exact duplicated-substring spans: maximal runs of k-token grams
     * that appear in >= `minDocs` distinct documents — the distributed
     * re-expression of suffix-array substring dedup (Lee et al. 2022,

@@ -227,6 +227,23 @@ object DedupQueries extends QueryGroup {
         .orderBy("corpus_id", "probe_id")
     },
 
+    // fuzzy entity-resolution join: all customer-name pairs within
+    // levenshtein distance 1 (filter-verify: length band + char-bag
+    // prune + exact verify). Oracle: direct blocked join — both
+    // engines' levenshtein is the standard edit distance.
+    q("q_join_editdist",
+      """SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey < b.c_custkey
+        |  AND abs(strlen(a.c_name) - strlen(b.c_name)) <= 1
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+      Dedup.editDistancePairs(t(s, dir, "customer"), "c_custkey", "c_name",
+        maxDist = 1)
+        .orderBy("id1", "id2")
+    },
+
     // exact duplicated-substring spans (suffix-array dedup semantics
     // via k-gram fingerprints): maximal runs of 8-token grams shared
     // by >= 2 docs. The oracle rebuilds the same gram/position/merge

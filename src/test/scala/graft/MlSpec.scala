@@ -387,6 +387,32 @@ class MlSpec extends SparkSpec {
     assert(top((1L, 2L)) == "shared")
   }
 
+  test("editDistancePairs equals brute-force levenshtein on random strings") {
+    import spark.implicits._
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(11)
+    val strs = (1L to 60L).map { id =>
+      id -> Array.fill(rnd.nextInt(9))(('a' + rnd.nextInt(3)).toChar).mkString
+    }
+    val df = strs.toDF("id", "s")
+    Seq(1, 2).foreach { d =>
+      val expected = (for {
+        (i1, s1) <- strs; (i2, s2) <- strs
+        if i1 < i2 && lev(s1, s2) <= d
+      } yield (i1, i2, lev(s1, s2))).toSet
+      val got = Dedup.editDistancePairs(df, "id", "s", maxDist = d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == expected, s"maxDist=$d")
+    }
+  }
+
   test("duplicateSpans equals a brute-force reference on random corpora") {
     import spark.implicits._
     val k = 3
