@@ -155,6 +155,103 @@ final case class Matrix(df: DataFrame) {
   /** Replace all values with `v` (binarizeAs when v=1). */
   def binarizeAs(v: Double = 1.0): Matrix = mapValues(_ => lit(v))
 
+  /** Column sums (sumColVectors — the transpose of [[sumRowVectors]]). */
+  def sumColVectors: DataFrame = df.groupBy(C).agg(sum(V).as(V))
+
+  /** L0-normalize rows: divide by the count of nonzero entries
+    * (Matrix.rowL0Normalize:332).
+    */
+  def rowL0Normalize: Matrix = {
+    val norms = df.filter(col(V) =!= 0.0)
+      .groupBy(col(R)).agg(count(lit(1)).cast("double").as("__n"))
+    Matrix(df.join(norms, Seq(R))
+      .select(col(R), col(C), (col(V) / col("__n")).as(V)))
+  }
+
+  /** Column-side normalizations: transpose, row op, transpose back —
+    * the reference's own construction (Matrix.scala:412-418); the
+    * transposes are free column renames, the shuffle count is
+    * identical to the row forms (grouped by col instead of row).
+    */
+  def colL0Normalize: Matrix = transpose.rowL0Normalize.transpose
+  def colL1Normalize: Matrix = transpose.rowL1Normalize.transpose
+  def colL2Normalize: Matrix = transpose.rowL2Normalize.transpose
+
+  /** Subtract each row's mean over its PRESENT entries — sparse
+    * semantics exactly as the reference (meanCenter,
+    * Matrix.scala:154-160: average of observed values only).
+    */
+  def rowMeanCentering: Matrix = {
+    val means = df.groupBy(col(R)).agg(avg(col(V)).as("__m"))
+    Matrix(df.join(means, Seq(R))
+      .select(col(R), col(C), (col(V) - col("__m")).as(V)))
+  }
+
+  def colMeanCentering: Matrix = transpose.rowMeanCentering.transpose
+
+  /** Per-row (nonzero count, mean, population stddev) as columns
+    * 1/2/3 of a new matrix (rowSizeAveStdev, Matrix.scala:370-382 —
+    * moments over observed values only).
+    */
+  def rowSizeAveStdev: Matrix = {
+    val m = df.groupBy(col(R)).agg(
+      count(lit(1)).cast("double").as("__s"), avg(col(V)).as("__a"),
+      coalesce(stddev_pop(col(V)), lit(0.0)).as("__d"))
+    Matrix(m.select(col(R), explode(array(
+      struct(lit(1L).as(C), col("__s").as(V)),
+      struct(lit(2L).as(C), col("__a").as(V)),
+      struct(lit(3L).as(C), col("__d").as(V)))).as("e"))
+      .select(col(R), col(s"e.$C").as(C), col(s"e.$V").as(V)))
+  }
+
+  /** colSizeAveStdev keeps the reference's shape: moments of each
+    * COLUMN, rows = original cols (Matrix.scala:428-430 — note the
+    * reference does NOT transpose back).
+    */
+  def colSizeAveStdev: Matrix = transpose.rowSizeAveStdev
+
+  /** Per-row closure over the present (col, val) entries
+    * (Matrix.mapRows:277-291): the row's cells are collected, `fn`
+    * rewrites them, zeros are dropped (the reference's
+    * filterOutZeros). Requires long keys / double values (the gate
+    * schema). One shuffle; each row must fit in memory — same
+    * contract as the reference's toList.
+    */
+  def mapRows(fn: Seq[(Long, Double)] => Seq[(Long, Double)]): Matrix = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val out = df
+      .select(col(R).cast("long"), col(C).cast("long"), col(V).cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (r, it) =>
+        fn(it.map(t => (t._2, t._3)).toSeq).iterator
+          .filter(_._2 != 0.0).map { case (c, v) => (r, c, v) }
+      }
+    Matrix(out.toDF(R, C, V))
+  }
+
+  def mapCols(fn: Seq[(Long, Double)] => Seq[(Long, Double)]): Matrix =
+    transpose.mapRows(fn).transpose
+
+  /** Element-wise combine with sparse-zero semantics
+    * (Matrix.zip + elemWiseOp:453-458): full-outer align on (row,
+    * col), absent side reads as 0.0, zeros produced by `fn` are
+    * dropped to keep the matrix sparse.
+    */
+  def elemWiseOp(other: Matrix)(fn: (Column, Column) => Column): Matrix = {
+    val a = df.select(col(R), col(C), col(V).as("__va"))
+    val b = other.df.select(col(R), col(C), col(V).as("__vb"))
+    Matrix(a.join(b, Seq(R, C), "full")
+      .select(col(R), col(C),
+        fn(coalesce(col("__va"), lit(0.0)),
+          coalesce(col("__vb"), lit(0.0))).as(V))
+      .filter(col(V) =!= 0.0))
+  }
+
+  /** Per-column top-k (topColElems, Matrix.scala:407-409). */
+  def topColElems(k: Int): Matrix = transpose.topRowElems(k).transpose
+
   /** Per-row top-k elements by value (topRowElems,
     * Matrix.scala:296-322). The reference switched between a PQ monoid
     * (k < 1000) and sort+take; the window form below shuffles by row

@@ -149,6 +149,72 @@ object MatrixQueries extends QueryGroup {
         .df
         .select(col("row"), col("col"), round(col("val"), 2).as("val"))
         .orderBy("row", "col")
+    },
+
+    // sparse mean-centering + one-pass row moments
+    // (rowMeanCentering:361-364, rowSizeAveStdev:370-382): cols 1/2/3
+    // = nonzero count, mean (≈0 after centering — the +0.0 folds any
+    // -0.0 from rounding residuals), population stddev.
+    q("q_matrix_center_moments",
+      s"""$baseSql, c AS (
+         |  SELECT row, col, val - avg(val) OVER (PARTITION BY row) AS cval
+         |  FROM A
+         |), m AS (
+         |  SELECT row, CAST(count(*) AS DOUBLE) AS s, avg(cval) AS a,
+         |    coalesce(stddev_pop(cval), 0.0) AS d
+         |  FROM c GROUP BY row
+         |)
+         |SELECT row, col, round(v, 6) + 0.0 AS val FROM (
+         |  SELECT row, 1 AS col, s AS v FROM m
+         |  UNION ALL SELECT row, 2, a FROM m
+         |  UNION ALL SELECT row, 3, d FROM m
+         |) ORDER BY row, col""".stripMargin) { (s, dir) =>
+      baseMatrix(s, dir).rowMeanCentering.rowSizeAveStdev.df
+        .select(col("row"), col("col"),
+          (round(col("val"), 6) + 0.0).as("val"))
+        .orderBy("row", "col")
+    },
+
+    // column L2 normalization + per-column top-k
+    // (colL2Normalize:420-422, topColElems:407-409): each part's two
+    // strongest suppliers by normalized share.
+    q("q_matrix_col_normalize",
+      s"""$baseSql, n AS (
+         |  SELECT row, col,
+         |    val / sqrt(sum(val * val) OVER (PARTITION BY col)) AS nval
+         |  FROM A
+         |), r AS (
+         |  SELECT row, col, nval,
+         |    row_number() OVER (PARTITION BY col ORDER BY nval DESC, row) AS rn
+         |  FROM n
+         |)
+         |SELECT row, col, round(nval, 6) AS val FROM r WHERE rn <= 2
+         |ORDER BY col, row""".stripMargin) { (s, dir) =>
+      baseMatrix(s, dir).colL2Normalize.topColElems(2).df
+        .select(col("row"), col("col"), round(col("val"), 6).as("val"))
+        .orderBy("col", "row")
+    },
+
+    // per-row closure (mapRows:277-291) replacing values by their
+    // within-row rank (desc, col tie-break) + elemWiseOp subtracting
+    // the binarized support — both sparse-semantics ops the oracle
+    // restates as windows/joins.
+    q("q_matrix_maprows_elemwise",
+      s"""$baseSql, rk AS (
+         |  SELECT row, col,
+         |    CAST(row_number() OVER (PARTITION BY row ORDER BY val DESC, col)
+         |      AS DOUBLE) AS val
+         |  FROM A
+         |)
+         |SELECT row, col, val - 1.0 AS val FROM rk WHERE val != 1.0
+         |ORDER BY row, col""".stripMargin) { (s, dir) =>
+      val ranked = baseMatrix(s, dir).mapRows { cells =>
+        cells.sortBy { case (c, v) => (-v, c) }.zipWithIndex
+          .map { case ((c, _), i) => (c, (i + 1).toDouble) }
+      }
+      ranked.elemWiseOp(ranked.binarizeAs(1.0))((a, b) => a - b).df
+        .select(col("row"), col("col"), col("val"))
+        .orderBy("row", "col")
     }
   )
 }

@@ -54,6 +54,31 @@ class MatrixSpec extends SparkSpec {
     assert(l2.contains((0L, 0L, math.rint(1.0 / n0 * 1e9) / 1e9)))
   }
 
+  test("col normalizations, mean centering, moments, mapRows, elemWiseOp") {
+    // colL1: col 0 sums |1|+|3|=4, col 1 sums 6
+    assert(entriesOf(a.colL1Normalize) == Set(
+      (0L, 0L, 0.25), (1L, 0L, 0.75),
+      (0L, 1L, math.rint(2.0 / 6 * 1e9) / 1e9),
+      (1L, 1L, math.rint(4.0 / 6 * 1e9) / 1e9)))
+    // L0: row 0 has 2 nonzeros
+    assert(entriesOf(m((0, 0, 2.0), (0, 1, 4.0), (0, 2, 0.0)).rowL0Normalize)
+      == Set((0L, 0L, 1.0), (0L, 1L, 2.0), (0L, 2L, 0.0)))
+    // mean centering over PRESENT entries: row 0 mean 1.5
+    assert(entriesOf(a.rowMeanCentering) == Set(
+      (0L, 0L, -0.5), (0L, 1L, 0.5), (1L, 0L, -0.5), (1L, 1L, 0.5)))
+    // moments: row 0 = (2 entries, mean 1.5, stddev_pop 0.5)
+    assert(entriesOf(a.rowSizeAveStdev).filter(_._1 == 0L) == Set(
+      (0L, 1L, 2.0), (0L, 2L, 1.5), (0L, 3L, 0.5)))
+    // mapRows: keep only the max entry of each row
+    val kept = a.mapRows(cells => Seq(cells.maxBy(_._2)))
+    assert(entriesOf(kept) == Set((0L, 1L, 2.0), (1L, 1L, 4.0)))
+    // elemWiseOp with sparse zeros: disjoint supports add
+    val e = m((0, 0, 1.0)).elemWiseOp(m((1, 1, 2.0)))((x, y) => x + y)
+    assert(entriesOf(e) == Set((0L, 0L, 1.0), (1L, 1L, 2.0)))
+    // topColElems: strongest row per column
+    assert(entriesOf(a.topColElems(1)) == Set((1L, 0L, 3.0), (1L, 1L, 4.0)))
+  }
+
   test("topRowElems / diagonal / trace") {
     assert(entriesOf(a.topRowElems(1)) ==
       Set((0L, 1L, 2.0), (1L, 1L, 4.0)))
