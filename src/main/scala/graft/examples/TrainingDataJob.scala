@@ -17,6 +17,9 @@ import graft.ml.{Corpus, Dedup}
   *  7.   decontaminate: drop TRAIN docs sharing ≥ `minShared`
   *       distinct 8-grams with the HOLDOUT set (the eval-leakage
   *       screen; probe grams broadcast, the corpus never shuffles);
+  *  7b.  (optional) fluency gate: unigram-LM NLL scoring
+  *       ([[graft.ml.TextAnalysis.unigramNll]]) + per-source bottom-
+  *       fraction drop — CCNet-style perplexity bucketing;
   *  8.   mix: per-source token budget ([[Corpus.mixByBudget]]) — the
   *       corpus-balance knob;
   *  9.   pack: concat-and-chunk into fixed `ctxLen` sequences +
@@ -31,6 +34,7 @@ import graft.ml.{Corpus, Dedup}
   * Args: --input <documents parquet> --output <dir>
   *       [--lang en] [--min-quality 0.5] [--jaccard 0.8]
   *       [--holdout 0.05] [--budget 100000] [--ctx 2048] [--shards 64]
+  *       [--nll-drop 0.05]
   */
 class TrainingDataJob(args: Args) extends GraftJob(args) {
 
@@ -44,7 +48,8 @@ class TrainingDataJob(args: Args) extends GraftJob(args) {
       holdout = args.getOrElse("holdout", "0.05").toDouble,
       budget = args.getOrElse("budget", "100000").toLong,
       ctxLen = args.getOrElse("ctx", "2048").toInt,
-      nShards = args.getOrElse("shards", "64").toInt)
+      nShards = args.getOrElse("shards", "64").toInt,
+      nllDropFrac = args.getOrElse("nll-drop", "0").toDouble)
     r.train.write.partitionBy("source").mode("overwrite").parquet(s"$out/docs")
     r.holdout.write.mode("overwrite").parquet(s"$out/holdout")
     r.manifest.write.mode("overwrite").parquet(s"$out/manifest")
@@ -59,7 +64,7 @@ object TrainingDataJob {
 
   def assemble(docs: DataFrame, lang: String, minQuality: Double,
       jaccard: Double, holdout: Double, budget: Long, ctxLen: Int,
-      nShards: Int): Assembled = {
+      nShards: Int, nllDropFrac: Double = 0.0): Assembled = {
     // 1-6: curate (keeps doc_id, text, lang, quality, n_tokens, split).
     // `source` survives via join-back below so mixing can see it.
     val curated = CorpusPrepJob.prepare(docs, lang, minQuality, jaccard,
@@ -78,8 +83,23 @@ object TrainingDataJob {
       .select(col("corpus_id").as("doc_id")).distinct()
     val cleanTrain = trainDocs.join(leaked, Seq("doc_id"), "left_anti")
 
+    // 7b (optional): corpus-LM fluency gate — score remaining train
+    // docs with unigram NLL (CCNet-style perplexity bucketing) and
+    // drop the least-fluent `nllDropFrac` per source. Score is the
+    // negated NLL so the bottom of the per-stratum rank order is the
+    // highest perplexity.
+    val fluent =
+      if (nllDropFrac <= 0.0) cleanTrain
+      else Corpus.dropBottomByScore(
+        cleanTrain.join(
+          graft.ml.TextAnalysis.unigramNll(cleanTrain, "doc_id", "text"),
+          "doc_id")
+          .withColumn("__fluency", -col("nll")),
+        "source", "__fluency", "doc_id", nllDropFrac)
+        .drop("nll", "__fluency")
+
     // 8: per-source token budget
-    val mixed = Corpus.mixByBudget(cleanTrain, "doc_id", "source",
+    val mixed = Corpus.mixByBudget(fluent, "doc_id", "source",
       "n_tokens", budget)
 
     // 9: pack + manifest

@@ -75,4 +75,31 @@ class TrainingDataSpec extends SparkSpec {
       0.7, 0.2).count()
     assert(total == curated)
   }
+
+  test("fluency gate drops the highest-perplexity fraction per source") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select("doc_id", "text", "lang", "source")
+    val base = TrainingDataJob.assemble(docs, lang = "en", minQuality = 0.3,
+      jaccard = 0.7, holdout = 0.2, budget = 100000L,
+      ctxLen = 128, nShards = 4)
+    val gated = TrainingDataJob.assemble(docs, lang = "en", minQuality = 0.3,
+      jaccard = 0.7, holdout = 0.2, budget = 100000L,
+      ctxLen = 128, nShards = 4, nllDropFrac = 0.25)
+    val nBase = base.train.count()
+    val nGated = gated.train.count()
+    assert(nGated < nBase, s"gate dropped nothing ($nBase -> $nGated)")
+    // survivors are a subset of the ungated train set, and within each
+    // source the drop is at most the requested fraction of that
+    // stratum (percent_rank cut: >= frac survives)
+    assert(gated.train.join(base.train, Seq("doc_id"), "left_anti")
+      .count() == 0)
+    val perSource = base.train.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    gated.train.groupBy("source").count().collect().foreach { r =>
+      val kept = r.getLong(1); val all = perSource(r.getString(0))
+      assert(kept >= all - math.ceil(all * 0.25).toLong - 1,
+        s"source ${r.getString(0)}: kept $kept of $all")
+    }
+    graft.ml.Dedup.unpersistPipelineCaches()
+  }
 }
