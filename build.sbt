@@ -33,4 +33,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // keep managed-table output (saveAsTable in specs) out of the repo
   "-Dspark.sql.warehouse.dir=/tmp/graft-warehouse",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Deep multi-stage plans (TrainingDataJob chains 5 operator
+  // families) recurse hard in Catalyst's tree walks; the real fix is
+  // lineage cuts between stages, the bigger stack is the belt.
+  "-Xss8m",
 )

@@ -1,23 +1,42 @@
 package graft.core
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 
 /** Session-level registry of pipeline-internal persists. Multi-pass
-  * operators (self-joins of derived inputs, LSH discover+verify) cache
-  * their shared intermediate so it computes once; Spark evicts blocks
-  * LRU under pressure, but long-lived sessions should drop them
-  * eagerly once a pipeline's results are consumed.
+  * operators (self-joins of derived inputs, LSH discover+verify,
+  * k-means training loops) cache their shared intermediate so it
+  * computes once; Spark evicts blocks LRU under pressure, but
+  * long-lived sessions should drop them eagerly once a pipeline's
+  * results are consumed.
   */
 object PipelineCaches {
 
   private val tracked =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
+  private val clearHooks =
+    new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
 
   def persistTracked(df: DataFrame): DataFrame = {
     val p = df.persist()
     tracked.add(p)
     p
   }
+
+  /** Typed variant — multi-pass kernels (IVF training + list build)
+    * cache the decoded Dataset so each Lloyd iteration and the list
+    * scan read memory, not parquet.
+    */
+  def persistTrackedDs[T](ds: Dataset[T]): Dataset[T] = {
+    val p = ds.persist()
+    tracked.add(p)
+    p
+  }
+
+  /** Register a callback run by [[unpersistAll]] — for operator-local
+    * memo tables (e.g. trained centroids) that must not outlive the
+    * pipeline's cache scope.
+    */
+  def onClear(hook: () => Unit): Unit = clearHooks.add(hook)
 
   /** Unpersist every tracked cache (results already computed stay
     * valid; re-running a returned plan recomputes its scan).
@@ -28,5 +47,6 @@ object PipelineCaches {
       df.unpersist(blocking = false)
       df = tracked.poll()
     }
+    clearHooks.forEach(h => h())
   }
 }

@@ -239,16 +239,20 @@ object FieldsApi {
     def dot(l: String, r: String, as: String): GroupBuilder =
       add(F.sum(col(l) * col(r)).as(as))
 
-    /** Bounded top-k values per group (`sortedTake` in the fields
-      * API): sorted ascending, at most k survive — implemented as a
-      * sorted-array slice of the collected group (use the typed
-      * `Grouped.sortedTake` aggregator when groups are large).
+    /** Bounded top-k values per group (`sortedTake`,
+      * ReduceOperations.scala:420-444): sorted ascending, at most k
+      * survive. Catalyst's BoundedPriorityQueue aggregate — partial
+      * buffers hold ≤ k elements per task, so a skewed key shuffles k
+      * rows, never the whole group (same shape as the typed
+      * `Grouped.sortedTake` path).
       */
     def sortedTake(field: String, k: Int, as: String): GroupBuilder =
-      add(slice(array_sort(collect_list(col(field))), 1, k).as(as))
+      add(org.apache.spark.sql.graft.AggShims
+        .sortedTakeAsc(col(field), k).as(as))
 
     def sortedReverseTake(field: String, k: Int, as: String): GroupBuilder =
-      add(slice(reverse(array_sort(collect_list(col(field)))), 1, k).as(as))
+      add(org.apache.spark.sql.graft.AggShims
+        .sortedTakeDesc(col(field), k).as(as))
 
     /** Any raw aggregate Column. */
     def agg(c: Column): GroupBuilder = add(c)

@@ -34,7 +34,7 @@ import graft.ml.{Corpus, Dedup}
   * Args: --input <documents parquet> --output <dir>
   *       [--lang en] [--min-quality 0.5] [--jaccard 0.8]
   *       [--holdout 0.05] [--budget 100000] [--ctx 2048] [--shards 64]
-  *       [--nll-drop 0.05]
+  *       [--nll-drop <frac>]   (default 0 = fluency gate OFF)
   */
 class TrainingDataJob(args: Args) extends GraftJob(args) {
 
@@ -62,15 +62,30 @@ object TrainingDataJob {
   final case class Assembled(train: DataFrame, holdout: DataFrame,
       manifest: DataFrame)
 
+  /** Eager lineage cut between assembly stages. Five operator families
+    * chained into one logical plan (curate's LSH joins + components
+    * loop, the contamination join, the fluency window, the mix window,
+    * the pack window) produce a tree deep enough to overflow the stack
+    * when Spark *renders* it (explain / error paths / codegen walk) —
+    * the same reason the reference's iterative idiom restarts lineage
+    * every step (reference `examples/PageRank.scala:54-81`). The cut
+    * also caches the stage output, so the two-consumer stages below
+    * (train/holdout split, fluency self-join) compute their input once.
+    * `localCheckpoint` blocks are executor-local (not fault-tolerant);
+    * a 100 TB run that must survive executor loss should swap this for
+    * `checkpoint()` against a reliable dir — the plan shape is
+    * identical.
+    */
+  private def cut(df: DataFrame): DataFrame = df.localCheckpoint()
+
   def assemble(docs: DataFrame, lang: String, minQuality: Double,
       jaccard: Double, holdout: Double, budget: Long, ctxLen: Int,
       nShards: Int, nllDropFrac: Double = 0.0): Assembled = {
     // 1-6: curate (keeps doc_id, text, lang, quality, n_tokens, split).
     // `source` survives via join-back below so mixing can see it.
-    val curated = CorpusPrepJob.prepare(docs, lang, minQuality, jaccard,
-        holdout)
-      .join(docs.select("doc_id", "source"), "doc_id")
-      .persist()
+    val curated = cut(CorpusPrepJob.prepare(docs, lang, minQuality,
+        jaccard, holdout)
+      .join(docs.select("doc_id", "source"), "doc_id"))
 
     val holdoutDocs = curated.filter(col("split") === "holdout")
     val trainDocs = curated.filter(col("split") === "train")
@@ -87,20 +102,24 @@ object TrainingDataJob {
     // docs with unigram NLL (CCNet-style perplexity bucketing) and
     // drop the least-fluent `nllDropFrac` per source. Score is the
     // negated NLL so the bottom of the per-stratum rank order is the
-    // highest perplexity.
+    // highest perplexity. Note: the inner join drops docs whose
+    // normalized text has zero tokens (no NLL row) regardless of the
+    // fraction — such docs carry no trainable text, so the gate
+    // treats them as maximally non-fluent by construction.
+    val screened = cut(cleanTrain)
     val fluent =
-      if (nllDropFrac <= 0.0) cleanTrain
+      if (nllDropFrac <= 0.0) screened
       else Corpus.dropBottomByScore(
-        cleanTrain.join(
-          graft.ml.TextAnalysis.unigramNll(cleanTrain, "doc_id", "text"),
+        screened.join(
+          graft.ml.TextAnalysis.unigramNll(screened, "doc_id", "text"),
           "doc_id")
           .withColumn("__fluency", -col("nll")),
         "source", "__fluency", "doc_id", nllDropFrac)
         .drop("nll", "__fluency")
 
     // 8: per-source token budget
-    val mixed = Corpus.mixByBudget(fluent, "doc_id", "source",
-      "n_tokens", budget)
+    val mixed = cut(Corpus.mixByBudget(fluent, "doc_id", "source",
+      "n_tokens", budget))
 
     // 9: pack + manifest
     val manifest = Corpus.sequenceManifest(

@@ -131,11 +131,14 @@ final case class Matrix(df: DataFrame) {
   def removeColsBy(keys: DataFrame): Matrix =
     Matrix(df.join(keys.toDF(C), Seq(C), "left_anti"))
 
-  /** Row sums as a column vector (sumColVectors / rowL1 building
-    * block).
+  /** Sum of the ROW vectors — every row added together elementwise,
+    * so the result is indexed by COLUMN (reference sumRowVectors,
+    * Matrix.scala:270-272: groups by the col symbol). Note the
+    * reference names these after the vectors being summed, not the
+    * grouping axis.
     */
   def sumRowVectors: DataFrame =
-    df.groupBy(R).agg(sum(V).as(V))
+    df.groupBy(C).agg(sum(V).as(V))
 
   /** L1-normalize each row (Matrix.rowL1Normalize:725). */
   def rowL1Normalize: Matrix = {
@@ -155,17 +158,23 @@ final case class Matrix(df: DataFrame) {
   /** Replace all values with `v` (binarizeAs when v=1). */
   def binarizeAs(v: Double = 1.0): Matrix = mapValues(_ => lit(v))
 
-  /** Column sums (sumColVectors — the transpose of [[sumRowVectors]]). */
-  def sumColVectors: DataFrame = df.groupBy(C).agg(sum(V).as(V))
+  /** Sum of the COLUMN vectors — per-ROW totals, what rowL1Normalize
+    * divides by (reference sumColVectors, Matrix.scala:399-401:
+    * transpose.sumRowVectors.transpose).
+    */
+  def sumColVectors: DataFrame = df.groupBy(R).agg(sum(V).as(V))
 
-  /** L0-normalize rows: divide by the count of nonzero entries
-    * (Matrix.rowL0Normalize:332).
+  /** L0-normalize rows: divide by the count of PRESENT entries
+    * (Matrix.rowL0Normalize:324-332 — `mapValues{1.0}` maps every
+    * stored cell to 1.0, explicit zeros included, before the count),
+    * and drop exact-zero outputs (the product's filterOutZeros).
     */
   def rowL0Normalize: Matrix = {
-    val norms = df.filter(col(V) =!= 0.0)
-      .groupBy(col(R)).agg(count(lit(1)).cast("double").as("__n"))
+    val norms = df.groupBy(col(R))
+      .agg(count(lit(1)).cast("double").as("__n"))
     Matrix(df.join(norms, Seq(R))
-      .select(col(R), col(C), (col(V) / col("__n")).as(V)))
+      .select(col(R), col(C), (col(V) / col("__n")).as(V))
+      .filter(col(V) =!= 0.0))
   }
 
   /** Column-side normalizations: transpose, row op, transpose back —
@@ -179,12 +188,16 @@ final case class Matrix(df: DataFrame) {
 
   /** Subtract each row's mean over its PRESENT entries — sparse
     * semantics exactly as the reference (meanCenter,
-    * Matrix.scala:154-160: average of observed values only).
+    * Matrix.scala:154-160: average of observed values only; applied
+    * through mapRows:281 whose filterOutZeros drops exact-zero
+    * results, so a cell equal to its row mean — in particular every
+    * single-entry row — vanishes from the output).
     */
   def rowMeanCentering: Matrix = {
     val means = df.groupBy(col(R)).agg(avg(col(V)).as("__m"))
     Matrix(df.join(means, Seq(R))
-      .select(col(R), col(C), (col(V) - col("__m")).as(V)))
+      .select(col(R), col(C), (col(V) - col("__m")).as(V))
+      .filter(col(V) =!= 0.0))
   }
 
   def colMeanCentering: Matrix = transpose.rowMeanCentering.transpose

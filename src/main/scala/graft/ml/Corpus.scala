@@ -203,14 +203,21 @@ object Corpus {
     */
   def mixByTemperature(docs: DataFrame, idCol: String, domainCol: String,
       tokCol: String, alpha: Double, tokenBudget: Long): DataFrame = {
-    val mass = pow(col("__w"), lit(alpha))
-    val rates = docs.groupBy(domainCol)
+    // Normalize the per-domain masses with a broadcast of the 1-row
+    // total (same idiom as FieldsApi.normalize) rather than a global
+    // window — the per-domain table is tiny either way, but the
+    // cross-join keeps every plan window hash-partitioned, which the
+    // PlanLint global-window rule can then enforce across all gates.
+    val byDomain = docs.groupBy(domainCol)
       .agg(sum(col(tokCol)).cast("double").as("__w"))
+      .withColumn("__mass", pow(col("__w"), lit(alpha)))
+    val totalMass = byDomain.agg(sum(col("__mass")).as("__total"))
+    val rates = byDomain.crossJoin(broadcast(totalMass))
       .withColumn("rate",
         when(col("__w") > 0,
           round(least(lit(1.0),
-            lit(tokenBudget.toDouble) * mass
-              / sum(mass).over(Window.partitionBy()) / col("__w")), 6))
+            lit(tokenBudget.toDouble) * col("__mass")
+              / col("__total") / col("__w")), 6))
         .otherwise(lit(0.0)))
       .select(col(domainCol), col("rate"))
     val threshold = format_string("%08x",

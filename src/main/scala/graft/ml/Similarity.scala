@@ -270,7 +270,8 @@ object Similarity {
       kmeansIters: Int = 2, corpusAssign: Int = 1): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val corpusVecs = corpus.select(col("id"), col("vec")).as[(Long, Array[Float])]
+    val corpusVecs = graft.core.PipelineCaches.persistTrackedDs(
+      corpus.select(col("id"), col("vec")).as[(Long, Array[Float])])
     val cents = trainCentroids(corpusVecs, nCentroids, seed, kmeansIters)
       .zipWithIndex.map { case (v, i) => (i, v, VecUtil.norm(v)) }
     val bc = spark.sparkContext.broadcast(cents)
@@ -287,8 +288,7 @@ object Similarity {
     // `corpusAssign` nearest lists, cutting the probability that a
     // query's probe set misses a true neighbor's list — the standard
     // IVF replication/recall trade (x corpusAssign storage)
-    val corpusLists = corpus.select(col("id"), col("vec"))
-      .as[(Long, Array[Float])].flatMap(assign(corpusAssign))
+    val corpusLists = corpusVecs.flatMap(assign(corpusAssign))
       .toDF("centroid", "cid", "cvec")
     val queryLists = broadcast(queries.select(col("id"), col("vec"))
       .as[(Long, Array[Float])].flatMap(assign(nProbe))
@@ -326,7 +326,8 @@ object Similarity {
       kmeansIters: Int = 2): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val vecs = corpus.select(col("id"), col("vec")).as[(Long, Array[Float])]
+    val vecs = graft.core.PipelineCaches.persistTrackedDs(
+      corpus.select(col("id"), col("vec")).as[(Long, Array[Float])])
     val cents = trainCentroids(vecs, nCentroids, seed, kmeansIters)
       .zipWithIndex.map { case (v, i) => (i, v, VecUtil.norm(v)) }
     val bc = spark.sparkContext.broadcast(cents)
@@ -338,12 +339,30 @@ object Similarity {
     }.toDF("centroid", "id", "vec")
   }
 
+  /** Memo of trained centroid sets keyed by (corpus plan semantics,
+    * training params). Training is deterministic for a fixed seed, so
+    * the float and int8 IVF paths over the same corpus share ONE
+    * k-means run instead of each paying the sample + Lloyd scans —
+    * at 100 TB that is the difference between one and two corpus
+    * passes per (float, quantized) query pair. Cleared with the
+    * pipeline caches so a long session can't hold stale corpora.
+    */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long, Int), Array[Array[Float]]]()
+  graft.core.PipelineCaches.onClear(() => centroidCache.clear())
+
   /** Sample `nCentroids` seeds and refine with `kmeansIters` Lloyd
     * steps: distributed cosine assignment emits per-partition partial
     * (sum, count) per centroid; the tiny partial set merges on the
-    * driver. Deterministic for a fixed seed.
+    * driver. Deterministic for a fixed seed (and memoized on it).
     */
   private def trainCentroids(corpusVecs: Dataset[(Long, Array[Float])],
+      nCentroids: Int, seed: Long, kmeansIters: Int): Array[Array[Float]] =
+    centroidCache.computeIfAbsent(
+      (corpusVecs.semanticHash(), nCentroids, seed, kmeansIters),
+      _ => trainCentroidsUncached(corpusVecs, nCentroids, seed, kmeansIters))
+
+  private def trainCentroidsUncached(corpusVecs: Dataset[(Long, Array[Float])],
       nCentroids: Int, seed: Long, kmeansIters: Int): Array[Array[Float]] = {
     val spark = corpusVecs.sparkSession
     import spark.implicits._
@@ -404,7 +423,8 @@ object Similarity {
       kmeansIters: Int = 2, corpusAssign: Int = 1): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val corpusVecs = corpus.select(col("id"), col("vec")).as[(Long, Array[Float])]
+    val corpusVecs = graft.core.PipelineCaches.persistTrackedDs(
+      corpus.select(col("id"), col("vec")).as[(Long, Array[Float])])
     val cents = trainCentroids(corpusVecs, nCentroids, seed, kmeansIters)
       .zipWithIndex.map { case (v, i) => (i, v, VecUtil.norm(v)) }
     val bc = spark.sparkContext.broadcast(cents)

@@ -284,23 +284,6 @@ object TextAnalysis {
       .otherwise("unknown")
   }
 
-  /** Corpus-trained unigram language-model score per document: the
-    * mean negative log-likelihood of each document's tokens under an
-    * additively-smoothed unigram model fit on the whole input — the
-    * same "perplexity bucketing" signal CCNet-style pipelines use to
-    * rank web text by fluency (there with a KenLM n-gram model; here
-    * the deterministic unigram special case, oracle-checkable
-    * cross-engine). p(t) = (c(t) + a) / (N + a·V) over normalized
-    * whitespace tokens; returns (doc_id, nll), docs with no tokens
-    * are dropped.
-    *
-    * Scale shape: one token-explode scan feeds both the vocabulary
-    * count (hash group-by with map-side partials) and the scoring
-    * join; the (token → count) join is a shuffle on the token —
-    * heavy-hitter tokens are exactly the keys AQE skew-split handles
-    * — and the 1-row (N, V) total is a broadcast. Nothing collects a
-    * vocabulary to the driver.
-    */
   /** Per-document top-k terms by TF-IDF over the input corpus:
     * tf-idf(t, d) = tf(t, d) · (ln((N+1)/(df(t)+1)) + 1) with the
     * smoothed idf, ties broken lexicographically. Returns
@@ -369,6 +352,23 @@ object TextAnalysis {
         count(lit(1)).as("n_bigrams"))
   }
 
+  /** Corpus-trained unigram language-model score per document: the
+    * mean negative log-likelihood of each document's tokens under an
+    * additively-smoothed unigram model fit on the whole input — the
+    * same "perplexity bucketing" signal CCNet-style pipelines use to
+    * rank web text by fluency (there with a KenLM n-gram model; here
+    * the deterministic unigram special case, oracle-checkable
+    * cross-engine). p(t) = (c(t) + a) / (N + a·V) over normalized
+    * whitespace tokens; returns (doc_id, nll), docs with no tokens
+    * are dropped.
+    *
+    * Scale shape: one token-explode scan feeds both the vocabulary
+    * count (hash group-by with map-side partials) and the scoring
+    * join; the (token → count) join is a shuffle on the token —
+    * heavy-hitter tokens are exactly the keys AQE skew-split handles
+    * — and the 1-row (N, V) total is a broadcast. Nothing collects a
+    * vocabulary to the driver.
+    */
   def unigramNll(df: DataFrame, idCol: String, textCol: String,
       smoothing: Double = 0.5): DataFrame = {
     // deliberately NOT cached: the token stream is regenerated for

@@ -292,6 +292,28 @@ object ExtrasQueries extends QueryGroup {
         .orderBy("l_suppkey")
     },
 
+    // fields-API bounded top-k (`sortedTake`/`sortedReverseTake`,
+    // ReduceOperations.scala:420-444): Catalyst's BoundedPriorityQueue
+    // aggregate — the plan's partial aggregation carries ≤ k elements
+    // per (key, task), the skew-safe shape (see PlanAuditSpec).
+    q("q_fields_sortedtake",
+      """SELECT l_suppkey,
+        |  array_to_string((list_sort(list(l_partkey)))[1:5], ',') AS low5,
+        |  array_to_string((list_reverse_sort(list(l_partkey)))[1:5], ',') AS high5
+        |FROM lineitem GROUP BY l_suppkey
+        |ORDER BY l_suppkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupByFields("l_suppkey")(
+          _.sortedTake("l_partkey", 5, "low5_a")
+            .sortedReverseTake("l_partkey", 5, "high5_a"))
+        .select(col("l_suppkey"),
+          concat_ws(",", transform(col("low5_a"),
+            x => x.cast("string"))).as("low5"),
+          concat_ws(",", transform(col("high5_a"),
+            x => x.cast("string"))).as("high5"))
+        .orderBy("l_suppkey")
+    },
+
     // knapsack-style enumeration (`weightedSum`,
     // mathematics/Combinatorics.scala:170-219): all non-negative
     // integer solutions of 3·x1 + 5·x2 + 7·x3 = 100.

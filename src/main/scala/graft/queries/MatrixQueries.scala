@@ -154,11 +154,15 @@ object MatrixQueries extends QueryGroup {
     // sparse mean-centering + one-pass row moments
     // (rowMeanCentering:361-364, rowSizeAveStdev:370-382): cols 1/2/3
     // = nonzero count, mean (≈0 after centering — the +0.0 folds any
-    // -0.0 from rounding residuals), population stddev.
+    // -0.0 from rounding residuals), population stddev. Centering
+    // drops exact-zero cells (reference filterOutZeros) — safe as an
+    // oracle match because `val` is an exact integer sum, so
+    // cval == 0 is bit-identical across engines.
     q("q_matrix_center_moments",
       s"""$baseSql, c AS (
          |  SELECT row, col, val - avg(val) OVER (PARTITION BY row) AS cval
          |  FROM A
+         |  QUALIFY cval <> 0
          |), m AS (
          |  SELECT row, CAST(count(*) AS DOUBLE) AS s, avg(cval) AS a,
          |    coalesce(stddev_pop(cval), 0.0) AS d

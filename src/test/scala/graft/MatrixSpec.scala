@@ -60,12 +60,18 @@ class MatrixSpec extends SparkSpec {
       (0L, 0L, 0.25), (1L, 0L, 0.75),
       (0L, 1L, math.rint(2.0 / 6 * 1e9) / 1e9),
       (1L, 1L, math.rint(4.0 / 6 * 1e9) / 1e9)))
-    // L0: row 0 has 2 nonzeros
+    // L0: divides by PRESENT entries (3, explicit zero included) and
+    // drops exact-zero outputs — reference mapValues{1.0} + product
+    // filterOutZeros semantics
     assert(entriesOf(m((0, 0, 2.0), (0, 1, 4.0), (0, 2, 0.0)).rowL0Normalize)
-      == Set((0L, 0L, 1.0), (0L, 1L, 2.0), (0L, 2L, 0.0)))
+      == Set((0L, 0L, math.rint(2.0 / 3 * 1e9) / 1e9),
+        (0L, 1L, math.rint(4.0 / 3 * 1e9) / 1e9)))
     // mean centering over PRESENT entries: row 0 mean 1.5
     assert(entriesOf(a.rowMeanCentering) == Set(
       (0L, 0L, -0.5), (0L, 1L, 0.5), (1L, 0L, -0.5), (1L, 1L, 0.5)))
+    // a single-entry row centers to exactly 0.0 and vanishes — the
+    // reference's filterOutZeros sparse-zero policy
+    assert(entriesOf(m((5, 1, 7.0)).rowMeanCentering).isEmpty)
     // moments: row 0 = (2 entries, mean 1.5, stddev_pop 0.5)
     assert(entriesOf(a.rowSizeAveStdev).filter(_._1 == 0L) == Set(
       (0L, 1L, 2.0), (0L, 2L, 1.5), (0L, 3L, 0.5)))

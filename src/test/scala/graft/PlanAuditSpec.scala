@@ -41,6 +41,19 @@ class PlanAuditSpec extends SparkSpec {
       s"partial agg must sit below (after in tree print) the exchange:\n$p")
   }
 
+  test("q_fields_sortedtake ships bounded partial top-k before the exchange") {
+    val p = plan("q_fields_sortedtake")
+    val lines = p.linesIterator.toSeq
+    assert(p.contains("collecttopk") || p.contains("collect_top_k"),
+      s"not the bounded-PQ aggregate:\n$p")
+    val partialIdx = lines.indexWhere(l =>
+      l.contains("ObjectHashAggregate") && l.contains("partial_"))
+    val exchangeIdx = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    assert(partialIdx >= 0, s"no partial object agg:\n$p")
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"partial agg must sit below (after in tree print) the exchange:\n$p")
+  }
+
   test("q_agg_groupby is a two-phase hash aggregation (map-side combine)") {
     val p = plan("q_agg_groupby")
     val partials = p.linesIterator.count(l =>

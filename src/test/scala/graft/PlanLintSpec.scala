@@ -31,8 +31,8 @@ class PlanLintSpec extends SparkSpec {
       "1-row norm/threshold scalar broadcast onto the sampled matrix"),
     "q_dedup_semantic" -> Map("cartesian" ->
       "exact all-pairs CONTRACT evaluation; the operator itself joins on centroid"),
-    "q_corpus_mix_temperature" -> Map("global-window" ->
-      "normalizing constant over the per-domain rate table (~|domains| rows)"),
+    "q_corpus_mix_temperature" -> Map("cartesian" ->
+      "1-row mass-total aggregate broadcast onto the per-domain rate table"),
     "q_text_unigram_nll" -> Map("cartesian" ->
       "1-row (N, V) model-total aggregate broadcast onto the token stream"),
     "q_text_tfidf" -> Map("cartesian" ->
@@ -63,5 +63,13 @@ class PlanLintSpec extends SparkSpec {
         .map(r => s"$name/$r")
     }
     assert(stale.isEmpty, s"stale whitelist entries: ${stale.mkString(", ")}")
+    // no gate may have an unpartitioned window AT ALL — every former
+    // occurrence was a tiny-table normalizer, now expressed as a
+    // broadcast cross-join; keep the rule's occurrence count at zero
+    val globalWindows = hits.collect {
+      case (name, rules) if rules.contains("global-window") => name
+    }
+    assert(globalWindows.isEmpty,
+      s"global windows reappeared in: ${globalWindows.mkString(", ")}")
   }
 }
