@@ -66,6 +66,21 @@ final case class ColVector(df: DataFrame) {
 
   def *(k: Double): ColVector = ColVector(df.withColumn(V, col(V) * k))
 
+  /** Sparse add — union + sum, absent entries are zero (reference
+    * ColVector arithmetic via toMatrix addition, Matrix.scala:894).
+    */
+  def +(other: ColVector): ColVector =
+    ColVector(df.unionByName(other.df).groupBy("idx").agg(sum(V).as(V)))
+
+  def -(other: ColVector): ColVector = this + (other * -1.0)
+
+  /** Σ |vᵢ| as a 1-row scalar frame — the convergence read-back of
+    * iterative jobs (reference WeightedPageRankFromMatrix
+    * measureConvergenceAndStore, examples/WeightedPageRankFromMatrix
+    * .scala:94-99).
+    */
+  def l1Norm: DataFrame = df.agg(sum(abs(col(V))).as("scalar"))
+
   /** Outer product v wᵀ — a full matrix. */
   def outer(row: RowVector): Matrix =
     Matrix(df.select(col("idx").as(R), col(V).as("c_val"))

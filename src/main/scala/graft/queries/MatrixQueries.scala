@@ -26,6 +26,64 @@ object MatrixQueries extends QueryGroup {
 
   val all: Seq[QueryDef] = Seq(
 
+    // weighted PageRank on the Matrix API, two iterations
+    // (WeightedPageRankFromMatrix: R(t+1) = d·(A.rowL1Norm)ᵀ·R(t) +
+    // ((1−d)/n)·1⃗) over the bipartite supplier→part quantity graph
+    // (part ids offset so the node spaces don't collide). The oracle
+    // replays the identical double arithmetic relationally; round(6)
+    // absorbs summation-order ulps.
+    q("q_matrix_weighted_pagerank",
+      """WITH A AS (
+        |  SELECT l_suppkey AS row, l_partkey + 100000 AS col,
+        |    CAST(sum(l_quantity) AS DOUBLE) AS val
+        |  FROM lineitem GROUP BY 1, 2
+        |), rs AS (
+        |  SELECT row, sum(abs(val)) AS s FROM A GROUP BY row
+        |), mhat AS (
+        |  SELECT A.col AS row, A.row AS col, (A.val / rs.s) * 0.85::DOUBLE AS val
+        |  FROM A JOIN rs ON A.row = rs.row
+        |), nodes AS (
+        |  SELECT DISTINCT idx FROM
+        |    (SELECT row AS idx FROM A UNION ALL SELECT col FROM A)
+        |), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |r0 AS (SELECT idx, 1.0::DOUBLE / nn.n AS val FROM nodes, nn),
+        |mv1 AS (
+        |  SELECT m.row AS idx, sum(m.val * r0.val) AS val
+        |  FROM mhat m JOIN r0 ON m.col = r0.idx GROUP BY 1
+        |), r1 AS (
+        |  SELECT nodes.idx,
+        |    coalesce(mv1.val, 0) + (1 - 0.85::DOUBLE) / nn.n AS val
+        |  FROM nodes CROSS JOIN nn LEFT JOIN mv1 ON nodes.idx = mv1.idx
+        |), mv2 AS (
+        |  SELECT m.row AS idx, sum(m.val * r1.val) AS val
+        |  FROM mhat m JOIN r1 ON m.col = r1.idx GROUP BY 1
+        |), r2 AS (
+        |  SELECT nodes.idx,
+        |    coalesce(mv2.val, 0) + (1 - 0.85::DOUBLE) / nn.n AS val
+        |  FROM nodes CROSS JOIN nn LEFT JOIN mv2 ON nodes.idx = mv2.idx
+        |)
+        |SELECT idx, round(val, 6) AS mass FROM r2
+        |ORDER BY idx""".stripMargin) { (s, dir) =>
+      import graft.examples.WeightedPageRankFromMatrix
+      val d = 0.85
+      val e = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey").as("row"),
+          (col("l_partkey") + 100000L).as("col"))
+        .agg(sum("l_quantity").as("val"))
+      val a = M.fromCoo(e, "row", "col", "val")
+      val mHat = WeightedPageRankFromMatrix.mHat(a, d)
+      val nodes = a.df.select(col("row").as("idx"))
+        .unionByName(a.df.select(col("col").as("idx"))).distinct()
+      val n = nodes.count()
+      val prior = WeightedPageRankFromMatrix.priorVector(nodes, d, n)
+      val r0 = graft.matrix.ColVector(
+        nodes.select(col("idx"), lit(1.0 / n).as("val")))
+      val r1 = WeightedPageRankFromMatrix.iterate(mHat, r0, prior)
+      val r2 = WeightedPageRankFromMatrix.iterate(mHat, r1, prior)
+      r2.df.select(col("idx"), round(col("val"), 6).as("mass"))
+        .orderBy("idx")
+    },
+
     // A * Aᵀ — supplier-supplier co-shipment similarity (matrix
     // product, MatrixProduct.scala): join on the shared part
     // dimension, sum of products.
