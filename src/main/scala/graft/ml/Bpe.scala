@@ -46,47 +46,173 @@ object Bpe {
       .groupByKey(identity).count()
   }
 
-  /** The merge loop over a (word, count) table. */
+  /** The merge loop over a (word, count) table, batched: each Spark
+    * round learns up to `batchCap` merges at once while remaining
+    * byte-identical to the sequential (one-merge-per-job) semantics.
+    * At a realistic 32k-merge vocabulary this is the difference
+    * between 32k driver round-trips and a few hundred.
+    *
+    * A batch is a provably-independent prefix of the round's ranked
+    * pair list (count desc, left asc, right asc):
+    *
+    *  - prefix, not skip: the walk stops at the FIRST pair that
+    *    conflicts with an already-selected one. Skipping it and
+    *    continuing would be unsound — a skipped high-count pair may
+    *    survive the earlier merges untouched and out-rank later
+    *    selections in the true sequential order.
+    *  - conflict = cross-share or mint-collision with a selected pair
+    *    (l_i, r_i): candidate (l, r) conflicts iff r_i == l or
+    *    l_i == r (chained occurrences "l_i r_i=l r" / "l r=l_i r_i"
+    *    share a token, so the earlier merge consumes candidate
+    *    occurrences) or l/r equals a minted l_i+r_i (the earlier
+    *    merge grows the candidate's count mid-batch). Sharing ONLY a
+    *    left symbol (or only a right, e.g. two pairs both ending in
+    *    the end-of-word sentinel) is NOT a conflict: such occurrence
+    *    sets are token-disjoint — the shared left is followed by
+    *    exactly one right per occurrence — so the merges commute and
+    *    neither count moves. This is what keeps batches large: the
+    *    many (x, </w>) pairs at the top of a round's ranking all
+    *    batch together.
+    *  - a selected pair whose merged symbol already exists in the
+    *    vocabulary (possible via convergent merge paths, e.g. a+bc
+    *    and ab+c both minting "abc") closes the batch: merging it
+    *    inflates existing pairs that contain that symbol, so nothing
+    *    may be applied after it within the round.
+    *  - every selection after the first must have count STRICTLY
+    *    above the first excluded pair's count. Any pair outside the
+    *    batch holds count ≤ that bound throughout the batch (counts
+    *    of untouched pairs never grow; newly-minted pairs are bounded
+    *    by a conflicting — hence excluded — neighbor pair's count),
+    *    so each selection is still the unique sequential argmax at
+    *    its step.
+    *
+    * Each round is one partial/final aggregation over the vocabulary
+    * plus one map to apply the whole batch; lineage is truncated by an
+    * eager localCheckpoint per round (the reference's iterative-job
+    * idiom, Job.next / examples/PageRank.scala:54-81, as a driver
+    * loop).
+    */
   def trainFromCounts(spark: SparkSession, words: Dataset[(String, Long)],
-      nMerges: Int): Seq[Merge] = {
+      nMerges: Int, batchCap: Int = 64): Seq[Merge] = {
     import spark.implicits._
+    require(batchCap >= 1, s"batchCap must be >= 1, got $batchCap")
 
+    // eager localCheckpoint: truncates the LOGICAL plan each round,
+    // not just caches it — persist()+count() leaves the lineage
+    // growing one map per round, and at a few hundred rounds the
+    // accumulated tree OOMs Spark's own plan rendering (AQE explains
+    // the plan on every update). Same idiom as TrainingDataJob.cut.
     var symbols: Dataset[(Array[String], Long)] = words
       .map { case (w, c) => (w.map(_.toString).toArray :+ Eow, c) }
-      .persist()
-    symbols.count() // materialize before the loop
+      .localCheckpoint()
+
+    // the vocabulary's symbol strings: initial alphabet ∪ minted
+    // merges — consulted for the convergent-path batch guard
+    val known = scala.collection.mutable.HashSet.empty[String]
+    known ++= symbols.flatMap(_._1.iterator).distinct().collect()
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
-    var i = 0
     var done = false
-    while (i < nMerges && !done) {
+    while (merges.size < nMerges && !done) {
+      val cap = math.min(batchCap, nMerges - merges.size)
       // weighted adjacent-pair counts: partial/final agg, vocabulary-
-      // sized shuffle
-      val best = symbols.flatMap { case (syms, c) =>
+      // sized shuffle; TakeOrderedAndProject keeps the global top
+      // (cap+1) without materializing a full sort. The +1 row is the
+      // first EXCLUDED pair — its count bounds the safe batch.
+      val top = symbols.flatMap { case (syms, c) =>
         (0 until syms.length - 1).iterator.map(j => (syms(j), syms(j + 1), c))
       }
         .toDF("l", "r", "c")
         .groupBy("l", "r").agg(sum("c").as("n"))
-        // TakeOrderedAndProject: global top-1, no full sort materialized
         .orderBy(col("n").desc, col("l").asc, col("r").asc)
-        .head(1)
+        .head(cap + 1)
+        .map(row => (row.getString(0), row.getString(1), row.getLong(2)))
 
-      if (best.isEmpty) done = true
+      if (top.isEmpty) done = true
       else {
-        val (l, r) = (best.head.getString(0), best.head.getString(1))
-        merges += Merge(i, l, r)
-        val bl = l; val br = r // stable locals for the closure
+        val batch = selectBatch(top, cap, known)
+        batch.foreach { case (l, r, _) =>
+          merges += Merge(merges.size, l, r)
+          known += l + r
+        }
+        // left -> (right -> merged): several batch members may share
+        // a left (their occurrences are token-disjoint), so the merge
+        // table is keyed twice
+        val byLeft: Map[String, Map[String, String]] = batch
+          .groupBy(_._1)
+          .map { case (l, ms) =>
+            l -> ms.map { case (_, r, _) => r -> (l + r) }.toMap
+          }
         val next = symbols
-          .map { case (syms, c) => (applyMerge(syms, bl, br), c) }
-          .persist()
-        next.count() // materialize, then drop the previous lineage
+          .map { case (syms, c) => (applyMerges(syms, byLeft), c) }
+          .localCheckpoint()
         symbols.unpersist(blocking = false)
         symbols = next
-        i += 1
       }
     }
     symbols.unpersist(blocking = false)
     merges.toSeq
+  }
+
+  /** The longest sequential-equivalent batch: a prefix of `ranked`
+    * (already in (count desc, left asc, right asc) order, length ≤
+    * cap+1) that is pairwise independent, closed at any merge minting
+    * a pre-existing symbol, and truncated to counts strictly above
+    * the first excluded pair's. The head pair — the true sequential
+    * argmax — is always selected.
+    */
+  private def selectBatch(ranked: Array[(String, String, Long)], cap: Int,
+      known: scala.collection.Set[String]): Array[(String, String, Long)] = {
+    val sel = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val lefts = scala.collection.mutable.HashSet.empty[String]
+    val rights = scala.collection.mutable.HashSet.empty[String]
+    val mints = scala.collection.mutable.HashSet.empty[String]
+    var idx = 0
+    var open = true
+    while (open && idx < ranked.length && sel.size < cap) {
+      val (l, r, n) = ranked(idx)
+      val minted = l + r
+      // (a candidate minting a pre-existing symbol — including any
+      // selected pair's left/right — is admitted and then closes the
+      // batch via the known-mint guard below)
+      val conflict = sel.nonEmpty &&
+        (rights(l) || lefts(r) || mints(l) || mints(r))
+      if (conflict) open = false
+      else {
+        sel += ((l, r, n))
+        lefts += l; rights += r; mints += minted
+        if (known(minted)) open = false // convergent-path mint: close batch
+        idx += 1
+      }
+    }
+    if (ranked.length > sel.size) {
+      // strict-dominance truncation: selections after the first must
+      // out-count the best pair left outside the batch (ties could
+      // re-order under the excluded pair's mid-batch count changes)
+      val bound = ranked(sel.size)._3
+      val keep = 1 + sel.view.drop(1).takeWhile(_._3 > bound).size
+      sel.take(keep).toArray
+    } else sel.toArray // the batch holds every existing pair: no
+                       // outside pair can interleave
+  }
+
+  /** Apply a batch of pairwise-independent merges in one left-to-right
+    * greedy pass — for a single merge this is exactly [[applyMerge]];
+    * token-disjoint occurrence sets make the batch order-insensitive.
+    * At most one merge can fire at a position (the (left, right) token
+    * pair picks it uniquely).
+    */
+  private def applyMerges(syms: Array[String],
+      byLeft: Map[String, Map[String, String]]): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var j = 0
+    while (j < syms.length) {
+      val rs = if (j < syms.length - 1) byLeft.getOrElse(syms(j), null) else null
+      val merged = if (rs != null) rs.getOrElse(syms(j + 1), null) else null
+      if (merged != null) { out += merged; j += 2 }
+      else { out += syms(j); j += 1 }
+    }
+    out.toArray
   }
 
   /** Replace every adjacent (l, r) with l+r, left-to-right greedy —

@@ -465,10 +465,34 @@ object TextQueries extends QueryGroup {
     // Iterative (argmax + re-merge per round) so not SQL-expressible —
     // rows-only gate; BpeSpec proves byte-equality against a
     // single-node reference implementation on the same table.
-    qNoOracle("q_text_bpe") { (s, dir) =>
+    // distributed BPE vocabulary induction. The oracle replays the
+    // full sequential algorithm in SQL: 12 unrolled stages over a
+    // separator-encoded symbol string per word, each stage = pair
+    // count + (count desc, left, right) argmax + merge application.
+    // Greedy left-to-right merging maps onto string replace() (leftmost
+    // non-overlapping), applied twice because adjacent occurrences
+    // share an encoded separator — pass 1 leaves any blocked occurrence
+    // isolated, pass 2 takes it. CTEs are MATERIALIZED: each stage is
+    // referenced twice (pairs + next state), and inlining would double
+    // the work per stage.
+    q("q_text_bpe", TextQueries.bpeOracleSql(12)) { (s, dir) =>
       import s.implicits._
       val docs = t(s, dir, "documents").select("text").as[String]
       graft.ml.Bpe.train(docs, nMerges = 12)
+        .toDF().select("rank", "left", "right").orderBy("rank")
+    },
+
+    // realistic-vocabulary BPE: 256 merges, exercising the batched
+    // merge rounds (each Spark round learns a provably-independent
+    // prefix of the ranked pairs — see Bpe.trainFromCounts). No SQL
+    // oracle: a 256-stage unrolled CTE chain exceeds DuckDB's
+    // max_expression_depth (the binder counts the stage dependency
+    // chain), so correctness is pinned by BpeSpec's 256-merge
+    // byte-equality test against a single-node reference instead.
+    qNoOracle("q_text_bpe_deep") { (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents").select("text").as[String]
+      graft.ml.Bpe.train(docs, nMerges = 256)
         .toDF().select("rank", "left", "right").orderBy("rank")
     },
 
@@ -516,4 +540,50 @@ object TextQueries extends QueryGroup {
         .orderBy("doc_id")
     }
   )
+
+  /** DuckDB SQL computing `nMerges` sequential BPE merges over the
+    * documents table — the q_text_bpe oracle. Per-word state is the
+    * symbol sequence joined on the 0x1f unit separator with leading/
+    * trailing separators, so a pair occurrence is the literal
+    * `US l US r US` and merging is `replace()` with `US lr US`.
+    */
+  def bpeOracleSql(nMerges: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH w0 AS MATERIALIZED (
+             |  SELECT w AS word, count(*)::BIGINT AS cnt FROM (
+             |    SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+             |    FROM documents
+             |  ) WHERE w <> '' GROUP BY 1
+             |),
+             |s0 AS MATERIALIZED (
+             |  SELECT cnt, chr(31) || array_to_string(
+             |      list_transform(generate_series(1, length(word)), i -> word[i:i]),
+             |      chr(31)) || chr(31) || '</w>' || chr(31) AS state
+             |  FROM w0
+             |)""".stripMargin
+    for (i <- 0 until nMerges) {
+      sb ++= s""",
+                |p$i AS MATERIALIZED (
+                |  SELECT p[1] AS l, p[2] AS r, sum(cnt) AS n
+                |  FROM (SELECT cnt, list_filter(string_split(state, chr(31)),
+                |          x -> x <> '') AS ss FROM s$i),
+                |    unnest(list_zip(ss[1:-2], ss[2:-1])) AS t(p)
+                |  GROUP BY 1, 2
+                |),
+                |b$i AS MATERIALIZED (
+                |  SELECT l, r FROM p$i ORDER BY n DESC, l ASC, r ASC LIMIT 1
+                |),
+                |s${i + 1} AS MATERIALIZED (
+                |  SELECT cnt, replace(replace(state,
+                |      chr(31)||l||chr(31)||r||chr(31), chr(31)||l||r||chr(31)),
+                |      chr(31)||l||chr(31)||r||chr(31), chr(31)||l||r||chr(31)) AS state
+                |  FROM s$i, b$i
+                |)""".stripMargin
+    }
+    val finals = (0 until nMerges)
+      .map(i => s"SELECT $i AS rank, l AS left, r AS right FROM b$i")
+      .mkString("\nUNION ALL ")
+    sb ++= s"\nSELECT * FROM (\n$finals\n) ORDER BY rank"
+    sb.toString
+  }
 }

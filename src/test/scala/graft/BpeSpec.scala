@@ -56,6 +56,48 @@ class BpeSpec extends SparkSpec {
     assert(got.map(_.rank) == (0 until 15))
   }
 
+  test("batched rounds (any batchCap) learn byte-identical merge lists") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("text").as[String]
+    val words = Bpe.wordCounts(docs)
+    val sequential = Bpe.trainFromCounts(spark, words, nMerges = 40, batchCap = 1)
+    val small = Bpe.trainFromCounts(spark, words, nMerges = 40, batchCap = 4)
+    val wide = Bpe.trainFromCounts(spark, words, nMerges = 40, batchCap = 64)
+    assert(small == sequential)
+    assert(wide == sequential)
+    assert(sequential.map(_.rank) == (0 until sequential.size))
+  }
+
+  test("batching stops at cross-share conflicts (chained pairs stay sequential)") {
+    import spark.implicits._
+    // "abc" x100: the top three pairs all tie at 100 and chain
+    // (a,b)-(b,c)-(c,</w>); a batcher that merely skipped conflicts
+    // would take {(a,b),(c,</w>)} and miss that sequential BPE mints
+    // (ab,c) as its true second merge.
+    val docs = Seq.fill(100)("abc").toDS()
+    val got = Bpe.train(docs, nMerges = 3).map(m => (m.left, m.right))
+    val expected = localBpe(Map("abc" -> 100L), 3)
+    assert(got == expected)
+    assert(expected == Seq(("a", "b"), ("ab", "c"), ("abc", Bpe.Eow)))
+  }
+
+  test("deep batched training matches the reference at 256 merges") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("text").as[String]
+    val got = Bpe.train(docs, nMerges = 256)
+
+    val wc = scala.collection.mutable.Map.empty[String, Long]
+    docs.collect().foreach(
+      _.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach(w =>
+        wc(w) = wc.getOrElse(w, 0L) + 1))
+    val expected = localBpe(wc.toMap, 256)
+
+    assert(got.map(m => (m.left, m.right)) == expected)
+    assert(got.map(_.rank) == (0 until got.size))
+  }
+
   test("encodeWord applies merges in rank order") {
     import spark.implicits._
     val docs = Seq.fill(50)("low lower lowest").toDS()
