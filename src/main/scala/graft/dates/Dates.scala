@@ -27,10 +27,52 @@ final case class RichDate(timestamp: Long) extends Ordered[RichDate] {
 
 object RichDate {
   /** Parse the reference's accepted formats (DateOps.scala:34-82):
-    * yyyy-MM-dd[ HH:mm[:ss[.SSS]]] and yyyyMMdd[HH[mm[ss]]].
+    * yyyy-MM-dd[ HH:mm[:ss[.SSS]]] and yyyyMMdd[HH[mm[ss]]] — plus the
+    * natural-language subset (see [[parseAt]]) the reference delegated
+    * to a NLP date library for (DateOps.scala:72).
     */
-  def parse(s: String)(implicit zone: ZoneId): RichDate = {
+  def parse(s: String)(implicit zone: ZoneId): RichDate = parseAt(s, now)
+
+  /** [[parse]] with an explicit "now" — the natural-language forms are
+    * relative, and pinning the reference instant keeps them testable
+    * and lets job args be replayed.
+    *
+    * Supported phrases (case-insensitive): `now`; `today` /
+    * `yesterday` / `tomorrow` (start of that calendar day — these
+    * phrases select date partitions, so unlike the reference's NLP
+    * library the answer does not depend on the submit clock time);
+    * `N <unit>[s] ago` and `in N <unit>[s]` for second/minute/hour/
+    * day/week/month/year (clock-time-preserving, calendar-aware
+    * arithmetic via [[Duration]]).
+    */
+  def parseAt(s: String, ref: => RichDate)(implicit zone: ZoneId): RichDate = {
     val trimmed = s.trim
+    val lower = trimmed.toLowerCase
+    val ago = """(\d+)\s+(second|minute|hour|day|week|month|year)s?\s+ago""".r
+    val ahead = """in\s+(\d+)\s+(second|minute|hour|day|week|month|year)s?""".r
+    lower match {
+      case "now" => ref
+      case "today" => Days(1).floorOf(ref)
+      case "yesterday" => Days(1).floorOf(Days(1).subtractFrom(ref))
+      case "tomorrow" => Days(1).floorOf(Days(1).addTo(ref))
+      case ago(n, u) => unitDuration(u, n.toInt).subtractFrom(ref)
+      case ahead(n, u) => unitDuration(u, n.toInt).addTo(ref)
+      case _ => parseFormatted(trimmed)
+    }
+  }
+
+  private def unitDuration(unit: String, n: Int)(
+      implicit zone: ZoneId): Duration = unit match {
+    case "second" => Seconds(n)
+    case "minute" => Minutes(n)
+    case "hour"   => Hours(n)
+    case "day"    => Days(n)
+    case "week"   => Weeks(n)
+    case "month"  => Months(n)
+    case "year"   => Years(n)
+  }
+
+  private def parseFormatted(trimmed: String)(implicit zone: ZoneId): RichDate = {
     val patterns = Seq(
       "yyyy-MM-dd HH:mm:ss.SSS", "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd HH:mm",
       "yyyy-MM-dd", "yyyyMMddHHmmss", "yyyyMMddHHmm", "yyyyMMddHH", "yyyyMMdd")
@@ -43,7 +85,7 @@ object RichDate {
         Some(RichDate(ldt.atZone(zone).toInstant.toEpochMilli))
       } catch { case _: java.time.format.DateTimeParseException => None }
     }.nextOption().getOrElse(
-      throw new IllegalArgumentException(s"unparseable date: $s"))
+      throw new IllegalArgumentException(s"unparseable date: $trimmed"))
   }
 
   def now: RichDate = RichDate(System.currentTimeMillis())

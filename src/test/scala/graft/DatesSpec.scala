@@ -60,6 +60,28 @@ class DatesSpec extends AnyFunSuite {
     }
   }
 
+  test("natural-language parse: relative phrases against a pinned now") {
+    val ref = RichDate.parse("2026-08-13 10:30:15")
+    def p(s: String) = RichDate.parseAt(s, ref)
+    assert(p("now") == ref)
+    assert(p("today") == RichDate.parse("2026-08-13"))
+    assert(p("yesterday") == RichDate.parse("2026-08-12"))
+    assert(p("Tomorrow") == RichDate.parse("2026-08-14"))
+    assert(p("1 day ago") == RichDate.parse("2026-08-12 10:30:15"))
+    assert(p("3 days ago") == RichDate.parse("2026-08-10 10:30:15"))
+    assert(p("2 hours ago") == RichDate.parse("2026-08-13 08:30:15"))
+    assert(p("45 minutes ago") == RichDate.parse("2026-08-13 09:45:15"))
+    assert(p("2 weeks ago") == RichDate.parse("2026-07-30 10:30:15"))
+    // calendar-aware: months clamp day-of-month, not fixed 30 days
+    assert(p("6 months ago") == RichDate.parse("2026-02-13 10:30:15"))
+    assert(p("1 year ago") == RichDate.parse("2025-08-13 10:30:15"))
+    assert(p("in 2 days") == RichDate.parse("2026-08-15 10:30:15"))
+    assert(p("in 1 week") == RichDate.parse("2026-08-20 10:30:15"))
+    // explicit formats still win, and junk still raises
+    assert(p("2011-10-02") == RichDate.parse("2011-10-02"))
+    intercept[IllegalArgumentException](p("fortnight hence"))
+  }
+
   test("TimePathUtil expands day paths over a range") {
     val r = DateRange.parse("2020-01-30", "2020-02-02")
     val ps = TimePathUtil.paths("/logs/%1$tY/%1$tm/%1$td", r, Days(1))
