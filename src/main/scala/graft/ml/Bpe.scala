@@ -93,7 +93,87 @@ object Bpe {
     * loop).
     */
   def trainFromCounts(spark: SparkSession, words: Dataset[(String, Long)],
-      nMerges: Int, batchCap: Int = 64): Seq[Merge] = {
+      nMerges: Int, batchCap: Int = 64,
+      localVocabThreshold: Long = 1000000L): Seq[Merge] = {
+    // Hybrid dispatch: the corpus-sized work is already done (words is
+    // the one-shuffle frequency table); when the DISTINCT-WORD table
+    // fits on the driver — the common case even for very large corpora,
+    // and how production tokenizer trainers are built — train locally
+    // with incremental pair-count maintenance: zero further Spark jobs
+    // instead of a driver round-trip per merge round. The distributed
+    // batched loop below remains the path for unbounded vocabularies
+    // (threshold 0 forces it).
+    if (localVocabThreshold > 0 && words.count() <= localVocabThreshold)
+      trainLocal(words.collect(), nMerges)
+    else trainDistributed(spark, words, nMerges, batchCap)
+  }
+
+  /** Exact sequential BPE over a collected (word, count) table with
+    * incremental pair-count updates: each merge touches only the words
+    * that contain the merged pair (tracked by an occurrence index), so
+    * cost is O(affected words) per merge, not O(vocabulary).
+    * Byte-identical to the distributed path by construction (same
+    * (count desc, left asc, right asc) selection).
+    */
+  def trainLocal(wordCounts: Array[(String, Long)], nMerges: Int): Seq[Merge] = {
+    val syms = wordCounts.map { case (w, _) => w.map(_.toString).toArray :+ Eow }
+    val cnts = wordCounts.map(_._2)
+    val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val occ = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.HashSet[Int]]
+
+    def addWord(i: Int, sign: Long): Unit = {
+      val s = syms(i); val c = cnts(i) * sign
+      var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        val n = pairCounts.getOrElse(p, 0L) + c
+        if (n == 0L) pairCounts.remove(p) else pairCounts.update(p, n)
+        if (sign > 0)
+          occ.getOrElseUpdate(p, scala.collection.mutable.HashSet.empty) += i
+        j += 1
+      }
+      // stale occ entries (word no longer holds the pair) are lazily
+      // skipped at merge time — cheaper than eager removal
+    }
+    syms.indices.foreach(addWord(_, 1L))
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    while (merges.size < nMerges && pairCounts.nonEmpty) {
+      var best: (String, String) = null
+      var bestN = Long.MinValue
+      pairCounts.foreach { case (p, n) =>
+        if (n > bestN || (n == bestN &&
+            (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
+          best = p; bestN = n
+        }
+      }
+      val (l, r) = best
+      merges += Merge(merges.size, l, r)
+      val hit = occ.getOrElse(best, scala.collection.mutable.HashSet.empty)
+      hit.foreach { i =>
+        val s = syms(i)
+        var contains = false
+        var j = 0
+        while (!contains && j < s.length - 1) {
+          if (s(j) == l && s(j + 1) == r) contains = true
+          j += 1
+        }
+        if (contains) { // skip stale index entries
+          addWord(i, -1L)
+          syms(i) = applyMerge(s, l, r)
+          addWord(i, 1L)
+        }
+      }
+      occ.remove(best)
+      pairCounts.remove(best) // greedy application zeroes it by construction
+    }
+    merges.toSeq
+  }
+
+  /** The distributed batched merge loop — see [[trainFromCounts]]. */
+  private def trainDistributed(spark: SparkSession,
+      words: Dataset[(String, Long)], nMerges: Int, batchCap: Int): Seq[Merge] = {
     import spark.implicits._
     require(batchCap >= 1, s"batchCap must be >= 1, got $batchCap")
 

@@ -61,11 +61,16 @@ class BpeSpec extends SparkSpec {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
       .select("text").as[String]
     val words = Bpe.wordCounts(docs)
-    val sequential = Bpe.trainFromCounts(spark, words, nMerges = 40, batchCap = 1)
-    val small = Bpe.trainFromCounts(spark, words, nMerges = 40, batchCap = 4)
-    val wide = Bpe.trainFromCounts(spark, words, nMerges = 40, batchCap = 64)
-    assert(small == sequential)
-    assert(wide == sequential)
+    // localVocabThreshold = 0 forces the distributed loop: this test
+    // pins the batch-selection proof, not the hybrid dispatch
+    def dist(cap: Int) = Bpe.trainFromCounts(spark, words, nMerges = 40,
+      batchCap = cap, localVocabThreshold = 0L)
+    val sequential = dist(1)
+    assert(dist(4) == sequential)
+    assert(dist(64) == sequential)
+    // and the driver-local trainer (the small-vocabulary fast path)
+    // lands on the same bytes
+    assert(Bpe.trainFromCounts(spark, words, nMerges = 40) == sequential)
     assert(sequential.map(_.rank) == (0 until sequential.size))
   }
 
@@ -96,6 +101,12 @@ class BpeSpec extends SparkSpec {
 
     assert(got.map(m => (m.left, m.right)) == expected)
     assert(got.map(_.rank) == (0 until got.size))
+
+    // distributed loop at depth: same 256 merges as the naive
+    // single-node reference and the incremental local trainer
+    val distributed = Bpe.trainFromCounts(spark, Bpe.wordCounts(docs),
+      nMerges = 256, localVocabThreshold = 0L)
+    assert(distributed.map(m => (m.left, m.right)) == expected)
   }
 
   test("encodeWord applies merges in rank order") {
