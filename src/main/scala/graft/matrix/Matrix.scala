@@ -93,10 +93,15 @@ final case class Matrix(df: DataFrame) {
   /** Scalar multiply. */
   def *(k: Double): Matrix = mapValues(_ * k)
 
-  /** Element-wise sum: union + group-sum (Matrix.+). */
+  /** Element-wise sum: union + group-sum (Matrix.+). Exact-zero sums
+    * are dropped — the reference's monoid `nonZeroOption` sparse-zero
+    * policy (so A − A is the empty matrix, and a difference against an
+    * intersection erases the shared cells, MatrixTutorial3).
+    */
   def +(other: Matrix): Matrix =
     Matrix(df.unionByName(other.df)
-      .groupBy(R, C).agg(sum(V).as(V)))
+      .groupBy(R, C).agg(sum(V).as(V))
+      .filter(col(V) =!= 0.0))
 
   def -(other: Matrix): Matrix = this + (other * -1.0)
 
@@ -261,6 +266,61 @@ final case class Matrix(df: DataFrame) {
           coalesce(col("__vb"), lit(0.0))).as(V))
       .filter(col(V) =!= 0.0))
   }
+
+  /** Zip each stored cell with the column vector's entry for its ROW,
+    * then map the pair — the reference's `zip(ColVector)` followed by
+    * `mapValues` (Matrix.scala:580-593, 211-217) fused into one step:
+    * absent vector entries read as 0 (the zip's zero-preserving outer
+    * semantics), and cells where `fn` yields 0 are dropped (mapValues'
+    * monoid nonZeroOption). Divergence: vector entries on rows the
+    * matrix never touches contribute nothing, where the reference's
+    * outer join emits an index-less phantom cell (null column) that a
+    * COO frame cannot represent and no caller can use.
+    *
+    * One broadcast-eligible join on the row key — the vector side is a
+    * per-row aggregate in every known use, so Catalyst broadcasts it
+    * and the matrix never shuffles.
+    */
+  def zipMapCol(vec: ColVector)(fn: (Column, Column) => Column): Matrix = {
+    val v2 = vec.df.select(col("idx").as(R), col(V).as("__u"))
+    Matrix(df.join(v2, Seq(R), "left")
+      .select(col(R), col(C),
+        fn(col(V), coalesce(col("__u"), lit(0.0))).as(V))
+      .filter(col(V) =!= 0.0))
+  }
+
+  /** Zip each stored cell with the row vector's entry for its COLUMN —
+    * `zip(RowVector)` + `mapValues` (Matrix.scala:595-608); same
+    * semantics as [[zipMapCol]] on the other axis.
+    */
+  def zipMapRow(vec: RowVector)(fn: (Column, Column) => Column): Matrix = {
+    val v2 = vec.df.select(col("idx").as(C), col(V).as("__u"))
+    Matrix(df.join(v2, Seq(C), "left")
+      .select(col(R), col(C),
+        fn(col(V), coalesce(col("__u"), lit(0.0))).as(V))
+      .filter(col(V) =!= 0.0))
+  }
+
+  /** Matrix-matrix zip + map (reference `zip(Matrix)`,
+    * Matrix.scala:611-627): alias of [[elemWiseOp]], which already has
+    * the zero-preserving full-outer semantics.
+    */
+  def zipMap(other: Matrix)(fn: (Column, Column) => Column): Matrix =
+    elemWiseOp(other)(fn)
+
+  /** Row `r` as a RowVector (reference getRow, Matrix.scala:510). */
+  def getRow(r: Long): RowVector = Vectors.rowOf(this, r)
+
+  /** Column `c` as a ColVector (reference getCol, Matrix.scala:514). */
+  def getCol(c: Long): ColVector = Vectors.colOf(this, c)
+
+  /** [[sumColVectors]] as a ColVector view (idx = row id). */
+  def sumColVector: ColVector =
+    ColVector(sumColVectors.select(col(R).as("idx"), col(V)))
+
+  /** [[sumRowVectors]] as a RowVector view (idx = column id). */
+  def sumRowVector: RowVector =
+    RowVector(sumRowVectors.select(col(C).as("idx"), col(V)))
 
   /** Per-column top-k (topColElems, Matrix.scala:407-409). */
   def topColElems(k: Int): Matrix = transpose.topRowElems(k).transpose

@@ -23,8 +23,13 @@ final case class RowVector(df: DataFrame) {
 
   def *(k: Double): RowVector = RowVector(df.withColumn(V, col(V) * k))
 
+  /** Sparse add: union + sum, exact-zero results dropped (reference
+    * vector arithmetic routes through Matrix.+ and its monoid
+    * nonZeroOption).
+    */
   def +(other: RowVector): RowVector =
-    RowVector(df.unionByName(other.df).groupBy("idx").agg(sum(V).as(V)))
+    RowVector(df.unionByName(other.df).groupBy("idx").agg(sum(V).as(V))
+      .filter(col(V) =!= 0.0))
 
   /** Σ vᵢ·wᵢ — a Scalar. */
   def dot(other: ColVector): DataFrame =
@@ -42,6 +47,12 @@ final case class RowVector(df: DataFrame) {
   /** Place on a matrix diagonal (DiagonalMatrix). */
   def diag: Matrix =
     Matrix(df.select(col("idx").as(R), col("idx").as(C), col(V)))
+
+  /** The vector as a 1×n matrix occupying row `r` (reference
+    * RowVector.toMatrix, Matrix.scala:826-833).
+    */
+  def toMatrix(r: Long): Matrix =
+    Matrix(df.select(lit(r).as(R), col("idx").as(C), col(V)))
 
   def topElems(k: Int): RowVector = {
     val w = org.apache.spark.sql.expressions.Window
@@ -66,11 +77,13 @@ final case class ColVector(df: DataFrame) {
 
   def *(k: Double): ColVector = ColVector(df.withColumn(V, col(V) * k))
 
-  /** Sparse add — union + sum, absent entries are zero (reference
-    * ColVector arithmetic via toMatrix addition, Matrix.scala:894).
+  /** Sparse add — union + sum, absent entries are zero and exact-zero
+    * results are dropped (reference ColVector arithmetic via toMatrix
+    * addition and its monoid nonZeroOption, Matrix.scala:894).
     */
   def +(other: ColVector): ColVector =
-    ColVector(df.unionByName(other.df).groupBy("idx").agg(sum(V).as(V)))
+    ColVector(df.unionByName(other.df).groupBy("idx").agg(sum(V).as(V))
+      .filter(col(V) =!= 0.0))
 
   def -(other: ColVector): ColVector = this + (other * -1.0)
 
@@ -80,6 +93,18 @@ final case class ColVector(df: DataFrame) {
     * .scala:94-99).
     */
   def l1Norm: DataFrame = df.agg(sum(abs(col(V))).as("scalar"))
+
+  /** Place on a matrix diagonal (reference ColVector.diag,
+    * Matrix.scala:905).
+    */
+  def diag: Matrix =
+    Matrix(df.select(col("idx").as(R), col("idx").as(C), col(V)))
+
+  /** The vector as an n×1 matrix occupying column `c` (reference
+    * ColVector.toMatrix, Matrix.scala:897-903).
+    */
+  def toMatrix(c: Long): Matrix =
+    Matrix(df.select(col("idx").as(R), lit(c).as(C), col(V)))
 
   /** Outer product v wᵀ — a full matrix. */
   def outer(row: RowVector): Matrix =
