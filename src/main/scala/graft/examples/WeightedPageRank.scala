@@ -52,9 +52,11 @@ object WeightedPageRank {
     val pagerankNext = contrib.groupBy("src_id").agg(sum("mass_n").as("mass_n"))
 
     // dead mass: 1-row scalar, broadcast back (crossWithTiny in the
-    // reference; numNodes is a driver-known constant here)
+    // reference; numNodes is a driver-known constant here). Coalesced:
+    // an all-dangling graph makes pagerankNext empty and sum NULL,
+    // but its dead mass is the full unit of rank, not NULL.
     val dead = pagerankNext.agg(
-      ((lit(1.0) - sum("mass_n")) / numNodes).as("__dead"))
+      ((lit(1.0) - coalesce(sum("mass_n"), lit(0.0))) / numNodes).as("__dead"))
 
     val randomPagerank = nodeJoined.crossJoin(broadcast(dead))
       .select(col("src_id"),
@@ -95,19 +97,28 @@ class WeightedPageRankJob(args: Args) extends GraftJob(args) {
 
     val nodes = spark.read.parquet(args("nodes")).localCheckpoint()
     val n = nodes.count()
-    var ranks = nodes.select(col("src_id"), col("mass_prior").as("mass_input"))
+    // `checkpointed` tracks the frame actually holding blocks so each
+    // superseded iteration is released — unpersisting a derived select
+    // would miss them, and a long run would pin every iteration's rank
+    // table in storage
+    var checkpointed = nodes
+      .select(col("src_id"), col("mass_prior").as("mass_input"))
       .localCheckpoint()
+    var ranks = checkpointed
     var iter = 0
     var diff = Double.MaxValue
     while (iter < maxIters && diff > threshold) {
       val out = WeightedPageRank.iterate(nodes, ranks, alpha, weighted, n)
         .localCheckpoint()
       diff = WeightedPageRank.totalDiff(out)
+      checkpointed.unpersist(blocking = false)
+      checkpointed = out
       ranks = out.select(col("src_id"), col("mass_n").as("mass_input"))
       iter += 1
     }
     ranks.select(col("src_id"), col("mass_input").as("mass"))
       .write.mode("overwrite").parquet(args("output"))
+    checkpointed.unpersist(blocking = false)
   }
 }
 

@@ -90,9 +90,12 @@ final case class ColVector(df: DataFrame) {
   /** Σ |vᵢ| as a 1-row scalar frame — the convergence read-back of
     * iterative jobs (reference WeightedPageRankFromMatrix
     * measureConvergenceAndStore, examples/WeightedPageRankFromMatrix
-    * .scala:94-99).
+    * .scala:94-99). Coalesced to 0.0: a sparse vector at its exact
+    * fixpoint is the EMPTY frame (zero-dropping subtraction), and
+    * sum-of-nothing must read as converged, not NULL.
     */
-  def l1Norm: DataFrame = df.agg(sum(abs(col(V))).as("scalar"))
+  def l1Norm: DataFrame =
+    df.agg(coalesce(sum(abs(col(V))), lit(0.0)).as("scalar"))
 
   /** Place on a matrix diagonal (reference ColVector.diag,
     * Matrix.scala:905).

@@ -29,6 +29,44 @@ object Bpe {
 
   final case class Merge(rank: Int, left: String, right: String)
 
+  /** A word's initial symbol sequence: one symbol per Unicode CODE
+    * POINT (+ the end-of-word sentinel). Splitting on code units would
+    * shear supplementary-plane characters (emoji, rare CJK) into lone
+    * surrogates — symbols no other engine (the SQL oracle slices
+    * per-character) would ever produce.
+    */
+  def charSymbols(word: String): Array[String] = {
+    val out = new Array[String](word.codePointCount(0, word.length) + 1)
+    var i = 0; var k = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      val n = Character.charCount(cp)
+      out(k) = word.substring(i, i + n)
+      i += n; k += 1
+    }
+    out(k) = Eow
+    out
+  }
+
+  /** Strict UTF-8 byte-wise less-than — the collation Spark's
+    * UTF8String ordering and DuckDB's binary string comparison both
+    * use. The driver-local trainer must tie-break with THIS, not
+    * Scala's UTF-16 `<`, or the two training paths could order
+    * count-tied pairs differently on supplementary-plane symbols.
+    */
+  private[ml] def ltUtf8(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   /** Learn `nMerges` merges from a corpus of documents. */
   def train(docs: Dataset[String], nMerges: Int): Seq[Merge] = {
     val spark = docs.sparkSession
@@ -78,6 +116,10 @@ object Bpe {
     *    and ab+c both minting "abc") closes the batch: merging it
     *    inflates existing pairs that contain that symbol, so nothing
     *    may be applied after it within the round.
+    *  - a selected SELF-pair (a,a) also closes the batch: runs of the
+    *    symbol mint pairs like (aa,aa) and (aa,a) whose counts are
+    *    bounded by the self-pair's own count — above the excluded
+    *    bound the next rule relies on.
     *  - every selection after the first must have count STRICTLY
     *    above the first excluded pair's count. Any pair outside the
     *    batch holds count ≤ that bound throughout the batch (counts
@@ -102,10 +144,18 @@ object Bpe {
     // with incremental pair-count maintenance: zero further Spark jobs
     // instead of a driver round-trip per merge round. The distributed
     // batched loop below remains the path for unbounded vocabularies
-    // (threshold 0 forces it).
-    if (localVocabThreshold > 0 && words.count() <= localVocabThreshold)
-      trainLocal(words.collect(), nMerges)
-    else trainDistributed(spark, words, nMerges, batchCap)
+    // (threshold 0 forces it). The table is persisted across the
+    // dispatch so the count probe and the chosen path share one
+    // computation of the corpus-sized shuffle.
+    if (localVocabThreshold <= 0)
+      trainDistributed(spark, words, nMerges, batchCap)
+    else {
+      val w = words.persist()
+      try {
+        if (w.count() <= localVocabThreshold) trainLocal(w.collect(), nMerges)
+        else trainDistributed(spark, w, nMerges, batchCap)
+      } finally w.unpersist(blocking = false)
+    }
   }
 
   /** Exact sequential BPE over a collected (word, count) table with
@@ -116,7 +166,7 @@ object Bpe {
     * (count desc, left asc, right asc) selection).
     */
   def trainLocal(wordCounts: Array[(String, Long)], nMerges: Int): Seq[Merge] = {
-    val syms = wordCounts.map { case (w, _) => w.map(_.toString).toArray :+ Eow }
+    val syms = wordCounts.map { case (w, _) => charSymbols(w) }
     val cnts = wordCounts.map(_._2)
     val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
     val occ = scala.collection.mutable.HashMap
@@ -144,7 +194,8 @@ object Bpe {
       var bestN = Long.MinValue
       pairCounts.foreach { case (p, n) =>
         if (n > bestN || (n == bestN &&
-            (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
+            (ltUtf8(p._1, best._1) ||
+              (p._1 == best._1 && ltUtf8(p._2, best._2))))) {
           best = p; bestN = n
         }
       }
@@ -183,7 +234,7 @@ object Bpe {
     // accumulated tree OOMs Spark's own plan rendering (AQE explains
     // the plan on every update). Same idiom as TrainingDataJob.cut.
     var symbols: Dataset[(Array[String], Long)] = words
-      .map { case (w, c) => (w.map(_.toString).toArray :+ Eow, c) }
+      .map { case (w, c) => (charSymbols(w), c) }
       .localCheckpoint()
 
     // the vocabulary's symbol strings: initial alphabet ∪ minted
@@ -262,6 +313,11 @@ object Bpe {
         sel += ((l, r, n))
         lefts += l; rights += r; mints += minted
         if (known(minted)) open = false // convergent-path mint: close batch
+        // self-pair: merging (a,a) mints pairs like (aa,aa) and (aa,a)
+        // from runs, whose counts are bounded by THIS pair's own count
+        // — not by any excluded pair — so nothing may apply after it
+        // within the round (same closure as the known-mint guard)
+        if (l == r) open = false
         idx += 1
       }
     }
@@ -313,7 +369,7 @@ object Bpe {
     * merges in rank order) — the encode side of the tokenizer.
     */
   def encodeWord(word: String, merges: Seq[Merge]): Array[String] = {
-    var syms = word.toLowerCase.map(_.toString).toArray :+ Eow
+    var syms = charSymbols(word.toLowerCase)
     merges.sortBy(_.rank).foreach(m => syms = applyMerge(syms, m.left, m.right))
     syms
   }
@@ -340,7 +396,7 @@ object Bpe {
         val hit = memo.get(word)
         if (hit != null) hit
         else {
-          var syms = word.map(_.toString).toArray :+ Eow
+          var syms = charSymbols(word)
           var i = 0
           while (i < ranked.length) {
             syms = applyMerge(syms, ranked(i)._1, ranked(i)._2); i += 1

@@ -469,12 +469,13 @@ object TextQueries extends QueryGroup {
     // full sequential algorithm in SQL: 12 unrolled stages over a
     // separator-encoded symbol string per word, each stage = pair
     // count + (count desc, left, right) argmax + merge application.
-    // Greedy left-to-right merging maps onto string replace() (leftmost
-    // non-overlapping), applied twice because adjacent occurrences
-    // share an encoded separator — pass 1 leaves any blocked occurrence
-    // isolated, pass 2 takes it. CTEs are MATERIALIZED: each stage is
-    // referenced twice (pairs + next state), and inlining would double
-    // the work per stage.
+    // The merge applies as an explicit greedy left-to-right
+    // list_reduce scan (merge the incoming symbol into the
+    // accumulator's tail when the tail is the merge's left) — string
+    // replace() tricks cannot reproduce greedy tokenization of
+    // self-pair runs like "aaaaa". CTEs are MATERIALIZED: each stage
+    // is referenced twice (pairs + next state), and inlining would
+    // double the work per stage.
     q("q_text_bpe", TextQueries.bpeOracleSql(12)) { (s, dir) =>
       import s.implicits._
       val docs = t(s, dir, "documents").select("text").as[String]
@@ -544,8 +545,12 @@ object TextQueries extends QueryGroup {
   /** DuckDB SQL computing `nMerges` sequential BPE merges over the
     * documents table — the q_text_bpe oracle. Per-word state is the
     * symbol sequence joined on the 0x1f unit separator with leading/
-    * trailing separators, so a pair occurrence is the literal
-    * `US l US r US` and merging is `replace()` with `US lr US`.
+    * trailing separators; each stage counts adjacent pairs, takes the
+    * (count desc, left, right) argmax, and re-tokenizes by a greedy
+    * left-to-right list_reduce (append the symbol, or fuse it into the
+    * accumulator's tail exactly when the tail is the merge's left —
+    * the fused tail can never re-fuse, which is greedy semantics,
+    * self-pair runs included).
     */
   def bpeOracleSql(nMerges: Int): String = {
     val sb = new StringBuilder
@@ -574,9 +579,13 @@ object TextQueries extends QueryGroup {
                 |  SELECT l, r FROM p$i ORDER BY n DESC, l ASC, r ASC LIMIT 1
                 |),
                 |s${i + 1} AS MATERIALIZED (
-                |  SELECT cnt, replace(replace(state,
-                |      chr(31)||l||chr(31)||r||chr(31), chr(31)||l||r||chr(31)),
-                |      chr(31)||l||chr(31)||r||chr(31), chr(31)||l||r||chr(31)) AS state
+                |  SELECT cnt, list_reduce(
+                |    list_prepend(chr(31),
+                |      list_filter(string_split(state, chr(31)), x -> x <> '')),
+                |    (acc, x) -> CASE
+                |      WHEN x = b$i.r AND ends_with(acc, chr(31)||b$i.l||chr(31))
+                |      THEN substr(acc, 1, length(acc)-1) || b$i.r || chr(31)
+                |      ELSE acc || x || chr(31) END) AS state
                 |  FROM s$i, b$i
                 |)""".stripMargin
     }

@@ -109,6 +109,30 @@ class BpeSpec extends SparkSpec {
     assert(distributed.map(m => (m.left, m.right)) == expected)
   }
 
+  test("a selected self-pair closes the batch (its mints out-count the excluded bound)") {
+    import spark.implicits._
+    // (a,a) wins round 1 at 700; (p,q) at 200 is symbol-disjoint and
+    // above the 100 bound, so an unguarded batcher would pair them —
+    // but merging (a,a) mints (aa,aa) at 300, the true second merge.
+    val corpus = Seq.fill(100)("xaaaaaaaay pqpqz").toDS()
+    val words = Bpe.wordCounts(corpus)
+    val got = Bpe.trainFromCounts(spark, words, nMerges = 4,
+      batchCap = 64, localVocabThreshold = 0L)
+    val expected = localBpe(Map("xaaaaaaaay" -> 100L, "pqpqz" -> 100L), 4)
+    assert(got.map(m => (m.left, m.right)) == expected)
+    assert(expected.take(2) == Seq(("a", "a"), ("aa", "aa")))
+    // and the driver-local trainer agrees
+    assert(Bpe.trainFromCounts(spark, words, nMerges = 4)
+      .map(m => (m.left, m.right)) == expected)
+  }
+
+  test("charSymbols splits by code point, not UTF-16 code unit") {
+    val w = "a😀b" // a, U+1F600 (emoji, surrogate pair), b
+    assert(Bpe.charSymbols(w).toSeq ==
+      Seq("a", "😀", "b", Bpe.Eow))
+    assert(Bpe.encodeWord(w, Seq.empty).mkString == w.toLowerCase + Bpe.Eow)
+  }
+
   test("encodeWord applies merges in rank order") {
     import spark.implicits._
     val docs = Seq.fill(50)("low lower lowest").toDS()
