@@ -42,10 +42,13 @@ object FieldsApi {
       df.select(exprs.map { case (e, n) => e.as(n) }: _*)
 
     /** Explode an array column to rows (RichPipe.flatten,
-      * RichPipe.scala:406).
+      * RichPipe.scala:406). Flattening in place (as == field) replaces
+      * the column rather than dropping it.
       */
-    def flatten(field: String, as: String): DataFrame =
-      df.withColumn(as, explode(col(field))).drop(field)
+    def flatten(field: String, as: String): DataFrame = {
+      val exploded = df.withColumn(as, explode(col(field)))
+      if (as == field) exploded else exploded.drop(field)
+    }
 
     /** Approximate-in-reference, exact here (RichPipe.limit:477). */
     def limitTo(n: Int): DataFrame = df.limit(n)
