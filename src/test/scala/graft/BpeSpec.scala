@@ -133,6 +133,24 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.encodeWord(w, Seq.empty).mkString == w.toLowerCase + Bpe.Eow)
   }
 
+  test("randomized corpora: distributed batching == sequential reference (fixed seed)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(0xb9e5eed)
+    (1 to 3).foreach { trial =>
+      // tiny alphabet → dense ties, chains, self-pair runs
+      val words = (1 to 30).map { _ =>
+        val w = (1 to (1 + rng.nextInt(6)))
+          .map(_ => "ab" (rng.nextInt(2))).mkString
+        w -> (1L + rng.nextInt(300))
+      }.groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).sum }
+      val ds = words.toSeq.toDS()
+      val got = Bpe.trainFromCounts(spark, ds, nMerges = 12,
+        batchCap = 64, localVocabThreshold = 0L)
+      val expected = localBpe(words, 12)
+      assert(got.map(m => (m.left, m.right)) == expected, s"trial $trial: $words")
+    }
+  }
+
   test("encodeWord applies merges in rank order") {
     import spark.implicits._
     val docs = Seq.fill(50)("low lower lowest").toDS()

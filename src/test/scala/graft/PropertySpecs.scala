@@ -231,3 +231,51 @@ object ArgsProperties extends Properties("Args") {
       a.list(k) == List(n.toString) && a.positional.isEmpty
     }
 }
+
+/** The driver-local BPE trainer (incremental pair-count maintenance)
+  * against a naive recount-everything sequential reference, over
+  * randomized skew-heavy corpora on a tiny alphabet — small alphabets
+  * force exactly the adversarial structures the incremental updates
+  * and tie-breaks must survive: count ties, chained pairs, self-pair
+  * runs, convergent merge paths.
+  */
+object BpeLocalProperties extends Properties("BpeLocal") {
+
+  import graft.ml.Bpe
+
+  private def naive(words: Map[String, Long], n: Int): Seq[(String, String)] = {
+    var syms: Seq[(Vector[String], Long)] =
+      words.toSeq.map { case (w, c) => (Bpe.charSymbols(w).toVector, c) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (out.size < n && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      syms.foreach { case (s, c) =>
+        s.sliding(2).filter(_.size == 2).foreach { p =>
+          val k = (p(0), p(1)); counts(k) = counts.getOrElse(k, 0L) + c
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val best = counts.toSeq.sortBy { case ((l, r), c) => (-c, l, r) }.head._1
+        out += best
+        syms = syms.map { case (s, c) =>
+          (Bpe.applyMerge(s.toArray, best._1, best._2).toVector, c)
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  private val genWord =
+    Gen.choose(1, 7).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+  private val genCorpus = Gen.mapOf(
+    Gen.zip(genWord, Gen.choose(1L, 50L))).suchThat(_.nonEmpty)
+
+  property("incremental local trainer == naive sequential reference") =
+    forAll(genCorpus, Gen.choose(1, 24)) { (corpus, n) =>
+      Bpe.trainLocal(corpus.toArray, n)
+        .map(m => (m.left, m.right)) == naive(corpus, n)
+    }
+}
