@@ -64,6 +64,23 @@ class SemanticsSpec extends SparkSpec {
     }
   }
 
+  test("skewJoin on an AQE-off session routes to the salted fallback and stays correct") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val l = (1 to 1500).map(_ =>
+      (if (rnd.nextInt(3) == 0) 7 else rnd.nextInt(40), rnd.nextInt(100)))
+      .toDF("k", "a")
+    val r = (1 to 400).map(_ => (rnd.nextInt(40), rnd.nextInt(100))).toDF("k", "b")
+    val expected = l.join(r, "k").groupBy("k").count()
+      .collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val got = Joins.skewJoin(l, r, Seq("k"))
+        .groupBy("k").count().collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
+      assert(got == expected, "AQE-off skewJoin fallback diverged")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("encoder round-trips for the aggregation value types (KryoTest analog)") {
     import spark.implicits._
     // tuples, options, collections — the types the reference shipped
