@@ -483,6 +483,24 @@ object TextQueries extends QueryGroup {
         .toDF().select("rank", "left", "right").orderBy("rank")
     },
 
+    // tokenizer application at corpus scale: train 12 merges, encode
+    // every document (shuffle-free memoized mapPartitions — the ranked
+    // merge table ships in the closure), count tokens per document.
+    // The oracle reuses the training stages and reads each word's
+    // token count off the final merged-state table, which is exactly
+    // what ranked-greedy encoding produces for corpus words.
+    q("q_text_bpe_encode", TextQueries.bpeEncodeOracleSql(12)) { (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val merges = graft.ml.Bpe.train(docs.select("text").as[String], 12)
+      graft.ml.Bpe.encode(
+          docs.select(col("doc_id").cast("long"), col("text"))
+            .as[(Long, String)], merges)
+        .toDF("doc_id", "toks")
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    },
+
     // realistic-vocabulary BPE: 256 merges, exercising the batched
     // merge rounds (each Spark round learns a provably-independent
     // prefix of the ranked pairs — see Bpe.trainFromCounts). No SQL
@@ -553,6 +571,44 @@ object TextQueries extends QueryGroup {
     * self-pair runs included).
     */
   def bpeOracleSql(nMerges: Int): String = {
+    val finals = (0 until nMerges)
+      .map(i => s"SELECT $i AS rank, l AS left, r AS right FROM b$i")
+      .mkString("\nUNION ALL ")
+    bpeStagesSql(nMerges) + s"\nSELECT * FROM (\n$finals\n) ORDER BY rank"
+  }
+
+  /** DuckDB SQL for the q_text_bpe_encode oracle: run the same
+    * `nMerges` training stages, then read each word's token count off
+    * the FINAL state table (the fully-merged symbol sequence — exactly
+    * what ranked-greedy `Bpe.encodeWord` produces for corpus words)
+    * and sum per document. Left join: a whitespace-only document has
+    * zero tokens, not a missing row.
+    */
+  def bpeEncodeOracleSql(nMerges: Int): String =
+    bpeStagesSql(nMerges) + s""",
+       |wtok AS MATERIALIZED (
+       |  SELECT word, len(list_filter(string_split(state, chr(31)),
+       |    x -> x <> '')) AS ntok
+       |  FROM s$nMerges
+       |),
+       |docw AS (
+       |  SELECT doc_id, w AS word FROM (
+       |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+       |    FROM documents
+       |  ) WHERE w <> ''
+       |)
+       |SELECT d.doc_id,
+       |  coalesce(sum(wt.ntok), 0)::BIGINT AS n_bpe_tokens
+       |FROM (SELECT doc_id FROM documents) base
+       |LEFT JOIN docw d USING (doc_id)
+       |LEFT JOIN wtok wt ON d.word = wt.word
+       |GROUP BY 1 ORDER BY d.doc_id""".stripMargin
+
+  /** The shared `nMerges` training stages: per-word separator-encoded
+    * symbol state, per-stage pair count + argmax + greedy list_reduce
+    * merge application.
+    */
+  private def bpeStagesSql(nMerges: Int): String = {
     val sb = new StringBuilder
     sb ++= """WITH w0 AS MATERIALIZED (
              |  SELECT w AS word, count(*)::BIGINT AS cnt FROM (
@@ -561,7 +617,7 @@ object TextQueries extends QueryGroup {
              |  ) WHERE w <> '' GROUP BY 1
              |),
              |s0 AS MATERIALIZED (
-             |  SELECT cnt, chr(31) || array_to_string(
+             |  SELECT word, cnt, chr(31) || array_to_string(
              |      list_transform(generate_series(1, length(word)), i -> word[i:i]),
              |      chr(31)) || chr(31) || '</w>' || chr(31) AS state
              |  FROM w0
@@ -579,7 +635,7 @@ object TextQueries extends QueryGroup {
                 |  SELECT l, r FROM p$i ORDER BY n DESC, l ASC, r ASC LIMIT 1
                 |),
                 |s${i + 1} AS MATERIALIZED (
-                |  SELECT cnt, list_reduce(
+                |  SELECT word, cnt, list_reduce(
                 |    list_prepend(chr(31),
                 |      list_filter(string_split(state, chr(31)), x -> x <> '')),
                 |    (acc, x) -> CASE
@@ -589,10 +645,6 @@ object TextQueries extends QueryGroup {
                 |  FROM s$i, b$i
                 |)""".stripMargin
     }
-    val finals = (0 until nMerges)
-      .map(i => s"SELECT $i AS rank, l AS left, r AS right FROM b$i")
-      .mkString("\nUNION ALL ")
-    sb ++= s"\nSELECT * FROM (\n$finals\n) ORDER BY rank"
     sb.toString
   }
 }
