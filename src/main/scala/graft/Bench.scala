@@ -49,8 +49,10 @@ object Bench {
     "q_text_tfidf",
     "q_text_chunk",
     "q_events_attribution",
-    // round-7: batched BPE vocabulary induction (256 merges)
-    "q_text_bpe_deep")
+    // round-7: batched BPE vocabulary induction (256 merges) +
+    // corpus-wide tokenizer application
+    "q_text_bpe_deep",
+    "q_text_bpe_encode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -308,6 +308,46 @@ final case class Matrix(df: DataFrame) {
   def zipMap(other: Matrix)(fn: (Column, Column) => Column): Matrix =
     elemWiseOp(other)(fn)
 
+  /** Map each stored value with access to its indices — only nonzero
+    * cells are visited, and zero results are dropped (reference
+    * mapWithIndex, Matrix.scala:221-227).
+    */
+  def mapWithIndex(fn: (Column, Column, Column) => Column): Matrix =
+    Matrix(df.select(col(R), col(C), fn(col(V), col(R), col(C)).as(V))
+      .filter(col(V) =!= 0.0))
+
+  /** Fold all rows into one row vector with an aggregate over each
+    * column's present entries; zeros dropped (reference
+    * reduceRowVectors, Matrix.scala:255-266 — the closure reduce is
+    * expressed as an aggregate Column, e.g. `max`, `min`, `product`).
+    */
+  def reduceRowVectors(agg: Column => Column): RowVector =
+    RowVector(df.groupBy(col(C).as("idx")).agg(agg(col(V)).as(V))
+      .filter(col(V) =!= 0.0))
+
+  /** Fold all columns into one column vector (reference
+    * reduceColVectors, Matrix.scala:395-397).
+    */
+  def reduceColVectors(agg: Column => Column): ColVector =
+    ColVector(df.groupBy(col(R).as("idx")).agg(agg(col(V)).as(V))
+      .filter(col(V) =!= 0.0))
+
+  /** Σ over every cell as a 1-row scalar frame (reference Matrix.sum,
+    * Matrix.scala:501-503). Coalesced: an empty matrix sums to 0.
+    */
+  def sum_ : DataFrame =
+    df.agg(coalesce(sum(col(V)), lit(0.0)).as("scalar"))
+
+  /** Pair every nonzero with a 1-row scalar frame (column `scalar`)
+    * and map — reference nonZerosWith (Matrix.scala:557-563), the
+    * crossWithTiny idiom: the scalar broadcasts, the matrix never
+    * shuffles.
+    */
+  def nonZerosWith(scalar: DataFrame)(fn: (Column, Column) => Column): Matrix =
+    Matrix(df.crossJoin(broadcast(scalar))
+      .select(col(R), col(C), fn(col(V), col("scalar")).as(V))
+      .filter(col(V) =!= 0.0))
+
   /** Row `r` as a RowVector (reference getRow, Matrix.scala:510). */
   def getRow(r: Long): RowVector = Vectors.rowOf(this, r)
 

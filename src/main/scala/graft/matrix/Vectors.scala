@@ -48,6 +48,14 @@ final case class RowVector(df: DataFrame) {
   def diag: Matrix =
     Matrix(df.select(col("idx").as(R), col("idx").as(C), col(V)))
 
+  /** Element-wise 1/x, zeros ignored (reference
+    * DiagonalMatrix.inverse, Matrix.scala:749-755 — `v.inverse.diag`
+    * is the diagonal-matrix inverse used by normalizations).
+    */
+  def inverse: RowVector =
+    RowVector(df.filter(col(V) =!= 0.0)
+      .select(col("idx"), (lit(1.0) / col(V)).as(V)))
+
   /** The vector as a 1×n matrix occupying row `r` (reference
     * RowVector.toMatrix, Matrix.scala:826-833).
     */
@@ -102,6 +110,13 @@ final case class ColVector(df: DataFrame) {
     */
   def diag: Matrix =
     Matrix(df.select(col("idx").as(R), col("idx").as(C), col(V)))
+
+  /** Element-wise 1/x, zeros ignored (reference
+    * DiagonalMatrix.inverse via toCol, Matrix.scala:749-755).
+    */
+  def inverse: ColVector =
+    ColVector(df.filter(col(V) =!= 0.0)
+      .select(col("idx"), (lit(1.0) / col(V)).as(V)))
 
   /** The vector as an n×1 matrix occupying column `c` (reference
     * ColVector.toMatrix, Matrix.scala:897-903).

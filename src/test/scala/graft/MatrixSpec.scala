@@ -104,6 +104,30 @@ class MatrixSpec extends SparkSpec {
     assert(entriesOf(a.removeRowsBy(rows)) == Set((1L, 0L, 3.0), (1L, 1L, 4.0)))
   }
 
+  test("mapWithIndex / reduce vectors / total sum / nonZerosWith / inverse") {
+    import org.apache.spark.sql.functions._
+    // keep the strict upper triangle; produced zeros drop
+    assert(entriesOf(a.mapWithIndex((v, r, c) =>
+      when(r < c, v).otherwise(0.0))) == Set((0L, 1L, 2.0)))
+    // column-wise max folded into a row vector; row-wise min into a col
+    assert(a.reduceRowVectors(max).df.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap ==
+      Map(0L -> 3.0, 1L -> 4.0))
+    assert(a.reduceColVectors(min).df.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap ==
+      Map(0L -> 1.0, 1L -> 3.0))
+    assert(a.sum_.collect().head.getDouble(0) == 10.0)
+    // normalize by the total via the broadcast-scalar zip
+    assert(entriesOf(a.nonZerosWith(a.sum_)((v, s) => v / s)) ==
+      Set((0L, 0L, 0.1), (0L, 1L, 0.2), (1L, 0L, 0.3), (1L, 1L, 0.4)))
+    // D^-1 * D = I on the present diagonal
+    val dVec = graft.matrix.ColVector(
+      diag.df.filter(col("row") === col("col"))
+        .select(col("row").as("idx"), col("val")))
+    assert(entriesOf(dVec.inverse.diag * diag) ==
+      Set((0L, 0L, 1.0), (1L, 1L, 1.0)))
+  }
+
   test("propagate pushes labels along edges") {
     import spark.implicits._
     // graph 1->2, 1->3, 3->2 with unit weights; labels: node 1 = 5, node 3 = 7
