@@ -98,6 +98,36 @@ object MatrixQueries extends QueryGroup {
         .orderBy("row", "col")
     },
 
+    // jaccard similarity of supplier part-sets on the zip API
+    // (MatrixTutorial5's pipeline with both set sizes taken from row
+    // degrees, so the result is finite on this directed bipartite
+    // graph): binarize, intersections via the grammian, degrees
+    // painted across the intersection support by zipMapCol/zipMapRow,
+    // |i∪j| = |i|+|j|−|i∩j| by sparse add/subtract.
+    q("q_matrix_jaccard",
+      s"""$baseSql, B AS (
+         |  SELECT row, col, 1.0::DOUBLE AS val FROM A
+         |), I AS (
+         |  SELECT a.row AS row, b.row AS col, CAST(count(*) AS DOUBLE) AS v
+         |  FROM B a JOIN B b ON a.col = b.col GROUP BY 1, 2
+         |), D AS (
+         |  SELECT row, CAST(count(*) AS DOUBLE) AS d FROM B GROUP BY row
+         |)
+         |SELECT I.row AS row, I.col AS col,
+         |  round(I.v / (di.d + dj.d - I.v), 6) AS val
+         |FROM I JOIN D di ON I.row = di.row JOIN D dj ON I.col = dj.row
+         |ORDER BY row, col""".stripMargin) { (s, dir) =>
+      val b = baseMatrix(s, dir).binarizeAs()
+      val inter = b.grammian
+      val deg = b.sumColVector
+      val x = inter.zipMapCol(deg)((_, u) => u)
+      val y = inter.zipMapRow(graft.matrix.RowVector(deg.df))((_, u) => u)
+      val union = x + y - inter
+      inter.zipMap(union)((a, u) => a / u).df
+        .select(col("row"), col("col"), round(col("val"), 6).as("val"))
+        .orderBy("row", "col")
+    },
+
     // row L1 normalization (Matrix.rowL1Normalize:725): each
     // supplier's quantity distribution over parts.
     q("q_matrix_rownorm",
