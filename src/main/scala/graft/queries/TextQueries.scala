@@ -502,13 +502,12 @@ object TextQueries extends QueryGroup {
     },
 
     // realistic-vocabulary BPE: 256 merges, exercising the batched
-    // merge rounds (each Spark round learns a provably-independent
-    // prefix of the ranked pairs — see Bpe.trainFromCounts). No SQL
-    // oracle: a 256-stage unrolled CTE chain exceeds DuckDB's
-    // max_expression_depth (the binder counts the stage dependency
-    // chain), so correctness is pinned by BpeSpec's 256-merge
-    // byte-equality test against a single-node reference instead.
-    qNoOracle("q_text_bpe_deep") { (s, dir) =>
+    // merge rounds / hybrid dispatch (see Bpe.trainFromCounts). The
+    // recursive-CTE oracle iterates to any depth (the unrolled form
+    // hit DuckDB's max_expression_depth), so this gate is fully
+    // hash-checked too; BpeSpec additionally pins 256-merge
+    // byte-equality against a single-node reference.
+    q("q_text_bpe_deep", TextQueries.bpeOracleSql(256)) { (s, dir) =>
       import s.implicits._
       val docs = t(s, dir, "documents").select("text").as[String]
       graft.ml.Bpe.train(docs, nMerges = 256)
@@ -570,81 +569,80 @@ object TextQueries extends QueryGroup {
     * the fused tail can never re-fuse, which is greedy semantics,
     * self-pair runs included).
     */
-  def bpeOracleSql(nMerges: Int): String = {
-    val finals = (0 until nMerges)
-      .map(i => s"SELECT $i AS rank, l AS left, r AS right FROM b$i")
-      .mkString("\nUNION ALL ")
-    bpeStagesSql(nMerges) + s"\nSELECT * FROM (\n$finals\n) ORDER BY rank"
-  }
+  def bpeOracleSql(nMerges: Int): String =
+    bpeRecursiveSql(nMerges) +
+      """
+        |SELECT DISTINCT iter - 1 AS rank, ml AS left, mr AS right
+        |FROM st WHERE iter >= 1 ORDER BY rank""".stripMargin
 
   /** DuckDB SQL for the q_text_bpe_encode oracle: run the same
-    * `nMerges` training stages, then read each word's token count off
-    * the FINAL state table (the fully-merged symbol sequence — exactly
-    * what ranked-greedy `Bpe.encodeWord` produces for corpus words)
-    * and sum per document. Left join: a whitespace-only document has
-    * zero tokens, not a missing row.
+    * `nMerges` training iterations, then read each word's token count
+    * off the FINAL state level (the fully-merged symbol sequence —
+    * exactly what ranked-greedy `Bpe.encodeWord` produces for corpus
+    * words) and sum per document. Left join: a whitespace-only
+    * document has zero tokens, not a missing row.
     */
   def bpeEncodeOracleSql(nMerges: Int): String =
-    bpeStagesSql(nMerges) + s""",
-       |wtok AS MATERIALIZED (
+    bpeRecursiveSql(nMerges) + """,
+       |wtok AS (
        |  SELECT word, len(list_filter(string_split(state, chr(31)),
        |    x -> x <> '')) AS ntok
-       |  FROM s$nMerges
+       |  FROM st WHERE iter = (SELECT max(iter) FROM st)
        |),
        |docw AS (
        |  SELECT doc_id, w AS word FROM (
-       |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+       |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w
        |    FROM documents
        |  ) WHERE w <> ''
        |)
-       |SELECT d.doc_id,
+       |SELECT base.doc_id,
        |  coalesce(sum(wt.ntok), 0)::BIGINT AS n_bpe_tokens
        |FROM (SELECT doc_id FROM documents) base
        |LEFT JOIN docw d USING (doc_id)
        |LEFT JOIN wtok wt ON d.word = wt.word
-       |GROUP BY 1 ORDER BY d.doc_id""".stripMargin
+       |GROUP BY 1 ORDER BY base.doc_id""".stripMargin
 
-  /** The shared `nMerges` training stages: per-word separator-encoded
-    * symbol state, per-stage pair count + argmax + greedy list_reduce
-    * merge application.
+  /** The training loop as ONE recursive CTE: each level is the full
+    * per-word state table after `iter` merges, the level's argmax pair
+    * comes from a 1-row join subquery over the working table (legal
+    * where a plain aggregate in the recursive term is not), and the
+    * greedy list_reduce scan applies it. Depth-safe at any merge count
+    * — the unrolled-CTE form hit DuckDB's max_expression_depth (the
+    * binder counts the stage dependency chain) beyond ~100 stages.
+    * Recursion stops early when no pairs remain (every word fully
+    * merged), matching the engine's exhaustion behavior; each level's
+    * rows carry the (ml, mr) pair that produced them.
     */
-  private def bpeStagesSql(nMerges: Int): String = {
-    val sb = new StringBuilder
-    sb ++= """WITH w0 AS MATERIALIZED (
-             |  SELECT w AS word, count(*)::BIGINT AS cnt FROM (
-             |    SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
-             |    FROM documents
-             |  ) WHERE w <> '' GROUP BY 1
-             |),
-             |s0 AS MATERIALIZED (
-             |  SELECT word, cnt, chr(31) || array_to_string(
-             |      list_transform(generate_series(1, length(word)), i -> word[i:i]),
-             |      chr(31)) || chr(31) || '</w>' || chr(31) AS state
-             |  FROM w0
-             |)""".stripMargin
-    for (i <- 0 until nMerges) {
-      sb ++= s""",
-                |p$i AS MATERIALIZED (
-                |  SELECT p[1] AS l, p[2] AS r, sum(cnt) AS n
-                |  FROM (SELECT cnt, list_filter(string_split(state, chr(31)),
-                |          x -> x <> '') AS ss FROM s$i),
-                |    unnest(list_zip(ss[1:-2], ss[2:-1])) AS t(p)
-                |  GROUP BY 1, 2
-                |),
-                |b$i AS MATERIALIZED (
-                |  SELECT l, r FROM p$i ORDER BY n DESC, l ASC, r ASC LIMIT 1
-                |),
-                |s${i + 1} AS MATERIALIZED (
-                |  SELECT word, cnt, list_reduce(
-                |    list_prepend(chr(31),
-                |      list_filter(string_split(state, chr(31)), x -> x <> '')),
-                |    (acc, x) -> CASE
-                |      WHEN x = b$i.r AND ends_with(acc, chr(31)||b$i.l||chr(31))
-                |      THEN substr(acc, 1, length(acc)-1) || b$i.r || chr(31)
-                |      ELSE acc || x || chr(31) END) AS state
-                |  FROM s$i, b$i
-                |)""".stripMargin
-    }
-    sb.toString
-  }
+  private def bpeRecursiveSql(nMerges: Int): String =
+    s"""WITH RECURSIVE w0 AS (
+       |  SELECT w AS word, count(*)::BIGINT AS cnt FROM (
+       |    SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+       |    FROM documents
+       |  ) WHERE w <> '' GROUP BY 1
+       |),
+       |st(iter, word, cnt, state, ml, mr) AS (
+       |  SELECT 0, word, cnt, chr(31) || array_to_string(
+       |      list_transform(generate_series(1, length(word)), i -> word[i:i]),
+       |      chr(31)) || chr(31) || '</w>' || chr(31),
+       |    NULL::VARCHAR, NULL::VARCHAR
+       |  FROM w0
+       |  UNION ALL
+       |  SELECT iter + 1, word, cnt,
+       |    list_reduce(
+       |      list_prepend(chr(31),
+       |        list_filter(string_split(state, chr(31)), x -> x <> '')),
+       |      (acc, x) -> CASE
+       |        WHEN x = best.r AND ends_with(acc, chr(31)||best.l||chr(31))
+       |        THEN substr(acc, 1, length(acc)-1) || best.r || chr(31)
+       |        ELSE acc || x || chr(31) END),
+       |    best.l, best.r
+       |  FROM st, (
+       |    SELECT p[1] AS l, p[2] AS r
+       |    FROM (SELECT cnt AS c2, list_filter(string_split(state, chr(31)),
+       |            x -> x <> '') AS ss FROM st),
+       |      unnest(list_zip(ss[1:-2], ss[2:-1])) AS t(p)
+       |    GROUP BY 1, 2 ORDER BY sum(c2) DESC, l ASC, r ASC LIMIT 1
+       |  ) best
+       |  WHERE iter < $nMerges
+       |)""".stripMargin
 }
