@@ -54,7 +54,7 @@ object Bpe {
     * Scala's UTF-16 `<`, or the two training paths could order
     * count-tied pairs differently on supplementary-plane symbols.
     */
-  private[ml] def ltUtf8(a: String, b: String): Boolean = {
+  private[graft] def ltUtf8(a: String, b: String): Boolean = {
     val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var i = 0
@@ -80,7 +80,7 @@ object Bpe {
   def wordCounts(docs: Dataset[String]): Dataset[(String, Long)] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.flatMap(t => t.toLowerCase.split("\\s+").iterator.filter(_.nonEmpty))
+    docs.flatMap(t => t.toLowerCase(java.util.Locale.ROOT).split("\\s+").iterator.filter(_.nonEmpty))
       .groupByKey(identity).count()
   }
 
@@ -292,7 +292,7 @@ object Bpe {
     * the first excluded pair's. The head pair — the true sequential
     * argmax — is always selected.
     */
-  private def selectBatch(ranked: Array[(String, String, Long)], cap: Int,
+  private[graft] def selectBatch(ranked: Array[(String, String, Long)], cap: Int,
       known: scala.collection.Set[String]): Array[(String, String, Long)] = {
     val sel = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     val lefts = scala.collection.mutable.HashSet.empty[String]
@@ -311,8 +311,22 @@ object Bpe {
       if (conflict) open = false
       else {
         sel += ((l, r, n))
-        lefts += l; rights += r; mints += minted
-        if (known(minted)) open = false // convergent-path mint: close batch
+        lefts += l; rights += r
+        // a duplicate in-batch mint (e.g. (a,bc) and (ab,c) both
+        // minting "abc") is admitted but closes the batch: after both
+        // merges a pair (x,abc) would accumulate count from BOTH
+        // sources (up to 2x the truncation bound), so later selections
+        // could diverge from the sequential argmax order. Two distinct
+        // pairs concatenating to the same symbol in the SAME round is
+        // believed unreachable — both counts > 0 would need two
+        // different token tilings of the same substring, but batch
+        // application is one deterministic greedy pass, so every
+        // boundary-intact occurrence of a string tiles identically
+        // (and a boundary-crossed one is never exactly tileable again,
+        // tokens only grow) — the guard is a one-lookup invariant belt.
+        val dupMint = mints(minted)
+        mints += minted
+        if (dupMint || known(minted)) open = false // convergent-path mint: close batch
         // self-pair: merging (a,a) mints pairs like (aa,aa) and (aa,a)
         // from runs, whose counts are bounded by THIS pair's own count
         // — not by any excluded pair — so nothing may apply after it
@@ -369,7 +383,7 @@ object Bpe {
     * merges in rank order) — the encode side of the tokenizer.
     */
   def encodeWord(word: String, merges: Seq[Merge]): Array[String] = {
-    var syms = charSymbols(word.toLowerCase)
+    var syms = charSymbols(word.toLowerCase(java.util.Locale.ROOT))
     merges.sortBy(_.rank).foreach(m => syms = applyMerge(syms, m.left, m.right))
     syms
   }
@@ -406,7 +420,7 @@ object Bpe {
         }
       }
       it.map { case (id, text) =>
-        (id, text.toLowerCase.split("\\s+").iterator
+        (id, text.toLowerCase(java.util.Locale.ROOT).split("\\s+").iterator
           .filter(_.nonEmpty).flatMap(enc).toArray)
       }
     }

@@ -264,6 +264,10 @@ object Similarity {
     * per query — the standard scale path when hyperplane buckets are
     * too coarse. Centroids come from a deterministic sample (a k-means
     * refinement can replace pickCentroids without touching the rest).
+    *
+    * Centroid training is memoized on the corpus PLAN (see
+    * `centroidCache`): if the corpus files are rewritten in-session,
+    * call `PipelineCaches.unpersistAll()` before querying again.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 2, seed: Long = 42L,
@@ -346,6 +350,15 @@ object Similarity {
     * at 100 TB that is the difference between one and two corpus
     * passes per (float, quantized) query pair. Cleared with the
     * pipeline caches so a long session can't hold stale corpora.
+    *
+    * INVALIDATION CONTRACT: the key is `Dataset.semanticHash()` —
+    * a hash of the logical PLAN, not the data. Re-reading the same
+    * path after its files were rewritten in-session produces the
+    * same plan hash and would return the stale centroids. Callers
+    * that mutate an indexed corpus mid-session MUST call
+    * `PipelineCaches.unpersistAll()` (which clears this memo) before
+    * rebuilding the index; batch jobs that read an immutable
+    * snapshot per run (the intended 100 TB shape) need nothing.
     */
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long, Int), Array[Array[Float]]]()

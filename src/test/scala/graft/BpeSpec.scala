@@ -24,7 +24,12 @@ class BpeSpec extends SparkSpec {
       }
       if (counts.isEmpty) done = true
       else {
-        val best = counts.toSeq.sortBy { case ((l, r), c) => (-c, l, r) }.head._1
+        // production collation: UTF-8 byte tie-break, not UTF-16 `<`
+        val best = counts.toSeq.sortWith {
+          case (((l1, r1), c1), ((l2, r2), c2)) =>
+            c1 > c2 || (c1 == c2 && (Bpe.ltUtf8(l1, l2) ||
+              (l1 == l2 && Bpe.ltUtf8(r1, r2))))
+        }.head._1
         out += best
         syms = syms.map { case (s, c) =>
           (Bpe.applyMerge(s.toArray, best._1, best._2).toVector, c)
@@ -124,6 +129,26 @@ class BpeSpec extends SparkSpec {
     // and the driver-local trainer agrees
     assert(Bpe.trainFromCounts(spark, words, nMerges = 4)
       .map(m => (m.left, m.right)) == expected)
+  }
+
+  test("a duplicate in-batch mint closes the batch") {
+    // (a,bc) and (ab,c) both mint "abc": after both merges a pair
+    // (x,abc) could sum count from both sources past the truncation
+    // bound, so the second minting pair must be the batch's last
+    // member. (Believed unreachable from a real corpus — same-round
+    // double-mint needs two tilings of one substring — but the guard
+    // is pinned here directly.)
+    val ranked = Array(
+      ("a", "bc", 100L), ("ab", "c", 90L), ("x", "y", 80L), ("p", "q", 10L))
+    val batch = Bpe.selectBatch(ranked, 64, Set("a", "b", "c", "x", "y", "p", "q"))
+    assert(batch.toSeq == Seq(("a", "bc", 100L), ("ab", "c", 90L)))
+    // without the collision the walk takes the whole independent list
+    // (batch == every existing pair: nothing outside can interleave)
+    val ranked2 = Array(
+      ("a", "bc", 100L), ("d", "e", 90L), ("x", "y", 80L), ("p", "q", 10L))
+    val batch2 = Bpe.selectBatch(ranked2, 64,
+      Set("a", "b", "c", "d", "e", "x", "y", "p", "q"))
+    assert(batch2.toSeq == ranked2.toSeq)
   }
 
   test("charSymbols splits by code point, not UTF-16 code unit") {

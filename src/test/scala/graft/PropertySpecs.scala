@@ -257,7 +257,13 @@ object BpeLocalProperties extends Properties("BpeLocal") {
       }
       if (counts.isEmpty) done = true
       else {
-        val best = counts.toSeq.sortBy { case ((l, r), c) => (-c, l, r) }.head._1
+        // tie-break with the production UTF-8 collation (Bpe.ltUtf8),
+        // not Scala tuple ordering (UTF-16 `<`): they disagree on
+        // supplementary-plane symbols, which genWord now produces
+        val best = counts.toSeq.sortWith { case (((l1, r1), c1), ((l2, r2), c2)) =>
+          c1 > c2 || (c1 == c2 && (Bpe.ltUtf8(l1, l2) ||
+            (l1 == l2 && Bpe.ltUtf8(r1, r2))))
+        }.head._1
         out += best
         syms = syms.map { case (s, c) =>
           (Bpe.applyMerge(s.toArray, best._1, best._2).toVector, c)
@@ -269,7 +275,11 @@ object BpeLocalProperties extends Properties("BpeLocal") {
 
   private val genWord =
     Gen.choose(1, 7).flatMap(n =>
-      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+      // "𝕒" (U+1D552, a surrogate pair) and "�" order differently
+      // under UTF-16 code-unit vs UTF-8 byte comparison — together
+      // they exercise the ltUtf8 collation on count ties
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "𝕒", "�"))
+        .map(_.mkString))
   private val genCorpus = Gen.mapOf(
     Gen.zip(genWord, Gen.choose(1L, 50L))).suchThat(_.nonEmpty)
 
