@@ -715,4 +715,36 @@ object Dedup {
       .withColumn("span_tokens", col("span_end") - col("span_start") + 1L)
       .select("doc_id", "span_start", "span_end", "span_tokens")
   }
+
+  /** Keep-best representative selection: given the full corpus and a
+    * near-duplicate clustering (the `(id, component)` output of
+    * [[connectedComponents]] / [[connectedComponentsStar]]), elect ONE
+    * document per cluster — the argmax of `scoreCol`, ties broken by
+    * lowest id — instead of the blind min-id representative exact
+    * dedup uses. This is the "soft dedup" step real pipelines run:
+    * near-dup groups keep their highest-quality member, and documents
+    * in no cluster survive as their own singleton.
+    *
+    * One broadcast-or-shuffle left join (the clustering table holds
+    * only clustered ids — usually a small fraction of the corpus) plus
+    * one window hash-partitioned by cluster: no global ordering, no
+    * per-key materialization beyond the window's sort of each
+    * cluster's handful of rows. Scales linearly.
+    *
+    * Returns the corpus columns plus `cluster` and boolean `keep`.
+    */
+  def keepBest(docs: DataFrame, idCol: String, components: DataFrame,
+      scoreCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = components
+      .select(col("id").as(idCol), col("component"))
+    val clustered = docs
+      .join(comp, Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("component"), col(idCol).cast("long")))
+      .drop("component")
+    val w = Window.partitionBy("cluster")
+      .orderBy(scoreCol.desc, col(idCol).asc)
+    clustered
+      .withColumn("keep", row_number().over(w) === 1)
+  }
 }

@@ -1,0 +1,117 @@
+package graft.ml
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Corpus-cleaning filters from the public C4 (Raffel et al. 2020,
+  * §2.2) and Gopher (Rae et al. 2021, §A.1.1) recipes — the standard
+  * line- and document-level gates a web-scale training-data pipeline
+  * runs before dedup and mixing. Everything is a pure Column
+  * expression (no UDFs): one codegen'd scan per corpus, so the full
+  * rule set runs at I/O speed over 100 TB and composes with predicate
+  * pushdown when used as a filter.
+  *
+  * Reference corpus ops live in `ml/Corpus.scala`/`ml/TextAnalysis
+  * .scala`; this file is the rule-based cleaning layer between raw
+  * scrape and those stages.
+  */
+object Filters {
+
+  // ---------------------------------------------------------------
+  // C4-style line-level cleaning
+  // ---------------------------------------------------------------
+
+  /** C4 line rule: keep a line iff it ends in terminal punctuation,
+    * has at least `minWords` whitespace words, and does not mention
+    * javascript (the classic boilerplate tell).
+    */
+  def c4LineKeep(line: Column, minWords: Int = 3): Column =
+    line.rlike("[.!?\"']\\s*$") &&
+      size(split(trim(line), "\\s+")) >= minWords &&
+      !lower(line).contains("javascript")
+
+  /** Apply [[c4LineKeep]] to every newline-delimited line and rejoin
+    * the survivors — the cleaned page text.
+    */
+  def c4CleanText(text: Column, minWords: Int = 3): Column =
+    array_join(
+      filter(split(text, "\n"), l => c4LineKeep(l, minWords)), "\n")
+
+  /** C4 page rule over the ORIGINAL text plus its cleaned form: the
+    * page survives iff the cleaned text still holds `minSentences`
+    * sentence-ending marks and the original page has neither the
+    * "lorem ipsum" placeholder nor a curly brace (code/templating
+    * tell). Pair with [[Dedup.duplicateSpans]] for C4's three-sentence
+    * span dedup.
+    */
+  def c4PageKeep(text: Column, cleaned: Column,
+      minSentences: Int = 5): Column =
+    (size(regexp_extract_all(cleaned, lit("[.!?]"), lit(0))) >= minSentences) &&
+      !lower(text).contains("lorem ipsum") &&
+      !text.contains("{")
+
+  // ---------------------------------------------------------------
+  // Gopher-style document-level quality rules
+  // ---------------------------------------------------------------
+
+  /** The stopword-presence list Gopher checks (≥ 2 must appear). */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher repetition-free quality rule set as a struct of named
+    * booleans plus the conjunction `keep` — kept as individual flags
+    * so a pipeline can log WHY documents die (the rule mix shifts per
+    * corpus and per language; blind conjunctions are undebuggable at
+    * scale). Repetition rules (duplicate line/n-gram fractions) are
+    * separate single-scan metrics in [[TextAnalysis
+    * .duplicateTokenFraction]] / [[TextAnalysis.topBigramFraction]].
+    *
+    * Every ratio divides by `greatest(count, 1)` so empty documents
+    * flow through as rule failures, not NULL/∞ surprises — and so a
+    * SQL oracle can reproduce the arithmetic exactly.
+    */
+  def gopherFlags(text: Column, minWords: Int = 50,
+      maxWords: Int = 100000): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val toksLower = TextAnalysis.tokens(lower(text))
+    val nWords = when(length(trim(text)) === 0, 0).otherwise(size(toks))
+    val nWordsSafe = greatest(nWords, lit(1)).cast("double")
+    val mwl = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+      .cast("double") / nWordsSafe
+    // '#' marks and ellipses per word (Gopher: symbol-to-word ≤ 0.1)
+    val nSymbols = size(regexp_extract_all(text, lit("#|\\.\\.\\.|…"), lit(0)))
+    val lines = split(text, "\n")
+    val nLines = greatest(size(lines), lit(1)).cast("double")
+    val nBullet = size(filter(lines, l => trim(l).rlike("^[-*•‣▶]")))
+    val nEllipsis = size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$")))
+    val nAlpha = size(filter(toks, t => t.rlike("[A-Za-zÀ-ÿ]")))
+    val nStops = size(filter(
+      array(gopherStopwords.map(lit): _*),
+      w => array_contains(toksLower, w)))
+
+    val wordCountOk = nWords.between(minWords, maxWords)
+    val mwlOk = mwl.between(3.0, 10.0)
+    val symbolOk = nSymbols.cast("double") / nWordsSafe <= 0.1
+    val bulletOk = nBullet.cast("double") / nLines <= 0.9
+    val ellipsisOk = nEllipsis.cast("double") / nLines <= 0.3
+    val alphaOk = nAlpha.cast("double") / nWordsSafe >= 0.8
+    val stopwordOk = nStops >= 2
+
+    struct(
+      nWords.as("n_words"),
+      wordCountOk.as("word_count_ok"),
+      mwlOk.as("mwl_ok"),
+      symbolOk.as("symbol_ok"),
+      bulletOk.as("bullet_ok"),
+      ellipsisOk.as("ellipsis_ok"),
+      alphaOk.as("alpha_ok"),
+      stopwordOk.as("stopword_ok"),
+      (wordCountOk && mwlOk && symbolOk && bulletOk &&
+        ellipsisOk && alphaOk && stopwordOk).as("keep"))
+  }
+
+  /** The conjunction alone — for use directly in a `filter`. */
+  def gopherKeep(text: Column, minWords: Int = 50,
+      maxWords: Int = 100000): Column =
+    gopherFlags(text, minWords, maxWords).getField("keep")
+}

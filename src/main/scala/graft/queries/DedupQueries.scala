@@ -74,7 +74,7 @@ object DedupQueries extends QueryGroup {
   /** Transitive closure over the exact-Jaccard pair set (recursive
     * CTE) — shared oracle for both connected-components algorithms.
     */
-  private val componentsOracleSql =
+  private val componentsCteSql =
     s"""${augmentedSql.replaceFirst("WITH ", "WITH RECURSIVE ")}, sh AS (
        |  SELECT doc_id, $shinglesSql AS s FROM docs
        |), pairs AS (
@@ -89,7 +89,10 @@ object DedupQueries extends QueryGroup {
        |  SELECT DISTINCT src, src FROM edges
        |  UNION
        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
-       |)
+       |)""".stripMargin
+
+  private val componentsOracleSql =
+    s"""$componentsCteSql
        |SELECT id, min(r) AS component FROM reach
        |GROUP BY id ORDER BY id""".stripMargin
 
@@ -155,6 +158,27 @@ object DedupQueries extends QueryGroup {
         Dedup.minHashNearDuplicates(augmented(s, dir), "doc_id", "text",
           threshold = 0.7))
         .orderBy("id")
+    },
+
+    // keep-best representative selection ("soft dedup"): each near-dup
+    // cluster elects its argmax-score member (longest text here, ties
+    // to lowest id); unclustered docs survive as singletons.
+    q("q_dedup_keep_best",
+      s"""$componentsCteSql, comp AS (
+         |  SELECT id, min(r) AS component FROM reach GROUP BY id
+         |)
+         |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster,
+         |  (row_number() OVER (
+         |     PARTITION BY coalesce(c.component, d.doc_id)
+         |     ORDER BY strlen(d.text) DESC, d.doc_id ASC)) = 1 AS keep
+         |FROM docs d LEFT JOIN comp c ON c.id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val aug = augmented(s, dir)
+      val comps = Dedup.connectedComponents(
+        Dedup.minHashNearDuplicates(aug, "doc_id", "text", threshold = 0.7))
+      Dedup.keepBest(aug, "doc_id", comps, length(col("text")))
+        .select(col("doc_id"), col("cluster"), col("keep"))
+        .orderBy("doc_id")
     },
 
     // incremental dedup: originals form the signature STORE, the

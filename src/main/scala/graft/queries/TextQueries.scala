@@ -556,8 +556,167 @@ object TextQueries extends QueryGroup {
           tokenBudget = 800L)
         .select("doc_id", "source", "tok", "cum_tokens")
         .orderBy("doc_id")
+    },
+
+    // C4 line-level cleaning (Raffel et al. 2020 §2.2): keep lines
+    // ending in terminal punctuation with ≥3 words and no
+    // "javascript"; page survives with ≥2 sentences left and no
+    // lorem-ipsum/brace tells. The synthetic corpus has no newlines
+    // or punctuation, so both engines first derive a multi-line form
+    // deterministically (every 'table' becomes a sentence break).
+    q("q_text_c4",
+      s"""WITH d AS (
+         |  SELECT doc_id, replace(text, 'table', '.' || chr(10)) AS t
+         |  FROM documents
+         |), k AS (
+         |  SELECT doc_id, t,
+         |    list_filter(string_split(t, chr(10)), l ->
+         |      regexp_matches(l, '[.!?"'']\\s*$$')
+         |      AND len(string_split_regex(trim(l), '\\s+')) >= 3
+         |      AND NOT contains(lower(l), 'javascript')) AS kept
+         |  FROM d
+         |)
+         |SELECT doc_id, len(kept) AS n_kept,
+         |  strlen(coalesce(array_to_string(kept, chr(10)), '')) AS cleaned_chars,
+         |  (len(regexp_extract_all(coalesce(array_to_string(kept, chr(10)), ''),
+         |     '[.!?]')) >= 2
+         |   AND NOT contains(lower(t), 'lorem ipsum')
+         |   AND NOT contains(t, '{')) AS page_keep
+         |FROM k ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.ml.Filters
+      t(s, dir, "documents")
+        .withColumn("t", expr("replace(text, 'table', concat('.', chr(10)))"))
+        .withColumn("cleaned", Filters.c4CleanText(col("t"), minWords = 3))
+        .select(col("doc_id"),
+          size(filter(split(col("t"), "\n"),
+            l => Filters.c4LineKeep(l, 3))).as("n_kept"),
+          length(col("cleaned")).as("cleaned_chars"),
+          Filters.c4PageKeep(col("t"), col("cleaned"),
+            minSentences = 2).as("page_keep"))
+        .orderBy("doc_id")
+    },
+
+    // Gopher document-quality rules (Rae et al. 2021 §A.1.1) as named
+    // flags: word-count bounds, mean-word-length band, symbol ratio,
+    // bullet/ellipsis line ratios, alpha-word fraction, stopword
+    // presence — one codegen'd scan, no shuffle.
+    q("q_text_gopher", {
+      val toks = "string_split_regex(trim(text), '\\s+')"
+      val toksLower = "string_split_regex(trim(lower(text)), '\\s+')"
+      val nw = s"len($toks)"
+      val nws = s"greatest($nw, 1) * 1.0::DOUBLE"
+      s"""SELECT doc_id, $nw AS n_words,
+         |  ($nw BETWEEN 50 AND 100000) AS word_count_ok,
+         |  (list_aggregate(list_transform($toks, w -> strlen(w)), 'sum')
+         |     / $nws BETWEEN 3.0 AND 10.0) AS mwl_ok,
+         |  (len(regexp_extract_all(text, '#|\\.\\.\\.|…')) / $nws <= 0.1) AS symbol_ok,
+         |  (len(list_filter($toks, w -> regexp_matches(w, '[A-Za-zÀ-ÿ]')))
+         |     / $nws >= 0.8) AS alpha_ok,
+         |  (len(list_filter(['the','be','to','of','and','that','have','with'],
+         |     w -> list_contains($toksLower, w))) >= 2) AS stopword_ok,
+         |  (($nw BETWEEN 50 AND 100000)
+         |   AND (list_aggregate(list_transform($toks, w -> strlen(w)), 'sum')
+         |     / $nws BETWEEN 3.0 AND 10.0)
+         |   AND (len(regexp_extract_all(text, '#|\\.\\.\\.|…')) / $nws <= 0.1)
+         |   AND (len(list_filter($toks, w -> regexp_matches(w, '[A-Za-zÀ-ÿ]')))
+         |     / $nws >= 0.8)
+         |   AND (len(list_filter(['the','be','to','of','and','that','have','with'],
+         |     w -> list_contains($toksLower, w))) >= 2)) AS keep
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      import graft.ml.Filters
+      t(s, dir, "documents")
+        .withColumn("g", Filters.gopherFlags(col("text")))
+        .select(col("doc_id"),
+          col("g.n_words").as("n_words"),
+          col("g.word_count_ok").as("word_count_ok"),
+          col("g.mwl_ok").as("mwl_ok"),
+          col("g.symbol_ok").as("symbol_ok"),
+          col("g.alpha_ok").as("alpha_ok"),
+          col("g.stopword_ok").as("stopword_ok"),
+          // the two line-ratio rules are vacuous on single-line docs
+          // and excluded from the gate's projection; `keep` includes
+          // them (they hold trivially here)
+          col("g.keep").as("keep"))
+        .orderBy("doc_id")
+    },
+
+    // model-based quality scoring: logistic regression on scan-time
+    // features with distant-supervision labels, trained by 3 exact
+    // full-batch GD steps — the oracle replays the identical trainer
+    // as unrolled SQL (weights are data-determined in both engines).
+    q("q_text_quality_model", TextQueries.qualityModelOracleSql(3, 0.5)) {
+      (s, dir) =>
+      import graft.ml.QualityModel
+      val feats = QualityModel.featurize(t(s, dir, "documents"), "text")
+        .persist()
+      try {
+        val w = QualityModel.trainOnFeatures(feats, iters = 3, lr = 0.5)
+        QualityModel.scoreOnFeatures(feats, w)
+          .select(col("doc_id"), round(col("score"), 6).as("score"),
+            col("label"))
+          .orderBy("doc_id")
+      } finally feats.unpersist(blocking = false)
     }
   )
+
+  /** DuckDB SQL replaying [[graft.ml.QualityModel]]'s fixed-iteration
+    * full-batch GD exactly: features + heuristic label in one CTE,
+    * then one (gradient, weights) CTE pair per iteration, then the
+    * scoring projection. Chained CTEs are MATERIALIZED (inlining
+    * doubles work per stage).
+    */
+  def qualityModelOracleSql(iters: Int, lr: Double): String = {
+    val toks = "string_split_regex(trim(text), '\\s+')"
+    val nw = s"len($toks)"
+    val stopList =
+      "['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this']"
+    val feat =
+      s"""feat AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    1.0::DOUBLE AS f0,
+         |    $nw / 100.0 AS f1,
+         |    list_aggregate(list_transform($toks, w -> strlen(w)), 'sum')
+         |      * 1.0::DOUBLE / $nw AS f2,
+         |    len(list_filter($toks, w -> list_contains($stopList, lower(w))))
+         |      * 1.0::DOUBLE / $nw AS f3,
+         |    len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) * 1.0::DOUBLE
+         |      / strlen(text) AS f4,
+         |    CASE WHEN
+         |      (CASE WHEN $nw BETWEEN 10 AND 100000 THEN 1.0::DOUBLE ELSE 0.3 END * 0.3
+         |       + CASE WHEN list_aggregate(list_transform($toks, w -> strlen(w)), 'sum')
+         |           * 1.0::DOUBLE / $nw BETWEEN 2.0 AND 12.0 THEN 1.0::DOUBLE ELSE 0.4 END * 0.2
+         |       + CASE WHEN len(list_filter($toks, w -> list_contains($stopList, lower(w))))
+         |           * 1.0::DOUBLE / $nw > 0.05 THEN 1.0::DOUBLE ELSE 0.6 END * 0.3
+         |       + CASE WHEN len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) * 1.0::DOUBLE
+         |           / strlen(text) < 0.2 THEN 1.0::DOUBLE ELSE 0.5 END * 0.2) >= 0.9
+         |    THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS y
+         |  FROM documents
+         |)""".stripMargin
+    val fs = (0 to 4).map(k => s"f$k")
+    def z(w: String) = fs.map(f => s"$w.w_$f * $f").mkString(" + ")
+    val it0 = s"it0 AS (SELECT ${fs.map(f => s"0.0::DOUBLE AS w_$f").mkString(", ")})"
+    val steps = (1 to iters).map { i =>
+      val g =
+        s"""g$i AS MATERIALIZED (
+           |  SELECT ${fs.map(f =>
+                s"sum((1.0::DOUBLE / (1.0::DOUBLE + exp(-(${z("w")}))) - y) * $f) / count(*) AS d_$f")
+                .mkString(", ")}
+           |  FROM feat, it${i - 1} w
+           |)""".stripMargin
+      val it =
+        s"""it$i AS (
+           |  SELECT ${fs.map(f => s"w.w_$f - $lr * g.d_$f AS w_$f").mkString(", ")}
+           |  FROM it${i - 1} w, g$i g
+           |)""".stripMargin
+      s"$g, $it"
+    }
+    s"""WITH $feat, $it0, ${steps.mkString(", ")}
+       |SELECT doc_id,
+       |  round(1.0::DOUBLE / (1.0::DOUBLE + exp(-(${z("w")}))), 6) AS score,
+       |  y AS label
+       |FROM feat, it$iters w ORDER BY doc_id""".stripMargin
+  }
 
   /** DuckDB SQL computing `nMerges` sequential BPE merges over the
     * documents table — the q_text_bpe oracle. Per-word state is the

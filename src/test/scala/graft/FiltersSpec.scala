@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.{Filters, QualityModel}
+
+/** C4 line/page cleaning and Gopher document rules over crafted
+  * multi-line documents (the synthetic corpus has no newlines or
+  * punctuation, so rule-by-rule coverage lives here; the q_text_c4 /
+  * q_text_gopher gates pin SQL equivalence on the corpus).
+  */
+class FiltersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def clean(text: String, minWords: Int = 3): (String, Boolean) = {
+    val row = Seq(text).toDF("text")
+      .select(
+        Filters.c4CleanText(col("text"), minWords).as("cleaned"),
+        Filters.c4PageKeep(col("text"),
+          Filters.c4CleanText(col("text"), minWords)).as("keep"))
+      .head()
+    (row.getString(0), row.getBoolean(1))
+  }
+
+  test("c4 keeps only terminal-punctuation lines with enough words") {
+    val text = Seq(
+      "This is a proper sentence.",   // kept
+      "Too short.",                   // dropped: 2 words
+      "No terminal punctuation here", // dropped: no [.!?"']
+      "Is this a question?",          // kept
+      "Enable javascript to view.",   // dropped: javascript
+      "He said \"stop right there!\"" // kept: quote terminal
+    ).mkString("\n")
+    val (cleaned, _) = clean(text)
+    assert(cleaned.split("\n").toSeq == Seq(
+      "This is a proper sentence.",
+      "Is this a question?",
+      "He said \"stop right there!\""))
+  }
+
+  test("c4 page rules: sentence floor, lorem ipsum, curly brace") {
+    val five = (1 to 5).map(i => s"This is sentence number $i.")
+    assert(clean(five.mkString("\n"))._2)
+    assert(!clean(five.take(4).mkString("\n"))._2)
+    assert(!clean((five :+ "Lorem Ipsum dolor sit amet.").mkString("\n"))._2)
+    assert(!clean((five :+ "if (x) { return. }").mkString("\n"))._2)
+    // the brace line itself also dies at line level (no terminal punct
+    // needed — page check runs on the ORIGINAL text)
+    assert(!clean(five.mkString("\n") + "\nvar x = {};")._2)
+  }
+
+  private def flags(text: String, minWords: Int = 50): Map[String, Any] = {
+    val row = Seq(text).toDF("text")
+      .select(Filters.gopherFlags(col("text"), minWords).as("g"))
+      .select("g.*")
+      .head()
+    row.schema.fieldNames.zip(row.toSeq).toMap
+  }
+
+  test("gopher rules fire individually") {
+    val good = (("the data and that model have to ship with " * 6).trim + ".")
+    assert(flags(good, minWords = 10)("keep") == true)
+    // word count floor
+    assert(flags("the of and.", minWords = 50)("word_count_ok") == false)
+    // mean word length: single-char words fail the ≥3 band
+    assert(flags(Seq.fill(60)("a b").mkString(" "))("mwl_ok") == false)
+    // symbol soup: more than 1 ellipsis/hash per 10 words
+    val hashy = (("the data and that " + "# # # ") * 15).trim
+    assert(flags(hashy, minWords = 10)("symbol_ok") == false)
+    // bullet lines > 90%
+    val bullets = (1 to 10).map(i => s"- item the of and number $i").mkString("\n")
+    assert(flags(bullets, minWords = 10)("bullet_ok") == false)
+    // ellipsis endings > 30%
+    val dots = Seq("the story continues...", "and then...", "more of that...",
+      "a normal closing line here the and of").mkString("\n")
+    assert(flags(dots, minWords = 5)("ellipsis_ok") == false)
+    // alpha fraction: digit soup fails
+    val nums = (("the of " + "12 34 56 78 ") * 10).trim
+    assert(flags(nums, minWords = 10)("alpha_ok") == false)
+    // stopword presence: needs ≥ 2 of the Gopher list
+    assert(flags(Seq.fill(60)("alpha beta").mkString(" "))("stopword_ok") == false)
+  }
+
+  test("gopher keep is the conjunction of its flags") {
+    val text = ("the data and that model " * 12).trim
+    val f = flags(text, minWords = 10)
+    val parts = Seq("word_count_ok", "mwl_ok", "symbol_ok", "bullet_ok",
+      "ellipsis_ok", "alpha_ok", "stopword_ok").map(f(_) == true)
+    assert(f("keep") == parts.forall(identity))
+  }
+
+  test("quality model separates rule-labeled classes on the corpus") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val feats = QualityModel.featurize(docs, "text")
+    val w = QualityModel.trainOnFeatures(feats, iters = 10, lr = 0.5)
+    val scored = QualityModel.scoreOnFeatures(feats, w)
+      .groupBy("label").agg(avg("score").as("m"))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    // distant supervision recovered: positives score above negatives
+    assert(scored.keySet == Set(0.0, 1.0))
+    assert(scored(1.0) > scored(0.0))
+  }
+
+  test("keepBest elects the argmax-score member per cluster") {
+    val docs = Seq(
+      (1L, "aaaa", 10.0), (2L, "bbbbbb", 20.0), (3L, "cc", 30.0),
+      (4L, "dddd", 5.0)).toDF("id", "text", "score")
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "component")
+    val out = graft.ml.Dedup.keepBest(docs, "id", comps, col("score"))
+      .select("id", "cluster", "keep").as[(Long, Long, Boolean)]
+      .collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 1L, false), (2L, 1L, false), (3L, 1L, true), (4L, 4L, true)))
+    // ties break to the lowest id
+    val tied = Seq((7L, "x", 1.0), (5L, "y", 1.0)).toDF("id", "text", "score")
+    val tiedComps = Seq((5L, 5L), (7L, 5L)).toDF("id", "component")
+    val rep = graft.ml.Dedup.keepBest(tied, "id", tiedComps, col("score"))
+      .filter(col("keep")).select("id").as[Long].collect().toSeq
+    assert(rep == Seq(5L))
+  }
+}
