@@ -225,4 +225,49 @@ object Corpus {
     docs.join(broadcast(rates), domainCol)
       .filter(Profile.strongBucket(col(idCol)) < threshold)
   }
+
+  /** Epoch-cap upsampling mix (the LLaMA-recipe shape: high-value
+    * domains repeat for several epochs, capped; the bulk domain runs
+    * under one epoch): domain d with token mass T_d and target weight
+    * w_d gets budget B_d = ⌊budget · w_d⌋ tokens, realized as
+    * ⌊B_d / T_d⌋ FULL epochs (capped at `maxEpochs` — the
+    * don't-overfit-the-small-source guard) plus one partial epoch
+    * filled by the deterministic md5-permutation prefix rule of
+    * [[mixByBudget]]. Emits one row per (document, epoch). Domains
+    * absent from `weights` are excluded.
+    *
+    * Scale shape: the per-domain plan (mass, budget, epochs,
+    * remainder) is a tiny broadcast; the corpus side is one
+    * hashpartitioning(domain) running-sum window plus a row-generating
+    * explode — output rows = upsampled corpus size, nothing else
+    * materializes. Integer arithmetic end-to-end after the one ⌊B·w⌋.
+    */
+  def mixByEpochs(docs: DataFrame, idCol: String, domainCol: String,
+      tokCol: String, weights: Map[String, Double], tokenBudget: Long,
+      maxEpochs: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wdf = weights.toSeq.toDF(domainCol, "__wt")
+    val plan = docs.groupBy(domainCol)
+      .agg(sum(col(tokCol)).cast("long").as("__T"))
+      .join(wdf, domainCol)
+      .withColumn("__B", floor(lit(tokenBudget.toDouble) * col("__wt")).cast("long"))
+      .withColumn("__full",
+        least(expr("__B div __T"), lit(maxEpochs.toLong)))
+      .withColumn("__rem",
+        when(col("__full") < maxEpochs, col("__B") - col("__full") * col("__T"))
+          .otherwise(lit(0L)))
+      .select(col(domainCol), col("__full"), col("__rem"))
+    val w = Window.partitionBy(domainCol).orderBy(col("__h"), col(idCol))
+    docs
+      .join(broadcast(plan), domainCol)
+      .withColumn("__h", placementKey(col(idCol)))
+      .withColumn("__cum", sum(col(tokCol)).over(w))
+      .withColumn("n_epochs",
+        col("__full") + when(col("__cum") <= col("__rem"), 1L).otherwise(0L))
+      .filter(col("n_epochs") >= 1L)
+      .withColumn("epoch", explode(sequence(lit(1L), col("n_epochs"))))
+      .select(col(idCol), col(domainCol), col(tokCol).as("tok"),
+        col("epoch"), col("n_epochs"))
+  }
 }

@@ -114,4 +114,46 @@ object Filters {
   def gopherKeep(text: Column, minWords: Int = 50,
       maxWords: Int = 100000): Column =
     gopherFlags(text, minWords, maxWords).getField("keep")
+
+  /** Corpus-wide exact line deduplication — C4's global step: every
+    * non-blank line survives only at its FIRST occurrence across the
+    * whole corpus (order = (id, line position)); blank lines always
+    * survive (they are structure, not content). Returns
+    * (id, n_kept, cleaned) with the surviving lines rejoined.
+    *
+    * Scale shape: explode to (line, id, pos), then ONE
+    * hash-partitioned partial-aggregating groupBy(line) computes each
+    * line's first occurrence (min of the (id, pos) struct — map-side
+    * combine collapses the duplicate mass BEFORE the shuffle, so a
+    * line duplicated a billion times ships one row per input
+    * partition, never a billion; this is why it is a groupBy+join and
+    * NOT a window over line, which would sort the full duplicate mass
+    * per key). The join back is line-hash-partitioned on both sides,
+    * and the rebuild is one groupBy(id) whose per-doc sort is bounded
+    * by document size.
+    */
+  def dedupLinesAcrossCorpus(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val id = col(idCol)
+    val lines = docs
+      .select(id, posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val first = lines
+      .filter(trim(col("line")) =!= "")
+      .groupBy("line")
+      .agg(min(struct(id, col("pos"))).as("__first"))
+    lines
+      .join(first, Seq("line"), "left")
+      .withColumn("__keep", trim(col("line")) === "" ||
+        struct(id, col("pos")) === col("__first"))
+      // conditional agg, not a pre-filter: a document whose every
+      // line was seen earlier still comes back (empty), so the op is
+      // total over its input
+      .groupBy(idCol)
+      .agg(
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("__keep"), struct(col("pos"), col("line"))))),
+          s => s.getField("line")), "\n").as("cleaned"))
+  }
 }

@@ -641,6 +641,84 @@ object TextQueries extends QueryGroup {
         .orderBy("doc_id")
     },
 
+    // corpus-wide exact line dedup (C4's global step): a non-blank
+    // line survives only at its first (doc, pos) occurrence anywhere.
+    // Multi-line form derived as in q_text_c4.
+    q("q_text_line_dedup",
+      s"""WITH d AS (
+         |  SELECT doc_id, replace(text, 'table', '.' || chr(10)) AS t
+         |  FROM documents
+         |), ls AS (
+         |  SELECT doc_id, string_split(t, chr(10)) AS ll FROM d
+         |), l AS (
+         |  SELECT doc_id, unnest(ll) AS line, unnest(range(0, len(ll))) AS pos
+         |  FROM ls
+         |), k AS (
+         |  SELECT doc_id, pos, line,
+         |    (trim(line) = '' OR
+         |     row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) = 1)
+         |    AS keep
+         |  FROM l
+         |)
+         |SELECT doc_id,
+         |  count(*) FILTER (WHERE keep) AS n_kept,
+         |  md5(coalesce(string_agg(line, chr(10) ORDER BY pos)
+         |    FILTER (WHERE keep), '')) AS h
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.ml.Filters
+      val docs = t(s, dir, "documents")
+        .withColumn("t", expr("replace(text, 'table', concat('.', chr(10)))"))
+      Filters.dedupLinesAcrossCorpus(docs, "doc_id", "t")
+        .select(col("doc_id"), col("n_kept"),
+          md5(col("cleaned")).as("h"))
+        .orderBy("doc_id")
+    },
+
+    // epoch-cap upsampling mix (LLaMA-recipe shape): weighted domains
+    // repeat for full epochs (capped at 3) plus a deterministic
+    // partial-epoch prefix; one row per (doc, epoch).
+    q("q_corpus_mix_epochs", {
+      val tok = """CASE WHEN strlen(trim(text)) = 0 THEN 0
+                  |    ELSE len(string_split_regex(trim(text), '\s+')) END"""
+        .stripMargin.replace("\n", " ")
+      s"""WITH d AS (
+         |  SELECT doc_id, source, $tok AS tok FROM documents
+         |), t AS (
+         |  SELECT source, CAST(sum(tok) AS BIGINT) AS T FROM d GROUP BY source
+         |), wts(source, wt) AS (
+         |  VALUES ('src0', 0.30), ('src1', 0.25), ('src2', 0.20), ('src3', 0.15)
+         |), p AS (
+         |  SELECT t.source,
+         |    least(CAST(floor(20000.0 * wt) AS BIGINT) // T, 3) AS f,
+         |    CASE WHEN least(CAST(floor(20000.0 * wt) AS BIGINT) // T, 3) < 3
+         |      THEN CAST(floor(20000.0 * wt) AS BIGINT)
+         |           - least(CAST(floor(20000.0 * wt) AS BIGINT) // T, 3) * T
+         |      ELSE 0 END AS rem
+         |  FROM t JOIN wts USING (source)
+         |), c AS (
+         |  SELECT d.doc_id, d.source, d.tok, p.f, p.rem,
+         |    sum(d.tok) OVER (PARTITION BY d.source
+         |      ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS cum
+         |  FROM d JOIN p USING (source)
+         |), n AS (
+         |  SELECT doc_id, source, tok,
+         |    f + CASE WHEN cum <= rem THEN 1 ELSE 0 END AS n_epochs FROM c
+         |)
+         |SELECT doc_id, source, CAST(tok AS BIGINT) AS tok,
+         |  CAST(unnest(range(1, n_epochs + 1)) AS BIGINT) AS epoch,
+         |  CAST(n_epochs AS BIGINT) AS n_epochs
+         |FROM n WHERE n_epochs >= 1 ORDER BY doc_id, epoch""".stripMargin
+    }) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TA.tokenCount(col("text")).cast("long").as("tok"))
+      graft.ml.Corpus.mixByEpochs(docs, "doc_id", "source", "tok",
+          weights = Map("src0" -> 0.30, "src1" -> 0.25,
+            "src2" -> 0.20, "src3" -> 0.15),
+          tokenBudget = 20000L, maxEpochs = 3)
+        .orderBy("doc_id", "epoch")
+    },
+
     // model-based quality scoring: logistic regression on scan-time
     // features with distant-supervision labels, trained by 3 exact
     // full-batch GD steps — the oracle replays the identical trainer

@@ -261,4 +261,36 @@ class CorpusSpec extends SparkSpec {
     assert(m.count() > 0 && m.count() < n)
     assert(m.filter(col("cum_tokens") > 800).count() == 0)
   }
+
+  test("mixByEpochs: full epochs replicate whole domains, caps and partials hold") {
+    import spark.implicits._
+    val docs = Seq(
+      // domain "big": 3 docs of 100 tokens (T=300)
+      (1L, "big", 100L), (2L, "big", 100L), (3L, "big", 100L),
+      // domain "small": 2 docs of 10 tokens (T=20)
+      (10L, "small", 10L), (11L, "small", 10L),
+      // unlisted domain: excluded entirely
+      (20L, "other", 50L)).toDF("id", "dom", "tok")
+    // budget 1000: big gets 500 -> 1 full epoch + 200-token partial;
+    // small gets 500 -> 25 epochs uncapped, capped at 3 full, no partial
+    val out = graft.ml.Corpus.mixByEpochs(docs, "id", "dom", "tok",
+        weights = Map("big" -> 0.5, "small" -> 0.5),
+        tokenBudget = 1000L, maxEpochs = 3)
+      .select("id", "dom", "epoch", "n_epochs")
+      .as[(Long, String, Long, Long)].collect()
+    assert(!out.exists(_._2 == "other"))
+    val small = out.filter(_._2 == "small")
+    assert(small.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap ==
+      Map(10L -> Seq(1L, 2L, 3L), 11L -> Seq(1L, 2L, 3L)))
+    val big = out.filter(_._2 == "big")
+    // every big doc runs epoch 1; exactly two of the three (200 of 300
+    // remainder tokens, md5-permutation prefix) run epoch 2
+    assert(big.count(_._3 == 1L) == 3)
+    assert(big.count(_._3 == 2L) == 2)
+    assert(big.forall(_._3 <= 2L))
+    // n_epochs is consistent with the emitted epoch rows
+    big.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).max == rows.head._4)
+    }
+  }
 }

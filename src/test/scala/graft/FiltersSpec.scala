@@ -100,6 +100,21 @@ class FiltersSpec extends SparkSpec {
     assert(scored(1.0) > scored(0.0))
   }
 
+  test("corpus-wide line dedup keeps first occurrences and blank lines") {
+    val docs = Seq(
+      (1L, "alpha line\ncommon line\n\nunique one"),
+      (2L, "common line\nbeta line\n\n"),
+      (3L, "common line\nalpha line")).toDF("id", "text")
+    val out = graft.ml.Filters.dedupLinesAcrossCorpus(docs, "id", "text")
+      .select("id", "n_kept", "cleaned")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 4L, "alpha line\ncommon line\n\nunique one")))
+    // doc 2 loses "common line" (first seen in doc 1) but keeps blanks
+    assert(out(1) == ((2L, 3L, "beta line\n\n")))
+    // doc 3 loses both non-blank lines -> present and empty
+    assert(out(2) == ((3L, 0L, "")))
+  }
+
   test("keepBest elects the argmax-score member per cluster") {
     val docs = Seq(
       (1L, "aaaa", 10.0), (2L, "bbbbbb", 20.0), (3L, "cc", 30.0),
