@@ -52,7 +52,12 @@ object Bench {
     // round-7: batched BPE vocabulary induction (256 merges) +
     // corpus-wide tokenizer application
     "q_text_bpe_deep",
-    "q_text_bpe_encode")
+    "q_text_bpe_encode",
+    // round-8: corpus-wide line dedup (explode + skew-safe first-
+    // occurrence groupBy) + trained quality classifier (3 GD
+    // aggregates + codegen'd scoring scan)
+    "q_text_line_dedup",
+    "q_text_quality_model")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -62,6 +67,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val queries = SparkEntry.queries
+    // optional comma-separated headline filter for local A/B isolation
+    // (the driver always runs the full list)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    val headline = Bench.headline.filter(n => only.forall(_.contains(n)))
     // JVM/codegen warmup on the smallest SF so per-query numbers
     // measure the engine, not JIT: run every headline query once at
     // sf0.001 (compiles each plan's generated code cheaply).
