@@ -57,7 +57,10 @@ object Bench {
     // occurrence groupBy) + trained quality classifier (3 GD
     // aggregates + codegen'd scoring scan)
     "q_text_line_dedup",
-    "q_text_quality_model")
+    "q_text_quality_model",
+    // round-9: bloom-filter pre-join (scalar-subquery build + pruned
+    // fact scan before the shuffle)
+    "q_join_bloom")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

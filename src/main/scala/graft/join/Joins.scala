@@ -85,6 +85,40 @@ object Joins {
     else blockJoin(left, right, keys, fallbackReplication)
   }
 
+  /** Bloom-filter pre-join (superset — the reference's only
+    * shuffle-volume lever was manual replication). Builds a bloom
+    * filter over `right`'s keys as a scalar subquery, prunes `left`
+    * rows that cannot match BEFORE the join's exchange, then runs the
+    * ordinary equi-join. At 100 TB this is the difference between
+    * shuffling the whole fact table and shuffling only the fraction
+    * that can join: the filter is ~1.2 MB per million build keys at 1%
+    * fpp, rides to every task once, and the probe stays inside
+    * whole-stage codegen (see [[org.apache.spark.sql.graft.SketchColumns]]).
+    *
+    * Results are EXACT for `inner` and `left_semi` (false positives
+    * survive the prefilter but die in the real join); other join types
+    * would drop legitimately-unmatched left rows, so they are
+    * rejected. Catalyst's own `InjectRuntimeFilter` plants the same
+    * pair of expressions when stats justify it — this operator is for
+    * when the user knows the build side is selective and the stats
+    * don't show it.
+    */
+  def bloomJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      how: String = "inner", expectedItems: Long = 4L * 1000 * 1000,
+      fpp: Double = 0.01): DataFrame = {
+    require(how == "inner" || how == "left_semi",
+      s"bloomJoin is exact only for inner/left_semi (got $how)")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    import org.apache.spark.sql.graft.SketchColumns
+    val ln2sq = math.log(2) * math.log(2)
+    val numBits = math.ceil(-expectedItems * math.log(fpp) / ln2sq).toLong
+    def keyHash: Column = xxhash64(keys.map(col): _*)
+    val bf = right.agg(
+      SketchColumns.bloomFilterAgg(keyHash, expectedItems, numBits).as("bf"))
+    val pruned = left.filter(SketchColumns.bloomMightContain(bf.scalar(), keyHash))
+    pruned.join(right, keys, how)
+  }
+
   /** As-of join (superset — absent in the reference, which had only
     * equi-joins, JoinAlgorithms.scala:169): for every left row, attach
     * the latest right row with the same key whose timestamp is <= the

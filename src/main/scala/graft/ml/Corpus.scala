@@ -270,4 +270,35 @@ object Corpus {
       .select(col(idCol), col(domainCol), col(tokCol).as("tok"),
         col("epoch"), col("n_epochs"))
   }
+
+  /** Leakage-free train/val/test split: the split is a deterministic
+    * function of the GROUP (e.g. source domain / URL host / dedup
+    * cluster), never of the document, so near-duplicates sharing a
+    * group can never straddle splits — the standard defense against
+    * test-set contamination when documents within a site are
+    * correlated.
+    *
+    * `fractions` are (name, weight) in order; weights need not sum to
+    * 1 (they are normalized). Assignment hashes the group with md5
+    * and cuts the 16^8 prefix space at the cumulative fractions —
+    * engine-independent (any SQL engine replays it) and stable under
+    * corpus growth: adding documents never moves an existing group.
+    *
+    * Pure per-row Column arithmetic: no shuffle, no state. The split
+    * fractions are exact only in expectation over groups (a group is
+    * atomic by design).
+    */
+  def splitByGroup(docs: DataFrame, groupCol: String,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0),
+      "fractions must be positive")
+    val total = fractions.map(_._2).sum
+    val cum = fractions.map(_._2 / total).scanLeft(0.0)(_ + _).tail
+    val h = substring(md5(col(groupCol).cast("string")), 1, 8)
+    val assigned = fractions.init.zip(cum.init).foldRight(
+      lit(fractions.last._1): Column) { case (((name, _), c), rest) =>
+      when(h < lit(Profile.strongThreshold(c)), lit(name)).otherwise(rest)
+    }
+    docs.withColumn("split", assigned)
+  }
 }

@@ -154,8 +154,10 @@ object Dedup {
     * nHashes/bands/shingleWidth/seed) is read. The daily-append shape
     * at 100 TB: per batch the cost is one linear scan of the DELTA
     * plus a band-bucket join of the delta against the store — the
-    * store side shuffles only rows whose (band, hash) collides with
-    * the delta after the join's bucket pruning, never the corpus scan.
+    * store side is bloom-pruned against the delta's (band, hash) keys
+    * while still in its scan stage ([[graft.join.Joins.bloomJoin]]),
+    * so only (near-)colliding store rows ever reach the exchange,
+    * and the corpus text is never rescanned.
     * Returns (id1, id2, jaccard), id1 < id2, each pair touching ≥ 1
     * new document. Union the delta's signatures into the store
     * afterwards to advance the corpus.
@@ -169,8 +171,17 @@ object Dedup {
     val allSigs = store.select("id", "sh", "bands").unionByName(newSigs)
     def explodeBands(sigs: DataFrame) = sigs.select(col("id"),
       posexplode(col("bands")).as(Seq("band", "h")))
-    val candidates = explodeBands(newSigs).alias("l")
-      .join(explodeBands(allSigs).alias("r"), Seq("band", "h"))
+    // store-side prune BEFORE the bucket join's exchange: a bloom
+    // filter over the delta's (band, h) keys drops the store rows
+    // that cannot collide while they are still in the scan stage.
+    // When the delta is broadcast-small AQE skips the exchange anyway
+    // and the probe is just a cheap scan predicate; when the delta is
+    // too big to broadcast — the 100 TB daily-append case — this is
+    // what keeps the store's exploded bands out of the shuffle.
+    // False positives only re-admit rows the join then rejects.
+    val candidates = graft.join.Joins.bloomJoin(
+        explodeBands(allSigs).alias("r"), explodeBands(newSigs).alias("l"),
+        Seq("band", "h"))
       .filter(col("l.id") =!= col("r.id"))
       .select(least(col("l.id"), col("r.id")).as("id1"),
         greatest(col("l.id"), col("r.id")).as("id2"))

@@ -43,6 +43,26 @@ object JoinStrategyQueries extends QueryGroup {
         .agg(count(lit(1)).as("n"),
           round(sum(col("l_extendedprice") * col("o_totalprice") / 1000000.0), 2).as("xprod"))
         .orderBy("l_orderkey")
+    },
+
+    // bloom-filter pre-join: prune the fact scan against a selective
+    // dim subset before the shuffle; false positives die in the real
+    // join, so the result must equal the plain filtered join.
+    q("q_join_bloom",
+      """SELECT l_orderkey, count(*) AS n,
+        |  round(sum(l_extendedprice * o_totalprice / 1000000.0), 2) AS xprod
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 400000
+        |GROUP BY 1 ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice")
+      val hi = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 400000)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+      Joins.bloomJoin(li, hi, Seq("l_orderkey"), expectedItems = 1000000L)
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice") * col("o_totalprice") / 1000000.0), 2).as("xprod"))
+        .orderBy("l_orderkey")
     }
   )
 }

@@ -558,6 +558,29 @@ object TextQueries extends QueryGroup {
         .orderBy("doc_id")
     },
 
+    // leakage-free split: split is a function of the GROUP (source),
+    // so correlated documents can never straddle train/val/test.
+    q("q_corpus_split", {
+      val t1 = graft.ml.Profile.strongThreshold(0.8)
+      val t2 = graft.ml.Profile.strongThreshold(0.9)
+      s"""WITH s AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN substr(md5(source), 1, 8) < '$t1' THEN 'train'
+         |         WHEN substr(md5(source), 1, 8) < '$t2' THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT split, count(*) AS n_docs,
+         |  count(DISTINCT source) AS n_groups
+         |FROM s GROUP BY 1 ORDER BY split""".stripMargin
+    }) { (s, dir) =>
+      graft.ml.Corpus.splitByGroup(t(s, dir, "documents"), "source",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("source").as("n_groups"))
+        .orderBy("split")
+    },
+
     // C4 line-level cleaning (Raffel et al. 2020 §2.2): keep lines
     // ending in terminal punctuation with ≥3 words and no
     // "javascript"; page survives with ≥2 sentences left and no

@@ -293,4 +293,29 @@ class CorpusSpec extends SparkSpec {
       assert(rows.map(_._3).max == rows.head._4)
     }
   }
+
+  test("splitByGroup: one split per group, deterministic, fractions normalized") {
+    import spark.implicits._
+    val docs = (1 to 500).map(i => (i.toLong, s"host${i % 37}"))
+      .toDF("id", "dom")
+    val out = graft.ml.Corpus.splitByGroup(docs, "dom",
+        Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0))
+      .select("id", "dom", "split").as[(Long, String, String)].collect()
+    assert(out.length == 500)
+    // leakage-free: every group lands in exactly one split
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).distinct.length == 1)
+    }
+    assert(out.map(_._3).distinct.toSet.subsetOf(Set("train", "val", "test")))
+    // unnormalized weights behave like 0.8/0.1/0.1
+    val norm = graft.ml.Corpus.splitByGroup(docs, "dom",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("id", "dom", "split").as[(Long, String, String)].collect()
+    assert(out.sortBy(_._1).toSeq == norm.sortBy(_._1).toSeq)
+    // deterministic across invocations
+    val again = graft.ml.Corpus.splitByGroup(docs, "dom",
+        Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0))
+      .select("id", "dom", "split").as[(Long, String, String)].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
 }

@@ -81,6 +81,28 @@ class SemanticsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("bloomJoin equals the plain join and plants a codegen bloom probe") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val l = (1 to 2000).map(_ => (rnd.nextInt(500), rnd.nextInt(100))).toDF("k", "a")
+    val r = (1 to 80).map(_ => (rnd.nextInt(500), rnd.nextInt(100))).toDF("k", "b")
+    val expected = l.join(r, "k").groupBy("k").count()
+      .collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
+    val bj = Joins.bloomJoin(l, r, Seq("k"), expectedItems = 1000L)
+    val got = bj.groupBy("k").count()
+      .collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
+    assert(got == expected, "bloomJoin diverged from the plain join")
+    val plan = bj.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"no bloom probe in plan:\n$plan")
+    // semi form: pruned left rows only, no right columns
+    val semi = Joins.bloomJoin(l, r, Seq("k"), how = "left_semi")
+    val semiExpected = l.join(r, Seq("k"), "left_semi").count()
+    assert(semi.count() == semiExpected, "left_semi bloomJoin diverged")
+    intercept[IllegalArgumentException] {
+      Joins.bloomJoin(l, r, Seq("k"), how = "left")
+    }
+  }
+
   test("encoder round-trips for the aggregation value types (KryoTest analog)") {
     import spark.implicits._
     // tuples, options, collections — the types the reference shipped
