@@ -149,4 +149,21 @@ object Profile {
         col("__frac") * 2147483647L)
       .drop("__frac")
   }
+
+  /** Per-stratum score calibration: replace a raw quality score with
+    * its percent rank WITHIN its stratum (source domain, language,
+    * …), so one global threshold cuts the same quantile of every
+    * stratum — thresholding raw scores across heterogeneous domains
+    * silently biases the mix toward domains whose scores run high.
+    * `idCol` makes the order total, so ranks are deterministic and
+    * any engine replays them. One hash-partitioned window, no global
+    * sort.
+    */
+  def rankNormalize(df: DataFrame, scoreCol: String, strataCol: String,
+      idCol: String, outCol: String = "score_pct"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(strataCol).orderBy(col(scoreCol), col(idCol))
+    df.withColumn(outCol,
+      floor(percent_rank().over(w) * 1e6 + 0.5) / 1e6)
+  }
 }

@@ -386,4 +386,43 @@ object TextAnalysis {
       .agg(avg(-log((col("c") + smoothing) /
         (col("n") + col("v") * smoothing))).as("nll"))
   }
+
+  /** BM25 retrieval scoring (Robertson et al.; the Lucene-default
+    * `idf·tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))` form with
+    * `idf = ln(1 + (N-df+0.5)/(df+0.5))`): score every document
+    * against a fixed bag of query terms, return the top `topK`.
+    *
+    * Scale shape: the query terms are a literal list, so the first
+    * scan keeps only (doc_id, doc length, matching tokens) — the
+    * exploded stream carries query-term hits, never the corpus
+    * vocabulary. Corpus stats (N, Σdl) and per-term document
+    * frequencies are tiny aggregates broadcast back; the final
+    * per-document sum groups at most |queryTerms| rows per doc.
+    * avgdl is derived as exact-long Σdl/N in one double division, so
+    * any engine replays it bit-for-bit.
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 10): DataFrame = {
+    val toks = split(normalize(col(textCol)), " ")
+    val base = df.select(col(idCol).as("doc_id"),
+      size(toks).cast("long").as("dl"),
+      filter(toks, t => t.isInCollection(queryTerms)).as("qt"))
+    val stats = base.agg(count(lit(1)).cast("long").as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val tf = base.select(col("doc_id"), col("dl"), explode(col("qt")).as("tk"))
+      .groupBy("doc_id", "dl", "tk").agg(count(lit(1)).cast("long").as("tf"))
+    val dfreq = tf.groupBy("tk").agg(count(lit(1)).cast("long").as("df"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    tf.join(broadcast(dfreq), "tk")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("w", col("idf") * col("tf") * (k1 + 1) /
+        (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl)))
+      .groupBy("doc_id")
+      .agg((floor(sum("w") * 1e6 + 0.5) / 1e6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(topK)
+  }
 }

@@ -558,6 +558,51 @@ object TextQueries extends QueryGroup {
         .orderBy("doc_id")
     },
 
+    // BM25 retrieval scoring: Lucene-default formula, literal query
+    // term list, top-10 docs. The scan keeps only query-term hits.
+    q("q_text_bm25", {
+      val words = "string_split(trim(regexp_replace(regexp_replace(lower(text), " +
+        "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')"
+      s"""WITH base AS (
+         |  SELECT doc_id, len(w) AS dl,
+         |    list_filter(w, t -> t IN ('data', 'table', 'server', 'value')) AS qt
+         |  FROM (SELECT doc_id, $words AS w FROM documents)
+         |), stats AS (
+         |  SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM base
+         |), tf AS (
+         |  SELECT doc_id, dl, tk, count(*) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(qt) AS tk FROM base)
+         |  GROUP BY 1, 2, 3
+         |), dfreq AS (
+         |  SELECT tk, count(*) AS df FROM tf GROUP BY 1
+         |)
+         |SELECT doc_id,
+         |  floor(sum(
+         |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0::DOUBLE) * tf * 2.2
+         |    / (tf + 1.2 * (0.25 + 0.75 * dl / (sum_dl * 1.0::DOUBLE / n_docs)))
+         |  ) * 1e6 + 0.5) / 1e6 AS bm25
+         |FROM tf JOIN dfreq USING (tk), stats
+         |GROUP BY doc_id
+         |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+    }) { (s, dir) =>
+      TA.bm25(t(s, dir, "documents"), "doc_id", "text",
+        queryTerms = Seq("data", "table", "server", "value"))
+    },
+
+    // per-domain score calibration: percent rank of the raw score
+    // within its source stratum — the cut a global threshold makes
+    // after calibration is quantile-fair across domains.
+    q("q_corpus_calibrate",
+      """SELECT doc_id, source,
+        |  floor(percent_rank() OVER (PARTITION BY source
+        |    ORDER BY n_chars, doc_id) * 1e6 + 0.5) / 1e6 AS score_pct
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.ml.Profile.rankNormalize(t(s, dir, "documents"),
+          "n_chars", "source", "doc_id")
+        .select("doc_id", "source", "score_pct")
+        .orderBy("doc_id")
+    },
+
     // leakage-free split: split is a function of the GROUP (source),
     // so correlated documents can never straddle train/val/test.
     q("q_corpus_split", {

@@ -478,4 +478,41 @@ class MlSpec extends SparkSpec {
     // rarer vocabulary ⇒ higher NLL
     assert(got(2L) > got(1L))
   }
+
+  test("bm25 matches a hand-computed score and ranks heavier matches first") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "data data table extra words here"),   // 2×data 1×table, dl=6
+      (2L, "data filler filler filler"),          // 1×data, dl=4
+      (3L, "nothing relevant at all")             // no hits, dl=4
+    ).toDF("doc_id", "text")
+    val got = graft.ml.TextAnalysis
+      .bm25(d, "doc_id", "text", Seq("data", "table"), topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    // doc 3 has no query terms: absent
+    assert(got.map(_._1).toSet == Set(1L, 2L))
+    // hand-compute doc 1: N=3, avgdl=14/3; df(data)=2, df(table)=1
+    val avgdl = 14.0 / 3
+    def idf(df: Int) = math.log((3 - df + 0.5) / (df + 0.5) + 1.0)
+    def w(tf: Int, df: Int, dl: Long) =
+      idf(df) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    val exp1 = math.floor((w(2, 2, 6) + w(1, 1, 6)) * 1e6 + 0.5) / 1e6
+    val exp2 = math.floor(w(1, 2, 4) * 1e6 + 0.5) / 1e6
+    val m = got.toMap
+    assert(math.abs(m(1L) - exp1) < 1e-9, s"doc1 ${m(1L)} vs $exp1")
+    assert(math.abs(m(2L) - exp2) < 1e-9, s"doc2 ${m(2L)} vs $exp2")
+    // ordering: richer match first
+    assert(got.head._1 == 1L)
+  }
+
+  test("rankNormalize: per-stratum percent ranks, deterministic and bounded") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 30.0),
+      (4L, "b", 5.0), (5L, "b", 500.0)).toDF("id", "dom", "score")
+    val got = graft.ml.Profile.rankNormalize(d, "score", "dom", "id")
+      .select("id", "score_pct").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 0.0, 2L -> 0.5, 3L -> 1.0, 4L -> 0.0, 5L -> 1.0))
+  }
 }
