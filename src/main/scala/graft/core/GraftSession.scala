@@ -43,8 +43,12 @@ object GraftSession {
       // arithmetic in MinHash signatures and matching the reference's
       // JVM behavior (scalding had no ANSI overflow checks).
       .config("spark.sql.ansi.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS); read as epoch-nano
-      // longs (Spark has no nanosecond timestamp type).
+      // If a parquet column is TIMESTAMP(NANOS) — which Spark has no
+      // timestamp type for — read it as an epoch-nano long instead of
+      // failing the scan. Micro/milli timestamps are unaffected (read
+      // natively as TIMESTAMP); graft.core.Ts.seconds normalizes either
+      // representation, so the engine tolerates the writer changing
+      // timestamp precision between data drops.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   /** Read one of the star-schema tables from a scale-factor directory. */

@@ -3,16 +3,19 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.core.Ts
+
 /** Time/event coverage over `events` and `orders`: date truncation,
   * tumbling windows (batch form), JSON extraction, gap-based
   * sessionization — the reference's time-partitioned idioms
   * (scalding-date, SURVEY §2.7-2.8) plus the streaming-shaped
   * aggregations its batch model could only approximate.
   *
-  * `events.ts` is TIMESTAMP(NANOS) parquet: Spark reads it as
-  * epoch-nano longs (`spark.sql.legacy.parquet.nanosAsLong`), DuckDB
-  * as TIMESTAMP_NS — both sides reduce to epoch seconds before any
-  * arithmetic so the math is identical.
+  * `events.ts` has shipped as both TIMESTAMP(NANOS) (read as epoch-nano
+  * longs) and `timestamp[us]` parquet; [[graft.core.Ts.seconds]]
+  * normalizes whichever representation the scan produces to epoch
+  * seconds, matching the oracle's `CAST(floor(epoch(ts)) AS BIGINT)`,
+  * so all arithmetic below is representation-independent.
   */
 object EventQueries extends QueryGroup {
 
@@ -34,9 +37,10 @@ object EventQueries extends QueryGroup {
         |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       import graft.agg.Aggregators
-      val events = t(s, dir, "events")
+      val ev = t(s, dir, "events")
+      val events = ev
         .select(col("user_id"), col("value"),
-          floor(col("ts") / 1000000000L).cast("double").as("sec"))
+          Ts.seconds(ev).cast("double").as("sec"))
         .as[(Long, Double, Double)]
       graft.typed.TypedPipe.from(events)
         .map { case (u, v, sec) => (u, (v, sec)) }
@@ -67,8 +71,8 @@ object EventQueries extends QueryGroup {
         |FROM clicks c ASOF JOIN views v
         |  ON c.user_id = v.user_id AND c.sec >= v.sec
         |ORDER BY c.user_id, c.event_id""".stripMargin) { (s, dir) =>
-      val ev = t(s, dir, "events")
-        .withColumn("sec", floor(col("ts") / 1000000000L).cast("long"))
+      val raw = t(s, dir, "events")
+      val ev = raw.withColumn("sec", Ts.seconds(raw))
       val clicks = ev.filter(col("event_type") === "click")
         .select("user_id", "event_id", "sec")
       // dedupe views per (user, sec) so as-of ties are deterministic
@@ -99,8 +103,8 @@ object EventQueries extends QueryGroup {
         |FROM clicks c ASOF JOIN views v
         |  ON c.user_id = v.user_id AND c.sec >= v.sec
         |ORDER BY c.user_id, c.event_id""".stripMargin) { (s, dir) =>
-      val ev = t(s, dir, "events")
-        .withColumn("sec", floor(col("ts") / 1000000000L).cast("long"))
+      val raw = t(s, dir, "events")
+      val ev = raw.withColumn("sec", Ts.seconds(raw))
       val clicks = ev.filter(col("event_type") === "click")
         .select("user_id", "event_id", "sec")
       val views = ev.filter(col("event_type") === "view")
@@ -156,10 +160,9 @@ object EventQueries extends QueryGroup {
         |  count(*) AS n_events
         |FROM gaps GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val events = t(s, dir, "events")
-        .select(col("user_id"),
-          floor(col("ts") / 1000000000L).cast("long").as("sec"),
-          col("event_id"))
+      val ev = t(s, dir, "events")
+      val events = ev
+        .select(col("user_id"), Ts.seconds(ev).as("sec"), col("event_id"))
         .as[(Long, Long, Long)]
       graft.typed.TypedPipe.from(events)
         .map { case (u, sec, eid) => (u, (sec, eid)) }
@@ -219,9 +222,9 @@ object EventQueries extends QueryGroup {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
         |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin) { (s, dir) =>
-      t(s, dir, "events")
-        .withColumn("hour",
-          date_format(timestamp_seconds(floor(col("ts") / 3600000000000L) * 3600L),
+      val ev = t(s, dir, "events")
+      ev.withColumn("hour",
+          date_format(timestamp_seconds(floor(Ts.seconds(ev) / 3600L) * 3600L),
             "yyyy-MM-dd HH:00:00"))
         .groupBy("hour", "event_type")
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
@@ -265,8 +268,8 @@ object EventQueries extends QueryGroup {
       val byUser = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
       val cum = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(s, dir, "events")
-        .withColumn("sec", floor(col("ts") / 1000000000L))
+      val ev = t(s, dir, "events")
+      ev.withColumn("sec", Ts.seconds(ev))
         .withColumn("prev_sec", lag(col("sec"), 1).over(byUser))
         .withColumn("new_session",
           when(col("prev_sec").isNull || col("sec") - col("prev_sec") > 1800, 1)
@@ -306,8 +309,8 @@ object EventQueries extends QueryGroup {
         |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
         |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
         |ORDER BY step""".stripMargin) { (s, dir) =>
-      val e = t(s, dir, "events").select(col("user_id"),
-        floor(col("ts") / 1000000000L).cast("long").as("sec"),
+      val ev = t(s, dir, "events")
+      val e = ev.select(col("user_id"), Ts.seconds(ev).as("sec"),
         col("event_type"))
       graft.events.Events.funnelCounts(e, "user_id", "sec", "event_type",
         Seq("view", "click", "purchase"), windowSec = 604800L)
@@ -331,9 +334,9 @@ object EventQueries extends QueryGroup {
         |SELECT from_type, to_type, count(*) AS n FROM seq
         |WHERE from_type IS NOT NULL
         |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin) { (s, dir) =>
-      val e = t(s, dir, "events").select(col("user_id"), col("event_id"),
-        floor(col("ts") / 1000000000L).cast("long").as("sec"),
-        col("event_type"))
+      val ev = t(s, dir, "events")
+      val e = ev.select(col("user_id"), col("event_id"),
+        Ts.seconds(ev).as("sec"), col("event_type"))
       graft.events.Events.transitionCounts(e, "user_id", "sec",
         "event_type", "event_id")
         .orderBy("from_type", "to_type")
@@ -357,8 +360,8 @@ object EventQueries extends QueryGroup {
         |)
         |SELECT cohort, period, count(*) AS n_users FROM r
         |GROUP BY cohort, period ORDER BY cohort, period""".stripMargin) { (s, dir) =>
-      val e = t(s, dir, "events").select(col("user_id"),
-        floor(col("ts") / 1000000000L).cast("long").as("sec"),
+      val ev = t(s, dir, "events")
+      val e = ev.select(col("user_id"), Ts.seconds(ev).as("sec"),
         col("event_type"))
       graft.events.Events.retention(e, "user_id", "sec", "event_type",
         "signup", Seq("click", "purchase"), 604800L)
@@ -401,9 +404,9 @@ object EventQueries extends QueryGroup {
         |FROM conv c LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
         |  ON c.user_id = b.user_id AND c.conv_id = b.conv_id
         |ORDER BY c.user_id, c.conv_id""".stripMargin) { (s, dir) =>
-      val e = t(s, dir, "events").select(col("event_id"), col("user_id"),
-        floor(col("ts") / 1000000000L).cast("long").as("sec"),
-        col("event_type"))
+      val ev = t(s, dir, "events")
+      val e = ev.select(col("event_id"), col("user_id"),
+        Ts.seconds(ev).as("sec"), col("event_type"))
       graft.events.Events.lastTouchAttribution(e, "user_id", "sec",
         "event_id", "event_type", "purchase", Seq("click", "view"),
         lookbackSec = 3600L)

@@ -38,7 +38,9 @@ class PlanLintSpec extends SparkSpec {
     "q_text_tfidf" -> Map("cartesian" ->
       "1-row corpus-count aggregate broadcast onto the term-frequency stream"),
     "q_text_bigram_nll" -> Map("cartesian" ->
-      "1-row vocabulary-size aggregate broadcast onto the bigram stream"))
+      "1-row vocabulary-size aggregate broadcast onto the bigram stream"),
+    "q_text_bm25" -> Map("cartesian" ->
+      "1-row corpus-stats (N, avgdl) aggregate broadcast onto the hit stream"))
 
   test("every cartesian/global-window in any gate plan is whitelisted") {
     val dir = sf("sf0.001")
