@@ -60,7 +60,10 @@ object Bench {
     "q_text_quality_model",
     // round-9: bloom-filter pre-join (scalar-subquery build + pruned
     // fact scan before the shuffle)
-    "q_join_bloom")
+    "q_join_bloom",
+    // round-10: native single-pass gap sessionization (custom exec;
+    // benched against the q_events_sessionize window form above)
+    "q_events_sessionize_native")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -99,8 +102,17 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // A failed query times as -1.0 and contributes zero seconds to the
+    // total, which makes a broken round look FASTER — the "failed"
+    // count keeps the artifact honest, and the run exits non-zero so
+    // automation can't parse a red bench as green.
+    val failed = results.count { case (_, v) => v < 0 }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed > 0) {
+      System.err.println(s"[bench] $failed headline quer${if (failed == 1) "y" else "ies"} FAILED")
+      sys.exit(1)
+    }
   }
 
   private def runOne(spark: SparkSession,
