@@ -174,14 +174,29 @@ object Dedup {
     // store-side prune BEFORE the bucket join's exchange: a bloom
     // filter over the delta's (band, h) keys drops the store rows
     // that cannot collide while they are still in the scan stage.
-    // When the delta is broadcast-small AQE skips the exchange anyway
-    // and the probe is just a cheap scan predicate; when the delta is
-    // too big to broadcast — the 100 TB daily-append case — this is
-    // what keeps the store's exploded bands out of the shuffle.
+    // The filter is sized to the delta's ACTUAL key count (nDeltaDocs
+    // × bands — the count is free here: newSigs is persisted and
+    // materializes for the join regardless), not a fixed default; a
+    // fixed 4M-key filter is ~4.8 MB of per-task overhead at every
+    // scale, which cost a 3× bench regression in round 4. When the
+    // delta is small enough that AQE will broadcast its exploded
+    // bands anyway, the bloom pass is pure overhead (the broadcast
+    // hash join IS the prune) — skip straight to the plain join.
     // False positives only re-admit rows the join then rejects.
-    val candidates = graft.join.Joins.bloomJoin(
-        explodeBands(allSigs).alias("r"), explodeBands(newSigs).alias("l"),
-        Seq("band", "h"))
+    val deltaKeys = math.max(1L, newSigs.count() * bands)
+    val broadcastThreshold = org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(newDocs.sparkSession.conf
+        .get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+    // exploded delta row ≈ id(8) + band(4) + h(8) + row overhead
+    val bloomWorthwhile = deltaKeys * 32L > broadcastThreshold
+    val exploded = explodeBands(allSigs).alias("r")
+    val explodedNew = explodeBands(newSigs).alias("l")
+    val joined =
+      if (bloomWorthwhile)
+        graft.join.Joins.bloomJoin(exploded, explodedNew, Seq("band", "h"),
+          expectedItems = deltaKeys)
+      else exploded.join(explodedNew, Seq("band", "h"), "inner")
+    val candidates = joined
       .filter(col("l.id") =!= col("r.id"))
       .select(least(col("l.id"), col("r.id")).as("id1"),
         greatest(col("l.id"), col("r.id")).as("id2"))
