@@ -126,34 +126,46 @@ object Filters {
     * line's first occurrence (min of the (id, pos) struct — map-side
     * combine collapses the duplicate mass BEFORE the shuffle, so a
     * line duplicated a billion times ships one row per input
-    * partition, never a billion; this is why it is a groupBy+join and
-    * NOT a window over line, which would sort the full duplicate mass
-    * per key). The join back is line-hash-partitioned on both sides,
-    * and the rebuild is one groupBy(id) whose per-doc sort is bounded
-    * by document size.
+    * partition, never a billion; this is why it is a groupBy, NOT a
+    * window over line, which would sort the full duplicate mass per
+    * key). There is NO join back on the line: the first-occurrence
+    * aggregate already holds every surviving line with its (id, pos),
+    * so the output is rebuilt directly from it (plus the blank lines),
+    * and the only other exchanges are id-keyed — the groupBy(id)
+    * rebuild, whose shuffle carries only SURVIVING lines (round 4
+    * shipped every line's text through a line-keyed join twice), and
+    * a narrow id-only left join that restores documents whose every
+    * line was seen earlier.
     */
   def dedupLinesAcrossCorpus(docs: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
     val id = col(idCol)
     val lines = docs
       .select(id, posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    // blank lines always survive (structure, not content) and never
+    // enter the first-occurrence aggregate
+    val blanks = lines.filter(trim(col("line")) === "")
     val first = lines
       .filter(trim(col("line")) =!= "")
       .groupBy("line")
-      .agg(min(struct(id, col("pos"))).as("__first"))
-    lines
-      .join(first, Seq("line"), "left")
-      .withColumn("__keep", trim(col("line")) === "" ||
-        struct(id, col("pos")) === col("__first"))
-      // conditional agg, not a pre-filter: a document whose every
-      // line was seen earlier still comes back (empty), so the op is
-      // total over its input
+      .agg(min(struct(id.as("id"), col("pos").as("pos"))).as("__first"))
+    val survivors = first.select(
+      col("__first").getField("id").as(idCol),
+      col("__first").getField("pos").as("pos"),
+      col("line"))
+    val rebuilt = survivors.unionByName(blanks)
       .groupBy(idCol)
       .agg(
-        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        count(lit(1)).as("n_kept"),
         array_join(transform(
-          array_sort(collect_list(
-            when(col("__keep"), struct(col("pos"), col("line"))))),
+          array_sort(collect_list(struct(col("pos"), col("line")))),
           s => s.getField("line")), "\n").as("cleaned"))
+    // total over its input: a document whose every line was seen
+    // earlier has no surviving rows, so re-attach it empty via an
+    // id-only join (both sides narrow — no text on the left)
+    docs.filter(col(textCol).isNotNull).select(id)
+      .join(rebuilt, Seq(idCol), "left")
+      .select(id, coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
   }
 }

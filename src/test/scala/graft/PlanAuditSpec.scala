@@ -259,6 +259,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(nHash == 2, s"expected 2 hash exchanges, got $nHash:\n${lines.mkString("\n")}")
   }
 
+  test("line dedup rebuilds from the first-occurrence aggregate, no line-keyed join") {
+    val p = plan("q_text_line_dedup")
+    val lines = p.linesIterator.toSeq
+    // round 4 joined the exploded corpus back on the raw line text —
+    // at 100 TB that ships every surviving line's full text through
+    // the exchange twice. The rebuilt shape has NO join keyed on the
+    // line: the only join is the narrow id-only restore.
+    val joinKeyLines = lines.filter(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")) && l.contains("line#"))
+    assert(joinKeyLines.isEmpty, s"line-keyed join present:\n${joinKeyLines.mkString("\n")}")
+    // the one line-keyed exchange is the first-occurrence groupBy,
+    // whose partial min(struct(id,pos)) collapses duplicate mass
+    // map-side before the shuffle
+    val lineExchanges = lines.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("line#"))
+    assert(lineExchanges == 1, s"expected 1 line-keyed exchange, got $lineExchanges:\n$p")
+    val partialIdx = lines.indexWhere(l =>
+      l.contains("Aggregate") && l.contains("partial_min"))
+    assert(partialIdx >= 0, s"no partial min for first-occurrence:\n$p")
+  }
+
   test("attribution pre-reduces touches map-side and fills with one as-of window") {
     val p = plan("q_events_attribution")
     val lines = p.linesIterator.toSeq
