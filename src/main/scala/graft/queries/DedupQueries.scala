@@ -181,6 +181,46 @@ object DedupQueries extends QueryGroup {
         .orderBy("doc_id")
     },
 
+    // the composition real pipelines run: MinHash near-dup clustering
+    // → connected components → keep-best by the composite QUALITY
+    // score (not length) — a near-dup cluster keeps its
+    // highest-quality member; the prefix near-copies usually LOSE to
+    // their full-length originals only when quality says so. Scores
+    // are the same discrete component-weighted sums in both engines,
+    // ties broken by lowest id.
+    q("q_dedup_keep_best_quality",
+      s"""$componentsCteSql, comp AS (
+         |  SELECT id, min(r) AS component FROM reach GROUP BY id
+         |), qual AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN len(string_split_regex(trim(text), '\\s+')) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.3 END * 0.3
+         |     + CASE WHEN list_aggregate(list_transform(string_split_regex(trim(text), '\\s+'), w -> strlen(w)), 'sum') * 1.0::DOUBLE
+         |         / len(string_split_regex(trim(text), '\\s+')) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.4 END * 0.2
+         |     + CASE WHEN len(list_filter(string_split_regex(lower(text), '\\s+'),
+         |         w -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this'], w)))
+         |         * 1.0::DOUBLE / len(string_split_regex(trim(text), '\\s+')) > 0.05 THEN 1.0 ELSE 0.6 END * 0.3
+         |     + CASE WHEN len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) * 1.0::DOUBLE / strlen(text) < 0.2 THEN 1.0 ELSE 0.5 END * 0.2
+         |    )::DOUBLE AS quality
+         |  FROM docs
+         |)
+         |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster,
+         |  round(q.quality, 6) AS quality,
+         |  (row_number() OVER (
+         |     PARTITION BY coalesce(c.component, d.doc_id)
+         |     ORDER BY q.quality DESC, d.doc_id ASC)) = 1 AS keep
+         |FROM docs d JOIN qual q ON q.doc_id = d.doc_id
+         |LEFT JOIN comp c ON c.id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      import graft.ml.{TextAnalysis => TA}
+      val aug = augmented(s, dir)
+      val comps = Dedup.connectedComponents(
+        Dedup.minHashNearDuplicates(aug, "doc_id", "text", threshold = 0.7))
+      Dedup.keepBest(aug, "doc_id", comps, TA.qualityScore(col("text")))
+        .select(col("doc_id"), col("cluster"),
+          round(TA.qualityScore(col("text")), 6).as("quality"), col("keep"))
+        .orderBy("doc_id")
+    },
+
     // incremental dedup: originals form the signature STORE, the
     // planted copies arrive as a new batch — dedup the batch against
     // the store without re-reading corpus text. Every qualifying pair

@@ -132,4 +132,27 @@ class FiltersSpec extends SparkSpec {
       .filter(col("keep")).select("id").as[Long].collect().toSeq
     assert(rep == Seq(5L))
   }
+
+  test("keepBest composes end-to-end with minhash clustering and a quality score") {
+    import graft.ml.{Dedup, TextAnalysis}
+    val base = ("the quick brown fox jumps over the lazy dog near the river " +
+      "and then runs far away into the quiet green forest ") * 5
+    val near = base + "with one extra trailing clause added"
+    val other = ("spark engines read parquet files in parallel across many " +
+      "executors and shuffle hash partitioned rows between stages ") * 5
+    val docs = Seq((1L, base), (2L, near), (3L, other))
+      .toDF("doc_id", "text")
+    val comps = Dedup.connectedComponents(
+      Dedup.minHashNearDuplicates(docs, "doc_id", "text", threshold = 0.5))
+    val out = Dedup.keepBest(docs, "doc_id", comps,
+        TextAnalysis.qualityScore(col("text")))
+      .select("doc_id", "cluster", "keep")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    // 1 and 2 are near-dups -> same cluster, exactly one kept (equal
+    // discrete quality -> lowest id); 3 is a singleton via the
+    // null-component path and keeps itself
+    assert(out(0)._2 == out(1)._2, s"1 and 2 should share a cluster: ${out.toSeq}")
+    assert(out.map(_._3).toSeq == Seq(true, false, true), s"keep flags: ${out.toSeq}")
+    assert(out(2)._2 == 3L, s"singleton cluster should be its own id: ${out.toSeq}")
+  }
 }
