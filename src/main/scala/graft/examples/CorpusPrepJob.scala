@@ -47,9 +47,20 @@ object CorpusPrepJob {
 
   /** The pipeline body, factored for testing: returns the curated
     * corpus with (doc_id, text, lang, quality, n_tokens, split).
+    *
+    * `keepBestRep = true` swaps step 4's blind min-id cluster
+    * representative for [[Dedup.keepBest]]'s argmax-QUALITY member —
+    * the "soft dedup" real pipelines run. `groupSplit = true` swaps
+    * step 6's per-document hash split for [[graft.ml.Corpus
+    * .splitByGroup]] keyed on the near-dup CLUSTER: the split is
+    * assigned before the cluster is pruned and is a pure function of
+    * the cluster id, so near-duplicates can never straddle
+    * train/holdout — the leakage-free split composed with the
+    * clustering that defines "leakage".
     */
   def prepare(docs: DataFrame, lang: String, minQuality: Double,
-      jaccard: Double, holdout: Double): DataFrame = {
+      jaccard: Double, holdout: Double,
+      keepBestRep: Boolean = false, groupSplit: Boolean = false): DataFrame = {
     // 1-2: single-scan annotate + filter (both predicates push into
     // the same projection pass)
     val scored = docs
@@ -63,20 +74,38 @@ object CorpusPrepJob {
       .select(col("id").as("doc_id"))
     val exactDeduped = scored.join(exact, "doc_id")
 
-    // 4: near-dup clusters — keep each cluster's canonical member
+    // 4: near-dup clusters → one representative per cluster
     val pairs = Dedup.minHashNearDuplicates(
       exactDeduped, "doc_id", "text", threshold = jaccard)
-    val dropIds = Dedup.connectedComponents(pairs)
-      .filter(col("id") =!= col("component"))
-      .select(col("id").as("doc_id"))
-    val deduped = exactDeduped.join(dropIds, Seq("doc_id"), "left_anti")
+    val comps = Dedup.connectedComponents(pairs)
+    val docSplit =
+      when(Profile.fibScramble(col("doc_id")) <
+        lit((holdout * 2147483647L).toLong), "holdout").otherwise("train")
+    val deduped =
+      if (keepBestRep || groupSplit) {
+        // keepBest exposes the cluster column, which doubles as the
+        // leakage-free split group; min-id representative = argmax of
+        // -doc_id, so the default representative rule is unchanged
+        // unless keepBestRep asks for quality
+        val rep = if (keepBestRep) col("quality") else -col("doc_id")
+        val kb = Dedup.keepBest(exactDeduped, "doc_id", comps, rep)
+        val withSplit =
+          if (groupSplit)
+            graft.ml.Corpus.splitByGroup(kb, "cluster",
+              Seq("train" -> (1.0 - holdout), "holdout" -> holdout))
+          else kb.withColumn("split", docSplit)
+        withSplit.filter(col("keep")).drop("cluster", "keep")
+      } else {
+        val dropIds = comps
+          .filter(col("id") =!= col("component"))
+          .select(col("id").as("doc_id"))
+        exactDeduped.join(dropIds, Seq("doc_id"), "left_anti")
+          .withColumn("split", docSplit)
+      }
 
-    // 5-6: token accounting + deterministic split
+    // 5-6: token accounting (+ the split assigned above)
     deduped
       .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
-      .withColumn("split",
-        when(Profile.fibScramble(col("doc_id")) <
-          lit((holdout * 2147483647L).toLong), "holdout").otherwise("train"))
       .select("doc_id", "text", "lang", "quality", "n_tokens", "split")
   }
 }

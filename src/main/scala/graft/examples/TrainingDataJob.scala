@@ -35,11 +35,19 @@ import graft.ml.{Corpus, Dedup}
   *       [--lang en] [--min-quality 0.5] [--jaccard 0.8]
   *       [--holdout 0.05] [--budget 100000] [--ctx 2048] [--shards 64]
   *       [--nll-drop <frac>]   (default 0 = fluency gate OFF)
+  *       [--c4-clean] [--line-dedup] [--model-gate <score>]
+  *       [--keep-best] [--group-split]
+  *       [--epochs src=w,src=w] [--max-epochs 4]
   */
 class TrainingDataJob(args: Args) extends GraftJob(args) {
 
   def run(spark: SparkSession): Unit = {
     val out = args("output")
+    val epochWeights = args.getOrElse("epochs", "").split(',')
+      .filter(_.contains('=')).map { kv =>
+        val Array(k, v) = kv.split('=')
+        k -> v.toDouble
+      }.toMap
     val r = TrainingDataJob.assemble(
       spark.read.parquet(args("input")),
       lang = args.getOrElse("lang", "en"),
@@ -49,7 +57,15 @@ class TrainingDataJob(args: Args) extends GraftJob(args) {
       budget = args.getOrElse("budget", "100000").toLong,
       ctxLen = args.getOrElse("ctx", "2048").toInt,
       nShards = args.getOrElse("shards", "64").toInt,
-      nllDropFrac = args.getOrElse("nll-drop", "0").toDouble)
+      nllDropFrac = args.getOrElse("nll-drop", "0").toDouble,
+      stages = TrainingDataJob.Stages(
+        c4Clean = args.boolean("c4-clean"),
+        lineDedup = args.boolean("line-dedup"),
+        modelGate = args.getOrElse("model-gate", "0").toDouble,
+        keepBestRep = args.boolean("keep-best"),
+        groupSplit = args.boolean("group-split"),
+        epochWeights = epochWeights,
+        maxEpochs = args.getOrElse("max-epochs", "4").toInt))
     r.train.write.partitionBy("source").mode("overwrite").parquet(s"$out/docs")
     r.holdout.write.mode("overwrite").parquet(s"$out/holdout")
     r.manifest.write.mode("overwrite").parquet(s"$out/manifest")
@@ -61,6 +77,37 @@ object TrainingDataJob {
 
   final case class Assembled(train: DataFrame, holdout: DataFrame,
       manifest: DataFrame)
+
+  /** Optional stages wired through [[assemble]] — each defaults OFF so
+    * the base pipeline contract is unchanged; a production run turns
+    * on the ones its corpus needs:
+    *
+    *  - `c4Clean`: C4 line cleaning + page rule + Gopher document
+    *    rules, one codegen'd scan BEFORE any shuffle touches the text;
+    *  - `lineDedup`: corpus-wide exact line dedup (C4's global step) —
+    *    documents whose every line was seen earlier drop out;
+    *  - `modelGate` (> 0): train the logistic quality classifier on
+    *    the cleaned corpus (distant supervision), score every doc as
+    *    codegen'd literals, keep score ≥ `modelGate`;
+    *  - `keepBestRep`: near-dup clusters keep their argmax-quality
+    *    member instead of the min id;
+    *  - `groupSplit`: leakage-free split keyed on the near-dup
+    *    cluster (see [[CorpusPrepJob.prepare]]);
+    *  - `epochWeights` (non-empty): replace the token-budget mix with
+    *    [[graft.ml.Corpus.mixByEpochs]] — weighted domains upsampled
+    *    at most `maxEpochs` passes; train rows then carry
+    *    (epoch, n_epochs) and the manifest packs one entry per
+    *    (doc, epoch) under a composite id
+    *    `doc_id * (maxEpochs + 1) + epoch`.
+    */
+  final case class Stages(
+      c4Clean: Boolean = false,
+      lineDedup: Boolean = false,
+      modelGate: Double = 0.0,
+      keepBestRep: Boolean = false,
+      groupSplit: Boolean = false,
+      epochWeights: Map[String, Double] = Map.empty,
+      maxEpochs: Int = 4)
 
   /** Eager lineage cut between assembly stages. Five operator families
     * chained into one logical plan (curate's LSH joins + components
@@ -80,11 +127,48 @@ object TrainingDataJob {
 
   def assemble(docs: DataFrame, lang: String, minQuality: Double,
       jaccard: Double, holdout: Double, budget: Long, ctxLen: Int,
-      nShards: Int, nllDropFrac: Double = 0.0): Assembled = {
+      nShards: Int, nllDropFrac: Double = 0.0,
+      stages: Stages = Stages()): Assembled = {
+    import graft.ml.{Filters, QualityModel}
+
+    // 0: C4/Gopher cleaning — pure Column expressions, so the line
+    // filter, page rule and Gopher rules all ride the FIRST scan of
+    // the text; at 100 TB the dead pages never reach a shuffle.
+    val cleaned =
+      if (!stages.c4Clean) docs
+      else docs
+        .withColumn("__clean", Filters.c4CleanText(col("text")))
+        .filter(Filters.c4PageKeep(col("text"), col("__clean")) &&
+          Filters.gopherKeep(col("__clean")))
+        .withColumn("text", col("__clean")).drop("__clean")
+
+    // 0b: corpus-wide exact line dedup (C4's global step): each
+    // surviving doc's text is rebuilt from its first-occurrence
+    // lines; docs left with nothing drop out entirely.
+    val lineDeduped =
+      if (!stages.lineDedup) cleaned
+      else cleaned.drop("text").join(
+        Filters.dedupLinesAcrossCorpus(cleaned, "doc_id", "text")
+          .filter(col("n_kept") > 0)
+          .select(col("doc_id"), col("cleaned").as("text")),
+        "doc_id")
+
+    // 0c: trained quality gate — 3 full-batch GD iterations (one
+    // d+1-double aggregate each), then scoring is a codegen'd literal
+    // expression in the same scan as the filter.
+    val classified =
+      if (stages.modelGate <= 0.0) lineDeduped
+      else {
+        val w = QualityModel.train(lineDeduped, "text")
+        QualityModel.score(lineDeduped, "text", w)
+          .filter(col("score") >= stages.modelGate)
+          .drop(QualityModel.featureNames :+ "label" :+ "score": _*)
+      }
+
     // 1-6: curate (keeps doc_id, text, lang, quality, n_tokens, split).
     // `source` survives via join-back below so mixing can see it.
-    val curated = cut(CorpusPrepJob.prepare(docs, lang, minQuality,
-        jaccard, holdout)
+    val curated = cut(CorpusPrepJob.prepare(classified, lang, minQuality,
+        jaccard, holdout, stages.keepBestRep, stages.groupSplit)
       .join(docs.select("doc_id", "source"), "doc_id"))
 
     val holdoutDocs = curated.filter(col("split") === "holdout")
@@ -117,20 +201,40 @@ object TrainingDataJob {
         "source", "__fluency", "doc_id", nllDropFrac)
         .drop("nll", "__fluency")
 
-    // 8: per-source token budget
-    val mixed = cut(Corpus.mixByBudget(fluent, "doc_id", "source",
-      "n_tokens", budget))
-
-    // 9: pack + manifest
-    val manifest = Corpus.sequenceManifest(
-      mixed.select(col("doc_id"), col("n_tokens").cast("long").as("tok")),
-      "doc_id", "tok", ctxLen, nShards)
-
-    Assembled(
-      train = mixed.select("doc_id", "text", "source", "quality",
-        "n_tokens", "cum_tokens"),
-      holdout = holdoutDocs.select("doc_id", "text", "source", "quality",
-        "n_tokens"),
-      manifest = manifest)
+    // 8-9: mix + pack. Default: per-source token budget. With
+    // `epochWeights`: the LLaMA-recipe epoch-cap mix — weighted
+    // domains replayed up to maxEpochs passes; the upsampled stream
+    // (one row per doc × epoch) is what gets packed, under a
+    // composite id so each epoch's copy lands in its own sequence.
+    if (stages.epochWeights.isEmpty) {
+      val mixed = cut(Corpus.mixByBudget(fluent, "doc_id", "source",
+        "n_tokens", budget))
+      val manifest = Corpus.sequenceManifest(
+        mixed.select(col("doc_id"), col("n_tokens").cast("long").as("tok")),
+        "doc_id", "tok", ctxLen, nShards)
+      Assembled(
+        train = mixed.select("doc_id", "text", "source", "quality",
+          "n_tokens", "cum_tokens"),
+        holdout = holdoutDocs.select("doc_id", "text", "source", "quality",
+          "n_tokens"),
+        manifest = manifest)
+    } else {
+      val plan = Corpus.mixByEpochs(fluent, "doc_id", "source",
+        "n_tokens", stages.epochWeights, budget, stages.maxEpochs)
+      val expanded = cut(fluent.join(
+        plan.select("doc_id", "epoch", "n_epochs"), "doc_id"))
+      val stride = stages.maxEpochs + 1L
+      val manifest = Corpus.sequenceManifest(
+        expanded.select(
+          (col("doc_id") * stride + col("epoch")).as("doc_id"),
+          col("n_tokens").cast("long").as("tok")),
+        "doc_id", "tok", ctxLen, nShards)
+      Assembled(
+        train = expanded.select("doc_id", "text", "source", "quality",
+          "n_tokens", "epoch", "n_epochs"),
+        holdout = holdoutDocs.select("doc_id", "text", "source", "quality",
+          "n_tokens"),
+        manifest = manifest)
+    }
   }
 }

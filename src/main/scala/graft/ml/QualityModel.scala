@@ -74,6 +74,10 @@ object QualityModel {
         featureNames.map(f => sum(err * col(f)).as(s"g_$f")): _*)
         .head()
       val n = sums.getDouble(0)
+      // an empty training set yields NULL gradient sums — fail loudly
+      // instead of NPEing inside the update (an upstream filter that
+      // annihilated the corpus is a pipeline bug, not a model state)
+      require(n > 0, "QualityModel.trainOnFeatures: empty training set")
       w = w.zipWithIndex.map { case (wk, k) =>
         wk - lr * sums.getDouble(k + 1) / n
       }

@@ -102,4 +102,111 @@ class TrainingDataSpec extends SparkSpec {
     }
     graft.ml.Dedup.unpersistPipelineCaches()
   }
+
+  test("c4 + line-dedup + model-gate + group-split stages compose and are deterministic") {
+    import spark.implicits._
+    // the synthetic corpus has no sentence punctuation; the same
+    // transform the line-dedup gate uses manufactures lines that can
+    // survive the C4 rules
+    // the Gopher stopword rule needs >= 2 of its stopword list; the
+    // synthetic vocabulary only carries "the", so every doc gets one
+    // shared stopword-bearing closing line (which also exercises the
+    // corpus-wide line dedup: it survives in exactly one document)
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select(col("doc_id"),
+        expr("concat(replace(text, 'table', concat('.', chr(10))), " +
+          "chr(10), 'they have to be of and with that same mind.')").as("text"),
+        col("lang"), col("source"))
+    val stages = TrainingDataJob.Stages(c4Clean = true, lineDedup = true,
+      modelGate = 0.1, keepBestRep = true, groupSplit = true)
+    def run() = TrainingDataJob.assemble(docs, lang = "en",
+      minQuality = 0.3, jaccard = 0.7, holdout = 0.2, budget = 1000000L,
+      ctxLen = 128, nShards = 4, stages = stages)
+    val r = run()
+    val train = r.train.select("doc_id", "text").as[(Long, String)].collect()
+    val holdout = r.holdout.select("doc_id", "text").as[(Long, String)].collect()
+    assert(train.nonEmpty, "stages annihilated the train split")
+    assert(train.map(_._1).toSet.intersect(holdout.map(_._1).toSet).isEmpty)
+
+    // c4 invariant: every surviving line ends in sentence punctuation
+    // with >= 3 words (the cleaning ran BEFORE everything downstream)
+    val allLines = (train ++ holdout).flatMap(_._2.split("\n"))
+    allLines.foreach { l =>
+      assert(l.matches(".*[.!?\"']\\s*$"), s"unclean line survived: '$l'")
+      assert(l.trim.split("\\s+").length >= 3, s"short line survived: '$l'")
+    }
+    // line-dedup invariant: no non-blank line appears twice anywhere
+    // in the curated corpus (dedup ran corpus-wide before curation)
+    val nonBlank = allLines.filter(_.trim.nonEmpty)
+    assert(nonBlank.length == nonBlank.distinct.length,
+      "duplicate line survived corpus-wide line dedup")
+    // every stage is deterministic: a second assembly is identical
+    val r2 = run()
+    assert(r2.train.select("doc_id").as[Long].collect().sorted.toSeq ==
+      train.map(_._1).sorted.toSeq)
+    graft.ml.Dedup.unpersistPipelineCaches()
+  }
+
+  test("keep-best representative + cluster-keyed split in prepare") {
+    import spark.implicits._
+    // near-dup pair: 1 has lower id, 2 has higher heuristic quality
+    // (1's punctuation soup lowers its punct component). Default rule
+    // keeps min-id 1; keepBestRep must keep 2 instead.
+    val base = ("the quick brown fox jumps over the lazy dog near the " +
+      "river and then runs far away into the quiet green forest ") * 5
+    // punct ratio ≈ 0.31 > 0.2 ⇒ quality 0.9 vs the clean copy's 1.0;
+    // the soup normalizes away in shingling, so Jaccard stays ≈ 0.96
+    val noisy = base.take(base.length - 10) + " !!! ### $$$ %%% &&& *** ((( ))) @@@ ^^^ ~~~ ``` " * 8
+    val single = ("spark engines read parquet files in parallel across " +
+      "many executors and shuffle hash partitioned rows between stages ") * 5
+    val docs = Seq((1L, noisy, "en", "s0"), (2L, base, "en", "s0"),
+      (3L, single, "en", "s1")).toDF("doc_id", "text", "lang", "source")
+    val byId = graft.examples.CorpusPrepJob.prepare(docs, "en", 0.0, 0.5, 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    val byQuality = graft.examples.CorpusPrepJob.prepare(docs, "en", 0.0, 0.5, 0.2,
+      keepBestRep = true).select("doc_id").as[Long].collect().toSet
+    assert(byId.contains(1L) && !byId.contains(2L),
+      s"default rule should keep min-id: $byId")
+    assert(byQuality.contains(2L) && !byQuality.contains(1L),
+      s"keepBestRep should keep the higher-quality member: $byQuality")
+    // groupSplit: the surviving representative's split must equal the
+    // deterministic cluster-hash assignment (cluster = min member id)
+    val withSplit = graft.examples.CorpusPrepJob.prepare(docs, "en", 0.0, 0.5, 0.2,
+      keepBestRep = true, groupSplit = true)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val expected = graft.ml.Corpus.splitByGroup(
+        Seq(1L, 3L).toDF("cluster"), "cluster",
+        Seq("train" -> 0.8, "holdout" -> 0.2))
+      .select("cluster", "split").as[(Long, String)].collect().toMap
+    assert(withSplit(2L) == expected(1L), "rep must inherit its cluster's split")
+    assert(withSplit(3L) == expected(3L))
+    graft.ml.Dedup.unpersistPipelineCaches()
+  }
+
+  test("epoch-cap mix upsamples every source maxEpochs times under a loose budget") {
+    import spark.implicits._
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select("doc_id", "text", "lang", "source")
+    val sources = docs.select("source").distinct().as[String].collect()
+    val w = sources.map(_ -> 1.0 / sources.length).toMap
+    val r = TrainingDataJob.assemble(docs, lang = "en", minQuality = 0.3,
+      jaccard = 0.7, holdout = 0.2, budget = 1000000000L, ctxLen = 128,
+      nShards = 4, stages = TrainingDataJob.Stages(
+        epochWeights = w, maxEpochs = 2))
+    val rows = r.train.select("doc_id", "epoch", "n_epochs")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // budget >> corpus: every doc replays exactly maxEpochs times
+    assert(rows.forall(_._3 == 2L), s"n_epochs: ${rows.map(_._3).distinct.toSeq}")
+    rows.groupBy(_._1).foreach { case (id, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == Seq(1L, 2L), s"epochs for $id: ${rs.toSeq}")
+    }
+    // the manifest packs one entry per (doc, epoch) under composite ids
+    val manifestDocs = r.manifest
+      .select(explode(split(col("doc_ids"), ","))).as[String].collect()
+    assert(manifestDocs.length == rows.length)
+    val decoded = manifestDocs.map(_.toLong).map(c => (c / 3L, c % 3L)).toSet
+    assert(decoded == rows.map(t => (t._1, t._2)).toSet)
+    graft.ml.Dedup.unpersistPipelineCaches()
+  }
 }
