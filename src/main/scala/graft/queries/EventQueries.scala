@@ -281,6 +281,37 @@ object EventQueries extends QueryGroup {
         .orderBy("user_id")
     },
 
+    // the same gap-sessionization through the NATIVE Catalyst operator
+    // (SessionizePlan.scala: one shuffle + one sort + a single
+    // streaming pass with O(1) state, vs the window form's lag +
+    // running-sum double pass) — gate-verifies the custom exec
+    // against the same DuckDB oracle.
+    q("q_events_sessionize_native",
+      """WITH evts AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events
+        |), gaps AS (
+        |  SELECT user_id, event_id, sec,
+        |    CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) IS NULL
+        |      OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) > 1800
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM evts
+        |)
+        |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM gaps GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val labeled = org.apache.spark.sql.graft.SessionizeNative.sessionize(
+        ev.select(col("user_id"), Ts.seconds(ev).as("sec")),
+        Seq("user_id"), "sec", 1800L)
+      // session_id is a 1-based per-user counter, so max = the count;
+      // the groupBy rides the exec's preserved hash partitioning —
+      // ONE exchange in the whole plan
+      labeled.groupBy("user_id")
+        .agg(max("session_id").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    },
+
     // ordered funnel view → click → purchase within a 7-day window of
     // the first view: greedy earliest matching (step k = earliest
     // occurrence ≥ step k-1's time), so chained mins replay it
