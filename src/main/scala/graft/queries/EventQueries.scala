@@ -312,6 +312,44 @@ object EventQueries extends QueryGroup {
         .orderBy("user_id")
     },
 
+    // per-session summaries composed on the native operator: the
+    // (user, session) aggregate is satisfied by the exec's preserved
+    // hashpartitioning(user) — a subset clustering — so the whole
+    // summary costs ONE hash exchange (plus the ORDER BY's range
+    // partitioning). The window form needs its two window passes AND
+    // the aggregate on top.
+    q("q_events_session_stats",
+      """WITH evts AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events
+        |), gaps AS (
+        |  SELECT user_id, event_id, sec,
+        |    CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) IS NULL
+        |      OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) > 1800
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM evts
+        |), sessions AS (
+        |  SELECT user_id, sec,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM gaps
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(sec) AS start_sec, max(sec) AS end_sec,
+        |  max(sec) - min(sec) AS duration
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val labeled = org.apache.spark.sql.graft.SessionizeNative.sessionize(
+        ev.select(col("user_id"), Ts.seconds(ev).as("sec")),
+        Seq("user_id"), "sec", 1800L)
+      labeled.groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("sec").as("start_sec"), max("sec").as("end_sec"),
+          (max("sec") - min("sec")).as("duration"))
+        .orderBy("user_id", "session_id")
+    },
+
     // ordered funnel view → click → purchase within a 7-day window of
     // the first view: greedy earliest matching (step k = earliest
     // occurrence ≥ step k-1's time), so chained mins replay it

@@ -70,6 +70,20 @@ class SessionizeNativeSpec extends SparkSpec {
     assert(out.toSeq == w.toSeq)
   }
 
+  test("per-(key, session) aggregate rides the preserved partitioning — still one exchange") {
+    val ev = spark.read.parquet(sf() + "/events.parquet")
+    val labeled = SessionizeNative.sessionize(
+      ev.select(col("user_id"), graft.core.Ts.seconds(ev).as("sec")),
+      Seq("user_id"), "sec", 1800L)
+    val stats = labeled.groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"), min("sec").as("start_sec"))
+    val p = stats.queryExecution.executedPlan.toString
+    // hashpartitioning(user_id) is a subset clustering of
+    // (user_id, session_id), so the aggregate adds NO exchange
+    val nEx = p.linesIterator.count(_.contains("Exchange"))
+    assert(nEx == 1, s"expected 1 exchange, got $nEx:\n$p")
+  }
+
   test("plans as a single pass: SessionizeExec present, no Window, one exchange") {
     val ev = spark.read.parquet(sf() + "/events.parquet")
     val labeled = SessionizeNative.sessionize(
