@@ -387,6 +387,50 @@ object TextAnalysis {
         (col("n") + col("v") * smoothing))).as("nll"))
   }
 
+  /** DSIR-style importance weights for data selection (Xie et al.
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling", simplified to the add-λ unigram case): fit one
+    * smoothed unigram LM on the TARGET sample (`isTarget` rows) and
+    * one on the whole raw corpus — both over the raw corpus
+    * vocabulary, so the models share support — and weight every
+    * document by its mean per-token log-likelihood ratio
+    * `log p_target(t) − log p_raw(t)`. Documents resembling the
+    * target distribution get higher weight; feed the result to
+    * [[Corpus.dropBottomByScore]] (per-stratum) or a top-fraction cut
+    * to shift the corpus toward the target. Returns (doc_id, weight)
+    * for every document with ≥ 1 normalized token (token-free docs
+    * carry no evidence either way, matching [[unigramNll]]'s
+    * contract).
+    *
+    * Scale shape — identical to [[unigramNll]]: ONE token-explode
+    * scan feeds both count aggregates (map-side partials), the
+    * scoring join shuffles on the token (heavy hitters are exactly
+    * what AQE skew-split handles), and the 1-row totals are a
+    * broadcast. The target sample rides the same scan via a
+    * conditional count — it is never scanned separately. All
+    * arithmetic is engine-replayable (add-λ ratios of exact longs).
+    */
+  def importanceWeights(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, smoothing: Double = 0.5): DataFrame = {
+    val tok = df.select(col(idCol).as("doc_id"),
+      isTarget.cast("boolean").as("__tgt"),
+      explode(split(normalize(col(textCol)), " ")).as("tk"))
+      .filter(length(col("tk")) > 0)
+    // both models from one pass: raw count + conditional target count
+    val tc = tok.groupBy("tk").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"))
+    val tot = tc.agg(sum("cr").as("nr"), sum("ct").as("nt"),
+      count(lit(1)).as("v"))
+    val lr =
+      log((col("ct") + smoothing) / (col("nt") + col("v") * smoothing)) -
+        log((col("cr") + smoothing) / (col("nr") + col("v") * smoothing))
+    tok.join(tc, "tk")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(avg(lr).as("weight"))
+  }
+
   /** BM25 retrieval scoring (Robertson et al.; the Lucene-default
     * `idf·tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))` form with
     * `idf = ln(1 + (N-df+0.5)/(df+0.5))`): score every document

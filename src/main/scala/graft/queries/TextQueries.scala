@@ -85,6 +85,39 @@ object TextQueries extends QueryGroup {
         .orderBy("doc_id")
     },
 
+    // DSIR importance weights (Xie et al. 2023, unigram case): one
+    // smoothed LM on the target sample (sources 0-2) vs one on the
+    // raw corpus, both over the shared raw vocabulary; each doc's
+    // weight = mean per-token log-likelihood ratio. Higher weight =
+    // closer to the target distribution — the data-selection signal.
+    q("q_text_dsir", {
+      val words = "string_split(trim(regexp_replace(regexp_replace(lower(text), " +
+        "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')"
+      s"""WITH cw AS (
+         |  SELECT doc_id, source, $words AS w FROM documents
+         |), tok AS (
+         |  SELECT doc_id, source IN ('src0', 'src1', 'src2') AS tgt, tk
+         |  FROM (SELECT doc_id, source, unnest(w) AS tk FROM cw)
+         |  WHERE strlen(tk) > 0
+         |), tc AS (
+         |  SELECT tk, count(*) AS cr,
+         |    sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+         |  FROM tok GROUP BY tk
+         |), tot AS (
+         |  SELECT sum(cr) AS nr, sum(ct) AS nt, count(*) AS v FROM tc
+         |)
+         |SELECT doc_id,
+         |  round(avg(ln((ct + 0.5::DOUBLE) / (nt + 0.5::DOUBLE * v))
+         |          - ln((cr + 0.5::DOUBLE) / (nr + 0.5::DOUBLE * v))), 6) AS weight
+         |FROM tok JOIN tc USING (tk), tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      TA.importanceWeights(t(s, dir, "documents"), "doc_id", "text",
+          col("source").isInCollection(Seq("src0", "src1", "src2")))
+        .withColumn("weight", round(col("weight"), 6))
+        .orderBy("doc_id")
+    },
+
     // context-sensitive fluency: bigram-model NLL (the n-gram step up
     // from the unigram gate; same add-0.5 smoothing over V unigrams).
     q("q_text_bigram_nll", {

@@ -479,6 +479,33 @@ class MlSpec extends SparkSpec {
     assert(got(2L) > got(1L))
   }
 
+  test("importanceWeights matches the hand-computed likelihood ratio and ranks target-like docs higher") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a a b", true),  // the target sample speaks a/b
+      (2L, "a b c", false), // target-like
+      (3L, "c c c", false)  // divergent
+    ).toDF("doc_id", "text", "tgt")
+    // raw: a=3 b=2 c=4, Nr=9, V=3; target: a=2 b=1 c=0, Nt=3
+    def lr(ct: Double, cr: Double) =
+      math.log((ct + 0.5) / (3 + 0.5 * 3)) - math.log((cr + 0.5) / (9 + 0.5 * 3))
+    val exp2 = (lr(2, 3) + lr(1, 2) + lr(0, 4)) / 3
+    val exp3 = lr(0, 4)
+    val got = TA.importanceWeights(d, "doc_id", "text", col("tgt"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(2L) - exp2) < 1e-9)
+    assert(math.abs(got(3L) - exp3) < 1e-9)
+    // the target-distribution doc outweighs the divergent one, and
+    // selection composes: keeping the top half drops the divergent doc
+    assert(got(2L) > got(3L))
+    val kept = graft.ml.Corpus.dropBottomByScore(
+        d.join(TA.importanceWeights(d, "doc_id", "text", col("tgt")), "doc_id")
+          .withColumn("stratum", lit("all")),
+        "stratum", "weight", "doc_id", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(2L) && !kept.contains(3L), s"kept: $kept")
+  }
+
   test("bm25 matches a hand-computed score and ranks heavier matches first") {
     import spark.implicits._
     val d = Seq(

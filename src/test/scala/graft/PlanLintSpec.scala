@@ -40,7 +40,9 @@ class PlanLintSpec extends SparkSpec {
     "q_text_bigram_nll" -> Map("cartesian" ->
       "1-row vocabulary-size aggregate broadcast onto the bigram stream"),
     "q_text_bm25" -> Map("cartesian" ->
-      "1-row corpus-stats (N, avgdl) aggregate broadcast onto the hit stream"))
+      "1-row corpus-stats (N, avgdl) aggregate broadcast onto the hit stream"),
+    "q_text_dsir" -> Map("cartesian" ->
+      "1-row (Nr, Nt, V) model-totals aggregate broadcast onto the token stream"))
 
   test("every cartesian/global-window in any gate plan is whitelisted") {
     val dir = sf("sf0.001")
