@@ -62,8 +62,10 @@ object Bench {
     // fact scan before the shuffle)
     "q_join_bloom",
     // round-10: native single-pass gap sessionization (custom exec;
-    // benched against the q_events_sessionize window form above)
-    "q_events_sessionize_native")
+    // benched against the q_events_sessionize window form above) +
+    // DSIR importance weighting (two LMs off one token scan)
+    "q_events_sessionize_native",
+    "q_text_dsir")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
