@@ -26,7 +26,7 @@ class BucketingSpec extends SparkSpec {
   }
 
   override def afterAll(): Unit = {
-    Seq("b_orders", "b_custs", "b_lead", "b_ref")
+    Seq("b_orders", "b_custs", "b_lead", "b_ref", "b_sess")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     super.afterAll()
   }
@@ -79,6 +79,40 @@ class BucketingSpec extends SparkSpec {
       .orderBy("k", "ts", "lv").collect().map(_.toSeq).toSeq
     val got = joined.select("k", "ts", "lv", "rv")
       .orderBy("k", "ts", "lv").collect().map(_.toSeq).toSeq
+    assert(got == expected)
+  }
+
+  test("native sessionize over a bucketed, sorted layout adds no shuffle at all") {
+    import spark.implicits._
+    assume(Bucketing.bucketingEnabled(spark))
+    // a daily event table bucketed by user and sorted by (user, ts):
+    // the write-time shuffle is the ONLY one that ever happens — the
+    // session labeling and the per-(user, session) summary both ride
+    // the bucket layout
+    val events = (1 to 800).map(i => (i.toLong % 17, (i * 137L) % 5000))
+      .toDF("user", "ts")
+    Bucketing.writeBucketed(events, "b_sess", 4, Seq("user"), Seq("user", "ts"))
+    val labeled = org.apache.spark.sql.graft.SessionizeNative.sessionize(
+      Bucketing.readTable(spark, "b_sess"), Seq("user"), "ts", 200L)
+    val stats = labeled.groupBy("user", "session_id")
+      .agg(count(lit(1)).as("n_events"), min("ts").as("start_ts"))
+    val plan = planOf(stats)
+    assert(noShuffle(plan), s"bucketed sessionize shuffled:\n$plan")
+    // truth: the lag + running-sum window formulation
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user").orderBy("ts")
+    val cum = w.rowsBetween(org.apache.spark.sql.expressions.Window
+      .unboundedPreceding, org.apache.spark.sql.expressions.Window.currentRow)
+    val expected = Bucketing.readTable(spark, "b_sess")
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("ns",
+        when(col("prev").isNull || col("ts") - col("prev") > 200L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("ns").over(cum))
+      .groupBy("user", "session_id")
+      .agg(count(lit(1)).as("n_events"), min("ts").as("start_ts"))
+      .orderBy("user", "session_id").collect().map(_.toSeq).toSeq
+    val got = stats.orderBy("user", "session_id").collect().map(_.toSeq).toSeq
     assert(got == expected)
   }
 }
