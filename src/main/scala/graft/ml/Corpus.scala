@@ -301,4 +301,51 @@ object Corpus {
     }
     docs.withColumn("split", assigned)
   }
+
+  /** Deterministic span corruption for denoising-objective prep
+    * (T5/UL2-style): whitespace tokens are grouped into contiguous
+    * blocks of `spanLen`; block b of document d is masked iff the
+    * md5 prefix of "d:b" falls inside `rate` of the prefix space
+    * (the same engine-replayable hash-threshold rule as
+    * [[splitByGroup]] / hash sampling), and each masked block
+    * collapses to ONE `sentinel` token. Returns (doc_id, n_tokens,
+    * n_masked, masked_text); surviving tokens are rejoined with
+    * single spaces (the op tokenizes, so original whitespace runs are
+    * not preserved). Mask decisions depend only on (doc id, block
+    * index, rate), so any engine — and tomorrow's rerun — reproduces
+    * the identical corruption.
+    *
+    * Scale shape: a pure per-row Column program (split + one
+    * transform/aggregate over the block sequence) — no shuffle, no
+    * state, no UDF; the whole op is one codegen'd scan at any corpus
+    * size.
+    */
+  def maskSpans(docs: DataFrame, idCol: String, textCol: String,
+      rate: Double, spanLen: Int = 3, sentinel: String = "<X>"): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    require(spanLen > 0, s"spanLen must be positive, got $spanLen")
+    require(!sentinel.contains("'"), "sentinel must not contain quotes")
+    val thr = Profile.strongThreshold(rate)
+    val masked = (b: String) =>
+      s"substring(md5(concat(cast(__id as string), ':', cast($b as string))), 1, 8) < '$thr'"
+    docs
+      .withColumn("__id", col(idCol))
+      .withColumn("__w",
+        when(length(trim(col(textCol))) === 0, array().cast("array<string>"))
+          .otherwise(split(trim(col(textCol)), "\\s+")))
+      .withColumn("__n", size(col("__w")).cast("long"))
+      .withColumn("__blocks", expr(
+        s"if (__n = 0, array(), sequence(0L, (__n - 1) div $spanLen))"))
+      .withColumn("masked_text", expr(
+        s"""array_join(flatten(transform(__blocks, b ->
+           |  if (${masked("b")},
+           |      array('$sentinel'),
+           |      slice(__w, cast(b * $spanLen + 1 as int), $spanLen)))), ' ')""".stripMargin))
+      .withColumn("n_masked", expr(
+        s"""aggregate(__blocks, 0L, (acc, b) ->
+           |  acc + if (${masked("b")},
+           |            least(cast($spanLen as bigint), __n - b * $spanLen), 0L))""".stripMargin))
+      .select(col(idCol), col("__n").as("n_tokens"), col("n_masked"),
+        col("masked_text"))
+  }
 }

@@ -298,6 +298,39 @@ object TextQueries extends QueryGroup {
         .orderBy("doc_id", "chunk_idx")
     },
 
+    // deterministic T5-style span corruption: 3-token blocks, 25% of
+    // blocks masked by md5(doc:block) prefix threshold, each masked
+    // block collapsing to one sentinel. Both engines replay the
+    // identical hash decisions; the (large) masked text compares as a
+    // hash.
+    q("q_text_mask_spans", {
+      val thr = graft.ml.Profile.strongThreshold(0.25)
+      s"""WITH cw AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+         |  FROM documents WHERE strlen(trim(text)) > 0
+         |), blk AS (
+         |  SELECT doc_id, w, len(w) AS n, u.b AS b,
+         |    substr(md5(doc_id::VARCHAR || ':' || u.b::VARCHAR), 1, 8) < '$thr' AS m
+         |  FROM cw, unnest(range(0, CAST(ceil(len(w) / 3.0) AS BIGINT))) AS u(b)
+         |), seg AS (
+         |  SELECT doc_id, n, b, m,
+         |    CASE WHEN m THEN '<X>'
+         |      ELSE array_to_string(w[(b * 3 + 1):(b * 3 + 3)], ' ') END AS piece,
+         |    CASE WHEN m THEN least(3, n - b * 3) ELSE 0 END AS masked_toks
+         |  FROM blk
+         |)
+         |SELECT doc_id, min(n) AS n_tokens,
+         |  CAST(sum(masked_toks) AS BIGINT) AS n_masked,
+         |  md5(string_agg(piece, ' ' ORDER BY b)) AS h
+         |FROM seg GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      graft.ml.Corpus.maskSpans(t(s, dir, "documents"), "doc_id", "text",
+          rate = 0.25, spanLen = 3)
+        .select(col("doc_id"), col("n_tokens"), col("n_masked"),
+          md5(col("masked_text")).as("h"))
+        .orderBy("doc_id")
+    },
+
     q("q_text_pack",
       """WITH d AS (
         |  SELECT doc_id,

@@ -318,4 +318,37 @@ class CorpusSpec extends SparkSpec {
       .select("id", "dom", "split").as[(Long, String, String)].collect()
     assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
+
+  test("maskSpans: rate edges, block arithmetic, and a replayed hash decision") {
+    import spark.implicits._
+    val docs = Seq((7L, "a b c d e f g"), (8L, "x y"), (9L, "   "))
+      .toDF("doc_id", "text")
+    // rate 0: nothing masked, text round-trips (single-space rejoin)
+    val none = Corpus.maskSpans(docs, "doc_id", "text", rate = 0.0, spanLen = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(none(7L) == ((7L, 0L, "a b c d e f g")))
+    assert(none(8L) == ((2L, 0L, "x y")))
+    assert(none(9L) == ((0L, 0L, ""))) // whitespace-only doc is total, empty
+    // rate 1: every block masked; one sentinel per block, partial
+    // blocks count their real token number
+    val all = Corpus.maskSpans(docs, "doc_id", "text", rate = 1.0, spanLen = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(all(7L) == ((7L, 7L, "<X> <X> <X>"))) // blocks: 3+3+1 tokens
+    assert(all(8L) == ((2L, 2L, "<X>")))
+    // mid rate: replay the md5 threshold per block by hand
+    val thr = graft.ml.Profile.strongThreshold(0.25)
+    val mid = Corpus.maskSpans(docs, "doc_id", "text", rate = 0.25, spanLen = 3)
+      .filter(col("doc_id") === 7L).head()
+    val expected = (0 to 2).map { b =>
+      if (md5hex(s"7:$b").take(8) < thr) "<X>"
+      else Seq("a b c", "d e f", "g")(b)
+    }.mkString(" ")
+    assert(mid.getString(3) == expected)
+    // determinism across reruns (the whole point of hash decisions)
+    val rerun = Corpus.maskSpans(docs, "doc_id", "text", rate = 0.25, spanLen = 3)
+      .filter(col("doc_id") === 7L).head()
+    assert(rerun.getString(3) == expected)
+  }
 }
