@@ -168,4 +168,37 @@ object Filters {
       .select(id, coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("cleaned"), lit("")).as("cleaned"))
   }
+
+  /** Rule-attrition report — the observability every production
+    * cleaning pipeline logs: for the C4 page rule and each named
+    * Gopher rule, how many documents fail it, plus the total and the
+    * overall survivor count. One single-scan aggregate (every rule is
+    * a Column flag over the same projection, so the whole report is a
+    * handful of conditional counts in one partial/final agg — a
+    * metadata-priced query at 100 TB). Blind conjunctions are
+    * undebuggable at scale; this is how a corpus owner learns WHICH
+    * rule is eating their data before turning the filter on.
+    */
+  def attritionReport(docs: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val text = col(textCol)
+    val cleaned = c4CleanText(text)
+    def failures(flag: Column, name: String) =
+      sum(when(!flag, 1L).otherwise(0L)).as(s"fail_$name")
+    docs
+      .select(text.as("__t"), cleaned.as("__c"))
+      .withColumn("__g", gopherFlags(col("__c")))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        failures(c4PageKeep(col("__t"), col("__c")), "c4_page"),
+        failures(col("__g").getField("word_count_ok"), "word_count"),
+        failures(col("__g").getField("mwl_ok"), "mwl"),
+        failures(col("__g").getField("symbol_ok"), "symbol"),
+        failures(col("__g").getField("bullet_ok"), "bullet"),
+        failures(col("__g").getField("ellipsis_ok"), "ellipsis"),
+        failures(col("__g").getField("alpha_ok"), "alpha"),
+        failures(col("__g").getField("stopword_ok"), "stopword"),
+        sum(when(c4PageKeep(col("__t"), col("__c")) &&
+          col("__g").getField("keep"), 1L).otherwise(0L)).as("n_survivors"))
+  }
 }

@@ -775,6 +775,75 @@ object TextQueries extends QueryGroup {
         .orderBy("doc_id")
     },
 
+    // rule-attrition report: for the C4 page rule and each named
+    // Gopher rule over the C4-cleaned text, how many docs fail it —
+    // the observability that tells a corpus owner WHICH rule eats
+    // their data before the filter goes live. ONE single-scan
+    // aggregate; the alternating closing line makes the stopword rule
+    // discriminate.
+    q("q_text_attrition", {
+      val toks = "string_split_regex(trim(c), '\\s+')"
+      val toksLower = "string_split_regex(trim(lower(c)), '\\s+')"
+      val nw = s"(CASE WHEN strlen(trim(c)) = 0 THEN 0 ELSE len($toks) END)"
+      val nws = s"(greatest($nw, 1) * 1.0::DOUBLE)"
+      val lines = "string_split(c, chr(10))"
+      val nls = s"(greatest(len($lines), 1) * 1.0::DOUBLE)"
+      s"""WITH d AS (
+         |  SELECT doc_id, concat(replace(text, 'table', '.' || chr(10)), chr(10),
+         |    CASE WHEN doc_id % 2 = 0
+         |      THEN 'they have to be of and with that same mind.'
+         |      ELSE 'closing line to end the page here.' END) AS t
+         |  FROM documents
+         |), cl AS (
+         |  SELECT doc_id, t, coalesce(array_to_string(
+         |    list_filter(string_split(t, chr(10)), l ->
+         |      regexp_matches(l, '[.!?"'']\\s*$$')
+         |      AND len(string_split_regex(trim(l), '\\s+')) >= 3
+         |      AND NOT contains(lower(l), 'javascript')), chr(10)), '') AS c
+         |  FROM d
+         |), f AS (
+         |  SELECT doc_id,
+         |    (len(regexp_extract_all(c, '[.!?]')) >= 5
+         |      AND NOT contains(lower(t), 'lorem ipsum')
+         |      AND NOT contains(t, '{')) AS c4_page,
+         |    ($nw BETWEEN 50 AND 100000) AS wc_ok,
+         |    (list_aggregate(list_transform($toks, w -> strlen(w)), 'sum')
+         |       / $nws BETWEEN 3.0 AND 10.0) AS mwl_ok,
+         |    (len(regexp_extract_all(c, '#|\\.\\.\\.|…')) / $nws <= 0.1) AS sym_ok,
+         |    (len(list_filter($lines, l -> regexp_matches(trim(l), '^[-*•‣▶]')))
+         |       / $nls <= 0.9) AS bullet_ok,
+         |    (len(list_filter($lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$$')))
+         |       / $nls <= 0.3) AS ellipsis_ok,
+         |    (len(list_filter($toks, w -> regexp_matches(w, '[A-Za-zÀ-ÿ]')))
+         |       / $nws >= 0.8) AS alpha_ok,
+         |    (len(list_filter(['the','be','to','of','and','that','have','with'],
+         |       w -> list_contains($toksLower, w))) >= 2) AS stop_ok
+         |  FROM cl
+         |)
+         |SELECT count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN NOT c4_page THEN 1 ELSE 0 END) AS BIGINT) AS fail_c4_page,
+         |  CAST(sum(CASE WHEN NOT wc_ok THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_count,
+         |  CAST(sum(CASE WHEN NOT mwl_ok THEN 1 ELSE 0 END) AS BIGINT) AS fail_mwl,
+         |  CAST(sum(CASE WHEN NOT sym_ok THEN 1 ELSE 0 END) AS BIGINT) AS fail_symbol,
+         |  CAST(sum(CASE WHEN NOT bullet_ok THEN 1 ELSE 0 END) AS BIGINT) AS fail_bullet,
+         |  CAST(sum(CASE WHEN NOT ellipsis_ok THEN 1 ELSE 0 END) AS BIGINT) AS fail_ellipsis,
+         |  CAST(sum(CASE WHEN NOT alpha_ok THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha,
+         |  CAST(sum(CASE WHEN NOT stop_ok THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopword,
+         |  CAST(sum(CASE WHEN c4_page AND wc_ok AND mwl_ok AND sym_ok
+         |    AND bullet_ok AND ellipsis_ok AND alpha_ok AND stop_ok
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+         |FROM f""".stripMargin
+    }) { (s, dir) =>
+      import graft.ml.Filters
+      Filters.attritionReport(
+        t(s, dir, "documents").withColumn("t2", expr(
+          "concat(replace(text, 'table', concat('.', chr(10))), chr(10), " +
+            "CASE WHEN doc_id % 2 = 0 " +
+            "THEN 'they have to be of and with that same mind.' " +
+            "ELSE 'closing line to end the page here.' END)")),
+        "t2")
+    },
+
     // corpus-wide exact line dedup (C4's global step): a non-blank
     // line survives only at its first (doc, pos) occurrence anywhere.
     // Multi-line form derived as in q_text_c4.

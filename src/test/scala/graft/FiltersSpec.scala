@@ -115,6 +115,22 @@ class FiltersSpec extends SparkSpec {
     assert(out(2) == ((3L, 0L, "")))
   }
 
+  test("attritionReport counts per-rule failures in one aggregate") {
+    // 6 repetitions -> 6 sentence marks (the page rule needs >= 5)
+    val good = ("the words flow nicely here and with that we have " +
+      "plenty of sensible content to be read aloud. ") * 6
+    val bullets = (1 to 6).map(i => s"- item $i in the list.").mkString("\n")
+    val symbols = ("### hash ### marks ### everywhere ### " * 20) + "the end of it to be sure."
+    val docs = Seq((1L, good), (2L, bullets), (3L, symbols)).toDF("id", "text")
+    val r = graft.ml.Filters.attritionReport(docs, "text").head()
+    assert(r.getAs[Long]("n_docs") == 3L)
+    // the bullet doc fails the bullet-line ratio; the hash soup fails
+    // the symbol ratio; the good doc survives everything
+    assert(r.getAs[Long]("fail_bullet") >= 1L)
+    assert(r.getAs[Long]("fail_symbol") >= 1L)
+    assert(r.getAs[Long]("n_survivors") >= 1L)
+  }
+
   test("keepBest elects the argmax-score member per cluster") {
     val docs = Seq(
       (1L, "aaaa", 10.0), (2L, "bbbbbb", 20.0), (3L, "cc", 30.0),
