@@ -669,8 +669,11 @@ object Dedup {
       (a, b) => abs(a - b)), lit(0), (acc, x) => acc + x)
     probe.join(build, Seq("lk")).filter(blockCond)
       .filter(l1 <= 2 * maxDist)
-      .withColumn("dist", levenshtein(col("s1"), col("s2")))
-      .filter(col("dist") <= maxDist)
+      // threshold form: Ukkonen band, O(maxDist·len) per pair with an
+      // early exit (returns -1 above the bound) instead of the full
+      // O(len²) matrix — the verify step is the hot loop at scale
+      .withColumn("dist", levenshtein(col("s1"), col("s2"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(least(col("id1"), col("id2")).as("id1"),
         greatest(col("id1"), col("id2")).as("id2"), col("dist"))
   }
