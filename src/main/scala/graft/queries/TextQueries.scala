@@ -108,13 +108,16 @@ object TextQueries extends QueryGroup {
          |)
          |SELECT doc_id,
          |  round(avg(ln((ct + 0.5::DOUBLE) / (nt + 0.5::DOUBLE * v))
-         |          - ln((cr + 0.5::DOUBLE) / (nr + 0.5::DOUBLE * v))), 6) AS weight
+         |          - ln((cr + 0.5::DOUBLE) / (nr + 0.5::DOUBLE * v))), 6)
+         |    + 0.0::DOUBLE AS weight
          |FROM tok JOIN tc USING (tk), tot
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
       TA.importanceWeights(t(s, dir, "documents"), "doc_id", "text",
           col("source").isInCollection(Seq("src0", "src1", "src2")))
-        .withColumn("weight", round(col("weight"), 6))
+        // + 0.0 normalizes IEEE signed zero: a tiny negative weight
+        // rounds to -0.0 here and 0.0 in the oracle otherwise
+        .withColumn("weight", round(col("weight"), 6) + lit(0.0))
         .orderBy("doc_id")
     },
 
