@@ -84,6 +84,32 @@ class SessionizeNativeSpec extends SparkSpec {
     assert(nEx == 1, s"expected 1 exchange, got $nEx:\n$p")
   }
 
+  test("native batch labels agree with the streaming mapGroupsWithState form") {
+    import spark.implicits._
+    import graft.streaming.Streaming
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(11)
+    val rows = (for (k <- 0 until 5) yield rnd.shuffle((0 until 300).toList)
+      .take(60).map(t => (k.toLong, t.toLong * 97))).flatten
+    // streaming: feed everything in one micro-batch per key ordering
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.SessionEvent]
+    val out = Streaming.sessionize(input.toDS(), gapSeconds = 500L)
+    val query = out.writeStream.format("memory").queryName("xsessions")
+      .outputMode("append").start()
+    input.addData(rows.map { case (k, s) => Streaming.SessionEvent(k, s) })
+    query.processAllAvailable()
+    val streamed = spark.table("xsessions").as[Streaming.SessionAssignment]
+      .collect().map(a => (a.key, a.sec) -> a.sessionId).toMap
+    query.stop()
+    // batch native on the same rows
+    val native = SessionizeNative.sessionize(
+        rows.toDF("k", "ts"), Seq("k"), "ts", 500L)
+      .select("k", "ts", "session_id").as[(Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(native == streamed,
+      s"diverged on ${native.keySet.filter(k => native(k) != streamed.getOrElse(k, -1L)).take(5)}")
+  }
+
   test("plans as a single pass: SessionizeExec present, no Window, one exchange") {
     val ev = spark.read.parquet(sf() + "/events.parquet")
     val labeled = SessionizeNative.sessionize(
