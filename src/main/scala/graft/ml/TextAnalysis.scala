@@ -387,6 +387,65 @@ object TextAnalysis {
         (col("n") + col("v") * smoothing))).as("nll"))
   }
 
+  /** Cross-document n-gram novelty / boilerplate profile: for each
+    * document, the fraction of its (normalized-token) n-gram
+    * OCCURRENCES that are unique to it in the whole corpus
+    * (`novel_frac`) and the fraction appearing in ≥ `commonDocs`
+    * distinct documents (`common_frac`). High common_frac flags
+    * boilerplate (headers, navigation, licenses) that per-document
+    * quality scores can't see; low novel_frac + high common_frac is
+    * the classic near-template signature. Documents with fewer than
+    * `n` tokens have no n-grams and are reported with zero grams and
+    * zero fractions (total over the input).
+    *
+    * Scale shape: one explode scan → a gram-keyed groupBy computing
+    * (total occurrences, distinct docs) with map-side partials —
+    * duplicate mass collapses before the shuffle, like the line-dedup
+    * aggregate — then the same exploded stream joins the gram stats
+    * back (shuffle on the gram hash; heavy boilerplate grams are
+    * exactly the keys AQE skew-split handles) and reduces per doc.
+    * Grams are joined on `xxhash64` of the gram, not the text, so the
+    * exchange carries 8-byte keys (a hash collision conflates two
+    * grams with probability ~n²/2⁶⁴ — immaterial for a statistical
+    * profile; use the raw gram text if exactness ever matters). The
+    * distinct-doc count is a two-level aggregate ((gram, doc) then
+    * gram) rather than count(distinct) — no Expand doubling, both
+    * levels map-side combined.
+    */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, commonDocs: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val toks = split(normalize(col(textCol)), " ")
+    val base = df.select(col(idCol).as("doc_id"),
+      when(length(normalize(col(textCol))) === 0,
+        array().cast("array<string>")).otherwise(toks).as("w"))
+    // guard: sequence(1, 0) DESCENDS in Spark, so short docs must
+    // yield an explicit empty gram array
+    val grams = base.select(col("doc_id"), explode(expr(
+      s"""if (size(w) < $n, array(),
+         |  transform(sequence(1, size(w) - ${n - 1}),
+         |    i -> xxhash64(array_join(slice(w, i, $n), ' '))))""".stripMargin))
+      .as("g"))
+    val stats = grams.groupBy("g", "doc_id")
+      .agg(count(lit(1)).as("occ_d"))
+      .groupBy("g")
+      .agg(sum("occ_d").as("occ"), count(lit(1)).as("docs"))
+    val joined = grams.join(stats, "g")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("occ") === 1L, 1L).otherwise(0L)).as("novel"),
+        sum(when(col("docs") >= commonDocs, 1L).otherwise(0L)).as("common"))
+    // join back to the full doc list so gram-free docs stay present
+    df.select(col(idCol).as("doc_id")).join(joined, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        round(coalesce(col("novel") / col("n_grams"), lit(0.0)), 6)
+          .as("novel_frac"),
+        round(coalesce(col("common") / col("n_grams"), lit(0.0)), 6)
+          .as("common_frac"))
+  }
+
   /** DSIR-style importance weights for data selection (Xie et al.
     * 2023, "Data Selection for Language Models via Importance
     * Resampling", simplified to the add-λ unigram case): fit one

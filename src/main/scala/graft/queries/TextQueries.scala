@@ -85,6 +85,42 @@ object TextQueries extends QueryGroup {
         .orderBy("doc_id")
     },
 
+    // cross-document n-gram novelty / boilerplate profile: per doc,
+    // the fraction of its 3-gram occurrences unique in the corpus and
+    // the fraction appearing in >= 3 distinct docs — the template/
+    // boilerplate signal per-doc quality scores can't see.
+    q("q_text_ngram_novelty", {
+      val words = "string_split(trim(regexp_replace(regexp_replace(lower(text), " +
+        "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')"
+      s"""WITH cw AS (
+         |  SELECT doc_id, CASE WHEN strlen(trim(regexp_replace(regexp_replace(lower(text),
+         |    '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) = 0
+         |    THEN [] ELSE $words END AS w
+         |  FROM documents
+         |), g AS (
+         |  SELECT doc_id, array_to_string(w[u.i:u.i + 2], ' ') AS gram
+         |  FROM cw, unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS u(i)
+         |), st AS (
+         |  SELECT gram, count(*) AS occ, count(DISTINCT doc_id) AS docs
+         |  FROM g GROUP BY gram
+         |), per AS (
+         |  SELECT g.doc_id, count(*) AS n_grams,
+         |    sum(CASE WHEN st.occ = 1 THEN 1 ELSE 0 END) AS novel,
+         |    sum(CASE WHEN st.docs >= 3 THEN 1 ELSE 0 END) AS common
+         |  FROM g JOIN st USING (gram) GROUP BY g.doc_id
+         |)
+         |SELECT d.doc_id,
+         |  coalesce(per.n_grams, 0) AS n_grams,
+         |  round(coalesce(per.novel * 1.0::DOUBLE / per.n_grams, 0.0), 6) AS novel_frac,
+         |  round(coalesce(per.common * 1.0::DOUBLE / per.n_grams, 0.0), 6) AS common_frac
+         |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    }) { (s, dir) =>
+      TA.ngramNovelty(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, commonDocs = 3)
+        .orderBy("doc_id")
+    },
+
     // DSIR importance weights (Xie et al. 2023, unigram case): one
     // smoothed LM on the target sample (sources 0-2) vs one on the
     // raw corpus, both over the shared raw vocabulary; each doc's

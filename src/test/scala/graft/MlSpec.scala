@@ -479,6 +479,21 @@ class MlSpec extends SparkSpec {
     assert(got(2L) > got(1L))
   }
 
+  test("ngramNovelty: hand-computed novel/common fractions, total over gram-free docs") {
+    import spark.implicits._
+    val d = Seq((1L, "x y z w"), (2L, "x y z q"), (3L, "x y z r"),
+      (4L, "")).toDF("doc_id", "text")
+    // 3-grams: "x y z" occurs 3x in 3 docs (common at >= 3);
+    // "y z w"/"y z q"/"y z r" occur once each (novel)
+    val got = TA.ngramNovelty(d, "doc_id", "text", n = 3, commonDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(got(id) == ((2L, 0.5, 0.5)), s"doc $id: ${got(id)}")
+    }
+    assert(got(4L) == ((0L, 0.0, 0.0)), s"empty doc: ${got(4L)}")
+  }
+
   test("importanceWeights matches the hand-computed likelihood ratio and ranks target-like docs higher") {
     import spark.implicits._
     val d = Seq(
