@@ -281,6 +281,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(partialIdx >= 0, s"no partial min for first-occurrence:\n$p")
   }
 
+  test("dsir builds both models from one token scan with map-side partials") {
+    val p = plan("q_text_dsir")
+    val lines = p.linesIterator.toSeq
+    // the token-count aggregate (raw + conditional target counts in
+    // ONE groupBy) must plant a partial below its exchange — the
+    // duplicate token mass never ships raw
+    val partialIdx = lines.indexWhere(l =>
+      l.contains("HashAggregate") && l.contains("partial_count"))
+    assert(partialIdx >= 0, s"no partial count for the token model:\n$p")
+    val exchangeAbove = lines.take(partialIdx).exists(_.contains("Exchange hashpartitioning"))
+    assert(exchangeAbove, s"partial agg not below an exchange:\n$p")
+    // the corpus is deliberately re-scanned per consumer (narrow
+    // scans beat corpus-sized caches — unigramNll's documented
+    // trade): 3 scans = join stream + count aggregate + totals.
+    // The point audited here: the TARGET model adds NO extra scan
+    // over the single-model unigramNll shape (it rides the same
+    // count aggregate as a conditional sum)
+    val nScans = lines.count(_.contains("FileScan parquet"))
+    assert(nScans <= 3, s"target sample scanned separately ($nScans scans):\n$p")
+  }
+
+  test("ngram novelty aggregates distinct docs in two levels, no Expand") {
+    val p = plan("q_text_ngram_novelty")
+    assert(!p.contains("Expand"), s"count-distinct Expand crept in:\n$p")
+    // the (gram, doc) level must combine map-side before its exchange
+    val lines = p.linesIterator.toSeq
+    val partialIdx = lines.indexWhere(l =>
+      l.contains("HashAggregate") && l.contains("partial_count"))
+    assert(partialIdx >= 0, s"no partial count at the (gram, doc) level:\n$p")
+  }
+
+  test("mask spans is a pure scan: zero exchanges") {
+    val p = plan("q_text_mask_spans")
+    // the corruption itself is per-row Column arithmetic; the only
+    // exchange allowed is the gate's final ORDER BY range partitioning
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 0, s"masking shuffled:\n$p")
+  }
+
   test("attribution pre-reduces touches map-side and fills with one as-of window") {
     val p = plan("q_events_attribution")
     val lines = p.linesIterator.toSeq
