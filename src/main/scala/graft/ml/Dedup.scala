@@ -745,6 +745,50 @@ object Dedup {
       .select("doc_id", "span_start", "span_end", "span_tokens")
   }
 
+  /** The APPLY step of substring-span dedup (Lee et al. 2022 cut
+    * their found duplicates out of the corpus — [[duplicateSpans]]
+    * only finds them): remove every token inside a span from each
+    * document's NORMALIZED token stream and rejoin with single
+    * spaces. Positions are 1-based in the same normalized
+    * tokenization [[duplicateSpans]] emits, so the two compose
+    * directly; documents without spans pass through rebuilt from
+    * their normalized tokens (the op re-tokenizes, it does not
+    * preserve original whitespace/punctuation). Returns
+    * (doc_id, n_tokens, n_removed, cleaned) — total over the input.
+    *
+    * Scale shape: spans collapse to one bounded per-doc array (spans
+    * per doc are few by construction — they merge on overlap), the
+    * join back is id-keyed and narrow on the spans side, and the cut
+    * itself is a per-row Column program (indexed transform + exists
+    * filter), no shuffle beyond the one spans join.
+    */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      spans: DataFrame): DataFrame = {
+    val perDoc = spans
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("__spans"))
+    val emptySpans = array().cast("array<struct<s:bigint,e:bigint>>")
+    df.select(col(idCol).as("doc_id"),
+        // a whitespace-only doc normalizes to "" and would split to
+        // [""] — report it as zero tokens instead
+        when(length(TextAnalysis.normalize(col(textCol))) === 0,
+          array().cast("array<string>"))
+          .otherwise(split(TextAnalysis.normalize(col(textCol)), " "))
+          .as("__w"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("__spans", coalesce(col("__spans"), emptySpans))
+      .withColumn("__kept", expr(
+        """transform(
+          |  filter(transform(__w, (t, i) -> struct(t AS t, i + 1 AS p)),
+          |    x -> NOT exists(__spans, sp -> x.p >= sp.s AND x.p <= sp.e)),
+          |  x -> x.t)""".stripMargin))
+      .select(col("doc_id"),
+        size(col("__w")).cast("long").as("n_tokens"),
+        (size(col("__w")) - size(col("__kept"))).cast("long").as("n_removed"),
+        array_join(col("__kept"), " ").as("cleaned"))
+  }
+
   /** Keep-best representative selection: given the full corpus and a
     * near-duplicate clustering (the `(id, component)` output of
     * [[connectedComponents]] / [[connectedComponentsStar]]), elect ONE

@@ -351,6 +351,67 @@ object DedupQueries extends QueryGroup {
         .orderBy("doc_id", "span_start")
     },
 
+    // the APPLY step of substring-span dedup: cut every found span
+    // out of the normalized token stream (Lee et al.'s removal),
+    // composed directly on duplicateSpans' output. Oracle extends
+    // the spans CTE with a correlated NOT EXISTS rebuild.
+    q("q_dedup_spans_remove", {
+      val words = "string_split(trim(regexp_replace(regexp_replace(lower(text), " +
+        "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')"
+      val gram8 = (0 until 8)
+        .map(j => if (j == 0) "w[u.i]" else s"w[u.i+$j]")
+        .mkString(" || ' ' || ")
+      s"""$augmentedSql, cw AS (
+         |  SELECT doc_id, $words AS w FROM docs
+         |), g AS (
+         |  SELECT doc_id, u.i AS pos, $gram8 AS gm
+         |  FROM cw, unnest(range(1, len(w) - 6)) AS u(i)
+         |  WHERE len(w) >= 8
+         |), dup AS (
+         |  SELECT gm FROM (SELECT DISTINCT gm, doc_id FROM g)
+         |  GROUP BY gm HAVING count(*) >= 2
+         |), p AS (
+         |  SELECT g.doc_id, g.pos FROM g JOIN dup USING (gm)
+         |), m AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+         |      OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+         |      THEN 1 ELSE 0 END AS brk
+         |  FROM p
+         |), s AS (
+         |  SELECT doc_id, pos,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS UNBOUNDED PRECEDING) AS grp
+         |  FROM m
+         |), sp AS (
+         |  SELECT doc_id, min(pos) AS st, max(pos) + 7 AS en
+         |  FROM s GROUP BY doc_id, grp
+         |), tokpos AS (
+         |  SELECT doc_id, u.i AS p, w[u.i] AS t, len(w) AS n
+         |  FROM cw, unnest(range(1, len(w) + 1)) AS u(i)
+         |), keep AS (
+         |  SELECT tk.doc_id, tk.p, tk.t FROM tokpos tk
+         |  WHERE NOT EXISTS (SELECT 1 FROM sp
+         |    WHERE sp.doc_id = tk.doc_id AND tk.p BETWEEN sp.st AND sp.en)
+         |)
+         |SELECT c.doc_id, CAST(len(c.w) AS BIGINT) AS n_tokens,
+         |  CAST(len(c.w) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+         |  md5(coalesce(k.txt, '')) AS h
+         |FROM cw c LEFT JOIN (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |    string_agg(t, ' ' ORDER BY p) AS txt
+         |  FROM keep GROUP BY doc_id
+         |) k ON k.doc_id = c.doc_id
+         |ORDER BY c.doc_id""".stripMargin
+    }) { (s, dir) =>
+      val aug = augmented(s, dir)
+      val spans = Dedup.duplicateSpans(aug, "doc_id", "text", k = 8)
+      Dedup.removeDuplicateSpans(aug, "doc_id", "text", spans)
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          md5(col("cleaned")).as("h"))
+        .orderBy("doc_id")
+    },
+
     // SimHash property gate: the pigeonhole candidate step is
     // recall-lossy by construction, so instead of a set-equality
     // oracle this checks the deterministic *contract*: an exact copy

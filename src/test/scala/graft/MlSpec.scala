@@ -479,6 +479,34 @@ class MlSpec extends SparkSpec {
     assert(got(2L) > got(1L))
   }
 
+  test("removeDuplicateSpans cuts found spans and passes clean docs through") {
+    import spark.implicits._
+    import graft.ml.Dedup
+    val shared = "one two three four five six seven eight nine ten"
+    val d = Seq(
+      (1L, s"alpha starts here $shared and then ends alone"),
+      (2L, s"beta begins now $shared closing differently here"),
+      (3L, "completely unrelated text with no duplicated runs at all"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(d, "doc_id", "text", k = 8)
+    val out = Dedup.removeDuplicateSpans(d, "doc_id", "text", spans)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // both carriers lose the shared 10-token run (span extends to the
+    // k-gram window ends), the singleton is rebuilt untouched
+    assert(out(1L)._2 >= 10L, s"doc 1 removed too little: ${out(1L)}")
+    assert(out(2L)._2 >= 10L, s"doc 2 removed too little: ${out(2L)}")
+    assert(!out(1L)._3.contains("four five six"), s"span text survived: ${out(1L)}")
+    assert(!out(2L)._3.contains("four five six"), s"span text survived: ${out(2L)}")
+    assert(out(3L) == ((9L, 0L,
+      "completely unrelated text with no duplicated runs at all")))
+    // totals: n_tokens - n_removed == tokens in cleaned
+    out.values.foreach { case (n, rem, txt) =>
+      val kept = if (txt.isEmpty) 0 else txt.split(" ").length
+      assert(n - rem == kept)
+    }
+  }
+
   test("ngramNovelty: hand-computed novel/common fractions, total over gram-free docs") {
     import spark.implicits._
     val d = Seq((1L, "x y z w"), (2L, "x y z q"), (3L, "x y z r"),
