@@ -31,9 +31,16 @@ object Ts {
     */
   def seconds(df: DataFrame, name: String = "ts"): Column =
     df.schema(name).dataType match {
-      // TIMESTAMP(NANOS) parquet read as epoch-nano long
+      // TIMESTAMP(NANOS) parquet read as epoch-nano long. Spark's `/` on
+      // longs is double division and epoch-nanos exceed 2^53, so a value
+      // within ~256 ns below a whole-second boundary could round up and
+      // floor to the wrong second. Stay in exact long arithmetic:
+      // subtract the (non-negative) pmod remainder so the numerator is an
+      // exact multiple of 1e9, then integral `div` — truncation equals
+      // floor on an exact multiple, including pre-epoch instants.
       case LongType =>
-        floor(col(name) / 1000000000L).cast(LongType)
+        val q = s"`${name.replace("`", "``")}`"
+        expr(s"($q - pmod($q, 1000000000L)) div 1000000000L").cast(LongType)
       case TimestampType | TimestampNTZType =>
         unix_seconds(col(name).cast(TimestampType))
       case other =>

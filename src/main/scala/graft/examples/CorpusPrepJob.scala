@@ -89,10 +89,17 @@ object CorpusPrepJob {
         // unless keepBestRep asks for quality
         val rep = if (keepBestRep) col("quality") else -col("doc_id")
         val kb = Dedup.keepBest(exactDeduped, "doc_id", comps, rep)
+        // splitByGroup requires strictly positive fractions; drop the
+        // zero-weight side so holdout = 0.0 (or 1.0) degenerates to a
+        // single-split assignment, matching the per-doc path's behavior.
+        val groupFractions =
+          Seq("train" -> (1.0 - holdout), "holdout" -> holdout)
+            .filter(_._2 > 0.0)
         val withSplit =
-          if (groupSplit)
-            graft.ml.Corpus.splitByGroup(kb, "cluster",
-              Seq("train" -> (1.0 - holdout), "holdout" -> holdout))
+          if (groupSplit && groupFractions.size > 1)
+            graft.ml.Corpus.splitByGroup(kb, "cluster", groupFractions)
+          else if (groupSplit)
+            kb.withColumn("split", lit(groupFractions.head._1))
           else kb.withColumn("split", docSplit)
         withSplit.filter(col("keep")).drop("cluster", "keep")
       } else {

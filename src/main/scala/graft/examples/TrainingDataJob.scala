@@ -35,7 +35,8 @@ import graft.ml.{Corpus, Dedup}
   *       [--lang en] [--min-quality 0.5] [--jaccard 0.8]
   *       [--holdout 0.05] [--budget 100000] [--ctx 2048] [--shards 64]
   *       [--nll-drop <frac>]   (default 0 = fluency gate OFF)
-  *       [--c4-clean] [--line-dedup] [--model-gate <score>]
+  *       [--c4-clean] [--line-dedup] [--span-dedup] [--span-k 8]
+  *       [--model-gate <score>]
   *       [--keep-best] [--group-split]
   *       [--epochs src=w,src=w] [--max-epochs 4]
   */
@@ -61,6 +62,8 @@ class TrainingDataJob(args: Args) extends GraftJob(args) {
       stages = TrainingDataJob.Stages(
         c4Clean = args.boolean("c4-clean"),
         lineDedup = args.boolean("line-dedup"),
+        spanDedup = args.boolean("span-dedup"),
+        spanK = args.getOrElse("span-k", "8").toInt,
         modelGate = args.getOrElse("model-gate", "0").toDouble,
         keepBestRep = args.boolean("keep-best"),
         groupSplit = args.boolean("group-split"),
@@ -86,6 +89,13 @@ object TrainingDataJob {
     *    rules, one codegen'd scan BEFORE any shuffle touches the text;
     *  - `lineDedup`: corpus-wide exact line dedup (C4's global step) —
     *    documents whose every line was seen earlier drop out;
+    *  - `spanDedup`: substring-span dedup (Lee et al. 2022) — find
+    *    cross-document duplicated token spans (k-gram fingerprints,
+    *    [[Dedup.duplicateSpans]]) and CUT them out of every document
+    *    ([[Dedup.removeDuplicateSpans]], the find→remove composition
+    *    real pipelines run); documents left with zero tokens drop
+    *    out. Note the apply step re-tokenizes: surviving text is the
+    *    normalized token stream rejoined with single spaces;
     *  - `modelGate` (> 0): train the logistic quality classifier on
     *    the cleaned corpus (distant supervision), score every doc as
     *    codegen'd literals, keep score ≥ `modelGate`;
@@ -103,6 +113,8 @@ object TrainingDataJob {
   final case class Stages(
       c4Clean: Boolean = false,
       lineDedup: Boolean = false,
+      spanDedup: Boolean = false,
+      spanK: Int = 8,
       modelGate: Double = 0.0,
       keepBestRep: Boolean = false,
       groupSplit: Boolean = false,
@@ -153,14 +165,28 @@ object TrainingDataJob {
           .select(col("doc_id"), col("cleaned").as("text")),
         "doc_id")
 
+    // 0b2: substring-span dedup — find duplicated cross-doc spans,
+    // then cut them from every doc (the Lee et al. find→remove
+    // composition). Docs reduced to zero tokens drop out. The find
+    // side shuffles only 16-byte (gh, pos) rows; the apply side is one
+    // id-keyed join of the bounded per-doc span arrays.
+    val spanDeduped =
+      if (!stages.spanDedup) lineDeduped
+      else lineDeduped.drop("text").join(
+        Dedup.removeDuplicateSpans(lineDeduped, "doc_id", "text",
+            Dedup.duplicateSpans(lineDeduped, "doc_id", "text", k = stages.spanK))
+          .filter(col("n_tokens") > col("n_removed"))
+          .select(col("doc_id"), col("cleaned").as("text")),
+        "doc_id")
+
     // 0c: trained quality gate — 3 full-batch GD iterations (one
     // d+1-double aggregate each), then scoring is a codegen'd literal
     // expression in the same scan as the filter.
     val classified =
-      if (stages.modelGate <= 0.0) lineDeduped
+      if (stages.modelGate <= 0.0) spanDeduped
       else {
-        val w = QualityModel.train(lineDeduped, "text")
-        QualityModel.score(lineDeduped, "text", w)
+        val w = QualityModel.train(spanDeduped, "text")
+        QualityModel.score(spanDeduped, "text", w)
           .filter(col("score") >= stages.modelGate)
           .drop(QualityModel.featureNames :+ "label" :+ "score": _*)
       }

@@ -184,11 +184,16 @@ object Dedup {
     // hash join IS the prune) — skip straight to the plain join.
     // False positives only re-admit rows the join then rejects.
     val deltaKeys = math.max(1L, newSigs.count() * bands)
-    val broadcastThreshold = org.apache.spark.network.util.JavaUtils
-      .byteStringAsBytes(newDocs.sparkSession.conf
-        .get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+    // Read the already-parsed threshold from the SQL conf rather than
+    // re-parsing the string form: byteStringAsBytes rejects "-1", the
+    // standard way to disable broadcast joins. A non-positive threshold
+    // means no broadcast prune will ever happen, so the bloom pass is
+    // always worthwhile there.
+    val broadcastThreshold = newDocs.sparkSession
+      .sessionState.conf.autoBroadcastJoinThreshold
     // exploded delta row ≈ id(8) + band(4) + h(8) + row overhead
-    val bloomWorthwhile = deltaKeys * 32L > broadcastThreshold
+    val bloomWorthwhile =
+      broadcastThreshold <= 0L || deltaKeys * 32L > broadcastThreshold
     val exploded = explodeBands(allSigs).alias("r")
     val explodedNew = explodeBands(newSigs).alias("l")
     val joined =

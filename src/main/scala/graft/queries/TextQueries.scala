@@ -363,8 +363,13 @@ object TextQueries extends QueryGroup {
          |  md5(string_agg(piece, ' ' ORDER BY b)) AS h
          |FROM seg GROUP BY doc_id ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
-      graft.ml.Corpus.maskSpans(t(s, dir, "documents"), "doc_id", "text",
-          rate = 0.25, spanLen = 3)
+      // Match the oracle's WHERE strlen(trim(text)) > 0: maskSpans itself
+      // emits a (doc_id, 0, 0, md5('')) row for blank docs, which the
+      // oracle's unnest(range(0, 0)) silently drops — filter the same
+      // blanks here so both sides agree even if the testdata gains one.
+      graft.ml.Corpus.maskSpans(
+          t(s, dir, "documents").filter(length(trim(col("text"))) > 0),
+          "doc_id", "text", rate = 0.25, spanLen = 3)
         .select(col("doc_id"), col("n_tokens"), col("n_masked"),
           md5(col("masked_text")).as("h"))
         .orderBy("doc_id")

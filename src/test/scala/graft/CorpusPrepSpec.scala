@@ -48,4 +48,17 @@ class CorpusPrepSpec extends SparkSpec {
     out.unpersist()
     graft.ml.Dedup.unpersistPipelineCaches()
   }
+
+  test("groupSplit accepts holdout = 0 like the per-doc path: everything lands in train") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select("doc_id", "text", "lang").limit(50)
+    val out = CorpusPrepJob.prepare(docs, lang = "en",
+      minQuality = 0.0, jaccard = 0.7, holdout = 0.0,
+      keepBestRep = true, groupSplit = true)
+    val splits = out.select("split").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("train")), s"unexpected splits: $splits")
+    assert(out.count() > 0)
+    graft.ml.Dedup.unpersistPipelineCaches()
+  }
 }

@@ -147,6 +147,29 @@ class MlSpec extends SparkSpec {
     Dedup.unpersistPipelineCaches()
   }
 
+  test("incremental dedup survives autoBroadcastJoinThreshold=-1 (broadcast disabled)") {
+    import spark.implicits._
+    // "-1" is the standard way to disable broadcast joins and is exactly
+    // the deployment shape this operator targets at 100 TB; the string
+    // parser (byteStringAsBytes) rejects negatives, so the threshold must
+    // be read from the parsed SQL conf. With broadcast off the bloom
+    // prune is always worthwhile.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val store = Dedup.buildSignatureStore(
+        docs.filter(col("doc_id").isin(1L, 3L)), "doc_id", "text")
+      val batch = docs.filter(col("doc_id") === 2L)
+      val pairs = Dedup.incrementalNearDuplicates(batch, store,
+        "doc_id", "text", threshold = 0.5).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 2L)), s"pair missing with broadcast off: $pairs")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      Dedup.unpersistPipelineCaches()
+    }
+  }
+
   test("contamination flags probes lifted from corpus docs, skips clean and short ones") {
     import spark.implicits._
     val corpus = Seq(

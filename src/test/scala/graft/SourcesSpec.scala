@@ -109,6 +109,42 @@ class SourcesSpec extends SparkSpec {
     intercept[IllegalArgumentException] { check.assertUnder(0) }
   }
 
+  test("protobuf wire-format injection round-trips through the codec source") {
+    import spark.implicits._
+    import graft.sources.ProtoWire, ProtoWire.UserEvent
+    val dir = tmp() + "/proto_codec"
+    val events = Seq(
+      UserEvent(1L, "ada", 0.75, Seq("a", "b")),
+      UserEvent(-3L, "böb", -2.5, Nil), // negative varint + non-ASCII UTF-8
+      UserEvent(0L, "", 0.0, Seq("only-tags"))) // default-valued fields omitted
+    // the LzoProtobuf plug-in shape: Message#toByteArray / #parseFrom
+    // handed to the codec source verbatim
+    CodecSource.write[UserEvent](spark.createDataset(events), dir, ProtoWire.encode)
+    val back = CodecSource.read[UserEvent](spark, dir, ProtoWire.decode)
+    assert(back.collect().toSet == events.toSet)
+    // forward compatibility: a WRITER with an extra field (5: fixed64)
+    // must still decode under this (older) schema — unknown fields skip
+    // by wire type, exactly protobuf's contract
+    val withExtra = events.map { e =>
+      val base = ProtoWire.encode(e)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(base, 0, base.length)
+      out.write((5 << 3) | 1) // tag: field 5, fixed64
+      (0 until 8).foreach(_ => out.write(0x11))
+      out.toByteArray
+    }
+    assert(withExtra.map(ProtoWire.decode).toSet == events.toSet)
+    // corrupt record: tolerated-threshold path counts it, others decode
+    val corruptDir = tmp() + "/proto_corrupt"
+    val raw = events.map(ProtoWire.encode) :+ Array[Byte](0x0A, 0x7F) // truncated
+    spark.createDataset(raw)(org.apache.spark.sql.Encoders.BINARY)
+      .toDF(CodecSource.bytesCol).write.mode("overwrite").parquet(corruptDir)
+    val (tolerant, check) =
+      CodecSource.readTolerant[UserEvent](spark, corruptDir, ProtoWire.decode)
+    assert(tolerant.collect().toSet == events.toSet)
+    check.assertUnder(1)
+  }
+
   test("checkpoint computes once, then reads back") {
     import spark.implicits._
     val dir = tmp() + "/ck"

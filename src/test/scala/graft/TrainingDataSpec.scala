@@ -183,6 +183,56 @@ class TrainingDataSpec extends SparkSpec {
     graft.ml.Dedup.unpersistPipelineCaches()
   }
 
+  test("span-dedup stage cuts cross-document duplicated spans before curation") {
+    import spark.implicits._
+    // two docs sharing one long boilerplate span inside otherwise
+    // unrelated English text (Jaccard stays far below 0.7, so both
+    // survive near-dup dedup and the span must be cut, not the docs),
+    // plus an untouched control doc
+    val shared = "this content is provided for informational purposes " +
+      "only and does not constitute professional advice of any kind " +
+      "please consult a qualified expert before acting on it"
+    val a = "the morning train to the city was crowded and slow while " +
+      "commuters read their papers in the pale light of early winter " +
+      shared + " the station clock showed seven and the platform was wet"
+    val b = "a small garden behind the house grew tomatoes and beans " +
+      "through the long summer months with very little watering needed " +
+      shared + " the fence kept most of the rabbits away from the rows"
+    val c = "deep in the library the old maps were kept in flat drawers " +
+      "and the archivist catalogued each one with a numbered card and " +
+      "a note about its provenance and the century of its making there"
+    val docs = Seq((1L, a, "en", "s0"), (2L, b, "en", "s0"),
+      (3L, c, "en", "s1")).toDF("doc_id", "text", "lang", "source")
+
+    def run(span: Boolean) = TrainingDataJob.assemble(docs, lang = "en",
+      minQuality = 0.0, jaccard = 0.7, holdout = 0.2, budget = 1000000L,
+      ctxLen = 128, nShards = 2,
+      stages = TrainingDataJob.Stages(spanDedup = span))
+    def texts(r: TrainingDataJob.Assembled): Map[Long, String] =
+      (r.train.select("doc_id", "text").as[(Long, String)].collect() ++
+        r.holdout.select("doc_id", "text").as[(Long, String)].collect()).toMap
+
+    val without = texts(run(span = false))
+    assert(without.values.count(_.contains(shared)) == 2,
+      "differential baseline: span present in both docs when the stage is off")
+
+    val withSpan = texts(run(span = true))
+    assert(withSpan.keySet == Set(1L, 2L, 3L), s"docs lost: ${withSpan.keySet}")
+    // the duplicated span is gone from every surviving document; the
+    // find side has <= k-1 tokens of envelope slack at each edge, so
+    // assert on an interior core of the span
+    val core = shared.split(" ").slice(7, 21).mkString(" ")
+    withSpan.foreach { case (id, t) =>
+      assert(!t.contains(core), s"doc $id still carries the duplicated span")
+    }
+    // unique content survives the cut (re-tokenized: normalized tokens
+    // joined by single spaces)
+    assert(withSpan(1L).contains("the morning train to the city"))
+    assert(withSpan(2L).contains("a small garden behind the house"))
+    assert(withSpan(3L).contains("deep in the library the old maps"))
+    graft.ml.Dedup.unpersistPipelineCaches()
+  }
+
   test("epoch-cap mix upsamples every source maxEpochs times under a loose budget") {
     import spark.implicits._
     val docs = spark.read.parquet(sf() + "/documents.parquet")

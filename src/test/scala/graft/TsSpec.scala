@@ -53,6 +53,22 @@ class TsSpec extends SparkSpec {
     assert(asTs.select(Ts.seconds(asTs)).as[Long].head() == 10L)
   }
 
+  test("nanos beyond 2^53 floor exactly, including just below a boundary") {
+    import spark.implicits._
+    // 1699999999999999999 ns = 1 ns before the 1.7e9-second boundary.
+    // Double division rounds the numerator up (ulp at 1.7e18 is 256 ns)
+    // and floors to 1700000000; exact long arithmetic must give
+    // 1699999999. Also check pre-epoch floor-toward-negative-infinity.
+    val df = Seq(
+      1699999999999999999L, // boundary - 1 ns
+      1700000000000000000L, // exact boundary
+      -1L,                  // 1 ns before epoch -> second -1
+      -1000000001L          // 1 ns before -1 s -> second -2
+    ).toDF("ts")
+    assert(df.select(Ts.seconds(df)).as[Long].collect().toSeq ==
+      Seq(1699999999L, 1700000000L, -1L, -2L))
+  }
+
   test("unsupported column types fail loudly, not silently") {
     import spark.implicits._
     val df = Seq("not a time").toDF("ts")
