@@ -1,0 +1,253 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ml.Dedup
+
+/** Engine-side sf0.1 self-consistency for the 10 gate queries whose
+  * DuckDB ORACLES are quadratic all-pairs / recursive-CTE SQL and so
+  * only run at sf0.01 (q_dedup_minhash / components / components_star
+  * / incremental / ngram_jaccard / semantic / keep_best /
+  * keep_best_quality, q_embed_neardup, q_matrix_gram_dimsum — the
+  * DuckDB-side cost, not an engine limit). Each operator's 10×-scale
+  * behavior is pinned here WITHOUT an external oracle, by invariants
+  * that are strong on their own terms: exact recomputation of
+  * reported scores, planted-duplicate completeness, cross-ALGORITHM
+  * equality (two independent implementations must agree), and the
+  * self-verifying contract queries' own booleans.
+  */
+class ScaleInvariantsSpec extends SparkSpec {
+
+  private val dir = sf("sf0.1")
+
+  /** DedupQueries.augmented replicated: originals ∪ exact copies
+    * (every 10th, +1e6) ∪ 90%-prefix near-copies (every 7th, +2e6).
+    */
+  private def augmented(s: SparkSession): DataFrame = {
+    val d = s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text", "lang", "source")
+    val exact = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+        col("lang"), col("source"))
+    val prefix = d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        substring(col("text"), 1, 10000).substr(lit(1),
+          floor(length(col("text")) * 0.9).cast("int")).as("text"),
+        col("lang"), col("source"))
+    d.unionByName(exact).unionByName(prefix)
+  }
+
+  /** Exact 2-word-shingle Jaccard recomputed driver-side from raw
+    * text — the independent check against the engine's hashed-shingle
+    * pipeline.
+    */
+  private def exactJaccard(t1: String, t2: String): Double = {
+    def sh(t: String): Set[String] = {
+      val w = Dedup.MinHashUtil.normalize(t).split(" ").filter(_.nonEmpty)
+      if (w.length < 2) w.toSet
+      else w.sliding(2).map(_.mkString(" ")).toSet
+    }
+    val (a, b) = (sh(t1), sh(t2))
+    if (a.isEmpty && b.isEmpty) 0.0
+    else a.intersect(b).size.toDouble / a.union(b).size
+  }
+
+  // shared across tests: the sf0.1 near-dup discovery output
+  private lazy val aug = augmented(spark).cache()
+  private lazy val minhashPairs: Seq[(Long, Long, Double)] =
+    Dedup.minHashNearDuplicates(aug, "doc_id", "text", threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+  test("minhash at sf0.1: thresholds hold, planted copies complete, scores exact") {
+    val pairs = minhashPairs
+    assert(pairs.nonEmpty)
+    // structural: id1 < id2, no duplicate pairs, threshold respected
+    assert(pairs.forall { case (a, b, _) => a < b })
+    assert(pairs.map(p => (p._1, p._2)).distinct.size == pairs.size)
+    assert(pairs.forall(_._3 >= 0.7 - 1e-9),
+      s"sub-threshold pair: ${pairs.filter(_._3 < 0.7 - 1e-9).take(3)}")
+    // completeness: every planted exact copy of a shingle-bearing doc
+    // must be recovered at jaccard 1.0 (identical signatures always
+    // bucket-collide)
+    val withText = aug.filter(col("doc_id") < 1000000L && col("doc_id") % 10 === 0)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .filter { case (_, t) =>
+        Dedup.MinHashUtil.normalize(t).split(" ").count(_.nonEmpty) >= 2 }
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    val missing = withText.filterNot { case (id, _) =>
+      pairSet.contains((id, id + 1000000L)) }
+    assert(missing.isEmpty,
+      s"${missing.size} exact copies missed (of ${withText.size}): ${missing.take(3).map(_._1)}")
+    // exactness: recompute true Jaccard from raw text for a sample
+    val sample = pairs.take(15) ++ pairs.takeRight(15)
+    val ids = sample.flatMap(p => Seq(p._1, p._2)).distinct
+    val texts = aug.filter(col("doc_id").isin(ids: _*))
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    sample.foreach { case (a, b, j) =>
+      val exact = exactJaccard(texts(a), texts(b))
+      assert(math.abs(exact - j) < 1e-9,
+        s"pair ($a,$b): engine $j vs exact $exact")
+    }
+  }
+
+  test("components at sf0.1: label-prop and large/small-star agree, labels consistent and idempotent") {
+    import spark.implicits._
+    val pairsDf = minhashPairs.map(p => (p._1, p._2)).toDF("id1", "id2")
+    val a = Dedup.connectedComponents(pairsDf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Dedup.connectedComponentsStar(pairsDf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, s"labelings diverge on ${a.toSet.diff(b.toSet).take(5)}")
+    // consistency: both endpoints of every pair share a label; the
+    // label is the cluster minimum (canonical representative)
+    minhashPairs.foreach { case (x, y, _) =>
+      assert(a(x) == a(y), s"pair ($x,$y) split across components")
+    }
+    a.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.keys.min == label,
+        s"component $label is not its cluster min ${members.keys.min}")
+    }
+    // idempotence: relabeling the collapsed (id, component) star edges
+    // reproduces the same labeling
+    val starEdges = a.toSeq.filter { case (id, c) => id != c }
+      .toDF("id1", "id2")
+    val relabeled = Dedup.connectedComponents(starEdges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    relabeled.foreach { case (id, c) =>
+      assert(a(id) == c, s"relabeling the star edges moved $id: ${a(id)} -> $c")
+    }
+    Dedup.unpersistPipelineCaches()
+  }
+
+  test("blocked n-gram Jaccard at sf0.1 equals minhash pairs restricted to blocks") {
+    val blocked = Dedup.ngramJaccardPairs(aug, "doc_id", "text",
+        Seq("lang", "source"), 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val blocks = aug.select("doc_id", "lang", "source").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    val expected = minhashPairs
+      .filter { case (a, b, _) => blocks(a) == blocks(b) }
+      .map(p => (p._1, p._2) -> p._3).toMap
+    val got = blocked.map(p => (p._1, p._2) -> p._3).toMap
+    assert(got.keySet == expected.keySet,
+      s"pair sets differ: extra=${got.keySet.diff(expected.keySet).take(3)} " +
+        s"missing=${expected.keySet.diff(got.keySet).take(3)}")
+    got.foreach { case (k, j) =>
+      assert(math.abs(j - expected(k)) < 1e-6, s"$k: $j vs ${expected(k)}")
+    }
+    Dedup.unpersistPipelineCaches()
+  }
+
+  test("incremental dedup at sf0.1 equals batch minhash restricted to delta-touching pairs") {
+    val store = Dedup.buildSignatureStore(
+      aug.filter(col("doc_id") < 1000000L), "doc_id", "text")
+    val inc = Dedup.incrementalNearDuplicates(
+        aug.filter(col("doc_id") >= 1000000L), store, "doc_id", "text",
+        threshold = 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // with id1 < id2 and delta ids >= 1e6, "touches the delta" is
+    // exactly id2 >= 1e6 (old×old pairs all have id2 < 1e6)
+    val expected = minhashPairs.filter(_._2 >= 1000000L)
+      .map(p => (p._1, p._2) -> p._3).toMap
+    val got = inc.map(p => (p._1, p._2) -> p._3).toMap
+    assert(got.keySet == expected.keySet,
+      s"extra=${got.keySet.diff(expected.keySet).take(3)} " +
+        s"missing=${expected.keySet.diff(got.keySet).take(3)}")
+    got.foreach { case (k, j) =>
+      assert(math.abs(j - expected(k)) < 1e-6, s"$k: $j vs ${expected(k)}")
+    }
+    Dedup.unpersistPipelineCaches()
+  }
+
+  test("keep-best at sf0.1: one representative per cluster, argmax rule, corpus preserved") {
+    import spark.implicits._
+    val pairsDf = minhashPairs.map(p => (p._1, p._2)).toDF("id1", "id2")
+    val comps = Dedup.connectedComponents(pairsDf)
+    val kb = Dedup.keepBest(aug, "doc_id", comps, length(col("text")))
+      .select(col("doc_id"), col("cluster"), col("keep"),
+        length(col("text")).as("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getInt(3)))
+    assert(kb.length == aug.count(), "keepBest changed the corpus row count")
+    kb.groupBy(_._2).foreach { case (cluster, members) =>
+      val keepers = members.filter(_._3)
+      assert(keepers.length == 1,
+        s"cluster $cluster elected ${keepers.length} representatives")
+      // argmax score, ties to lowest id
+      val best = members.minBy(m => (-m._4, m._1))
+      assert(keepers.head._1 == best._1,
+        s"cluster $cluster kept ${keepers.head} over $best")
+    }
+    // the quality-score composition (q_dedup_keep_best_quality's shape):
+    // same election invariants against the engine-evaluated score (the
+    // score function itself is oracle-gated at sf0.01 via q_text_quality)
+    val q = graft.ml.TextAnalysis.qualityScore(col("text"))
+    val kbq = Dedup.keepBest(aug, "doc_id", comps, q)
+      .select(col("doc_id"), col("cluster"), col("keep"), q.as("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getDouble(3)))
+    assert(kbq.length == kb.length)
+    kbq.groupBy(_._2).foreach { case (cluster, members) =>
+      val keepers = members.filter(_._3)
+      assert(keepers.length == 1, s"quality: cluster $cluster elected ${keepers.length}")
+      val best = members.minBy(m => (-m._4, m._1))
+      assert(keepers.head._1 == best._1,
+        s"quality: cluster $cluster kept ${keepers.head} over $best")
+    }
+    Dedup.unpersistPipelineCaches()
+  }
+
+  test("self-verifying contract gates hold at sf0.1: semantic dedup recall, DIMSUM error bound") {
+    // these two gate queries carry their own engine-side verification
+    // (exact pair recompute / exact-vs-estimate error) — run them at
+    // sf0.1 and assert the contract booleans they emit
+    val sem = SparkEntry.queries("q_dedup_semantic")(spark, dir).head()
+    assert(sem.getAs[Long]("n_exact") >= 0L)
+    assert(sem.getAs[Boolean]("recall_ok"),
+      s"semantic dedup recall contract failed at sf0.1: $sem")
+    val dim = SparkEntry.queries("q_matrix_gram_dimsum")(spark, dir).head()
+    assert(dim.getAs[Boolean]("dimsum_ok"),
+      s"DIMSUM ±0.08 error contract failed at sf0.1: $dim")
+    assert(dim.getAs[Boolean]("downsampled"),
+      "DIMSUM sampled nothing away at sf0.1 — the scale path is inert")
+    Dedup.unpersistPipelineCaches()
+  }
+
+  test("embedding near-dup at sf0.1: reported cosines exact, smallest block complete") {
+    val out = SparkEntry.queries("q_embed_neardup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray, r.getAs[Any](2).toString))
+    val byId = vecs.map(v => v._1 -> v._2).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
+    }
+    // exactness of everything reported (rounded to 6 in the gate)
+    out.foreach { case (a, b, c) =>
+      val exact = cos(byId(a), byId(b))
+      assert(math.abs(exact - c) < 5e-7, s"pair ($a,$b): $c vs $exact")
+      assert(exact >= 0.9 - 5e-7)
+    }
+    // completeness on the smallest label block, brute-forced here
+    val (label, members) = vecs.groupBy(_._3).minBy(_._2.length)
+    val brute = for {
+      i <- members.indices; j <- (i + 1) until members.length
+      if cos(members(i)._2, members(j)._2) >= 0.9
+    } yield {
+      val (x, y) = (members(i)._1, members(j)._1)
+      (math.min(x, y), math.max(x, y))
+    }
+    val missing = brute.toSet.diff(out.map(p => (p._1, p._2)).toSet)
+    assert(missing.isEmpty,
+      s"block '$label' (${members.length} vecs): ${missing.size} pairs missed")
+  }
+}
