@@ -65,7 +65,10 @@ object Bench {
     // benched against the q_events_sessionize window form above) +
     // DSIR importance weighting (two LMs off one token scan)
     "q_events_sessionize_native",
-    "q_text_dsir")
+    "q_text_dsir",
+    // round-11: real image decode + resize kernel (hand-rolled codec
+    // over constructed PPM payloads, encode→decode round-trip)
+    "q_multimodal_decode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -7,10 +7,14 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, processed in partition-sized batches.
   *
   * The Spark-side machinery (schema, batch iteration, partitioning,
-  * metadata propagation) is real and tested; the actual codec step is
-  * STUBBED with a deterministic fake because no image/audio libraries
-  * exist in this container — swap `decodeStub` for a real decoder
-  * (e.g. javacv / a JNI codec) without touching the plumbing.
+  * metadata propagation) is real and tested. The codec step is REAL
+  * for image payloads ([[ImageCodec]]: full BMP/PPM/PGM pixel decode,
+  * PNG/GIF/JPEG header metadata, nearest-neighbor resize, grayscale,
+  * average-hash features — all hand-parsed, no external libraries);
+  * unrecognized payloads (audio/video/opaque blobs) fall back to the
+  * deterministic `decodeStub`, preserving the original plumbing
+  * contract — swap the fallback for a real A/V codec (e.g. javacv /
+  * JNI) without touching the batching.
   */
 object Multimodal {
 
@@ -41,6 +45,9 @@ object Multimodal {
   /** Decode a (id, media: binary) DataFrame into metadata — batch
     * iteration per partition (the Scala analogue of `mapInPandas`
     * batches: one decoder instance per partition, streaming rows).
+    * Recognized image payloads get REAL header metadata via
+    * [[ImageCodec.meta]]; anything else (audio/video/opaque bytes)
+    * falls back to the deterministic stub.
     */
   def decodeMetadata(df: DataFrame, idCol: String = "id",
       mediaCol: String = "media"): Dataset[MediaMeta] = {
@@ -51,8 +58,71 @@ object Multimodal {
         // per-partition decoder lifecycle: open once, stream batch
         // (the reference's `using` resource pattern,
         // RichPipe.scala:73-119)
-        it.map { case (id, bytes) => decodeStub(id, bytes) }
+        it.map { case (id, bytes) =>
+          ImageCodec.meta(bytes) match {
+            case Some((w, h, fmt)) =>
+              val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+              MediaMeta(id, bytes.length.toLong,
+                md.map("%02x".format(_)).mkString, w, h, fmt)
+            case None => decodeStub(id, bytes)
+          }
+        }
       }
+  }
+
+  /** A fully decoded image row: dimensions + raw pixel payload. */
+  case class DecodedImage(id: Long, width: Int, height: Int,
+      channels: Int, pixels: Array[Byte])
+
+  /** REAL image decode (BMP / binary PPM / PGM → raster): one decoder
+    * per partition, undecodable rows dropped (count them upstream with
+    * [[decodeMetadata]] if loss must be audited).
+    */
+  def decodeImages(df: DataFrame, idCol: String = "id",
+      mediaCol: String = "media"): Dataset[DecodedImage] = {
+    implicit val enc = Encoders.product[DecodedImage]
+    df.select(col(idCol).cast("long"), col(mediaCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        ImageCodec.decode(bytes).map(img =>
+          DecodedImage(id, img.width, img.height, img.channels, img.pixels))
+      })
+  }
+
+  /** REAL resize: decode, nearest-neighbor resample to (targetW,
+    * targetH), re-encode as binary netpbm — a narrow per-row kernel,
+    * no shuffle.
+    */
+  def resizeImages(df: DataFrame, targetW: Int, targetH: Int,
+      idCol: String = "id", mediaCol: String = "media"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(mediaCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        ImageCodec.decode(bytes).map { img =>
+          (id, ImageCodec.encodePnm(ImageCodec.resizeNearest(img, targetW, targetH)),
+            targetW, targetH)
+        }
+      })
+      .toDF(idCol, "resized", "target_w", "target_h")
+  }
+
+  /** REAL perceptual feature extraction: 64-dim average-hash vector
+    * per decodable image ([[ImageCodec.aHash64]]) — near-duplicate
+    * images land at cosine ≈ 1, feeding directly into the ANN /
+    * embedding-dedup operators. Same per-partition batching as
+    * [[featureExtractStub]] (which remains the generic-payload path).
+    */
+  def imageFeatures(df: DataFrame, idCol: String = "id",
+      mediaCol: String = "media"): Dataset[MediaEmbedding] = {
+    implicit val enc = Encoders.product[MediaEmbedding]
+    df.select(col(idCol).cast("long"), col(mediaCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        ImageCodec.decode(bytes).map(img =>
+          MediaEmbedding(id, ImageCodec.aHash64(img)))
+      })
   }
 
   /** "Resize" stub: deterministic byte-slice standing in for a pixel

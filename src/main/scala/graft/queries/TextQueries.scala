@@ -312,6 +312,57 @@ object TextQueries extends QueryGroup {
         .orderBy("id")
     },
 
+    // REAL image decode through the gate: both engines construct the
+    // same deterministic P6 (binary PPM) payload per document —
+    // w = 4 + id%13, h = 4 + id%7, pixel byte i = (id*31 + i) % 256 —
+    // then the Spark side parses the header and pixels with the
+    // hand-rolled ImageCodec, nearest-neighbor-resizes to 2×2,
+    // re-encodes, and decodes AGAIN (an encode→decode round-trip),
+    // while the oracle replays the construction and the resize index
+    // arithmetic ((tx*w)//2, (ty*h)//2) without ever touching bytes.
+    // Hash equality means header parse, pixel extraction and the
+    // resample index map are all exact.
+    q("q_multimodal_decode",
+      """WITH d AS (
+        |  SELECT doc_id AS id, 4 + doc_id % 13 AS w, 4 + doc_id % 7 AS h
+        |  FROM documents
+        |), px AS (
+        |  SELECT id, w, h,
+        |    string_agg(lpad(hex((id * 31 + u.i) % 256), 2, '0'), ''
+        |      ORDER BY u.i) AS hx
+        |  FROM d, unnest(range(0, w * h * 3)) AS u(i) GROUP BY id, w, h
+        |), rs AS (
+        |  SELECT id,
+        |    string_agg(lpad(hex((id * 31 +
+        |      (((u.k // 6) * h // 2) * w + ((u.k % 6) // 3) * w // 2) * 3
+        |      + u.k % 3) % 256), 2, '0'), '' ORDER BY u.k) AS rhx
+        |  FROM d, unnest(range(0, 12)) AS u(k) GROUP BY id, w, h
+        |)
+        |SELECT p.id, CAST(p.w AS INT) AS width, CAST(p.h AS INT) AS height,
+        |  3 AS channels, CAST(p.w * p.h * 3 AS BIGINT) AS n_bytes,
+        |  md5(p.hx) AS pix_h, md5(r.rhx) AS resized_h
+        |FROM px p JOIN rs r ON p.id = r.id ORDER BY p.id""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      import graft.ml.ImageCodec
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (4 + id % 13).toInt
+          val h = (4 + id % 7).toInt
+          val px = Array.tabulate(w * h * 3)(i => ((id * 31 + i) % 256).toByte)
+          (id, ImageCodec.encodePnm(ImageCodec.Image(w, h, 3, px)))
+        }.toDF("id", "media")
+      val dec = Multimodal.decodeImages(media).toDF()
+        .select(col("id"), col("width"), col("height"), col("channels"),
+          octet_length(col("pixels")).cast("long").as("n_bytes"),
+          md5(hex(col("pixels"))).as("pix_h"))
+      val rdec = Multimodal.decodeImages(
+          Multimodal.resizeImages(media, 2, 2)
+            .select(col("id"), col("resized").as("media"))).toDF()
+        .select(col("id"), md5(hex(col("pixels"))).as("resized_h"))
+      dec.join(rdec, "id").orderBy("id")
+    },
+
     // GPT-style sequence packing: shard → md5-permute → concat →
     // chunk every ctxLen tokens. Pure integer window math (exact in
     // both engines); one hashpartitioning(shard) exchange at scale.

@@ -123,9 +123,9 @@ case class SessionizeExec(
 
       new Iterator[InternalRow] {
         private var prevSort: InternalRow = null
-        private var prevTsNull = false
-        private var prevTs = 0L
-        private var sid = 0L
+        // the shared batch/streaming state machine (graft.core
+        // .SessionGap) — reset at each key boundary
+        private var st = graft.core.SessionGap.empty
 
         override def hasNext: Boolean = iter.hasNext
 
@@ -134,18 +134,13 @@ case class SessionizeExec(
           val sort = sortProj(row)
           val tsNull = sort.isNullAt(nKeys)
           val tsVal = if (tsNull) 0L else sort.getLong(nKeys)
-          if (prevSort == null || keyOrd.compare(sort, prevSort) != 0) {
-            sid = 1L // a key's first row opens its first session
-            numSessions += 1
-          } else if (prevTsNull || (!tsNull && tsVal - prevTs > gap)) {
-            // lag-form boundary: previous ts null OR gap exceeded
-            sid += 1L
-            numSessions += 1
-          } // current ts null after a non-null: `null > gap` isn't true
+          if (prevSort == null || keyOrd.compare(sort, prevSort) != 0)
+            st = graft.core.SessionGap.empty
+          val st1 = graft.core.SessionGap.advance(st, tsVal, tsNull, gap)
+          if (st1.sessionId != st.sessionId) numSessions += 1
+          st = st1
           prevSort = sort.copy()
-          prevTsNull = tsNull
-          prevTs = tsVal
-          sidRow.setLong(0, sid)
+          sidRow.setLong(0, st.sessionId)
           numOutputRows += 1
           resultProj(joined(row, sidRow))
         }

@@ -386,28 +386,36 @@ object Streaming {
   case class SessionAssignment(key: Long, sec: Long, sessionId: Long)
 
   /** Stateful gap sessionization via mapGroupsWithState — the
-    * streaming form of the batch lag+cumsum sessionize (assigns
-    * monotone per-key session ids with a 30-min* gap rule).
-    * (*gapSeconds.)
+    * streaming form of the batch native `SessionizeExec`, driven by
+    * the SAME state machine ([[graft.core.SessionGap]]): both forms
+    * execute one shared (state, event) → state transition, so the
+    * batch/streaming cross-check in the test suite is structural,
+    * not coincidental. Assigns monotone per-key session ids with a
+    * `gapSeconds` gap rule.
     */
   def sessionize(events: Dataset[SessionEvent], gapSeconds: Long)(
       implicit e: Encoder[SessionAssignment],
       se: Encoder[SessionState]): Dataset[SessionAssignment] = {
     import events.sparkSession.implicits._
+    import graft.core.SessionGap
     events
       .groupByKey(_.key)
       .flatMapGroupsWithState[SessionState, SessionAssignment](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
-          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+          // rehydrate the kernel state from the checkpointable form
+          // (lastSec == Long.MinValue is the not-started sentinel)
+          var st = state.getOption match {
+            case Some(SessionState(sid, last)) if last != Long.MinValue =>
+              SessionGap.State(sid, last, lastNull = false, started = true)
+            case _ => SessionGap.empty
+          }
           val out = rows.toSeq.sortBy(_.sec).map { ev =>
-            st =
-              if (st.lastSec == Long.MinValue || ev.sec - st.lastSec > gapSeconds)
-                SessionState(st.sessionId + 1, ev.sec)
-              else st.copy(lastSec = ev.sec)
+            st = SessionGap.advance(st, ev.sec, secNull = false, gapSeconds)
             SessionAssignment(key, ev.sec, st.sessionId)
           }
-          state.update(st)
+          state.update(SessionState(st.sessionId,
+            if (st.started) st.lastSec else Long.MinValue))
           out.iterator
       }
   }

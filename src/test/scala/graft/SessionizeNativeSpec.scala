@@ -42,6 +42,36 @@ class SessionizeNativeSpec extends SparkSpec {
     }
   }
 
+  test("the shared SessionGap kernel replays the lag formulation on random null-bearing streams") {
+    // the batch exec and the streaming stateful form both run
+    // graft.core.SessionGap — pin the kernel itself against an
+    // independent fold of the lag rule, including null patterns
+    import graft.core.SessionGap
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val events: Seq[Option[Long]] =
+        // nulls sort first (like the exec's null-first sort order)
+        Seq.fill(rnd.nextInt(4))(None) ++
+          Seq.iterate(0L, 60)(t => t + rnd.nextInt(80)).sorted.map(Some(_))
+      // reference: the SQL lag rule, folded directly
+      var prev: Option[Option[Long]] = None
+      val expected = events.map { cur =>
+        val opens = prev match {
+          case None => true                       // first row
+          case Some(None) => true                 // lag(ts) IS NULL
+          case Some(Some(p)) =>
+            cur.exists(c => c - p > 30L)          // ts - lag(ts) > gap
+        }
+        prev = Some(cur)
+        opens
+      }.scanLeft(0L) { case (sid, opens) => if (opens) sid + 1 else sid }.tail
+      val got = events.scanLeft(SessionGap.empty) { (st, cur) =>
+        SessionGap.advance(st, cur.getOrElse(0L), cur.isEmpty, 30L)
+      }.tail.map(_.sessionId)
+      assert(got == expected, s"seed=$seed: $got vs $expected on $events")
+    }
+  }
+
   test("gap boundary: exactly gap continues, gap+1 starts a new session") {
     import spark.implicits._
     val df = Seq((1, 0L), (1, 30L), (1, 61L), (1, 91L)).toDF("k", "ts")
