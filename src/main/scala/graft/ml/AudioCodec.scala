@@ -1,0 +1,187 @@
+package graft.ml
+
+/** Pure-JVM WAV/PCM audio codec — the audio-modality counterpart of
+  * [[ImageCodec]], hand-parsed from the public RIFF/WAVE layout, no
+  * libraries. Full decode for integer PCM (8-bit unsigned, 16-bit
+  * signed little-endian), header-only metadata for any other `fmt `
+  * encoding, plus the deterministic signal kernels a training-data
+  * pipeline runs at scan time: RMS energy, zero-crossing rate,
+  * silence ratio, peak, and nearest-neighbor resampling — all exact
+  * integer/double arithmetic, replayable by a relational oracle.
+  */
+object AudioCodec {
+
+  /** Decoded PCM: interleaved samples normalized to Int (the raw
+    * integer sample values, NOT rescaled — exactness over convenience;
+    * 16-bit range [-32768, 32767], 8-bit stored as centered [-128, 127]).
+    */
+  final case class Audio(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      samples: Array[Int]) {
+    def nFrames: Int = samples.length / channels
+    def durationMs: Long =
+      if (sampleRate == 0) 0L else nFrames.toLong * 1000L / sampleRate
+  }
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+
+  def isWav(bytes: Array[Byte]): Boolean =
+    bytes.length >= 12 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
+
+  /** Walk the RIFF chunks; returns (fmtOffset, dataOffset, dataLen). */
+  private def chunks(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    var i = 12
+    var fmt = -1; var data = -1; var dataLen = 0
+    while (i + 8 <= b.length && (fmt < 0 || data < 0)) {
+      val id = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val len = le32(b, i + 4)
+      if (len < 0 || i + 8 + len > b.length) return None
+      if (id == "fmt ") fmt = i + 8
+      else if (id == "data") { data = i + 8; dataLen = len }
+      i += 8 + len + (len & 1) // chunks pad to even length
+    }
+    if (fmt >= 0 && data >= 0) Some((fmt, data, dataLen)) else None
+  }
+
+  /** (sampleRate, channels, bitsPerSample, nFrames, durationMs) from
+    * the headers alone.
+    */
+  def meta(bytes: Array[Byte]): Option[(Int, Int, Int, Long, Long)] =
+    if (!isWav(bytes)) None
+    else chunks(bytes).flatMap { case (fmt, _, dataLen) =>
+      if (fmt + 16 > bytes.length) None
+      else {
+        val channels = le16(bytes, fmt + 2)
+        val rate = le32(bytes, fmt + 4)
+        val bits = le16(bytes, fmt + 14)
+        if (channels <= 0 || rate <= 0 || bits <= 0) None
+        else {
+          val frames = dataLen.toLong / (channels * (bits / 8).max(1))
+          Some((rate, channels, bits, frames, frames * 1000L / rate))
+        }
+      }
+    }
+
+  /** Full decode of integer PCM (format tag 1, 8 or 16 bits). */
+  def decode(bytes: Array[Byte]): Option[Audio] =
+    if (!isWav(bytes)) None
+    else chunks(bytes).flatMap { case (fmt, data, dataLen) =>
+      val tag = le16(bytes, fmt)
+      val channels = le16(bytes, fmt + 2)
+      val rate = le32(bytes, fmt + 4)
+      val bits = le16(bytes, fmt + 14)
+      if (tag != 1 || channels <= 0 || rate <= 0 || (bits != 8 && bits != 16))
+        None
+      else if (bits == 16) {
+        val n = dataLen / 2
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          out(i) = le16(bytes, data + 2 * i).toShort.toInt
+          i += 1
+        }
+        Some(Audio(rate, channels, 16, out))
+      } else {
+        // 8-bit WAV is unsigned; center to [-128, 127]
+        val out = new Array[Int](dataLen)
+        var i = 0
+        while (i < dataLen) { out(i) = u8(bytes, data + i) - 128; i += 1 }
+        Some(Audio(rate, channels, 8, out))
+      }
+    }
+
+  /** Write a canonical 44-byte-header PCM WAV. */
+  def encodeWav(a: Audio): Array[Byte] = {
+    require(a.bitsPerSample == 8 || a.bitsPerSample == 16)
+    val bytesPer = a.bitsPerSample / 8
+    val dataLen = a.samples.length * bytesPer
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+    buf.put("fmt ".getBytes).putInt(16).putShort(1)
+      .putShort(a.channels.toShort).putInt(a.sampleRate)
+      .putInt(a.sampleRate * a.channels * bytesPer)
+      .putShort((a.channels * bytesPer).toShort)
+      .putShort(a.bitsPerSample.toShort)
+    buf.put("data".getBytes).putInt(dataLen)
+    a.samples.foreach { s =>
+      if (a.bitsPerSample == 16) buf.putShort(s.toShort)
+      else buf.put((s + 128).toByte)
+    }
+    buf.array()
+  }
+
+  /** Scan-time signal features, all exact arithmetic:
+    * (rms, zeroCrossings, silenceRatio, peak). RMS over the raw
+    * integer samples (sum of squares is exact in a double up to ~2^53);
+    * a zero crossing is a strict sign change between consecutive
+    * samples of the mono mix; silence = |sample| below `silenceAbs`.
+    */
+  final case class Features(rms: Double, zeroCrossings: Long,
+      silenceRatio: Double, peak: Int)
+
+  def features(a: Audio, silenceAbs: Int = 512): Features = {
+    val mono = monoMix(a)
+    if (mono.isEmpty) return Features(0.0, 0L, 1.0, 0)
+    var sumSq = 0.0
+    var zc = 0L
+    var silent = 0L
+    var peak = 0
+    var prevSign = 0
+    var i = 0
+    while (i < mono.length) {
+      val s = mono(i)
+      sumSq += s.toDouble * s
+      val a0 = math.abs(s)
+      if (a0 > peak) peak = a0
+      if (a0 < silenceAbs) silent += 1
+      val sign = java.lang.Integer.signum(s)
+      if (sign != 0) {
+        if (prevSign != 0 && sign != prevSign) zc += 1
+        prevSign = sign
+      }
+      i += 1
+    }
+    Features(math.sqrt(sumSq / mono.length), zc,
+      silent.toDouble / mono.length, peak)
+  }
+
+  /** Integer mono mix: floor of the channel average per frame
+    * (floorDiv for exact negative handling — replayable in SQL).
+    */
+  def monoMix(a: Audio): Array[Int] =
+    if (a.channels == 1) a.samples
+    else {
+      val n = a.nFrames
+      val out = new Array[Int](n)
+      var f = 0
+      while (f < n) {
+        var s = 0L
+        var c = 0
+        while (c < a.channels) { s += a.samples(f * a.channels + c); c += 1 }
+        out(f) = math.floorDiv(s, a.channels.toLong).toInt
+        f += 1
+      }
+      out
+    }
+
+  /** Nearest-neighbor resample of the mono mix to `targetFrames`:
+    * target frame t reads source floor(t * n / targetFrames) — the
+    * same index map as [[ImageCodec.resizeNearest]].
+    */
+  def resampleNearest(a: Audio, targetFrames: Int): Audio = {
+    require(targetFrames > 0)
+    val mono = monoMix(a)
+    val out = new Array[Int](targetFrames)
+    var t = 0
+    while (t < targetFrames) {
+      out(t) = mono((t.toLong * mono.length / targetFrames).toInt)
+      t += 1
+    }
+    Audio(a.sampleRate, 1, a.bitsPerSample, out)
+  }
+}

@@ -137,6 +137,60 @@ object Multimodal {
       .withColumn("target_h", lit(targetH))
   }
 
+  /** Decoded WAV metadata. */
+  case class AudioMeta(id: Long, sampleRate: Int, channels: Int,
+      bits: Int, nFrames: Long, durationMs: Long)
+
+  /** Header-only WAV metadata over a (id, media: binary) frame —
+    * real parse ([[AudioCodec.meta]]), non-WAV rows dropped.
+    */
+  def decodeAudioMeta(df: DataFrame, idCol: String = "id",
+      mediaCol: String = "media"): Dataset[AudioMeta] = {
+    implicit val enc = Encoders.product[AudioMeta]
+    df.select(col(idCol).cast("long"), col(mediaCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        AudioCodec.meta(bytes).map { case (rate, ch, bits, frames, ms) =>
+          AudioMeta(id, rate, ch, bits, frames, ms)
+        }
+      })
+  }
+
+  /** Scan-time audio features per decodable PCM payload. */
+  case class AudioFeatureRow(id: Long, nFrames: Long, rms: Double,
+      zeroCrossings: Long, silenceRatio: Double, peak: Int)
+
+  def audioFeatures(df: DataFrame, silenceAbs: Int = 512,
+      idCol: String = "id", mediaCol: String = "media"): Dataset[AudioFeatureRow] = {
+    implicit val enc = Encoders.product[AudioFeatureRow]
+    df.select(col(idCol).cast("long"), col(mediaCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        AudioCodec.decode(bytes).map { a =>
+          val f = AudioCodec.features(a, silenceAbs)
+          AudioFeatureRow(id, a.nFrames.toLong, f.rms, f.zeroCrossings,
+            f.silenceRatio, f.peak)
+        }
+      })
+  }
+
+  /** Nearest-neighbor mono resample to a fixed frame count — the
+    * audio analogue of [[resizeImages]]; returns the integer samples
+    * so downstream featurizers see exact values.
+    */
+  def resampleAudio(df: DataFrame, targetFrames: Int,
+      idCol: String = "id", mediaCol: String = "media"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(mediaCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        AudioCodec.decode(bytes).map(a =>
+          (id, AudioCodec.resampleNearest(a, targetFrames).samples))
+      })
+      .toDF(idCol, "samples")
+  }
+
   /** A media embedding row: id + fixed-dimension feature vector. */
   case class MediaEmbedding(id: Long, embedding: Array[Float])
 

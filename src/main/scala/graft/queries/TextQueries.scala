@@ -363,6 +363,75 @@ object TextQueries extends QueryGroup {
       dec.join(rdec, "id").orderBy("id")
     },
 
+    // REAL audio decode through the gate: both engines construct the
+    // same stereo 16-bit PCM WAV per document — n = 40 + id%30 frames
+    // at 16 kHz, interleaved sample i = ((id*37 + i*797) % 4001) - 2000
+    // — then the Spark side parses the RIFF chunks with AudioCodec,
+    // mono-mixes (floor of the channel mean), and reports exact signal
+    // features plus a nearest-neighbor 8-frame resample, while the
+    // oracle replays the construction and the kernels arithmetically.
+    q("q_multimodal_audio",
+      """WITH d AS (
+        |  SELECT doc_id AS id, 40 + doc_id % 30 AS n FROM documents
+        |), s AS (
+        |  SELECT id, n, u.f AS f,
+        |    CAST(floor((((id * 37 + (u.f * 2) * 797) % 4001 - 2000)
+        |      + ((id * 37 + (u.f * 2 + 1) * 797) % 4001 - 2000)) / 2.0)
+        |      AS BIGINT) AS v
+        |  FROM d, unnest(range(0, n)) AS u(f)
+        |), feat AS (
+        |  SELECT id, min(n) AS n,
+        |    round(sqrt(sum(v * v * 1.0::DOUBLE) / min(n)), 6) AS rms,
+        |    CAST(sum(CASE WHEN abs(v) < 512 THEN 1 ELSE 0 END) AS BIGINT)
+        |      * 1.0::DOUBLE AS n_silent,
+        |    CAST(max(abs(v)) AS INT) AS peak
+        |  FROM s GROUP BY id
+        |), zc AS (
+        |  SELECT id, CAST(coalesce(sum(CASE WHEN sg != prev THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS zero_crossings
+        |  FROM (
+        |    SELECT id, sign(v) AS sg,
+        |      lag(sign(v)) OVER (PARTITION BY id ORDER BY f) AS prev
+        |    FROM s WHERE sign(v) != 0) t
+        |  WHERE prev IS NOT NULL GROUP BY id
+        |), rs AS (
+        |  SELECT d.id,
+        |    md5(string_agg(CAST((SELECT v FROM s
+        |      WHERE s.id = d.id AND s.f = (u.t * d.n) // 8) AS VARCHAR),
+        |      ',' ORDER BY u.t)) AS res_h
+        |  FROM d, unnest(range(0, 8)) AS u(t) GROUP BY d.id
+        |)
+        |SELECT f.id, 16000 AS sample_rate, 2 AS channels,
+        |  CAST(f.n AS BIGINT) AS n_frames,
+        |  CAST(f.n * 1000 // 16000 AS BIGINT) AS duration_ms,
+        |  f.rms, coalesce(z.zero_crossings, 0) AS zero_crossings,
+        |  round(f.n_silent / f.n, 6) AS silence_ratio, f.peak, r.res_h
+        |FROM feat f LEFT JOIN zc z ON f.id = z.id JOIN rs r ON f.id = r.id
+        |ORDER BY f.id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.ml.AudioCodec
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val n = (40 + id % 30).toInt
+          val samples = Array.tabulate(n * 2)(i =>
+            ((id * 37 + i.toLong * 797) % 4001 - 2000).toInt)
+          (id, AudioCodec.encodeWav(AudioCodec.Audio(16000, 2, 16, samples)))
+        }.toDF("id", "media")
+      val meta = Multimodal.decodeAudioMeta(media).toDF()
+        .select(col("id"), col("sampleRate").as("sample_rate"),
+          col("channels"), col("nFrames").as("n_frames"),
+          col("durationMs").as("duration_ms"))
+      val feats = Multimodal.audioFeatures(media).toDF()
+        .select(col("id"), round(col("rms"), 6).as("rms"),
+          col("zeroCrossings").as("zero_crossings"),
+          round(col("silenceRatio"), 6).as("silence_ratio"), col("peak"))
+      val res = Multimodal.resampleAudio(media, 8)
+        .select(col("id"),
+          md5(array_join(transform(col("samples"), _.cast("string")), ","))
+            .as("res_h"))
+      meta.join(feats, "id").join(res, "id").orderBy("id")
+    },
+
     // GPT-style sequence packing: shard → md5-permute → concat →
     // chunk every ctxLen tokens. Pure integer window math (exact in
     // both engines); one hashpartitioning(shard) exchange at scale.

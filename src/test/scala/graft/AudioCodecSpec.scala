@@ -1,0 +1,90 @@
+package graft
+
+import graft.ml.{AudioCodec, Multimodal}
+import AudioCodec.Audio
+
+/** The hand-rolled WAV/PCM codec against hand-built RIFF fixtures —
+  * chunk walking (extra chunks, odd-length padding), both PCM widths,
+  * the exact-arithmetic signal kernels, and the Spark-side batch
+  * plumbing.
+  */
+class AudioCodecSpec extends SparkSpec {
+
+  /** RIFF with an extra odd-length LIST chunk before fmt/data — the
+    * layout real encoders emit (chunks pad to even length).
+    */
+  private def wavWithExtraChunk(a: Audio): Array[Byte] = {
+    val canonical = AudioCodec.encodeWav(a)
+    val fmtAndData = java.util.Arrays.copyOfRange(canonical, 12, canonical.length)
+    val extra = Array[Byte]('L', 'I', 'S', 'T', 3, 0, 0, 0, 'x', 'y', 'z', 0)
+    val buf = java.nio.ByteBuffer
+      .allocate(12 + extra.length + fmtAndData.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(4 + extra.length + fmtAndData.length)
+      .put("WAVE".getBytes).put(extra).put(fmtAndData)
+    buf.array()
+  }
+
+  test("16-bit stereo round-trip, including through an extra padded chunk") {
+    val a = Audio(8000, 2, 16, Array(-32768, 32767, 0, -1, 1000, -1000))
+    val back = AudioCodec.decode(AudioCodec.encodeWav(a)).get
+    assert(back.sampleRate == 8000 && back.channels == 2 && back.nFrames == 3)
+    assert(back.samples.sameElements(a.samples))
+    val viaExtra = AudioCodec.decode(wavWithExtraChunk(a)).get
+    assert(viaExtra.samples.sameElements(a.samples))
+    assert(AudioCodec.meta(wavWithExtraChunk(a)).contains((8000, 2, 16, 3L, 0L)))
+  }
+
+  test("8-bit mono decodes unsigned bytes centered to [-128, 127]") {
+    val a = Audio(4000, 1, 8, Array(-128, 0, 127, 5))
+    val back = AudioCodec.decode(AudioCodec.encodeWav(a)).get
+    assert(back.bitsPerSample == 8 && back.samples.sameElements(a.samples))
+  }
+
+  test("non-PCM and non-WAV payloads: metadata-or-nothing, never a wrong decode") {
+    // format tag 3 (IEEE float): meta still reads dims, decode refuses
+    val pcm = AudioCodec.encodeWav(Audio(16000, 1, 16, Array(1, 2, 3)))
+    pcm(20) = 3 // fmt tag -> float
+    assert(AudioCodec.meta(pcm).contains((16000, 1, 16, 3L, 0L)))
+    assert(AudioCodec.decode(pcm).isEmpty)
+    assert(AudioCodec.decode("RIFFxxxx not really wave".getBytes).isEmpty)
+    assert(AudioCodec.decode(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("signal kernels: mono mix floors, RMS/ZCR/silence/peak hand-checked") {
+    // stereo frames: (10,-21) -> floor(-11/2) = -6; (4,3) -> 3;
+    // (-8,-9) -> -9; (600,600) -> 600
+    val a = Audio(1000, 2, 16, Array(10, -21, 4, 3, -8, -9, 600, 600))
+    assert(AudioCodec.monoMix(a).toSeq == Seq(-6, 3, -9, 600))
+    val f = AudioCodec.features(a, silenceAbs = 10)
+    // sign sequence -,+,-,+ -> 3 crossings
+    assert(f.zeroCrossings == 3L)
+    assert(f.peak == 600)
+    assert(f.silenceRatio == 3.0 / 4) // |-6|,|3|,|-9| < 10
+    val expectedRms = math.sqrt((36.0 + 9 + 81 + 360000) / 4)
+    assert(math.abs(f.rms - expectedRms) < 1e-12)
+  }
+
+  test("nearest-neighbor resample reads floor-mapped source frames") {
+    val a = Audio(1000, 1, 16, Array.tabulate(10)(identity))
+    assert(AudioCodec.resampleNearest(a, 5).samples.toSeq == Seq(0, 2, 4, 6, 8))
+    assert(AudioCodec.resampleNearest(a, 20).samples.toSeq ==
+      (0 until 20).map(t => t * 10 / 20))
+  }
+
+  test("Spark plumbing: meta/features/resample run distributed, junk rows drop") {
+    import spark.implicits._
+    val rows = (1L to 10L).map { id =>
+      val samples = Array.tabulate(20)(i => ((id * 100 + i * 313) % 2001 - 1000).toInt)
+      (id, AudioCodec.encodeWav(Audio(16000, 1, 16, samples)))
+    } :+ (99L, Array[Byte](9, 9, 9))
+    val df = rows.toDF("id", "media").repartition(3)
+    val meta = Multimodal.decodeAudioMeta(df).collect()
+    assert(meta.length == 10 && meta.forall(m => m.nFrames == 20L && m.sampleRate == 16000))
+    val feats = Multimodal.audioFeatures(df).collect()
+    assert(feats.length == 10 && feats.forall(f => f.rms > 0 && f.peak <= 1000))
+    val res = Multimodal.resampleAudio(df, 4).collect()
+    assert(res.length == 10 &&
+      res.forall(_.getAs[Seq[Int]]("samples").length == 4))
+  }
+}
