@@ -145,6 +145,33 @@ class SourcesSpec extends SparkSpec {
     check.assertUnder(1)
   }
 
+  test("thrift compact-protocol injection round-trips through the codec source") {
+    import spark.implicits._
+    import graft.sources.ThriftCompactWire, ThriftCompactWire.TrackRecord
+    val dir = tmp() + "/thrift_codec"
+    val records = Seq(
+      TrackRecord(42L, "ada", 0.125, Seq("x", "y")),
+      TrackRecord(-7L, "böb", -3.5, Nil), // zigzag negative + UTF-8
+      TrackRecord(Long.MaxValue, "", 0.0, (1 to 20).map(i => s"t$i"))) // long-form list
+    CodecSource.write[TrackRecord](spark.createDataset(records), dir,
+      ThriftCompactWire.encode)
+    val back = CodecSource.read[TrackRecord](spark, dir, ThriftCompactWire.decode)
+    assert(back.collect().toSet == records.toSet)
+    // forward compatibility: splice an unknown field 5 (i32, short-form
+    // header, delta 1 after field 4) before STOP — the old reader
+    // must skip it by type id
+    val withExtra = records.map { r =>
+      val base = ThriftCompactWire.encode(r)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(base, 0, base.length - 1) // drop STOP
+      out.write((1 << 4) | 5)             // field delta 1, type I32
+      out.write(0x07)                      // zigzag varint
+      out.write(0)                         // STOP
+      out.toByteArray
+    }
+    assert(withExtra.map(ThriftCompactWire.decode).toSet == records.toSet)
+  }
+
   test("checkpoint computes once, then reads back") {
     import spark.implicits._
     val dir = tmp() + "/ck"
