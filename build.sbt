@@ -10,6 +10,14 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites share one SparkSession (SparkSpec): run them sequentially.
+// Parallel suites race on session-global state — runtime conf flips
+// (two specs toggle autoBroadcastJoinThreshold), the cache registry
+// (BenchHygieneSpec asserts nothing stays resident while other suites
+// legitimately persist mid-flight), and temp views. The suites all
+// drive the same local[4] scheduler anyway, so serializing costs
+// little wall-clock and makes the run deterministic.
+Test / parallelExecution := false
 run / fork := true
 // Let the forked `run` JVM write straight to stdout — sbt's default
 // LoggedOutput prefixes every line with [info]/[error], which breaks

@@ -191,6 +191,42 @@ object Multimodal {
       .toDF(idCol, "samples")
   }
 
+  /** One extracted video frame: container-parsed payload bytes. */
+  case class VideoFrame(id: Long, frameIdx: Int, frame: Array[Byte])
+
+  /** REAL video frame sampling: parse the AVI container
+    * ([[AviCodec.frames]]) and keep every `stride`-th frame — the
+    * container-aware upgrade of the byte-chunk [[frameSample]]
+    * (which remains the opaque-payload fallback). Each kept frame's
+    * payload feeds an image codec downstream.
+    */
+  def videoFrames(df: DataFrame, stride: Int = 1, idCol: String = "id",
+      mediaCol: String = "media"): Dataset[VideoFrame] = {
+    implicit val enc = Encoders.product[VideoFrame]
+    df.select(col(idCol).cast("long"), col(mediaCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        AviCodec.frames(bytes).zipWithIndex.collect {
+          case (f, i) if i % stride == 0 => VideoFrame(id, i, f)
+        }
+      })
+  }
+
+  /** Container metadata for AVI payloads. */
+  case class VideoMeta(id: Long, width: Int, height: Int, nFrames: Int,
+      microSecPerFrame: Int)
+
+  def decodeVideoMeta(df: DataFrame, idCol: String = "id",
+      mediaCol: String = "media"): Dataset[VideoMeta] = {
+    implicit val enc = Encoders.product[VideoMeta]
+    df.select(col(idCol).cast("long"), col(mediaCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        AviCodec.meta(bytes).map(m =>
+          VideoMeta(id, m.width, m.height, m.nFrames, m.microSecPerFrame))
+      })
+  }
+
   /** A media embedding row: id + fixed-dimension feature vector. */
   case class MediaEmbedding(id: Long, embedding: Array[Float])
 

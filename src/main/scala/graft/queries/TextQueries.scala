@@ -363,6 +363,60 @@ object TextQueries extends QueryGroup {
       dec.join(rdec, "id").orderBy("id")
     },
 
+    // REAL video container parse through the gate: both engines
+    // construct the same AVI per document — nf = 2 + id%3 netpbm
+    // frames of w = 3 + id%5 × h = 2 + id%4, pixel byte i of frame f
+    // = (id*13 + f*101 + i*17) % 256 — then the Spark side walks the
+    // RIFF/AVI chunk tree (LIST hdrl → avih, LIST movi → 00dc),
+    // decodes each frame's pixels with ImageCodec, and reports per-frame
+    // dimensions + pixel hashes plus the container's frame count,
+    // while the oracle replays the construction arithmetically.
+    q("q_multimodal_video",
+      """WITH d AS (
+        |  SELECT doc_id AS id, 2 + doc_id % 3 AS nf,
+        |    3 + doc_id % 5 AS w, 2 + doc_id % 4 AS h
+        |  FROM documents
+        |), fr AS (
+        |  SELECT id, w, h, nf, u.f AS frame_idx FROM d,
+        |  unnest(range(0, nf)) AS u(f)
+        |), px AS (
+        |  SELECT id, frame_idx, w, h, nf,
+        |    string_agg(lpad(hex((id * 13 + frame_idx * 101 + v.i * 17) % 256),
+        |      2, '0'), '' ORDER BY v.i) AS hx
+        |  FROM fr, unnest(range(0, w * h * 3)) AS v(i)
+        |  GROUP BY id, frame_idx, w, h, nf
+        |)
+        |SELECT id, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(nf AS INT) AS n_frames, md5(hx) AS pix_h
+        |FROM px ORDER BY id, frame_idx""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.ml.{AviCodec, ImageCodec}
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val nf = (2 + id % 3).toInt
+          val w = (3 + id % 5).toInt
+          val h = (2 + id % 4).toInt
+          val frames = (0 until nf).map { f =>
+            val px = Array.tabulate(w * h * 3)(i =>
+              ((id * 13 + f * 101L + i * 17L) % 256).toByte)
+            ImageCodec.encodePnm(ImageCodec.Image(w, h, 3, px))
+          }
+          (id, AviCodec.encodeAvi(frames, w, h, 40000))
+        }.toDF("id", "media")
+      val meta = Multimodal.decodeVideoMeta(media).toDF()
+        .select(col("id"), col("nFrames").as("n_frames"))
+      val dec = Multimodal.videoFrames(media)
+        .map { v =>
+          val img = ImageCodec.decode(v.frame).get
+          (v.id, v.frameIdx, img.width, img.height, img.pixels)
+        }.toDF("id", "frame_idx", "width", "height", "pixels")
+      dec.join(meta, "id")
+        .select(col("id"), col("frame_idx"), col("width"), col("height"),
+          col("n_frames"), md5(hex(col("pixels"))).as("pix_h"))
+        .orderBy("id", "frame_idx")
+    },
+
     // REAL audio decode through the gate: both engines construct the
     // same stereo 16-bit PCM WAV per document — n = 40 + id%30 frames
     // at 16 kHz, interleaved sample i = ((id*37 + i*797) % 4001) - 2000
