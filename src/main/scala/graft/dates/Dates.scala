@@ -43,13 +43,21 @@ object RichDate {
     * library the answer does not depend on the submit clock time);
     * `N <unit>[s] ago` and `in N <unit>[s]` for second/minute/hour/
     * day/week/month/year (clock-time-preserving, calendar-aware
-    * arithmetic via [[Duration]]).
+    * arithmetic via [[Duration]]);
+    * `last/next/this <weekday>` (start of day: `last` = most recent
+    * occurrence strictly before today, `next` = first strictly after,
+    * `this` = the occurrence in the current Monday-based week); and
+    * `first/second/third/fourth/last <weekday> of <month> [yyyy]`
+    * (year defaults to the reference instant's) — every form a pure
+    * function of the injectable reference instant.
     */
   def parseAt(s: String, ref: => RichDate)(implicit zone: ZoneId): RichDate = {
     val trimmed = s.trim
     val lower = trimmed.toLowerCase
     val ago = """(\d+)\s+(second|minute|hour|day|week|month|year)s?\s+ago""".r
     val ahead = """in\s+(\d+)\s+(second|minute|hour|day|week|month|year)s?""".r
+    val wdRel = """(last|next|this)\s+([a-z]+day)""".r
+    val nthOf = """(first|second|third|fourth|last)\s+([a-z]+day)\s+of\s+([a-z]+)(?:\s+(\d{4}))?""".r
     lower match {
       case "now" => ref
       case "today" => Days(1).floorOf(ref)
@@ -57,8 +65,53 @@ object RichDate {
       case "tomorrow" => Days(1).floorOf(Days(1).addTo(ref))
       case ago(n, u) => unitDuration(u, n.toInt).subtractFrom(ref)
       case ahead(n, u) => unitDuration(u, n.toInt).addTo(ref)
+      case wdRel(rel, wd) => weekdayRelative(rel, weekday(wd), ref)
+      case nthOf(ord, wd, mon, year) =>
+        nthWeekdayOfMonth(ord, weekday(wd), mon, Option(year), ref)
       case _ => parseFormatted(trimmed)
     }
+  }
+
+  private def weekday(name: String): java.time.DayOfWeek =
+    try java.time.DayOfWeek.valueOf(name.toUpperCase)
+    catch { case _: IllegalArgumentException =>
+      throw new IllegalArgumentException(s"unparseable weekday: $name") }
+
+  private def startOfDay(d: java.time.LocalDate)(implicit zone: ZoneId): RichDate =
+    RichDate(d.atStartOfDay(zone).toInstant.toEpochMilli)
+
+  private def weekdayRelative(rel: String, dow: java.time.DayOfWeek,
+      ref: RichDate)(implicit zone: ZoneId): RichDate = {
+    import java.time.temporal.TemporalAdjusters
+    val today = ref.at(zone).toLocalDate
+    val d = rel match {
+      case "last" => today.`with`(TemporalAdjusters.previous(dow))
+      case "next" => today.`with`(TemporalAdjusters.next(dow))
+      case "this" =>
+        // the occurrence inside the current Monday-based week
+        today.`with`(java.time.temporal.WeekFields.ISO.dayOfWeek(),
+          dow.getValue.toLong)
+    }
+    startOfDay(d)
+  }
+
+  private def nthWeekdayOfMonth(ord: String, dow: java.time.DayOfWeek,
+      monthName: String, year: Option[String], ref: RichDate)(
+      implicit zone: ZoneId): RichDate = {
+    import java.time.temporal.TemporalAdjusters
+    val month =
+      try java.time.Month.valueOf(monthName.toUpperCase)
+      catch { case _: IllegalArgumentException =>
+        throw new IllegalArgumentException(s"unparseable month: $monthName") }
+    val y = year.map(_.toInt).getOrElse(ref.at(zone).getYear)
+    val first = java.time.LocalDate.of(y, month, 1)
+    val d = ord match {
+      case "last" => first.`with`(TemporalAdjusters.lastInMonth(dow))
+      case _ =>
+        val n = Seq("first", "second", "third", "fourth").indexOf(ord) + 1
+        first.`with`(TemporalAdjusters.dayOfWeekInMonth(n, dow))
+    }
+    startOfDay(d)
   }
 
   private def unitDuration(unit: String, n: Int)(

@@ -82,6 +82,26 @@ class DatesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](p("fortnight hence"))
   }
 
+  test("natural-language parse: weekday-relative and nth-weekday-of-month phrases") {
+    // 2026-08-13 is a Thursday
+    val ref = RichDate.parse("2026-08-13 10:30:15")
+    def p(s: String) = RichDate.parseAt(s, ref)
+    assert(p("last monday") == RichDate.parse("2026-08-10"))
+    assert(p("last thursday") == RichDate.parse("2026-08-06")) // strictly before
+    assert(p("next friday") == RichDate.parse("2026-08-14"))
+    assert(p("next thursday") == RichDate.parse("2026-08-20")) // strictly after
+    assert(p("this monday") == RichDate.parse("2026-08-10"))   // current ISO week
+    assert(p("this sunday") == RichDate.parse("2026-08-16"))
+    // the "third thursday of ..." class the reference's NLP library
+    // covered — deterministic here
+    assert(p("third thursday of november") == RichDate.parse("2026-11-19"))
+    assert(p("third thursday of november 2025") == RichDate.parse("2025-11-20"))
+    assert(p("first monday of september 2026") == RichDate.parse("2026-09-07"))
+    assert(p("last friday of december 2027") == RichDate.parse("2027-12-31"))
+    intercept[IllegalArgumentException](p("next someday"))
+    intercept[IllegalArgumentException](p("third thursday of smarch"))
+  }
+
   test("TimePathUtil expands day paths over a range") {
     val r = DateRange.parse("2020-01-30", "2020-02-02")
     val ps = TimePathUtil.paths("/logs/%1$tY/%1$tm/%1$td", r, Days(1))
