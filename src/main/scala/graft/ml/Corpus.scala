@@ -136,6 +136,49 @@ object Corpus {
       .drop("__h")
   }
 
+  /** Per-domain cap keeping the BEST k documents by score (the
+    * RefinedWeb/C4-style "at most k pages per registered domain" rule,
+    * but quality-ranked rather than arbitrary): every domain
+    * contributes its top-k by (`scoreCol` desc, `idCol` asc — the
+    * deterministic tie-break), annotated with `domain_rank` (1-based).
+    *
+    * Scale shape — deliberately NOT a window `row_number() <= k`: that
+    * form shuffles and sorts EVERY row. Here a bounded-PQ aggregation
+    * ([[graft.agg.Aggregators.sortedTake]]) reduces map-side first, so
+    * the exchange carries at most k (score, id) pairs per domain per
+    * task; the ≤ k·|domains| winner set then broadcast-joins back
+    * against the unshuffled input to recover full rows. At 100 TB the
+    * fact table never moves — only winner ids do. Caller contract:
+    * k·|domains| fits the broadcast threshold (the hint degrades to a
+    * shuffled semi-equi-join, still k-bounded, if Spark overrides it).
+    *
+    * `idCol` must be numeric (cast to long); `scoreCol` numeric.
+    */
+  def capPerDomain(docs: DataFrame, idCol: String, domainCol: String,
+      scoreCol: String, k: Int): DataFrame = {
+    require(k > 0, s"cap must be positive, got $k")
+    val s = docs.sparkSession
+    import s.implicits._
+    implicit val bestFirst: Ordering[(Double, Long)] =
+      Ordering.Tuple2(Ordering[Double].reverse, Ordering[Long])
+    val triples = docs.select(
+        col(domainCol).cast("string").as("_d"),
+        col(scoreCol).cast("double").as("_s"),
+        col(idCol).cast("long").as("_i"))
+      .as[(String, Double, Long)]
+    val winners = triples
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(graft.agg.Aggregators.sortedTake[(Double, Long)](k).toColumn)
+      .flatMap { case (_, best) =>
+        best.iterator.zipWithIndex.map { case ((_, id), r) => (id, r + 1L) }
+      }
+      .toDF("__cap_id", "domain_rank")
+    docs.join(broadcast(winners),
+        col(idCol).cast("long") === col("__cap_id"))
+      .drop("__cap_id")
+  }
+
   /** Domain-quota corpus mixing: keep, per domain, a pseudo-random
     * subset whose token total stays within `tokenBudget`. The
     * selection is a running sum over the md5-ordered permutation —

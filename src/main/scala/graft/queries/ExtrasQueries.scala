@@ -227,6 +227,39 @@ object ExtrasQueries extends QueryGroup {
         .toDF("n_exact", "within_tol")
     },
 
+    // Count–Min sketch — the third mergeable summary (upper-bounded
+    // point frequencies for arbitrary keys, vs HLL's distincts and
+    // Misra–Gries' heavy hitters). One global sketch over every
+    // l_partkey occurrence; the CMS guarantee (est ≥ exact always,
+    // est ≤ exact + ε·N w.h.p.) is checked per probed key against the
+    // exact counts, which the oracle recomputes. The ≤25-key probe set
+    // is bounded by construction, so the driver-side estimate loop is
+    // O(25) — the same pattern as q_agg_hll_intersect's driver-side
+    // sketch algebra.
+    q("q_agg_cms",
+      """SELECT CAST(l_partkey AS BIGINT) AS key, count(*) AS exact_n,
+        |  true AS within_bound
+        |FROM lineitem WHERE l_partkey <= 25
+        |GROUP BY 1 ORDER BY key""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.agg.Cms
+      val li = t(s, dir, "lineitem")
+      val sketch = li.select(col("l_partkey").cast("string").as("value"))
+        .as[String]
+        .select(Cms.aggregator(eps = 0.0005, delta = 0.001).toColumn)
+        .head()
+      val exact = li.filter(col("l_partkey") <= 25)
+        .groupBy(col("l_partkey").cast("long").as("key"))
+        .agg(count(lit(1)).as("exact_n"))
+        .as[(Long, Long)]
+        .collect().sortBy(_._1).toSeq
+      val bound = sketch.errorBound
+      exact.map { case (k, n) =>
+        val est = sketch.estimate(k.toString)
+        (k, n, est >= n && est <= n + bound)
+      }.toDF("key", "exact_n", "within_bound").orderBy("key")
+    },
+
     // custom Aggregator[IN,BUF,OUT] through the DataFrame udaf path
     // (the reference's mapReduceMap as a UDAF,
     // ReduceOperations.scala:46-74): one-pass moments vs the SQL

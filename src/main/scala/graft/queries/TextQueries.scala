@@ -785,6 +785,33 @@ object TextQueries extends QueryGroup {
         .orderBy("doc_id")
     },
 
+    // unigram-LM tokenizer (SentencePiece-style, hard-EM): train a
+    // 512-piece vocabulary on the corpus, Viterbi-encode every
+    // document (shuffle-free memoized mapPartitions like Bpe.encode).
+    // EM optimality is spec-gated against brute-force segmentation
+    // (UnigramLmSpec); the cross-engine gate checks the lossless
+    // contract — concatenated pieces reproduce the normalized text
+    // exactly and every emitted piece is in the learned vocabulary.
+    q("q_text_unigram_encode",
+      """SELECT doc_id,
+        |  regexp_replace(lower(text), '\s+', '', 'g') AS detok,
+        |  true AS in_vocab
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val vocab = graft.ml.UnigramLm.train(
+        docs.select("text").as[String], vocabSize = 512, maxPieceLen = 6)
+      val pieces = vocab.map(_.piece).toSet
+      graft.ml.UnigramLm.encode(
+          docs.select(col("doc_id").cast("long"), col("text"))
+            .as[(Long, String)], vocab, maxPieceLen = 6)
+        .map { case (id, toks) =>
+          (id, toks.mkString(""), toks.forall(pieces.contains))
+        }
+        .toDF("doc_id", "detok", "in_vocab")
+        .orderBy("doc_id")
+    },
+
     // realistic-vocabulary BPE: 256 merges, exercising the batched
     // merge rounds / hybrid dispatch (see Bpe.trainFromCounts). The
     // recursive-CTE oracle iterates to any depth (the unrolled form
@@ -812,6 +839,26 @@ object TextQueries extends QueryGroup {
       graft.ml.Corpus.stratifiedTake(
           t(s, dir, "documents"), "doc_id", "source", n = 5)
         .select("doc_id", "source", "sample_rank")
+        .orderBy("doc_id")
+    },
+
+    // per-domain quality cap: each source keeps only its k best docs
+    // by score (n_chars here), deterministic tie-break on doc_id. The
+    // oracle is the window row_number form; the engine side is the
+    // scale shape — bounded-PQ top-k aggregation (shuffle carries ≤ k
+    // pairs per domain) + broadcast join-back, so the doc table itself
+    // never shuffles.
+    q("q_corpus_domain_cap",
+      """SELECT doc_id, source, domain_rank FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS domain_rank
+        |  FROM documents
+        |) WHERE domain_rank <= 5
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.ml.Corpus.capPerDomain(
+          t(s, dir, "documents"), "doc_id", "source", "n_chars", k = 5)
+        .select("doc_id", "source", "domain_rank")
         .orderBy("doc_id")
     },
 

@@ -351,4 +351,26 @@ class CorpusSpec extends SparkSpec {
       .filter(col("doc_id") === 7L).head()
     assert(rerun.getString(3) == expected)
   }
+
+  test("capPerDomain keeps the k best per domain, rank-annotated, ties by id") {
+    import spark.implicits._
+    // domain a: 5 docs with a score tie at 30; domain b: 2 docs (< k)
+    val docs = Seq(
+      (1L, "a", 30.0, "p1"), (2L, "a", 30.0, "p2"), (3L, "a", 50.0, "p3"),
+      (4L, "a", 10.0, "p4"), (5L, "a", 40.0, "p5"),
+      (6L, "b", 1.0, "p6"), (7L, "b", 2.0, "p7"))
+      .toDF("id", "dom", "score", "payload")
+    val out = Corpus.capPerDomain(docs, "id", "dom", "score", k = 3)
+      .select("id", "dom", "payload", "domain_rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(r => (r._2, r._4))
+    // a: 50 (id 3), 40 (id 5), then the tie at 30 broken by id → 1
+    // b: both survive (group smaller than k), ranked by score desc
+    assert(out.toSeq == Seq(
+      (3L, "a", "p3", 1L), (5L, "a", "p5", 2L), (1L, "a", "p1", 3L),
+      (7L, "b", "p7", 1L), (6L, "b", "p6", 2L)))
+    // original columns (payload) survive the join-back
+    intercept[IllegalArgumentException](
+      Corpus.capPerDomain(docs, "id", "dom", "score", k = 0))
+  }
 }

@@ -332,4 +332,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(partialIdx >= 0, s"no partial aggregate for touch dedup:\n$p")
     assert(exchangeAfter, s"partial agg not below an exchange:\n$p")
   }
+
+  test("domain cap broadcasts the winner set back; the doc table never shuffles") {
+    val p = plan("q_corpus_domain_cap")
+    val lines = p.linesIterator.toSeq
+    // join-back is broadcast: the full-width doc side must not move
+    assert(p.contains("BroadcastHashJoin"), s"join-back not broadcast:\n$p")
+    // the winner selection is an ObjectHashAggregate over the PQ
+    // buffer with a partial before its exchange (shuffle carries ≤ k
+    // pairs per domain per task, not rows)
+    val partialIdx = lines.indexWhere(l =>
+      l.contains("Aggregate") && l.contains("partial"))
+    assert(partialIdx >= 0, s"no partial top-k aggregate:\n$p")
+    assert(lines.take(partialIdx).exists(_.contains("Exchange hashpartitioning")),
+      s"partial top-k not below the exchange:\n$p")
+    // exactly one hash exchange in the whole plan — the k-bounded
+    // winner aggregation; a second would mean the doc table shuffled
+    val nHash = lines.count(_.contains("Exchange hashpartitioning"))
+    assert(nHash == 1, s"expected 1 hash exchange, got $nHash:\n$p")
+  }
 }
