@@ -68,7 +68,12 @@ object Bench {
     "q_text_dsir",
     // round-11: real image decode + resize kernel (hand-rolled codec
     // over constructed PPM payloads, encode→decode round-trip)
-    "q_multimodal_decode")
+    "q_multimodal_decode",
+    // round-12: unigram-LM tokenizer (train 512 pieces + corpus-wide
+    // Viterbi encode) + per-domain quality cap (bounded-PQ top-k +
+    // broadcast join-back)
+    "q_text_unigram_encode",
+    "q_corpus_domain_cap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
