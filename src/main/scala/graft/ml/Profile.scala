@@ -80,6 +80,48 @@ object Profile {
     one.select(explode(array(stacked: _*)).as("q")).select("q.*")
   }
 
+  /** Robust per-group outlier detection via median absolute deviation
+    * (the classic MAD rule — Hampel '74, public statistics): a row is
+    * an outlier when |x − median| > `threshold` · MAD, where MAD is
+    * the median of |x − median| within the group. Unlike z-scores,
+    * both statistics have a 50% breakdown point, so the outliers
+    * themselves cannot mask the cut.
+    *
+    * Returns the input rows annotated with `group_median`,
+    * `group_mad`, `deviation` (|x − median|) and `is_outlier`; filter
+    * on `is_outlier` for the anomalous rows. Groups where MAD = 0
+    * (over half the values identical) flag any deviation ≠ 0.
+    *
+    * Two grouped aggregations (median, then MAD over the deviations)
+    * + one group-keyed join-back per pass; group stats are tiny and
+    * broadcast. `exact = true` uses Spark's exact `percentile`
+    * (value→count map per group — fine when per-group distinct values
+    * are bounded); at 100 TB with high-cardinality doubles use
+    * `exact = false` for the Greenwald-Khanna sketch at `accuracy`.
+    */
+  def madOutliers(df: DataFrame, keyCols: Seq[String], valCol: String,
+      threshold: Double = 3.5, exact: Boolean = true,
+      accuracy: Int = 10000): DataFrame = {
+    require(keyCols.nonEmpty, "madOutliers needs at least one key column")
+    require(threshold >= 0, s"negative threshold: $threshold")
+    val v = col(valCol).cast("double")
+    def med(c: Column): Column =
+      if (exact) percentile(c, lit(0.5))
+      else percentile_approx(c, lit(0.5), lit(accuracy))
+    val keys = keyCols.map(col)
+    val medians = df.groupBy(keys: _*)
+      .agg(med(v).as("group_median"))
+    val withMed = df.join(broadcast(medians), keyCols)
+      .withColumn("deviation", abs(v - col("group_median")))
+    val mads = withMed.groupBy(keys: _*)
+      .agg(med(col("deviation")).as("group_mad"))
+    withMed.join(broadcast(mads), keyCols)
+      .withColumn("is_outlier",
+        when(col("group_mad") > 0.0,
+            col("deviation") > col("group_mad") * threshold)
+          .otherwise(col("deviation") > 0.0))
+  }
+
   /** Deterministic hash sample: keep a row iff
     * `scramble(key) < fraction * M`. No RNG state, no seed plumbing —
     * the same key set is selected on every run, on every engine, at

@@ -43,6 +43,35 @@ object ExtrasQueries extends QueryGroup {
         .orderBy("col_name")
     },
 
+    // robust per-group outlier detection (Hampel MAD rule): flag rows
+    // whose |x − median| exceeds threshold × the median absolute
+    // deviation — both statistics have 50% breakdown, so outliers
+    // can't mask the cut. Exact medians here (value-count map per
+    // group); the approx_percentile sketch is the 100 TB switch.
+    q("q_profile_outliers",
+      """WITH med AS (
+        |  SELECT l_returnflag AS k, median(l_extendedprice) AS m
+        |  FROM lineitem GROUP BY 1
+        |), dev AS (
+        |  SELECT l_returnflag AS k, l_extendedprice AS x,
+        |    abs(l_extendedprice - m) AS d
+        |  FROM lineitem JOIN med ON l_returnflag = med.k
+        |), mad AS (
+        |  SELECT k, median(d) AS md FROM dev GROUP BY k
+        |)
+        |SELECT dev.k AS l_returnflag, round(dev.x, 2) AS price
+        |FROM dev JOIN mad ON dev.k = mad.k
+        |WHERE dev.d > 1.8::DOUBLE * mad.md
+        |ORDER BY l_returnflag, price""".stripMargin) { (s, dir) =>
+      graft.ml.Profile.madOutliers(
+          t(s, dir, "lineitem").select("l_returnflag", "l_extendedprice"),
+          Seq("l_returnflag"), "l_extendedprice", threshold = 1.8)
+        .filter(col("is_outlier"))
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice"), 2).as("price"))
+        .orderBy("l_returnflag", "price")
+    },
+
     // deterministic hash sampling (Fibonacci multiplicative scramble,
     // pure integer arithmetic): the same keys are kept on every engine
     // and every run — reproducible holdout splits without RNG state.

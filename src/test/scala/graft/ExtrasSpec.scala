@@ -150,4 +150,39 @@ class ExtrasSpec extends SparkSpec {
     assert(math.abs(approx("k") - 97.0) / 97.0 < 0.1)
     assert(math.abs(approx("v") - 5000.0) / 5000.0 < 0.1)
   }
+
+  test("madOutliers flags by the Hampel rule, brute-force checked per group") {
+    import spark.implicits._
+    // group a: tight cluster + two spikes; group b: constant (MAD 0)
+    val a = Seq(10.0, 11.0, 12.0, 10.5, 11.5, 9.5, 100.0, -40.0).map(("a", _))
+    val b = Seq(5.0, 5.0, 5.0, 7.0).map(("b", _))
+    val df = (a ++ b).toDF("k", "v")
+    val out = graft.ml.Profile.madOutliers(df, Seq("k"), "v", threshold = 3.5)
+      .collect()
+      .map(r => (r.getString(r.fieldIndex("k")), r.getDouble(r.fieldIndex("v")),
+        r.getBoolean(r.fieldIndex("is_outlier"))))
+    def bruteMedian(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val am = bruteMedian(a.map(_._2))
+    val amad = bruteMedian(a.map(x => math.abs(x._2 - am)))
+    out.filter(_._1 == "a").foreach { case (_, v, flagged) =>
+      assert(flagged == (math.abs(v - am) > 3.5 * amad), s"a/$v")
+    }
+    // every value is annotated, not just the outliers
+    assert(out.count(_._1 == "a") == a.size)
+    // MAD-0 group: any deviation from the median is an outlier
+    assert(out.filter(_._1 == "b").toSeq.sortBy(_._2).map(_._3).toSeq ==
+      Seq(false, false, false, true))
+    // approx path agrees on a clear-cut case
+    val approx = graft.ml.Profile.madOutliers(df, Seq("k"), "v",
+        threshold = 3.5, exact = false)
+      .filter(org.apache.spark.sql.functions.col("is_outlier")).select("v")
+      .collect().map(_.getDouble(0)).sorted.toSeq
+    assert(approx.contains(100.0) && approx.contains(-40.0))
+    intercept[IllegalArgumentException](
+      graft.ml.Profile.madOutliers(df, Seq.empty, "v"))
+  }
 }
