@@ -39,6 +39,7 @@ import graft.ml.{Corpus, Dedup}
   *       [--model-gate <score>]
   *       [--keep-best] [--group-split]
   *       [--epochs src=w,src=w] [--max-epochs 4]
+  *       [--tokenizer bpe|unigram] [--vocab-size 512]
   */
 class TrainingDataJob(args: Args) extends GraftJob(args) {
 
@@ -68,10 +69,14 @@ class TrainingDataJob(args: Args) extends GraftJob(args) {
         keepBestRep = args.boolean("keep-best"),
         groupSplit = args.boolean("group-split"),
         epochWeights = epochWeights,
-        maxEpochs = args.getOrElse("max-epochs", "4").toInt))
+        maxEpochs = args.getOrElse("max-epochs", "4").toInt,
+        tokenizer = args.getOrElse("tokenizer", ""),
+        vocabSize = args.getOrElse("vocab-size", "512").toInt))
     r.train.write.partitionBy("source").mode("overwrite").parquet(s"$out/docs")
     r.holdout.write.mode("overwrite").parquet(s"$out/holdout")
     r.manifest.write.mode("overwrite").parquet(s"$out/manifest")
+    r.tokens.foreach(_.write.mode("overwrite").parquet(s"$out/tokens"))
+    r.vocab.foreach(_.write.mode("overwrite").parquet(s"$out/vocab"))
     Dedup.unpersistPipelineCaches()
   }
 }
@@ -79,7 +84,8 @@ class TrainingDataJob(args: Args) extends GraftJob(args) {
 object TrainingDataJob {
 
   final case class Assembled(train: DataFrame, holdout: DataFrame,
-      manifest: DataFrame)
+      manifest: DataFrame, tokens: Option[DataFrame] = None,
+      vocab: Option[DataFrame] = None)
 
   /** Optional stages wired through [[assemble]] — each defaults OFF so
     * the base pipeline contract is unchanged; a production run turns
@@ -108,7 +114,12 @@ object TrainingDataJob {
     *    at most `maxEpochs` passes; train rows then carry
     *    (epoch, n_epochs) and the manifest packs one entry per
     *    (doc, epoch) under a composite id
-    *    `doc_id * (maxEpochs + 1) + epoch`.
+    *    `doc_id * (maxEpochs + 1) + epoch`;
+    *  - `tokenizer` ("bpe" | "unigram"): train a subword vocabulary of
+    *    `vocabSize` pieces (merge budget for BPE) on the final train
+    *    corpus and encode every doc to integer token ids — the
+    *    trainer-ready representation; emits the `tokens` and `vocab`
+    *    outputs.
     */
   final case class Stages(
       c4Clean: Boolean = false,
@@ -119,7 +130,9 @@ object TrainingDataJob {
       keepBestRep: Boolean = false,
       groupSplit: Boolean = false,
       epochWeights: Map[String, Double] = Map.empty,
-      maxEpochs: Int = 4)
+      maxEpochs: Int = 4,
+      tokenizer: String = "",
+      vocabSize: Int = 512)
 
   /** Eager lineage cut between assembly stages. Five operator families
     * chained into one logical plan (curate's LSH joins + components
@@ -232,7 +245,7 @@ object TrainingDataJob {
     // domains replayed up to maxEpochs passes; the upsampled stream
     // (one row per doc × epoch) is what gets packed, under a
     // composite id so each epoch's copy lands in its own sequence.
-    if (stages.epochWeights.isEmpty) {
+    val base = if (stages.epochWeights.isEmpty) {
       val mixed = cut(Corpus.mixByBudget(fluent, "doc_id", "source",
         "n_tokens", budget))
       val manifest = Corpus.sequenceManifest(
@@ -261,6 +274,52 @@ object TrainingDataJob {
         holdout = holdoutDocs.select("doc_id", "text", "source", "quality",
           "n_tokens"),
         manifest = manifest)
+    }
+
+    // 10 (optional): tokenize — the step that turns curated text into
+    // what a trainer actually loads. A subword vocabulary is trained
+    // on the FINAL train corpus (post-clean/dedup/mix, so the vocab
+    // reflects the real token distribution), every doc is encoded to
+    // integer ids, and ids are assigned by UTF-8 piece order — fully
+    // deterministic, engine-independent. Outputs one (doc_id,
+    // token_ids) row per unique doc (epoch-mixed copies share their
+    // encoding — the manifest replays the duplication) plus the
+    // (token_id, piece) vocab table. Encoding is the shuffle-free
+    // memoized mapPartitions of Bpe.encode/UnigramLm.encode; the only
+    // extra exchange is the vocab-bounded distinct-piece aggregate.
+    if (stages.tokenizer.isEmpty) base
+    else {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      import graft.ml.{Bpe, UnigramLm}
+      val trainText = base.train
+        .select(col("doc_id").cast("long"), col("text"))
+        .dropDuplicates("doc_id")
+        .as[(Long, String)]
+      val encoded = (stages.tokenizer match {
+        case "bpe" =>
+          // vocabSize is the merge budget here (BPE grows bottom-up)
+          val merges = Bpe.trainFromCounts(spark,
+            Bpe.wordCounts(trainText.map(_._2)), stages.vocabSize)
+          Bpe.encode(trainText, merges)
+        case "unigram" =>
+          val vocab = UnigramLm.trainFromCounts(spark,
+            Bpe.wordCounts(trainText.map(_._2)), stages.vocabSize)
+          UnigramLm.encode(trainText, vocab)
+        case other => throw new IllegalArgumentException(
+          s"unknown tokenizer: $other (expected bpe or unigram)")
+      }).persist()
+      val pieceList = encoded.flatMap(_._2.iterator).distinct()
+        .collect().sortWith(Bpe.ltUtf8) // vocab-bounded
+      val pieceId = pieceList.zipWithIndex.toMap
+      val tokens = cut(encoded
+        .map { case (d, ps) => (d, ps.map(pieceId)) }
+        .toDF("doc_id", "token_ids"))
+      encoded.unpersist(blocking = false)
+      val vocabDf = pieceList.zipWithIndex
+        .map { case (p, i) => (i, p) }.toSeq
+        .toDF("token_id", "piece")
+      base.copy(tokens = Some(tokens), vocab = Some(vocabDf))
     }
   }
 }

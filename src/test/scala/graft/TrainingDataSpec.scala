@@ -259,4 +259,44 @@ class TrainingDataSpec extends SparkSpec {
     assert(decoded == rows.map(t => (t._1, t._2)).toSet)
     graft.ml.Dedup.unpersistPipelineCaches()
   }
+
+  test("tokenize stage: every train doc encoded to ids, lossless, dense vocab") {
+    import spark.implicits._
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select("doc_id", "text", "lang", "source")
+    for (tok <- Seq("unigram", "bpe")) {
+      val r = TrainingDataJob.assemble(docs, lang = "en", minQuality = 0.3,
+        jaccard = 0.7, holdout = 0.2, budget = 100000L, ctxLen = 128,
+        nShards = 4, stages = TrainingDataJob.Stages(
+          tokenizer = tok, vocabSize = 64))
+      val vocab = r.vocab.get.collect()
+        .map(row => row.getInt(0) -> row.getString(1)).toMap
+      // ids are dense 0..V-1 and pieces unique
+      assert(vocab.keySet == (0 until vocab.size).toSet, s"$tok vocab ids")
+      assert(vocab.values.toSeq.distinct.size == vocab.size)
+      val tokens = r.tokens.get
+        .select(col("doc_id"), col("token_ids"))
+        .as[(Long, Seq[Int])].collect().toMap
+      val trainText = r.train.select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)].collect().toMap
+      // one tokens row per unique train doc
+      assert(tokens.keySet == trainText.keySet, s"$tok doc coverage")
+      // decoding ids through the vocab reproduces the normalized text
+      trainText.foreach { case (id, text) =>
+        val norm = text.toLowerCase(java.util.Locale.ROOT)
+          .split("\\s+").filter(_.nonEmpty).mkString("")
+        val detok = tokens(id).map(vocab).mkString("")
+          .replace(graft.ml.Bpe.Eow, "")
+        assert(detok == norm, s"$tok round-trip for doc $id")
+      }
+      graft.ml.Dedup.unpersistPipelineCaches()
+    }
+    // unknown tokenizer name is rejected
+    intercept[IllegalArgumentException] {
+      TrainingDataJob.assemble(docs, lang = "en", minQuality = 0.3,
+        jaccard = 0.7, holdout = 0.2, budget = 100000L, ctxLen = 128,
+        nShards = 4, stages = TrainingDataJob.Stages(tokenizer = "wordpiece"))
+    }
+    graft.ml.Dedup.unpersistPipelineCaches()
+  }
 }
