@@ -256,6 +256,31 @@ object ExtrasQueries extends QueryGroup {
         .toDF("n_exact", "within_tol")
     },
 
+    // KMV/theta sketch set algebra — same exact-intersection oracle as
+    // the HLL gate, but through the theta path: cut both retained
+    // samples at min(θa, θb) and count common hashes. Unlike HLL
+    // inclusion–exclusion this stays accurate for small overlaps of
+    // large sets (ThetaSpec pins that regime); here the tolerance
+    // mirrors the HLL gate's 15% + 5 absolute.
+    q("q_agg_theta_intersect",
+      """SELECT CAST(count(*) AS BIGINT) AS n_exact, true AS within_tol FROM (
+        |  SELECT l_partkey FROM lineitem WHERE l_orderkey % 2 = 0
+        |  INTERSECT
+        |  SELECT l_partkey FROM lineitem WHERE l_orderkey % 2 = 1
+        |)""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.agg.Theta
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      def half(r: Int) = li.filter(col("l_orderkey") % 2 === r)
+        .select(col("l_partkey").cast("string").as("value")).as[String]
+      val ta = half(0).select(Theta.aggregator(1024).toColumn).head()
+      val tb = half(1).select(Theta.aggregator(1024).toColumn).head()
+      val est = ta.intersectionEstimate(tb)
+      val exact = half(0).distinct().intersect(half(1).distinct()).count()
+      Seq((exact, math.abs(est - exact) * 100 <= exact * 15 + 500))
+        .toDF("n_exact", "within_tol")
+    },
+
     // Count–Min sketch — the third mergeable summary (upper-bounded
     // point frequencies for arbitrary keys, vs HLL's distincts and
     // Misra–Gries' heavy hitters). One global sketch over every
