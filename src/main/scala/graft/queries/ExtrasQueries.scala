@@ -43,6 +43,36 @@ object ExtrasQueries extends QueryGroup {
         .orderBy("col_name")
     },
 
+    // mergeable quantile sketch (deterministic-KLL): one distributed
+    // sketch over every l_extendedprice, probed at four quantiles;
+    // each estimate's tie-aware exact rank must land within 2% of n
+    // of its target (the sketch contract), checked engine-side in one
+    // conditional-count aggregate — the oracle asserts the bound.
+    q("q_profile_quantile_sketch",
+      """SELECT CAST(p AS DOUBLE) AS p, true AS within_eps
+        |FROM (VALUES (0.25), (0.5), (0.75), (0.95)) t(p) ORDER BY p""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.agg.Qsketch
+      val li = t(s, dir, "lineitem")
+        .select(col("l_extendedprice").cast("double").as("v"))
+      val sk = li.as[Double].select(Qsketch.aggregator(200).toColumn).head()
+      val ps = Seq(0.25, 0.5, 0.75, 0.95)
+      val ests = ps.map(p => p -> sk.quantile(p))
+      val aggs = ests.zipWithIndex.flatMap { case ((_, e), i) =>
+        Seq(count(when(col("v") < e, 1)).as(s"b$i"),
+          count(when(col("v") <= e, 1)).as(s"ab$i"))
+      }
+      val row = li.agg(aggs.head, aggs.tail: _*).head()
+      val n = sk.n.toDouble
+      ests.zipWithIndex.map { case ((p, _), i) =>
+        val below = row.getLong(2 * i)
+        val atOrBelow = row.getLong(2 * i + 1)
+        val err = math.max(0.0,
+          math.max(below - p * n, p * n - atOrBelow)) / n
+        (p, err <= 0.02)
+      }.toDF("p", "within_eps").orderBy("p")
+    },
+
     // robust per-group outlier detection (Hampel MAD rule): flag rows
     // whose |x − median| exceeds threshold × the median absolute
     // deviation — both statistics have 50% breakdown, so outliers
