@@ -144,6 +144,38 @@ object Streaming {
       }
       .start()
 
+  /** Streaming per-key quantile maintenance: each micro-batch folds
+    * (key, value) pairs into per-key deterministic-KLL sketches
+    * ([[graft.agg.Qsketch]], one bounded row per key per batch),
+    * merged into the versioned store under the compactor monoid. The
+    * streaming "latency distribution per endpoint" / "doc-length
+    * distribution per domain" query in O(k·log n) state per key —
+    * order statistics that `approx_percentile` cannot carry across
+    * batches.
+    */
+  def incrementalQuantiles(pairs: Dataset[(String, Double)],
+      store: graft.sources.VersionedKeyValStore,
+      k: Int = 200): StreamingQuery =
+    pairs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[(String, Double)], _: Long) =>
+        if (!batch.isEmpty) {
+          import graft.agg.Qsketch
+          val spark = batch.sparkSession
+          import spark.implicits._
+          val delta = batch
+            .groupByKey(_._1)
+            .mapValues(_._2)
+            .agg(Qsketch.aggregator(k).toColumn.name("sketch"))
+            .map { case (key, q) => (key, Qsketch.toBytes(q)) }
+            .toDF(store.keyCol, store.valCol)
+          store.writeIncremental(delta,
+            Some(Qsketch.mergeBytesUdaf(k)(col(store.valCol)).as(store.valCol)))
+          ()
+        }
+      }
+      .start()
+
   /** Streaming corpus ingestion — the streaming form of
     * examples.CorpusPrepJob: each micro-batch of raw (doc_id, text)
     * is quality/language filtered, exact-deduped within the batch,

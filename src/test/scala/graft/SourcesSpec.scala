@@ -90,6 +90,46 @@ class SourcesSpec extends SparkSpec {
     assert(math.abs(est("c") - 10L) <= 2, s"c: ${est("c")}")
   }
 
+  test("versioned store folds CMS, theta and quantile sketches across versions") {
+    import spark.implicits._
+    import graft.agg.{Cms, Qsketch, Theta}
+    // one store per sketch kind; two days of per-domain deltas each —
+    // the full incremental-summary family through one idiom
+    val cmsStore = VersionedKeyValStore(tmp() + "/cms")
+    val (d, w) = Cms.dims(0.01, 0.01)
+    def cms(xs: Seq[String]) = Cms.toBytes(xs.foldLeft(Cms.empty(d, w))(_.add(_)))
+    cmsStore.write(Seq(("a", cms(Seq("x", "x", "y")))).toDF("key", "value"))
+    cmsStore.writeIncremental(
+      Seq(("a", cms(Seq("x", "z")))).toDF("key", "value"),
+      Some(Cms.mergeBytesUdaf(0.01, 0.01)(col("value")).as("value")))
+    val mergedCms = Cms.fromBytes(cmsStore.read(spark)
+      .collect().head.getAs[Array[Byte]](1))
+    assert(mergedCms.total == 5L && mergedCms.estimate("x") >= 3L)
+
+    val thetaStore = VersionedKeyValStore(tmp() + "/theta")
+    def th(xs: Seq[String]) =
+      Theta.toBytes(xs.foldLeft(Theta.empty(64))((t, s) => t.add(Theta.hash(s))))
+    thetaStore.write(Seq(("a", th(Seq("u1", "u2", "u3")))).toDF("key", "value"))
+    thetaStore.writeIncremental(
+      Seq(("a", th(Seq("u3", "u4")))).toDF("key", "value"),
+      Some(Theta.mergeBytesUdaf(64)(col("value")).as("value")))
+    val mergedTheta = Theta.fromBytes(thetaStore.read(spark)
+      .collect().head.getAs[Array[Byte]](1))
+    assert(mergedTheta.estimate == 4L) // u1..u4, exact mode
+
+    val qStore = VersionedKeyValStore(tmp() + "/qsk")
+    def qs(xs: Seq[Double]) =
+      Qsketch.toBytes(xs.foldLeft(Qsketch.empty(64))(_.add(_)))
+    qStore.write(Seq(("a", qs((1 to 500).map(_.toDouble)))).toDF("key", "value"))
+    qStore.writeIncremental(
+      Seq(("a", qs((501 to 1000).map(_.toDouble)))).toDF("key", "value"),
+      Some(Qsketch.mergeBytesUdaf(64)(col("value")).as("value")))
+    val mergedQ = Qsketch.fromBytes(qStore.read(spark)
+      .collect().head.getAs[Array[Byte]](1))
+    assert(mergedQ.n == 1000L)
+    assert(math.abs(mergedQ.quantile(0.5) - 500.0) < 50.0)
+  }
+
   test("codec source round trip and tolerated decode errors") {
     import spark.implicits._
     val dir = tmp() + "/codec"

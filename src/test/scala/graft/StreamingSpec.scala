@@ -228,6 +228,30 @@ class StreamingSpec extends SparkSpec {
     assert(store.versions(spark).size == 3)
   }
 
+  test("incremental quantiles maintain per-key order statistics across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-qsk").toString
+    val store = graft.sources.VersionedKeyValStore(dir)
+    val input = MemoryStream[(String, Double)]
+    val query = Streaming.incrementalQuantiles(input.toDS(), store, k = 64)
+    // endpoint a: two batches covering 1..1000; endpoint b: constant
+    input.addData((1 to 500).map(i => ("a", i.toDouble)) ++
+      (1 to 50).map(_ => ("b", 42.0)): _*)
+    query.processAllAvailable()
+    input.addData((501 to 1000).map(i => ("a", i.toDouble)): _*)
+    query.processAllAvailable()
+    query.stop()
+
+    val sks = store.read(spark).collect().map(r => r.getString(0) ->
+      graft.agg.Qsketch.fromBytes(r.getAs[Array[Byte]](1))).toMap
+    assert(sks("a").n == 1000L)
+    assert(math.abs(sks("a").quantile(0.5) - 500.0) < 60.0,
+      s"a median ${sks("a").quantile(0.5)}")
+    assert(math.abs(sks("a").quantile(0.9) - 900.0) < 60.0)
+    assert(sks("b").n == 50L && sks("b").quantile(0.5) == 42.0)
+  }
+
   test("incremental distinct maintains per-key HLL uniques across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
