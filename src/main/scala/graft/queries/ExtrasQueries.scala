@@ -43,6 +43,72 @@ object ExtrasQueries extends QueryGroup {
         .orderBy("col_name")
     },
 
+    // declarative data-quality expectations: five row-level rules in
+    // ONE conditional-count aggregate (shared scan), plus the grouped
+    // uniqueness pass and the anti-join referential probe — the
+    // ingest gate shape. The synthetic lineitem's (l_orderkey,
+    // l_linenumber) is deliberately non-unique, so the report carries
+    // a genuine failure next to the passes; the oracle replays every
+    // count.
+    q("q_quality_expectations",
+      """SELECT 'in_range(l_discount,0.0,0.1)' AS rule,
+        |  CAST(count(*) AS BIGINT) AS n_checked,
+        |  CAST(sum(CASE WHEN l_discount IS NOT NULL
+        |    AND (l_discount < 0.0 OR l_discount > 0.1) THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+        |  sum(CASE WHEN l_discount IS NOT NULL
+        |    AND (l_discount < 0.0 OR l_discount > 0.1) THEN 1 ELSE 0 END) = 0 AS pass
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'in_range(l_quantity,1.0,50.0)', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT),
+        |  sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'is_in(l_returnflag)', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT),
+        |  sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'not_null(l_orderkey)', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'price_positive', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN NOT coalesce(l_extendedprice > 0, false) THEN 1 ELSE 0 END) AS BIGINT),
+        |  sum(CASE WHEN NOT coalesce(l_extendedprice > 0, false) THEN 1 ELSE 0 END) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'subset_of(l_orderkey,o_orderkey)',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem WHERE l_orderkey IS NOT NULL),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |     WHERE l_orderkey IS NOT NULL
+        |       AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+        |  (SELECT count(*) FROM lineitem
+        |     WHERE l_orderkey IS NOT NULL
+        |       AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) = 0
+        |UNION ALL
+        |SELECT 'unique(l_orderkey,l_linenumber)',
+        |  CAST(sum(c) AS BIGINT),
+        |  CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT),
+        |  coalesce(sum(CASE WHEN c > 1 THEN c END), 0) = 0
+        |FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber)
+        |ORDER BY rule""".stripMargin) { (s, dir) =>
+      import graft.ml.Expectations
+      import graft.ml.Expectations.Expect
+      val li = t(s, dir, "lineitem")
+      val rows = Expectations.report(li, Seq(
+        Expect.notNull("l_orderkey"),
+        Expect.inRange("l_quantity", 1.0, 50.0),
+        Expect.inRange("l_discount", 0.0, 0.1),
+        Expect.isIn("l_returnflag", Seq("A", "N", "R")),
+        Expect.satisfies("price_positive", col("l_extendedprice") > 0)))
+      val uniq = Expectations.uniqueReport(li, Seq("l_orderkey", "l_linenumber"))
+      val fk = Expectations.subsetReport(li, "l_orderkey",
+        t(s, dir, "orders"), "o_orderkey")
+      rows.unionByName(uniq).unionByName(fk).orderBy("rule")
+    },
+
     // mergeable quantile sketch (deterministic-KLL): one distributed
     // sketch over every l_extendedprice, probed at four quantiles;
     // each estimate's tie-aware exact rank must land within 2% of n

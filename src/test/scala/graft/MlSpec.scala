@@ -608,4 +608,41 @@ class MlSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(got == Map(1L -> 0.0, 2L -> 0.5, 3L -> 1.0, 4L -> 0.0, 5L -> 1.0))
   }
+
+  test("expectations: null handling, uniqueness occupancy, FK probe, assertAll") {
+    import spark.implicits._
+    import graft.ml.Expectations
+    import graft.ml.Expectations.Expect
+    val df = Seq(
+      (Some(1L), Some(5.0), "A"), (Some(1L), Some(60.0), "A"),
+      (Some(2L), None, "X"), (None, Some(7.0), "N"))
+      .toDF("k", "v", "flag")
+    val rep = Expectations.report(df, Seq(
+      Expect.notNull("k"),
+      Expect.inRange("v", 0.0, 50.0),
+      Expect.isIn("flag", Seq("A", "N", "R")),
+      // null v must FAIL a satisfies-predicate, never slip through
+      Expect.satisfies("v_small", col("v") < 100.0)))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(rep("not_null(k)") == ((4L, 1L, false)))
+    assert(rep("in_range(v,0.0,50.0)") == ((4L, 1L, false))) // null v not counted
+    assert(rep("is_in(flag)") == ((4L, 1L, false)))
+    assert(rep("v_small") == ((4L, 1L, false))) // the null row fails
+    // uniqueness counts occupancy of over-full keys (2 rows under k=1)
+    val uniq = Expectations.uniqueReport(df.filter(col("k").isNotNull), Seq("k"))
+      .head()
+    assert(uniq.getLong(1) == 3L && uniq.getLong(2) == 2L && !uniq.getBoolean(3))
+    // FK: k=2 missing from the dim
+    val dim = Seq(1L).toDF("id")
+    val fk = Expectations.subsetReport(df, "k", dim, "id").head()
+    assert(fk.getLong(1) == 3L && fk.getLong(2) == 1L && !fk.getBoolean(3))
+    // assertAll throws with rule detail; passes silently when green
+    val ex = intercept[IllegalStateException](
+      Expectations.assertAll(Expectations.report(df, Seq(Expect.notNull("k")))))
+    assert(ex.getMessage.contains("not_null(k)"))
+    Expectations.assertAll(
+      Expectations.report(df, Seq(Expect.notNull("flag"))))
+    intercept[IllegalArgumentException](Expectations.report(df, Seq.empty))
+  }
 }
