@@ -136,6 +136,40 @@ object Corpus {
       .drop("__h")
   }
 
+  /** Snapshot diff between two corpus versions: every id classified
+    * as `added` (new only), `removed` (old only), `changed` (both,
+    * content hash differs) or `unchanged`. The audit step of an
+    * incremental pipeline — what actually moved between yesterday's
+    * corpus and today's, without trusting upstream change logs.
+    *
+    * Scale shape: both sides project to (id, md5) BEFORE the join, so
+    * the one id-keyed shuffle carries 40-byte rows regardless of
+    * document size; the text columns never move.
+    */
+  def diffSnapshots(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("__id"), md5(col(textCol)).as("__oh"))
+    val n = newDf.select(col(idCol).as("__id"), md5(col(textCol)).as("__nh"))
+    o.join(n, Seq("__id"), "full_outer")
+      .select(col("__id").as(idCol),
+        when(col("__oh").isNull, "added")
+          .when(col("__nh").isNull, "removed")
+          .when(col("__oh") === col("__nh"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
+  /** Deterministic k-fold assignment for cross-validation: adds a
+    * `fold` column in [0, k) from the Fibonacci scramble of the id
+    * ([[Profile.fibScramble]] — pure integer arithmetic any engine
+    * replays), so folds are stable across runs, engines, and appends.
+    * Pure projection: no shuffle, no RNG state.
+    */
+  def kFold(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k > 1, s"need at least 2 folds, got $k")
+    df.withColumn("fold",
+      pmod(Profile.fibScramble(col(idCol)), lit(k)).cast("int"))
+  }
+
   /** Per-domain cap keeping the BEST k documents by score (the
     * RefinedWeb/C4-style "at most k pages per registered domain" rule,
     * but quality-ranked rather than arbitrary): every domain

@@ -842,6 +842,50 @@ object TextQueries extends QueryGroup {
         .orderBy("doc_id")
     },
 
+    // corpus snapshot diff: classify every doc id across two corpus
+    // versions (today's = yesterday's minus every 7th id, with every
+    // 5th edited and every 11th re-added under a shifted id). Both
+    // sides are reduced to (id, md5) before the one narrow join — the
+    // incremental-pipeline audit step.
+    q("q_corpus_diff",
+      """WITH old AS (SELECT doc_id, text FROM documents),
+        |new AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' edited' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 11 = 0
+        |)
+        |SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+        |  CASE WHEN old.doc_id IS NULL THEN 'added'
+        |       WHEN new.doc_id IS NULL THEN 'removed'
+        |       WHEN md5(old.text) = md5(new.text) THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM old FULL JOIN new ON old.doc_id = new.doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val neu = docs.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" edited")))
+            .otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      graft.ml.Corpus.diffSnapshots(docs, neu, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // deterministic k-fold assignment (Fibonacci scramble mod k): the
+    // oracle replays the integer arithmetic exactly — folds stable
+    // across engines, runs, and appends.
+    q("q_corpus_kfold",
+      """SELECT doc_id,
+        |  CAST(((doc_id % 2147483647) * 1327217885 % 2147483647) % 5 AS INT) AS fold
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.ml.Corpus.kFold(t(s, dir, "documents"), "doc_id", k = 5)
+        .select("doc_id", "fold")
+        .orderBy("doc_id")
+    },
+
     // per-domain quality cap: each source keeps only its k best docs
     // by score (n_chars here), deterministic tie-break on doc_id. The
     // oracle is the window row_number form; the engine side is the

@@ -373,4 +373,30 @@ class CorpusSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Corpus.capPerDomain(docs, "id", "dom", "score", k = 0))
   }
+
+  test("diffSnapshots classifies added/removed/changed/unchanged") {
+    import spark.implicits._
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
+    val neu = Seq((2L, "b"), (3L, "C!"), (4L, "d")).toDF("id", "text")
+    val got = Corpus.diffSnapshots(old, neu, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
+  test("kFold: stable folds in [0,k), append-invariant, roughly balanced") {
+    import spark.implicits._
+    val df = (1L to 3000L).toDF("id")
+    val folds = Corpus.kFold(df, "id", 5).select("id", "fold")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(folds.values.forall(f => f >= 0 && f < 5))
+    // appending rows never moves existing assignments
+    val more = Corpus.kFold((1L to 6000L).toDF("id"), "id", 5)
+      .select("id", "fold").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    folds.foreach { case (id, f) => assert(more(id) == f) }
+    // balance within 20% of n/k (Fibonacci equidistribution)
+    val sizes = folds.values.groupBy(identity).map(_._2.size)
+    assert(sizes.forall(s => math.abs(s - 600) < 120), sizes.toSeq.sorted)
+    intercept[IllegalArgumentException](Corpus.kFold(df, "id", 1))
+  }
 }
