@@ -188,4 +188,29 @@ object Events {
       when(ok, col("touch_sec")).as("touch_sec"),
       ok.as("attributed"))
   }
+
+  /** Conversion latency per user: seconds from the user's FIRST
+    * `from`-event to the first `to`-event at-or-after it. Users
+    * without such a pair are omitted. Two key-copartitioned
+    * aggregations + one join — deliberately not a per-user ordered
+    * window, so same-second ties need no cross-engine order contract
+    * (the `>=` filter is inclusive either way).
+    *
+    * The per-user latencies feed either an exact summary or, at
+    * scale, a mergeable [[graft.agg.Qsketch]] per cohort — the
+    * "time-to-convert distribution per segment" query.
+    */
+  def conversionLatency(events: DataFrame, userCol: String,
+      secCol: String, typeCol: String, from: String, to: String): DataFrame = {
+    val base = events.select(col(userCol).as("user_id"),
+      col(secCol).cast("long").as("sec"), col(typeCol).as("t"))
+    val firstFrom = base.filter(col("t") === from)
+      .groupBy("user_id").agg(min("sec").as("__ff"))
+    base.filter(col("t") === to)
+      .join(firstFrom, "user_id")
+      .filter(col("sec") >= col("__ff"))
+      .groupBy("user_id", "__ff")
+      .agg(min("sec").as("__ft"))
+      .select(col("user_id"), (col("__ft") - col("__ff")).as("latency_sec"))
+  }
 }

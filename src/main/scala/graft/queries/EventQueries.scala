@@ -386,6 +386,30 @@ object EventQueries extends QueryGroup {
         .orderBy("step")
     },
 
+    // conversion latency: first 'view' → first 'purchase' at-or-after
+    // it, per user. Join-form (no ordered window), so same-second
+    // ties need no cross-engine order contract.
+    q("q_events_latency",
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events
+        |), ff AS (
+        |  SELECT user_id, min(sec) AS f FROM e WHERE event_type = 'view'
+        |  GROUP BY user_id
+        |)
+        |SELECT e.user_id, min(e.sec) - min(ff.f) AS latency_sec
+        |FROM e JOIN ff ON e.user_id = ff.user_id
+        |WHERE e.event_type = 'purchase' AND e.sec >= ff.f
+        |GROUP BY e.user_id
+        |ORDER BY e.user_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val e = ev.select(col("user_id"), Ts.seconds(ev).as("sec"),
+        col("event_type"))
+      graft.events.Events.conversionLatency(e, "user_id", "sec",
+          "event_type", from = "view", to = "purchase")
+        .orderBy("user_id")
+    },
+
     // event-transition counts (path analysis): consecutive (from→to)
     // event-type pairs per user, one window pass, tie-broken by
     // event_id so both engines see identical sequences.

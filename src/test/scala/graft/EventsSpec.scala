@@ -97,4 +97,33 @@ class EventsSpec extends SparkSpec {
     assert(got(7L) == ((Some(6L), Some("click"), true)))
     assert(got(8L) == ((None, None, false)))
   }
+
+  test("conversionLatency: first from → first to at-or-after, edge cases") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1: view@10, purchase@25 → 15
+      (1L, 10L, "view"), (1L, 25L, "purchase"),
+      // u2: purchase BEFORE any view, then after → counts the later one
+      (2L, 5L, "purchase"), (2L, 10L, "view"), (2L, 30L, "purchase"),
+      // u3: same-second conversion → 0
+      (3L, 7L, "view"), (3L, 7L, "purchase"),
+      // u4: view only → omitted; u5: purchase only → omitted
+      (4L, 1L, "view"), (5L, 1L, "purchase"),
+      // u6: second view earlier than first? first view = min(sec)
+      (6L, 20L, "view"), (6L, 12L, "view"), (6L, 18L, "purchase"))
+      .toDF("user_id", "sec", "event_type")
+    val got = graft.events.Events.conversionLatency(
+        ev, "user_id", "sec", "event_type", "view", "purchase")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 15L, 2L -> 20L, 3L -> 0L, 6L -> 6L))
+
+    // cohort latency distribution via the mergeable quantile sketch —
+    // the scale path for "time-to-convert per segment"
+    val lat = graft.events.Events.conversionLatency(
+        ev, "user_id", "sec", "event_type", "view", "purchase")
+      .select(col("latency_sec").cast("double")).as[Double]
+    val sk = lat.select(graft.agg.Qsketch.aggregator(32).toColumn).head()
+    assert(sk.n == 4L)
+    assert(sk.quantile(1.0) == 20.0 && sk.quantile(0.0) == 0.0)
+  }
 }
