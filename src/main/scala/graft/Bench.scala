@@ -73,7 +73,10 @@ object Bench {
     // Viterbi encode) + per-domain quality cap (bounded-PQ top-k +
     // broadcast join-back)
     "q_text_unigram_encode",
-    "q_corpus_domain_cap")
+    "q_corpus_domain_cap",
+    // round-13: IVF-PQ ANN (coarse lists + residual PQ codes + ADC
+    // probe scan + exact re-rank of the shortlist)
+    "q_ann_ivfpq")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -369,7 +369,7 @@ object Similarity {
     * (sum, count) per centroid; the tiny partial set merges on the
     * driver. Deterministic for a fixed seed (and memoized on it).
     */
-  private def trainCentroids(corpusVecs: Dataset[(Long, Array[Float])],
+  private[ml] def trainCentroids(corpusVecs: Dataset[(Long, Array[Float])],
       nCentroids: Int, seed: Long, kmeansIters: Int): Array[Array[Float]] =
     centroidCache.computeIfAbsent(
       (corpusVecs.semanticHash(), nCentroids, seed, kmeansIters),

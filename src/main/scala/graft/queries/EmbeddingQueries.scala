@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ml.Similarity
+import graft.ml.{Pq, Similarity}
 
 /** Similarity-search coverage over `embeddings` (64-dim float
   * vectors). Cosine math runs in double precision on both engines
@@ -202,6 +202,56 @@ object EmbeddingQueries extends QueryGroup {
       """SELECT q.vec_id AS qid, true AS recall_ok
         |FROM embeddings q WHERE q.vec_id < 10 ORDER BY qid""".stripMargin) { (s, dir) =>
       ivfRecallContract(s, dir, quantized = true)
+    },
+
+    // product quantization: 8-byte codes (32× vs float32), ADC scan +
+    // exact re-rank of a 50-deep shortlist — the compressed-scan shape
+    // for a 100 TB embedding corpus. Same ≥2-of-top-5 recall contract
+    // as the IVF gates.
+    q("q_ann_pq",
+      """SELECT q.vec_id AS qid, true AS recall_ok
+        |FROM embeddings q WHERE q.vec_id < 10 ORDER BY qid""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = e.filter(col("id") < 10)
+      val exact = Similarity.bruteForceTopK(queries, e, 5)
+        .select(col("qid"), col("cid").as("exact_cid"))
+      val pq = Pq.pqTopK(queries, e, k = 5, m = 8, kCodes = 16,
+          iters = 2, rerank = 50)
+        .select(col("qid"), col("cid"))
+      val hits = exact.join(pq,
+          exact("qid") === pq("qid") && col("exact_cid") === col("cid"),
+          "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+      queries.select(col("id").as("qid")).join(hits, Seq("qid"), "left")
+        .select(col("qid"),
+          (coalesce(col("n_hit"), lit(0L)) >= 2).as("recall_ok"))
+        .orderBy("qid")
+    },
+
+    // IVF-PQ: coarse inverted lists + residual PQ codes (FAISS's
+    // production index shape) — probes 8/16 lists, ADC-scans 8-byte
+    // residual codes, exact-re-ranks a 50-deep shortlist. Same
+    // ≥2-of-top-5 recall contract.
+    q("q_ann_ivfpq",
+      """SELECT q.vec_id AS qid, true AS recall_ok
+        |FROM embeddings q WHERE q.vec_id < 10 ORDER BY qid""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = e.filter(col("id") < 10)
+      val exact = Similarity.bruteForceTopK(queries, e, 5)
+        .select(col("qid"), col("cid").as("exact_cid"))
+      val ivfpq = Pq.ivfPqTopK(queries, e, k = 5, nCentroids = 16,
+          nProbe = 8, m = 8, kCodes = 16, rerank = 50)
+        .select(col("qid"), col("cid"))
+      val hits = exact.join(ivfpq,
+          exact("qid") === ivfpq("qid") && col("exact_cid") === col("cid"),
+          "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+      queries.select(col("id").as("qid")).join(hits, Seq("qid"), "left")
+        .select(col("qid"),
+          (coalesce(col("n_hit"), lit(0L)) >= 2).as("recall_ok"))
+        .orderBy("qid")
     }
   )
 

@@ -42,7 +42,9 @@ class PlanLintSpec extends SparkSpec {
     "q_text_bm25" -> Map("cartesian" ->
       "1-row corpus-stats (N, avgdl) aggregate broadcast onto the hit stream"),
     "q_text_dsir" -> Map("cartesian" ->
-      "1-row (Nr, Nt, V) model-totals aggregate broadcast onto the token stream"))
+      "1-row (Nr, Nt, V) model-totals aggregate broadcast onto the token stream"),
+    "q_quality_expectations" -> Map("cartesian" ->
+      "1-row n_checked × 1-row n_failed aggregates in the referential rule"))
 
   test("every cartesian/global-window in any gate plan is whitelisted") {
     val dir = sf("sf0.001")
