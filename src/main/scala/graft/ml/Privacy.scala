@@ -1,0 +1,77 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Privacy audits for training-data release: k-anonymity and
+  * l-diversity over quasi-identifier (QI) columns (Sweeney 2002;
+  * Machanavajjhala et al. 2007), plus the standard suppression
+  * enforcement step. Complements the per-row PII scrub
+  * ([[TextAnalysis.piiCounts]]) with the DATASET-level re-identification
+  * check: a row is re-identifiable when its QI combination is rare.
+  *
+  * Everything is one hash-aggregate over the QI key (map-side partial,
+  * no row explosion), so the audit costs the same as a GROUP BY at any
+  * scale; the report side is one row.
+  */
+object Privacy {
+
+  /** One-row audit: with equivalence classes = distinct QI
+    * combinations, report class-size k-anonymity and (when
+    * `sensitive` is given) distinct-value l-diversity.
+    *
+    * Columns: `k`, `n_rows`, `n_classes`, `min_class_size`,
+    * `n_violating_rows` (rows whose class is smaller than k),
+    * `min_l_diversity` (smallest distinct-sensitive count over
+    * classes; 0 when no sensitive column), `pass`.
+    */
+  def kAnonymityReport(df: DataFrame, qiCols: Seq[String], k: Int,
+      sensitive: Option[String] = None, l: Int = 1): DataFrame = {
+    require(qiCols.nonEmpty, "k-anonymity needs at least one QI column")
+    require(k >= 1 && l >= 1, "k and l must be positive")
+    val ldivAgg: Column = sensitive match {
+      case Some(s) => countDistinct(col(s))
+      case None => lit(0L)
+    }
+    val classes = df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"), ldivAgg.as("__ldiv"))
+    classes.agg(
+        sum("__n").as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min("__n").as("min_class_size"),
+        coalesce(sum(when(col("__n") < k, col("__n"))), lit(0L))
+          .as("n_violating_rows"),
+        min("__ldiv").as("min_l_diversity"))
+      .select(lit(k.toLong).as("k"),
+        col("n_rows").cast("long"),
+        col("n_classes").cast("long"),
+        col("min_class_size").cast("long"),
+        col("n_violating_rows").cast("long"),
+        col("min_l_diversity").cast("long"),
+        (col("n_violating_rows") === 0L &&
+          (col("min_l_diversity") >= l.toLong || lit(sensitive.isEmpty)))
+          .as("pass"))
+  }
+
+  /** Suppression enforcement: keep only rows whose QI equivalence
+    * class has ≥ k members — the released table is k-anonymous by
+    * construction. Implemented as a window COUNT over the QI key (one
+    * shuffle on the QI columns, no join-back).
+    */
+  def suppressSmallClasses(df: DataFrame, qiCols: Seq[String],
+      k: Int): DataFrame = {
+    require(qiCols.nonEmpty, "suppression needs at least one QI column")
+    val w = Window.partitionBy(qiCols.map(col): _*)
+    df.withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n") >= k)
+      .drop("__n")
+  }
+
+  /** Generalization helper: coarsen a numeric QI into fixed-width
+    * buckets (the usual first move when suppression would drop too
+    * much) — floor(x / width) · width, labeled as the bucket start.
+    */
+  def generalizeNumeric(c: Column, width: Double): Column =
+    (floor(c / width) * width).cast("double")
+}

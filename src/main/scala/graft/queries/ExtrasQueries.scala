@@ -538,6 +538,49 @@ object ExtrasQueries extends QueryGroup {
         .unpack("packed")
         .select("c_custkey", "c_name", "c_acctbal")
         .orderBy("c_custkey")
+    },
+
+    // dataset-level re-identification audit: k-anonymity class sizes +
+    // l-diversity of the sensitive column over quasi-identifier
+    // (nation, segment) classes — one hash-aggregate over the QI key.
+    q("q_privacy_kanon",
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS n,
+        |    count(DISTINCT c_acctbal > 0) AS ldiv
+        |  FROM customer GROUP BY 1, 2
+        |)
+        |SELECT CAST(5 AS BIGINT) AS k,
+        |  CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(min(n) AS BIGINT) AS min_class_size,
+        |  CAST(coalesce(sum(CASE WHEN n < 5 THEN n END), 0) AS BIGINT)
+        |    AS n_violating_rows,
+        |  CAST(min(ldiv) AS BIGINT) AS min_l_diversity,
+        |  coalesce(sum(CASE WHEN n < 5 THEN n END), 0) = 0
+        |    AND min(ldiv) >= 2 AS pass
+        |FROM cls""".stripMargin) { (s, dir) =>
+      graft.ml.Privacy.kAnonymityReport(
+        t(s, dir, "customer").withColumn("pos_bal", col("c_acctbal") > 0),
+        Seq("c_nationkey", "c_mktsegment"), k = 5,
+        sensitive = Some("pos_bal"), l = 2)
+    },
+
+    // suppression enforcement: the released subset keeps only rows in
+    // QI classes of >= k members (k-anonymous by construction); one
+    // window count over the QI key, no join-back.
+    q("q_privacy_suppress",
+      """WITH sized AS (
+        |  SELECT c_custkey, c_nationkey, c_mktsegment,
+        |    count(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS n
+        |  FROM customer
+        |)
+        |SELECT c_custkey, c_nationkey, c_mktsegment FROM sized
+        |WHERE n >= 12 ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      graft.ml.Privacy.suppressSmallClasses(
+          t(s, dir, "customer")
+            .select("c_custkey", "c_nationkey", "c_mktsegment"),
+          Seq("c_nationkey", "c_mktsegment"), k = 12)
+        .orderBy("c_custkey")
     }
   )
 }

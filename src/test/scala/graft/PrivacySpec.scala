@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.Privacy
+
+class PrivacySpec extends SparkSpec {
+  import spark.implicits._
+
+  // QI (zip, age): class sizes 3, 2, 1; sensitive diagnosis
+  private def people = Seq(
+    ("94107", 30, "flu"), ("94107", 30, "flu"), ("94107", 30, "cold"),
+    ("94110", 40, "flu"), ("94110", 40, "cold"),
+    ("02139", 50, "flu")
+  ).toDF("zip", "age", "diag")
+
+  test("kAnonymityReport counts classes, violations and l-diversity") {
+    val r = Privacy.kAnonymityReport(people, Seq("zip", "age"), k = 2,
+      sensitive = Some("diag"), l = 2).collect().head
+    assert(r.getAs[Long]("n_rows") == 6)
+    assert(r.getAs[Long]("n_classes") == 3)
+    assert(r.getAs[Long]("min_class_size") == 1)
+    assert(r.getAs[Long]("n_violating_rows") == 1) // the singleton class
+    assert(r.getAs[Long]("min_l_diversity") == 1)  // 02139 has one diag
+    assert(!r.getAs[Boolean]("pass"))
+  }
+
+  test("a k-anonymous l-diverse table passes") {
+    val ok = people.filter($"zip" =!= "02139")
+    val r = Privacy.kAnonymityReport(ok, Seq("zip", "age"), k = 2,
+      sensitive = Some("diag"), l = 2).collect().head
+    assert(r.getAs[Boolean]("pass"))
+  }
+
+  test("suppressSmallClasses leaves a k-anonymous table") {
+    val kept = Privacy.suppressSmallClasses(people, Seq("zip", "age"), k = 2)
+    assert(kept.count() == 5) // singleton 02139 row suppressed
+    val r = Privacy.kAnonymityReport(kept, Seq("zip", "age"), k = 2)
+      .collect().head
+    assert(r.getAs[Long]("n_violating_rows") == 0)
+  }
+
+  test("generalizeNumeric coarsens into fixed-width buckets") {
+    val g = people.select(Privacy.generalizeNumeric($"age", 25.0).as("b"))
+      .as[Double].collect().sorted
+    assert(g.toSeq == Seq(25.0, 25.0, 25.0, 25.0, 25.0, 50.0))
+  }
+
+  test("report validates arguments") {
+    intercept[IllegalArgumentException] {
+      Privacy.kAnonymityReport(people, Seq.empty, 2)
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.kAnonymityReport(people, Seq("zip"), 0)
+    }
+  }
+}
