@@ -1,0 +1,136 @@
+package graft.examples
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Args, GraftJob}
+import graft.ml.{Pq, Similarity}
+
+/** The embedding-side assembly line — the vector analogue of
+  * [[TrainingDataJob]]: curate an (id, vec) corpus and build the
+  * serving-ready ANN index, every stage the single-scan /
+  * broadcast-bounded shape that survives a 100 TB vector corpus:
+  *
+  *  1. exact dedup: identical vectors (bit-equal after float
+  *     canonicalization) collapse to the lowest id — one hash
+  *     exchange on the vector bytes;
+  *  2. near-dedup: hyperplane-LSH-bucketed cosine pairs ≥ `dupCos`
+  *     collapse to the lowest id per pair chain (greedy loser drop);
+  *  3. prototypicality prune: k-means centroids (distributed Lloyd),
+  *     drop vectors with cos(v, centroid) < `minProto` — the
+  *     SemDeDup-style off-distribution screen;
+  *  4. index build: IVF lists (coarse centroid assignment) +
+  *     residual PQ codes — m bytes per vector plus a centroid id;
+  *  5. manifest: per-list occupancy + code-size accounting, the
+  *     operational health check (empty / over-full lists are the
+  *     IVF failure modes worth alerting on).
+  *
+  * Writes `<output>/index` (centroid, id, codes), `<output>/pruned`
+  * (survivor ids + proto scores), `<output>/manifest` (per-list
+  * stats). Shuffle audit: stages 1-2 exchange on narrow keys
+  * (vector-hash / bucket), stages 3-4 are centroid-broadcast scans,
+  * stage 5 aggregates the index — the raw vector corpus is never
+  * shuffled whole.
+  *
+  * Args: --input <embeddings parquet> --output <dir>
+  *       [--dup-cos 0.995] [--min-proto 0.0] [--centroids 16]
+  *       [--m 8] [--codes 16] [--seed 42]
+  */
+class EmbeddingIndexJob(args: Args) extends GraftJob(args) {
+
+  def run(spark: SparkSession): Unit = {
+    val out = args("output")
+    val r = EmbeddingIndexJob.build(
+      spark.read.parquet(args("input"))
+        .select(col("vec_id").as("id"), col("embedding").as("vec")),
+      dupCos = args.getOrElse("dup-cos", "0.995").toDouble,
+      minProto = args.getOrElse("min-proto", "0.0").toDouble,
+      nCentroids = args.getOrElse("centroids", "16").toInt,
+      m = args.getOrElse("m", "8").toInt,
+      kCodes = args.getOrElse("codes", "16").toInt,
+      seed = args.getOrElse("seed", "42").toLong)
+    r.index.write.partitionBy("centroid").mode("overwrite")
+      .parquet(s"$out/index")
+    r.pruned.write.mode("overwrite").parquet(s"$out/pruned")
+    r.manifest.write.mode("overwrite").parquet(s"$out/manifest")
+    graft.core.PipelineCaches.unpersistAll()
+  }
+}
+
+object EmbeddingIndexJob {
+
+  /** `index`: (centroid, id, codes) — the IVF-PQ lists.
+    * `pruned`: (id, centroid, proto) — survivors with their scores.
+    * `manifest`: per-centroid (n_vectors, bytes, min/mean proto).
+    */
+  final case class Result(index: DataFrame, pruned: DataFrame,
+      manifest: DataFrame)
+
+  def build(vecs0: DataFrame, dupCos: Double = 0.995,
+      minProto: Double = 0.0, nCentroids: Int = 16, m: Int = 8,
+      kCodes: Int = 16, seed: Long = 42L): Result = {
+    val spark = vecs0.sparkSession
+    import spark.implicits._
+    val vecs = graft.core.PipelineCaches.persistTrackedDs(
+      vecs0.select(col("id"), col("vec")).as[(Long, Array[Float])]).toDF("id", "vec")
+
+    // 1. exact dedup on the vector bytes (lowest id wins)
+    val exact = vecs
+      .withColumn("__vkey", xxhash64(col("vec").cast("string")))
+      .groupBy("__vkey").agg(min(col("id")).as("keep"))
+      .select(col("keep").as("id"))
+    val afterExact = vecs.join(exact, Seq("id"), "left_semi")
+
+    // 2. near-dedup: LSH-bucketed pairs ≥ dupCos; every id that loses
+    // any pair (appears as the higher id) drops — greedy, determinist
+    val losers = Similarity.cosineNearDuplicates(afterExact, dupCos,
+        dim = afterExact.select("vec").as[Array[Float]].head().length)
+      .select(col("id2").as("id")).distinct()
+    val deduped = graft.core.PipelineCaches.persistTrackedDs(
+      afterExact.join(losers, Seq("id"), "left_anti")
+        .as[(Long, Array[Float])]).toDF("id", "vec")
+
+    // 3. prototypicality prune against trained k-means centroids
+    val centDf = Similarity.kmeansCentroids(deduped, nCentroids, seed,
+      kmeansIters = 2)
+    val cents = centDf.as[(Long, Array[Float])].collect().sortBy(_._1)
+    val pruned = graft.core.PipelineCaches.persistTracked(
+      Similarity.pruneByPrototypicality(deduped, centDf, minProto))
+    val kept = deduped.join(pruned.select("id"), Seq("id"), "left_semi")
+
+    // 4. IVF-PQ lists: residual-encode survivors against their centroid
+    val bcCents = spark.sparkContext.broadcast(
+      cents.map { case (ci, cv) =>
+        (ci, cv, Similarity.VecUtil.norm(cv)) })
+    val residuals = kept.as[(Long, Array[Float])].map { case (id, v) =>
+      val vn = Similarity.VecUtil.norm(v)
+      var bestId = bcCents.value.head._1
+      var best = Double.MinValue
+      bcCents.value.foreach { case (ci, cv, cn) =>
+        val s = Similarity.VecUtil.dot(v, cv) / (vn * cn)
+        if (s > best) { best = s; bestId = ci }
+      }
+      val cv = bcCents.value(bestId.toInt)._2
+      val r = new Array[Float](v.length)
+      var i = 0
+      while (i < v.length) { r(i) = v(i) - cv(i); i += 1 }
+      (bestId, id, r)
+    }
+    val cb = Pq.train(residuals.map(t => (t._2, t._3)).toDF("id", "vec"),
+      m, kCodes, seed, iters = 2)
+    val bcCb = spark.sparkContext.broadcast(cb)
+    val index = graft.core.PipelineCaches.persistTracked(
+      residuals.map { case (ci, id, r) => (ci, id, bcCb.value.encodeOne(r)) }
+        .toDF("centroid", "id", "codes"))
+
+    // 5. per-list manifest joined with proto stats
+    val manifest = index.groupBy("centroid")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(length(col("codes"))).as("code_bytes"))
+      .join(pruned.groupBy(col("centroid"))
+          .agg(min("proto").as("min_proto"), avg("proto").as("mean_proto")),
+        Seq("centroid"), "left")
+      .orderBy("centroid")
+
+    Result(index, pruned, manifest)
+  }
+}

@@ -496,4 +496,66 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select("id1", "id2", "cos")
   }
+
+  /** Assign every corpus vector to its argmax-cosine centroid from an
+    * EXPLICIT (cid, cvec) table — the deterministic building block
+    * under prototypicality filtering and incremental IVF maintenance.
+    * The centroid side is collected and broadcast (bounded by
+    * contract: it is a centroid table, not a corpus); the corpus is
+    * scanned once, no shuffle. Ties break toward the lower cid.
+    * Output: (id, centroid, proto) with proto = cos(vec, centroid).
+    */
+  def assignToCentroids(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = centroids.select(col("cid"), col("cvec"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (ci, cv) => (ci, cv, VecUtil.norm(cv)) }
+      .sortBy(_._1)
+    require(cents.nonEmpty, "empty centroid table")
+    val bc = spark.sparkContext.broadcast(cents)
+    corpus.select(col("id"), col("vec")).as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val vn = VecUtil.norm(v)
+        var bestId = bc.value.head._1
+        var bestScore = Double.MinValue
+        // exact cosine (no epsilon): the score is oracle-matched
+        // bitwise-after-round; zero-norm vectors yield NaN and keep
+        // the first centroid
+        bc.value.foreach { case (ci, cv, cn) =>
+          val s = VecUtil.dot(v, cv) / (vn * cn)
+          if (s > bestScore) { bestScore = s; bestId = ci }
+        }
+        (id, bestId, bestScore)
+      }
+      .toDF("id", "centroid", "proto")
+  }
+
+  /** Train k-means centroids over an (id, vec) corpus and return them
+    * as an explicit (cid, cvec) table — the public face of the
+    * centroid trainer shared by IVF/SemDeDup, for composition with
+    * [[assignToCentroids]]/[[pruneByPrototypicality]] and for
+    * persisting an index's centroid set alongside its lists.
+    * Deterministic for a fixed seed; memoized on the corpus plan.
+    */
+  def kmeansCentroids(corpus: DataFrame, nCentroids: Int,
+      seed: Long = 42L, kmeansIters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.select(col("id"), col("vec")).as[(Long, Array[Float])]
+    val cents = trainCentroids(vecs, nCentroids, seed, kmeansIters)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    spark.createDataset(cents.toSeq).toDF("cid", "cvec")
+  }
+
+  /** Prototypicality filter (the pruning half of SemDeDup-style
+    * curation, Abbas et al. 2023 §3: far-from-centroid points are
+    * low-quality or off-distribution): keep vectors whose cosine to
+    * their assigned centroid is ≥ `minCos`. Same single-scan shape as
+    * [[assignToCentroids]]; pass trained centroids from
+    * [[clusterAssignments]]'s k-means or an explicit table.
+    */
+  def pruneByPrototypicality(corpus: DataFrame, centroids: DataFrame,
+      minCos: Double): DataFrame =
+    assignToCentroids(corpus, centroids).filter(col("proto") >= minCos)
 }

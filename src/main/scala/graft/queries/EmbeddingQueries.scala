@@ -252,6 +252,34 @@ object EmbeddingQueries extends QueryGroup {
         .select(col("qid"),
           (coalesce(col("n_hit"), lit(0L)) >= 2).as("recall_ok"))
         .orderBy("qid")
+    },
+
+    // explicit-centroid assignment (the block under prototypicality
+    // pruning and incremental IVF maintenance): argmax-cosine over a
+    // broadcast (cid, cvec) table, one corpus scan, no shuffle. With
+    // the centroid table pinned to vec_id < 8 the whole op is
+    // SQL-expressible, so this is a full hash-match oracle (not a
+    // recall contract): every id's centroid and rounded score.
+    q("q_embed_assign",
+      """WITH c AS (
+        |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+        |  FROM embeddings WHERE vec_id < 8
+        |), s AS (
+        |  SELECT e.vec_id AS id, c.cid,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) AS cos
+        |  FROM embeddings e CROSS JOIN c
+        |)
+        |SELECT id, cid AS centroid, round(cos, 6) + 0.0 AS proto FROM s
+        |QUALIFY row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid) = 1
+        |ORDER BY id""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val cents = e.filter(col("id") < 8)
+        .select(col("id").as("cid"), col("vec").as("cvec"))
+      Similarity.assignToCentroids(e, cents)
+        .select(col("id"), col("centroid"),
+          (round(col("proto"), 6) + lit(0.0)).as("proto"))
+        .orderBy("id")
     }
   )
 
