@@ -52,6 +52,10 @@ class EmbeddingIndexJob(args: Args) extends GraftJob(args) {
       .parquet(s"$out/index")
     r.pruned.write.mode("overwrite").parquet(s"$out/pruned")
     r.manifest.write.mode("overwrite").parquet(s"$out/manifest")
+    r.centroids.write.mode("overwrite").parquet(s"$out/centroids")
+    import spark.implicits._
+    Seq(r.codebooks.toBytes).toDF("codebook_bytes")
+      .write.mode("overwrite").parquet(s"$out/codebooks")
     graft.core.PipelineCaches.unpersistAll()
   }
 }
@@ -61,9 +65,14 @@ object EmbeddingIndexJob {
   /** `index`: (centroid, id, codes) — the IVF-PQ lists.
     * `pruned`: (id, centroid, proto) — survivors with their scores.
     * `manifest`: per-centroid (n_vectors, bytes, min/mean proto).
+    * `centroids`: the (cid, cvec) table; `codebooks`: the PQ books —
+    * together with `index` these are the complete queryable artifact
+    * ([[graft.ml.Pq.searchIvfPq]]) and the append target
+    * ([[graft.ml.Pq.appendToIndex]]).
     */
   final case class Result(index: DataFrame, pruned: DataFrame,
-      manifest: DataFrame)
+      manifest: DataFrame, centroids: DataFrame,
+      codebooks: graft.ml.Pq.Codebooks)
 
   def build(vecs0: DataFrame, dupCos: Double = 0.995,
       minProto: Double = 0.0, nCentroids: Int = 16, m: Int = 8,
@@ -131,6 +140,6 @@ object EmbeddingIndexJob {
         Seq("centroid"), "left")
       .orderBy("centroid")
 
-    Result(index, pruned, manifest)
+    Result(index, pruned, manifest, centDf, cb)
   }
 }

@@ -71,6 +71,36 @@ object Pq {
       }
       out
     }
+
+    /** Versioned little-endian layout: magic, m, subDim, k, then the
+      * m·k·subDim codeword floats — store next to the index lists
+      * (e.g. one binary cell in the index manifest).
+      */
+    def toBytes: Array[Byte] = {
+      val bb = java.nio.ByteBuffer
+        .allocate(16 + m * k * subDim * 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(0x50514231) // "PQB1"
+      bb.putInt(m).putInt(subDim).putInt(k)
+      books.foreach(_.foreach(_.foreach(bb.putFloat)))
+      bb.array()
+    }
+  }
+
+  def codebooksFromBytes(bytes: Array[Byte]): Codebooks = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bb.getInt() == 0x50514231, "not a PQ codebook blob")
+    val m = bb.getInt()
+    val subDim = bb.getInt()
+    val k = bb.getInt()
+    val books = Array.fill(m, k) {
+      val cw = new Array[Float](subDim)
+      var i = 0
+      while (i < subDim) { cw(i) = bb.getFloat(); i += 1 }
+      cw
+    }
+    Codebooks(m, subDim, k, books)
   }
 
   /** Memoized on (corpus plan semantics, m, k, seed, iters) like the
@@ -324,6 +354,84 @@ object Pq {
     val lists = graft.core.PipelineCaches.persistTrackedDs(
       residuals.map { case (ci, id, r) => (ci, id, bcCb.value.encodeOne(r)) })
 
+    searchLists(lists.toDF("centroid", "id", "codes"), centsIdx, cb,
+      queries, k, nProbe, rerank,
+      rerankWith = if (rerank > 0) Some(corpusVecs.toDF("id", "vec")) else None)
+  }
+
+  /** Query a PERSISTED IVF-PQ index: `lists` is the (centroid, id,
+    * codes) table written by an index build ([[ivfPqTopK]]'s encode
+    * stage or [[graft.examples.EmbeddingIndexJob]]), `centroids` the
+    * (cid, cvec) table, `cb` the codebooks (round-trip them with
+    * [[Codebooks.toBytes]]/[[codebooksFromBytes]]). Separating build
+    * from query is the production shape — the corpus-sized encode
+    * runs once per index version, every query batch pays only the
+    * probe scan. `rerankWith` supplies original (id, vec) rows when
+    * exact re-ranking of the shortlist is wanted.
+    */
+  def searchIvfPq(lists: DataFrame, centroids: DataFrame, cb: Codebooks,
+      queries: DataFrame, k: Int, nProbe: Int = 4, rerank: Int = 0,
+      rerankWith: Option[DataFrame] = None): DataFrame = {
+    val spark = lists.sparkSession
+    import spark.implicits._
+    val cents = centroids.select(col("cid"), col("cvec"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    require(cents.nonEmpty, "empty centroid table")
+    require(cents.map(_._1).toSeq == (0L until cents.length).toSeq,
+      "centroid ids must be contiguous 0..n-1 (they index the lists)")
+    val centsIdx = cents.map { case (ci, cv) =>
+      (ci.toInt, cv, VecUtil.norm(cv)) }
+    searchLists(lists, centsIdx, cb, queries, k, nProbe, rerank, rerankWith)
+  }
+
+  /** Residual-encode NEW vectors against an existing index's centroid
+    * table and codebooks — incremental IVF-PQ maintenance: the daily
+    * append touches only the delta (one scan, no retraining, no
+    * shuffle), and the result unions onto the stored lists. Determin-
+    * istic: appending a corpus in any split order yields exactly the
+    * rows a single whole-corpus encode against the same artifacts
+    * yields.
+    */
+  def appendToIndex(newVecs: DataFrame, centroids: DataFrame,
+      cb: Codebooks): DataFrame = {
+    val spark = newVecs.sparkSession
+    import spark.implicits._
+    val cents = centroids.select(col("cid"), col("cvec"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+      .map { case (ci, cv) => (ci.toInt, cv, VecUtil.norm(cv)) }
+    require(cents.nonEmpty, "empty centroid table")
+    val bcCents = spark.sparkContext.broadcast(cents)
+    val bcCb = spark.sparkContext.broadcast(cb)
+    newVecs.select(col("id"), col("vec")).as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val table = bcCents.value
+        val vn = VecUtil.norm(v)
+        var best = 0
+        var bestScore = Double.MinValue
+        table.foreach { case (ci, cv, cn) =>
+          val s = VecUtil.dot(v, cv) / (vn * cn + 1e-12)
+          if (s > bestScore) { bestScore = s; best = ci }
+        }
+        val cv = table(best)._2
+        val r = new Array[Float](v.length)
+        var i = 0
+        while (i < v.length) { r(i) = v(i) - cv(i); i += 1 }
+        (best, id, bcCb.value.encodeOne(r))
+      }
+      .toDF("centroid", "id", "codes")
+  }
+
+  /** Shared probe/score kernel over (centroid, id, codes) lists. */
+  private def searchLists(lists: DataFrame,
+      centsIdx: Array[(Int, Array[Float], Double)], cb: Codebooks,
+      queries: DataFrame, k: Int, nProbe: Int, rerank: Int,
+      rerankWith: Option[DataFrame]): DataFrame = {
+    val spark = lists.sparkSession
+    import spark.implicits._
+    val m = cb.m
+    val kCodes = cb.k
+    val bcCents = spark.sparkContext.broadcast(centsIdx)
+    val bcCb = spark.sparkContext.broadcast(cb)
     val qs = queries.select(col("id"), col("vec")).as[(Long, Array[Float])]
       .collect()
     // query-independent tables: codeword norms + centroid·codeword dots
@@ -342,7 +450,7 @@ object Pq {
       val qn = VecUtil.norm(qv)
       // rank probe lists by cosine (matching the assignment rule) but
       // carry the RAW dot(q, c) — the scoring identity needs it
-      val probed = bcCents.value.map { case (ci, cv, cn) =>
+      val probed = centsIdx.map { case (ci, cv, cn) =>
         val d = VecUtil.dot(qv, cv)
         (ci, d, d / (qn * cn + 1e-12))
       }.sortBy { case (ci, _, s) => (-s, ci) }.take(nProbe)
@@ -360,7 +468,9 @@ object Pq {
     val bcCdot = spark.sparkContext.broadcast(cdot)
 
     val shortlistSize = math.max(k, rerank)
-    val scored = lists.mapPartitions { it =>
+    val scored = lists.select(col("centroid").cast("int"), col("id"),
+        col("codes"))
+      .as[(Int, Long, Array[Byte])].mapPartitions { it =>
       val local = bcCb.value
       val nsq = local.normSq
       val cents = bcCents.value
@@ -400,23 +510,25 @@ object Pq {
       }
       .toDF("qid", "cid", "adc")
 
-    if (rerank <= 0) shortlist.withColumnRenamed("adc", "cos")
-    else {
-      val bq = spark.sparkContext.broadcast(
-        qs.map { case (qid, qv) => qid -> (qv, VecUtil.norm(qv)) }.toMap)
-      val exact = shortlist.join(corpusVecs.toDF("cid", "cvec"), "cid")
-        .select(col("qid"), col("cid"), col("cvec"))
-        .as[(Long, Long, Array[Float])]
-        .map { case (qid, cid, cv) =>
-          val (qv, qnorm) = bq.value(qid)
-          (qid, (VecUtil.dot(qv, cv) / (qnorm * VecUtil.norm(cv) + 1e-12), cid))
-        }
-      new graft.typed.Grouped(exact)
-        .sortedTake(k)
-        .ds.flatMap { case (qid, tops) =>
-          tops.map { case (cos, cid) => (qid, cid, cos) }
-        }
-        .toDF("qid", "cid", "cos")
+    (if (rerank <= 0) None else rerankWith) match {
+      case None => shortlist.withColumnRenamed("adc", "cos")
+      case Some(corpus) =>
+        val bq = spark.sparkContext.broadcast(
+          qs.map { case (qid, qv) => qid -> (qv, VecUtil.norm(qv)) }.toMap)
+        val exact = shortlist
+          .join(corpus.select(col("id").as("cid"), col("vec").as("cvec")), "cid")
+          .select(col("qid"), col("cid"), col("cvec"))
+          .as[(Long, Long, Array[Float])]
+          .map { case (qid, cid, cv) =>
+            val (qv, qnorm) = bq.value(qid)
+            (qid, (VecUtil.dot(qv, cv) / (qnorm * VecUtil.norm(cv) + 1e-12), cid))
+          }
+        new graft.typed.Grouped(exact)
+          .sortedTake(k)
+          .ds.flatMap { case (qid, tops) =>
+            tops.map { case (cos, cid) => (qid, cid, cos) }
+          }
+          .toDF("qid", "cid", "cos")
     }
   }
 }

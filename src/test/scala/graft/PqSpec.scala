@@ -127,6 +127,49 @@ class PqSpec extends SparkSpec {
     assert(errs.max < 0.05, s"ADC cosine error too large: ${errs.max}")
   }
 
+  test("codebooks round-trip through bytes exactly") {
+    val df = clustered(100, 32, 4)
+    val cb = Pq.train(df, m = 4, k = 8, seed = 9L, iters = 2)
+    val back = Pq.codebooksFromBytes(cb.toBytes)
+    assert(back.m == cb.m && back.subDim == cb.subDim && back.k == cb.k)
+    assert(back.books.flatten.flatten.toSeq == cb.books.flatten.flatten.toSeq)
+    intercept[IllegalArgumentException] {
+      Pq.codebooksFromBytes(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8))
+    }
+  }
+
+  test("appendToIndex in split halves equals one whole-corpus encode") {
+    val df = clustered(200, 32, 4).cache()
+    val cents = Similarity.kmeansCentroids(df, nCentroids = 4)
+    val cb = Pq.train(df, m = 4, k = 8)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      Pq.appendToIndex(d, cents, cb)
+        .as[(Int, Long, Array[Byte])].collect()
+        .map { case (c, id, codes) => (c, id, codes.toSeq) }.toSet
+    val whole = rows(df)
+    val split = rows(df.filter($"id" < 100)) ++ rows(df.filter($"id" >= 100))
+    assert(whole == split)
+    assert(whole.size == 200)
+    graft.core.PipelineCaches.unpersistAll()
+  }
+
+  test("searchIvfPq answers from stored artifacts with exact re-rank") {
+    val df = clustered(300, 32, 6).cache()
+    val queries = df.filter($"id" < 5)
+    val cents = Similarity.kmeansCentroids(df, nCentroids = 6)
+    val cbBytes = Pq.train(df, m = 4, k = 16).toBytes
+    val cb = Pq.codebooksFromBytes(cbBytes)
+    val lists = Pq.appendToIndex(df, cents, cb)
+    val got = Pq.searchIvfPq(lists, cents, cb, queries, k = 3,
+        nProbe = 6, rerank = 300, rerankWith = Some(df))
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    val exact = Similarity.bruteForceTopK(queries, df, 3)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    assert(got == exact,
+      "full-probe full-shortlist stored-index search must equal brute force")
+    graft.core.PipelineCaches.unpersistAll()
+  }
+
   test("train rejects a dim not divisible by m") {
     val df = clustered(50, 30, 4)
     intercept[IllegalArgumentException] {
