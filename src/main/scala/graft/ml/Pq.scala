@@ -315,7 +315,7 @@ object Pq {
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4, m: Int = 8, kCodes: Int = 16,
       seed: Long = 42L, kmeansIters: Int = 2, iters: Int = 2,
-      rerank: Int = 0): DataFrame = {
+      rerank: Int = 0, softAssign: Int = 1): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val corpusVecs = graft.core.PipelineCaches.persistTrackedDs(
@@ -326,37 +326,46 @@ object Pq {
       .map { case (v, i) => (i, v, VecUtil.norm(v)) }
     val bcCents = spark.sparkContext.broadcast(centsIdx)
 
-    def nearestCentroid(v: Array[Float],
-        table: Array[(Int, Array[Float], Double)]): Int = {
+    // nearest `n` centroids by cosine (ties to lower id)
+    def nearestCentroids(v: Array[Float],
+        table: Array[(Int, Array[Float], Double)], n: Int): Array[Int] = {
       val vn = VecUtil.norm(v)
-      var best = 0
-      var bestScore = Double.MinValue
-      table.foreach { case (ci, cv, cn) =>
-        val s = VecUtil.dot(v, cv) / (vn * cn + 1e-12)
-        if (s > bestScore) { bestScore = s; best = ci }
-      }
-      best
+      table.map { case (ci, cv, cn) =>
+        (ci, VecUtil.dot(v, cv) / (vn * cn + 1e-12))
+      }.sortBy { case (ci, s) => (-s, ci) }.take(n).map(_._1)
     }
 
-    // residual stream (centroid, id, v − c): the PQ training corpus
-    val residuals = corpusVecs.map { case (id, v) =>
-      val ci = nearestCentroid(v, bcCents.value)
+    // residual stream (centroid, id, v − c): PQ trains on the PRIMARY
+    // residual; softAssign > 1 replicates each vector into its
+    // `softAssign` nearest lists (FAISS's multi-assignment recall/
+    // storage trade), each with the residual vs that list's centroid
+    val primary = corpusVecs.map { case (id, v) =>
+      val ci = nearestCentroids(v, bcCents.value, 1).head
       val cv = bcCents.value(ci)._2
       val r = new Array[Float](v.length)
       var i = 0
       while (i < v.length) { r(i) = v(i) - cv(i); i += 1 }
       (ci, id, r)
     }
-    val cb = train(residuals.map(t => (t._2, t._3)).toDF("id", "vec"),
+    val cb = train(primary.map(t => (t._2, t._3)).toDF("id", "vec"),
       m, kCodes, seed, iters)
     val bcCb = spark.sparkContext.broadcast(cb)
     // inverted lists: (centroid, cid, residual codes)
     val lists = graft.core.PipelineCaches.persistTrackedDs(
-      residuals.map { case (ci, id, r) => (ci, id, bcCb.value.encodeOne(r)) })
+      corpusVecs.flatMap { case (id, v) =>
+        nearestCentroids(v, bcCents.value, softAssign).iterator.map { ci =>
+          val cv = bcCents.value(ci)._2
+          val r = new Array[Float](v.length)
+          var i = 0
+          while (i < v.length) { r(i) = v(i) - cv(i); i += 1 }
+          (ci, id, bcCb.value.encodeOne(r))
+        }
+      })
 
     searchLists(lists.toDF("centroid", "id", "codes"), centsIdx, cb,
       queries, k, nProbe, rerank,
-      rerankWith = if (rerank > 0) Some(corpusVecs.toDF("id", "vec")) else None)
+      rerankWith = if (rerank > 0) Some(corpusVecs.toDF("id", "vec")) else None,
+      dedupFactor = softAssign)
   }
 
   /** Query a PERSISTED IVF-PQ index: `lists` is the (centroid, id,
@@ -371,7 +380,7 @@ object Pq {
     */
   def searchIvfPq(lists: DataFrame, centroids: DataFrame, cb: Codebooks,
       queries: DataFrame, k: Int, nProbe: Int = 4, rerank: Int = 0,
-      rerankWith: Option[DataFrame] = None): DataFrame = {
+      rerankWith: Option[DataFrame] = None, softAssign: Int = 1): DataFrame = {
     val spark = lists.sparkSession
     import spark.implicits._
     val cents = centroids.select(col("cid"), col("cvec"))
@@ -381,7 +390,8 @@ object Pq {
       "centroid ids must be contiguous 0..n-1 (they index the lists)")
     val centsIdx = cents.map { case (ci, cv) =>
       (ci.toInt, cv, VecUtil.norm(cv)) }
-    searchLists(lists, centsIdx, cb, queries, k, nProbe, rerank, rerankWith)
+    searchLists(lists, centsIdx, cb, queries, k, nProbe, rerank, rerankWith,
+      dedupFactor = softAssign)
   }
 
   /** Residual-encode NEW vectors against an existing index's centroid
@@ -393,7 +403,7 @@ object Pq {
     * yields.
     */
   def appendToIndex(newVecs: DataFrame, centroids: DataFrame,
-      cb: Codebooks): DataFrame = {
+      cb: Codebooks, softAssign: Int = 1): DataFrame = {
     val spark = newVecs.sparkSession
     import spark.implicits._
     val cents = centroids.select(col("cid"), col("cvec"))
@@ -403,29 +413,34 @@ object Pq {
     val bcCents = spark.sparkContext.broadcast(cents)
     val bcCb = spark.sparkContext.broadcast(cb)
     newVecs.select(col("id"), col("vec")).as[(Long, Array[Float])]
-      .map { case (id, v) =>
+      .flatMap { case (id, v) =>
         val table = bcCents.value
         val vn = VecUtil.norm(v)
-        var best = 0
-        var bestScore = Double.MinValue
-        table.foreach { case (ci, cv, cn) =>
-          val s = VecUtil.dot(v, cv) / (vn * cn + 1e-12)
-          if (s > bestScore) { bestScore = s; best = ci }
-        }
-        val cv = table(best)._2
-        val r = new Array[Float](v.length)
-        var i = 0
-        while (i < v.length) { r(i) = v(i) - cv(i); i += 1 }
-        (best, id, bcCb.value.encodeOne(r))
+        table.map { case (ci, cv, cn) =>
+          (ci, VecUtil.dot(v, cv) / (vn * cn + 1e-12))
+        }.sortBy { case (ci, s) => (-s, ci) }.take(softAssign)
+          .iterator.map { case (ci, _) =>
+            val cv = table(ci)._2
+            val r = new Array[Float](v.length)
+            var i = 0
+            while (i < v.length) { r(i) = v(i) - cv(i); i += 1 }
+            (ci, id, bcCb.value.encodeOne(r))
+          }
       }
       .toDF("centroid", "id", "codes")
   }
 
-  /** Shared probe/score kernel over (centroid, id, codes) lists. */
+  /** Shared probe/score kernel over (centroid, id, codes) lists.
+    * `dedupFactor` = the lists' soft-assignment multiplicity: a
+    * (qid, cid) pair can surface once per replica (with different
+    * residual scores), so the bounded top-k collects `dedupFactor`×
+    * the shortlist and keeps each pair's best ADC score before
+    * ranking.
+    */
   private def searchLists(lists: DataFrame,
       centsIdx: Array[(Int, Array[Float], Double)], cb: Codebooks,
       queries: DataFrame, k: Int, nProbe: Int, rerank: Int,
-      rerankWith: Option[DataFrame]): DataFrame = {
+      rerankWith: Option[DataFrame], dedupFactor: Int = 1): DataFrame = {
     val spark = lists.sparkSession
     import spark.implicits._
     val m = cb.m
@@ -467,7 +482,7 @@ object Pq {
     val bcProbes = spark.sparkContext.broadcast(probes)
     val bcCdot = spark.sparkContext.broadcast(cdot)
 
-    val shortlistSize = math.max(k, rerank)
+    val shortlistSize = math.max(k, rerank) * math.max(1, dedupFactor)
     val scored = lists.select(col("centroid").cast("int"), col("id"),
         col("codes"))
       .as[(Int, Long, Array[Byte])].mapPartitions { it =>
@@ -503,15 +518,35 @@ object Pq {
     implicit val ord: Ordering[(Double, Long)] =
       Ordering.by((t: (Double, Long)) => (-t._1, t._2))(
         Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
-    val shortlist = new graft.typed.Grouped(scored)
+    val shortlist0 = new graft.typed.Grouped(scored)
       .sortedTake(shortlistSize)
       .ds.flatMap { case (qid, tops) =>
         tops.map { case (score, cid) => (qid, cid, score) }
       }
       .toDF("qid", "cid", "adc")
+    // soft-assigned lists surface a pair once per replica: keep each
+    // pair's best ADC score (the shortlist is k·|queries|-bounded, so
+    // this window is cheap)
+    val shortlist =
+      if (dedupFactor <= 1) shortlist0
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid", "cid").orderBy(col("adc").desc)
+        shortlist0.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
 
     (if (rerank <= 0) None else rerankWith) match {
-      case None => shortlist.withColumnRenamed("adc", "cos")
+      case None =>
+        if (dedupFactor <= 1) shortlist.withColumnRenamed("adc", "cos")
+        else {
+          // trim the inflated shortlist back to k per query
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("qid").orderBy(col("adc").desc, col("cid"))
+          shortlist.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") <= k).drop("__rn")
+            .withColumnRenamed("adc", "cos")
+        }
       case Some(corpus) =>
         val bq = spark.sparkContext.broadcast(
           qs.map { case (qid, qv) => qid -> (qv, VecUtil.norm(qv)) }.toMap)

@@ -242,7 +242,7 @@ object EmbeddingQueries extends QueryGroup {
       val exact = Similarity.bruteForceTopK(queries, e, 5)
         .select(col("qid"), col("cid").as("exact_cid"))
       val ivfpq = Pq.ivfPqTopK(queries, e, k = 5, nCentroids = 16,
-          nProbe = 8, m = 8, kCodes = 16, rerank = 50)
+          nProbe = 8, m = 8, kCodes = 16, rerank = 50, softAssign = 2)
         .select(col("qid"), col("cid"))
       val hits = exact.join(ivfpq,
           exact("qid") === ivfpq("qid") && col("exact_cid") === col("cid"),

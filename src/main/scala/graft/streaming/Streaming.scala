@@ -239,6 +239,42 @@ object Streaming {
       }
       .start()
 
+  /** Streaming IVF-PQ index maintenance — the streaming form of
+    * [[graft.ml.Pq.appendToIndex]]: each micro-batch of (id, vec) is
+    * id-deduped within the batch, anti-joined against the ids already
+    * in the stored index (a column-pruned scan of the id column
+    * only), residual-encoded against the FROZEN centroid table and
+    * codebooks, and appended to the index lists. Per batch the cost
+    * is linear in the delta plus the pruned id probe; centroids and
+    * codebooks never retrain mid-stream (rebuild the index to retrain
+    * — the versioned-store pattern, not the checkpoint, is the
+    * state).
+    */
+  def vectorIngest(vecs: DataFrame, centroids: DataFrame,
+      codebookBytes: Array[Byte], indexDir: String): StreamingQuery = {
+    val cb = graft.ml.Pq.codebooksFromBytes(codebookBytes)
+    vecs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id")).orderBy(col("id"))
+        val inBatch = batch.select(col("id"), col("vec"))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val existing =
+          try spark.read.parquet(indexDir).select(col("id"))
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            inBatch.select(col("id")).limit(0)
+          }
+        val fresh = inBatch.join(existing, Seq("id"), "left_anti")
+        graft.ml.Pq.appendToIndex(fresh, centroids, cb)
+          .write.mode("append").parquet(indexDir)
+        ()
+      }
+      .start()
+  }
+
   /** Tagged union row for the stream-stream as-of join; `ts` carries
     * the event-time watermark through the union.
     */

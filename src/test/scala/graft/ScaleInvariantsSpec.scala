@@ -215,6 +215,20 @@ class ScaleInvariantsSpec extends SparkSpec {
     Dedup.unpersistPipelineCaches()
   }
 
+  test("PQ and IVF-PQ recall contracts hold at sf0.1") {
+    // 10× the oracle scale: the compressed-scan ANN rungs must still
+    // recover ≥2 of each query's exact top-5 after re-rank
+    Seq("q_ann_pq", "q_ann_ivfpq").foreach { gate =>
+      val rows = SparkEntry.queries(gate)(spark, dir).collect()
+      assert(rows.length == 10, s"$gate: expected 10 query rows")
+      val bad = rows.filterNot(_.getAs[Boolean]("recall_ok"))
+      assert(bad.isEmpty,
+        s"$gate recall contract failed at sf0.1 for qids " +
+          bad.map(_.getAs[Long]("qid")).mkString(","))
+      graft.core.PipelineCaches.unpersistAll()
+    }
+  }
+
   test("embedding near-dup at sf0.1: reported cosines exact, smallest block complete") {
     val out = SparkEntry.queries("q_embed_neardup")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

@@ -313,6 +313,46 @@ class StreamingSpec extends SparkSpec {
       .collect().sorted.toSeq == Seq(1L, 11L))
   }
 
+  test("streaming vector ingest appends only fresh ids, encoded against frozen artifacts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val indexDir =
+      java.nio.file.Files.createTempDirectory("graft-vecidx").toString + "/index"
+    val rnd = new scala.util.Random(13)
+    val vecsSeq = (0L until 40L).map(i => (i, Array.fill(16)(rnd.nextFloat())))
+    val corpus = vecsSeq.toDF("id", "vec")
+    val cents = graft.ml.Similarity.kmeansCentroids(corpus, nCentroids = 4)
+      .cache()
+    val cbBytes = graft.ml.Pq.train(corpus, m = 4, k = 8).toBytes
+
+    val input = MemoryStream[(Long, Array[Float])]
+    val query = Streaming.vectorIngest(input.toDS().toDF("id", "vec"),
+      cents, cbBytes, indexDir)
+    input.addData(vecsSeq.take(10): _*)
+    query.processAllAvailable()
+    // batch 2: 5 repeats (already indexed) + 10 fresh + an in-batch dup
+    input.addData(vecsSeq.slice(5, 20) :+ vecsSeq(15): _*)
+    query.processAllAvailable()
+    query.stop()
+
+    val index = spark.read.parquet(indexDir)
+    assert(index.select("id").as[Long].collect().sorted.toSeq ==
+      (0L until 20L).toSeq, "each id indexed exactly once")
+    // every appended row must byte-match the batch encode against the
+    // same frozen artifacts (split-order invariance, streaming form)
+    val batch = graft.ml.Pq.appendToIndex(
+        vecsSeq.take(20).toDF("id", "vec"), cents,
+        graft.ml.Pq.codebooksFromBytes(cbBytes))
+      .as[(Int, Long, Array[Byte])].collect()
+      .map { case (c, id, codes) => (c, id, codes.toSeq) }.toSet
+    val streamed = index.select(col("centroid").cast("int"), col("id"),
+        col("codes"))
+      .as[(Int, Long, Array[Byte])].collect()
+      .map { case (c, id, codes) => (c, id, codes.toSeq) }.toSet
+    assert(streamed == batch)
+    graft.core.PipelineCaches.unpersistAll()
+  }
+
   test("stateful gap sessionization across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
