@@ -1247,6 +1247,24 @@ object TextQueries extends QueryGroup {
             col("label"))
           .orderBy("doc_id")
       } finally feats.unpersist(blocking = false)
+    },
+
+    // Aho-Corasick multi-pattern blocklist scan: one broadcast
+    // automaton, one corpus pass, per-(doc, pattern) occurrence
+    // counts. The oracle replays each NON-SELF-OVERLAPPING pattern's
+    // count with the replace-length identity (occurrences counted at
+    // every end position coincide with it exactly for such patterns).
+    q("q_text_blocklist",
+      """SELECT doc_id, p AS pattern,
+        |  CAST((strlen(text) - strlen(replace(text, p, ''))) / strlen(p)
+        |    AS BIGINT) AS n_hits
+        |FROM documents
+        |CROSS JOIN (VALUES ('spark'), ('merge batch'), ('slow')) t(p)
+        |WHERE strlen(text) <> strlen(replace(text, p, ''))
+        |ORDER BY doc_id, pattern""".stripMargin) { (s, dir) =>
+      graft.ml.Blocklist.matchCounts(t(s, dir, "documents"),
+          "doc_id", "text", Seq("spark", "merge batch", "slow"))
+        .orderBy("doc_id", "pattern")
     }
   )
 
