@@ -62,6 +62,69 @@ object Corpus {
           .as("n_seqs"))
   }
 
+  /** Whole-document bin packing (best-fit decreasing) — the NO-SPLIT
+    * packing regime (SFT / instruction tuning, where a document must
+    * not straddle sequences, unlike [[packSequences]]'s
+    * concat-and-chunk): within each deterministic shard, documents
+    * are taken in decreasing token order and placed into the open bin
+    * with the SMALLEST sufficient remaining capacity (ties to the
+    * lowest bin id); no fit opens a new bin. Documents of `ctxLen`+
+    * tokens get a bin of their own (flag-and-truncate downstream).
+    *
+    * Returns (shard, bin_id, id, n_tokens): every doc exactly once,
+    * every multi-doc bin ≤ ctxLen. BFD waste is bounded (≤ 11/9·OPT +
+    * 2/3 bins, Johnson 1973) and in practice far under the sequential
+    * next-fit a naive writer does.
+    *
+    * Scale shape: one hash exchange on the shard key, then per-shard
+    * in-memory packing over (id, tokens) pairs only — 16 bytes a doc;
+    * size nShards so a shard's ID LIST (not its text) fits an
+    * executor. The capacity search is a TreeSet — O(docs · log bins)
+    * per shard.
+    */
+  def packWholeDocs(docs: DataFrame, idCol: String, tokCol: String,
+      ctxLen: Int, nShards: Int): DataFrame = {
+    require(ctxLen > 0 && nShards > 0, "ctxLen and nShards must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+        pmod(col(idCol), lit(nShards)).cast("long").as("shard"),
+        col(idCol).cast("long").as("id"),
+        col(tokCol).cast("long").as("tok"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (shard, it) =>
+        val ds = it.map(t => (t._2, math.max(t._3, 0L))).toArray
+          .sortBy { case (id, tok) => (-tok, id) }
+        // open bins ordered by (remaining asc, binId asc): head of the
+        // tail-set from `tok` IS the best fit
+        val bins = scala.collection.mutable.TreeSet.empty[(Long, Long)]
+        var nextBin = 0L
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)](ds.length)
+        ds.foreach { case (id, tok) =>
+          if (tok >= ctxLen) {
+            out += ((shard, nextBin, id, tok))
+            nextBin += 1
+          } else {
+            val fit = bins.rangeFrom((tok, Long.MinValue)).headOption
+            fit match {
+              case Some(entry @ (rem, bin)) =>
+                bins -= entry
+                if (rem - tok > 0) bins += ((rem - tok, bin))
+                out += ((shard, bin, id, tok))
+              case None =>
+                val bin = nextBin
+                nextBin += 1
+                if (ctxLen - tok > 0) bins += ((ctxLen - tok, bin))
+                out += ((shard, bin, id, tok))
+            }
+          }
+        }
+        out.iterator
+      }
+      .toDF("shard", "bin_id", "id", "n_tokens")
+  }
+
   /** Sliding-window document chunking: split each document into
     * overlapping token-window chunks of at most `maxTokens`
     * whitespace tokens, consecutive chunks sharing `overlap` tokens —
@@ -117,6 +180,25 @@ object Corpus {
           transform(
             array_sort(collect_list(struct(col("seq_offset"), col(idCol)))),
             p => p.getField(idCol).cast("string"))).as("doc_ids"))
+
+  /** Trainer manifest for the NO-SPLIT regime: one row per
+    * (shard, seq_id) bin of [[packWholeDocs]], same schema as
+    * [[sequenceManifest]] (`n_docs`, comma-joined `doc_ids` in id
+    * order) so a writer consumes either packing mode unchanged. Also
+    * carries `fill` (bin token total) — the no-split regime pads the
+    * remainder, and the padding fraction is the first thing an SFT
+    * run audits.
+    */
+  def binManifest(docs: DataFrame, idCol: String, tokCol: String,
+      ctxLen: Int, nShards: Int): DataFrame =
+    packWholeDocs(docs, idCol, tokCol, ctxLen, nShards)
+      .groupBy(col("shard"), col("bin_id").as("seq_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("fill"),
+        concat_ws(",",
+          transform(array_sort(collect_list(col("id"))),
+            i => i.cast("string"))).as("doc_ids"))
 
   /** Exact-count stratified sampling: exactly `min(n, |stratum|)`
     * pseudo-random docs per stratum — balanced eval/calibration sets

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ml.{Multimodal, TextAnalysis => TA}
+import graft.ml.{Corpus, Multimodal, TextAnalysis => TA}
 
 /** Text-analysis + multimodal-plumbing coverage over the `documents`
   * table. Every operator here is a pure Column expression (no UDFs) —
@@ -1254,6 +1254,61 @@ object TextQueries extends QueryGroup {
     // counts. The oracle replays each NON-SELF-OVERLAPPING pattern's
     // count with the replace-length identity (occurrences counted at
     // every end position coincide with it exactly for such patterns).
+    // whole-doc best-fit-decreasing packing (the no-split SFT regime):
+    // per-shard contract — every doc placed exactly once, every
+    // multi-doc bin within ctxLen, and BFD never uses more bins than
+    // the naive id-order next-fit a sequential writer would produce
+    // (recomputed in-engine). The oracle pins the per-shard doc
+    // counts and asserts the contract booleans.
+    q("q_corpus_pack_fit",
+      """SELECT CAST(doc_id % 8 AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  true AS all_placed, true AS no_overflow, true AS within_naive
+        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ctx = 200
+      val nSh = 8
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("tok"))
+      val packed = Corpus.packWholeDocs(docs, "doc_id", "tok", ctx, nSh)
+      val bins = packed.groupBy("shard", "bin_id")
+        .agg(sum("n_tokens").as("fill"), count(lit(1)).as("nd"))
+      val binStats = bins.groupBy("shard").agg(
+        count(lit(1)).as("n_bins"),
+        max(when(col("nd") > 1, col("fill")).otherwise(0L))
+          .as("max_multi_fill"))
+      val placed = packed.groupBy("shard")
+        .agg(count(lit(1)).as("n_placed"),
+          countDistinct(col("id")).as("n_distinct"))
+      // naive sequential next-fit in id order, oversize clamped to ctx
+      val naive = docs.select(
+          pmod(col("doc_id"), lit(nSh)).cast("long").as("shard"),
+          col("doc_id").cast("long").as("id"), col("tok"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1).mapGroups { (shard, it) =>
+          val ds = it.map(t => (t._2,
+            math.min(math.max(t._3, 0L), ctx.toLong))).toArray.sortBy(_._1)
+          var nBins = 0L
+          var rem = 0L
+          ds.foreach { case (_, tok) =>
+            if (tok > rem) { nBins += 1; rem = ctx.toLong }
+            rem -= tok
+          }
+          (shard, nBins)
+        }.toDF("shard", "naive_bins")
+      val inCounts = docs.groupBy(
+          pmod(col("doc_id"), lit(nSh)).cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs"))
+      inCounts.join(binStats, "shard").join(placed, "shard")
+        .join(naive, "shard")
+        .select(col("shard"), col("n_docs"),
+          (col("n_placed") === col("n_docs") &&
+            col("n_distinct") === col("n_docs")).as("all_placed"),
+          (col("max_multi_fill") <= ctx).as("no_overflow"),
+          (col("n_bins") <= col("naive_bins")).as("within_naive"))
+        .orderBy("shard")
+    },
+
     q("q_text_blocklist",
       """SELECT doc_id, p AS pattern,
         |  CAST((strlen(text) - strlen(replace(text, p, ''))) / strlen(p)

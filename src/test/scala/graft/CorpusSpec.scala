@@ -399,4 +399,54 @@ class CorpusSpec extends SparkSpec {
     assert(sizes.forall(s => math.abs(s - 600) < 120), sizes.toSeq.sorted)
     intercept[IllegalArgumentException](Corpus.kFold(df, "id", 1))
   }
+
+  test("packWholeDocs: best-fit decreasing fills bins tightly") {
+    import spark.implicits._
+    // ctx=10, sizes 6,5,4,3,2 -> BFD gives two full bins (6+4, 5+3+2);
+    // naive id-order next-fit would need three
+    val docs = Seq((0L, 6L), (1L, 5L), (2L, 4L), (3L, 3L), (4L, 2L))
+      .toDF("doc_id", "tok")
+    val got = Corpus.packWholeDocs(docs, "doc_id", "tok", ctxLen = 10,
+        nShards = 1)
+      .select("bin_id", "id", "n_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._2).sorted.toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    val fills = got.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(fills.values.toSeq.sorted == Seq(10L, 10L), s"fills: $fills")
+  }
+
+  test("packWholeDocs: oversize and exact-fit docs get bins of their own") {
+    import spark.implicits._
+    val docs = Seq((0L, 15L), (1L, 10L), (2L, 3L), (3L, 4L))
+      .toDF("doc_id", "tok")
+    val got = Corpus.packWholeDocs(docs, "doc_id", "tok", ctxLen = 10,
+        nShards = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byBin = got.groupBy(_._1)
+    val binOf = got.map(t => t._2 -> t._1).toMap
+    assert(byBin(binOf(0L)).length == 1, "oversize doc alone in its bin")
+    assert(byBin(binOf(1L)).length == 1, "exact-fit doc alone in its bin")
+    // 3 and 4 share the remaining bin
+    assert(binOf(2L) == binOf(3L))
+    assert(byBin.size == 3)
+  }
+
+  test("packWholeDocs: deterministic, sharded, and within ctxLen") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val docs = (0L until 500L).map(i => (i, 10L + rnd.nextInt(120)))
+      .toDF("doc_id", "tok")
+    def run() = Corpus.packWholeDocs(docs, "doc_id", "tok", ctxLen = 256,
+        nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._3)
+    val a = run()
+    assert(a.toSeq == run().toSeq, "must be deterministic")
+    assert(a.length == 500)
+    assert(a.forall { case (shard, _, id, _) => id % 4 == shard })
+    val fills = a.groupBy(t => (t._1, t._2)).values.map(_.map(_._4).sum)
+    assert(fills.forall(_ <= 256))
+    intercept[IllegalArgumentException](
+      Corpus.packWholeDocs(docs, "doc_id", "tok", 0, 4))
+  }
 }
