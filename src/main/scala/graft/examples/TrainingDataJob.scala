@@ -40,6 +40,7 @@ import graft.ml.{Corpus, Dedup}
   *       [--keep-best] [--group-split]
   *       [--epochs src=w,src=w] [--max-epochs 4]
   *       [--tokenizer bpe|unigram] [--vocab-size 512]
+  *       [--packing chunk|whole]
   */
 class TrainingDataJob(args: Args) extends GraftJob(args) {
 
@@ -71,7 +72,8 @@ class TrainingDataJob(args: Args) extends GraftJob(args) {
         epochWeights = epochWeights,
         maxEpochs = args.getOrElse("max-epochs", "4").toInt,
         tokenizer = args.getOrElse("tokenizer", ""),
-        vocabSize = args.getOrElse("vocab-size", "512").toInt))
+        vocabSize = args.getOrElse("vocab-size", "512").toInt,
+        packing = args.getOrElse("packing", "chunk")))
     r.train.write.partitionBy("source").mode("overwrite").parquet(s"$out/docs")
     r.holdout.write.mode("overwrite").parquet(s"$out/holdout")
     r.manifest.write.mode("overwrite").parquet(s"$out/manifest")
@@ -119,7 +121,16 @@ object TrainingDataJob {
     *    `vocabSize` pieces (merge budget for BPE) on the final train
     *    corpus and encode every doc to integer token ids — the
     *    trainer-ready representation; emits the `tokens` and `vocab`
-    *    outputs.
+    *    outputs;
+    *  - `packing` ("chunk" | "whole"): "chunk" (default) is the
+    *    GPT-style concat-and-chunk manifest ([[graft.ml.Corpus
+    *    .sequenceManifest]] — docs may straddle sequences); "whole"
+    *    is the no-split SFT regime ([[graft.ml.Corpus.binManifest]]
+    *    over best-fit-decreasing [[graft.ml.Corpus.packWholeDocs]] —
+    *    every doc intact in exactly one bin, bins never over `ctxLen`
+    *    unless a single doc alone exceeds it). Same manifest schema
+    *    either way, plus a `fill` column in whole mode for
+    *    padding-fraction audits.
     */
   final case class Stages(
       c4Clean: Boolean = false,
@@ -132,7 +143,8 @@ object TrainingDataJob {
       epochWeights: Map[String, Double] = Map.empty,
       maxEpochs: Int = 4,
       tokenizer: String = "",
-      vocabSize: Int = 512)
+      vocabSize: Int = 512,
+      packing: String = "chunk")
 
   /** Eager lineage cut between assembly stages. Five operator families
     * chained into one logical plan (curate's LSH joins + components
@@ -245,12 +257,17 @@ object TrainingDataJob {
     // domains replayed up to maxEpochs passes; the upsampled stream
     // (one row per doc × epoch) is what gets packed, under a
     // composite id so each epoch's copy lands in its own sequence.
+    def manifestOf(d: DataFrame): DataFrame = stages.packing match {
+      case "chunk" => Corpus.sequenceManifest(d, "doc_id", "tok", ctxLen, nShards)
+      case "whole" => Corpus.binManifest(d, "doc_id", "tok", ctxLen, nShards)
+      case other => throw new IllegalArgumentException(
+        s"unknown packing mode: $other (expected chunk or whole)")
+    }
     val base = if (stages.epochWeights.isEmpty) {
       val mixed = cut(Corpus.mixByBudget(fluent, "doc_id", "source",
         "n_tokens", budget))
-      val manifest = Corpus.sequenceManifest(
-        mixed.select(col("doc_id"), col("n_tokens").cast("long").as("tok")),
-        "doc_id", "tok", ctxLen, nShards)
+      val manifest = manifestOf(
+        mixed.select(col("doc_id"), col("n_tokens").cast("long").as("tok")))
       Assembled(
         train = mixed.select("doc_id", "text", "source", "quality",
           "n_tokens", "cum_tokens"),
@@ -263,11 +280,10 @@ object TrainingDataJob {
       val expanded = cut(fluent.join(
         plan.select("doc_id", "epoch", "n_epochs"), "doc_id"))
       val stride = stages.maxEpochs + 1L
-      val manifest = Corpus.sequenceManifest(
+      val manifest = manifestOf(
         expanded.select(
           (col("doc_id") * stride + col("epoch")).as("doc_id"),
-          col("n_tokens").cast("long").as("tok")),
-        "doc_id", "tok", ctxLen, nShards)
+          col("n_tokens").cast("long").as("tok")))
       Assembled(
         train = expanded.select("doc_id", "text", "source", "quality",
           "n_tokens", "epoch", "n_epochs"),

@@ -299,4 +299,39 @@ class TrainingDataSpec extends SparkSpec {
     }
     graft.ml.Dedup.unpersistPipelineCaches()
   }
+
+  test("whole-doc packing mode: every doc intact in one bin, bins within ctx") {
+    import spark.implicits._
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select("doc_id", "text", "lang", "source")
+    val ctx = 128
+    val r = TrainingDataJob.assemble(docs, lang = "en", minQuality = 0.3,
+      jaccard = 0.7, holdout = 0.2, budget = 100000L, ctxLen = ctx,
+      nShards = 4, stages = TrainingDataJob.Stages(packing = "whole"))
+
+    val trainIds = r.train.select("doc_id").as[Long].collect().toSet
+    // same manifest schema as chunk mode, plus the fill column
+    assert(r.manifest.columns.toSet ==
+      Set("shard", "seq_id", "n_docs", "fill", "doc_ids"))
+    val rows = r.manifest
+      .select(col("n_docs"), col("fill"), col("doc_ids"))
+      .as[(Long, Long, String)].collect()
+    val manifestDocs = rows.flatMap(_._3.split(",").map(_.toLong))
+    // every mixed doc in exactly one bin, nothing invented
+    assert(manifestDocs.length == manifestDocs.distinct.length)
+    assert(manifestDocs.toSet == trainIds)
+    // no multi-doc bin exceeds the context window (a lone oversize
+    // doc may — flagged for downstream truncation)
+    rows.foreach { case (nDocs, fill, ids) =>
+      assert(nDocs == ids.split(",").length.toLong)
+      if (nDocs > 1) assert(fill <= ctx, s"overfull bin: $ids ($fill)")
+    }
+    // rejected mode name
+    intercept[IllegalArgumentException] {
+      TrainingDataJob.assemble(docs, lang = "en", minQuality = 0.3,
+        jaccard = 0.7, holdout = 0.2, budget = 100000L, ctxLen = ctx,
+        nShards = 4, stages = TrainingDataJob.Stages(packing = "nextfit"))
+    }
+    graft.ml.Dedup.unpersistPipelineCaches()
+  }
 }
