@@ -200,6 +200,43 @@ object Corpus {
           transform(array_sort(collect_list(col("id"))),
             i => i.cast("string"))).as("doc_ids"))
 
+  /** Deterministic global training order: assigns every row a dense
+    * 0-based `global_pos` equal to its rank under the md5 permutation
+    * (ORDER BY md5(id), id) — the reproducible corpus-wide shuffle a
+    * trainer consumes so that data order is an artifact of the
+    * dataset, not of the engine run. Any engine replays it.
+    *
+    * Scale shape: NO global range sort. Rows are sharded by the first
+    * `prefixLen` hex chars of their own sort key, so lexicographic
+    * shard order + within-shard (md5, id) order IS the global order;
+    * the global rank is the within-shard `row_number` plus the
+    * cumulative size of lexicographically-smaller shards — a
+    * 16^prefixLen-row aggregate, window-summed in one tiny partition
+    * and broadcast back. One hash exchange + per-shard sort total.
+    * prefixLen=2 → 256-way parallelism; use 3 (4096 shards) on a
+    * 1000-executor cluster.
+    */
+  def orderForTraining(docs: DataFrame, idCol: String,
+      prefixLen: Int = 2): DataFrame = {
+    require(prefixLen >= 1 && prefixLen <= 8,
+      "prefixLen must be in [1, 8]")
+    val ranked = docs
+      .withColumn("__h", placementKey(col(idCol)))
+      .withColumn("__shard", substring(col("__h"), 1, prefixLen))
+      .withColumn("__pos", row_number().over(
+        Window.partitionBy("__shard")
+          .orderBy(col("__h"), col(idCol))).cast("long"))
+    val offsets = ranked.groupBy("__shard")
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(
+        sum("__n").over(Window.orderBy("__shard")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__shard", "__off")
+    ranked.join(broadcast(offsets), "__shard")
+      .withColumn("global_pos", col("__off") + col("__pos") - 1L)
+      .drop("__h", "__shard", "__pos", "__off")
+  }
+
   /** Exact-count stratified sampling: exactly `min(n, |stratum|)`
     * pseudo-random docs per stratum — balanced eval/calibration sets
     * where "10k docs per language" is the spec, vs [[mixByBudget]]'s
@@ -216,6 +253,31 @@ object Corpus {
       .withColumn("sample_rank", row_number().over(w).cast("long"))
       .filter(col("sample_rank") <= n)
       .drop("__h")
+  }
+
+  /** Deterministic weighted sampling WITHOUT replacement
+    * (Efraimidis–Spirakis 2006): each row draws the pseudo-uniform
+    * u(id) = (fibScramble(id)+1) / 2^31 ∈ (0,1] and is ranked by
+    * ln(u)/w — the max-n rows under that key are exactly a weighted
+    * sample without replacement with inclusion odds ∝ `weightCol`.
+    * Replayable by any engine (the uniform is integer arithmetic, not
+    * an RNG); rows with non-positive weight are excluded. Returns the
+    * selected rows + `sample_key`.
+    *
+    * Scale shape: a codegen'd key column + `orderBy(...).limit(n)`,
+    * which Spark plans as TakeOrderedAndProject — per-partition
+    * bounded top-n, merge of n-row heaps, never a global sort. n is
+    * driver-bounded by contract (it is a sample size).
+    */
+  def weightedSample(docs: DataFrame, idCol: String, weightCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    val u = (Profile.fibScramble(col(idCol)) + 1L).cast("double") /
+      2147483648.0
+    docs.filter(col(weightCol) > 0)
+      .withColumn("sample_key", log(u) / col(weightCol))
+      .orderBy(col("sample_key").desc, col(idCol))
+      .limit(n)
   }
 
   /** Snapshot diff between two corpus versions: every id classified

@@ -497,6 +497,90 @@ object Similarity {
       .select("id1", "id2", "cos")
   }
 
+  /** Exact cosine range search: every (query, corpus) pair with
+    * cos ≥ `threshold` — retrieval with a similarity FLOOR rather
+    * than [[bruteForceTopK]]'s fixed k (dedup-against-index,
+    * recall-oriented retrieval, "everything this similar" audits).
+    * Same documented contract as bruteForceTopK: the PROBE side is
+    * collected and broadcast (bounded by contract — a query batch,
+    * not a corpus); the corpus is scanned once with zero shuffle on
+    * it, and only rows ≥ threshold survive the scan, so output, not
+    * candidates, is what the shuffle-back carries. For corpus-vs-
+    * itself radius search use [[cosineNearDuplicates]] (blocked
+    * self-join, no collect); for unbounded query sets go through
+    * [[rangeSearchIvf]].
+    */
+  def rangeSearch(queries: DataFrame, corpus: DataFrame,
+      threshold: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qs = queries.select(col("id"), col("vec")).as[(Long, Array[Float])]
+      .collect().map { case (id, v) => (id, v, VecUtil.norm(v)) }
+    val bq = spark.sparkContext.broadcast(qs)
+    corpus.select(col("id"), col("vec")).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val probes = bq.value
+        it.flatMap { case (cid, cv) =>
+          val cn = VecUtil.norm(cv)
+          probes.iterator.flatMap { case (qid, qv, qn) =>
+            if (qid == cid) None
+            else {
+              val cos = VecUtil.dot(qv, cv) / (qn * cn)
+              if (cos >= threshold) Some((qid, cid, cos)) else None
+            }
+          }
+        }
+      }
+      .toDF("qid", "cid", "cos")
+  }
+
+  /** IVF range search — the unbounded-query-set scale path: corpus
+    * vectors live in their argmax-cosine centroid list (optionally
+    * `corpusAssign`-way soft-assigned), each query probes its
+    * `nProbe` nearest lists, and only probed pairs are scored.
+    * Neither side collects: both assignment scans are broadcast-
+    * centroid maps and the single shuffle is the list-key join.
+    * Approximate exactly like [[ivfTopK]] (a match hiding in an
+    * unprobed list is missed — raise nProbe/corpusAssign for
+    * recall); every returned pair is ≥ threshold with its EXACT
+    * cosine.
+    */
+  def rangeSearchIvf(queries: DataFrame, corpus: DataFrame,
+      threshold: Double, nCentroids: Int = 16, nProbe: Int = 2,
+      seed: Long = 42L, kmeansIters: Int = 2,
+      corpusAssign: Int = 1): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val corpusVecs = graft.core.PipelineCaches.persistTrackedDs(
+      corpus.select(col("id"), col("vec")).as[(Long, Array[Float])])
+    val cents = trainCentroids(corpusVecs, nCentroids, seed, kmeansIters)
+      .zipWithIndex.map { case (v, i) => (i, v, VecUtil.norm(v)) }
+    val bc = spark.sparkContext.broadcast(cents)
+    def assign(n: Int) = (idVec: (Long, Array[Float])) => {
+      val (id, v) = idVec
+      val vn = VecUtil.norm(v)
+      bc.value.map { case (ci, cv, cn) =>
+        (ci, VecUtil.dot(v, cv) / (vn * cn))
+      }.sortBy(-_._2).take(n).toSeq.map { case (ci, _) => (ci, id, v) }
+    }
+    val corpusLists = corpusVecs.flatMap(assign(corpusAssign))
+      .toDF("centroid", "cid", "cvec")
+    val queryLists = queries.select(col("id"), col("vec"))
+      .as[(Long, Array[Float])].flatMap(assign(nProbe))
+      .toDF("centroid", "qid", "qvec")
+    val pairs = corpusLists.join(queryLists, "centroid")
+      .filter(col("qid") =!= col("cid"))
+      .as[(Int, Long, Array[Float], Long, Array[Float])]
+      .flatMap { case (_, cid, cv, qid, qv) =>
+        val cos = VecUtil.dot(qv, cv) / (VecUtil.norm(qv) * VecUtil.norm(cv))
+        if (cos >= threshold) Some((qid, cid, cos)) else None
+      }
+      .toDF("qid", "cid", "cos")
+    // soft assignment / multi-probe can surface a pair via several
+    // shared lists
+    if (corpusAssign > 1 || nProbe > 1) pairs.distinct() else pairs
+  }
+
   /** Assign every corpus vector to its argmax-cosine centroid from an
     * EXPLICIT (cid, cvec) table — the deterministic building block
     * under prototypicality filtering and incremental IVF maintenance.

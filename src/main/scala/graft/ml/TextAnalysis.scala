@@ -387,6 +387,69 @@ object TextAnalysis {
         (col("n") + col("v") * smoothing))).as("nll"))
   }
 
+  /** CCNet-style perplexity bucketing: fit an additively-smoothed
+    * unigram LM PER LANGUAGE (CCNet trains one KenLM per language;
+    * this is its deterministic unigram core), score each document's
+    * mean token NLL under its own language's model, and split each
+    * language's documents into `nBuckets` equal-frequency buckets —
+    * bucket 1 = most fluent (lowest NLL, CCNet's "head"), `nBuckets`
+    * = "tail". Returns (doc_id, lang, nll, bucket); docs with no
+    * tokens are dropped. Deterministic AND engine-replayable: the
+    * split orders by the NLL rounded to 1e-6 (then doc_id) — raw
+    * doubles carry summation-order noise ~1e-13 that would make
+    * bucket boundaries flap between runs/engines, and 1e-6 is far
+    * below any meaningful fluency difference.
+    *
+    * Scale shape: the LM fit + scoring is [[unigramNll]]'s one
+    * token-scan shape with `lang` prepended to every key (counts
+    * shuffle on (lang, token); per-language (N, V) totals broadcast).
+    * The exact equal-frequency split is an `ntile` window — a
+    * range-style sort within each language's partition. That sort is
+    * the one stage that grows with the largest language, so at
+    * 100 TB fit cutoffs on a sample or sketch instead
+    * (`Profile.approxQuantiles` / the mergeable KLL sketch) and
+    * assign with [[bucketByCutoffs]] — a broadcast CASE, no sort.
+    */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+      langCol: String, nBuckets: Int = 3, smoothing: Double = 0.5)
+      : DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+        explode(split(normalize(col(textCol)), " ")).as("tk"))
+      .filter(length(col("tk")) > 0)
+    val tc = tok.groupBy("lang", "tk").agg(count(lit(1)).as("c"))
+    val tot = tc.groupBy("lang").agg(sum("c").as("n"), count(lit(1)).as("v"))
+    val nll = tok.join(tc, Seq("lang", "tk"))
+      .join(broadcast(tot), "lang")
+      .groupBy("doc_id", "lang")
+      .agg(avg(-log((col("c") + smoothing) /
+        (col("n") + col("v") * smoothing))).as("nll"))
+    nll.withColumn("bucket",
+      ntile(nBuckets).over(
+        Window.partitionBy("lang")
+          .orderBy(round(col("nll"), 6), col("doc_id")))
+        .cast("long"))
+  }
+
+  /** Threshold-bucket assignment for pre-fitted cutoffs — the 100 TB
+    * companion to [[perplexityBuckets]]: `cutoffs` (ascending) are
+    * the bucket upper bounds fitted offline (sample, sketch, or a
+    * previous corpus version); every row is assigned bucket
+    * `1 + |{c ∈ cutoffs : c < value}|` in a single codegen'd CASE —
+    * no sort, no shuffle, and stable as the corpus grows (CCNet
+    * freezes its Wikipedia-fitted cutoffs for exactly this reason).
+    */
+  def bucketByCutoffs(scored: DataFrame, valueCol: String,
+      cutoffs: Seq[Double]): DataFrame = {
+    require(cutoffs.nonEmpty && cutoffs == cutoffs.sorted,
+      "cutoffs must be non-empty and ascending")
+    val bucket = cutoffs.foldLeft(lit(1L)) { (acc, c) =>
+      acc + when(col(valueCol) > c, 1L).otherwise(0L)
+    }
+    scored.withColumn("bucket", bucket)
+  }
+
   /** Cross-document n-gram novelty / boilerplate profile: for each
     * document, the fraction of its (normalized-token) n-gram
     * OCCURRENCES that are unique to it in the whole corpus

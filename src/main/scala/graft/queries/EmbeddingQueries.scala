@@ -65,6 +65,23 @@ object EmbeddingQueries extends QueryGroup {
         .orderBy("qid", "cid")
     },
 
+    // exact cosine range search: every (query, corpus) pair at or
+    // above a similarity floor — the threshold companion to
+    // q_ann_bruteforce's fixed-k. Probe batch = vec_id < 10.
+    q("q_ann_range",
+      """SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cos
+        |FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        |WHERE q.vec_id < 10
+        |  AND list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) >= 0.35
+        |ORDER BY qid, cid""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.rangeSearch(e.filter(col("id") < 10), e, 0.35)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("qid", "cid")
+    },
+
     // embedding near-duplicate pairs: exact all-pairs cosine >= 0.9
     // by label block (labels partition the corpus like an IVF coarse
     // quantizer would).

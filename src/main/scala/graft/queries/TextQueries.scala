@@ -85,6 +85,41 @@ object TextQueries extends QueryGroup {
         .orderBy("doc_id")
     },
 
+    // CCNet-style perplexity bucketing: per-LANGUAGE unigram LM,
+    // per-doc mean NLL under the doc's own language model, then an
+    // equal-frequency 3-way split per language (1 = head = most
+    // fluent). The split orders by round(nll, 6) then doc_id on both
+    // sides, so bucket boundaries are engine-replayable.
+    q("q_text_ppl_bucket", {
+      val words = "string_split(trim(regexp_replace(regexp_replace(lower(text), " +
+        "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')"
+      s"""WITH cw AS (
+         |  SELECT doc_id, lang, $words AS w FROM documents
+         |), tok AS (
+         |  SELECT doc_id, lang, tk
+         |  FROM (SELECT doc_id, lang, unnest(w) AS tk FROM cw)
+         |  WHERE strlen(tk) > 0
+         |), tc AS (
+         |  SELECT lang, tk, count(*) AS c FROM tok GROUP BY lang, tk
+         |), tot AS (
+         |  SELECT lang, sum(c) AS n, count(*) AS v FROM tc GROUP BY lang
+         |), nll AS (
+         |  SELECT doc_id, lang, avg(-ln((c + 0.5) / (n + 0.5 * v))) AS nll
+         |  FROM tok JOIN tc USING (lang, tk) JOIN tot USING (lang)
+         |  GROUP BY doc_id, lang
+         |)
+         |SELECT doc_id, lang,
+         |  CAST(ntile(3) OVER (PARTITION BY lang
+         |    ORDER BY round(nll, 6), doc_id) AS BIGINT) AS bucket,
+         |  round(nll, 6) AS nll
+         |FROM nll ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      TA.perplexityBuckets(t(s, dir, "documents"), "doc_id", "text", "lang")
+        .select(col("doc_id"), col("lang"), col("bucket"),
+          round(col("nll"), 6).as("nll"))
+        .orderBy("doc_id")
+    },
+
     // cross-document n-gram novelty / boilerplate profile: per doc,
     // the fraction of its 3-gram occurrences unique in the corpus and
     // the fraction appearing in >= 3 distinct docs — the template/
@@ -930,6 +965,46 @@ object TextQueries extends QueryGroup {
       graft.ml.Corpus.mixByBudget(docs, "doc_id", "source", "tok",
           tokenBudget = 800L)
         .select("doc_id", "source", "tok", "cum_tokens")
+        .orderBy("doc_id")
+    },
+
+    // weighted sampling without replacement (Efraimidis–Spirakis):
+    // rank by ln(u)/w with the integer-arithmetic pseudo-uniform
+    // u = (fibScramble(id)+1)/2^31, take the top 50 — inclusion odds
+    // proportional to the weight (here doc length + 1), deterministic
+    // and engine-replayable.
+    q("q_corpus_weighted_sample",
+      """SELECT doc_id, w, sample_key FROM (
+        |  SELECT doc_id, CAST(length(text) + 1 AS BIGINT) AS w,
+        |    round(ln(((doc_id % 2147483647) * 1327217885 % 2147483647 + 1)
+        |      / 2147483648.0) / (length(text) + 1), 6) AS sample_key,
+        |    ln(((doc_id % 2147483647) * 1327217885 % 2147483647 + 1)
+        |      / 2147483648.0) / (length(text) + 1) AS raw_key
+        |  FROM documents
+        |  ORDER BY raw_key DESC, doc_id LIMIT 50
+        |) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.ml.Corpus.weightedSample(
+          t(s, dir, "documents")
+            .select(col("doc_id"), (length(col("text")) + 1L).as("w")),
+          "doc_id", "w", n = 50)
+        .select(col("doc_id"), col("w").cast("long").as("w"),
+          round(col("sample_key"), 6).as("sample_key"))
+        .orderBy("doc_id")
+    },
+
+    // deterministic global training order: rank under the md5
+    // permutation, computed WITHOUT a global sort (hash-prefix
+    // shards + broadcast offsets); the oracle is the plain global
+    // ROW_NUMBER the construction must equal.
+    q("q_corpus_train_order",
+      """SELECT doc_id,
+        |  CAST(ROW_NUMBER() OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+        |    AS BIGINT) AS global_pos
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.ml.Corpus.orderForTraining(
+          t(s, dir, "documents").select("doc_id"), "doc_id")
+        .select("doc_id", "global_pos")
         .orderBy("doc_id")
     },
 

@@ -449,4 +449,54 @@ class CorpusSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Corpus.packWholeDocs(docs, "doc_id", "tok", 0, 4))
   }
+
+  test("orderForTraining: dense md5-permutation ranks, prefix-shard == global sort") {
+    import spark.implicits._
+    val ids = (0L until 300L).toDF("doc_id")
+    val got = Corpus.orderForTraining(ids, "doc_id", prefixLen = 2)
+      .select("doc_id", "global_pos")
+      .as[(Long, Long)].collect().toMap
+    // dense 0..n-1
+    assert(got.values.toSeq.sorted == (0L until 300L).toList)
+    // equals the direct global sort by (md5(id), id)
+    val expect = (0L until 300L)
+      .sortBy(id => (java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString, id))
+      .zipWithIndex.map { case (id, i) => id -> i.toLong }.toMap
+    assert(got == expect)
+    // different prefix lengths agree (the shard scheme is internal)
+    val got1 = Corpus.orderForTraining(ids, "doc_id", prefixLen = 1)
+      .select("doc_id", "global_pos").as[(Long, Long)].collect().toMap
+    assert(got1 == got)
+    intercept[IllegalArgumentException](
+      Corpus.orderForTraining(ids, "doc_id", prefixLen = 0))
+  }
+
+  test("weightedSample: exact E-S replay, weight bias, no replacement") {
+    import spark.implicits._
+    def fib(id: Long) = (id % 2147483647L) * 1327217885L % 2147483647L
+    // 200 light rows (w=1) + one heavy row (w=10000)
+    val rows = (0L until 200L).map(i => (i, 1L)) :+ (999L, 10000L)
+    val df = rows.toDF("id", "w")
+    val got = Corpus.weightedSample(df, "id", "w", n = 20)
+      .select("id", "w").as[(Long, Long)].collect().sortBy(_._1)
+    // exact driver-side replay of the key ranking
+    val expect = rows
+      .map { case (id, w) =>
+        (id, w, math.log((fib(id) + 1).toDouble / 2147483648.0) / w)
+      }
+      .sortBy { case (id, _, k) => (-k, id) }.take(20)
+      .map(t => (t._1, t._2)).sortBy(_._1)
+    assert(got.toSeq == expect)
+    // no duplicates; the heavy row is (nearly surely) included
+    assert(got.map(_._1).distinct.length == got.length)
+    assert(got.exists(_._1 == 999L), "weight-10000 row missed")
+    // non-positive weights are excluded entirely
+    val withZero = (rows :+ (998L, 0L) :+ (997L, -3L)).toDF("id", "w")
+    val ids = Corpus.weightedSample(withZero, "id", "w", n = 300)
+      .select("id").as[Long].collect().toSet
+    assert(!ids.contains(998L) && !ids.contains(997L))
+    intercept[IllegalArgumentException](Corpus.weightedSample(df, "id", "w", 0))
+  }
 }

@@ -230,6 +230,41 @@ class MlSpec extends SparkSpec {
     assert(recall >= 0.4, s"LSH recall too low: $recall")
   }
 
+  test("rangeSearchIvf returns a high-recall exact-cosine subset of rangeSearch") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextGaussian()))
+    val vecs = (0 until 120).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat))
+    }
+    val df = vecs.toDF("id", "vec")
+    val queries = df.filter(col("id") < 8)
+    val thr = 0.9
+    val exact = Similarity.rangeSearch(queries, df, thr).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exactPairs = exact.map(t => (t._1, t._2)).toSet
+    assert(exactPairs.nonEmpty, "fixture must produce matches")
+    // threshold honored and self-pairs excluded on the exact path
+    assert(exact.forall(_._3 >= thr))
+    assert(exact.forall(t => t._1 != t._2))
+    val ivf = Similarity.rangeSearchIvf(queries, df, thr,
+      nCentroids = 8, nProbe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ivfPairs = ivf.map(t => (t._1, t._2))
+    // no duplicate pairs, every returned pair is an exact-threshold
+    // match with the exact cosine
+    assert(ivfPairs.distinct.length == ivfPairs.length)
+    val exactCos = exact.map(t => (t._1, t._2) -> t._3).toMap
+    ivf.foreach { case (q, c, cos) =>
+      assert(exactCos.contains((q, c)), s"pair ($q,$c) not in exact set")
+      assert(math.abs(exactCos((q, c)) - cos) < 1e-12)
+    }
+    val recall = ivfPairs.toSet.size.toDouble / exactPairs.size
+    assert(recall >= 0.8, s"IVF range recall too low: $recall")
+    graft.ml.Dedup.unpersistPipelineCaches()
+  }
+
   test("language ID on real-language samples") {
     import spark.implicits._
     val samples = Seq(
@@ -644,5 +679,58 @@ class MlSpec extends SparkSpec {
     Expectations.assertAll(
       Expectations.report(df, Seq(Expect.notNull("flag"))))
     intercept[IllegalArgumentException](Expectations.report(df, Seq.empty))
+  }
+
+  test("perplexityBuckets: per-language LM, equal-frequency split, head < tail") {
+    import spark.implicits._
+    // six English docs: three from common vocabulary, three injecting
+    // rare tokens; one French doc must be scored under ITS OWN model
+    // (its tokens are unseen in English and vice versa)
+    val d = Seq(
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "the dog sat on the mat", "en"),
+      (3L, "the cat and the dog sat", "en"),
+      (4L, "zyx wvu tsr qpo nml kji", "en"),
+      (5L, "the cat sat zyx wvu on", "en"),
+      (6L, "the mat and the cat sat", "en"),
+      (7L, "le chat dort sur le tapis", "fr")).toDF("doc_id", "text", "lang")
+    val got = TA.perplexityBuckets(d, "doc_id", "text", "lang", nBuckets = 3)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("lang"), r.getAs[Double]("nll"),
+          r.getAs[Long]("bucket"))).toMap
+    // 6 en docs over 3 buckets -> 2 per bucket; fr alone in bucket 1
+    val en = got.filter(_._2._1 == "en").values
+    assert(en.groupBy(_._3).view.mapValues(_.size).toMap ==
+      Map(1L -> 2, 2L -> 2, 3L -> 2))
+    assert(got(7L)._3 == 1L)
+    // the all-rare doc is tail; within a language, buckets are ordered
+    // by NLL (head's max <= tail's min)
+    assert(got(4L)._3 == 3L)
+    val byBucket = en.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBucket(1L).max <= byBucket(2L).min + 1e-12)
+    assert(byBucket(2L).max <= byBucket(3L).min + 1e-12)
+    // the French doc's NLL reflects the 6-token fr corpus, not the en LM:
+    // fr counts: le=2 others=1, N=6 V=5 -> denom = 6 + 2.5 = 8.5
+    def p(c: Double) = (c + 0.5) / 8.5
+    val expFr = -(2 * math.log(p(2)) + 4 * math.log(p(1))) / 6
+    assert(math.abs(got(7L)._2 - expFr) < 1e-9)
+    intercept[IllegalArgumentException](
+      TA.perplexityBuckets(d, "doc_id", "text", "lang", nBuckets = 0))
+  }
+
+  test("bucketByCutoffs assigns by threshold with no sort, rejects bad cutoffs") {
+    import spark.implicits._
+    val d = Seq((1L, 0.5), (2L, 1.0), (3L, 1.5), (4L, 9.9))
+      .toDF("id", "nll")
+    val got = TA.bucketByCutoffs(d, "nll", Seq(1.0, 2.0))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("bucket")).toMap
+    // <=1.0 -> 1, (1,2] -> 2, >2 -> 3 (boundary value stays in the
+    // lower bucket)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    intercept[IllegalArgumentException](
+      TA.bucketByCutoffs(d, "nll", Seq(2.0, 1.0)))
+    intercept[IllegalArgumentException](
+      TA.bucketByCutoffs(d, "nll", Seq.empty))
   }
 }
