@@ -307,6 +307,52 @@ object MatrixQueries extends QueryGroup {
       ranked.elemWiseOp(ranked.binarizeAs(1.0))((a, b) => a - b).df
         .select(col("row"), col("col"), col("val"))
         .orderBy("row", "col")
+    },
+
+    // degree-oriented triangle counting on the part co-purchase graph
+    // (parts sharing an order are adjacent): per-node degree, triangle
+    // participation, and local clustering coefficient. The engine's
+    // wedge volume is bounded O(m^1.5) by the degree orientation; the
+    // oracle enumerates each a<b<c triangle once via the canonical
+    // edge 3-way join.
+    q("q_graph_triangles",
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |), e AS (
+        |  SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+        |), deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        |    SELECT u AS node FROM e UNION ALL SELECT v FROM e
+        |  ) GROUP BY node
+        |), tri AS (
+        |  SELECT ab.u AS a, ab.v AS b, bc.v AS c
+        |  FROM e ab JOIN e bc ON ab.v = bc.u
+        |    JOIN e ac ON ac.u = ab.u AND ac.v = bc.v
+        |), pernode AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+        |    SELECT a AS node FROM tri
+        |    UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri
+        |  ) GROUP BY node
+        |)
+        |SELECT deg.node, deg.degree,
+        |  coalesce(pernode.triangles, 0) AS triangles,
+        |  round(CASE WHEN deg.degree < 2 THEN 0.0
+        |    ELSE coalesce(pernode.triangles, 0) * 2.0
+        |      / (deg.degree * (deg.degree - 1)) END, 6) AS clustering_coeff
+        |FROM deg LEFT JOIN pernode USING (node)
+        |ORDER BY node""".stripMargin) { (s, dir) =>
+      val items = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = items.alias("a").join(items.alias("b"), Seq("o"))
+        .filter(col("a.p") < col("b.p"))
+        .select(col("a.p").as("src"), col("b.p").as("dst"))
+      graft.graph.Graphs.triangleCounts(edges)
+        .select(col("node"), col("degree"), col("triangles"),
+          round(col("clustering_coeff"), 6).as("clustering_coeff"))
+        .orderBy("node")
     }
   )
 }

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph.Graphs
+
+/** Degree-oriented triangle counting vs brute-force enumeration. */
+class GraphsSpec extends SparkSpec {
+
+  test("triangleCounts: K4 plus a pendant — known counts and coefficients") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (every node in 3 triangles, cc = 1.0) plus
+    // pendant 5-1 (node 1 gains a degree but no triangle); edges fed
+    // unordered with duplicates and a self-loop to exercise
+    // canonicalization
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L), (5L, 1L), (3L, 3L)).toDF("src", "dst")
+    val got = Graphs.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got(1L) == ((4L, 3L, 0.5)))          // 3 of C(4,2)=6 pairs close
+    assert(got(2L) == ((3L, 3L, 1.0)))
+    assert(got(3L) == ((3L, 3L, 1.0)))
+    assert(got(4L) == ((3L, 3L, 1.0)))
+    assert(got(5L) == ((1L, 0L, 0.0)))          // degree < 2 -> 0.0
+    val sum = Graphs.triangleSummary(edges).head()
+    assert(sum.getAs[Long]("n_triangles") == 4L)
+    assert(sum.getAs[Long]("n_nodes") == 5L)
+    assert(sum.getAs[Long]("n_edges") == 7L)
+    // transitivity: 3*4=12 closed wedges over 4*3+3*2*3+1*0... =
+    // sum deg(deg-1) = 12+6+6+6+0 = 30 wedges*2 -> 12*2/30? formula:
+    // 2*sum(tri)/sum(deg*(deg-1)) = 2*12/30 = 0.8
+    assert(math.abs(sum.getAs[Double]("global_clustering") - 0.8) < 1e-12)
+  }
+
+  test("triangleCounts equals brute force on random graphs incl. a hub") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // G(60, 0.12) plus a hub node 99 wired to 30 nodes — the skew
+    // case degree orientation exists for
+    val base = for {
+      i <- 0 until 60; j <- (i + 1) until 60
+      if rnd.nextDouble() < 0.12
+    } yield (i.toLong, j.toLong)
+    val hub = (0 until 30).map(i => (99L, (i * 2).toLong))
+    val all = base ++ hub
+    val got = Graphs.triangleCounts(all.toDF("src", "dst")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    // brute force
+    val adj = all.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = adj.keySet.toSeq.sorted
+    val triOf = nodes.map { n =>
+      val nb = adj(n).toSeq
+      n -> (for {
+        i <- nb.indices.iterator; j <- (i + 1) until nb.length
+        if adj(nb(i)).contains(nb(j))
+      } yield 1).sum.toLong
+    }.toMap
+    assert(got.keySet == nodes.toSet)
+    nodes.foreach { n =>
+      assert(got(n)._1 == adj(n).size.toLong, s"degree of $n")
+      assert(got(n)._2 == triOf(n), s"triangles of $n")
+    }
+  }
+}
