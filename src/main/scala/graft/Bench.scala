@@ -76,7 +76,14 @@ object Bench {
     "q_corpus_domain_cap",
     // round-13: IVF-PQ ANN (coarse lists + residual PQ codes + ADC
     // probe scan + exact re-rank of the shortlist)
-    "q_ann_ivfpq")
+    "q_ann_ivfpq",
+    // round-14: CCNet perplexity bucketing (per-language LM + ntile),
+    // sort-free global training order, whole-doc BFD packing, and
+    // degree-oriented triangle counting on the co-purchase graph
+    "q_text_ppl_bucket",
+    "q_corpus_train_order",
+    "q_corpus_pack_fit",
+    "q_graph_triangles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
