@@ -1324,11 +1324,28 @@ object TextQueries extends QueryGroup {
       } finally feats.unpersist(blocking = false)
     },
 
-    // Aho-Corasick multi-pattern blocklist scan: one broadcast
-    // automaton, one corpus pass, per-(doc, pattern) occurrence
-    // counts. The oracle replays each NON-SELF-OVERLAPPING pattern's
-    // count with the replace-length identity (occurrences counted at
-    // every end position coincide with it exactly for such patterns).
+    // learned multiclass quality-TIER classifier (keep / down-weight
+    // / drop routing): QualityModel's scan-time features, 3-way tier
+    // label on the same composite (distant supervision), 2 full-batch
+    // softmax-GD steps — one tiny K·D aggregate per step — then a
+    // codegen'd scoring scan. The oracle replays the identical
+    // trainer as unrolled SQL (15 weight columns per CTE level).
+    q("q_text_quality_tiers", TextQueries.softmaxTierOracleSql(2, 2.0)) {
+      (s, dir) =>
+      import graft.ml.{QualityModel, Softmax}
+      val feats = Softmax.qualityTierFeaturize(
+        t(s, dir, "documents"), "text").persist()
+      try {
+        val w = Softmax.train(feats, QualityModel.featureNames, "y",
+          k = 3, iters = 2, lr = 2.0)
+        val scored = Softmax.score(feats, QualityModel.featureNames, w)
+        scored.select(
+          Seq(col("doc_id"), col("y"), col("pred")) ++
+            (0 until 3).map(k => round(col(s"p_$k"), 6).as(s"p_$k")): _*)
+          .orderBy("doc_id")
+      } finally feats.unpersist(blocking = false)
+    },
+
     // whole-doc best-fit-decreasing packing (the no-split SFT regime):
     // per-shard contract — every doc placed exactly once, every
     // multi-doc bin within ctxLen, and BFD never uses more bins than
@@ -1384,6 +1401,11 @@ object TextQueries extends QueryGroup {
         .orderBy("shard")
     },
 
+    // Aho-Corasick multi-pattern blocklist scan: one broadcast
+    // automaton, one corpus pass, per-(doc, pattern) occurrence
+    // counts. The oracle replays each NON-SELF-OVERLAPPING pattern's
+    // count with the replace-length identity (occurrences counted at
+    // every end position coincide with it exactly for such patterns).
     q("q_text_blocklist",
       """SELECT doc_id, p AS pattern,
         |  CAST((strlen(text) - strlen(replace(text, p, ''))) / strlen(p)
@@ -1404,6 +1426,88 @@ object TextQueries extends QueryGroup {
     * scoring projection. Chained CTEs are MATERIALIZED (inlining
     * doubles work per stage).
     */
+  /** DuckDB SQL replaying [[graft.ml.Softmax]]'s K=3 quality-TIER
+    * classifier exactly: [[graft.ml.QualityModel]]'s scan-time
+    * features, a 3-way tier label thresholded on the same composite
+    * quality score (distant supervision, the multiclass analogue of
+    * the binary model's y), zero init, `iters` full-batch softmax-GD
+    * steps unrolled as CTE levels (15 weight columns per level), then
+    * max-subtracted softmax scoring and lowest-argmax prediction.
+    */
+  def softmaxTierOracleSql(iters: Int, lr: Double): String = {
+    val toks = "string_split_regex(trim(text), '\\s+')"
+    val nw = s"len($toks)"
+    val stopList =
+      "['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this']"
+    val composite =
+      s"""(CASE WHEN $nw BETWEEN 10 AND 100000 THEN 1.0::DOUBLE ELSE 0.3 END * 0.3
+         |       + CASE WHEN list_aggregate(list_transform($toks, w -> strlen(w)), 'sum')
+         |           * 1.0::DOUBLE / $nw BETWEEN 2.0 AND 12.0 THEN 1.0::DOUBLE ELSE 0.4 END * 0.2
+         |       + CASE WHEN len(list_filter($toks, w -> list_contains($stopList, lower(w))))
+         |           * 1.0::DOUBLE / $nw > 0.05 THEN 1.0::DOUBLE ELSE 0.6 END * 0.3
+         |       + CASE WHEN len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) * 1.0::DOUBLE
+         |           / strlen(text) < 0.2 THEN 1.0::DOUBLE ELSE 0.5 END * 0.2)""".stripMargin
+    val feat =
+      s"""feat AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    1.0::DOUBLE AS f0,
+         |    $nw / 100.0 AS f1,
+         |    list_aggregate(list_transform($toks, w -> strlen(w)), 'sum')
+         |      * 1.0::DOUBLE / $nw AS f2,
+         |    len(list_filter($toks, w -> list_contains($stopList, lower(w))))
+         |      * 1.0::DOUBLE / $nw AS f3,
+         |    len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) * 1.0::DOUBLE
+         |      / strlen(text) AS f4,
+         |    CASE WHEN $composite >= 0.9 THEN 2
+         |         WHEN $composite >= 0.6 THEN 1 ELSE 0 END AS y
+         |  FROM documents
+         |)""".stripMargin
+    val ks = 0 until 3
+    val fs = (0 to 4).map(d => s"f$d")
+    def zk(w: String, k: Int) =
+      fs.zipWithIndex.map { case (f, d) => s"$w.w_${k}_$d * $f" }
+        .mkString(" + ")
+    val it0 = s"it0 AS (SELECT ${ks.flatMap(k =>
+      fs.indices.map(d => s"0.0::DOUBLE AS w_${k}_$d")).mkString(", ")})"
+    def pk(w: String, k: Int) =
+      s"(exp((${zk(w, k)}) - zm) / (${ks.map(j =>
+        s"exp((${zk(w, j)}) - zm)").mkString(" + ")}))"
+    val steps = (1 to iters).map { i =>
+      val g =
+        s"""g$i AS MATERIALIZED (
+           |  SELECT ${ks.flatMap(k => fs.zipWithIndex.map { case (f, d) =>
+                s"sum((${pk("w", k)} - CASE WHEN y = $k THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) * $f) / count(*) AS d_${k}_$d"
+              }).mkString(", ")}
+           |  FROM (SELECT feat.*, greatest(${ks.map(k => s"(${zk("w", k)})")
+                .mkString(", ")}) AS zm FROM feat, it${i - 1} w), it${i - 1} w
+           |)""".stripMargin
+      val it =
+        s"""it$i AS (
+           |  SELECT ${ks.flatMap(k => fs.indices.map(d =>
+                s"w.w_${k}_$d - $lr * g.d_${k}_$d AS w_${k}_$d"))
+                .mkString(", ")}
+           |  FROM it${i - 1} w, g$i g
+           |)""".stripMargin
+      s"$g, $it"
+    }
+    val kMax = ks.last
+    val predCase = (ks.init.map { k =>
+      val later = (k + 1 to kMax).map(j => s"p_$k >= p_$j").mkString(" AND ")
+      s"WHEN $later THEN $k"
+    } :+ s"ELSE $kMax").mkString(" ")
+    s"""WITH $feat, $it0, ${steps.mkString(", ")}
+       |SELECT doc_id, y,
+       |  CAST(CASE $predCase END AS INT) AS pred,
+       |  ${ks.map(k => s"round(p_$k, 6) AS p_$k").mkString(", ")}
+       |FROM (
+       |  SELECT doc_id, y, ${ks.map(k => s"${pk("w", k)} AS p_$k")
+            .mkString(", ")}
+       |  FROM (SELECT feat.*, greatest(${ks.map(k => s"(${zk("w", k)})")
+            .mkString(", ")}) AS zm FROM feat, it$iters w), it$iters w
+       |)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def qualityModelOracleSql(iters: Int, lr: Double): String = {
     val toks = "string_split_regex(trim(text), '\\s+')"
     val nw = s"len($toks)"
