@@ -203,6 +203,50 @@ object ExtrasQueries extends QueryGroup {
           floor(col("skew_vs_uniform") * 100 + 0.5) / 100)
     },
 
+    // distribution-drift report: frozen-cutoff bucketing of baseline
+    // (all docs) vs current (every third doc), Laplace-smoothed
+    // fractions, per-bucket PSI/KL/TVD terms — the ingest monitor.
+    q("q_profile_drift", {
+      val cuts = Seq(100, 200, 400, 800)
+      val bucket = "1 + " + cuts.map(c =>
+        s"(CASE WHEN n_chars > $c THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH bc AS (
+         |  SELECT $bucket AS bucket, count(*) AS base_n
+         |  FROM documents GROUP BY 1
+         |), cc AS (
+         |  SELECT $bucket AS bucket, count(*) AS cur_n
+         |  FROM documents WHERE doc_id % 3 = 0 GROUP BY 1
+         |), j AS (
+         |  SELECT coalesce(bc.bucket, cc.bucket) AS bucket,
+         |    coalesce(base_n, 0) AS base_n, coalesce(cur_n, 0) AS cur_n
+         |  FROM bc FULL OUTER JOIN cc ON bc.bucket = cc.bucket
+         |), t AS (
+         |  SELECT *,
+         |    (base_n + 0.5) / (sum(base_n) OVER () + 2.5) AS bf,
+         |    (cur_n + 0.5) / (sum(cur_n) OVER () + 2.5) AS cf
+         |  FROM j
+         |)
+         |SELECT CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(base_n AS BIGINT) AS base_n, CAST(cur_n AS BIGINT) AS cur_n,
+         |  round(bf, 6) AS base_frac, round(cf, 6) AS cur_frac,
+         |  round((cf - bf) * ln(cf / bf), 6) + 0.0 AS psi_term,
+         |  round(cf * ln(cf / bf), 6) + 0.0 AS kl_term,
+         |  round(abs(cf - bf) / 2, 6) AS tv_term
+         |FROM t ORDER BY bucket""".stripMargin
+    }) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.ml.Profile.driftReport(docs,
+          docs.filter(col("doc_id") % 3 === 0), "n_chars",
+          Seq(100.0, 200.0, 400.0, 800.0))
+        .select(col("bucket"), col("base_n"), col("cur_n"),
+          round(col("base_frac"), 6).as("base_frac"),
+          round(col("cur_frac"), 6).as("cur_frac"),
+          (round(col("psi_term"), 6) + 0.0).as("psi_term"),
+          (round(col("kl_term"), 6) + 0.0).as("kl_term"),
+          round(col("tv_term"), 6).as("tv_term"))
+        .orderBy("bucket")
+    },
+
     // one-pass approximate quantiles: rank-error contract (the
     // quantile's true rank within accuracy bounds), checked by
     // re-counting — the oracle asserts the bound holds.

@@ -185,4 +185,45 @@ class ExtrasSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       graft.ml.Profile.madOutliers(df, Seq.empty, "v"))
   }
+
+  test("driftReport: hand-computed PSI/KL/TVD, zero drift on identical data") {
+    import spark.implicits._
+    import graft.ml.Profile
+    // baseline: 4 low + 4 high; current: 2 low + 6 high; one cut at 10
+    val base = Seq(1.0, 2.0, 3.0, 4.0, 11.0, 12.0, 13.0, 14.0).toDF("v")
+    val cur = Seq(1.0, 2.0, 11.0, 12.0, 13.0, 14.0, 15.0, 16.0).toDF("v")
+    val rows = Profile.driftReport(base, cur, "v", Seq(10.0))
+      .collect().map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Double]("base_frac"), r.getAs[Double]("cur_frac"),
+          r.getAs[Double]("psi_term"), r.getAs[Double]("kl_term"),
+          r.getAs[Double]("tv_term"))).toMap
+    // smoothed fracs: (4+0.5)/(8+1) = 0.5 both buckets baseline;
+    // current (2+0.5)/9 and (6+0.5)/9
+    val (b1, c1) = (4.5 / 9, 2.5 / 9)
+    val (b2, c2) = (4.5 / 9, 6.5 / 9)
+    assert(math.abs(rows(1L)._1 - b1) < 1e-12)
+    assert(math.abs(rows(1L)._2 - c1) < 1e-12)
+    assert(math.abs(rows(1L)._3 - (c1 - b1) * math.log(c1 / b1)) < 1e-12)
+    assert(math.abs(rows(2L)._4 - c2 * math.log(c2 / b2)) < 1e-12)
+    assert(math.abs(rows(1L)._5 - math.abs(c1 - b1) / 2) < 1e-12)
+    // summary sums the terms
+    val sumRow = Profile.driftSummary(base, cur, "v", Seq(10.0)).head()
+    assert(math.abs(sumRow.getAs[Double]("psi") -
+      (rows(1L)._3 + rows(2L)._3)) < 1e-12)
+    assert(math.abs(sumRow.getAs[Double]("tvd") -
+      (rows(1L)._5 + rows(2L)._5)) < 1e-12)
+    // identical snapshots: every term is exactly zero
+    val zero = Profile.driftSummary(base, base, "v", Seq(5.0, 10.0)).head()
+    assert(zero.getAs[Double]("psi") == 0.0)
+    assert(zero.getAs[Double]("kl") == 0.0)
+    assert(zero.getAs[Double]("tvd") == 0.0)
+    // an empty current bucket stays finite thanks to smoothing
+    val allLow = Seq(1.0, 2.0, 3.0).toDF("v")
+    val fin = Profile.driftSummary(base, allLow, "v", Seq(10.0)).head()
+    assert(!fin.getAs[Double]("psi").isNaN && !fin.getAs[Double]("psi").isInfinite)
+    intercept[IllegalArgumentException](
+      Profile.driftReport(base, cur, "v", Seq(10.0, 5.0)))
+    intercept[IllegalArgumentException](
+      Profile.driftReport(base, cur, "v", Seq.empty))
+  }
 }
