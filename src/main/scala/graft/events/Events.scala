@@ -119,6 +119,55 @@ object Events {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Windowed trending report: for each tumbling `windowSec` window,
+    * the top-`k` event types by count (ties to the lexicographically
+    * first type), each with its count, dense 1-based `rank`, the
+    * previous window's count for the same type (0 when absent) and
+    * the `lift` ratio count/prev (null for a new entrant) — "what is
+    * big right now and is it rising".
+    *
+    * Scale shape: one hash aggregate to (window, type) counts with
+    * map-side partials, then a bounded-PQ top-k AGGREGATOR per window
+    * (partial top-k before the exchange — never a per-window sort of
+    * all types, so a high-cardinality type column — item ids, urls —
+    * cannot blow up a window partition), and one skinny join of the
+    * k·windows winners back to the counts table for the previous
+    * window's number.
+    */
+  def trending(events: DataFrame, secCol: String, typeCol: String,
+      windowSec: Long, k: Int): DataFrame = {
+    require(windowSec > 0 && k > 0, "windowSec and k must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val counts = events
+      .select(col(secCol).cast("long").as("__sec"),
+        col(typeCol).as("etype"))
+      .select(expr(s"__sec div ${windowSec}L").as("win"), col("etype"))
+      .groupBy("win", "etype").agg(count(lit(1)).as("n"))
+      .persist()
+    implicit val topOrd: Ordering[(Long, String)] =
+      Ordering.by[(Long, String), (Long, String)](p => (-p._1, p._2))(
+        Ordering.Tuple2(Ordering.Long, Ordering.String))
+    val top = new graft.typed.Grouped(
+        counts.select(col("win"), col("n"), col("etype"))
+          .as[(Long, Long, String)]
+          .map { case (w, n, t) => (w, (n, t)) })
+      .sortedTake(k)
+      .ds.flatMap { case (w, tops) =>
+        tops.zipWithIndex.map { case ((n, t), i) => (w, t, n, i + 1L) }
+      }
+      .toDF("win", "etype", "n", "rank")
+    val out = top
+      .join(counts.select((col("win") + 1L).as("win"), col("etype"),
+        col("n").as("prev_n")), Seq("win", "etype"), "left")
+      .select(col("win"), col("etype"), col("n"), col("rank"),
+        coalesce(col("prev_n"), lit(0L)).as("prev_n"),
+        when(col("prev_n").isNotNull,
+          col("n").cast("double") / col("prev_n")).as("lift"))
+    counts.unpersist(blocking = false)
+    out
+  }
+
   /** Cohort retention grid: users are cohorted by the period of their
     * FIRST `anchorType` event (period = floor(sec / periodSec)), and
     * counted in (cohort, period-offset p) when they have any

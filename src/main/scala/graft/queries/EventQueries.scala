@@ -231,6 +231,37 @@ object EventQueries extends QueryGroup {
         .orderBy("hour", "event_type")
     },
 
+    // windowed trending: per-hour top-3 event types by count with the
+    // previous hour's count and the lift ratio (null for entrants) —
+    // bounded-PQ top-k per window in the engine, never a full
+    // per-window sort.
+    q("q_events_trending",
+      """WITH s AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_type
+        |  FROM events
+        |), c AS (
+        |  SELECT sec // 3600 AS win, event_type AS etype, count(*) AS n
+        |  FROM s GROUP BY 1, 2
+        |), r AS (
+        |  SELECT win, etype, n, CAST(row_number() OVER (
+        |    PARTITION BY win ORDER BY n DESC, etype) AS BIGINT) AS rank
+        |  FROM c
+        |)
+        |SELECT r.win, r.etype, r.n, r.rank,
+        |  coalesce(p.n, 0) AS prev_n,
+        |  round(r.n * 1.0::DOUBLE / p.n, 6) AS lift
+        |FROM r LEFT JOIN c p ON p.win = r.win - 1 AND p.etype = r.etype
+        |WHERE r.rank <= 3
+        |ORDER BY r.win, r.rank""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      graft.events.Events.trending(
+          ev.withColumn("sec", Ts.seconds(ev)), "sec", "event_type",
+          windowSec = 3600L, k = 3)
+        .select(col("win"), col("etype"), col("n"), col("rank"),
+          col("prev_n"), round(col("lift"), 6).as("lift"))
+        .orderBy("win", "rank")
+    },
+
     // JSON column extraction (JsonLine, FileSource.scala:450-503):
     // pull a field out of the props JSON string.
     q("q_events_json",

@@ -126,4 +126,25 @@ class EventsSpec extends SparkSpec {
     assert(sk.n == 4L)
     assert(sk.quantile(1.0) == 20.0 && sk.quantile(0.0) == 0.0)
   }
+
+  test("trending: per-window top-k with prev counts and lift") {
+    import spark.implicits._
+    // window 10s: win0 = a:3 b:2 c:1, win1 = b:4 a:1 d:1
+    val ev = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"), (6L, "c"),
+      (11L, "b"), (12L, "b"), (13L, "b"), (14L, "b"), (15L, "a"), (16L, "d"))
+      .toDF("sec", "etype")
+    val got = graft.events.Events.trending(ev, "sec", "etype",
+        windowSec = 10L, k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          Option(r.get(5)).map(_.asInstanceOf[Double]))).toMap
+    assert(got.keySet == Set((0L, "a"), (0L, "b"), (1L, "b"), (1L, "a")))
+    assert(got((0L, "a")) == ((3L, 1L, 0L, None)))      // entrant: no lift
+    assert(got((0L, "b")) == ((2L, 2L, 0L, None)))
+    assert(got((1L, "b")) == ((4L, 1L, 2L, Some(2.0)))) // rising 2 -> 4
+    assert(got((1L, "a")) == ((1L, 2L, 3L, Some(1.0 / 3.0))))
+    intercept[IllegalArgumentException](
+      graft.events.Events.trending(ev, "sec", "etype", 0L, 2))
+  }
 }
