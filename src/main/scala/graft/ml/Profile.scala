@@ -235,17 +235,41 @@ object Profile {
       smoothing: Double = 0.5): DataFrame = {
     require(cuts.nonEmpty && cuts == cuts.sorted,
       "cuts must be non-empty and ascending")
-    require(smoothing > 0, "smoothing must be positive")
-    val nBuckets = cuts.size + 1
-    def counts(df: DataFrame, name: String): DataFrame = {
-      val bucket = cuts.foldLeft(lit(1L)) { (acc, c) =>
-        acc + when(col(valueCol) > c, 1L).otherwise(0L)
-      }
-      df.select(bucket.as("bucket"))
-        .groupBy("bucket").agg(count(lit(1)).as(name))
+    driftFromCounts(
+      bucketCounts(baseline, valueCol, cuts),
+      bucketCounts(current, valueCol, cuts),
+      cuts.size + 1, smoothing)
+  }
+
+  /** Frozen-cutoff bucket histogram: (bucket, n) with bucket =
+    * 1 + #{c ∈ cuts : c < value} — the one corpus-sized aggregate
+    * under [[driftReport]], exposed so incremental pipelines can
+    * maintain the counts (monoid: per-bucket sum) and diff later.
+    */
+  def bucketCounts(df: DataFrame, valueCol: String,
+      cuts: Seq[Double]): DataFrame = {
+    require(cuts.nonEmpty && cuts == cuts.sorted,
+      "cuts must be non-empty and ascending")
+    val bucket = cuts.foldLeft(lit(1L)) { (acc, c) =>
+      acc + when(col(valueCol) > c, 1L).otherwise(0L)
     }
-    val joined = counts(baseline, "base_n")
-      .join(counts(current, "cur_n"), Seq("bucket"), "full_outer")
+    df.select(bucket.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+  }
+
+  /** [[driftReport]] from pre-aggregated (bucket, n) tables — tiny
+    * inputs (≤ `nBuckets` rows each), so the global-total windows and
+    * outer join here are bounded regardless of the corpora the counts
+    * came from.
+    */
+  def driftFromCounts(baseCounts: DataFrame, curCounts: DataFrame,
+      nBuckets: Int, smoothing: Double = 0.5): DataFrame = {
+    require(smoothing > 0, "smoothing must be positive")
+    require(nBuckets > 0, "nBuckets must be positive")
+    val joined = baseCounts
+      .select(col("bucket"), col("n").as("base_n"))
+      .join(curCounts.select(col("bucket"), col("n").as("cur_n")),
+        Seq("bucket"), "full_outer")
       .select(col("bucket"),
         coalesce(col("base_n"), lit(0L)).as("base_n"),
         coalesce(col("cur_n"), lit(0L)).as("cur_n"))

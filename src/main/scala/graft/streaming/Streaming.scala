@@ -87,6 +87,50 @@ object Streaming {
       }
       .start()
 
+  /** Streaming distribution-drift monitor: every micro-batch's bucket
+    * counts (frozen `cuts`, [[graft.ml.Profile.driftReport]]'s rule)
+    * are monoid-merged into the versioned store under key = bucket,
+    * so the store always holds the RUNNING ingest distribution; after
+    * each merge, `onDrift` receives the one-row PSI/KL/TVD summary of
+    * running-vs-baseline — the alert hook a production feed wires to
+    * paging. Baseline bucket counts are computed once up front
+    * (bounded: |cuts|+1 rows, kept on the driver); per batch the work
+    * is one codegen'd bucket aggregate + a tiny-table drift formula —
+    * no state beyond the store, any corpus size.
+    */
+  def driftMonitor(values: DataFrame, valueCol: String,
+      baseline: DataFrame, cuts: Seq[Double],
+      store: graft.sources.VersionedKeyValStore,
+      smoothing: Double = 0.5)(
+      onDrift: (Long, Double, Double, Double) => Unit): StreamingQuery = {
+    require(cuts.nonEmpty && cuts == cuts.sorted,
+      "cuts must be non-empty and ascending")
+    val spark = baseline.sparkSession
+    import spark.implicits._
+    val baseCounts = graft.ml.Profile
+      .bucketCounts(baseline, valueCol, cuts)
+      .as[(Long, Long)].collect().toSeq
+    values.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          store.writeIncremental(
+            graft.ml.Profile.bucketCounts(batch, valueCol, cuts)
+              .select(col("bucket").as("key"), col("n").as("value")))
+          val running = store.read(batch.sparkSession)
+            .select(col("key").as("bucket"), col("value").as("n"))
+          val row = graft.ml.Profile.driftFromCounts(
+            baseCounts.toDF("bucket", "n"), running,
+            cuts.size + 1, smoothing)
+            .agg(sum("psi_term").as("psi"), sum("kl_term").as("kl"),
+              sum("tv_term").as("tvd")).head()
+          onDrift(batchId, row.getAs[Double]("psi"),
+            row.getAs[Double]("kl"), row.getAs[Double]("tvd"))
+        }
+      }
+      .start()
+  }
+
   /** Streaming heavy-hitter maintenance: each micro-batch folds into a
     * batch-local Misra-Gries sketch (one bounded row per batch — the
     * sketch aggregation itself runs with map-side partials), which is

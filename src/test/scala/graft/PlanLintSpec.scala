@@ -44,7 +44,13 @@ class PlanLintSpec extends SparkSpec {
     "q_text_dsir" -> Map("cartesian" ->
       "1-row (Nr, Nt, V) model-totals aggregate broadcast onto the token stream"),
     "q_quality_expectations" -> Map("cartesian" ->
-      "1-row n_checked × 1-row n_failed aggregates in the referential rule"))
+      "1-row n_checked × 1-row n_failed aggregates in the referential rule"),
+    "q_corpus_train_order" -> Map("global-window" ->
+      ("shard-offset prefix sum over the 16^prefixLen-row (≤4096) shard-size " +
+        "aggregate, broadcast back — the corpus itself is never in a global window")),
+    "q_profile_drift" -> Map("global-window" ->
+      ("grand-total window over the |cuts|+1-row (5) bucket-count table; " +
+        "both corpus scans reduce to it before any window")))
 
   test("every cartesian/global-window in any gate plan is whitelisted") {
     val dir = sf("sf0.001")

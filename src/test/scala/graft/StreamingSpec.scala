@@ -371,4 +371,46 @@ class StreamingSpec extends SparkSpec {
     query.stop()
     assert(rows == Seq((1000L, 1L), (1600L, 1L), (9000L, 2L)))
   }
+
+  test("drift monitor: running ingest distribution vs frozen baseline per batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    val store = graft.sources.VersionedKeyValStore(dir)
+    // baseline: 4 low + 4 high around the single cut at 10
+    val baseline = Seq(1.0, 2.0, 3.0, 4.0, 11.0, 12.0, 13.0, 14.0).toDF("v")
+    val input = MemoryStream[Double]
+    val alerts = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double, Double)]
+    val query = Streaming.driftMonitor(input.toDF().withColumnRenamed("value", "v"),
+      "v", baseline, Seq(10.0), store) { (id, psi, kl, tvd) =>
+      alerts.synchronized { alerts += ((id, psi, kl, tvd)); () }
+    }
+    // batch 1 mirrors the baseline mix -> drift ~ 0
+    input.addData(1.0, 2.0, 11.0, 12.0)
+    query.processAllAvailable()
+    // batch 2 is all-high -> the RUNNING distribution shifts and every
+    // measure must strictly increase
+    input.addData(20.0, 21.0, 22.0, 23.0, 24.0, 25.0, 26.0, 27.0)
+    query.processAllAvailable()
+    query.stop()
+
+    val got = alerts.synchronized(alerts.sortBy(_._1).toList)
+    assert(got.size == 2, s"two batches -> two alerts, got $got")
+    val (_, psi1, kl1, tvd1) = got(0)
+    val (_, psi2, kl2, tvd2) = got(1)
+    assert(math.abs(psi1) < 1e-12 && math.abs(tvd1) < 1e-12,
+      s"identical mix must read as zero drift: $psi1 / $tvd1")
+    assert(psi2 > psi1 && kl2 > kl1 && tvd2 > tvd1, s"$got")
+    // running counts in the store: low 2+0=2, high 2+8=10
+    val counts = store.read(spark).collect()
+      .map(r => r.getAs[Long]("key") -> r.getAs[Long]("value")).toMap
+    assert(counts == Map(1L -> 2L, 2L -> 10L), s"$counts")
+    // exact driver-side replay of the batch-2 summary
+    val (b1, b2) = ((4 + 0.5) / 9.0, (4 + 0.5) / 9.0)
+    val (c1, c2) = ((2 + 0.5) / 13.0, (10 + 0.5) / 13.0)
+    val expPsi = (c1 - b1) * math.log(c1 / b1) + (c2 - b2) * math.log(c2 / b2)
+    val expTvd = (math.abs(c1 - b1) + math.abs(c2 - b2)) / 2
+    assert(math.abs(psi2 - expPsi) < 1e-12)
+    assert(math.abs(tvd2 - expTvd) < 1e-12)
+  }
 }
