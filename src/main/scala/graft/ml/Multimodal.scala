@@ -125,6 +125,27 @@ object Multimodal {
       })
   }
 
+  /** Perceptual near-duplicate image pairs: decode → 64-dim
+    * average-hash embedding ([[ImageCodec.aHash64]], the classic
+    * perceptual-dedup vector — robust to resize/re-encode, cheap to
+    * compute) → [[Similarity.cosineNearDuplicates]] blocked cosine
+    * join at `threshold`. Undecodable payloads are skipped. Output
+    * (id1, id2, cos), id1 < id2.
+    *
+    * Scale shape: the decode is one narrow mapPartitions pass; the
+    * pair search inherits cosineNearDuplicates' hyperplane-LSH
+    * blocking, so no global all-pairs — the image-side twin of the
+    * text MinHash pipeline.
+    */
+  def imageNearDuplicates(df: DataFrame, threshold: Double = 0.95,
+      useLsh: Boolean = true, nBits: Int = 6, idCol: String = "id",
+      mediaCol: String = "media"): DataFrame = {
+    val vecs = imageFeatures(df, idCol, mediaCol)
+      .toDF("id", "vec")
+    Similarity.cosineNearDuplicates(vecs, threshold, dim = 64,
+      useLsh = useLsh, nBits = nBits)
+  }
+
   /** "Resize" stub: deterministic byte-slice standing in for a pixel
     * transform; preserves the batch/partition shape of a real kernel.
     */

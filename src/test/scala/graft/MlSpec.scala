@@ -353,6 +353,43 @@ class MlSpec extends SparkSpec {
       "mail <EMAIL> call <PHONE> or 650-555-000 ip <IP> done")
   }
 
+  test("imageNearDuplicates pairs perturbed copies, skips distinct and undecodable") {
+    import spark.implicits._
+    import graft.ml.ImageCodec
+    def ppm(seed: Int, noise: Int): Array[Byte] =
+      ImageCodec.encodePnm(ImageCodec.Image(16, 16, 3,
+        Array.tabulate(16 * 16 * 3) { i =>
+          val base = ((seed * 37 + i * 11) % 200).toByte
+          if (noise > 0 && i % 97 == 0) (base + noise).toByte else base
+        }))
+    // 1,2: same image +- slight noise; 3: its resized copy (aHash is
+    // resize-robust); 4,5: unrelated; 6: not an image at all
+    val img1 = ppm(5, 0)
+    val resized = ImageCodec.encodePnm(ImageCodec.resizeNearest(
+      ImageCodec.decode(img1).get, 8, 8))
+    val media = Seq(
+      1L -> img1, 2L -> ppm(5, 12), 3L -> resized,
+      4L -> ppm(60, 0), 5L -> ppm(123, 0),
+      6L -> "definitely not an image".getBytes("UTF-8"))
+      .toDF("id", "media")
+    val pairs = graft.ml.Multimodal
+      .imageNearDuplicates(media, threshold = 0.9, useLsh = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"perturbed copy missed: $pairs")
+    assert(pairs.contains((1L, 3L)), s"resized copy missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 6L || p._2 == 6L), "undecodable paired")
+    assert(!pairs.exists(p => Set(4L, 5L).contains(p._1) &&
+      Set(4L, 5L).contains(p._2) == false || p == ((4L, 5L))),
+      s"unrelated images paired: $pairs")
+    // LSH-blocked path returns a subset of the exact pairs and still
+    // finds the planted near-identical pair
+    val lsh = graft.ml.Multimodal
+      .imageNearDuplicates(media, threshold = 0.9, useLsh = true, nBits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(pairs), s"lsh $lsh not within exact $pairs")
+    assert(lsh.contains((1L, 2L)))
+  }
+
   test("multimodal decode + frame sampling plumbing") {
     import spark.implicits._
     val media = Seq((1L, Array.fill[Byte](1000)(7)), (2L, Array.fill[Byte](64)(1)))
