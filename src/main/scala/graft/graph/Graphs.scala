@@ -53,10 +53,14 @@ object Graphs {
       .unionAll(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
 
-    // orient from lower (degree, id) to higher: out-degree ≤ O(√m)
+    // orient from lower (degree, id) to higher: out-degree ≤ O(√m).
+    // Hash joins throughout (node-sized build sides) — sort-merge
+    // would sort the edge stream twice for no benefit
     val withDeg = e
-      .join(deg.select(col("node").as("u"), col("degree").as("du")), "u")
-      .join(deg.select(col("node").as("v"), col("degree").as("dv")), "v")
+      .join(deg.select(col("node").as("u"), col("degree").as("du"))
+        .hint("shuffle_hash"), "u")
+      .join(deg.select(col("node").as("v"), col("degree").as("dv"))
+        .hint("shuffle_hash"), "v")
     val oriented = withDeg.select(
       when(col("du") < col("dv") ||
         (col("du") === col("dv") && col("u") < col("v")),
@@ -78,7 +82,8 @@ object Graphs {
     val oa = oriented.groupBy(col("a"))
       .agg(sort_array(collect_list(col("b"))).as("nbrs"))
     val triangles = oriented
-      .join(oa.select(col("a"), col("nbrs").as("an")), "a")
+      .join(oa.select(col("a"), col("nbrs").as("an"))
+        .hint("shuffle_hash"), "a")
       .join(oa.select(col("a").as("b"), col("nbrs").as("bn"))
         .hint("shuffle_hash"), "b")
       .select(col("a"), col("b"),

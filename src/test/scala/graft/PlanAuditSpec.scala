@@ -351,4 +351,33 @@ class PlanAuditSpec extends SparkSpec {
     val nHash = lines.count(_.contains("Exchange hashpartitioning"))
     assert(nHash == 1, s"expected 1 hash exchange, got $nHash:\n$p")
   }
+
+  test("triangle counting never sorts or exchanges the wedge stream") {
+    import org.apache.spark.sql.functions._
+    val items = graft.core.GraftSession.table(spark, sf("sf0.001"), "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = items.alias("a").join(items.alias("b"), Seq("o"))
+      .filter(col("a.p") < col("b.p"))
+      .select(col("a.p").as("src"), col("b.p").as("dst"))
+    val p = graft.graph.Graphs.triangleCounts(edges)
+      .queryExecution.executedPlan.toString
+    val lines = p.linesIterator.toVector
+    // the O(m^1.5) volume lives inside array_intersect, so the
+    // adjacency joins must be hash joins (a sort-merge would sort the
+    // wedge-bearing stream) and the intersect/explode stage must not
+    // feed an exchange before its per-node aggregation's partial
+    assert(lines.exists(_.contains("array_intersect")),
+      s"adjacency-intersection kernel missing:\n$p")
+    // (plan text prints root-first: children FOLLOW their parent, so
+    // "below the intersect stage" = lines after it; the tiny final
+    // deg-per-node join above it may be whatever AQE likes)
+    val intersectIdx = lines.indexWhere(_.contains("array_intersect"))
+    assert(!lines.drop(intersectIdx).exists(_.contains("SortMergeJoin")),
+      s"sort-merge join below the intersection stage:\n$p")
+    // per-node counting partial-aggregates before its exchange
+    val partialIdx = lines.indexWhere(l =>
+      l.contains("HashAggregate") && l.contains("partial_count"))
+    assert(partialIdx >= 0, s"no partial count aggregate:\n$p")
+  }
 }
