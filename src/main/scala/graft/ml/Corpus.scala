@@ -280,6 +280,45 @@ object Corpus {
       .limit(n)
   }
 
+  /** Deterministic negative sampling for contrastive training pairs:
+    * each (anchor, positive) row gains `nNeg` pseudo-random negatives
+    * drawn from the whole corpus by integer-arithmetic hashing —
+    * draw j lands on the document at md5-permutation position
+    * (fibScramble(anchor) + (j+1)·104729) mod N. Accidental hits on
+    * the anchor or its positive are dropped (not redrawn), so a row
+    * can carry fewer than `nNeg` negatives with probability ~nNeg/N —
+    * the standard in-corpus uniform-negative regime, replayable by
+    * any engine.
+    *
+    * Returns (anchor, positive, neg_rank, negative). Scale shape:
+    * the corpus is ranked once by [[orderForTraining]]'s sort-free
+    * construction, draws are a narrow `explode(sequence)`, and the
+    * only data-sized exchange is the position join. The corpus count
+    * N is read at the submitter (one scalar aggregate — the
+    * `readAtSubmitter` idiom; the count is part of the drawing
+    * formula, there is nothing distributed to keep).
+    */
+  def contrastiveTriplets(pairs: DataFrame, corpus: DataFrame,
+      idCol: String, nNeg: Int, prefixLen: Int = 2): DataFrame = {
+    require(nNeg > 0, "nNeg must be positive")
+    val indexed = orderForTraining(corpus.select(col(idCol)), idCol)
+      .select(col(idCol).as("negative"), col("global_pos").as("__pos"))
+    val n = corpus.select(col(idCol)).count()
+    require(n > 0, "corpus must be non-empty")
+    pairs
+      .select(col("anchor").cast("long").as("anchor"),
+        col("positive").cast("long").as("positive"))
+      .withColumn("neg_rank",
+        explode(sequence(lit(0L), lit(nNeg - 1L))))
+      .withColumn("__pos",
+        pmod(Profile.fibScramble(col("anchor")) +
+          (col("neg_rank") + 1L) * 104729L, lit(2147483647L)) % n)
+      .join(indexed, "__pos")
+      .filter(col("negative") =!= col("anchor") &&
+        col("negative") =!= col("positive"))
+      .select("anchor", "positive", "neg_rank", "negative")
+  }
+
   /** Snapshot diff between two corpus versions: every id classified
     * as `added` (new only), `removed` (old only), `changed` (both,
     * content hash differs) or `unchanged`. The audit step of an

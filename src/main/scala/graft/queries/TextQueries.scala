@@ -992,6 +992,41 @@ object TextQueries extends QueryGroup {
         .orderBy("doc_id")
     },
 
+    // contrastive triplet mining: deterministic in-corpus negative
+    // draws via integer hashing onto the md5-permutation index;
+    // accidental anchor/positive hits dropped, 3 draws per pair.
+    q("q_corpus_triplets",
+      """WITH idx AS (
+        |  SELECT doc_id AS negative,
+        |    ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)),
+        |      doc_id) - 1 AS pos
+        |  FROM documents
+        |), n AS (SELECT count(*) AS n FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS anchor, a.doc_id + 1 AS positive
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 50 = 0
+        |), draws AS (
+        |  SELECT anchor, positive, j AS neg_rank,
+        |    ((anchor % 2147483647) * 1327217885 % 2147483647
+        |      + (j + 1) * 104729) % 2147483647 % n.n AS pos
+        |  FROM pairs, n, (SELECT unnest([0, 1, 2]) AS j)
+        |)
+        |SELECT anchor, positive, CAST(neg_rank AS BIGINT) AS neg_rank,
+        |  negative
+        |FROM draws JOIN idx USING (pos)
+        |WHERE negative != anchor AND negative != positive
+        |ORDER BY anchor, neg_rank""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val a = docs.select(col("doc_id").as("anchor"))
+        .filter(col("anchor") % 50 === 0)
+      val pairs = a.join(
+        docs.select(col("doc_id").as("positive")),
+        col("positive") === col("anchor") + 1L)
+      graft.ml.Corpus.contrastiveTriplets(pairs, docs, "doc_id", nNeg = 3)
+        .orderBy("anchor", "neg_rank")
+    },
+
     // deterministic global training order: rank under the md5
     // permutation, computed WITHOUT a global sort (hash-prefix
     // shards + broadcast offsets); the oracle is the plain global

@@ -499,4 +499,33 @@ class CorpusSpec extends SparkSpec {
     assert(!ids.contains(998L) && !ids.contains(997L))
     intercept[IllegalArgumentException](Corpus.weightedSample(df, "id", "w", 0))
   }
+
+  test("contrastiveTriplets: exact hash-draw replay, anchor/positive excluded") {
+    import spark.implicits._
+    def fib(id: Long) = (id % 2147483647L) * 1327217885L % 2147483647L
+    val corpus = (0L until 50L).toDF("doc_id")
+    val pairs = Seq((0L, 1L), (10L, 11L), (20L, 21L))
+      .toDF("anchor", "positive")
+    val got = Corpus.contrastiveTriplets(pairs, corpus, "doc_id", nNeg = 4)
+      .select("anchor", "positive", "neg_rank", "negative")
+      .as[(Long, Long, Long, Long)].collect().sortBy(t => (t._1, t._3))
+
+    // driver replay: rank corpus by (md5, id), draw, drop collisions
+    val ranked = (0L until 50L)
+      .sortBy(id => (java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString, id))
+    val expect = for {
+      (a, p) <- Seq((0L, 1L), (10L, 11L), (20L, 21L))
+      j <- 0L until 4L
+      neg = ranked((((fib(a) + (j + 1) * 104729L) % 2147483647L) % 50L).toInt)
+      if neg != a && neg != p
+    } yield (a, p, j, neg)
+    assert(got.toSeq == expect.sortBy(t => (t._1, t._3)))
+    // draws are in-corpus and never the anchor or its positive
+    assert(got.forall(t => t._4 >= 0L && t._4 < 50L))
+    assert(got.forall(t => t._4 != t._1 && t._4 != t._2))
+    intercept[IllegalArgumentException](
+      Corpus.contrastiveTriplets(pairs, corpus, "doc_id", 0))
+  }
 }
