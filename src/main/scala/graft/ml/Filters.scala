@@ -137,6 +137,29 @@ object Filters {
     * a narrow id-only left join that restores documents whose every
     * line was seen earlier.
     */
+  /** WITHIN-document line dedup: rebuild each document keeping only
+    * the first occurrence of every non-blank line (blank lines always
+    * survive as structure) — the intra-doc repetition CLEANER whose
+    * corpus-wide sibling is [[dedupLinesAcrossCorpus]], and the apply
+    * step for the Gopher duplicate-line-fraction FLAG. Pure Column
+    * program over one scan: no shuffle, no join — per-row array
+    * filter on the exploded line list, so a 100 TB corpus pays only
+    * its read.
+    */
+  def dedupLinesWithinDoc(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val lines = split(col(textCol), "\n")
+    // keep line i iff blank, or no earlier index holds the same line
+    val kept = filter(lines, (line, i) =>
+      trim(line) === "" ||
+        not(exists(slice(lines, lit(1), i),
+          prev => prev === line)))
+    docs.select(col(idCol),
+      size(kept).cast("long").as("n_kept"),
+      (size(lines) - size(kept)).cast("long").as("n_dropped"),
+      array_join(kept, "\n").as("cleaned"))
+  }
+
   def dedupLinesAcrossCorpus(docs: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
     val id = col(idCol)

@@ -992,6 +992,37 @@ object TextQueries extends QueryGroup {
         .orderBy("doc_id")
     },
 
+    // within-document line dedup (apply form of the Gopher duplicate-
+    // line flag): first occurrence of each non-blank line survives,
+    // blanks always survive. Documents are single-line in this
+    // corpus, so the fixture lines are the words (space -> newline) —
+    // repeated words within a doc actually dedup.
+    q("q_text_line_dedup_doc",
+      """WITH d AS (
+        |  SELECT doc_id, string_split(replace(text, ' ', chr(10)),
+        |    chr(10)) AS l
+        |  FROM documents
+        |), k AS (
+        |  SELECT doc_id, l,
+        |    list_filter(l, (x, i) -> trim(x) = ''
+        |      OR NOT list_contains(l[1:i-1], x)) AS kept
+        |  FROM d
+        |)
+        |SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_kept,
+        |  CAST(len(l) - len(kept) AS BIGINT) AS n_dropped,
+        |  md5(array_to_string(kept, chr(10))) AS cleaned_h
+        |FROM k ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.ml.Filters
+      Filters.dedupLinesWithinDoc(
+          t(s, dir, "documents")
+            .select(col("doc_id"),
+              regexp_replace(col("text"), " ", "\n").as("text")),
+          "doc_id", "text")
+        .select(col("doc_id"), col("n_kept"), col("n_dropped"),
+          md5(col("cleaned")).as("cleaned_h"))
+        .orderBy("doc_id")
+    },
+
     // contrastive triplet mining: deterministic in-corpus negative
     // draws via integer hashing onto the md5-permutation index;
     // accidental anchor/positive hits dropped, 3 draws per pair.

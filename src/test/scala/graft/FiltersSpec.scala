@@ -115,6 +115,27 @@ class FiltersSpec extends SparkSpec {
     assert(out(2) == ((3L, 0L, "")))
   }
 
+  test("within-doc line dedup keeps first occurrences and blanks, no shuffle") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha\nbeta\n\nalpha\ngamma\nbeta"),
+      (2L, "solo"),
+      (3L, "\n\n"),
+      (4L, "x\nx\nx\nx")).toDF("id", "text")
+    val got = graft.ml.Filters.dedupLinesWithinDoc(docs, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) == ((4L, 2L, "alpha\nbeta\n\ngamma")),
+      s"first occurrences + blank survive: ${got(1L)}")
+    assert(got(2L) == ((1L, 0L, "solo")))
+    assert(got(3L) == ((3L, 0L, "\n\n")), s"blanks must all survive: ${got(3L)}")
+    assert(got(4L) == ((1L, 3L, "x")))
+    // the plan is a pure scan: no exchange anywhere
+    val plan = graft.ml.Filters.dedupLinesWithinDoc(docs, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"within-doc dedup must not shuffle:\n$plan")
+  }
+
   test("attritionReport counts per-rule failures in one aggregate") {
     // 6 repetitions -> 6 sentence marks (the page rule needs >= 5)
     val good = ("the words flow nicely here and with that we have " +
