@@ -1,0 +1,86 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted inverted index + BM25 retrieval — the lexical twin of
+  * the vector index ([[Pq]]/EmbeddingIndexJob): build once into a
+  * term-bucketed parquet layout, then answer keyword queries reading
+  * ONLY the buckets the query terms hash to.
+  *
+  * Layout under `dir`:
+  *  - `postings/` — (tk, doc_id, tf, dl) partitioned by
+  *    `bucket = pmod(xxhash64(tk), nBuckets)`; a query for m terms
+  *    touches ≤ m of the nBuckets partition directories (directory
+  *    pruning, audited in the spec) and the in-partition `tk` filter
+  *    rides the parquet scan.
+  *  - `stats/` — one row (n_docs, sum_dl) for the BM25 length norm.
+  *
+  * Document frequencies are NOT stored: for the handful of query
+  * terms they are recounted exactly from the pruned postings read —
+  * one tiny aggregate against data already in hand, and the index
+  * never goes stale against its own postings.
+  *
+  * Scoring matches [[TextAnalysis.bm25]] exactly (same tokenizer,
+  * same Lucene-default idf/k1/b formula), so the index path is
+  * oracle-checked against the same SQL as the in-memory path.
+  */
+object TextIndex {
+
+  private def bucketOf(tk: org.apache.spark.sql.Column, nBuckets: Int) =
+    pmod(xxhash64(tk), lit(nBuckets.toLong))
+
+  /** Tokenize, count term frequencies and write the index layout.
+    * One corpus scan + one (doc, term) aggregate; the write is
+    * partitioned by term bucket so queries prune directories.
+    */
+  def build(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, nBuckets: Int = 16): Unit = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val toks = split(TextAnalysis.normalize(col(textCol)), " ")
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      size(toks).cast("long").as("dl"), toks.as("tks"))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("tks")).as("tk"))
+      .filter(length(col("tk")) > 0)
+      .groupBy("doc_id", "dl", "tk").agg(count(lit(1)).cast("long").as("tf"))
+    tf.withColumn("bucket", bucketOf(col("tk"), nBuckets))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/postings")
+    base.agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("dl")).cast("long").as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** BM25 top-k against a built index: reads only the query terms'
+    * buckets, recounts df on the pruned read, scores with the
+    * Lucene-default formula. Output (doc_id, bm25), score-descending
+    * top-k with doc_id tie-break.
+    */
+  def query(spark: SparkSession, dir: String, terms: Seq[String],
+      nBuckets: Int = 16, k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 10): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    import spark.implicits._
+    // the terms' buckets, via the same engine hash the build used
+    val buckets = terms.toDF("tk")
+      .select(bucketOf(col("tk"), nBuckets).as("bucket"))
+      .distinct().as[Long].collect().toSeq
+    val postings = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("tk").isin(terms: _*))
+    val stats = spark.read.parquet(s"$dir/stats")
+    val dfreq = postings.groupBy("tk").agg(count(lit(1)).cast("long").as("df"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    postings.join(broadcast(dfreq), "tk")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("w", col("idf") * col("tf") * (k1 + 1) /
+        (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl)))
+      .groupBy("doc_id")
+      .agg((floor(sum("w") * 1e6 + 0.5) / 1e6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(topK)
+  }
+}

@@ -1105,6 +1105,44 @@ object TextQueries extends QueryGroup {
         queryTerms = Seq("data", "table", "server", "value"))
     },
 
+    // the SAME BM25 answer through the persisted inverted index:
+    // build the term-bucketed layout, then query reading only the
+    // query terms' buckets (directory-pruned scan, df recounted on
+    // the pruned read). Oracle identical to q_text_bm25 — the index
+    // path must not change a single score.
+    q("q_text_bm25_index", {
+      val words = "string_split(trim(regexp_replace(regexp_replace(lower(text), " +
+        "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')"
+      s"""WITH base AS (
+         |  SELECT doc_id, len(w) AS dl,
+         |    list_filter(w, t -> t IN ('data', 'table', 'server', 'value')) AS qt
+         |  FROM (SELECT doc_id, $words AS w FROM documents)
+         |), stats AS (
+         |  SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM base
+         |), tf AS (
+         |  SELECT doc_id, dl, tk, count(*) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(qt) AS tk FROM base)
+         |  GROUP BY 1, 2, 3
+         |), dfreq AS (
+         |  SELECT tk, count(*) AS df FROM tf GROUP BY 1
+         |)
+         |SELECT doc_id,
+         |  floor(sum(
+         |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0::DOUBLE) * tf * 2.2
+         |    / (tf + 1.2 * (0.25 + 0.75 * dl / (sum_dl * 1.0::DOUBLE / n_docs)))
+         |  ) * 1e6 + 0.5) / 1e6 AS bm25
+         |FROM tf JOIN dfreq USING (tk), stats
+         |GROUP BY doc_id
+         |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+    }) { (s, dir) =>
+      import graft.ml.TextIndex
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-textindex").toString
+      TextIndex.build(t(s, dir, "documents"), "doc_id", "text", idx)
+      TextIndex.query(s, idx,
+        terms = Seq("data", "table", "server", "value"))
+    },
+
     // per-domain score calibration: percent rank of the raw score
     // within its source stratum — the cut a global threshold makes
     // after calibration is quantile-fair across domains.
