@@ -131,9 +131,11 @@ object Joins {
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, rightCols: Seq[String],
-      how: String = "inner"): DataFrame = {
+      how: String = "inner", direction: String = "backward"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(how == "inner" || how == "left", s"asofJoin: inner/left, got $how")
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"asofJoin: backward/forward/nearest, got $direction")
     val leftCols = left.columns.toSeq
     // All right values ride in ONE struct so a single
     // last(ignoreNulls) attaches one complete right row — filling each
@@ -157,12 +159,36 @@ object Joins {
         leftCols.filterNot(keys.contains)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     // at equal timestamps the right value sorts first (tag 0), so it
-    // is visible to the left row — matching ASOF's >= semantics
-    val w = Window.partitionBy(keys.map(col): _*)
+    // is visible to the left row — matching ASOF's >= semantics.
+    // `forward` is the mirror (ts descending: the carried value is
+    // the NEXT right row at-or-after); `nearest` computes both fills
+    // over the SAME keyed partition — one shuffle, two in-partition
+    // sorts — and picks the smaller |Δts|, ties to backward.
+    val wb = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = l.unionByName(r)
-      .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
+    val wf = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").desc, col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val unioned = l.unionByName(r)
+    val filled = direction match {
+      case "backward" =>
+        unioned.withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(wb))
+      case "forward" =>
+        unioned.withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(wf))
+      case "nearest" =>
+        val db = abs(col("__ts").cast("long") - col("__b").getField("__rts"))
+        val df = abs(col("__ts").cast("long") - col("__f").getField("__rts"))
+        unioned
+          .withColumn("__b", last(col("__rv"), ignoreNulls = true).over(wb))
+          .withColumn("__f", last(col("__rv"), ignoreNulls = true).over(wf))
+          .withColumn("__rv",
+            when(col("__b").isNull, col("__f"))
+              .when(col("__f").isNull, col("__b"))
+              .when(df < db, col("__f"))
+              .otherwise(col("__b")))
+          .drop("__b", "__f")
+    }
     val lefts = filled.filter(col("__tag") === 1)
     val matched = if (how == "inner") lefts.filter(col("__rv").isNotNull) else lefts
     val unpacked = rightCols.foldLeft(matched) { (df, c) =>

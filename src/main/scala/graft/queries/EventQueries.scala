@@ -86,6 +86,79 @@ object EventQueries extends QueryGroup {
         .orderBy("user_id", "event_id")
     },
 
+    // FORWARD as-of: each click picks the user's NEXT view at-or-
+    // after it (the look-ahead direction pandas/kdb call 'forward').
+    q("q_join_asof_forward",
+      """WITH clicks AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events WHERE event_type = 'click'
+        |), views AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    max(value) AS view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+        |)
+        |SELECT c.user_id, c.event_id, round(v.view_value, 4) AS view_value
+        |FROM clicks c ASOF JOIN views v
+        |  ON c.user_id = v.user_id AND c.sec <= v.sec
+        |ORDER BY c.user_id, c.event_id""".stripMargin) { (s, dir) =>
+      val raw = t(s, dir, "events")
+      val ev = raw.withColumn("sec", Ts.seconds(raw))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "event_id", "sec")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "sec")
+        .agg(max("value").as("view_value"))
+      graft.join.Joins.asofJoin(clicks, views, Seq("user_id"),
+          "sec", "sec", Seq("view_value"), direction = "forward")
+        .select(col("user_id"), col("event_id"),
+          round(col("view_value"), 4).as("view_value"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // NEAREST as-of: whichever of the previous/next view is closer in
+    // time wins; exact ties go to the backward (earlier) match. One
+    // keyed shuffle, two in-partition sorted fills.
+    q("q_join_asof_nearest",
+      """WITH clicks AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events WHERE event_type = 'click'
+        |), views AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    max(value) AS view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+        |), b AS (
+        |  SELECT c.user_id, c.event_id, c.sec,
+        |    v.sec AS bsec, v.view_value AS bval
+        |  FROM clicks c ASOF LEFT JOIN views v
+        |    ON c.user_id = v.user_id AND c.sec >= v.sec
+        |), f AS (
+        |  SELECT c.user_id, c.event_id,
+        |    v.sec AS fsec, v.view_value AS fval
+        |  FROM clicks c ASOF LEFT JOIN views v
+        |    ON c.user_id = v.user_id AND c.sec <= v.sec
+        |)
+        |SELECT b.user_id, b.event_id,
+        |  round(CASE WHEN bval IS NULL THEN fval
+        |    WHEN fval IS NULL THEN bval
+        |    WHEN abs(b.sec - fsec) < abs(b.sec - bsec) THEN fval
+        |    ELSE bval END, 4) AS view_value
+        |FROM b JOIN f USING (user_id, event_id)
+        |WHERE bval IS NOT NULL OR fval IS NOT NULL
+        |ORDER BY b.user_id, b.event_id""".stripMargin) { (s, dir) =>
+      val raw = t(s, dir, "events")
+      val ev = raw.withColumn("sec", Ts.seconds(raw))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "event_id", "sec")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "sec")
+        .agg(max("value").as("view_value"))
+      graft.join.Joins.asofJoin(clicks, views, Seq("user_id"),
+          "sec", "sec", Seq("view_value"), direction = "nearest")
+        .select(col("user_id"), col("event_id"),
+          round(col("view_value"), 4).as("view_value"))
+        .orderBy("user_id", "event_id")
+    },
+
     // the same as-of semantics through the NATIVE Catalyst operator
     // (AsOfJoinPlan.scala: LogicalPlan + Strategy + sorted-merge
     // SparkPlan injected by GraftExtensions) — gate-verifies the

@@ -120,4 +120,31 @@ class AsOfNativeSpec extends SparkSpec {
     assert(nExchanges(joinedAgg) == nExchanges(joined),
       s"downstream agg re-shuffled:\n${joinedAgg.queryExecution.executedPlan}")
   }
+
+  test("asof directions: forward looks ahead, nearest picks closer, ties backward") {
+    import spark.implicits._
+    import graft.join.Joins
+    val l = Seq((1L, 10L, "a"), (1L, 25L, "b"), (1L, 100L, "c"), (2L, 5L, "d"))
+      .toDF("k", "ts", "tag")
+    val r = Seq((1L, 8L, 1.0), (1L, 20L, 2.0), (1L, 30L, 3.0), (2L, 50L, 9.0))
+      .toDF("k", "ts", "rv")
+    def run(dir: String) =
+      Joins.asofJoin(l, r, Seq("k"), "ts", "ts", Seq("rv"), "left", dir)
+        .collect().map(row => row.getAs[String]("tag") ->
+          Option(row.get(row.fieldIndex("rv"))).map(_.asInstanceOf[Double]))
+        .toMap
+    val back = run("backward")
+    assert(back == Map("a" -> Some(1.0), "b" -> Some(2.0),
+      "c" -> Some(3.0), "d" -> None))
+    val fwd = run("forward")
+    // a(10) -> next right 20; b(25) -> 30; c(100) -> none; d(5) -> 50
+    assert(fwd == Map("a" -> Some(2.0), "b" -> Some(3.0),
+      "c" -> None, "d" -> Some(9.0)))
+    val near = run("nearest")
+    // a(10): back 8 (d2) vs fwd 20 (d10) -> 1.0; b(25): back 20 (d5) vs
+    // fwd 30 (d5) TIE -> backward 2.0; c(100): only back 3.0; d(5): only fwd
+    assert(near == Map("a" -> Some(1.0), "b" -> Some(2.0),
+      "c" -> Some(3.0), "d" -> Some(9.0)))
+    intercept[IllegalArgumentException](run("sideways"))
+  }
 }
