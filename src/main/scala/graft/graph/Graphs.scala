@@ -102,6 +102,89 @@ object Graphs {
           .as("clustering_coeff"))
   }
 
+  /** k-core extraction: iteratively peel nodes of degree < k until
+    * fixpoint and return the surviving nodes with their degree INSIDE
+    * the core (all ≥ k). The standard graph-quality primitive — link-
+    * farm/spam cores, collaboration kernels, "dense center" selection
+    * for graph-informed corpus filtering.
+    *
+    * Scale shape: each round is one degree aggregate + two anti-joins
+    * against the (tiny, shrinking) below-threshold node set, with a
+    * `localCheckpoint` lineage cut per round (the [[graft.ml.Dedup
+    * .connectedComponents]] iteration idiom); rounds are bounded by
+    * the peeling depth, ≈ O(log n) on real graphs. The convergence
+    * probe is one driver-side count of the just-removed set — a
+    * scalar, nothing distributed is retained.
+    */
+  def kCore(edges: DataFrame, k: Int, srcCol: String = "src",
+      dstCol: String = "dst", maxIter: Int = 50): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    var e = canonicalEdges(edges, srcCol, dstCol).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val deg = e.select(col("u").as("node"))
+        .unionAll(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+      val low = deg.filter(col("degree") < k)
+        .select("node").localCheckpoint()
+      if (low.isEmpty) converged = true
+      else e = e
+        .join(low.select(col("node").as("u")), Seq("u"), "left_anti")
+        .join(low.select(col("node").as("v")), Seq("v"), "left_anti")
+        .localCheckpoint()
+      i += 1
+    }
+    e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+  }
+
+  /** Per-node core numbers (the largest k whose k-core contains the
+    * node) via distributed h-index iteration (Lu et al. 2016): start
+    * from degrees; each round a node's estimate becomes the h-index
+    * of its neighbors' estimates (the largest h with ≥ h neighbors
+    * ≥ h). Estimates only decrease and converge to exact coreness —
+    * on real graphs in ~O(10) rounds, each one edge-keyed join +
+    * per-node sorted fold over bounded neighbor lists.
+    */
+  def coreNumbers(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", maxIter: Int = 100): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e0 = canonicalEdges(edges, srcCol, dstCol)
+    val und = e0.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(e0.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint()
+    var est = und.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("est")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = und
+        .join(est.select(col("node").as("b"), col("est").as("nb")), "b")
+        .as[(Long, Long, Long)]
+        .map { case (_, a, nb) => (a, nb) }
+        .groupByKey(_._1)
+        .mapGroups { (node, it) =>
+          // h-index of neighbor estimates: sort desc, largest h with
+          // value(h-1) >= h; neighbor lists are degree-bounded
+          val vs = it.map(_._2).toArray
+          java.util.Arrays.sort(vs)
+          var h = 0L
+          var idx = vs.length - 1
+          while (idx >= 0 && vs(idx) >= h + 1) { h += 1; idx -= 1 }
+          (node, h)
+        }
+        .toDF("node", "next").localCheckpoint()
+      val joined = est.join(next, "node")
+      converged = joined.filter(col("next") =!= col("est")).isEmpty
+      est = next.select(col("node"), col("next").as("est"))
+      i += 1
+    }
+    est.select(col("node"), col("est").as("core"))
+  }
+
   /** Global triangle count: Σ per-node triangles / 3, as a 1-row
     * (n_triangles, n_nodes, n_edges, global_clustering) summary.
     * `global_clustering` is the transitivity ratio 3·T / #wedges with

@@ -353,6 +353,59 @@ object MatrixQueries extends QueryGroup {
         .select(col("node"), col("degree"), col("triangles"),
           round(col("clustering_coeff"), 6).as("clustering_coeff"))
         .orderBy("node")
+    },
+
+    // k-core extraction on the co-purchase graph (k = 80, which
+    // peels for 5 rounds on this data): the oracle unrolls the
+    // peeling as 8 CTE levels — extra levels past the fixpoint are
+    // idempotent, so over-provisioning is safe.
+    q("q_graph_kcore", MatrixQueries.kCoreOracleSql(k = 80, levels = 8)) {
+      (s, dir) =>
+      val items = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = items.alias("a").join(items.alias("b"), Seq("o"))
+        .filter(col("a.p") < col("b.p"))
+        .select(col("a.p").as("src"), col("b.p").as("dst"))
+      graft.graph.Graphs.kCore(edges, k = 80)
+        .orderBy("node")
     }
   )
+
+  /** DuckDB SQL replaying [[graft.graph.Graphs.kCore]] by unrolling
+    * the degree-peel loop `levels` deep: level i keeps the nodes
+    * whose degree within level i−1 is ≥ k. Idempotent past the
+    * fixpoint. Final row set = surviving nodes with their in-core
+    * degree.
+    */
+  def kCoreOracleSql(k: Int, levels: Int): String = {
+    val base =
+      """items AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |), e AS (
+        |  SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+        |), und AS (
+        |  SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e
+        |), a0 AS (
+        |  SELECT DISTINCT a AS node FROM und
+        |)""".stripMargin
+    val steps = (1 to levels).map { i =>
+      s"""a$i AS (
+         |  SELECT node FROM (
+         |    SELECT und.a AS node, count(*) AS c
+         |    FROM und
+         |    JOIN a${i - 1} p1 ON und.a = p1.node
+         |    JOIN a${i - 1} p2 ON und.b = p2.node
+         |    GROUP BY 1
+         |  ) WHERE c >= $k
+         |)""".stripMargin
+    }
+    s"""WITH $base, ${steps.mkString(", ")}
+       |SELECT und.a AS node, count(*) AS degree
+       |FROM und
+       |JOIN a$levels p1 ON und.a = p1.node
+       |JOIN a$levels p2 ON und.b = p2.node
+       |GROUP BY 1 ORDER BY node""".stripMargin
+  }
 }

@@ -63,4 +63,62 @@ class GraphsSpec extends SparkSpec {
       assert(got(n)._2 == triOf(n), s"triangles of $n")
     }
   }
+
+  test("kCore and coreNumbers match brute-force peeling") {
+    import spark.implicits._
+    // brute-force core numbers by repeated peeling
+    def bruteCores(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val und = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }.distinct
+      val nodes = und.map(_._1).toSet
+      var core = Map.empty[Long, Long]
+      var k = 1L
+      var alive = nodes
+      var aliveEdges = und
+      while (alive.nonEmpty) {
+        var changed = true
+        while (changed) {
+          val deg = aliveEdges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+          val drop = alive.filter(n => deg.getOrElse(n, 0L) < k)
+          changed = drop.nonEmpty
+          if (changed) {
+            drop.foreach(n => core += n -> (k - 1))
+            alive --= drop
+            aliveEdges = aliveEdges.filter(e =>
+              alive(e._1) && alive(e._2))
+          }
+        }
+        k += 1
+      }
+      core
+    }
+    val rnd = new scala.util.Random(5)
+    // random graph + a planted K5 clique (core 4) + a hub
+    val base = (for {
+      i <- 0 until 40; j <- (i + 1) until 40
+      if rnd.nextDouble() < 0.08
+    } yield (i.toLong, j.toLong)) ++
+      (for (i <- 100 until 105; j <- (i + 1) until 105)
+        yield (i.toLong, j.toLong)) ++
+      (0 until 20).map(i => (99L, i.toLong))
+    val expect = bruteCores(base)
+    val gotCores = Graphs.coreNumbers(base.toDF("src", "dst")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotCores == expect,
+      s"diff: ${gotCores.toSet.diff(expect.toSet)} / ${expect.toSet.diff(gotCores.toSet)}")
+    // the planted clique is exactly the 4-core's densest part
+    assert((100L until 105L).forall(gotCores(_) == 4L))
+    // kCore(k) membership == nodes with core number >= k, for every
+    // realized k, with all in-core degrees >= k
+    (1L to expect.values.max).foreach { k =>
+      val got = Graphs.kCore(base.toDF("src", "dst"), k.toInt).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.keySet == expect.filter(_._2 >= k).keySet, s"k=$k")
+      assert(got.values.forall(_ >= k), s"k=$k degrees")
+    }
+    // a k beyond the degeneracy yields an empty core
+    assert(Graphs.kCore(base.toDF("src", "dst"),
+      (expect.values.max + 1).toInt).isEmpty)
+    intercept[IllegalArgumentException](
+      Graphs.kCore(base.toDF("src", "dst"), 0))
+  }
 }
