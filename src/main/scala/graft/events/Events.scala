@@ -119,6 +119,38 @@ object Events {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Per-key exponentially-weighted moving average over the event
+    * stream: EWMA_t = α·x_t + (1−α)·EWMA_{t−1} along each key's
+    * (sec, id)-ordered events, seeded at the first value (the pandas
+    * `ewm(adjust=false)` rule). One shuffle + in-partition secondary
+    * sort (the [[graft.typed]] SortedGrouped machinery) and a
+    * streaming O(1)-state fold — never a per-key collect, any events-
+    * per-key cardinality.
+    */
+  def ewma(events: DataFrame, keyCol: String, secCol: String,
+      idCol: String, valCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ds = events.select(col(keyCol).cast("long"),
+        col(secCol).cast("long"), col(idCol).cast("long"),
+        col(valCol).cast("double"))
+      .as[(Long, Long, Long, Double)]
+    graft.typed.TypedPipe.from(ds)
+      .map { case (k, sec, id, v) => (k, (sec, id, v)) }
+      .group[Long, (Long, Long, Double)]
+      .sortBy { case (sec, id, _) => (sec, id) }
+      .mapValueStream { (_, vs) =>
+        var state = Double.NaN
+        vs.map { case (sec, id, v) =>
+          state = if (state.isNaN) v else alpha * v + (1 - alpha) * state
+          (sec, id, state)
+        }
+      }
+      .ds.map { case (k, (sec, id, e)) => (k, sec, id, e) }
+      .toDF(keyCol, secCol, idCol, "ewma")
+  }
+
   /** Windowed trending report: for each tumbling `windowSec` window,
     * the top-`k` event types by count (ties to the lexicographically
     * first type), each with its count, dense 1-based `rank`, the

@@ -304,6 +304,34 @@ object EventQueries extends QueryGroup {
         .orderBy("hour", "event_type")
     },
 
+    // per-user EWMA along the event stream (pandas ewm(adjust=false)
+    // seed rule): the oracle folds each row's ordered value prefix
+    // with list_reduce — the identical left-fold arithmetic the
+    // engine's O(1)-state sorted stream runs.
+    q("q_events_ewma",
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    event_id, value
+        |  FROM events
+        |), w AS (
+        |  SELECT user_id, sec, event_id,
+        |    list(value) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix
+        |  FROM e
+        |)
+        |SELECT user_id, sec, event_id,
+        |  round(list_reduce(prefix, (acc, x) -> 0.3 * x + 0.7 * acc), 6)
+        |    AS ewma
+        |FROM w ORDER BY user_id, sec, event_id""".stripMargin) { (s, dir) =>
+      val raw = t(s, dir, "events")
+      graft.events.Events.ewma(
+          raw.withColumn("sec", Ts.seconds(raw)),
+          "user_id", "sec", "event_id", "value", alpha = 0.3)
+        .select(col("user_id"), col("sec"), col("event_id"),
+          round(col("ewma"), 6).as("ewma"))
+        .orderBy("user_id", "sec", "event_id")
+    },
+
     // windowed trending: per-hour top-3 event types by count with the
     // previous hour's count and the lift ratio (null for entrants) —
     // bounded-PQ top-k per window in the engine, never a full

@@ -147,4 +147,21 @@ class EventsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       graft.events.Events.trending(ev, "sec", "etype", 0L, 2))
   }
+
+  test("ewma: seeded left fold per key in event order") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 10L, 100L, 4.0), (1L, 20L, 101L, 8.0), (1L, 20L, 102L, 2.0),
+      (2L, 5L, 200L, 10.0))
+      .toDF("user_id", "sec", "event_id", "value")
+    val got = graft.events.Events.ewma(ev, "user_id", "sec", "event_id",
+        "value", alpha = 0.5)
+      .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    // user 1: seed 4.0; then .5*8+.5*4 = 6.0; tie at sec 20 ordered by
+    // id: .5*2+.5*6 = 4.0
+    assert(got(100L) == 4.0 && got(101L) == 6.0 && got(102L) == 4.0)
+    assert(got(200L) == 10.0)
+    intercept[IllegalArgumentException](
+      graft.events.Events.ewma(ev, "user_id", "sec", "event_id", "value", 0.0))
+  }
 }
