@@ -448,6 +448,110 @@ object DedupQueries extends QueryGroup {
             .otherwise(Dedup.hammingDistance(col("sim_a"), col("sim_b")) <= 24)
             .as("hamming_ok"))
         .orderBy("doc_id", "is_exact_copy")
+    },
+
+    // Fellegi–Sunter probabilistic record linkage: EM-estimated
+    // agreement probabilities over candidate pairs (self pairs +
+    // id+7 noise pairs), log2 match weights, three-way decision.
+    // The oracle unrolls the EM exactly (7 parameter columns per
+    // CTE level, clamped like the engine).
+    q("q_dedup_linkage", DedupQueries.linkageOracleSql(3)) { (s, dir) =>
+      import graft.ml.Linkage
+      val docs = t(s, dir, "documents")
+      def side(n: String) = docs.select(col("doc_id").as(s"id$n"),
+        col("lang").as(s"lang$n"), col("source").as(s"source$n"),
+        expr("n_chars div 100").as(s"bucket$n"))
+      val l = side("a")
+      val r = side("b")
+      val pairs = l.join(r, col("idb") === col("ida"))
+        .unionByName(l.join(r, col("idb") === col("ida") + 7L))
+        .select(col("ida"), col("idb"),
+          (col("langa") === col("langb")).as("g1"),
+          (col("sourcea") === col("sourceb")).as("g2"),
+          (col("bucketa") === col("bucketb")).as("g3"))
+        .persist()
+      try {
+        val params = Linkage.emTrain(pairs, Seq("g1", "g2", "g3"),
+          iters = 3)
+        Linkage.classify(
+            Linkage.score(pairs, Seq("g1", "g2", "g3"), params),
+            upper = 2.0, lower = 0.0)
+          .select(col("ida"), col("idb"), col("g1"), col("g2"), col("g3"),
+            round(col("match_weight"), 6).as("match_weight"),
+            round(col("posterior"), 6).as("posterior"),
+            col("decision"))
+          .orderBy("ida", "idb")
+      } finally pairs.unpersist(blocking = false)
     }
   )
+
+  /** DuckDB SQL replaying [[graft.ml.Linkage]]'s EM + scoring over
+    * the self/+7 candidate fixture: `iters` unrolled CTE levels of
+    * (p, m1..3, u1..3), each from one E+M aggregate with the same
+    * [1e-6, 1−1e-6] clamp, then log2 weights and the three-way
+    * decision at (2.0, 0.0).
+    */
+  def linkageOracleSql(iters: Int): String = {
+    val gs = Seq("g1", "g2", "g3")
+    def clamp(x: String) = s"greatest(1e-6, least(1.0 - 1e-6, $x))"
+    def massW(t: String) = gs.zipWithIndex.map { case (g, k) =>
+      s"(CASE WHEN $g THEN $t.m${k + 1} ELSE 1.0 - $t.m${k + 1} END)"
+    }.mkString(s"$t.p * ", " * ", "")
+    def massV(t: String) = gs.zipWithIndex.map { case (g, k) =>
+      s"(CASE WHEN $g THEN $t.u${k + 1} ELSE 1.0 - $t.u${k + 1} END)"
+    }.mkString(s"(1.0 - $t.p) * ", " * ", "")
+    val pairs =
+      """pairs AS MATERIALIZED (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb,
+        |    a.lang = b.lang AS g1, a.source = b.source AS g2,
+        |    (a.n_chars // 100) = (b.n_chars // 100) AS g3
+        |  FROM documents a JOIN documents b
+        |    ON b.doc_id = a.doc_id OR b.doc_id = a.doc_id + 7
+        |)""".stripMargin
+    val it0 = "it0 AS (SELECT 0.1::DOUBLE AS p, " +
+      gs.indices.map(k => s"0.9::DOUBLE AS m${k + 1}").mkString(", ") +
+      ", " + gs.indices.map(k => s"0.1::DOUBLE AS u${k + 1}")
+        .mkString(", ") + ")"
+    val steps = (1 to iters).map { i =>
+      val e =
+        s"""e$i AS MATERIALIZED (
+           |  SELECT count(*) * 1.0::DOUBLE AS n, sum(g) AS sg,
+           |    sum(1.0 - g) AS sn,
+           |    ${gs.zipWithIndex.map { case (g, k) =>
+                  s"sum(CASE WHEN $g THEN g ELSE 0.0::DOUBLE END) AS a${k + 1}, " +
+                    s"sum(CASE WHEN $g THEN 1.0 - g ELSE 0.0::DOUBLE END) AS b${k + 1}"
+                }.mkString(", ")}
+           |  FROM (
+           |    SELECT pr.*, ${massW("t")} / (${massW("t")} + ${massV("t")}) AS g
+           |    FROM pairs pr, it${i - 1} t
+           |  )
+           |)""".stripMargin
+      val it =
+        s"""it$i AS (
+           |  SELECT ${clamp("sg / n")} AS p,
+           |    ${gs.indices.map(k =>
+                  s"${clamp(s"a${k + 1} / sg")} AS m${k + 1}").mkString(", ")},
+           |    ${gs.indices.map(k =>
+                  s"${clamp(s"b${k + 1} / sn")} AS u${k + 1}").mkString(", ")}
+           |  FROM e$i
+           |)""".stripMargin
+      s"$e, $it"
+    }
+    val weight = gs.zipWithIndex.map { case (g, k) =>
+      s"CASE WHEN $g THEN ln(t.m${k + 1} / t.u${k + 1}) / ln(2.0) " +
+        s"ELSE ln((1.0 - t.m${k + 1}) / (1.0 - t.u${k + 1})) / ln(2.0) END"
+    }.mkString(" + ")
+    s"""WITH $pairs, $it0, ${steps.mkString(", ")}
+       |SELECT ida, idb, g1, g2, g3,
+       |  round(w, 6) AS match_weight,
+       |  round(wm / (wm + wv), 6) AS posterior,
+       |  CASE WHEN w >= 2.0 THEN 'match' WHEN w < 0.0 THEN 'non_match'
+       |    ELSE 'possible' END AS decision
+       |FROM (
+       |  SELECT pr.*, ($weight) AS w,
+       |    ${massW("t")} AS wm, ${massV("t")} AS wv
+       |  FROM pairs pr, it$iters t
+       |)
+       |ORDER BY ida, idb""".stripMargin
+  }
 }

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.Linkage
+
+/** Fellegi–Sunter linkage: EM recovers planted parameters, scoring
+  * separates matches, decisions honor the thresholds.
+  */
+class LinkageSpec extends SparkSpec {
+
+  test("EM matches a driver-side replay and recovers planted structure") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    // planted generative model: 30% matches with P(agree)=0.95 per
+    // field, non-matches with P(agree)=0.2 / 0.1 / 0.3
+    val mTrue = Array(0.95, 0.95, 0.95)
+    val uTrue = Array(0.2, 0.1, 0.3)
+    val rows = (0 until 2000).map { i =>
+      val isM = rnd.nextDouble() < 0.3
+      val ps = if (isM) mTrue else uTrue
+      (i.toLong, isM, rnd.nextDouble() < ps(0), rnd.nextDouble() < ps(1),
+        rnd.nextDouble() < ps(2))
+    }
+    val df = rows.toDF("id", "truth", "g1", "g2", "g3")
+    val gs = Seq("g1", "g2", "g3")
+    val got = Linkage.emTrain(df, gs, iters = 20)
+
+    // driver replay of the identical EM
+    var p = 0.1
+    var m = Array.fill(3)(0.9)
+    var u = Array.fill(3)(0.1)
+    def cl(x: Double) = math.min(1 - 1e-6, math.max(1e-6, x))
+    for (_ <- 0 until 20) {
+      val gvals = rows.map { case (_, _, a, b, c) =>
+        val gamma = Seq(a, b, c)
+        val w = gamma.zip(m).map { case (g, mj) => if (g) mj else 1 - mj }
+          .product * p
+        val v = gamma.zip(u).map { case (g, uj) => if (g) uj else 1 - uj }
+          .product * (1 - p)
+        (gamma, w / (w + v))
+      }
+      val sg = gvals.map(_._2).sum
+      val sn = gvals.map(1.0 - _._2).sum
+      p = cl(sg / rows.size)
+      m = Array.tabulate(3)(k =>
+        cl(gvals.filter(_._1(k)).map(_._2).sum / sg))
+      u = Array.tabulate(3)(k =>
+        cl(gvals.filter(_._1(k)).map(1.0 - _._2).sum / sn))
+    }
+    assert(math.abs(got.p - p) < 1e-9)
+    (0 until 3).foreach { k =>
+      assert(math.abs(got.m(k) - m(k)) < 1e-9, s"m($k)")
+      assert(math.abs(got.u(k) - u(k)) < 1e-9, s"u($k)")
+    }
+    // EM recovered the planted regime (match prior ~0.3, m >> u)
+    assert(math.abs(got.p - 0.3) < 0.08, s"p=${got.p}")
+    (0 until 3).foreach(k => assert(got.m(k) > 0.8 && got.u(k) < 0.45))
+
+    // scoring separates: mean posterior of true matches >> non-matches
+    val scored = Linkage.score(df, gs, got)
+    val byTruth = scored.groupBy("truth").agg(avg("posterior").as("ap"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(byTruth(true) > 0.75 && byTruth(false) < 0.3, s"$byTruth")
+
+    // decisions: boundaries respected
+    val dec = Linkage.classify(scored, upper = 2.0, lower = -2.0)
+    val bad = dec.filter(
+      (col("decision") === "match" && col("match_weight") < 2.0) ||
+        (col("decision") === "non_match" && col("match_weight") >= -2.0) ||
+        (col("decision") === "possible" &&
+          (col("match_weight") >= 2.0 || col("match_weight") < -2.0)))
+    assert(bad.isEmpty)
+    intercept[IllegalArgumentException](Linkage.emTrain(df, Seq.empty))
+    intercept[IllegalArgumentException](
+      Linkage.classify(scored, upper = 0.0, lower = 1.0))
+  }
+}
