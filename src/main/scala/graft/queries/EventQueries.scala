@@ -304,6 +304,42 @@ object EventQueries extends QueryGroup {
         .orderBy("hour", "event_type")
     },
 
+    // SCD2 history rebuild: per-user event_type as the tracked
+    // attribute — one version row per change, [valid_from, valid_to)
+    // intervals, open tail null; duplicate timestamps resolve
+    // last-writer-wins on (event_id, attrs).
+    q("q_scd2_history",
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id
+        |  FROM events
+        |), dedup AS (
+        |  SELECT user_id, event_type, sec FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, sec
+        |      ORDER BY event_id DESC, event_type DESC) AS rn
+        |    FROM e
+        |  ) WHERE rn = 1
+        |), marked AS (
+        |  SELECT *, lag(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY sec) AS prev
+        |  FROM dedup
+        |), versions AS (
+        |  SELECT user_id, event_type, sec AS valid_from
+        |  FROM marked WHERE prev IS NULL OR event_type != prev
+        |)
+        |SELECT user_id, event_type, valid_from,
+        |  lead(valid_from) OVER (
+        |    PARTITION BY user_id ORDER BY valid_from) AS valid_to
+        |FROM versions
+        |ORDER BY user_id, valid_from""".stripMargin) { (s, dir) =>
+      val raw = t(s, dir, "events")
+      graft.sources.Scd2.fromEvents(
+          raw.withColumn("sec", Ts.seconds(raw)),
+          Seq("user_id"), Seq("event_type"), "sec",
+          tieCols = Seq("event_id"))
+        .orderBy("user_id", "valid_from")
+    },
+
     // per-user EWMA along the event stream (pandas ewm(adjust=false)
     // seed rule): the oracle folds each row's ordered value prefix
     // with list_reduce — the identical left-fold arithmetic the
