@@ -104,6 +104,52 @@ object SupersetQueries extends QueryGroup {
         .orderBy("flag", "status")
     },
 
+    // explicit GROUPING SETS (the cube/rollup generalization): a
+    // hand-picked lattice of aggregation levels in one pass.
+    q("q_grouping_sets",
+      """SELECT coalesce(l_returnflag, '<all>') AS flag,
+        |  coalesce(l_linestatus, '<all>') AS status,
+        |  count(*) AS cnt, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), (l_linestatus))
+        |ORDER BY flag, status""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+      s.sql(
+        """SELECT coalesce(l_returnflag, '<all>') AS flag,
+          |  coalesce(l_linestatus, '<all>') AS status,
+          |  count(*) AS cnt, round(sum(l_quantity), 2) AS qty
+          |FROM lineitem_gs
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+          |  (l_returnflag), (l_linestatus))
+          |ORDER BY flag, status""".stripMargin)
+    },
+
+    // trailing time-RANGE window: per-user 1-hour trailing event-value
+    // sum — the range frame (not a row count) the windowed-aggregate
+    // family needs for time-based features.
+    q("q_window_trailing",
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec, value
+        |  FROM events
+        |)
+        |SELECT user_id, event_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY sec
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4)
+        |    AS trailing_1h
+        |FROM e ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val raw = t(s, dir, "events")
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("sec"))
+        .rangeBetween(-3600L, Window.currentRow)
+      raw.withColumn("sec", graft.core.Ts.seconds(raw))
+        .select(col("user_id"), col("event_id"),
+          round(sum(col("value")).over(w), 4).as("trailing_1h"))
+        .orderBy("user_id", "event_id")
+    },
+
     // trap routing (addTrap, RichPipe.scala:515-518): rows whose
     // numeric parse fails go to the trap, the rest flow on — counted
     // on both paths.
