@@ -203,6 +203,53 @@ object ExtrasQueries extends QueryGroup {
           floor(col("skew_vs_uniform") * 100 + 0.5) / 100)
     },
 
+    // dataset regression diff: documents vs a perturbed copy (every
+    // 7th dropped, every 5th uppercased, every 11th re-keyed as new)
+    // — full-outer key alignment, per-row status + changed-column
+    // attribution.
+    q("q_tool_diff",
+      """WITH l AS (SELECT doc_id, text, lang FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END AS text,
+        |    lang
+        |  FROM documents WHERE doc_id % 7 != 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'new', 'xx'
+        |  FROM documents WHERE doc_id % 11 = 0
+        |), j AS (
+        |  SELECT coalesce(l.doc_id, r.doc_id) AS doc_id,
+        |    l.text AS lt, l.lang AS ll, r.text AS rt, r.lang AS rl,
+        |    l.doc_id IS NOT NULL AS hl, r.doc_id IS NOT NULL AS hr
+        |  FROM l FULL JOIN r ON l.doc_id = r.doc_id
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN NOT hr THEN 'left_only' WHEN NOT hl THEN 'right_only'
+        |    WHEN lt IS NOT DISTINCT FROM rt AND ll IS NOT DISTINCT FROM rl
+        |      THEN 'unchanged' ELSE 'changed' END AS status,
+        |  CASE WHEN hl AND hr AND NOT (lt IS NOT DISTINCT FROM rt
+        |      AND ll IS NOT DISTINCT FROM rl)
+        |    THEN array_to_string(list_sort(list_filter(
+        |      [CASE WHEN ll IS DISTINCT FROM rl THEN 'lang' END,
+        |       CASE WHEN lt IS DISTINCT FROM rt THEN 'text' END],
+        |      x -> x IS NOT NULL)), ',')
+        |    ELSE '' END AS changed_cols
+        |FROM j ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+      val right = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, upper(col("text")))
+            .otherwise(col("text")).as("text"),
+          col("lang"))
+        .unionByName(docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            lit("new").as("text"), lit("xx").as("lang")))
+      graft.tools.Diff.rows(docs, right, Seq("doc_id"))
+        .select(col("doc_id"), col("status"),
+          array_join(col("changed_cols"), ",").as("changed_cols"))
+        .orderBy("doc_id")
+    },
+
     // distribution-drift report: frozen-cutoff bucketing of baseline
     // (all docs) vs current (every third doc), Laplace-smoothed
     // fractions, per-bucket PSI/KL/TVD terms — the ingest monitor.
