@@ -1,0 +1,88 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Isotonic (monotone) calibration of classifier scores — the step
+  * between a trained ranker ([[QualityModel]]/[[Softmax]]) and a
+  * usable PROBABILITY: fit a non-decreasing map score → P(label=1)
+  * by pool-adjacent-violators over frozen score bins.
+  *
+  * Distributed discipline matches the trainers: ONE corpus aggregate
+  * reduces (score, label) to per-bin (count, positives) over the
+  * explicit `cuts` (same frozen-cutoff rule as
+  * [[Profile.bucketCounts]]), the PAV pooling runs driver-side over
+  * the ≤ |cuts|+1 bins (bounded, like the centroid/vocab steps), and
+  * application is a codegen'd CASE — no sort, no shuffle, no model
+  * object.
+  */
+object Calibrate {
+
+  /** Per-bin calibrated probabilities: fit PAV over the binned
+    * (count, positives) table. Returns one probability per bin
+    * (bins indexed 1..|cuts|+1, [[TextAnalysis.bucketByCutoffs]]'s
+    * rule); empty bins inherit the pooled value of their neighbors'
+    * pool (they join the pool with weight 0, so the fit is defined
+    * everywhere).
+    */
+  def isotonicBins(scored: DataFrame, scoreCol: String,
+      labelCol: String, cuts: Seq[Double]): Array[Double] = {
+    require(cuts.nonEmpty && cuts == cuts.sorted,
+      "cuts must be non-empty and ascending")
+    val nBins = cuts.size + 1
+    val bucket = cuts.foldLeft(lit(1L)) { (acc, c) =>
+      acc + when(col(scoreCol) > c, 1L).otherwise(0L)
+    }
+    val stats = scored
+      .select(bucket.as("bucket"), col(labelCol).cast("double").as("y"))
+      .groupBy("bucket").agg(count(lit(1)).cast("double").as("n"),
+        sum("y").as("pos"))
+      .collect().map(r => r.getLong(0).toInt ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    val n = Array.tabulate(nBins)(i => stats.get(i + 1).map(_._1).getOrElse(0.0))
+    val pos = Array.tabulate(nBins)(i => stats.get(i + 1).map(_._2).getOrElse(0.0))
+    pav(n, pos)
+  }
+
+  /** Pool-adjacent-violators over weighted bin means: stack-based
+    * exact PAV — merge a new bin into the top pool while the top
+    * pool's mean would decrease, left to right. Zero-weight bins
+    * merge into whatever pool spans them.
+    */
+  private[graft] def pav(w: Array[Double], sum: Array[Double]): Array[Double] = {
+    // pools as (weight, sum, span)
+    val stack = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Int)]
+    for (i <- w.indices) {
+      var cur = (w(i), sum(i), 1)
+      def mean(p: (Double, Double, Int)) =
+        if (p._1 == 0) Double.NaN else p._2 / p._1
+      while (stack.nonEmpty && {
+        val top = stack.last
+        // merge if violation (top mean > cur mean) or either side is
+        // weightless (undefined mean joins its neighbor's pool)
+        top._1 == 0 || cur._1 == 0 || mean(top) > mean(cur)
+      }) {
+        val top = stack.remove(stack.size - 1)
+        cur = (top._1 + cur._1, top._2 + cur._2, top._3 + cur._3)
+      }
+      stack += cur
+    }
+    // all-zero prefix pools (no data at all) default to 0.0
+    stack.toArray.flatMap { case (pw, ps, span) =>
+      val v = if (pw == 0) 0.0 else ps / pw
+      Array.fill(span)(v)
+    }
+  }
+
+  /** Codegen'd application of a fitted calibration: maps `scoreCol`
+    * through its bin's probability (a literal CASE chain — no join,
+    * no shuffle).
+    */
+  def applyBins(scoreCol: Column, cuts: Seq[Double],
+      calibrated: Array[Double]): Column = {
+    require(calibrated.length == cuts.size + 1, "bin arity mismatch")
+    cuts.zip(calibrated.init).foldRight(lit(calibrated.last)) {
+      case ((c, v), acc) => when(scoreCol <= c, v).otherwise(acc)
+    }
+  }
+}
