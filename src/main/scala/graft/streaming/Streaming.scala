@@ -131,6 +131,54 @@ object Streaming {
       .start()
   }
 
+  /** Streaming trending maintenance — the incremental form of
+    * [[graft.events.Events.trending]]: each micro-batch's
+    * (window, type) counts monoid-merge into the versioned store
+    * (key = "win|type", value = count), so the store always holds
+    * exact per-window totals across any batch arrival order
+    * (late/out-of-order events just add to their window's count);
+    * after each merge `onBatch` receives the store-wide top-`k` per
+    * window. Per batch: one bucket aggregate + the store's keyed
+    * merge + a bounded top-k read.
+    */
+  def trendingStream(events: DataFrame, secCol: String, typeCol: String,
+      windowSec: Long, k: Int,
+      store: graft.sources.VersionedKeyValStore)(
+      onBatch: (Long, Seq[(Long, String, Long, Long)]) => Unit)
+      : StreamingQuery = {
+    require(windowSec > 0 && k > 0, "windowSec and k must be positive")
+    events.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import spark.implicits._
+          val counts = batch
+            .select(col(secCol).cast("long").as("__sec"),
+              col(typeCol).cast("string").as("etype"))
+            .select(expr(s"__sec div ${windowSec}L").as("win"), col("etype"))
+            .groupBy("win", "etype").agg(count(lit(1)).as("value"))
+            .select(concat_ws("|", col("win"), col("etype")).as("key"),
+              col("value"))
+          store.writeIncremental(counts)
+          val top = store.read(spark)
+            .select(split(col("key"), "\\|").as("kv"), col("value"))
+            .select(element_at(col("kv"), 1).cast("long").as("win"),
+              element_at(col("kv"), 2).as("etype"),
+              col("value").cast("long").as("n"))
+            .withColumn("rank", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy("win")
+                .orderBy(col("n").desc, col("etype"))).cast("long"))
+            .filter(col("rank") <= k)
+            .as[(Long, String, Long, Long)]
+            .collect().sortBy(t => (t._1, t._4)).toSeq
+          onBatch(batchId, top)
+        }
+      }
+      .start()
+  }
+
   /** Streaming heavy-hitter maintenance: each micro-batch folds into a
     * batch-local Misra-Gries sketch (one bounded row per batch — the
     * sketch aggregation itself runs with map-side partials), which is

@@ -413,4 +413,33 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(psi2 - expPsi) < 1e-12)
     assert(math.abs(tvd2 - expTvd) < 1e-12)
   }
+
+  test("trending stream: store-merged window counts, late events included") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-trend").toString
+    val store = graft.sources.VersionedKeyValStore(dir)
+    val input = MemoryStream[(Long, String)]
+    val batches = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[(Long, String, Long, Long)])]
+    val query = Streaming.trendingStream(
+      input.toDF().toDF("sec", "etype"), "sec", "etype",
+      windowSec = 10L, k = 2, store) { (id, top) =>
+      batches.synchronized { batches += ((id, top)); () }
+    }
+    // batch 1: win0 has a:2 b:1
+    input.addData((1L, "a"), (2L, "a"), (3L, "b"))
+    query.processAllAvailable()
+    // batch 2: LATE win0 b:2 (overtakes a) + win1 c:1
+    input.addData((4L, "b"), (5L, "b"), (12L, "c"))
+    query.processAllAvailable()
+    query.stop()
+
+    val got = batches.synchronized(batches.sortBy(_._1).toList)
+    assert(got.size == 2)
+    assert(got(0)._2 == Seq((0L, "a", 2L, 1L), (0L, "b", 1L, 2L)))
+    // after the late batch, win0 totals are a:2 b:3 -> b leads; win1 c
+    assert(got(1)._2 == Seq((0L, "b", 3L, 1L), (0L, "a", 2L, 2L),
+      (1L, "c", 1L, 1L)))
+  }
 }
