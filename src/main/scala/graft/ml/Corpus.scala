@@ -580,6 +580,73 @@ object Corpus {
     * state, no UDF; the whole op is one codegen'd scan at any corpus
     * size.
     */
+  /** Deterministic word-dropout augmentation: each token position
+    * drops independently with probability `rate`, decided by the
+    * md5 of (doc id, position) — the same engine-replayable coin as
+    * [[maskSpans]], so augmented copies are reproducible artifacts
+    * of the dataset rather than of a run. Emits (id, n_tokens,
+    * n_dropped, aug_text). Pure per-row Column program: one
+    * codegen'd scan, no shuffle, no UDF.
+    */
+  def dropWords(docs: DataFrame, idCol: String, textCol: String,
+      rate: Double, salt: String = "wd"): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    require(!salt.contains("'"), "salt must not contain quotes")
+    val thr = Profile.strongThreshold(rate)
+    val dropped = (i: String) =>
+      s"substring(md5(concat('$salt:', cast(__id as string), ':', " +
+        s"cast($i as string))), 1, 8) < '$thr'"
+    docs
+      .withColumn("__id", col(idCol))
+      .withColumn("__w",
+        when(length(trim(col(textCol))) === 0, array().cast("array<string>"))
+          .otherwise(split(trim(col(textCol)), "\\s+")))
+      .withColumn("__keep", expr(
+        s"""filter(__w, (w, i) -> NOT ${dropped("i")})"""))
+      .select(col(idCol),
+        size(col("__w")).cast("long").as("n_tokens"),
+        (size(col("__w")) - size(col("__keep"))).cast("long")
+          .as("n_dropped"),
+        array_join(col("__keep"), " ").as("aug_text"))
+  }
+
+  /** Deterministic adjacent-swap augmentation: each even token
+    * boundary 2b/2b+1 swaps with probability `rate`, decided by
+    * md5(doc id, block) — light word-order noise with the same
+    * replayable-coin contract as [[dropWords]]. Emits (id, n_tokens,
+    * n_swapped, aug_text); a trailing odd token never moves.
+    */
+  def swapAdjacentWords(docs: DataFrame, idCol: String, textCol: String,
+      rate: Double, salt: String = "sw"): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    require(!salt.contains("'"), "salt must not contain quotes")
+    val thr = Profile.strongThreshold(rate)
+    val swapped = (b: String) =>
+      s"substring(md5(concat('$salt:', cast(__id as string), ':', " +
+        s"cast($b as string))), 1, 8) < '$thr'"
+    docs
+      .withColumn("__id", col(idCol))
+      .withColumn("__w",
+        when(length(trim(col(textCol))) === 0, array().cast("array<string>"))
+          .otherwise(split(trim(col(textCol)), "\\s+")))
+      .withColumn("__n", size(col("__w")).cast("long"))
+      .withColumn("__blocks", expr(
+        "if (__n < 2, array(), sequence(0L, __n div 2 - 1))"))
+      .withColumn("aug_text", expr(
+        s"""array_join(concat(flatten(transform(__blocks, b ->
+           |  if (${swapped("b")},
+           |      array(element_at(__w, cast(b * 2 + 2 as int)),
+           |            element_at(__w, cast(b * 2 + 1 as int))),
+           |      array(element_at(__w, cast(b * 2 + 1 as int)),
+           |            element_at(__w, cast(b * 2 + 2 as int)))))),
+           |  if (__n % 2 = 1, slice(__w, cast(__n as int), 1),
+           |      array())), ' ')""".stripMargin))
+      .withColumn("n_swapped", expr(
+        s"aggregate(__blocks, 0L, (acc, b) -> acc + if (${swapped("b")}, 1L, 0L))"))
+      .select(col(idCol), col("__n").as("n_tokens"), col("n_swapped"),
+        col("aug_text"))
+  }
+
   def maskSpans(docs: DataFrame, idCol: String, textCol: String,
       rate: Double, spanLen: Int = 3, sentinel: String = "<X>"): DataFrame = {
     require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")

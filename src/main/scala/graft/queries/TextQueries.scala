@@ -992,6 +992,53 @@ object TextQueries extends QueryGroup {
         .orderBy("doc_id")
     },
 
+    // deterministic augmentation: word dropout + adjacent swaps, both
+    // decided by md5(salt, doc, position) coins so the augmented copy
+    // is an artifact of the dataset (replayed exactly by the oracle's
+    // list ops; DuckDB lambda indices are 1-based, hence i-1).
+    q("q_text_augment", {
+      val thrD = graft.ml.Profile.strongThreshold(0.15)
+      val thrS = graft.ml.Profile.strongThreshold(0.25)
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         |      ELSE string_split_regex(trim(text), '\\s+') END AS w
+         |  FROM documents
+         |), dr AS (
+         |  SELECT doc_id, w,
+         |    list_filter(w, (x, i) -> NOT (substring(md5('wd:' ||
+         |      CAST(doc_id AS VARCHAR) || ':' ||
+         |      CAST(i - 1 AS VARCHAR)), 1, 8) < '$thrD')) AS kept
+         |  FROM d
+         |), sw AS (
+         |  SELECT doc_id, w,
+         |    flatten(list_transform(range(len(w) // 2), b ->
+         |      CASE WHEN substring(md5('sw:' ||
+         |          CAST(doc_id AS VARCHAR) || ':' ||
+         |          CAST(b AS VARCHAR)), 1, 8) < '$thrS'
+         |        THEN [w[b * 2 + 2], w[b * 2 + 1]]
+         |        ELSE [w[b * 2 + 1], w[b * 2 + 2]] END))
+         |    || CASE WHEN len(w) % 2 = 1 THEN [w[len(w)]]
+         |        ELSE []::VARCHAR[] END AS sw_w
+         |  FROM d
+         |)
+         |SELECT dr.doc_id, CAST(len(dr.w) AS BIGINT) AS n_tokens,
+         |  CAST(len(dr.w) - len(dr.kept) AS BIGINT) AS n_dropped,
+         |  md5(array_to_string(dr.kept, ' ')) AS drop_h,
+         |  md5(array_to_string(sw.sw_w, ' ')) AS swap_h
+         |FROM dr JOIN sw ON dr.doc_id = sw.doc_id
+         |ORDER BY dr.doc_id""".stripMargin
+    }) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val dropped = Corpus.dropWords(docs, "doc_id", "text", rate = 0.15)
+        .select(col("doc_id"), col("n_tokens"), col("n_dropped"),
+          md5(col("aug_text")).as("drop_h"))
+      val swapped = Corpus.swapAdjacentWords(docs, "doc_id", "text",
+          rate = 0.25)
+        .select(col("doc_id"), md5(col("aug_text")).as("swap_h"))
+      dropped.join(swapped, "doc_id").orderBy("doc_id")
+    },
+
     // within-document line dedup (apply form of the Gopher duplicate-
     // line flag): first occurrence of each non-blank line survives,
     // blanks always survive. Documents are single-line in this

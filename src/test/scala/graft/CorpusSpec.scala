@@ -528,4 +528,48 @@ class CorpusSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Corpus.contrastiveTriplets(pairs, corpus, "doc_id", 0))
   }
+
+  test("dropWords / swapAdjacentWords: deterministic coins, exact replay") {
+    import spark.implicits._
+    def md5hex8(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+    val thr = graft.ml.Profile.strongThreshold(0.5)
+    val docs = Seq((1L, "a b c d e"), (2L, ""), (3L, "x y"))
+      .toDF("doc_id", "text")
+
+    val dr = Corpus.dropWords(docs, "doc_id", "text", rate = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // driver replay of the same coins
+    def keep(id: Long, i: Int) = md5hex8(s"wd:$id:$i") >= thr
+    val exp1 = "a b c d e".split(" ").zipWithIndex
+      .filter { case (_, i) => keep(1L, i) }.map(_._1).mkString(" ")
+    assert(dr(1L)._3 == exp1, s"got ${dr(1L)}")
+    assert(dr(1L)._1 == 5L && dr(1L)._2 == 5L - exp1.split(" ")
+      .count(_.nonEmpty))
+    assert(dr(2L) == ((0L, 0L, "")))
+    // determinism across runs
+    val again = Corpus.dropWords(docs, "doc_id", "text", rate = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(again(1L) == dr(1L)._3)
+    // rate 0 / 1 extremes
+    val none = Corpus.dropWords(docs, "doc_id", "text", rate = 0.0)
+      .filter(col("n_dropped") > 0).count()
+    assert(none == 0)
+
+    val sw = Corpus.swapAdjacentWords(docs, "doc_id", "text", rate = 1.0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getString(3))).toMap
+    // rate 1: every pair swaps, odd tail fixed
+    assert(sw(1L) == ((2L, "b a d c e")))
+    assert(sw(3L) == ((1L, "y x")))
+    assert(sw(2L) == ((0L, "")))
+    // swapping is a permutation: token multiset preserved
+    val sw2 = Corpus.swapAdjacentWords(docs, "doc_id", "text", rate = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(sw2(1L).split(" ").sorted.toSeq == Seq("a", "b", "c", "d", "e"))
+    intercept[IllegalArgumentException](
+      Corpus.dropWords(docs, "doc_id", "text", 1.5))
+  }
 }
