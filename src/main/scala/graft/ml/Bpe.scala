@@ -388,6 +388,52 @@ object Bpe {
     syms
   }
 
+  /** BPE-dropout segmentation (Provilkov et al. 2020), deterministic
+    * form: like [[encodeWord]] but each merge application is SKIPPED
+    * with probability `rate`, decided by an md5 coin on (salt, word,
+    * occurrence, merge rank) — subword regularization whose sampled
+    * segmentations are reproducible dataset artifacts, not run
+    * artifacts. `occurrence` distinguishes repeats of the same word
+    * so a document's copies draw different coins.
+    */
+  def encodeWordDropout(word: String, merges: Seq[Merge], rate: Double,
+      occurrence: Long = 0L, salt: String = "bd"): Array[String] = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    val thr = Profile.strongThreshold(rate)
+    var syms = charSymbols(word.toLowerCase(java.util.Locale.ROOT))
+    merges.sortBy(_.rank).foreach { m =>
+      val coin = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$salt:$word:$occurrence:${m.rank}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      if (coin >= thr) syms = applyMerge(syms, m.left, m.right)
+    }
+    syms
+  }
+
+  /** Distributed BPE-dropout application: one shuffle-free
+    * mapPartitions scan like [[encode]], but each word occurrence
+    * draws its own per-merge coins (no memoization — the coins are
+    * occurrence-keyed by design). Returns (id, tokens).
+    */
+  def encodeDropout(docs: Dataset[(Long, String)], merges: Seq[Merge],
+      rate: Double, salt: String = "bd"): Dataset[(Long, Array[String])] = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ms = merges.sortBy(_.rank)
+    docs.mapPartitions { it =>
+      it.map { case (id, text) =>
+        val seen = new java.util.HashMap[String, Long]()
+        val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+          .iterator.filter(_.nonEmpty).flatMap { w =>
+            val occ = seen.merge(w, 1L, _ + _) - 1L
+            encodeWordDropout(w, ms, rate, occ, salt)
+          }.toArray
+        (id, toks)
+      }
+    }
+  }
+
   /** Distributed tokenizer application: encode every document with a
     * learned merge list. Returns (id, tokens).
     *

@@ -200,4 +200,47 @@ class BpeSpec extends SparkSpec {
       assert(got(i.toLong).toSeq == expected.toSeq, s"doc $i")
     }
   }
+
+  test("BPE-dropout: rate extremes, determinism, occurrence-keyed coins") {
+    import spark.implicits._
+    val corpus = Seq("the cat sat", "the the the", "banana bandana")
+    val merges = Bpe.trainFromCounts(spark,
+      Bpe.wordCounts(corpus.toDS()), nMerges = 20)
+    // rate 0 == plain encode
+    corpus.flatMap(_.split(" ")).distinct.foreach { w =>
+      assert(Bpe.encodeWordDropout(w, merges, 0.0).toSeq ==
+        Bpe.encodeWord(w, merges).toSeq, w)
+    }
+    // rate 1 == character symbols (every merge skipped)
+    assert(Bpe.encodeWordDropout("the", merges, 1.0).toSeq ==
+      Bpe.encodeWord("the", Seq.empty).toSeq)
+    // deterministic per (word, occurrence); occurrences draw
+    // independent coins so SOME word/rate shows a difference
+    val a = Bpe.encodeWordDropout("banana", merges, 0.5, occurrence = 0L)
+    val b = Bpe.encodeWordDropout("banana", merges, 0.5, occurrence = 0L)
+    assert(a.toSeq == b.toSeq, "same occurrence must be deterministic")
+    val diffs = (0L until 8L).map(o =>
+      Bpe.encodeWordDropout("banana", merges, 0.5, o).toSeq).distinct
+    assert(diffs.size > 1, "occurrences should sample different segmentations")
+    // round trip: concatenation always reproduces the word
+    (0L until 8L).foreach { o =>
+      val toks = Bpe.encodeWordDropout("bandana", merges, 0.5, o)
+      assert(toks.mkString("").replace(Bpe.Eow, "") == "bandana")
+    }
+    // distributed path == driver replay with per-doc occurrence counters
+    val docs = Seq((1L, "the the cat"), (2L, "banana banana banana"))
+      .toDS()
+    val got = Bpe.encodeDropout(docs, merges, 0.5).collect().toMap
+    docs.collect().foreach { case (id, text) =>
+      val seen = scala.collection.mutable.Map.empty[String, Long]
+      val exp = text.split(" ").flatMap { w =>
+        val occ = seen.getOrElse(w, 0L)
+        seen(w) = occ + 1
+        Bpe.encodeWordDropout(w, merges, 0.5, occ)
+      }
+      assert(got(id).toSeq == exp.toSeq, s"doc $id")
+    }
+    intercept[IllegalArgumentException](
+      Bpe.encodeWordDropout("x", merges, 1.5))
+  }
 }
