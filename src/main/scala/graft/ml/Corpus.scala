@@ -226,12 +226,15 @@ object Corpus {
       .withColumn("__pos", row_number().over(
         Window.partitionBy("__shard")
           .orderBy(col("__h"), col(idCol))).cast("long"))
-    val offsets = ranked.groupBy("__shard")
-      .agg(count(lit(1)).as("__n"))
-      .withColumn("__off", coalesce(
-        sum("__n").over(Window.orderBy("__shard")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("__shard", "__off")
+    // shard offsets via a triangle self-join over the ≤16^prefixLen-row
+    // size table (NOT an unpartitioned window — this repo keeps the
+    // global-window occurrence count at zero so the lint stays sharp)
+    val sizes = ranked.groupBy("__shard").agg(count(lit(1)).as("__n"))
+    val offsets = sizes.alias("a")
+      .join(sizes.alias("b"), col("b.__shard") < col("a.__shard"),
+        "left_outer")
+      .groupBy(col("a.__shard").as("__shard"))
+      .agg(coalesce(sum(col("b.__n")), lit(0L)).as("__off"))
     ranked.join(broadcast(offsets), "__shard")
       .withColumn("global_pos", col("__off") + col("__pos") - 1L)
       .drop("__h", "__shard", "__pos", "__off")

@@ -266,21 +266,24 @@ object Profile {
       nBuckets: Int, smoothing: Double = 0.5): DataFrame = {
     require(smoothing > 0, "smoothing must be positive")
     require(nBuckets > 0, "nBuckets must be positive")
-    val joined = baseCounts
+    val joined0 = baseCounts
       .select(col("bucket"), col("n").as("base_n"))
       .join(curCounts.select(col("bucket"), col("n").as("cur_n")),
         Seq("bucket"), "full_outer")
       .select(col("bucket"),
         coalesce(col("base_n"), lit(0L)).as("base_n"),
         coalesce(col("cur_n"), lit(0L)).as("cur_n"))
-    val baseTot = sum("base_n").over()
-    val curTot = sum("cur_n").over()
+    // grand totals as a broadcast 1-row cross-join (the tiny-table
+    // normalizer idiom; unpartitioned windows stay banned repo-wide)
+    val joined = joined0.crossJoin(
+      broadcast(joined0.agg(sum("base_n").as("__bt"),
+        sum("cur_n").as("__ct"))))
     // smoothed fractions: (n + s) / (N + s·B) — a proper distribution
     // over the B buckets on both sides
     val baseF = (col("base_n") + smoothing) /
-      (baseTot + lit(smoothing * nBuckets))
+      (col("__bt") + lit(smoothing * nBuckets))
     val curF = (col("cur_n") + smoothing) /
-      (curTot + lit(smoothing * nBuckets))
+      (col("__ct") + lit(smoothing * nBuckets))
     joined.select(col("bucket"), col("base_n"), col("cur_n"),
       baseF.as("base_frac"), curF.as("cur_frac"),
       ((curF - baseF) * log(curF / baseF)).as("psi_term"),

@@ -45,12 +45,17 @@ class PlanLintSpec extends SparkSpec {
       "1-row (Nr, Nt, V) model-totals aggregate broadcast onto the token stream"),
     "q_quality_expectations" -> Map("cartesian" ->
       "1-row n_checked × 1-row n_failed aggregates in the referential rule"),
-    "q_corpus_train_order" -> Map("global-window" ->
-      ("shard-offset prefix sum over the 16^prefixLen-row (≤4096) shard-size " +
-        "aggregate, broadcast back — the corpus itself is never in a global window")),
-    "q_profile_drift" -> Map("global-window" ->
-      ("grand-total window over the |cuts|+1-row (5) bucket-count table; " +
-        "both corpus scans reduce to it before any window")))
+    "q_corpus_train_order" -> Map("cartesian" ->
+      ("shard-offset triangle join over the 16^prefixLen-row (≤4096) " +
+        "shard-size aggregate — both sides bounded, corpus never joins")),
+    "q_corpus_triplets" -> Map("cartesian" ->
+      ("orderForTraining's bounded shard-offset triangle join (same " +
+        "shape q_corpus_train_order excuses)")),
+    "q_profile_drift" -> Map("cartesian" ->
+      ("1-row grand-total aggregate broadcast onto the |cuts|+1-row " +
+        "bucket-count table; both corpus scans reduce before the join")),
+    "q_text_bm25_index" -> Map("cartesian" ->
+      "1-row (n_docs, sum_dl) stats table broadcast onto the pruned postings"))
 
   test("every cartesian/global-window in any gate plan is whitelisted") {
     val dir = sf("sf0.001")
