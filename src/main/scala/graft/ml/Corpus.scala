@@ -322,6 +322,26 @@ object Corpus {
       .select("anchor", "positive", "neg_rank", "negative")
   }
 
+  /** Per-stratum weighted sampling without replacement: the
+    * [[weightedSample]] rule applied independently inside each
+    * stratum — top-`n` rows per stratum under the Efraimidis–Spirakis
+    * key ln(u)/w. One hashpartitioning(stratum) exchange with a
+    * bounded per-stratum rank (the stratifiedTake shape, weighted);
+    * returns the selected rows + `sample_key` + `sample_rank`.
+    */
+  def weightedSamplePerStratum(docs: DataFrame, idCol: String,
+      strataCol: String, weightCol: String, n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    val u = (Profile.fibScramble(col(idCol)) + 1L).cast("double") /
+      2147483648.0
+    val w = Window.partitionBy(strataCol)
+      .orderBy(col("sample_key").desc, col(idCol))
+    docs.filter(col(weightCol) > 0)
+      .withColumn("sample_key", log(u) / col(weightCol))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= n)
+  }
+
   /** Snapshot diff between two corpus versions: every id classified
     * as `added` (new only), `removed` (old only), `changed` (both,
     * content hash differs) or `unchanged`. The audit step of an

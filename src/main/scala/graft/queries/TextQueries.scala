@@ -968,6 +968,26 @@ object TextQueries extends QueryGroup {
         .orderBy("doc_id")
     },
 
+    // per-stratum weighted sampling: the E-S key ranked inside each
+    // source, top 5 per stratum — balanced weighted selection.
+    q("q_corpus_weighted_stratified",
+      """SELECT doc_id, source, sample_rank FROM (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY ln(((doc_id % 2147483647) * 1327217885 % 2147483647
+        |        + 1) / 2147483648.0) / (length(text) + 1) DESC, doc_id)
+        |      AS BIGINT) AS sample_rank
+        |  FROM documents
+        |) WHERE sample_rank <= 5 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.ml.Corpus.weightedSamplePerStratum(
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("source"),
+              (length(col("text")) + 1L).as("w")),
+          "doc_id", "source", "w", n = 5)
+        .select("doc_id", "source", "sample_rank")
+        .orderBy("doc_id")
+    },
+
     // weighted sampling without replacement (Efraimidis–Spirakis):
     // rank by ln(u)/w with the integer-arithmetic pseudo-uniform
     // u = (fibScramble(id)+1)/2^31, take the top 50 — inclusion odds

@@ -572,4 +572,30 @@ class CorpusSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Corpus.dropWords(docs, "doc_id", "text", 1.5))
   }
+
+  test("weightedSamplePerStratum: independent E-S draws per stratum") {
+    import spark.implicits._
+    val rows = (0L until 60L).map(i => (i, if (i % 2 == 0) "a" else "b", 1L + i % 3))
+    val df = rows.toDF("id", "src", "w")
+    val got = Corpus.weightedSamplePerStratum(df, "id", "src", "w", n = 4)
+      .select("id", "src", "sample_rank").as[(Long, String, Long)]
+      .collect()
+    // exactly 4 per stratum, ranks dense 1..4
+    val bySrc = got.groupBy(_._2)
+    assert(bySrc.keySet == Set("a", "b"))
+    bySrc.values.foreach { g =>
+      assert(g.length == 4)
+      assert(g.map(_._3).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    }
+    // matches the global rule applied within each stratum
+    def fib(id: Long) = (id % 2147483647L) * 1327217885L % 2147483647L
+    def key(id: Long, w: Long) =
+      math.log((fib(id) + 1).toDouble / 2147483648.0) / w
+    val expect = rows.groupBy(_._2).flatMap { case (src, g) =>
+      g.sortBy { case (id, _, w) => (-key(id, w), id) }.take(4).map(_._1)
+    }.toSet
+    assert(got.map(_._1).toSet == expect)
+    intercept[IllegalArgumentException](
+      Corpus.weightedSamplePerStratum(df, "id", "src", "w", 0))
+  }
 }
