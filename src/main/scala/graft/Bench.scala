@@ -83,7 +83,13 @@ object Bench {
     "q_text_ppl_bucket",
     "q_corpus_train_order",
     "q_corpus_pack_fit",
-    "q_graph_triangles")
+    "q_graph_triangles",
+    // round-15: softmax tier classifier (2 K·D GD aggregates +
+    // scoring scan), Fellegi-Sunter EM linkage (3 EM aggregates over
+    // the candidate join), inverted-index BM25 (build + pruned query)
+    "q_text_quality_tiers",
+    "q_dedup_linkage",
+    "q_text_bm25_index")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
