@@ -52,6 +52,48 @@ object TextIndex {
       .write.mode("overwrite").parquet(s"$dir/stats")
   }
 
+  /** Incremental append: add a delta of NEW documents to a built
+    * index — postings for the delta append into their bucket
+    * directories (no rewrite of existing files) and the one-row
+    * stats table advances by the delta's (n_docs, sum_dl) monoid.
+    * Because [[query]] recounts df from the postings it reads, an
+    * appended index answers exactly like a full rebuild — proven in
+    * the spec. Caller contract: delta doc_ids are new (dedup them
+    * upstream with the incremental-dedup machinery).
+    */
+  def append(delta: DataFrame, idCol: String, textCol: String,
+      dir: String, nBuckets: Int = 16): Unit = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val spark = delta.sparkSession
+    val toks = split(TextAnalysis.normalize(col(textCol)), " ")
+    val base = delta.select(col(idCol).cast("long").as("doc_id"),
+      size(toks).cast("long").as("dl"), toks.as("tks"))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("tks")).as("tk"))
+      .filter(length(col("tk")) > 0)
+      .groupBy("doc_id", "dl", "tk").agg(count(lit(1)).cast("long").as("tf"))
+    tf.withColumn("bucket", bucketOf(col("tk"), nBuckets))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$dir/postings")
+    val deltaStats = base.agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      sum(col("dl")).cast("long").as("sum_dl")).head()
+    val old = spark.read.parquet(s"$dir/stats").head()
+    import spark.implicits._
+    val merged = Seq((old.getLong(0) + deltaStats.getLong(0),
+      old.getLong(1) + deltaStats.getLong(1)))
+      .toDF("n_docs", "sum_dl")
+    // write-then-swap: parquet can't overwrite its own input in place
+    val tmp = s"$dir/stats_next"
+    merged.write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val statsPath = new org.apache.hadoop.fs.Path(s"$dir/stats")
+    fs.delete(statsPath, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), statsPath)
+    ()
+  }
+
   /** BM25 top-k against a built index: reads only the query terms'
     * buckets, recounts df on the pruned read, scores with the
     * Lucene-default formula. Output (doc_id, bm25), score-descending

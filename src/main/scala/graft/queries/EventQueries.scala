@@ -304,6 +304,41 @@ object EventQueries extends QueryGroup {
         .orderBy("hour", "event_type")
     },
 
+    // first-order Markov transition probabilities over the per-user
+    // event sequence: P(to | from) with a deterministic (sec, id)
+    // order — the next-event model behind path prediction.
+    q("q_events_markov",
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id
+        |  FROM events
+        |), t AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY sec, event_id) AS from_type,
+        |    event_type AS to_type
+        |  FROM e
+        |), c AS (
+        |  SELECT from_type, to_type, count(*) AS n FROM t
+        |  WHERE from_type IS NOT NULL GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT from_type, sum(n) AS tn FROM c GROUP BY 1
+        |)
+        |SELECT c.from_type, c.to_type, c.n,
+        |  round(c.n * 1.0::DOUBLE / tot.tn, 6) AS p
+        |FROM c JOIN tot USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val raw = t(s, dir, "events")
+      val counts = graft.events.Events.transitionCounts(
+        raw.withColumn("sec", Ts.seconds(raw)),
+        "user_id", "sec", "event_type", "event_id")
+      val tot = counts.groupBy("from_type").agg(sum("n").as("tn"))
+      counts.join(tot, "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("n").cast("double") / col("tn"), 6).as("p"))
+        .orderBy("from_type", "to_type")
+    },
+
     // SCD2 history rebuild: per-user event_type as the tracked
     // attribute — one version row per change, [valid_from, valid_to)
     // intervals, open tail null; duplicate timestamps resolve

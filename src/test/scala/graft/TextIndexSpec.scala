@@ -58,4 +58,25 @@ class TextIndexSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(again == exp)
   }
+
+  test("append: incremental index answers exactly like a full rebuild") {
+    import spark.implicits._
+    val first = Seq((1L, "alpha beta beta"), (2L, "alpha gamma"))
+      .toDF("doc_id", "text")
+    val delta = Seq((3L, "beta delta alpha"), (4L, "gamma gamma"))
+      .toDF("doc_id", "text")
+    val incDir = java.nio.file.Files.createTempDirectory("graft-tixa").toString
+    val fullDir = java.nio.file.Files.createTempDirectory("graft-tixb").toString
+    TextIndex.build(first, "doc_id", "text", incDir, nBuckets = 4)
+    TextIndex.append(delta, "doc_id", "text", incDir, nBuckets = 4)
+    TextIndex.build(first.unionByName(delta), "doc_id", "text", fullDir,
+      nBuckets = 4)
+    val terms = Seq("alpha", "beta", "gamma")
+    def res(d: String) = TextIndex.query(spark, d, terms, nBuckets = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(res(incDir) == res(fullDir), "append diverged from rebuild")
+    // stats advanced to the union totals
+    val st = spark.read.parquet(s"$incDir/stats").head()
+    assert(st.getLong(0) == 4L && st.getLong(1) == 3 + 2 + 3 + 2)
+  }
 }
