@@ -304,6 +304,41 @@ object EventQueries extends QueryGroup {
         .orderBy("hour", "event_type")
     },
 
+    // per-SESSION aggregates through the native sessionize exec: the
+    // (key, session_id) groupBy rides SessionizeExec's preserved
+    // partitioning, so the whole query is ONE exchange end-to-end
+    // (pinned in PlanAuditSpec). 30-minute gap sessions.
+    q("q_events_session_stats",
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    event_id, value
+        |  FROM events
+        |), gaps AS (
+        |  SELECT *, CASE WHEN lag(sec) OVER w IS NULL
+        |      OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+        |), s AS (
+        |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY sec, event_id) AS BIGINT) AS session_id
+        |  FROM gaps
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  max(sec) - min(sec) AS duration_sec,
+        |  round(sum(value), 4) AS total_value
+        |FROM s GROUP BY 1, 2
+        |ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
+      val raw = t(s, dir, "events")
+      val ev = raw.select(col("user_id"), Ts.seconds(raw).as("sec"),
+        col("event_id"), col("value"))
+      org.apache.spark.sql.graft.SessionizeNative.sessionize(ev, Seq("user_id"), "sec",
+          gapSec = 1800L)
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          (max("sec") - min("sec")).as("duration_sec"),
+          round(sum("value"), 4).as("total_value"))
+        .orderBy("user_id", "session_id")
+    },
+
     // first-order Markov transition probabilities over the per-user
     // event sequence: P(to | from) with a deterministic (sec, id)
     // order — the next-event model behind path prediction.

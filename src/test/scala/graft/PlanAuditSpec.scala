@@ -380,4 +380,24 @@ class PlanAuditSpec extends SparkSpec {
       l.contains("HashAggregate") && l.contains("partial_count"))
     assert(partialIdx >= 0, s"no partial count aggregate:\n$p")
   }
+
+  test("per-session aggregates ride the native sessionize partitioning: one exchange") {
+    import org.apache.spark.sql.functions._
+    val raw = graft.core.GraftSession.table(spark, sf("sf0.001"), "events")
+    val ev = raw.select(col("user_id"),
+      graft.core.Ts.seconds(raw).as("sec"), col("event_id"), col("value"))
+    val p = org.apache.spark.sql.graft.SessionizeNative
+      .sessionize(ev, Seq("user_id"), "sec", gapSec = 1800L)
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Sessionize "), s"native exec missing:\n$p")
+    // AQE prints a reused subtree twice; count DISTINCT exchanges
+    val ids = "\\[plan_id=(\\d+)\\]".r
+      .findAllMatchIn(p.linesIterator.filter(_.contains("Exchange "))
+        .mkString("\n"))
+      .map(_.group(1)).toSet
+    assert(ids.size == 1,
+      s"per-session agg should add no exchange (got $ids):\n$p")
+  }
 }
