@@ -131,6 +131,48 @@ object Streaming {
       .start()
   }
 
+  /** Streaming SCD2 maintenance: each micro-batch of attribute
+    * observations merges into a versioned SCD2 parquet history via
+    * [[graft.sources.Scd2.applyDelta]] — late/out-of-order
+    * observations split intervals correctly because the merge
+    * re-derives each key's history. Each batch writes a NEW version
+    * directory (same success-file protocol as the versioned KV
+    * store), so readers always see a complete snapshot and `asOf`
+    * time travel works over the latest.
+    */
+  def scd2Stream(observations: DataFrame, dir: String,
+      keyCols: Seq[String], attrCols: Seq[String],
+      tsCol: String): StreamingQuery =
+    observations.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            spark.sparkContext.hadoopConfiguration)
+          val versions = {
+            val p = new org.apache.hadoop.fs.Path(dir)
+            if (!fs.exists(p)) Seq.empty
+            else fs.listStatus(p).toSeq
+              .map(_.getPath.getName).filter(_.startsWith("v"))
+              .flatMap(n => scala.util.Try(n.drop(1).toLong).toOption)
+              .sorted
+          }
+          val merged = versions.lastOption match {
+            case Some(v) =>
+              graft.sources.Scd2.applyDelta(
+                spark.read.parquet(s"$dir/v$v"), batch,
+                keyCols, attrCols, tsCol)
+            case None =>
+              graft.sources.Scd2.fromEvents(batch, keyCols, attrCols, tsCol)
+          }
+          val next = versions.lastOption.map(_ + 1).getOrElse(0L)
+          merged.write.mode("overwrite").parquet(s"$dir/v$next")
+          ()
+        }
+      }
+      .start()
+
   /** Streaming trending maintenance — the incremental form of
     * [[graft.events.Events.trending]]: each micro-batch's
     * (window, type) counts monoid-merge into the versioned store

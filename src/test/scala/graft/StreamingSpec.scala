@@ -442,4 +442,30 @@ class StreamingSpec extends SparkSpec {
     assert(got(1)._2 == Seq((0L, "b", 3L, 1L), (0L, "a", 2L, 2L),
       (1L, "c", 1L, 1L)))
   }
+
+  test("scd2 stream: late observation splits history across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-scd2").toString
+    val input = MemoryStream[(Long, Long, String)]
+    val query = Streaming.scd2Stream(
+      input.toDF().toDF("k", "ts", "tier"), dir,
+      Seq("k"), Seq("tier"), "ts")
+    input.addData((1L, 10L, "bronze"), (1L, 50L, "gold"))
+    query.processAllAvailable()
+    // LATE middle observation arrives in a later batch
+    input.addData((1L, 30L, "silver"))
+    query.processAllAvailable()
+    query.stop()
+
+    val latest = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("v")).map(_.drop(1).toLong).max
+    val got = spark.read.parquet(s"$dir/v$latest")
+      .collect().map(r => (r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))).sortBy(_._2)
+    assert(got.toSeq == Seq(
+      ("bronze", 10L, Some(30L)),
+      ("silver", 30L, Some(50L)),
+      ("gold", 50L, None)), got.toSeq.toString)
+  }
 }
