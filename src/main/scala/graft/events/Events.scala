@@ -119,6 +119,42 @@ object Events {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Two-proportion z-test per experiment variant: users are the
+    * unit, conversion = "has ≥1 `convType` event"; emits one row per
+    * variant pair-against-control with rates, lift and the pooled
+    * z-score (the experiment-analysis primitive; threshold |z| ≥
+    * 1.96 for the usual 5%). `controlVariant` names the baseline.
+    * Two hash aggregates (user-level then variant-level) and a tiny
+    * variant×variant comparison — no window, no sort.
+    */
+  def abTest(events: DataFrame, userCol: String, variantCol: String,
+      typeCol: String, convType: String,
+      controlVariant: String): DataFrame = {
+    val perUser = events
+      .groupBy(col(userCol).as("user"), col(variantCol).as("variant"))
+      .agg(max(when(col(typeCol) === convType, 1).otherwise(0))
+        .as("converted"))
+    val perVariant = perUser.groupBy("variant")
+      .agg(count(lit(1)).as("n_users"),
+        sum("converted").cast("long").as("n_converted"))
+      .withColumn("rate",
+        col("n_converted").cast("double") / col("n_users"))
+    val control = perVariant.filter(col("variant") === controlVariant)
+      .select(col("n_users").as("c_users"),
+        col("n_converted").as("c_converted"), col("rate").as("c_rate"))
+    val treat = perVariant.filter(col("variant") =!= controlVariant)
+    val pooled = (col("n_converted") + col("c_converted")).cast("double") /
+      (col("n_users") + col("c_users"))
+    treat.crossJoin(broadcast(control))
+      .select(col("variant"), col("n_users"), col("n_converted"),
+        col("rate"), col("c_rate"),
+        (col("rate") - col("c_rate")).as("lift"),
+        ((col("rate") - col("c_rate")) /
+          sqrt(pooled * (lit(1.0) - pooled) *
+            (lit(1.0) / col("n_users") + lit(1.0) / col("c_users"))))
+          .as("z_score"))
+  }
+
   /** Per-key exponentially-weighted moving average over the event
     * stream: EWMA_t = α·x_t + (1−α)·EWMA_{t−1} along each key's
     * (sec, id)-ordered events, seeded at the first value (the pandas

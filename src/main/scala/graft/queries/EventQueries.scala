@@ -304,6 +304,48 @@ object EventQueries extends QueryGroup {
         .orderBy("hour", "event_type")
     },
 
+    // two-proportion z-test: synthetic variants (user_id % 3, variant
+    // 0 as control), conversion = any purchase event; rates, lift and
+    // pooled z per treatment arm.
+    q("q_events_abtest",
+      """WITH pu AS (
+        |  SELECT user_id, CAST(user_id % 3 AS VARCHAR) AS variant,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS converted
+        |  FROM events GROUP BY 1, 2
+        |), pv AS (
+        |  SELECT variant, count(*) AS n_users,
+        |    CAST(sum(converted) AS BIGINT) AS n_converted,
+        |    sum(converted) * 1.0::DOUBLE / count(*) AS rate
+        |  FROM pu GROUP BY 1
+        |), c AS (
+        |  SELECT n_users AS c_users, n_converted AS c_converted,
+        |    rate AS c_rate
+        |  FROM pv WHERE variant = '0'
+        |)
+        |SELECT variant, n_users, n_converted,
+        |  round(rate, 6) AS rate, round(c_rate, 6) AS c_rate,
+        |  round(rate - c_rate, 6) AS lift,
+        |  round((rate - c_rate) / sqrt(
+        |    ((n_converted + c_converted) * 1.0::DOUBLE / (n_users + c_users))
+        |    * (1.0 - (n_converted + c_converted) * 1.0::DOUBLE
+        |        / (n_users + c_users))
+        |    * (1.0 / n_users + 1.0 / c_users)), 6) AS z_score
+        |FROM pv, c WHERE variant != '0'
+        |ORDER BY variant""".stripMargin) { (s, dir) =>
+      graft.events.Events.abTest(
+          t(s, dir, "events")
+            .withColumn("variant", (col("user_id") % 3).cast("string")),
+          "user_id", "variant", "event_type", "purchase",
+          controlVariant = "0")
+        .select(col("variant"), col("n_users"), col("n_converted"),
+          round(col("rate"), 6).as("rate"),
+          round(col("c_rate"), 6).as("c_rate"),
+          round(col("lift"), 6).as("lift"),
+          round(col("z_score"), 6).as("z_score"))
+        .orderBy("variant")
+    },
+
     // per-SESSION aggregates through the native sessionize exec: the
     // (key, session_id) groupBy rides SessionizeExec's preserved
     // partitioning, so the whole query is ONE exchange end-to-end

@@ -164,4 +164,24 @@ class EventsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       graft.events.Events.ewma(ev, "user_id", "sec", "event_id", "value", 0.0))
   }
+
+  test("abTest: hand-computed z on a planted experiment") {
+    import spark.implicits._
+    // control: 4 users, 1 converts; treat: 4 users, 3 convert
+    val ev = Seq(
+      (1L, "ctl", "view"), (1L, "ctl", "purchase"), (2L, "ctl", "view"),
+      (3L, "ctl", "view"), (4L, "ctl", "view"),
+      (11L, "trt", "purchase"), (12L, "trt", "purchase"),
+      (13L, "trt", "purchase"), (14L, "trt", "view"))
+      .toDF("user_id", "variant", "event_type")
+    val r = graft.events.Events.abTest(ev, "user_id", "variant",
+      "event_type", "purchase", controlVariant = "ctl").head()
+    assert(r.getAs[String]("variant") == "trt")
+    assert(r.getAs[Long]("n_users") == 4L &&
+      r.getAs[Long]("n_converted") == 3L)
+    assert(math.abs(r.getAs[Double]("lift") - 0.5) < 1e-12)
+    val p = 4.0 / 8.0
+    val expZ = 0.5 / math.sqrt(p * (1 - p) * (1.0 / 4 + 1.0 / 4))
+    assert(math.abs(r.getAs[Double]("z_score") - expZ) < 1e-12)
+  }
 }
