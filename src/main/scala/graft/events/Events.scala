@@ -155,6 +155,43 @@ object Events {
           .as("z_score"))
   }
 
+  /** CUPED variance reduction (Deng et al. 2013): adjust each user's
+    * experiment-period metric by their PRE-period covariate,
+    * y_adj = y − θ·(x − x̄) with pooled θ = cov(x,y)/var(x), then
+    * report per-variant means and variances of raw vs adjusted — the
+    * standard pre-experiment-data trick that shrinks A/B confidence
+    * intervals without bias. `splitSec` divides pre-period
+    * (sec < split) from experiment period (sec ≥ split).
+    *
+    * One user-level aggregate (pre/post sums per user), one 3-double
+    * pooled-stats aggregate broadcast back as literals via a 1-row
+    * cross-join, one per-variant aggregate — no window, no sort.
+    */
+  def cuped(events: DataFrame, userCol: String, variantCol: String,
+      secCol: String, valCol: String, splitSec: Long): DataFrame = {
+    val perUser = events
+      .groupBy(col(userCol).as("user"), col(variantCol).as("variant"))
+      .agg(
+        sum(when(col(secCol) < splitSec, col(valCol)).otherwise(0.0))
+          .as("x"),
+        sum(when(col(secCol) >= splitSec, col(valCol)).otherwise(0.0))
+          .as("y"))
+    val stats = perUser.agg(
+      covar_pop(col("x"), col("y")).as("cxy"),
+      var_pop(col("x")).as("vx"), avg(col("x")).as("mx"))
+    val withTheta = perUser.crossJoin(broadcast(stats))
+      .withColumn("theta",
+        when(col("vx") > 0, col("cxy") / col("vx")).otherwise(0.0))
+      .withColumn("y_adj",
+        col("y") - col("theta") * (col("x") - col("mx")))
+    withTheta.groupBy("variant")
+      .agg(count(lit(1)).as("n_users"),
+        avg("y").as("mean_raw"), avg("y_adj").as("mean_adj"),
+        var_pop(col("y")).as("var_raw"),
+        var_pop(col("y_adj")).as("var_adj"),
+        first(col("theta")).as("theta"))
+  }
+
   /** Per-key exponentially-weighted moving average over the event
     * stream: EWMA_t = α·x_t + (1−α)·EWMA_{t−1} along each key's
     * (sec, id)-ordered events, seeded at the first value (the pandas

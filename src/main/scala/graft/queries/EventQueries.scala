@@ -304,6 +304,48 @@ object EventQueries extends QueryGroup {
         .orderBy("hour", "event_type")
     },
 
+    // CUPED variance reduction: pre-period value sums as the
+    // covariate (split at 2024-01-16), pooled theta, per-variant raw
+    // vs adjusted means/variances — adjusted variance must shrink.
+    q("q_events_cuped",
+      """WITH pu AS (
+        |  SELECT user_id, CAST(user_id % 2 AS VARCHAR) AS variant,
+        |    sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) < 1705363200
+        |      THEN value ELSE 0.0::DOUBLE END) AS x,
+        |    sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) >= 1705363200
+        |      THEN value ELSE 0.0::DOUBLE END) AS y
+        |  FROM events GROUP BY 1, 2
+        |), st AS (
+        |  SELECT covar_pop(x, y) AS cxy, var_pop(x) AS vx, avg(x) AS mx
+        |  FROM pu
+        |), adj AS (
+        |  SELECT pu.*,
+        |    CASE WHEN vx > 0 THEN cxy / vx ELSE 0.0::DOUBLE END AS theta,
+        |    y - (CASE WHEN vx > 0 THEN cxy / vx ELSE 0.0::DOUBLE END)
+        |      * (x - mx) AS y_adj
+        |  FROM pu, st
+        |)
+        |SELECT variant, count(*) AS n_users,
+        |  round(avg(y), 4) AS mean_raw, round(avg(y_adj), 4) AS mean_adj,
+        |  round(var_pop(y), 2) AS var_raw,
+        |  round(var_pop(y_adj), 2) AS var_adj,
+        |  round(any_value(theta), 6) AS theta
+        |FROM adj GROUP BY variant ORDER BY variant""".stripMargin) { (s, dir) =>
+      val raw = t(s, dir, "events")
+      graft.events.Events.cuped(
+          raw.withColumn("variant", (col("user_id") % 2).cast("string"))
+            .withColumn("sec", Ts.seconds(raw)),
+          "user_id", "variant", "sec", "value",
+          splitSec = 1705363200L)
+        .select(col("variant"), col("n_users"),
+          round(col("mean_raw"), 4).as("mean_raw"),
+          round(col("mean_adj"), 4).as("mean_adj"),
+          round(col("var_raw"), 2).as("var_raw"),
+          round(col("var_adj"), 2).as("var_adj"),
+          round(col("theta"), 6).as("theta"))
+        .orderBy("variant")
+    },
+
     // two-proportion z-test: synthetic variants (user_id % 3, variant
     // 0 as control), conversion = any purchase event; rates, lift and
     // pooled z per treatment arm.

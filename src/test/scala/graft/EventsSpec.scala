@@ -184,4 +184,35 @@ class EventsSpec extends SparkSpec {
     val expZ = 0.5 / math.sqrt(p * (1 - p) * (1.0 / 4 + 1.0 / 4))
     assert(math.abs(r.getAs[Double]("z_score") - expZ) < 1e-12)
   }
+
+  test("cuped: adjusted variance shrinks when pre-period correlates") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    // users with a persistent activity level: pre and post both track
+    // it, so the covariate explains most between-user variance
+    val ev = (0 until 200).flatMap { u =>
+      val base = 5.0 + rnd.nextDouble() * 20
+      val variant = (u % 2).toString
+      Seq((u.toLong, variant, 10L, base + rnd.nextDouble()),
+        (u.toLong, variant, 20L, base + rnd.nextDouble()),
+        (u.toLong, variant, 110L, base + rnd.nextDouble()),
+        (u.toLong, variant, 120L, base + rnd.nextDouble()))
+    }.toDF("user_id", "variant", "sec", "value")
+    val r = graft.events.Events.cuped(ev, "user_id", "variant",
+      "sec", "value", splitSec = 100L)
+      .collect().map(row => row.getAs[String]("variant") ->
+        (row.getAs[Double]("var_raw"), row.getAs[Double]("var_adj"),
+          row.getAs[Double]("mean_raw"), row.getAs[Double]("mean_adj")))
+      .toMap
+    r.values.foreach { case (vr, va, _, _) =>
+      assert(va < vr * 0.2, s"CUPED should slash variance: $va vs $vr")
+    }
+    // adjustment is mean-preserving ACROSS the pooled population
+    // (per-variant means shift by theta*(mean_x_variant - mx), but the
+    // equal-n pooled average is exactly unchanged)
+    val pooledRaw = r.values.map(_._3).sum / r.size
+    val pooledAdj = r.values.map(_._4).sum / r.size
+    assert(math.abs(pooledRaw - pooledAdj) < 1e-9,
+      s"$pooledRaw vs $pooledAdj")
+  }
 }
