@@ -352,6 +352,45 @@ object TextAnalysis {
         count(lit(1)).as("n_bigrams"))
   }
 
+  /** Corpus collocations by pointwise mutual information: adjacent
+    * normalized-token bigrams with count ≥ `minCount`, scored
+    * PMI = ln(N·c(ab) / (c(a)·c(b))) over token-occurrence counts —
+    * the classic collocation/phrase-mining signal ("new york" scores
+    * high, "of the" low). Returns the global top-`topK` by
+    * (PMI desc, bigram asc).
+    *
+    * Scale shape: one token scan feeds the unigram count and the
+    * lag-window bigram count (the [[bigramNll]] shape); two
+    * token-keyed joins attach unigram counts; the top-k is a bounded
+    * TakeOrderedAndProject, never a global sort.
+    */
+  def collocations(df: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 2, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minCount >= 1 && topK >= 1, "minCount and topK must be >= 1")
+    val tok = df.select(col(idCol).as("doc_id"),
+      posexplode(split(normalize(col(textCol)), " ")).as(Seq("pos", "tk")))
+      .filter(length(col("tk")) > 0)
+    val uni = tok.groupBy("tk").agg(count(lit(1)).as("c"))
+    val tot = tok.agg(count(lit(1)).as("n"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val big = tok.withColumn("prev", lag("tk", 1).over(byDoc))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("w1"), col("tk").as("w2"))
+      .agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= minCount)
+    big
+      .join(uni.select(col("tk").as("w1"), col("c").as("ca")), "w1")
+      .join(uni.select(col("tk").as("w2"), col("c").as("cb")), "w2")
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi",
+        log(col("n").cast("double") * col("cab") /
+          (col("ca") * col("cb"))))
+      .select(col("w1"), col("w2"), col("cab"), col("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** Corpus-trained unigram language-model score per document: the
     * mean negative log-likelihood of each document's tokens under an
     * additively-smoothed unigram model fit on the whole input — the

@@ -85,6 +85,38 @@ object TextQueries extends QueryGroup {
         .orderBy("doc_id")
     },
 
+    // PMI collocations: adjacent-bigram pointwise mutual information
+    // over token occurrences, count floor 3, global top-20 — phrase
+    // mining's core statistic.
+    q("q_text_collocations", {
+      val words = "string_split(trim(regexp_replace(regexp_replace(lower(text), " +
+        "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')"
+      s"""WITH cw AS (
+         |  SELECT doc_id, $words AS w FROM documents
+         |), tok AS (
+         |  SELECT doc_id, u.i AS pos, w[u.i] AS tk
+         |  FROM cw, unnest(range(1, len(w) + 1)) AS u(i)
+         |  WHERE strlen(w[u.i]) > 0
+         |), uni AS (SELECT tk, count(*) AS c FROM tok GROUP BY tk),
+         |tot AS (SELECT count(*) AS n FROM tok),
+         |big AS (
+         |  SELECT prev AS w1, tk AS w2, count(*) AS cab FROM (
+         |    SELECT tk, lag(tk) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         |    FROM tok
+         |  ) WHERE prev IS NOT NULL GROUP BY 1, 2 HAVING count(*) >= 3
+         |)
+         |SELECT w1, w2, cab,
+         |  round(ln(n * 1.0::DOUBLE * cab / (a.c * b.c)), 6) AS pmi
+         |FROM big JOIN uni a ON big.w1 = a.tk
+         |JOIN uni b ON big.w2 = b.tk, tot
+         |ORDER BY ln(n * 1.0::DOUBLE * cab / (a.c * b.c)) DESC, w1, w2
+         |LIMIT 20""".stripMargin
+    }) { (s, dir) =>
+      TA.collocations(t(s, dir, "documents"), "doc_id", "text",
+          minCount = 3, topK = 20)
+        .withColumn("pmi", round(col("pmi"), 6))
+    },
+
     // CCNet-style perplexity bucketing: per-LANGUAGE unigram LM,
     // per-doc mean NLL under the doc's own language model, then an
     // equal-frequency 3-way split per language (1 = head = most

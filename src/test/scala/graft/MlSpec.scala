@@ -545,6 +545,33 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  test("collocations: planted phrase tops PMI, floor and ties honored") {
+    import spark.implicits._
+    // "new york" always adjacent (5x); "the" everywhere dilutes PMI
+    val docs = Seq(
+      (1L, "the new york office and the big office"),
+      (2L, "new york is the city the people like"),
+      (3L, "a new york deal and the old deal"),
+      (4L, "new york new york and the rest")).toDF("doc_id", "text")
+    val got = TA.collocations(docs, "doc_id", "text", minCount = 3,
+        topK = 5)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        r.getLong(2), r.getDouble(3)))
+    assert(got.head._1 == (("new", "york")), s"top: ${got.toSeq}")
+    assert(got.head._2 == 5L)
+    // hand-check PMI: N tokens total, c(new)=5, c(york)=5, c(ab)=5
+    val n = docs.collect().map(_.getString(1).split(" ").length).sum
+    val exp = math.log(n.toDouble * 5 / (5.0 * 5.0))
+    assert(math.abs(got.head._3 - exp) < 1e-9)
+    // floor: nothing below minCount appears
+    assert(got.forall(_._2 >= 3L))
+    // monotone non-increasing by pmi
+    got.sliding(2).foreach(p =>
+      if (p.length == 2) assert(p(0)._3 >= p(1)._3 - 1e-12))
+    intercept[IllegalArgumentException](
+      TA.collocations(docs, "doc_id", "text", minCount = 0))
+  }
+
   test("bigramNll matches a hand-computed smoothed model") {
     import spark.implicits._
     val d = Seq((1L, "a b a b"), (2L, "a a")).toDF("doc_id", "text")
