@@ -264,4 +264,80 @@ class ScaleInvariantsSpec extends SparkSpec {
     assert(missing.isEmpty,
       s"block '$label' (${members.length} vecs): ${missing.size} pairs missed")
   }
+
+  test("round-6 operators hold their contracts at sf0.1") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+
+    // training order: a dense exact permutation of the corpus
+    val n = docs.count()
+    val ord = graft.ml.Corpus.orderForTraining(
+      docs.select("doc_id"), "doc_id")
+    val stats = ord.agg(count(lit(1)), countDistinct(col("global_pos")),
+      min("global_pos"), max("global_pos")).head()
+    assert(stats.getLong(0) == n && stats.getLong(1) == n)
+    assert(stats.getLong(2) == 0L && stats.getLong(3) == n - 1)
+
+    // whole-doc packing: every doc exactly once, multi-doc bins <= ctx
+    val toks = docs.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("tok"))
+    val packed = graft.ml.Corpus.packWholeDocs(toks, "doc_id", "tok",
+      ctxLen = 512, nShards = 32).cache()
+    assert(packed.count() == n)
+    assert(packed.select(countDistinct(col("id"))).head().getLong(0) == n)
+    val overfull = packed.groupBy("shard", "bin_id")
+      .agg(sum("n_tokens").as("fill"), count(lit(1)).as("nd"))
+      .filter(col("nd") > 1 && col("fill") > 512).count()
+    assert(overfull == 0L)
+    packed.unpersist(blocking = false)
+
+    // perplexity buckets: per-language bucket sizes are ntile-even
+    val ppl = graft.ml.TextAnalysis.perplexityBuckets(
+      docs, "doc_id", "text", "lang", nBuckets = 3)
+    val sizes = ppl.groupBy("lang", "bucket").count()
+      .groupBy("lang").agg((max("count") - min("count")).as("spread"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes.values.forall(_ <= 1), s"uneven ntile: $sizes")
+
+    // k-core: the output is self-verifying (every in-core degree >= k)
+    val items = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = items.alias("a").join(items.alias("b"), Seq("o"))
+      .filter(col("a.p") < col("b.p"))
+      .select(col("a.p").as("src"), col("b.p").as("dst"))
+    val core = graft.graph.Graphs.kCore(edges, k = 70).cache()
+    val coreN = core.count()
+    assert(coreN > 0, "70-core empty at sf0.1")
+    assert(core.filter(col("degree") < 70).count() == 0)
+    core.unpersist(blocking = false)
+
+    // triangles: total participation divisible by 3, degrees match an
+    // independent recount
+    val tri = graft.graph.Graphs.triangleCounts(edges).cache()
+    val triSum = tri.agg(sum("triangles")).head().getLong(0)
+    assert(triSum > 0 && triSum % 3 == 0, s"sum $triSum")
+    val degCheck = graft.graph.Graphs.canonicalEdges(edges, "src", "dst")
+      .select(col("u").as("node")).unionAll(
+        graft.graph.Graphs.canonicalEdges(edges, "src", "dst")
+          .select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val mismatch = tri.join(degCheck, "node")
+      .filter(col("degree") =!= col("d")).count()
+    assert(mismatch == 0L)
+    tri.unpersist(blocking = false)
+
+    // weighted sample: exact driver replay of the top-50 key ranking
+    val ws = graft.ml.Corpus.weightedSample(
+      docs.select(col("doc_id"), (col("n_chars") + 1L).as("w")),
+      "doc_id", "w", n = 50)
+      .select("doc_id").as[Long].collect().toSet
+    def fib(id: Long) = (id % 2147483647L) * 1327217885L % 2147483647L
+    val all = docs.select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)].collect()
+    val expect = all.map { case (id, nc) =>
+      (id, math.log((fib(id) + 1).toDouble / 2147483648.0) / (nc + 1)) }
+      .sortBy { case (id, k) => (-k, id) }.take(50).map(_._1).toSet
+    assert(ws == expect)
+  }
 }
