@@ -399,6 +399,44 @@ final case class Matrix(df: DataFrame) {
     */
   def rowCosineSimilarity: Matrix = rowL2Normalize.grammian
 
+  /** Dominant right singular vector (and value) by power iteration on
+    * AᵀA — the first LSA/PCA direction of a COO matrix, computed with
+    * the library's own propagate machinery: each iteration is TWO
+    * edge-keyed propagate passes (v ← Aᵀ(Av)) plus a tiny norm
+    * aggregate read at the submitter (the convergence scalar — the
+    * reference's `Job.next` idiom, reference `examples/PageRank
+    * .scala:54-81`). Deterministic: starts from the all-ones vector;
+    * per-iteration lineage cuts keep the plan flat. Returns
+    * (col, weight) unit-normalized, plus the Rayleigh estimate of the
+    * top singular value σ₁ = √λ₁.
+    *
+    * Scale: never materializes AᵀA (the deg² blowup) — only
+    * matrix-vector products, each one join + groupBy over the COO
+    * edges against a vector the size of the column space.
+    */
+  def topSingularVector(iters: Int = 20): (DataFrame, Double) = {
+    require(iters >= 1, "iters must be >= 1")
+    val spark = df.sparkSession
+    val at = transpose
+    var v = df.select(col(C).as(R)).distinct()
+      .withColumn(V, lit(1.0)).localCheckpoint()
+    var lambda = 0.0
+    var i = 0
+    while (i < iters) {
+      // w = A v (row space; propagate of the TRANSPOSE maps the
+      // column-indexed v through the edges), then u = Aᵀ w = (AᵀA) v
+      val w = at.propagate(v.select(col(R), col(V)))
+      val u = propagate(w.select(col(R), col(V)))
+      val norm = math.sqrt(
+        u.agg(sum(col(V) * col(V))).head().getDouble(0))
+      require(norm > 0, "matrix annihilated the iterate (rank issue)")
+      lambda = norm
+      v = u.select(col(R), (col(V) / norm).as(V)).localCheckpoint()
+      i += 1
+    }
+    (v.select(col(R).as(C), col(V).as("weight")), math.sqrt(lambda))
+  }
+
   /** DIMSUM entry sampling (Zadeh & Carlsson, "Dimension Independent
     * Matrix Square using MapReduce"; the algorithm behind Spark
     * MLlib's RowMatrix.columnSimilarities — public). Each entry of row

@@ -355,6 +355,16 @@ object MatrixQueries extends QueryGroup {
         .orderBy("node")
     },
 
+    // dominant right singular vector by power iteration on AᵀA —
+    // never materializing AᵀA, only matrix-vector propagates. The
+    // oracle unrolls the same 6 iterations as CTE levels.
+    q("q_matrix_power", MatrixQueries.powerOracleSql(6)) { (s, dir) =>
+      val (v, sigma) = baseMatrix(s, dir).topSingularVector(iters = 6)
+      v.select(col("col"), round(col("weight"), 6).as("weight"),
+          round(lit(sigma), 2).as("sigma"))
+        .orderBy("col")
+    },
+
     // k-core extraction on the co-purchase graph (k = 80, which
     // peels for 5 rounds on this data): the oracle unrolls the
     // peeling as 8 CTE levels — extra levels past the fixpoint are
@@ -371,6 +381,29 @@ object MatrixQueries extends QueryGroup {
         .orderBy("node")
     }
   )
+
+  /** DuckDB SQL replaying [[graft.matrix.Matrix.topSingularVector]]:
+    * `iters` unrolled power-iteration levels, each two propagate
+    * joins (w = A v, u = Aᵀ w) + a norm CTE, starting from the
+    * all-ones column vector, same normalization each step.
+    */
+  def powerOracleSql(iters: Int): String = {
+    val v0 = "v0 AS (SELECT DISTINCT col AS c, 1.0::DOUBLE AS v FROM A)"
+    val steps = (1 to iters).map { i =>
+      s"""w$i AS (
+         |  SELECT A.row AS r, sum(A.val * p.v) AS v
+         |  FROM A JOIN v${i - 1} p ON A.col = p.c GROUP BY 1
+         |), u$i AS (
+         |  SELECT A.col AS c, sum(A.val * w$i.v) AS v
+         |  FROM A JOIN w$i ON A.row = w$i.r GROUP BY 1
+         |), n$i AS (SELECT sqrt(sum(v * v)) AS nrm FROM u$i),
+         |v$i AS (SELECT c, v / nrm AS v FROM u$i, n$i)""".stripMargin
+    }
+    s"""$baseSql, $v0, ${steps.mkString(", ")}
+       |SELECT c AS col, round(v, 6) AS weight,
+       |  round(sqrt(nrm), 2) AS sigma
+       |FROM v$iters, n$iters ORDER BY col""".stripMargin
+  }
 
   /** DuckDB SQL replaying [[graft.graph.Graphs.kCore]] by unrolling
     * the degree-peel loop `levels` deep: level i keeps the nodes

@@ -207,4 +207,39 @@ class MatrixSpec extends SparkSpec {
     // symmetric cycle ⇒ all ranks equal 1.0
     assert(r.values.forall(v => math.abs(v - 1.0) < 1e-6), r.toString)
   }
+
+  test("topSingularVector matches a driver-side power iteration exactly and SVD approximately") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val cells = for {
+      r <- 0L until 30L; c <- 0L until 8L
+      if rnd.nextDouble() < 0.5
+    } yield (r, c, rnd.nextDouble() * 4 - 1)
+    val m = Matrix.fromCoo(cells.toDF("row", "col", "val"),
+      "row", "col", "val")
+    val (vDf, sigma) = m.topSingularVector(iters = 40)
+    val got = vDf.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // driver replay: dense power iteration on A^T A
+    val a = Array.ofDim[Double](30, 8)
+    cells.foreach { case (r, c, v) => a(r.toInt)(c.toInt) = v }
+    var v = Array.fill(8)(1.0)
+    var lam = 0.0
+    for (_ <- 0 until 40) {
+      val w = a.map(row => row.zip(v).map { case (x, y) => x * y }.sum)
+      val u = (0 until 8).map(c => a.indices.map(r => a(r)(c) * w(r)).sum)
+        .toArray
+      lam = math.sqrt(u.map(x => x * x).sum)
+      v = u.map(_ / lam)
+    }
+    (0 until 8).foreach { c =>
+      assert(math.abs(got.getOrElse(c.toLong, 0.0) - v(c)) < 1e-9, s"col $c")
+    }
+    assert(math.abs(sigma - math.sqrt(lam)) < 1e-9)
+    // Rayleigh check: ||A v|| achieves sigma (within convergence slack)
+    val av = a.map(row => row.zip(v).map { case (x, y) => x * y }.sum)
+    assert(math.abs(math.sqrt(av.map(x => x * x).sum) - sigma) < 1e-6)
+    // unit norm
+    assert(math.abs(got.values.map(x => x * x).sum - 1.0) < 1e-9)
+  }
 }
