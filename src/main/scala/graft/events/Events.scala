@@ -155,6 +155,63 @@ object Events {
           .as("z_score"))
   }
 
+  /** Kaplan–Meier survival (retention) curves per cohort, with
+    * censoring: each user's lifetime is (last − first) div
+    * `periodSec` periods; users whose last event falls within
+    * `censorGap` seconds of the observation horizon (the max event
+    * time) are CENSORED (still alive — they leave the at-risk set at
+    * their observed duration without counting as churn). Cohort =
+    * the user's first-event period. Emits per (cohort, t):
+    * `at_risk`, `churned`, and the KM estimate
+    * S(t) = Π_{i ≤ t} (1 − d_i/n_i) — the survival-analysis answer
+    * the plain retention grid approximates without censoring.
+    *
+    * Shapes: one user-level aggregate, one (cohort, duration)
+    * aggregate, cohort-partitioned running windows (never a global
+    * window), product-as-exp-sum-of-logs.
+    */
+  def kaplanMeier(events: DataFrame, userCol: String, secCol: String,
+      periodSec: Long, censorGap: Long): DataFrame = {
+    require(periodSec > 0 && censorGap >= 0,
+      "periodSec must be positive, censorGap non-negative")
+    import org.apache.spark.sql.expressions.Window
+    val perUser = events
+      .groupBy(col(userCol).as("user"))
+      .agg(min(col(secCol).cast("long")).as("first_sec"),
+        max(col(secCol).cast("long")).as("last_sec"))
+    val withHorizon = perUser.crossJoin(
+      broadcast(perUser.agg(max("last_sec").as("horizon"))))
+    val lifetimes = withHorizon.select(
+      expr(s"first_sec div ${periodSec}L").as("cohort"),
+      expr(s"(last_sec - first_sec) div ${periodSec}L").as("t"),
+      (col("last_sec") >= col("horizon") - censorGap).as("censored"))
+    val byDur = lifetimes.groupBy("cohort", "t")
+      .agg(sum(when(col("censored"), 0L).otherwise(1L)).as("churned"),
+        count(lit(1)).as("leaving"))
+    val wRisk = Window.partitionBy("cohort").orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wProd = Window.partitionBy("cohort").orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDur
+      .withColumn("at_risk", sum("leaving").over(wRisk))
+      // log(0) guard: once every at-risk user churns at some t the
+      // curve is exactly 0 from there on — flag it rather than pushing
+      // -inf through the log-sum
+      .withColumn("__term",
+        when(col("churned") < col("at_risk"),
+          log(lit(1.0) -
+            col("churned").cast("double") / col("at_risk")))
+          .otherwise(lit(0.0)))
+      .withColumn("__dead",
+        max(when(col("churned") === col("at_risk"), 1).otherwise(0))
+          .over(wProd))
+      .withColumn("survival",
+        when(col("__dead") === 1, 0.0)
+          .otherwise(exp(sum(col("__term")).over(wProd))))
+      .select(col("cohort"), col("t"), col("at_risk"), col("churned"),
+        col("survival"))
+  }
+
   /** CUPED variance reduction (Deng et al. 2013): adjust each user's
     * experiment-period metric by their PRE-period covariate,
     * y_adj = y − θ·(x − x̄) with pooled θ = cov(x,y)/var(x), then

@@ -304,6 +304,52 @@ object EventQueries extends QueryGroup {
         .orderBy("hour", "event_type")
     },
 
+    // Kaplan–Meier churn curves: daily cohorts/durations, users whose
+    // last event is within 3 days of the horizon are censored (alive).
+    q("q_events_survival",
+      """WITH pu AS (
+        |  SELECT user_id, min(sec) AS fs, max(sec) AS ls FROM (
+        |    SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |    FROM events
+        |  ) GROUP BY 1
+        |), h AS (SELECT max(ls) AS horizon FROM pu),
+        |lt AS (
+        |  SELECT fs // 86400 AS cohort, (ls - fs) // 86400 AS t,
+        |    ls >= horizon - 259200 AS censored
+        |  FROM pu, h
+        |), bd AS (
+        |  SELECT cohort, t,
+        |    CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS churned,
+        |    count(*) AS leaving
+        |  FROM lt GROUP BY 1, 2
+        |), r AS (
+        |  SELECT *, sum(leaving) OVER (PARTITION BY cohort ORDER BY t
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS at_risk
+        |  FROM bd
+        |), s AS (
+        |  SELECT *,
+        |    max(CASE WHEN churned = at_risk THEN 1 ELSE 0 END) OVER wp
+        |      AS dead,
+        |    sum(CASE WHEN churned < at_risk
+        |      THEN ln(1 - churned * 1.0::DOUBLE / at_risk)
+        |      ELSE 0.0::DOUBLE END) OVER wp AS lsum
+        |  FROM r WINDOW wp AS (PARTITION BY cohort ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT cohort, t, CAST(at_risk AS BIGINT) AS at_risk, churned,
+        |  round(CASE WHEN dead = 1 THEN 0.0::DOUBLE ELSE exp(lsum) END, 6)
+        |    AS survival
+        |FROM s ORDER BY cohort, t""".stripMargin) { (s, dir) =>
+      val raw = t(s, dir, "events")
+      graft.events.Events.kaplanMeier(
+          raw.withColumn("sec", Ts.seconds(raw)),
+          "user_id", "sec", periodSec = 86400L, censorGap = 259200L)
+        .select(col("cohort"), col("t"), col("at_risk"), col("churned"),
+          round(col("survival"), 6).as("survival"))
+        .orderBy("cohort", "t")
+    },
+
     // CUPED variance reduction: pre-period value sums as the
     // covariate (split at 2024-01-16), pooled theta, per-variant raw
     // vs adjusted means/variances — adjusted variance must shrink.

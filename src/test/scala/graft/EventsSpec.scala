@@ -215,4 +215,35 @@ class EventsSpec extends SparkSpec {
     assert(math.abs(pooledRaw - pooledAdj) < 1e-9,
       s"$pooledRaw vs $pooledAdj")
   }
+
+  test("kaplanMeier: hand-computed curve with censoring") {
+    import spark.implicits._
+    // period 10; horizon = 100; censorGap 15 -> users with last >= 85
+    // are censored. One cohort (all first at 0-9).
+    // u1: 0..100 censored (t=10); u2: 0..50 churn t=5; u3: 5..55 churn
+    // t=5; u4: 0..20 churn t=2; u5: 2..92 censored (t=9)
+    val ev = Seq(
+      (1L, 0L), (1L, 100L), (2L, 0L), (2L, 50L), (3L, 5L), (3L, 55L),
+      (4L, 0L), (4L, 20L), (5L, 2L), (5L, 92L))
+      .toDF("user_id", "sec")
+    val got = graft.events.Events.kaplanMeier(ev, "user_id", "sec",
+        periodSec = 10L, censorGap = 15L)
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // durations: u1 t=10 cens, u2 t=5 churn, u3 t=5 churn, u4 t=2
+    // churn, u5 t=9 cens. at-risk(2)=5 d=1 -> S=0.8; at-risk(5)=4 d=2
+    // -> S=0.8*0.5=0.4; t=9 cens d=0 -> S=0.4; t=10 d=0 -> S=0.4
+    assert(got(2L) == ((5L, 1L, 0.8)))
+    assert(got(5L)._1 == 4L && got(5L)._2 == 2L)
+    assert(math.abs(got(5L)._3 - 0.4) < 1e-12)
+    assert(got(9L) == ((2L, 0L, got(9L)._3)) &&
+      math.abs(got(9L)._3 - 0.4) < 1e-12)
+    assert(math.abs(got(10L)._3 - 0.4) < 1e-12)
+    // survival is non-increasing in t
+    val curve = got.toSeq.sortBy(_._1).map(_._2._3)
+    curve.sliding(2).foreach(p =>
+      if (p.length == 2) assert(p(0) >= p(1) - 1e-12))
+    intercept[IllegalArgumentException](
+      graft.events.Events.kaplanMeier(ev, "user_id", "sec", 0L, 5L))
+  }
 }
