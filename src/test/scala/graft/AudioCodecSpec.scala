@@ -1,7 +1,7 @@
 package graft
 
 import graft.ml.{AudioCodec, Multimodal}
-import AudioCodec.Audio
+import graft.ml.AudioCodec.Audio
 
 /** The hand-rolled WAV/PCM codec against hand-built RIFF fixtures —
   * chunk walking (extra chunks, odd-length padding), both PCM widths,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.ml.{ImageCodec, Multimodal}
-import ImageCodec.Image
+import graft.ml.ImageCodec.Image
 
 /** The hand-rolled image codec against hand-built format fixtures:
   * every byte below is written out from the public format specs, so a
