@@ -1,0 +1,108 @@
+package graft.examples
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Args, GraftJob, Ts}
+import graft.events.Events
+
+/** End-to-end experiment/product-analytics report over an event log —
+  * the events-family twin of [[TrainingDataJob]]: one input scan
+  * feeds every downstream aggregate, and each report is a named
+  * parquet output.
+  *
+  *  1. normalize: epoch seconds via [[Ts.seconds]] (representation-
+  *     independent), variant assignment (default: a deterministic
+  *     user-id hash split — replace with a real assignment column via
+  *     --variant-col);
+  *  2. `abtest/`   — two-proportion z-test per treatment arm;
+  *  3. `cuped/`    — variance-reduced metric per arm (pre-period
+  *     covariate split at --split-sec);
+  *  4. `retention/`— cohort retention grid;
+  *  5. `survival/` — Kaplan–Meier churn curves with censoring;
+  *  6. `trending/` — per-window top-k event types with lift;
+  *  7. `markov/`   — next-event transition probabilities;
+  *  8. `sessions/` — per-session aggregates through the native
+  *     sessionize exec (one exchange end-to-end).
+  *
+  * Shuffle audit at scale: every stage is hash aggregates and keyed
+  * windows over the shared normalized scan; the only per-user sort is
+  * inside sessionize/markov's secondary sort. Nothing collects.
+  *
+  * Args: --input <events parquet> --output <dir>
+  *       [--variant-col <col>] [--arms 2] [--conv purchase]
+  *       [--split-sec <epoch>] [--period-sec 86400]
+  *       [--censor-gap 259200] [--gap-sec 1800]
+  *       [--window-sec 3600] [--top-k 3]
+  */
+class ExperimentAnalysisJob(args: Args) extends GraftJob(args) {
+
+  def run(spark: SparkSession): Unit = {
+    val out = args("output")
+    val r = ExperimentAnalysisJob.analyze(
+      spark.read.parquet(args("input")),
+      variantCol = args.getOrElse("variant-col", ""),
+      arms = args.getOrElse("arms", "2").toInt,
+      convType = args.getOrElse("conv", "purchase"),
+      splitSec = args.getOrElse("split-sec", "0").toLong,
+      periodSec = args.getOrElse("period-sec", "86400").toLong,
+      censorGap = args.getOrElse("censor-gap", "259200").toLong,
+      gapSec = args.getOrElse("gap-sec", "1800").toLong,
+      windowSec = args.getOrElse("window-sec", "3600").toLong,
+      topK = args.getOrElse("top-k", "3").toInt)
+    r.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$out/$name")
+    }
+  }
+}
+
+object ExperimentAnalysisJob {
+
+  /** All reports as named DataFrames (lazy — callers write or test).
+    * `splitSec` = 0 means "median-free default": the midpoint of the
+    * observed time range.
+    */
+  def analyze(events: DataFrame, variantCol: String = "", arms: Int = 2,
+      convType: String = "purchase", splitSec: Long = 0L,
+      periodSec: Long = 86400L, censorGap: Long = 259200L,
+      gapSec: Long = 1800L, windowSec: Long = 3600L,
+      topK: Int = 3): Map[String, DataFrame] = {
+    require(arms >= 2, "arms must be >= 2")
+    val ev0 = events.withColumn("sec", Ts.seconds(events))
+    val ev = (if (variantCol.nonEmpty)
+        ev0.withColumn("variant", col(variantCol).cast("string"))
+      else
+        ev0.withColumn("variant",
+          graft.ml.Profile.fibScramble(col("user_id")) % arms))
+      .withColumn("variant", col("variant").cast("string"))
+      .localCheckpoint()
+    val split =
+      if (splitSec > 0) splitSec
+      else {
+        val r = ev.agg(min("sec"), max("sec")).head()
+        (r.getLong(0) + r.getLong(1)) / 2
+      }
+    val sessions = org.apache.spark.sql.graft.SessionizeNative
+      .sessionize(ev.select("user_id", "sec", "event_id", "value"),
+        Seq("user_id"), "sec", gapSec)
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max("sec") - min("sec")).as("duration_sec"),
+        sum("value").as("total_value"))
+    Map(
+      "abtest" -> Events.abTest(ev, "user_id", "variant", "event_type",
+        convType, controlVariant = "0"),
+      "cuped" -> Events.cuped(ev, "user_id", "variant", "sec", "value",
+        split),
+      "retention" -> Events.retention(ev, "user_id", "sec", "event_type",
+        anchorType = convType,
+        returnTypes = Seq(convType), periodSec = periodSec),
+      "survival" -> Events.kaplanMeier(ev, "user_id", "sec", periodSec,
+        censorGap),
+      "trending" -> Events.trending(ev, "sec", "event_type", windowSec,
+        topK),
+      "markov" -> Events.transitionCounts(ev, "user_id", "sec",
+        "event_type", "event_id"),
+      "sessions" -> sessions)
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.examples.ExperimentAnalysisJob
+
+/** The experiment-analytics flagship: every report materializes from
+  * one normalized scan, cross-checked against the standalone
+  * operators, and the Tool/Args path writes all outputs.
+  */
+class ExperimentAnalysisSpec extends SparkSpec {
+
+  test("analyze: reports present, internally consistent on real events") {
+    val events = spark.read.parquet(sf() + "/events.parquet")
+    val r = ExperimentAnalysisJob.analyze(events, arms = 2,
+      convType = "purchase")
+    assert(r.keySet == Set("abtest", "cuped", "retention", "survival",
+      "trending", "markov", "sessions"))
+
+    // abtest: one treatment arm vs control, user totals add up
+    val ab = r("abtest").collect()
+    assert(ab.length == 1)
+    val nUsers = events.select(countDistinct(col("user_id"))).head().getLong(0)
+    val ctlUsers = ab.head.getAs[Long]("n_users")
+    // control + treatment = all users (hash split covers everyone)
+    val cuped = r("cuped").collect()
+    assert(cuped.map(_.getAs[Long]("n_users")).sum == nUsers)
+    // CUPED minimizes POOLED variance (theta is the pooled OLS slope;
+    // a single arm can tick up, the population cannot)
+    def pooled(meanCol: String, varCol: String): Double = {
+      val n = cuped.map(_.getAs[Long]("n_users").toDouble).sum
+      val m = cuped.map(r =>
+        r.getAs[Long]("n_users") * r.getAs[Double](meanCol)).sum / n
+      cuped.map(r => r.getAs[Long]("n_users") *
+        (r.getAs[Double](varCol) +
+          math.pow(r.getAs[Double](meanCol) - m, 2))).sum / n
+    }
+    assert(pooled("mean_adj", "var_adj") <=
+      pooled("mean_raw", "var_raw") + 1e-6)
+    assert(ctlUsers < nUsers)
+
+    // survival: curves monotone non-increasing per cohort
+    val surv = r("survival").collect()
+      .map(row => (row.getLong(0), row.getLong(1), row.getDouble(4)))
+      .groupBy(_._1)
+    surv.values.foreach { g =>
+      g.sortBy(_._2).map(_._3).sliding(2).foreach(p =>
+        if (p.length == 2) assert(p(0) >= p(1) - 1e-12))
+    }
+
+    // sessions: session count matches the standalone window form
+    val raw = events
+    val ev = raw.withColumn("sec", graft.core.Ts.seconds(raw))
+    val expectSessions = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+      ev.withColumn("prev", lag("sec", 1).over(w))
+        .withColumn("new_s",
+          when(col("prev").isNull || col("sec") - col("prev") > 1800, 1)
+            .otherwise(0))
+        .agg(sum("new_s")).head().getLong(0)
+    }
+    assert(r("sessions").count() == expectSessions)
+
+    // trending: rank bounded by k
+    assert(r("trending").agg(max("rank")).head().getLong(0) <= 3L)
+  }
+
+  test("the Tool path writes every report directory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-exp").toString
+    val in = sf() + "/events.parquet"
+    graft.core.Tool.run("graft.examples.ExperimentAnalysisJob",
+      graft.core.Args(Seq("--input", in, "--output", dir)), spark)
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(Set("abtest", "cuped", "retention", "survival", "trending",
+      "markov", "sessions").subsetOf(names), names.toString)
+    assert(spark.read.parquet(s"$dir/survival").count() > 0)
+  }
+}
