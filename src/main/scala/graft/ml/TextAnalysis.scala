@@ -352,6 +352,29 @@ object TextAnalysis {
         count(lit(1)).as("n_bigrams"))
   }
 
+  /** Per-stratum vocabulary statistics: token count, distinct types,
+    * type–token ratio, and the hapax-legomena fraction (types seen
+    * exactly once over all types) — the corpus-health numbers behind
+    * Heaps'-law growth tracking and "is this source word-soup or
+    * natural text" triage. Two hash aggregates ((stratum, token)
+    * counts → stratum rollup); no window, no sort.
+    */
+  def vocabStats(df: DataFrame, strataCol: String,
+      textCol: String): DataFrame = {
+    val tok = df.select(col(strataCol).as("stratum"),
+        explode(split(normalize(col(textCol)), " ")).as("tk"))
+      .filter(length(col("tk")) > 0)
+    tok.groupBy("stratum", "tk").agg(count(lit(1)).as("c"))
+      .groupBy("stratum")
+      .agg(sum("c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("ttr",
+        col("n_types").cast("double") / col("n_tokens"))
+      .withColumn("hapax_frac",
+        col("n_hapax").cast("double") / col("n_types"))
+  }
+
   /** Corpus collocations by pointwise mutual information: adjacent
     * normalized-token bigrams with count ≥ `minCount`, scored
     * PMI = ln(N·c(ab) / (c(a)·c(b))) over token-occurrence counts —

@@ -85,6 +85,34 @@ object TextQueries extends QueryGroup {
         .orderBy("doc_id")
     },
 
+    // per-source vocabulary health: token/type counts, type-token
+    // ratio, hapax fraction.
+    q("q_text_vocab_stats", {
+      val words = "string_split(trim(regexp_replace(regexp_replace(lower(text), " +
+        "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')"
+      s"""WITH tok AS (
+         |  SELECT source AS stratum, tk FROM (
+         |    SELECT source, unnest($words) AS tk FROM documents
+         |  ) WHERE strlen(tk) > 0
+         |), tc AS (
+         |  SELECT stratum, tk, count(*) AS c FROM tok GROUP BY 1, 2
+         |)
+         |SELECT stratum, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |  count(*) AS n_types,
+         |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hapax,
+         |  round(count(*) * 1.0::DOUBLE / sum(c), 6) AS ttr,
+         |  round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0::DOUBLE
+         |    / count(*), 6) AS hapax_frac
+         |FROM tc GROUP BY stratum ORDER BY stratum""".stripMargin
+    }) { (s, dir) =>
+      TA.vocabStats(t(s, dir, "documents"), "source", "text")
+        .select(col("stratum"), col("n_tokens"), col("n_types"),
+          col("n_hapax"), round(col("ttr"), 6).as("ttr"),
+          round(col("hapax_frac"), 6).as("hapax_frac"))
+        .orderBy("stratum")
+    },
+
     // PMI collocations: adjacent-bigram pointwise mutual information
     // over token occurrences, count floor 3, global top-20 — phrase
     // mining's core statistic.
