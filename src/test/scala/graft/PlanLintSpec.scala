@@ -55,7 +55,15 @@ class PlanLintSpec extends SparkSpec {
       ("1-row grand-total aggregate broadcast onto the |cuts|+1-row " +
         "bucket-count table; both corpus scans reduce before the join")),
     "q_text_bm25_index" -> Map("cartesian" ->
-      "1-row (n_docs, sum_dl) stats table broadcast onto the pruned postings"))
+      "1-row (n_docs, sum_dl) stats table broadcast onto the pruned postings"),
+    "q_text_collocations" -> Map("cartesian" ->
+      "1-row token-total aggregate broadcast onto the bigram-count table"),
+    "q_events_abtest" -> Map("cartesian" ->
+      "1-row control-arm aggregate broadcast onto the treatment arms"),
+    "q_events_cuped" -> Map("cartesian" ->
+      "1-row pooled (cov, var, mean) aggregate broadcast onto user rows"),
+    "q_events_survival" -> Map("cartesian" ->
+      "1-row observation-horizon aggregate broadcast onto user lifetimes"))
 
   test("every cartesian/global-window in any gate plan is whitelisted") {
     val dir = sf("sf0.001")
