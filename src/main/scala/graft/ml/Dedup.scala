@@ -226,6 +226,34 @@ object Dedup {
     * same loop scales to web-graph-sized inputs where Kiveris et
     * al.'s large/small-star is the published alternative.
     */
+  /** Exact-duplicate savings report: one row of the numbers an ops
+    * review asks after a dedup pass — total docs, docs carrying a
+    * duplicated fingerprint, duplicate GROUPS, redundant copies
+    * (docs minus one representative per group), redundant bytes
+    * (chars of the dropped copies), and the largest group size.
+    * Fingerprint = md5 of normalized text ([[TextAnalysis
+    * .fingerprint]]); one (hash → stats) aggregate + a 1-row rollup.
+    */
+  def exactDupReport(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val byHash = docs
+      .select(TextAnalysis.fingerprint(col(textCol)).as("h"),
+        length(col(textCol)).cast("long").as("n_chars"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("n"), min("n_chars").as("rep_chars"),
+        sum("n_chars").as("tot_chars"))
+    byHash.agg(
+      sum("n").as("n_docs"),
+      sum(when(col("n") > 1, col("n")).otherwise(0L)).as("n_duplicated"),
+      sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_groups"),
+      sum(when(col("n") > 1, col("n") - 1L).otherwise(0L))
+        .as("n_redundant"),
+      // bytes saved if each group kept one MINIMAL representative
+      sum(when(col("n") > 1, col("tot_chars") - col("rep_chars"))
+        .otherwise(0L)).as("redundant_chars"),
+      max("n").as("largest_group"))
+  }
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val edges = pairs
       .select(col("id1").cast("long").as("src"), col("id2").cast("long").as("dst"))

@@ -450,6 +450,31 @@ object DedupQueries extends QueryGroup {
         .orderBy("doc_id", "is_exact_copy")
     },
 
+    // exact-duplicate savings report over the augmented corpus (the
+    // planted exact copies make the numbers non-trivial): docs,
+    // duplicated docs, groups, redundant copies/chars, largest group.
+    q("q_dedup_report",
+      s"""$augmentedSql, byh AS (
+         |  SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+         |      '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS h,
+         |    count(*) AS n, min(length(text)) AS rep_chars,
+         |    sum(length(text)) AS tot_chars
+         |  FROM docs GROUP BY 1
+         |)
+         |SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+         |    AS n_duplicated,
+         |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_groups,
+         |  CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT)
+         |    AS n_redundant,
+         |  CAST(sum(CASE WHEN n > 1 THEN tot_chars - rep_chars ELSE 0 END)
+         |    AS BIGINT) AS redundant_chars,
+         |  CAST(max(n) AS BIGINT) AS largest_group
+         |FROM byh""".stripMargin) { (s, dir) =>
+      Dedup.exactDupReport(augmented(s, dir), "doc_id", "text")
+    },
+
     // Fellegi–Sunter probabilistic record linkage: EM-estimated
     // agreement probabilities over candidate pairs (self pairs +
     // id+7 noise pairs), log2 match weights, three-way decision.
