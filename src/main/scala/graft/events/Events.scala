@@ -155,6 +155,37 @@ object Events {
           .as("z_score"))
   }
 
+  /** Difference-in-differences: per (variant, period) user-mean
+    * metric, then for each treatment arm
+    * DiD = (treat_post − treat_pre) − (ctrl_post − ctrl_pre) — the
+    * quasi-experimental estimate when assignment wasn't randomized
+    * (staged rollouts, geo launches). Period = pre (sec < splitSec)
+    * vs post. Two hash aggregates + a broadcast control row.
+    */
+  def diffInDiff(events: DataFrame, userCol: String, variantCol: String,
+      secCol: String, valCol: String, splitSec: Long,
+      controlVariant: String): DataFrame = {
+    val perUser = events
+      .groupBy(col(userCol).as("user"), col(variantCol).as("variant"))
+      .agg(
+        sum(when(col(secCol) < splitSec, col(valCol)).otherwise(0.0))
+          .as("pre"),
+        sum(when(col(secCol) >= splitSec, col(valCol)).otherwise(0.0))
+          .as("post"))
+    val perVariant = perUser.groupBy("variant")
+      .agg(count(lit(1)).as("n_users"),
+        avg("pre").as("pre_mean"), avg("post").as("post_mean"))
+    val ctrl = perVariant.filter(col("variant") === controlVariant)
+      .select(col("pre_mean").as("c_pre"), col("post_mean").as("c_post"))
+    perVariant.filter(col("variant") =!= controlVariant)
+      .crossJoin(broadcast(ctrl))
+      .select(col("variant"), col("n_users"),
+        col("pre_mean"), col("post_mean"),
+        col("c_pre"), col("c_post"),
+        ((col("post_mean") - col("pre_mean")) -
+          (col("c_post") - col("c_pre"))).as("did"))
+  }
+
   /** Kaplan–Meier survival (retention) curves per cohort, with
     * censoring: each user's lifetime is (last − first) div
     * `periodSec` periods; users whose last event falls within

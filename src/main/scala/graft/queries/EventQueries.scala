@@ -304,6 +304,45 @@ object EventQueries extends QueryGroup {
         .orderBy("hour", "event_type")
     },
 
+    // difference-in-differences: per-user pre/post value sums (split
+    // mid-range), user_id % 3 arms with arm 0 as control.
+    q("q_events_did",
+      """WITH pu AS (
+        |  SELECT user_id, CAST(user_id % 3 AS VARCHAR) AS variant,
+        |    sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) < 1705363200
+        |      THEN value ELSE 0.0::DOUBLE END) AS pre,
+        |    sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) >= 1705363200
+        |      THEN value ELSE 0.0::DOUBLE END) AS post
+        |  FROM events GROUP BY 1, 2
+        |), pv AS (
+        |  SELECT variant, count(*) AS n_users,
+        |    avg(pre) AS pre_mean, avg(post) AS post_mean
+        |  FROM pu GROUP BY 1
+        |), c AS (
+        |  SELECT pre_mean AS c_pre, post_mean AS c_post
+        |  FROM pv WHERE variant = '0'
+        |)
+        |SELECT variant, n_users,
+        |  round(pre_mean, 4) AS pre_mean, round(post_mean, 4) AS post_mean,
+        |  round(c_pre, 4) AS c_pre, round(c_post, 4) AS c_post,
+        |  round((post_mean - pre_mean) - (c_post - c_pre), 4) AS did
+        |FROM pv, c WHERE variant != '0'
+        |ORDER BY variant""".stripMargin) { (s, dir) =>
+      val raw = t(s, dir, "events")
+      graft.events.Events.diffInDiff(
+          raw.withColumn("variant", (col("user_id") % 3).cast("string"))
+            .withColumn("sec", Ts.seconds(raw)),
+          "user_id", "variant", "sec", "value",
+          splitSec = 1705363200L, controlVariant = "0")
+        .select(col("variant"), col("n_users"),
+          round(col("pre_mean"), 4).as("pre_mean"),
+          round(col("post_mean"), 4).as("post_mean"),
+          round(col("c_pre"), 4).as("c_pre"),
+          round(col("c_post"), 4).as("c_post"),
+          round(col("did"), 4).as("did"))
+        .orderBy("variant")
+    },
+
     // Kaplan–Meier churn curves: daily cohorts/durations, users whose
     // last event is within 3 days of the horizon are censored (alive).
     q("q_events_survival",

@@ -246,4 +246,21 @@ class EventsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       graft.events.Events.kaplanMeier(ev, "user_id", "sec", 0L, 5L))
   }
+
+  test("diffInDiff: hand-computed estimate on planted trends") {
+    import spark.implicits._
+    // control drifts +1 pre->post; treatment drifts +3 -> DiD = +2
+    val ev = Seq(
+      (1L, "c", 10L, 5.0), (1L, "c", 110L, 6.0),
+      (2L, "c", 10L, 7.0), (2L, "c", 110L, 8.0),
+      (11L, "t", 10L, 4.0), (11L, "t", 110L, 7.0),
+      (12L, "t", 10L, 6.0), (12L, "t", 110L, 9.0))
+      .toDF("user_id", "variant", "sec", "value")
+    val r = graft.events.Events.diffInDiff(ev, "user_id", "variant",
+      "sec", "value", splitSec = 100L, controlVariant = "c").head()
+    assert(r.getAs[String]("variant") == "t")
+    assert(math.abs(r.getAs[Double]("did") - 2.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("pre_mean") - 5.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("c_post") - 7.0) < 1e-12)
+  }
 }
