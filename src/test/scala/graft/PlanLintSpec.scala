@@ -63,7 +63,9 @@ class PlanLintSpec extends SparkSpec {
     "q_events_cuped" -> Map("cartesian" ->
       "1-row pooled (cov, var, mean) aggregate broadcast onto user rows"),
     "q_events_survival" -> Map("cartesian" ->
-      "1-row observation-horizon aggregate broadcast onto user lifetimes"))
+      "1-row observation-horizon aggregate broadcast onto user lifetimes"),
+    "q_events_did" -> Map("cartesian" ->
+      "1-row control-arm (pre, post) means broadcast onto treatment arms"))
 
   test("every cartesian/global-window in any gate plan is whitelisted") {
     val dir = sf("sf0.001")
