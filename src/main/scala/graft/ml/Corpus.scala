@@ -445,6 +445,24 @@ object Corpus {
       .drop("__h")
   }
 
+  /** Quality-ordered token-budget selection: [[mixByBudget]]'s
+    * per-domain running cut, but greedy BEST-FIRST — documents enter
+    * in (score desc, id) order until the domain's token budget fills,
+    * so the budget buys the best material rather than a random
+    * sample ("take the highest-quality N tokens per source", the
+    * selection rule quality-scored pipelines actually run). Same one
+    * hashpartitioning(domain) window; emits `cum_tokens` for audit.
+    */
+  def mixByBudgetOrdered(docs: DataFrame, idCol: String,
+      domainCol: String, tokCol: String, scoreCol: String,
+      tokenBudget: Long): DataFrame = {
+    val w = Window.partitionBy(domainCol)
+      .orderBy(col(scoreCol).desc, col(idCol))
+    docs
+      .withColumn("cum_tokens", sum(col(tokCol)).over(w))
+      .filter(col("cum_tokens") <= tokenBudget)
+  }
+
   /** Per-stratum quantile gate: drop the lowest `fraction` of each
     * stratum by score (e.g. "drop the shortest 20% per language", or
     * the bottom decile by quality score). Exact rank-based semantics —

@@ -1028,6 +1028,32 @@ object TextQueries extends QueryGroup {
         .orderBy("doc_id")
     },
 
+    // quality-ordered budget mix: best-first (n_chars desc) per-source
+    // running token cut at 800 — the budget buys the best material.
+    q("q_corpus_mix_ordered",
+      """WITH d AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CASE WHEN strlen(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, source, tok,
+        |    sum(tok) OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS cum
+        |  FROM d
+        |)
+        |SELECT doc_id, source, CAST(tok AS BIGINT) AS tok,
+        |  CAST(cum AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum <= 800 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.ml.Corpus.mixByBudgetOrdered(
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("source"), col("n_chars"),
+              TA.tokenCount(col("text")).cast("long").as("tok")),
+          "doc_id", "source", "tok", "n_chars", tokenBudget = 800L)
+        .select("doc_id", "source", "tok", "cum_tokens")
+        .orderBy("doc_id")
+    },
+
     // per-stratum weighted sampling: the E-S key ranked inside each
     // source, top 5 per stratum — balanced weighted selection.
     q("q_corpus_weighted_stratified",
