@@ -40,7 +40,7 @@ import graft.ml.{Corpus, Dedup}
   *       [--keep-best] [--group-split]
   *       [--epochs src=w,src=w] [--max-epochs 4]
   *       [--tokenizer bpe|unigram] [--vocab-size 512]
-  *       [--packing chunk|whole]
+  *       [--packing chunk|whole] [--mix-ordered]
   */
 class TrainingDataJob(args: Args) extends GraftJob(args) {
 
@@ -73,7 +73,8 @@ class TrainingDataJob(args: Args) extends GraftJob(args) {
         maxEpochs = args.getOrElse("max-epochs", "4").toInt,
         tokenizer = args.getOrElse("tokenizer", ""),
         vocabSize = args.getOrElse("vocab-size", "512").toInt,
-        packing = args.getOrElse("packing", "chunk")))
+        packing = args.getOrElse("packing", "chunk"),
+        mixOrdered = args.boolean("mix-ordered")))
     r.train.write.partitionBy("source").mode("overwrite").parquet(s"$out/docs")
     r.holdout.write.mode("overwrite").parquet(s"$out/holdout")
     r.manifest.write.mode("overwrite").parquet(s"$out/manifest")
@@ -130,7 +131,10 @@ object TrainingDataJob {
     *    every doc intact in exactly one bin, bins never over `ctxLen`
     *    unless a single doc alone exceeds it). Same manifest schema
     *    either way, plus a `fill` column in whole mode for
-    *    padding-fraction audits.
+    *    padding-fraction audits;
+    *  - `mixOrdered`: the token-budget mix takes documents best-first
+    *    by quality score instead of hash-random — the budget buys the
+    *    best material ([[graft.ml.Corpus.mixByBudgetOrdered]]).
     */
   final case class Stages(
       c4Clean: Boolean = false,
@@ -144,7 +148,8 @@ object TrainingDataJob {
       maxEpochs: Int = 4,
       tokenizer: String = "",
       vocabSize: Int = 512,
-      packing: String = "chunk")
+      packing: String = "chunk",
+      mixOrdered: Boolean = false)
 
   /** Eager lineage cut between assembly stages. Five operator families
     * chained into one logical plan (curate's LSH joins + components
@@ -264,8 +269,15 @@ object TrainingDataJob {
         s"unknown packing mode: $other (expected chunk or whole)")
     }
     val base = if (stages.epochWeights.isEmpty) {
-      val mixed = cut(Corpus.mixByBudget(fluent, "doc_id", "source",
-        "n_tokens", budget))
+      // default: hash-random budget fill; mixOrdered: best-first by
+      // the quality score, so the budget buys the best material
+      val mixed = cut(
+        if (stages.mixOrdered)
+          Corpus.mixByBudgetOrdered(fluent, "doc_id", "source",
+            "n_tokens", "quality", budget)
+        else
+          Corpus.mixByBudget(fluent, "doc_id", "source",
+            "n_tokens", budget))
       val manifest = manifestOf(
         mixed.select(col("doc_id"), col("n_tokens").cast("long").as("tok")))
       Assembled(
