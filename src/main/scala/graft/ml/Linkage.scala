@@ -66,6 +66,9 @@ object Linkage {
       val row = pairs.agg(count(lit(1)).cast("double").as("n"), aggs: _*)
         .head()
       val n = row.getDouble(0)
+      // an empty candidate set has nothing to estimate from — keep
+      // the current parameters rather than dividing into NaNs
+      if (n == 0.0) return Params(p, m, u)
       val sg = row.getDouble(1)
       val sn = row.getDouble(2)
       p = clampD(sg / n, clamp)

@@ -74,4 +74,13 @@ class LinkageSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Linkage.classify(scored, upper = 0.0, lower = 1.0))
   }
+
+  test("EM on an empty candidate set keeps the initial parameters") {
+    import spark.implicits._
+    val empty = Seq.empty[(Boolean, Boolean)].toDF("g1", "g2")
+    val got = Linkage.emTrain(empty, Seq("g1", "g2"), iters = 3)
+    assert(got.p == 0.1)
+    assert(got.m.toSeq == Seq(0.9, 0.9) && got.u.toSeq == Seq(0.1, 0.1))
+    assert(!got.p.isNaN)
+  }
 }
