@@ -291,6 +291,33 @@ object Profile {
       (abs(curF - baseF) / 2).as("tv_term"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov distance, cut-free: both sides
+    * reduce to one mergeable quantile sketch each (ONE aggregate per
+    * side, any data size), and the statistic is the max empirical-CDF
+    * gap evaluated over the union of retained sketch points — within
+    * ~2× the sketches' rank error (≈1% of n at k = 200) of the exact
+    * KS, which the spec pins against exact computation. The
+    * continuous companion to [[driftReport]] when no frozen cuts
+    * exist yet.
+    */
+  def ksDistance(a: DataFrame, b: DataFrame, valueCol: String,
+      k: Int = 200): Double = {
+    def sketchOf(df: DataFrame): graft.agg.Qsketch = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.select(col(valueCol).cast("double")).as[Double]
+        .select(graft.agg.Qsketch.aggregator(k).toColumn)
+        .head()
+    }
+    val sa = sketchOf(a)
+    val sb = sketchOf(b)
+    require(sa.n > 0 && sb.n > 0, "both sides must be non-empty")
+    val grid = (sa.levels.flatten ++ sb.levels.flatten).distinct
+    grid.map { x =>
+      math.abs(sa.rank(x).toDouble / sa.n - sb.rank(x).toDouble / sb.n)
+    }.max
+  }
+
   /** One-row summary of [[driftReport]]: total PSI, KL divergence and
     * total-variation distance.
     */

@@ -226,4 +226,36 @@ class ExtrasSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Profile.driftReport(base, cur, "v", Seq.empty))
   }
+
+  test("ksDistance: near-exact vs brute force, 0 on identical, sensitive to shift") {
+    import spark.implicits._
+    import graft.ml.Profile
+    val rnd = new scala.util.Random(13)
+    val a = Seq.fill(4000)(rnd.nextGaussian()).toDF("v")
+    val shifted = Seq.fill(4000)(rnd.nextGaussian() + 0.5).toDF("v")
+    val ks = Profile.ksDistance(a, shifted, "v")
+    // exact KS via full sort on the driver
+    def exact(x: Seq[Double], y: Seq[Double]): Double = {
+      val xs = x.sorted; val ys = y.sorted
+      val grid = (xs ++ ys).distinct.sorted
+      def cdf(s: Seq[Double], t: Double) = {
+        var lo = 0; var hi = s.length
+        while (lo < hi) {
+          val m = (lo + hi) / 2
+          if (s(m) <= t) lo = m + 1 else hi = m
+        }
+        lo.toDouble / s.length
+      }
+      grid.map(t => math.abs(cdf(xs, t) - cdf(ys, t))).max
+    }
+    val ex = exact(a.collect().map(_.getDouble(0)).toSeq,
+      shifted.collect().map(_.getDouble(0)).toSeq)
+    assert(math.abs(ks - ex) < 0.05, s"sketch $ks vs exact $ex")
+    // the 0.5-sigma shift reads as a big distance
+    assert(ks > 0.12, s"$ks")
+    // identical data: exactly zero (same sketch both sides)
+    assert(Profile.ksDistance(a, a, "v") == 0.0)
+    intercept[IllegalArgumentException](
+      Profile.ksDistance(a, Seq.empty[Double].toDF("v"), "v"))
+  }
 }
