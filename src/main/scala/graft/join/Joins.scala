@@ -247,6 +247,42 @@ object Joins {
       .drop("__bucket")
   }
 
+  /** Interval-overlap join — superset operator completing the range
+    * family: both sides carry half-open intervals `[start, end)` and a
+    * pair matches when the intervals overlap (`lStart < rEnd &&
+    * rStart < lEnd`), optionally within equal `keys`. The naive
+    * inequality join is a per-key cross-product; this uses the same
+    * fixed-bucket decomposition as [[rangeJoin]], exploding BOTH sides
+    * over the buckets their intervals span and equi-joining on
+    * (keys, bucket). Overlapping pairs meet in every bucket their
+    * overlap spans, so to stay exactly duplicate-free each pair is
+    * emitted only from the bucket containing its overlap's start,
+    * `max(lStart, rStart)` — a codegen'd filter, no `dropDuplicates`
+    * shuffle. Cost scales with span/bucketWidth per row; choose
+    * `bucketWidth` near the typical interval length.
+    *
+    * Column names must be disjoint across the two sides apart from
+    * `keys` (standard Spark join hygiene; rename before calling).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucketWidth: Double, keys: Seq[String] = Nil): DataFrame = {
+    def exploded(df: DataFrame, s: String, e: String): DataFrame = {
+      val lo = floor(col(s) / bucketWidth).cast("long")
+      val hi = floor((col(e) - 1e-9) / bucketWidth).cast("long")
+      // drop empty/inverted intervals up front: they can match nothing
+      // and a descending `sequence` would explode spurious buckets
+      df.filter(col(e) > col(s))
+        .withColumn("__bucket", explode(sequence(lo, greatest(lo, hi))))
+    }
+    exploded(left, lStart, lEnd)
+      .join(exploded(right, rStart, rEnd), keys :+ "__bucket")
+      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      .filter(col("__bucket") ===
+        floor(greatest(col(lStart), col(rStart)) / bucketWidth).cast("long"))
+      .drop("__bucket")
+  }
+
   /** N-way star join (`coGroupBy` + MixedJoin,
     * CoGroupBuilder.scala:27-61): chained joins on one key; per-pipe
     * inner/outer mode list mirrors the reference's `JoinMode`s.

@@ -47,6 +47,28 @@ object EmbeddingQueries extends QueryGroup {
 
   val all: Seq[QueryDef] = Seq(
 
+    // PCA's distributed heart: the one-pass (count, Σx, Σxxᵀ) moments
+    // aggregate, exposed as the full population covariance matrix and
+    // checked cell-by-cell against DuckDB's covar_pop over unnested
+    // components. The eigen/projection steps on top are driver-local
+    // and spec-gated (PcaSpec); this gate pins the only part that
+    // touches the corpus at scale.
+    q("q_embed_pca_cov",
+      """WITH comp AS (
+        |  SELECT vec_id, CAST(r.range - 1 AS BIGINT) AS i,
+        |    CAST(embedding[CAST(r.range AS INT)] AS DOUBLE) AS x
+        |  FROM embeddings CROSS JOIN range(1, 65) r
+        |)
+        |SELECT a.i AS i, b.i AS j,
+        |  round(covar_pop(a.x, b.x), 6) + 0.0::DOUBLE AS cov
+        |FROM comp a JOIN comp b ON a.vec_id = b.vec_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      graft.ml.Pca.covarianceMatrix(t(s, dir, "embeddings"), "embedding", 64)
+        // + 0.0 collapses IEEE signed zero before the value-hash compare
+        .withColumn("cov", round(col("cov"), 6) + lit(0.0))
+        .orderBy("i", "j")
+    },
+
     // exact brute-force top-k: 10 query vectors against the full
     // corpus — broadcast queries, one linear corpus scan, per-query
     // bounded top-k.

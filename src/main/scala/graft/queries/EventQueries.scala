@@ -214,6 +214,42 @@ object EventQueries extends QueryGroup {
         .orderBy("band")
     },
 
+    // interval-overlap join (both sides intervals, bucketed dedup-free
+    // composition) vs the exact inequality-join oracle: two disjoint
+    // samples of events expanded to activity windows, matched when the
+    // windows overlap for the same user-group key.
+    q("q_join_interval",
+      """WITH l AS (
+        |  SELECT user_id % 10 AS k, event_id AS l_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ls,
+        |    CAST(floor(epoch(ts)) AS BIGINT) + (event_id % 5 + 1) * 3600 AS le
+        |  FROM events WHERE event_id % 17 = 0
+        |), r AS (
+        |  SELECT user_id % 10 AS k, event_id AS r_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS rs,
+        |    CAST(floor(epoch(ts)) AS BIGINT) + (event_id % 7 + 1) * 1800 AS re
+        |  FROM events WHERE event_id % 23 = 0
+        |)
+        |SELECT l.k, l_id, r_id,
+        |  greatest(ls, rs) AS o_start, least(le, re) AS o_end
+        |FROM l JOIN r ON l.k = r.k AND ls < re AND rs < le
+        |ORDER BY l.k, l_id, r_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val sec = Ts.seconds(ev)
+      val l = ev.filter(col("event_id") % 17 === 0)
+        .select((col("user_id") % 10).as("k"), col("event_id").as("l_id"),
+          sec.as("ls"), (sec + (col("event_id") % 5 + 1) * 3600).as("le"))
+      val r = ev.filter(col("event_id") % 23 === 0)
+        .select((col("user_id") % 10).as("k"), col("event_id").as("r_id"),
+          sec.as("rs"), (sec + (col("event_id") % 7 + 1) * 1800).as("re"))
+      graft.join.Joins.intervalJoin(l, r, "ls", "le", "rs", "re",
+          bucketWidth = 21600.0, keys = Seq("k"))
+        .select(col("k"), col("l_id"), col("r_id"),
+          greatest(col("ls"), col("rs")).as("o_start"),
+          least(col("le"), col("re")).as("o_end"))
+        .orderBy("k", "l_id", "r_id")
+    },
+
     // sessionization through the secondary-sort machinery
     // (SortedGrouped.mapValueStream): same answer as the window-based
     // q_events_sessionize, via one shuffle + in-partition sorted runs

@@ -173,6 +173,29 @@ class FieldsApiSpec extends SparkSpec {
     assert(bucketed == naive)
   }
 
+  test("intervalJoin equals the naive overlap join, duplicate-free") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // random [start, start+len) intervals spanning MANY buckets (len up
+    // to 40 vs bucketWidth 7) so the dedup-free emission rule is
+    // exercised; a few keys so both keyed and bucket matching matter
+    def mk(n: Int, tag: String) = (1 to n).map { i =>
+      val s = rnd.nextDouble() * 200
+      (rnd.nextInt(3), s"$tag$i", s, s + rnd.nextDouble() * 40)
+    }
+    val l = mk(120, "l").toDF("k", "lid", "ls", "le")
+    val r = mk(150, "r").toDF("k", "rid", "rs", "re")
+    // add an empty and an inverted right interval: must match nothing
+    val rAll = r.union(Seq((0, "rEmpty", 5.0, 5.0), (1, "rInv", 9.0, 2.0)).toDF("k", "rid", "rs", "re"))
+    val naive = l.join(rAll, l("k") === rAll("k") &&
+        col("ls") < col("re") && col("rs") < col("le"))
+      .select("lid", "rid").as[(String, String)].collect().sorted.toSeq
+    val bucketed = graft.join.Joins
+      .intervalJoin(l, rAll, "ls", "le", "rs", "re", 7.0, Seq("k"))
+      .select("lid", "rid").as[(String, String)].collect().sorted.toSeq
+    assert(bucketed == naive) // equality (not set-equality): also proves no duplicate pairs
+  }
+
   test("coGroup chains joins with per-pipe modes (star join)") {
     import spark.implicits._
     val a = Seq((1, "a1"), (2, "a2")).toDF("x", "a")
