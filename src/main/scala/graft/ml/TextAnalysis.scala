@@ -284,6 +284,62 @@ object TextAnalysis {
       .otherwise("unknown")
   }
 
+  /** Per-script character counts — the writing-system profile used by
+    * CCNet-style pipelines to validate declared language tags, route
+    * per-script tokenizers, and drop script-mixed spam. One struct of
+    * codegen'd regexp counts per row; no shuffle, no UDF. Ranges are
+    * explicit codepoint intervals (not \p{script} names) so any engine
+    * with character-class regex can replay them.
+    */
+  val scriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z\\u00C0-\\u024F]",
+    "cyrillic" -> "[\\u0400-\\u04FF]",
+    "greek" -> "[\\u0370-\\u03FF]",
+    "arabic" -> "[\\u0600-\\u06FF]",
+    "hebrew" -> "[\\u0590-\\u05FF]",
+    "devanagari" -> "[\\u0900-\\u097F]",
+    "cjk" -> "[\\u4E00-\\u9FFF\\u3040-\\u30FF\\u3400-\\u4DBF]",
+    "hangul" -> "[\\uAC00-\\uD7AF\\u1100-\\u11FF]")
+
+  def scriptProfile(text: Column): Column = {
+    def n(p: String) = size(regexp_extract_all(text, lit(p), lit(0)))
+    val named = scriptRanges.map { case (name, p) => n(p).as(s"n_$name") }
+    struct(named :+ n("[0-9]").as("n_digit") :+
+      length(text).as("n_total"): _*)
+  }
+
+  /** Dominant script name by character count (ties broken by the
+    * [[scriptRanges]] order via strict `>`), "none" for text with no
+    * scripted characters — the routing key for per-script pipelines.
+    */
+  def dominantScript(text: Column): Column = {
+    def n(p: String) = size(regexp_extract_all(text, lit(p), lit(0)))
+    val scored = scriptRanges.zipWithIndex.map { case ((name, p), i) =>
+      // tie-break: earlier range wins via a descending index epsilon
+      struct((n(p).cast("double") - lit(i * 1e-9)).as("s"), lit(name).as("l"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("s") > 0, best.getField("l")).otherwise("none")
+  }
+
+  /** Count of classic encoding-damage artifacts: UTF-8 bytes decoded
+    * as Latin-1 ("Ã©", "â€™", "Â·"-style digraphs) and the U+FFFD
+    * replacement character. A nonzero count is the standard signal to
+    * re-decode or drop the document (ftfy's detection heuristic,
+    * reduced to one codegen'd regexp count).
+    */
+  def mojibakeCount(text: Column): Column =
+    size(regexp_extract_all(text,
+      lit("Ã[\\u0080-\\u00BF\\u00A0-\\u00FF]|Â[\\u00A0-\\u00BF]|â€.|ï¿½|�"),
+      lit(0)))
+
+  /** Strip C0/C1 control characters (keeping \t \n \r) — the
+    * pre-tokenization cleanup that prevents control bytes from
+    * leaking into training text. Pure regexp_replace, zero shuffle.
+    */
+  def stripControlChars(text: Column): Column =
+    regexp_replace(text, "[\\u0000-\\u0008\\u000B\\u000C\\u000E-\\u001F\\u007F-\\u009F]", "")
+
   /** Per-document top-k terms by TF-IDF over the input corpus:
     * tf-idf(t, d) = tf(t, d) · (ln((N+1)/(df(t)+1)) + 1) with the
     * smoothed idf, ties broken lexicographically. Returns
