@@ -3,7 +3,7 @@ package graft.examples
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Args, GraftJob}
-import graft.ml.{Pq, Similarity}
+import graft.ml.{Pca, Pq, Similarity}
 
 /** The embedding-side assembly line — the vector analogue of
   * [[TrainingDataJob]]: curate an (id, vec) corpus and build the
@@ -34,6 +34,7 @@ import graft.ml.{Pq, Similarity}
   * Args: --input <embeddings parquet> --output <dir>
   *       [--dup-cos 0.995] [--min-proto 0.0] [--centroids 16]
   *       [--m 8] [--codes 16] [--seed 42]
+  *       [--pca-k 0 (off)] [--whiten]
   */
 class EmbeddingIndexJob(args: Args) extends GraftJob(args) {
 
@@ -47,7 +48,9 @@ class EmbeddingIndexJob(args: Args) extends GraftJob(args) {
       nCentroids = args.getOrElse("centroids", "16").toInt,
       m = args.getOrElse("m", "8").toInt,
       kCodes = args.getOrElse("codes", "16").toInt,
-      seed = args.getOrElse("seed", "42").toLong)
+      seed = args.getOrElse("seed", "42").toLong,
+      pcaK = args.getOrElse("pca-k", "0").toInt,
+      whiten = args.boolean("whiten"))
     r.index.write.partitionBy("centroid").mode("overwrite")
       .parquet(s"$out/index")
     r.pruned.write.mode("overwrite").parquet(s"$out/pruned")
@@ -56,6 +59,14 @@ class EmbeddingIndexJob(args: Args) extends GraftJob(args) {
     import spark.implicits._
     Seq(r.codebooks.toBytes).toDF("codebook_bytes")
       .write.mode("overwrite").parquet(s"$out/codebooks")
+    // query-side projection artifact: row -1 = mean, rows 0..k-1 =
+    // components, eigenvalue carried per component row
+    r.pca.foreach { mdl =>
+      ((-1, mdl.mean.toSeq, 0.0) +: mdl.components.toSeq.zipWithIndex.map {
+        case (c, i) => (i, c.toSeq, mdl.eigenvalues(i))
+      }).toDF("component", "values", "eigenvalue")
+        .write.mode("overwrite").parquet(s"$out/pca")
+    }
     graft.core.PipelineCaches.unpersistAll()
   }
 }
@@ -72,22 +83,43 @@ object EmbeddingIndexJob {
     */
   final case class Result(index: DataFrame, pruned: DataFrame,
       manifest: DataFrame, centroids: DataFrame,
-      codebooks: graft.ml.Pq.Codebooks)
+      codebooks: graft.ml.Pq.Codebooks, pca: Option[Pca.Model] = None)
 
   def build(vecs0: DataFrame, dupCos: Double = 0.995,
       minProto: Double = 0.0, nCentroids: Int = 16, m: Int = 8,
-      kCodes: Int = 16, seed: Long = 42L): Result = {
+      kCodes: Int = 16, seed: Long = 42L, pcaK: Int = 0,
+      whiten: Boolean = false): Result = {
     val spark = vecs0.sparkSession
     import spark.implicits._
-    val vecs = graft.core.PipelineCaches.persistTrackedDs(
+    val raw = graft.core.PipelineCaches.persistTrackedDs(
       vecs0.select(col("id"), col("vec")).as[(Long, Array[Float])]).toDF("id", "vec")
 
-    // 1. exact dedup on the vector bytes (lowest id wins)
-    val exact = vecs
+    // 1. exact dedup on the RAW vector bytes (lowest id wins) —
+    // upstream of any projection, since PCA is many-to-one in
+    // principle and must not manufacture "exact" duplicates
+    val exact = raw
       .withColumn("__vkey", xxhash64(col("vec").cast("string")))
       .groupBy("__vkey").agg(min(col("id")).as("keep"))
       .select(col("keep").as("id"))
-    val afterExact = vecs.join(exact, Seq("id"), "left_semi")
+    val afterExactRaw = raw.join(exact, Seq("id"), "left_semi")
+
+    // 1b. optional PCA reduce/whiten of the survivors: centroid
+    // training, LSH banding and PQ all get cheaper and
+    // better-conditioned on decorrelated k-dim vectors; queries
+    // replay the projection via the persisted model.
+    val pcaModel: Option[Pca.Model] = if (pcaK > 0) {
+      val dim = raw.select("vec").as[Array[Float]].head().length
+      Some(Pca.fit(afterExactRaw, "vec", dim, pcaK))
+    } else None
+    val afterExact = pcaModel match {
+      case None => afterExactRaw
+      case Some(mdl) =>
+        graft.core.PipelineCaches.persistTrackedDs(
+          Pca.project(afterExactRaw, "id", "vec", mdl, whiten)
+            .select(col("id"),
+              transform(col("proj"), x => x.cast("float")).as("vec"))
+            .as[(Long, Array[Float])]).toDF("id", "vec")
+    }
 
     // 2. near-dedup: LSH-bucketed pairs ≥ dupCos; every id that loses
     // any pair (appears as the higher id) drops — greedy, determinist
@@ -140,6 +172,6 @@ object EmbeddingIndexJob {
         Seq("centroid"), "left")
       .orderBy("centroid")
 
-    Result(index, pruned, manifest, centDf, cb)
+    Result(index, pruned, manifest, centDf, cb, pcaModel)
   }
 }

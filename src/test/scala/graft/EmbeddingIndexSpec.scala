@@ -65,6 +65,35 @@ class EmbeddingIndexSpec extends SparkSpec {
     graft.core.PipelineCaches.unpersistAll()
   }
 
+  test("PCA stage reduces index dimensionality and keeps dedup semantics") {
+    // whiten=false: whitening rescales the cluster-separating axes to
+    // unit variance, which (by design) erases cosine separation — the
+    // whitening contract itself is covered in PcaSpec
+    val r = EmbeddingIndexJob.build(corpus, dupCos = 0.999,
+      minProto = -1.0, nCentroids = 4, m = 4, kCodes = 8,
+      pcaK = 8)
+    // model shape: 8 components over the 16-dim input, descending
+    val mdl = r.pca.getOrElse(fail("pca model missing"))
+    assert(mdl.components.length == 8 && mdl.components.head.length == 16)
+    assert(mdl.eigenvalues.toSeq == mdl.eigenvalues.sorted.reverse.toSeq)
+    // exact dup runs upstream of projection: still collapsed to id 0
+    val prunedIds = r.pruned.select("id").as[Long].collect().toSet
+    assert(!prunedIds.contains(100L) && prunedIds.contains(0L))
+    // the index codes cover exactly the survivors, same as un-projected
+    val indexIds = r.index.select("id").as[Long].collect().toSet
+    assert(indexIds == prunedIds)
+    // 4 clusters well-separated in 16-d stay separated after PCA to
+    // 8-d: each planted cluster maps mostly to one IVF centroid
+    val purity = r.index.filter($"id" < 80)
+      .withColumn("planted", col("id") % 4)
+      .groupBy("planted")
+      .agg(max("centroid").as("mx"), min("centroid").as("mn"))
+      .collect()
+    assert(purity.count(p => p.getAs[Long]("mx") == p.getAs[Long]("mn")) >= 3,
+      "planted clusters must survive the projection")
+    graft.core.PipelineCaches.unpersistAll()
+  }
+
   test("kmeansCentroids emits the trained centroid table") {
     val c = Similarity.kmeansCentroids(corpus, nCentroids = 4)
     val rows = c.as[(Long, Array[Float])].collect()
