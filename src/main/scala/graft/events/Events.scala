@@ -280,6 +280,84 @@ object Events {
         first(col("theta")).as("theta"))
   }
 
+  /** Cumulative Poisson(1) probabilities as fixed-width 8-hex-char
+    * thresholds over the md5-prefix space — shared verbatim between
+    * the Spark plan and any external SQL replay, so the bootstrap
+    * weights are engine-portable by construction (same idiom as
+    * [[graft.ml.Profile.strongThreshold]]). Last bucket (u beyond
+    * every threshold) gets weight = thresholds.length.
+    */
+  val poissonHexThresholds: Seq[String] = {
+    val eInv = math.exp(-1.0)
+    Iterator.iterate((0, eInv, eInv)) { case (k, term, cum) =>
+      val t2 = term / (k + 1); (k + 1, t2, cum + t2)
+    }.map(_._3)
+      .map(p => math.round(p * 4294967296.0))
+      .takeWhile(_ < 4294967295L)
+      .map(v => f"$v%08x")
+      .take(16).toSeq
+  }
+
+  /** Poisson-bootstrap confidence intervals for the per-variant mean
+    * of a per-user metric (Chamandy et al. 2012's "Estimating
+    * Uncertainty for Massive Data Streams" — the bootstrap that
+    * scales): replicate r reweights user u by a deterministic
+    * Poisson(1) draw from md5(seed:user:r), each replicate's weighted
+    * mean is one map-side-combined aggregate row, and the CI is exact
+    * order statistics over the `nReps` replicate means (no
+    * interpolation — engine-portable). Input is the already-reduced
+    * (user, variant, metric) table; compose with a per-user groupBy
+    * upstream.
+    *
+    * Returns (variant, n_users, mean, ci_lo, ci_hi, n_reps) where
+    * [ci_lo, ci_hi] is the (1−alpha) percentile interval.
+    *
+    * Scale shape: users × nReps narrow rows explode map-side and
+    * collapse to (variant, r) partials before the exchange — the
+    * shuffle carries nReps·|variants| rows regardless of user count;
+    * the order-statistic window partitions by variant over nReps-row
+    * groups (driver-bounded by contract).
+    */
+  def bootstrapCI(perUser: DataFrame, userCol: String, variantCol: String,
+      metricCol: String, nReps: Int = 200, alpha: Double = 0.05,
+      seed: Long = 42L): DataFrame = {
+    require(nReps >= 20, "nReps too small for a percentile interval")
+    require(alpha > 0 && alpha < 1, "alpha must be in (0,1)")
+    val bucket = substring(md5(concat_ws(":", lit(seed).cast("string"),
+      col(userCol).cast("long").cast("string"),
+      col("r").cast("string"))), 1, 8)
+    val w = poissonHexThresholds.zipWithIndex
+      .foldRight(lit(poissonHexThresholds.length): org.apache.spark.sql.Column) {
+        case ((hex, k), rest) => when(bucket < lit(hex), k).otherwise(rest)
+      }
+    val reps = perUser
+      .select(col(userCol), col(variantCol).as("variant"),
+        col(metricCol).cast("double").as("x"))
+      .withColumn("r", explode(sequence(lit(0), lit(nReps - 1))))
+      .withColumn("w", w.cast("double"))
+      .groupBy("variant", "r")
+      .agg((sum(col("w") * col("x")) /
+        when(sum("w") > 0, sum("w"))).as("est"))
+    // exact symmetric order statistics: rank ceil(alpha/2 * R) from
+    // each end of the ascending replicate means
+    val loRank = math.max(1, math.ceil(alpha / 2 * nReps).toInt)
+    val byEst = org.apache.spark.sql.expressions.Window
+      .partitionBy("variant").orderBy(col("est").asc_nulls_last, col("r"))
+    val ci = reps
+      .withColumn("rk", row_number().over(byEst))
+      .groupBy("variant")
+      .agg(
+        max(when(col("rk") === loRank, col("est"))).as("ci_lo"),
+        max(when(col("rk") === nReps + 1 - loRank, col("est"))).as("ci_hi"))
+    perUser
+      .groupBy(col(variantCol).as("variant"))
+      .agg(count(lit(1)).as("n_users"),
+        avg(col(metricCol).cast("double")).as("mean"))
+      .join(ci, Seq("variant"))
+      .withColumn("n_reps", lit(nReps))
+      .select("variant", "n_users", "mean", "ci_lo", "ci_hi", "n_reps")
+  }
+
   /** Per-key exponentially-weighted moving average over the event
     * stream: EWMA_t = α·x_t + (1−α)·EWMA_{t−1} along each key's
     * (sec, id)-ordered events, seeded at the first value (the pandas

@@ -19,6 +19,54 @@ import graft.core.Ts
   */
 object EventQueries extends QueryGroup {
 
+  /** DuckDB replica of `Events.bootstrapCI(nReps=100, alpha=0.05,
+    * seed=42)` over user_id%3 variants: the Poisson-weight CASE chain
+    * is generated from the SAME `Events.poissonHexThresholds`
+    * constants the Spark plan compiles in, the replicate means are
+    * exact integer-ratio doubles on both engines, and the interval is
+    * order statistics (ranks 3 and 98), so the gate is
+    * interpolation-free.
+    */
+  private def bootstrapOracleSql: String = {
+    val ts = graft.events.Events.poissonHexThresholds
+    val cases = ts.zipWithIndex
+      .map { case (h, k) => s"WHEN h < '$h' THEN $k" }.mkString(" ")
+    s"""WITH pu AS (
+       |  SELECT user_id, CAST(user_id % 3 AS VARCHAR) AS variant,
+       |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      AS DOUBLE) AS x
+       |  FROM events GROUP BY 1, 2
+       |), drawn AS (
+       |  SELECT variant, rr.range AS r, x,
+       |    substr(md5('42:' || CAST(user_id AS VARCHAR) || ':'
+       |      || CAST(rr.range AS VARCHAR)), 1, 8) AS h
+       |  FROM pu CROSS JOIN range(0, 100) rr
+       |), weighted AS (
+       |  SELECT variant, r, x,
+       |    CAST(CASE $cases ELSE ${ts.length} END AS DOUBLE) AS w
+       |  FROM drawn
+       |), reps AS (
+       |  SELECT variant, r, sum(w * x) / nullif(sum(w), 0) AS est
+       |  FROM weighted GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT variant, est, row_number() OVER (PARTITION BY variant
+       |    ORDER BY est ASC NULLS LAST, r) AS rk
+       |  FROM reps
+       |), ci AS (
+       |  SELECT variant,
+       |    max(CASE WHEN rk = 3 THEN est END) AS ci_lo,
+       |    max(CASE WHEN rk = 98 THEN est END) AS ci_hi
+       |  FROM ranked GROUP BY 1
+       |)
+       |SELECT pv.variant, pv.n_users, round(pv.mean, 6) AS mean,
+       |  round(ci.ci_lo, 6) AS ci_lo, round(ci.ci_hi, 6) AS ci_hi,
+       |  100 AS n_reps
+       |FROM (SELECT variant, count(*) AS n_users, avg(x) AS mean
+       |      FROM pu GROUP BY 1) pv
+       |JOIN ci USING (variant)
+       |ORDER BY variant""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // exponentially time-decayed sum per user (algebird DecayedValue
@@ -464,6 +512,26 @@ object EventQueries extends QueryGroup {
           round(col("var_raw"), 2).as("var_raw"),
           round(col("var_adj"), 2).as("var_adj"),
           round(col("theta"), 6).as("theta"))
+        .orderBy("variant")
+    },
+
+    // Poisson-bootstrap CI for per-variant conversion: deterministic
+    // md5-hash Poisson(1) weights (the CASE thresholds below are
+    // GENERATED from the same Events.poissonHexThresholds constants
+    // the Spark plan compiles in), 100 replicates, exact order-
+    // statistic 95% interval.
+    q("q_events_bootstrap", EventQueries.bootstrapOracleSql) { (s, dir) =>
+      val perUser = t(s, dir, "events")
+        .withColumn("variant", (col("user_id") % 3).cast("string"))
+        .groupBy("user_id", "variant")
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("converted"))
+      graft.events.Events.bootstrapCI(perUser, "user_id", "variant",
+          "converted", nReps = 100, alpha = 0.05, seed = 42L)
+        .select(col("variant"), col("n_users"),
+          round(col("mean"), 6).as("mean"),
+          round(col("ci_lo"), 6).as("ci_lo"),
+          round(col("ci_hi"), 6).as("ci_hi"), col("n_reps"))
         .orderBy("variant")
     },
 

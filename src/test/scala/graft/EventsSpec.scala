@@ -185,6 +185,46 @@ class EventsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("z_score") - expZ) < 1e-12)
   }
 
+  test("bootstrapCI equals a full driver replay of the hash-Poisson draw") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val users = (0 until 120).map { u =>
+      (u.toLong, (u % 2).toString, if (rnd.nextDouble() < 0.3 + 0.2 * (u % 2)) 1.0 else 0.0)
+    }
+    val perUser = users.toDF("user_id", "variant", "x")
+    val nReps = 60
+    val got = graft.events.Events
+      .bootstrapCI(perUser, "user_id", "variant", "x", nReps, 0.05, seed = 7L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+
+    // driver replay with java's own md5 against the shared thresholds
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def weight(u: Long, r: Int): Int = {
+      val hex = md.digest(s"7:$u:$r".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 8)
+      val ts = graft.events.Events.poissonHexThresholds
+      val i = ts.indexWhere(hex < _)
+      if (i < 0) ts.length else i
+    }
+    val loRank = math.max(1, math.ceil(0.025 * nReps).toInt)
+    for (v <- Seq("0", "1")) {
+      val vs = users.filter(_._2 == v)
+      val ests = (0 until nReps).map { r =>
+        val ws = vs.map { case (u, _, x) => (weight(u, r), x) }
+        (ws.map { case (w, x) => w * x }.sum / ws.map(_._1).sum, r)
+      }.sortBy(identity)
+      val lo = ests(loRank - 1)._1
+      val hi = ests(nReps - loRank)._1
+      val (n, mean, gLo, gHi) = got(v)
+      assert(n == vs.size)
+      assert(math.abs(mean - vs.map(_._3).sum / vs.size) < 1e-12)
+      assert(math.abs(gLo - lo) < 1e-12, s"variant $v lo: $gLo vs $lo")
+      assert(math.abs(gHi - hi) < 1e-12, s"variant $v hi: $gHi vs $hi")
+      assert(gLo <= mean && mean <= gHi, "planted rates are well inside the CI")
+    }
+  }
+
   test("cuped: adjusted variance shrinks when pre-period correlates") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
