@@ -16,6 +16,8 @@ import graft.events.Events
   *     user-id hash split — replace with a real assignment column via
   *     --variant-col);
   *  2. `abtest/`   — two-proportion z-test per treatment arm;
+  *     `bootstrap/` — Poisson-bootstrap CI on the same conversion
+  *     metric (--bootstrap-reps replicates);
   *  3. `cuped/`    — variance-reduced metric per arm (pre-period
   *     covariate split at --split-sec);
   *  4. `retention/`— cohort retention grid;
@@ -49,7 +51,8 @@ class ExperimentAnalysisJob(args: Args) extends GraftJob(args) {
       censorGap = args.getOrElse("censor-gap", "259200").toLong,
       gapSec = args.getOrElse("gap-sec", "1800").toLong,
       windowSec = args.getOrElse("window-sec", "3600").toLong,
-      topK = args.getOrElse("top-k", "3").toInt)
+      topK = args.getOrElse("top-k", "3").toInt,
+      bootstrapReps = args.getOrElse("bootstrap-reps", "200").toInt)
     r.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$out/$name")
     }
@@ -66,7 +69,7 @@ object ExperimentAnalysisJob {
       convType: String = "purchase", splitSec: Long = 0L,
       periodSec: Long = 86400L, censorGap: Long = 259200L,
       gapSec: Long = 1800L, windowSec: Long = 3600L,
-      topK: Int = 3): Map[String, DataFrame] = {
+      topK: Int = 3, bootstrapReps: Int = 200): Map[String, DataFrame] = {
     require(arms >= 2, "arms must be >= 2")
     val ev0 = events.withColumn("sec", Ts.seconds(events))
     val ev = (if (variantCol.nonEmpty)
@@ -89,9 +92,15 @@ object ExperimentAnalysisJob {
       .agg(count(lit(1)).as("n_events"),
         (max("sec") - min("sec")).as("duration_sec"),
         sum("value").as("total_value"))
+    val perUserConv = ev
+      .groupBy(col("user_id"), col("variant"))
+      .agg(max(when(col("event_type") === convType, 1).otherwise(0))
+        .as("converted"))
     Map(
       "abtest" -> Events.abTest(ev, "user_id", "variant", "event_type",
         convType, controlVariant = "0"),
+      "bootstrap" -> Events.bootstrapCI(perUserConv, "user_id", "variant",
+        "converted", nReps = bootstrapReps),
       "cuped" -> Events.cuped(ev, "user_id", "variant", "sec", "value",
         split),
       "retention" -> Events.retention(ev, "user_id", "sec", "event_type",

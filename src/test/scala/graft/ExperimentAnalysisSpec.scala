@@ -13,8 +13,27 @@ class ExperimentAnalysisSpec extends SparkSpec {
     val events = spark.read.parquet(sf() + "/events.parquet")
     val r = ExperimentAnalysisJob.analyze(events, arms = 2,
       convType = "purchase")
-    assert(r.keySet == Set("abtest", "cuped", "retention", "survival",
-      "trending", "markov", "sessions"))
+    assert(r.keySet == Set("abtest", "bootstrap", "cuped", "retention",
+      "survival", "trending", "markov", "sessions"))
+
+    // bootstrap: CI covers each arm's point estimate, rate agrees with
+    // the z-test's rate per arm
+    val bs = r("bootstrap").collect()
+      .map(row => row.getAs[String]("variant") ->
+        (row.getAs[Double]("mean"), row.getAs[Double]("ci_lo"),
+          row.getAs[Double]("ci_hi"))).toMap
+    assert(bs.size == 2)
+    bs.values.foreach { case (m, lo, hi) =>
+      assert(lo <= m && m <= hi)
+      // every-user-converts (rate exactly 1) collapses every weighted
+      // replicate mean to 1 — the CI is legitimately a point there
+      if (m > 0 && m < 1) assert(lo < hi)
+    }
+    r("abtest").collect().foreach { row =>
+      val (m, _, _) = bs(row.getAs[String]("variant"))
+      assert(math.abs(row.getAs[Double]("rate") - m) < 1e-12,
+        "bootstrap mean must equal the z-test arm rate")
+    }
 
     // abtest: one treatment arm vs control, user totals add up
     val ab = r("abtest").collect()
@@ -71,8 +90,8 @@ class ExperimentAnalysisSpec extends SparkSpec {
     graft.core.Tool.run("graft.examples.ExperimentAnalysisJob",
       graft.core.Args(Seq("--input", in, "--output", dir)), spark)
     val names = new java.io.File(dir).listFiles().map(_.getName).toSet
-    assert(Set("abtest", "cuped", "retention", "survival", "trending",
-      "markov", "sessions").subsetOf(names), names.toString)
+    assert(Set("abtest", "bootstrap", "cuped", "retention", "survival",
+      "trending", "markov", "sessions").subsetOf(names), names.toString)
     assert(spark.read.parquet(s"$dir/survival").count() > 0)
   }
 }
