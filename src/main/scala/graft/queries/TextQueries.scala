@@ -1258,6 +1258,63 @@ object TextQueries extends QueryGroup {
         queryTerms = Seq("data", "table", "server", "value"))
     },
 
+    // hybrid retrieval: the q_text_bm25 lexical top-20 fused with the
+    // vec_id=0 cosine top-20 by reciprocal-rank fusion (k=60). Both
+    // branch rankings replay exactly (BM25 scores are 1e-6-floored on
+    // both engines, cosine ranks come from identical double math), so
+    // the fused scores are exact rational sums.
+    q("q_text_hybrid", {
+      val words = "string_split(trim(regexp_replace(regexp_replace(lower(text), " +
+        "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')"
+      s"""WITH base AS (
+         |  SELECT doc_id, len(w) AS dl,
+         |    list_filter(w, t -> t IN ('data', 'table', 'server', 'value')) AS qt
+         |  FROM (SELECT doc_id, $words AS w FROM documents)
+         |), stats AS (
+         |  SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM base
+         |), tf AS (
+         |  SELECT doc_id, dl, tk, count(*) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(qt) AS tk FROM base)
+         |  GROUP BY 1, 2, 3
+         |), dfreq AS (
+         |  SELECT tk, count(*) AS df FROM tf GROUP BY 1
+         |), scored AS (
+         |  SELECT doc_id,
+         |    floor(sum(
+         |      ln((n_docs - df + 0.5) / (df + 0.5) + 1.0::DOUBLE) * tf * 2.2
+         |      / (tf + 1.2 * (0.25 + 0.75 * dl / (sum_dl * 1.0::DOUBLE / n_docs)))
+         |    ) * 1e6 + 0.5) / 1e6 AS bm25
+         |  FROM tf JOIN dfreq USING (tk), stats GROUP BY doc_id
+         |), lex AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+         |  FROM scored QUALIFY rank <= 20
+         |), sem AS (
+         |  SELECT c.vec_id AS doc_id,
+         |    row_number() OVER (ORDER BY list_cosine_similarity(
+         |      CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+         |      DESC, c.vec_id) AS rank
+         |  FROM embeddings q JOIN embeddings c
+         |    ON q.vec_id = 0 AND c.vec_id != 0
+         |  QUALIFY rank <= 20
+         |), un AS (
+         |  SELECT * FROM lex UNION ALL SELECT * FROM sem
+         |)
+         |SELECT doc_id, round(sum(1.0::DOUBLE / (60 + rank)), 9) AS rrf,
+         |  count(*) AS n_lists
+         |FROM un GROUP BY 1
+         |ORDER BY sum(1.0::DOUBLE / (60 + rank)) DESC, doc_id
+         |LIMIT 10""".stripMargin
+    }) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      graft.ml.Hybrid.hybridSearch(t(s, dir, "documents"), "doc_id", "text",
+          emb, Seq("data", "table", "server", "value"),
+          queryVec = emb.filter(col("id") === 0), nCand = 20, topK = 10)
+        .withColumn("rrf", round(col("rrf"), 9))
+        .orderBy(col("rrf").desc, col("doc_id"))
+    },
+
     // the SAME BM25 answer through the persisted inverted index:
     // build the term-bucketed layout, then query reading only the
     // query terms' buckets (directory-pruned scan, df recounted on

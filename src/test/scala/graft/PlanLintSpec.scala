@@ -65,7 +65,9 @@ class PlanLintSpec extends SparkSpec {
     "q_events_survival" -> Map("cartesian" ->
       "1-row observation-horizon aggregate broadcast onto user lifetimes"),
     "q_events_did" -> Map("cartesian" ->
-      "1-row control-arm (pre, post) means broadcast onto treatment arms"))
+      "1-row control-arm (pre, post) means broadcast onto treatment arms"),
+    "q_text_hybrid" -> Map("cartesian" ->
+      "1-row corpus-stats (N, avgdl) aggregate broadcast onto the BM25 hit stream"))
 
   test("every cartesian/global-window in any gate plan is whitelisted") {
     val dir = sf("sf0.001")
