@@ -358,6 +358,93 @@ object Events {
       .select("variant", "n_users", "mean", "ci_lo", "ci_hi", "n_reps")
   }
 
+  /** Always-valid sequential test (mSPRT with a normal mixture prior,
+    * Johari et al. 2017 "Peeking at A/B/n Tests") per treatment arm
+    * per period: users accrue at their first event, convert at their
+    * first `convType`; at each period boundary the cumulative
+    * two-sample statistic feeds the closed-form mixture likelihood
+    * ratio  ln Λ = ½·ln(V/(V+τ²)) + θ̂²τ²/(2V(V+τ²))  with pooled
+    * Bernoulli variance V = p̄(1−p̄)(1/n_t + 1/n_c), and the
+    * always-valid p-value is the running min of 1/Λ — valid under
+    * continuous monitoring, unlike the fixed-horizon z-test.
+    *
+    * Returns one row per (variant, period): cumulative counts, theta
+    * (rate difference), log_lambda, p_value. Periods with an
+    * empty arm carry null statistics (nothing to test yet).
+    *
+    * Scale shape: one per-user aggregate (entry/conversion period),
+    * one (variant, period) count aggregate, a dense tiny
+    * periods×arms grid (both driver-bounded: periods = time range /
+    * periodSec, arms = the experiment's arms), cumulative windows
+    * partitioned by variant over that tiny grid. The event log is
+    * touched once.
+    */
+  def sequentialTest(events: DataFrame, userCol: String,
+      variantCol: String, secCol: String, typeCol: String,
+      convType: String, controlVariant: String, periodSec: Long,
+      tau2: Double = 0.0001): DataFrame = {
+    require(periodSec > 0 && tau2 > 0)
+    val perUser = events
+      .groupBy(col(userCol).as("user"), col(variantCol).as("variant"))
+      .agg(
+        floor(min(col(secCol)) / periodSec).cast("long").as("entry_p"),
+        floor(min(when(col(typeCol) === convType, col(secCol))) / periodSec)
+          .cast("long").as("conv_p"))
+    // dense (variant × period) grid — both sides tiny by construction
+    val periods = perUser.select(col("entry_p").as("period"))
+      .union(perUser.select(col("conv_p")).where(col("conv_p").isNotNull))
+      .distinct()
+    val variants = perUser.select("variant").distinct()
+    val grid = variants.crossJoin(broadcast(periods))
+    // conversions can land in a LATER period than entry: count them on
+    // their own period
+    val convPeriod = perUser.where(col("conv_p").isNotNull)
+      .groupBy(col("variant"), col("conv_p").as("period"))
+      .agg(count(lit(1)).as("converted"))
+    val entryPeriod = perUser
+      .groupBy(col("variant"), col("entry_p").as("period"))
+      .agg(count(lit(1)).as("entered"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("variant").orderBy("period")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = grid
+      .join(entryPeriod, Seq("variant", "period"), "left")
+      .join(convPeriod, Seq("variant", "period"), "left")
+      .withColumn("n", sum(coalesce(col("entered"), lit(0L))).over(w))
+      .withColumn("c", sum(coalesce(col("converted"), lit(0L))).over(w))
+      .select("variant", "period", "n", "c")
+    val ctl = cum.where(col("variant") === controlVariant)
+      .select(col("period"), col("n").as("n_c"), col("c").as("conv_c"))
+    val trt = cum.where(col("variant") =!= controlVariant)
+      .join(ctl, Seq("period"))
+    val pBar = (col("c") + col("conv_c")).cast("double") /
+      (col("n") + col("n_c"))
+    val vCol = pBar * (lit(1.0) - pBar) *
+      (lit(1.0) / col("n") + lit(1.0) / col("n_c"))
+    val theta = col("c").cast("double") / col("n") -
+      col("conv_c").cast("double") / col("n_c")
+    val scored = trt
+      .withColumn("theta",
+        when(col("n") > 0 && col("n_c") > 0, theta))
+      .withColumn("v", when(col("theta").isNotNull && vCol > 0, vCol))
+      .withColumn("log_lambda",
+        when(col("v").isNotNull,
+          lit(0.5) * log(col("v") / (col("v") + tau2)) +
+            col("theta") * col("theta") * tau2 /
+              (lit(2.0) * col("v") * (col("v") + tau2))))
+    val wMin = org.apache.spark.sql.expressions.Window
+      .partitionBy("variant").orderBy("period")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    scored
+      .withColumn("p_value",
+        min(when(col("log_lambda").isNotNull,
+          least(lit(1.0), exp(-col("log_lambda"))))).over(wMin))
+      .select(col("variant"), col("period"),
+        col("n").as("n_t"), col("c").as("conv_t"),
+        col("n_c"), col("conv_c"), col("theta"),
+        col("log_lambda"), col("p_value"))
+  }
+
   /** Per-key exponentially-weighted moving average over the event
     * stream: EWMA_t = α·x_t + (1−α)·EWMA_{t−1} along each key's
     * (sec, id)-ordered events, seeded at the first value (the pandas

@@ -515,6 +515,85 @@ object EventQueries extends QueryGroup {
         .orderBy("variant")
     },
 
+    // always-valid sequential test (mSPRT, normal mixture τ²=1e-4):
+    // cumulative per-period two-sample statistics per treatment arm,
+    // closed-form log mixture-likelihood ratio, running-min always-
+    // valid p. Ratios are exact integer-quotient doubles on both
+    // engines; ln/exp differences wash out at the 1e-6 rounding.
+    q("q_events_sequential",
+      """WITH pu AS (
+        |  SELECT user_id, CAST(user_id % 3 AS VARCHAR) AS variant,
+        |    CAST(floor(min(CAST(floor(epoch(ts)) AS BIGINT)) / 86400.0) AS BIGINT) AS entry_p,
+        |    CAST(floor(min(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(epoch(ts)) AS BIGINT) END) / 86400.0) AS BIGINT) AS conv_p
+        |  FROM events GROUP BY 1, 2
+        |), periods AS (
+        |  SELECT DISTINCT entry_p AS period FROM pu
+        |  UNION SELECT DISTINCT conv_p FROM pu WHERE conv_p IS NOT NULL
+        |), grid AS (
+        |  SELECT v.variant, p.period
+        |  FROM (SELECT DISTINCT variant FROM pu) v, periods p
+        |), ent AS (
+        |  SELECT variant, entry_p AS period, count(*) AS entered
+        |  FROM pu GROUP BY 1, 2
+        |), cv AS (
+        |  SELECT variant, conv_p AS period, count(*) AS converted
+        |  FROM pu WHERE conv_p IS NOT NULL GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT g.variant, g.period,
+        |    sum(coalesce(ent.entered, 0)) OVER (PARTITION BY g.variant
+        |      ORDER BY g.period) AS n,
+        |    sum(coalesce(cv.converted, 0)) OVER (PARTITION BY g.variant
+        |      ORDER BY g.period) AS c
+        |  FROM grid g
+        |  LEFT JOIN ent ON ent.variant = g.variant AND ent.period = g.period
+        |  LEFT JOIN cv ON cv.variant = g.variant AND cv.period = g.period
+        |), ctl AS (
+        |  SELECT period, n AS n_c, c AS conv_c FROM cum WHERE variant = '0'
+        |), j AS (
+        |  SELECT cum.variant, cum.period, cum.n AS n_t, cum.c AS conv_t,
+        |    ctl.n_c, ctl.conv_c
+        |  FROM cum JOIN ctl USING (period) WHERE cum.variant != '0'
+        |), s AS (
+        |  SELECT *,
+        |    CASE WHEN n_t > 0 AND n_c > 0 THEN
+        |      conv_t * 1.0::DOUBLE / n_t - conv_c * 1.0::DOUBLE / n_c END AS theta,
+        |    CASE WHEN n_t > 0 AND n_c > 0 THEN
+        |      (conv_t + conv_c) * 1.0::DOUBLE / (n_t + n_c) END AS pbar
+        |  FROM j
+        |), s2 AS (
+        |  SELECT *, CASE WHEN theta IS NOT NULL
+        |      AND pbar * (1.0::DOUBLE - pbar)
+        |        * (1.0::DOUBLE / n_t + 1.0::DOUBLE / n_c) > 0
+        |    THEN pbar * (1.0::DOUBLE - pbar)
+        |        * (1.0::DOUBLE / n_t + 1.0::DOUBLE / n_c) END AS v
+        |  FROM s
+        |), s3 AS (
+        |  SELECT *, CASE WHEN v IS NOT NULL THEN
+        |    0.5 * ln(v / (v + 0.0001)) +
+        |    theta * theta * 0.0001 / (2.0::DOUBLE * v * (v + 0.0001))
+        |    END AS log_lambda
+        |  FROM s2
+        |)
+        |SELECT variant, period, n_t, conv_t, n_c, conv_c,
+        |  round(theta, 6) + 0.0::DOUBLE AS theta,
+        |  round(log_lambda, 6) + 0.0::DOUBLE AS log_lambda,
+        |  round(min(CASE WHEN log_lambda IS NOT NULL
+        |      THEN least(1.0::DOUBLE, exp(-log_lambda)) END)
+        |    OVER (PARTITION BY variant ORDER BY period), 6) AS p_value
+        |FROM s3 ORDER BY variant, period""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      graft.events.Events.sequentialTest(
+          ev.withColumn("variant", (col("user_id") % 3).cast("string"))
+            .withColumn("sec", Ts.seconds(ev)),
+          "user_id", "variant", "sec", "event_type", "purchase",
+          controlVariant = "0", periodSec = 86400L, tau2 = 0.0001)
+        .withColumn("theta", round(col("theta"), 6) + lit(0.0))
+        .withColumn("log_lambda", round(col("log_lambda"), 6) + lit(0.0))
+        .withColumn("p_value", round(col("p_value"), 6))
+        .orderBy("variant", "period")
+    },
+
     // Poisson-bootstrap CI for per-variant conversion: deterministic
     // md5-hash Poisson(1) weights (the CASE thresholds below are
     // GENERATED from the same Events.poissonHexThresholds constants

@@ -185,6 +185,39 @@ class EventsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("z_score") - expZ) < 1e-12)
   }
 
+  test("sequentialTest: hand-computed mSPRT on a two-period experiment") {
+    import spark.implicits._
+    // period 0: ctl 2 users (0 conv), trt 2 users (1 conv)
+    // period 1: ctl +1 user (1 conv), trt +1 user (1 conv)
+    val day = 86400L
+    val evs = Seq(
+      (1L, "0", 10L, "view"), (2L, "0", 20L, "view"),
+      (11L, "t", 30L, "view"), (12L, "t", 40L, "purchase"),
+      (3L, "0", day + 10L, "purchase"),
+      (13L, "t", day + 20L, "purchase"))
+      .toDF("user_id", "variant", "sec", "event_type")
+    val tau2 = 0.0001
+    val got = graft.events.Events.sequentialTest(evs, "user_id", "variant",
+        "sec", "event_type", "purchase", "0", day, tau2)
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6), r.getDouble(7), r.getDouble(8))).toMap
+    // period 0: n_t=2 c_t=1, n_c=2 c_c=0
+    val (n0t, c0t, n0c, c0c, th0, ll0, p0) = got(0L)
+    assert((n0t, c0t, n0c, c0c) == ((2L, 1L, 2L, 0L)))
+    assert(math.abs(th0 - 0.5) < 1e-12)
+    val v0 = 0.25 * (1.0 - 0.25) * (0.5 + 0.5)
+    val expLl0 = 0.5 * math.log(v0 / (v0 + tau2)) +
+      0.25 * tau2 / (2 * v0 * (v0 + tau2))
+    assert(math.abs(ll0 - expLl0) < 1e-9, s"$ll0 vs $expLl0")
+    assert(math.abs(p0 - math.min(1.0, math.exp(-expLl0))) < 1e-9)
+    // period 1: cumulative n_t=3 c_t=2, n_c=3 c_c=1; p is running min
+    val (n1t, c1t, n1c, c1c, th1, _, p1) = got(1L)
+    assert((n1t, c1t, n1c, c1c) == ((3L, 2L, 3L, 1L)))
+    assert(math.abs(th1 - (2.0 / 3 - 1.0 / 3)) < 1e-12)
+    assert(p1 <= p0 + 1e-15, "always-valid p must be non-increasing")
+  }
+
   test("bootstrapCI equals a full driver replay of the hash-Poisson draw") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
