@@ -89,7 +89,15 @@ object Bench {
     // the candidate join), inverted-index BM25 (build + pruned query)
     "q_text_quality_tiers",
     "q_dedup_linkage",
-    "q_text_bm25_index")
+    "q_text_bm25_index",
+    // round-16: interval-overlap join (bucketed dedup-free), PCA
+    // covariance moments pass, Poisson-bootstrap CI (100 replicates),
+    // hybrid BM25+cosine RRF retrieval, mSPRT sequential test
+    "q_join_interval",
+    "q_embed_pca_cov",
+    "q_events_bootstrap",
+    "q_text_hybrid",
+    "q_events_sequential")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -445,6 +445,24 @@ object Events {
         col("log_lambda"), col("p_value"))
   }
 
+  /** Driver-side closed form of [[sequentialTest]]'s statistic — the
+    * shared kernel for the streaming monitor: None when either arm is
+    * empty or the pooled variance degenerates (all or no conversions).
+    */
+  def msprtLogLambda(convT: Long, nT: Long, convC: Long, nC: Long,
+      tau2: Double): Option[Double] =
+    if (nT <= 0 || nC <= 0) None
+    else {
+      val pBar = (convT + convC).toDouble / (nT + nC)
+      val v = pBar * (1 - pBar) * (1.0 / nT + 1.0 / nC)
+      if (v <= 0) None
+      else {
+        val theta = convT.toDouble / nT - convC.toDouble / nC
+        Some(0.5 * math.log(v / (v + tau2)) +
+          theta * theta * tau2 / (2 * v * (v + tau2)))
+      }
+    }
+
   /** Per-key exponentially-weighted moving average over the event
     * stream: EWMA_t = α·x_t + (1−α)·EWMA_{t−1} along each key's
     * (sec, id)-ordered events, seeded at the first value (the pandas

@@ -131,6 +131,71 @@ object Streaming {
       .start()
   }
 
+  /** Streaming always-valid experiment monitor: per batch, each
+    * user's (entered, converted) flags merge into the versioned store
+    * under the bitmask-max monoid (value 1 = entered, 3 = entered +
+    * converted) — a user active across many batches counts ONCE, and
+    * late conversions upgrade the flag. The per-arm cumulative counts
+    * then feed [[graft.events.Events.msprtLogLambda]] (the same
+    * kernel the batch [[graft.events.Events.sequentialTest]] compiles
+    * into Columns), and the always-valid p-value is the running min
+    * per arm across batches. `onResult(batchId, variant, nT, convT,
+    * nC, convC, logLambda, pValue)` fires per treatment arm per
+    * batch.
+    *
+    * State = one row per (variant, user) in the store — the keyed
+    * first-touch state a production experiment pipeline keeps anyway;
+    * everything else is a per-batch hash aggregate.
+    */
+  def sequentialMonitor(events: DataFrame, userCol: String,
+      variantCol: String, typeCol: String, convType: String,
+      controlVariant: String,
+      store: graft.sources.VersionedKeyValStore, tau2: Double = 0.0001)(
+      onResult: (Long, String, Long, Long, Long, Long, Option[Double],
+        Double) => Unit): StreamingQuery = {
+    val runningP = scala.collection.mutable.Map.empty[String, Double]
+    events.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val delta = batch
+            .groupBy(col(userCol).cast("string").as("user"),
+              col(variantCol).cast("string").as("variant"))
+            .agg(max(when(col(typeCol) === convType, 2).otherwise(0))
+              .as("conv"))
+            .select(
+              concat_ws("\u0001", col("variant"), col("user"))
+                .as(store.keyCol),
+              (col("conv") + 1).cast("long").as(store.valCol))
+          store.writeIncremental(delta,
+            Some(max(col(store.valCol)).as(store.valCol)))
+          val arms = store.read(batch.sparkSession)
+            .select(split(col(store.keyCol), "\u0001").getItem(0)
+              .as("variant"), col(store.valCol).as("flags"))
+            .groupBy("variant")
+            .agg(count(lit(1)).as("n"),
+              sum(when(col("flags") >= 3, 1).otherwise(0)).as("c"))
+            .collect()
+            .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+            .toMap
+          arms.get(controlVariant).foreach { case (nC, cC) =>
+            arms.toSeq.sortBy(_._1).foreach {
+              case (v, (nT, cT)) if v != controlVariant =>
+                val ll = graft.events.Events
+                  .msprtLogLambda(cT, nT, cC, nC, tau2)
+                val pNow = ll.map(l => math.min(1.0, math.exp(-l)))
+                  .getOrElse(1.0)
+                val p = math.min(runningP.getOrElse(v, 1.0), pNow)
+                runningP(v) = p
+                onResult(batchId, v, nT, cT, nC, cC, ll, p)
+              case _ => ()
+            }
+          }
+        }
+      }
+      .start()
+  }
+
   /** Streaming SCD2 maintenance: each micro-batch of attribute
     * observations merges into a versioned SCD2 parquet history via
     * [[graft.sources.Scd2.applyDelta]] — late/out-of-order

@@ -414,6 +414,44 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(tvd2 - expTvd) < 1e-12)
   }
 
+  test("sequential monitor: users count once across batches, p runs down") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-seq").toString
+    val store = graft.sources.VersionedKeyValStore(dir)
+    val input = MemoryStream[(Long, String, String)] // (user, variant, type)
+    val results = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long, Long, Long, Long, Option[Double], Double)]
+    val query = Streaming.sequentialMonitor(
+      input.toDF().toDF("user_id", "variant", "event_type"),
+      "user_id", "variant", "event_type", "purchase", "ctl", store) {
+      (id, v, nT, cT, nC, cC, ll, p) =>
+        results.synchronized { results += ((id, v, nT, cT, nC, cC, ll, p)); () }
+    }
+    // batch 1: ctl {1,2} no conv; trt {11 converts, 12}
+    input.addData((1L, "ctl", "view"), (2L, "ctl", "view"),
+      (11L, "trt", "purchase"), (12L, "trt", "view"))
+    query.processAllAvailable()
+    // batch 2: user 11 reappears (must NOT double-count), user 12
+    // converts late (flag upgrade), ctl gains user 3
+    input.addData((11L, "trt", "view"), (12L, "trt", "purchase"),
+      (3L, "ctl", "view"))
+    query.processAllAvailable()
+    query.stop()
+
+    val got = results.synchronized(results.sortBy(_._1).toList)
+    assert(got.size == 2, s"$got")
+    val (_, v1, n1t, c1t, n1c, c1c, ll1, p1) = got(0)
+    assert(v1 == "trt" && (n1t, c1t, n1c, c1c) == ((2L, 1L, 2L, 0L)))
+    val expLl1 = graft.events.Events.msprtLogLambda(1, 2, 0, 2, 0.0001)
+    assert(ll1 == expLl1)
+    assert(math.abs(p1 - math.min(1.0, math.exp(-expLl1.get))) < 1e-12)
+    val (_, _, n2t, c2t, n2c, c2c, _, p2) = got(1)
+    assert((n2t, c2t, n2c, c2c) == ((2L, 2L, 3L, 0L)),
+      s"re-seen user must not double-count: ${got(1)}")
+    assert(p2 <= p1 + 1e-15, "always-valid p must be non-increasing")
+  }
+
   test("trending stream: store-merged window counts, late events included") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
