@@ -445,6 +445,52 @@ object Events {
         col("log_lambda"), col("p_value"))
   }
 
+  /** Experiment power analysis per treatment arm — the planning
+    * companion to [[abTest]]: at the CURRENT sample sizes and pooled
+    * rate, the minimum detectable effect
+    * MDE = (z_{1−α/2} + z_{power})·√(p̄(1−p̄)(1/n_t + 1/n_c)),
+    * and the per-arm sample size required to detect the OBSERVED lift
+    * n_req = (z_{1−α/2} + z_{power})²·2·p̄(1−p̄)/δ² (null when the
+    * observed lift is 0). Standard normal quantiles are passed as
+    * literals (defaults: two-sided α=0.05, power=0.8), so the whole
+    * report is closed-form arithmetic over [[abTest]]-shaped
+    * aggregates — two hash aggregates and a broadcast control row,
+    * replayable by any engine.
+    */
+  def powerAnalysis(events: DataFrame, userCol: String,
+      variantCol: String, typeCol: String, convType: String,
+      controlVariant: String,
+      zAlpha: Double = 1.9599639845400545,
+      zPower: Double = 0.8416212335729143): DataFrame = {
+    val zSum = zAlpha + zPower
+    val perUser = events
+      .groupBy(col(userCol).as("user"), col(variantCol).as("variant"))
+      .agg(max(when(col(typeCol) === convType, 1).otherwise(0))
+        .as("converted"))
+    val perVariant = perUser.groupBy("variant")
+      .agg(count(lit(1)).as("n_users"),
+        sum("converted").cast("long").as("n_converted"))
+    val control = perVariant.filter(col("variant") === controlVariant)
+      .select(col("n_users").as("c_users"),
+        col("n_converted").as("c_converted"))
+    val pBar = (col("n_converted") + col("c_converted")).cast("double") /
+      (col("n_users") + col("c_users"))
+    val se = sqrt(pBar * (lit(1.0) - pBar) *
+      (lit(1.0) / col("n_users") + lit(1.0) / col("c_users")))
+    val lift = col("n_converted").cast("double") / col("n_users") -
+      col("c_converted").cast("double") / col("c_users")
+    perVariant.filter(col("variant") =!= controlVariant)
+      .crossJoin(broadcast(control))
+      .withColumn("lift", lift)
+      .withColumn("mde_abs", lit(zSum) * se)
+      .withColumn("n_required",
+        when(abs(col("lift")) > 0,
+          ceil(lit(zSum * zSum) * lit(2.0) * pBar * (lit(1.0) - pBar) /
+            (col("lift") * col("lift"))).cast("long")))
+      .select("variant", "n_users", "c_users", "lift", "mde_abs",
+        "n_required")
+  }
+
   /** Driver-side closed form of [[sequentialTest]]'s statistic — the
     * shared kernel for the streaming monitor: None when either arm is
     * empty or the pooled variance degenerates (all or no conversions).

@@ -515,6 +515,49 @@ object EventQueries extends QueryGroup {
         .orderBy("variant")
     },
 
+    // experiment power analysis: MDE at current sample sizes and the
+    // per-arm n required to detect the observed lift, closed-form
+    // normal-approximation arithmetic with literal z quantiles
+    // (two-sided alpha=0.05, power=0.8) shared by both engines.
+    q("q_events_power",
+      """WITH pu AS (
+        |  SELECT user_id, CAST(user_id % 3 AS VARCHAR) AS variant,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS converted
+        |  FROM events GROUP BY 1, 2
+        |), pv AS (
+        |  SELECT variant, count(*) AS n_users,
+        |    CAST(sum(converted) AS BIGINT) AS n_converted
+        |  FROM pu GROUP BY 1
+        |), c AS (
+        |  SELECT n_users AS c_users, n_converted AS c_converted
+        |  FROM pv WHERE variant = '0'
+        |), j AS (
+        |  SELECT variant, n_users, c_users,
+        |    (n_converted + c_converted) * 1.0::DOUBLE
+        |      / (n_users + c_users) AS pbar,
+        |    n_converted * 1.0::DOUBLE / n_users
+        |      - c_converted * 1.0::DOUBLE / c_users AS lift
+        |  FROM pv, c WHERE variant != '0'
+        |)
+        |SELECT variant, n_users, c_users,
+        |  round(lift, 6) + 0.0::DOUBLE AS lift,
+        |  round(2.8015852181129688 * sqrt(pbar * (1.0::DOUBLE - pbar)
+        |    * (1.0::DOUBLE / n_users + 1.0::DOUBLE / c_users)), 6) AS mde_abs,
+        |  CASE WHEN abs(lift) > 0 THEN CAST(ceil(
+        |    7.848879734349091 * 2.0::DOUBLE * pbar * (1.0::DOUBLE - pbar)
+        |    / (lift * lift)) AS BIGINT) END AS n_required
+        |FROM j ORDER BY variant""".stripMargin) { (s, dir) =>
+      graft.events.Events.powerAnalysis(
+          t(s, dir, "events")
+            .withColumn("variant", (col("user_id") % 3).cast("string")),
+          "user_id", "variant", "event_type", "purchase",
+          controlVariant = "0")
+        .withColumn("lift", round(col("lift"), 6) + lit(0.0))
+        .withColumn("mde_abs", round(col("mde_abs"), 6))
+        .orderBy("variant")
+    },
+
     // always-valid sequential test (mSPRT, normal mixture τ²=1e-4):
     // cumulative per-period two-sample statistics per treatment arm,
     // closed-form log mixture-likelihood ratio, running-min always-

@@ -185,6 +185,32 @@ class EventsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("z_score") - expZ) < 1e-12)
   }
 
+  test("powerAnalysis: hand-computed MDE and required n") {
+    import spark.implicits._
+    // ctl: 4 users, 1 converts; trt: 4 users, 3 convert (same planted
+    // experiment as the abTest fixture → pbar = 0.5, lift = 0.5)
+    val ev = Seq(
+      (1L, "ctl", "purchase"), (2L, "ctl", "view"),
+      (3L, "ctl", "view"), (4L, "ctl", "view"),
+      (11L, "trt", "purchase"), (12L, "trt", "purchase"),
+      (13L, "trt", "purchase"), (14L, "trt", "view"))
+      .toDF("user_id", "variant", "event_type")
+    val r = graft.events.Events.powerAnalysis(ev, "user_id", "variant",
+      "event_type", "purchase", controlVariant = "ctl").head()
+    val zSum = 1.9599639845400545 + 0.8416212335729143
+    val expMde = zSum * math.sqrt(0.5 * 0.5 * (0.25 + 0.25))
+    assert(math.abs(r.getAs[Double]("mde_abs") - expMde) < 1e-12)
+    val expN = math.ceil(zSum * zSum * 2.0 * 0.25 / 0.25).toLong
+    assert(r.getAs[Long]("n_required") == expN) // = ceil(2·zSum²) = 16
+    assert(math.abs(r.getAs[Double]("lift") - 0.5) < 1e-12)
+    // zero observed lift → no finite required n
+    val flat = ev.withColumn("event_type",
+      when(col("user_id").isin(1L, 11L), "purchase").otherwise("view"))
+    val r2 = graft.events.Events.powerAnalysis(flat, "user_id", "variant",
+      "event_type", "purchase", controlVariant = "ctl").head()
+    assert(r2.isNullAt(r2.fieldIndex("n_required")))
+  }
+
   test("sequentialTest: hand-computed mSPRT on a two-period experiment") {
     import spark.implicits._
     // period 0: ctl 2 users (0 conv), trt 2 users (1 conv)

@@ -69,7 +69,9 @@ class PlanLintSpec extends SparkSpec {
     "q_text_hybrid" -> Map("cartesian" ->
       "1-row corpus-stats (N, avgdl) aggregate broadcast onto the BM25 hit stream"),
     "q_events_sequential" -> Map("cartesian" ->
-      "dense (arms x periods) grid — both sides driver-bounded (arm list x time-range/periodSec)"))
+      "dense (arms x periods) grid — both sides driver-bounded (arm list x time-range/periodSec)"),
+    "q_events_power" -> Map("cartesian" ->
+      "1-row control-arm aggregate broadcast onto the treatment arms"))
 
   test("every cartesian/global-window in any gate plan is whitelisted") {
     val dir = sf("sf0.001")
