@@ -541,6 +541,42 @@ object Events {
       .toDF(keyCol, secCol, idCol, "ewma")
   }
 
+  /** Per-key CUSUM change-point statistics (Page 1954) over the
+    * (sec, id)-ordered value stream: s⁺ₜ = max(0, s⁺ₜ₋₁ + xₜ − μ0 − k)
+    * accumulates upward level shifts, s⁻ₜ = max(0, s⁻ₜ₋₁ + μ0 − k − xₜ)
+    * downward ones, and `alarm` fires while either exceeds `h` — the
+    * sequential drift detector for per-key event-rate/metric
+    * monitoring (EWMA smooths; CUSUM *detects*). Same scale shape as
+    * [[ewma]]: one shuffle + in-partition secondary sort + an
+    * O(1)-state streaming fold, any events-per-key cardinality.
+    */
+  def cusum(events: DataFrame, keyCol: String, secCol: String,
+      idCol: String, valCol: String, mu0: Double, slack: Double,
+      h: Double): DataFrame = {
+    require(slack >= 0 && h > 0)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ds = events.select(col(keyCol).cast("long"),
+        col(secCol).cast("long"), col(idCol).cast("long"),
+        col(valCol).cast("double"))
+      .as[(Long, Long, Long, Double)]
+    graft.typed.TypedPipe.from(ds)
+      .map { case (k, sec, id, v) => (k, (sec, id, v)) }
+      .group[Long, (Long, Long, Double)]
+      .sortBy { case (sec, id, _) => (sec, id) }
+      .mapValueStream { (_, vs) =>
+        var sPos = 0.0
+        var sNeg = 0.0
+        vs.map { case (sec, id, v) =>
+          sPos = math.max(0.0, sPos + v - mu0 - slack)
+          sNeg = math.max(0.0, sNeg + mu0 - slack - v)
+          (sec, id, sPos, sNeg, sPos > h || sNeg > h)
+        }
+      }
+      .ds.map { case (k, (sec, id, p, n, a)) => (k, sec, id, p, n, a) }
+      .toDF(keyCol, secCol, idCol, "s_pos", "s_neg", "alarm")
+  }
+
   /** Windowed trending report: for each tumbling `windowSec` window,
     * the top-`k` event types by count (ties to the lexicographically
     * first type), each with its count, dense 1-based `rank`, the

@@ -833,6 +833,44 @@ object EventQueries extends QueryGroup {
         .orderBy("user_id", "sec", "event_id")
     },
 
+    // per-key CUSUM change-point statistics: the one-sided fold
+    // recursions replay in DuckDB as two list_reduce prefix folds with
+    // a 0 sentinel seed (list_reduce seeds from the first element, and
+    // s0 = 0 by definition).
+    q("q_events_cusum",
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    event_id, value
+        |  FROM events
+        |), w AS (
+        |  SELECT user_id, sec, event_id,
+        |    list_prepend(0.0::DOUBLE,
+        |      list(value) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS prefix
+        |  FROM e
+        |), f AS (
+        |  SELECT user_id, sec, event_id,
+        |    list_reduce(prefix,
+        |      (acc, x) -> greatest(0.0::DOUBLE, acc + x - 5.0::DOUBLE - 0.5::DOUBLE)) AS s_pos,
+        |    list_reduce(prefix,
+        |      (acc, x) -> greatest(0.0::DOUBLE, acc + 5.0::DOUBLE - 0.5::DOUBLE - x)) AS s_neg
+        |  FROM w
+        |)
+        |SELECT user_id, sec, event_id,
+        |  round(s_pos, 6) AS s_pos, round(s_neg, 6) AS s_neg,
+        |  (s_pos > 20.0::DOUBLE OR s_neg > 20.0::DOUBLE) AS alarm
+        |FROM f ORDER BY user_id, sec, event_id""".stripMargin) { (s, dir) =>
+      val raw = t(s, dir, "events")
+      graft.events.Events.cusum(
+          raw.withColumn("sec", Ts.seconds(raw)),
+          "user_id", "sec", "event_id", "value",
+          mu0 = 5.0, slack = 0.5, h = 20.0)
+        .select(col("user_id"), col("sec"), col("event_id"),
+          round(col("s_pos"), 6).as("s_pos"),
+          round(col("s_neg"), 6).as("s_neg"), col("alarm"))
+        .orderBy("user_id", "sec", "event_id")
+    },
+
     // windowed trending: per-hour top-3 event types by count with the
     // previous hour's count and the lift ratio (null for entrants) —
     // bounded-PQ top-k per window in the engine, never a full

@@ -185,6 +185,27 @@ class EventsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("z_score") - expZ) < 1e-12)
   }
 
+  test("cusum: hand-computed change-point statistics and alarm") {
+    import spark.implicits._
+    // mu0=10, k=1: values sit at 10 then jump to 14 — s_pos ramps by 3
+    // per step after the shift and crosses h=5 on the second shifted
+    // point; a later dip to 2 ramps s_neg by 7
+    val ev = Seq(
+      (1L, 10L, 1L, 10.0), (1L, 20L, 2L, 10.0), (1L, 30L, 3L, 14.0),
+      (1L, 40L, 4L, 14.0), (1L, 50L, 5L, 14.0), (1L, 60L, 6L, 2.0))
+      .toDF("user_id", "sec", "event_id", "value")
+    val got = graft.events.Events.cusum(ev, "user_id", "sec", "event_id",
+        "value", mu0 = 10.0, slack = 1.0, h = 5.0)
+      .collect().map(r => r.getLong(2) ->
+        (r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toMap
+    assert(got(1L) == ((0.0, 0.0, false)))
+    assert(got(2L) == ((0.0, 0.0, false)))
+    assert(got(3L) == ((3.0, 0.0, false))) // 14-10-1 = +3
+    assert(got(4L) == ((6.0, 0.0, true))) // crosses h=5
+    assert(got(5L) == ((9.0, 0.0, true)))
+    assert(got(6L) == ((0.0, 7.0, true))) // s_pos resets (9+2-11=0), s_neg = 10-1-2
+  }
+
   test("powerAnalysis: hand-computed MDE and required n") {
     import spark.implicits._
     // ctl: 4 users, 1 converts; trt: 4 users, 3 convert (same planted
