@@ -18,6 +18,9 @@ import graft.events.Events
   *  2. `abtest/`   — two-proportion z-test per treatment arm;
   *     `bootstrap/` — Poisson-bootstrap CI on the same conversion
   *     metric (--bootstrap-reps replicates);
+  *     `sequential/` — always-valid mSPRT per period (peeking-safe);
+  *     `power/` — MDE at current sample sizes + required n for the
+  *     observed lift;
   *  3. `cuped/`    — variance-reduced metric per arm (pre-period
   *     covariate split at --split-sec);
   *  4. `retention/`— cohort retention grid;
@@ -101,6 +104,11 @@ object ExperimentAnalysisJob {
         convType, controlVariant = "0"),
       "bootstrap" -> Events.bootstrapCI(perUserConv, "user_id", "variant",
         "converted", nReps = bootstrapReps),
+      "sequential" -> Events.sequentialTest(ev, "user_id", "variant",
+        "sec", "event_type", convType, controlVariant = "0",
+        periodSec = periodSec),
+      "power" -> Events.powerAnalysis(ev, "user_id", "variant",
+        "event_type", convType, controlVariant = "0"),
       "cuped" -> Events.cuped(ev, "user_id", "variant", "sec", "value",
         split),
       "retention" -> Events.retention(ev, "user_id", "sec", "event_type",

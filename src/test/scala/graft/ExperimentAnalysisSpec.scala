@@ -13,8 +13,24 @@ class ExperimentAnalysisSpec extends SparkSpec {
     val events = spark.read.parquet(sf() + "/events.parquet")
     val r = ExperimentAnalysisJob.analyze(events, arms = 2,
       convType = "purchase")
-    assert(r.keySet == Set("abtest", "bootstrap", "cuped", "retention",
-      "survival", "trending", "markov", "sessions"))
+    assert(r.keySet == Set("abtest", "bootstrap", "sequential", "power",
+      "cuped", "retention", "survival", "trending", "markov", "sessions"))
+
+    // sequential: always-valid p non-increasing per arm; power: MDE
+    // positive and finite
+    r("sequential").collect().groupBy(_.getAs[String]("variant"))
+      .foreach { case (_, rows) =>
+        val ps = rows.sortBy(_.getAs[Long]("period"))
+          .flatMap(x => Option(x.getAs[java.lang.Double]("p_value")))
+          .map(_.doubleValue)
+        ps.sliding(2).foreach(p =>
+          if (p.length == 2) assert(p(0) >= p(1) - 1e-15))
+      }
+    r("power").collect().foreach { row =>
+      // pooled rate exactly 0 or 1 (everyone/no-one converts, as at
+      // sf0.001) legitimately gives MDE 0 — only require well-formed
+      assert(row.getAs[Double]("mde_abs") >= 0)
+    }
 
     // bootstrap: CI covers each arm's point estimate, rate agrees with
     // the z-test's rate per arm
@@ -90,8 +106,9 @@ class ExperimentAnalysisSpec extends SparkSpec {
     graft.core.Tool.run("graft.examples.ExperimentAnalysisJob",
       graft.core.Args(Seq("--input", in, "--output", dir)), spark)
     val names = new java.io.File(dir).listFiles().map(_.getName).toSet
-    assert(Set("abtest", "bootstrap", "cuped", "retention", "survival",
-      "trending", "markov", "sessions").subsetOf(names), names.toString)
+    assert(Set("abtest", "bootstrap", "sequential", "power", "cuped",
+      "retention", "survival", "trending", "markov",
+      "sessions").subsetOf(names), names.toString)
     assert(spark.read.parquet(s"$dir/survival").count() > 0)
   }
 }
