@@ -185,6 +185,59 @@ object Graphs {
     est.select(col("node"), col("est").as("core"))
   }
 
+  /** Community detection by deterministic synchronous label
+    * propagation (Raghavan et al. 2007, made reproducible): every
+    * node starts labeled by its own id; each round it adopts the
+    * label with the highest weighted vote among its neighbors PLUS
+    * its own current label (the self-vote damps the bipartite
+    * oscillation synchronous LPA is known for), ties broken to the
+    * SMALLEST label — no RNG, no visit-order dependence, identical
+    * output on every run and engine. Converges when no label changes
+    * (or maxIter). Returns (node, community) with community = the
+    * minimum member id reachable as a label — denser-than-component
+    * groupings for near-dup cluster splitting, link-farm detection,
+    * domain grouping.
+    *
+    * Scale shape per round: one edge-keyed join to attach neighbor
+    * labels, one (node, label) count aggregate, one per-node argmax
+    * (max_by over a (count, -label) struct — a hash aggregate, not a
+    * window), `localCheckpoint` lineage cut; all shuffles O(m).
+    * Convergence probe is a scalar count.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", maxIter: Int = 20): DataFrame = {
+    val e0 = canonicalEdges(edges, srcCol, dstCol)
+    val und = e0.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(e0.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint()
+    val nodes = und.select(col("a").as("node")).distinct()
+    var labels = nodes.select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val votes = und
+        .join(labels.select(col("node").as("b"), col("label")), "b")
+        .select(col("a").as("node"), col("label"))
+        .unionAll(labels.select(col("node"), col("label"))) // self-vote
+        .groupBy("node", "label").agg(count(lit(1)).as("n"))
+      val next = votes.groupBy("node")
+        .agg(max_by(col("label"), struct(col("n"), (-col("label")).as("t")))
+          .as("label"))
+        .localCheckpoint()
+      converged = labels.join(next.withColumnRenamed("label", "nl"), "node")
+        .filter(col("nl") =!= col("label")).isEmpty
+      labels = next
+      i += 1
+    }
+    // canonicalize community ids to the minimum label per community —
+    // labels are already node ids, so this is one aggregate + join
+    val canon = labels.groupBy("label")
+      .agg(min("node").as("community"))
+      .withColumn("community", least(col("community"), col("label")))
+    labels.join(canon, "label").select("node", "community")
+  }
+
   /** Global triangle count: Σ per-node triangles / 3, as a 1-row
     * (n_triangles, n_nodes, n_edges, global_clustering) summary.
     * `global_clustering` is the transitivity ratio 3·T / #wedges with

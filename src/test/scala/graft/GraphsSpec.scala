@@ -121,4 +121,42 @@ class GraphsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Graphs.kCore(base.toDF("src", "dst"), 0))
   }
+
+  test("labelPropagation: planted dense clusters split across a bridge") {
+    import spark.implicits._
+    // two K5 cliques {0..4} and {10..14} joined by ONE bridge 4-10 —
+    // LPA must keep them as two communities (the bridge vote loses to
+    // 4 in-clique votes); fed unordered with duplicates
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(0L to 4L) ++ clique(10L to 14L) :+ ((4L, 10L)) :+ ((10L, 4L)))
+      .toDF("src", "dst")
+    val got = Graphs.labelPropagation(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 10)
+    val c1 = (0L to 4L).map(got).toSet
+    val c2 = (10L to 14L).map(got).toSet
+    assert(c1.size == 1 && c2.size == 1, s"cliques must be uniform: $got")
+    assert(c1 != c2, "bridge must not merge the cliques")
+    assert(c1.head == 0L && c2.head == 10L,
+      "community id is the minimum member id")
+    // determinism: a second run is identical
+    val again = Graphs.labelPropagation(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
+
+  test("labelPropagation: a connected component can split, components cannot merge") {
+    import spark.implicits._
+    // path graph 1-2-3-4-5-6 plus an isolated edge 20-21: every LPA
+    // community is a subset of a connected component
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (20L, 21L)).toDF("src", "dst")
+    val got = Graphs.labelPropagation(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(20L) == got(21L))
+    val pathC = (1L to 6L).map(got).toSet
+    assert(!pathC.contains(got(20L)),
+      "separate components must never share a community")
+  }
 }

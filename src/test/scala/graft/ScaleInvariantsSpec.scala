@@ -340,4 +340,92 @@ class ScaleInvariantsSpec extends SparkSpec {
       .sortBy { case (id, k) => (-k, id) }.take(50).map(_._1).toSet
     assert(ws == expect)
   }
+
+  test("round-16 operators hold their contracts at sf0.1") {
+    import spark.implicits._
+    val eventsRaw = spark.read.parquet(s"$dir/events.parquet")
+    val events = eventsRaw.withColumn("sec", graft.core.Ts.seconds(eventsRaw))
+
+    // interval join: bucketed composition equals the naive inequality
+    // join (both engine-side) on the gate's derived interval tables
+    val l = events.filter(col("event_id") % 17 === 0)
+      .select((col("user_id") % 10).as("k"), col("event_id").as("l_id"),
+        col("sec").as("ls"), (col("sec") + (col("event_id") % 5 + 1) * 3600).as("le"))
+    val r = events.filter(col("event_id") % 23 === 0)
+      .select((col("user_id") % 10).as("k2"), col("event_id").as("r_id"),
+        col("sec").as("rs"), (col("sec") + (col("event_id") % 7 + 1) * 1800).as("re"))
+    val naive = l.join(r, col("k") === col("k2") &&
+        col("ls") < col("re") && col("rs") < col("le"))
+      .select("l_id", "r_id").as[(Long, Long)].collect().sorted.toSeq
+    val bucketed = graft.join.Joins.intervalJoin(
+        l, r.withColumnRenamed("k2", "k"), "ls", "le", "rs", "re",
+        bucketWidth = 21600.0, keys = Seq("k"))
+      .select("l_id", "r_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(bucketed == naive && naive.nonEmpty)
+
+    // PCA at 64 dims: eigenvalues descending, projected variance equals
+    // each eigenvalue (population), whitened variance is 1
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val model = graft.ml.Pca.fit(emb, "vec", 64, 8)
+    assert(model.eigenvalues.toSeq ==
+      model.eigenvalues.sorted.reverse.toSeq)
+    val proj = graft.ml.Pca.project(emb, "id", "vec", model)
+      .select(posexplode(col("proj"))).toDF("c", "x")
+      .groupBy("c").agg(var_pop(col("x")).as("v"))
+      .collect().map(rr => rr.getInt(0) -> rr.getDouble(1)).toMap
+    for (c <- 0 until 8)
+      assert(math.abs(proj(c) - model.eigenvalues(c)) <
+        1e-6 * math.max(1.0, model.eigenvalues(c)), s"axis $c")
+
+    // bootstrap CI: interval covers the point estimate, users conserved
+    val perUser = events
+      .withColumn("variant", (col("user_id") % 3).cast("string"))
+      .groupBy("user_id", "variant")
+      .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("x"))
+    val boot = graft.events.Events.bootstrapCI(perUser, "user_id",
+      "variant", "x", nReps = 50).collect()
+    assert(boot.map(_.getAs[Long]("n_users")).sum == perUser.count())
+    boot.foreach { row =>
+      val (m, lo, hi) = (row.getAs[Double]("mean"),
+        row.getAs[Double]("ci_lo"), row.getAs[Double]("ci_hi"))
+      assert(lo <= m && m <= hi)
+    }
+
+    // sequential test: cumulative counts monotone, always-valid p
+    // non-increasing per arm
+    val seq = graft.events.Events.sequentialTest(
+      events.withColumn("variant", (col("user_id") % 3).cast("string")),
+      "user_id", "variant", "sec", "event_type", "purchase", "0", 86400L)
+      .collect().groupBy(_.getAs[String]("variant"))
+    seq.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("period"))
+      val ns = sorted.map(_.getAs[Long]("n_t"))
+      assert(ns.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+      val ps = sorted.flatMap(x =>
+        Option(x.getAs[java.lang.Double]("p_value"))).map(_.doubleValue)
+      assert(ps.sliding(2).forall(p => p.length < 2 || p(0) >= p(1) - 1e-15))
+    }
+
+    // cusum: both statistics non-negative, alarm exactly (s > h)
+    val cu = graft.events.Events.cusum(events, "user_id", "sec",
+      "event_id", "value", mu0 = 5.0, slack = 0.5, h = 20.0)
+    val bad = cu.filter(col("s_pos") < 0 || col("s_neg") < 0 ||
+      col("alarm") =!= (col("s_pos") > 20.0 || col("s_neg") > 20.0)).count()
+    assert(bad == 0L)
+
+    // hybrid retrieval: every fused doc comes from a branch list, RRF
+    // descending, n_lists bounded by the branch count
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val fused = graft.ml.Hybrid.hybridSearch(docs, "doc_id", "text",
+      emb, Seq("data", "table", "server", "value"),
+      queryVec = emb.filter(col("id") === 0), nCand = 20, topK = 10)
+      .collect()
+    assert(fused.length == 10)
+    val rrfs = fused.map(_.getAs[Double]("rrf"))
+    assert(rrfs.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    assert(fused.forall(row => {
+      val nl = row.getAs[Long]("n_lists"); nl >= 1 && nl <= 2
+    }))
+  }
 }
