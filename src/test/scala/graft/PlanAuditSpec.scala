@@ -381,6 +381,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(partialIdx >= 0, s"no partial count aggregate:\n$p")
   }
 
+  test("interval join is a bucketed equi-join: no cartesian, no nested loop") {
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    val l = (1 to 200).map(i => (i % 5, i.toLong, i * 10.0, i * 10.0 + 30))
+      .toDF("k", "lid", "ls", "le")
+    val r = (1 to 200).map(i => (i % 5, i.toLong, i * 7.0, i * 7.0 + 20))
+      .toDF("k", "rid", "rs", "re")
+    val p = graft.join.Joins
+      .intervalJoin(l, r, "ls", "le", "rs", "re", 25.0, Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"interval join must stay an equi-join:\n$p")
+    assert(p.contains("Join") || p.contains("join"), p)
+  }
+
+  test("bootstrap replicate means pre-aggregate map-side before the exchange") {
+    import org.apache.spark.sql.functions._
+    val perUser = graft.core.GraftSession.table(spark, sf("sf0.001"), "events")
+      .withColumn("variant", (col("user_id") % 3).cast("string"))
+      .groupBy("user_id", "variant")
+      .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+        .as("converted"))
+    val p = graft.events.Events
+      .bootstrapCI(perUser, "user_id", "variant", "converted", nReps = 50)
+      .queryExecution.executedPlan.toString
+    // the (variant, r) aggregate must show a partial before its
+    // exchange: the users×reps explode never crosses the wire raw
+    val lines = p.linesIterator.toSeq
+    val partialIdx = lines.indexWhere(l0 =>
+      l0.contains("HashAggregate") && l0.contains("partial_"))
+    assert(partialIdx >= 0, s"no partial aggregate in:\n$p")
+  }
+
   test("per-session aggregates ride the native sessionize partitioning: one exchange") {
     import org.apache.spark.sql.functions._
     val raw = graft.core.GraftSession.table(spark, sf("sf0.001"), "events")
