@@ -185,6 +185,73 @@ object Graphs {
     est.select(col("node"), col("est").as("core"))
   }
 
+  /** Personalized PageRank: random walk with restart to a SEED
+    * distribution instead of the uniform vector — "importance relative
+    * to these nodes", the standard related-items / local-relevance /
+    * expansion primitive ([[graft.examples.WeightedPageRank]] keeps
+    * the reference's global variant; this is the directed, seeded
+    * form). Dangling mass returns through the restart distribution,
+    * so Σ ppr = 1 is an exact per-iteration invariant:
+    * r' = α·restart + (1−α)·(Pᵀr + dangling·restart).
+    *
+    * `edges`: (srcCol, dstCol[, weightCol]) directed; `seeds`:
+    * (node, weight) — normalized internally, broadcast (seed sets are
+    * small by contract). Per iteration: one ranks⋈edges shuffle + one
+    * contribution aggregate + a scalar dangling probe + a broadcast
+    * restart join, `localCheckpoint` lineage cut — O(m) at any
+    * iteration count.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      alpha: Double = 0.15, iters: Int = 20, srcCol: String = "src",
+      dstCol: String = "dst", weightCol: Option[String] = None)
+      : DataFrame = {
+    require(alpha > 0 && alpha < 1 && iters >= 1)
+    val e0 = weightCol match {
+      case Some(w) => edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"), col(w).cast("double").as("w"))
+        .filter(col("w") > 0)
+      case None => edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"), lit(1.0).as("w"))
+    }
+    val outW = e0.groupBy("src").agg(sum("w").as("outw"))
+    val eNorm = e0.join(outW, "src")
+      .select(col("src"), col("dst"), (col("w") / col("outw")).as("p"))
+      .localCheckpoint()
+    val restart0 = seeds.select(col("node").cast("long").as("src"),
+      col("weight").cast("double").as("rw")).filter(col("rw") > 0)
+    val sTot = restart0.agg(coalesce(sum("rw"), lit(0.0))).head().getDouble(0)
+    require(sTot > 0, "seeds must carry positive weight")
+    val restart = broadcast(restart0
+      .select(col("src"), (col("rw") / sTot).as("restart"))
+      .localCheckpoint())
+    val nodes = e0.select("src")
+      .unionAll(e0.select(col("dst").as("src")))
+      .unionAll(restart.select("src"))
+      .distinct().localCheckpoint()
+    var ranks = nodes.join(restart, Seq("src"), "left")
+      .select(col("src"), coalesce(col("restart"), lit(0.0)).as("r"))
+      .localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val contrib = ranks.join(eNorm, "src")
+        .select(col("dst").as("src"), (col("r") * col("p")).as("c"))
+        .groupBy("src").agg(sum("c").as("c"))
+      // every non-dangling node forwards exactly its rank (p sums to
+      // 1 per source), so dangling mass = 1 − forwarded mass
+      val dangling = 1.0 -
+        contrib.agg(coalesce(sum("c"), lit(0.0))).head().getDouble(0)
+      ranks = nodes.join(contrib, Seq("src"), "left")
+        .join(restart, Seq("src"), "left")
+        .select(col("src"),
+          (lit(alpha) * coalesce(col("restart"), lit(0.0)) +
+            lit(1 - alpha) * (coalesce(col("c"), lit(0.0)) +
+              lit(dangling) * coalesce(col("restart"), lit(0.0)))).as("r"))
+        .localCheckpoint()
+      i += 1
+    }
+    ranks.select(col("src").as("node"), col("r").as("ppr"))
+  }
+
   /** Community detection by deterministic synchronous label
     * propagation (Raghavan et al. 2007, made reproducible): every
     * node starts labeled by its own id; each round it adopts the

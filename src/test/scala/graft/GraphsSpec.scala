@@ -122,6 +122,43 @@ class GraphsSpec extends SparkSpec {
       Graphs.kCore(base.toDF("src", "dst"), 0))
   }
 
+  test("personalizedPageRank equals a dense driver replay; mass conserved") {
+    import spark.implicits._
+    // directed graph with a dangling node (4) and an off-seed island
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 10L)).toDF("src", "dst")
+    val seeds = Seq((0L, 2.0), (1L, 1.0)).toDF("node", "weight")
+    val alpha = 0.2
+    val iters = 15
+    val got = Graphs.personalizedPageRank(edges, seeds, alpha, iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // dense replay
+    val ids = Seq(0L, 1L, 2L, 3L, 4L, 10L, 11L)
+    val idx = ids.zipWithIndex.toMap
+    val out = Map(0 -> Seq(1), 1 -> Seq(2), 2 -> Seq(0, 3), 3 -> Seq(4),
+      4 -> Seq.empty[Int], 5 -> Seq(6), 6 -> Seq(5))
+    val restart = Array(2.0 / 3, 1.0 / 3, 0, 0, 0, 0, 0)
+    var r = restart.clone()
+    for (_ <- 1 to iters) {
+      val next = new Array[Double](ids.size)
+      var fwd = 0.0
+      for (j <- ids.indices; if out(j).nonEmpty) {
+        fwd += r(j)
+        out(j).foreach(d => next(d) += r(j) / out(j).size)
+      }
+      val dangling = 1.0 - fwd
+      r = Array.tabulate(ids.size)(j =>
+        alpha * restart(j) + (1 - alpha) * (next(j) + dangling * restart(j)))
+    }
+    for ((id, j) <- idx)
+      assert(math.abs(got(id) - r(j)) < 1e-12, s"node $id: ${got(id)} vs ${r(j)}")
+    assert(math.abs(got.values.sum - 1.0) < 1e-12, "mass must be conserved")
+    // the disconnected island gets NO personalized mass
+    assert(got(10L) == 0.0 && got(11L) == 0.0)
+    assert(got(0L) > got(3L), "seed outranks downstream nodes")
+  }
+
   test("labelPropagation: planted dense clusters split across a bridge") {
     import spark.implicits._
     // two K5 cliques {0..4} and {10..14} joined by ONE bridge 4-10 —
