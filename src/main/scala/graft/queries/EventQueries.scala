@@ -19,6 +19,57 @@ import graft.core.Ts
   */
 object EventQueries extends QueryGroup {
 
+  /** DuckDB replica of `Graphs.personalizedPageRank(alpha=0.15,
+    * iters=10)` over the event-type transition graph seeded at
+    * 'view': the 10 iterations unroll as generated CTE triples
+    * (contribution aggregate, dangling scalar, restart-blended
+    * update) with the exact arithmetic association the Spark plan
+    * compiles.
+    */
+  private def pprOracleSql: String = {
+    val restart = "CASE WHEN n.node = 'view' THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END"
+    val iters = (1 to 10).map { k =>
+      s"""c$k AS MATERIALIZED (
+         |  SELECT en.dst AS node, sum(r.r * en.p) AS c
+         |  FROM r${k - 1} r JOIN en ON r.node = en.src GROUP BY 1
+         |), d$k AS MATERIALIZED (
+         |  SELECT 1.0::DOUBLE - coalesce(sum(c), 0.0::DOUBLE) AS dead FROM c$k
+         |), r$k AS MATERIALIZED (
+         |  SELECT n.node,
+         |    0.15 * $restart
+         |    + 0.85 * (coalesce(c$k.c, 0.0::DOUBLE) + d$k.dead * $restart) AS r
+         |  FROM nodes n LEFT JOIN c$k ON n.node = c$k.node, d$k
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e AS (
+       |  SELECT user_id, event_type,
+       |    CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id
+       |  FROM events
+       |), t AS (
+       |  SELECT lag(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY sec, event_id) AS from_type,
+       |    event_type AS to_type
+       |  FROM e
+       |), cnt AS (
+       |  SELECT from_type, to_type, count(*) AS n FROM t
+       |  WHERE from_type IS NOT NULL GROUP BY 1, 2
+       |), ow AS (
+       |  SELECT from_type, sum(n) AS outw FROM cnt GROUP BY 1
+       |), en AS MATERIALIZED (
+       |  SELECT cnt.from_type AS src, cnt.to_type AS dst,
+       |    cnt.n * 1.0::DOUBLE / ow.outw AS p
+       |  FROM cnt JOIN ow USING (from_type)
+       |), nodes AS MATERIALIZED (
+       |  SELECT DISTINCT src AS node FROM en
+       |  UNION SELECT DISTINCT dst FROM en
+       |  UNION SELECT 'view'
+       |), r0 AS MATERIALIZED (
+       |  SELECT n.node, $restart AS r FROM nodes n
+       |), $iters
+       |SELECT node AS event_type, round(r, 6) AS ppr
+       |FROM r10 ORDER BY event_type""".stripMargin
+  }
+
   /** DuckDB replica of `Events.bootstrapCI(nReps=100, alpha=0.05,
     * seed=42)` over user_id%3 variants: the Poisson-weight CASE chain
     * is generated from the SAME `Events.poissonHexThresholds`
@@ -831,6 +882,36 @@ object EventQueries extends QueryGroup {
         .select(col("user_id"), col("sec"), col("event_id"),
           round(col("ewma"), 6).as("ewma"))
         .orderBy("user_id", "sec", "event_id")
+    },
+
+    // personalized PageRank over the event-type transition graph,
+    // seeded at 'view' — local relevance on a graph DERIVED in-engine
+    // (transition counts = the q_events_markov machinery), vs the
+    // generated 10-iteration unrolled oracle.
+    q("q_events_ppr", EventQueries.pprOracleSql) { (s, dir) =>
+      import s.implicits._
+      val raw = t(s, dir, "events")
+      val counts = graft.events.Events.transitionCounts(
+        raw.withColumn("sec", Ts.seconds(raw)),
+        "user_id", "sec", "event_type", "event_id")
+      // tiny node-id mapping (≤ |event types| rows, driver-bounded)
+      val types = counts.select(col("from_type").as("t"))
+        .union(counts.select(col("to_type")))
+        .union(Seq("view").toDF("t"))
+        .distinct().as[String].collect().sorted
+      val idOf = types.zipWithIndex.map { case (n, i) => (n, i.toLong) }
+      val mapping = idOf.toSeq.toDF("name", "id")
+      val edges = counts
+        .join(mapping.select(col("name").as("from_type"), col("id").as("src")), "from_type")
+        .join(mapping.select(col("name").as("to_type"), col("id").as("dst")), "to_type")
+        .select(col("src"), col("dst"), col("n").cast("double").as("w"))
+      val seeds = Seq((idOf.find(_._1 == "view").get._2, 1.0))
+        .toDF("node", "weight")
+      graft.graph.Graphs.personalizedPageRank(edges, seeds,
+          alpha = 0.15, iters = 10, weightCol = Some("w"))
+        .join(mapping.select(col("id").as("node"), col("name")), "node")
+        .select(col("name").as("event_type"), round(col("ppr"), 6).as("ppr"))
+        .orderBy("event_type")
     },
 
     // per-key CUSUM change-point statistics: the one-sided fold
