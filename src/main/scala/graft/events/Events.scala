@@ -445,6 +445,70 @@ object Events {
         col("log_lambda"), col("p_value"))
   }
 
+  /** Winsorized per-arm metric means: clamp each user's metric to the
+    * arm's [pLo, pHi] sketch-quantile cutoffs before averaging — the
+    * standard heavy-tail guard for revenue-like experiment metrics
+    * (one whale user should not decide the test). Cutoffs come from
+    * one per-arm mergeable-KLL aggregate (deterministic, bounded
+    * state), broadcast back onto the users; the clamped mean/variance
+    * is a second hash aggregate. Returns (variant, n_users, mean_raw,
+    * mean_wins, var_wins, lo_cut, hi_cut, n_clamped).
+    */
+  def winsorizedMeans(perUser: DataFrame, variantCol: String,
+      metricCol: String, pLo: Double = 0.01, pHi: Double = 0.99,
+      sketchK: Int = 200): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi)
+    val spark = perUser.sparkSession
+    import spark.implicits._
+    val cuts = perUser
+      .select(col(variantCol).cast("string").as("variant"),
+        col(metricCol).cast("double").as("x"))
+      .groupByKey(r => r.getString(0))
+      .mapValues(r => r.getDouble(1))
+      .agg(graft.agg.Qsketch.aggregator(sketchK).toColumn.name("sk"))
+      .map { case (v, sk) => (v, sk.quantile(pLo), sk.quantile(pHi)) }
+      .toDF("variant", "lo_cut", "hi_cut")
+    perUser
+      .select(col(variantCol).cast("string").as("variant"),
+        col(metricCol).cast("double").as("x"))
+      .join(broadcast(cuts), "variant")
+      .withColumn("xw", greatest(least(col("x"), col("hi_cut")), col("lo_cut")))
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n_users"),
+        avg("x").as("mean_raw"),
+        avg("xw").as("mean_wins"),
+        var_pop(col("xw")).as("var_wins"),
+        first("lo_cut").as("lo_cut"), first("hi_cut").as("hi_cut"),
+        sum(when(col("x") =!= col("xw"), 1).otherwise(0)).as("n_clamped"))
+  }
+
+  /** Top-k most frequent length-`len` event-type paths (contiguous
+    * per-user subsequences in (sec, id) order) — "what do users
+    * actually do", the path-mining summary downstream of
+    * [[transitionCounts]]'s single-step view. One window pass builds
+    * the sliding type tuples (len−1 lags), a hash aggregate counts
+    * them, and the global top-k is a bounded TakeOrderedAndProject —
+    * no per-path shuffle beyond the count.
+    */
+  def commonPaths(events: DataFrame, userCol: String, secCol: String,
+      idCol: String, typeCol: String, len: Int = 3,
+      topK: Int = 20): DataFrame = {
+    require(len >= 2 && topK >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy(col(secCol), col(idCol))
+    val lagged = (len - 1 to 1 by -1).map(i => lag(col(typeCol), i).over(w)) :+
+      col(typeCol)
+    events
+      .withColumn("__path", concat_ws(" > ", lagged: _*))
+      // a full window is present only when the oldest lag is defined
+      .withColumn("__ok", lag(col(typeCol), len - 1).over(w).isNotNull)
+      .filter(col("__ok"))
+      .groupBy(col("__path").as("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(topK)
+  }
+
   /** Experiment power analysis per treatment arm — the planning
     * companion to [[abTest]]: at the CURRENT sample sizes and pooled
     * rate, the minimum detectable effect

@@ -884,6 +884,30 @@ object EventQueries extends QueryGroup {
         .orderBy("user_id", "sec", "event_id")
     },
 
+    // top-20 most frequent 3-step event paths (contiguous per-user
+    // type subsequences): the path-mining summary above the Markov
+    // single-step view.
+    q("q_events_paths",
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id
+        |  FROM events
+        |), p AS (
+        |  SELECT
+        |    lag(event_type, 2) OVER w AS t0,
+        |    lag(event_type, 1) OVER w AS t1,
+        |    event_type AS t2
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+        |)
+        |SELECT t0 || ' > ' || t1 || ' > ' || t2 AS path, count(*) AS n
+        |FROM p WHERE t0 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin) { (s, dir) =>
+      val raw = t(s, dir, "events")
+      graft.events.Events.commonPaths(
+        raw.withColumn("sec", Ts.seconds(raw)),
+        "user_id", "sec", "event_id", "event_type", len = 3, topK = 20)
+    },
+
     // personalized PageRank over the event-type transition graph,
     // seeded at 'view' — local relevance on a graph DERIVED in-engine
     // (transition counts = the q_events_markov machinery), vs the

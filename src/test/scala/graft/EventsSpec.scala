@@ -185,6 +185,32 @@ class EventsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("z_score") - expZ) < 1e-12)
   }
 
+  test("winsorizedMeans tames a planted whale without moving the base rates") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // two arms with identical ~N(10,1) spend, plus ONE whale in arm 1
+    val users = (0 until 400).map { u =>
+      (u.toLong, (u % 2).toString, 10.0 + rnd.nextGaussian())
+    } :+ ((1000L, "1", 100000.0))
+    val perUser = users.toDF("user_id", "variant", "x")
+    val got = graft.events.Events
+      .winsorizedMeans(perUser, "variant", "x", pLo = 0.01, pHi = 0.99)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getLong(7))).toMap
+    val (raw0, wins0, _) = got("0")
+    val (raw1, wins1, clamped1) = got("1")
+    assert(raw1 - raw0 > 100, "the whale dominates the raw diff")
+    assert(math.abs(wins1 - wins0) < 1.0,
+      s"winsorized means must be comparable: $wins0 vs $wins1")
+    assert(clamped1 >= 1, "the whale must be clamped")
+    assert(math.abs(wins0 - raw0) < 0.5, "clean arm barely moves")
+    // deterministic: same input, same cutoffs and means
+    val again = graft.events.Events
+      .winsorizedMeans(perUser, "variant", "x", pLo = 0.01, pHi = 0.99)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(again("0") == wins0 && again("1") == wins1)
+  }
+
   test("cusum: hand-computed change-point statistics and alarm") {
     import spark.implicits._
     // mu0=10, k=1: values sit at 10 then jump to 14 — s_pos ramps by 3
