@@ -445,6 +445,47 @@ object Events {
         col("log_lambda"), col("p_value"))
   }
 
+  /** Rolling active-user counts per day: exact DAU (one per-day
+    * distinct aggregate) plus approximate trailing-window actives
+    * (WAU/MAU-style) from per-day mergeable HLL sketches — the
+    * day×window fan-out joins SKETCHES (one bounded row per day),
+    * never user rows, so a 30-day window over years of 100 TB events
+    * costs |days|·|windows| sketch merges. Returns one row per day:
+    * (day, dau, active_<w>d approx per window).
+    */
+  def activeUsers(events: DataFrame, userCol: String, secCol: String,
+      windows: Seq[Int] = Seq(7, 30), err: Double = 0.01): DataFrame = {
+    require(windows.nonEmpty && windows.forall(_ >= 2))
+    val spark = events.sparkSession
+    import spark.implicits._
+    val perDay = events
+      .select(floor(col(secCol) / 86400L).cast("long").as("day"),
+        col(userCol).cast("string").as("u"))
+      .groupByKey(_.getLong(0))
+      .mapValues(_.getString(1))
+      .agg(graft.agg.Hll.aggregator(err).toColumn.name("sk"))
+      .map { case (d, sk) => (d, graft.agg.Hll.toBytes(sk)) }
+      .toDF("day", "sk")
+      .localCheckpoint()
+    val exact = events
+      .select(floor(col(secCol) / 86400L).cast("long").as("day"),
+        col(userCol).as("u"))
+      .groupBy("day").agg(countDistinct(col("u")).as("dau"))
+    val merged = windows.foldLeft(exact) { (acc, w) =>
+      val win = perDay.alias("a")
+        .join(perDay.alias("b"),
+          col("b.day") > col("a.day") - w && col("b.day") <= col("a.day"))
+        .groupBy(col("a.day").as("day"))
+        .agg(graft.agg.Hll.mergeBytesUdaf(err)(col("b.sk")).as("m"))
+      val est = win
+        .as[(Long, Array[Byte])]
+        .map { case (d, bytes) => (d, graft.agg.Hll.fromBytes(bytes).estimate) }
+        .toDF("day", s"active_${w}d")
+      acc.join(est, Seq("day"), "left")
+    }
+    merged.orderBy("day")
+  }
+
   /** Winsorized per-arm metric means: clamp each user's metric to the
     * arm's [pLo, pHi] sketch-quantile cutoffs before averaging — the
     * standard heavy-tail guard for revenue-like experiment metrics

@@ -185,6 +185,33 @@ class EventsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("z_score") - expZ) < 1e-12)
   }
 
+  test("activeUsers: exact DAU, trailing-window HLL within error bound") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    // 30 days; each day a random subset of 500 users is active
+    val rows = for {
+      d <- 0 until 30
+      u <- 0 until 500
+      if rnd.nextDouble() < 0.3
+    } yield (u.toLong, d * 86400L + u)
+    val ev = rows.toDF("user_id", "sec")
+    val got = graft.events.Events.activeUsers(ev, "user_id", "sec",
+      windows = Seq(7)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // exact replays
+    val byDay = rows.groupBy(_._2 / 86400).map { case (d, rs) =>
+      d -> rs.map(_._1).toSet
+    }
+    for ((d, users) <- byDay) {
+      val (dau, w7) = got(d)
+      assert(dau == users.size, s"day $d DAU")
+      val exact7 = (math.max(0, d - 6) to d)
+        .flatMap(dd => byDay.getOrElse(dd, Set.empty)).toSet.size
+      assert(math.abs(w7 - exact7) <= math.max(3.0, 0.05 * exact7),
+        s"day $d: hll $w7 vs exact $exact7")
+    }
+  }
+
   test("winsorizedMeans tames a planted whale without moving the base rates") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
