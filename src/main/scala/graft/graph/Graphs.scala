@@ -237,16 +237,20 @@ object Graphs {
         .select(col("dst").as("src"), (col("r") * col("p")).as("c"))
         .groupBy("src").agg(sum("c").as("c"))
       // every non-dangling node forwards exactly its rank (p sums to
-      // 1 per source), so dangling mass = 1 − forwarded mass
-      val dangling = 1.0 -
-        contrib.agg(coalesce(sum("c"), lit(0.0))).head().getDouble(0)
+      // 1 per source), so dangling mass = 1 − forwarded mass; carried
+      // as a broadcast 1-row aggregate — no driver action per
+      // iteration (the WeightedPageRank.iterate idiom)
+      val dead = contrib.agg(
+        (lit(1.0) - coalesce(sum("c"), lit(0.0))).as("__dead"))
       ranks = nodes.join(contrib, Seq("src"), "left")
         .join(restart, Seq("src"), "left")
+        .crossJoin(broadcast(dead))
         .select(col("src"),
           (lit(alpha) * coalesce(col("restart"), lit(0.0)) +
             lit(1 - alpha) * (coalesce(col("c"), lit(0.0)) +
-              lit(dangling) * coalesce(col("restart"), lit(0.0)))).as("r"))
-        .localCheckpoint()
+              col("__dead") * coalesce(col("restart"), lit(0.0)))).as("r"))
+        .localCheckpoint() // eager: contrib is referenced twice, a lazy
+      // chain would double the plan per iteration
       i += 1
     }
     ranks.select(col("src").as("node"), col("r").as("ppr"))
