@@ -23,6 +23,32 @@ object Corpus {
     */
   private def placementKey(id: Column): Column = md5(id.cast("string"))
 
+  /** Length-bucketed "sortish" training order (the padding-efficiency
+    * staple for batched variable-length training): each document gets
+    * a length bucket from FROZEN token-count `cutoffs` (bucket 1 =
+    * shortest; pass quantiles from a profiling run or fixed powers of
+    * two) and a deterministic md5 `sort_key` salted by `salt`.
+    * Writing ordered by (bucket, sort_key) yields batches of
+    * similar-length documents with pseudo-random order INSIDE each
+    * bucket — near-sorted padding efficiency without the
+    * degenerate strict-sort curriculum, re-shufflable per epoch by
+    * changing the salt. Pure Column program, zero shuffle here; the
+    * final (bucket, key) orderBy is Spark's range-partitioned sort.
+    */
+  def lengthBucketedOrder(docs: DataFrame, idCol: String,
+      tokCol: String, cutoffs: Seq[Double],
+      salt: Long = 0L): DataFrame = {
+    require(cutoffs.nonEmpty && cutoffs == cutoffs.sorted,
+      "cutoffs must be non-empty and ascending")
+    val bucket = cutoffs.foldLeft(lit(1L)) { (acc, c) =>
+      acc + when(col(tokCol) > c, 1L).otherwise(0L)
+    }
+    docs.withColumn("bucket", bucket)
+      .withColumn("sort_key",
+        md5(concat_ws(":", lit(salt).cast("string"),
+          col(idCol).cast("long").cast("string"))))
+  }
+
   /** GPT-style sequence packing (concat-and-chunk): documents are
     * deterministically sharded, pseudo-randomly ordered within their
     * shard, logically concatenated, and the token stream is cut every

@@ -1258,6 +1258,32 @@ object TextQueries extends QueryGroup {
         queryTerms = Seq("data", "table", "server", "value"))
     },
 
+    // length-bucketed sortish training order: frozen token cutoffs
+    // (32/64/96) + salted md5 in-bucket keys — both pure arithmetic,
+    // fully replayable.
+    q("q_text_sortish_order",
+      """WITH tc AS (
+        |  SELECT doc_id, CASE WHEN strlen(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS nt
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+        |  1 + (CASE WHEN nt > 32 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN nt > 64 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN nt > 96 THEN 1 ELSE 0 END)
+        |    AS bucket,
+        |  md5('7:' || CAST(doc_id AS VARCHAR)) AS sort_key
+        |FROM tc
+        |ORDER BY bucket, sort_key, doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          TA.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.ml.Corpus.lengthBucketedOrder(docs, "doc_id", "n_tokens",
+          cutoffs = Seq(32.0, 64.0, 96.0), salt = 7L)
+        .select("doc_id", "n_tokens", "bucket", "sort_key")
+        .orderBy("bucket", "sort_key", "doc_id")
+    },
+
     // hybrid retrieval: the q_text_bm25 lexical top-20 fused with the
     // vec_id=0 cosine top-20 by reciprocal-rank fusion (k=60). Both
     // branch rankings replay exactly (BM25 scores are 1e-6-floored on
