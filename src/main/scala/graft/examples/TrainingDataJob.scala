@@ -41,6 +41,7 @@ import graft.ml.{Corpus, Dedup}
   *       [--epochs src=w,src=w] [--max-epochs 4]
   *       [--tokenizer bpe|unigram] [--vocab-size 512]
   *       [--packing chunk|whole] [--mix-ordered]
+  *       [--sortish-cutoffs 64,128,256] [--sortish-salt 0]
   */
 class TrainingDataJob(args: Args) extends GraftJob(args) {
 
@@ -74,7 +75,10 @@ class TrainingDataJob(args: Args) extends GraftJob(args) {
         tokenizer = args.getOrElse("tokenizer", ""),
         vocabSize = args.getOrElse("vocab-size", "512").toInt,
         packing = args.getOrElse("packing", "chunk"),
-        mixOrdered = args.boolean("mix-ordered")))
+        mixOrdered = args.boolean("mix-ordered"),
+        sortishCutoffs = args.getOrElse("sortish-cutoffs", "")
+          .split(",").filter(_.nonEmpty).map(_.toDouble).toSeq,
+        sortishSalt = args.getOrElse("sortish-salt", "0").toLong))
     r.train.write.partitionBy("source").mode("overwrite").parquet(s"$out/docs")
     r.holdout.write.mode("overwrite").parquet(s"$out/holdout")
     r.manifest.write.mode("overwrite").parquet(s"$out/manifest")
@@ -149,7 +153,9 @@ object TrainingDataJob {
       tokenizer: String = "",
       vocabSize: Int = 512,
       packing: String = "chunk",
-      mixOrdered: Boolean = false)
+      mixOrdered: Boolean = false,
+      sortishCutoffs: Seq[Double] = Nil,
+      sortishSalt: Long = 0L)
 
   /** Eager lineage cut between assembly stages. Five operator families
     * chained into one logical plan (curate's LSH joins + components
@@ -268,7 +274,7 @@ object TrainingDataJob {
       case other => throw new IllegalArgumentException(
         s"unknown packing mode: $other (expected chunk or whole)")
     }
-    val base = if (stages.epochWeights.isEmpty) {
+    val base0 = if (stages.epochWeights.isEmpty) {
       // default: hash-random budget fill; mixOrdered: best-first by
       // the quality score, so the budget buys the best material
       val mixed = cut(
@@ -315,6 +321,15 @@ object TrainingDataJob {
     // (token_id, piece) vocab table. Encoding is the shuffle-free
     // memoized mapPartitions of Bpe.encode/UnigramLm.encode; the only
     // extra exchange is the vocab-bounded distinct-piece aggregate.
+    // 9b (optional): sortish output order — frozen length-bucket +
+    // salted in-bucket key columns on the train split; writers order
+    // by (bucket, sort_key) for padding-efficient batches
+    val base =
+      if (stages.sortishCutoffs.isEmpty) base0
+      else base0.copy(train = Corpus.lengthBucketedOrder(
+        base0.train, "doc_id", "n_tokens", stages.sortishCutoffs,
+        stages.sortishSalt))
+
     if (stages.tokenizer.isEmpty) base
     else {
       val spark = docs.sparkSession

@@ -361,4 +361,34 @@ class TrainingDataSpec extends SparkSpec {
     // selected docs are a prefix of the quality-desc order
     graft.ml.Dedup.unpersistPipelineCaches()
   }
+
+  test("sortish stage: bucket/key columns match the standalone operator") {
+    import spark.implicits._
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select("doc_id", "text", "lang", "source")
+    val cuts = Seq(16.0, 48.0)
+    val r = TrainingDataJob.assemble(docs, lang = "en", minQuality = 0.3,
+      jaccard = 0.7, holdout = 0.2, budget = 100000L, ctxLen = 128,
+      nShards = 4,
+      stages = TrainingDataJob.Stages(sortishCutoffs = cuts, sortishSalt = 3L))
+    val train = r.train
+    assert(train.columns.contains("bucket") &&
+      train.columns.contains("sort_key"))
+    // bucket respects the frozen cutoffs, keys replay the md5 rule
+    val rows = train.select("doc_id", "n_tokens", "bucket", "sort_key")
+      .collect()
+    assert(rows.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { row =>
+      val (id, nt, b, k) = (row.getLong(0),
+        row.getAs[Number]("n_tokens").longValue,
+        row.getLong(2), row.getString(3))
+      val expB = 1 + cuts.count(nt > _)
+      assert(b == expB, s"doc $id: bucket $b vs $expB for $nt tokens")
+      val expK = md.digest(s"3:$id".getBytes("UTF-8"))
+        .map(x => f"$x%02x").mkString
+      assert(k == expK)
+    }
+    graft.ml.Dedup.unpersistPipelineCaches()
+  }
 }
