@@ -44,6 +44,32 @@ object Profile {
     * (JoinAlgorithms.scala:383-392), as a first-class one-shot tool.
     * One shuffle (the key count) + a tiny global agg.
     */
+  /** Pre-flight join-cardinality report: per matching key, the exact
+    * output row count a (multiplicity-preserving) equi-join would
+    * produce — Σ n_left(k)·n_right(k) — with the top-`topN`
+    * contributing keys. THE check to run before a 100 TB join: one
+    * exploding key shows up here as a first row with `pairs` in the
+    * billions, for the cost of two count aggregates and a count-table
+    * join (never the data join itself). Compose with [[keySkew]] for
+    * single-side diagnosis; the `share` column says what fraction of
+    * the join output the key alone produces.
+    */
+  def joinCardinality(left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], topN: Int = 10): DataFrame = {
+    require(keyCols.nonEmpty)
+    val cl = left.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n_left"))
+    val cr = right.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n_right"))
+    val per = cl.join(cr, keyCols)
+      .withColumn("pairs", col("n_left") * col("n_right"))
+    val total = per.agg(coalesce(sum("pairs"), lit(0L)).as("__t"))
+    per.crossJoin(broadcast(total))
+      .withColumn("share", col("pairs").cast("double") /
+        when(col("__t") > 0, col("__t")))
+      .drop("__t")
+      .orderBy(col("pairs").desc +: keyCols.map(col): _*)
+      .limit(topN)
+  }
+
   def keySkew(df: DataFrame, keyCol: String, topN: Int = 10): DataFrame = {
     val counts = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n"))
     val totals = counts.agg(sum("n").as("__total"),

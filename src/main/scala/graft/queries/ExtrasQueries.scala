@@ -203,6 +203,28 @@ object ExtrasQueries extends QueryGroup {
           floor(col("skew_vs_uniform") * 100 + 0.5) / 100)
     },
 
+    // pre-flight join-cardinality report: exact per-key output sizes
+    // of a lineitem ⋈ lineitem self-join on supplier — the explosion
+    // check run BEFORE a big join, for the cost of two count
+    // aggregates.
+    q("q_profile_join_card",
+      """WITH cl AS (
+        |  SELECT l_suppkey, count(*) AS n_left FROM lineitem GROUP BY 1
+        |), cr AS (
+        |  SELECT l_suppkey, count(*) AS n_right FROM lineitem GROUP BY 1
+        |), per AS (
+        |  SELECT cl.l_suppkey, n_left, n_right,
+        |    n_left * n_right AS pairs
+        |  FROM cl JOIN cr USING (l_suppkey)
+        |), t AS (SELECT sum(pairs) AS tt FROM per)
+        |SELECT l_suppkey, n_left, n_right, pairs,
+        |  round(pairs * 1.0::DOUBLE / t.tt, 9) AS share
+        |FROM per, t ORDER BY pairs DESC, l_suppkey LIMIT 10""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      graft.ml.Profile.joinCardinality(li, li, Seq("l_suppkey"), topN = 10)
+        .withColumn("share", round(col("share"), 9))
+    },
+
     // dataset regression diff: documents vs a perturbed copy (every
     // 7th dropped, every 5th uppercased, every 11th re-keyed as new)
     // — full-outer key alignment, per-row status + changed-column

@@ -71,7 +71,9 @@ class PlanLintSpec extends SparkSpec {
     "q_events_sequential" -> Map("cartesian" ->
       "dense (arms x periods) grid — both sides driver-bounded (arm list x time-range/periodSec)"),
     "q_events_power" -> Map("cartesian" ->
-      "1-row control-arm aggregate broadcast onto the treatment arms"))
+      "1-row control-arm aggregate broadcast onto the treatment arms"),
+    "q_profile_join_card" -> Map("cartesian" ->
+      "1-row pair-total aggregate broadcast onto the per-key count table"))
 
   test("every cartesian/global-window in any gate plan is whitelisted") {
     val dir = sf("sf0.001")
