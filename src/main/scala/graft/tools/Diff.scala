@@ -72,6 +72,33 @@ object Diff {
   /** Hard regression gate: throws unless the two sides are
     * key-aligned and value-identical.
     */
+  /** Schema diff between two datasets: one row per column that was
+    * added, removed, or changed type/nullability — the first check a
+    * pipeline migration runs before any row diff (a silent widening
+    * or drop shows up here for free). Driver-only metadata; no job.
+    */
+  def schemas(left: DataFrame, right: DataFrame): DataFrame = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    val l = left.schema.map(f => f.name -> f).toMap
+    val r = right.schema.map(f => f.name -> f).toMap
+    val rows = (l.keySet ++ r.keySet).toSeq.sorted.flatMap { name =>
+      (l.get(name), r.get(name)) match {
+        case (Some(_), None) => Some((name, "removed",
+          l(name).dataType.simpleString, null: String))
+        case (None, Some(_)) => Some((name, "added",
+          null: String, r(name).dataType.simpleString))
+        case (Some(a), Some(b))
+            if a.dataType != b.dataType || a.nullable != b.nullable =>
+          Some((name, "changed",
+            s"${a.dataType.simpleString}${if (a.nullable) "" else " not null"}",
+            s"${b.dataType.simpleString}${if (b.nullable) "" else " not null"}"))
+        case _ => None
+      }
+    }
+    rows.toDF("column", "status", "left_type", "right_type")
+  }
+
   def assertIdentical(left: DataFrame, right: DataFrame,
       keyCols: Seq[String]): Unit = {
     val bad = rows(left, right, keyCols)

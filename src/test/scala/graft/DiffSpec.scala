@@ -36,4 +36,20 @@ class DiffSpec extends SparkSpec {
     intercept[AssertionError](Diff.assertIdentical(l, r, Seq("id")))
     intercept[IllegalArgumentException](Diff.rows(l, r, Seq.empty))
   }
+
+  test("schemas reports added/removed/type-changed columns only") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val l = Seq((1L, "a", 10)).toDF("id", "s", "n")
+    val r = Seq((1L, 1.5, true)).toDF("id", "n", "flag")
+      .select(col("id"), col("n"), col("flag"))
+    val got = Diff.schemas(l, r).collect()
+      .map(x => x.getString(0) -> (x.getString(1), x.getString(2), x.getString(3))).toMap
+    assert(got("s") == (("removed", "string", null)))
+    assert(got("flag") == (("added", null, "boolean")))
+    assert(got("n")._1 == "changed" &&
+      got("n")._2.startsWith("int") && got("n")._3.startsWith("double"))
+    assert(!got.contains("id"), "identical columns are not reported")
+    assert(Diff.schemas(l, l).isEmpty)
+  }
 }
