@@ -445,6 +445,42 @@ object Events {
         col("log_lambda"), col("p_value"))
   }
 
+  /** Quantile treatment effects: q_treat(p) − q_ctl(p) at each
+    * requested quantile — WHERE in the distribution an experiment
+    * moves the metric (a mean-only read hides "helped the tail, hurt
+    * the median"). One mergeable-KLL aggregate per arm (bounded
+    * state), all quantile arithmetic driver-side over the bounded
+    * sketches. Returns (variant, p, q_treat, q_control, qte) per
+    * treatment arm × quantile.
+    */
+  def quantileTreatmentEffects(perUser: DataFrame, variantCol: String,
+      metricCol: String, controlVariant: String,
+      ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9),
+      sketchK: Int = 200): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p < 1))
+    val spark = perUser.sparkSession
+    import spark.implicits._
+    val sketches = perUser
+      .select(col(variantCol).cast("string").as("variant"),
+        col(metricCol).cast("double").as("x"))
+      .groupByKey(_.getString(0))
+      .mapValues(_.getDouble(1))
+      .agg(graft.agg.Qsketch.aggregator(sketchK).toColumn.name("sk"))
+      .collect().toMap // bounded: one sketch per arm
+    val ctl = sketches.getOrElse(controlVariant,
+      throw new IllegalArgumentException(
+        s"control arm '$controlVariant' absent"))
+    val rows = for {
+      (v, sk) <- sketches.toSeq.sortBy(_._1) if v != controlVariant
+      p <- ps
+    } yield {
+      val qt = sk.quantile(p)
+      val qc = ctl.quantile(p)
+      (v, p, qt, qc, qt - qc)
+    }
+    rows.toDF("variant", "p", "q_treat", "q_control", "qte")
+  }
+
   /** Rolling active-user counts per day: exact DAU (one per-day
     * distinct aggregate) plus approximate trailing-window actives
     * (WAU/MAU-style) from per-day mergeable HLL sketches — the

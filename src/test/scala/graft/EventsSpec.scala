@@ -185,6 +185,29 @@ class EventsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("z_score") - expZ) < 1e-12)
   }
 
+  test("quantileTreatmentEffects localizes a planted tail-only lift") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    // both arms ~U(0, 10); treatment arm's top decile gets +50
+    val users = (0 until 2000).map { u =>
+      val base = rnd.nextDouble() * 10
+      val v = (u % 2).toString
+      val x = if (v == "1" && base > 9.0) base + 50 else base
+      (u.toLong, v, x)
+    }
+    val got = graft.events.Events.quantileTreatmentEffects(
+      users.toDF("user_id", "variant", "x"), "variant", "x",
+      controlVariant = "0", ps = Seq(0.25, 0.5, 0.9, 0.97))
+      .collect().map(r => r.getDouble(1) -> r.getDouble(4)).toMap
+    assert(math.abs(got(0.25)) < 1.0 && math.abs(got(0.5)) < 1.0,
+      s"body must be flat: $got")
+    assert(got(0.97) > 30, s"tail lift must surface at p=0.97: $got")
+    intercept[IllegalArgumentException](
+      graft.events.Events.quantileTreatmentEffects(
+        users.toDF("user_id", "variant", "x"), "variant", "x",
+        controlVariant = "nope"))
+  }
+
   test("activeUsers: exact DAU, trailing-window HLL within error bound") {
     import spark.implicits._
     val rnd = new scala.util.Random(41)
