@@ -21,6 +21,9 @@ import graft.events.Events
   *     `sequential/` — always-valid mSPRT per period (peeking-safe);
   *     `power/` — MDE at current sample sizes + required n for the
   *     observed lift;
+  *     `winsorized/` — whale-proof per-arm value means (sketch-
+  *     quantile clamping); `qte/` — quantile treatment effects on
+  *     the same per-user value metric;
   *  3. `cuped/`    — variance-reduced metric per arm (pre-period
   *     covariate split at --split-sec);
   *  4. `retention/`— cohort retention grid;
@@ -99,6 +102,9 @@ object ExperimentAnalysisJob {
       .groupBy(col("user_id"), col("variant"))
       .agg(max(when(col("event_type") === convType, 1).otherwise(0))
         .as("converted"))
+    val perUserValue = ev
+      .groupBy(col("user_id"), col("variant"))
+      .agg(sum(col("value")).as("total_value"))
     Map(
       "abtest" -> Events.abTest(ev, "user_id", "variant", "event_type",
         convType, controlVariant = "0"),
@@ -109,6 +115,10 @@ object ExperimentAnalysisJob {
         periodSec = periodSec),
       "power" -> Events.powerAnalysis(ev, "user_id", "variant",
         "event_type", convType, controlVariant = "0"),
+      "winsorized" -> Events.winsorizedMeans(perUserValue, "variant",
+        "total_value"),
+      "qte" -> Events.quantileTreatmentEffects(perUserValue, "variant",
+        "total_value", controlVariant = "0"),
       "cuped" -> Events.cuped(ev, "user_id", "variant", "sec", "value",
         split),
       "retention" -> Events.retention(ev, "user_id", "sec", "event_type",

@@ -14,7 +14,14 @@ class ExperimentAnalysisSpec extends SparkSpec {
     val r = ExperimentAnalysisJob.analyze(events, arms = 2,
       convType = "purchase")
     assert(r.keySet == Set("abtest", "bootstrap", "sequential", "power",
-      "cuped", "retention", "survival", "trending", "markov", "sessions"))
+      "winsorized", "qte", "cuped", "retention", "survival", "trending",
+      "markov", "sessions"))
+
+    // winsorized: per-arm means well-formed; qte rows = arms-1 x 4 ps
+    r("winsorized").collect().foreach { row =>
+      assert(row.getAs[Double]("mean_wins") <= row.getAs[Double]("hi_cut") + 1e-9)
+    }
+    assert(r("qte").count() == 4)
 
     // sequential: always-valid p non-increasing per arm; power: MDE
     // positive and finite
@@ -106,8 +113,8 @@ class ExperimentAnalysisSpec extends SparkSpec {
     graft.core.Tool.run("graft.examples.ExperimentAnalysisJob",
       graft.core.Args(Seq("--input", in, "--output", dir)), spark)
     val names = new java.io.File(dir).listFiles().map(_.getName).toSet
-    assert(Set("abtest", "bootstrap", "sequential", "power", "cuped",
-      "retention", "survival", "trending", "markov",
+    assert(Set("abtest", "bootstrap", "sequential", "power", "winsorized",
+      "qte", "cuped", "retention", "survival", "trending", "markov",
       "sessions").subsetOf(names), names.toString)
     assert(spark.read.parquet(s"$dir/survival").count() > 0)
   }
