@@ -70,6 +70,35 @@ object Profile {
       .limit(topN)
   }
 
+  /** Pairwise overlap matrix between groups: for every group pair,
+    * estimated |A∩B|, |A\B|, |B\A| and Jaccard over the distinct
+    * `itemCol` values — "how much does source X duplicate source Y",
+    * the planning read before cross-source dedup or mixing. One theta
+    * sketch per group (a single map-side-combined aggregate, k-bounded
+    * state); all pair algebra is driver-side over the ≤|groups|
+    * sketches. Exact below k distinct items per group, ~1/√k relative
+    * error above.
+    */
+  def overlapMatrix(df: DataFrame, groupCol: String, itemCol: String,
+      sketchK: Int = 4096): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sketches = df
+      .select(col(groupCol).cast("string").as("g"),
+        col(itemCol).cast("string").as("x"))
+      .groupByKey(_.getString(0))
+      .mapValues(_.getString(1))
+      .agg(graft.agg.Theta.aggregator(sketchK).toColumn.name("sk"))
+      .collect().sortBy(_._1)
+    val rows = for {
+      (ga, sa) <- sketches; (gb, sb) <- sketches if ga < gb
+    } yield (ga, gb, sa.estimate, sb.estimate,
+      sa.intersectionEstimate(sb), sa.differenceEstimate(sb),
+      sb.differenceEstimate(sa), sa.jaccardEstimate(sb))
+    rows.toSeq.toDF("group_a", "group_b", "n_a", "n_b",
+      "n_intersect", "a_only", "b_only", "jaccard")
+  }
+
   def keySkew(df: DataFrame, keyCol: String, topN: Int = 10): DataFrame = {
     val counts = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n"))
     val totals = counts.agg(sum("n").as("__total"),

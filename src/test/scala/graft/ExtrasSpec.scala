@@ -258,4 +258,24 @@ class ExtrasSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Profile.ksDistance(a, Seq.empty[Double].toDF("v"), "v"))
   }
+
+  test("overlapMatrix: exact set algebra below sketch capacity") {
+    import spark.implicits._
+    // A = 0..999, B = 500..1499 (|A∩B| = 500), C = 2000..2499 (disjoint)
+    val rows = (0 until 1000).map(i => ("A", i.toLong)) ++
+      (500 until 1500).map(i => ("B", i.toLong)) ++
+      (2000 until 2500).map(i => ("C", i.toLong)) ++
+      (0 until 1000).map(i => ("A", i.toLong)) // duplicates must not inflate
+    val got = graft.ml.Profile
+      .overlapMatrix(rows.toDF("src", "item"), "src", "item")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getDouble(7))).toMap
+    assert(got.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")))
+    val (na, nb, ab, aOnly, bOnly, jac) = got(("A", "B"))
+    assert((na, nb, ab, aOnly, bOnly) == ((1000L, 1000L, 500L, 500L, 500L)))
+    assert(math.abs(jac - 500.0 / 1500.0) < 1e-12)
+    val (_, _, ac, _, _, jacAc) = got(("A", "C"))
+    assert(ac == 0L && jacAc == 0.0)
+  }
 }
