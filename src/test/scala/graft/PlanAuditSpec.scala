@@ -367,12 +367,14 @@ class PlanAuditSpec extends SparkSpec {
     // adjacency joins must be hash joins (a sort-merge would sort the
     // wedge-bearing stream) and the intersect/explode stage must not
     // feed an exchange before its per-node aggregation's partial
-    assert(lines.exists(_.contains("array_intersect")),
+    def isKernel(l: String) =
+      l.contains("array_intersect") || l.contains("sortedintersect")
+    assert(lines.exists(isKernel),
       s"adjacency-intersection kernel missing:\n$p")
     // (plan text prints root-first: children FOLLOW their parent, so
     // "below the intersect stage" = lines after it; the tiny final
     // deg-per-node join above it may be whatever AQE likes)
-    val intersectIdx = lines.indexWhere(_.contains("array_intersect"))
+    val intersectIdx = lines.indexWhere(isKernel)
     assert(!lines.drop(intersectIdx).exists(_.contains("SortMergeJoin")),
       s"sort-merge join below the intersection stage:\n$p")
     // per-node counting partial-aggregates before its exchange
