@@ -445,6 +445,52 @@ object Events {
         col("log_lambda"), col("p_value"))
   }
 
+  /** Growth accounting: per period, how many users are `new_users`
+    * (first ever active), `retained` (also active the previous
+    * period), `resurrected` (active before, but not last period) —
+    * and `churned` (active last period, absent now, charged to the
+    * CURRENT period). The standard DAU/MAU decomposition explaining
+    * WHY an active-user count moved. One (user, period) distinct
+    * aggregate, one per-user lag window (bounded by each user's
+    * active-period count), one final count aggregate; churn rides the
+    * same lag by charging period+1.
+    */
+  def growthAccounting(events: DataFrame, userCol: String,
+      secCol: String, periodSec: Long): DataFrame = {
+    require(periodSec > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user").orderBy("period")
+    val active = events
+      .select(col(userCol).as("user"),
+        floor(col(secCol) / periodSec).cast("long").as("period"))
+      .distinct()
+      .withColumn("prev", lag("period", 1).over(w))
+    val states = active.select(col("period"),
+      when(col("prev").isNull, "new_users")
+        .when(col("prev") === col("period") - 1, "retained")
+        .otherwise("resurrected").as("state"))
+    // churn: a user active in p and not in p+1 churns in p+1 — emit
+    // the charge row from the SAME lag pass (next-period comparison
+    // via lead), then union
+    val wLead = org.apache.spark.sql.expressions.Window
+      .partitionBy("user").orderBy("period")
+    val churn = events
+      .select(col(userCol).as("user"),
+        floor(col(secCol) / periodSec).cast("long").as("period"))
+      .distinct()
+      .withColumn("next", lead("period", 1).over(wLead))
+      .filter(col("next").isNull || col("next") > col("period") + 1)
+      .select((col("period") + 1).as("period"), lit("churned").as("state"))
+    states.unionByName(churn)
+      .groupBy("period")
+      .agg(
+        sum(when(col("state") === "new_users", 1).otherwise(0)).as("new_users"),
+        sum(when(col("state") === "retained", 1).otherwise(0)).as("retained"),
+        sum(when(col("state") === "resurrected", 1).otherwise(0)).as("resurrected"),
+        sum(when(col("state") === "churned", 1).otherwise(0)).as("churned"))
+      .orderBy("period")
+  }
+
   /** Quantile treatment effects: q_treat(p) − q_ctl(p) at each
     * requested quantile — WHERE in the distribution an experiment
     * moves the metric (a mean-only read hides "helped the tail, hurt

@@ -884,6 +884,39 @@ object EventQueries extends QueryGroup {
         .orderBy("user_id", "sec", "event_id")
     },
 
+    // growth accounting: per-day new/retained/resurrected/churned
+    // decomposition of the active-user count (churn charged to the
+    // first inactive day, incl. one row past the horizon).
+    q("q_events_growth",
+      """WITH ap AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 86400.0) AS BIGINT) AS period
+        |  FROM events
+        |), st AS (
+        |  SELECT period,
+        |    CASE WHEN lag(period) OVER (PARTITION BY u ORDER BY period) IS NULL
+        |      THEN 'new_users'
+        |      WHEN lag(period) OVER (PARTITION BY u ORDER BY period) = period - 1
+        |      THEN 'retained' ELSE 'resurrected' END AS state
+        |  FROM ap
+        |), ch AS (
+        |  SELECT period + 1 AS period, 'churned' AS state
+        |  FROM (SELECT period, lead(period) OVER (PARTITION BY u
+        |      ORDER BY period) AS nxt FROM ap)
+        |  WHERE nxt IS NULL OR nxt > period + 1
+        |), un AS (SELECT * FROM st UNION ALL SELECT * FROM ch)
+        |SELECT period,
+        |  CAST(sum(CASE WHEN state = 'new_users' THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+        |  CAST(sum(CASE WHEN state = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+        |  CAST(sum(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS resurrected,
+        |  CAST(sum(CASE WHEN state = 'churned' THEN 1 ELSE 0 END) AS BIGINT) AS churned
+        |FROM un GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val raw = t(s, dir, "events")
+      graft.events.Events.growthAccounting(
+        raw.withColumn("sec", Ts.seconds(raw)),
+        "user_id", "sec", periodSec = 86400L)
+    },
+
     // top-20 most frequent 3-step event paths (contiguous per-user
     // type subsequences): the path-mining summary above the Markov
     // single-step view.

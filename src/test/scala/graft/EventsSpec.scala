@@ -185,6 +185,25 @@ class EventsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("z_score") - expZ) < 1e-12)
   }
 
+  test("growthAccounting classifies new/retained/resurrected/churned") {
+    import spark.implicits._
+    val day = 86400L
+    // u1: days 0,1 (retained), gone day 2 (churned at 2)
+    // u2: days 0, 2 (resurrected at 2), gone after (churned at 3)
+    // u3: day 1 only (new at 1, churned at 2)
+    val ev = Seq(
+      (1L, 10L), (1L, day + 5L),
+      (2L, 20L), (2L, 2 * day + 7L),
+      (3L, day + 30L)).toDF("user_id", "sec")
+    val got = graft.events.Events.growthAccounting(ev, "user_id", "sec", day)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(0L) == ((2L, 0L, 0L, 0L))) // u1, u2 new
+    assert(got(1L) == ((1L, 1L, 0L, 1L))) // u3 new, u1 retained, u2's skip churns here
+    assert(got(2L) == ((0L, 0L, 1L, 2L))) // u2 back; u1, u3 churn
+    assert(got(3L) == ((0L, 0L, 0L, 1L))) // u2 churns past horizon
+  }
+
   test("quantileTreatmentEffects localizes a planted tail-only lift") {
     import spark.implicits._
     val rnd = new scala.util.Random(29)
