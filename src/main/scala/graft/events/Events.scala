@@ -445,6 +445,36 @@ object Events {
         col("log_lambda"), col("p_value"))
   }
 
+  /** Cohort LTV curves: users grouped by first-active period
+    * (cohort), value summed per (cohort, age) where age = period −
+    * cohort, and the running cumulative value per user reported per
+    * age — "how much is a January user worth by day 30", the
+    * lifetime-value read every growth team plots. Two hash aggregates
+    * + one cumulative window over the tiny (cohort × age) grid.
+    * Returns (cohort, age, n_users, value, cum_value_per_user).
+    */
+  def cohortLtv(events: DataFrame, userCol: String, secCol: String,
+      valCol: String, periodSec: Long): DataFrame = {
+    require(periodSec > 0)
+    val withP = events.select(col(userCol).as("user"),
+      floor(col(secCol) / periodSec).cast("long").as("period"),
+      col(valCol).cast("double").as("v"))
+    val cohorts = withP.groupBy("user")
+      .agg(min("period").as("cohort"))
+    val perAge = withP.join(cohorts, "user")
+      .groupBy(col("cohort"), (col("period") - col("cohort")).as("age"))
+      .agg(sum("v").as("value"))
+    val sizes = cohorts.groupBy("cohort").agg(count(lit(1)).as("n_users"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cohort").orderBy("age")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    perAge.join(sizes, "cohort")
+      .withColumn("cum_value_per_user",
+        sum("value").over(w) / col("n_users"))
+      .select("cohort", "age", "n_users", "value", "cum_value_per_user")
+      .orderBy("cohort", "age")
+  }
+
   /** Growth accounting: per period, how many users are `new_users`
     * (first ever active), `retained` (also active the previous
     * period), `resurrected` (active before, but not last period) —

@@ -884,6 +884,38 @@ object EventQueries extends QueryGroup {
         .orderBy("user_id", "sec", "event_id")
     },
 
+    // cohort LTV: cumulative value per user by days-since-cohort, per
+    // first-active-day cohort.
+    q("q_events_ltv",
+      """WITH e AS (
+        |  SELECT user_id AS u,
+        |    CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 86400.0) AS BIGINT) AS period,
+        |    value AS v
+        |  FROM events
+        |), c AS (
+        |  SELECT u, min(period) AS cohort FROM e GROUP BY 1
+        |), pa AS (
+        |  SELECT c.cohort, e.period - c.cohort AS age, sum(e.v) AS value
+        |  FROM e JOIN c USING (u) GROUP BY 1, 2
+        |), sz AS (
+        |  SELECT cohort, count(*) AS n_users FROM c GROUP BY 1
+        |)
+        |SELECT pa.cohort, pa.age, sz.n_users,
+        |  round(pa.value, 6) AS value,
+        |  round(sum(pa.value) OVER (PARTITION BY pa.cohort ORDER BY pa.age
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    / sz.n_users, 6) AS cum_value_per_user
+        |FROM pa JOIN sz USING (cohort)
+        |ORDER BY cohort, age""".stripMargin) { (s, dir) =>
+      val raw = t(s, dir, "events")
+      graft.events.Events.cohortLtv(
+          raw.withColumn("sec", Ts.seconds(raw)),
+          "user_id", "sec", "value", periodSec = 86400L)
+        .withColumn("value", round(col("value"), 6))
+        .withColumn("cum_value_per_user", round(col("cum_value_per_user"), 6))
+        .orderBy("cohort", "age")
+    },
+
     // growth accounting: per-day new/retained/resurrected/churned
     // decomposition of the active-user count (churn charged to the
     // first inactive day, incl. one row past the horizon).
