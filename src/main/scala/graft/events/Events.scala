@@ -445,6 +445,49 @@ object Events {
         col("log_lambda"), col("p_value"))
   }
 
+  /** Multi-touch attribution: each conversion's credit splits across
+    * ALL its preceding touches within `lookbackSec` — `linear` (1/n
+    * per touch) and `time_decay` (weight 2^(−Δt/halflife), normalized
+    * per conversion) — the fractional complements to
+    * [[lastTouchAttribution]]'s winner-take-all. Returns per
+    * touch type: (touch_type, n_touches, linear_credit,
+    * decay_credit); credit columns each sum to the number of
+    * attributed conversions.
+    *
+    * Scale shape: the user-keyed conversions⋈touches join is bounded
+    * by the lookback window per conversion (the contract that makes
+    * multi-touch tractable anywhere); per-conversion normalizers are
+    * windows partitioned by conversion id (bounded groups), and the
+    * final credit roll-up is a hash aggregate.
+    */
+  def multiTouchAttribution(events: DataFrame, userCol: String,
+      secCol: String, idCol: String, typeCol: String, convType: String,
+      touchTypes: Seq[String], lookbackSec: Long,
+      halflifeSec: Long): DataFrame = {
+    require(touchTypes.nonEmpty && lookbackSec > 0 && halflifeSec > 0)
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(userCol).as("user"), col(idCol).as("conv_id"),
+        col(secCol).as("conv_sec"))
+    val touch = events.filter(col(typeCol).isInCollection(touchTypes))
+      .select(col(userCol).as("user"), col(idCol).as("touch_id"),
+        col(secCol).as("touch_sec"), col(typeCol).as("touch_type"))
+    val paired = conv.join(touch, "user")
+      .filter(col("touch_sec") <= col("conv_sec") &&
+        col("touch_sec") > col("conv_sec") - lookbackSec &&
+        col("touch_id") =!= col("conv_id"))
+      .withColumn("w", pow(lit(2.0),
+        -(col("conv_sec") - col("touch_sec")).cast("double") / halflifeSec))
+    val wConv = org.apache.spark.sql.expressions.Window.partitionBy("conv_id")
+    paired
+      .withColumn("n", count(lit(1)).over(wConv))
+      .withColumn("wsum", sum("w").over(wConv))
+      .groupBy("touch_type")
+      .agg(count(lit(1)).as("n_touches"),
+        sum(lit(1.0) / col("n")).as("linear_credit"),
+        sum(col("w") / col("wsum")).as("decay_credit"))
+      .orderBy("touch_type")
+  }
+
   /** Cohort LTV curves: users grouped by first-active period
     * (cohort), value summed per (cohort, age) where age = period −
     * cohort, and the running cumulative value per user reported per

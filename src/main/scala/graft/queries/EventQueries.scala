@@ -884,6 +884,48 @@ object EventQueries extends QueryGroup {
         .orderBy("user_id", "sec", "event_id")
     },
 
+    // multi-touch attribution: linear + 6h-halflife time-decay credit
+    // split over view/click/signup touches in a 24h lookback before
+    // each purchase.
+    q("q_events_multitouch",
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_type
+        |  FROM events
+        |), conv AS (
+        |  SELECT user_id, event_id AS conv_id, sec AS conv_sec
+        |  FROM e WHERE event_type = 'purchase'
+        |), tch AS (
+        |  SELECT user_id, event_id AS touch_id, sec AS touch_sec,
+        |    event_type AS touch_type
+        |  FROM e WHERE event_type IN ('view', 'click', 'signup')
+        |), paired AS (
+        |  SELECT conv_id, touch_type,
+        |    pow(2.0::DOUBLE, -(conv_sec - touch_sec) * 1.0::DOUBLE / 21600) AS w
+        |  FROM conv JOIN tch USING (user_id)
+        |  WHERE touch_sec <= conv_sec AND touch_sec > conv_sec - 86400
+        |    AND touch_id != conv_id
+        |), nw AS (
+        |  SELECT conv_id, touch_type, w,
+        |    count(*) OVER (PARTITION BY conv_id) AS n,
+        |    sum(w) OVER (PARTITION BY conv_id) AS wsum
+        |  FROM paired
+        |)
+        |SELECT touch_type, count(*) AS n_touches,
+        |  round(sum(1.0::DOUBLE / n), 6) AS linear_credit,
+        |  round(sum(w / wsum), 6) AS decay_credit
+        |FROM nw GROUP BY 1 ORDER BY touch_type""".stripMargin) { (s, dir) =>
+      val raw = t(s, dir, "events")
+      graft.events.Events.multiTouchAttribution(
+          raw.withColumn("sec", Ts.seconds(raw)),
+          "user_id", "sec", "event_id", "event_type", "purchase",
+          Seq("view", "click", "signup"), lookbackSec = 86400L,
+          halflifeSec = 21600L)
+        .withColumn("linear_credit", round(col("linear_credit"), 6))
+        .withColumn("decay_credit", round(col("decay_credit"), 6))
+        .orderBy("touch_type")
+    },
+
     // cohort LTV: cumulative value per user by days-since-cohort, per
     // first-active-day cohort.
     q("q_events_ltv",
