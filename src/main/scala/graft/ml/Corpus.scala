@@ -49,6 +49,25 @@ object Corpus {
           col(idCol).cast("long").cast("string"))))
   }
 
+  /** Per-bucket padding-efficiency stats for a [[lengthBucketedOrder]]
+    * assignment: if batches are formed within a bucket and padded to
+    * the bucket's longest member, `pad_frac_bound` = (n·max − Σtok) /
+    * (n·max) bounds the wasted fraction — the number that justifies
+    * (or rejects) a cutoff choice before any training run. One hash
+    * aggregate.
+    */
+  def lengthBucketStats(bucketed: DataFrame, tokCol: String): DataFrame =
+    bucketed.groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col(tokCol)).as("min_tok"),
+        max(col(tokCol)).as("max_tok"),
+        sum(col(tokCol)).cast("long").as("sum_tok"))
+      .withColumn("pad_frac_bound",
+        when(col("max_tok") > 0,
+          (col("n_docs") * col("max_tok") - col("sum_tok")).cast("double") /
+            (col("n_docs") * col("max_tok"))).otherwise(lit(0.0)))
+      .orderBy("bucket")
+
   /** GPT-style sequence packing (concat-and-chunk): documents are
     * deterministically sharded, pseudo-randomly ordered within their
     * shard, logically concatenated, and the token stream is cut every

@@ -1284,6 +1284,37 @@ object TextQueries extends QueryGroup {
         .orderBy("bucket", "sort_key", "doc_id")
     },
 
+    // padding-efficiency stats over the sortish buckets: the waste
+    // bound that justifies (or rejects) the cutoff choice.
+    q("q_text_bucket_stats",
+      """WITH tc AS (
+        |  SELECT doc_id, CASE WHEN strlen(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS nt
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, CAST(nt AS BIGINT) AS nt,
+        |    1 + (CASE WHEN nt > 32 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN nt > 64 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN nt > 96 THEN 1 ELSE 0 END) AS bucket
+        |  FROM tc
+        |)
+        |SELECT bucket, count(*) AS n_docs,
+        |  min(nt) AS min_tok, max(nt) AS max_tok,
+        |  CAST(sum(nt) AS BIGINT) AS sum_tok,
+        |  CASE WHEN max(nt) > 0 THEN
+        |    round((count(*) * max(nt) - sum(nt)) * 1.0::DOUBLE
+        |      / (count(*) * max(nt)), 6) ELSE 0.0::DOUBLE END AS pad_frac_bound
+        |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          TA.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val bucketed = graft.ml.Corpus.lengthBucketedOrder(docs, "doc_id",
+        "n_tokens", cutoffs = Seq(32.0, 64.0, 96.0))
+      graft.ml.Corpus.lengthBucketStats(bucketed, "n_tokens")
+        .withColumn("pad_frac_bound", round(col("pad_frac_bound"), 6))
+        .orderBy("bucket")
+    },
+
     // hybrid retrieval: the q_text_bm25 lexical top-20 fused with the
     // vec_id=0 cosine top-20 by reciprocal-rank fusion (k=60). Both
     // branch rankings replay exactly (BM25 scores are 1e-6-floored on
