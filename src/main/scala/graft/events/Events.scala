@@ -445,6 +445,27 @@ object Events {
         col("log_lambda"), col("p_value"))
   }
 
+  /** Inter-event gap statistics per event type: for each event, the
+    * gap since the user's PREVIOUS event (any type); aggregated per
+    * the current event's type — "how long do users dwell before a
+    * purchase vs a click", and the input for choosing a sessionize
+    * gap. One per-user lag window + one hash aggregate.
+    */
+  def interEventGaps(events: DataFrame, userCol: String, secCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy(col(secCol), col(idCol))
+    events
+      .withColumn("__gap", col(secCol) - lag(col(secCol), 1).over(w))
+      .filter(col("__gap").isNotNull)
+      .groupBy(col(typeCol).as("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min("__gap").as("min_gap"),
+        max("__gap").as("max_gap"),
+        avg("__gap").as("mean_gap"))
+      .orderBy("event_type")
+  }
+
   /** Multi-touch attribution: each conversion's credit splits across
     * ALL its preceding touches within `lookbackSec` — `linear` (1/n
     * per touch) and `time_decay` (weight 2^(−Δt/halflife), normalized

@@ -254,6 +254,19 @@ object Dedup {
       max("n").as("largest_group"))
   }
 
+  /** Histogram of exact-duplicate cluster sizes: (size, n_groups) —
+    * the shape of the duplication problem ([[exactDupReport]] gives
+    * totals; this says whether redundancy is a few huge groups or a
+    * long tail of pairs, which decides the dedup strategy). Two hash
+    * aggregates.
+    */
+  def dupClusterSizeHistogram(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(TextAnalysis.fingerprint(col(textCol)).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("size"))
+      .groupBy("size").agg(count(lit(1)).as("n_groups"))
+      .orderBy("size")
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val edges = pairs
       .select(col("id1").cast("long").as("src"), col("id2").cast("long").as("dst"))

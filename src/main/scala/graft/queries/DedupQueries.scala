@@ -475,6 +475,20 @@ object DedupQueries extends QueryGroup {
       Dedup.exactDupReport(augmented(s, dir), "doc_id", "text")
     },
 
+    // exact-dup cluster-size histogram over the same augmented
+    // corpus: is redundancy a few huge groups or a tail of pairs?
+    q("q_dedup_size_hist",
+      s"""$augmentedSql, byh AS (
+         |  SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+         |      '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS h,
+         |    count(*) AS size
+         |  FROM docs GROUP BY 1
+         |)
+         |SELECT size, count(*) AS n_groups
+         |FROM byh GROUP BY 1 ORDER BY size""".stripMargin) { (s, dir) =>
+      Dedup.dupClusterSizeHistogram(augmented(s, dir), "doc_id", "text")
+    },
+
     // Fellegi–Sunter probabilistic record linkage: EM-estimated
     // agreement probabilities over candidate pairs (self pairs +
     // id+7 noise pairs), log2 match weights, three-way decision.

@@ -884,6 +884,32 @@ object EventQueries extends QueryGroup {
         .orderBy("user_id", "sec", "event_id")
     },
 
+    // inter-event gap stats per arriving event type — the dwell-time
+    // read that picks a sessionize gap.
+    q("q_events_gaps",
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events
+        |), g AS (
+        |  SELECT event_type,
+        |    sec - lag(sec) OVER (PARTITION BY user_id
+        |      ORDER BY sec, event_id) AS gap
+        |  FROM e
+        |)
+        |SELECT event_type, count(*) AS n,
+        |  min(gap) AS min_gap, max(gap) AS max_gap,
+        |  round(avg(gap), 6) AS mean_gap
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val raw = t(s, dir, "events")
+      graft.events.Events.interEventGaps(
+          raw.withColumn("sec", Ts.seconds(raw)),
+          "user_id", "sec", "event_id", "event_type")
+        .withColumn("mean_gap", round(col("mean_gap"), 6))
+        .orderBy("event_type")
+    },
+
     // multi-touch attribution: linear + 6h-halflife time-decay credit
     // split over view/click/signup touches in a 24h lookback before
     // each purchase.
