@@ -340,6 +340,24 @@ object TextAnalysis {
   def stripControlChars(text: Column): Column =
     regexp_replace(text, "[\\u0000-\\u0008\\u000B\\u000C\\u000E-\\u001F\\u007F-\\u009F]", "")
 
+  /** Flesch–Kincaid-style readability grade with engine-replayable
+    * approximations: syllables ≈ vowel-group runs, sentences ≈
+    * terminal-punctuation runs (min 1), words = whitespace tokens.
+    * grade = 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59.
+    * A standard quality/audience signal; pure Column program.
+    */
+  def readabilityGrade(text: Column): Column = {
+    val words = tokenCount(text).cast("double")
+    val sentences = greatest(lit(1),
+      size(regexp_extract_all(text, lit("[.!?]+"), lit(0)))).cast("double")
+    val syllables =
+      size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0)))
+        .cast("double")
+    when(words > 0,
+      lit(0.39) * (words / sentences) + lit(11.8) * (syllables / words)
+        - lit(15.59))
+  }
+
   /** Per-document top-k terms by TF-IDF over the input corpus:
     * tf-idf(t, d) = tf(t, d) · (ln((N+1)/(df(t)+1)) + 1) with the
     * smoothed idf, ties broken lexicographically. Returns

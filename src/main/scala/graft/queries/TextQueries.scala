@@ -1284,6 +1284,27 @@ object TextQueries extends QueryGroup {
         .orderBy("bucket", "sort_key", "doc_id")
     },
 
+    // readability grade per document: the Flesch-Kincaid formula over
+    // engine-replayable word/sentence/syllable approximations.
+    q("q_text_readability",
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN strlen(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE) AS w,
+        |    CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS DOUBLE) AS s,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE) AS sy
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN w > 0 THEN
+        |    round(0.39 * (w / s) + 11.8 * (sy / w) - 15.59, 6) END AS grade
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TA.readabilityGrade(col("text")), 6).as("grade"))
+        .orderBy("doc_id")
+    },
+
     // padding-efficiency stats over the sortish buckets: the waste
     // bound that justifies (or rejects) the cutoff choice.
     q("q_text_bucket_stats",
