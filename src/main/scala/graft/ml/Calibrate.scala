@@ -78,6 +78,31 @@ object Calibrate {
     * through its bin's probability (a literal CASE chain — no join,
     * no shuffle).
     */
+  /** Reliability-diagram data: scores assigned to FROZEN `cuts` bins
+    * (same rule as [[graft.ml.TextAnalysis.bucketByCutoffs]]), each
+    * bin reporting (n, mean_score, rate) — mean_score ≈ rate per bin
+    * is what "calibrated" MEANS; the gap column is the per-bin
+    * calibration error whose weighted average is ECE. One hash
+    * aggregate; run before and after [[isotonicBins]] to show the
+    * fix worked.
+    */
+  def reliability(scored: DataFrame, scoreCol: String, labelCol: String,
+      cuts: Seq[Double]): DataFrame = {
+    require(cuts.nonEmpty && cuts == cuts.sorted,
+      "cuts must be non-empty and ascending")
+    val bucket = cuts.foldLeft(lit(1L)) { (acc, c) =>
+      acc + when(col(scoreCol) > c, 1L).otherwise(0L)
+    }
+    scored
+      .select(bucket.as("bucket"), col(scoreCol).cast("double").as("s"),
+        col(labelCol).cast("double").as("y"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        avg("s").as("mean_score"), avg("y").as("rate"))
+      .withColumn("gap", abs(col("mean_score") - col("rate")))
+      .orderBy("bucket")
+  }
+
   def applyBins(scoreCol: Column, cuts: Seq[Double],
       calibrated: Array[Double]): Column = {
     require(calibrated.length == cuts.size + 1, "bin arity mismatch")

@@ -1284,6 +1284,47 @@ object TextQueries extends QueryGroup {
         .orderBy("bucket", "sort_key", "doc_id")
     },
 
+    // reliability diagram of the heuristic quality score as a
+    // predictor of "is English": per frozen score bin, count,
+    // mean score, observed rate and the calibration gap.
+    q("q_text_reliability",
+      s"""WITH sc AS (
+         |  SELECT CASE WHEN lang = 'en' THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS y,
+         |   (CASE WHEN len(string_split_regex(trim(text), '\\s+')) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.3 END * 0.3
+         |    + CASE WHEN list_aggregate(list_transform(string_split_regex(trim(text), '\\s+'), w -> strlen(w)), 'sum') * 1.0::DOUBLE
+         |        / len(string_split_regex(trim(text), '\\s+')) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.4 END * 0.2
+         |    + CASE WHEN len(list_filter(string_split_regex(lower(text), '\\s+'),
+         |        w -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this'], w)))
+         |        * 1.0::DOUBLE / len(string_split_regex(trim(text), '\\s+')) > 0.05 THEN 1.0 ELSE 0.6 END * 0.3
+         |    + CASE WHEN len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) * 1.0::DOUBLE / strlen(text) < 0.2 THEN 1.0 ELSE 0.5 END * 0.2
+         |   )::DOUBLE AS s
+         |  FROM documents
+         |), b AS (
+         |  SELECT 1 + (CASE WHEN s > 0.6 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN s > 0.8 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN s > 0.9 THEN 1 ELSE 0 END) AS bucket, s, y
+         |  FROM sc
+         |)
+         |SELECT bucket, count(*) AS n, round(avg(s), 6) AS mean_score,
+         |  round(avg(y), 6) AS rate,
+         |  round(abs(avg(s) - avg(y)), 6) AS gap
+         |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
+      val scored = t(s, dir, "documents")
+        .withColumn("toks", TA.tokens(col("text")))
+        .select(
+          TA.qualityFromComponents(size(col("toks")),
+            TA.meanWordLengthOf(col("toks")),
+            TA.stopwordRatioOf(col("toks")),
+            TA.punctRatio(col("text"))).as("s"),
+          when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+      graft.ml.Calibrate.reliability(scored, "s", "y",
+          cuts = Seq(0.6, 0.8, 0.9))
+        .withColumn("mean_score", round(col("mean_score"), 6))
+        .withColumn("rate", round(col("rate"), 6))
+        .withColumn("gap", round(col("gap"), 6))
+        .orderBy("bucket")
+    },
+
     // readability grade per document: the Flesch-Kincaid formula over
     // engine-replayable word/sentence/syllable approximations.
     q("q_text_readability",
