@@ -77,6 +77,69 @@ object Events {
       .filter(_._2 > 0)
   }
 
+  /** Per-step funnel timing: for every step k ≥ 2, the distribution
+    * of (step-k match time − step-(k−1) match time) among users who
+    * reached step k under [[funnel]]'s exact greedy rule — WHERE the
+    * funnel stalls, not just where it leaks. Same single user-keyed
+    * shuffle as [[funnel]]; gaps are emitted by the same in-memory
+    * chained-min walk and aggregated per step.
+    */
+  def funnelStepStats(events: DataFrame, userCol: String, secCol: String,
+      typeCol: String, steps: Seq[String],
+      windowSec: Long = 0L): DataFrame = {
+    require(steps.size >= 2, "step timing needs at least two steps")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    val gaps = events
+      .select(col(userCol).cast("long"), col(secCol).cast("long"),
+        col(typeCol).cast("string"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val evs = it.flatMap { case (_, sec, tp) =>
+          stepIdx.get(tp).map(i => (sec, i))
+        }.toArray
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+        var prevT = Long.MinValue
+        var deadline = Long.MaxValue
+        var k = 0
+        var more = true
+        while (more && k < steps.length) {
+          var best = Long.MaxValue
+          var i = 0
+          while (i < evs.length) {
+            val (sec, si) = evs(i)
+            if (si == k && sec >= prevT && sec <= deadline && sec < best)
+              best = sec
+            i += 1
+          }
+          if (best == Long.MaxValue) more = false
+          else {
+            if (k >= 1) out += ((k + 1, best - prevT))
+            prevT = best
+            if (k == 0 && windowSec > 0) deadline = best + windowSec
+            k += 1
+          }
+        }
+        out.iterator
+      }
+      .toDF("step", "gap")
+    val stepDf = steps.zipWithIndex.drop(1)
+      .map { case (name, i) => (i + 1, name) }.toDF("step", "step_name")
+    stepDf.join(
+        gaps.groupBy("step").agg(count(lit(1)).as("n_users"),
+          min("gap").as("min_gap"), max("gap").as("max_gap"),
+          // exact long sum then one IEEE division — identical across
+          // engines, unlike avg's order-dependent double accumulation
+          (sum("gap") / count(lit(1))).as("mean_gap")),
+        Seq("step"), "left")
+      .select(col("step"), col("step_name"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"),
+        col("min_gap"), col("max_gap"), col("mean_gap"))
+      .orderBy("step")
+  }
+
   /** Funnel conversion counts: (step, step_name, n_users) where
     * n_users = users whose [[funnel]] depth reached that step.
     */

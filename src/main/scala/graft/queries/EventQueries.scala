@@ -1295,6 +1295,51 @@ object EventQueries extends QueryGroup {
         .orderBy("step")
     },
 
+    // per-step funnel timing: gap distribution between consecutive
+    // greedy-matched steps — the SQL replays the exact chained-min
+    // rule of q_events_funnel and keeps each user's matched times, so
+    // gap = t_k - t_{k-1}; mean is exact sum/count division on both
+    // engines.
+    q("q_events_funnel_timing",
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events
+        |), s1 AS (
+        |  SELECT user_id, min(sec) AS t1 FROM e WHERE event_type = 'view'
+        |  GROUP BY user_id
+        |), s2 AS (
+        |  SELECT e.user_id, min(e.sec) AS t2, min(s1.t1) AS t1
+        |  FROM e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.sec >= s1.t1
+        |    AND e.sec <= s1.t1 + 604800
+        |  GROUP BY e.user_id
+        |), s3 AS (
+        |  SELECT e.user_id, min(e.sec) AS t3, min(s2.t2) AS t2
+        |  FROM e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.sec >= s2.t2
+        |    AND e.sec <= s2.t1 + 604800
+        |  GROUP BY e.user_id
+        |), g AS (
+        |  SELECT 2 AS step, t2 - t1 AS gap FROM s2
+        |  UNION ALL SELECT 3, t3 - t2 FROM s3
+        |), steps AS (
+        |  SELECT 2 AS step, 'click' AS step_name
+        |  UNION ALL SELECT 3, 'purchase'
+        |)
+        |SELECT steps.step, steps.step_name, count(g.gap) AS n_users,
+        |  min(g.gap) AS min_gap, max(g.gap) AS max_gap,
+        |  CAST(sum(g.gap) AS BIGINT) / count(g.gap) AS mean_gap
+        |FROM steps LEFT JOIN g ON steps.step = g.step
+        |GROUP BY steps.step, steps.step_name
+        |ORDER BY steps.step""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val e = ev.select(col("user_id"), Ts.seconds(ev).as("sec"),
+        col("event_type"))
+      graft.events.Events.funnelStepStats(e, "user_id", "sec",
+        "event_type", Seq("view", "click", "purchase"),
+        windowSec = 604800L)
+    },
+
     // conversion latency: first 'view' → first 'purchase' at-or-after
     // it, per user. Join-form (no ordered window), so same-second
     // ties need no cross-engine order contract.

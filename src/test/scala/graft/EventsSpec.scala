@@ -34,6 +34,37 @@ class EventsSpec extends SparkSpec {
     assert(counts == Seq((1, "A", 4L), (2, "B", 3L), (3, "C", 1L)), s"got $counts")
   }
 
+  test("funnelStepStats reports per-step gap stats under the same greedy rule") {
+    val steps = Seq("A", "B", "C")
+    val events = ev(
+      (1L, 100L, "A"), (1L, 200L, "B"), (1L, 300L, "C"), // gaps 100, 100
+      (2L, 100L, "A"), (2L, 400L, "B"),                  // gap 300, no C
+      (3L, 100L, "A"),                                   // depth 1: no gaps
+      (4L, 100L, "A"), (4L, 150L, "B"), (4L, 9999L, "C")) // C outside window
+    val rows = Events.funnelStepStats(events, "u", "sec", "tp", steps,
+      windowSec = 1000L).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toSeq
+    // step 2 (B): users 1, 2, 4 → gaps 100, 300, 50
+    // step 3 (C): user 1 only → gap 100
+    assert(rows == Seq((2, "B", 3L, 50L, 300L), (3, "C", 1L, 100L, 100L)),
+      s"got $rows")
+    val mean2 = Events.funnelStepStats(events, "u", "sec", "tp", steps,
+      windowSec = 1000L).filter(col("step") === 2)
+      .collect().head.getDouble(5)
+    assert(mean2 == 150.0, s"got $mean2")
+  }
+
+  test("funnelStepStats emits zero-user rows for unreached steps") {
+    val events = ev((1L, 100L, "A"), (1L, 200L, "B"))
+    val rows = Events.funnelStepStats(events, "u", "sec", "tp",
+      Seq("A", "B", "C")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.isNullAt(3)))
+      .toSeq
+    assert(rows == Seq((2, "B", 1L, false), (3, "C", 0L, true)), s"got $rows")
+  }
+
   test("funnel greedy picks the earliest first step even when a later one would convert") {
     // documents the greedy contract: anchor = EARLIEST step-1 event;
     // user 6's second A at 5000 would let C convert, but the window
