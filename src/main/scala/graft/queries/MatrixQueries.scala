@@ -379,6 +379,41 @@ object MatrixQueries extends QueryGroup {
         .select(col("a.p").as("src"), col("b.p").as("dst"))
       graft.graph.Graphs.kCore(edges, k = 80)
         .orderBy("node")
+    },
+
+    // multi-source BFS hop distances on the co-purchase graph,
+    // sources = every node ≡ 0 (mod 211). The oracle's recursive CTE
+    // uses UNION (not UNION ALL) so the walk carries ≤ maxHops
+    // distinct (node, dist) rows per node instead of all paths; the
+    // min collapses them to the BFS distance.
+    q("q_graph_hops",
+      """WITH RECURSIVE items AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |), e AS (
+        |  SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+        |), adj AS (
+        |  SELECT u, v FROM e UNION ALL SELECT v, u FROM e
+        |), walk(node, dist) AS (
+        |  SELECT DISTINCT u, 0 FROM adj WHERE u % 211 = 0
+        |  UNION
+        |  SELECT adj.v, walk.dist + 1
+        |  FROM walk JOIN adj ON walk.node = adj.u
+        |  WHERE walk.dist < 4
+        |)
+        |SELECT node, CAST(min(dist) AS BIGINT) AS dist
+        |FROM walk GROUP BY node ORDER BY node""".stripMargin) { (s, dir) =>
+      val items = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = items.alias("a").join(items.alias("b"), Seq("o"))
+        .filter(col("a.p") < col("b.p"))
+        .select(col("a.p").as("src"), col("b.p").as("dst"))
+      val srcs = edges.select(col("src").as("node"))
+        .unionAll(edges.select(col("dst").as("node")))
+        .filter(col("node") % 211 === 0).distinct()
+      graft.graph.Graphs.shortestHops(edges, srcs, maxHops = 4)
+        .orderBy("node")
     }
   )
 

@@ -32,6 +32,42 @@ class GraphsSpec extends SparkSpec {
     assert(math.abs(sum.getAs[Double]("global_clustering") - 0.8) < 1e-12)
   }
 
+  test("shortestHops: multi-source BFS distances on a known graph") {
+    import spark.implicits._
+    // path 1-2-3-4-5 plus a separate component {10,11} and an
+    // unreachable node pair {20,21}; sources = {1, 10}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (20L, 21L)).toDF("src", "dst")
+    val srcs = Seq(1L, 10L).toDF("node")
+    val got = Graphs.shortestHops(edges, srcs, maxHops = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L,
+      10L -> 0L, 11L -> 1L), s"got $got")
+  }
+
+  test("shortestHops honors maxHops and picks the minimum over sources") {
+    import spark.implicits._
+    // cycle 1-2-3-4-5-6-1: sources {1, 4} → every node within 1 hop
+    // of one of them except none beyond; node 2: min(1 from 1, 2 from
+    // 4) = 1
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 1L)).toDF("src", "dst")
+    val srcs = Seq(1L, 4L).toDF("node")
+    val got = Graphs.shortestHops(edges, srcs, maxHops = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 0L,
+      5L -> 1L, 6L -> 1L), s"got $got")
+    // maxHops = 1 on the path graph: only source + direct neighbors
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val capped = Graphs.shortestHops(path, Seq(1L).toDF("node"),
+      maxHops = 1).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped == Map(1L -> 0L, 2L -> 1L), s"got $capped")
+    // maxHops = 0: sources only
+    val zero = Graphs.shortestHops(path, Seq(1L).toDF("node"),
+      maxHops = 0).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(zero == Map(1L -> 0L), s"got $zero")
+  }
+
   test("triangleCounts equals brute force on random graphs incl. a hub") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
