@@ -74,4 +74,43 @@ object Privacy {
     */
   def generalizeNumeric(c: Column, width: Double): Column =
     (floor(c / width) * width).cast("double")
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) with
+    * total-variation distance: for each QI equivalence class, the TVD
+    * between the class's sensitive-value distribution Q and the
+    * global distribution P — k-anonymity and l-diversity still leak
+    * when a class's sensitive values are skewed vs the population;
+    * t-closeness bounds that skew. Returns one row per class:
+    * (qiCols…, n, tvd, pass = tvd ≤ t).
+    *
+    * TVD = ½ Σ_s |Q(s) − P(s)| over the GLOBAL domain; sensitive
+    * values absent from a class contribute ½ Σ_absent P(s) =
+    * ½ (1 − Σ_present P(s)), so the whole audit is one (QI, s) joint
+    * aggregate, a window for class totals, a join to the (small)
+    * global frequency table, and one final per-class aggregate — no
+    * domain cross product.
+    */
+  def tClosenessReport(df: DataFrame, qiCols: Seq[String],
+      sensitive: String, t: Double): DataFrame = {
+    require(qiCols.nonEmpty, "t-closeness needs at least one QI column")
+    require(t >= 0.0 && t <= 1.0, "t must be in [0, 1]")
+    val joint = df.groupBy((qiCols :+ sensitive).map(col): _*)
+      .agg(count(lit(1)).as("__ns"))
+    val withClass = joint.withColumn("__nc",
+      sum("__ns").over(Window.partitionBy(qiCols.map(col): _*)))
+    // global P(s): one aggregate over the sensitive column; the total
+    // comes from a single-partition window over the tiny domain table
+    // rather than a driver-side count
+    val globalP = df.groupBy(col(sensitive))
+      .agg(count(lit(1)).as("__gs"))
+      .withColumn("__tot", sum("__gs").over(Window.partitionBy(lit(1))))
+      .select(col(sensitive), (col("__gs") / col("__tot")).as("__p"))
+    withClass.join(globalP, Seq(sensitive))
+      .withColumn("__q", col("__ns") / col("__nc"))
+      .groupBy(qiCols.map(col): _*)
+      .agg(max("__nc").cast("long").as("n"),
+        ((sum(abs(col("__q") - col("__p"))) +
+          (lit(1.0) - sum("__p"))) / 2.0).as("tvd"))
+      .withColumn("pass", col("tvd") <= t)
+  }
 }

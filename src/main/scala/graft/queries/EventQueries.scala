@@ -70,6 +70,63 @@ object EventQueries extends QueryGroup {
        |FROM r10 ORDER BY event_type""".stripMargin
   }
 
+  /** DuckDB replica of `Preference.bradleyTerry(iters=10)` over the
+    * event-type transition comparisons: the MM iterations unroll as
+    * generated CTE quadruples (denominator join-aggregate, unnormalized
+    * update, normalizer scalar, renormalized ratings) with the exact
+    * casts the Spark plan compiles.
+    */
+  private def bradleyTerryOracleSql: String = {
+    val iters = (1 to 10).map { k =>
+      s"""d$k AS MATERIALIZED (
+         |  SELECT p.a AS item,
+         |    sum(CAST(p.n AS DOUBLE) / (ra.th + rb.th)) AS den
+         |  FROM pairs p JOIN r${k - 1} ra ON p.a = ra.item
+         |    JOIN r${k - 1} rb ON p.b = rb.item
+         |  GROUP BY 1
+         |), u$k AS MATERIALIZED (
+         |  SELECT w.item, CAST(w.wins AS DOUBLE) / d.den AS t
+         |  FROM wins w JOIN d$k d USING (item)
+         |), s$k AS MATERIALIZED (SELECT sum(t) AS s FROM u$k),
+         |r$k AS MATERIALIZED (
+         |  SELECT item, t / s AS th FROM u$k, s$k
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e AS (
+       |  SELECT user_id, event_type,
+       |    CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id
+       |  FROM events
+       |), tr AS (
+       |  SELECT lag(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY sec, event_id) AS from_type,
+       |    event_type AS to_type
+       |  FROM e
+       |), cnt AS (
+       |  SELECT from_type, to_type, count(*) AS c FROM tr
+       |  WHERE from_type IS NOT NULL AND from_type <> to_type
+       |  GROUP BY 1, 2
+       |), pairs AS MATERIALIZED (
+       |  SELECT a, b, sum(c) AS n FROM (
+       |    SELECT to_type AS a, from_type AS b, c FROM cnt
+       |    UNION ALL SELECT from_type AS a, to_type AS b, c FROM cnt
+       |  ) GROUP BY 1, 2
+       |), wins AS MATERIALIZED (
+       |  SELECT i.item, coalesce(w.wins, 0) AS wins
+       |  FROM (SELECT DISTINCT a AS item FROM pairs) i
+       |  LEFT JOIN (SELECT to_type AS item, sum(c) AS wins
+       |             FROM cnt GROUP BY 1) w USING (item)
+       |), mc AS (
+       |  SELECT a AS item, sum(n) AS matches FROM pairs GROUP BY 1
+       |), r0 AS MATERIALIZED (
+       |  SELECT item, 1.0::DOUBLE AS th FROM wins
+       |), $iters
+       |SELECT w.item AS event_type, CAST(w.wins AS BIGINT) AS wins,
+       |  CAST(mc.matches AS BIGINT) AS matches,
+       |  round(r10.th, 6) AS rating
+       |FROM wins w JOIN mc USING (item) JOIN r10 USING (item)
+       |ORDER BY event_type""".stripMargin
+  }
+
   /** DuckDB replica of `Events.bootstrapCI(nReps=100, alpha=0.05,
     * seed=42)` over user_id%3 variants: the Poisson-weight CASE chain
     * is generated from the SAME `Events.poissonHexThresholds`
@@ -1458,6 +1515,27 @@ object EventQueries extends QueryGroup {
         "event_id", "event_type", "purchase", Seq("click", "view"),
         lookbackSec = 3600L)
         .orderBy("user_id", "conv_id")
+    },
+
+    // Bradley–Terry preference ratings over event-type "comparisons"
+    // (each transition a→b counts as b beating a — the engagement-
+    // progression reading): the distributed MM iterations vs the
+    // generated 10-iteration unrolled oracle. The comparison counts
+    // reuse the q_events_markov transition machinery.
+    q("q_events_bradley_terry", EventQueries.bradleyTerryOracleSql) {
+      (s, dir) =>
+        val raw = t(s, dir, "events")
+        val counts = graft.events.Events.transitionCounts(
+            raw.withColumn("sec", Ts.seconds(raw)),
+            "user_id", "sec", "event_type", "event_id")
+          .filter(col("from_type") =!= col("to_type"))
+        graft.ml.Preference.bradleyTerry(
+            counts.select(col("to_type").as("winner"),
+              col("from_type").as("loser"), col("n")),
+            "winner", "loser", iters = 10, countCol = Some("n"))
+          .select(col("item").as("event_type"), col("wins"),
+            col("matches"), round(col("rating"), 6).as("rating"))
+          .orderBy("event_type")
     }
   )
 }

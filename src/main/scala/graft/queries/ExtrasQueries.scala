@@ -694,6 +694,40 @@ object ExtrasQueries extends QueryGroup {
             .select("c_custkey", "c_nationkey", "c_mktsegment"),
           Seq("c_nationkey", "c_mktsegment"), k = 12)
         .orderBy("c_custkey")
+    },
+
+    // t-closeness: per-nation TVD between the class's market-segment
+    // distribution and the global one. Absent segments contribute via
+    // the (1 - sum of present P) identity on both sides, so neither
+    // engine materializes the class x domain cross product.
+    q("q_privacy_tcloseness",
+      """WITH joint AS (
+        |  SELECT c_nationkey, c_mktsegment AS s, count(*) AS ns
+        |  FROM customer GROUP BY 1, 2
+        |), cls AS (
+        |  SELECT c_nationkey, s, ns,
+        |    sum(ns) OVER (PARTITION BY c_nationkey) AS nc
+        |  FROM joint
+        |), globp AS (
+        |  SELECT c_mktsegment AS s,
+        |    CAST(count(*) AS DOUBLE)
+        |      / (SELECT count(*) FROM customer) AS p
+        |  FROM customer GROUP BY 1
+        |)
+        |SELECT cls.c_nationkey, CAST(max(cls.nc) AS BIGINT) AS n,
+        |  round((sum(abs(CAST(cls.ns AS DOUBLE) / cls.nc - globp.p))
+        |    + (1.0::DOUBLE - sum(globp.p))) / 2.0::DOUBLE, 6) AS tvd,
+        |  (sum(abs(CAST(cls.ns AS DOUBLE) / cls.nc - globp.p))
+        |    + (1.0::DOUBLE - sum(globp.p))) / 2.0::DOUBLE
+        |    <= 0.1::DOUBLE AS pass
+        |FROM cls JOIN globp USING (s)
+        |GROUP BY cls.c_nationkey
+        |ORDER BY cls.c_nationkey""".stripMargin) { (s, dir) =>
+      graft.ml.Privacy.tClosenessReport(t(s, dir, "customer"),
+          Seq("c_nationkey"), "c_mktsegment", t = 0.1)
+        .select(col("c_nationkey"), col("n"),
+          round(col("tvd"), 6).as("tvd"), col("pass"))
+        .orderBy("c_nationkey")
     }
   )
 }

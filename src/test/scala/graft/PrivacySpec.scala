@@ -45,6 +45,23 @@ class PrivacySpec extends SparkSpec {
     assert(g.toSeq == Seq(25.0, 25.0, 25.0, 25.0, 25.0, 50.0))
   }
 
+  test("tClosenessReport: hand-computed TVD incl. absent-value mass") {
+    // global: P(flu)=2/3, P(cold)=1/3
+    // (94107,30): Q=(2/3,1/3) → tvd 0
+    // (94110,40): Q=(1/2,1/2) → ½(1/6+1/6) = 1/6
+    // (02139,50): Q=(1,·), cold ABSENT → ½(1/3 + 1/3) = 1/3
+    val r = Privacy.tClosenessReport(people, Seq("zip", "age"), "diag",
+        t = 0.2).collect()
+      .map(x => (x.getAs[String]("zip"),
+        (x.getAs[Long]("n"), x.getAs[Double]("tvd"),
+          x.getAs[Boolean]("pass")))).toMap
+    assert(r("94107")._1 == 3L && math.abs(r("94107")._2) < 1e-12)
+    assert(r("94107")._3)
+    assert(math.abs(r("94110")._2 - 1.0 / 6) < 1e-12 && r("94110")._3)
+    assert(r("02139")._1 == 1L)
+    assert(math.abs(r("02139")._2 - 1.0 / 3) < 1e-12 && !r("02139")._3)
+  }
+
   test("report validates arguments") {
     intercept[IllegalArgumentException] {
       Privacy.kAnonymityReport(people, Seq.empty, 2)
