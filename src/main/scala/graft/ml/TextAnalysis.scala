@@ -426,6 +426,55 @@ object TextAnalysis {
         count(lit(1)).as("n_bigrams"))
   }
 
+  /** Per-document interpolated Kneser–Ney bigram NLL (Kneser & Ney
+    * 1995; Chen & Goodman 1999's interpolated form with a fixed
+    * absolute discount): the production-grade bigram perplexity
+    * signal. Unlike add-k smoothing ([[bigramNll]]), the backoff mass
+    * goes to the CONTINUATION unigram P_cont(w) = N1+(·,w) / N1+(··)
+    * — how many distinct contexts w completes, not how often it
+    * occurs — which stops high-frequency-but-context-bound tokens
+    * ("francisco") from soaking up backoff probability:
+    *
+    *   P(w|v) = max(c(v,w) − d, 0)/c(v) + d·N1+(v,·)/c(v) · P_cont(w)
+    *
+    * Returns (doc_id, kn_nll, n_bigrams); docs with fewer than 2
+    * tokens are dropped.
+    *
+    * Scale shape: identical to [[bigramNll]] — lag-window bigrams, all
+    * four count tables are hash group-bys over the bigram-TYPE table
+    * (bounded by vocabulary², not corpus size), scoring joins shuffle
+    * on (prev, t) / prev / t, and the 1-row N1+(··) total broadcasts.
+    */
+  def kneserNeyNll(df: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(discount > 0 && discount < 1, "discount must be in (0, 1)")
+    val tok = df.select(col(idCol).as("doc_id"),
+      posexplode(split(normalize(col(textCol)), " ")).as(Seq("pos", "tk")))
+      .filter(length(col("tk")) > 0)
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val big = tok.withColumn("prev", lag("tk", 1).over(byDoc))
+      .filter(col("prev").isNotNull)
+    val bc = big.groupBy("prev", "tk").agg(count(lit(1)).as("cb"))
+    // distinct continuations of v = row count of v's bigram types
+    val pc = bc.groupBy("prev")
+      .agg(sum("cb").as("cp"), count(lit(1)).as("n1p"))
+    // distinct left contexts completing into w
+    val cw = bc.groupBy("tk").agg(count(lit(1)).as("n1w"))
+    val tot = bc.agg(count(lit(1)).as("nbt"))
+    big.join(bc, Seq("prev", "tk"))
+      .join(pc, Seq("prev"))
+      .join(cw, Seq("tk"))
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(avg(-log(
+        greatest(col("cb").cast("double") - lit(discount), lit(0.0))
+          / col("cp")
+          + lit(discount) * col("n1p") / col("cp")
+          * (col("n1w").cast("double") / col("nbt")))).as("kn_nll"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
   /** Per-stratum vocabulary statistics: token count, distinct types,
     * type–token ratio, and the hapax-legomena fraction (types seen
     * exactly once over all types) — the corpus-health numbers behind

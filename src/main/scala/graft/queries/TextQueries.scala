@@ -285,6 +285,45 @@ object TextQueries extends QueryGroup {
         .orderBy("doc_id")
     },
 
+    // interpolated Kneser–Ney bigram NLL (d = 0.75): backoff mass
+    // routed to continuation counts, exact count-table replay with the
+    // same left-associated arithmetic as the Spark plan.
+    q("q_text_kn_nll", {
+      val words = "string_split(trim(regexp_replace(regexp_replace(lower(text), " +
+        "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')"
+      s"""WITH cw AS (
+         |  SELECT doc_id, $words AS w FROM documents
+         |), tok AS (
+         |  SELECT doc_id, u.i AS pos, w[u.i] AS tk
+         |  FROM cw, unnest(range(1, len(w) + 1)) AS u(i)
+         |  WHERE strlen(w[u.i]) > 0
+         |), big AS (
+         |  SELECT doc_id, pos, tk,
+         |    lag(tk) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         |  FROM tok
+         |), bc AS (SELECT prev, tk, count(*) AS cb FROM big
+         |          WHERE prev IS NOT NULL GROUP BY 1, 2),
+         |pc AS (SELECT prev, sum(cb) AS cp, count(*) AS n1p
+         |       FROM bc GROUP BY prev),
+         |cw2 AS (SELECT tk, count(*) AS n1w FROM bc GROUP BY tk),
+         |tot AS (SELECT count(*) AS nbt FROM bc)
+         |SELECT b.doc_id,
+         |  round(avg(-ln(
+         |    greatest(CAST(cb AS DOUBLE) - 0.75::DOUBLE, 0.0::DOUBLE) / cp
+         |    + 0.75::DOUBLE * n1p / cp * (CAST(n1w AS DOUBLE) / nbt))), 6)
+         |    AS kn_nll,
+         |  count(*) AS n_bigrams
+         |FROM big b JOIN bc ON b.prev = bc.prev AND b.tk = bc.tk
+         |JOIN pc ON b.prev = pc.prev
+         |JOIN cw2 ON b.tk = cw2.tk, tot
+         |WHERE b.prev IS NOT NULL
+         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
+    }) { (s, dir) =>
+      TA.kneserNeyNll(t(s, dir, "documents"), "doc_id", "text")
+        .withColumn("kn_nll", round(col("kn_nll"), 6))
+        .orderBy("doc_id")
+    },
+
     // per-doc top-5 terms by corpus TF-IDF (smoothed idf,
     // lexicographic tie-break) — keyword extraction / relevance.
     q("q_text_tfidf", {

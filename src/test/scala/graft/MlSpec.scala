@@ -586,6 +586,28 @@ class MlSpec extends SparkSpec {
     assert(math.abs(got(2L)._1 - exp2) < 1e-9 && got(2L)._2 == 1L)
   }
 
+  test("kneserNeyNll matches a hand-computed interpolated KN model") {
+    import spark.implicits._
+    val d = Seq((1L, "a b a b"), (2L, "a a")).toDF("doc_id", "text")
+    // bigram types: (a,b)=2 (b,a)=1 (a,a)=1 → N1+(··)=3
+    // cp: a·=3 (2 types), b·=1 (1 type)
+    // N1+(·,a)=2 (after b, after a); N1+(·,b)=1 (after a)
+    val dd = 0.75
+    def p(cb: Double, cp: Double, n1p: Double, n1w: Double) =
+      math.max(cb - dd, 0.0) / cp + dd * n1p / cp * (n1w / 3.0)
+    val pab = p(2, 3, 2, 1); val pba = p(1, 1, 1, 2); val paa = p(1, 3, 2, 2)
+    val exp1 = -(math.log(pab) * 2 + math.log(pba)) / 3
+    val exp2 = -math.log(paa)
+    val got = TA.kneserNeyNll(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(math.abs(got(1L)._1 - exp1) < 1e-9 && got(1L)._2 == 3L)
+    assert(math.abs(got(2L)._1 - exp2) < 1e-9 && got(2L)._2 == 1L)
+    // probabilities stay in (0, 1): NLL strictly positive
+    assert(got.values.forall(_._1 > 0))
+    intercept[IllegalArgumentException](
+      TA.kneserNeyNll(d, "doc_id", "text", discount = 1.5))
+  }
+
   test("unigramNll matches a hand-computed smoothed model") {
     import spark.implicits._
     val d = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
