@@ -442,6 +442,57 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** EXACT set-similarity self-join by prefix filtering (Chaudhuri et
+    * al. SSJoin 2006 / Bayardo et al. All-Pairs 2007): order every
+    * document's shingle set by ascending corpus frequency (rarest
+    * first, gram-hash tie-break) and join only each set's PREFIX of
+    * length |s| − ⌈t·|s|⌉ + 1 — any pair with Jaccard ≥ t must share
+    * a prefix gram under a shared global order, so the filter is
+    * lossless while hot grams ("of the") never generate candidates
+    * unless a document consists of almost nothing else. Candidates
+    * additionally pass the length filter min|s| ≥ t·max|s|, then
+    * exact [[verifyJaccard]] — the output EQUALS the all-pairs
+    * quadratic answer, without blocking keys and without MinHash's
+    * probabilistic recall.
+    *
+    * Scale shape: gram frequencies are one hash aggregate; the prefix
+    * rank is a per-document sort (bounded by document size); the
+    * candidate join shuffles only prefix grams — for t = 0.8 that is
+    * ≤ 20% of the gram stream, and its frequency skew is inverted
+    * (prefixes hold each document's RAREST grams, so bucket sizes
+    * stay small where a plain gram join explodes). Verification joins
+    * once per surviving candidate pair.
+    */
+  def prefixFilterJaccardPairs(df: DataFrame, idCol: String,
+      textCol: String, threshold: Double,
+      shingleWidth: Int = 2): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      "threshold must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val sets = df.select(col(idCol).cast("long").as("id"),
+        shingles(col(textCol), shingleWidth).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val toks = sets.select(col("id"), size(col("sh")).as("len"),
+      explode(col("sh")).as("g"))
+    val freq = toks.groupBy("g").agg(count(lit(1)).as("f"))
+    val byRarity = Window.partitionBy("id").orderBy(col("f"), col("g"))
+    // ⌈t·len⌉ computed with a downward bias so float noise on an
+    // integer product can only LENGTHEN the prefix (longer = still
+    // lossless; shorter would drop true pairs)
+    val pref = toks.join(freq, "g")
+      .withColumn("rk", row_number().over(byRarity))
+      .filter(col("rk") <=
+        col("len") - ceil(lit(threshold) * col("len") - lit(1e-9)) + 1)
+      .select(col("id"), col("g"), col("len"))
+    val cand = pref.alias("a").join(pref.alias("b"), "g")
+      .filter(col("a.id") < col("b.id"))
+      .filter(least(col("a.len"), col("b.len")).cast("double") >=
+        lit(threshold) * greatest(col("a.len"), col("b.len")) - lit(1e-9))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    verifyJaccard(cand, sets, threshold)
+  }
+
   /** Geometric length-bucket blocking column: documents can only be
     * near-dups if their lengths are within the bucket ratio, so
     * bucketing by floor(log_r(len)) bounds all-pairs groups at scale

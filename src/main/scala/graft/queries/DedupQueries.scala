@@ -71,6 +71,22 @@ object DedupQueries extends QueryGroup {
        |      len(list_distinct(a.s || b.s)) >= 0.7
        |ORDER BY id1, id2""".stripMargin
 
+  /** All near-dup pairs by exact 2-shingle Jaccard >= 0.7 with NO
+    * blocking — shared oracle for the paths that must recover the
+    * full unblocked answer (MinHash LSH, prefix-filter join).
+    */
+  private val unblockedPairsSql =
+    s"""$augmentedSql, sh AS (
+       |  SELECT doc_id, $shinglesSql AS s FROM docs
+       |)
+       |SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |  round(len(list_intersect(a.s, b.s)) * 1.0::DOUBLE /
+       |        len(list_distinct(a.s || b.s)), 6) AS jaccard
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE len(list_intersect(a.s, b.s)) * 1.0::DOUBLE /
+       |      len(list_distinct(a.s || b.s)) >= 0.7
+       |ORDER BY id1, id2""".stripMargin
+
   /** Transitive closure over the exact-Jaccard pair set (recursive
     * CTE) — shared oracle for both connected-components algorithms.
     */
@@ -123,19 +139,20 @@ object DedupQueries extends QueryGroup {
     // MinHash LSH near-dups, Jaccard-verified: must equal the exact
     // answer (restricted to the same blocks is NOT applied here — LSH
     // finds cross-block pairs too, so the oracle drops blocking).
-    q("q_dedup_minhash",
-      s"""$augmentedSql, sh AS (
-         |  SELECT doc_id, $shinglesSql AS s FROM docs
-         |)
-         |SELECT a.doc_id AS id1, b.doc_id AS id2,
-         |  round(len(list_intersect(a.s, b.s)) * 1.0::DOUBLE /
-         |        len(list_distinct(a.s || b.s)), 6) AS jaccard
-         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |WHERE len(list_intersect(a.s, b.s)) * 1.0::DOUBLE /
-         |      len(list_distinct(a.s || b.s)) >= 0.7
-         |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+    q("q_dedup_minhash", unblockedPairsSql) { (s, dir) =>
       Dedup.minHashNearDuplicates(augmented(s, dir), "doc_id", "text",
         threshold = 0.7)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id1", "id2")
+    },
+
+    // prefix-filtered exact similarity join (SSJoin/All-Pairs): the
+    // lossless deterministic path to the SAME unblocked all-pairs
+    // answer — rarest-first prefixes + length filter + verification,
+    // no probabilistic recall, no blocking keys.
+    q("q_dedup_prefix_jaccard", unblockedPairsSql) { (s, dir) =>
+      Dedup.prefixFilterJaccardPairs(augmented(s, dir), "doc_id",
+        "text", threshold = 0.7)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("id1", "id2")
     },

@@ -45,6 +45,44 @@ class MlSpec extends SparkSpec {
       "tracked pipeline caches leaked after unpersistPipelineCaches()")
   }
 
+  test("prefixFilterJaccardPairs equals brute-force all-pairs Jaccard") {
+    import spark.implicits._
+    // adversarial mix: shared hot grams everywhere, one near-dup pair,
+    // an exact-dup pair, length-ratio decoys, and a doc whose prefix
+    // is all hot grams
+    val fix = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away"),
+      (2L, "the quick brown fox jumps over the lazy dog and runs far"),
+      (3L, "completely different content about spark query engines at scale"),
+      (4L, "completely different content about spark query engines at scale"),
+      (5L, "the the the the the the"),
+      (6L, "quick brown dog"),
+      (7L, "spark query engines at scale are completely different content about")
+    ).toDF("doc_id", "text")
+    def norm(t: String) = t.toLowerCase.replaceAll("[^a-z0-9\\s]", " ")
+      .replaceAll("\\s+", " ").trim
+    def sh(t: String): Set[String] = {
+      val w = norm(t).split(" ").toSeq
+      if (w.length < 2) w.toSet else w.sliding(2).map(_.mkString(" ")).toSet
+    }
+    val local = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L)
+      .map(i => i -> sh(fix.filter(col("doc_id") === i)
+        .head().getString(1)))
+    val want = (for {
+      (i, si) <- local; (j, sj) <- local if i < j
+      jac = (si & sj).size.toDouble / (si | sj).size
+      if jac >= 0.5
+    } yield (i, j, math.rint(jac * 1e6) / 1e6)).toSet
+    val got = Dedup.prefixFilterJaccardPairs(fix, "doc_id", "text",
+        threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e6) / 1e6)).toSet
+    assert(got == want, s"got $got want $want")
+    assert(want.exists(p => p._1 == 1L && p._2 == 2L)) // fixture sanity
+    intercept[IllegalArgumentException](
+      Dedup.prefixFilterJaccardPairs(fix, "doc_id", "text", threshold = 0.0))
+  }
+
   test("heavyHitters equals the exact GROUP BY answer with a tiny sketch") {
     import spark.implicits._
     // 8 heavy terms (600+ each) over a 3000-term uniform tail; k = 32
