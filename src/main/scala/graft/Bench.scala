@@ -97,7 +97,11 @@ object Bench {
     "q_embed_pca_cov",
     "q_events_bootstrap",
     "q_text_hybrid",
-    "q_events_sequential")
+    "q_events_sequential",
+    // round-17: prefix-filtered exact similarity join (lossless
+    // all-pairs without LSH) + interpolated Kneser-Ney bigram LM
+    "q_dedup_prefix_jaccard",
+    "q_text_kn_nll")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -99,11 +99,10 @@ object Privacy {
     val withClass = joint.withColumn("__nc",
       sum("__ns").over(Window.partitionBy(qiCols.map(col): _*)))
     // global P(s): one aggregate over the sensitive column; the total
-    // comes from a single-partition window over the tiny domain table
-    // rather than a driver-side count
-    val globalP = df.groupBy(col(sensitive))
-      .agg(count(lit(1)).as("__gs"))
-      .withColumn("__tot", sum("__gs").over(Window.partitionBy(lit(1))))
+    // is a 1-row aggregate broadcast back onto the tiny domain table
+    // (no global window, no driver-side count)
+    val gs = df.groupBy(col(sensitive)).agg(count(lit(1)).as("__gs"))
+    val globalP = gs.crossJoin(broadcast(gs.agg(sum("__gs").as("__tot"))))
       .select(col(sensitive), (col("__gs") / col("__tot")).as("__p"))
     withClass.join(globalP, Seq(sensitive))
       .withColumn("__q", col("__ns") / col("__nc"))
@@ -112,5 +111,44 @@ object Privacy {
         ((sum(abs(col("__q") - col("__p"))) +
           (lit(1.0) - sum("__p"))) / 2.0).as("tvd"))
       .withColumn("pass", col("tvd") <= t)
+  }
+
+  /** ε-differentially-private group counts (Laplace mechanism,
+    * Dwork et al. 2006; count sensitivity = `sensitivity`, scale
+    * b = sensitivity/ε) with DETERMINISTIC seeded noise: the uniform
+    * draw is the md5 of (seed, group key) mapped to (0,1), pushed
+    * through the Laplace inverse CDF −b·sgn(u−½)·ln(1−2|u−½|).
+    * Seeding makes the release replayable and auditable (and
+    * engine-replayable for the oracle gate); real deployments rotate
+    * the seed per release — reusing a seed across releases of the
+    * SAME statistic spends no extra budget, while fresh seeds
+    * compose by the usual ε-sum.
+    *
+    * Returns (groupCols…, n, noised_n). `n` is the true count, kept
+    * for audit pipelines — drop it (and publish only `noised_n`)
+    * in the released artifact.
+    *
+    * One hash aggregate + per-row Column arithmetic; no window, no
+    * join — scales to any group cardinality.
+    */
+  def laplaceNoisedCounts(df: DataFrame, groupCols: Seq[String],
+      epsilon: Double, seed: String,
+      sensitivity: Double = 1.0): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(epsilon > 0.0, "epsilon must be positive")
+    require(sensitivity > 0.0, "sensitivity must be positive")
+    val key = concat_ws("\u0001",
+      groupCols.map(c => col(c).cast("string")): _*)
+    val h = substring(md5(concat_ws(":", lit(seed), key)), 1, 8)
+    // (int + 0.5) / 2^32 ∈ (0, 1): never exactly 0, ½, or 1-adjacent
+    // enough to reach ln(0)
+    val u = (conv(h, 16, 10).cast("long") + lit(0.5)) /
+      lit(4294967296.0)
+    val centered = u - lit(0.5)
+    val noise = lit(-sensitivity / epsilon) * signum(centered) *
+      log(lit(1.0) - lit(2.0) * abs(centered))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("noised_n", col("n") + noise)
   }
 }

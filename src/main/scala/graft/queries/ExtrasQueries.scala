@@ -728,6 +728,34 @@ object ExtrasQueries extends QueryGroup {
         .select(col("c_nationkey"), col("n"),
           round(col("tvd"), 6).as("tvd"), col("pass"))
         .orderBy("c_nationkey")
+    },
+
+    // ε-DP Laplace counts with seeded deterministic noise: the md5
+    // uniform replays digit-by-digit (strpos over the hex alphabet),
+    // then the same inverse-CDF arithmetic on both engines.
+    q("q_privacy_dp_counts",
+      """WITH g AS (
+        |  SELECT event_type, count(*) AS n FROM events GROUP BY 1
+        |), h AS (
+        |  SELECT event_type, n,
+        |    substr(md5('42:' || event_type), 1, 8) AS hx
+        |  FROM g
+        |), uu AS (
+        |  SELECT event_type, n,
+        |    (list_sum(list_transform(range(1, 9),
+        |       i -> (strpos('0123456789abcdef', hx[i]) - 1)
+        |            * 16 ** (8 - i))) + 0.5) / 4294967296.0 AS u
+        |  FROM h
+        |)
+        |SELECT event_type, n,
+        |  round(n + -1.0::DOUBLE * sign(u - 0.5) *
+        |    ln(1.0::DOUBLE - 2.0::DOUBLE * abs(u - 0.5)), 6) AS noised_n
+        |FROM uu ORDER BY event_type""".stripMargin) { (s, dir) =>
+      graft.ml.Privacy.laplaceNoisedCounts(t(s, dir, "events"),
+          Seq("event_type"), epsilon = 1.0, seed = "42")
+        .select(col("event_type"), col("n"),
+          round(col("noised_n"), 6).as("noised_n"))
+        .orderBy("event_type")
     }
   )
 }

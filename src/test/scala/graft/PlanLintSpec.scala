@@ -73,7 +73,11 @@ class PlanLintSpec extends SparkSpec {
     "q_events_power" -> Map("cartesian" ->
       "1-row control-arm aggregate broadcast onto the treatment arms"),
     "q_profile_join_card" -> Map("cartesian" ->
-      "1-row pair-total aggregate broadcast onto the per-key count table"))
+      "1-row pair-total aggregate broadcast onto the per-key count table"),
+    "q_text_kn_nll" -> Map("cartesian" ->
+      "1-row bigram-type-total aggregate broadcast onto the bigram stream"),
+    "q_privacy_tcloseness" -> Map("cartesian" ->
+      "1-row global-total aggregate broadcast onto the sensitive-domain frequency table"))
 
   test("every cartesian/global-window in any gate plan is whitelisted") {
     val dir = sf("sf0.001")

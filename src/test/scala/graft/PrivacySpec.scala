@@ -62,6 +62,32 @@ class PrivacySpec extends SparkSpec {
     assert(math.abs(r("02139")._2 - 1.0 / 3) < 1e-12 && !r("02139")._3)
   }
 
+  test("laplaceNoisedCounts: noise matches the inverse-CDF replica") {
+    import java.security.MessageDigest
+    val r = Privacy.laplaceNoisedCounts(people, Seq("zip"),
+        epsilon = 0.5, seed = "s1").collect()
+      .map(x => x.getAs[String]("zip") ->
+        ((x.getAs[Long]("n"), x.getAs[Double]("noised_n")))).toMap
+    def expectedNoise(zip: String): Double = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(s"s1:$zip".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 4294967296.0
+      val c = u - 0.5
+      -(1.0 / 0.5) * math.signum(c) * math.log(1.0 - 2.0 * math.abs(c))
+    }
+    Seq("94107", "94110", "02139").foreach { z =>
+      assert(math.abs(r(z)._2 - (r(z)._1 + expectedNoise(z))) < 1e-9,
+        s"zip $z")
+    }
+    // true counts preserved alongside
+    assert(r("94107")._1 == 3L)
+    intercept[IllegalArgumentException] {
+      Privacy.laplaceNoisedCounts(people, Seq("zip"), epsilon = 0.0,
+        seed = "s")
+    }
+  }
+
   test("report validates arguments") {
     intercept[IllegalArgumentException] {
       Privacy.kAnonymityReport(people, Seq.empty, 2)
