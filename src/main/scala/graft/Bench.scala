@@ -98,9 +98,11 @@ object Bench {
     "q_events_bootstrap",
     "q_text_hybrid",
     "q_events_sequential",
-    // round-17: prefix-filtered exact similarity join (lossless
-    // all-pairs without LSH) + interpolated Kneser-Ney bigram LM
-    "q_dedup_prefix_jaccard",
+    // round-17: prefix-filtered exact similarity join (lossless,
+    // blocked configuration — the unblocked gate stays correctness-
+    // only: the synthetic corpus's tiny vocabulary is the documented
+    // prefix-filter worst case) + interpolated Kneser-Ney bigram LM
+    "q_dedup_prefix_blocked",
     "q_text_kn_nll")
 
   def main(args: Array[String]): Unit = {

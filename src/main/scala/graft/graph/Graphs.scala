@@ -382,6 +382,48 @@ object Graphs {
     dist
   }
 
+  /** HITS hubs-and-authorities (Kleinberg 1999) on the DISTINCT edge
+    * set: per iteration authority a ← Σ_{j→i} h_j then hub
+    * h ← Σ_{i→j} a_j, each L1-normalized to Σ = 1 (scale-equivalent
+    * to Kleinberg's L2 form — the ranking and ratios converge to the
+    * same principal eigenvectors of AᵀA / AAᵀ, and L1 keeps the
+    * normalizer a plain 1-row sum both engines reproduce exactly).
+    *
+    * Scale shape: state is one (node, score) row per node; each
+    * half-iteration is one edge⋈state shuffle + a hash aggregate +
+    * a broadcast 1-row normalizer; `localCheckpoint` lineage cuts
+    * per round (the [[personalizedPageRank]] idiom).
+    */
+  def hits(edges: DataFrame, iters: Int = 10, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1, "hits needs at least one iteration")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    var hub = nodes.select(col("node"), lit(1.0).as("h"))
+    var auth = nodes.select(col("node"), lit(0.0).as("a"))
+    for (_ <- 1 to iters) {
+      val aRaw = e.join(hub.select(col("node").as("src"), col("h")), "src")
+        .groupBy(col("dst").as("node")).agg(sum("h").as("a"))
+      val aFull = nodes.join(aRaw, Seq("node"), "left")
+        .select(col("node"), coalesce(col("a"), lit(0.0)).as("a"))
+      auth = aFull.crossJoin(broadcast(aFull.agg(sum("a").as("s"))))
+        .select(col("node"), (col("a") / col("s")).as("a"))
+        .localCheckpoint()
+      val hRaw = e.join(auth.select(col("node").as("dst"), col("a")), "dst")
+        .groupBy(col("src").as("node")).agg(sum("a").as("h"))
+      val hFull = nodes.join(hRaw, Seq("node"), "left")
+        .select(col("node"), coalesce(col("h"), lit(0.0)).as("h"))
+      hub = hFull.crossJoin(broadcast(hFull.agg(sum("h").as("s"))))
+        .select(col("node"), (col("h") / col("s")).as("h"))
+        .localCheckpoint()
+    }
+    nodes.join(auth, Seq("node")).join(hub, Seq("node"))
+      .select(col("node"), col("a").as("authority"), col("h").as("hub"))
+  }
+
   private def persistTracked(df: DataFrame): DataFrame =
     graft.core.PipelineCaches.persistTracked(df)
 }

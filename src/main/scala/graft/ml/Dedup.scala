@@ -460,20 +460,44 @@ object Dedup {
     * candidate join shuffles only prefix grams — for t = 0.8 that is
     * ≤ 20% of the gram stream, and its frequency skew is inverted
     * (prefixes hold each document's RAREST grams, so bucket sizes
-    * stay small where a plain gram join explodes). Verification joins
-    * once per surviving candidate pair.
+    * stay small where a plain gram join explodes). Matched pairs then
+    * pass the PPJoin overlap bound (see inline) before the per-pair
+    * verification join. On corpora whose vocabulary is SMALL relative
+    * to corpus size (so even "rare" grams are common), pass
+    * `blockCols` (language, source, [[lengthBucket]]) — the prefix
+    * semantics hold within blocks for any shared global order, and
+    * the candidate buckets divide by the block count.
     */
   def prefixFilterJaccardPairs(df: DataFrame, idCol: String,
       textCol: String, threshold: Double,
-      shingleWidth: Int = 2): DataFrame = {
+      shingleWidth: Int = 2,
+      blockCols: Seq[String] = Seq.empty): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       "threshold must be in (0, 1]")
     import org.apache.spark.sql.expressions.Window
-    val sets = df.select(col(idCol).cast("long").as("id"),
-        shingles(col(textCol), shingleWidth).as("sh"))
-      .filter(size(col("sh")) > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    // shingle via the typed JVM kernel (MinHashUtil.shingleHashes, the
+    // buildSignatureStore path): the Column-expression shingles()
+    // evaluates its higher-order lambdas interpreted, which measured
+    // ~50× slower than the compiled kernel on the sf0.1 corpus. Block
+    // columns ride along as one \u0001-joined string key. The set
+    // table is persisted: the candidate subtree and both verify
+    // branches would otherwise each recompute the shingle scan.
+    val blk =
+      if (blockCols.isEmpty) lit("")
+      else concat_ws("\u0001", blockCols.map(c => col(c).cast("string")): _*)
+    val sets = persistTracked(
+      df.filter(length(TextAnalysis.normalize(col(textCol))) > 0)
+        .select(col(idCol).cast("long").as("id"),
+          col(textCol).as("t"), blk.as("blk"))
+        .as[(Long, String, String)]
+        .map { case (id, text, b) =>
+          (id, MinHashUtil.shingleHashes(text, shingleWidth), b)
+        }
+        .toDF("id", "sh", "blk"))
     val toks = sets.select(col("id"), size(col("sh")).as("len"),
-      explode(col("sh")).as("g"))
+      explode(col("sh")).as("g"), col("blk"))
     val freq = toks.groupBy("g").agg(count(lit(1)).as("f"))
     val byRarity = Window.partitionBy("id").orderBy(col("f"), col("g"))
     // ⌈t·len⌉ computed with a downward bias so float noise on an
@@ -483,14 +507,29 @@ object Dedup {
       .withColumn("rk", row_number().over(byRarity))
       .filter(col("rk") <=
         col("len") - ceil(lit(threshold) * col("len") - lit(1e-9)) + 1)
-      .select(col("id"), col("g"), col("len"))
-    val cand = pref.alias("a").join(pref.alias("b"), "g")
+      .select(col("id"), col("g"), col("len"), col("rk"), col("blk"))
+    val joinKeys = Seq("g", "blk")
+    // PPJoin-style group bound (Xiao et al. 2008): with c shared
+    // prefix grams and m1/m2 their LAST positions in each rarity
+    // order, every further shared gram sorts after that last shared
+    // prefix gram on BOTH sides (else it would itself be a shared
+    // prefix gram), so overlap ≤ c + min(l1−m1, l2−m2); pairs that
+    // cannot reach the Jaccard-t overlap floor ⌈t/(1+t)·(l1+l2)⌉
+    // never enter verification.
+    val cand = pref.alias("a").join(pref.alias("b"), joinKeys)
       .filter(col("a.id") < col("b.id"))
       .filter(least(col("a.len"), col("b.len")).cast("double") >=
         lit(threshold) * greatest(col("a.len"), col("b.len")) - lit(1e-9))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"))
-      .distinct()
-    verifyJaccard(cand, sets, threshold)
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("c"),
+        max(col("a.len")).as("l1"), max(col("b.len")).as("l2"),
+        max(col("a.rk")).as("m1"), max(col("b.rk")).as("m2"))
+      .filter(col("c") +
+        least(col("l1") - col("m1"), col("l2") - col("m2")) >=
+        ceil(lit(threshold / (1.0 + threshold)) *
+          (col("l1") + col("l2")) - lit(1e-9)))
+      .select("id1", "id2")
+    verifyJaccard(cand, sets.select("id", "sh"), threshold)
   }
 
   /** Geometric length-bucket blocking column: documents can only be

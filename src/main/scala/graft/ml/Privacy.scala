@@ -137,18 +137,51 @@ object Privacy {
     require(groupCols.nonEmpty, "need at least one group column")
     require(epsilon > 0.0, "epsilon must be positive")
     require(sensitivity > 0.0, "sensitivity must be positive")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("noised_n",
+        col("n") + seededLaplace(groupCols, seed, sensitivity / epsilon))
+  }
+
+  /** ε-DP group SUMS: each row's contribution is clipped to
+    * [clipLo, clipHi] before aggregation (the standard bounded-
+    * contribution step), so one row's presence changes the sum by at
+    * most max(|clipLo|, |clipHi|) — that is the Laplace sensitivity.
+    * Same seeded deterministic noise as [[laplaceNoisedCounts]].
+    *
+    * Returns (groupCols…, clipped_sum, noised_sum); publish only
+    * `noised_sum`.
+    */
+  def laplaceNoisedSums(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, clipLo: Double, clipHi: Double,
+      epsilon: Double, seed: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(epsilon > 0.0, "epsilon must be positive")
+    require(clipLo < clipHi, "clip range must be non-empty")
+    val sens = math.max(math.abs(clipLo), math.abs(clipHi))
+    require(sens > 0.0, "clip range must allow a nonzero contribution")
+    val clipped = least(greatest(col(valueCol).cast("double"),
+      lit(clipLo)), lit(clipHi))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(sum(clipped).as("clipped_sum"))
+      .withColumn("noised_sum",
+        col("clipped_sum") + seededLaplace(groupCols, seed, sens / epsilon))
+  }
+
+  /** Laplace(0, scale) noise as a deterministic Column: md5 of
+    * (seed, group key) → uniform in (0,1) → inverse CDF
+    * −b·sgn(u−½)·ln(1−2|u−½|). (int + 0.5)/2^32 is never exactly
+    * 0, ½, or close enough to 1 to reach ln(0).
+    */
+  private def seededLaplace(groupCols: Seq[String], seed: String,
+      scale: Double): Column = {
     val key = concat_ws("\u0001",
       groupCols.map(c => col(c).cast("string")): _*)
     val h = substring(md5(concat_ws(":", lit(seed), key)), 1, 8)
-    // (int + 0.5) / 2^32 ∈ (0, 1): never exactly 0, ½, or 1-adjacent
-    // enough to reach ln(0)
     val u = (conv(h, 16, 10).cast("long") + lit(0.5)) /
       lit(4294967296.0)
     val centered = u - lit(0.5)
-    val noise = lit(-sensitivity / epsilon) * signum(centered) *
+    lit(-scale) * signum(centered) *
       log(lit(1.0) - lit(2.0) * abs(centered))
-    df.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("n"))
-      .withColumn("noised_n", col("n") + noise)
   }
 }

@@ -157,6 +157,17 @@ object DedupQueries extends QueryGroup {
         .orderBy("id1", "id2")
     },
 
+    // blocked prefix-filter join: same exact semantics within
+    // (lang, source) blocks — the configuration a corpus with a
+    // dense gram distribution runs at scale; shares the blocked
+    // all-pairs oracle with q_dedup_ngram_jaccard.
+    q("q_dedup_prefix_blocked", exactPairsSql) { (s, dir) =>
+      Dedup.prefixFilterJaccardPairs(augmented(s, dir), "doc_id",
+        "text", threshold = 0.7, blockCols = Seq("lang", "source"))
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id1", "id2")
+    },
+
     // near-dup pairs → connected components → canonical doc per
     // cluster (Dedup.connectedComponents: min-label propagation with
     // pointer jumping). Oracle: transitive closure via recursive CTE

@@ -70,6 +70,58 @@ object EventQueries extends QueryGroup {
        |FROM r10 ORDER BY event_type""".stripMargin
   }
 
+  /** DuckDB replica of `Graphs.hits(iters=10)` over the distinct
+    * event-type transition edge set: each iteration unrolls as six
+    * generated CTEs (authority join-aggregate, left-join fill,
+    * normalizer scalar, normalized authority; then the same for
+    * hubs) with the exact arithmetic the Spark plan compiles.
+    */
+  private def hitsOracleSql: String = {
+    val iters = (1 to 10).map { k =>
+      s"""ar$k AS MATERIALIZED (
+         |  SELECT en.dst AS node, sum(h.h) AS a
+         |  FROM en JOIN h${k - 1} h ON en.src = h.node GROUP BY 1
+         |), af$k AS MATERIALIZED (
+         |  SELECT n.node, coalesce(ar.a, 0.0::DOUBLE) AS a
+         |  FROM nodes n LEFT JOIN ar$k ar USING (node)
+         |), asm$k AS (SELECT sum(a) AS s FROM af$k),
+         |a$k AS MATERIALIZED (
+         |  SELECT node, a / s AS a FROM af$k, asm$k
+         |), hr$k AS MATERIALIZED (
+         |  SELECT en.src AS node, sum(a.a) AS h
+         |  FROM en JOIN a$k a ON en.dst = a.node GROUP BY 1
+         |), hf$k AS MATERIALIZED (
+         |  SELECT n.node, coalesce(hr.h, 0.0::DOUBLE) AS h
+         |  FROM nodes n LEFT JOIN hr$k hr USING (node)
+         |), hsm$k AS (SELECT sum(h) AS s FROM hf$k),
+         |h$k AS MATERIALIZED (
+         |  SELECT node, h / s AS h FROM hf$k, hsm$k
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e AS (
+       |  SELECT user_id, event_type,
+       |    CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id
+       |  FROM events
+       |), tr AS (
+       |  SELECT lag(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY sec, event_id) AS from_type,
+       |    event_type AS to_type
+       |  FROM e
+       |), en AS MATERIALIZED (
+       |  SELECT DISTINCT from_type AS src, to_type AS dst FROM tr
+       |  WHERE from_type IS NOT NULL
+       |), nodes AS MATERIALIZED (
+       |  SELECT DISTINCT src AS node FROM en
+       |  UNION SELECT DISTINCT dst FROM en
+       |), h0 AS MATERIALIZED (
+       |  SELECT node, 1.0::DOUBLE AS h FROM nodes
+       |), $iters
+       |SELECT n.node AS event_type, round(a10.a, 6) AS authority,
+       |  round(h10.h, 6) AS hub
+       |FROM nodes n JOIN a10 USING (node) JOIN h10 USING (node)
+       |ORDER BY event_type""".stripMargin
+  }
+
   /** DuckDB replica of `Preference.bradleyTerry(iters=10)` over the
     * event-type transition comparisons: the MM iterations unroll as
     * generated CTE quadruples (denominator join-aggregate, unnormalized
@@ -1536,6 +1588,32 @@ object EventQueries extends QueryGroup {
           .select(col("item").as("event_type"), col("wins"),
             col("matches"), round(col("rating"), 6).as("rating"))
           .orderBy("event_type")
+    },
+
+    // HITS hubs/authorities on the distinct event-type transition
+    // edges — vs the generated 10-iteration unrolled oracle.
+    q("q_events_hits", EventQueries.hitsOracleSql) { (s, dir) =>
+      import s.implicits._
+      val raw = t(s, dir, "events")
+      val counts = graft.events.Events.transitionCounts(
+        raw.withColumn("sec", Ts.seconds(raw)),
+        "user_id", "sec", "event_type", "event_id")
+      // tiny node-id mapping (≤ |event types| rows, driver-bounded)
+      val types = counts.select(col("from_type").as("t"))
+        .union(counts.select(col("to_type")))
+        .distinct().as[String].collect().sorted
+      val mapping = types.zipWithIndex
+        .map { case (n, i) => (n, i.toLong) }.toSeq.toDF("name", "id")
+      val edges = counts
+        .join(mapping.select(col("name").as("from_type"), col("id").as("src")), "from_type")
+        .join(mapping.select(col("name").as("to_type"), col("id").as("dst")), "to_type")
+        .select("src", "dst")
+      graft.graph.Graphs.hits(edges, iters = 10)
+        .join(mapping.select(col("id").as("node"), col("name")), "node")
+        .select(col("name").as("event_type"),
+          round(col("authority"), 6).as("authority"),
+          round(col("hub"), 6).as("hub"))
+        .orderBy("event_type")
     }
   )
 }

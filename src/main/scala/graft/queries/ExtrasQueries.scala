@@ -756,6 +756,40 @@ object ExtrasQueries extends QueryGroup {
         .select(col("event_type"), col("n"),
           round(col("noised_n"), 6).as("noised_n"))
         .orderBy("event_type")
+    },
+
+    // ε-DP clipped sums: per-row value clipped to [0, 50] (sensitivity
+    // 50), then the same seeded inverse-CDF Laplace noise at scale
+    // sensitivity/ε.
+    q("q_privacy_dp_sums",
+      """WITH g AS (
+        |  SELECT event_type,
+        |    sum(least(greatest(value, 0.0::DOUBLE), 50.0::DOUBLE))
+        |      AS clipped_sum
+        |  FROM events GROUP BY 1
+        |), h AS (
+        |  SELECT event_type, clipped_sum,
+        |    substr(md5('42s:' || event_type), 1, 8) AS hx
+        |  FROM g
+        |), uu AS (
+        |  SELECT event_type, clipped_sum,
+        |    (list_sum(list_transform(range(1, 9),
+        |       i -> (strpos('0123456789abcdef', hx[i]) - 1)
+        |            * 16 ** (8 - i))) + 0.5) / 4294967296.0 AS u
+        |  FROM h
+        |)
+        |SELECT event_type, round(clipped_sum, 6) AS clipped_sum,
+        |  round(clipped_sum + -100.0::DOUBLE * sign(u - 0.5) *
+        |    ln(1.0::DOUBLE - 2.0::DOUBLE * abs(u - 0.5)), 6)
+        |    AS noised_sum
+        |FROM uu ORDER BY event_type""".stripMargin) { (s, dir) =>
+      graft.ml.Privacy.laplaceNoisedSums(t(s, dir, "events"),
+          Seq("event_type"), "value", clipLo = 0.0, clipHi = 50.0,
+          epsilon = 0.5, seed = "42s")
+        .select(col("event_type"),
+          round(col("clipped_sum"), 6).as("clipped_sum"),
+          round(col("noised_sum"), 6).as("noised_sum"))
+        .orderBy("event_type")
     }
   )
 }

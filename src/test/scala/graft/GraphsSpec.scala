@@ -195,6 +195,40 @@ class GraphsSpec extends SparkSpec {
     assert(got(0L) > got(3L), "seed outranks downstream nodes")
   }
 
+  test("hits equals a dense driver replay and ranks the planted hub/authority") {
+    import spark.implicits._
+    // 1 and 2 point at 3 and 4; 3 also points at 4 → 4 is the top
+    // authority, 1/2/3 are hubs; 5→1 adds a weak hub and makes 1 a
+    // minor authority. Duplicate edge exercises the distinct().
+    val edges = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 1L), (1L, 3L)).toDF("src", "dst")
+    val iters = 10
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L)
+    val adj = Set((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (5L, 1L))
+    var h = nodes.map(_ -> 1.0).toMap
+    var a = nodes.map(_ -> 0.0).toMap
+    for (_ <- 1 to iters) {
+      val ar = nodes.map(n =>
+        n -> adj.filter(_._2 == n).toSeq.map(e => h(e._1)).sum).toMap
+      val as = ar.values.sum
+      a = ar.map { case (k, v) => k -> v / as }
+      val hr = nodes.map(n =>
+        n -> adj.filter(_._1 == n).toSeq.map(e => a(e._2)).sum).toMap
+      val hs = hr.values.sum
+      h = hr.map { case (k, v) => k -> v / hs }
+    }
+    val got = Graphs.hits(edges, iters).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    nodes.foreach { n =>
+      assert(math.abs(got(n)._1 - a(n)) < 1e-9, s"authority $n")
+      assert(math.abs(got(n)._2 - h(n)) < 1e-9, s"hub $n")
+    }
+    // structure: 4 is the top authority; 5 has zero authority
+    assert(nodes.forall(n => got(4L)._1 >= got(n)._1))
+    assert(got(5L)._1 == 0.0)
+    intercept[IllegalArgumentException](Graphs.hits(edges, iters = 0))
+  }
+
   test("labelPropagation: planted dense clusters split across a bridge") {
     import spark.implicits._
     // two K5 cliques {0..4} and {10..14} joined by ONE bridge 4-10 —

@@ -79,6 +79,15 @@ class MlSpec extends SparkSpec {
         math.rint(r.getDouble(2) * 1e6) / 1e6)).toSet
     assert(got == want, s"got $got want $want")
     assert(want.exists(p => p._1 == 1L && p._2 == 2L)) // fixture sanity
+    // blocked variant: same answer restricted to same-block pairs
+    val blocked = fix.withColumn("blk",
+      when(col("doc_id") <= 4L, "x").otherwise("y"))
+    val gotB = Dedup.prefixFilterJaccardPairs(blocked, "doc_id", "text",
+        threshold = 0.5, blockCols = Seq("blk")).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e6) / 1e6)).toSet
+    val wantB = want.filter(p => (p._1 <= 4L) == (p._2 <= 4L))
+    assert(gotB == wantB, s"got $gotB want $wantB")
     intercept[IllegalArgumentException](
       Dedup.prefixFilterJaccardPairs(fix, "doc_id", "text", threshold = 0.0))
   }

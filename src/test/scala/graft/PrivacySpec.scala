@@ -88,6 +88,31 @@ class PrivacySpec extends SparkSpec {
     }
   }
 
+  test("laplaceNoisedSums clips contributions and reuses the count noise shape") {
+    import spark.implicits._
+    val d = Seq(("a", 10.0), ("a", 200.0), ("a", -5.0), ("b", 3.0))
+      .toDF("g", "v")
+    val sums = Privacy.laplaceNoisedSums(d, Seq("g"), "v",
+        clipLo = 0.0, clipHi = 50.0, epsilon = 1.0, seed = "z")
+      .collect().map(x => x.getString(0) ->
+        ((x.getAs[Double]("clipped_sum"), x.getAs[Double]("noised_sum"))))
+      .toMap
+    // clip: 10 + 50 + 0 = 60; 3
+    assert(sums("a")._1 == 60.0 && sums("b")._1 == 3.0)
+    // noise scale = 50/1: same draw as a count query with
+    // sensitivity 50 and the same (seed, key)
+    val cnt = Privacy.laplaceNoisedCounts(d, Seq("g"), epsilon = 1.0,
+        seed = "z", sensitivity = 50.0)
+      .collect().map(x => x.getString(0) ->
+        (x.getAs[Double]("noised_n") - x.getAs[Long]("n"))).toMap
+    Seq("a", "b").foreach { g =>
+      assert(math.abs((sums(g)._2 - sums(g)._1) - cnt(g)) < 1e-9, g)
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.laplaceNoisedSums(d, Seq("g"), "v", 5.0, 5.0, 1.0, "z")
+    }
+  }
+
   test("report validates arguments") {
     intercept[IllegalArgumentException] {
       Privacy.kAnonymityReport(people, Seq.empty, 2)
