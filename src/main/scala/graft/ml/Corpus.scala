@@ -648,6 +648,25 @@ object Corpus {
     docs.withColumn("split", assigned)
   }
 
+  /** Temporal train/test split with an embargo gap (the time-series /
+    * financial-CV purging rule, López de Prado 2018): rows with
+    * `secCol` < cutoff − embargo are `train`, rows ≥ cutoff are
+    * `test`, and rows inside the embargo window [cutoff − embargo,
+    * cutoff) are DROPPED — they are close enough to the boundary that
+    * label/feature windows straddling it leak test information into
+    * training. Pure Column program (one filter + one conditional), no
+    * shuffle; the boundary predicate pushes to the scan on a
+    * time-partitioned source.
+    */
+  def timeSplit(df: DataFrame, secCol: String, cutoffSec: Long,
+      embargoSec: Long = 0L): DataFrame = {
+    require(embargoSec >= 0L, "embargo must be non-negative")
+    df.filter(col(secCol) < cutoffSec - embargoSec ||
+        col(secCol) >= cutoffSec)
+      .withColumn("split",
+        when(col(secCol) >= cutoffSec, lit("test")).otherwise(lit("train")))
+  }
+
   /** Deterministic span corruption for denoising-objective prep
     * (T5/UL2-style): whitespace tokens are grouped into contiguous
     * blocks of `spanLen`; block b of document d is masked iff the

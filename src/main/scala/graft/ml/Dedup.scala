@@ -442,6 +442,33 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Per-document distinct shingle-hash sets via the typed JVM kernel
+    * ([[MinHashUtil.shingleHashes]], the buildSignatureStore path):
+    * the Column-expression [[shingles]] evaluates its higher-order
+    * lambdas interpreted, which measured ~50x slower than the
+    * compiled kernel on the sf0.1 corpus. Blank docs are dropped on a
+    * cheap codegen'd length predicate; block columns ride along as
+    * one \u0001-joined string key `blk`; the result is persisted
+    * (consumers join it several times). Schema: (id, sh, blk).
+    */
+  private def shingleSets(df: DataFrame, idCol: String, textCol: String,
+      shingleWidth: Int, blockCols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val blk =
+      if (blockCols.isEmpty) lit("")
+      else concat_ws("\u0001", blockCols.map(c => col(c).cast("string")): _*)
+    persistTracked(
+      df.filter(length(TextAnalysis.normalize(col(textCol))) > 0)
+        .select(col(idCol).cast("long").as("id"),
+          col(textCol).as("t"), blk.as("blk"))
+        .as[(Long, String, String)]
+        .map { case (id, text, b) =>
+          (id, MinHashUtil.shingleHashes(text, shingleWidth), b)
+        }
+        .toDF("id", "sh", "blk"))
+  }
+
   /** EXACT set-similarity self-join by prefix filtering (Chaudhuri et
     * al. SSJoin 2006 / Bayardo et al. All-Pairs 2007): order every
     * document's shingle set by ascending corpus frequency (rarest
@@ -477,25 +504,7 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     import spark.implicits._
-    // shingle via the typed JVM kernel (MinHashUtil.shingleHashes, the
-    // buildSignatureStore path): the Column-expression shingles()
-    // evaluates its higher-order lambdas interpreted, which measured
-    // ~50× slower than the compiled kernel on the sf0.1 corpus. Block
-    // columns ride along as one \u0001-joined string key. The set
-    // table is persisted: the candidate subtree and both verify
-    // branches would otherwise each recompute the shingle scan.
-    val blk =
-      if (blockCols.isEmpty) lit("")
-      else concat_ws("\u0001", blockCols.map(c => col(c).cast("string")): _*)
-    val sets = persistTracked(
-      df.filter(length(TextAnalysis.normalize(col(textCol))) > 0)
-        .select(col(idCol).cast("long").as("id"),
-          col(textCol).as("t"), blk.as("blk"))
-        .as[(Long, String, String)]
-        .map { case (id, text, b) =>
-          (id, MinHashUtil.shingleHashes(text, shingleWidth), b)
-        }
-        .toDF("id", "sh", "blk"))
+    val sets = shingleSets(df, idCol, textCol, shingleWidth, blockCols)
     val toks = sets.select(col("id"), size(col("sh")).as("len"),
       explode(col("sh")).as("g"), col("blk"))
     val freq = toks.groupBy("g").agg(count(lit(1)).as("f"))
@@ -530,6 +539,42 @@ object Dedup {
           (col("l1") + col("l2")) - lit(1e-9)))
       .select("id1", "id2")
     verifyJaccard(cand, sets.select("id", "sh"), threshold)
+  }
+
+  /** Asymmetric CONTAINMENT pairs: ordered (id1, id2) with
+    * C(1→2) = |sh1 ∩ sh2| / |sh1| ≥ `threshold` — "how much of doc 1
+    * lives inside doc 2". Jaccard misses subsumption (a paragraph
+    * quoted inside a book scores near-zero Jaccard but containment
+    * ≈ 1), so this is the quote / excerpt / truncated-copy detector:
+    * a near-threshold run over a corpus surfaces boilerplate
+    * inclusions and partial plagiarism that symmetric dedup keeps.
+    *
+    * All-pairs within `blockCols` groups (language, source,
+    * [[lengthBucket]]…) over the persisted typed shingle sets — the
+    * [[ngramJaccardPairs]] blocking contract: group sizes must be
+    * bounded by the blocking key for the quadratic-within-block join
+    * to hold at scale.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], threshold: Double,
+      shingleWidth: Int = 2): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      "threshold must be in (0, 1]")
+    require(blockCols.nonEmpty,
+      "containmentPairs requires blocking columns (the all-pairs join " +
+        "is quadratic within blocks)")
+    val sets = shingleSets(df, idCol, textCol, shingleWidth, blockCols)
+    val l = sets.select(col("id").as("id1"), col("sh").as("sh1"),
+      col("blk"))
+    val r = sets.select(col("id").as("id2"), col("sh").as("sh2"),
+      col("blk"))
+    l.join(r, "blk")
+      .filter(col("id1") =!= col("id2"))
+      .withColumn("containment",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(col("sh1")))
+      .filter(col("containment") >= threshold)
+      .select("id1", "id2", "containment")
   }
 
   /** Geometric length-bucket blocking column: documents can only be

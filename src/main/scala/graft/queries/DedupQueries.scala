@@ -168,6 +168,29 @@ object DedupQueries extends QueryGroup {
         .orderBy("id1", "id2")
     },
 
+    // asymmetric containment (quote/excerpt detection): ordered pairs
+    // with |sh1 ∩ sh2| / |sh1| ≥ 0.9 within (lang, source) blocks —
+    // the prefix-truncation copies score ≈ 1 inside their source doc
+    // while their symmetric Jaccard sits near 0.8.
+    q("q_dedup_containment",
+      s"""$augmentedSql, sh AS (
+         |  SELECT doc_id, lang, source, $shinglesSql AS s FROM docs
+         |)
+         |SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |  round(len(list_intersect(a.s, b.s)) * 1.0::DOUBLE /
+         |        len(a.s), 6) AS containment
+         |FROM sh a JOIN sh b
+         |  ON a.lang = b.lang AND a.source = b.source
+         |  AND a.doc_id <> b.doc_id
+         |WHERE len(list_intersect(a.s, b.s)) * 1.0::DOUBLE /
+         |      len(a.s) >= 0.9
+         |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+      Dedup.containmentPairs(augmented(s, dir), "doc_id", "text",
+        blockCols = Seq("lang", "source"), threshold = 0.9)
+        .withColumn("containment", round(col("containment"), 6))
+        .orderBy("id1", "id2")
+    },
+
     // near-dup pairs → connected components → canonical doc per
     // cluster (Dedup.connectedComponents: min-label propagation with
     // pointer jumping). Oracle: transitive closure via recursive CTE

@@ -1590,6 +1590,32 @@ object EventQueries extends QueryGroup {
           .orderBy("event_type")
     },
 
+    // temporal split with a 1-day embargo before the cutoff: embargo
+    // rows dropped, boundary arithmetic validated by per-split
+    // count/min/max.
+    q("q_events_time_split",
+      """WITH e AS (
+        |  SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events
+        |), s AS (
+        |  SELECT event_id, sec,
+        |    CASE WHEN sec >= 1706000000 THEN 'test' ELSE 'train' END AS split
+        |  FROM e
+        |  WHERE sec < 1706000000 - 86400 OR sec >= 1706000000
+        |)
+        |SELECT split, count(*) AS n, min(sec) AS min_sec,
+        |  max(sec) AS max_sec
+        |FROM s GROUP BY split ORDER BY split""".stripMargin) { (s, dir) =>
+      val raw = t(s, dir, "events")
+      graft.ml.Corpus.timeSplit(
+          raw.select(col("event_id"), Ts.seconds(raw).as("sec")),
+          "sec", cutoffSec = 1706000000L, embargoSec = 86400L)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"), min("sec").as("min_sec"),
+          max("sec").as("max_sec"))
+        .orderBy("split")
+    },
+
     // HITS hubs/authorities on the distinct event-type transition
     // edges — vs the generated 10-iteration unrolled oracle.
     q("q_events_hits", EventQueries.hitsOracleSql) { (s, dir) =>

@@ -294,6 +294,25 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("timeSplit: boundary arithmetic, embargo drop, zero-embargo keeps all") {
+    import spark.implicits._
+    val rows = Seq(90L, 99L, 100L, 101L, 110L, 89L).toDF("sec")
+      .withColumn("id", col("sec"))
+    // cutoff 100, embargo 10: train < 90, embargo [90, 100) dropped
+    val out = graft.ml.Corpus.timeSplit(rows, "sec", 100L, 10L)
+      .collect().map(r => r.getAs[Long]("sec") -> r.getAs[String]("split"))
+      .toMap
+    assert(out == Map(89L -> "train", 100L -> "test", 101L -> "test",
+      110L -> "test"))
+    // zero embargo: nothing dropped, boundary row is test
+    val all = graft.ml.Corpus.timeSplit(rows, "sec", 100L)
+      .collect().map(r => r.getAs[Long]("sec") -> r.getAs[String]("split"))
+      .toMap
+    assert(all.size == 6 && all(99L) == "train" && all(100L) == "test")
+    intercept[IllegalArgumentException](
+      graft.ml.Corpus.timeSplit(rows, "sec", 100L, -1L))
+  }
+
   test("splitByGroup: one split per group, deterministic, fractions normalized") {
     import spark.implicits._
     val docs = (1 to 500).map(i => (i.toLong, s"host${i % 37}"))

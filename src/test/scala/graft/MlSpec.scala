@@ -92,6 +92,28 @@ class MlSpec extends SparkSpec {
       Dedup.prefixFilterJaccardPairs(fix, "doc_id", "text", threshold = 0.0))
   }
 
+  test("containmentPairs finds asymmetric subsumption Jaccard misses") {
+    import spark.implicits._
+    val fix = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "b"),
+      (2L, "alpha beta gamma delta", "b"), // contained prefix of 1
+      (3L, "totally unrelated words here about something else", "b"),
+      (4L, "alpha beta gamma delta", "OTHER")) // same text, other block
+      .toDF("doc_id", "text", "blk")
+    val got = Dedup.containmentPairs(fix, "doc_id", "text",
+        blockCols = Seq("blk"), threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 2's three bigrams all appear in 1 → containment(2→1) = 1; the
+    // reverse direction is 3/9 and must NOT appear; cross-block 4 is
+    // invisible despite identical text
+    assert(got == Set((2L, 1L)), s"got $got")
+    val c = Dedup.containmentPairs(fix, "doc_id", "text",
+        Seq("blk"), threshold = 0.9).head().getDouble(2)
+    assert(math.abs(c - 1.0) < 1e-12)
+    intercept[IllegalArgumentException](
+      Dedup.containmentPairs(fix, "doc_id", "text", Seq.empty, 0.9))
+  }
+
   test("heavyHitters equals the exact GROUP BY answer with a tiny sketch") {
     import spark.implicits._
     // 8 heavy terms (600+ each) over a 3000-term uniform tail; k = 32
