@@ -382,6 +382,55 @@ object Graphs {
     dist
   }
 
+  /** k-truss decomposition (Cohen 2008): iteratively remove edges in
+    * fewer than k−2 triangles until fixpoint; the surviving subgraph
+    * is the maximal one where EVERY edge is reinforced by ≥ k−2
+    * common neighbors. Stricter than k-core (which bounds degree, not
+    * triangle support) — the standard community-kernel / spam-farm
+    * primitive one notch up the denseness ladder. Returns the
+    * fixpoint edges (u < v) with their final `support`.
+    *
+    * Scale shape per round: one adjacency aggregate (sorted neighbor
+    * arrays), two hash joins back onto the edge set, support via the
+    * codegen'd sorted-merge intersect (the [[triangleCounts]]
+    * kernel), one filter; `localCheckpoint` lineage cut + a scalar
+    * driver count as the convergence probe. Rounds are bounded by the
+    * peeling depth (≤ max support), typically O(log m) in practice.
+    */
+  def kTruss(edges: DataFrame, k: Int, srcCol: String = "src",
+      dstCol: String = "dst", maxIter: Int = 50): DataFrame = {
+    require(k >= 2, "k-truss needs k >= 2")
+    require(maxIter >= 1, "maxIter must be positive")
+    def withSupport(cur: DataFrame): DataFrame = {
+      val adj = cur.select(col("u").as("n"), col("v").as("nb"))
+        .unionAll(cur.select(col("v").as("n"), col("u").as("nb")))
+        .groupBy("n").agg(sort_array(collect_list(col("nb"))).as("nbrs"))
+      cur
+        .join(adj.select(col("n").as("u"), col("nbrs").as("un"))
+          .hint("shuffle_hash"), "u")
+        .join(adj.select(col("n").as("v"), col("nbrs").as("vn"))
+          .hint("shuffle_hash"), "v")
+        .select(col("u"), col("v"),
+          size(org.apache.spark.sql.graft.VectorFunctions
+            .sorted_intersect(col("un"), col("vn")))
+            .cast("long").as("support"))
+    }
+    var e = canonicalEdges(edges, srcCol, dstCol).localCheckpoint()
+    var m = e.count()
+    var done = k == 2 || m == 0L // every graph is its own 2-truss
+    var iter = 0
+    while (!done && iter < maxIter) {
+      iter += 1
+      val kept = withSupport(e).filter(col("support") >= k - 2)
+        .select("u", "v").localCheckpoint()
+      val mNext = kept.count()
+      done = mNext == m || mNext == 0L
+      m = mNext
+      e = kept
+    }
+    withSupport(e)
+  }
+
   /** HITS hubs-and-authorities (Kleinberg 1999) on the DISTINCT edge
     * set: per iteration authority a ← Σ_{j→i} h_j then hub
     * h ← Σ_{i→j} a_j, each L1-normalized to Σ = 1 (scale-equivalent

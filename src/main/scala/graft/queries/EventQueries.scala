@@ -70,6 +70,47 @@ object EventQueries extends QueryGroup {
        |FROM r10 ORDER BY event_type""".stripMargin
   }
 
+  /** DuckDB replica of `Graphs.kTruss(k=3)` over the undirected
+    * event-type transition graph sparsified at pair count ≥ 770:
+    * four unrolled peel rounds (adjacency CTE, support join-
+    * aggregate, filter) — idempotent past the fixpoint, so a
+    * convergent engine run equals the fixed unroll.
+    */
+  private def kTrussOracleSql: String = {
+    val rounds = (1 to 4).map { r =>
+      s"""adj$r AS MATERIALIZED (
+         |  SELECT u AS n, v AS nb FROM e${r - 1}
+         |  UNION ALL SELECT v, u FROM e${r - 1}
+         |), e$r AS MATERIALIZED (
+         |  SELECT e.u, e.v
+         |  FROM e${r - 1} e JOIN adj$r x ON x.n = e.u
+         |    JOIN adj$r y ON y.n = e.v AND y.nb = x.nb
+         |  GROUP BY e.u, e.v
+         |  HAVING count(*) >= 1
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type,
+       |    CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id
+       |  FROM events
+       |), tr AS (
+       |  SELECT lag(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY sec, event_id) AS f, event_type AS tt
+       |  FROM ev
+       |), e0 AS MATERIALIZED (
+       |  SELECT least(f, tt) AS u, greatest(f, tt) AS v
+       |  FROM tr WHERE f IS NOT NULL AND f <> tt
+       |  GROUP BY 1, 2 HAVING count(*) >= 770
+       |), $rounds, adjF AS (
+       |  SELECT u AS n, v AS nb FROM e4 UNION ALL SELECT v, u FROM e4
+       |)
+       |SELECT e.u AS src, e.v AS dst, count(*) AS support
+       |FROM e4 e JOIN adjF x ON x.n = e.u
+       |  JOIN adjF y ON y.n = e.v AND y.nb = x.nb
+       |GROUP BY e.u, e.v
+       |ORDER BY src, dst""".stripMargin
+  }
+
   /** DuckDB replica of `Graphs.hits(iters=10)` over the distinct
     * event-type transition edge set: each iteration unrolls as six
     * generated CTEs (authority join-aggregate, left-join fill,
@@ -1640,6 +1681,37 @@ object EventQueries extends QueryGroup {
           round(col("authority"), 6).as("authority"),
           round(col("hub"), 6).as("hub"))
         .orderBy("event_type")
+    },
+
+    // 3-truss of the count-sparsified undirected transition graph —
+    // vs the generated 4-round unrolled peel oracle. The alphabetical
+    // node-id mapping is order-preserving, so engine least/greatest
+    // on ids equals the oracle's least/greatest on names.
+    q("q_events_ktruss", EventQueries.kTrussOracleSql) { (s, dir) =>
+      import s.implicits._
+      val raw = t(s, dir, "events")
+      val und = graft.events.Events.transitionCounts(
+          raw.withColumn("sec", Ts.seconds(raw)),
+          "user_id", "sec", "event_type", "event_id")
+        .filter(col("from_type") =!= col("to_type"))
+        .select(least(col("from_type"), col("to_type")).as("a"),
+          greatest(col("from_type"), col("to_type")).as("b"), col("n"))
+        .groupBy("a", "b").agg(sum("n").as("n"))
+        .filter(col("n") >= 770)
+      val types = und.select(col("a").as("t"))
+        .union(und.select(col("b")))
+        .distinct().as[String].collect().sorted
+      val mapping = types.zipWithIndex
+        .map { case (nm, i) => (nm, i.toLong) }.toSeq.toDF("name", "id")
+      val edges = und
+        .join(mapping.select(col("name").as("a"), col("id").as("src")), "a")
+        .join(mapping.select(col("name").as("b"), col("id").as("dst")), "b")
+        .select("src", "dst")
+      graft.graph.Graphs.kTruss(edges, k = 3)
+        .join(mapping.select(col("id").as("u"), col("name").as("src")), "u")
+        .join(mapping.select(col("id").as("v"), col("name").as("dst")), "v")
+        .select(col("src"), col("dst"), col("support"))
+        .orderBy("src", "dst")
     }
   )
 }

@@ -195,6 +195,29 @@ class GraphsSpec extends SparkSpec {
     assert(got(0L) > got(3L), "seed outranks downstream nodes")
   }
 
+  test("kTruss peels to the planted dense kernel") {
+    import spark.implicits._
+    // K4 on {1..4} + pendant path 4-5-6 (+ dup edge and self-loop for
+    // canonicalization): the path edges have support 0 and peel off;
+    // K4 is a 4-truss (every edge in 2 triangles)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (2L, 1L), (3L, 3L)).toDF("src", "dst")
+    def run(k: Int) = Graphs.kTruss(edges, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val t3 = run(3)
+    val k4edges = Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L))
+    assert(t3.keySet == k4edges, s"got ${t3.keySet}")
+    assert(t3.values.forall(_ == 2L)) // each K4 edge closes 2 triangles
+    assert(run(4).keySet == k4edges)  // K4 is a 4-truss
+    assert(run(5).isEmpty)            // ...but not a 5-truss
+    // 2-truss = whole canonical graph, supports included
+    val t2 = run(2)
+    assert(t2.keySet == k4edges ++ Set((4L, 5L), (5L, 6L)))
+    assert(t2((4L, 5L)) == 0L && t2((5L, 6L)) == 0L)
+    intercept[IllegalArgumentException](Graphs.kTruss(edges, k = 1))
+  }
+
   test("hits equals a dense driver replay and ranks the planted hub/authority") {
     import spark.implicits._
     // 1 and 2 point at 3 and 4; 3 also points at 4 → 4 is the top
