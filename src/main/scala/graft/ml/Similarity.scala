@@ -642,4 +642,58 @@ object Similarity {
   def pruneByPrototypicality(corpus: DataFrame, centroids: DataFrame,
       minCos: Double): DataFrame =
     assignToCentroids(corpus, centroids).filter(col("proto") >= minCos)
+
+  /** The deterministic Achlioptas sparse JL matrix (d × k entries in
+    * {+1, 0, −1} with P(±1) = 1/6 each): entry (j, i) is decided by
+    * the md5 of "seed:j:i" (first 8 hex digits mod 6 — the same
+    * hash-uniform device as the corpus split/sampling family, so any
+    * engine can replay it).
+    */
+  def achlioptasMatrix(inDim: Int, outDim: Int,
+      seed: String): Array[Array[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(inDim, outDim) { (j, i) =>
+      val hex = md.digest(s"$seed:$j:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16) % 6L) match {
+        case 0L => 1
+        case 1L => -1
+        case _ => 0
+      }
+    }
+  }
+
+  /** Johnson–Lindenstrauss dimensionality reduction by sparse random
+    * projection (Achlioptas 2003): y = √(3/k) · xᵀR with the seeded
+    * ±1/0 matrix above — pairwise distances are preserved within
+    * (1 ± ε) for k = O(log n / ε²), at a third of a dense Gaussian
+    * projection's multiplies and with no floating-point RNG to
+    * disagree about. THE pre-step that makes brute-force / IVF ANN
+    * over 100 TB of 1024-dim embeddings tractable: one linear scan,
+    * each output component a codegen'd ±-chain over the ~d/3 nonzero
+    * entries of its column; the matrix lives in the plan as literals
+    * (d·k ints — broadcast-free).
+    *
+    * Appends `proj: Array[Double]` (length `outDim`). Sum order is
+    * ascending j per output component (a fold from 0.0), so an
+    * engine replaying the same matrix reproduces the doubles exactly.
+    */
+  def randomProject(df: DataFrame, vecCol: String, inDim: Int,
+      outDim: Int, seed: String): DataFrame = {
+    require(inDim >= 1 && outDim >= 1 && outDim <= inDim,
+      "need 1 <= outDim <= inDim")
+    val r = achlioptasMatrix(inDim, outDim, seed)
+    val scale = math.sqrt(3.0 / outDim)
+    val comps = (0 until outDim).map { i =>
+      val sum = (0 until inDim).foldLeft(lit(0.0)) { (acc, j) =>
+        r(j)(i) match {
+          case 1 => acc + element_at(col(vecCol), j + 1).cast("double")
+          case -1 => acc - element_at(col(vecCol), j + 1).cast("double")
+          case _ => acc
+        }
+      }
+      lit(scale) * sum
+    }
+    df.withColumn("proj", array(comps: _*))
+  }
 }

@@ -45,7 +45,49 @@ object EmbeddingQueries extends QueryGroup {
        |ORDER BY qid, cid""".stripMargin
   }
 
+  /** DuckDB replica of `Similarity.randomProject(64→16, seed "jl42")`:
+    * the oracle is generated from the SAME Achlioptas matrix the
+    * Spark plan compiles in, each output component the identical
+    * left-associated 0.0-seeded ± chain, so the doubles match
+    * exactly before rounding.
+    */
+  private def jlOracleSql: String = {
+    val r = Similarity.achlioptasMatrix(64, 16, "jl42")
+    val scale = math.sqrt(3.0 / 16)
+    val comps = (0 until 16).map { i =>
+      val terms = (0 until 64).flatMap { j =>
+        r(j)(i) match {
+          case 1 => Some(s"+ v[${j + 1}]")
+          case -1 => Some(s"- v[${j + 1}]")
+          case _ => None
+        }
+      }
+      val chain =
+        if (terms.isEmpty) "0.0" else "0.0 " + terms.mkString(" ")
+      val name = f"y$i%02d"
+      s"round(CAST('$scale' AS DOUBLE) * ($chain), 6) AS $name"
+    }
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |)
+       |SELECT vec_id, ${comps.mkString(",\n  ")}
+       |FROM e ORDER BY vec_id""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+
+    // Achlioptas sparse JL projection 64→16: the ANN pre-step at
+    // scale, gated component-by-component against the matrix-sharing
+    // oracle.
+    q("q_embed_jl_project", EmbeddingQueries.jlOracleSql) { (s, dir) =>
+      val out = Similarity.randomProject(t(s, dir, "embeddings"),
+        "embedding", inDim = 64, outDim = 16, seed = "jl42")
+      out.select(
+        (col("vec_id") +: (0 until 16).map(i =>
+          round(element_at(col("proj"), i + 1), 6)
+            .as(f"y$i%02d"))): _*)
+        .orderBy("vec_id")
+    },
 
     // PCA's distributed heart: the one-pass (count, Σx, Σxxᵀ) moments
     // aggregate, exposed as the full population covariance matrix and

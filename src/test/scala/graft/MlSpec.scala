@@ -114,6 +114,46 @@ class MlSpec extends SparkSpec {
       Dedup.containmentPairs(fix, "doc_id", "text", Seq.empty, 0.9))
   }
 
+  test("randomProject: JL distance preservation, determinism, matrix law") {
+    import spark.implicits._
+    // matrix distribution: ±1 about 1/6 each, 0 about 2/3
+    val m = Similarity.achlioptasMatrix(64, 32, "t")
+    val flat = m.flatten
+    val nPos = flat.count(_ == 1).toDouble / flat.length
+    val nZero = flat.count(_ == 0).toDouble / flat.length
+    assert(math.abs(nPos - 1.0 / 6) < 0.04, s"P(+1)=$nPos")
+    assert(math.abs(nZero - 2.0 / 3) < 0.04, s"P(0)=$nZero")
+    // distance preservation on deterministic pseudo-random vectors
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("id", "v")
+    val proj = Similarity.randomProject(df, "v", 64, 32, "t")
+      .select("id", "proj").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ratios = for {
+      i <- 0 until 40; j <- (i + 1) until 40
+      orig = d2(vecs(i)._2.map(_.toDouble), vecs(j)._2.map(_.toDouble))
+      pr = d2(proj(i.toLong), proj(j.toLong))
+    } yield pr / orig
+    // k=32: E[ratio]=1; all pairs within a loose JL band (the χ²₃₂
+    // tail reaches ~0.26 on 780 pairs), mean tight
+    assert(ratios.forall(r => r > 0.2 && r < 2.5),
+      s"worst ${ratios.min} ${ratios.max}")
+    assert(math.abs(ratios.sum / ratios.size - 1.0) < 0.1)
+    // determinism: same seed → same projection; different seed differs
+    val again = Similarity.randomProject(df, "v", 64, 32, "t")
+      .select("proj").head().getSeq[Double](0)
+    assert(again.toArray.sameElements(proj(0L)))
+    assert(!Similarity.randomProject(df, "v", 64, 32, "u")
+      .select("proj").head().getSeq[Double](0).toArray
+      .sameElements(proj(0L)))
+    intercept[IllegalArgumentException](
+      Similarity.randomProject(df, "v", 64, 65, "t"))
+  }
+
   test("heavyHitters equals the exact GROUP BY answer with a tiny sketch") {
     import spark.implicits._
     // 8 heavy terms (600+ each) over a 3000-term uniform tail; k = 32
