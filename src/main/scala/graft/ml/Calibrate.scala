@@ -110,4 +110,40 @@ object Calibrate {
       case ((c, v), acc) => when(scoreCol <= c, v).otherwise(acc)
     }
   }
+
+  /** Platt scaling (Platt 1999): calibrate a raw score with the
+    * parametric map P(y=1|s) = σ(a·s + b), fit by `iters` exact
+    * full-batch gradient steps on the logistic NLL from (a,b) =
+    * (0,0) — the parametric sibling of [[isotonicBins]] (monotone by
+    * construction, 2 parameters, no binning, extrapolates smoothly
+    * past the observed score range).
+    *
+    * Appends `calibrated`. Scale shape: per step one 2-double
+    * aggregate over the scored table with the 1-row parameter state
+    * broadcast back (the QualityModel trainer shape);
+    * `localCheckpoint` lineage cut per step.
+    */
+  def plattScale(scored: DataFrame, scoreCol: String, labelCol: String,
+      iters: Int = 8, lr: Double = 2.0): DataFrame = {
+    require(iters >= 1 && lr > 0, "need iters >= 1 and lr > 0")
+    val base = scored
+      .withColumn("__s", col(scoreCol).cast("double"))
+      .withColumn("__y", col(labelCol).cast("double"))
+    def sig(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
+    var ab = base.sparkSession.range(1)
+      .select(lit(0.0).as("a"), lit(0.0).as("b"))
+    for (_ <- 1 to iters) {
+      val z = sig(col("a") * col("__s") + col("b"))
+      val g = base.crossJoin(broadcast(ab))
+        .agg((sum((z - col("__y")) * col("__s")) / count(lit(1))).as("da"),
+          (sum(z - col("__y")) / count(lit(1))).as("db"))
+      ab = ab.crossJoin(broadcast(g))
+        .select((col("a") - lit(lr) * col("da")).as("a"),
+          (col("b") - lit(lr) * col("db")).as("b"))
+        .localCheckpoint()
+    }
+    base.crossJoin(broadcast(ab))
+      .withColumn("calibrated", sig(col("a") * col("__s") + col("b")))
+      .drop("__s", "__y", "a", "b")
+  }
 }

@@ -1364,6 +1364,24 @@ object TextQueries extends QueryGroup {
         .orderBy("bucket")
     },
 
+    // Platt scaling of the quality score against is-English (the
+    // reliability gate's setup): 8 unrolled exact GD steps on the
+    // 2-parameter sigmoid, per-doc calibrated probabilities.
+    q("q_text_platt", TextQueries.plattOracleSql(8, 2.0)) { (s, dir) =>
+      val scored = t(s, dir, "documents")
+        .withColumn("toks", TA.tokens(col("text")))
+        .select(col("doc_id"),
+          TA.qualityFromComponents(size(col("toks")),
+            TA.meanWordLengthOf(col("toks")),
+            TA.stopwordRatioOf(col("toks")),
+            TA.punctRatio(col("text"))).as("s"),
+          when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+      graft.ml.Calibrate.plattScale(scored, "s", "y",
+          iters = 8, lr = 2.0)
+        .select(col("doc_id"), round(col("calibrated"), 6).as("calibrated"))
+        .orderBy("doc_id")
+    },
+
     // readability grade per document: the Flesch-Kincaid formula over
     // engine-replayable word/sentence/syllable approximations.
     q("q_text_readability",
@@ -1978,6 +1996,43 @@ object TextQueries extends QueryGroup {
             .mkString(", ")}) AS zm FROM feat, it$iters w), it$iters w
        |)
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB replica of `Calibrate.plattScale`: the (score, label)
+    * construction is the q_text_reliability `sc` CTE plus doc_id; the
+    * GD steps unroll like [[qualityModelOracleSql]] with the same
+    * left-associated arithmetic the Spark trainer compiles.
+    */
+  def plattOracleSql(iters: Int, lr: Double): String = {
+    val sc =
+      """sc AS MATERIALIZED (
+        |  SELECT doc_id,
+        |   CASE WHEN lang = 'en' THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS y,
+        |   (CASE WHEN len(string_split_regex(trim(text), '\s+')) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.3 END * 0.3
+        |    + CASE WHEN list_aggregate(list_transform(string_split_regex(trim(text), '\s+'), w -> strlen(w)), 'sum') * 1.0::DOUBLE
+        |        / len(string_split_regex(trim(text), '\s+')) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.4 END * 0.2
+        |    + CASE WHEN len(list_filter(string_split_regex(lower(text), '\s+'),
+        |        w -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this'], w)))
+        |        * 1.0::DOUBLE / len(string_split_regex(trim(text), '\s+')) > 0.05 THEN 1.0 ELSE 0.6 END * 0.3
+        |    + CASE WHEN len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) * 1.0::DOUBLE / strlen(text) < 0.2 THEN 1.0 ELSE 0.5 END * 0.2
+        |   )::DOUBLE AS s
+        |  FROM documents
+        |)""".stripMargin
+    val sig = "1.0::DOUBLE / (1.0::DOUBLE + exp(-(w.a * s + w.b)))"
+    val it0 = "it0 AS (SELECT 0.0::DOUBLE AS a, 0.0::DOUBLE AS b)"
+    val steps = (1 to iters).map { i =>
+      s"""g$i AS MATERIALIZED (
+         |  SELECT sum(($sig - y) * s) / count(*) AS da,
+         |    sum($sig - y) / count(*) AS db
+         |  FROM sc, it${i - 1} w
+         |), it$i AS (
+         |  SELECT w.a - $lr * g.da AS a, w.b - $lr * g.db AS b
+         |  FROM it${i - 1} w, g$i g
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH $sc, $it0, $steps
+       |SELECT doc_id, round($sig, 6) AS calibrated
+       |FROM sc, it$iters w ORDER BY doc_id""".stripMargin
   }
 
   def qualityModelOracleSql(iters: Int, lr: Double): String = {

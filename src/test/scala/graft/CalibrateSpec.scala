@@ -87,6 +87,40 @@ class CalibrateSpec extends SparkSpec {
       Calibrate.isotonicBins(df, "score", "label", Seq(2.0, 1.0)))
   }
 
+  test("plattScale matches a driver GD replica and is monotone in the score") {
+    import spark.implicits._
+    // overconfident scores: high s mostly-positive, low s mostly-negative
+    val rows = (0 until 200).map { i =>
+      val s = i / 200.0
+      val y = if ((i * 2654435761L % 97) / 97.0 < 0.2 + 0.6 * s) 1.0 else 0.0
+      (i.toLong, s, y)
+    }
+    val (iters, lr) = (8, 2.0)
+    // driver replica: identical update rule
+    var (a, b) = (0.0, 0.0)
+    def sg(z: Double) = 1.0 / (1.0 + math.exp(-z))
+    for (_ <- 1 to iters) {
+      val da = rows.map { case (_, s, y) => (sg(a * s + b) - y) * s }.sum / rows.size
+      val db = rows.map { case (_, s, y) => sg(a * s + b) - y }.sum / rows.size
+      a -= lr * da; b -= lr * db
+    }
+    val got = graft.ml.Calibrate.plattScale(
+        rows.toDF("id", "s", "y"), "s", "y", iters, lr)
+      .select("id", "s", "calibrated").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    rows.zip(got).foreach { case ((_, s, y), (_, _, p)) =>
+      assert(math.abs(p - sg(a * s + b)) < 1e-9)
+    }
+    // sigmoid map ⇒ strictly monotone in s (a fit on this data is > 0)
+    assert(a > 0)
+    val ps = got.sortBy(_._2).map(_._3)
+    assert(ps.zip(ps.tail).forall { case (x, y2) => x <= y2 })
+    intercept[IllegalArgumentException](
+      graft.ml.Calibrate.plattScale(rows.toDF("id", "s", "y"), "s", "y",
+        iters = 0))
+  }
+
   test("calibrating quality-model scores yields monotone probabilities with the base rate preserved") {
     import graft.ml.QualityModel
     val docs = spark.read.parquet(sf() + "/documents.parquet")

@@ -77,7 +77,9 @@ class PlanLintSpec extends SparkSpec {
     "q_text_kn_nll" -> Map("cartesian" ->
       "1-row bigram-type-total aggregate broadcast onto the bigram stream"),
     "q_privacy_tcloseness" -> Map("cartesian" ->
-      "1-row global-total aggregate broadcast onto the sensitive-domain frequency table"))
+      "1-row global-total aggregate broadcast onto the sensitive-domain frequency table"),
+    "q_text_platt" -> Map("cartesian" ->
+      "1-row (a, b) trained-parameter state broadcast onto the scoring scan"))
 
   test("every cartesian/global-window in any gate plan is whitelisted") {
     val dir = sf("sf0.001")
