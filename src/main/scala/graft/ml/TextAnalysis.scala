@@ -498,6 +498,41 @@ object TextAnalysis {
         col("n_hapax").cast("double") / col("n_types"))
   }
 
+  /** Per-stratum Jensen–Shannon divergence between the stratum's
+    * unigram distribution P and the corpus-wide distribution Q —
+    * the bounded, symmetric "how different does this source read"
+    * number (0 = identical, ln 2 = disjoint vocabularies) behind
+    * source-mix monitoring and out-of-domain triage. Words absent
+    * from the stratum contribute their Q-mass in closed form
+    * (q·ln 2 per absent word ⇒ ln 2 · (1 − Σ_present q)), so the
+    * whole computation is word-keyed joins over the (stratum, word)
+    * count table — never a stratum × vocabulary cross product.
+    *
+    * Scale shape: one token scan → (stratum, word) hash counts;
+    * per-stratum totals and corpus word totals are two more hash
+    * aggregates; the scoring join shuffles on word (bounded by
+    * vocabulary); the 1-row corpus total broadcasts.
+    */
+  def jsDivergenceByStratum(df: DataFrame, strataCol: String,
+      textCol: String): DataFrame = {
+    val ln2 = 0.6931471805599453
+    val tok = df.select(col(strataCol).as("stratum"),
+        explode(split(normalize(col(textCol)), " ")).as("tk"))
+      .filter(length(col("tk")) > 0)
+    val sw = tok.groupBy("stratum", "tk").agg(count(lit(1)).as("c"))
+    val st = sw.groupBy("stratum").agg(sum("c").as("nt"))
+    val cw = sw.groupBy("tk").agg(sum("c").as("cc"))
+    val tot = cw.agg(sum("cc").as("nn"))
+    val ps = col("c").cast("double") / col("nt")
+    val q = col("cc").cast("double") / col("nn")
+    sw.join(st, "stratum").join(cw, "tk").crossJoin(broadcast(tot))
+      .groupBy("stratum")
+      .agg(max("nt").as("n_tokens"),
+        (lit(0.5) * sum(ps * log(lit(2.0) * ps / (ps + q)) +
+          q * log(lit(2.0) * q / (ps + q))) +
+          lit(0.5) * lit(ln2) * (lit(1.0) - sum(q))).as("jsd"))
+  }
+
   /** Corpus collocations by pointwise mutual information: adjacent
     * normalized-token bigrams with count ≥ `minCount`, scored
     * PMI = ln(N·c(ab) / (c(a)·c(b))) over token-occurrence counts —

@@ -1364,6 +1364,41 @@ object TextQueries extends QueryGroup {
         .orderBy("bucket")
     },
 
+    // per-source Jensen–Shannon divergence vs the corpus unigram
+    // distribution: absent-word mass via the closed-form ln2 ·
+    // (1 − Σ present q) identity on both sides — no source ×
+    // vocabulary cross product in either engine.
+    q("q_text_js_divergence", {
+      val words = "string_split(trim(regexp_replace(regexp_replace(lower(text), " +
+        "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')"
+      s"""WITH cw AS (
+         |  SELECT source, $words AS w FROM documents
+         |), tok AS (
+         |  SELECT source AS stratum, tk
+         |  FROM (SELECT source, unnest(w) AS tk FROM cw)
+         |  WHERE strlen(tk) > 0
+         |), sw AS (
+         |  SELECT stratum, tk, count(*) AS c FROM tok GROUP BY 1, 2
+         |), st AS (SELECT stratum, sum(c) AS nt FROM sw GROUP BY 1),
+         |cwc AS (SELECT tk, sum(c) AS cc FROM sw GROUP BY 1),
+         |tot AS (SELECT sum(cc) AS nn FROM cwc)
+         |SELECT sw.stratum, CAST(max(st.nt) AS BIGINT) AS n_tokens,
+         |  round(0.5::DOUBLE * sum(
+         |      (CAST(c AS DOUBLE) / nt) * ln(2.0::DOUBLE * (CAST(c AS DOUBLE) / nt)
+         |        / ((CAST(c AS DOUBLE) / nt) + (CAST(cc AS DOUBLE) / nn)))
+         |      + (CAST(cc AS DOUBLE) / nn) * ln(2.0::DOUBLE * (CAST(cc AS DOUBLE) / nn)
+         |        / ((CAST(c AS DOUBLE) / nt) + (CAST(cc AS DOUBLE) / nn))))
+         |    + 0.5::DOUBLE * CAST('0.6931471805599453' AS DOUBLE)
+         |      * (1.0::DOUBLE - sum(CAST(cc AS DOUBLE) / nn)), 6) AS jsd
+         |FROM sw JOIN st USING (stratum) JOIN cwc USING (tk), tot
+         |GROUP BY sw.stratum ORDER BY sw.stratum""".stripMargin
+    }) { (s, dir) =>
+      TA.jsDivergenceByStratum(t(s, dir, "documents"), "source", "text")
+        .select(col("stratum"), col("n_tokens"),
+          round(col("jsd"), 6).as("jsd"))
+        .orderBy("stratum")
+    },
+
     // Platt scaling of the quality score against is-English (the
     // reliability gate's setup): 8 unrolled exact GD steps on the
     // 2-parameter sigmoid, per-doc calibrated probabilities.

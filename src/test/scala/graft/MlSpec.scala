@@ -114,6 +114,36 @@ class MlSpec extends SparkSpec {
       Dedup.containmentPairs(fix, "doc_id", "text", Seq.empty, 0.9))
   }
 
+  test("jsDivergenceByStratum matches a driver replica; bounds hold") {
+    import spark.implicits._
+    val d = Seq(("A", "a a b"), ("A", "a"), ("B", "b c"), ("C", "a a b c"))
+      .toDF("src", "text")
+    val toks = Map("A" -> Seq("a", "a", "b", "a"), "B" -> Seq("b", "c"),
+      "C" -> Seq("a", "a", "b", "c"))
+    val corpus = toks.values.flatten.toSeq
+    val q = corpus.groupBy(identity).view
+      .mapValues(_.size.toDouble / corpus.size).toMap
+    def jsd(s: Seq[String]): Double = {
+      val p = s.groupBy(identity).view
+        .mapValues(_.size.toDouble / s.size).toMap
+      val present = p.keys.toSeq.sorted.map { w =>
+        val (pw, qw) = (p(w), q(w))
+        pw * math.log(2 * pw / (pw + qw)) + qw * math.log(2 * qw / (pw + qw))
+      }.sum
+      0.5 * present + 0.5 * math.log(2.0) *
+        (1.0 - p.keys.toSeq.map(q).sum)
+    }
+    val got = TA.jsDivergenceByStratum(d, "src", "text").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    toks.foreach { case (s, tk) =>
+      assert(got(s)._1 == tk.size.toLong)
+      assert(math.abs(got(s)._2 - jsd(tk)) < 1e-9, s"stratum $s")
+    }
+    // bounds: 0 ≤ jsd ≤ ln 2; C covers the corpus mix most closely
+    assert(got.values.forall(v => v._2 >= -1e-12 && v._2 <= 0.6932))
+    assert(got("C")._2 < got("B")._2)
+  }
+
   test("randomProject: JL distance preservation, determinism, matrix law") {
     import spark.implicits._
     // matrix distribution: ±1 about 1/6 each, 0 about 2/3

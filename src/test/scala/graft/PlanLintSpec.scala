@@ -79,7 +79,9 @@ class PlanLintSpec extends SparkSpec {
     "q_privacy_tcloseness" -> Map("cartesian" ->
       "1-row global-total aggregate broadcast onto the sensitive-domain frequency table"),
     "q_text_platt" -> Map("cartesian" ->
-      "1-row (a, b) trained-parameter state broadcast onto the scoring scan"))
+      "1-row (a, b) trained-parameter state broadcast onto the scoring scan"),
+    "q_text_js_divergence" -> Map("cartesian" ->
+      "1-row corpus-token-total aggregate broadcast onto the word-count join"))
 
   test("every cartesian/global-window in any gate plan is whitelisted") {
     val dir = sf("sf0.001")
