@@ -663,6 +663,68 @@ object Similarity {
     }
   }
 
+  /** ANN by JL projection: project corpus and queries to `outDim`
+    * with the seeded Achlioptas matrix, coarse-rank by PROJECTED
+    * cosine with the broadcast-probe / bounded-top-k scan (the
+    * [[bruteForceTopK]] shape, but each dot product costs outDim
+    * instead of inDim multiplies), keep `k · oversample` candidates
+    * per query, then re-rank the shortlist by EXACT cosine on the
+    * original vectors. At 1024-dim → 32-dim that is a 32× cheaper
+    * corpus scan whose recall loss is bounded by the JL distortion
+    * and bought back by the oversampled exact re-rank.
+    *
+    * Coarse dot/norm accumulate in ascending component order, so an
+    * engine replaying the same matrix reproduces the projected
+    * ranking exactly. `queries`/`corpus`: (id, vec: Array[Float]).
+    */
+  def projectedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      inDim: Int, outDim: Int, seed: String,
+      oversample: Int = 4): DataFrame = {
+    require(k >= 1 && oversample >= 1, "need k >= 1 and oversample >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def projected(df: DataFrame): DataFrame =
+      randomProject(df, "vec", inDim, outDim, seed)
+        .select(col("id"), col("proj"))
+    def dotD(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val qs = projected(queries).as[(Long, Array[Double])]
+      .collect().map { case (id, v) => (id, v, math.sqrt(dotD(v, v))) }
+    val bq = spark.sparkContext.broadcast(qs)
+    val coarse = projected(corpus).as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val probes = bq.value
+        it.flatMap { case (cid, cv) =>
+          val cn = math.sqrt(dotD(cv, cv))
+          probes.iterator.collect {
+            case (qid, qv, qn) if qid != cid =>
+              (qid, (dotD(qv, cv) / (qn * cn), cid))
+          }
+        }
+      }
+    implicit val ord: Ordering[(Double, Long)] =
+      Ordering.by((t: (Double, Long)) => (-t._1, t._2))(
+        Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+    val shortlist = new graft.typed.Grouped(coarse)
+      .sortedTake(k * oversample)
+      .ds.flatMap { case (qid, tops) => tops.map { case (_, cid) => (qid, cid) } }
+      .toDF("qid", "cid")
+    // exact re-rank: shortlist is |queries|·k·oversample rows — join
+    // original vectors back (query side broadcast-small), window over
+    // bounded per-query groups
+    val rer = shortlist
+      .join(broadcast(queries.select(col("id").as("qid"), col("vec").as("qv"))), "qid")
+      .join(corpus.select(col("id").as("cid"), col("vec").as("cv")), "cid")
+      .select(col("qid"), col("cid"), cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    rer.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select("qid", "cid", "cos")
+  }
+
   /** Johnson–Lindenstrauss dimensionality reduction by sparse random
     * projection (Achlioptas 2003): y = √(3/k) · xᵀR with the seeded
     * ±1/0 matrix above — pairwise distances are preserved within

@@ -74,7 +74,71 @@ object EmbeddingQueries extends QueryGroup {
        |FROM e ORDER BY vec_id""".stripMargin
   }
 
+  /** DuckDB replica of `Similarity.projectedTopK(k=5, 64→16,
+    * oversample=4)`: the projection CTE shares the Achlioptas matrix
+    * with the Spark plan (identical ± chains), the coarse cosine is
+    * the same ascending-component dot/norm arithmetic, the shortlist
+    * is the projected-cosine top-20 per query (cid tie-break), and
+    * the exact re-rank mirrors the LSH gate's cosine re-score.
+    */
+  private def jlTopKOracleSql: String = {
+    val r = Similarity.achlioptasMatrix(64, 16, "jl42")
+    val scale = math.sqrt(3.0 / 16)
+    val comps = (0 until 16).map { i =>
+      val terms = (0 until 64).flatMap { j =>
+        r(j)(i) match {
+          case 1 => Some(s"+ v[${j + 1}]")
+          case -1 => Some(s"- v[${j + 1}]")
+          case _ => None
+        }
+      }
+      val chain =
+        if (terms.isEmpty) "0.0" else "0.0 " + terms.mkString(" ")
+      val name = f"y$i%02d"
+      s"CAST('$scale' AS DOUBLE) * ($chain) AS $name"
+    }
+    val names = (0 until 16).map(i => f"y$i%02d")
+    def dot(a: String, b: String) =
+      names.map(n => s"$a.$n * $b.$n").mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), proj AS MATERIALIZED (
+       |  SELECT vec_id, ${comps.mkString(",\n  ")} FROM e
+       |), coarse AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |    (${dot("q", "c")}) /
+       |      (sqrt(${dot("q", "q")}) * sqrt(${dot("c", "c")})) AS pcos
+       |  FROM proj q JOIN proj c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 10
+       |), short AS (
+       |  SELECT qid, cid FROM coarse
+       |  QUALIFY row_number() OVER (PARTITION BY qid
+       |    ORDER BY pcos DESC, cid) <= 20
+       |), rer AS (
+       |  SELECT s.qid, s.cid,
+       |    list_cosine_similarity(qe.v, ce.v) AS cos_exact
+       |  FROM short s
+       |  JOIN e qe ON qe.vec_id = s.qid
+       |  JOIN e ce ON ce.vec_id = s.cid
+       |)
+       |SELECT qid, cid, round(cos_exact, 6) AS cos FROM rer
+       |QUALIFY row_number() OVER (PARTITION BY qid
+       |  ORDER BY cos_exact DESC, cid) <= 5
+       |ORDER BY qid, cid""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+
+    // projected ANN end-to-end: JL 64→16 coarse scan + oversampled
+    // exact re-rank, vs the matrix-sharing full replay.
+    q("q_embed_jl_topk", EmbeddingQueries.jlTopKOracleSql) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.projectedTopK(e.filter(col("id") < 10), e, k = 5,
+          inDim = 64, outDim = 16, seed = "jl42", oversample = 4)
+        .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"))
+        .orderBy("qid", "cid")
+    },
 
     // Achlioptas sparse JL projection 64→16: the ANN pre-step at
     // scale, gated component-by-component against the matrix-sharing

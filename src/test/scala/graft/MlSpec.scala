@@ -242,6 +242,36 @@ class MlSpec extends SparkSpec {
     Dedup.unpersistPipelineCaches()
   }
 
+  test("projectedTopK: JL-coarse + exact re-rank recovers most of exact top-k") {
+    val e = spark.read.parquet(sf() + "/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = e.filter(col("id") < 5)
+    val exact = Similarity.bruteForceTopK(queries, e, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val proj = Similarity.projectedTopK(queries, e, 10,
+        inDim = 64, outDim = 32, seed = "t", oversample = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(proj.keySet == exact.keySet)
+    proj.values.foreach(s => assert(s.size == 10))
+    val recalls = exact.map { case (qid, ex) =>
+      proj(qid).intersect(ex).size.toDouble / ex.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"mean recall@10 = $mean (per-query $recalls)")
+    // re-rank is exact cosine: any neighbor shared with brute force
+    // carries the identical score
+    val exactScores = Similarity.bruteForceTopK(queries, e, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    Similarity.projectedTopK(queries, e, 10, 64, 32, "t", 8).collect()
+      .foreach { r =>
+        val key = (r.getLong(0), r.getLong(1))
+        exactScores.get(key).foreach(s =>
+          assert(math.abs(s - r.getDouble(2)) < 1e-12))
+      }
+  }
+
   test("int8-quantized ANN search nearly reproduces exact top-k ranking") {
     val e = spark.read.parquet(sf() + "/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
