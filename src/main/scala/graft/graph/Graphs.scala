@@ -473,6 +473,36 @@ object Graphs {
       .select(col("node"), col("a").as("authority"), col("h").as("hub"))
   }
 
+  /** Degree assortativity coefficient (Newman 2002): the Pearson
+    * correlation of endpoint degrees over every edge, each undirected
+    * edge contributing both orientations so the statistic is
+    * symmetric. Positive = hubs attach to hubs (social-graph shape),
+    * negative = hubs attach to leaves (star/infrastructure shape) —
+    * the one-number summary behind "is this graph skew-join-shaped".
+    * Returns a single row (n_edges, assortativity); NULL
+    * assortativity for degree-regular graphs (zero variance).
+    *
+    * Scale shape: canonicalize + one degree aggregate, two node-keyed
+    * joins to attach endpoint degrees, one global `corr` — every
+    * shuffle is O(m) rows and the final aggregate is a 6-number
+    * partial (count/sums/products), never a collected edge list.
+    */
+  def degreeAssortativity(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val e = canonicalEdges(edges, srcCol, dstCol)
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val both = e.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(e.select(col("v").as("a"), col("u").as("b")))
+    both
+      .join(deg.select(col("node").as("a"), col("degree").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("degree").as("db")), "b")
+      .agg((count(lit(1)) / 2).cast("long").as("n_edges"),
+        corr(col("da").cast("double"), col("db").cast("double"))
+          .as("assortativity"))
+  }
+
   private def persistTracked(df: DataFrame): DataFrame =
     graft.core.PipelineCaches.persistTracked(df)
 }

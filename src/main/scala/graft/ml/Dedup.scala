@@ -859,6 +859,55 @@ object Dedup {
         greatest(col("id1"), col("id2")).as("id2"), col("dist"))
   }
 
+  /** Jaro–Winkler record linkage: candidate pairs via (first-token,
+    * length-band) blocking, verified by the native [[
+    * org.apache.spark.sql.graft.JaroWinkler]] expression ≥
+    * `threshold`. The length band uses the [[editDistancePairs]]
+    * probe/build trick — the shorter string probes every length in
+    * `[len, len+lenBand]`, the longer is built at its exact length —
+    * so the band condition stays a pure equi-join key and each
+    * unordered pair meets exactly once. Blocking is the standard
+    * recall/perf trade of linkage at scale (names that disagree on
+    * their first token or differ by more than `lenBand` chars are
+    * never compared); the verify is exact on every emitted pair.
+    *
+    * Returns (id1, id2, name1, name2, jw), id1 < id2.
+    *
+    * Scale shape: one shuffle on the (block, length) key; quadratic
+    * work only within a (first-token, length) bucket; JW itself runs
+    * inside whole-stage codegen via a static call.
+    */
+  def jaroWinklerLinkage(df: DataFrame, idCol: String, strCol: String,
+      threshold: Double, lenBand: Int = 1): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    require(lenBand >= 0, s"lenBand must be >= 0, got $lenBand")
+    val base = df.select(col(idCol).cast("long").as("id"),
+        col(strCol).as("s"))
+      .withColumn("blk", split(col("s"), " ").getItem(0))
+      .withColumn("len", length(col("s")))
+    val probe = base.select(col("blk"), col("id").as("id1"),
+      col("s").as("s1"), col("len").as("len1"),
+      explode(sequence(col("len"), col("len") + lenBand)).as("lk"))
+    val build = base.select(col("blk"), col("id").as("id2"),
+      col("s").as("s2"), col("len").as("len2"), col("len").as("lk"))
+    val jw = graft.functions.StringFunctions.jaro_winkler(
+      col("s1"), col("s2"))
+    probe.join(build, Seq("blk", "lk"))
+      .filter(col("len1") < col("len2") ||
+        (col("len1") === col("len2") && col("id1") < col("id2")))
+      .withColumn("jw", jw)
+      .filter(col("jw") >= threshold)
+      .select(
+        when(col("id1") < col("id2"),
+          struct(col("id1"), col("s1"), col("id2"), col("s2")))
+          .otherwise(struct(col("id2").as("id1"), col("s2").as("s1"),
+            col("id1").as("id2"), col("s1").as("s2"))).as("p"),
+        col("jw"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
+        col("p.s1").as("name1"), col("p.s2").as("name2"), col("jw"))
+  }
+
   /** Exact duplicated-substring spans: maximal runs of k-token grams
     * that appear in >= `minDocs` distinct documents — the distributed
     * re-expression of suffix-array substring dedup (Lee et al. 2022,

@@ -224,4 +224,46 @@ object Filters {
         sum(when(c4PageKeep(col("__t"), col("__c")) &&
           col("__g").getField("keep"), 1L).otherwise(0L)).as("n_survivors"))
   }
+
+  /** Per-source boilerplate removal: a non-blank line that appears in
+    * at least `minDocs` DISTINCT documents of the SAME source is
+    * boilerplate (nav bars, cookie banners, footers — the stuff that
+    * repeats across a site but is unique text corpus-wide), and every
+    * occurrence is dropped from every document. This is the
+    * complement of [[dedupLinesAcrossCorpus]]: that keeps the FIRST
+    * occurrence of a duplicated line; this removes ALL occurrences
+    * once a line is frequent within its source. Blank lines survive
+    * as structure. Returns (id, n_kept, n_dropped, cleaned).
+    *
+    * Scale shape: one line explode → (source, line) hash count with
+    * a distinct-doc aggregate, then the boilerplate set joins back
+    * line-keyed — but only FREQUENT lines survive the having-filter,
+    * so the join's build side is the (small) boilerplate set per
+    * source and the rebuild groupBy(id) shuffles each surviving line
+    * once. No window over the raw line stream, nothing quadratic.
+    */
+  def removeBoilerplate(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, sourceCol: String,
+      minDocs: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(minDocs >= 2, "minDocs must be >= 2")
+    val id = col(idCol)
+    val lines = docs.select(id, col(sourceCol).as("__src"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val boiler = lines.filter(trim(col("line")) =!= "")
+      .groupBy("__src", "line")
+      .agg(countDistinct(id).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("__src"), col("line"), lit(true).as("__boiler"))
+    lines
+      .join(boiler, Seq("__src", "line"), "left")
+      .withColumn("__keep", col("__boiler").isNull)
+      .groupBy(idCol)
+      .agg(
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_dropped"),
+        array_join(transform(array_sort(
+          collect_list(when(col("__keep"),
+            struct(col("pos"), col("line"))))),
+          s => s.getField("line")), "\n").as("cleaned"))
+  }
 }

@@ -382,4 +382,31 @@ object Profile {
     driftReport(baseline, current, valueCol, cuts, smoothing)
       .agg(sum("psi_term").as("psi"), sum("kl_term").as("kl"),
         sum("tv_term").as("tvd"))
+
+  /** Per-stratum winsorization: clip `valCol` to its stratum's
+    * [`lo`, `hi`] exact interpolated quantiles (the robust-scaling
+    * step before any mean/variance statistic on heavy-tailed pipeline
+    * scores — a handful of spam pages shouldn't own the corpus
+    * z-scale). Appends `<valCol>_winsorized` (double) and a `clipped`
+    * flag; all input columns pass through.
+    *
+    * Scale shape: one per-stratum exact-percentile aggregate (two
+    * numbers per stratum), broadcast back over the scan — the data
+    * itself is never shuffled, so this composes with pushdown and
+    * costs one read at 100 TB. Strata count is assumed
+    * dashboard-sized (it's a GROUP BY culture key, not an ID).
+    */
+  def winsorize(df: DataFrame, valCol: String, strataCol: String,
+      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    require(lo >= 0 && lo < hi && hi <= 1, "need 0 <= lo < hi <= 1")
+    val v = col(valCol).cast("double")
+    val cuts = df.groupBy(col(strataCol))
+      .agg(percentile(v, lit(lo)).as("__lo"),
+        percentile(v, lit(hi)).as("__hi"))
+    df.join(broadcast(cuts), Seq(strataCol))
+      .withColumn(s"${valCol}_winsorized",
+        least(greatest(v, col("__lo")), col("__hi")))
+      .withColumn("clipped", v < col("__lo") || v > col("__hi"))
+      .drop("__lo", "__hi")
+  }
 }

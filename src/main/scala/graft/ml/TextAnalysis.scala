@@ -811,4 +811,83 @@ object TextAnalysis {
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(topK)
   }
+
+  /** Zipf-law fit of the corpus token-frequency distribution:
+    * closed-form OLS of ln(freq) on ln(rank) (rank 1 = most frequent,
+    * ties broken alphabetically so the ranking is deterministic).
+    * Natural text sits near slope ≈ −1; a much flatter or steeper
+    * slope is a classic "this shard is boilerplate / machine noise"
+    * corpus-health signal. Returns one row
+    * (n_types, n_tokens, slope, intercept, r2) — `intercept` is
+    * ln(predicted freq at rank 1), `r2` the fit quality in log-log
+    * space (NULL for single-type corpora, where variance is zero).
+    *
+    * Scale shape: one token scan → vocabulary hash count; the rank
+    * window sorts the VOCABULARY (bounded by |V|, not the corpus —
+    * the same single-partition-over-vocab tradeoff [[heavyHitters]]
+    * documents); the regression itself is one 6-number aggregate of
+    * (x, y, xy, x², y²) partials — nothing is collected.
+    */
+  def zipfFit(df: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(
+        explode(split(normalize(col(textCol)), " ")).as("tk"))
+      .filter(length(col("tk")) > 0)
+      .groupBy("tk").agg(count(lit(1)).as("c"))
+    val ranked = counts.withColumn("rank",
+      row_number().over(Window.orderBy(col("c").desc, col("tk"))))
+    val x = log(col("rank").cast("double"))
+    val y = log(col("c").cast("double"))
+    ranked
+      .agg(count(lit(1)).as("n_types"), sum("c").as("n_tokens"),
+        count(lit(1)).cast("double").as("n"),
+        sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      .select(col("n_types"), col("n_tokens"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+        col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"), col("syy"))
+      .select(col("n_types"), col("n_tokens"), col("slope"),
+        ((col("sy") - col("slope") * col("sx")) / col("n")).as("intercept"),
+        (pow(col("n") * col("sxy") - col("sx") * col("sy"), 2.0) /
+          ((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy")))).as("r2"))
+  }
+
+  /** Per-stratum token-distribution diversity: Shannon entropy
+    * (nats), Simpson concentration Σp², Gini coefficient of the
+    * frequency distribution, and type/token counts — the corpus-mix
+    * dashboard row answering "is this source's vocabulary rich or
+    * is it ten tokens on repeat". Gini uses the sorted-frequency
+    * closed form G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over
+    * ascending-sorted type frequencies (ties broken alphabetically,
+    * so every engine ranks identically).
+    *
+    * Scale shape: one token scan → (stratum, type) hash counts; the
+    * per-stratum rank window sorts each stratum's VOCABULARY (the
+    * [[zipfFit]] tradeoff, here hash-partitioned by stratum); the
+    * final per-stratum aggregate carries 6 partials per stratum.
+    */
+  def tokenDiversity(df: DataFrame, strataCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(col(strataCol).as("stratum"),
+        explode(split(normalize(col(textCol)), " ")).as("tk"))
+      .filter(length(col("tk")) > 0)
+      .groupBy("stratum", "tk").agg(count(lit(1)).as("c"))
+    val ranked = counts.withColumn("i",
+      row_number().over(Window.partitionBy("stratum")
+        .orderBy(col("c").asc, col("tk"))))
+    val p = col("c").cast("double") / col("nt")
+    ranked
+      .withColumn("nt", sum("c").over(Window.partitionBy("stratum")))
+      .groupBy("stratum")
+      .agg(max("nt").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        (-sum(p * log(p))).as("shannon"),
+        sum(p * p).as("simpson"),
+        (lit(2.0) * sum(col("i") * col("c")) /
+          (count(lit(1)).cast("double") * max("nt").cast("double")) -
+          (count(lit(1)) + lit(1.0)) / count(lit(1))).as("gini"))
+  }
 }

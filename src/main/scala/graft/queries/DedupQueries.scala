@@ -572,6 +572,31 @@ object DedupQueries extends QueryGroup {
             col("decision"))
           .orderBy("ida", "idb")
       } finally pairs.unpersist(blocking = false)
+    },
+
+    // Jaro-Winkler record linkage over part names: (first-token,
+    // length±1) blocking, native JaroWinkler expression verify at
+    // ≥ 0.9, identical names excluded so the gate exercises the
+    // fuzzy arithmetic (the oracle replays the same blocking and
+    // DuckDB's jaro_winkler_similarity — semantics pinned to match).
+    q("q_join_jarowinkler",
+      """WITH p AS (
+        |  SELECT p_partkey AS id, p_name AS nm,
+        |    string_split(p_name, ' ')[1] AS blk, strlen(p_name) AS ln
+        |  FROM part
+        |)
+        |SELECT a.id AS id1, b.id AS id2,
+        |  round(jaro_winkler_similarity(a.nm, b.nm), 6) AS jw
+        |FROM p a JOIN p b
+        |  ON a.blk = b.blk AND abs(a.ln - b.ln) <= 1 AND a.id < b.id
+        |WHERE jaro_winkler_similarity(a.nm, b.nm) >= 0.9
+        |  AND a.nm <> b.nm
+        |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+      graft.ml.Dedup.jaroWinklerLinkage(t(s, dir, "part"),
+          "p_partkey", "p_name", threshold = 0.9, lenBand = 1)
+        .filter(col("name1") =!= col("name2"))
+        .select(col("id1"), col("id2"), round(col("jw"), 6).as("jw"))
+        .orderBy("id1", "id2")
     }
   )
 

@@ -1631,6 +1631,58 @@ object EventQueries extends QueryGroup {
           .orderBy("event_type")
     },
 
+    // CDC latest-wins snapshot: each user's earliest event is the
+    // base profile, every later event an upsert (delete when
+    // event_type = 'error'); applyCdc folds the log in one keyed
+    // window.
+    q("q_events_cdc_apply",
+      """WITH e AS (
+        |  SELECT user_id, event_type, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id
+        |  FROM events
+        |), rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY sec, event_id) AS rn
+        |  FROM e
+        |), base AS (
+        |  SELECT user_id, event_type, value FROM rk WHERE rn = 1
+        |), chg AS (
+        |  SELECT user_id, event_type, value, sec, event_id,
+        |    CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op
+        |  FROM rk WHERE rn > 1
+        |), unioned AS (
+        |  SELECT user_id, event_type, value,
+        |    -9223372036854775807 - 1 AS sec, NULL::BIGINT AS event_id,
+        |    'u' AS op
+        |  FROM base
+        |  UNION ALL
+        |  SELECT user_id, event_type, value, sec, event_id, op FROM chg
+        |), last_ AS (
+        |  SELECT * FROM unioned QUALIFY row_number() OVER (
+        |    PARTITION BY user_id
+        |    ORDER BY sec DESC, event_id DESC NULLS LAST) = 1
+        |)
+        |SELECT user_id, event_type, round(value, 6) AS value
+        |FROM last_ WHERE op <> 'd' ORDER BY user_id""".stripMargin) {
+      (s, dir) =>
+        val raw = t(s, dir, "events")
+        val e = raw.select(col("user_id"), col("event_type"),
+          col("value"), Ts.seconds(raw).as("sec"), col("event_id"))
+        val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+        val ranked = e.withColumn("rn", row_number().over(w))
+        val base = ranked.filter(col("rn") === 1)
+          .select("user_id", "event_type", "value")
+        val changes = ranked.filter(col("rn") > 1)
+          .withColumn("op",
+            when(col("event_type") === "error", "d").otherwise("u"))
+          .select("user_id", "event_type", "value", "sec", "event_id", "op")
+        graft.sources.Scd2.applyCdc(base, changes, Seq("user_id"),
+            "sec", "op", tieCols = Seq("event_id"))
+          .select(col("user_id"), col("event_type"),
+            round(col("value"), 6).as("value"))
+          .orderBy("user_id")
+    },
+
     // temporal split with a 1-day embargo before the cutoff: embargo
     // rows dropped, boundary arithmetic validated by per-split
     // count/min/max.

@@ -168,6 +168,37 @@ object ExtrasQueries extends QueryGroup {
         .orderBy("l_returnflag", "price")
     },
 
+    // per-stratum winsorization at the exact [5%, 95%] interpolated
+    // quantiles (Spark `percentile` and DuckDB `quantile_cont` share
+    // the p·(n−1) linear-interpolation definition): clip counts and
+    // the clipped distribution's envelope per group.
+    q("q_profile_winsorize",
+      """WITH cuts AS (
+        |  SELECT l_returnflag AS k,
+        |    quantile_cont(l_extendedprice, 0.05) AS lo,
+        |    quantile_cont(l_extendedprice, 0.95) AS hi
+        |  FROM lineitem GROUP BY 1
+        |), w AS (
+        |  SELECT l_returnflag AS k,
+        |    least(greatest(l_extendedprice, lo), hi) AS wv,
+        |    (l_extendedprice < lo OR l_extendedprice > hi) AS clip
+        |  FROM lineitem JOIN cuts ON l_returnflag = cuts.k
+        |)
+        |SELECT k AS l_returnflag, count(*)::BIGINT AS n,
+        |  count(*) FILTER (WHERE clip) AS n_clipped,
+        |  round(min(wv), 2) AS lo_cut, round(max(wv), 2) AS hi_cut
+        |FROM w GROUP BY k ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      graft.ml.Profile.winsorize(
+          t(s, dir, "lineitem").select("l_returnflag", "l_extendedprice"),
+          "l_extendedprice", "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("clipped"), 1L).otherwise(0L)).as("n_clipped"),
+          round(min("l_extendedprice_winsorized"), 2).as("lo_cut"),
+          round(max("l_extendedprice_winsorized"), 2).as("hi_cut"))
+        .orderBy("l_returnflag")
+    },
+
     // deterministic hash sampling (Fibonacci multiplicative scramble,
     // pure integer arithmetic): the same keys are kept on every engine
     // and every run — reproducible holdout splits without RNG state.

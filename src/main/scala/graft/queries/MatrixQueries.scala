@@ -414,6 +414,42 @@ object MatrixQueries extends QueryGroup {
         .filter(col("node") % 211 === 0).distinct()
       graft.graph.Graphs.shortestHops(edges, srcs, maxHops = 4)
         .orderBy("node")
+    },
+
+    // degree assortativity (Newman 2002) of the co-purchase graph:
+    // Pearson correlation of endpoint degrees with each undirected
+    // edge contributing both orientations. Pearson r is identical
+    // under sample/population scaling, so engine `corr` functions
+    // agree exactly.
+    q("q_graph_assortativity",
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |), e AS (
+        |  SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+        |), deg AS (
+        |  SELECT node, count(*)::BIGINT AS d FROM (
+        |    SELECT u AS node FROM e UNION ALL SELECT v FROM e
+        |  ) GROUP BY node
+        |), pairs AS (
+        |  SELECT du.d AS da, dv.d AS db
+        |  FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+        |  UNION ALL
+        |  SELECT dv.d, du.d
+        |  FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+        |)
+        |SELECT CAST(count(*) / 2 AS BIGINT) AS n_edges,
+        |  round(corr(da::DOUBLE, db::DOUBLE), 6) AS assortativity
+        |FROM pairs""".stripMargin) { (s, dir) =>
+      val items = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = items.alias("a").join(items.alias("b"), Seq("o"))
+        .filter(col("a.p") < col("b.p"))
+        .select(col("a.p").as("src"), col("b.p").as("dst"))
+      graft.graph.Graphs.degreeAssortativity(edges)
+        .select(col("n_edges"),
+          round(col("assortativity"), 6).as("assortativity"))
     }
   )
 

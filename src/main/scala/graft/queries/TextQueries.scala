@@ -1942,6 +1942,116 @@ object TextQueries extends QueryGroup {
       graft.ml.Blocklist.matchCounts(t(s, dir, "documents"),
           "doc_id", "text", Seq("spark", "merge batch", "slow"))
         .orderBy("doc_id", "pattern")
+    },
+
+    // Zipf-law fit of the corpus token distribution: closed-form OLS
+    // of ln(freq) on ln(rank) — slope ≈ -1 for natural text, the
+    // one-number corpus-health signal. Oracle replays the identical
+    // deterministic ranking (count desc, token asc) and regression.
+    q("q_text_zipf",
+      s"""WITH cw AS (
+         |  SELECT string_split($normSql, ' ') AS w FROM documents
+         |), tok AS (
+         |  SELECT tk FROM (SELECT unnest(w) AS tk FROM cw)
+         |  WHERE strlen(tk) > 0
+         |), cnt AS (
+         |  SELECT tk, count(*)::BIGINT AS c FROM tok GROUP BY tk
+         |), rk AS (
+         |  SELECT c, row_number() OVER (ORDER BY c DESC, tk) AS rank
+         |  FROM cnt
+         |), s AS (
+         |  SELECT count(*)::BIGINT AS n_types, CAST(sum(c) AS BIGINT)
+         |      AS n_tokens,
+         |    count(*)::DOUBLE AS n, sum(ln(rank)) AS sx, sum(ln(c)) AS sy,
+         |    sum(ln(rank) * ln(c)) AS sxy, sum(ln(rank) * ln(rank)) AS sxx,
+         |    sum(ln(c) * ln(c)) AS syy
+         |  FROM rk
+         |)
+         |SELECT n_types, n_tokens,
+         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+         |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+         |    6) AS intercept,
+         |  round(pow(n * sxy - sx * sy, 2) /
+         |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+         |FROM s""".stripMargin) { (s, dir) =>
+      TA.zipfFit(t(s, dir, "documents"), "text")
+        .select(col("n_types"), col("n_tokens"),
+          round(col("slope"), 6).as("slope"),
+          round(col("intercept"), 6).as("intercept"),
+          round(col("r2"), 6).as("r2"))
+    },
+
+    // per-source token-distribution diversity: Shannon entropy,
+    // Simpson concentration, Gini coefficient, type/token counts —
+    // the corpus-mix dashboard row. Gini uses the sorted-frequency
+    // closed form with a deterministic (count asc, token asc) rank.
+    q("q_text_diversity",
+      s"""WITH cw AS (
+         |  SELECT source, string_split($normSql, ' ') AS w FROM documents
+         |), tok AS (
+         |  SELECT source, tk
+         |  FROM (SELECT source, unnest(w) AS tk FROM cw)
+         |  WHERE strlen(tk) > 0
+         |), cnt AS (
+         |  SELECT source, tk, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2
+         |), rk AS (
+         |  SELECT source, tk, c,
+         |    row_number() OVER (PARTITION BY source ORDER BY c ASC, tk)
+         |      AS i,
+         |    CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS nt
+         |  FROM cnt
+         |)
+         |SELECT source AS stratum, max(nt) AS n_tokens,
+         |  count(*)::BIGINT AS n_types,
+         |  round(-sum((c / nt::DOUBLE) * ln(c / nt::DOUBLE)), 6) AS shannon,
+         |  round(sum(pow(c / nt::DOUBLE, 2)), 6) AS simpson,
+         |  round(2.0 * CAST(sum(i * c) AS DOUBLE) /
+         |      (count(*)::DOUBLE * max(nt)::DOUBLE) -
+         |    (count(*) + 1.0) / count(*), 6) AS gini
+         |FROM rk GROUP BY source ORDER BY stratum""".stripMargin) {
+      (s, dir) =>
+        TA.tokenDiversity(t(s, dir, "documents"), "source", "text")
+          .select(col("stratum"), col("n_tokens"), col("n_types"),
+            round(col("shannon"), 6).as("shannon"),
+            round(col("simpson"), 6).as("simpson"),
+            round(col("gini"), 6).as("gini"))
+          .orderBy("stratum")
+    },
+
+    // per-source boilerplate-line removal: a non-blank line in ≥ 3
+    // distinct docs of the same source is dropped EVERYWHERE (the
+    // complement of first-occurrence line dedup). Newlines are
+    // synthesized the same way as q_text_line_dedup.
+    q("q_text_boilerplate",
+      """WITH d AS (
+        |  SELECT doc_id, source, replace(text, 'table', '.' || chr(10)) AS t
+        |  FROM documents
+        |), ls AS (
+        |  SELECT doc_id, source, string_split(t, chr(10)) AS ll FROM d
+        |), l AS (
+        |  SELECT doc_id, source, unnest(ll) AS line,
+        |    unnest(range(0, len(ll))) AS pos
+        |  FROM ls
+        |), b AS (
+        |  SELECT source, line FROM l WHERE trim(line) <> ''
+        |  GROUP BY source, line HAVING count(DISTINCT doc_id) >= 3
+        |), k AS (
+        |  SELECT l.doc_id, l.pos, l.line, b.line IS NULL AS keep
+        |  FROM l LEFT JOIN b ON l.source = b.source AND l.line = b.line
+        |)
+        |SELECT doc_id,
+        |  count(*) FILTER (WHERE keep) AS n_kept,
+        |  count(*) FILTER (WHERE NOT keep) AS n_dropped,
+        |  md5(coalesce(string_agg(line, chr(10) ORDER BY pos)
+        |    FILTER (WHERE keep), '')) AS h
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.ml.Filters
+      val docs = t(s, dir, "documents")
+        .withColumn("t", expr("replace(text, 'table', concat('.', chr(10)))"))
+      Filters.removeBoilerplate(docs, "doc_id", "t", "source", minDocs = 3)
+        .select(col("doc_id"), col("n_kept"), col("n_dropped"),
+          md5(col("cleaned")).as("h"))
+        .orderBy("doc_id")
     }
   )
 

@@ -81,4 +81,39 @@ object Scd2 {
   def asOf(scd2: DataFrame, asOfTs: Long): DataFrame =
     scd2.filter(col("valid_from") <= asOfTs &&
       (col("valid_to").isNull || col("valid_to") > asOfTs))
+
+  /** CDC snapshot apply (the batch `MERGE INTO` / Debezium-compact
+    * shape): fold a change log of upserts and deletes into a base
+    * snapshot, latest-writer-wins per key. `changes` rows carry
+    * `tsCol`, the `opCol` marker (`'d'` = delete, anything else =
+    * upsert) and the full value columns; base rows rank below every
+    * change (they're the state before the log). Ties on `tsCol`
+    * resolve by `tieCols` descending (base rows carry nulls there,
+    * ranking last). Returns the post-log snapshot with `base`'s
+    * schema — keys whose latest op is a delete are gone, unseen keys
+    * flow through.
+    *
+    * One union + one keyed window (single shuffle on the key) — no
+    * join, no per-key collect; idempotent under replay of an
+    * already-applied log.
+    */
+  def applyCdc(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
+      tsCol: String, opCol: String,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val valueCols = base.columns.filterNot(keyCols.contains).toSeq
+    val b = tieCols.foldLeft(
+        base.withColumn(tsCol, lit(Long.MinValue))
+          .withColumn(opCol, lit("u"))) { (df, t) =>
+        df.withColumn(t, lit(null).cast(changes.schema(t).dataType))
+      }
+    val ordered = (keyCols ++ valueCols) :+ tsCol :+ opCol
+    val all = b.select((ordered ++ tieCols).map(col): _*)
+      .unionByName(changes.select((ordered ++ tieCols).map(col): _*))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((col(tsCol).desc +: tieCols.map(col(_).desc)): _*)
+    all.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(opCol) =!= "d")
+      .select((keyCols ++ valueCols).map(col): _*)
+  }
 }

@@ -278,4 +278,28 @@ class ExtrasSpec extends SparkSpec {
     val (_, _, ac, _, _, jacAc) = got(("A", "C"))
     assert(ac == 0L && jacAc == 0.0)
   }
+
+  test("winsorize clips at the exact per-stratum interpolated quantiles") {
+    import spark.implicits._
+    // stratum a: 0..100 step 10 (11 values); p05 interpolates between
+    // sorted[0.5] -> 5.0, p95 -> 95.0
+    val a = (0 to 100 by 10).map(v => ("a", v.toDouble))
+    val b = Seq(("b", 1.0), ("b", 2.0), ("b", 3.0))
+    val out = graft.ml.Profile.winsorize((a ++ b).toDF("k", "v"), "v", "k")
+      .collect()
+      .map(r => (r.getString(r.fieldIndex("k")), r.getDouble(r.fieldIndex("v")),
+        r.getDouble(r.fieldIndex("v_winsorized")),
+        r.getBoolean(r.fieldIndex("clipped"))))
+    val av = out.filter(_._1 == "a")
+    assert(av.map(_._3).min == 5.0 && av.map(_._3).max == 95.0)
+    // exactly the 0 and 100 endpoints clip
+    assert(av.filter(_._4).map(_._2).sorted.toSeq == Seq(0.0, 100.0))
+    // interior values pass through untouched
+    av.filterNot(_._4).foreach { case (_, v, w, _) => assert(v == w) }
+    // p05 of {1,2,3} = 1 + 0.05*2*... = sorted[0.1] -> 1.1; p95 -> 2.9
+    val bv = out.filter(_._1 == "b")
+    assert(bv.map(_._3).min == 1.1 && bv.map(_._3).max == 2.9)
+    intercept[IllegalArgumentException](
+      graft.ml.Profile.winsorize(b.toDF("k", "v"), "v", "k", 0.9, 0.1))
+  }
 }

@@ -192,4 +192,28 @@ class FiltersSpec extends SparkSpec {
     assert(out.map(_._3).toSeq == Seq(true, false, true), s"keep flags: ${out.toSeq}")
     assert(out(2)._2 == 3L, s"singleton cluster should be its own id: ${out.toSeq}")
   }
+
+  test("removeBoilerplate drops frequent lines per source, keeps blanks") {
+    import spark.implicits._
+    // "footer" appears in 3 docs of source A (boilerplate there) but
+    // only 2 docs of source B (kept there); blank lines always survive
+    val docs = Seq(
+      (1L, "A", "alpha\nfooter\n\nbody one"),
+      (2L, "A", "footer\nbody two"),
+      (3L, "A", "body three\nfooter"),
+      (4L, "B", "footer\nother"),
+      (5L, "B", "footer again\nfooter")).toDF("doc_id", "source", "text")
+    val out = Filters.removeBoilerplate(docs, "doc_id", "text", "source",
+        minDocs = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3)))).toMap
+    assert(out(1L) == ((3L, 1L, "alpha\n\nbody one")))
+    assert(out(2L) == ((1L, 1L, "body two")))
+    assert(out(3L) == ((1L, 1L, "body three")))
+    // source B is untouched: "footer" only appears in 2 of its docs
+    assert(out(4L) == ((2L, 0L, "footer\nother")))
+    assert(out(5L) == ((2L, 0L, "footer again\nfooter")))
+    intercept[IllegalArgumentException](
+      Filters.removeBoilerplate(docs, "doc_id", "text", "source", 1))
+  }
 }

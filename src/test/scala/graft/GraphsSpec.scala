@@ -289,4 +289,31 @@ class GraphsSpec extends SparkSpec {
     assert(!pathC.contains(got(20L)),
       "separate components must never share a community")
   }
+
+  test("degreeAssortativity: star is -1, regular graph has no variance") {
+    import spark.implicits._
+    // star K1,4: every edge connects degree 4 to degree 1 -> r = -1
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("src", "dst")
+    val rs = Graphs.degreeAssortativity(star).head()
+    assert(rs.getLong(0) == 4L)
+    assert(math.abs(rs.getDouble(1) - (-1.0)) < 1e-12)
+    // 4-cycle: all degrees 2 -> zero variance -> NULL coefficient
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val rc = Graphs.degreeAssortativity(cycle).head()
+    assert(rc.getLong(0) == 4L && rc.isNullAt(1))
+    // brute-force Pearson on a small irregular graph (path + chord)
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 4L)).toDF("src", "dst")
+    val deg = Map(1L -> 1, 2L -> 3, 3L -> 2, 4L -> 2)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 4L))
+      .flatMap { case (u, v) => Seq((deg(u), deg(v)), (deg(v), deg(u))) }
+    val n = pairs.size.toDouble
+    val (sx, sy) = (pairs.map(_._1).sum.toDouble, pairs.map(_._2).sum.toDouble)
+    val sxy = pairs.map(p => p._1 * p._2).sum.toDouble
+    val sxx = pairs.map(p => p._1 * p._1).sum.toDouble
+    val syy = pairs.map(p => p._2 * p._2).sum.toDouble
+    val expected = (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    val rg = Graphs.degreeAssortativity(g).head()
+    assert(math.abs(rg.getDouble(1) - expected) < 1e-12, rg.getDouble(1))
+  }
 }

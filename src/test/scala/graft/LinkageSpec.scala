@@ -83,4 +83,64 @@ class LinkageSpec extends SparkSpec {
     assert(got.m.toSeq == Seq(0.9, 0.9) && got.u.toSeq == Seq(0.1, 0.1))
     assert(!got.p.isNaN)
   }
+
+  test("jaro_winkler matches DuckDB's jaro_winkler_similarity bit-for-bit") {
+    import spark.implicits._
+    // fixture values produced by DuckDB jaro_winkler_similarity —
+    // pins the match-window, transposition, 0.7 boost threshold,
+    // 4-char prefix cap, and empty-string conventions
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("jellyfish", "smellyfish", 0.8962962962962964),
+      ("abcdef", "abcxyz", 0.6666666666666666), // jaro < 0.7: no boost
+      ("ab", "ba", 0.0),                        // window 0: no matches
+      ("a", "", 0.0),
+      ("", "", 0.0),                            // DuckDB: empty -> 0
+      ("abc", "abc", 1.0),
+      ("aaaaaaaaab", "aaaaaaaaba", 0.98),       // prefix capped at 4
+      ("prefixonly", "prefixnotx", 0.895),
+      ("dwayne", "duane", 0.8400000000000001),
+      ("xyzzzzz", "xyabcde", 0.5238095238095238))
+    val got = cases.toDF("a", "b", "expected")
+      .withColumn("jw",
+        graft.functions.StringFunctions.jaro_winkler(col("a"), col("b")))
+      .collect()
+    got.foreach { r =>
+      assert(r.getDouble(2) == r.getDouble(3),
+        s"${r.getString(0)}/${r.getString(1)}: " +
+          s"expected ${r.getDouble(2)} got ${r.getDouble(3)}")
+    }
+    // SQL registration path
+    graft.functions.StringFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT jaro_winkler('martha', 'marhta')").head().getDouble(0)
+    assert(viaSql == 0.9611111111111111)
+    // null propagation
+    val n = Seq(("x", null: String)).toDF("a", "b")
+      .select(graft.functions.StringFunctions.jaro_winkler(col("a"), col("b")))
+      .head()
+    assert(n.isNullAt(0))
+  }
+
+  test("jaroWinklerLinkage blocks on (first token, length band) and verifies") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "red widget"), (2L, "red widgex"),   // same block, jw high
+      (3L, "red gadget"),                        // same block, jw lower
+      (4L, "blue widget"),                       // different first token
+      (5L, "red widgetxxx")                      // outside length band
+    ).toDF("id", "name")
+    val got = graft.ml.Dedup.jaroWinklerLinkage(df, "id", "name",
+        threshold = 0.9, lenBand = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(got.map(t => (t._1, t._2)).toSet == Set((1L, 2L)), got.toSeq)
+    // pair (1,3) is blocked together but fails the 0.9 verify;
+    // (1,4) never meets (block); (1,5) never meets (length band)
+    val relaxed = graft.ml.Dedup.jaroWinklerLinkage(df, "id", "name",
+        threshold = 0.5, lenBand = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(relaxed.contains((1L, 3L)) && !relaxed.exists(_._2 == 4L))
+    assert(!relaxed.exists(t => t._1 == 5L || t._2 == 5L))
+  }
 }

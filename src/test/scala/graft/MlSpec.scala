@@ -988,4 +988,43 @@ class MlSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TA.bucketByCutoffs(d, "nll", Seq.empty))
   }
+
+  test("zipfFit recovers an exact power law and counts the vocabulary") {
+    import spark.implicits._
+    // freqs 8,4,2,1 over ranks 1..4: ln f = ln 8 - (ln 2 / ln 2) ... an
+    // exact slope of log2-halving in natural log space:
+    // y = ln(16) - 1.0 * x*ln(2)/ln(..) -- build exactly: f(r) = 16 / 2^r
+    // ln f = ln 16 - r ln 2, x = ln r (NOT linear in r), so instead use
+    // f(r) = c / r (slope exactly -1): freqs 12, 6, 4, 3 for ranks 1,2,3,4
+    val words =
+      Seq.fill(12)("aa") ++ Seq.fill(6)("bb") ++ Seq.fill(4)("cc") ++
+        Seq.fill(3)("dd")
+    val df = Seq(words.mkString(" ")).toDF("text")
+    val r = graft.ml.TextAnalysis.zipfFit(df, "text").head()
+    assert(r.getAs[Long]("n_types") == 4L)
+    assert(r.getAs[Long]("n_tokens") == 25L)
+    assert(math.abs(r.getAs[Double]("slope") - (-1.0)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("intercept") - math.log(12.0)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("r2") - 1.0) < 1e-12)
+  }
+
+  test("tokenDiversity: uniform stratum vs degenerate stratum") {
+    import spark.implicits._
+    val df = Seq(
+      ("u", "aa bb cc dd"),        // uniform over 4 types
+      ("d", "zz zz zz zz")         // one type on repeat
+    ).toDF("source", "text")
+    val got = graft.ml.TextAnalysis.tokenDiversity(df, "source", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val u = got("u")
+    assert(u.getAs[Long]("n_tokens") == 4L && u.getAs[Long]("n_types") == 4L)
+    assert(math.abs(u.getAs[Double]("shannon") - math.log(4.0)) < 1e-12)
+    assert(math.abs(u.getAs[Double]("simpson") - 0.25) < 1e-12)
+    // equal frequencies -> Gini 0: 2*(1+2+3+4)/(4*4) - 5/4 = 20/16 - 5/4
+    assert(math.abs(u.getAs[Double]("gini")) < 1e-12)
+    val d = got("d")
+    assert(d.getAs[Long]("n_tokens") == 4L && d.getAs[Long]("n_types") == 1L)
+    assert(math.abs(d.getAs[Double]("shannon")) < 1e-12)
+    assert(math.abs(d.getAs[Double]("simpson") - 1.0) < 1e-12)
+  }
 }

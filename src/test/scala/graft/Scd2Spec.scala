@@ -58,6 +58,34 @@ class Scd2Spec extends SparkSpec {
     assert(at(5L) == Map.empty[Long, String])
   }
 
+  test("applyCdc: upserts, deletes, base passthrough, replay idempotence") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("k", "attr", "v")
+    val changes = Seq(
+      (1L, "a2", 1.5, 10L, 1L, "u"),  // update key 1
+      (1L, "a3", 1.7, 10L, 2L, "u"),  // same ts: tie-break on id
+      (2L, "b", 2.0, 11L, 3L, "d"),   // delete key 2
+      (4L, "d", 4.0, 12L, 4L, "u"),   // insert new key 4
+      (5L, "e", 5.0, 13L, 5L, "u"),   // insert then delete key 5
+      (5L, "e", 5.0, 14L, 6L, "d"))
+      .toDF("k", "attr", "v", "ts", "id", "op")
+    val got = Scd2.applyCdc(base, changes, Seq("k"), "ts", "op",
+        tieCols = Seq("id")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(got == Map(1L -> (("a3", 1.7)), 3L -> (("c", 3.0)),
+      4L -> (("d", 4.0))), s"got $got")
+    // replaying the same log over the result is a no-op for the keys
+    // it already settled (op rows reassert the same final state)
+    val replay = Scd2.applyCdc(
+        Scd2.applyCdc(base, changes, Seq("k"), "ts", "op", Seq("id")),
+        changes, Seq("k"), "ts", "op", Seq("id")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(replay == got)
+    intercept[IllegalArgumentException](
+      Scd2.applyCdc(base, changes, Seq.empty, "ts", "op"))
+  }
+
   test("duplicate timestamps resolve last-writer-wins on the tie column") {
     import spark.implicits._
     val ev = Seq((1L, 10L, 100L, "x"), (1L, 10L, 101L, "y"),
