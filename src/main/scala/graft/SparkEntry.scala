@@ -23,6 +23,7 @@ object SparkEntry {
     DedupQueries,
     EmbeddingQueries,
     ExtrasQueries,
+    EvalQueries,
     SupersetQueries)
 
   private lazy val defs: Seq[QueryDef] = groups.flatMap(_.all)

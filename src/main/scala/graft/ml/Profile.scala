@@ -383,6 +383,34 @@ object Profile {
       .agg(sum("psi_term").as("psi"), sum("kl_term").as("kl"),
         sum("tv_term").as("tvd"))
 
+  /** Spearman rank correlation of two numeric columns with midrank
+    * tie handling — Pearson correlation of the average ranks, the
+    * monotone-association number that survives heavy tails and
+    * nonlinear scales (quality score vs document length, etc.).
+    * Returns one row (n, rho); rho is NULL when either column is
+    * constant.
+    *
+    * Scale shape: each column collapses to its DISTINCT values first
+    * (hash aggregate), midranks come from a running-sum window over
+    * that value table (vocabulary-sized, the [[graft.ml.Eval.rocAuc]]
+    * tradeoff), and the ranks join back value-keyed — the corpus
+    * itself is never globally sorted.
+    */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    def midranks(c: String) = {
+      val byV = df.groupBy(col(c).as("v")).agg(count(lit(1)).as("n"))
+      val before = coalesce(sum("n").over(W.orderBy("v")
+        .rowsBetween(W.unboundedPreceding, -1)), lit(0L))
+      byV.select(col("v"), (before + (col("n") + 1) / 2.0).as(s"__r_$c"))
+    }
+    df.select(col(xCol), col(yCol))
+      .join(midranks(xCol).withColumnRenamed("v", xCol), xCol)
+      .join(midranks(yCol).withColumnRenamed("v", yCol), yCol)
+      .agg(count(lit(1)).as("n"),
+        corr(col(s"__r_$xCol"), col(s"__r_$yCol")).as("rho"))
+  }
+
   /** Per-stratum winsorization: clip `valCol` to its stratum's
     * [`lo`, `hi`] exact interpolated quantiles (the robust-scaling
     * step before any mean/variance statistic on heavy-tailed pipeline

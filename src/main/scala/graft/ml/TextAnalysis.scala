@@ -868,6 +868,109 @@ object TextAnalysis {
     * [[zipfFit]] tradeoff, here hash-partitioned by stratum); the
     * final per-stratum aggregate carries 6 partials per stratum.
     */
+  /** PPMI skip-gram co-occurrence: for every (center, context) token
+    * pair within `window` positions of each other (both directions,
+    * never position 0), positive pointwise mutual information
+    * ppmi = max(0, ln(N·c_wc / (c_w·c_c))) over pair counts — the
+    * count-based word-association matrix that distributional
+    * embeddings (word2vec-as-implicit-factorization, GloVe) start
+    * from. Returns the top-`topK` contexts per center word,
+    * (word, context, n_pair, ppmi), ranked by the RATIONAL ratio
+    * c_wc/(c_w·c_c) (monotone in ppmi but engine-exact: IEEE division
+    * is correctly rounded while ln is not) with context-alpha
+    * tie-break.
+    *
+    * Scale shape: the window join is an EQUI-join — each token row
+    * explodes `window` (token-position + offset) probe keys and joins
+    * position-exact, so there is no range predicate and no per-doc
+    * quadratic blowup; everything after runs on the (vocab × vocab
+    * observed-pair) count table, orders of magnitude smaller than the
+    * corpus. The per-word rank window hash-partitions by word.
+    */
+  def ppmiCooccurrence(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 2, topK: Int = 5, minPair: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val toks = df.select(col(idCol).as("__doc"),
+        posexplode(split(normalize(col(textCol)), " ")).as(Seq("pos", "tk")))
+      .filter(length(col("tk")) > 0)
+    // ordered pairs (lower position, higher position) via offset-exploded
+    // equi-join; symmetrize by unioning the mirror
+    val left = toks.select(col("__doc"), col("tk").as("w"),
+      explode(sequence(col("pos") + 1, col("pos") + window)).as("pk"))
+    val right = toks.select(col("__doc"), col("tk").as("c"),
+      col("pos").as("pk"))
+    val ordered = left.join(right, Seq("__doc", "pk"))
+    val pairs = ordered.select(col("w"), col("c"))
+      .unionAll(ordered.select(col("c").as("w"), col("w").as("c")))
+      .groupBy("w", "c").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minPair)
+    val wTot = pairs.groupBy("w").agg(sum("n_pair").as("cw"))
+    val cTot = wTot.select(col("w").as("c"), col("cw").as("cc"))
+    val n = wTot.agg(sum("cw").as("nn"))
+    val ratio = col("n_pair").cast("double") /
+      (col("cw").cast("double") * col("cc").cast("double"))
+    val ranked = pairs.join(wTot, "w").join(cTot, "c").crossJoin(n)
+      .withColumn("ppmi",
+        greatest(lit(0.0), log(col("nn").cast("double") * ratio)))
+      .withColumn("__r", row_number().over(W.partitionBy("w")
+        .orderBy(ratio.desc, col("c").asc)))
+    ranked.filter(col("__r") <= topK && col("ppmi") > 0)
+      .select(col("w").as("word"), col("c").as("context"),
+        col("n_pair"), col("ppmi"))
+  }
+
+  /** Keyness: per-stratum enriched vocabulary by the log-odds-ratio
+    * with an informative Dirichlet prior (Monroe, Colaresi & Quinn
+    * 2008) — each stratum vs the rest of the corpus, with the corpus
+    * unigram distribution scaled to `alpha0` pseudo-counts as the
+    * prior, scored by the z-statistic δ/√var. The standard "what
+    * words make this source/language slice different" dashboard,
+    * robust to rare words where plain log-odds explodes. Returns the
+    * top-`topK` (stratum, word, n_stratum, n_rest, z) per stratum by
+    * z descending (word-alpha tie-break) — the ENRICHED side only;
+    * depleted words (z < 0, including words absent from the stratum)
+    * are not reported, which is why the absent-word grid is never
+    * materialized.
+    *
+    * Scale shape: one token scan → (stratum, word) hash counts; word
+    * totals are a second aggregate of that table joined back
+    * word-keyed; stratum totals and N are dashboard-sized and
+    * broadcast. The rank window hash-partitions by stratum.
+    */
+  def keyness(df: DataFrame, strataCol: String, textCol: String,
+      alpha0: Double = 100.0, topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    require(alpha0 > 0, s"alpha0 must be > 0, got $alpha0")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val counts = df.select(col(strataCol).as("stratum"),
+        explode(split(normalize(col(textCol)), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("stratum", "w").agg(count(lit(1)).as("yws"))
+    val wordTot = counts.groupBy("w").agg(sum("yws").as("yw"))
+    val stratTot = counts.groupBy("stratum").agg(sum("yws").as("ns"))
+    val n = wordTot.agg(sum("yw").as("nn"))
+    val joined = counts.join(wordTot, "w")
+      .join(broadcast(stratTot), "stratum").crossJoin(broadcast(n))
+    val aw = lit(alpha0) * col("yw").cast("double") / col("nn")
+    val ywr = (col("yw") - col("yws")).cast("double")
+    val nr = (col("nn") - col("ns")).cast("double")
+    val dIn = log((col("yws") + aw) /
+      (col("ns") + lit(alpha0) - col("yws") - aw))
+    val dOut = log((ywr + aw) / (nr + lit(alpha0) - ywr - aw))
+    val z = (dIn - dOut) / sqrt(lit(1.0) / (col("yws") + aw) +
+      lit(1.0) / (ywr + aw))
+    joined
+      .withColumn("z", z)
+      .withColumn("__r", row_number().over(W.partitionBy("stratum")
+        .orderBy(col("z").desc, col("w").asc)))
+      .filter(col("__r") <= topK && col("z") > 0)
+      .select(col("stratum"), col("w").as("word"),
+        col("yws").as("n_stratum"), (col("yw") - col("yws")).as("n_rest"),
+        col("z"))
+  }
+
   def tokenDiversity(df: DataFrame, strataCol: String,
       textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -199,6 +199,39 @@ object ExtrasQueries extends QueryGroup {
         .orderBy("l_returnflag")
     },
 
+    // Spearman rank correlation (midrank ties) of quantity vs
+    // extended price: both columns collapse to distinct values for
+    // ranking, so the corpus is never globally sorted. l_quantity has
+    // 50 distinct values over 60k rows — heavy tie blocks, so the
+    // midrank arithmetic is the whole test.
+    q("q_profile_spearman",
+      """WITH x AS (
+        |  SELECT l_quantity AS v, count(*)::BIGINT AS n
+        |  FROM lineitem GROUP BY 1
+        |), xr AS (
+        |  SELECT v, coalesce(sum(n) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + (n + 1) / 2.0 AS rx
+        |  FROM x
+        |), y AS (
+        |  SELECT l_extendedprice AS v, count(*)::BIGINT AS n
+        |  FROM lineitem GROUP BY 1
+        |), yr AS (
+        |  SELECT v, coalesce(sum(n) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + (n + 1) / 2.0 AS ry
+        |  FROM y
+        |)
+        |SELECT count(*)::BIGINT AS n, round(corr(rx, ry), 6) AS rho
+        |FROM lineitem
+        |JOIN xr ON l_quantity = xr.v
+        |JOIN yr ON l_extendedprice = yr.v""".stripMargin) { (s, dir) =>
+      graft.ml.Profile.spearman(
+          t(s, dir, "lineitem").select("l_quantity", "l_extendedprice"),
+          "l_quantity", "l_extendedprice")
+        .select(col("n"), round(col("rho"), 6).as("rho"))
+    },
+
     // deterministic hash sampling (Fibonacci multiplicative scramble,
     // pure integer arithmetic): the same keys are kept on every engine
     // and every run — reproducible holdout splits without RNG state.

@@ -2052,6 +2052,89 @@ object TextQueries extends QueryGroup {
         .select(col("doc_id"), col("n_kept"), col("n_dropped"),
           md5(col("cleaned")).as("h"))
         .orderBy("doc_id")
+    },
+
+    // PPMI skip-gram co-occurrence (window 2, top-3 contexts/word,
+    // min pair count 3): the count-based association matrix behind
+    // distributional embeddings. Ranking uses the rational ratio
+    // c_wc/(c_w·c_c) — monotone in ppmi, engine-exact — not the log.
+    q("q_text_ppmi",
+      s"""WITH cw AS (
+         |  SELECT doc_id, string_split($normSql, ' ') AS w FROM documents
+         |), toks AS (
+         |  SELECT doc_id, w[u.i + 1] AS tk, u.i AS pos
+         |  FROM cw, unnest(range(0, len(w))) AS u(i)
+         |  WHERE w[u.i + 1] <> ''
+         |), op AS (
+         |  SELECT a.tk AS w, b.tk AS c
+         |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id
+         |    AND b.pos > a.pos AND b.pos <= a.pos + 2
+         |), pairs AS (
+         |  SELECT w, c, count(*)::BIGINT AS n_pair FROM (
+         |    SELECT w, c FROM op UNION ALL SELECT c, w FROM op
+         |  ) GROUP BY w, c HAVING count(*) >= 3
+         |), wt AS (
+         |  SELECT w, sum(n_pair)::BIGINT AS cw FROM pairs GROUP BY w
+         |), n AS (SELECT sum(cw)::BIGINT AS nn FROM wt
+         |), sc AS (
+         |  SELECT p.w, p.c, p.n_pair,
+         |    p.n_pair::DOUBLE / (wt.cw::DOUBLE * ct.cw::DOUBLE) AS ratio,
+         |    greatest(0.0, ln(n.nn::DOUBLE *
+         |      (p.n_pair::DOUBLE / (wt.cw::DOUBLE * ct.cw::DOUBLE)))) AS ppmi
+         |  FROM pairs p JOIN wt ON p.w = wt.w JOIN wt ct ON p.c = ct.w, n
+         |), top AS (
+         |  SELECT w AS word, c AS context, n_pair, ppmi FROM sc
+         |  QUALIFY row_number() OVER (PARTITION BY w
+         |    ORDER BY ratio DESC, c) <= 3
+         |)
+         |SELECT word, context, n_pair, round(ppmi, 6) AS ppmi
+         |FROM top WHERE ppmi > 0 ORDER BY word, context""".stripMargin) {
+      (s, dir) =>
+        TA.ppmiCooccurrence(t(s, dir, "documents"), "doc_id", "text",
+            window = 2, topK = 3, minPair = 3L)
+          .select(col("word"), col("context"), col("n_pair"),
+            round(col("ppmi"), 6).as("ppmi"))
+          .orderBy("word", "context")
+    },
+
+    // per-language keyness: top-5 enriched words by the Monroe et al.
+    // informative-Dirichlet log-odds z-statistic, each language vs
+    // the rest of the corpus with the corpus unigram LM (scaled to 50
+    // pseudo-counts) as prior.
+    q("q_text_keyness",
+      s"""WITH tk AS (
+         |  SELECT lang AS stratum, u.tk AS w FROM (
+         |    SELECT lang, string_split($normSql, ' ') AS wl FROM documents
+         |  ), unnest(wl) AS u(tk) WHERE u.tk <> ''
+         |), c AS (
+         |  SELECT stratum, w, count(*)::BIGINT AS yws FROM tk GROUP BY 1, 2
+         |), wt AS (SELECT w, sum(yws)::BIGINT AS yw FROM c GROUP BY 1
+         |), st AS (SELECT stratum, sum(yws)::BIGINT AS ns FROM c GROUP BY 1
+         |), n AS (SELECT sum(yw)::BIGINT AS nn FROM wt
+         |), z AS (
+         |  SELECT c.stratum, c.w, c.yws, wt.yw - c.yws AS n_rest,
+         |    (ln((c.yws + (50.0 * wt.yw::DOUBLE / n.nn))
+         |        / (st.ns + 50.0 - c.yws - (50.0 * wt.yw::DOUBLE / n.nn)))
+         |     - ln(((wt.yw - c.yws)::DOUBLE + (50.0 * wt.yw::DOUBLE / n.nn))
+         |        / ((n.nn - st.ns)::DOUBLE + 50.0 - (wt.yw - c.yws)::DOUBLE
+         |           - (50.0 * wt.yw::DOUBLE / n.nn))))
+         |    / sqrt(1.0 / (c.yws + (50.0 * wt.yw::DOUBLE / n.nn))
+         |         + 1.0 / ((wt.yw - c.yws)::DOUBLE
+         |                  + (50.0 * wt.yw::DOUBLE / n.nn))) AS z
+         |  FROM c JOIN wt ON c.w = wt.w JOIN st ON c.stratum = st.stratum, n
+         |), top AS (
+         |  SELECT stratum, w AS word, yws AS n_stratum, n_rest, z FROM z
+         |  QUALIFY row_number() OVER (PARTITION BY stratum
+         |    ORDER BY z DESC, w) <= 5
+         |)
+         |SELECT stratum, word, n_stratum, n_rest, round(z, 6) AS z
+         |FROM top WHERE z > 0 ORDER BY stratum, word""".stripMargin) {
+      (s, dir) =>
+        TA.keyness(t(s, dir, "documents"), "lang", "text",
+            alpha0 = 50.0, topK = 5)
+          .select(col("stratum"), col("word"), col("n_stratum"),
+            col("n_rest"), round(col("z"), 6).as("z"))
+          .orderBy("stratum", "word")
     }
   )
 

@@ -279,6 +279,42 @@ class ExtrasSpec extends SparkSpec {
     assert(ac == 0L && jacAc == 0.0)
   }
 
+  test("spearman: monotone = 1, reversed = -1, midranks under ties") {
+    import spark.implicits._
+    val mono = Seq((1.0, 10.0), (2.0, 20.0), (3.0, 25.0), (4.0, 100.0))
+    assert(math.abs(graft.ml.Profile.spearman(mono.toDF("x", "y"), "x", "y")
+      .head().getDouble(1) - 1.0) < 1e-12)
+    val rev = mono.map { case (x, y) => (x, -y) }
+    assert(math.abs(graft.ml.Profile.spearman(rev.toDF("x", "y"), "x", "y")
+      .head().getDouble(1) + 1.0) < 1e-12)
+    // ties: brute-force midrank Pearson
+    val tied = Seq((1.0, 5.0), (1.0, 7.0), (2.0, 7.0), (3.0, 9.0), (3.0, 2.0))
+    def midranks(vs: Seq[Double]): Map[Double, Double] = {
+      val sorted = vs.sorted
+      vs.distinct.map { v =>
+        val idx = sorted.zipWithIndex.filter(_._1 == v).map(_._2 + 1)
+        v -> idx.sum.toDouble / idx.size
+      }.toMap
+    }
+    val rx = midranks(tied.map(_._1))
+    val ry = midranks(tied.map(_._2))
+    val pts = tied.map { case (x, y) => (rx(x), ry(y)) }
+    val n = pts.size.toDouble
+    val (mx, my) = (pts.map(_._1).sum / n, pts.map(_._2).sum / n)
+    val cov = pts.map(p => (p._1 - mx) * (p._2 - my)).sum
+    val brute = cov / math.sqrt(
+      pts.map(p => (p._1 - mx) * (p._1 - mx)).sum *
+        pts.map(p => (p._2 - my) * (p._2 - my)).sum)
+    val got = graft.ml.Profile.spearman(tied.toDF("x", "y"), "x", "y").head()
+    assert(got.getLong(0) == 5L)
+    assert(math.abs(got.getDouble(1) - brute) < 1e-12,
+      s"got ${got.getDouble(1)} want $brute")
+    // constant column -> NULL
+    assert(graft.ml.Profile.spearman(
+      Seq((1.0, 1.0), (2.0, 1.0)).toDF("x", "y"), "x", "y")
+      .head().isNullAt(1))
+  }
+
   test("winsorize clips at the exact per-stratum interpolated quantiles") {
     import spark.implicits._
     // stratum a: 0..100 step 10 (11 values); p05 interpolates between

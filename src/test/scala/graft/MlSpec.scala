@@ -1008,6 +1008,67 @@ class MlSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("r2") - 1.0) < 1e-12)
   }
 
+  test("ppmiCooccurrence matches a brute-force PPMI on a tiny corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"),
+      (2L, "a b c a b c"),
+      (3L, "c d c d")).toDF("doc_id", "text")
+    val got = graft.ml.TextAnalysis
+      .ppmiCooccurrence(docs, "doc_id", "text", window = 2, topK = 10,
+        minPair = 2L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // brute force: all ordered pairs within distance 1..2, symmetrized
+    val corpus = Seq("a b a b a b", "a b c a b c", "c d c d")
+      .map(_.split(" ").toSeq)
+    val ordered = corpus.flatMap { ws =>
+      ws.indices.flatMap(i => (i + 1 to math.min(i + 2, ws.size - 1))
+        .map(j => (ws(i), ws(j))))
+    }
+    val sym = ordered ++ ordered.map(_.swap)
+    val cnt = sym.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= 2L)
+    val cw = cnt.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n = cnt.values.sum.toDouble
+    cnt.foreach { case ((w, c), k) =>
+      val ppmi = math.max(0.0, math.log(n * k / (cw(w).toDouble * cw(c))))
+      if (ppmi > 0) {
+        assert(got.contains((w, c)), s"missing pair ($w,$c)")
+        val (gk, gp) = got((w, c))
+        assert(gk == k && math.abs(gp - ppmi) < 1e-12,
+          s"($w,$c): got ($gk,$gp) want ($k,$ppmi)")
+      }
+    }
+    // independent/under-expected pairs (ppmi = 0) are never reported
+    got.values.foreach { case (_, p) => assert(p > 0) }
+  }
+
+  test("keyness puts a stratum's marker word on top with positive z") {
+    import spark.implicits._
+    // "alpha" is exclusive to stratum A and frequent there; shared
+    // filler dominates both strata
+    val docs = Seq(
+      ("A", "alpha alpha alpha common common common word word"),
+      ("A", "alpha alpha common word word common"),
+      ("B", "beta beta beta common common common word word"),
+      ("B", "beta beta common word word common")).toDF("src", "text")
+    val got = graft.ml.TextAnalysis.keyness(docs, "src", "text",
+        alpha0 = 10.0, topK = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    val a = got.filter(_._1 == "A").sortBy(-_._5)
+    val b = got.filter(_._1 == "B").sortBy(-_._5)
+    assert(a.head._2 == "alpha" && a.head._5 > 0, a.toSeq)
+    assert(b.head._2 == "beta" && b.head._5 > 0, b.toSeq)
+    // marker counts are exact: 5 in-stratum, 0 elsewhere
+    assert(a.head._3 == 5L && a.head._4 == 0L)
+    // shared filler is never a top keyword for either stratum
+    assert(!got.exists(t => t._2 == "common" || t._2 == "word"))
+  }
+
   test("tokenDiversity: uniform stratum vs degenerate stratum") {
     import spark.implicits._
     val df = Seq(
