@@ -106,6 +106,80 @@ object Eval {
         when(col("idcg") > 0, col("dcg") / col("idcg")).as("ndcg"))
   }
 
+  /** Rank-biased overlap (Webber, Moffat & Zobel 2010), truncated at
+    * depth `d`: RBO@d = (1−p) Σ_{k=1..d} p^{k−1} · |A_k ∩ B_k| / k,
+    * the top-weighted agreement between two rankings of the same
+    * query — the standard "did the cheap index change what the user
+    * sees" number for comparing retrieval variants. `a` and `b` are
+    * (query, item, rank) tables with 1-based dense ranks; the
+    * truncated form is reported (no extrapolation residual). Returns
+    * (query, rbo) for every query in `a`, 0.0 when the top-d sets are
+    * disjoint; rbo = 1 iff the top-d lists agree exactly.
+    *
+    * Scale shape: rewrite Σ_k weight·X_k/k as a per-ITEM tail sum —
+    * an item first counted at depth m = max(rank_a, rank_b)
+    * contributes p^{k−1}/k for every k in [m, d] — so the work is one
+    * (query, item) equi-join plus a ≤d-wide generate per overlapping
+    * item. No per-depth re-scan, no window.
+    */
+  def rbo(a: DataFrame, b: DataFrame, queryCol: String, itemCol: String,
+      rankCol: String, p: Double, d: Int): DataFrame = {
+    require(p > 0 && p < 1, s"p must be in (0,1), got $p")
+    require(d >= 1, s"d must be >= 1, got $d")
+    val ra = a.select(col(queryCol).as("query"), col(itemCol).as("item"),
+      col(rankCol).as("ra"))
+    val rb = b.select(col(queryCol).as("query"), col(itemCol).as("item"),
+      col(rankCol).as("rb"))
+    val tails = ra.join(rb, Seq("query", "item"))
+      .filter(greatest(col("ra"), col("rb")) <= d)
+      .select(col("query"),
+        explode(sequence(greatest(col("ra"), col("rb")).cast("int"),
+          lit(d))).as("k"))
+      .groupBy("query")
+      .agg((sum(pow(lit(p), col("k") - 1) / col("k")) * (1 - p)).as("rbo"))
+    ra.select("query").distinct()
+      .join(tails, Seq("query"), "left")
+      .select(col("query"), coalesce(col("rbo"), lit(0.0)).as("rbo"))
+  }
+
+  /** Fleiss' kappa for m raters over categorical labels: the
+    * multi-rater generalization of [[cohenKappa]]. `df` holds one row
+    * per (item, rating); every item must carry exactly the same
+    * number of ratings m ≥ 2 (validated with one tiny aggregate —
+    * Fleiss is undefined otherwise). Returns one row
+    * (n_items, m, p_bar, pe_bar, kappa); kappa NULL when pe = 1.
+    *
+    * Scale shape: one (item, category) hash aggregate, one per-item
+    * aggregate of Σn_ij², one category-marginal aggregate — the
+    * corpus is scanned once and everything downstream is
+    * items + categories sized.
+    */
+  def fleissKappa(df: DataFrame, itemCol: String,
+      categoryCol: String): DataFrame = {
+    val cells = graft.core.PipelineCaches.persistTracked(
+      df.groupBy(col(itemCol).as("item"), col(categoryCol).as("cat"))
+        .agg(count(lit(1)).as("c")))
+    val perItem = graft.core.PipelineCaches.persistTracked(
+      cells.groupBy("item")
+        .agg(sum("c").as("m"), sum(col("c") * col("c")).as("sq")))
+    val ms = perItem.agg(min("m").as("lo"), max("m").as("hi")).head()
+    val m = ms.getLong(0)
+    require(m == ms.getLong(1) && m >= 2,
+      s"fleissKappa needs a constant rating count >= 2 per item, " +
+        s"got [${ms.getLong(0)}, ${ms.getLong(1)}]")
+    val pbar = perItem.agg(count(lit(1)).as("n_items"),
+      avg((col("sq") - m).cast("double") / (m * (m - 1.0))).as("p_bar"))
+    val pe = cells.groupBy("cat").agg(sum("c").as("cj"))
+      .agg(sum(pow(col("cj").cast("double"), 2.0)).as("sq2"),
+        sum("cj").as("tot"))
+      .select((col("sq2") / (col("tot").cast("double") * col("tot")))
+        .as("pe_bar"))
+    pbar.crossJoin(pe)
+      .select(col("n_items"), lit(m).as("m"), col("p_bar"), col("pe_bar"),
+        when(col("pe_bar") < 1.0, (col("p_bar") - col("pe_bar")) /
+          (lit(1.0) - col("pe_bar"))).as("kappa"))
+  }
+
   /** Cohen's kappa for two raters over the same items: observed
     * agreement p_o corrected for the chance agreement p_e of the
     * raters' marginal label distributions — the standard

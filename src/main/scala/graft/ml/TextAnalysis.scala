@@ -921,6 +921,86 @@ object TextAnalysis {
         col("n_pair"), col("ppmi"))
   }
 
+  /** Good–Turing smoothed unigram probabilities, linear-Good-Turing
+    * (LGT) variant: smooth the count-of-counts N_r with the OLS line
+    * ln S(r) = a + b·ln r (Gale & Sampson 1995's simple-GT regression
+    * leg, used for ALL r — the deterministic variant, no
+    * Turing/LGT switch rule), then r* = (r+1)·S(r+1)/S(r)
+    * = (r+1)·((r+1)/r)^b and renormalize the observed mass to
+    * 1 − N₁/N (the unseen-mass estimate). Returns one row per word:
+    * (word, c, c_star, p_gt) — `p_gt` sums to 1 − N₁/N over the
+    * vocabulary, the remainder being reserved for unseen events.
+    *
+    * Scale shape: one token scan → word hash counts; the regression
+    * runs over the count-of-COUNTS table (dozens of rows); r* is a
+    * closed form per word, so smoothing adds two broadcast scalars —
+    * no second corpus pass, no window.
+    */
+  def goodTuringUnigram(df: DataFrame, textCol: String): DataFrame = {
+    val counts = graft.core.PipelineCaches.persistTracked(
+      df.select(explode(split(normalize(col(textCol)), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("c")))
+    val nr = counts.groupBy("c").agg(count(lit(1)).as("nr"))
+    val x = log(col("c").cast("double"))
+    val y = log(col("nr").cast("double"))
+    // closed-form OLS slope of ln N_r on ln r (the zipfFit kernel)
+    val fit = nr.agg(count(lit(1)).cast("double").as("k"),
+        sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"),
+        sum(x * x).as("sxx"),
+        sum(col("c") * col("nr")).as("n_tokens"),
+        sum(when(col("c") === 1, col("nr")).otherwise(0L)).as("n1"))
+      .select(((col("k") * col("sxy") - col("sx") * col("sy")) /
+        (col("k") * col("sxx") - col("sx") * col("sx"))).as("b"),
+        col("n_tokens"), col("n1"))
+    // r* = (r+1)·((r+1)/r)^b; then scale so Σp = 1 − N1/N
+    val rstar = (col("c") + 1).cast("double") *
+      pow((col("c") + 1).cast("double") / col("c").cast("double"), col("b"))
+    val scored = counts.crossJoin(broadcast(fit))
+      .withColumn("c_star", rstar)
+    val z = scored.agg(sum("c_star").as("z"))
+    scored.crossJoin(broadcast(z))
+      .select(col("w").as("word"), col("c"), col("c_star"),
+        ((lit(1.0) - col("n1").cast("double") / col("n_tokens")) *
+          col("c_star") / col("z")).as("p_gt"))
+  }
+
+  /** Gries' deviation-of-proportions dispersion (DP, 2008): for each
+    * word, DP = ½·Σ_s |v_s − t_s| where t_s is stratum s's share of
+    * all corpus tokens and v_s the share of THIS word's occurrences
+    * that fall in s — 0 means the word spreads exactly like the
+    * corpus (function words), values near 1 mean it clumps into one
+    * stratum (topic/boilerplate markers). The complement of
+    * [[keyness]]: keyness asks "which words mark this stratum", DP
+    * asks "how stratum-bound is this word". Only words with total
+    * count ≥ `minCount` are returned (rare words have degenerate DP).
+    *
+    * Scale shape: one token scan → (stratum, word) counts; the
+    * absent-(word, stratum) grid needed for the |0 − t_s| terms comes
+    * from a vocab × strata cross join against the BROADCAST stratum
+    * table (strata are dashboard-sized), never from re-scanning the
+    * corpus.
+    */
+  def dispersion(df: DataFrame, strataCol: String, textCol: String,
+      minCount: Long = 10L): DataFrame = {
+    val counts = graft.core.PipelineCaches.persistTracked(
+      df.select(col(strataCol).as("stratum"),
+          explode(split(normalize(col(textCol)), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("stratum", "w").agg(count(lit(1)).as("yws")))
+    val words = counts.groupBy("w").agg(sum("yws").as("yw"))
+      .filter(col("yw") >= minCount)
+    val strat = counts.groupBy("stratum").agg(sum("yws").as("ns"))
+    val n = strat.agg(sum("ns").as("nn"))
+    val grid = words.crossJoin(broadcast(
+      strat.crossJoin(n).select(col("stratum"),
+        (col("ns").cast("double") / col("nn")).as("ts"))))
+    grid.join(counts, Seq("stratum", "w"), "left")
+      .groupBy(col("w").as("word"), col("yw").as("c"))
+      .agg((sum(abs(coalesce(col("yws"), lit(0L)).cast("double") /
+        col("yw") - col("ts"))) / 2.0).as("dp"))
+  }
+
   /** Keyness: per-stratum enriched vocabulary by the log-odds-ratio
     * with an informative Dirichlet prior (Monroe, Colaresi & Quinn
     * 2008) — each stratum vs the rest of the corpus, with the corpus

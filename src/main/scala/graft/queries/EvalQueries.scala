@@ -125,6 +125,121 @@ object EvalQueries extends QueryGroup {
         .orderBy("query")
     },
 
+    // rank-biased overlap between the full-cosine ranking and the
+    // first-16-dims prefix ranking (the cheap-probe-vs-full-scan
+    // comparison): RBO@10 at p=0.9 per query, 1.0 iff the top-10
+    // lists agree exactly. Both rankings order by unrounded cosine
+    // (the q_ann_bruteforce-proven convention) with id tie-break.
+    q("q_eval_rbo",
+      """WITH p AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |      CAST(c.embedding AS DOUBLE[])) AS cf,
+        |    list_cosine_similarity(CAST(q.embedding[1:16] AS DOUBLE[]),
+        |      CAST(c.embedding[1:16] AS DOUBLE[])) AS cp
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        |  WHERE q.vec_id < 10
+        |), ra AS (
+        |  SELECT qid, cid, row_number() OVER (PARTITION BY qid
+        |    ORDER BY cf DESC, cid) AS r
+        |  FROM p QUALIFY r <= 10
+        |), rb AS (
+        |  SELECT qid, cid, row_number() OVER (PARTITION BY qid
+        |    ORDER BY cp DESC, cid) AS r
+        |  FROM p QUALIFY r <= 10
+        |), tails AS (
+        |  SELECT ra.qid, u.k
+        |  FROM ra JOIN rb ON ra.qid = rb.qid AND ra.cid = rb.cid,
+        |    unnest(range(greatest(ra.r, rb.r), 11)) AS u(k)
+        |), s AS (
+        |  SELECT qid, sum(pow(0.9, k - 1) / k) * (1 - 0.9) AS rbo
+        |  FROM tails GROUP BY qid
+        |), qs AS (
+        |  SELECT DISTINCT vec_id AS query FROM embeddings WHERE vec_id < 10
+        |)
+        |SELECT query, round(coalesce(rbo, 0.0), 6) AS rbo
+        |FROM qs LEFT JOIN s ON qs.query = s.qid
+        |ORDER BY query""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val cs = e.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val cos = graft.functions.VectorFunctions.cosine_f _
+      val pairs = cs.crossJoin(broadcast(qs))
+        .filter(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"),
+          cos(col("qv"), col("cv")).as("cf"),
+          cos(slice(col("qv"), 1, 16), slice(col("cv"), 1, 16)).as("cp"))
+      def top(scoreCol: String) = pairs
+        .withColumn("rank", row_number().over(Window.partitionBy("qid")
+          .orderBy(col(scoreCol).desc, col("cid").asc)))
+        .filter(col("rank") <= 10)
+        .select("qid", "cid", "rank")
+      graft.ml.Eval.rbo(top("cf"), top("cp"), "qid", "cid", "rank",
+          p = 0.9, d = 10)
+        .select(col("query"), round(col("rbo"), 6).as("rbo"))
+        .orderBy("query")
+    },
+
+    // Fleiss' kappa across THREE deterministic raters (character,
+    // token, and subword-count buckets over the same 3-level scale):
+    // the multi-rater agreement form, exercised where m > 2.
+    q("q_eval_fleiss",
+      s"""WITH r AS (
+         |  SELECT doc_id,
+         |    CASE WHEN n_chars < 200 THEN 'short'
+         |         WHEN n_chars < 400 THEN 'mid' ELSE 'long' END AS cat
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id,
+         |    CASE WHEN $tokSql < 40 THEN 'short'
+         |         WHEN $tokSql < 70 THEN 'mid' ELSE 'long' END
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id,
+         |    CASE WHEN len(regexp_extract_all(text,
+         |        '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) < 45 THEN 'short'
+         |      WHEN len(regexp_extract_all(text,
+         |        '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) < 75 THEN 'mid'
+         |      ELSE 'long' END
+         |  FROM documents
+         |), cells AS (
+         |  SELECT doc_id, cat, count(*)::BIGINT AS c FROM r GROUP BY 1, 2
+         |), per_item AS (
+         |  SELECT doc_id, sum(c * c) AS sq FROM cells GROUP BY 1
+         |), pbar AS (
+         |  SELECT count(*)::BIGINT AS n_items,
+         |    avg((sq - 3)::DOUBLE / 6.0) AS p_bar
+         |  FROM per_item
+         |), pe AS (
+         |  SELECT sum(pow(cj::DOUBLE, 2.0)) /
+         |    (sum(cj)::DOUBLE * sum(cj)) AS pe_bar
+         |  FROM (SELECT cat, sum(c)::BIGINT AS cj FROM cells GROUP BY 1)
+         |)
+         |SELECT n_items, 3::BIGINT AS m, round(p_bar, 6) AS p_bar,
+         |  round(pe_bar, 6) AS pe_bar,
+         |  round((p_bar - pe_bar) / (1.0 - pe_bar), 6) AS kappa
+         |FROM pbar, pe""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val byChars = d.select(col("doc_id"),
+        when(col("n_chars") < 200, "short")
+          .when(col("n_chars") < 400, "mid").otherwise("long").as("cat"))
+      val tok = TA.tokenCount(col("text"))
+      val byTokens = d.select(col("doc_id"),
+        when(tok < 40, "short").when(tok < 70, "mid")
+          .otherwise("long").as("cat"))
+      val bp = TA.bpeishTokenCount(col("text"))
+      val bySubwords = d.select(col("doc_id"),
+        when(bp < 45, "short").when(bp < 75, "mid")
+          .otherwise("long").as("cat"))
+      Eval.fleissKappa(byChars.unionAll(byTokens).unionAll(bySubwords),
+          "doc_id", "cat")
+        .select(col("n_items"), col("m"), round(col("p_bar"), 6).as("p_bar"),
+          round(col("pe_bar"), 6).as("pe_bar"),
+          round(col("kappa"), 6).as("kappa"))
+    },
+
     // Cohen's kappa between two deterministic "raters" of document
     // size (character buckets vs token buckets): correlated but
     // imperfect, so kappa lands strictly inside (0, 1) and the

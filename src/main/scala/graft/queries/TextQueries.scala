@@ -2135,6 +2135,77 @@ object TextQueries extends QueryGroup {
           .select(col("stratum"), col("word"), col("n_stratum"),
             col("n_rest"), round(col("z"), 6).as("z"))
           .orderBy("stratum", "word")
+    },
+
+    // Good-Turing smoothed unigram counts (LGT regression over the
+    // count-of-counts, closed form), renormalized to reserve the
+    // N1/N unseen mass. Reported for words with count >= 5; the
+    // regression itself runs over the full vocabulary.
+    q("q_text_good_turing",
+      s"""WITH tks AS (
+         |  SELECT u.tk AS w FROM (
+         |    SELECT string_split($normSql, ' ') AS wl FROM documents
+         |  ), unnest(wl) AS u(tk) WHERE u.tk <> ''
+         |), c AS (
+         |  SELECT w, count(*)::BIGINT AS c FROM tks GROUP BY 1
+         |), nr AS (
+         |  SELECT c, count(*)::BIGINT AS nr FROM c GROUP BY 1
+         |), fit AS (
+         |  SELECT count(*)::DOUBLE AS k,
+         |    sum(ln(c::DOUBLE)) AS sx, sum(ln(nr::DOUBLE)) AS sy,
+         |    sum(ln(c::DOUBLE) * ln(nr::DOUBLE)) AS sxy,
+         |    sum(ln(c::DOUBLE) * ln(c::DOUBLE)) AS sxx,
+         |    sum(c * nr)::BIGINT AS n_tokens,
+         |    sum(CASE WHEN c = 1 THEN nr ELSE 0 END)::BIGINT AS n1
+         |  FROM nr
+         |), b AS (
+         |  SELECT (k * sxy - sx * sy) / (k * sxx - sx * sx) AS b,
+         |    n_tokens, n1
+         |  FROM fit
+         |), sc AS (
+         |  SELECT w, c,
+         |    (c + 1)::DOUBLE * pow((c + 1)::DOUBLE / c::DOUBLE, b.b) AS c_star,
+         |    n_tokens, n1
+         |  FROM c, b
+         |), z AS (SELECT sum(c_star) AS z FROM sc)
+         |SELECT w AS word, c, round(c_star, 6) AS c_star,
+         |  round((1.0 - n1::DOUBLE / n_tokens) * c_star / z.z, 8) AS p_gt
+         |FROM sc, z WHERE c >= 5 ORDER BY word""".stripMargin) { (s, dir) =>
+      TA.goodTuringUnigram(t(s, dir, "documents"), "text")
+        .filter(col("c") >= 5)
+        .select(col("word"), col("c"), round(col("c_star"), 6).as("c_star"),
+          round(col("p_gt"), 8).as("p_gt"))
+        .orderBy("word")
+    },
+
+    // Gries' deviation-of-proportions dispersion across the 20
+    // sources: 0 = spread like the corpus, ->1 = clumped in one
+    // source. The absent-(word, source) grid is exercised by
+    // construction (every word misses some source).
+    q("q_text_dispersion",
+      s"""WITH tk AS (
+         |  SELECT source AS stratum, u.tk AS w FROM (
+         |    SELECT source, string_split($normSql, ' ') AS wl FROM documents
+         |  ), unnest(wl) AS u(tk) WHERE u.tk <> ''
+         |), c AS (
+         |  SELECT stratum, w, count(*)::BIGINT AS yws FROM tk GROUP BY 1, 2
+         |), words AS (
+         |  SELECT w, sum(yws)::BIGINT AS yw FROM c GROUP BY 1
+         |  HAVING sum(yws) >= 10
+         |), st AS (SELECT stratum, sum(yws)::BIGINT AS ns FROM c GROUP BY 1
+         |), n AS (SELECT sum(ns)::BIGINT AS nn FROM st
+         |), ts AS (SELECT stratum, ns::DOUBLE / nn AS ts FROM st, n
+         |), j AS (
+         |  SELECT g.w, g.yw,
+         |    abs(coalesce(c.yws, 0)::DOUBLE / g.yw - g.ts) AS term
+         |  FROM (SELECT w, yw, stratum, ts FROM words, ts) g
+         |  LEFT JOIN c ON c.stratum = g.stratum AND c.w = g.w
+         |)
+         |SELECT w AS word, yw AS c, round(sum(term) / 2.0, 6) AS dp
+         |FROM j GROUP BY 1, 2 ORDER BY word""".stripMargin) { (s, dir) =>
+      TA.dispersion(t(s, dir, "documents"), "source", "text", minCount = 10L)
+        .select(col("word"), col("c"), round(col("dp"), 6).as("dp"))
+        .orderBy("word")
     }
   )
 

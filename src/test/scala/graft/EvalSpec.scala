@@ -78,6 +78,66 @@ class EvalSpec extends SparkSpec {
     assert(math.abs(perfect.getDouble(3) - 1.0) < 1e-12)
   }
 
+  test("rbo: identical lists = 1, disjoint = 0, brute force otherwise") {
+    import spark.implicits._
+    def ranked(q: String, items: Seq[String]) =
+      items.zipWithIndex.map { case (it, i) => (q, it, i + 1) }
+    val la = ranked("q", Seq("a", "b", "c", "d")) ++
+      ranked("r", Seq("a", "b")) ++ ranked("s", Seq("x", "y"))
+    val lb = ranked("q", Seq("b", "a", "e", "c")) ++
+      ranked("r", Seq("a", "b")) ++ ranked("s", Seq("u", "v"))
+    val a = la.toDF("query", "item", "rank")
+    val b = lb.toDF("query", "item", "rank")
+    val got = graft.ml.Eval.rbo(a, b, "query", "item", "rank", 0.9, 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // brute force: (1-p) sum p^(k-1) |A_k ∩ B_k| / k
+    def brute(xa: Seq[String], xb: Seq[String], d: Int): Double =
+      (1 to d).map { k =>
+        val x = xa.take(k).toSet.intersect(xb.take(k).toSet).size
+        math.pow(0.9, k - 1) * x / k
+      }.sum * (1 - 0.9)
+    assert(math.abs(got("q") -
+      brute(Seq("a", "b", "c", "d"), Seq("b", "a", "e", "c"), 4)) < 1e-12)
+    assert(math.abs(got("r") - brute(Seq("a", "b"), Seq("a", "b"), 4)) < 1e-12)
+    assert(got("s") == 0.0)
+    // identical lists at full depth d: RBO = 1 - p^d
+    val full = graft.ml.Eval.rbo(
+      ranked("t", Seq("a", "b", "c", "d")).toDF("query", "item", "rank"),
+      ranked("t", Seq("a", "b", "c", "d")).toDF("query", "item", "rank"),
+      "query", "item", "rank", 0.9, 4)
+      .head().getDouble(1)
+    assert(math.abs(full - (1 - math.pow(0.9, 4))) < 1e-12, full)
+    intercept[IllegalArgumentException](
+      graft.ml.Eval.rbo(a, b, "query", "item", "rank", 1.0, 4))
+  }
+
+  test("fleissKappa matches the Wikipedia worked example") {
+    import spark.implicits._
+    // the classic 10-item, 14-rater, 5-category table (Fleiss 1971);
+    // known result: kappa ≈ 0.2099
+    val table = Seq(
+      Seq(0, 0, 0, 0, 14), Seq(0, 2, 6, 4, 2), Seq(0, 0, 3, 5, 6),
+      Seq(0, 3, 9, 2, 0), Seq(2, 2, 8, 1, 1), Seq(7, 7, 0, 0, 0),
+      Seq(3, 2, 6, 3, 0), Seq(2, 5, 3, 2, 2), Seq(6, 5, 2, 1, 0),
+      Seq(0, 2, 2, 3, 7))
+    val rows = table.zipWithIndex.flatMap { case (cnts, item) =>
+      cnts.zipWithIndex.flatMap { case (c, cat) =>
+        Seq.fill(c)((item.toLong, s"c$cat"))
+      }
+    }
+    val got = graft.ml.Eval.fleissKappa(rows.toDF("item", "cat"),
+      "item", "cat").head()
+    assert(got.getLong(0) == 10L && got.getLong(1) == 14L)
+    // P_bar = 688/1820, Pe = sum of squared marginal shares,
+    // kappa = (P_bar - Pe)/(1 - Pe) ~ 0.20994
+    assert(math.abs(got.getDouble(2) - 688.0 / 1820) < 1e-12, got.getDouble(2))
+    assert(math.abs(got.getDouble(4) - 0.209937) < 1e-5, got.getDouble(4))
+    // unequal rating counts rejected
+    intercept[IllegalArgumentException](graft.ml.Eval.fleissKappa(
+      Seq((1L, "a"), (1L, "b"), (2L, "a")).toDF("item", "cat"),
+      "item", "cat"))
+  }
+
   test("cohenKappa matches the textbook 2x2 example") {
     import spark.implicits._
     // classic example: 45 yes/yes, 15 yes/no, 25 no/yes, 15 no/no

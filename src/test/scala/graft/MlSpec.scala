@@ -1045,6 +1045,61 @@ class MlSpec extends SparkSpec {
     got.values.foreach { case (_, p) => assert(p > 0) }
   }
 
+  test("goodTuringUnigram: LGT closed form, unseen mass reserved") {
+    import spark.implicits._
+    // vocabulary with counts 1,1,1,2,2,3 -> N_r = {1:3, 2:2, 3:1}
+    val text = "a b c d d e e f f f"
+    val got = graft.ml.TextAnalysis
+      .goodTuringUnigram(Seq(text).toDF("text"), "text")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    // brute force the same LGT fit
+    val nr = Map(1 -> 3.0, 2 -> 2.0, 3 -> 1.0)
+    val pts = nr.toSeq.map { case (r, n) => (math.log(r), math.log(n)) }
+    val k = pts.size.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val b = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    def cStar(r: Int): Double = (r + 1.0) * math.pow((r + 1.0) / r, b)
+    val n = 10.0
+    val z = nr.map { case (r, cnt) => cnt * cStar(r) }.sum
+    val pScale = (1.0 - 3.0 / n) / z
+    Seq("a" -> 1, "d" -> 2, "f" -> 3).foreach { case (w, r) =>
+      val (gc, gcs, gp) = got(w)
+      assert(gc == r.toLong)
+      assert(math.abs(gcs - cStar(r)) < 1e-12, s"$w: $gcs vs ${cStar(r)}")
+      assert(math.abs(gp - cStar(r) * pScale) < 1e-12)
+    }
+    // observed probabilities sum to 1 - N1/N = 0.7
+    val totalP = got.values.map(_._3).sum
+    assert(math.abs(totalP - 0.7) < 1e-12, totalP)
+  }
+
+  test("dispersion: corpus-shaped word ~ 0, single-stratum word high") {
+    import spark.implicits._
+    // strata of equal token mass; "even" spreads exactly like the
+    // corpus, "clump" concentrates in stratum A
+    val docs = Seq(
+      ("A", "even even clump clump clump clump"),
+      ("B", "even even filler filler filler filler"),
+      ("C", "even even filler filler filler filler")).toDF("src", "text")
+    val got = graft.ml.TextAnalysis
+      .dispersion(docs, "src", "text", minCount = 4L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    // every stratum holds 6 tokens -> t_s = 1/3 each
+    assert(got("even")._1 == 6L && math.abs(got("even")._2) < 1e-12)
+    // clump: v = (1,0,0); DP = (|1-1/3| + 1/3 + 1/3)/2 = 2/3
+    assert(got("clump")._1 == 4L)
+    assert(math.abs(got("clump")._2 - 2.0 / 3) < 1e-12)
+    // filler: v = (0, 1/2, 1/2); DP = (1/3 + 1/6 + 1/6)/2 = 1/3
+    assert(math.abs(got("filler")._2 - 1.0 / 3) < 1e-12)
+    // rare words below minCount are not reported
+    assert(!got.contains("zzz") && got.size == 3)
+  }
+
   test("keyness puts a stratum's marker word on top with positive z") {
     import spark.implicits._
     // "alpha" is exclusive to stratum A and frequent there; shared
