@@ -180,6 +180,160 @@ object Eval {
           (lit(1.0) - col("pe_bar"))).as("kappa"))
   }
 
+  /** Weighted Cohen's kappa for ORDINAL scales: disagreement is
+    * discounted by how far apart the two ratings are —
+    * w_ij = 1 − |i−j|/(K−1) (linear) or 1 − ((i−j)/(K−1))²
+    * (quadratic, the variant that equals an ICC). Ratings must be
+    * integer levels in [0, K); K is taken from the data
+    * (max level + 1 across both raters). Returns one row
+    * (n, k_levels, po_w, pe_w, kappa); NULL kappa when pe_w = 1.
+    *
+    * Same scale shape as [[cohenKappa]]: one contingency aggregate,
+    * then K²-sized arithmetic (the full marginal product grid comes
+    * from a K×K join of the two marginal tables, never from the
+    * corpus).
+    */
+  def weightedKappa(df: DataFrame, r1Col: String, r2Col: String,
+      quadratic: Boolean = true): DataFrame = {
+    val cells = graft.core.PipelineCaches.persistTracked(
+      df.groupBy(col(r1Col).cast("long").as("i"),
+        col(r2Col).cast("long").as("j")).agg(count(lit(1)).as("c")))
+    val kTab = cells.agg((greatest(max("i"), max("j")) + 1).as("k"),
+      sum("c").as("n"))
+    def weight(i: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column,
+        k: org.apache.spark.sql.Column) = {
+      val d = abs(i - j).cast("double") / (k - 1).cast("double")
+      if (quadratic) lit(1.0) - d * d else lit(1.0) - d
+    }
+    val po = cells.crossJoin(broadcast(kTab))
+      .agg(sum(weight(col("i"), col("j"), col("k")) * col("c")).as("wsum"),
+        max("n").as("n"), max("k").as("k"))
+      .select((col("wsum") / col("n")).as("po_w"), col("n"), col("k"))
+    val m1 = cells.groupBy("i").agg(sum("c").as("ci"))
+    val m2 = cells.groupBy("j").agg(sum("c").as("cj"))
+    val pe = m1.crossJoin(m2).crossJoin(broadcast(kTab))
+      .agg(sum(weight(col("i"), col("j"), col("k")) *
+        (col("ci").cast("double") * col("cj"))).as("wx"),
+        max("n").as("nn"))
+      .select((col("wx") / (col("nn").cast("double") * col("nn")))
+        .as("pe_w"))
+    po.crossJoin(pe)
+      .select(col("n"), col("k").as("k_levels"), col("po_w"), col("pe_w"),
+        when(col("pe_w") < 1.0, (col("po_w") - col("pe_w")) /
+          (lit(1.0) - col("pe_w"))).as("kappa"))
+  }
+
+  /** Krippendorff's alpha, nominal metric — the agreement
+    * coefficient that tolerates MISSING ratings (any unit with ≥ 2
+    * ratings contributes; raters need not rate everything), which is
+    * what real labeling queues produce. `df` holds one row per
+    * (unit, rating). Units with a single rating are excluded per the
+    * definition. α = 1 − D_o/D_e with the standard coincidence-matrix
+    * forms: D_o = Σ_u (m_u² − Σ_c n_uc²)/(m_u − 1) over n pairable
+    * values, D_e = (n² − Σ_c n_c²)/(n − 1) (both left unnormalized by
+    * the common n so the ratio is the textbook one). Returns one row
+    * (n_units, n_values, d_o, d_e, alpha); NULL alpha when D_e = 0.
+    *
+    * Scale shape: one (unit, category) aggregate, one per-unit
+    * aggregate, one category-marginal aggregate — single corpus scan,
+    * everything downstream units + categories sized.
+    */
+  def krippendorffAlpha(df: DataFrame, unitCol: String,
+      categoryCol: String): DataFrame = {
+    val cells = graft.core.PipelineCaches.persistTracked(
+      df.groupBy(col(unitCol).as("unit"), col(categoryCol).as("cat"))
+        .agg(count(lit(1)).as("c")))
+    val perUnit = graft.core.PipelineCaches.persistTracked(
+      cells.groupBy("unit")
+        .agg(sum("c").as("m"), sum(col("c") * col("c")).as("sq"))
+        .filter(col("m") >= 2))
+    val obs = perUnit.agg(count(lit(1)).as("n_units"),
+      sum("m").as("n_values"),
+      sum((col("m") * col("m") - col("sq")).cast("double") /
+        (col("m") - 1)).as("d_o"))
+    // category marginals over PAIRABLE units only
+    val marg = cells.join(perUnit.select("unit"), "unit")
+      .groupBy("cat").agg(sum("c").as("nc"))
+    val exp = marg.agg(sum("nc").as("nv"),
+        sum(col("nc") * col("nc")).as("sq2"))
+      .select(((col("nv") * col("nv") - col("sq2")).cast("double") /
+        (col("nv") - 1)).as("d_e"))
+    obs.crossJoin(exp)
+      .select(col("n_units"), col("n_values"), col("d_o"), col("d_e"),
+        when(col("d_e") > 0.0,
+          lit(1.0) - col("d_o") / col("d_e")).as("alpha"))
+  }
+
+  /** Mann–Whitney U two-sample test with the tie-corrected normal
+    * approximation: U for the label-1 group from midrank sums, then
+    * z = (U − n₁n₂/2) / σ with
+    * σ² = (n₁n₂/12)·((n+1) − Σ(t³−t)/(n(n−1))) over tie-block sizes
+    * t — the location test behind "did this corpus change shift the
+    * metric" when normality is off the table. No continuity
+    * correction (mirror any oracle accordingly). Returns one row
+    * (n1, n2, u, z); z NULL when σ = 0 (all values tied).
+    *
+    * Same scale shape as [[rocAuc]] — the tie-block sizes fall out of
+    * the same distinct-score table the midranks use.
+    */
+  def mannWhitney(df: DataFrame, valueCol: String,
+      labelCol: String): DataFrame = {
+    val lab = col(labelCol).cast("int")
+    val byScore = df.select(col(valueCol).as("s"), lab.as("y"))
+      .groupBy("s").agg(count(lit(1)).as("n"), sum("y").as("p"))
+    val before = coalesce(sum("n").over(Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    byScore
+      .withColumn("midrank", before + (col("n") + 1) / 2.0)
+      .agg(sum("p").as("n1"), (sum("n") - sum("p")).as("n2"),
+        sum("n").as("nt"),
+        sum(col("p") * col("midrank")).as("rank_sum"),
+        sum(col("n") * col("n") * col("n") - col("n")).as("ties"))
+      .select(col("n1"), col("n2"),
+        (col("rank_sum") - col("n1") * (col("n1") + 1) / 2.0).as("u"),
+        (col("n1").cast("double") * col("n2") / 12.0 *
+          ((col("nt") + 1) - col("ties").cast("double") /
+            (col("nt").cast("double") * (col("nt") - 1)))).as("var"))
+      .select(col("n1"), col("n2"), col("u"),
+        when(col("var") > 0.0,
+          (col("u") - col("n1").cast("double") * col("n2") / 2.0) /
+            sqrt(col("var"))).as("z"))
+  }
+
+  /** Pearson chi-squared test of independence over two categorical
+    * columns, plus Cramér's V effect size: X² = Σ (o−e)²/e with
+    * e = row·col/n over the contingency cells,
+    * V = √(X² / (n·(min(R,C)−1))). The statistic and dof are exact;
+    * convert to a p-value with any chi-squared CDF downstream (no
+    * special functions in-engine by design). Returns one row
+    * (n, n_rows, n_cols, dof, chi2, cramers_v); NULLs when the table
+    * is degenerate (a single row or column).
+    *
+    * Scale shape: one contingency aggregate; expected counts come
+    * from joining the two marginal tables back on the cell keys —
+    * R+C-sized, broadcast.
+    */
+  def chiSquared(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = graft.core.PipelineCaches.persistTracked(
+      df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+        .agg(count(lit(1)).as("c")))
+    val ra = cells.groupBy("a").agg(sum("c").as("ca"))
+    val cb = cells.groupBy("b").agg(sum("c").as("cb"))
+    val tot = cells.agg(sum("c").as("n"),
+      countDistinct("a").as("nr"), countDistinct("b").as("nc"))
+    val e = col("ca").cast("double") * col("cb") / col("n")
+    cells.join(broadcast(ra), "a").join(broadcast(cb), "b")
+      .crossJoin(broadcast(tot))
+      .agg(max("n").as("n"), max("nr").as("n_rows"), max("nc").as("n_cols"),
+        sum((col("c") - e) * (col("c") - e) / e).as("chi2"))
+      .select(col("n"), col("n_rows"), col("n_cols"),
+        ((col("n_rows") - 1) * (col("n_cols") - 1)).as("dof"),
+        col("chi2"),
+        when(col("n_rows") > 1 && col("n_cols") > 1,
+          sqrt(col("chi2") / (col("n").cast("double") *
+            (least(col("n_rows"), col("n_cols")) - 1)))).as("cramers_v"))
+  }
+
   /** Cohen's kappa for two raters over the same items: observed
     * agreement p_o corrected for the chance agreement p_e of the
     * raters' marginal label distributions — the standard

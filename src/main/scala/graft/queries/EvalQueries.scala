@@ -125,6 +125,183 @@ object EvalQueries extends QueryGroup {
         .orderBy("query")
     },
 
+    // quadratic-weighted kappa over ordinal 0/1/2 size levels: the
+    // same two raters as q_eval_kappa but disagreement discounted by
+    // squared level distance.
+    q("q_eval_weighted_kappa",
+      s"""WITH r AS (
+         |  SELECT
+         |    CASE WHEN n_chars < 200 THEN 0
+         |         WHEN n_chars < 400 THEN 1 ELSE 2 END AS i,
+         |    CASE WHEN $tokSql < 40 THEN 0
+         |         WHEN $tokSql < 70 THEN 1 ELSE 2 END AS j
+         |  FROM documents
+         |), cells AS (
+         |  SELECT i, j, count(*)::BIGINT AS c FROM r GROUP BY 1, 2
+         |), kt AS (
+         |  SELECT greatest(max(i), max(j)) + 1 AS k, sum(c)::BIGINT AS n
+         |  FROM cells
+         |), po AS (
+         |  SELECT sum((1.0 - (abs(i - j)::DOUBLE / (k - 1)::DOUBLE)
+         |    * (abs(i - j)::DOUBLE / (k - 1)::DOUBLE)) * c) / max(n) AS po_w,
+         |    max(n) AS n, max(k) AS k
+         |  FROM cells, kt
+         |), m1 AS (SELECT i, sum(c)::BIGINT AS ci FROM cells GROUP BY 1
+         |), m2 AS (SELECT j, sum(c)::BIGINT AS cj FROM cells GROUP BY 1
+         |), pe AS (
+         |  SELECT sum((1.0 - (abs(i - j)::DOUBLE / (k - 1)::DOUBLE)
+         |    * (abs(i - j)::DOUBLE / (k - 1)::DOUBLE))
+         |    * (ci::DOUBLE * cj)) / (max(n)::DOUBLE * max(n)) AS pe_w
+         |  FROM m1, m2, kt
+         |)
+         |SELECT n, k AS k_levels, round(po_w, 6) AS po_w,
+         |  round(pe_w, 6) AS pe_w,
+         |  round((po_w - pe_w) / (1.0 - pe_w), 6) AS kappa
+         |FROM po, pe""".stripMargin) { (s, dir) =>
+      val tok = TA.tokenCount(col("text"))
+      val d = t(s, dir, "documents").select(
+        when(col("n_chars") < 200, 0)
+          .when(col("n_chars") < 400, 1).otherwise(2).as("r1"),
+        when(tok < 40, 0).when(tok < 70, 1).otherwise(2).as("r2"))
+      Eval.weightedKappa(d, "r1", "r2", quadratic = true)
+        .select(col("n"), col("k_levels"),
+          round(col("po_w"), 6).as("po_w"), round(col("pe_w"), 6).as("pe_w"),
+          round(col("kappa"), 6).as("kappa"))
+    },
+
+    // Krippendorff's alpha with MISSING ratings: rater2 skips every
+    // 7th doc, rater3 rates only even docs, so units carry 1-3
+    // ratings and the single-rating exclusion path is exercised.
+    q("q_eval_krippendorff",
+      s"""WITH r AS (
+         |  SELECT doc_id,
+         |    CASE WHEN n_chars < 200 THEN 'short'
+         |         WHEN n_chars < 400 THEN 'mid' ELSE 'long' END AS cat
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id,
+         |    CASE WHEN $tokSql < 40 THEN 'short'
+         |         WHEN $tokSql < 70 THEN 'mid' ELSE 'long' END
+         |  FROM documents WHERE doc_id % 7 <> 0
+         |  UNION ALL
+         |  SELECT doc_id,
+         |    CASE WHEN len(regexp_extract_all(text,
+         |        '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) < 45 THEN 'short'
+         |      WHEN len(regexp_extract_all(text,
+         |        '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) < 75 THEN 'mid'
+         |      ELSE 'long' END
+         |  FROM documents WHERE doc_id % 2 = 0
+         |), cells AS (
+         |  SELECT doc_id, cat, count(*)::BIGINT AS c FROM r GROUP BY 1, 2
+         |), pu AS (
+         |  SELECT doc_id, sum(c) AS m, sum(c * c) AS sq FROM cells
+         |  GROUP BY 1 HAVING sum(c) >= 2
+         |), obs AS (
+         |  SELECT count(*)::BIGINT AS n_units, sum(m)::BIGINT AS n_values,
+         |    sum((m * m - sq)::DOUBLE / (m - 1)) AS d_o
+         |  FROM pu
+         |), marg AS (
+         |  SELECT cat, sum(c)::BIGINT AS nc
+         |  FROM cells JOIN pu USING (doc_id) GROUP BY 1
+         |), ex AS (
+         |  SELECT (sum(nc) * sum(nc) - sum(nc * nc))::DOUBLE
+         |    / (sum(nc) - 1) AS d_e
+         |  FROM marg
+         |)
+         |SELECT n_units, n_values, round(d_o, 6) AS d_o,
+         |  round(d_e, 6) AS d_e, round(1.0 - d_o / d_e, 6) AS alpha
+         |FROM obs, ex""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val tok = TA.tokenCount(col("text"))
+      val bp = TA.bpeishTokenCount(col("text"))
+      val r1 = d.select(col("doc_id"),
+        when(col("n_chars") < 200, "short")
+          .when(col("n_chars") < 400, "mid").otherwise("long").as("cat"))
+      val r2 = d.filter(col("doc_id") % 7 =!= 0).select(col("doc_id"),
+        when(tok < 40, "short").when(tok < 70, "mid")
+          .otherwise("long").as("cat"))
+      val r3 = d.filter(col("doc_id") % 2 === 0).select(col("doc_id"),
+        when(bp < 45, "short").when(bp < 75, "mid")
+          .otherwise("long").as("cat"))
+      Eval.krippendorffAlpha(r1.unionAll(r2).unionAll(r3), "doc_id", "cat")
+        .select(col("n_units"), col("n_values"),
+          round(col("d_o"), 6).as("d_o"), round(col("d_e"), 6).as("d_e"),
+          round(col("alpha"), 6).as("alpha"))
+    },
+
+    // Mann-Whitney U with the tie-corrected normal approximation
+    // (no continuity correction) on 1-decimal values: clicks vs rest.
+    q("q_eval_mannwhitney",
+      """WITH e AS (
+        |  SELECT round(value, 1) AS s,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
+        |  FROM events
+        |), g AS (
+        |  SELECT s, count(*)::BIGINT AS n, sum(y)::BIGINT AS p
+        |  FROM e GROUP BY s
+        |), r AS (
+        |  SELECT p, n,
+        |    coalesce(sum(n) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + (n + 1) / 2.0 AS midrank
+        |  FROM g
+        |), agg AS (
+        |  SELECT sum(p)::BIGINT AS n1, (sum(n) - sum(p))::BIGINT AS n2,
+        |    sum(n)::BIGINT AS nt,
+        |    sum(p * midrank) - sum(p) * (sum(p) + 1) / 2.0 AS u,
+        |    sum(n * n * n - n)::BIGINT AS ties
+        |  FROM r
+        |)
+        |SELECT n1, n2, round(u, 6) AS u,
+        |  round((u - n1::DOUBLE * n2 / 2.0)
+        |    / sqrt(n1::DOUBLE * n2 / 12.0 * ((nt + 1)
+        |      - ties::DOUBLE / (nt::DOUBLE * (nt - 1)))), 6) AS z
+        |FROM agg""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events").select(
+        round(col("value"), 1).as("score"),
+        (col("event_type") === "click").cast("int").as("y"))
+      Eval.mannWhitney(e, "score", "y")
+        .select(col("n1"), col("n2"), round(col("u"), 6).as("u"),
+          round(col("z"), 6).as("z"))
+    },
+
+    // chi-squared independence of event type vs a fixed value bucket,
+    // with Cramér's V effect size; statistic and dof exact, p-value
+    // left to a CDF downstream.
+    q("q_eval_chi2",
+      """WITH r AS (
+        |  SELECT event_type AS a,
+        |    CASE WHEN value < 15 THEN 'low'
+        |         WHEN value < 60 THEN 'mid' ELSE 'high' END AS b
+        |  FROM events
+        |), cells AS (
+        |  SELECT a, b, count(*)::BIGINT AS c FROM r GROUP BY 1, 2
+        |), ra AS (SELECT a, sum(c)::BIGINT AS ca FROM cells GROUP BY 1
+        |), cb AS (SELECT b, sum(c)::BIGINT AS cb FROM cells GROUP BY 1
+        |), tot AS (
+        |  SELECT sum(c)::BIGINT AS n, count(DISTINCT a)::BIGINT AS nr,
+        |    count(DISTINCT b)::BIGINT AS nc
+        |  FROM cells
+        |), x AS (
+        |  SELECT max(n) AS n, max(nr) AS n_rows, max(nc) AS n_cols,
+        |    sum((c - ca::DOUBLE * cb.cb / n) * (c - ca::DOUBLE * cb.cb / n)
+        |      / (ca::DOUBLE * cb.cb / n)) AS chi2
+        |  FROM cells JOIN ra USING (a) JOIN cb USING (b), tot
+        |)
+        |SELECT n, n_rows, n_cols, (n_rows - 1) * (n_cols - 1) AS dof,
+        |  round(chi2, 6) AS chi2,
+        |  round(sqrt(chi2 / (n::DOUBLE * (least(n_rows, n_cols) - 1))), 6)
+        |    AS cramers_v
+        |FROM x""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events").select(col("event_type").as("a"),
+        when(col("value") < 15, "low").when(col("value") < 60, "mid")
+          .otherwise("high").as("b"))
+      Eval.chiSquared(e, "a", "b")
+        .select(col("n"), col("n_rows"), col("n_cols"), col("dof"),
+          round(col("chi2"), 6).as("chi2"),
+          round(col("cramers_v"), 6).as("cramers_v"))
+    },
+
     // rank-biased overlap between the full-cosine ranking and the
     // first-16-dims prefix ranking (the cheap-probe-vs-full-scan
     // comparison): RBO@10 at p=0.9 per query, 1.0 iff the top-10

@@ -138,6 +138,107 @@ class EvalSpec extends SparkSpec {
       "item", "cat"))
   }
 
+  test("weightedKappa: quadratic weights, reduces to cohen on 0/1") {
+    import spark.implicits._
+    // 3-level ordinal: off-by-one disagreements weigh 3/4
+    // (quadratic, K=3), off-by-two weigh 0
+    val rows = Seq.fill(40)((0, 0)) ++ Seq.fill(10)((0, 1)) ++
+      Seq.fill(5)((0, 2)) ++ Seq.fill(30)((1, 1)) ++
+      Seq.fill(10)((2, 1)) ++ Seq.fill(5)((2, 2))
+    val got = graft.ml.Eval.weightedKappa(rows.toDF("r1", "r2"), "r1", "r2",
+      quadratic = true).head()
+    // brute force
+    def w(i: Int, j: Int) = 1.0 - math.pow((i - j) / 2.0, 2)
+    val n = rows.size.toDouble
+    val po = rows.map { case (i, j) => w(i, j) }.sum / n
+    val m1 = rows.groupBy(_._1).view.mapValues(_.size).toMap
+    val m2 = rows.groupBy(_._2).view.mapValues(_.size).toMap
+    val pe = (for { (i, ci) <- m1; (j, cj) <- m2 }
+      yield w(i, j) * ci * cj).sum / (n * n)
+    assert(got.getLong(0) == 100L && got.getLong(1) == 3L)
+    assert(math.abs(got.getDouble(2) - po) < 1e-12)
+    assert(math.abs(got.getDouble(3) - pe) < 1e-12)
+    assert(math.abs(got.getDouble(4) - (po - pe) / (1 - pe)) < 1e-12)
+    // on a binary scale both weightings equal unweighted Cohen
+    val bin = Seq.fill(45)((0, 0)) ++ Seq.fill(15)((0, 1)) ++
+      Seq.fill(25)((1, 0)) ++ Seq.fill(15)((1, 1))
+    val wk = graft.ml.Eval.weightedKappa(bin.toDF("r1", "r2"), "r1", "r2")
+      .head().getDouble(4)
+    val ck = graft.ml.Eval.cohenKappa(
+      bin.map { case (a, b) => (a.toString, b.toString) }.toDF("r1", "r2"),
+      "r1", "r2").head().getDouble(3)
+    assert(math.abs(wk - ck) < 1e-12, s"$wk vs $ck")
+  }
+
+  test("krippendorffAlpha: perfect = 1, missing data, single-rating drop") {
+    import spark.implicits._
+    // perfect agreement with variable m (2 and 3 ratings per unit)
+    val perfect = Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b"), (2L, "b"))
+    val p = graft.ml.Eval.krippendorffAlpha(perfect.toDF("u", "c"), "u", "c")
+      .head()
+    assert(p.getDouble(4) == 1.0 && p.getLong(0) == 2L && p.getLong(1) == 5L)
+    // Krippendorff's own worked nominal example (2004):
+    // coincidences for units with >= 2 ratings give alpha = 0.095...
+    // use a small hand-checked case instead: 4 units, 2 raters,
+    // half agree -> D_o/D_e from brute force
+    val rows = Seq(
+      (1L, "x"), (1L, "x"), (2L, "x"), (2L, "y"),
+      (3L, "y"), (3L, "y"), (4L, "y"), (4L, "x"),
+      (5L, "x")) // unit 5 has one rating -> excluded
+    val got = graft.ml.Eval.krippendorffAlpha(rows.toDF("u", "c"), "u", "c")
+      .head()
+    assert(got.getLong(0) == 4L && got.getLong(1) == 8L)
+    // D_o = sum (m^2 - sum n_uc^2)/(m-1): agree units 0, disagree 2
+    val dO = 0.0 + 2.0 + 0.0 + 2.0
+    // marginals over pairable: x=4, y=4, n=8
+    val dE = (8.0 * 8 - (16 + 16)) / 7
+    assert(math.abs(got.getDouble(2) - dO) < 1e-12)
+    assert(math.abs(got.getDouble(3) - dE) < 1e-12)
+    assert(math.abs(got.getDouble(4) - (1 - dO / dE)) < 1e-12)
+  }
+
+  test("mannWhitney matches scipy's tie-corrected z on a hand case") {
+    import spark.implicits._
+    // group1 = {3, 5, 5}, group0 = {1, 2, 5, 7}
+    val rows = Seq((3.0, 1), (5.0, 1), (5.0, 1), (1.0, 0), (2.0, 0),
+      (5.0, 0), (7.0, 0))
+    val got = graft.ml.Eval.mannWhitney(rows.toDF("v", "y"), "v", "y").head()
+    // midranks: 1->1, 2->2, 3->3, 5->(4+5+6)/3=5, 7->7
+    // rank_sum(group1) = 3 + 5 + 5 = 13; U = 13 - 3*4/2 = 7
+    assert(got.getLong(0) == 3L && got.getLong(1) == 4L)
+    assert(math.abs(got.getDouble(2) - 7.0) < 1e-12)
+    // var = (12/12) * ((8) - (27-3)/(7*6)) = 8 - 24/42
+    val v = 1.0 * (8.0 - 24.0 / 42)
+    val z = (7.0 - 6.0) / math.sqrt(v)
+    assert(math.abs(got.getDouble(3) - z) < 1e-12)
+    // all-tied input -> NULL z
+    val tied = Seq((1.0, 1), (1.0, 0), (1.0, 0))
+    assert(graft.ml.Eval.mannWhitney(tied.toDF("v", "y"), "v", "y")
+      .head().isNullAt(3))
+  }
+
+  test("chiSquared matches the closed form on a 2x2 table") {
+    import spark.implicits._
+    // classic 2x2: [[10, 20], [30, 40]]
+    val rows = Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(30)(("b", "x")) ++ Seq.fill(40)(("b", "y"))
+    val got = graft.ml.Eval.chiSquared(rows.toDF("r", "c"), "r", "c").head()
+    val n = 100.0
+    val e = Map(("a", "x") -> 30.0 * 40 / n, ("a", "y") -> 30.0 * 60 / n,
+      ("b", "x") -> 70.0 * 40 / n, ("b", "y") -> 70.0 * 60 / n)
+    val o = Map(("a", "x") -> 10.0, ("a", "y") -> 20.0,
+      ("b", "x") -> 30.0, ("b", "y") -> 40.0)
+    val chi2 = o.map { case (k, ov) =>
+      (ov - e(k)) * (ov - e(k)) / e(k) }.sum
+    assert(got.getLong(0) == 100L && got.getLong(3) == 1L)
+    assert(math.abs(got.getDouble(4) - chi2) < 1e-12)
+    assert(math.abs(got.getDouble(5) - math.sqrt(chi2 / 100)) < 1e-12)
+    // single-column table: chi2 = 0, V NULL
+    val degen = graft.ml.Eval.chiSquared(
+      Seq(("a", "x"), ("b", "x")).toDF("r", "c"), "r", "c").head()
+    assert(degen.getDouble(4) == 0.0 && degen.isNullAt(5))
+  }
+
   test("cohenKappa matches the textbook 2x2 example") {
     import spark.implicits._
     // classic example: 45 yes/yes, 15 yes/no, 25 no/yes, 15 no/no
