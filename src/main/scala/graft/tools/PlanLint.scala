@@ -18,22 +18,40 @@ import org.apache.spark.sql.execution.window.WindowExec
   *  - `cartesian`: CartesianProductExec / BroadcastNestedLoopJoin —
   *    row-count products; fatal at scale unless one side is tiny by
   *    construction.
-  *  - `global-window`: WindowExec with an empty partition spec — all
-  *    rows to ONE task; fine only over already-tiny inputs (e.g. a
-  *    per-domain rate table).
+  *  - `global-window`: WindowExec with an empty partition spec whose
+  *    input has already been REDUCED by an aggregate (a distinct-value
+  *    prefix-sum kernel: midranks, count-of-counts, vocabulary ranks)
+  *    — one task holds |distinct values| rows; whitelistable with a
+  *    boundedness justification.
+  *  - `global-window-raw`: an unpartitioned WindowExec fed directly
+  *    by non-aggregated input — ALL corpus rows to one task; never
+  *    whitelistable.
   */
 object PlanLint {
 
   final case class Finding(rule: String, node: String)
 
-  /** All physical nodes, descending through AQE wrappers and
-    * subquery plans.
+  /** All physical nodes, descending through AQE wrappers, query-stage
+    * leaves (whose inner plan hides behind a LeafExecNode), reused
+    * exchanges, and subquery plans.
     */
   private def nodes(root: SparkPlan): Seq[SparkPlan] = {
-    val adaptiveInner = root.collectWithSubqueries {
-      case a: AdaptiveSparkPlanExec => a.initialPlan
+    val here = root.collectWithSubqueries { case p => p }
+    val nested = here.flatMap {
+      case a: AdaptiveSparkPlanExec => Seq(a.initialPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        Seq(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        Seq(r.child)
+      // cache substitution can swap a whole subtree for an
+      // InMemoryTableScan (e.g. two gates sharing one persisted
+      // word-count table) — descend into the cached plan so the
+      // structural checks see what actually produced the rows
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        Seq(m.relation.cachedPlan)
+      case _ => Nil
     }
-    (root +: adaptiveInner).flatMap(_.collectWithSubqueries { case p => p })
+    here ++ nested.flatMap(nodes)
   }
 
   def lint(df: DataFrame): Seq[Finding] =
@@ -43,7 +61,10 @@ object PlanLint {
       case j: BroadcastNestedLoopJoinExec =>
         Some(Finding("cartesian", s"BroadcastNestedLoopJoin(${j.joinType})"))
       case w: WindowExec if w.partitionSpec.isEmpty =>
-        Some(Finding("global-window", "WindowExec[no partition]"))
+        val reduced = nodes(w.child).exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec])
+        Some(if (reduced) Finding("global-window", "WindowExec[no partition]")
+        else Finding("global-window-raw", "WindowExec[no partition, raw input]"))
       case _ => None
     }.distinct
 

@@ -81,7 +81,45 @@ class PlanLintSpec extends SparkSpec {
     "q_text_platt" -> Map("cartesian" ->
       "1-row (a, b) trained-parameter state broadcast onto the scoring scan"),
     "q_text_js_divergence" -> Map("cartesian" ->
-      "1-row corpus-token-total aggregate broadcast onto the word-count join"))
+      "1-row corpus-token-total aggregate broadcast onto the word-count join"),
+    "q_eval_kappa" -> Map("cartesian" ->
+      "1-row totals × 1-row chance-agreement aggregates into the report row"),
+    "q_eval_fleiss" -> Map("cartesian" ->
+      "1-row P-bar × 1-row Pe-bar aggregates into the report row"),
+    "q_eval_weighted_kappa" -> Map("cartesian" ->
+      ("K-level contingency/marginal grids (K ≤ tens) × the 1-row " +
+        "(K, n) aggregate; the corpus reduces before every join")),
+    "q_eval_krippendorff" -> Map("cartesian" ->
+      "1-row observed × 1-row expected disagreement aggregates"),
+    "q_eval_chi2" -> Map("cartesian" ->
+      "1-row (n, R, C) totals broadcast onto the R×C contingency cells"),
+    "q_eval_rbo" -> Map("cartesian" ->
+      "bounded probe batch broadcast onto the corpus scan (the ANN contract)"),
+    "q_text_good_turing" -> Map("cartesian" ->
+      ("1-row LGT regression fit, then the 1-row renormalizer, broadcast " +
+        "onto the vocabulary table")),
+    "q_text_dispersion" -> Map("cartesian" ->
+      "vocab × strata grid: strata are dashboard-sized and broadcast"),
+    "q_text_ppmi" -> Map("cartesian" ->
+      "1-row pair-total aggregate broadcast onto the pair-count table"),
+    "q_text_keyness" -> Map("cartesian" ->
+      "1-row corpus-total aggregate broadcast onto the (stratum, word) counts"),
+    // global windows: each of these is an ordered prefix sum over the
+    // DISTINCT-VALUE table of a score/count column (the midrank /
+    // count-of-counts kernel), never over the corpus — the one task
+    // holds |distinct scores| rows (thousands for rounded model
+    // scores), the same bounded-vocabulary tradeoff heavyHitters
+    // documents. The corpus itself reduces in a hash aggregate first.
+    "q_eval_auc" -> Map("global-window" ->
+      "midrank running sum over the distinct-score table"),
+    "q_eval_pr" -> Map("global-window" ->
+      "cumulative precision/recall over the distinct-score table"),
+    "q_eval_mannwhitney" -> Map("global-window" ->
+      "midrank running sum over the distinct-score table"),
+    "q_profile_spearman" -> Map("global-window" ->
+      "midrank running sums over the two distinct-value tables"),
+    "q_text_zipf" -> Map("global-window" ->
+      "frequency ranking over the vocabulary table"))
 
   test("every cartesian/global-window in any gate plan is whitelisted") {
     val dir = sf("sf0.001")
@@ -106,13 +144,17 @@ class PlanLintSpec extends SparkSpec {
         .map(r => s"$name/$r")
     }
     assert(stale.isEmpty, s"stale whitelist entries: ${stale.mkString(", ")}")
-    // no gate may have an unpartitioned window AT ALL — every former
-    // occurrence was a tiny-table normalizer, now expressed as a
-    // broadcast cross-join; keep the rule's occurrence count at zero
-    val globalWindows = hits.collect {
-      case (name, rules) if rules.contains("global-window") => name
+    // global windows are allowed ONLY via the whitelist above, and
+    // only for the distinct-value prefix-sum kernel (midranks,
+    // count-of-counts, vocabulary ranks). PlanLint enforces the
+    // structure: an unpartitioned window fed by NON-aggregated input
+    // lints as `global-window-raw`, which no entry may whitelist —
+    // so a corpus-sized single-task window can never sneak in under
+    // a stale justification.
+    val raw = hits.collect {
+      case (name, rules) if rules.contains("global-window-raw") => name
     }
-    assert(globalWindows.isEmpty,
-      s"global windows reappeared in: ${globalWindows.mkString(", ")}")
+    assert(raw.isEmpty,
+      s"raw-input global windows (corpus to one task): ${raw.mkString(", ")}")
   }
 }
