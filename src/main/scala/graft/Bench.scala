@@ -103,7 +103,15 @@ object Bench {
     // only: the synthetic corpus's tiny vocabulary is the documented
     // prefix-filter worst case) + interpolated Kneser-Ney bigram LM
     "q_dedup_prefix_blocked",
-    "q_text_kn_nll")
+    "q_text_kn_nll",
+    // round-18: PPMI co-occurrence (offset-exploded equi-join over
+    // token positions), Jaro-Winkler blocked linkage (native codegen'd
+    // verify), ROC AUC (distinct-score midrank kernel), Gries
+    // dispersion (vocab x strata grid)
+    "q_text_ppmi",
+    "q_join_jarowinkler",
+    "q_eval_auc",
+    "q_text_dispersion")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -872,40 +872,68 @@ object Dedup {
     * never compared); the verify is exact on every emitted pair.
     *
     * Returns (id1, id2, name1, name2, jw), id1 < id2.
+    * `includeIdentical = false` drops pairs whose strings are EQUAL
+    * (pure duplicates — exact dedup's job, and at real duplicate
+    * rates the dominant share of the output volume).
     *
-    * Scale shape: one shuffle on the (block, length) key; quadratic
-    * work only within a (first-token, length) bucket; JW itself runs
-    * inside whole-stage codegen via a static call.
+    * Scale shape: the JW verify runs once per DISTINCT string pair,
+    * never per row pair — row-level inputs collapse to the name table
+    * first, matched name pairs fan back out to ids through two
+    * name-keyed equi-joins, and identical-name pairs (when kept) come
+    * from a name-keyed self-join with no JW evaluation at all. A name
+    * duplicated a million times costs one verify plus its (inherent)
+    * output volume. One shuffle on the (block, length) key; quadratic
+    * verify work only within a (first-token, length) bucket of
+    * DISTINCT names; JW runs inside whole-stage codegen via a static
+    * call.
     */
   def jaroWinklerLinkage(df: DataFrame, idCol: String, strCol: String,
-      threshold: Double, lenBand: Int = 1): DataFrame = {
+      threshold: Double, lenBand: Int = 1,
+      includeIdentical: Boolean = true): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     require(lenBand >= 0, s"lenBand must be >= 0, got $lenBand")
-    val base = df.select(col(idCol).cast("long").as("id"),
-        col(strCol).as("s"))
+    val base = graft.core.PipelineCaches.persistTracked(
+      df.select(col(idCol).cast("long").as("id"), col(strCol).as("s")))
+    val names = base.groupBy("s").agg(count(lit(1)).as("n"))
       .withColumn("blk", split(col("s"), " ").getItem(0))
       .withColumn("len", length(col("s")))
-    val probe = base.select(col("blk"), col("id").as("id1"),
-      col("s").as("s1"), col("len").as("len1"),
+    val probe = names.select(col("blk"), col("s").as("s1"),
+      col("len").as("len1"),
       explode(sequence(col("len"), col("len") + lenBand)).as("lk"))
-    val build = base.select(col("blk"), col("id").as("id2"),
-      col("s").as("s2"), col("len").as("len2"), col("len").as("lk"))
+    val build = names.select(col("blk"), col("s").as("s2"),
+      col("len").as("len2"), col("len").as("lk"))
     val jw = graft.functions.StringFunctions.jaro_winkler(
       col("s1"), col("s2"))
-    probe.join(build, Seq("blk", "lk"))
+    // distinct-name matches; s1 < s2 on equal length makes each
+    // unordered NAME pair meet exactly once
+    val matched = probe.join(build, Seq("blk", "lk"))
       .filter(col("len1") < col("len2") ||
-        (col("len1") === col("len2") && col("id1") < col("id2")))
+        (col("len1") === col("len2") && col("s1") < col("s2")))
       .withColumn("jw", jw)
       .filter(col("jw") >= threshold)
+      .select("s1", "s2", "jw")
+    val cross = matched
+      .join(base.select(col("s").as("s1"), col("id").as("ida")), "s1")
+      .join(base.select(col("s").as("s2"), col("id").as("idb")), "s2")
       .select(
-        when(col("id1") < col("id2"),
-          struct(col("id1"), col("s1"), col("id2"), col("s2")))
-          .otherwise(struct(col("id2").as("id1"), col("s2").as("s1"),
-            col("id1").as("id2"), col("s1").as("s2"))).as("p"),
+        when(col("ida") < col("idb"),
+          struct(col("ida"), col("s1"), col("idb"), col("s2")))
+          .otherwise(struct(col("idb").as("ida"), col("s2").as("s1"),
+            col("ida").as("idb"), col("s1").as("s2"))).as("p"),
         col("jw"))
-      .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
+      .select(col("p.ida").as("id1"), col("p.idb").as("id2"),
         col("p.s1").as("name1"), col("p.s2").as("name2"), col("jw"))
+    if (!includeIdentical) cross
+    else {
+      val same = base.alias("a")
+        .join(base.alias("b"), col("a.s") === col("b.s") &&
+          col("a.id") < col("b.id"))
+        .select(col("a.id").as("id1"), col("b.id").as("id2"),
+          col("a.s").as("name1"), col("b.s").as("name2"),
+          lit(1.0).as("jw"))
+      cross.unionAll(same)
+    }
   }
 
   /** Exact duplicated-substring spans: maximal runs of k-token grams

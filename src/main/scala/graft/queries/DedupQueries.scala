@@ -593,8 +593,8 @@ object DedupQueries extends QueryGroup {
         |  AND a.nm <> b.nm
         |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
       graft.ml.Dedup.jaroWinklerLinkage(t(s, dir, "part"),
-          "p_partkey", "p_name", threshold = 0.9, lenBand = 1)
-        .filter(col("name1") =!= col("name2"))
+          "p_partkey", "p_name", threshold = 0.9, lenBand = 1,
+          includeIdentical = false)
         .select(col("id1"), col("id2"), round(col("jw"), 6).as("jw"))
         .orderBy("id1", "id2")
     }
