@@ -36,7 +36,7 @@ import graft.ml.{Corpus, Dedup}
   *       [--holdout 0.05] [--budget 100000] [--ctx 2048] [--shards 64]
   *       [--nll-drop <frac>]   (default 0 = fluency gate OFF)
   *       [--c4-clean] [--line-dedup] [--span-dedup] [--span-k 8]
-  *       [--model-gate <score>]
+  *       [--model-gate <score>] [--eval-report]
   *       [--keep-best] [--group-split]
   *       [--epochs src=w,src=w] [--max-epochs 4]
   *       [--tokenizer bpe|unigram] [--vocab-size 512]
@@ -68,6 +68,7 @@ class TrainingDataJob(args: Args) extends GraftJob(args) {
         spanDedup = args.boolean("span-dedup"),
         spanK = args.getOrElse("span-k", "8").toInt,
         modelGate = args.getOrElse("model-gate", "0").toDouble,
+        evalReport = args.boolean("eval-report"),
         keepBestRep = args.boolean("keep-best"),
         groupSplit = args.boolean("group-split"),
         epochWeights = epochWeights,
@@ -84,6 +85,8 @@ class TrainingDataJob(args: Args) extends GraftJob(args) {
     r.manifest.write.mode("overwrite").parquet(s"$out/manifest")
     r.tokens.foreach(_.write.mode("overwrite").parquet(s"$out/tokens"))
     r.vocab.foreach(_.write.mode("overwrite").parquet(s"$out/vocab"))
+    r.modelEval.foreach(
+      _.write.mode("overwrite").parquet(s"$out/model_eval"))
     Dedup.unpersistPipelineCaches()
   }
 }
@@ -92,7 +95,8 @@ object TrainingDataJob {
 
   final case class Assembled(train: DataFrame, holdout: DataFrame,
       manifest: DataFrame, tokens: Option[DataFrame] = None,
-      vocab: Option[DataFrame] = None)
+      vocab: Option[DataFrame] = None,
+      modelEval: Option[DataFrame] = None)
 
   /** Optional stages wired through [[assemble]] — each defaults OFF so
     * the base pipeline contract is unchanged; a production run turns
@@ -112,6 +116,9 @@ object TrainingDataJob {
     *  - `modelGate` (> 0): train the logistic quality classifier on
     *    the cleaned corpus (distant supervision), score every doc as
     *    codegen'd literals, keep score ≥ `modelGate`;
+    *  - `evalReport` (with `modelGate`): emit the gate model's ROC
+    *    AUC + average precision against its distant-supervision label
+    *    on the pre-gate corpus as `Assembled.modelEval`;
     *  - `keepBestRep`: near-dup clusters keep their argmax-quality
     *    member instead of the min id;
     *  - `groupSplit`: leakage-free split keyed on the near-dup
@@ -146,6 +153,7 @@ object TrainingDataJob {
       spanDedup: Boolean = false,
       spanK: Int = 8,
       modelGate: Double = 0.0,
+      evalReport: Boolean = false,
       keepBestRep: Boolean = false,
       groupSplit: Boolean = false,
       epochWeights: Map[String, Double] = Map.empty,
@@ -217,14 +225,25 @@ object TrainingDataJob {
 
     // 0c: trained quality gate — 3 full-batch GD iterations (one
     // d+1-double aggregate each), then scoring is a codegen'd literal
-    // expression in the same scan as the filter.
-    val classified =
-      if (stages.modelGate <= 0.0) spanDeduped
+    // expression in the same scan as the filter. With `evalReport`,
+    // the model's ranking quality against its own distant-supervision
+    // label (ROC AUC + average precision on the PRE-gate corpus) is
+    // emitted alongside the outputs — the number a pipeline owner
+    // reads before trusting the gate's threshold.
+    val (classified, modelEval) =
+      if (stages.modelGate <= 0.0) (spanDeduped, None)
       else {
         val w = QualityModel.train(spanDeduped, "text")
-        QualityModel.score(spanDeduped, "text", w)
-          .filter(col("score") >= stages.modelGate)
-          .drop(QualityModel.featureNames :+ "label" :+ "score": _*)
+        val scored = cut(QualityModel.score(spanDeduped, "text", w))
+        val eval =
+          if (!stages.evalReport) None
+          else Some(graft.ml.Eval.rocAuc(scored, "score", "label")
+            .crossJoin(graft.ml.Eval
+              .averagePrecision(scored, "score", "label")
+              .select(col("ap"))))
+        (scored.filter(col("score") >= stages.modelGate)
+          .drop(QualityModel.featureNames :+ "label" :+ "score": _*),
+          eval)
       }
 
     // 1-6: curate (keeps doc_id, text, lang, quality, n_tokens, split).
@@ -291,7 +310,7 @@ object TrainingDataJob {
           "n_tokens", "cum_tokens"),
         holdout = holdoutDocs.select("doc_id", "text", "source", "quality",
           "n_tokens"),
-        manifest = manifest)
+        manifest = manifest, modelEval = modelEval)
     } else {
       val plan = Corpus.mixByEpochs(fluent, "doc_id", "source",
         "n_tokens", stages.epochWeights, budget, stages.maxEpochs)
@@ -307,7 +326,7 @@ object TrainingDataJob {
           "n_tokens", "epoch", "n_epochs"),
         holdout = holdoutDocs.select("doc_id", "text", "source", "quality",
           "n_tokens"),
-        manifest = manifest)
+        manifest = manifest, modelEval = modelEval)
     }
 
     // 10 (optional): tokenize — the step that turns curated text into

@@ -118,7 +118,8 @@ class TrainingDataSpec extends SparkSpec {
           "chr(10), 'they have to be of and with that same mind.')").as("text"),
         col("lang"), col("source"))
     val stages = TrainingDataJob.Stages(c4Clean = true, lineDedup = true,
-      modelGate = 0.1, keepBestRep = true, groupSplit = true)
+      modelGate = 0.1, evalReport = true, keepBestRep = true,
+      groupSplit = true)
     def run() = TrainingDataJob.assemble(docs, lang = "en",
       minQuality = 0.3, jaccard = 0.7, holdout = 0.2, budget = 1000000L,
       ctxLen = 128, nShards = 4, stages = stages)
@@ -140,10 +141,23 @@ class TrainingDataSpec extends SparkSpec {
     val nonBlank = allLines.filter(_.trim.nonEmpty)
     assert(nonBlank.length == nonBlank.distinct.length,
       "duplicate line survived corpus-wide line dedup")
-    // every stage is deterministic: a second assembly is identical
+    // eval report: well-formed metrics over both label classes (the
+    // 3-iteration model on this tiny mutated corpus is deliberately
+    // weak, so no better-than-chance claim — that's exactly what the
+    // report exists to surface)
+    val ev = r.modelEval.getOrElse(fail("evalReport stage emitted nothing"))
+      .head()
+    val auc = ev.getAs[Double]("auc")
+    val ap = ev.getAs[Double]("ap")
+    assert(auc >= 0.0 && auc <= 1.0, s"gate model AUC $auc")
+    assert(ap > 0.0 && ap <= 1.0, s"gate model AP $ap")
+    assert(ev.getAs[Long]("n_pos") > 0 && ev.getAs[Long]("n_neg") > 0)
+    // every stage is deterministic: a second assembly is identical,
+    // including the eval report
     val r2 = run()
     assert(r2.train.select("doc_id").as[Long].collect().sorted.toSeq ==
       train.map(_._1).sorted.toSeq)
+    assert(r2.modelEval.get.head().getAs[Double]("auc") == auc)
     graft.ml.Dedup.unpersistPipelineCaches()
   }
 
