@@ -921,6 +921,75 @@ object TextAnalysis {
         col("n_pair"), col("ppmi"))
   }
 
+  /** Per-document character-level Shannon entropy (nats) over the
+    * NORMALIZED text (lowercase alphanumerics + single spaces, so the
+    * alphabet is pure ASCII and every engine counts characters
+    * identically) — the compression-ratio proxy quality signal: near
+    * 0 means one character on repeat (padding/garbage), high values
+    * with a tiny alphabet mean base64-ish noise, natural English
+    * sits ~2.8-3.2 nats. Uses the aggregate identity
+    * H = ln n − (Σ c·ln c)/n so no per-document normalization pass is
+    * needed. Returns (id, n_chars, n_distinct, entropy); documents
+    * whose normalized text is empty are absent (entropy undefined).
+    *
+    * Scale shape: one char explode → (doc, char) hash counts →
+    * per-doc aggregate; per-doc alphabet ≤ 37 symbols, so the second
+    * aggregate carries bounded state. Single corpus scan.
+    */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(split(normalize(col(textCol)), "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+      .groupBy("id", "ch").agg(count(lit(1)).as("k"))
+      .groupBy("id")
+      .agg(sum("k").as("n_chars"), count(lit(1)).as("n_distinct"),
+        (log(sum("k").cast("double")) -
+          sum(col("k") * log(col("k").cast("double"))) / sum("k"))
+          .as("entropy"))
+
+  /** Pairwise vocabulary overlap between strata: for every unordered
+    * stratum pair, the distinct-word counts, the shared-word count,
+    * and their Jaccard — the "how different are my sources really"
+    * matrix behind mixing decisions (two near-identical crawls don't
+    * deserve two budget lines). Words below `minCount` occurrences
+    * within a stratum don't count toward its vocabulary. Returns
+    * (stratum_a, stratum_b, v_a, v_b, n_common, jaccard) for all
+    * pairs with stratum_a < stratum_b, including zero-overlap pairs.
+    *
+    * Scale shape: one token scan → (stratum, word) counts; the pair
+    * table comes from a WORD-keyed self-join of that vocabulary table
+    * (quadratic only in strata-per-word, bounded by the dashboard-
+    * sized stratum count), and the all-pairs grid is a crossJoin of
+    * the tiny per-stratum size table.
+    */
+  def vocabularyOverlap(df: DataFrame, strataCol: String, textCol: String,
+      minCount: Long = 1L): DataFrame = {
+    val vocab = graft.core.PipelineCaches.persistTracked(
+      df.select(col(strataCol).as("s"),
+          explode(split(normalize(col(textCol)), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("s", "w").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= minCount)
+        .select("s", "w"))
+    val sizes = vocab.groupBy("s").agg(count(lit(1)).as("v"))
+    val common = vocab.alias("a")
+      .join(vocab.alias("b"),
+        col("a.w") === col("b.w") && col("a.s") < col("b.s"))
+      .groupBy(col("a.s").as("sa"), col("b.s").as("sb"))
+      .agg(count(lit(1)).as("n_common"))
+    val grid = sizes.select(col("s").as("sa"), col("v").as("v_a"))
+      .crossJoin(broadcast(sizes.select(col("s").as("sb"),
+        col("v").as("v_b"))))
+      .filter(col("sa") < col("sb"))
+    grid.join(broadcast(common), Seq("sa", "sb"), "left")
+      .select(col("sa").as("stratum_a"), col("sb").as("stratum_b"),
+        col("v_a"), col("v_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        (coalesce(col("n_common"), lit(0L)).cast("double") /
+          (col("v_a") + col("v_b") -
+            coalesce(col("n_common"), lit(0L)))).as("jaccard"))
+  }
+
   /** Good–Turing smoothed unigram probabilities, linear-Good-Turing
     * (LGT) variant: smooth the count-of-counts N_r with the OLS line
     * ln S(r) = a + b·ln r (Gale & Sampson 1995's simple-GT regression

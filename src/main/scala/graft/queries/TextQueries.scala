@@ -2206,6 +2206,59 @@ object TextQueries extends QueryGroup {
       TA.dispersion(t(s, dir, "documents"), "source", "text", minCount = 10L)
         .select(col("word"), col("c"), round(col("dp"), 6).as("dp"))
         .orderBy("word")
+    },
+
+    // per-document character entropy over normalized text via the
+    // H = ln n − (Σ c·ln c)/n identity — single scan, no per-doc
+    // normalization pass.
+    q("q_text_char_entropy",
+      s"""WITH nm AS (
+         |  SELECT doc_id, $normSql AS norm FROM documents
+         |), ch AS (
+         |  SELECT doc_id, substr(norm, u.i + 1, 1) AS c
+         |  FROM nm, unnest(range(0, strlen(norm))) AS u(i)
+         |), cnt AS (
+         |  SELECT doc_id, c, count(*)::BIGINT AS k FROM ch GROUP BY 1, 2
+         |)
+         |SELECT doc_id, sum(k)::BIGINT AS n_chars,
+         |  count(*)::BIGINT AS n_distinct,
+         |  round(ln(sum(k)::DOUBLE) - sum(k * ln(k::DOUBLE)) / sum(k), 6)
+         |    AS entropy
+         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        TA.charEntropy(t(s, dir, "documents"), "doc_id", "text")
+          .select(col("id").as("doc_id"), col("n_chars"), col("n_distinct"),
+            round(col("entropy"), 6).as("entropy"))
+          .orderBy("doc_id")
+    },
+
+    // pairwise source-vocabulary Jaccard overlap (all 190 source
+    // pairs, zero-overlap pairs included): the mixing-dashboard
+    // "are these sources actually different" matrix.
+    q("q_text_vocab_overlap",
+      s"""WITH tk AS (
+         |  SELECT source AS s, u.tk AS w FROM (
+         |    SELECT source, string_split($normSql, ' ') AS wl FROM documents
+         |  ), unnest(wl) AS u(tk) WHERE u.tk <> ''
+         |), vocab AS (
+         |  SELECT DISTINCT s, w FROM tk
+         |), sizes AS (SELECT s, count(*)::BIGINT AS v FROM vocab GROUP BY 1
+         |), common AS (
+         |  SELECT a.s AS sa, b.s AS sb, count(*)::BIGINT AS n_common
+         |  FROM vocab a JOIN vocab b ON a.w = b.w AND a.s < b.s
+         |  GROUP BY 1, 2
+         |)
+         |SELECT x.s AS stratum_a, y.s AS stratum_b, x.v AS v_a, y.v AS v_b,
+         |  coalesce(n_common, 0) AS n_common,
+         |  round(coalesce(n_common, 0)::DOUBLE
+         |    / (x.v + y.v - coalesce(n_common, 0)), 6) AS jaccard
+         |FROM sizes x JOIN sizes y ON x.s < y.s
+         |LEFT JOIN common ON common.sa = x.s AND common.sb = y.s
+         |ORDER BY stratum_a, stratum_b""".stripMargin) { (s, dir) =>
+      TA.vocabularyOverlap(t(s, dir, "documents"), "source", "text")
+        .select(col("stratum_a"), col("stratum_b"), col("v_a"), col("v_b"),
+          col("n_common"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("stratum_a", "stratum_b")
     }
   )
 

@@ -1077,6 +1077,52 @@ class MlSpec extends SparkSpec {
     assert(math.abs(totalP - 0.7) < 1e-12, totalP)
   }
 
+  test("charEntropy: uniform alphabet = ln k, repeats = 0, empty absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abcd"),        // 4 distinct chars, uniform -> ln 4
+      (2L, "aaaa"),        // one char -> 0
+      (3L, "aab"),         // p = (2/3, 1/3)
+      (4L, "!!!")          // normalizes to empty -> absent
+    ).toDF("doc_id", "text")
+    val got = graft.ml.TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got(1L) == ((4L, 4L, got(1L)._3)) &&
+      math.abs(got(1L)._3 - math.log(4)) < 1e-12)
+    assert(got(2L)._3 == 0.0 && got(2L)._2 == 1L)
+    val h3 = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3))
+    assert(math.abs(got(3L)._3 - h3) < 1e-12)
+    assert(!got.contains(4L) && got.size == 3)
+  }
+
+  test("vocabularyOverlap: identical, partial, and disjoint pairs") {
+    import spark.implicits._
+    val docs = Seq(
+      ("A", "cat dog bird"),
+      ("B", "cat dog bird"),     // identical vocab to A
+      ("C", "cat fish"),         // shares 1 of A's 3
+      ("D", "xyzzy quux")        // disjoint
+    ).toDF("src", "text")
+    val got = graft.ml.TextAnalysis
+      .vocabularyOverlap(docs, "src", "text")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.size == 6) // all 4C2 pairs, zero-overlap included
+    assert(got(("A", "B")) == ((3L, 3L, 3L, 1.0)))
+    assert(got(("A", "C")) == ((3L, 2L, 1L, 0.25)))
+    assert(got(("A", "D")) == ((3L, 2L, 0L, 0.0)))
+    assert(got(("C", "D"))._4 == 0.0)
+    // minCount filters hapax words out of the vocabulary entirely:
+    // every word above appears once per stratum, so nothing survives
+    val filtered = graft.ml.TextAnalysis
+      .vocabularyOverlap(docs, "src", "text", minCount = 2L)
+      .collect()
+    assert(filtered.isEmpty, filtered.toSeq)
+  }
+
   test("dispersion: corpus-shaped word ~ 0, single-stratum word high") {
     import spark.implicits._
     // strata of equal token mass; "even" spreads exactly like the

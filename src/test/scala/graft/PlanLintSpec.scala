@@ -104,6 +104,8 @@ class PlanLintSpec extends SparkSpec {
       "1-row pair-total aggregate broadcast onto the pair-count table"),
     "q_text_keyness" -> Map("cartesian" ->
       "1-row corpus-total aggregate broadcast onto the (stratum, word) counts"),
+    "q_text_vocab_overlap" -> Map("cartesian" ->
+      "strata × strata size grid — both sides dashboard-sized aggregates"),
     // global windows: each of these is an ordered prefix sum over the
     // DISTINCT-VALUE table of a score/count column (the midrank /
     // count-of-counts kernel), never over the corpus — the one task
