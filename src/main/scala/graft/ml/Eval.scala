@@ -270,8 +270,11 @@ object Eval {
     * σ² = (n₁n₂/12)·((n+1) − Σ(t³−t)/(n(n−1))) over tie-block sizes
     * t — the location test behind "did this corpus change shift the
     * metric" when normality is off the table. No continuity
-    * correction (mirror any oracle accordingly). Returns one row
-    * (n1, n2, u, z); z NULL when σ = 0 (all values tied).
+    * correction (mirror any oracle accordingly). Also reports Cliff's
+    * delta = 2U/(n₁n₂) − 1, the rank effect size in [−1, 1] (0 = no
+    * stochastic dominance), so significance never ships without
+    * magnitude. Returns one row (n1, n2, u, z, cliffs_delta); z NULL
+    * when σ = 0 (all values tied).
     *
     * Same scale shape as [[rocAuc]] — the tie-block sizes fall out of
     * the same distinct-score table the midranks use.
@@ -297,7 +300,9 @@ object Eval {
       .select(col("n1"), col("n2"), col("u"),
         when(col("var") > 0.0,
           (col("u") - col("n1").cast("double") * col("n2") / 2.0) /
-            sqrt(col("var"))).as("z"))
+            sqrt(col("var"))).as("z"),
+        (lit(2.0) * col("u") / (col("n1").cast("double") * col("n2")) -
+          1.0).as("cliffs_delta"))
   }
 
   /** Pearson chi-squared test of independence over two categorical

@@ -255,14 +255,16 @@ object EvalQueries extends QueryGroup {
         |SELECT n1, n2, round(u, 6) AS u,
         |  round((u - n1::DOUBLE * n2 / 2.0)
         |    / sqrt(n1::DOUBLE * n2 / 12.0 * ((nt + 1)
-        |      - ties::DOUBLE / (nt::DOUBLE * (nt - 1)))), 6) AS z
+        |      - ties::DOUBLE / (nt::DOUBLE * (nt - 1)))), 6) AS z,
+        |  round(2.0 * u / (n1::DOUBLE * n2) - 1.0, 6) AS cliffs_delta
         |FROM agg""".stripMargin) { (s, dir) =>
       val e = t(s, dir, "events").select(
         round(col("value"), 1).as("score"),
         (col("event_type") === "click").cast("int").as("y"))
       Eval.mannWhitney(e, "score", "y")
         .select(col("n1"), col("n2"), round(col("u"), 6).as("u"),
-          round(col("z"), 6).as("z"))
+          round(col("z"), 6).as("z"),
+          round(col("cliffs_delta"), 6).as("cliffs_delta"))
     },
 
     // chi-squared independence of event type vs a fixed value bucket,

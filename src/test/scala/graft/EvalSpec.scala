@@ -211,6 +211,10 @@ class EvalSpec extends SparkSpec {
     val v = 1.0 * (8.0 - 24.0 / 42)
     val z = (7.0 - 6.0) / math.sqrt(v)
     assert(math.abs(got.getDouble(3) - z) < 1e-12)
+    // Cliff's delta = 2U/(n1 n2) - 1; brute force over pairs:
+    // (#g1>g0 - #g1<g0)/(n1 n2) = (7 - 5)/12 ... with ties at 5
+    // counted half each way in U: 2*7/12 - 1 = 1/6
+    assert(math.abs(got.getAs[Double]("cliffs_delta") - 1.0 / 6) < 1e-12)
     // all-tied input -> NULL z
     val tied = Seq((1.0, 1), (1.0, 0), (1.0, 0))
     assert(graft.ml.Eval.mannWhitney(tied.toDF("v", "y"), "v", "y")
