@@ -1064,4 +1064,49 @@ object Events {
       .agg(min("sec").as("__ft"))
       .select(col("user_id"), (col("__ft") - col("__ff")).as("latency_sec"))
   }
+  /** RFM segmentation: per-user Recency (seconds since the user's
+    * last event, measured from the corpus's own max timestamp so the
+    * result is replayable), Frequency (event count) and Monetary
+    * (value sum), each bucketed 1-5 against the exact interpolated
+    * {20,40,60,80}% quantiles of the USER-level distribution —
+    * recency scored inverted (most recent = 5). The standard
+    * lifecycle-segmentation table; in corpus terms, the contributor-
+    * activity profile.
+    *
+    * Returns (user, recency_sec, frequency, monetary, r_score,
+    * f_score, m_score).
+    *
+    * Scale shape: one user-keyed aggregate over the events, one
+    * 12-number exact-percentile aggregate over the USER table, both
+    * broadcast back as a 1-row cut table — two scans total (events,
+    * then users), nothing user-count-quadratic.
+    */
+  def rfm(events: DataFrame, userCol: String, secCol: String,
+      valCol: String): DataFrame = {
+    val perUser = graft.core.PipelineCaches.persistTracked(
+      events.groupBy(col(userCol).as("user"))
+        .agg(max(col(secCol)).as("last"), count(lit(1)).as("frequency"),
+          sum(col(valCol).cast("double")).as("monetary")))
+    val asOf = perUser.agg(max("last").as("as_of"))
+    val withR = perUser.crossJoin(broadcast(asOf))
+      .withColumn("recency_sec", col("as_of") - col("last"))
+    val qs = Seq(0.2, 0.4, 0.6, 0.8)
+    val cutCols = qs.zipWithIndex.flatMap { case (q, i) => Seq(
+      percentile(col("recency_sec").cast("double"), lit(q)).as(s"rq$i"),
+      percentile(col("frequency").cast("double"), lit(q)).as(s"fq$i"),
+      percentile(col("monetary"), lit(q)).as(s"mq$i"))
+    }
+    val cuts = withR.agg(cutCols.head, cutCols.tail: _*)
+    def scoreUp(c: org.apache.spark.sql.Column, pre: String) =
+      lit(1) + (0 to 3).map(i =>
+        when(c >= col(s"$pre$i"), 1).otherwise(0)).reduce(_ + _)
+    val scored = withR.crossJoin(broadcast(cuts))
+    scored.select(col("user"), col("recency_sec"), col("frequency"),
+      col("monetary"),
+      // recency inverted: at-or-below a cut = more recent = higher
+      (lit(6) - scoreUp(col("recency_sec").cast("double"), "rq"))
+        .as("r_score"),
+      scoreUp(col("frequency").cast("double"), "fq").as("f_score"),
+      scoreUp(col("monetary"), "mq").as("m_score"))
+  }
 }

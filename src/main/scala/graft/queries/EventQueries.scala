@@ -1060,6 +1060,55 @@ object EventQueries extends QueryGroup {
         .orderBy("event_type")
     },
 
+    // RFM segmentation: per-user recency/frequency/monetary, each
+    // bucketed 1-5 against the exact interpolated quintile cuts of
+    // the user-level distribution (recency inverted: most recent = 5).
+    q("q_events_rfm",
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value
+        |  FROM events
+        |), u AS (
+        |  SELECT user_id AS u, max(sec) AS last_, count(*)::BIGINT AS f,
+        |    sum(value) AS m
+        |  FROM e GROUP BY 1
+        |), a AS (SELECT max(last_) AS as_of FROM u
+        |), w AS (
+        |  SELECT u, (as_of - last_) AS r, f, m FROM u, a
+        |), cuts AS (
+        |  SELECT
+        |    quantile_cont(r::DOUBLE, 0.2) AS rq0, quantile_cont(r::DOUBLE, 0.4) AS rq1,
+        |    quantile_cont(r::DOUBLE, 0.6) AS rq2, quantile_cont(r::DOUBLE, 0.8) AS rq3,
+        |    quantile_cont(f::DOUBLE, 0.2) AS fq0, quantile_cont(f::DOUBLE, 0.4) AS fq1,
+        |    quantile_cont(f::DOUBLE, 0.6) AS fq2, quantile_cont(f::DOUBLE, 0.8) AS fq3,
+        |    quantile_cont(m, 0.2) AS mq0, quantile_cont(m, 0.4) AS mq1,
+        |    quantile_cont(m, 0.6) AS mq2, quantile_cont(m, 0.8) AS mq3
+        |  FROM w
+        |)
+        |SELECT u AS user, r AS recency_sec, f AS frequency,
+        |  round(m, 6) AS monetary,
+        |  6 - (1 + (CASE WHEN r::DOUBLE >= rq0 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN r::DOUBLE >= rq1 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN r::DOUBLE >= rq2 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN r::DOUBLE >= rq3 THEN 1 ELSE 0 END)) AS r_score,
+        |  1 + (CASE WHEN f::DOUBLE >= fq0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN f::DOUBLE >= fq1 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN f::DOUBLE >= fq2 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN f::DOUBLE >= fq3 THEN 1 ELSE 0 END) AS f_score,
+        |  1 + (CASE WHEN m >= mq0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN m >= mq1 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN m >= mq2 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN m >= mq3 THEN 1 ELSE 0 END) AS m_score
+        |FROM w, cuts ORDER BY user""".stripMargin) { (s, dir) =>
+      val raw = t(s, dir, "events")
+      graft.events.Events.rfm(
+          raw.withColumn("sec", Ts.seconds(raw)),
+          "user_id", "sec", "value")
+        .select(col("user"), col("recency_sec"), col("frequency"),
+          round(col("monetary"), 6).as("monetary"),
+          col("r_score"), col("f_score"), col("m_score"))
+        .orderBy("user")
+    },
+
     // multi-touch attribution: linear + 6h-halflife time-decay credit
     // split over view/click/signup touches in a 24h lookback before
     // each purchase.

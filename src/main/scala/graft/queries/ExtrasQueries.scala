@@ -232,6 +232,39 @@ object ExtrasQueries extends QueryGroup {
         .select(col("n"), round(col("rho"), 6).as("rho"))
     },
 
+    // market-basket association pairs over co-purchased parts:
+    // support/confidence/lift of part pairs sharing >= 3 orders.
+    // Pair generation is basket-keyed (quadratic only within an
+    // order); statistics run on the pair-count table.
+    q("q_assoc_pairs",
+      """WITH inc AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+        |), nb AS (SELECT count(DISTINCT b)::BIGINT AS nb FROM inc
+        |), ic AS (SELECT i, count(*)::BIGINT AS n FROM inc GROUP BY 1
+        |), p AS (
+        |  SELECT a.i AS ia, c.i AS ib, count(*)::BIGINT AS n_ab
+        |  FROM inc a JOIN inc c ON a.b = c.b AND a.i < c.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 3
+        |)
+        |SELECT p.ia AS item_a, p.ib AS item_b, x.n AS n_a, y.n AS n_b,
+        |  p.n_ab,
+        |  round(p.n_ab::DOUBLE / nb.nb, 6) AS support,
+        |  round(p.n_ab::DOUBLE / x.n, 6) AS conf_a_b,
+        |  round(p.n_ab::DOUBLE / y.n, 6) AS conf_b_a,
+        |  round(p.n_ab::DOUBLE * nb.nb / (x.n::DOUBLE * y.n), 6) AS lift
+        |FROM p JOIN ic x ON p.ia = x.i JOIN ic y ON p.ib = y.i, nb
+        |ORDER BY item_a, item_b""".stripMargin) { (s, dir) =>
+      graft.ml.Associations.frequentPairs(
+          t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey", minSupport = 3L)
+        .select(col("item_a"), col("item_b"), col("n_a"), col("n_b"),
+          col("n_ab"), round(col("support"), 6).as("support"),
+          round(col("conf_a_b"), 6).as("conf_a_b"),
+          round(col("conf_b_a"), 6).as("conf_b_a"),
+          round(col("lift"), 6).as("lift"))
+        .orderBy("item_a", "item_b")
+    },
+
     // deterministic hash sampling (Fibonacci multiplicative scramble,
     // pure integer arithmetic): the same keys are kept on every engine
     // and every run — reproducible holdout splits without RNG state.

@@ -509,4 +509,37 @@ class EventsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("pre_mean") - 5.0) < 1e-12)
     assert(math.abs(r.getAs[Double]("c_post") - 7.0) < 1e-12)
   }
+
+  test("rfm: quintile scores, recency inverted, exact cut arithmetic") {
+    import spark.implicits._
+    // 5 users with strictly increasing f/m and decreasing recency;
+    // quintile cuts at p in {.2,.4,.6,.8} over 5 values interpolate
+    // between sorted neighbors, and score = 1 + #cuts at-or-below
+    val ev = (1 to 5).flatMap { u =>
+      (1 to u).map(k => (u.toLong, (u * 100 + k).toLong, u * 10.0))
+    }.toDF("user_id", "sec", "value")
+    val got = graft.events.Events.rfm(ev, "user_id", "sec", "value")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4), r.getInt(5), r.getInt(6)))).toMap
+    // as_of = 505 (user 5's last); user 5: recency 0, f=5, m=250
+    val (r5, f5, m5, rs5, fs5, ms5) = got(5L)
+    assert(r5 == 0L && f5 == 5L && m5 == 250.0)
+    assert(rs5 == 5 && fs5 == 5 && ms5 == 5)
+    // user 1: recency 505-101=404 (max), f=1, m=10 -> all worst
+    val (r1, f1, m1, rs1, fs1, ms1) = got(1L)
+    assert(r1 == 404L && f1 == 1L && m1 == 10.0)
+    assert(rs1 == 1 && fs1 == 1 && ms1 == 1)
+    // monotone: higher user index never scores lower on f/m,
+    // never lower on recency score either (more recent activity)
+    val byU = (1 to 5).map(u => got(u.toLong))
+    assert(byU.map(_._5).sorted == byU.map(_._5))
+    assert(byU.map(_._6).sorted == byU.map(_._6))
+    assert(byU.map(_._4).sorted == byU.map(_._4))
+    // every score is in 1..5
+    byU.foreach { t =>
+      assert(t._4 >= 1 && t._4 <= 5 && t._5 >= 1 && t._5 <= 5 &&
+        t._6 >= 1 && t._6 <= 5)
+    }
+  }
 }

@@ -279,6 +279,33 @@ class ExtrasSpec extends SparkSpec {
     assert(ac == 0L && jacAc == 0.0)
   }
 
+  test("frequentPairs: support/confidence/lift closed form + basket cap") {
+    import spark.implicits._
+    // 4 baskets: {a,b,c}, {a,b}, {a,c}, {d}; duplicates collapse
+    val rows = Seq((1L, "a"), (1L, "b"), (1L, "c"), (1L, "a"),
+      (2L, "a"), (2L, "b"), (3L, "a"), (3L, "c"), (4L, "d"))
+    val got = graft.ml.Associations
+      .frequentPairs(rows.toDF("b", "i"), "b", "i", minSupport = 2L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6), r.getDouble(7), r.getDouble(8)))).toMap
+    // pairs >= 2: (a,b) in baskets 1,2; (a,c) in 1,3; (b,c) only 1
+    assert(got.keySet == Set(("a", "b"), ("a", "c")))
+    val (na, nb2, nab, sup, cab, cba, lift) = got(("a", "b"))
+    assert(na == 3L && nb2 == 2L && nab == 2L)
+    assert(sup == 2.0 / 4 && cab == 2.0 / 3 && cba == 1.0)
+    assert(math.abs(lift - 2.0 * 4 / (3 * 2)) < 1e-12)
+    // capping baskets at size 2 drops basket 1 before pairing
+    val capped = graft.ml.Associations
+      .frequentPairs(rows.toDF("b", "i"), "b", "i", minSupport = 1L,
+        maxBasketSize = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(capped == Set(("a", "b"), ("a", "c")))
+    intercept[IllegalArgumentException](graft.ml.Associations
+      .frequentPairs(rows.toDF("b", "i"), "b", "i", minSupport = 0L))
+  }
+
   test("spearman: monotone = 1, reversed = -1, midranks under ties") {
     import spark.implicits._
     val mono = Seq((1.0, 10.0), (2.0, 20.0), (3.0, 25.0), (4.0, 100.0))

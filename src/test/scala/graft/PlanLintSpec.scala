@@ -106,6 +106,10 @@ class PlanLintSpec extends SparkSpec {
       "1-row corpus-total aggregate broadcast onto the (stratum, word) counts"),
     "q_text_vocab_overlap" -> Map("cartesian" ->
       "strata × strata size grid — both sides dashboard-sized aggregates"),
+    "q_assoc_pairs" -> Map("cartesian" ->
+      "1-row basket-total aggregate broadcast onto the pair-count table"),
+    "q_events_rfm" -> Map("cartesian" ->
+      "1-row as-of + 1-row quantile-cut aggregates broadcast onto user rows"),
     // global windows: each of these is an ordered prefix sum over the
     // DISTINCT-VALUE table of a score/count column (the midrank /
     // count-of-counts kernel), never over the corpus — the one task
