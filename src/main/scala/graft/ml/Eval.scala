@@ -305,6 +305,50 @@ object Eval {
           1.0).as("cliffs_delta"))
   }
 
+  /** Brier score with the Murphy (1973) reliability/resolution/
+    * uncertainty decomposition over FROZEN score bins (explicit
+    * `cuts`, the [[Calibrate]] house convention — no data-dependent
+    * binning): brier = mean (p−y)², and over bins
+    * REL = Σ nₖ/n·(p̄ₖ−ȳₖ)² (calibration error, lower better),
+    * RES = Σ nₖ/n·(ȳₖ−ȳ)² (discrimination, higher better),
+    * UNC = ȳ(1−ȳ); binned forecasts satisfy
+    * brier_binned = REL − RES + UNC exactly. Returns one row
+    * (n, brier, reliability, resolution, uncertainty, brier_binned).
+    *
+    * Scale shape: one scan computes the raw Brier partials and the
+    * per-bin aggregate (bins = |cuts|+1, bounded); the global mean ȳ
+    * comes from the same bin table. No window, no second scan.
+    */
+  def brierDecomposition(df: DataFrame, scoreCol: String, labelCol: String,
+      cuts: Seq[Double]): DataFrame = {
+    require(cuts.nonEmpty && cuts == cuts.sorted && cuts.distinct == cuts,
+      s"cuts must be non-empty, sorted, distinct: $cuts")
+    val p = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("int")
+    val bin = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(p >= c, 1).otherwise(0)
+    }
+    val bins = graft.core.PipelineCaches.persistTracked(
+      df.select(p.as("p"), y.as("y"), bin.as("bin"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("nk"), avg("p").as("pk"), avg("y").as("yk"),
+          sum((p - y) * (p - y)).as("sq")))
+    val tot = bins.agg(sum("nk").as("n"),
+      (sum(col("yk") * col("nk")) / sum("nk")).as("ybar"),
+      (sum("sq") / sum("nk")).as("brier"))
+    bins.crossJoin(broadcast(tot))
+      .agg(max("n").as("n"), max("brier").as("brier"),
+        (sum(col("nk") * (col("pk") - col("yk")) * (col("pk") - col("yk")))
+          / max("n")).as("reliability"),
+        (sum(col("nk") * (col("yk") - col("ybar")) *
+          (col("yk") - col("ybar"))) / max("n")).as("resolution"),
+        max(col("ybar") * (lit(1.0) - col("ybar"))).as("uncertainty"))
+      .select(col("n"), col("brier"), col("reliability"), col("resolution"),
+        col("uncertainty"),
+        (col("reliability") - col("resolution") + col("uncertainty"))
+          .as("brier_binned"))
+  }
+
   /** Pearson chi-squared test of independence over two categorical
     * columns, plus Cramér's V effect size: X² = Σ (o−e)²/e with
     * e = row·col/n over the contingency cells,

@@ -383,6 +383,70 @@ object Profile {
       .agg(sum("psi_term").as("psi"), sum("kl_term").as("kl"),
         sum("tv_term").as("tvd"))
 
+  /** Gini concentration of a non-negative value column — "what share
+    * of the corpus mass do the biggest holders own": 0 = perfectly
+    * even, → 1 = one row owns everything. The one-number read behind
+    * "is my corpus dominated by a handful of giant documents" (run it
+    * on per-doc token counts) or revenue concentration. Uses the
+    * grouped closed form over DISTINCT values v with multiplicity c:
+    * Σᵢ i·xᵢ = Σ_v v·(c·before + c(c+1)/2), G = 2Σᵢi·xᵢ/(n·Σx) −
+    * (n+1)/n. Returns one row (n, total, gini); NULL gini when the
+    * total is 0.
+    *
+    * Scale shape: the ranking window runs over the DISTINCT-value
+    * table (the [[graft.ml.Eval.rocAuc]] kernel — for counts/prices
+    * that is bounded; quantize first for truly continuous values),
+    * never over the rows.
+    */
+  def giniConcentration(df: DataFrame, valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val v = col(valCol).cast("double")
+    val byV = df.select(v.as("v")).filter(col("v") >= 0)
+      .groupBy("v").agg(count(lit(1)).as("c"))
+    val before = coalesce(sum("c").over(W.orderBy("v")
+      .rowsBetween(W.unboundedPreceding, -1)), lit(0L))
+    byV
+      .withColumn("ranksum",
+        col("v") * (col("c") * before + col("c") * (col("c") + 1) / 2.0))
+      .agg(sum("c").as("n"), sum(col("v") * col("c")).as("total"),
+        sum("ranksum").as("rs"))
+      .select(col("n"), col("total"),
+        when(col("total") > 0.0,
+          lit(2.0) * col("rs") / (col("n") * col("total")) -
+            (col("n") + 1).cast("double") / col("n")).as("gini"))
+  }
+
+  /** Benford first-digit deviation of a positive numeric column —
+    * the classic fabricated-data / unit-mix smell test: observed
+    * first-significant-digit shares vs Benford's log₁₀(1+1/d), with
+    * the chi-squared distance as the headline number. The first digit
+    * comes from STRING form of floor(v) (exact for values ≥ 1 —
+    * engine-independent, no log10 edge cases); rows with v < 1 are
+    * excluded. Returns 9 rows (digit, n, observed, expected) plus the
+    * per-digit chi-squared term; sum the terms for the statistic.
+    *
+    * Scale shape: one scan → 9-row aggregate.
+    */
+  def benford(df: DataFrame, valCol: String): DataFrame = {
+    val digit = substring(floor(col("v")).cast("long").cast("string"), 1, 1)
+      .cast("int")
+    val counts = df.select(col(valCol).cast("double").as("v"))
+      .filter(col("v") >= 1.0)
+      .select(digit.as("digit")).groupBy("digit")
+      .agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum("n").as("nt"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        (col("n").cast("double") / col("nt")).as("observed"),
+        (log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)))
+          .as("expected"),
+        col("nt"))
+      .select(col("digit"), col("n"), col("observed"), col("expected"),
+        ((col("observed") - col("expected")) *
+          (col("observed") - col("expected")) / col("expected") *
+          col("nt")).as("chi2_term"))
+  }
+
   /** Spearman rank correlation of two numeric columns with midrank
     * tie handling — Pearson correlation of the average ranks, the
     * monotone-association number that survives heavy tails and

@@ -125,6 +125,65 @@ object EvalQueries extends QueryGroup {
         .orderBy("query")
     },
 
+    // Brier score + Murphy decomposition of the heuristic quality
+    // score against the is-English label over the frozen
+    // {0.6, 0.8, 0.9} bins (the q_text_reliability setup): REL − RES
+    // + UNC must reproduce the binned Brier exactly.
+    q("q_eval_brier",
+      """WITH sc AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |   (CASE WHEN len(string_split_regex(trim(text), '\s+')) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.3 END * 0.3
+        |    + CASE WHEN list_aggregate(list_transform(string_split_regex(trim(text), '\s+'), w -> strlen(w)), 'sum') * 1.0::DOUBLE
+        |        / len(string_split_regex(trim(text), '\s+')) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.4 END * 0.2
+        |    + CASE WHEN len(list_filter(string_split_regex(lower(text), '\s+'),
+        |        w -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this'], w)))
+        |        * 1.0::DOUBLE / len(string_split_regex(trim(text), '\s+')) > 0.05 THEN 1.0 ELSE 0.6 END * 0.3
+        |    + CASE WHEN len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) * 1.0::DOUBLE / strlen(text) < 0.2 THEN 1.0 ELSE 0.5 END * 0.2
+        |   )::DOUBLE AS p
+        |  FROM documents
+        |), b AS (
+        |  SELECT p, y,
+        |    (CASE WHEN p >= 0.6 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN p >= 0.8 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN p >= 0.9 THEN 1 ELSE 0 END) AS bin
+        |  FROM sc
+        |), bins AS (
+        |  SELECT bin, count(*)::BIGINT AS nk, avg(p) AS pk, avg(y) AS yk,
+        |    sum((p - y) * (p - y)) AS sq
+        |  FROM b GROUP BY 1
+        |), tot AS (
+        |  SELECT sum(nk)::BIGINT AS n, sum(yk * nk) / sum(nk) AS ybar,
+        |    sum(sq) / sum(nk) AS brier
+        |  FROM bins
+        |), agg AS (
+        |  SELECT max(n) AS n, max(brier) AS brier,
+        |    sum(nk * (pk - yk) * (pk - yk)) / max(n) AS reliability,
+        |    sum(nk * (yk - ybar) * (yk - ybar)) / max(n) AS resolution,
+        |    max(ybar * (1.0 - ybar)) AS uncertainty
+        |  FROM bins, tot
+        |)
+        |SELECT n, round(brier, 6) AS brier,
+        |  round(reliability, 6) AS reliability,
+        |  round(resolution, 6) AS resolution,
+        |  round(uncertainty, 6) AS uncertainty,
+        |  round(reliability - resolution + uncertainty, 6) AS brier_binned
+        |FROM agg""".stripMargin) { (s, dir) =>
+      val scored = t(s, dir, "documents")
+        .withColumn("toks", TA.tokens(col("text")))
+        .select(
+          TA.qualityFromComponents(size(col("toks")),
+            TA.meanWordLengthOf(col("toks")),
+            TA.stopwordRatioOf(col("toks")),
+            TA.punctRatio(col("text"))).as("p"),
+          when(col("lang") === "en", 1).otherwise(0).as("y"))
+      Eval.brierDecomposition(scored, "p", "y", Seq(0.6, 0.8, 0.9))
+        .select(col("n"), round(col("brier"), 6).as("brier"),
+          round(col("reliability"), 6).as("reliability"),
+          round(col("resolution"), 6).as("resolution"),
+          round(col("uncertainty"), 6).as("uncertainty"),
+          round(col("brier_binned"), 6).as("brier_binned"))
+    },
+
     // quadratic-weighted kappa over ordinal 0/1/2 size levels: the
     // same two raters as q_eval_kappa but disagreement discounted by
     // squared level distance.

@@ -232,6 +232,62 @@ object ExtrasQueries extends QueryGroup {
         .select(col("n"), round(col("rho"), 6).as("rho"))
     },
 
+    // Gini concentration of per-document token counts: is the corpus
+    // mass owned by a few giant docs. Grouped closed form over the
+    // distinct-count table.
+    q("q_profile_gini",
+      """WITH d AS (
+        |  SELECT (CASE WHEN strlen(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END)::DOUBLE AS v
+        |  FROM documents
+        |), g AS (
+        |  SELECT v, count(*)::BIGINT AS c FROM d WHERE v >= 0 GROUP BY 1
+        |), r AS (
+        |  SELECT v, c,
+        |    coalesce(sum(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |  FROM g
+        |), agg AS (
+        |  SELECT sum(c)::BIGINT AS n, sum(v * c) AS total,
+        |    sum(v * (c * before + c * (c + 1) / 2.0)) AS rs
+        |  FROM r
+        |)
+        |SELECT n, round(total, 6) AS total,
+        |  round(2.0 * rs / (n * total) - (n + 1)::DOUBLE / n, 6) AS gini
+        |FROM agg""".stripMargin) { (s, dir) =>
+      graft.ml.Profile.giniConcentration(
+          t(s, dir, "documents")
+            .select(graft.ml.TextAnalysis.tokenCount(col("text")).as("v")),
+          "v")
+        .select(col("n"), round(col("total"), 6).as("total"),
+          round(col("gini"), 6).as("gini"))
+    },
+
+    // Benford first-digit profile of extended prices: observed vs
+    // log10(1+1/d) shares + per-digit chi-squared terms. First digit
+    // from the STRING form of floor(v) — no log10 edge cases.
+    q("q_profile_benford",
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM lineitem WHERE l_extendedprice >= 1.0
+        |), c AS (
+        |  SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY 1
+        |), t AS (SELECT sum(n)::BIGINT AS nt FROM c)
+        |SELECT digit, n,
+        |  round(n::DOUBLE / nt, 6) AS observed,
+        |  round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS expected,
+        |  round((n::DOUBLE / nt - ln(1.0 + 1.0 / digit) / ln(10.0))
+        |    * (n::DOUBLE / nt - ln(1.0 + 1.0 / digit) / ln(10.0))
+        |    / (ln(1.0 + 1.0 / digit) / ln(10.0)) * nt, 6) AS chi2_term
+        |FROM c, t ORDER BY digit""".stripMargin) { (s, dir) =>
+      graft.ml.Profile.benford(t(s, dir, "lineitem"), "l_extendedprice")
+        .select(col("digit"), col("n"), round(col("observed"), 6).as("observed"),
+          round(col("expected"), 6).as("expected"),
+          round(col("chi2_term"), 6).as("chi2_term"))
+        .orderBy("digit")
+    },
+
     // market-basket association pairs over co-purchased parts:
     // support/confidence/lift of part pairs sharing >= 3 orders.
     // Pair generation is basket-keyed (quadratic only within an

@@ -243,6 +243,37 @@ class EvalSpec extends SparkSpec {
     assert(degen.getDouble(4) == 0.0 && degen.isNullAt(5))
   }
 
+  test("brierDecomposition: Murphy identity and closed-form values") {
+    import spark.implicits._
+    // two bins via cut at 0.5: low bin p={0.2,0.4}, y={0,1};
+    // high bin p={0.7,0.9}, y={1,1}
+    val rows = Seq((0.2, 0), (0.4, 1), (0.7, 1), (0.9, 1))
+    val got = graft.ml.Eval.brierDecomposition(
+      rows.toDF("p", "y"), "p", "y", Seq(0.5)).head()
+    val brier = rows.map { case (p, y) => (p - y) * (p - y) }.sum / 4
+    val (pk0, yk0) = (0.3, 0.5)
+    val (pk1, yk1) = (0.8, 1.0)
+    val ybar = 0.75
+    val rel = (2 * (pk0 - yk0) * (pk0 - yk0) +
+      2 * (pk1 - yk1) * (pk1 - yk1)) / 4
+    val res = (2 * (yk0 - ybar) * (yk0 - ybar) +
+      2 * (yk1 - ybar) * (yk1 - ybar)) / 4
+    val unc = ybar * (1 - ybar)
+    assert(got.getLong(0) == 4L)
+    assert(math.abs(got.getDouble(1) - brier) < 1e-12)
+    assert(math.abs(got.getDouble(2) - rel) < 1e-12)
+    assert(math.abs(got.getDouble(3) - res) < 1e-12)
+    assert(math.abs(got.getDouble(4) - unc) < 1e-12)
+    // Murphy identity: binned Brier = REL - RES + UNC, and it equals
+    // the Brier of the BINNED forecasts
+    val binnedBrier = (2 * ((pk0 - 0) * (pk0 - 0) + (pk0 - 1) * (pk0 - 1)) / 2
+      + 2 * (pk1 - 1) * (pk1 - 1)) / 4
+    assert(math.abs(got.getDouble(5) - (rel - res + unc)) < 1e-12)
+    assert(math.abs(got.getDouble(5) - binnedBrier) < 1e-12)
+    intercept[IllegalArgumentException](graft.ml.Eval.brierDecomposition(
+      rows.toDF("p", "y"), "p", "y", Seq(0.8, 0.5)))
+  }
+
   test("cohenKappa matches the textbook 2x2 example") {
     import spark.implicits._
     // classic example: 45 yes/yes, 15 yes/no, 25 no/yes, 15 no/no

@@ -279,6 +279,45 @@ class ExtrasSpec extends SparkSpec {
     assert(ac == 0L && jacAc == 0.0)
   }
 
+  test("giniConcentration: uniform = 0, one-owner -> (n-1)/n, ties exact") {
+    import spark.implicits._
+    val even = Seq(5.0, 5.0, 5.0, 5.0).toDF("v")
+    assert(math.abs(graft.ml.Profile.giniConcentration(even, "v")
+      .head().getDouble(2)) < 1e-12)
+    // one owner of everything: G = (n-1)/n
+    val one = Seq(0.0, 0.0, 0.0, 12.0).toDF("v")
+    val g1 = graft.ml.Profile.giniConcentration(one, "v").head()
+    assert(g1.getLong(0) == 4L && g1.getDouble(1) == 12.0)
+    assert(math.abs(g1.getDouble(2) - 0.75) < 1e-12)
+    // brute force on a mixed multiset (sorted-rank formula)
+    val vs = Seq(1.0, 2.0, 2.0, 7.0)
+    val sorted = vs.sorted
+    val n = vs.size
+    val brute = 2.0 * sorted.zipWithIndex.map {
+      case (x, i) => (i + 1) * x }.sum / (n * vs.sum) - (n + 1.0) / n
+    val g2 = graft.ml.Profile.giniConcentration(vs.toDF("v"), "v")
+      .head().getDouble(2)
+    assert(math.abs(g2 - brute) < 1e-12, s"$g2 vs $brute")
+    // all-zero mass -> NULL
+    assert(graft.ml.Profile.giniConcentration(
+      Seq(0.0, 0.0).toDF("v"), "v").head().isNullAt(2))
+  }
+
+  test("benford: digit extraction, shares, sub-1 exclusion") {
+    import spark.implicits._
+    val vs = Seq(1.5, 19.0, 123.0, 2.0, 29.9, 9.01, 0.5).toDF("v")
+    val got = graft.ml.Profile.benford(vs, "v").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    // 0.5 excluded; digits: 1,1,1,2,2,9 over 6 rows
+    assert(got.keySet == Set(1, 2, 9))
+    assert(got(1)._1 == 3L && got(2)._1 == 2L && got(9)._1 == 1L)
+    assert(math.abs(got(1)._2 - 0.5) < 1e-12)
+    val e1 = math.log(2.0) / math.log(10.0)
+    assert(math.abs(got(1)._3 - e1) < 1e-12)
+    assert(math.abs(got(1)._4 - (0.5 - e1) * (0.5 - e1) / e1 * 6) < 1e-12)
+  }
+
   test("frequentPairs: support/confidence/lift closed form + basket cap") {
     import spark.implicits._
     // 4 baskets: {a,b,c}, {a,b}, {a,c}, {d}; duplicates collapse

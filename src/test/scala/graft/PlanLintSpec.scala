@@ -108,6 +108,10 @@ class PlanLintSpec extends SparkSpec {
       "strata × strata size grid — both sides dashboard-sized aggregates"),
     "q_assoc_pairs" -> Map("cartesian" ->
       "1-row basket-total aggregate broadcast onto the pair-count table"),
+    "q_eval_brier" -> Map("cartesian" ->
+      "1-row global-mean aggregate broadcast onto the |cuts|+1-row bin table"),
+    "q_profile_benford" -> Map("cartesian" ->
+      "1-row total aggregate broadcast onto the 9-row digit table"),
     "q_events_rfm" -> Map("cartesian" ->
       "1-row as-of + 1-row quantile-cut aggregates broadcast onto user rows"),
     // global windows: each of these is an ordered prefix sum over the
@@ -125,7 +129,9 @@ class PlanLintSpec extends SparkSpec {
     "q_profile_spearman" -> Map("global-window" ->
       "midrank running sums over the two distinct-value tables"),
     "q_text_zipf" -> Map("global-window" ->
-      "frequency ranking over the vocabulary table"))
+      "frequency ranking over the vocabulary table"),
+    "q_profile_gini" -> Map("global-window" ->
+      "grouped-Gini running sum over the distinct-value table"))
 
   test("every cartesian/global-window in any gate plan is whitelisted") {
     val dir = sf("sf0.001")
