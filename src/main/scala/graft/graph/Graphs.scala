@@ -473,6 +473,55 @@ object Graphs {
       .select(col("node"), col("a").as("authority"), col("h").as("hub"))
   }
 
+  /** Newman–Girvan modularity of a node partition:
+    * Q = Σ_c (e_c/m − (d_c/2m)²) where e_c = intra-community edges,
+    * d_c = total degree held by community c, m = |edges| — the
+    * objective every community-detection method optimizes, exposed as
+    * the EVALUATION half so any partition (label propagation,
+    * components, a hand-made segment key) can be scored. Q ≈ 0 means
+    * the partition explains no more structure than a random graph
+    * with the same degrees; dense well-separated communities push Q
+    * toward 1. `assignment` is (node, community); unassigned
+    * endpoints are treated as their own singleton (node-id-keyed)
+    * community. Returns one row (n_edges, n_communities, modularity).
+    *
+    * Scale shape: canonicalize + two node-keyed joins to attach
+    * endpoint communities, then one per-community aggregate
+    * (e_c, d_c) and a final sum — all O(m) shuffles, the community
+    * table never crosses itself.
+    */
+  def modularity(edges: DataFrame, assignment: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst",
+      nodeCol: String = "node", communityCol: String = "community")
+      : DataFrame = {
+    val e = canonicalEdges(edges, srcCol, dstCol)
+    val asg = assignment.select(col(nodeCol).cast("long").as("n"),
+      col(communityCol).cast("long").as("c"))
+    val tagged = e
+      .join(asg.select(col("n").as("u"), col("c").as("cu")), Seq("u"), "left")
+      .join(asg.select(col("n").as("v"), col("c").as("cv")), Seq("v"), "left")
+      // singleton fallback: an unassigned node is its own community,
+      // keyed negatively so it can't collide with real community ids
+      .select(coalesce(col("cu"), -col("u") - 1).as("cu"),
+        coalesce(col("cv"), -col("v") - 1).as("cv"))
+    val perC = graft.core.PipelineCaches.persistTracked(
+      tagged.select(explode(array(col("cu"), col("cv"))).as("c"),
+          (col("cu") === col("cv")).cast("int").as("intra"))
+        .groupBy("c")
+        // each edge contributes 1 degree to both endpoints' communities;
+        // an intra edge is seen twice here, so halve its count
+        .agg(count(lit(1)).as("dc"), (sum("intra") / 2).as("ec")))
+    perC
+      .agg((sum("dc") / 2).cast("long").as("n_edges"),
+        count(lit(1)).as("n_communities"),
+        sum("dc").as("two_m"), sum("ec").as("ec_tot"),
+        sum(col("dc").cast("double") * col("dc")).as("dc_sq"))
+      .select(col("n_edges"), col("n_communities"),
+        (col("ec_tot").cast("double") / col("n_edges") -
+          col("dc_sq") / (col("two_m").cast("double") * col("two_m")))
+          .as("modularity"))
+  }
+
   /** Degree assortativity coefficient (Newman 2002): the Pearson
     * correlation of endpoint degrees over every edge, each undirected
     * edge contributing both orientations so the statistic is

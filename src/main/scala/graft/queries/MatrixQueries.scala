@@ -450,6 +450,50 @@ object MatrixQueries extends QueryGroup {
       graft.graph.Graphs.degreeAssortativity(edges)
         .select(col("n_edges"),
           round(col("assortativity"), 6).as("assortativity"))
+    },
+
+    // Newman-Girvan modularity of a deterministic 7-way partition of
+    // the co-purchase graph (community = part % 7): the evaluation
+    // half of community detection, scored without any iterative
+    // assignment so the oracle replays it exactly.
+    q("q_graph_modularity",
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |), e AS (
+        |  SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+        |), tagged AS (
+        |  SELECT u % 7 AS cu, v % 7 AS cv FROM e
+        |), x AS (
+        |  SELECT cu AS c, (CASE WHEN cu = cv THEN 1 ELSE 0 END) AS intra
+        |  FROM tagged
+        |  UNION ALL
+        |  SELECT cv, (CASE WHEN cu = cv THEN 1 ELSE 0 END) FROM tagged
+        |), perc AS (
+        |  SELECT c, count(*)::BIGINT AS dc, sum(intra) / 2 AS ec
+        |  FROM x GROUP BY c
+        |), agg AS (
+        |  SELECT CAST(sum(dc) / 2 AS BIGINT) AS n_edges,
+        |    count(*)::BIGINT AS n_communities,
+        |    sum(dc)::BIGINT AS two_m, sum(ec) AS ec_tot,
+        |    sum(dc::DOUBLE * dc) AS dc_sq
+        |  FROM perc
+        |)
+        |SELECT n_edges, n_communities,
+        |  round(ec_tot::DOUBLE / n_edges
+        |    - dc_sq / (two_m::DOUBLE * two_m), 6) AS modularity
+        |FROM agg""".stripMargin) { (s, dir) =>
+      val items = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = items.alias("a").join(items.alias("b"), Seq("o"))
+        .filter(col("a.p") < col("b.p"))
+        .select(col("a.p").as("src"), col("b.p").as("dst"))
+      val nodes = items.select(col("p").as("node")).distinct()
+        .withColumn("community", col("node") % 7)
+      graft.graph.Graphs.modularity(edges, nodes)
+        .select(col("n_edges"), col("n_communities"),
+          round(col("modularity"), 6).as("modularity"))
     }
   )
 

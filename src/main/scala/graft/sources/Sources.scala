@@ -105,6 +105,16 @@ final case class ParquetSource(path: String) extends Source {
     df.write.mode(mode).parquet(path)
 }
 
+/** ORC columnar source — the second native columnar format Spark
+  * ships (predicate pushdown + column pruning like parquet), for
+  * interop with Hive-era warehouses where ORC is the table format.
+  */
+final case class OrcSource(path: String) extends Source {
+  def read(spark: SparkSession): DataFrame = spark.read.orc(path)
+  def write(df: DataFrame, mode: SaveMode): Unit =
+    df.write.mode(mode).orc(path)
+}
+
 /** Submitter-side in-memory source (IterableSource,
   * IterableSource.scala:44-84).
   */

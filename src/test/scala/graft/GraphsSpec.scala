@@ -290,6 +290,29 @@ class GraphsSpec extends SparkSpec {
       "separate components must never share a community")
   }
 
+  test("modularity: planted communities, trivial partition, singleton fallback") {
+    import spark.implicits._
+    // two disjoint triangles, perfectly partitioned: m = 6,
+    // per community e_c = 3, d_c = 6 -> Q = 2*(3/6 - (6/12)^2) = 0.5
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L)).toDF("src", "dst")
+    val good = Seq((1L, 10L), (2L, 10L), (3L, 10L),
+      (4L, 20L), (5L, 20L), (6L, 20L)).toDF("node", "community")
+    val g = Graphs.modularity(edges, good).head()
+    assert(g.getLong(0) == 6L && g.getLong(1) == 2L)
+    assert(math.abs(g.getDouble(2) - 0.5) < 1e-12)
+    // everything in one community: Q = 1 - 1 = 0
+    val one = (1L to 6L).map(n => (n, 0L)).toDF("node", "community")
+    assert(math.abs(Graphs.modularity(edges, one).head().getDouble(2))
+      < 1e-12)
+    // empty assignment -> every node a singleton: e_c = 0,
+    // Q = -sum(d_c^2)/(2m)^2 = -6*4/144 = -1/6
+    val s0 = Graphs.modularity(edges,
+      Seq.empty[(Long, Long)].toDF("node", "community")).head()
+    assert(s0.getLong(1) == 6L)
+    assert(math.abs(s0.getDouble(2) - (-1.0 / 6)) < 1e-12)
+  }
+
   test("degreeAssortativity: star is -1, regular graph has no variance") {
     import spark.implicits._
     // star K1,4: every edge connects degree 4 to degree 1 -> r = -1

@@ -23,6 +23,26 @@ class SourcesSpec extends SparkSpec {
       Set((1, "a"), (2, "b")))
   }
 
+  test("Orc round trip preserves schema and pushes filters to the scan") {
+    import spark.implicits._
+    val dir = tmp() + "/o"
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5))
+      .toDF("id", "name", "score")
+    OrcSource(dir).write(df)
+    val back = OrcSource(dir).read(spark)
+    // files read back nullable; names and types must survive
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getDouble(2))).toSet ==
+      Set((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)))
+    // predicate pushdown reaches the ORC scan like parquet
+    val plan = back.filter(col("id") > 1L).queryExecution.executedPlan
+      .toString
+    assert(plan.contains("PushedFilters") && plan.contains("id"),
+      plan.take(500))
+  }
+
   test("JsonLine round trip") {
     import spark.implicits._
     val dir = tmp() + "/j"
