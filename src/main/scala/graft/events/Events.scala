@@ -1064,6 +1064,33 @@ object Events {
       .agg(min("sec").as("__ft"))
       .select(col("user_id"), (col("__ft") - col("__ff")).as("latency_sec"))
   }
+  /** Time-weighted average of a state-like value per key: each
+    * observation holds until the next one, so its weight is the gap
+    * to the successor — the right mean for prices, concurrency
+    * levels, queue depths, anything sampled at irregular times where
+    * a plain AVG over-counts bursts. The last observation carries no
+    * weight (its holding period is unobserved). Keys with a single
+    * observation (or all observations at one instant) return NULL.
+    * Returns (key, n_obs, span_sec, twa).
+    *
+    * Scale shape: one key-partitioned lead window + one aggregate —
+    * a single shuffle on the key.
+    */
+  def timeWeightedAverage(events: DataFrame, keyCol: String, secCol: String,
+      idCol: String, valCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col(secCol), col(idCol))
+    events
+      .withColumn("__next", lead(col(secCol), 1).over(w))
+      .withColumn("__w", (col("__next") - col(secCol)).cast("double"))
+      .groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_obs"),
+        (max(col(secCol)) - min(col(secCol))).as("span_sec"),
+        when(sum("__w") > 0.0,
+          sum(col(valCol).cast("double") * col("__w")) / sum("__w"))
+          .as("twa"))
+  }
+
   /** RFM segmentation: per-user Recency (seconds since the user's
     * last event, measured from the corpus's own max timestamp so the
     * result is replayable), Frequency (event count) and Monetary

@@ -416,6 +416,55 @@ object Profile {
             (col("n") + 1).cast("double") / col("n")).as("gini"))
   }
 
+  /** Top-fraction mass concentration: for each requested fraction f,
+    * the share of total column mass owned by the top ⌈f·n⌉ rows —
+    * "the top 1% of documents hold 31% of the tokens", the companion
+    * read to [[giniConcentration]] that names WHERE the skew lives.
+    * Partial tie groups at the cut count pro-rata (exact closed
+    * form, no sampling). Returns one row per fraction
+    * (frac, k_rows, mass, share); share NULL when total mass is 0.
+    *
+    * Scale shape: the same DISTINCT-value running-sum kernel as the
+    * Gini — the rows themselves are never globally sorted; the
+    * fraction grid joins the (vocab-sized) cumulative table on a
+    * range predicate against a literal array, evaluated per distinct
+    * value.
+    */
+  def massConcentration(df: DataFrame, valCol: String,
+      fracs: Seq[Double] = Seq(0.01, 0.1, 0.5)): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    require(fracs.nonEmpty && fracs.forall(f => f > 0 && f <= 1),
+      s"fracs must be in (0, 1]: $fracs")
+    val v = col(valCol).cast("double")
+    val byV = df.select(v.as("v")).filter(col("v") >= 0)
+      .groupBy("v").agg(count(lit(1)).as("c"))
+    // descending cumulative rows/mass BEFORE each value group
+    val wd = W.orderBy(col("v").desc)
+    val before = coalesce(sum("c").over(wd
+      .rowsBetween(W.unboundedPreceding, -1)), lit(0L))
+    val massBefore = coalesce(sum(col("v") * col("c")).over(wd
+      .rowsBetween(W.unboundedPreceding, -1)), lit(0.0))
+    val cum = graft.core.PipelineCaches.persistTracked(
+      byV.select(col("v"), col("c"), before.as("rows_before"),
+        massBefore.as("mass_before")))
+    val tot = cum.agg(sum("c").as("n"),
+      sum(col("v") * col("c")).as("total"))
+    val fr = df.sparkSession.range(1)
+      .select(explode(lit(fracs.toArray)).as("frac"))
+    val grid = cum.crossJoin(broadcast(tot)).crossJoin(broadcast(fr))
+    // k = ceil(f·n); the group holding row k contributes pro-rata
+    val k = ceil(col("frac") * col("n"))
+    grid
+      .filter(col("rows_before") < k &&
+        k <= col("rows_before") + col("c"))
+      .select(col("frac"), k.cast("long").as("k_rows"),
+        (col("mass_before") +
+          col("v") * (k - col("rows_before"))).as("mass"),
+        col("total"))
+      .select(col("frac"), col("k_rows"), col("mass"),
+        when(col("total") > 0.0, col("mass") / col("total")).as("share"))
+  }
+
   /** Benford first-digit deviation of a positive numeric column —
     * the classic fabricated-data / unit-mix smell test: observed
     * first-significant-digit shares vs Benford's log₁₀(1+1/d), with

@@ -1060,6 +1060,35 @@ object EventQueries extends QueryGroup {
         .orderBy("event_type")
     },
 
+    // time-weighted average value per user: each observation holds
+    // until the next one, the last carries no weight — the right mean
+    // for irregularly-sampled state metrics.
+    q("q_events_twa",
+      """WITH e AS (
+        |  SELECT user_id, event_id, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events
+        |), w AS (
+        |  SELECT user_id, value, sec,
+        |    lead(sec) OVER (PARTITION BY user_id
+        |      ORDER BY sec, event_id) AS nxt
+        |  FROM e
+        |)
+        |SELECT user_id AS key, count(*)::BIGINT AS n_obs,
+        |  (max(sec) - min(sec))::BIGINT AS span_sec,
+        |  round(CASE WHEN sum((nxt - sec)::DOUBLE) > 0
+        |    THEN sum(value * (nxt - sec)::DOUBLE)
+        |      / sum((nxt - sec)::DOUBLE) END, 6) AS twa
+        |FROM w GROUP BY 1 ORDER BY key""".stripMargin) { (s, dir) =>
+      val raw = t(s, dir, "events")
+      graft.events.Events.timeWeightedAverage(
+          raw.withColumn("sec", Ts.seconds(raw)),
+          "user_id", "sec", "event_id", "value")
+        .select(col("key"), col("n_obs"), col("span_sec"),
+          round(col("twa"), 6).as("twa"))
+        .orderBy("key")
+    },
+
     // RFM segmentation: per-user recency/frequency/monetary, each
     // bucketed 1-5 against the exact interpolated quintile cuts of
     // the user-level distribution (recency inverted: most recent = 5).

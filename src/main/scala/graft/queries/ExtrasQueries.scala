@@ -263,6 +263,47 @@ object ExtrasQueries extends QueryGroup {
           round(col("gini"), 6).as("gini"))
     },
 
+    // top-fraction mass concentration of per-doc token counts: the
+    // share of corpus tokens owned by the top 1%/10%/50% of docs,
+    // tie groups at the cut counted pro-rata.
+    q("q_profile_mass",
+      """WITH d AS (
+        |  SELECT (CASE WHEN strlen(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END)::DOUBLE AS v
+        |  FROM documents
+        |), g AS (
+        |  SELECT v, count(*)::BIGINT AS c FROM d WHERE v >= 0 GROUP BY 1
+        |), r AS (
+        |  SELECT v, c,
+        |    coalesce(sum(c) OVER (ORDER BY v DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS rows_before,
+        |    coalesce(sum(v * c) OVER (ORDER BY v DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+        |      AS mass_before
+        |  FROM g
+        |), t AS (
+        |  SELECT sum(c)::BIGINT AS n, sum(v * c) AS total FROM g
+        |), f AS (
+        |  SELECT unnest([0.01::DOUBLE, 0.1::DOUBLE, 0.5::DOUBLE]) AS frac
+        |)
+        |SELECT frac, CAST(ceil(frac * n) AS BIGINT) AS k_rows,
+        |  round(mass_before + v * (ceil(frac * n) - rows_before), 6) AS mass,
+        |  round((mass_before + v * (ceil(frac * n) - rows_before)) / total, 6)
+        |    AS share
+        |FROM r, t, f
+        |WHERE rows_before < ceil(frac * n)
+        |  AND ceil(frac * n) <= rows_before + c
+        |ORDER BY frac""".stripMargin) { (s, dir) =>
+      graft.ml.Profile.massConcentration(
+          t(s, dir, "documents")
+            .select(graft.ml.TextAnalysis.tokenCount(col("text")).as("v")),
+          "v", Seq(0.01, 0.1, 0.5))
+        .select(col("frac"), col("k_rows"), round(col("mass"), 6).as("mass"),
+          round(col("share"), 6).as("share"))
+        .orderBy("frac")
+    },
+
     // Benford first-digit profile of extended prices: observed vs
     // log10(1+1/d) shares + per-digit chi-squared terms. First digit
     // from the STRING form of floor(v) — no log10 edge cases.

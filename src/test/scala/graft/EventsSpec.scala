@@ -510,6 +510,24 @@ class EventsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("c_post") - 7.0) < 1e-12)
   }
 
+  test("timeWeightedAverage: gap weights, last obs unweighted, NULL cases") {
+    import spark.implicits._
+    // user 1: v=10 held 2s, v=20 held 8s, v=99 unweighted
+    // TWA = (10*2 + 20*8)/10 = 18
+    val ev = Seq(
+      (1L, 0L, 1L, 10.0), (1L, 2L, 2L, 20.0), (1L, 10L, 3L, 99.0),
+      (2L, 5L, 4L, 7.0),                       // single obs -> NULL
+      (3L, 1L, 5L, 1.0), (3L, 1L, 6L, 3.0)     // zero span -> NULL
+    ).toDF("user_id", "sec", "event_id", "value")
+    val got = graft.events.Events.timeWeightedAverage(ev, "user_id",
+        "sec", "event_id", "value")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(1) == 3L && got(1L).getLong(2) == 10L)
+    assert(math.abs(got(1L).getDouble(3) - 18.0) < 1e-12)
+    assert(got(2L).isNullAt(3) && got(2L).getLong(2) == 0L)
+    assert(got(3L).isNullAt(3), "zero-duration weights must not divide")
+  }
+
   test("rfm: quintile scores, recency inverted, exact cut arithmetic") {
     import spark.implicits._
     // 5 users with strictly increasing f/m and decreasing recency;

@@ -279,6 +279,24 @@ class ExtrasSpec extends SparkSpec {
     assert(ac == 0L && jacAc == 0.0)
   }
 
+  test("massConcentration: pro-rata tie groups, exact top-f shares") {
+    import spark.implicits._
+    // 10 rows: one giant (91), nine of 1 -> total 100
+    val vs = (Seq(91.0) ++ Seq.fill(9)(1.0)).toDF("v")
+    val got = graft.ml.Profile.massConcentration(vs, "v",
+        Seq(0.1, 0.2, 0.5, 1.0))
+      .collect().map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // top 10% = 1 row = the giant: share 0.91
+    assert(got(0.1) == ((1L, 91.0, 0.91)))
+    // top 20% = 2 rows: 91 + 1 (pro-rata 1 of the 9-tie group)
+    assert(got(0.2) == ((2L, 92.0, 0.92)))
+    assert(got(0.5) == ((5L, 95.0, 0.95)))
+    assert(got(1.0) == ((10L, 100.0, 1.0)))
+    intercept[IllegalArgumentException](
+      graft.ml.Profile.massConcentration(vs, "v", Seq(0.0)))
+  }
+
   test("giniConcentration: uniform = 0, one-owner -> (n-1)/n, ties exact") {
     import spark.implicits._
     val even = Seq(5.0, 5.0, 5.0, 5.0).toDF("v")
