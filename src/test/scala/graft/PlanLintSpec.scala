@@ -131,7 +131,12 @@ class PlanLintSpec extends SparkSpec {
     "q_text_zipf" -> Map("global-window" ->
       "frequency ranking over the vocabulary table"),
     "q_profile_gini" -> Map("global-window" ->
-      "grouped-Gini running sum over the distinct-value table"))
+      "grouped-Gini running sum over the distinct-value table"),
+    "q_profile_mass" -> Map(
+      "global-window" ->
+        "descending cumulative sums over the distinct-value table",
+      "cartesian" ->
+        "1-row total + literal fraction grid broadcast onto the cumulative table"))
 
   test("every cartesian/global-window in any gate plan is whitelisted") {
     val dir = sf("sf0.001")
