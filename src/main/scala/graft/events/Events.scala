@@ -1064,6 +1064,33 @@ object Events {
       .agg(min("sec").as("__ft"))
       .select(col("user_id"), (col("__ft") - col("__ff")).as("latency_sec"))
   }
+  /** Interval concurrency sweep: given [start, end) intervals
+    * (sessions, jobs, connections), the number active at every
+    * boundary instant — the load curve behind "peak concurrent
+    * sessions" capacity questions. Classic sweep-line: +1 at each
+    * start, −1 at each (exclusive) end, prefix-summed over the
+    * DISTINCT boundary timestamps. Returns (sec, delta, active)
+    * ordered by time; `active` holds from `sec` until the next
+    * boundary.
+    *
+    * Scale shape: one hash aggregate collapses the sweep to distinct
+    * boundary seconds, then the running sum runs over that bounded
+    * table (the time range in seconds, not the event count) — the
+    * rocAuc distinct-value kernel again.
+    */
+  def concurrency(events: DataFrame, startCol: String,
+      endCol: String): DataFrame = {
+    val deltas = events
+      .select(col(startCol).cast("long").as("sec"), lit(1L).as("d"))
+      .unionAll(events
+        .select(col(endCol).cast("long").as("sec"), lit(-1L).as("d")))
+      .groupBy("sec").agg(sum("d").as("delta"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("sec")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    deltas.select(col("sec"), col("delta"),
+      sum("delta").over(w).as("active"))
+  }
+
   /** Time-weighted average of a state-like value per key: each
     * observation holds until the next one, so its weight is the gap
     * to the successor — the right mean for prices, concurrency

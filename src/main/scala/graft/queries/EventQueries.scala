@@ -1060,6 +1060,33 @@ object EventQueries extends QueryGroup {
         .orderBy("event_type")
     },
 
+    // interval concurrency sweep: each event holds for ceil(value)
+    // seconds; the sweep reports the active count at every boundary.
+    q("q_events_concurrency",
+      """WITH e AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS s,
+        |    CAST(floor(epoch(ts)) AS BIGINT)
+        |      + CAST(ceil(value) AS BIGINT) AS en
+        |  FROM events
+        |), d AS (
+        |  SELECT s AS sec, 1::BIGINT AS d FROM e
+        |  UNION ALL
+        |  SELECT en, -1::BIGINT FROM e
+        |), g AS (
+        |  SELECT sec, sum(d)::BIGINT AS delta FROM d GROUP BY sec
+        |)
+        |SELECT sec, delta,
+        |  sum(delta) OVER (ORDER BY sec
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |    AS active
+        |FROM g ORDER BY sec""".stripMargin) { (s, dir) =>
+      val raw = t(s, dir, "events")
+      val iv = raw.select(Ts.seconds(raw).as("s"),
+        (Ts.seconds(raw) + ceil(col("value")).cast("long")).as("en"))
+      graft.events.Events.concurrency(iv, "s", "en")
+        .orderBy("sec")
+    },
+
     // time-weighted average value per user: each observation holds
     // until the next one, the last carries no weight — the right mean
     // for irregularly-sampled state metrics.

@@ -510,6 +510,22 @@ class EventsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("c_post") - 7.0) < 1e-12)
   }
 
+  test("concurrency: sweep-line active counts, exclusive ends, returns to 0") {
+    import spark.implicits._
+    // [0,10), [2,5), [5,7): at 2 -> 2 active; 5 ends one and starts
+    // one (net 0); everything closed by 10
+    val iv = Seq((0L, 10L), (2L, 5L), (5L, 7L)).toDF("s", "e")
+    val got = graft.events.Events.concurrency(iv, "s", "e")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got(0L) == ((1L, 1L)))
+    assert(got(2L) == ((1L, 2L)))
+    assert(got(5L) == ((0L, 2L)), "exclusive end + new start net to 0")
+    assert(got(7L) == ((-1L, 1L)))
+    assert(got(10L) == ((-1L, 0L)), "sweep must return to zero")
+    assert(got.size == 5)
+  }
+
   test("timeWeightedAverage: gap weights, last obs unweighted, NULL cases") {
     import spark.implicits._
     // user 1: v=10 held 2s, v=20 held 8s, v=99 unweighted

@@ -132,6 +132,8 @@ class PlanLintSpec extends SparkSpec {
       "frequency ranking over the vocabulary table"),
     "q_profile_gini" -> Map("global-window" ->
       "grouped-Gini running sum over the distinct-value table"),
+    "q_events_concurrency" -> Map("global-window" ->
+      "sweep prefix sum over the distinct boundary-second table"),
     "q_profile_mass" -> Map(
       "global-window" ->
         "descending cumulative sums over the distinct-value table",
