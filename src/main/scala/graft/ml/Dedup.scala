@@ -819,8 +819,10 @@ object Dedup {
     * phonetic code, which ANDs into the join).
     */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
-      maxDist: Int, extraBlockCols: Seq[String] = Nil): DataFrame = {
+      maxDist: Int, extraBlockCols: Seq[String] = Nil,
+      parallelism: Int = 64): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
     val sig = expr(
       s"""transform(sequence(0, 15), b ->
          |  size(filter(split(s, ''), c -> c != '' AND ascii(c) % 16 = b)))"""
@@ -830,15 +832,24 @@ object Dedup {
         extraBlockCols.map(col)): _*)
       .withColumn("len", length(col("s")))
       .withColumn("sig", sig)
+    // salt the length key: real name corpora concentrate on a few
+    // lengths (and synthetic ones on ONE), which would otherwise put
+    // the whole candidate space into a single join task. The probe
+    // side hashes onto `parallelism` salts, the (smaller, once-per-
+    // string) build side replicates across them — same pair set,
+    // `parallelism`-way concurrency on the hot length.
     val probe = base.select(
       (col("id").as("id1") +: col("s").as("s1") +: col("len").as("len1") +:
         col("sig").as("sig1") +: explode(sequence(col("len"),
           col("len") + maxDist)).as("lk") +:
         extraBlockCols.map(c => col(c).as(s"__b1_$c"))): _*)
+      .withColumn("__salt", pmod(hash(col("id1")), lit(parallelism)))
     val build = base.select(
       (col("id").as("id2") +: col("s").as("s2") +: col("len").as("len2") +:
         col("sig").as("sig2") +: col("len").as("lk") +:
         extraBlockCols.map(c => col(c).as(s"__b2_$c"))): _*)
+      .withColumn("__salt",
+        explode(sequence(lit(0), lit(parallelism - 1))))
     val blockCond = extraBlockCols
       .map(c => col(s"__b1_$c") === col(s"__b2_$c"))
       .foldLeft(
@@ -846,9 +857,24 @@ object Dedup {
         // longer side's exact length (ties broken by id)
         col("len1") < col("len2") ||
           (col("len1") === col("len2") && col("id1") < col("id2")))(_ && _)
-    val l1 = aggregate(zip_with(col("sig1"), col("sig2"),
-      (a, b) => abs(a - b)), lit(0), (acc, x) => acc + x)
-    probe.join(build, Seq("lk")).filter(blockCond)
+    // unrolled L1 over the 16-bucket histograms: getItem chains stay
+    // inside whole-stage codegen, where the zip_with/aggregate form
+    // falls back to interpreted eval — on a hot length bucket that
+    // interpreted filter WAS the bottleneck (each candidate pair pays
+    // it before the levenshtein even runs)
+    val l1 = (0 until 16)
+      .map(i => abs(col("sig1").getItem(i) - col("sig2").getItem(i)))
+      .reduce(_ + _)
+    // explicit numPartitions on the join keys: AQE's byte-based
+    // coalescing sees a KB-sized shuffle (the name table) and would
+    // fold the salted keys back into ONE task — but the work is the
+    // quadratic OUTPUT of the join, which AQE can't see. A user-
+    // specified repartition is exempt from coalescing and satisfies
+    // the join's distribution, so the salt actually buys concurrency.
+    probe.repartition(parallelism, col("lk"), col("__salt"))
+      .join(build.repartition(parallelism, col("lk"), col("__salt")),
+        Seq("lk", "__salt"))
+      .filter(blockCond)
       .filter(l1 <= 2 * maxDist)
       // threshold form: Ukkonen band, O(maxDist·len) per pair with an
       // early exit (returns -1 above the bound) instead of the full
