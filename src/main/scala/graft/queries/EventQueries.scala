@@ -1022,15 +1022,20 @@ object EventQueries extends QueryGroup {
         |  FROM e
         |)
         |SELECT user_id, sec, event_id,
-        |  round(list_reduce(prefix, (acc, x) -> 0.3 * x + 0.7 * acc), 6)
-        |    AS ewma
+        |  floor(list_reduce(prefix, (acc, x) -> 0.3 * x + 0.7 * acc)
+        |    * 1000000 + 0.5) / 1000000 AS ewma
         |FROM w ORDER BY user_id, sec, event_id""".stripMargin) { (s, dir) =>
+      // multiply-based half-up rounding on BOTH sides: engine round()
+      // implementations disagree on exact shortest-repr boundaries
+      // (Spark rounds Double.toString's "…725", DuckDB the binary
+      // "…7249999…" — observed at sf0.1 on 3 of 100k rows), while
+      // IEEE multiply/floor is bit-identical everywhere
       val raw = t(s, dir, "events")
       graft.events.Events.ewma(
           raw.withColumn("sec", Ts.seconds(raw)),
           "user_id", "sec", "event_id", "value", alpha = 0.3)
         .select(col("user_id"), col("sec"), col("event_id"),
-          round(col("ewma"), 6).as("ewma"))
+          (floor(col("ewma") * 1000000 + 0.5) / 1000000).as("ewma"))
         .orderBy("user_id", "sec", "event_id")
     },
 
