@@ -305,6 +305,57 @@ object Eval {
           1.0).as("cliffs_delta"))
   }
 
+  /** Binary log-loss (cross-entropy) with probability clipping:
+    * −mean(y·ln p̂ + (1−y)·ln(1−p̂)), p̂ = clamp(p, eps, 1−eps) — the
+    * proper scoring rule trained models optimize, reported next to
+    * [[rocAuc]] so calibration regressions can't hide behind a stable
+    * ranking. Returns one row (n, log_loss).
+    *
+    * Scale shape: one scan, one aggregate.
+    */
+  def logLoss(df: DataFrame, scoreCol: String, labelCol: String,
+      eps: Double = 1e-15): DataFrame = {
+    require(eps > 0 && eps < 0.5, s"eps must be in (0, 0.5), got $eps")
+    val p = least(greatest(col(scoreCol).cast("double"), lit(eps)),
+      lit(1.0) - eps)
+    val y = col(labelCol).cast("int")
+    df.select(p.as("p"), y.as("y"))
+      .agg(count(lit(1)).as("n"),
+        (-avg(col("y") * log(col("p")) +
+          (lit(1) - col("y")) * log(lit(1.0) - col("p")))).as("log_loss"))
+  }
+
+  /** Confusion-matrix report at a decision threshold: counts plus
+    * precision / recall / F1 / accuracy — the numbers that turn a
+    * scored corpus into a keep/drop decision. Predictions are
+    * score ≥ threshold. Returns one row (n, tp, fp, fn, tn,
+    * precision, recall, f1, accuracy); rate columns NULL where their
+    * denominator is 0.
+    *
+    * Scale shape: one scan, one aggregate of four counters.
+    */
+  def binaryConfusion(df: DataFrame, scoreCol: String, labelCol: String,
+      threshold: Double): DataFrame = {
+    val pred = (col(scoreCol).cast("double") >= threshold).cast("int")
+    val y = col(labelCol).cast("int")
+    df.select(pred.as("p"), y.as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("p") * col("y")).as("tp"),
+        sum(col("p") * (lit(1) - col("y"))).as("fp"),
+        sum((lit(1) - col("p")) * col("y")).as("fn"),
+        sum((lit(1) - col("p")) * (lit(1) - col("y"))).as("tn"))
+      .select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp")))
+          .as("precision"),
+        when(col("tp") + col("fn") > 0,
+          col("tp").cast("double") / (col("tp") + col("fn"))).as("recall"),
+        when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
+          lit(2.0) * col("tp") /
+            (lit(2) * col("tp") + col("fp") + col("fn"))).as("f1"),
+        ((col("tp") + col("tn")).cast("double") / col("n")).as("accuracy"))
+  }
+
   /** Brier score with the Murphy (1973) reliability/resolution/
     * uncertainty decomposition over FROZEN score bins (explicit
     * `cuts`, the [[Calibrate]] house convention — no data-dependent

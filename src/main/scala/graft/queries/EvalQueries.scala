@@ -15,6 +15,34 @@ object EvalQueries extends QueryGroup {
     "CASE WHEN strlen(trim(text)) = 0 THEN 0 " +
       "ELSE len(string_split_regex(trim(text), '\\s+')) END"
 
+  // DuckDB mirror of the heuristic quality score + is-English label
+  // (the q_text_reliability construction) — shared by the scored-
+  // classifier metric gates below.
+  private val scoredSql =
+    """sc AS (
+      |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+      |   (CASE WHEN len(string_split_regex(trim(text), '\s+')) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.3 END * 0.3
+      |    + CASE WHEN list_aggregate(list_transform(string_split_regex(trim(text), '\s+'), w -> strlen(w)), 'sum') * 1.0::DOUBLE
+      |        / len(string_split_regex(trim(text), '\s+')) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.4 END * 0.2
+      |    + CASE WHEN len(list_filter(string_split_regex(lower(text), '\s+'),
+      |        w -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this'], w)))
+      |        * 1.0::DOUBLE / len(string_split_regex(trim(text), '\s+')) > 0.05 THEN 1.0 ELSE 0.6 END * 0.3
+      |    + CASE WHEN len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) * 1.0::DOUBLE / strlen(text) < 0.2 THEN 1.0 ELSE 0.5 END * 0.2
+      |   )::DOUBLE AS p
+      |  FROM documents
+      |)""".stripMargin
+
+  private def scoredDocs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val d = t(s, dir, "documents").withColumn("toks", TA.tokens(col("text")))
+    d.select(
+      TA.qualityFromComponents(size(col("toks")),
+        TA.meanWordLengthOf(col("toks")),
+        TA.stopwordRatioOf(col("toks")),
+        TA.punctRatio(col("text"))).as("p"),
+      when(col("lang") === "en", 1).otherwise(0).as("y"))
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ROC AUC of event value (rounded to 1 decimal so tie blocks are
@@ -123,6 +151,49 @@ object EvalQueries extends QueryGroup {
         .select(col("query"), round(col("dcg"), 6).as("dcg"),
           round(col("idcg"), 6).as("idcg"), round(col("ndcg"), 6).as("ndcg"))
         .orderBy("query")
+    },
+
+    // binary log-loss (clipped cross-entropy) of the heuristic
+    // quality score against the is-English label — the proper scoring
+    // rule companion to AUC/Brier.
+    q("q_eval_logloss",
+      s"""WITH $scoredSql, c AS (
+         |  SELECT least(greatest(p, 1e-15), 1.0 - 1e-15) AS p, y FROM sc
+         |)
+         |SELECT count(*)::BIGINT AS n,
+         |  round(-avg(y * ln(p) + (1 - y) * ln(1.0 - p)), 6) AS log_loss
+         |FROM c""".stripMargin) { (s, dir) =>
+      Eval.logLoss(scoredDocs(s, dir), "p", "y")
+        .select(col("n"), round(col("log_loss"), 6).as("log_loss"))
+    },
+
+    // confusion-matrix report at the 0.75 decision threshold:
+    // tp/fp/fn/tn + precision/recall/F1/accuracy.
+    q("q_eval_confusion",
+      s"""WITH $scoredSql, c AS (
+         |  SELECT CASE WHEN p >= 0.75 THEN 1 ELSE 0 END AS pr, y FROM sc
+         |), agg AS (
+         |  SELECT count(*)::BIGINT AS n,
+         |    sum(pr * y)::BIGINT AS tp, sum(pr * (1 - y))::BIGINT AS fp,
+         |    sum((1 - pr) * y)::BIGINT AS fn,
+         |    sum((1 - pr) * (1 - y))::BIGINT AS tn
+         |  FROM c
+         |)
+         |SELECT n, tp, fp, fn, tn,
+         |  round(CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp) END, 6)
+         |    AS precision,
+         |  round(CASE WHEN tp + fn > 0 THEN tp::DOUBLE / (tp + fn) END, 6)
+         |    AS recall,
+         |  round(CASE WHEN 2 * tp + fp + fn > 0
+         |    THEN 2.0 * tp / (2 * tp + fp + fn) END, 6) AS f1,
+         |  round((tp + tn)::DOUBLE / n, 6) AS accuracy
+         |FROM agg""".stripMargin) { (s, dir) =>
+      Eval.binaryConfusion(scoredDocs(s, dir), "p", "y", threshold = 0.75)
+        .select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+          round(col("precision"), 6).as("precision"),
+          round(col("recall"), 6).as("recall"),
+          round(col("f1"), 6).as("f1"),
+          round(col("accuracy"), 6).as("accuracy"))
     },
 
     // Brier score + Murphy decomposition of the heuristic quality

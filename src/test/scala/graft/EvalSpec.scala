@@ -243,6 +243,43 @@ class EvalSpec extends SparkSpec {
     assert(degen.getDouble(4) == 0.0 && degen.isNullAt(5))
   }
 
+  test("logLoss: closed form, clipping saves certain-wrong predictions") {
+    import spark.implicits._
+    val rows = Seq((0.9, 1), (0.1, 0), (0.6, 1), (0.4, 0))
+    val got = graft.ml.Eval.logLoss(rows.toDF("p", "y"), "p", "y").head()
+    val brute = -rows.map { case (p, y) =>
+      if (y == 1) math.log(p) else math.log(1 - p) }.sum / 4
+    assert(got.getLong(0) == 4L)
+    assert(math.abs(got.getDouble(1) - brute) < 1e-12)
+    // p = 0 with y = 1 would be -ln(0) = inf; clipping bounds it
+    val clipped = graft.ml.Eval.logLoss(
+      Seq((0.0, 1)).toDF("p", "y"), "p", "y").head().getDouble(1)
+    assert(math.abs(clipped - (-math.log(1e-15))) < 1e-9)
+    intercept[IllegalArgumentException](graft.ml.Eval.logLoss(
+      rows.toDF("p", "y"), "p", "y", eps = 0.7))
+  }
+
+  test("binaryConfusion: counts, rates, and empty-denominator NULLs") {
+    import spark.implicits._
+    // threshold 0.5: preds 1,1,0,0 vs labels 1,0,1,0
+    val rows = Seq((0.9, 1), (0.8, 0), (0.2, 1), (0.1, 0))
+    val got = graft.ml.Eval.binaryConfusion(rows.toDF("p", "y"), "p", "y",
+      0.5).head()
+    assert((got.getLong(1), got.getLong(2), got.getLong(3), got.getLong(4))
+      == ((1L, 1L, 1L, 1L)))
+    assert(got.getDouble(5) == 0.5 && got.getDouble(6) == 0.5)
+    assert(math.abs(got.getDouble(7) - 0.5) < 1e-12)
+    assert(got.getDouble(8) == 0.5)
+    // nothing predicted positive -> precision NULL, recall 0
+    val none = graft.ml.Eval.binaryConfusion(
+      Seq((0.1, 1), (0.2, 1)).toDF("p", "y"), "p", "y", 0.5).head()
+    assert(none.isNullAt(5) && none.getDouble(6) == 0.0)
+    // no positives at all -> recall NULL
+    val noPos = graft.ml.Eval.binaryConfusion(
+      Seq((0.9, 0), (0.1, 0)).toDF("p", "y"), "p", "y", 0.5).head()
+    assert(noPos.isNullAt(6))
+  }
+
   test("brierDecomposition: Murphy identity and closed-form values") {
     import spark.implicits._
     // two bins via cut at 0.5: low bin p={0.2,0.4}, y={0,1};
