@@ -56,6 +56,15 @@ object Verify {
     val failJson = failures
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/_FAILURES.json"), failJson)
+    // Repo-root one-liner so the round's correctness signal survives
+    // driver capture failures (round-6's CORRECTNESS json arrived empty
+    // even though all queries passed): ran/failed counts + failure keys.
+    val ran = SparkEntry.queries.count { case (name, _) => only.forall(_.contains(name)) }
+    try Files.writeString(Paths.get("VERIFY_SUMMARY.json"),
+      s"""{"ran":$ran,"failed":${failures.size},"failedQueries":[${failures.keys.map(q).mkString(",")}],"sfDir":${q(sfDir)},"outDir":${q(outDir)}}""" + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] VERIFY_SUMMARY.json write failed: ${e.getMessage}")
+    }
     spark.stop()
     if (failures.nonEmpty) {
       System.err.println(

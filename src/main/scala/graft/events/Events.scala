@@ -611,6 +611,12 @@ object Events {
     * aggregate, one per-user lag window (bounded by each user's
     * active-period count), one final count aggregate; churn rides the
     * same lag by charging period+1.
+    *
+    * The final observed period is treated as CENSORED: users active
+    * in period max cannot be called churned in max+1 — whether they
+    * return is unknowable from this data — so no churn row is emitted
+    * past the horizon (the max period comes from a 1-row broadcast
+    * aggregate, not a second scan).
     */
   def growthAccounting(events: DataFrame, userCol: String,
       secCol: String, periodSec: Long): DataFrame = {
@@ -631,13 +637,18 @@ object Events {
     // via lead), then union
     val wLead = org.apache.spark.sql.expressions.Window
       .partitionBy("user").orderBy("period")
-    val churn = events
+    val distinctPeriods = events
       .select(col(userCol).as("user"),
         floor(col(secCol) / periodSec).cast("long").as("period"))
       .distinct()
+    val horizon = broadcast(distinctPeriods.agg(max("period").as("maxp")))
+    val churn = distinctPeriods
       .withColumn("next", lead("period", 1).over(wLead))
       .filter(col("next").isNull || col("next") > col("period") + 1)
       .select((col("period") + 1).as("period"), lit("churned").as("state"))
+      .crossJoin(horizon)
+      .filter(col("period") <= col("maxp"))
+      .drop("maxp")
     states.unionByName(churn)
       .groupBy("period")
       .agg(

@@ -911,14 +911,20 @@ object Dedup {
     * output volume. One shuffle on the (block, length) key; quadratic
     * verify work only within a (first-token, length) bucket of
     * DISTINCT names; JW runs inside whole-stage codegen via a static
-    * call.
+    * call. The (blk, len) key is SALTED `parallelism` ways exactly
+    * like [[editDistancePairs]] — real name corpora concentrate on a
+    * few hot (first-token, length) buckets ("john", 10), and without
+    * the salt + explicit repartition AQE's byte-based coalescing
+    * (blind to the quadratic join OUTPUT) would fold the hot bucket's
+    * verify work onto one task (the round-18 edit-distance collapse).
     */
   def jaroWinklerLinkage(df: DataFrame, idCol: String, strCol: String,
       threshold: Double, lenBand: Int = 1,
-      includeIdentical: Boolean = true): DataFrame = {
+      includeIdentical: Boolean = true, parallelism: Int = 64): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     require(lenBand >= 0, s"lenBand must be >= 0, got $lenBand")
+    require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
     val base = graft.core.PipelineCaches.persistTracked(
       df.select(col(idCol).cast("long").as("id"), col(strCol).as("s")))
     val names = base.groupBy("s").agg(count(lit(1)).as("n"))
@@ -927,13 +933,20 @@ object Dedup {
     val probe = names.select(col("blk"), col("s").as("s1"),
       col("len").as("len1"),
       explode(sequence(col("len"), col("len") + lenBand)).as("lk"))
+      .withColumn("__salt", pmod(hash(col("s1")), lit(parallelism)))
     val build = names.select(col("blk"), col("s").as("s2"),
       col("len").as("len2"), col("len").as("lk"))
+      .withColumn("__salt",
+        explode(sequence(lit(0), lit(parallelism - 1))))
     val jw = graft.functions.StringFunctions.jaro_winkler(
       col("s1"), col("s2"))
     // distinct-name matches; s1 < s2 on equal length makes each
     // unordered NAME pair meet exactly once
-    val matched = probe.join(build, Seq("blk", "lk"))
+    val matched = probe
+      .repartition(parallelism, col("blk"), col("lk"), col("__salt"))
+      .join(build
+        .repartition(parallelism, col("blk"), col("lk"), col("__salt")),
+        Seq("blk", "lk", "__salt"))
       .filter(col("len1") < col("len2") ||
         (col("len1") === col("len2") && col("s1") < col("s2")))
       .withColumn("jw", jw)

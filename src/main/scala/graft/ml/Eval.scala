@@ -184,8 +184,12 @@ object Eval {
     * discounted by how far apart the two ratings are —
     * w_ij = 1 − |i−j|/(K−1) (linear) or 1 − ((i−j)/(K−1))²
     * (quadratic, the variant that equals an ICC). Ratings must be
-    * integer levels in [0, K); K is taken from the data
-    * (max level + 1 across both raters). Returns one row
+    * non-negative integer levels spanning [0, K); K is taken from the
+    * data (max level + 1 across both raters), so a scale whose levels
+    * don't start at 0 must be shifted by the caller first. Degenerate
+    * input (every rating the same single level → K = 1, the weight
+    * normalizer 1/(K−1) is 0/0) and negative levels raise at
+    * execution rather than returning NaN. Returns one row
     * (n, k_levels, po_w, pe_w, kappa); NULL kappa when pe_w = 1.
     *
     * Same scale shape as [[cohenKappa]]: one contingency aggregate,
@@ -199,7 +203,15 @@ object Eval {
       df.groupBy(col(r1Col).cast("long").as("i"),
         col(r2Col).cast("long").as("j")).agg(count(lit(1)).as("c")))
     val kTab = cells.agg((greatest(max("i"), max("j")) + 1).as("k"),
-      sum("c").as("n"))
+        sum("c").as("n"), least(min("i"), min("j")).as("lo"))
+      .select(
+        when(col("k") < 2, raise_error(lit(
+          "weightedKappa requires >= 2 distinct rating levels " +
+            "(all ratings identical, or empty input)")))
+          .when(col("lo") < 0, raise_error(lit(
+            "weightedKappa ratings must be non-negative integer levels in [0, K)")))
+          .otherwise(col("k")).as("k"),
+        col("n"))
     def weight(i: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column,
         k: org.apache.spark.sql.Column) = {
       val d = abs(i - j).cast("double") / (k - 1).cast("double")

@@ -5,11 +5,16 @@ package graft.ml
   * [[Multimodal]] for every format it recognizes:
   *
   *  - FULL pixel decode: BMP (uncompressed 24/32-bit, the Windows
-  *    BITMAPINFOHEADER layout), binary netpbm PPM (P6) and PGM (P5);
+  *    BITMAPINFOHEADER layout), binary netpbm PPM (P6) and PGM (P5),
+  *    PNG (8-bit gray / gray+alpha / RGB / RGBA / palette, all 5
+  *    scanline filters, via the JVM's own zlib Inflater; Adam7
+  *    interlace is rejected, not misdecoded), and GIF (87a/89a LZW,
+  *    global or local color table, interlaced or not, first frame);
   *  - header-only metadata (width/height/format): PNG (IHDR), GIF
   *    (logical screen descriptor), JPEG (SOF0/1/2 frame header) —
   *    the fast-metadata pass a 100 TB media crawl runs without
-  *    paying for full decode;
+  *    paying for full decode (JPEG stays header-only: entropy
+  *    decode without a DCT library is out of scope);
   *  - real pixel kernels on decoded images: nearest-neighbor resize,
   *    BT.601 grayscale, and an 8×8 average-hash feature vector (the
   *    classic perceptual-dedup embedding).
@@ -119,7 +124,9 @@ object ImageCodec {
     case "ppm" => decodePnm(bytes, 3)
     case "pgm" => decodePnm(bytes, 1)
     case "bmp" => decodeBmp(bytes)
-    case _ => None // png/gif/jpeg: metadata only (entropy coding)
+    case "png" => decodePng(bytes)
+    case "gif" => decodeGif(bytes)
+    case _ => None // jpeg: metadata only (entropy coding needs a DCT)
   }
 
   private def decodePnm(b: Array[Byte], ch: Int): Option[Image] =
@@ -159,6 +166,282 @@ object ImageCodec {
       y += 1
     }
     Some(Image(w, h, 3, out))
+  }
+
+  /** Full PNG pixel decode (RFC 2083 / W3C PNG spec): 8-bit samples,
+    * color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
+    * 6 (RGBA); all five scanline filters (None/Sub/Up/Average/Paeth);
+    * zlib inflate via `java.util.zip.Inflater`. Alpha channels are
+    * DROPPED (straight truncation — the raster model is RGB/gray);
+    * palette indices resolve through PLTE. Adam7 interlace (and any
+    * bit depth other than 8) returns None rather than garbage pixels.
+    * Chunk CRCs are not validated (lenient decode — a media crawl
+    * prefers salvage over strictness; the ENCODER writes real CRCs).
+    */
+  private def decodePng(b: Array[Byte]): Option[Image] = {
+    if (b.length < 33) return None
+    var w = 0; var h = 0; var bitDepth = 0; var colorType = -1
+    var interlace = 0
+    var plte: Array[Byte] = null
+    val idat = new java.io.ByteArrayOutputStream()
+    var i = 8
+    var sawEnd = false
+    while (!sawEnd && i + 8 <= b.length) {
+      val len = be32(b, i)
+      if (len < 0 || i + 12 + len > b.length) return None
+      val typ = new String(b, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      typ match {
+        case "IHDR" =>
+          if (len < 13) return None
+          w = be32(b, i + 8); h = be32(b, i + 12)
+          bitDepth = u8(b, i + 16); colorType = u8(b, i + 17)
+          // compression (18) and filter method (19) must be 0
+          if (u8(b, i + 18) != 0 || u8(b, i + 19) != 0) return None
+          interlace = u8(b, i + 20)
+        case "PLTE" => plte = java.util.Arrays.copyOfRange(b, i + 8, i + 8 + len)
+        case "IDAT" => idat.write(b, i + 8, len)
+        case "IEND" => sawEnd = true
+        case _ => () // ancillary chunks skipped
+      }
+      i += 12 + len
+    }
+    if (w <= 0 || h <= 0 || bitDepth != 8 || interlace != 0) return None
+    val srcCh = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      case _ => return None
+    }
+    if (colorType == 3 && (plte == null || plte.length % 3 != 0)) return None
+    // guard absurd dimensions before allocating (w*h*ch can overflow)
+    val rawLen = h.toLong * (1L + w.toLong * srcCh)
+    if (rawLen > Int.MaxValue - 64) return None
+    val raw = new Array[Byte](rawLen.toInt)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        off += n
+      }
+      if (off < raw.length) return None
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end()
+    // defilter in place, scanline by scanline
+    val stride = w * srcCh
+    val bpp = srcCh // bytes per pixel at bit depth 8
+    val px = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      val f = u8(raw, y * (stride + 1))
+      val src = y * (stride + 1) + 1
+      val dst = y * stride
+      var x = 0
+      while (x < stride) {
+        val cur = u8(raw, src + x)
+        val a = if (x >= bpp) u8(px, dst + x - bpp) else 0 // left
+        val bb = if (y > 0) u8(px, dst - stride + x) else 0 // up
+        val c = if (y > 0 && x >= bpp) u8(px, dst - stride + x - bpp) else 0
+        val recon = f match {
+          case 0 => cur
+          case 1 => cur + a
+          case 2 => cur + bb
+          case 3 => cur + ((a + bb) >> 1)
+          case 4 =>
+            // Paeth predictor
+            val p = a + bb - c
+            val pa = math.abs(p - a); val pb = math.abs(p - bb)
+            val pc = math.abs(p - c)
+            cur + (if (pa <= pb && pa <= pc) a else if (pb <= pc) bb else c)
+          case _ => return None
+        }
+        px(dst + x) = recon.toByte
+        x += 1
+      }
+      y += 1
+    }
+    // normalize to the RGB/gray raster model
+    colorType match {
+      case 0 => Some(Image(w, h, 1, px))
+      case 2 => Some(Image(w, h, 3, px))
+      case 3 =>
+        val out = new Array[Byte](w * h * 3)
+        var k = 0
+        while (k < w * h) {
+          val idx = u8(px, k) * 3
+          if (idx + 2 >= plte.length) return None
+          out(k * 3) = plte(idx); out(k * 3 + 1) = plte(idx + 1)
+          out(k * 3 + 2) = plte(idx + 2)
+          k += 1
+        }
+        Some(Image(w, h, 3, out))
+      case 4 =>
+        val out = new Array[Byte](w * h)
+        var k = 0
+        while (k < out.length) { out(k) = px(k * 2); k += 1 }
+        Some(Image(w, h, 1, out))
+      case 6 =>
+        val out = new Array[Byte](w * h * 3)
+        var k = 0
+        while (k < w * h) {
+          out(k * 3) = px(k * 4); out(k * 3 + 1) = px(k * 4 + 1)
+          out(k * 3 + 2) = px(k * 4 + 2)
+          k += 1
+        }
+        Some(Image(w, h, 3, out))
+      case _ => None
+    }
+  }
+
+  /** GIF87a/89a full decode of the FIRST image: LZW with variable
+    * code width (spec appendix), global or local color table, Adam-
+    * style 4-pass interlace undone. Extension blocks (graphic
+    * control, comments, application) are skipped. Returns RGB; GIF
+    * transparency (a palette index, not an alpha channel) is ignored.
+    */
+  private def decodeGif(b: Array[Byte]): Option[Image] = {
+    if (b.length < 13) return None
+    val packed = u8(b, 10)
+    val gctSize = if ((packed & 0x80) != 0) 2 << (packed & 7) else 0
+    var i = 13
+    var gct: Array[Byte] = null
+    if (gctSize > 0) {
+      if (i + gctSize * 3 > b.length) return None
+      gct = java.util.Arrays.copyOfRange(b, i, i + gctSize * 3)
+      i += gctSize * 3
+    }
+    while (i < b.length) {
+      u8(b, i) match {
+        case 0x3B => return None // trailer before any image
+        case 0x21 => // extension: label + sub-blocks
+          i += 2
+          while (i < b.length && u8(b, i) != 0) i += 1 + u8(b, i)
+          i += 1
+        case 0x2C => // image descriptor
+          if (i + 10 > b.length) return None
+          val iw = le16(b, i + 5); val ih = le16(b, i + 7)
+          val ip = u8(b, i + 9)
+          val interlaced = (ip & 0x40) != 0
+          val lctSize = if ((ip & 0x80) != 0) 2 << (ip & 7) else 0
+          i += 10
+          var table = gct
+          if (lctSize > 0) {
+            if (i + lctSize * 3 > b.length) return None
+            table = java.util.Arrays.copyOfRange(b, i, i + lctSize * 3)
+            i += lctSize * 3
+          }
+          if (table == null || iw <= 0 || ih <= 0) return None
+          val mcs = u8(b, i); i += 1
+          if (mcs < 2 || mcs > 8) return None
+          // concatenate data sub-blocks
+          val data = new java.io.ByteArrayOutputStream()
+          while (i < b.length && u8(b, i) != 0) {
+            val n = u8(b, i)
+            if (i + 1 + n > b.length) return None
+            data.write(b, i + 1, n); i += 1 + n
+          }
+          val indices = lzwDecode(data.toByteArray, mcs, iw * ih)
+            .getOrElse(return None)
+          // undo interlace: rows arrive in passes 0,8.. 4,8.. 2,4.. 1,2..
+          val rowOrder =
+            if (!interlaced) (0 until ih).toArray
+            else ((0 until ih by 8) ++ (4 until ih by 8) ++
+              (2 until ih by 4) ++ (1 until ih by 2)).toArray
+          val out = new Array[Byte](iw * ih * 3)
+          var r = 0
+          while (r < ih) {
+            val destRow = rowOrder(r)
+            var x = 0
+            while (x < iw) {
+              val idx = u8(indices, r * iw + x) * 3
+              if (idx + 2 >= table.length) return None
+              val d = (destRow * iw + x) * 3
+              out(d) = table(idx); out(d + 1) = table(idx + 1)
+              out(d + 2) = table(idx + 2)
+              x += 1
+            }
+            r += 1
+          }
+          return Some(Image(iw, ih, 3, out))
+        case _ => return None
+      }
+    }
+    None
+  }
+
+  /** GIF-flavor LZW decode: variable code width starting at
+    * `mcs`+1 bits, clear code 2^mcs, EOI clear+1, dictionary capped
+    * at 4096 entries, width bumps when the next allocation crosses a
+    * power of two. Emits exactly `n` pixel indices (extra input is
+    * ignored; short input is an error).
+    */
+  private def lzwDecode(data: Array[Byte], mcs: Int, n: Int): Option[Array[Byte]] = {
+    val clear = 1 << mcs
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    var dictSize = eoi + 1
+    var width = mcs + 1
+    var bitPos = 0
+    val out = new Array[Byte](n)
+    var outPos = 0
+    var prev = -1
+    val stack = new Array[Byte](4096)
+    def readCode(): Int = {
+      if ((bitPos + width + 7) / 8 > data.length) return -1
+      var v = 0; var got = 0
+      while (got < width) {
+        val byteI = (bitPos + got) / 8
+        if (byteI >= data.length) return -1
+        val bit = (data(byteI) >> ((bitPos + got) % 8)) & 1
+        v |= bit << got
+        got += 1
+      }
+      bitPos += width
+      v
+    }
+    def expand(code0: Int): Int = { // push code's string, return first byte
+      var code = code0
+      var sp = 0
+      while (code >= clear) { // composite entry
+        stack(sp) = suffix(code); sp += 1; code = prefix(code)
+      }
+      val first = code
+      // literal byte + reversed stack
+      if (outPos < n) { out(outPos) = code.toByte; outPos += 1 }
+      while (sp > 0 && outPos < n) {
+        sp -= 1; out(outPos) = stack(sp); outPos += 1
+      }
+      first
+    }
+    while (outPos < n) {
+      val code = readCode()
+      if (code < 0 || code == eoi) return if (outPos == n) Some(out) else None
+      if (code == clear) {
+        dictSize = eoi + 1; width = mcs + 1; prev = -1
+      } else if (prev == -1) {
+        if (code >= clear) return None
+        expand(code); prev = code
+      } else {
+        val first =
+          if (code < dictSize) expand(code)
+          else if (code == dictSize) { // KwKwK case
+            // emit string(prev) + first(string(prev))
+            var c = prev; while (c >= clear) c = prefix(c)
+            expand(prev)
+            if (outPos < n) { out(outPos) = c.toByte; outPos += 1 }
+            c
+          } else return None
+        if (dictSize < 4096) {
+          prefix(dictSize) = prev; suffix(dictSize) = first.toByte
+          dictSize += 1
+        }
+        // width bump: when the NEXT code to allocate needs more bits
+        if (dictSize == (1 << width) && width < 12) width += 1
+        prev = code
+      }
+    }
+    Some(out)
   }
 
   // --- pixel kernels -----------------------------------------------------
@@ -226,5 +509,141 @@ object ImageCodec {
     System.arraycopy(header, 0, out, 0, header.length)
     System.arraycopy(img.pixels, 0, out, header.length, img.pixels.length)
     out
+  }
+
+  /** Write a spec-conformant PNG (real CRCs, real zlib stream) from a
+    * raw raster: `channels` 1 (gray, color type 0), 2 (gray+alpha,
+    * type 4), 3 (RGB, type 2) or 4 (RGBA, type 6); every scanline
+    * filtered with `filterType` 0-4 (the encoder applies the FORWARD
+    * filter, so each type exercises the decoder's matching
+    * reconstruction). The round-trip partner of [[decode]].
+    */
+  def encodePng(width: Int, height: Int, channels: Int,
+      pixels: Array[Byte], filterType: Int = 0): Array[Byte] = {
+    require(width > 0 && height > 0)
+    require(Set(1, 2, 3, 4)(channels), s"channels must be 1-4, got $channels")
+    require(filterType >= 0 && filterType <= 4)
+    require(pixels.length == width * height * channels)
+    val colorType = channels match {
+      case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6
+    }
+    val stride = width * channels
+    val bpp = channels
+    val raw = new Array[Byte](height * (stride + 1))
+    var y = 0
+    while (y < height) {
+      raw(y * (stride + 1)) = filterType.toByte
+      var x = 0
+      while (x < stride) {
+        val cur = u8(pixels, y * stride + x)
+        val a = if (x >= bpp) u8(pixels, y * stride + x - bpp) else 0
+        val b = if (y > 0) u8(pixels, (y - 1) * stride + x) else 0
+        val c = if (y > 0 && x >= bpp) u8(pixels, (y - 1) * stride + x - bpp)
+          else 0
+        val filtered = filterType match {
+          case 0 => cur
+          case 1 => cur - a
+          case 2 => cur - b
+          case 3 => cur - ((a + b) >> 1)
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b)
+            val pc = math.abs(p - c)
+            cur - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        raw(y * (stride + 1) + 1 + x) = filtered.toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zbuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) zbuf.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      def be(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+        (v >>> 8).toByte, v.toByte)
+      out.write(be(data.length))
+      val tb = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(tb); out.write(data); out.write(be(crc.getValue.toInt))
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(width).putInt(height)
+      .put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+    chunk("IHDR", ihdr.array())
+    chunk("IDAT", zbuf.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Write a GIF89a (one image frame) from palette indices: `palette`
+    * is 3·256 RGB bytes (a full 8-bit global color table), `indices`
+    * one byte per pixel. Uses the classic "uncompressed GIF" LZW
+    * strategy — literal codes at min-code-size 8 with a clear code
+    * re-emitted whenever the dictionary would force a width bump —
+    * valid LZW that any conformant decoder (including [[decode]])
+    * reads back bit-exact. `interlaced` writes rows in the 4-pass
+    * order so the decoder's deinterlace is exercised.
+    */
+  def encodeGif(width: Int, height: Int, palette: Array[Byte],
+      indices: Array[Byte], interlaced: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0)
+    require(palette.length == 768, s"palette must be 768 bytes")
+    require(indices.length == width * height)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    def le(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    le(width); le(height)
+    out.write(0x80 | 7) // GCT present, 2^(7+1)=256 entries
+    out.write(0); out.write(0) // bg color, aspect
+    out.write(palette)
+    out.write(0x2C) // image descriptor
+    le(0); le(0); le(width); le(height)
+    out.write(if (interlaced) 0x40 else 0x00)
+    out.write(8) // LZW min code size
+    // bit-pack LSB-first at a fixed 9-bit width, clearing before the
+    // dictionary (which grows by 1 per literal emitted) reaches 511
+    val codes = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var accBits = 0
+    def emit(code: Int): Unit = {
+      acc |= code.toLong << accBits; accBits += 9
+      while (accBits >= 8) { codes.write((acc & 0xFF).toInt); acc >>= 8; accBits -= 8 }
+    }
+    val clear = 256; val eoi = 257
+    val rowOrder =
+      if (!interlaced) (0 until height).toArray
+      else ((0 until height by 8) ++ (4 until height by 8) ++
+        (2 until height by 4) ++ (1 until height by 2)).toArray
+    emit(clear)
+    var dictSize = eoi + 1
+    rowOrder.foreach { y =>
+      var x = 0
+      while (x < width) {
+        if (dictSize >= 511) { emit(clear); dictSize = eoi + 1 }
+        emit(u8(indices, y * width + x))
+        dictSize += 1
+        x += 1
+      }
+    }
+    emit(eoi)
+    if (accBits > 0) codes.write((acc & 0xFF).toInt)
+    // data sub-blocks of <= 255 bytes
+    val cb = codes.toByteArray
+    var off = 0
+    while (off < cb.length) {
+      val n = math.min(255, cb.length - off)
+      out.write(n); out.write(cb, off, n)
+      off += n
+    }
+    out.write(0) // block terminator
+    out.write(0x3B) // trailer
+    out.toByteArray
   }
 }

@@ -129,8 +129,14 @@ object Pq {
       m: Int, k: Int, seed: Long, iters: Int): Codebooks = {
     val spark = vecs.sparkSession
     import spark.implicits._
-    val seedVecs = vecs.sample(withReplacement = false, 0.5, seed)
+    // a 0.5 sample of a small corpus can come up short of k, which
+    // would recycle seeds into duplicate codewords and waste codebook
+    // capacity — fall back to a plain take(k) so k DISTINCT seed
+    // vectors are used whenever the corpus has them
+    val sampled = vecs.sample(withReplacement = false, 0.5, seed)
       .limit(k).collect().map(_._2)
+    val seedVecs =
+      if (sampled.length >= k) sampled else vecs.limit(k).collect().map(_._2)
     require(seedVecs.nonEmpty, "empty corpus")
     val dim = seedVecs.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")

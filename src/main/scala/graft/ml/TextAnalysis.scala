@@ -902,11 +902,15 @@ object TextAnalysis {
     val right = toks.select(col("__doc"), col("tk").as("c"),
       col("pos").as("pk"))
     val ordered = left.join(right, Seq("__doc", "pk"))
-    val pairs = ordered.select(col("w"), col("c"))
-      .unionAll(ordered.select(col("c").as("w"), col("w").as("c")))
-      .groupBy("w", "c").agg(count(lit(1)).as("n_pair"))
-      .filter(col("n_pair") >= minPair)
-    val wTot = pairs.groupBy("w").agg(sum("n_pair").as("cw"))
+    // marginals and N come from the UNFILTERED pair counts — the
+    // standard PMI definition; minPair prunes only the REPORTED pairs,
+    // so scores of surviving pairs don't shift as minPair changes
+    val pairsAll = graft.core.PipelineCaches.persistTracked(
+      ordered.select(col("w"), col("c"))
+        .unionAll(ordered.select(col("c").as("w"), col("w").as("c")))
+        .groupBy("w", "c").agg(count(lit(1)).as("n_pair")))
+    val pairs = pairsAll.filter(col("n_pair") >= minPair)
+    val wTot = pairsAll.groupBy("w").agg(sum("n_pair").as("cw"))
     val cTot = wTot.select(col("w").as("c"), col("cw").as("cc"))
     val n = wTot.agg(sum("cw").as("nn"))
     val ratio = col("n_pair").cast("double") /
@@ -1045,10 +1049,13 @@ object TextAnalysis {
     * count ≥ `minCount` are returned (rare words have degenerate DP).
     *
     * Scale shape: one token scan → (stratum, word) counts; the
-    * absent-(word, stratum) grid needed for the |0 − t_s| terms comes
-    * from a vocab × strata cross join against the BROADCAST stratum
-    * table (strata are dashboard-sized), never from re-scanning the
-    * corpus.
+    * absent-(word, stratum) terms are NEVER materialized — each
+    * absent stratum contributes exactly |0 − t_s| = t_s, so
+    * Σ_s |v_s − t_s| = Σ_{s present} |v_s − t_s| + (1 − Σ_{s present}
+    * t_s) and the whole sum comes from the PRESENT pairs alone (plus
+    * a broadcast join to the dashboard-sized t_s table). The round-6
+    * vocab × strata grid join is gone — at web-corpus vocab sizes the
+    * grid was vocab × strata rows of mostly-zero terms.
     */
   def dispersion(df: DataFrame, strataCol: String, textCol: String,
       minCount: Long = 10L): DataFrame = {
@@ -1061,13 +1068,12 @@ object TextAnalysis {
       .filter(col("yw") >= minCount)
     val strat = counts.groupBy("stratum").agg(sum("yws").as("ns"))
     val n = strat.agg(sum("ns").as("nn"))
-    val grid = words.crossJoin(broadcast(
-      strat.crossJoin(n).select(col("stratum"),
-        (col("ns").cast("double") / col("nn")).as("ts"))))
-    grid.join(counts, Seq("stratum", "w"), "left")
+    val ts = broadcast(strat.crossJoin(n).select(col("stratum"),
+      (col("ns").cast("double") / col("nn")).as("ts")))
+    counts.join(words, "w").join(ts, "stratum")
       .groupBy(col("w").as("word"), col("yw").as("c"))
-      .agg((sum(abs(coalesce(col("yws"), lit(0L)).cast("double") /
-        col("yw") - col("ts"))) / 2.0).as("dp"))
+      .agg(((sum(abs(col("yws").cast("double") / col("yw") - col("ts"))) +
+        lit(1.0) - sum(col("ts"))) / 2.0).as("dp"))
   }
 
   /** Keyness: per-stratum enriched vocabulary by the log-odds-ratio

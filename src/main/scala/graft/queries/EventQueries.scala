@@ -1246,7 +1246,8 @@ object EventQueries extends QueryGroup {
 
     // growth accounting: per-day new/retained/resurrected/churned
     // decomposition of the active-user count (churn charged to the
-    // first inactive day, incl. one row past the horizon).
+    // first inactive day; the final observed day is censored — no
+    // churn row past the horizon).
     q("q_events_growth",
       """WITH ap AS (
         |  SELECT DISTINCT user_id AS u,
@@ -1263,7 +1264,8 @@ object EventQueries extends QueryGroup {
         |  SELECT period + 1 AS period, 'churned' AS state
         |  FROM (SELECT period, lead(period) OVER (PARTITION BY u
         |      ORDER BY period) AS nxt FROM ap)
-        |  WHERE nxt IS NULL OR nxt > period + 1
+        |  WHERE (nxt IS NULL OR nxt > period + 1)
+        |    AND period + 1 <= (SELECT max(period) FROM ap)
         |), un AS (SELECT * FROM st UNION ALL SELECT * FROM ch)
         |SELECT period,
         |  CAST(sum(CASE WHEN state = 'new_users' THEN 1 ELSE 0 END) AS BIGINT) AS new_users,

@@ -551,6 +551,99 @@ object TextQueries extends QueryGroup {
         .orderBy("id", "frame_idx")
     },
 
+    // REAL PNG decode through the gate: per document a deterministic
+    // raster — w = 4 + id%13, h = 4 + id%7, source channels
+    // [1 gray, 3 RGB, 4 RGBA][id%3], pixel byte i = (id*37 + i) % 256
+    // — is PNG-ENCODED by the Spark side (real zlib stream, real
+    // CRCs, scanline filter type id%5, so all five filters cross the
+    // gate) and then fully DECODED back (inflate + defilter + alpha
+    // drop), while the oracle replays the planted pixels
+    // arithmetically (RGBA keeps bytes (i/3)*4 + i%3 after the alpha
+    // drop) without ever touching PNG bytes. Hash equality pins the
+    // whole inflate/defilter/reassembly path bit-exact.
+    q("q_multimodal_png",
+      """WITH d AS (
+        |  SELECT doc_id AS id, 4 + doc_id % 13 AS w, 4 + doc_id % 7 AS h,
+        |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS och,
+        |    doc_id % 3 AS m
+        |  FROM documents
+        |), px AS (
+        |  SELECT id, w, h, och,
+        |    string_agg(lpad(hex((id * 37 +
+        |      CASE WHEN m = 2 THEN (u.i // 3) * 4 + u.i % 3 ELSE u.i END
+        |      ) % 256), 2, '0'), '' ORDER BY u.i) AS hx
+        |  FROM d, unnest(range(0, w * h * och)) AS u(i)
+        |  GROUP BY id, w, h, och
+        |)
+        |SELECT id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(och AS INT) AS channels,
+        |  CAST(w * h * och AS BIGINT) AS n_bytes, md5(hx) AS pix_h
+        |FROM px ORDER BY id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.ml.ImageCodec
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (4 + id % 13).toInt
+          val h = (4 + id % 7).toInt
+          val ch = Array(1, 3, 4)((id % 3).toInt)
+          val filter = (id % 5).toInt
+          val px = Array.tabulate(w * h * ch)(i => ((id * 37 + i) % 256).toByte)
+          (id, ImageCodec.encodePng(w, h, ch, px, filter))
+        }.toDF("id", "media")
+      Multimodal.decodeImages(media).toDF()
+        .select(col("id"), col("width"), col("height"), col("channels"),
+          octet_length(col("pixels")).cast("long").as("n_bytes"),
+          md5(hex(col("pixels"))).as("pix_h"))
+        .orderBy("id")
+    },
+
+    // REAL GIF decode through the gate: per document a deterministic
+    // 256-entry palette (entry i = (i, 255−i, i XOR 0x5A)) and index
+    // raster (w = 4 + id%11, h = 4 + id%5, index byte i =
+    // (id*41 + i) % 256) are GIF-ENCODED by the Spark side (LZW data
+    // stream, odd ids written INTERLACED so the 4-pass deinterlace
+    // crosses the gate too) and decoded back through the real LZW
+    // decoder; the oracle resolves each planted index through the
+    // palette arithmetically.
+    q("q_multimodal_gif",
+      """WITH d AS (
+        |  SELECT doc_id AS id, 4 + doc_id % 11 AS w, 4 + doc_id % 5 AS h
+        |  FROM documents
+        |), px AS (
+        |  SELECT id, w, h,
+        |    string_agg(lpad(hex(
+        |      CASE u.i % 3
+        |        WHEN 0 THEN (id * 41 + u.i // 3) % 256
+        |        WHEN 1 THEN 255 - (id * 41 + u.i // 3) % 256
+        |        ELSE xor((id * 41 + u.i // 3) % 256, 90)
+        |      END), 2, '0'), '' ORDER BY u.i) AS hx
+        |  FROM d, unnest(range(0, w * h * 3)) AS u(i)
+        |  GROUP BY id, w, h
+        |)
+        |SELECT id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  3 AS channels, md5(hx) AS pix_h
+        |FROM px ORDER BY id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.ml.ImageCodec
+      val pal = Array.tabulate(768) { j =>
+        val i = j / 3
+        (j % 3 match {
+          case 0 => i; case 1 => 255 - i; case _ => i ^ 0x5A
+        }).toByte
+      }
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (4 + id % 11).toInt
+          val h = (4 + id % 5).toInt
+          val idx = Array.tabulate(w * h)(i => ((id * 41 + i) % 256).toByte)
+          (id, ImageCodec.encodeGif(w, h, pal, idx, interlaced = id % 2 == 1))
+        }.toDF("id", "media")
+      Multimodal.decodeImages(media).toDF()
+        .select(col("id"), col("width"), col("height"), col("channels"),
+          md5(hex(col("pixels"))).as("pix_h"))
+        .orderBy("id")
+    },
+
     // REAL audio decode through the gate: both engines construct the
     // same stereo 16-bit PCM WAV per document — n = 40 + id%30 frames
     // at 16 kHz, interleaved sample i = ((id*37 + i*797) % 4001) - 2000
@@ -2069,12 +2162,14 @@ object TextQueries extends QueryGroup {
          |  SELECT a.tk AS w, b.tk AS c
          |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id
          |    AND b.pos > a.pos AND b.pos <= a.pos + 2
-         |), pairs AS (
+         |), pairs_all AS (
          |  SELECT w, c, count(*)::BIGINT AS n_pair FROM (
          |    SELECT w, c FROM op UNION ALL SELECT c, w FROM op
-         |  ) GROUP BY w, c HAVING count(*) >= 3
+         |  ) GROUP BY w, c
+         |), pairs AS (
+         |  SELECT * FROM pairs_all WHERE n_pair >= 3
          |), wt AS (
-         |  SELECT w, sum(n_pair)::BIGINT AS cw FROM pairs GROUP BY w
+         |  SELECT w, sum(n_pair)::BIGINT AS cw FROM pairs_all GROUP BY w
          |), n AS (SELECT sum(cw)::BIGINT AS nn FROM wt
          |), sc AS (
          |  SELECT p.w, p.c, p.n_pair,

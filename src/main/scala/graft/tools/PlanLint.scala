@@ -61,12 +61,36 @@ object PlanLint {
       case j: BroadcastNestedLoopJoinExec =>
         Some(Finding("cartesian", s"BroadcastNestedLoopJoin(${j.joinType})"))
       case w: WindowExec if w.partitionSpec.isEmpty =>
-        val reduced = nodes(w.child).exists(
-          _.isInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec])
-        Some(if (reduced) Finding("global-window", "WindowExec[no partition]")
+        Some(if (reducedInput(w.child))
+          Finding("global-window", "WindowExec[no partition]")
         else Finding("global-window-raw", "WindowExec[no partition, raw input]"))
       case _ => None
     }.distinct
+
+  /** True iff the plan's output is row-REDUCED on the window's direct
+    * input path: walking down through unary/pass-through nodes only,
+    * the first structural node reached is an aggregate. A join, union,
+    * generate, or bare scan encountered first means the input can be
+    * corpus-sized — an aggregate buried further down (e.g. an agg
+    * output joined back onto raw corpus rows) does NOT count, which
+    * was the round-6 lint's blind spot: `nodes(child).exists(isAgg)`
+    * classified agg⋈corpus → window as whitelistable "global-window".
+    */
+  private def reducedInput(p: SparkPlan): Boolean = p match {
+    case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+    case a: AdaptiveSparkPlanExec => reducedInput(a.initialPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      reducedInput(q.plan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      reducedInput(r.child)
+    case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+      reducedInput(m.relation.cachedPlan)
+    // row-multiplying unary node: NOT a reduction even above an agg
+    case _: org.apache.spark.sql.execution.GenerateExec => false
+    case u: org.apache.spark.sql.execution.UnaryExecNode =>
+      reducedInput(u.child)
+    case _ => false // joins, unions, leaves (raw scans)
+  }
 
   /** Sweep every registered gate query and print its findings. */
   def main(args: Array[String]): Unit = {

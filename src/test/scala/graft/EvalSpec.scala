@@ -168,6 +168,22 @@ class EvalSpec extends SparkSpec {
       bin.map { case (a, b) => (a.toString, b.toString) }.toDF("r1", "r2"),
       "r1", "r2").head().getDouble(3)
     assert(math.abs(wk - ck) < 1e-12, s"$wk vs $ck")
+    // degenerate scale (both raters only ever use level 0): K = 1
+    // makes the 1/(K−1) weight normalizer 0/0 — must raise clearly,
+    // not return NaN
+    val ex = intercept[Exception] {
+      graft.ml.Eval.weightedKappa(
+        Seq.fill(5)((0, 0)).toDF("r1", "r2"), "r1", "r2").head()
+    }
+    assert(ex.getMessage.contains("2 distinct rating levels"),
+      ex.getMessage)
+    // negative levels violate the [0, K) contract
+    val ex2 = intercept[Exception] {
+      graft.ml.Eval.weightedKappa(
+        (Seq.fill(3)((-1, 0)) ++ Seq.fill(3)((1, 1)))
+          .toDF("r1", "r2"), "r1", "r2").head()
+    }
+    assert(ex2.getMessage.contains("non-negative"), ex2.getMessage)
   }
 
   test("krippendorffAlpha: perfect = 1, missing data, single-rating drop") {

@@ -232,7 +232,9 @@ class EventsSpec extends SparkSpec {
     assert(got(0L) == ((2L, 0L, 0L, 0L))) // u1, u2 new
     assert(got(1L) == ((1L, 1L, 0L, 1L))) // u3 new, u1 retained, u2's skip churns here
     assert(got(2L) == ((0L, 0L, 1L, 2L))) // u2 back; u1, u3 churn
-    assert(got(3L) == ((0L, 0L, 0L, 1L))) // u2 churns past horizon
+    // u2 is active in the final observed period (2): whether it
+    // churns in 3 is right-censored — no phantom row past the horizon
+    assert(!got.contains(3L))
   }
 
   test("quantileTreatmentEffects localizes a planted tail-only lift") {

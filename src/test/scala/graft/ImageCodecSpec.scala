@@ -99,9 +99,215 @@ class ImageCodecSpec extends SparkSpec {
     assert(ImageCodec.meta(pngHeader(640, 480)).contains((640, 480, "png")))
     assert(ImageCodec.meta(gifHeader(320, 200)).contains((320, 200, "gif")))
     assert(ImageCodec.meta(jpegHeader(1024, 768)).contains((1024, 768, "jpeg")))
-    assert(ImageCodec.decode(pngHeader(640, 480)).isEmpty) // entropy-coded
+    assert(ImageCodec.decode(pngHeader(640, 480)).isEmpty) // no IDAT
     // garbage stays unrecognized (the stub-fallback contract)
     assert(ImageCodec.detect("not an image at all".getBytes).isEmpty)
+  }
+
+  // --- PNG full decode ---------------------------------------------------
+
+  test("PNG round-trips 8-bit gray/RGB under all 5 scanline filters") {
+    val rnd = new scala.util.Random(13)
+    for {
+      ch <- Seq(1, 3)
+      filter <- 0 to 4
+    } {
+      val (w, h) = (11, 7) // odd dims: exercises non-aligned strides
+      val px = Array.fill(w * h * ch)(rnd.nextInt(256).toByte)
+      val bytes = ImageCodec.encodePng(w, h, ch, px, filter)
+      assert(ImageCodec.detect(bytes).contains("png"))
+      assert(ImageCodec.meta(bytes).contains((w, h, "png")))
+      val dec = ImageCodec.decode(bytes)
+        .getOrElse(fail(s"decode failed: ch=$ch filter=$filter"))
+      assert((dec.width, dec.height, dec.channels) == ((w, h, ch)),
+        s"ch=$ch filter=$filter")
+      assert(dec.pixels.sameElements(px), s"pixels differ: ch=$ch filter=$filter")
+    }
+  }
+
+  test("PNG alpha channels (gray+alpha, RGBA) decode by dropping alpha") {
+    val rnd = new scala.util.Random(17)
+    for (filter <- 0 to 4) {
+      val (w, h) = (6, 5)
+      // RGBA: planted rgb + varying alpha
+      val rgba = Array.fill(w * h * 4)(rnd.nextInt(256).toByte)
+      val decRgba = ImageCodec.decode(
+        ImageCodec.encodePng(w, h, 4, rgba, filter)).get
+      assert(decRgba.channels == 3)
+      val wantRgb = Array.tabulate(w * h * 3) { i =>
+        rgba((i / 3) * 4 + i % 3)
+      }
+      assert(decRgba.pixels.sameElements(wantRgb), s"rgba filter=$filter")
+      // gray+alpha
+      val ga = Array.fill(w * h * 2)(rnd.nextInt(256).toByte)
+      val decGa = ImageCodec.decode(
+        ImageCodec.encodePng(w, h, 2, ga, filter)).get
+      assert(decGa.channels == 1)
+      assert(decGa.pixels.sameElements(
+        Array.tabulate(w * h)(i => ga(i * 2))), s"ga filter=$filter")
+    }
+  }
+
+  test("PNG palette (color type 3) resolves through PLTE; interlace and 16-bit reject") {
+    // hand-build a palette PNG: 4×2, 3-entry palette, filter 0
+    val plte = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90)
+    val idx = Array[Byte](0, 1, 2, 0, 2, 1, 0, 0)
+    val raw = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until 2) {
+      raw.write(0) // filter none
+      raw.write(idx, y * 4, 4)
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw.toByteArray); deflater.finish()
+    val zb = new Array[Byte](256)
+    val zn = deflater.deflate(zb); deflater.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A))
+    def chunk(t: String, d: Array[Byte]): Unit = {
+      val be = java.nio.ByteBuffer.allocate(4).putInt(d.length).array()
+      out.write(be)
+      val tb = t.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32(); crc.update(tb); crc.update(d)
+      out.write(tb); out.write(d)
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(4).putInt(2)
+      .put(8.toByte).put(3.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    chunk("IHDR", ihdr.array())
+    chunk("PLTE", plte)
+    chunk("IDAT", java.util.Arrays.copyOf(zb, zn))
+    chunk("IEND", Array.emptyByteArray)
+    val dec = ImageCodec.decode(out.toByteArray).get
+    assert((dec.width, dec.height, dec.channels) == ((4, 2, 3)))
+    assert(dec.pixels.sameElements(idx.flatMap(i =>
+      Seq(plte(i * 3), plte(i * 3 + 1), plte(i * 3 + 2)))))
+    // Adam7 interlace must be rejected, not misdecoded
+    val il = out.toByteArray.clone()
+    // interlace byte lives at offset 8 + 8 + 12 = 28 (last IHDR byte)
+    il(28) = 1
+    assert(ImageCodec.decode(il).isEmpty)
+    // 16-bit depth rejected too (offset 24 is the bit-depth byte)
+    val bd = out.toByteArray.clone(); bd(24) = 16
+    assert(ImageCodec.decode(bd).isEmpty)
+  }
+
+  // --- GIF full decode ---------------------------------------------------
+
+  /** 256-entry grayscale-ish test palette: entry i -> (i, 255-i, i^0x5A). */
+  private def testPalette: Array[Byte] =
+    (0 until 256).flatMap(i =>
+      Seq(i.toByte, (255 - i).toByte, (i ^ 0x5A).toByte)).toArray
+
+  test("GIF LZW round-trips pixels through the uncompressed-LZW encoder") {
+    val rnd = new scala.util.Random(19)
+    val (w, h) = (23, 9)
+    val pal = testPalette
+    val idx = Array.fill(w * h)(rnd.nextInt(256).toByte)
+    val bytes = ImageCodec.encodeGif(w, h, pal, idx)
+    assert(ImageCodec.detect(bytes).contains("gif"))
+    assert(ImageCodec.meta(bytes).contains((w, h, "gif")))
+    val dec = ImageCodec.decode(bytes).get
+    assert((dec.width, dec.height, dec.channels) == ((w, h, 3)))
+    val want = idx.flatMap { b =>
+      val i = b & 0xFF
+      Seq(pal(i * 3), pal(i * 3 + 1), pal(i * 3 + 2))
+    }
+    assert(dec.pixels.sameElements(want))
+  }
+
+  test("GIF interlaced rows deinterlace to the original raster") {
+    val (w, h) = (8, 13) // odd height: all four passes non-empty
+    val idx = Array.tabulate(w * h)(i => (i % 251).toByte)
+    val bytes = ImageCodec.encodeGif(w, h, testPalette, idx, interlaced = true)
+    val plain = ImageCodec.decode(
+      ImageCodec.encodeGif(w, h, testPalette, idx)).get
+    val inter = ImageCodec.decode(bytes).get
+    assert(inter.pixels.sameElements(plain.pixels))
+  }
+
+  test("GIF decode handles REAL compressed LZW (composite codes + KwKwK)") {
+    // a genuine LZW compressor (dictionary, variable width) — the
+    // uncompressed-style encoder never emits composite codes, so this
+    // exercises the decoder's dictionary walk and the KwKwK case
+    // (triggered immediately by runs: 'aaaa' emits a code that is not
+    // yet in the decoder's table).
+    def lzwCompress(data: Array[Byte], mcs: Int): Array[Byte] = {
+      val clear = 1 << mcs; val eoi = clear + 1
+      val out = new java.io.ByteArrayOutputStream()
+      var acc = 0L; var accBits = 0; var width = mcs + 1
+      def emit(code: Int): Unit = {
+        acc |= code.toLong << accBits; accBits += width
+        while (accBits >= 8) {
+          out.write((acc & 0xFF).toInt); acc >>= 8; accBits -= 8
+        }
+      }
+      var dict = scala.collection.mutable.HashMap[Seq[Byte], Int]()
+      def resetDict(): Unit = {
+        dict = scala.collection.mutable.HashMap[Seq[Byte], Int]()
+        (0 until clear).foreach(i => dict(Seq(i.toByte)) = i)
+        width = mcs + 1
+      }
+      resetDict()
+      var next = eoi + 1
+      emit(clear)
+      var cur: Seq[Byte] = Seq.empty
+      data.foreach { b =>
+        val ext = cur :+ b
+        if (dict.contains(ext)) cur = ext
+        else {
+          emit(dict(cur))
+          dict(ext) = next; next += 1
+          // decoder bumps width when ITS dict size reaches 1<<width;
+          // its size tracks ours
+          if (next == (1 << width) + 1 && width < 12) width += 1
+          if (next >= 4096) { emit(clear); resetDict(); next = eoi + 1 }
+          cur = Seq(b)
+        }
+      }
+      if (cur.nonEmpty) emit(dict(cur))
+      emit(eoi)
+      if (accBits > 0) out.write((acc & 0xFF).toInt)
+      out.toByteArray
+    }
+    val (w, h) = (16, 8)
+    // long runs: immediate KwKwK; then structure for composite codes
+    val idx = Array.tabulate(w * h)(i =>
+      if (i < 40) 7.toByte else ((i / 3) % 11).toByte)
+    val lzw = lzwCompress(idx, 8)
+    // wrap in a GIF container by hand
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def le(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    le(w); le(h); out.write(0x80 | 7); out.write(0); out.write(0)
+    out.write(testPalette)
+    out.write(0x2C); le(0); le(0); le(w); le(h); out.write(0)
+    out.write(8)
+    var off = 0
+    while (off < lzw.length) {
+      val n = math.min(255, lzw.length - off)
+      out.write(n); out.write(lzw, off, n); off += n
+    }
+    out.write(0); out.write(0x3B)
+    val dec = ImageCodec.decode(out.toByteArray).get
+    val pal = testPalette
+    val want = idx.flatMap { b =>
+      val i = b & 0xFF
+      Seq(pal(i * 3), pal(i * 3 + 1), pal(i * 3 + 2))
+    }
+    assert(dec.pixels.sameElements(want))
+  }
+
+  test("GIF extension blocks and local color tables are handled") {
+    val (w, h) = (5, 4)
+    val idx = Array.tabulate(w * h)(_.toByte)
+    val base = ImageCodec.encodeGif(w, h, testPalette, idx)
+    // splice a graphic-control extension between the GCT and the
+    // image descriptor: 0x21 0xF9 size-4 block + terminator
+    val gctEnd = 13 + 768
+    val ext = Array[Byte](0x21, 0xF9.toByte, 4, 0, 0, 0, 0, 0)
+    val spliced = base.take(gctEnd) ++ ext ++ base.drop(gctEnd)
+    val dec = ImageCodec.decode(spliced).get
+    assert(dec.pixels.sameElements(ImageCodec.decode(base).get.pixels))
   }
 
   // --- kernels -----------------------------------------------------------

@@ -143,4 +143,47 @@ class LinkageSpec extends SparkSpec {
     assert(relaxed.contains((1L, 3L)) && !relaxed.exists(_._2 == 4L))
     assert(!relaxed.exists(t => t._1 == 5L || t._2 == 5L))
   }
+
+  test("jaroWinklerLinkage survives a planted low-entropy block (one first token, one length)") {
+    import spark.implicits._
+    // worst-case blocking entropy: EVERY name shares first token
+    // "john" and length 9 — without salting the whole quadratic
+    // candidate space lands on one (blk, lk) key (the round-18
+    // edit-distance collapse class). 120 distinct names → 7140
+    // candidate pairs, all in the hot bucket.
+    val names = (0 until 120).map { i =>
+      (i.toLong, f"john $i%04d")
+    }
+    val df = names.toDF("id", "name")
+    val got = graft.ml.Dedup.jaroWinklerLinkage(df, "id", "name",
+        threshold = 0.93, lenBand = 0, parallelism = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSet
+    // brute-force oracle over all unordered pairs
+    def jw(a: String, b: String): Double = {
+      val row = Seq((a, b)).toDF("a", "b").select(
+        graft.functions.StringFunctions.jaro_winkler(col("a"), col("b")))
+      row.head().getDouble(0)
+    }
+    // spot-check planted neighbours: "john 0001" vs "john 0011" share
+    // prefix+suffix; exact expected set from the same JW expression,
+    // evaluated once per pair driver-side on a small slice
+    val slice = names.take(30)
+    val expSlice = (for {
+      (i1, s1) <- slice; (i2, s2) <- slice if i1 < i2
+      v = jw(s1, s2) if v >= 0.93
+    } yield (i1, i2, v)).toSet
+    val gotSlice = got.filter(t => t._1 < 30 && t._2 < 30)
+    assert(gotSlice == expSlice,
+      s"missing=${expSlice -- gotSlice} extra=${gotSlice -- expSlice}")
+    // the salted join must spread the hot bucket: with parallelism=8
+    // the candidate join's shuffle has 8 distinct (blk, lk, salt)
+    // keys, so no single task carries all 7140 verifies
+    val salts = df.select(
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.hash(col("name")),
+          org.apache.spark.sql.functions.lit(8)).as("salt"))
+      .distinct().count()
+    assert(salts > 1, "salt must split the single hot block")
+  }
 }

@@ -70,6 +70,8 @@ class PlanLintSpec extends SparkSpec {
       "1-row corpus-stats (N, avgdl) aggregate broadcast onto the BM25 hit stream"),
     "q_events_sequential" -> Map("cartesian" ->
       "dense (arms x periods) grid — both sides driver-bounded (arm list x time-range/periodSec)"),
+    "q_events_growth" -> Map("cartesian" ->
+      "1-row max-period horizon aggregate broadcast onto the churn rows"),
     "q_events_power" -> Map("cartesian" ->
       "1-row control-arm aggregate broadcast onto the treatment arms"),
     "q_profile_join_card" -> Map("cartesian" ->
@@ -99,7 +101,7 @@ class PlanLintSpec extends SparkSpec {
       ("1-row LGT regression fit, then the 1-row renormalizer, broadcast " +
         "onto the vocabulary table")),
     "q_text_dispersion" -> Map("cartesian" ->
-      "vocab × strata grid: strata are dashboard-sized and broadcast"),
+      "1-row corpus-total broadcast onto the dashboard-sized stratum table"),
     "q_text_ppmi" -> Map("cartesian" ->
       "1-row pair-total aggregate broadcast onto the pair-count table"),
     "q_text_keyness" -> Map("cartesian" ->
