@@ -27,7 +27,7 @@ import org.apache.spark.sql.SparkSession
 object StageAudit {
 
   final case class StageStat(stageId: Int, numTasks: Int, runTimeMs: Long,
-      name: String)
+      shuffleReadRecords: Long, name: String)
 
   /** Listener collecting per-stage task counts and summed run time. */
   final class Collector extends SparkListener {
@@ -35,7 +35,8 @@ object StageAudit {
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
       val si = sc.stageInfo
       stages.add(StageStat(si.stageId, si.numTasks,
-        si.taskMetrics.executorRunTime, si.name))
+        si.taskMetrics.executorRunTime,
+        si.taskMetrics.shuffleReadMetrics.recordsRead, si.name))
     }
     /** Drain everything observed so far (poll until the async listener
       * bus has gone quiet — listener delivery lags job completion). */
@@ -56,19 +57,33 @@ object StageAudit {
 
   final case class Flag(query: String, stage: StageStat, shareOfQuery: Double)
 
+  /** The collapse criterion, factored out for spec coverage: the
+    * query's DOMINANT stage (largest summed run time) is flagged iff
+    * it (a) ran on fewer tasks than cores/4, (b) carried >50% of the
+    * query's total task time, (c) burned >5 s of task time (the
+    * edit-distance collapse burned MINUTES; AQE legitimately folds
+    * tiny sf0.1 shuffles to 1-3 short tasks), and (d) READ FROM A
+    * SHUFFLE — a scan stage's task count is bounded by input splits
+    * (3 parquet files at sf0.1, thousands at 100 TB), so low scan
+    * parallelism on a small SF says nothing about scale.
+    */
+  def collapsed(stats: Seq[StageStat], cores: Int): Option[(StageStat, Double)] = {
+    if (stats.isEmpty) return None
+    val total = stats.map(_.runTimeMs).sum.max(1L)
+    val dominant = stats.maxBy(_.runTimeMs)
+    val share = dominant.runTimeMs.toDouble / total
+    val hit = dominant.numTasks < cores / 4 &&
+      share > 0.5 && dominant.runTimeMs > 5000L &&
+      dominant.shuffleReadRecords > 0L
+    if (hit) Some((dominant, share)) else None
+  }
+
   def auditOne(spark: SparkSession, cores: Int,
       fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
       dir: String, collector: Collector): Option[(StageStat, Double)] = {
     collector.drain() // discard stages from previous query / warmup
     fn(spark, dir).write.format("noop").mode("overwrite").save()
-    val stats = collector.drain()
-    if (stats.isEmpty) return None
-    val total = stats.map(_.runTimeMs).sum.max(1L)
-    val dominant = stats.maxBy(_.runTimeMs)
-    val share = dominant.runTimeMs.toDouble / total
-    val collapsed = dominant.numTasks < cores / 4 &&
-      share > 0.5 && dominant.runTimeMs > 1000L
-    if (collapsed) Some((dominant, share)) else None
+    collapsed(collector.drain(), cores)
   }
 
   def main(args: Array[String]): Unit = {
@@ -80,10 +95,12 @@ object StageAudit {
     val collector = new Collector
     spark.sparkContext.addSparkListener(collector)
     val queries = graft.SparkEntry.queries
-    val names = {
-      val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
-      graft.Bench.headline.filter(queries.contains)
-        .filter(n => only.forall(_.contains(n)))
+    // SPARK_GRAFT_BENCH_ONLY may name ANY registered query (not just
+    // bench headliners) — the audit is exactly how a non-headline
+    // discovery query gets vetted before promotion
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(list) => list.split(',').toSeq.filter(queries.contains)
+      case None => graft.Bench.headline.filter(queries.contains)
     }
     val flags = names.flatMap { name =>
       val r = try auditOne(spark, cpus, queries(name), dir, collector)
