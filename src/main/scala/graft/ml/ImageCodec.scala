@@ -8,13 +8,14 @@ package graft.ml
   *    BITMAPINFOHEADER layout), binary netpbm PPM (P6) and PGM (P5),
   *    PNG (8-bit gray / gray+alpha / RGB / RGBA / palette, all 5
   *    scanline filters, via the JVM's own zlib Inflater; Adam7
-  *    interlace is rejected, not misdecoded), and GIF (87a/89a LZW,
-  *    global or local color table, interlaced or not, first frame);
+  *    interlace is rejected, not misdecoded), GIF (87a/89a LZW,
+  *    global or local color table, interlaced or not, first frame),
+  *    and baseline JPEG (via [[JpegCodec]]: Huffman + IDCT, 4:4:4 /
+  *    4:2:2 / 4:2:0, restart markers; progressive rejected);
   *  - header-only metadata (width/height/format): PNG (IHDR), GIF
   *    (logical screen descriptor), JPEG (SOF0/1/2 frame header) —
   *    the fast-metadata pass a 100 TB media crawl runs without
-  *    paying for full decode (JPEG stays header-only: entropy
-  *    decode without a DCT library is out of scope);
+  *    paying for full decode;
   *  - real pixel kernels on decoded images: nearest-neighbor resize,
   *    BT.601 grayscale, and an 8×8 average-hash feature vector (the
   *    classic perceptual-dedup embedding).
@@ -126,7 +127,8 @@ object ImageCodec {
     case "bmp" => decodeBmp(bytes)
     case "png" => decodePng(bytes)
     case "gif" => decodeGif(bytes)
-    case _ => None // jpeg: metadata only (entropy coding needs a DCT)
+    case "jpeg" => JpegCodec.decode(bytes) // baseline sequential
+    case _ => None
   }
 
   private def decodePnm(b: Array[Byte], ch: Int): Option[Image] =

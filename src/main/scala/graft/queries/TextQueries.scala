@@ -644,6 +644,65 @@ object TextQueries extends QueryGroup {
         .orderBy("id")
     },
 
+    // REAL JPEG through the gate: per document a deterministic smooth
+    // raster (w = 16 + id%17, h = 16 + id%13, gray when id%4 = 0,
+    // pixel = 2x + 3y + 17c + id%64 — bounded 245, so the plane has NO
+    // mod-256 wrap discontinuities: a genuine gradient, not a
+    // sawtooth) is encoded with the
+    // hand-rolled baseline JPEG encoder (quality [100, 92, 85][id%3],
+    // 4:2:0 subsampling on odd color ids, restart markers every 2 MCUs
+    // when id%5 = 0) and decoded back through the full Huffman + IDCT
+    // path. JPEG is lossy, so the gate is a SELF-VERIFYING CONTRACT
+    // (the semantic-dedup-recall style): dims/channels replay exactly
+    // in the oracle and the reconstruction-error bound is reported as
+    // a boolean that must be uniformly true. A broken Huffman table,
+    // dequant, IDCT, upsampler, or color convert produces mean errors
+    // an order of magnitude over the bound.
+    q("q_multimodal_jpeg",
+      """SELECT doc_id AS id,
+        |  CAST(16 + doc_id % 17 AS INT) AS width,
+        |  CAST(16 + doc_id % 13 AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 3 END AS INT) AS channels,
+        |  true AS within_tol
+        |FROM documents ORDER BY id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.ml.{ImageCodec, JpegCodec}
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (16 + id % 17).toInt
+          val h = (16 + id % 13).toInt
+          val ch = if (id % 4 == 0) 1 else 3
+          val px = Array.tabulate(w * h * ch) { i =>
+            val c = i % ch
+            val x = (i / ch) % w
+            val y = i / (ch * w)
+            (2 * x + 3 * y + 17 * c + (id % 64)).toByte // max 245: no wrap
+          }
+          val quality = Array(100, 92, 85)((id % 3).toInt)
+          val bytes = JpegCodec.encode(ImageCodec.Image(w, h, ch, px),
+            quality = quality,
+            chromaSubsample = ch == 3 && id % 2 == 1,
+            restartInterval = if (id % 5 == 0) 2 else 0)
+          val dec = JpegCodec.decode(bytes)
+          val ok = dec.exists { d =>
+            if (d.width != w || d.height != h || d.channels != ch) false
+            else {
+              var sum = 0L
+              var i = 0
+              while (i < px.length) {
+                sum += math.abs((px(i) & 0xFF) - (d.pixels(i) & 0xFF))
+                i += 1
+              }
+              sum.toDouble / px.length <= 10.0
+            }
+          }
+          (id, dec.map(_.width).getOrElse(-1),
+            dec.map(_.height).getOrElse(-1),
+            dec.map(_.channels).getOrElse(-1), ok)
+        }.toDF("id", "width", "height", "channels", "within_tol")
+        .orderBy("id")
+    },
+
     // REAL audio decode through the gate: both engines construct the
     // same stereo 16-bit PCM WAV per document — n = 40 + id%30 frames
     // at 16 kHz, interleaved sample i = ((id*37 + i*797) % 4001) - 2000
