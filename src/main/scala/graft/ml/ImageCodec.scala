@@ -175,10 +175,12 @@ object ImageCodec {
     * 6 (RGBA); all five scanline filters (None/Sub/Up/Average/Paeth);
     * zlib inflate via `java.util.zip.Inflater`. Alpha channels are
     * DROPPED (straight truncation — the raster model is RGB/gray);
-    * palette indices resolve through PLTE. Adam7 interlace (and any
-    * bit depth other than 8) returns None rather than garbage pixels.
-    * Chunk CRCs are not validated (lenient decode — a media crawl
-    * prefers salvage over strictness; the ENCODER writes real CRCs).
+    * palette indices resolve through PLTE. Adam7 interlace is decoded
+    * (7 passes, each its own filtered sub-image, scattered back by
+    * the standard origin/step grid); bit depths other than 8 return
+    * None rather than garbage pixels. Chunk CRCs are not validated
+    * (lenient decode — a media crawl prefers salvage over strictness;
+    * the ENCODER writes real CRCs).
     */
   private def decodePng(b: Array[Byte]): Option[Image] = {
     if (b.length < 33) return None
@@ -207,15 +209,22 @@ object ImageCodec {
       }
       i += 12 + len
     }
-    if (w <= 0 || h <= 0 || bitDepth != 8 || interlace != 0) return None
+    if (w <= 0 || h <= 0 || bitDepth != 8 || interlace > 1) return None
     val srcCh = colorType match {
       case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
       case _ => return None
     }
     if (colorType == 3 && (plte == null || plte.length % 3 != 0)) return None
+    val bpp = srcCh // bytes per pixel at bit depth 8
     // guard absurd dimensions before allocating (w*h*ch can overflow)
-    val rawLen = h.toLong * (1L + w.toLong * srcCh)
-    if (rawLen > Int.MaxValue - 64) return None
+    // (interlace overhead: ≤ h extra filter bytes per pass boundary)
+    val rawLen =
+      if (interlace == 0) h.toLong * (1L + w.toLong * srcCh)
+      else adam7.map { case (x0, y0, dx, dy) =>
+        val pw = passDim(w, x0, dx); val ph = passDim(h, y0, dy)
+        if (pw == 0 || ph == 0) 0L else ph.toLong * (1L + pw.toLong * srcCh)
+      }.sum
+    if (rawLen <= 0 || rawLen > Int.MaxValue - 64) return None
     val raw = new Array[Byte](rawLen.toInt)
     val inf = new java.util.zip.Inflater()
     try {
@@ -227,40 +236,44 @@ object ImageCodec {
         off += n
       }
       if (off < raw.length) return None
+      // a stream LONGER than IHDR promises means the geometry and the
+      // pixel data disagree (e.g. an interlace flag flipped on a
+      // non-interlaced body) — corrupt, don't scatter garbage
+      if (!inf.finished()) {
+        val extra = new Array[Byte](1)
+        if (inf.inflate(extra, 0, 1) > 0) return None
+      }
     } catch { case _: java.util.zip.DataFormatException => return None }
     finally inf.end()
-    // defilter in place, scanline by scanline
     val stride = w * srcCh
-    val bpp = srcCh // bytes per pixel at bit depth 8
     val px = new Array[Byte](h * stride)
-    var y = 0
-    while (y < h) {
-      val f = u8(raw, y * (stride + 1))
-      val src = y * (stride + 1) + 1
-      val dst = y * stride
-      var x = 0
-      while (x < stride) {
-        val cur = u8(raw, src + x)
-        val a = if (x >= bpp) u8(px, dst + x - bpp) else 0 // left
-        val bb = if (y > 0) u8(px, dst - stride + x) else 0 // up
-        val c = if (y > 0 && x >= bpp) u8(px, dst - stride + x - bpp) else 0
-        val recon = f match {
-          case 0 => cur
-          case 1 => cur + a
-          case 2 => cur + bb
-          case 3 => cur + ((a + bb) >> 1)
-          case 4 =>
-            // Paeth predictor
-            val p = a + bb - c
-            val pa = math.abs(p - a); val pb = math.abs(p - bb)
-            val pc = math.abs(p - c)
-            cur + (if (pa <= pb && pa <= pc) a else if (pb <= pc) bb else c)
-          case _ => return None
+    if (interlace == 0) {
+      if (!defilter(raw, 0, px, w, h, bpp)) return None
+    } else {
+      // Adam7: each pass is an independently-filtered sub-image whose
+      // pixels scatter back at (x0 + i·dx, y0 + j·dy)
+      var rawOff = 0
+      var p = 0
+      while (p < 7) {
+        val (x0, y0, dx, dy) = adam7(p)
+        val pw = passDim(w, x0, dx); val ph = passDim(h, y0, dy)
+        if (pw > 0 && ph > 0) {
+          val sub = new Array[Byte](ph * pw * bpp)
+          if (!defilter(raw, rawOff, sub, pw, ph, bpp)) return None
+          rawOff += ph * (1 + pw * bpp)
+          var j = 0
+          while (j < ph) {
+            var i2 = 0
+            while (i2 < pw) {
+              val dst = ((y0 + j * dy) * w + (x0 + i2 * dx)) * bpp
+              System.arraycopy(sub, (j * pw + i2) * bpp, px, dst, bpp)
+              i2 += 1
+            }
+            j += 1
+          }
         }
-        px(dst + x) = recon.toByte
-        x += 1
+        p += 1
       }
-      y += 1
     }
     // normalize to the RGB/gray raster model
     colorType match {
@@ -293,6 +306,54 @@ object ImageCodec {
         Some(Image(w, h, 3, out))
       case _ => None
     }
+  }
+
+  /** Adam7 pass grid: (xOrigin, yOrigin, xStep, yStep) per pass. */
+  private val adam7: Array[(Int, Int, Int, Int)] = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** Pixels a pass covers along one axis: ceil((dim − origin) / step). */
+  private def passDim(dim: Int, origin: Int, step: Int): Int =
+    if (dim <= origin) 0 else (dim - origin + step - 1) / step
+
+  /** Reconstruct `heightPx` filtered scanlines (each 1 filter byte +
+    * widthPx·bpp data) from `raw` at `rawOff` into `out` (contiguous
+    * rows). Returns false on an invalid filter type.
+    */
+  private def defilter(raw: Array[Byte], rawOff: Int, out: Array[Byte],
+      widthPx: Int, heightPx: Int, bpp: Int): Boolean = {
+    val stride = widthPx * bpp
+    var y = 0
+    while (y < heightPx) {
+      val f = u8(raw, rawOff + y * (stride + 1))
+      val src = rawOff + y * (stride + 1) + 1
+      val dst = y * stride
+      var x = 0
+      while (x < stride) {
+        val cur = u8(raw, src + x)
+        val a = if (x >= bpp) u8(out, dst + x - bpp) else 0 // left
+        val bb = if (y > 0) u8(out, dst - stride + x) else 0 // up
+        val c = if (y > 0 && x >= bpp) u8(out, dst - stride + x - bpp) else 0
+        val recon = f match {
+          case 0 => cur
+          case 1 => cur + a
+          case 2 => cur + bb
+          case 3 => cur + ((a + bb) >> 1)
+          case 4 =>
+            // Paeth predictor
+            val p = a + bb - c
+            val pa = math.abs(p - a); val pb = math.abs(p - bb)
+            val pc = math.abs(p - c)
+            cur + (if (pa <= pb && pa <= pc) a else if (pb <= pc) bb else c)
+          case _ => return false
+        }
+        out(dst + x) = recon.toByte
+        x += 1
+      }
+      y += 1
+    }
+    true
   }
 
   /** GIF87a/89a full decode of the FIRST image: LZW with variable
@@ -518,10 +579,13 @@ object ImageCodec {
     * type 4), 3 (RGB, type 2) or 4 (RGBA, type 6); every scanline
     * filtered with `filterType` 0-4 (the encoder applies the FORWARD
     * filter, so each type exercises the decoder's matching
-    * reconstruction). The round-trip partner of [[decode]].
+    * reconstruction); `interlaced` writes Adam7 (each pass an
+    * independently-filtered sub-image). The round-trip partner of
+    * [[decode]].
     */
   def encodePng(width: Int, height: Int, channels: Int,
-      pixels: Array[Byte], filterType: Int = 0): Array[Byte] = {
+      pixels: Array[Byte], filterType: Int = 0,
+      interlaced: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0)
     require(Set(1, 2, 3, 4)(channels), s"channels must be 1-4, got $channels")
     require(filterType >= 0 && filterType <= 4)
@@ -529,35 +593,71 @@ object ImageCodec {
     val colorType = channels match {
       case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6
     }
-    val stride = width * channels
     val bpp = channels
-    val raw = new Array[Byte](height * (stride + 1))
-    var y = 0
-    while (y < height) {
-      raw(y * (stride + 1)) = filterType.toByte
-      var x = 0
-      while (x < stride) {
-        val cur = u8(pixels, y * stride + x)
-        val a = if (x >= bpp) u8(pixels, y * stride + x - bpp) else 0
-        val b = if (y > 0) u8(pixels, (y - 1) * stride + x) else 0
-        val c = if (y > 0 && x >= bpp) u8(pixels, (y - 1) * stride + x - bpp)
-          else 0
-        val filtered = filterType match {
-          case 0 => cur
-          case 1 => cur - a
-          case 2 => cur - b
-          case 3 => cur - ((a + b) >> 1)
-          case 4 =>
-            val p = a + b - c
-            val pa = math.abs(p - a); val pb = math.abs(p - b)
-            val pc = math.abs(p - c)
-            cur - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+    // forward-filter a contiguous sub-image into `dst` at `dstOff`
+    def filterInto(src: Array[Byte], pw: Int, ph: Int,
+        dst: Array[Byte], dstOff: Int): Unit = {
+      val stride = pw * bpp
+      var y = 0
+      while (y < ph) {
+        dst(dstOff + y * (stride + 1)) = filterType.toByte
+        var x = 0
+        while (x < stride) {
+          val cur = u8(src, y * stride + x)
+          val a = if (x >= bpp) u8(src, y * stride + x - bpp) else 0
+          val b = if (y > 0) u8(src, (y - 1) * stride + x) else 0
+          val c = if (y > 0 && x >= bpp) u8(src, (y - 1) * stride + x - bpp)
+            else 0
+          val filtered = filterType match {
+            case 0 => cur
+            case 1 => cur - a
+            case 2 => cur - b
+            case 3 => cur - ((a + b) >> 1)
+            case 4 =>
+              val p = a + b - c
+              val pa = math.abs(p - a); val pb = math.abs(p - b)
+              val pc = math.abs(p - c)
+              cur - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          }
+          dst(dstOff + y * (stride + 1) + 1 + x) = filtered.toByte
+          x += 1
         }
-        raw(y * (stride + 1) + 1 + x) = filtered.toByte
-        x += 1
+        y += 1
       }
-      y += 1
     }
+    val raw: Array[Byte] =
+      if (!interlaced) {
+        val r = new Array[Byte](height * (width * bpp + 1))
+        filterInto(pixels, width, height, r, 0)
+        r
+      } else {
+        // Adam7: gather each pass's sub-image, filter it independently
+        val passes = adam7.map { case (x0, y0, dx, dy) =>
+          (passDim(width, x0, dx), passDim(height, y0, dy), x0, y0, dx, dy)
+        }.filter(p => p._1 > 0 && p._2 > 0)
+        val total = passes.map { case (pw, ph, _, _, _, _) =>
+          ph * (1 + pw * bpp)
+        }.sum
+        val r = new Array[Byte](total)
+        var off = 0
+        passes.foreach { case (pw, ph, x0, y0, dx, dy) =>
+          val sub = new Array[Byte](pw * ph * bpp)
+          var j = 0
+          while (j < ph) {
+            var i2 = 0
+            while (i2 < pw) {
+              System.arraycopy(pixels,
+                ((y0 + j * dy) * width + (x0 + i2 * dx)) * bpp,
+                sub, (j * pw + i2) * bpp, bpp)
+              i2 += 1
+            }
+            j += 1
+          }
+          filterInto(sub, pw, ph, r, off)
+          off += ph * (1 + pw * bpp)
+        }
+        r
+      }
     val deflater = new java.util.zip.Deflater()
     deflater.setInput(raw); deflater.finish()
     val zbuf = new java.io.ByteArrayOutputStream()
@@ -578,7 +678,8 @@ object ImageCodec {
     val ihdr = java.nio.ByteBuffer.allocate(13)
     ihdr.putInt(width).putInt(height)
       .put(8.toByte).put(colorType.toByte)
-      .put(0.toByte).put(0.toByte).put(0.toByte)
+      .put(0.toByte).put(0.toByte)
+      .put((if (interlaced) 1 else 0).toByte)
     chunk("IHDR", ihdr.array())
     chunk("IDAT", zbuf.toByteArray)
     chunk("IEND", Array.emptyByteArray)

@@ -556,7 +556,9 @@ object TextQueries extends QueryGroup {
     // [1 gray, 3 RGB, 4 RGBA][id%3], pixel byte i = (id*37 + i) % 256
     // — is PNG-ENCODED by the Spark side (real zlib stream, real
     // CRCs, scanline filter type id%5, so all five filters cross the
-    // gate) and then fully DECODED back (inflate + defilter + alpha
+    // gate; odd ids written Adam7-INTERLACED so the 7-pass
+    // deinterlace crosses it too) and then fully DECODED back
+    // (inflate + defilter + scatter + alpha
     // drop), while the oracle replays the planted pixels
     // arithmetically (RGBA keeps bytes (i/3)*4 + i%3 after the alpha
     // drop) without ever touching PNG bytes. Hash equality pins the
@@ -588,7 +590,8 @@ object TextQueries extends QueryGroup {
           val ch = Array(1, 3, 4)((id % 3).toInt)
           val filter = (id % 5).toInt
           val px = Array.tabulate(w * h * ch)(i => ((id * 37 + i) % 256).toByte)
-          (id, ImageCodec.encodePng(w, h, ch, px, filter))
+          (id, ImageCodec.encodePng(w, h, ch, px, filter,
+            interlaced = id % 2 == 1))
         }.toDF("id", "media")
       Multimodal.decodeImages(media).toDF()
         .select(col("id"), col("width"), col("height"), col("channels"),

@@ -181,7 +181,9 @@ class ImageCodecSpec extends SparkSpec {
     assert((dec.width, dec.height, dec.channels) == ((4, 2, 3)))
     assert(dec.pixels.sameElements(idx.flatMap(i =>
       Seq(plte(i * 3), plte(i * 3 + 1), plte(i * 3 + 2)))))
-    // Adam7 interlace must be rejected, not misdecoded
+    // flipping the interlace flag on a NON-interlaced body makes the
+    // declared geometry disagree with the stream length — must be
+    // rejected as corrupt, not scattered as garbage
     val il = out.toByteArray.clone()
     // interlace byte lives at offset 8 + 8 + 12 = 28 (last IHDR byte)
     il(28) = 1
@@ -189,6 +191,36 @@ class ImageCodecSpec extends SparkSpec {
     // 16-bit depth rejected too (offset 24 is the bit-depth byte)
     val bd = out.toByteArray.clone(); bd(24) = 16
     assert(ImageCodec.decode(bd).isEmpty)
+  }
+
+  test("PNG Adam7 interlace round-trips for every channel count and filter") {
+    val rnd = new scala.util.Random(23)
+    for {
+      ch <- Seq(1, 3, 4)
+      filter <- Seq(0, 2, 4) // none / up / paeth exercise cross-row state
+    } {
+      // 13×11: all 7 passes non-empty, odd steps hit edge pixels
+      val (w, h) = (13, 11)
+      val px = Array.fill(w * h * ch)(rnd.nextInt(256).toByte)
+      val bytes = ImageCodec.encodePng(w, h, ch, px, filter, interlaced = true)
+      val dec = ImageCodec.decode(bytes)
+        .getOrElse(fail(s"interlaced decode failed: ch=$ch filter=$filter"))
+      val want =
+        if (ch == 4) Array.tabulate(w * h * 3)(i => px((i / 3) * 4 + i % 3))
+        else px
+      assert(dec.pixels.sameElements(want), s"ch=$ch filter=$filter")
+      // and the interlaced file must equal the plain file's pixels
+      val plain = ImageCodec.decode(
+        ImageCodec.encodePng(w, h, ch, px, filter)).get
+      assert(dec.pixels.sameElements(plain.pixels))
+    }
+    // degenerate dims where several passes are empty
+    for ((w, h) <- Seq((1, 1), (2, 3), (8, 1), (1, 9))) {
+      val px = Array.fill(w * h)(rnd.nextInt(256).toByte)
+      val dec = ImageCodec.decode(
+        ImageCodec.encodePng(w, h, 1, px, 4, interlaced = true)).get
+      assert(dec.pixels.sameElements(px), s"dims ($w,$h)")
+    }
   }
 
   // --- GIF full decode ---------------------------------------------------
