@@ -184,4 +184,135 @@ object AudioCodec {
     }
     Audio(a.sampleRate, 1, a.bitsPerSample, out)
   }
+
+  // --- spectral analysis (pure-JVM FFT) ----------------------------------
+
+  /** In-place iterative radix-2 Cooley–Tukey FFT. `re.length` must be
+    * a power of two; `im` the same length (zeros for a real signal).
+    */
+  def fft(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    require(n == im.length && (n & (n - 1)) == 0, s"fft size $n not a power of 2")
+    // bit-reversal permutation
+    var i = 1; var j = 0
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val wr = math.cos(ang); val wi = math.sin(ang)
+      var blk = 0
+      while (blk < n) {
+        var cr = 1.0; var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val ur = re(blk + k); val ui = im(blk + k)
+          val vr = re(blk + k + len / 2) * cr - im(blk + k + len / 2) * ci
+          val vi = re(blk + k + len / 2) * ci + im(blk + k + len / 2) * cr
+          re(blk + k) = ur + vr; im(blk + k) = ui + vi
+          re(blk + k + len / 2) = ur - vr; im(blk + k + len / 2) = ui - vi
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr; cr = ncr
+          k += 1
+        }
+        blk += len
+      }
+      len <<= 1
+    }
+  }
+
+  /** Frame-level spectral summary of a clip — the standard audio-
+    * filtering features (music/speech/noise discrimination, corrupt-
+    * payload detection) a media pipeline computes before anything
+    * model-based. Mono-mixes, slides a Hann-windowed `frameSize` FFT
+    * at `hop`, averages the per-frame magnitude spectra, and derives:
+    *
+    *  - `dominantHz`: peak bin of the mean spectrum (DC excluded)
+    *  - `centroidHz`: magnitude-weighted mean frequency
+    *  - `rolloffHz`: smallest frequency holding ≥ 85% of total mass
+    *  - `fluxMean`: mean L2 spectral flux between consecutive frames
+    *    (0 for stationary signals — a planted pure tone — higher for
+    *    transients)
+    *
+    * Per-clip bounded state (frameSize/2+1 doubles); the Spark-side
+    * wrapper runs it inside mapPartitions, one clip per row, no
+    * shuffle of payloads.
+    */
+  final case class Spectral(nFrames: Int, dominantHz: Double,
+      centroidHz: Double, rolloffHz: Double, fluxMean: Double)
+
+  def spectralFeatures(a: Audio, frameSize: Int = 256,
+      hop: Int = 128): Spectral = {
+    require(frameSize >= 8 && (frameSize & (frameSize - 1)) == 0,
+      s"frameSize must be a power of 2 >= 8, got $frameSize")
+    require(hop > 0)
+    val mono = monoMix(a)
+    if (mono.length < frameSize) return Spectral(0, 0.0, 0.0, 0.0, 0.0)
+    val nFrames = (mono.length - frameSize) / hop + 1
+    val nBins = frameSize / 2 + 1
+    val mean = new Array[Double](nBins)
+    var prev: Array[Double] = null
+    var fluxSum = 0.0
+    val hann = Array.tabulate(frameSize)(i =>
+      0.5 * (1.0 - math.cos(2.0 * math.Pi * i / (frameSize - 1))))
+    var f = 0
+    while (f < nFrames) {
+      val re = new Array[Double](frameSize)
+      val im = new Array[Double](frameSize)
+      var i = 0
+      while (i < frameSize) {
+        re(i) = mono(f * hop + i) * hann(i); i += 1
+      }
+      fft(re, im)
+      val mag = new Array[Double](nBins)
+      var b = 0
+      while (b < nBins) {
+        mag(b) = math.sqrt(re(b) * re(b) + im(b) * im(b)); b += 1
+      }
+      var bb = 0
+      while (bb < nBins) { mean(bb) += mag(bb); bb += 1 }
+      if (prev != null) {
+        var s = 0.0
+        var k = 0
+        while (k < nBins) {
+          val d = mag(k) - prev(k); s += d * d; k += 1
+        }
+        fluxSum += math.sqrt(s)
+      }
+      prev = mag
+      f += 1
+    }
+    var b = 0
+    while (b < nBins) { mean(b) /= nFrames; b += 1 }
+    val binHz = a.sampleRate.toDouble / frameSize
+    var peak = 1 // exclude DC
+    var total = 0.0
+    var weighted = 0.0
+    b = 0
+    while (b < nBins) {
+      if (b >= 1 && mean(b) > mean(peak)) peak = b
+      total += mean(b); weighted += b * binHz * mean(b)
+      b += 1
+    }
+    var cum = 0.0
+    var roll = nBins - 1
+    var found = false
+    b = 0
+    while (b < nBins && !found) {
+      cum += mean(b)
+      if (cum >= 0.85 * total) { roll = b; found = true }
+      b += 1
+    }
+    Spectral(nFrames, peak * binHz,
+      if (total == 0.0) 0.0 else weighted / total, roll * binHz,
+      if (nFrames < 2) 0.0 else fluxSum / (nFrames - 1))
+  }
 }

@@ -195,6 +195,29 @@ object Multimodal {
       })
   }
 
+  /** Per-clip spectral summary row (see [[AudioCodec.spectralFeatures]]). */
+  case class AudioSpectralRow(id: Long, nFrames: Int, dominantHz: Double,
+      centroidHz: Double, rolloffHz: Double, fluxMean: Double)
+
+  /** FFT spectral features per clip — the music/speech/noise
+    * discrimination signals an audio-filtering pipeline computes
+    * before anything model-based. Narrow mapPartitions kernel, one
+    * clip per row, bounded per-clip state, no payload shuffle.
+    */
+  def audioSpectral(df: DataFrame, frameSize: Int = 256, hop: Int = 128,
+      idCol: String = "id", mediaCol: String = "media"): Dataset[AudioSpectralRow] = {
+    implicit val enc = Encoders.product[AudioSpectralRow]
+    df.select(col(idCol).cast("long"), col(mediaCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        AudioCodec.decode(bytes).map { a =>
+          val s = AudioCodec.spectralFeatures(a, frameSize, hop)
+          AudioSpectralRow(id, s.nFrames, s.dominantHz, s.centroidHz,
+            s.rolloffHz, s.fluxMean)
+        }
+      })
+  }
+
   /** Nearest-neighbor mono resample to a fixed frame count — the
     * audio analogue of [[resizeImages]]; returns the integer samples
     * so downstream featurizers see exact values.
@@ -245,6 +268,51 @@ object Multimodal {
       .mapPartitions(_.flatMap { case (id, bytes) =>
         AviCodec.meta(bytes).map(m =>
           VideoMeta(id, m.width, m.height, m.nFrames, m.microSecPerFrame))
+      })
+  }
+
+  /** A detected scene boundary: `frameIdx` is the FIRST frame of the
+    * new scene; `diff` the mean absolute per-byte pixel difference
+    * against the previous frame.
+    */
+  case class SceneCut(id: Long, frameIdx: Int, diff: Double)
+
+  /** Scene-cut detection over AVI clips — the frame-sampling
+    * primitive of a video training pipeline (sample k frames PER
+    * SCENE, not per fixed stride, so slideshows don't drown dynamic
+    * content). Decodes consecutive frames through [[ImageCodec]] and
+    * reports boundaries where the mean absolute pixel difference
+    * exceeds `threshold` (0-255 scale). Per-clip sequential kernel in
+    * mapPartitions: clip payloads never shuffle, state is two frames.
+    */
+  def sceneCuts(df: DataFrame, threshold: Double = 30.0,
+      idCol: String = "id", mediaCol: String = "media"): Dataset[SceneCut] = {
+    implicit val enc = Encoders.product[SceneCut]
+    df.select(col(idCol).cast("long"), col(mediaCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val frames = AviCodec.frames(bytes)
+        var prev: Array[Byte] = null
+        frames.iterator.zipWithIndex.flatMap { case (payload, idx) =>
+          ImageCodec.decode(payload) match {
+            case Some(img) =>
+              val cur = img.pixels
+              val cut =
+                if (prev != null && prev.length == cur.length) {
+                  var sum = 0L
+                  var i = 0
+                  while (i < cur.length) {
+                    sum += math.abs((cur(i) & 0xFF) - (prev(i) & 0xFF))
+                    i += 1
+                  }
+                  val d = sum.toDouble / cur.length
+                  if (d > threshold) Some(SceneCut(id, idx, d)) else None
+                } else None
+              prev = cur
+              cut
+            case None => prev = null; None // undecodable frame: reset
+          }
+        }
       })
   }
 

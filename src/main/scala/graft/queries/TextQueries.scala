@@ -706,6 +706,65 @@ object TextQueries extends QueryGroup {
         .orderBy("id")
     },
 
+    // FFT spectral features through the gate: per document a planted
+    // pure tone (f = 500 + (id%20)·250 Hz at 16 kHz, amplitude 8000,
+    // 2048 samples → 15 Hann frames at 256/128) is WAV-encoded and
+    // analyzed by the hand-rolled FFT path; the tone's frequency must
+    // land in the right 62.5 Hz bin and the centroid nearby — a
+    // self-verifying contract boolean (a broken FFT, window, or bin
+    // map puts the peak elsewhere), with frame count replayed exactly.
+    q("q_multimodal_spectral",
+      """SELECT doc_id AS id, 15 AS n_frames, true AS tone_localized
+        |FROM documents ORDER BY id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.ml.AudioCodec
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val f = 500.0 + (id % 20) * 250.0
+          val sine = Array.tabulate(2048)(i =>
+            math.round(8000 * math.sin(2 * math.Pi * f * i / 16000)).toInt)
+          (id, AudioCodec.encodeWav(
+            AudioCodec.Audio(16000, 1, 16, sine)))
+        }.toDF("id", "media")
+      Multimodal.audioSpectral(media).toDF()
+        .withColumn("f0", lit(500.0) + (col("id") % 20) * 250.0)
+        .select(col("id"), col("nFrames").as("n_frames"),
+          (abs(col("dominantHz") - col("f0")) <= lit(16000.0 / 256) &&
+            abs(col("centroidHz") - col("f0")) <= lit(2 * 16000.0 / 256))
+            .as("tone_localized"))
+        .orderBy("id")
+    },
+
+    // Scene-cut detection through the gate: per document an AVI whose
+    // frames hold constant value a = 50 + id%50 until the planted cut
+    // at frame c = 2 + id%3, then a + 120 — the mean-abs-diff kernel
+    // must fire EXACTLY at frame c with diff exactly 120 (constant
+    // frames make the mean exact), replayed arithmetically by the
+    // oracle.
+    q("q_multimodal_scenecut",
+      """SELECT doc_id AS id,
+        |  CAST(2 + doc_id % 3 AS INT) AS frame_idx,
+        |  120.0::DOUBLE AS diff
+        |FROM documents ORDER BY id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.ml.{AviCodec, ImageCodec}
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val nf = (5 + id % 4).toInt
+          val c = (2 + id % 3).toInt
+          val a = (50 + id % 50).toInt
+          val frames = (0 until nf).map { fidx =>
+            val v = if (fidx < c) a else a + 120
+            ImageCodec.encodePnm(ImageCodec.Image(6, 4,
+              3, Array.fill(6 * 4 * 3)(v.toByte)))
+          }
+          (id, AviCodec.encodeAvi(frames, 6, 4, 40000))
+        }.toDF("id", "media")
+      Multimodal.sceneCuts(media, threshold = 30.0).toDF()
+        .select(col("id"), col("frameIdx").as("frame_idx"), col("diff"))
+        .orderBy("id")
+    },
+
     // REAL audio decode through the gate: both engines construct the
     // same stereo 16-bit PCM WAV per document — n = 40 + id%30 frames
     // at 16 kHz, interleaved sample i = ((id*37 + i*797) % 4001) - 2000

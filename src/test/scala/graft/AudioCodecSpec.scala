@@ -87,4 +87,73 @@ class AudioCodecSpec extends SparkSpec {
     assert(res.length == 10 &&
       res.forall(_.getAs[Seq[Int]]("samples").length == 4))
   }
+
+  test("fft matches hand-computed DFTs (impulse, constant, pure tone)") {
+    // impulse -> flat spectrum
+    val re1 = Array.tabulate(8)(i => if (i == 0) 1.0 else 0.0)
+    val im1 = new Array[Double](8)
+    AudioCodec.fft(re1, im1)
+    (0 until 8).foreach { k =>
+      assert(math.abs(re1(k) - 1.0) < 1e-12 && math.abs(im1(k)) < 1e-12)
+    }
+    // constant -> all mass at DC
+    val re2 = Array.fill(8)(1.0); val im2 = new Array[Double](8)
+    AudioCodec.fft(re2, im2)
+    assert(math.abs(re2(0) - 8.0) < 1e-12)
+    (1 until 8).foreach(k =>
+      assert(math.abs(re2(k)) < 1e-12 && math.abs(im2(k)) < 1e-12))
+    // cos(2π·2k/16): mass at bins 2 and 14, magnitude n/2
+    val n = 16
+    val re3 = Array.tabulate(n)(i => math.cos(2 * math.Pi * 2 * i / n))
+    val im3 = new Array[Double](n)
+    AudioCodec.fft(re3, im3)
+    def mag(k: Int) = math.sqrt(re3(k) * re3(k) + im3(k) * im3(k))
+    assert(math.abs(mag(2) - n / 2.0) < 1e-9)
+    assert(math.abs(mag(n - 2) - n / 2.0) < 1e-9)
+    (0 until n).filterNot(k => k == 2 || k == n - 2)
+      .foreach(k => assert(mag(k) < 1e-9, s"bin $k leaked ${mag(k)}"))
+  }
+
+  test("spectralFeatures localizes a planted tone; flux flags a transient") {
+    val sr = 16000
+    val f0 = 1250.0 // exactly bin 20 at frameSize 256
+    val sine = Array.tabulate(4096)(i =>
+      math.round(8000 * math.sin(2 * math.Pi * f0 * i / sr)).toInt)
+    val s = AudioCodec.spectralFeatures(Audio(sr, 1, 16, sine))
+    assert(s.nFrames == (4096 - 256) / 128 + 1)
+    assert(math.abs(s.dominantHz - f0) <= sr / 256.0, s"dominant ${s.dominantHz}")
+    assert(math.abs(s.centroidHz - f0) <= 2 * sr / 256.0, s"centroid ${s.centroidHz}")
+    assert(s.rolloffHz >= f0 - 2 * sr / 256.0, s"rolloff ${s.rolloffHz}")
+    // a time-shift-invariant magnitude spectrum: stationary tone has
+    // near-zero flux; a mid-clip frequency JUMP has much higher flux
+    val jump = Array.tabulate(4096) { i =>
+      val f = if (i < 2048) 500.0 else 3000.0
+      math.round(8000 * math.sin(2 * math.Pi * f * i / sr)).toInt
+    }
+    val sj = AudioCodec.spectralFeatures(Audio(sr, 1, 16, jump))
+    assert(sj.fluxMean > 10 * math.max(s.fluxMean, 1e-9),
+      s"flux ${sj.fluxMean} vs stationary ${s.fluxMean}")
+    // too-short clip degrades gracefully
+    assert(AudioCodec.spectralFeatures(Audio(sr, 1, 16, Array(1, 2, 3)))
+      .nFrames == 0)
+  }
+
+  test("Spark plumbing: audioSpectral localizes per-clip tones distributed") {
+    import spark.implicits._
+    val sr = 16000
+    val rows = (0L until 8L).map { id =>
+      val f = 500.0 + id * 250.0
+      val sine = Array.tabulate(2048)(i =>
+        math.round(8000 * math.sin(2 * math.Pi * f * i / sr)).toInt)
+      (id, AudioCodec.encodeWav(Audio(sr, 1, 16, sine)))
+    } :+ (99L, Array[Byte](1, 2, 3))
+    val got = Multimodal.audioSpectral(rows.toDF("id", "media").repartition(3))
+      .collect().map(r => r.id -> r).toMap
+    assert(got.size == 8) // junk dropped
+    (0L until 8L).foreach { id =>
+      val f = 500.0 + id * 250.0
+      assert(math.abs(got(id).dominantHz - f) <= sr / 256.0,
+        s"id $id: ${got(id).dominantHz} vs $f")
+    }
+  }
 }

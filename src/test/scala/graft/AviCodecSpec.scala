@@ -61,4 +61,26 @@ class AviCodecSpec extends SparkSpec {
     // every sampled frame still decodes
     strided.foreach(v => assert(ImageCodec.decode(v.frame).nonEmpty))
   }
+
+  test("sceneCuts finds planted scene boundaries and ignores within-scene jitter") {
+    import spark.implicits._
+    def flat(w: Int, h: Int, v: Int, jitter: Int): Array[Byte] = {
+      val px = Array.tabulate(w * h * 3)(i => (v + (i % (jitter + 1))).toByte)
+      ImageCodec.encodePnm(ImageCodec.Image(w, h, 3, px))
+    }
+    // clip: frames 0-2 scene A (value 40, jitter ±2), frames 3-5
+    // scene B (value 160), frame 6 scene C (value 80)
+    val frames = Seq(
+      flat(8, 6, 40, 2), flat(8, 6, 40, 2), flat(8, 6, 40, 2),
+      flat(8, 6, 160, 2), flat(8, 6, 160, 2), flat(8, 6, 160, 2),
+      flat(8, 6, 80, 2))
+    val df = Seq((1L, AviCodec.encodeAvi(frames, 8, 6, 40000)))
+      .toDF("id", "media")
+    val cuts = Multimodal.sceneCuts(df, threshold = 30.0).collect()
+      .map(c => (c.frameIdx, c.diff)).sortBy(_._1)
+    assert(cuts.map(_._1).toSeq == Seq(3, 6), cuts.toSeq)
+    assert(cuts.forall(_._2 > 30.0))
+    // a threshold above every diff finds nothing
+    assert(Multimodal.sceneCuts(df, threshold = 200.0).collect().isEmpty)
+  }
 }
