@@ -1,0 +1,326 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Web-crawl preprocessing kernels — the step BEFORE every text
+  * operator in this library when the corpus is raw crawl data: HTML →
+  * text extraction, URL parsing / normalization / registered-domain
+  * grouping, and the deflate compression-ratio quality signal.
+  *
+  * All kernels are hand-rolled single-pass string walkers (no
+  * regex-per-row on the hot path, no external parsing libraries) and
+  * run Spark-side as narrow mapPartitions kernels — one row in, one
+  * row out, nothing shuffles. The reference repo has no web handling
+  * at all; this is part of the training-data superset.
+  */
+object Web {
+
+  // --- HTML → text --------------------------------------------------------
+
+  /** Extract readable text from HTML in one pass:
+    *
+    *  - `<script>`/`<style>` elements are dropped WITH their content
+    *    (case-insensitive, attribute-tolerant), as are `<!-- -->`
+    *    comments;
+    *  - every other tag is replaced by a single space (block/inline
+    *    distinction doesn't survive whitespace collapsing anyway);
+    *  - the standard named entities (`&amp; &lt; &gt; &quot; &apos;
+    *    &nbsp;`) and numeric forms (`&#NN;` / `&#xHH;`) are decoded;
+    *    unknown entities pass through literally;
+    *  - whitespace runs collapse to single spaces, ends trimmed.
+    *
+    * Robust to unclosed/garbage markup: a `<` with no closing `>` is
+    * treated as literal text from that point (salvage over
+    * strictness — crawl data is full of broken HTML).
+    */
+  def extractText(html: String): String = {
+    val sb = new java.lang.StringBuilder(html.length)
+    val n = html.length
+    var i = 0
+    var lastSpace = true // suppress leading space
+    def emit(c: Char): Unit = {
+      if (c == ' ' || c == '\n' || c == '\t' || c == '\r' || c == '\u00A0') {
+        if (!lastSpace) { sb.append(' '); lastSpace = true }
+      } else { sb.append(c); lastSpace = false }
+    }
+    // case-insensitive region match without allocating
+    def matches(at: Int, s: String): Boolean = {
+      if (at + s.length > n) return false
+      var k = 0
+      while (k < s.length) {
+        if (Character.toLowerCase(html.charAt(at + k)) != s.charAt(k))
+          return false
+        k += 1
+      }
+      true
+    }
+    // find the end of the element whose name starts at `at` (already
+    // inside `<name`), i.e. the matching case-insensitive `</name`
+    def skipElement(at: Int, name: String): Int = {
+      var j = at
+      while (j < n) {
+        if (html.charAt(j) == '<' && j + 1 < n && html.charAt(j + 1) == '/' &&
+          matches(j + 2, name)) {
+          var k = j + 2 + name.length
+          while (k < n && html.charAt(k) != '>') k += 1
+          return math.min(n, k + 1)
+        }
+        j += 1
+      }
+      n // unclosed: drop to end (script content must never leak)
+    }
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (matches(i, "<!--")) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+          emit(' ')
+        } else if (matches(i, "<script") || matches(i, "<style")) {
+          val name = if (matches(i, "<script")) "script" else "style"
+          // skip past this tag's '>' then to the closing tag
+          var k = i + 1
+          while (k < n && html.charAt(k) != '>') k += 1
+          i = if (k >= n) n else skipElement(k + 1, name)
+          emit(' ')
+        } else {
+          // ordinary tag: skip to '>'; a '<' with no '>' is literal
+          var k = i + 1
+          var ok = false
+          while (k < n && !ok) {
+            if (html.charAt(k) == '>') ok = true else k += 1
+          }
+          if (ok) { i = k + 1; emit(' ') }
+          else { emit('<'); i += 1 }
+        }
+      } else if (c == '&') {
+        // entity
+        val semi = html.indexOf(';', i + 1)
+        val decoded: Option[Char] =
+          if (semi < 0 || semi - i > 8) None
+          else html.substring(i + 1, semi) match {
+            case "amp" => Some('&')
+            case "lt" => Some('<')
+            case "gt" => Some('>')
+            case "quot" => Some('"')
+            case "apos" => Some('\'')
+            case "nbsp" => Some(' ')
+            case e if e.startsWith("#x") || e.startsWith("#X") =>
+              try Some(Integer.parseInt(e.drop(2), 16).toChar)
+              catch { case _: NumberFormatException => None }
+            case e if e.startsWith("#") =>
+              try Some(Integer.parseInt(e.drop(1)).toChar)
+              catch { case _: NumberFormatException => None }
+            case _ => None
+          }
+        decoded match {
+          case Some(ch) => emit(ch); i = semi + 1
+          case None => emit('&'); i += 1
+        }
+      } else { emit(c); i += 1 }
+    }
+    // trim trailing space
+    var end = sb.length
+    while (end > 0 && sb.charAt(end - 1) == ' ') end -= 1
+    sb.substring(0, end)
+  }
+
+  /** Markup-density stats for boilerplate/quality filtering: tag
+    * count, anchor (`<a`) count, script+style content share, and the
+    * extracted-text-to-raw ratio (the readability signal: content
+    * pages sit high, navigation/ad shells low).
+    */
+  final case class HtmlStats(textChars: Int, rawChars: Int, tags: Int,
+      anchors: Int, textRatio: Double)
+
+  def htmlStats(html: String): HtmlStats = {
+    val text = extractText(html)
+    var tags = 0
+    var anchors = 0
+    var i = 0
+    val n = html.length
+    while (i < n) {
+      if (html.charAt(i) == '<' && i + 1 < n &&
+        (Character.isLetter(html.charAt(i + 1)) || html.charAt(i + 1) == '/')) {
+        tags += 1
+        val c1 = Character.toLowerCase(html.charAt(i + 1))
+        if (c1 == 'a' && (i + 2 >= n || !Character.isLetter(html.charAt(i + 2))))
+          anchors += 1
+      }
+      i += 1
+    }
+    HtmlStats(text.length, n, tags, anchors,
+      if (n == 0) 0.0 else text.length.toDouble / n)
+  }
+
+  /** Spark wrapper: (id, text, text_chars, raw_chars, tags, anchors,
+    * text_ratio) per document — extraction and stats in one pass.
+    */
+  def extractHtml(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(htmlCol).cast("string"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+      .mapPartitions(_.map { case (id, html) =>
+        val h = if (html == null) "" else html
+        val s = htmlStats(h)
+        (id, extractText(h), s.textChars, s.rawChars, s.tags, s.anchors,
+          s.textRatio)
+      })
+      .toDF(idCol, "text", "text_chars", "raw_chars", "tags", "anchors",
+        "text_ratio")
+  }
+
+  // --- URLs ---------------------------------------------------------------
+
+  final case class ParsedUrl(scheme: String, host: String, port: Int,
+      path: String, query: String, fragment: String)
+
+  /** Hand-rolled URL parse (crawl-tolerant — `java.net.URI` throws on
+    * half the real web). Returns None when there is no `scheme://host`
+    * shape. Port −1 when absent; path defaults to "/"; query and
+    * fragment empty when absent.
+    */
+  def parseUrl(url: String): Option[ParsedUrl] = {
+    if (url == null) return None
+    val s = url.trim
+    val si = s.indexOf("://")
+    if (si <= 0) return None
+    val scheme = s.substring(0, si).toLowerCase
+    if (!scheme.forall(c => c.isLetterOrDigit || c == '+' || c == '-'))
+      return None
+    var i = si + 3
+    val n = s.length
+    val hostStart = i
+    while (i < n && s.charAt(i) != '/' && s.charAt(i) != '?' &&
+      s.charAt(i) != '#' && s.charAt(i) != ':') i += 1
+    val host = s.substring(hostStart, i).toLowerCase
+    if (host.isEmpty) return None
+    var port = -1
+    if (i < n && s.charAt(i) == ':') {
+      val ps = i + 1
+      i = ps
+      while (i < n && s.charAt(i).isDigit) i += 1
+      if (i > ps)
+        try port = s.substring(ps, i).toInt
+        catch { case _: NumberFormatException => return None }
+    }
+    var path = ""
+    if (i < n && s.charAt(i) == '/') {
+      val p0 = i
+      while (i < n && s.charAt(i) != '?' && s.charAt(i) != '#') i += 1
+      path = s.substring(p0, i)
+    }
+    var query = ""
+    if (i < n && s.charAt(i) == '?') {
+      val q0 = i + 1
+      i = q0
+      while (i < n && s.charAt(i) != '#') i += 1
+      query = s.substring(q0, i)
+    }
+    val fragment = if (i < n && s.charAt(i) == '#') s.substring(i + 1) else ""
+    Some(ParsedUrl(scheme, host, port,
+      if (path.isEmpty) "/" else path, query, fragment))
+  }
+
+  /** Common multi-label public suffixes (a deterministic subset of
+    * the public-suffix idea — good enough for domain grouping; a full
+    * PSL would be config data, not code).
+    */
+  private val secondLevelSuffixes: Set[String] = Set(
+    "co", "com", "org", "net", "ac", "gov", "edu", "or", "ne")
+
+  /** Registered domain for grouping/caps: last two labels, or last
+    * three when the second-to-last is a known second-level suffix
+    * under a 2-letter country code ("bbc.co.uk" → "bbc.co.uk", not
+    * "co.uk"). IP literals and single-label hosts return as-is.
+    */
+  def registeredDomain(host: String): String = {
+    if (host == null || host.isEmpty) return ""
+    val labels = host.toLowerCase.split('.')
+    if (labels.length <= 2) return host.toLowerCase
+    if (labels.forall(l => l.nonEmpty && l.forall(_.isDigit)))
+      return host.toLowerCase // IPv4 literal
+    val tld = labels.last
+    val sld = labels(labels.length - 2)
+    val take =
+      if (tld.length == 2 && secondLevelSuffixes.contains(sld)) 3 else 2
+    labels.takeRight(take).mkString(".")
+  }
+
+  /** Canonical URL form for exact-dedup keys: lowercase scheme+host,
+    * default ports dropped (http 80 / https 443), fragment dropped,
+    * query KEPT with its parameters sorted by key (stable across
+    * crawler orderings), trailing "?" removed, empty path → "/".
+    */
+  def normalizeUrl(url: String): Option[String] = parseUrl(url).map { u =>
+    val portPart =
+      if (u.port < 0 || (u.scheme == "http" && u.port == 80) ||
+        (u.scheme == "https" && u.port == 443)) ""
+      else s":${u.port}"
+    val queryPart =
+      if (u.query.isEmpty) ""
+      else "?" + u.query.split('&').filter(_.nonEmpty).sortBy(p =>
+        p.takeWhile(_ != '=')).mkString("&")
+    s"${u.scheme}://${u.host}$portPart${u.path}$queryPart"
+  }
+
+  /** Spark wrapper: (id, scheme, host, domain, path, normalized) per
+    * row; unparseable URLs drop (count them upstream if needed).
+    */
+  def parseUrls(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(urlCol).cast("string"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+      .mapPartitions(_.flatMap { case (id, url) =>
+        for {
+          p <- parseUrl(url)
+          norm <- normalizeUrl(url)
+        } yield (id, p.scheme, p.host, registeredDomain(p.host), p.path, norm)
+      })
+      .toDF(idCol, "scheme", "host", "domain", "path", "normalized")
+  }
+
+  // --- compression-ratio quality signal -----------------------------------
+
+  /** Deflate compression ratio of the UTF-8 text: compressed/raw
+    * bytes. Natural text sits ~0.3-0.5; machine-generated repetition
+    * approaches 0; already-compressed/encrypted junk approaches (or
+    * exceeds) 1. The classic cheap complement to [[TextAnalysis
+    * .charEntropy]] — entropy sees the symbol DISTRIBUTION, deflate
+    * sees REPEATED STRUCTURE (a million distinct shuffled words have
+    * high entropy AND high ratio; boilerplate repeated 1000× has high
+    * entropy but ratio ≈ 0). Empty text → 1.0.
+    */
+  def compressionRatio(text: String, level: Int = 6): Double = {
+    if (text == null || text.isEmpty) return 1.0
+    val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val d = new java.util.zip.Deflater(level)
+    d.setInput(raw); d.finish()
+    var total = 0L
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) total += d.deflate(buf)
+    d.end()
+    total.toDouble / raw.length
+  }
+
+  /** Spark wrapper: (id, raw_bytes, compressed_bytes, ratio). */
+  def compressionSignals(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+      .mapPartitions(_.map { case (id, text) =>
+        val t = if (text == null) "" else text
+        val raw = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val ratio = compressionRatio(t)
+        val compressed =
+          if (raw.isEmpty) 0L else math.round(ratio * raw.length)
+        (id, raw.length.toLong, compressed, ratio)
+      })
+      .toDF(idCol, "raw_bytes", "compressed_bytes", "ratio")
+  }
+}

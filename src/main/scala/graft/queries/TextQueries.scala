@@ -765,6 +765,103 @@ object TextQueries extends QueryGroup {
         .orderBy("id")
     },
 
+    // HTML -> text extraction through the gate: both engines build the
+    // same page skeleton around a fragment of the document's
+    // normalized text (title, dropped script content, an entity, a
+    // comment, an anchor); the Spark side runs the one-pass extractor
+    // + markup stats, the oracle reconstructs the expected readable
+    // text by string arithmetic (it never parses HTML). Tag/anchor
+    // counts are exact (18 tags, 1 anchor by construction).
+    q("q_web_extract",
+      s"""SELECT doc_id AS id,
+         |  trim(regexp_replace(
+         |    'T' || doc_id || ' Doc & ' || doc_id || ' ' ||
+         |    substr($normSql, 1, 40) || ' go ' || doc_id ||
+         |    ' tail ' || doc_id, '\\s+', ' ', 'g')) AS text,
+         |  18 AS tags, 1 AS anchors
+         |FROM documents ORDER BY id""".stripMargin) { (s, dir) =>
+      val html = t(s, dir, "documents").select(col("doc_id").as("id"),
+        concat(
+          lit("<html><head><title>T"), col("doc_id"),
+          lit("</title><script type=\"t\">var j="), col("doc_id"),
+          lit(";</script></head><body><h1>Doc &amp; "), col("doc_id"),
+          lit("</h1><p>"),
+          substring(TA.normalize(col("text")), 1, 40),
+          lit("</p><!-- hidden --><a href=\"/l\">go "), col("doc_id"),
+          lit("</a><div>tail "), col("doc_id"),
+          lit("</div></body></html>")).as("html"))
+      graft.ml.Web.extractHtml(html, "id", "html")
+        .select(col("id"), col("text"), col("tags"), col("anchors"))
+        .orderBy("id")
+    },
+
+    // URL parse / registered-domain / canonicalization through the
+    // gate: deterministic URL variants (plain TLD, co.uk second-level
+    // suffix, IPv4 literal; absent / default-https / explicit ports;
+    // unsorted query params; a fragment) — the oracle replays every
+    // expected field arithmetically, including the sorted-query
+    // default-port-dropped canonical form.
+    q("q_web_url",
+      """SELECT doc_id AS id, 'https' AS scheme,
+        |  CASE doc_id % 4 WHEN 0 THEN 'www.example.com'
+        |    WHEN 1 THEN 'news.bbc.co.uk' WHEN 2 THEN 'sub.host.org'
+        |    ELSE '10.0.0.' || (doc_id % 250) END AS host,
+        |  CASE doc_id % 4 WHEN 0 THEN 'example.com'
+        |    WHEN 1 THEN 'bbc.co.uk' WHEN 2 THEN 'host.org'
+        |    ELSE '10.0.0.' || (doc_id % 250) END AS domain,
+        |  '/p/' || doc_id AS path,
+        |  'https://' ||
+        |  CASE doc_id % 4 WHEN 0 THEN 'www.example.com'
+        |    WHEN 1 THEN 'news.bbc.co.uk' WHEN 2 THEN 'sub.host.org'
+        |    ELSE '10.0.0.' || (doc_id % 250) END ||
+        |  CASE doc_id % 3 WHEN 2 THEN ':8080' ELSE '' END ||
+        |  '/p/' || doc_id ||
+        |  CASE doc_id % 2 WHEN 1 THEN '?a=1&b=' || doc_id ELSE '' END
+        |  AS normalized
+        |FROM documents ORDER BY id""".stripMargin) { (s, dir) =>
+      val urls = t(s, dir, "documents").select(col("doc_id").as("id"),
+        concat(lit("https://"),
+          when(col("doc_id") % 4 === 0, lit("www.example.com"))
+            .when(col("doc_id") % 4 === 1, lit("news.bbc.co.uk"))
+            .when(col("doc_id") % 4 === 2, lit("sub.host.org"))
+            .otherwise(concat(lit("10.0.0."), col("doc_id") % 250)),
+          when(col("doc_id") % 3 === 1, lit(":443"))
+            .when(col("doc_id") % 3 === 2, lit(":8080"))
+            .otherwise(lit("")),
+          lit("/p/"), col("doc_id"),
+          when(col("doc_id") % 2 === 1,
+            concat(lit("?b="), col("doc_id"), lit("&a=1")))
+            .otherwise(lit("")),
+          lit("#s")).as("url"))
+      graft.ml.Web.parseUrls(urls, "id", "url").orderBy("id")
+    },
+
+    // Deflate compression-ratio quality signal through the gate (a
+    // self-verifying contract — DuckDB has no deflate): per document,
+    // a planted highly-repetitive string must compress below 0.1, the
+    // document's own text must land in (0, 1.2], and the repetitive
+    // string must compress strictly better than the natural text.
+    q("q_web_compression",
+      """SELECT doc_id AS id, true AS rep_tiny, true AS doc_sane,
+        |  true AS rep_beats_doc
+        |FROM documents ORDER BY id""".stripMargin) { (s, dir) =>
+      import graft.ml.Web
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").as("id"), col("text"))
+      val repDf = docs.select(col("id"),
+        concat(lit(("lorem ipsum boilerplate " * 80).trim)).as("rep"))
+      val rDoc = Web.compressionSignals(docs, "id", "text")
+        .select(col("id"), col("ratio").as("r_doc"))
+      val rRep = Web.compressionSignals(repDf, "id", "rep")
+        .select(col("id"), col("ratio").as("r_rep"))
+      rDoc.join(rRep, "id")
+        .select(col("id"),
+          (col("r_rep") < 0.1).as("rep_tiny"),
+          (col("r_doc") > 0.0 && col("r_doc") <= 1.2).as("doc_sane"),
+          (col("r_rep") < col("r_doc")).as("rep_beats_doc"))
+        .orderBy("id")
+    },
+
     // REAL audio decode through the gate: both engines construct the
     // same stereo 16-bit PCM WAV per document — n = 40 + id%30 frames
     // at 16 kHz, interleaved sample i = ((id*37 + i*797) % 4001) - 2000

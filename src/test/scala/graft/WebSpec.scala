@@ -1,0 +1,124 @@
+package graft
+
+import graft.ml.Web
+
+class WebSpec extends SparkSpec {
+
+  // --- HTML extraction ---------------------------------------------------
+
+  test("extractText strips tags, drops script/style content, decodes entities") {
+    val html = """<html><head><title>My Page</title>
+      |<script type="text/javascript">var secret = "LEAK";</script>
+      |<style>.x { color: red }</style></head>
+      |<body><h1>Header</h1><p>Hello &amp; welcome to &lt;graft&gt;.</p>
+      |<!-- invisible comment -->
+      |<div class="c">Tail&nbsp;text &#65;&#x42;</div></body></html>""".stripMargin
+    val got = Web.extractText(html)
+    assert(got == "My Page Header Hello & welcome to <graft>. Tail text AB", got)
+    assert(!got.contains("LEAK") && !got.contains("color"))
+  }
+
+  test("extractText is salvage-lenient on broken markup") {
+    // '<' with no '>' is literal text from there on
+    assert(Web.extractText("a < b and c") == "a < b and c")
+    // unclosed script drops to end (content must never leak)
+    assert(Web.extractText("keep <script>var x = 1; never closed") == "keep")
+    // unclosed ordinary tag at the very end
+    assert(Web.extractText("text <div unclosed") == "text <div unclosed")
+    // unknown entity passes through
+    assert(Web.extractText("&bogus; &amp;") == "&bogus; &")
+    // nested angle inside attribute values (crawl reality): first '>' ends tag
+    assert(Web.extractText("""<a href="x">link</a>""") == "link")
+    assert(Web.extractText("") == "")
+    // case-insensitive script/style
+    assert(Web.extractText("<SCRIPT>no</SCRIPT>yes") == "yes")
+  }
+
+  test("htmlStats counts tags and anchors, computes text ratio") {
+    val html = """<p>Six words of actual page text</p><a href="/x">l1</a><a href="/y">l2</a><abbr>n</abbr>"""
+    val s = Web.htmlStats(html)
+    assert(s.tags == 8, s) // p /p a /a a /a abbr /abbr
+    assert(s.anchors == 2, s) // <abbr> must NOT count as an anchor
+    assert(s.textRatio > 0 && s.textRatio < 1)
+    assert(Web.htmlStats("").textRatio == 0.0)
+  }
+
+  // --- URLs --------------------------------------------------------------
+
+  test("parseUrl handles ports, queries, fragments, and rejects non-URLs") {
+    val u = Web.parseUrl("HTTPS://Example.COM:8443/a/b?x=1&y=2#frag").get
+    assert(u.scheme == "https" && u.host == "example.com" && u.port == 8443)
+    assert(u.path == "/a/b" && u.query == "x=1&y=2" && u.fragment == "frag")
+    val bare = Web.parseUrl("http://host").get
+    assert(bare.path == "/" && bare.port == -1 && bare.query == "")
+    assert(Web.parseUrl("not a url").isEmpty)
+    assert(Web.parseUrl("://nohost").isEmpty)
+    assert(Web.parseUrl("http://").isEmpty)
+    assert(Web.parseUrl(null).isEmpty)
+    // query before any path
+    val q = Web.parseUrl("http://h?k=v").get
+    assert(q.path == "/" && q.query == "k=v")
+  }
+
+  test("registeredDomain: plain TLDs, second-level country suffixes, IPs") {
+    assert(Web.registeredDomain("www.example.com") == "example.com")
+    assert(Web.registeredDomain("a.b.c.example.org") == "example.org")
+    assert(Web.registeredDomain("news.bbc.co.uk") == "bbc.co.uk")
+    assert(Web.registeredDomain("www.keio.ac.jp") == "keio.ac.jp")
+    assert(Web.registeredDomain("example.com") == "example.com")
+    assert(Web.registeredDomain("localhost") == "localhost")
+    assert(Web.registeredDomain("10.1.2.3") == "10.1.2.3")
+    // co.uk-style suffix only under 2-letter TLDs: x.co.com -> co.com
+    assert(Web.registeredDomain("x.co.com") == "co.com")
+  }
+
+  test("normalizeUrl: lowercase, default ports, sorted query, no fragment") {
+    assert(Web.normalizeUrl("HTTP://Ex.COM:80/p?b=2&a=1#f")
+      .contains("http://ex.com/p?a=1&b=2"))
+    assert(Web.normalizeUrl("https://h:443/").contains("https://h/"))
+    assert(Web.normalizeUrl("https://h:8443/x").contains("https://h:8443/x"))
+    assert(Web.normalizeUrl("http://h").contains("http://h/"))
+    assert(Web.normalizeUrl("http://h/p?").contains("http://h/p"))
+    // same canonical key for crawler-order variants
+    assert(Web.normalizeUrl("http://h/p?z=1&a=2") ==
+      Web.normalizeUrl("http://H/p?a=2&z=1#x"))
+  }
+
+  // --- compression signal ------------------------------------------------
+
+  test("compressionRatio orders repetitive < natural < random") {
+    val rep = "the same phrase again " * 100
+    val rnd = new scala.util.Random(31)
+    val random = (0 until 2000).map(_ => rnd.nextPrintableChar()).mkString
+    val natural = ("quick brown foxes jump over lazy dogs while seventeen " +
+      "magistrates deliberate obscure statutes ") * 5
+    val (rRep, rNat, rRnd) = (Web.compressionRatio(rep),
+      Web.compressionRatio(natural), Web.compressionRatio(random))
+    assert(rRep < rNat && rNat < rRnd, s"$rRep $rNat $rRnd")
+    assert(rRep < 0.1)
+    assert(Web.compressionRatio("") == 1.0)
+  }
+
+  // --- Spark wrappers ----------------------------------------------------
+
+  test("extractHtml / parseUrls / compressionSignals run distributed") {
+    import spark.implicits._
+    val html = (1L to 6L).map(id =>
+      (id, s"<body><p>doc $id</p><a href='/x'>go</a></body>"))
+    val ex = Web.extractHtml(html.toDF("id", "html"), "id", "html")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ex(3L) == "doc 3 go")
+    val urls = (1L to 6L).map(id => (id, s"https://w.ex.com/p/$id?b=$id&a=1#z"))
+    val pu = Web.parseUrls(urls.toDF("id", "url"), "id", "url").collect()
+    assert(pu.length == 6)
+    pu.foreach { r =>
+      assert(r.getAs[String]("domain") == "ex.com")
+      assert(r.getAs[String]("normalized") ==
+        s"https://w.ex.com/p/${r.getLong(0)}?a=1&b=${r.getLong(0)}")
+    }
+    val cs = Web.compressionSignals(
+      Seq((1L, "abc " * 500), (2L, "")).toDF("id", "t"), "id", "t")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(cs(1L) < 0.1 && cs(2L) == 1.0)
+  }
+}
