@@ -111,7 +111,14 @@ object Bench {
     "q_text_ppmi",
     "q_join_jarowinkler",
     "q_eval_auc",
-    "q_text_dispersion")
+    "q_text_dispersion",
+    // round-19: baseline JPEG codec (per-doc encode + full Huffman/
+    // IDCT decode across quality/subsample/restart variants), FFT
+    // spectral features (per-clip Hann-windowed 256-pt frames), and
+    // the one-pass HTML->text extraction kernel
+    "q_multimodal_jpeg",
+    "q_multimodal_spectral",
+    "q_web_extract")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
