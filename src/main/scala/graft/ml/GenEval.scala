@@ -1,0 +1,232 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Generation-evaluation metrics — BLEU, ROUGE, and rank agreement
+  * over (candidate, reference) text pairs: the standard scorers for
+  * model-output evaluation sets, distillation filtering, and
+  * reference-based data cleaning. All token work runs on the
+  * normalized tokenization ([[TextAnalysis.normalize]]) so every
+  * engine scores identically.
+  *
+  * Scale shapes: BLEU/ROUGE-N are n-gram count aggregates (explode →
+  * hash-count → per-pair clip join → corpus sum) — never quadratic;
+  * ROUGE-L runs the O(len·len) LCS per PAIR inside a narrow
+  * mapPartitions kernel with an explicit token cap (the per-pair DP
+  * is the contract, like every bounded-kernel here); Kendall runs
+  * per GROUP over collected score pairs (bounded-group contract —
+  * judge-agreement groups are panel-sized, not corpus-sized).
+  */
+object GenEval {
+
+  private def toks(c: Column): Column =
+    filter(split(TextAnalysis.normalize(c), " "), t => length(t) > 0)
+
+  /** Corpus BLEU (Papineni et al. 2002): modified n-gram precisions
+    * p_1..p_maxN with corpus-level clipping, geometric mean, brevity
+    * penalty from corpus lengths. Returns ONE row:
+    * (bleu, p1..p{maxN}, bp, cand_tokens, ref_tokens). Zero corpus
+    * precision at any order makes bleu 0 (no smoothing at corpus
+    * level — the standard definition).
+    *
+    * Shape: one explode per order n → (pair, gram) counts → clip join
+    * (cand counts ⋈ ref counts per pair+gram) → one global aggregate
+    * per order. Everything is hash aggregation on (id, gram) keys.
+    */
+  def bleu(df: DataFrame, idCol: String, candCol: String, refCol: String,
+      maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 8)
+    val spark = df.sparkSession
+    val base = graft.core.PipelineCaches.persistTracked(
+      df.select(col(idCol).as("id"), toks(col(candCol)).as("ct"),
+        toks(col(refCol)).as("rt")))
+
+    def grams(tc: Column, n: Int): Column =
+      when(size(tc) >= n,
+        transform(sequence(lit(0), size(tc) - n),
+          i => concat_ws(" ", slice(tc, i + 1, lit(n)))))
+        .otherwise(array())
+
+    // per order: Σ_pairs Σ_grams min(candCount, refCount)  /  Σ cand grams
+    val perOrder = (1 to maxN).map { n =>
+      val cc = base.select(col("id"), explode(grams(col("ct"), n)).as("g"))
+        .groupBy("id", "g").agg(count(lit(1)).as("cc"))
+      val rc = base.select(col("id"), explode(grams(col("rt"), n)).as("g"))
+        .groupBy("id", "g").agg(count(lit(1)).as("rc"))
+      cc.join(rc, Seq("id", "g"), "left")
+        .agg(sum(least(col("cc"), coalesce(col("rc"), lit(0L)))).as("num"),
+          sum(col("cc")).as("den"))
+        .select(lit(n).as("n"), coalesce(col("num"), lit(0L)).as("num"),
+          coalesce(col("den"), lit(0L)).as("den"))
+    }.reduce(_ unionAll _)
+
+    val lens = base.agg(sum(size(col("ct"))).as("clen"),
+      sum(size(col("rt"))).as("rlen"))
+
+    val wide = perOrder
+      .groupBy()
+      .pivot("n", (1 to maxN).map(n => n: Any))
+      .agg(first(when(col("den") > 0,
+        col("num").cast("double") / col("den")).otherwise(lit(0.0))))
+      .toDF((1 to maxN).map(n => s"p$n"): _*)
+
+    val logSum = (1 to maxN).map(n =>
+      when(col(s"p$n") > 0, log(col(s"p$n"))).otherwise(lit(Double.NaN)))
+      .reduce(_ + _)
+    val bp = when(col("clen") >= col("rlen"), lit(1.0))
+      .otherwise(exp(lit(1.0) - col("rlen").cast("double") / col("clen")))
+    wide.crossJoin(broadcast(lens))
+      .select(
+        (coalesce(when(!isnan(logSum), exp(logSum / maxN)), lit(0.0)) * bp)
+          .as("bleu") +:
+          (1 to maxN).map(n => col(s"p$n")) :+
+          bp.as("bp") :+ col("clen").as("cand_tokens") :+
+          col("rlen").as("ref_tokens"): _*)
+  }
+
+  /** ROUGE-N per pair: clipped n-gram overlap as recall (the ROUGE
+    * orientation), precision, and F1. Returns
+    * (id, overlap, cand_ngrams, ref_ngrams, precision, recall, f1);
+    * pairs where the reference has no n-grams are dropped (metric
+    * undefined). Same hash-count shape as [[bleu]].
+    */
+  def rougeN(df: DataFrame, idCol: String, candCol: String, refCol: String,
+      n: Int = 1): DataFrame = {
+    require(n >= 1 && n <= 8)
+    val base = df.select(col(idCol).as("id"), toks(col(candCol)).as("ct"),
+      toks(col(refCol)).as("rt"))
+    def grams(tc: Column): Column =
+      when(size(tc) >= n,
+        transform(sequence(lit(0), size(tc) - n),
+          i => concat_ws(" ", slice(tc, i + 1, lit(n)))))
+        .otherwise(array())
+    val cc = base.select(col("id"), explode(grams(col("ct"))).as("g"))
+      .groupBy("id", "g").agg(count(lit(1)).as("cc"))
+    val rc = base.select(col("id"), explode(grams(col("rt"))).as("g"))
+      .groupBy("id", "g").agg(count(lit(1)).as("rc"))
+    val ov = cc.join(rc, Seq("id", "g"))
+      .groupBy("id")
+      .agg(sum(least(col("cc"), col("rc"))).as("overlap"))
+    val tot = base.select(col("id"),
+      greatest(size(col("ct")) - n + 1, lit(0)).cast("long").as("cn"),
+      greatest(size(col("rt")) - n + 1, lit(0)).cast("long").as("rn"))
+    tot.join(ov, Seq("id"), "left")
+      .filter(col("rn") > 0)
+      .select(col("id"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"),
+        col("cn").as("cand_ngrams"), col("rn").as("ref_ngrams"),
+        when(col("cn") > 0, coalesce(col("overlap"), lit(0L)).cast("double") /
+          col("cn")).otherwise(lit(0.0)).as("precision"),
+        (coalesce(col("overlap"), lit(0L)).cast("double") / col("rn"))
+          .as("recall"))
+      .withColumn("f1",
+        when(col("precision") + col("recall") > 0,
+          lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall"))).otherwise(lit(0.0)))
+  }
+
+  /** ROUGE-L per pair: longest-common-subsequence F-measure over the
+    * first `maxTokens` tokens of each side (the explicit bound that
+    * keeps the O(c·r) DP a per-row kernel — 400² ints is ~0.6 MB of
+    * transient state). Returns (id, lcs, cand_tokens, ref_tokens,
+    * precision, recall, f1); reference-empty pairs drop.
+    */
+  def rougeL(df: DataFrame, idCol: String, candCol: String, refCol: String,
+      maxTokens: Int = 400): DataFrame = {
+    require(maxTokens >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"),
+        toks(col(candCol)), toks(col(refCol)))
+      .as(Encoders.tuple(Encoders.scalaLong,
+        implicitly[org.apache.spark.sql.Encoder[Seq[String]]],
+        implicitly[org.apache.spark.sql.Encoder[Seq[String]]]))
+      .mapPartitions(_.flatMap { case (id, c0, r0) =>
+        val c = c0.take(maxTokens).toArray
+        val r = r0.take(maxTokens).toArray
+        if (r.isEmpty) None
+        else {
+          // two-row DP
+          var prev = new Array[Int](r.length + 1)
+          var cur = new Array[Int](r.length + 1)
+          var i = 0
+          while (i < c.length) {
+            var j = 0
+            while (j < r.length) {
+              cur(j + 1) =
+                if (c(i) == r(j)) prev(j) + 1
+                else math.max(prev(j + 1), cur(j))
+              j += 1
+            }
+            val t = prev; prev = cur; cur = t
+            java.util.Arrays.fill(cur, 0)
+            i += 1
+          }
+          val lcs = prev(r.length)
+          val p = if (c.isEmpty) 0.0 else lcs.toDouble / c.length
+          val rec = lcs.toDouble / r.length
+          val f = if (p + rec > 0) 2 * p * rec / (p + rec) else 0.0
+          Some((id, lcs, c.length, r.length, p, rec, f))
+        }
+      })
+      .toDF(idCol, "lcs", "cand_tokens", "ref_tokens", "precision",
+        "recall", "f1")
+  }
+
+  /** Kendall's τ-b per group — rank agreement with tie correction:
+    * τ_b = (C − D) / √((n0 − n1)(n0 − n2)) with n0 = n(n−1)/2, n1/n2
+    * the tie-pair counts of each variable. The judge-vs-judge (or
+    * metric-vs-human) agreement statistic that, unlike Spearman,
+    * stays interpretable under heavy ties. Groups are collected and
+    * scored with the O(n²) pair walk — the BOUNDED-GROUP contract
+    * (panels, not corpora); `maxGroup` guards it explicitly.
+    * Returns (group, n, concordant, discordant, tau); groups with
+    * no comparable pairs (all tied on either side) yield NULL tau.
+    */
+  def kendallTau(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String, maxGroup: Int = 100000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(groupCol).cast("string"), col(xCol).cast("double"),
+        col(yCol).cast("double"))
+      .as(Encoders.tuple(Encoders.STRING, Encoders.scalaDouble,
+        Encoders.scalaDouble))
+      .groupByKey(_._1)
+      .mapGroups { (g, it) =>
+        val xs = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+        it.foreach { case (_, x, y) =>
+          xs += ((x, y))
+          if (xs.length > maxGroup)
+            throw new IllegalArgumentException(
+              s"kendallTau group '$g' exceeds maxGroup=$maxGroup " +
+                "(the O(n^2) kernel needs bounded groups)")
+        }
+        val n = xs.length
+        var conc = 0L; var disc = 0L; var tx = 0L; var ty = 0L
+        var i = 0
+        while (i < n) {
+          var j = i + 1
+          while (j < n) {
+            val dx = java.lang.Double.compare(xs(i)._1, xs(j)._1)
+            val dy = java.lang.Double.compare(xs(i)._2, xs(j)._2)
+            if (dx == 0 && dy == 0) { tx += 1; ty += 1 }
+            else if (dx == 0) tx += 1
+            else if (dy == 0) ty += 1
+            else if (dx == dy) conc += 1
+            else disc += 1
+            j += 1
+          }
+          i += 1
+        }
+        val n0 = n.toLong * (n - 1) / 2
+        val denom = math.sqrt((n0 - tx).toDouble * (n0 - ty))
+        val tau = if (denom == 0.0) None
+          else Some((conc - disc) / denom)
+        (g, n.toLong, conc, disc, tau)
+      }
+      .toDF(groupCol, "n", "concordant", "discordant", "tau")
+      .select(col(groupCol), col("n"), col("concordant"), col("discordant"),
+        col("tau").cast("double"))
+  }
+}

@@ -10,6 +10,11 @@ import graft.ml.{Eval, Similarity, TextAnalysis => TA}
   */
 object EvalQueries extends QueryGroup {
 
+  // DuckDB mirror of TextAnalysis.normalize (the TextQueries idiom)
+  private val normSql =
+    """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+      |'\s+', ' ', 'g'))""".stripMargin.replace("\n", " ")
+
   // DuckDB mirror of TextAnalysis.tokenCount (the q_text_pack idiom)
   private val tokSql =
     "CASE WHEN strlen(trim(text)) = 0 THEN 0 " +
@@ -586,6 +591,202 @@ object EvalQueries extends QueryGroup {
       Eval.cohenKappa(d, "r1", "r2")
         .select(col("n"), round(col("po"), 6).as("po"),
           round(col("pe"), 6).as("pe"), round(col("kappa"), 6).as("kappa"))
+    },
+
+    // Corpus BLEU-2 of a planted "generation": the candidate drops
+    // every 3rd token of the reference (both engines construct it),
+    // so the clipped n-gram precisions, brevity penalty, and the
+    // geometric mean are fully replayable relationally — the oracle
+    // recomputes modified precision with explode + clip joins, never
+    // calling a BLEU function.
+    q("q_eval_bleu",
+      s"""WITH tk AS (
+         |  SELECT doc_id, list_filter(string_split($normSql, ' '),
+         |    t -> t <> '') AS rt
+         |  FROM documents
+         |), pr AS (
+         |  SELECT doc_id, rt,
+         |    list_filter(rt, (t, i) -> i % 3 != 0) AS ct FROM tk
+         |), cu AS (
+         |  SELECT doc_id, u.g AS g, count(*) AS cc
+         |  FROM pr, unnest(ct) AS u(g) GROUP BY 1, 2
+         |), ru AS (
+         |  SELECT doc_id, u.g AS g, count(*) AS rc
+         |  FROM pr, unnest(rt) AS u(g) GROUP BY 1, 2
+         |), o1 AS (
+         |  SELECT sum(least(cc, coalesce(rc, 0)))::DOUBLE AS num
+         |  FROM cu LEFT JOIN ru USING (doc_id, g)
+         |), cb AS (
+         |  SELECT doc_id, u.g AS g, count(*) AS cc FROM (
+         |    SELECT doc_id, list_transform(range(1, len(ct)),
+         |      i -> ct[i] || ' ' || ct[i+1]) AS bs FROM pr
+         |  ), unnest(bs) AS u(g) GROUP BY 1, 2
+         |), rb AS (
+         |  SELECT doc_id, u.g AS g, count(*) AS rc FROM (
+         |    SELECT doc_id, list_transform(range(1, len(rt)),
+         |      i -> rt[i] || ' ' || rt[i+1]) AS bs FROM pr
+         |  ), unnest(bs) AS u(g) GROUP BY 1, 2
+         |), o2 AS (
+         |  SELECT sum(least(cc, coalesce(rc, 0)))::DOUBLE AS num
+         |  FROM cb LEFT JOIN rb USING (doc_id, g)
+         |), lens AS (
+         |  SELECT sum(len(ct))::DOUBLE AS clen, sum(len(rt))::DOUBLE AS rlen,
+         |    sum(greatest(len(ct) - 1, 0))::DOUBLE AS bden
+         |  FROM pr
+         |), fin AS (
+         |  SELECT o1.num / lens.clen AS p1, o2.num / lens.bden AS p2,
+         |    CASE WHEN lens.clen >= lens.rlen THEN 1.0::DOUBLE
+         |      ELSE exp(1.0 - lens.rlen / lens.clen) END AS bp,
+         |    lens.clen AS clen, lens.rlen AS rlen
+         |  FROM o1, o2, lens
+         |)
+         |SELECT round(CASE WHEN p1 > 0 AND p2 > 0
+         |    THEN exp((ln(p1) + ln(p2)) / 2) * bp ELSE 0.0 END, 6) AS bleu,
+         |  round(p1, 6) AS p1, round(p2, 6) AS p2, round(bp, 6) AS bp,
+         |  CAST(clen AS BIGINT) AS cand_tokens,
+         |  CAST(rlen AS BIGINT) AS ref_tokens
+         |FROM fin""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("doc_id").as("id"),
+        col("text").as("ref"),
+        concat_ws(" ", filter(
+          filter(split(TA.normalize(col("text")), " "), t => length(t) > 0),
+          (t, i) => (i + 1) % 3 =!= 0)).as("cand"))
+      graft.ml.GenEval.bleu(d, "id", "cand", "ref", maxN = 2)
+        .select(round(col("bleu"), 6).as("bleu"),
+          round(col("p1"), 6).as("p1"), round(col("p2"), 6).as("p2"),
+          round(col("bp"), 6).as("bp"),
+          col("cand_tokens"), col("ref_tokens"))
+    },
+
+    // ROUGE-2 per document over the same dropped-token candidate:
+    // clipped bigram overlap as precision/recall/F1, replayed
+    // relationally per document by the oracle.
+    q("q_eval_rouge2",
+      s"""WITH tk AS (
+         |  SELECT doc_id, list_filter(string_split($normSql, ' '),
+         |    t -> t <> '') AS rt
+         |  FROM documents
+         |), pr AS (
+         |  SELECT doc_id, rt,
+         |    list_filter(rt, (t, i) -> i % 3 != 0) AS ct FROM tk
+         |), cb AS (
+         |  SELECT doc_id, u.g AS g, count(*) AS cc FROM (
+         |    SELECT doc_id, list_transform(range(1, len(ct)),
+         |      i -> ct[i] || ' ' || ct[i+1]) AS bs FROM pr
+         |  ), unnest(bs) AS u(g) GROUP BY 1, 2
+         |), rb AS (
+         |  SELECT doc_id, u.g AS g, count(*) AS rc FROM (
+         |    SELECT doc_id, list_transform(range(1, len(rt)),
+         |      i -> rt[i] || ' ' || rt[i+1]) AS bs FROM pr
+         |  ), unnest(bs) AS u(g) GROUP BY 1, 2
+         |), ov AS (
+         |  SELECT doc_id, sum(least(cc, rc)) AS overlap
+         |  FROM cb JOIN rb USING (doc_id, g) GROUP BY 1
+         |), tot AS (
+         |  SELECT doc_id, greatest(len(ct) - 1, 0) AS cn,
+         |    greatest(len(rt) - 1, 0) AS rn FROM pr
+         |)
+         |SELECT t.doc_id AS id, coalesce(o.overlap, 0) AS overlap,
+         |  CAST(t.cn AS BIGINT) AS cand_ngrams,
+         |  CAST(t.rn AS BIGINT) AS ref_ngrams,
+         |  round(CASE WHEN t.cn > 0
+         |    THEN coalesce(o.overlap, 0)::DOUBLE / t.cn ELSE 0.0 END, 6)
+         |    AS precision,
+         |  round(coalesce(o.overlap, 0)::DOUBLE / t.rn, 6) AS recall,
+         |  round(CASE WHEN coalesce(o.overlap, 0) > 0 THEN
+         |    2.0 * (coalesce(o.overlap, 0)::DOUBLE / t.cn)
+         |        * (coalesce(o.overlap, 0)::DOUBLE / t.rn)
+         |      / (coalesce(o.overlap, 0)::DOUBLE / t.cn
+         |        + coalesce(o.overlap, 0)::DOUBLE / t.rn)
+         |    ELSE 0.0 END, 6) AS f1
+         |FROM tot t LEFT JOIN ov o USING (doc_id)
+         |WHERE t.rn > 0 ORDER BY id""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("doc_id").as("id"),
+        col("text").as("ref"),
+        concat_ws(" ", filter(
+          filter(split(TA.normalize(col("text")), " "), t => length(t) > 0),
+          (t, i) => (i + 1) % 3 =!= 0)).as("cand"))
+      graft.ml.GenEval.rougeN(d, "id", "cand", "ref", n = 2)
+        .select(col("id"), col("overlap"), col("cand_ngrams"),
+          col("ref_ngrams"), round(col("precision"), 6).as("precision"),
+          round(col("recall"), 6).as("recall"), round(col("f1"), 6).as("f1"))
+        .orderBy("id")
+    },
+
+    // ROUGE-L per document: dropping tokens makes the candidate an
+    // EXACT SUBSEQUENCE of the reference, so LCS = |cand| and every
+    // output of the O(c·r) DP kernel is arithmetically replayable —
+    // precision 1, recall |cand|/|ref| — without the oracle running
+    // any DP.
+    q("q_eval_rouge_l",
+      s"""WITH tk AS (
+         |  SELECT doc_id, list_filter(string_split($normSql, ' '),
+         |    t -> t <> '') AS rt
+         |  FROM documents
+         |), pr AS (
+         |  SELECT doc_id, len(rt) AS rn,
+         |    len(list_filter(rt, (t, i) -> i % 3 != 0)) AS cn FROM tk
+         |)
+         |SELECT doc_id AS id, CAST(cn AS INT) AS lcs,
+         |  CAST(cn AS INT) AS cand_tokens, CAST(rn AS INT) AS ref_tokens,
+         |  CASE WHEN cn > 0 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS precision,
+         |  round(cn::DOUBLE / rn, 6) AS recall,
+         |  round(CASE WHEN cn > 0
+         |    THEN 2.0 * (cn::DOUBLE / rn) / (1.0 + cn::DOUBLE / rn)
+         |    ELSE 0.0 END, 6) AS f1
+         |FROM pr WHERE rn > 0 ORDER BY id""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("doc_id").as("id"),
+        col("text").as("ref"),
+        concat_ws(" ", filter(
+          filter(split(TA.normalize(col("text")), " "), t => length(t) > 0),
+          (t, i) => (i + 1) % 3 =!= 0)).as("cand"))
+      graft.ml.GenEval.rougeL(d, "id", "cand", "ref")
+        .select(col("id"), col("lcs"), col("cand_tokens"),
+          col("ref_tokens"), round(col("precision"), 6).as("precision"),
+          round(col("recall"), 6).as("recall"), round(col("f1"), 6).as("f1"))
+        .orderBy("id")
+    },
+
+    // Kendall's tau-b per source over a bounded document sample
+    // (doc_id % 13 = 0 — the bounded-group contract of the O(n²)
+    // kernel): x = n_chars, y = a deterministic pseudo-score; the
+    // oracle recomputes concordant/discordant/tie pairs with a
+    // within-group pairwise self-join.
+    q("q_eval_kendall",
+      """WITH d AS (
+        |  SELECT source, doc_id, n_chars::DOUBLE AS x,
+        |    ((doc_id * 37) % 101)::DOUBLE AS y
+        |  FROM documents WHERE doc_id % 13 = 0
+        |), p AS (
+        |  SELECT a.source,
+        |    CASE WHEN (a.x < b.x AND a.y < b.y) OR (a.x > b.x AND a.y > b.y)
+        |      THEN 1 ELSE 0 END AS c,
+        |    CASE WHEN (a.x < b.x AND a.y > b.y) OR (a.x > b.x AND a.y < b.y)
+        |      THEN 1 ELSE 0 END AS dd,
+        |    CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+        |    CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+        |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+        |), g AS (
+        |  SELECT source, count(*) AS n FROM d GROUP BY 1
+        |), s AS (
+        |  SELECT source, sum(c)::BIGINT AS concordant,
+        |    sum(dd)::BIGINT AS discordant, sum(tx) AS txs, sum(ty) AS tys
+        |  FROM p GROUP BY 1
+        |)
+        |SELECT g.source, g.n, coalesce(s.concordant, 0) AS concordant,
+        |  coalesce(s.discordant, 0) AS discordant,
+        |  round((coalesce(s.concordant, 0) - coalesce(s.discordant, 0))
+        |    / sqrt((g.n * (g.n - 1) / 2.0 - coalesce(s.txs, 0))
+        |         * (g.n * (g.n - 1) / 2.0 - coalesce(s.tys, 0))), 6) AS tau
+        |FROM g LEFT JOIN s USING (source) ORDER BY source""".stripMargin) {
+      (s, dir) =>
+      val d = t(s, dir, "documents").filter(col("doc_id") % 13 === 0)
+        .select(col("source"), col("n_chars").cast("double").as("x"),
+          ((col("doc_id") * 37) % 101).cast("double").as("y"))
+      graft.ml.GenEval.kendallTau(d, "source", "x", "y")
+        .select(col("source"), col("n"), col("concordant"),
+          col("discordant"), round(col("tau"), 6).as("tau"))
+        .orderBy("source")
     }
   )
 }
