@@ -70,6 +70,8 @@ class PlanLintSpec extends SparkSpec {
       "1-row corpus-stats (N, avgdl) aggregate broadcast onto the BM25 hit stream"),
     "q_events_sequential" -> Map("cartesian" ->
       "dense (arms x periods) grid — both sides driver-bounded (arm list x time-range/periodSec)"),
+    "q_eval_bleu" -> Map("cartesian" ->
+      "1-row per-order precision pivot × 1-row corpus-lengths aggregate"),
     "q_events_growth" -> Map("cartesian" ->
       "1-row max-period horizon aggregate broadcast onto the churn rows"),
     "q_events_power" -> Map("cartesian" ->
