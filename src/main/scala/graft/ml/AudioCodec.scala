@@ -66,7 +66,32 @@ object AudioCodec {
       }
     }
 
-  /** Full decode of integer PCM (format tag 1, 8 or 16 bits). */
+  /** G.711 μ-law expansion (ITU-T G.711, the closed form every
+    * telephony stack ships): 8-bit code → 16-bit linear.
+    */
+  def ulawToLinear(code: Int): Int = {
+    val c = ~code & 0xFF
+    val exp = (c >> 4) & 7
+    val mant = c & 0x0F
+    val mag = (((mant << 3) + 0x84) << exp) - 0x84
+    if ((c & 0x80) != 0) -mag else mag
+  }
+
+  /** G.711 A-law expansion: 8-bit code → 16-bit linear. */
+  def alawToLinear(code: Int): Int = {
+    val a = code ^ 0x55
+    val exp = (a >> 4) & 7
+    val mant = a & 0x0F
+    val mag =
+      if (exp == 0) (mant << 4) + 8
+      else ((mant << 4) + 0x108) << (exp - 1)
+    if ((a & 0x80) != 0) mag else -mag
+  }
+
+  /** Full decode of integer PCM (format tag 1, 8 or 16 bits) plus the
+    * G.711 companded telephony formats (tag 6 A-law, tag 7 μ-law —
+    * 8-bit codes expanded to 16-bit linear).
+    */
   def decode(bytes: Array[Byte]): Option[Audio] =
     if (!isWav(bytes)) None
     else chunks(bytes).flatMap { case (fmt, data, dataLen) =>
@@ -74,7 +99,18 @@ object AudioCodec {
       val channels = le16(bytes, fmt + 2)
       val rate = le32(bytes, fmt + 4)
       val bits = le16(bytes, fmt + 14)
-      if (tag != 1 || channels <= 0 || rate <= 0 || (bits != 8 && bits != 16))
+      if (channels <= 0 || rate <= 0) None
+      else if ((tag == 6 || tag == 7) && bits == 8) {
+        val out = new Array[Int](dataLen)
+        var i = 0
+        while (i < dataLen) {
+          val c = u8(bytes, data + i)
+          out(i) = if (tag == 7) ulawToLinear(c) else alawToLinear(c)
+          i += 1
+        }
+        Some(Audio(rate, channels, 16, out))
+      }
+      else if (tag != 1 || (bits != 8 && bits != 16))
         None
       else if (bits == 16) {
         val n = dataLen / 2
@@ -113,6 +149,75 @@ object AudioCodec {
       else buf.put((s + 128).toByte)
     }
     buf.array()
+  }
+
+  /** Write a G.711 companded WAV (format tag 7 μ-law / 6 A-law) from
+    * raw 8-bit codes — the round-trip partner of the tag-6/7 decode.
+    */
+  def encodeWavCompanded(codes: Array[Byte], sampleRate: Int,
+      channels: Int, uLaw: Boolean): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0)
+    val buf = java.nio.ByteBuffer.allocate(44 + codes.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + codes.length).put("WAVE".getBytes)
+    buf.put("fmt ".getBytes).putInt(16)
+      .putShort(if (uLaw) 7 else 6)
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels)
+      .putShort(channels.toShort).putShort(8)
+    buf.put("data".getBytes).putInt(codes.length)
+    buf.put(codes)
+    buf.array()
+  }
+
+  /** Energy-threshold voice-activity segmentation over the mono mix:
+    * per-`frameSamples` RMS against `energyThresh`, runs of active
+    * frames become segments, silence gaps shorter than `minGapFrames`
+    * are bridged, and segments shorter than `minSpeechFrames` drop.
+    * Returns (startSample, endSample-exclusive) pairs — the ASR-prep
+    * primitive (cut speech for transcription, meter silence for
+    * corrupt-payload detection). Bounded per-clip state.
+    */
+  def vadSegments(a: Audio, frameSamples: Int = 160,
+      energyThresh: Double = 500.0, minSpeechFrames: Int = 1,
+      minGapFrames: Int = 1): Seq[(Int, Int)] = {
+    require(frameSamples > 0 && minSpeechFrames >= 1 && minGapFrames >= 1)
+    val mono = monoMix(a)
+    val nf = mono.length / frameSamples // trailing partial frame ignored
+    val active = new Array[Boolean](nf)
+    var f = 0
+    while (f < nf) {
+      var ss = 0.0
+      var i = 0
+      while (i < frameSamples) {
+        val s = mono(f * frameSamples + i).toDouble
+        ss += s * s
+        i += 1
+      }
+      active(f) = math.sqrt(ss / frameSamples) >= energyThresh
+      f += 1
+    }
+    // bridge short gaps
+    var out = List.newBuilder[(Int, Int)]
+    var segStart = -1
+    var lastActive = -1
+    var k = 0
+    while (k < nf) {
+      if (active(k)) {
+        if (segStart < 0) { segStart = k }
+        else if (k - lastActive - 1 >= minGapFrames) {
+          // gap too long: close previous segment, open new
+          if (lastActive - segStart + 1 >= minSpeechFrames)
+            out += ((segStart * frameSamples, (lastActive + 1) * frameSamples))
+          segStart = k
+        }
+        lastActive = k
+      }
+      k += 1
+    }
+    if (segStart >= 0 && lastActive - segStart + 1 >= minSpeechFrames)
+      out += ((segStart * frameSamples, (lastActive + 1) * frameSamples))
+    out.result()
   }
 
   /** Scan-time signal features, all exact arithmetic:

@@ -218,6 +218,29 @@ object Multimodal {
       })
   }
 
+  /** One voice-activity segment of a clip (sample offsets). */
+  case class VadRow(id: Long, segIdx: Int, startSample: Int, endSample: Int)
+
+  /** Energy-threshold VAD per clip (see [[AudioCodec.vadSegments]]):
+    * the ASR-prep cut list. Narrow mapPartitions kernel; clips with
+    * no active frames emit nothing.
+    */
+  def vad(df: DataFrame, frameSamples: Int = 160,
+      energyThresh: Double = 500.0, minSpeechFrames: Int = 1,
+      minGapFrames: Int = 1, idCol: String = "id",
+      mediaCol: String = "media"): Dataset[VadRow] = {
+    implicit val enc = Encoders.product[VadRow]
+    df.select(col(idCol).cast("long"), col(mediaCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        AudioCodec.decode(bytes).toSeq.flatMap { a =>
+          AudioCodec.vadSegments(a, frameSamples, energyThresh,
+            minSpeechFrames, minGapFrames)
+            .zipWithIndex.map { case ((s, e), i) => VadRow(id, i, s, e) }
+        }
+      })
+  }
+
   /** Nearest-neighbor mono resample to a fixed frame count — the
     * audio analogue of [[resizeImages]]; returns the integer samples
     * so downstream featurizers see exact values.

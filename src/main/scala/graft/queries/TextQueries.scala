@@ -862,6 +862,87 @@ object TextQueries extends QueryGroup {
         .orderBy("id")
     },
 
+    // Voice-activity segmentation through the gate: per document an
+    // alternating silence/tone clip (blocks of 640 samples = 4 VAD
+    // frames; nseg = 2 + id%3 tone blocks, ±4000 square tone) — the
+    // energy VAD must report EXACTLY the tone blocks as segments,
+    // with sample-exact boundaries replayed arithmetically.
+    q("q_multimodal_vad",
+      """WITH d AS (
+        |  SELECT doc_id AS id, 2 + doc_id % 3 AS nseg FROM documents
+        |)
+        |SELECT id, CAST(u.j AS INT) AS seg_idx,
+        |  CAST((2 * u.j + 1) * 640 AS INT) AS start_sample,
+        |  CAST((2 * u.j + 2) * 640 AS INT) AS end_sample
+        |FROM d, unnest(range(0, nseg)) AS u(j)
+        |ORDER BY id, seg_idx""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.ml.AudioCodec
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val nseg = (2 + id % 3).toInt
+          val sig = (0 until 2 * nseg + 1).flatMap { b =>
+            if (b % 2 == 1) Array.tabulate(640)(i =>
+              if (i % 2 == 0) 4000 else -4000)
+            else new Array[Int](640)
+          }.toArray
+          (id, AudioCodec.encodeWav(AudioCodec.Audio(16000, 1, 16, sig)))
+        }.toDF("id", "media")
+      Multimodal.vad(media, frameSamples = 160, energyThresh = 500.0).toDF()
+        .select(col("id"), col("segIdx").as("seg_idx"),
+          col("startSample").as("start_sample"),
+          col("endSample").as("end_sample"))
+        .orderBy("id", "seg_idx")
+    },
+
+    // G.711 telephony decode through the gate: 64 planted mu-law and
+    // A-law codes per document (code i = (id*7 + i*13) % 256), decoded
+    // through the WAV container (format tags 7 and 6) — the oracle
+    // replays the ITU closed forms bit-exactly in SQL (complement /
+    // xor-0x55, exponent-mantissa expansion, sign).
+    q("q_multimodal_g711",
+      """WITH d AS (
+        |  SELECT doc_id AS id, u.i AS i, (doc_id * 7 + u.i * 13) % 256 AS code
+        |  FROM documents, unnest(range(0, 64)) AS u(i)
+        |), ul AS (
+        |  SELECT id, i, 255 - code AS c FROM d
+        |), ud AS (
+        |  SELECT id, i,
+        |    CASE WHEN c >= 128 THEN -(((c % 16) * 8 + 132)
+        |        * CAST(power(2, (c // 16) % 8) AS BIGINT) - 132)
+        |      ELSE ((c % 16) * 8 + 132)
+        |        * CAST(power(2, (c // 16) % 8) AS BIGINT) - 132 END AS ulin
+        |  FROM ul
+        |), al AS (
+        |  SELECT id, i, xor(code, 85) AS a FROM d
+        |), ad AS (
+        |  SELECT id, i,
+        |    CASE WHEN a >= 128 THEN mag ELSE -mag END AS alin
+        |  FROM (
+        |    SELECT id, i, a,
+        |      CASE WHEN (a // 16) % 8 = 0 THEN (a % 16) * 16 + 8
+        |        ELSE ((a % 16) * 16 + 264)
+        |          * CAST(power(2, (a // 16) % 8 - 1) AS BIGINT) END AS mag
+        |    FROM al)
+        |)
+        |SELECT ud.id AS id, CAST(ud.i AS INT) AS i,
+        |  CAST(ud.ulin AS INT) AS ulin, CAST(ad.alin AS INT) AS alin
+        |FROM ud JOIN ad ON ud.id = ad.id AND ud.i = ad.i
+        |ORDER BY ud.id, ud.i""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.ml.AudioCodec
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val codes = Array.tabulate(64)(i => ((id * 7 + i * 13) % 256).toByte)
+          val u = AudioCodec.decode(
+            AudioCodec.encodeWavCompanded(codes, 8000, 1, uLaw = true)).get
+          val a = AudioCodec.decode(
+            AudioCodec.encodeWavCompanded(codes, 8000, 1, uLaw = false)).get
+          (0 until 64).map(i => (id, i, u.samples(i), a.samples(i)))
+        }.toDF("id", "i", "ulin", "alin")
+        .orderBy("id", "i")
+    },
+
     // REAL audio decode through the gate: both engines construct the
     // same stereo 16-bit PCM WAV per document — n = 40 + id%30 frames
     // at 16 kHz, interleaved sample i = ((id*37 + i*797) % 4001) - 2000

@@ -88,6 +88,65 @@ class AudioCodecSpec extends SparkSpec {
       res.forall(_.getAs[Seq[Int]]("samples").length == 4))
   }
 
+  test("G.711 mu-law / A-law expansion matches the CPython audioop reference vectors") {
+    // vectors generated with CPython's audioop (ulaw2lin/alaw2lin,
+    // width 2) — the de-facto public G.711 reference
+    val ulaw = Seq(0x00 -> -32124, 0x10 -> -15996, 0x2A -> -5372,
+      0x55 -> -716, 0x7F -> 0, 0x80 -> 32124, 0x9D -> 9340,
+      0xAA -> 5372, 0xD5 -> 716, 0xFF -> 0)
+    ulaw.foreach { case (c, v) =>
+      assert(AudioCodec.ulawToLinear(c) == v, s"ulaw $c")
+    }
+    val alaw = Seq(0x00 -> -5504, 0x10 -> -2752, 0x2A -> -32256,
+      0x55 -> -8, 0x7F -> -848, 0x80 -> 5504, 0x9D -> 3136,
+      0xAA -> 32256, 0xD5 -> 8, 0xFF -> 848)
+    alaw.foreach { case (c, v) =>
+      assert(AudioCodec.alawToLinear(c) == v, s"alaw $c")
+    }
+    // sign symmetry across the whole code space
+    (0 until 128).foreach { c =>
+      assert(AudioCodec.ulawToLinear(c) == -AudioCodec.ulawToLinear(c | 0x80))
+      assert(AudioCodec.alawToLinear(c) == -AudioCodec.alawToLinear(c | 0x80))
+    }
+    // companded WAV round-trip through the container
+    val codes = Array.tabulate(256)(_.toByte)
+    val dec = AudioCodec.decode(
+      AudioCodec.encodeWavCompanded(codes, 8000, 1, uLaw = true)).get
+    assert(dec.bitsPerSample == 16 && dec.sampleRate == 8000)
+    assert(dec.samples.toSeq ==
+      (0 until 256).map(AudioCodec.ulawToLinear))
+    val decA = AudioCodec.decode(
+      AudioCodec.encodeWavCompanded(codes, 8000, 1, uLaw = false)).get
+    assert(decA.samples.toSeq ==
+      (0 until 256).map(AudioCodec.alawToLinear))
+  }
+
+  test("vadSegments finds planted speech runs, bridges short gaps, drops blips") {
+    val frame = 160
+    def block(active: Boolean, frames: Int): Array[Int] =
+      if (active) Array.tabulate(frames * frame)(i =>
+        if (i % 2 == 0) 4000 else -4000)
+      else new Array[Int](frames * frame)
+    // S(2) T(3) S(1) T(2) S(4) T(1) S(2): with minGap=2 the 1-frame
+    // gap bridges, with minSpeech=2 the final 1-frame blip drops
+    val sig = block(false, 2) ++ block(true, 3) ++ block(false, 1) ++
+      block(true, 2) ++ block(false, 4) ++ block(true, 1) ++
+      block(false, 2)
+    val a = Audio(16000, 1, 16, sig)
+    val merged = AudioCodec.vadSegments(a, frame, 500.0,
+      minSpeechFrames = 2, minGapFrames = 2)
+    // frames 2-7 fuse (the 1-frame gap at 5 bridges); end-exclusive
+    // sample offset is (7+1)·160
+    assert(merged == Seq((2 * frame, 8 * frame)), merged)
+    // strict settings: no bridging, no minimum -> three raw segments
+    val strict = AudioCodec.vadSegments(a, frame, 500.0, 1, 1)
+    assert(strict == Seq((2 * frame, 5 * frame), (6 * frame, 8 * frame),
+      (12 * frame, 13 * frame)), strict)
+    // silence-only clip: nothing
+    assert(AudioCodec.vadSegments(Audio(16000, 1, 16, block(false, 8)),
+      frame, 500.0, 1, 1).isEmpty)
+  }
+
   test("fft matches hand-computed DFTs (impulse, constant, pure tone)") {
     // impulse -> flat spectrum
     val re1 = Array.tabulate(8)(i => if (i == 0) 1.0 else 0.0)
