@@ -71,6 +71,41 @@ class HarnessSpec extends SparkSpec {
       }
   }
 
+  test("JobTest.runBoth executes in broadcast AND exchange mode, demands agreement") {
+    import spark.implicits._
+    // a join + aggregate flow: broadcast-joined in normal mode,
+    // sort-merge-joined with AQE off and broadcast disabled — results
+    // must agree
+    val jt = JobTest(spark)
+      .source("facts", (1L to 200L).map(i => (i, i % 7)))
+      .source("dim", Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"),
+        (4L, "e"), (5L, "f"), (6L, "g")))
+    jt.runBoth { (_, src) =>
+        src("facts").join(src("dim"),
+            src("facts")("_2") === src("dim")("_1"))
+          .groupBy(src("dim")("_2")).count().orderBy("count", "_2")
+      }
+      .sink { rows =>
+        assert(rows.size == 7)
+        assert(rows.map(_.getLong(1)).sum == 200L)
+      }
+    // the exchange-mode conf tweaks must not leak into the session
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    // a flow whose two modes DISAGREE must fail loudly: a plan that
+    // leaks the physical partition layout differs between AQE
+    // (post-shuffle coalescing) and exchange mode (raw 32 shuffle
+    // partitions)
+    val bad = intercept[AssertionError] {
+      jt.runBoth { (_, src) =>
+        src("facts").groupBy("_2").count()
+          .select(org.apache.spark.sql.functions.spark_partition_id()
+            .as("pid"))
+          .distinct()
+      }
+    }
+    assert(bad.getMessage.contains("disagree"))
+  }
+
   test("IVF ANN recalls neighbors on clustered vectors") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
