@@ -998,6 +998,61 @@ object Dedup {
     * positions (usually a tiny fraction of the corpus). Nothing holds
     * a whole document's grams in memory and no step is quadratic.
     */
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    * MOSS algorithm): hash every `k`-token gram, slide a `w`-gram
+    * window, and keep each window's MINIMAL hash (rightmost position
+    * on ties, per the paper). The guarantee: any match of at least
+    * w + k − 1 tokens between two documents shares at least one
+    * fingerprint, while storage drops to ~2/(w+1) of the gram count —
+    * the fingerprint density/recall dial that raw k-gram
+    * fingerprinting ([[duplicateSpans]]) lacks.
+    *
+    * Hashes are md5 STRINGS compared lexicographically — engine-
+    * portable ordering (the Corpus md5-permutation idiom), no numeric
+    * conversion. Tie-break composes (hash asc, pos desc) into one
+    * minimizable key: `hash ‖ '@' ‖ (10^7 − pos)` zero-padded.
+    *
+    * Returns distinct (id, pos, gram) — 1-based token position of the
+    * selected gram.
+    *
+    * Scale shape: gram explode → w-way window-membership explode
+    * (each gram feeds ≤ w windows) → per-(doc, window) min aggregate
+    * → distinct. All hash aggregation on (doc, window) keys; linear
+    * in corpus size, no joins.
+    */
+  def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(w >= 1, s"w must be >= 1, got $w")
+    val toks = df.select(col(idCol).as("id"),
+      filter(split(graft.ml.TextAnalysis.normalize(col(textCol)), " "),
+        t => length(t) > 0).as("tk"))
+    val grams = toks
+      .select(col("id"), size(col("tk")).as("m"),
+        posexplode(when(size(col("tk")) >= k,
+          transform(sequence(lit(0), size(col("tk")) - k),
+            i => concat_ws(" ", slice(col("tk"), i + 1, lit(k)))))
+          .otherwise(array())).as(Seq("p0", "gram")))
+      .select(col("id"), (col("p0") + 1).as("pos"), col("gram"),
+        (col("m") - k + 1).as("ng")) // grams per doc
+    // each gram at pos feeds windows wp in [pos, pos+w-1] ∩ [w, ng];
+    // the guard matters: Spark's sequence(a, b) DESCENDS when a > b,
+    // so an unguarded empty intersection (doc shorter than w grams)
+    // would emit phantom windows instead of none
+    val lo = greatest(col("pos"), lit(w))
+    val hi = least(col("pos") + w - 1, col("ng"))
+    val member = grams.select(col("id"), col("pos"), col("gram"),
+      explode(when(lo <= hi, sequence(lo, hi)).otherwise(array())).as("wp"))
+    // composite minimizable key: md5 asc, then RIGHTMOST pos on ties
+    val key = concat(md5(col("gram")), lit("@"),
+      lpad((lit(10000000) - col("pos")).cast("string"), 7, "0"))
+    member
+      .groupBy("id", "wp")
+      .agg(min(struct(key.as("k"), col("pos"), col("gram"))).as("sel"))
+      .select(col("id"), col("sel.pos").as("pos"), col("sel.gram").as("gram"))
+      .distinct()
+  }
+
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, minDocs: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -364,6 +364,46 @@ object DedupQueries extends QueryGroup {
     // by >= 2 docs. The oracle rebuilds the same gram/position/merge
     // pipeline on gram *strings*; Spark groups on xxhash64 of the
     // gram (the 100 TB path) — equal outputs absent 64-bit collisions.
+    // winnowing fingerprints (MOSS): k=4-token grams, w=4 windows,
+    // per-window minimal md5 (rightmost on ties) — the oracle replays
+    // the selection relationally with the same md5-string ordering and
+    // the same composite tie-break key.
+    q("q_dedup_winnowing", {
+      val words = "list_filter(string_split(trim(regexp_replace(" +
+        "regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), " +
+        "'\\s+', ' ', 'g')), ' '), t -> t <> '')"
+      s"""WITH cw AS (
+         |  SELECT doc_id, $words AS tk FROM documents
+         |), g AS (
+         |  SELECT doc_id, u.i AS pos, len(tk) - 3 AS ng,
+         |    tk[u.i] || ' ' || tk[u.i+1] || ' ' || tk[u.i+2]
+         |      || ' ' || tk[u.i+3] AS gram
+         |  FROM cw, unnest(range(1, len(tk) - 2)) AS u(i)
+         |  WHERE len(tk) >= 4
+         |), m AS (
+         |  SELECT doc_id, pos, ng, gram,
+         |    md5(gram) || '@' ||
+         |      lpad(CAST(10000000 - pos AS VARCHAR), 7, '0') AS key
+         |  FROM g
+         |), mem AS (
+         |  SELECT doc_id, w.wp AS wp, pos, gram, key
+         |  FROM m, unnest(range(greatest(pos, 4),
+         |    least(pos + 3, ng) + 1)) AS w(wp)
+         |), sel AS (
+         |  SELECT doc_id, wp,
+         |    arg_min(struct_pack(p := pos, g := gram), key) AS s
+         |  FROM mem GROUP BY 1, 2
+         |)
+         |SELECT DISTINCT doc_id AS id, CAST(s.p AS INT) AS pos,
+         |  s.g AS gram
+         |FROM sel ORDER BY id, pos""".stripMargin
+    }) { (s, dir) =>
+      Dedup.winnowingFingerprints(t(s, dir, "documents"),
+          "doc_id", "text", k = 4, w = 4)
+        .select(col("id"), col("pos").cast("int").as("pos"), col("gram"))
+        .orderBy("id", "pos")
+    },
+
     q("q_dedup_spans", {
       val words = "string_split(trim(regexp_replace(regexp_replace(lower(text), " +
         "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')"

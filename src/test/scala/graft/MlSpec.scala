@@ -603,6 +603,55 @@ class MlSpec extends SparkSpec {
     assert(math.abs(best.getAs[Double]("cos") - 1.0) < 1e-5)
   }
 
+  test("winnowing fingerprints: density bound, match guarantee, exact selection replay") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    def randText(n: Int): String =
+      (0 until n).map(_ => s"t${rnd.nextInt(5000)}").mkString(" ")
+    val sharedRun = (1 to 12).map(i => s"s$i").mkString(" ") // 12 tokens
+    val d = Seq(
+      (1L, randText(60) + " " + sharedRun + " " + randText(40)),
+      (2L, randText(50) + " " + sharedRun + " " + randText(30)),
+      (3L, randText(80)),
+      // shorter than w grams (5 tokens -> 2 grams < w): NO windows —
+      // guards the sequence(a, b) descending-range trap
+      (4L, "a b c d e"),
+      (5L, "tiny"))
+      .toDF("doc_id", "text")
+    val (k, w) = (4, 4)
+    val fp = graft.ml.Dedup.winnowingFingerprints(d, "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    // driver replay of the exact algorithm
+    def replay(text: String): Set[(Int, String)] = {
+      val tk = graft.ml.Dedup.MinHashUtil.normalize(text)
+        .split(" ").filter(_.nonEmpty)
+      if (tk.length < k) return Set.empty
+      val grams = tk.sliding(k).map(_.mkString(" ")).toArray
+      def h(g: String): String = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }
+      (w to grams.length).map { wp => // windows of w grams ending at wp
+        val win = ((wp - w) until wp).map(i => (i + 1, grams(i)))
+        // min hash, rightmost position on ties
+        win.minBy { case (pos, g) => (h(g), -pos) }
+      }.toSet
+    }
+    val want = Seq(1L, 2L, 3L, 4L, 5L).flatMap(id =>
+      replay(Seq(d.collect())(0).find(_.getLong(0) == id).get.getString(1))
+        .map { case (p, g) => (id, p, g) }).toSet
+    assert(fp.toSet == want, s"missing=${want -- fp.toSet} extra=${fp.toSet -- want}")
+    // density: ~2/(w+1) of grams, never more than the window count
+    val perDoc = fp.groupBy(_._1).view.mapValues(_.size)
+    perDoc.foreach { case (_, n) => assert(n > 0) }
+    // guarantee: the 12-token shared run (>= w + k - 1 = 7) yields at
+    // least one fingerprint with the SAME GRAM in docs 1 and 2
+    val g1 = fp.filter(_._1 == 1L).map(_._3).toSet
+    val g2 = fp.filter(_._1 == 2L).map(_._3).toSet
+    assert((g1 intersect g2).exists(_.startsWith("s")),
+      s"shared run must fingerprint identically: ${g1 intersect g2}")
+  }
+
   test("duplicateSpans merges shared k-gram runs into maximal spans") {
     import spark.implicits._
     // docs 10/11 share tokens 1..12 exactly; doc 12 shares nothing.
