@@ -172,6 +172,210 @@ object Web {
         "text_ratio")
   }
 
+  /** Extract HTML tables as rows of cell text: one entry per
+    * `<table>` (top-level — a nested table's cells stay inside the
+    * outer cell's text), each a list of `<tr>` rows of `<td>`/`<th>`
+    * cell texts run through [[extractText]]. The structured-data
+    * mining pass of a crawl pipeline.
+    */
+  def extractTables(html: String): Seq[Seq[Seq[String]]] = {
+    val lower = html.toLowerCase
+    // (openIdx, contentStart, contentEnd, afterClose) for each
+    // top-level <table> within [from, to), nesting-matched
+    def tableSpans(from: Int, to: Int): Seq[(Int, Int, Int, Int)] = {
+      val out = Seq.newBuilder[(Int, Int, Int, Int)]
+      var i = from
+      while (i < to) {
+        val s = lower.indexOf("<table", i)
+        if (s < 0 || s >= to) i = to
+        else {
+          val tagEnd = lower.indexOf('>', s)
+          if (tagEnd < 0) i = to
+          else {
+            var depth = 1
+            var j = tagEnd + 1
+            var contentEnd = -1
+            var afterClose = to
+            while (contentEnd < 0 && j < to) {
+              val nOpen = lower.indexOf("<table", j)
+              val nClose = lower.indexOf("</table", j)
+              if (nClose < 0) { contentEnd = to }
+              else if (nOpen >= 0 && nOpen < nClose) { depth += 1; j = nOpen + 6 }
+              else {
+                depth -= 1
+                if (depth == 0) {
+                  contentEnd = nClose
+                  afterClose = math.min(to, nClose + 8)
+                } else j = nClose + 8
+              }
+            }
+            if (contentEnd < 0) contentEnd = to
+            out += ((s, tagEnd + 1, contentEnd, afterClose))
+            i = afterClose
+          }
+        }
+      }
+      out.result()
+    }
+    tableSpans(0, lower.length).map { case (_, ts, te, _) =>
+      // nested tables inside this one: their regions are excluded from
+      // the outer row/cell scan (their CONTENT still lands inside the
+      // containing outer cell's extracted text)
+      val inner = tableSpans(ts, te)
+      def inInner(p: Int): Boolean =
+        inner.exists { case (o, _, _, a) => p >= o && p < a }
+      // tag starts of `names` at the outer level, implicit closes
+      def starts(names: Seq[String], from: Int, to: Int): Seq[Int] = {
+        val b = Seq.newBuilder[Int]
+        var i = from
+        while (i < to) {
+          val cands = names.map(n => lower.indexOf(n, i)).filter(x =>
+            x >= 0 && x < to)
+          if (cands.isEmpty) i = to
+          else {
+            val s = cands.min
+            val e = lower.indexOf('>', s)
+            if (e < 0) i = to
+            else {
+              if (!inInner(s)) b += e + 1
+              i = e + 1
+            }
+          }
+        }
+        b.result()
+      }
+      val rowStarts = starts(Seq("<tr"), ts, te)
+      rowStarts.zipWithIndex.map { case (rs, ri) =>
+        val re = if (ri + 1 < rowStarts.length)
+          lower.lastIndexOf("<tr", rowStarts(ri + 1) - 1) else te
+        val cellStarts = starts(Seq("<td", "<th"), rs, re)
+        cellStarts.zipWithIndex.map { case (cs, ci) =>
+          val ce = if (ci + 1 < cellStarts.length) {
+            val nxt = cellStarts(ci + 1)
+            val td = lower.lastIndexOf("<td", nxt - 1)
+            val th = lower.lastIndexOf("<th", nxt - 1)
+            math.max(td, th)
+          } else re
+          extractText(html.substring(cs, math.max(cs, ce)))
+        }
+      }.filter(_.nonEmpty)
+    }.filter(_.nonEmpty)
+  }
+
+  // --- robots.txt ----------------------------------------------------------
+
+  /** One user-agent group's rules: (isAllow, pathPattern) in file
+    * order, plus crawl-delay if present.
+    */
+  final case class RobotsRules(rules: Seq[(Boolean, String)],
+      crawlDelay: Option[Double])
+
+  /** Parse robots.txt for `userAgent` per the public REP
+    * (RFC 9309 / the Google spec): consecutive `User-agent` lines
+    * stack onto one group; the group with the LONGEST user-agent
+    * token that case-insensitively substring-matches ours applies,
+    * `*` as fallback; comments (#) stripped.
+    */
+  def parseRobots(txt: String, userAgent: String): RobotsRules = {
+    val ua = userAgent.toLowerCase
+    var bestLen = -1
+    var best: (Seq[(Boolean, String)], Option[Double]) = (Seq.empty, None)
+    var groupAgents = List.empty[String]
+    var groupRules = Seq.newBuilder[(Boolean, String)]
+    var groupDelay: Option[Double] = None
+    var inRules = false
+    def closeGroup(): Unit = {
+      if (groupAgents.nonEmpty) {
+        val rules = groupRules.result()
+        groupAgents.foreach { agent =>
+          val matchLen =
+            if (agent == "*") 0
+            else if (ua.contains(agent)) agent.length
+            else -1
+          if (matchLen > bestLen) {
+            bestLen = matchLen
+            best = (rules, groupDelay)
+          }
+        }
+      }
+      groupAgents = Nil; groupRules = Seq.newBuilder; groupDelay = None
+      inRules = false
+    }
+    (if (txt == null) "" else txt).split('\n').foreach { raw =>
+      val line = {
+        val h = raw.indexOf('#')
+        (if (h >= 0) raw.substring(0, h) else raw).trim
+      }
+      val c = line.indexOf(':')
+      if (c > 0) {
+        val k = line.substring(0, c).trim.toLowerCase
+        val v = line.substring(c + 1).trim
+        k match {
+          case "user-agent" =>
+            if (inRules) closeGroup()
+            groupAgents = v.toLowerCase :: groupAgents
+          case "allow" => inRules = true; groupRules += ((true, v))
+          case "disallow" => inRules = true; groupRules += ((false, v))
+          case "crawl-delay" =>
+            inRules = true
+            groupDelay = try Some(v.toDouble)
+            catch { case _: NumberFormatException => None }
+          case _ => inRules = true // unknown directive still binds group
+        }
+      }
+    }
+    closeGroup()
+    RobotsRules(best._1, best._2)
+  }
+
+  /** REP path match: `*` matches any run, a trailing `$` anchors the
+    * end; otherwise a prefix match.
+    */
+  private def repMatches(pattern: String, path: String): Boolean = {
+    val anchored = pattern.endsWith("$")
+    val pat = if (anchored) pattern.dropRight(1) else pattern
+    val parts = pat.split("\\*", -1)
+    // greedy sequential substring walk
+    var pos = 0
+    var ok = true
+    parts.zipWithIndex.foreach { case (p, i) =>
+      if (ok) {
+        if (i == 0) {
+          if (path.startsWith(p)) pos = p.length else ok = false
+        } else {
+          val at = path.indexOf(p, pos)
+          if (at < 0) ok = false else pos = at + p.length
+        }
+      }
+    }
+    if (!ok) false
+    else if (anchored) {
+      // last literal part must reach the end (re-check tail)
+      if (parts.last.isEmpty) true else path.endsWith(parts.last) &&
+        pos <= path.length
+    } else true
+  }
+
+  /** Is `path` fetchable under `rules`? Longest-pattern match wins;
+    * allow wins ties (the Google REP rule); no match → allowed.
+    * An empty Disallow value matches nothing (the classic
+    * "Disallow:" = allow-all idiom).
+    */
+  def robotsAllowed(rules: RobotsRules, path: String): Boolean = {
+    var bestLen = -1
+    var allowed = true
+    rules.rules.foreach { case (allow, pat) =>
+      if (pat.nonEmpty && repMatches(pat, path)) {
+        if (pat.length > bestLen ||
+          (pat.length == bestLen && allow && !allowed)) {
+          bestLen = pat.length
+          allowed = allow
+        }
+      }
+    }
+    allowed
+  }
+
   // --- URLs ---------------------------------------------------------------
 
   final case class ParsedUrl(scheme: String, host: String, port: Int,

@@ -836,6 +836,79 @@ object TextQueries extends QueryGroup {
       graft.ml.Web.parseUrls(urls, "id", "url").orderBy("id")
     },
 
+    // HTML table extraction through the gate: a 3×2 table with
+    // planted arithmetic cells plus a NESTED decoy table (whose cells
+    // must NOT surface as outer rows) — every cell replayed
+    // arithmetically.
+    q("q_web_tables",
+      """SELECT doc_id AS id, CAST(u.r AS INT) AS row, CAST(v.c AS INT) AS col,
+        |  'c' || (doc_id + u.r * 2 + v.c) AS cell
+        |FROM documents, unnest(range(0, 3)) AS u(r),
+        |  unnest(range(0, 2)) AS v(c)
+        |ORDER BY id, row, col""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val rows = (0 until 3).map { r =>
+            val cells = (0 until 2).map(c => s"<td>c${id + r * 2 + c}</td>")
+              .mkString
+            s"<tr>$cells</tr>"
+          }.mkString
+          val nested = "<table><tr><td>decoy</td></tr></table>"
+          (id, s"<html><body><p>x</p><table>$rows</table>" +
+            s"<div><table><tr><td>n1$nested</td></tr></table></div></body></html>")
+        }.toDF("id", "html")
+      media.as[(Long, String)].flatMap { case (id, html) =>
+        val tables = graft.ml.Web.extractTables(html)
+        // first table only (the second holds the nested decoy)
+        tables.headOption.toSeq.flatMap(_.zipWithIndex.flatMap {
+          case (cells, r) => cells.zipWithIndex.map {
+            case (cell, c) => (id, r, c, cell)
+          }
+        })
+      }.toDF("id", "row", "col", "cell")
+        .orderBy("id", "row", "col")
+    },
+
+    // robots.txt evaluation through the gate: per document a policy
+    // with group stacking, wildcard and anchored rules, and 6 probe
+    // paths whose allow/deny decisions the oracle replays as CASE
+    // arithmetic (both engines construct the same policy).
+    q("q_web_robots",
+      """SELECT doc_id AS id, CAST(u.p AS INT) AS probe,
+        |  CASE u.p
+        |    WHEN 0 THEN false  -- /private/<id>      : disallowed
+        |    WHEN 1 THEN true   -- /private/ok/<id>   : longest allow
+        |    WHEN 2 THEN true   -- /public/<id>       : no rule
+        |    WHEN 3 THEN false  -- /files/doc<id>.pdf : *.pdf$ denies
+        |    WHEN 4 THEN true   -- /files/doc<id>.pdfx: $ anchor saves
+        |    ELSE false         -- /tmp<id>/x         : /tmp*/x denies
+        |  END AS allowed
+        |FROM documents, unnest(range(0, 6)) AS u(p)
+        |ORDER BY id, probe""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val txt = s"""User-agent: graftbot
+                       |Disallow: /private/
+                       |Allow: /private/ok
+                       |Disallow: /*.pdf$$
+                       |Disallow: /tmp*/x
+                       |
+                       |User-agent: *
+                       |Disallow: /
+                       |""".stripMargin
+          val rules = graft.ml.Web.parseRobots(txt, "graftbot/1.0")
+          val probes = Seq(
+            s"/private/$id", s"/private/ok/$id", s"/public/$id",
+            s"/files/doc$id.pdf", s"/files/doc$id.pdfx", s"/tmp$id/x")
+          probes.zipWithIndex.map { case (p, i) =>
+            (id, i, graft.ml.Web.robotsAllowed(rules, p))
+          }
+        }.toDF("id", "probe", "allowed")
+        .orderBy("id", "probe")
+    },
+
     // Deflate compression-ratio quality signal through the gate (a
     // self-verifying contract — DuckDB has no deflate): per document,
     // a planted highly-repetitive string must compress below 0.1, the

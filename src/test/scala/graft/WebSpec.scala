@@ -84,6 +84,119 @@ class WebSpec extends SparkSpec {
       Web.normalizeUrl("http://H/p?a=2&z=1#x"))
   }
 
+  // --- HTML tables -------------------------------------------------------
+
+  test("extractTables: rows/cells, th+td, implicit closes, nested tables stay inner") {
+    val html = """<p>before</p>
+      |<table><tr><th>Name</th><th>Age</th></tr>
+      |<tr><td>Ada</td><td>36</td></tr>
+      |<tr><td>Alan</td><td>41</td>
+      |</table>
+      |<table><tr><td>x</td><td><table><tr><td>inner</td></tr></table></td></tr></table>
+      |""".stripMargin
+    val tables = Web.extractTables(html)
+    assert(tables.length == 2, tables)
+    assert(tables(0) == Seq(Seq("Name", "Age"), Seq("Ada", "36"),
+      Seq("Alan", "41")), tables(0))
+    // the nested table's text lands inside the outer cell
+    assert(tables(1).head.head == "x")
+    assert(tables(1).head(1).contains("inner"))
+    assert(Web.extractTables("<p>no tables</p>").isEmpty)
+  }
+
+  // --- robots.txt --------------------------------------------------------
+
+  test("robots.txt: group selection, longest-match precedence, wildcards, anchors") {
+    val txt = """# crawl policy
+      |User-agent: *
+      |Disallow: /private/
+      |Allow: /private/ok
+      |Crawl-delay: 2
+      |
+      |User-agent: graftbot
+      |User-agent: otherbot
+      |Disallow: /only-graft/
+      |Allow: /
+      |
+      |User-agent: graftbot-images
+      |Disallow: /
+      |""".stripMargin
+    // generic agent gets the * group
+    val star = Web.parseRobots(txt, "SomeCrawler/1.0")
+    assert(!Web.robotsAllowed(star, "/private/x"))
+    assert(Web.robotsAllowed(star, "/private/ok/page")) // longest match: allow
+    assert(Web.robotsAllowed(star, "/public"))
+    assert(star.crawlDelay.contains(2.0))
+    // graftbot matches its named group (stacked UA lines)
+    val gb = Web.parseRobots(txt, "Mozilla/5.0 (compatible; GraftBot/2)")
+    assert(!Web.robotsAllowed(gb, "/only-graft/x"))
+    assert(Web.robotsAllowed(gb, "/private/x")) // its group allows /
+    // the LONGEST matching UA token wins
+    val gbi = Web.parseRobots(txt, "graftbot-images/1")
+    assert(!Web.robotsAllowed(gbi, "/anything"))
+    // wildcards and anchors
+    val wc = Web.parseRobots(
+      "User-agent: *\nDisallow: /*.pdf$\nDisallow: /tmp*/x\n", "any")
+    assert(!Web.robotsAllowed(wc, "/docs/file.pdf"))
+    assert(Web.robotsAllowed(wc, "/docs/file.pdfx")) // $ anchors
+    assert(!Web.robotsAllowed(wc, "/tmp123/x"))
+    assert(Web.robotsAllowed(wc, "/tmp123/y"))
+    // empty Disallow allows everything; empty file allows everything
+    assert(Web.robotsAllowed(
+      Web.parseRobots("User-agent: *\nDisallow:\n", "x"), "/a"))
+    assert(Web.robotsAllowed(Web.parseRobots("", "x"), "/a"))
+  }
+
+  // --- WARC --------------------------------------------------------------
+
+  test("WARC: record parse, HTTP split, gzip members, junk resilience, Spark read") {
+    import graft.sources.WarcSource
+    val r1 = WarcSource.writeRecord("https://ex.com/a",
+      "2026-08-15T00:00:00Z", "<html><body><p>page one</p></body></html>")
+    val r2 = WarcSource.writeRecord("https://ex.com/b",
+      "2026-08-15T00:00:01Z", "<html><body><p>page two</p></body></html>",
+      status = 404)
+    // a warcinfo-ish record that must be skipped (not response type)
+    val info = ("WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+      "Content-Length: 5\r\n\r\nhello\r\n\r\n").getBytes("ISO-8859-1")
+    val recs = WarcSource.parseFile("f", info ++ r1 ++ r2)
+    assert(recs.length == 2)
+    assert(recs(0).targetUri == "https://ex.com/a" && recs(0).httpStatus == 200)
+    assert(new String(recs(0).body, "UTF-8").contains("page one"))
+    assert(recs(1).httpStatus == 404)
+    // gzip per-record members concatenated (.warc.gz convention)
+    val gz = WarcSource.writeRecord("https://ex.com/z", "d",
+      "<p>zipped</p>", gzip = true) ++
+      WarcSource.writeRecord("https://ex.com/y", "d", "<p>two</p>",
+        gzip = true)
+    val gzRecs = WarcSource.parseFile("g", gz)
+    assert(gzRecs.map(_.targetUri) == Seq("https://ex.com/z", "https://ex.com/y"))
+    // garbage between records is skipped, valid tail still parses
+    val withJunk = "random junk bytes\r\n".getBytes ++ r1
+    assert(WarcSource.parseFile("j", withJunk).map(_.targetUri) ==
+      Seq("https://ex.com/a"))
+    // Spark read path: write files, read back, compose with extractText
+    val dir = java.nio.file.Files.createTempDirectory("warc").toFile
+    try {
+      java.nio.file.Files.write(
+        new java.io.File(dir, "seg-0.warc").toPath, r1 ++ r2)
+      java.nio.file.Files.write(
+        new java.io.File(dir, "seg-1.warc.gz").toPath, gz)
+      val df = WarcSource.read(spark, dir.getAbsolutePath + "/*")
+      val rows = df.collect()
+      assert(rows.length == 4)
+      val texts = graft.ml.Web.extractHtml(
+        df.select(org.apache.spark.sql.functions
+          .monotonically_increasing_id().as("id"),
+          org.apache.spark.sql.functions.col("body").cast("string")
+            .as("html")), "id", "html")
+        .collect().map(_.getAs[String]("text")).toSet
+      assert(texts.contains("page one") && texts.contains("zipped"))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   // --- compression signal ------------------------------------------------
 
   test("compressionRatio orders repetitive < natural < random") {
