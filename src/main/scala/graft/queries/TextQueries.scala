@@ -909,6 +909,53 @@ object TextQueries extends QueryGroup {
         .orderBy("id", "probe")
     },
 
+    // Unicode cleaning through the gate: each document's fragment is
+    // wrapped in BOM + zero-width + smart quotes + em-dash + nbsp +
+    // ellipsis + a control char; the scan-speed cleanUnicode pass must
+    // produce EXACTLY the ASCII-punctuation form the oracle constructs
+    // directly (controls stripped, typography normalized, whitespace
+    // otherwise untouched).
+    q("q_text_fix_unicode",
+      s"""SELECT doc_id AS id,
+         |  '"' || substr($normSql, 1, 30) || '" -  tail...' AS cleaned
+         |FROM documents ORDER BY id""".stripMargin) { (s, dir) =>
+      val frag = substring(TA.normalize(col("text")), 1, 30)
+      t(s, dir, "documents").select(col("doc_id").as("id"),
+          graft.ml.TextFix.cleanUnicode(concat(
+            lit("﻿“"), frag,
+            lit("”​ —  tail…")))
+            .as("cleaned"))
+        .orderBy("id")
+    },
+
+    // Mojibake repair through the gate (contract — the Latin-1
+    // misread can't be constructed in SQL): per document a planted
+    // accented phrase is UTF-8-encoded and misread as Latin-1 once
+    // (even ids) or twice (odd ids); repairMojibake must restore the
+    // exact original and flag the change.
+    q("q_text_mojibake",
+      """SELECT doc_id AS id, true AS repaired_ok, true AS changed
+        |FROM documents ORDER BY id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val planted = s"café $id über naïve"
+          def garble(x: String): String = new String(
+            x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            java.nio.charset.StandardCharsets.ISO_8859_1)
+          val broken = if (id % 2 == 0) garble(planted)
+            else garble(garble(planted))
+          (id, broken, planted)
+        }.toDF("id", "text", "planted")
+        .transform(d => graft.ml.TextFix.fixText(d.select("id", "text"),
+          "id", "text")
+          .join(d.select("id", "planted"), "id"))
+        .select(col("id"),
+          (col("repaired") === col("planted")).as("repaired_ok"),
+          col("changed"))
+        .orderBy("id")
+    },
+
     // Deflate compression-ratio quality signal through the gate (a
     // self-verifying contract — DuckDB has no deflate): per document,
     // a planted highly-repetitive string must compress below 0.1, the
