@@ -1,0 +1,89 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical language identification — Cavnar & Trenkle 1994
+  * ("N-Gram-Based Text Categorization", the TextCat algorithm),
+  * chosen over cosine scoring because the out-of-place measure is
+  * ALL-INTEGER: every engine (and the DuckDB oracle) computes the
+  * identical ranks and distances with zero float drift. Complements
+  * the heuristic [[TextAnalysis.langId]]: that one is a single scan
+  * with zero training; this one is trained on a labeled sample and
+  * generalizes to any language set.
+  *
+  * Scale shape: training is one trigram-count shuffle + a per-language
+  * rank window over language-sized tables; the profile table is
+  * `languages × k` rows and BROADCASTS; classification is a doc-keyed
+  * trigram aggregate joined against the broadcast profiles — the
+  * corpus shuffles once on doc id, never on language.
+  */
+object LangId {
+
+  /** (lang, gram, rank) profile table: per language the `k` most
+    * frequent trigrams ranked 1..k by (count desc, gram asc) — the
+    * deterministic tie-break every engine reproduces.
+    */
+  def trainProfiles(df: DataFrame, langCol: String, textCol: String,
+      k: Int = 200): DataFrame = {
+    require(k >= 1)
+    val g = explodeTrigrams(df.select(col(langCol).as("lang"),
+      col(textCol).as("__t")), col("__t"))
+      .groupBy("lang", "gram").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("lang").orderBy(col("c").desc, col("gram").asc)
+    g.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("lang", "gram", "rank")
+  }
+
+  /** Explode `text` into (…, gram) rows of space-padded character
+    * trigrams (the C&T convention — word-boundary trigrams carry most
+    * of the signal).
+    */
+  private def explodeTrigrams(df: DataFrame, text: Column): DataFrame = {
+    val padded = concat(lit(" "), TextAnalysis.normalize(text), lit(" "))
+    df.withColumn("__p", padded)
+      .filter(length(col("__p")) >= 3)
+      .select(col("*"),
+        explode(transform(sequence(lit(1), length(col("__p")) - 2),
+          i => col("__p").substr(i, lit(3)))).as("gram"))
+      .drop("__p", "__t")
+  }
+
+  /** Classify each document against broadcast `profiles` (from
+    * [[trainProfiles]] with the same `k`/`docTop`): the document's
+    * `docTop` most frequent trigrams (ranked like the profiles) each
+    * contribute |docRank − profileRank|, or `k` when the profile
+    * lacks the gram (the C&T out-of-place penalty); the language with
+    * the SMALLEST total distance wins, ties to the alphabetically
+    * first language. Returns (id, lang, distance). Documents shorter
+    * than one trigram are absent.
+    */
+  def classify(df: DataFrame, idCol: String, textCol: String,
+      profiles: DataFrame, k: Int = 200, docTop: Int = 20): DataFrame = {
+    require(docTop >= 1)
+    val docGrams = explodeTrigrams(
+      df.select(col(idCol).as("id"), col(textCol).as("__t")), col("__t"))
+      .groupBy("id", "gram").agg(count(lit(1)).as("c"))
+    val wd = Window.partitionBy("id").orderBy(col("c").desc, col("gram").asc)
+    val topDoc = docGrams.withColumn("dr", row_number().over(wd))
+      .filter(col("dr") <= docTop)
+      .select("id", "gram", "dr")
+    val langs = profiles.select("lang").distinct()
+    // a gram absent from a language's profile must still charge k to
+    // THAT language: cross the doc's grams with the (tiny) language
+    // list and left-join the profile hit
+    val perLang = topDoc.crossJoin(broadcast(langs))
+      .join(broadcast(profiles.withColumnRenamed("rank", "pr")),
+        Seq("gram", "lang"), "left")
+      .groupBy("id", "lang")
+      .agg(sum(coalesce(abs(col("dr") - col("pr")), lit(k.toLong)))
+        .as("distance"))
+    val wBest = Window.partitionBy("id")
+      .orderBy(col("distance").asc, col("lang").asc)
+    perLang.withColumn("__r", row_number().over(wBest))
+      .filter(col("__r") === 1)
+      .select(col("id"), col("lang"), col("distance"))
+  }
+}

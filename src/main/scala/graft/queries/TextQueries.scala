@@ -909,6 +909,55 @@ object TextQueries extends QueryGroup {
         .orderBy("id", "probe")
     },
 
+    // TextCat language ID through the gate: profiles trained on even
+    // doc_ids (top-200 padded char trigrams per language, count-desc /
+    // gram-asc ranks), odd doc_ids classified by the ALL-INTEGER
+    // out-of-place distance (absent gram charges k) — the oracle
+    // replays the entire train + classify pipeline relationally, so
+    // every prediction and distance hash-matches regardless of how
+    // separable the synthetic languages are.
+    q("q_text_langid_textcat",
+      s"""WITH norm AS (
+         |  SELECT doc_id, lang, ' ' || $normSql || ' ' AS p FROM documents
+         |), tg AS (
+         |  SELECT doc_id, lang, substr(p, u.i, 3) AS gram
+         |  FROM norm, unnest(range(1, strlen(p) - 1)) AS u(i)
+         |  WHERE strlen(p) >= 3
+         |), prof AS (
+         |  SELECT lang, gram,
+         |    row_number() OVER (PARTITION BY lang ORDER BY c DESC, gram)
+         |      AS rank
+         |  FROM (SELECT lang, gram, count(*) AS c FROM tg
+         |        WHERE doc_id % 2 = 0 GROUP BY 1, 2)
+         |  QUALIFY rank <= 200
+         |), dg AS (
+         |  SELECT doc_id, gram,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram)
+         |      AS dr
+         |  FROM (SELECT doc_id, gram, count(*) AS c FROM tg
+         |        WHERE doc_id % 2 = 1 GROUP BY 1, 2)
+         |  QUALIFY dr <= 20
+         |), langs AS (SELECT DISTINCT lang FROM prof
+         |), dist AS (
+         |  SELECT d.doc_id, l.lang,
+         |    sum(coalesce(abs(d.dr - p.rank), 200))::BIGINT AS distance
+         |  FROM dg d CROSS JOIN langs l
+         |  LEFT JOIN prof p ON p.lang = l.lang AND p.gram = d.gram
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_id AS id, lang, distance FROM dist
+         |QUALIFY row_number() OVER (PARTITION BY doc_id
+         |  ORDER BY distance, lang) = 1
+         |ORDER BY id""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val profiles = graft.ml.LangId.trainProfiles(
+        d.filter(col("doc_id") % 2 === 0), "lang", "text", k = 200)
+      graft.ml.LangId.classify(
+          d.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+          profiles, k = 200, docTop = 20)
+        .orderBy("id")
+    },
+
     // Unicode cleaning through the gate: each document's fragment is
     // wrapped in BOM + zero-width + smart quotes + em-dash + nbsp +
     // ellipsis + a control char; the scan-speed cleanUnicode pass must
