@@ -458,6 +458,95 @@ object Eval {
     * table (marginal sums + one label-keyed join), so the input is
     * scanned exactly once.
     */
+  /** Mean reciprocal rank over ranked result lists: per query the
+    * reciprocal of the FIRST relevant item's rank (0 when nothing
+    * relevant — the standard convention), averaged over all queries.
+    * The navigational-search / retrieval-eval companion to NDCG/AP.
+    * Returns one row (n_queries, n_with_relevant, mrr).
+    *
+    * Scale shape: one conditional-min aggregate per query key (the
+    * corpus collapses to |queries| rows in the first hash
+    * aggregation), then one global average.
+    */
+  def meanReciprocalRank(df: DataFrame, queryCol: String, rankCol: String,
+      relevantCol: String): DataFrame = {
+    val perQuery = df.groupBy(col(queryCol).as("q"))
+      .agg(min(when(col(relevantCol).cast("boolean"), col(rankCol)))
+        .as("first_rel"))
+    perQuery.agg(count(lit(1)).as("n_queries"),
+      count(col("first_rel")).as("n_with_relevant"),
+      avg(coalesce(lit(1.0) / col("first_rel"), lit(0.0))).as("mrr"))
+  }
+
+  /** Per-query reciprocal-rank table (the drill-down behind
+    * [[meanReciprocalRank]]): (query, n_ranked, first_relevant_rank,
+    * rr) — first_relevant_rank NULL and rr 0 when nothing relevant.
+    */
+  def reciprocalRanks(df: DataFrame, queryCol: String, rankCol: String,
+      relevantCol: String): DataFrame =
+    df.groupBy(col(queryCol).as("query"))
+      .agg(count(lit(1)).as("n_ranked"),
+        min(when(col(relevantCol).cast("boolean"), col(rankCol)))
+          .as("first_relevant_rank"))
+      .withColumn("rr",
+        coalesce(lit(1.0) / col("first_relevant_rank"), lit(0.0)))
+
+  /** Poisson(1) inverse-CDF thresholds as 8-hex-digit string bounds
+    * on the first 32 bits of an md5: a lowercase fixed-width hex
+    * compare IS the numeric compare, so the same constants replay in
+    * any engine with md5 — no float parsing of hashes anywhere.
+    */
+  private val poissonHexCdf = Seq(
+    "5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797", "ff1025f5",
+    "ffd90f3b", "fffa8b71", "ffff540c", "ffffed1f")
+
+  /** Seeded Poisson bootstrap confidence interval for the mean of
+    * `valueCol`: each of `b` replicates reweights every row by an
+    * iid Poisson(1) count derived from md5(seed:id:rep) — the
+    * single-pass bootstrap (no resampled copies of the data) that is
+    * standard at scale because replicate weights are independent per
+    * row. Returns one row (n, mean, lo, hi): the exact sample mean
+    * and the empirical [alpha/2, 1-alpha/2] quantiles of the
+    * replicate means (rank convention: lo = ceil(alpha/2·b)-th
+    * smallest, hi = floor((1-alpha/2)·b)+1-th, ties by replicate id).
+    *
+    * Deterministic: with an integral `valueCol` the replicate means
+    * are exact integer-ratio arithmetic, so any md5-capable engine
+    * replays them bit-for-bit.
+    *
+    * Scale shape: the explode multiplies COMPUTE by b but the rows
+    * are pipelined into a partial hash aggregate — the shuffle
+    * carries b rows per task, never b× the corpus; the rank pass
+    * sorts b rows. One corpus scan total (replicates and the plain
+    * mean ride the same scan's aggregate).
+    */
+  def bootstrapMeanCI(df: DataFrame, idCol: String, valueCol: String,
+      b: Int = 200, seed: String = "boot", alpha: Double = 0.05): DataFrame = {
+    require(b >= 10, s"need b >= 10 replicates, got $b")
+    require(alpha > 0 && alpha < 0.5, s"alpha must be in (0, 0.5), got $alpha")
+    val base = df.select(col(idCol).cast("string").as("__id"),
+      col(valueCol).as("__x"))
+    val h = substring(md5(concat_ws(":", lit(seed), col("__id"),
+      col("rep").cast("string"))), 1, 8)
+    val w = poissonHexCdf.tail.zipWithIndex
+      .foldLeft(when(h < poissonHexCdf.head, 0)) {
+        case (acc, (t, i)) => acc.when(h < t, i + 1)
+      }.otherwise(9)
+    val means = base
+      .withColumn("rep", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("__w", w)
+      .groupBy("rep")
+      .agg((sum(col("__w") * col("__x")).cast("double") / sum("__w")).as("m"))
+    val ranked = means.withColumn("rk",
+      row_number().over(Window.orderBy(col("m"), col("rep"))))
+    val loRank = math.max(1, math.ceil(alpha / 2 * b).toInt)
+    val hiRank = math.min(b, math.floor((1 - alpha / 2) * b).toInt + 1)
+    base.agg(count(lit(1)).as("n"),
+        (sum("__x").cast("double") / count(lit(1))).as("mean"))
+      .crossJoin(ranked.filter(col("rk") === loRank).select(col("m").as("lo")))
+      .crossJoin(ranked.filter(col("rk") === hiRank).select(col("m").as("hi")))
+  }
+
   def cohenKappa(df: DataFrame, r1Col: String, r2Col: String): DataFrame = {
     val cells = graft.core.PipelineCaches.persistTracked(
       df.groupBy(col(r1Col).as("r1"), col(r2Col).as("r2"))

@@ -593,6 +593,73 @@ object EvalQueries extends QueryGroup {
           round(col("pe"), 6).as("pe"), round(col("kappa"), 6).as("kappa"))
     },
 
+    // Mean reciprocal rank: documents ranked per source by (n_chars
+    // desc, doc_id) with relevance = doc_id % 7 = 0; per-query
+    // first-relevant ranks and the corpus MRR replay exactly.
+    q("q_eval_mrr",
+      """WITH r AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rank,
+        |    doc_id % 7 = 0 AS rel
+        |  FROM documents
+        |), pq AS (
+        |  SELECT source, count(*) AS n_ranked,
+        |    min(CASE WHEN rel THEN rank END) AS first_relevant_rank
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT source AS query, CAST(n_ranked AS BIGINT) AS n_ranked,
+        |  CAST(first_relevant_rank AS BIGINT) AS first_relevant_rank,
+        |  round(coalesce(1.0::DOUBLE / first_relevant_rank, 0.0), 6) AS rr
+        |FROM pq ORDER BY query""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.{Window => W}
+      val ranked = t(s, dir, "documents")
+        .withColumn("rank", row_number().over(
+          W.partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))))
+        .withColumn("rel", col("doc_id") % 7 === 0)
+      Eval.reciprocalRanks(ranked, "source", "rank", "rel")
+        .select(col("query"), col("n_ranked"),
+          col("first_relevant_rank").cast("long").as("first_relevant_rank"),
+          round(col("rr"), 6).as("rr"))
+        .orderBy("query")
+    },
+
+    // Seeded Poisson bootstrap CI of mean document length: replicate
+    // weights are Poisson(1) counts decoded from md5(seed:id:rep) via
+    // fixed-width hex thresholds (string compare = numeric compare),
+    // so all 200 replicate means are exact integer-ratio arithmetic
+    // both engines replay bit-for-bit. lo/hi = 5th/196th smallest
+    // replicate mean (= the 2.5%/97.5% empirical quantiles).
+    q("q_eval_bootstrap",
+      """WITH w AS (
+        |  SELECT r.range AS rep, d.n_chars,
+        |    CASE
+        |      WHEN h < '5e2d58d8' THEN 0 WHEN h < 'bc5ab1b1' THEN 1
+        |      WHEN h < 'eb715e1d' THEN 2 WHEN h < 'fb239797' THEN 3
+        |      WHEN h < 'ff1025f5' THEN 4 WHEN h < 'ffd90f3b' THEN 5
+        |      WHEN h < 'fffa8b71' THEN 6 WHEN h < 'ffff540c' THEN 7
+        |      WHEN h < 'ffffed1f' THEN 8 ELSE 9 END AS w
+        |  FROM documents d CROSS JOIN range(200) r,
+        |    LATERAL (SELECT substr(md5(concat_ws(':', 'boot',
+        |      d.doc_id, r.range)), 1, 8) AS h) x
+        |), means AS (
+        |  SELECT rep, sum(w * n_chars)::DOUBLE / sum(w) AS m
+        |  FROM w GROUP BY 1
+        |), ranked AS (
+        |  SELECT m, row_number() OVER (ORDER BY m, rep) AS rk FROM means
+        |)
+        |SELECT (SELECT count(*) FROM documents) AS n,
+        |  round((SELECT sum(n_chars)::DOUBLE / count(*) FROM documents), 6)
+        |    AS mean,
+        |  round((SELECT m FROM ranked WHERE rk = 5), 6) AS lo,
+        |  round((SELECT m FROM ranked WHERE rk = 196), 6) AS hi""".stripMargin) {
+      (s, dir) =>
+      Eval.bootstrapMeanCI(t(s, dir, "documents"), "doc_id", "n_chars",
+          b = 200, seed = "boot", alpha = 0.05)
+        .select(col("n"), round(col("mean"), 6).as("mean"),
+          round(col("lo"), 6).as("lo"), round(col("hi"), 6).as("hi"))
+    },
+
     // Corpus BLEU-2 of a planted "generation": the candidate drops
     // every 3rd token of the reference (both engines construct it),
     // so the clipped n-gram precisions, brevity penalty, and the

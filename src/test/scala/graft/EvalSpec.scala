@@ -186,6 +186,52 @@ class EvalSpec extends SparkSpec {
     assert(ex2.getMessage.contains("non-negative"), ex2.getMessage)
   }
 
+  test("meanReciprocalRank: first-relevant ranks, no-relevant zero, exact mean") {
+    import spark.implicits._
+    val rows = Seq(
+      // q1: first relevant at rank 2
+      ("q1", 1, false), ("q1", 2, true), ("q1", 3, true),
+      // q2: first relevant at rank 1
+      ("q2", 1, true), ("q2", 2, false),
+      // q3: nothing relevant -> rr 0
+      ("q3", 1, false), ("q3", 2, false))
+      .toDF("q", "rank", "rel")
+    val s = graft.ml.Eval.meanReciprocalRank(rows, "q", "rank", "rel").head()
+    assert(s.getLong(0) == 3L && s.getLong(1) == 2L)
+    assert(math.abs(s.getDouble(2) - (0.5 + 1.0 + 0.0) / 3) < 1e-12)
+    val per = graft.ml.Eval.reciprocalRanks(rows, "q", "rank", "rel")
+      .collect().map(r => r.getString(0) ->
+        ((r.isNullAt(2), r.getDouble(3)))).toMap
+    assert(per("q1") == ((false, 0.5)))
+    assert(per("q3") == ((true, 0.0)))
+  }
+
+  test("bootstrapMeanCI: CI brackets the mean, narrows with n, deterministic") {
+    import spark.implicits._
+    val small = (1L to 50L).map(i => (i, (i % 10) + 1)).toDF("id", "x")
+    val big = (1L to 2000L).map(i => (i, (i % 10) + 1)).toDF("id", "x")
+    def ci(df: org.apache.spark.sql.DataFrame) = {
+      val r = graft.ml.Eval.bootstrapMeanCI(df, "id", "x", b = 100).head()
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    }
+    val (n1, m1, lo1, hi1) = ci(small)
+    assert(n1 == 50L && math.abs(m1 - 5.5) < 1e-12)
+    assert(lo1 < m1 && m1 < hi1 && lo1 < hi1)
+    // 40x the data -> a much tighter interval around the same mean
+    val (n2, m2, lo2, hi2) = ci(big)
+    assert(n2 == 2000L && math.abs(m2 - 5.5) < 1e-12)
+    assert((hi2 - lo2) < (hi1 - lo1) / 3, s"big [$lo2,$hi2] vs small [$lo1,$hi1]")
+    // seeded -> bit-identical on rerun; different seed -> different CI
+    assert(ci(small) == ((n1, m1, lo1, hi1)))
+    val other = graft.ml.Eval.bootstrapMeanCI(small, "id", "x", b = 100,
+      seed = "other").head()
+    assert(other.getDouble(2) != lo1 || other.getDouble(3) != hi1)
+    // degenerate constant column -> zero-width interval at the constant
+    val const = (1L to 100L).map(i => (i, 7)).toDF("id", "x")
+    val (_, mc, loc, hic) = ci(const)
+    assert(mc == 7.0 && loc == 7.0 && hic == 7.0)
+  }
+
   test("krippendorffAlpha: perfect = 1, missing data, single-rating drop") {
     import spark.implicits._
     // perfect agreement with variable m (2 and 3 ratings per unit)
