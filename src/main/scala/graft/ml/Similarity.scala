@@ -758,4 +758,55 @@ object Similarity {
     }
     df.withColumn("proj", array(comps: _*))
   }
+
+  /** Margin-based parallel-pair mining between two embedding corpora
+    * — the LASER bitext-mining criterion (Artetxe & Schwenk 2019,
+    * "ratio" margin). Candidates are each side's k nearest neighbors
+    * in the other; cosine is rescaled by the mean similarity of both
+    * endpoints' neighborhoods, which demotes hub vectors that sit
+    * close to everything; a pair is MINED when the two sides pick
+    * each other as best margin (mutual argmax) and the margin clears
+    * `minMargin`.
+    *
+    * `a`, `b`: (id, vec: Array[Float]) with globally distinct ids.
+    * Returns (a_id, b_id, cos, margin), one row per mined pair.
+    *
+    * Scale shape: the candidate set is ≤ 2k rows per vector (never
+    * all-pairs); neighborhood means are one hash aggregate over it;
+    * mutual argmax is two windows over k-bounded partitions.
+    * Retrieval is pluggable — the default brute force is the exact
+    * baseline for probe-sized sides; pass `ivfTopK(_, _, _)` (or the
+    * quantized variant) for the large-corpus path: the downstream
+    * margin algebra is identical.
+    */
+  def marginMining(a: DataFrame, b: DataFrame, k: Int,
+      minMargin: Double = 1.0,
+      knn: (DataFrame, DataFrame, Int) => DataFrame =
+        bruteForceTopK(_, _, _)): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val fwd = knn(a, b, k) // (qid = a-side id, cid = b-side id, cos)
+    val bwd = knn(b, a, k)
+    val nnA = fwd.groupBy(col("qid").as("a_id")).agg(avg("cos").as("nn_a"))
+    val nnB = bwd.groupBy(col("qid").as("b_id")).agg(avg("cos").as("nn_b"))
+    // union of both directions' candidates; cosine is symmetric (the
+    // kernel's multiply/add order is operand-commutative), so the
+    // max() is pure dedup
+    val cand = fwd.select(col("qid").as("a_id"), col("cid").as("b_id"),
+        col("cos"))
+      .unionByName(bwd.select(col("cid").as("a_id"), col("qid").as("b_id"),
+        col("cos")))
+      .groupBy("a_id", "b_id").agg(max("cos").as("cos"))
+    val scored = cand.join(nnA, "a_id").join(nnB, "b_id")
+      .withColumn("margin", col("cos") / ((col("nn_a") + col("nn_b")) / 2.0))
+    val wA = Window.partitionBy("a_id").orderBy(col("margin").desc,
+      col("b_id"))
+    val wB = Window.partitionBy("b_id").orderBy(col("margin").desc,
+      col("a_id"))
+    scored
+      .withColumn("__ra", row_number().over(wA))
+      .withColumn("__rb", row_number().over(wB))
+      .filter(col("__ra") === 1 && col("__rb") === 1 &&
+        col("margin") >= minMargin)
+      .select(col("a_id"), col("b_id"), col("cos"), col("margin"))
+  }
 }

@@ -258,6 +258,54 @@ object TextAnalysis {
         phonePattern, "<PHONE>"),
       ipv4Pattern, "<IP>")
 
+  /** Payment-card candidates: 13-19 digits, single optional space or
+    * hyphen between digits (covers the common 4-4-4-4 groupings). A
+    * regex alone over-fires on any long number — [[luhnValid]] is the
+    * validation gate that makes the count a usable PII signal.
+    */
+  val cardPattern = "\\b[0-9](?:[ -]?[0-9]){12,18}\\b"
+
+  /** Luhn (mod-10) checksum validity of a candidate card string —
+    * the ISO/IEC 7812 check every real PAN passes, which kills the
+    * dominant false positives (timestamps, ids, serials). Separators
+    * are stripped; from the RIGHTMOST digit every second one is
+    * doubled (minus 9 when >9) and the sum must be ≡ 0 (mod 10).
+    * Pure Column program (transform + aggregate) — codegen'd, no UDF,
+    * replayable in any engine with indexed list lambdas.
+    */
+  def luhnValid(cand: Column): Column = {
+    val ds = regexp_extract_all(regexp_replace(cand, "[ -]", ""),
+      lit("[0-9]"), lit(0))
+    val n = size(ds)
+    val doubled = transform(ds, (ch, i) => {
+      val d = ch.cast("int")
+      val dd = when(((n - lit(1) - i) % 2) === 1, d * 2).otherwise(d)
+      when(dd > 9, dd - 9).otherwise(dd)
+    })
+    aggregate(doubled, lit(0), (acc, x) => acc + x) % 10 === 0
+  }
+
+  /** Count of Luhn-VALID card numbers in `text` (and the raw
+    * candidate count, for precision monitoring) as a struct
+    * (n_candidate, n_card).
+    */
+  def cardCounts(text: Column): Column = {
+    val cands = regexp_extract_all(text, lit(cardPattern), lit(0))
+    struct(size(cands).as("n_candidate"),
+      size(filter(cands, luhnValid _)).as("n_card"))
+  }
+
+  /** Replace every Luhn-valid card number with `<CARD>` — a literal
+    * fold over the validated candidates, so invalid long numbers
+    * (order ids, timestamps) survive untouched; complements
+    * [[scrubPii]]'s regex-only scrubs with checksum-gated scrubbing.
+    */
+  def scrubCards(text: Column): Column =
+    aggregate(
+      filter(regexp_extract_all(text, lit(cardPattern), lit(0)),
+        luhnValid _),
+      text, (acc, c) => replace(acc, c, lit("<CARD>")))
+
   /** Marker-word profiles for the n-gram language-ID heuristic. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),

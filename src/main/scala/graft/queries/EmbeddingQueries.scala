@@ -425,6 +425,61 @@ object EmbeddingQueries extends QueryGroup {
         .select(col("id"), col("centroid"),
           (round(col("proto"), 6) + lit(0.0)).as("proto"))
         .orderBy("id")
+    },
+
+    // margin-based parallel-pair mining (LASER / Artetxe & Schwenk
+    // ratio margin): even vec_ids play corpus A, odd play corpus B;
+    // candidates are each side's 8-NN in the other, cosine rescaled
+    // by the mean of both endpoints' neighborhood similarities, and a
+    // pair is mined when the sides pick each other (mutual argmax)
+    // above margin 1.0. Full hash-match oracle: DuckDB replays the
+    // exact k-NN, neighborhood means, margin, and mutual-argmax.
+    q("q_embed_margin_mine",
+      """WITH a AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 2 = 0
+        |), b AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 2 = 1
+        |), pairs AS (
+        |  SELECT a.id AS a_id, b.id AS b_id,
+        |    list_cosine_similarity(a.v, b.v) AS cos
+        |  FROM a CROSS JOIN b
+        |), fwd AS (
+        |  SELECT * FROM pairs QUALIFY row_number() OVER (
+        |    PARTITION BY a_id ORDER BY cos DESC, b_id) <= 8
+        |), bwd AS (
+        |  SELECT * FROM pairs QUALIFY row_number() OVER (
+        |    PARTITION BY b_id ORDER BY cos DESC, a_id) <= 8
+        |), nna AS (SELECT a_id, avg(cos) AS nn_a FROM fwd GROUP BY 1
+        |), nnb AS (SELECT b_id, avg(cos) AS nn_b FROM bwd GROUP BY 1
+        |), cand AS (
+        |  SELECT a_id, b_id, max(cos) AS cos
+        |  FROM (SELECT * FROM fwd UNION ALL SELECT * FROM bwd)
+        |  GROUP BY 1, 2
+        |), m AS (
+        |  SELECT c.a_id, c.b_id, c.cos,
+        |    c.cos / ((nn_a + nn_b) / 2) AS margin
+        |  FROM cand c JOIN nna USING (a_id) JOIN nnb USING (b_id)
+        |)
+        |SELECT a_id, b_id, round(cos, 6) + 0.0 AS cos,
+        |  round(margin, 6) + 0.0 AS margin
+        |FROM m
+        |WHERE margin >= 1.0
+        |QUALIFY row_number() OVER (PARTITION BY a_id
+        |    ORDER BY margin DESC, b_id) = 1
+        |  AND row_number() OVER (PARTITION BY b_id
+        |    ORDER BY margin DESC, a_id) = 1
+        |ORDER BY a_id""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.marginMining(
+          e.filter(col("id") % 2 === 0), e.filter(col("id") % 2 === 1),
+          k = 8, minMargin = 1.0)
+        .select(col("a_id"), col("b_id"),
+          (round(col("cos"), 6) + lit(0.0)).as("cos"),
+          (round(col("margin"), 6) + lit(0.0)).as("margin"))
+        .orderBy("a_id")
     }
   )
 

@@ -1391,6 +1391,52 @@ object TextQueries extends QueryGroup {
         .orderBy("doc_id")
     },
 
+    // Luhn-gated payment-card PII: every doc gets a 16-digit "ref"
+    // number (Luhn-valid or not depending on doc_id), docs % 6 also a
+    // known-valid spaced card. The candidate regex alone over-fires
+    // on the refs; the Luhn checksum (indexed-lambda replay in both
+    // engines) keeps only real PANs, and the scrubbed-text md5 proves
+    // the checksum-gated fold replaced exactly the valid ones.
+    q("q_text_card_pii", {
+      val card = TA.cardPattern
+      val luhn = "list_sum(list_transform(regexp_extract_all(" +
+        "regexp_replace(q, '[ -]', '', 'g'), '[0-9]'), (ch, i) -> " +
+        "CASE WHEN (length(regexp_replace(q, '[ -]', '', 'g')) - i) % 2 = 1 " +
+        "THEN CASE WHEN ch::INT * 2 > 9 THEN ch::INT * 2 - 9 " +
+        "ELSE ch::INT * 2 END ELSE ch::INT END)) % 10 = 0"
+      s"""WITH s AS (
+         |  SELECT doc_id, text
+         |    || ' ref ' || lpad(CAST(doc_id AS VARCHAR), 16, '1')
+         |    || CASE WHEN doc_id % 6 = 0
+         |         THEN ' pay 4539 5787 6362 1486 now' ELSE '' END AS t
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, t, regexp_extract_all(t, '$card') AS cands
+         |  FROM s
+         |), v AS (
+         |  SELECT doc_id, t, len(cands) AS n_candidate,
+         |    list_filter(cands, q -> $luhn) AS valid
+         |  FROM c
+         |)
+         |SELECT doc_id, n_candidate, len(valid) AS n_card,
+         |  md5(list_reduce(list_prepend(t, valid),
+         |    (acc, x) -> replace(acc, x, '<CARD>'))) AS scrubbed_md5
+         |FROM v ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val synth = concat(col("text"),
+        lit(" ref "), lpad(col("doc_id").cast("string"), 16, "1"),
+        when(col("doc_id") % 6 === 0, lit(" pay 4539 5787 6362 1486 now"))
+          .otherwise(lit("")))
+      t(s, dir, "documents")
+        .withColumn("t", synth)
+        .withColumn("cc", TA.cardCounts(col("t")))
+        .select(col("doc_id"),
+          col("cc.n_candidate").cast("long").as("n_candidate"),
+          col("cc.n_card").cast("long").as("n_card"),
+          md5(TA.scrubCards(col("t"))).as("scrubbed_md5"))
+        .orderBy("doc_id")
+    },
+
     // temperature-based domain mixing (mBERT/XLM-R sampling rule):
     // alpha=0.5 up-samples small sources toward a 4000-token target;
     // membership is the engine-portable md5-prefix rule, so the oracle

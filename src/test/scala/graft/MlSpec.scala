@@ -1238,4 +1238,53 @@ class MlSpec extends SparkSpec {
     assert(math.abs(d.getAs[Double]("shannon")) < 1e-12)
     assert(math.abs(d.getAs[Double]("simpson") - 1.0) < 1e-12)
   }
+
+  test("cardCounts/scrubCards: Luhn gates candidates, scrub only valid") {
+    import spark.implicits._
+    val df = Seq(
+      // valid Visa test PAN, spaced grouping
+      (1L, "pay 4539 5787 6362 1486 today"),
+      // same digits, last one bumped -> checksum fails
+      (2L, "pay 4539 5787 6362 1487 today"),
+      // 16-digit order id (not Luhn-valid) + a valid hyphenated card
+      (3L, "order 1111111111112345 card 4539-5787-6362-1486 ok"),
+      // too short / too long digit runs: no candidates at all
+      (4L, "zip 94103 phone 555-1234 n 123456789012")
+    ).toDF("id", "t")
+    val got = df.select(col("id"),
+        graft.ml.TextAnalysis.cardCounts(col("t")).as("c"),
+        graft.ml.TextAnalysis.scrubCards(col("t")).as("s"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getStruct(1).getInt(0), r.getStruct(1).getInt(1),
+          r.getString(2)))).toMap
+    assert(got(1L) == ((1, 1, "pay <CARD> today")))
+    assert(got(2L) == ((1, 0, "pay 4539 5787 6362 1487 today")))
+    assert(got(3L)._1 == 2 && got(3L)._2 == 1)
+    assert(got(3L)._3 == "order 1111111111112345 card <CARD> ok")
+    assert(got(4L) == ((0, 0, "zip 94103 phone 555-1234 n 123456789012")))
+  }
+
+  test("marginMining: mutual best pairs mined, hub demoted below margin 1") {
+    import spark.implicits._
+    val a = Seq(
+      (0L, Array(1f, 0f)),
+      (2L, Array(0f, 1f))).toDF("id", "vec")
+    val b = Seq(
+      (1L, Array(0.98f, 0.2f)),    // a1's true pair
+      (3L, Array(0.2f, 0.98f)),    // a2's true pair
+      (5L, Array(0.707f, 0.707f))  // hub: cos ~0.707 to BOTH a vectors
+    ).toDF("id", "vec")
+    val mined = graft.ml.Similarity.marginMining(a, b, k = 2, minMargin = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // the two true pairs come out, each well above margin 1
+    assert(mined.keySet == Set((0L, 1L), (2L, 3L)))
+    assert(mined.values.forall(_ > 1.3), mined.toString)
+    // the hub's raw cosine to a1 is high (~0.707) but its margin is
+    // sub-1 because ITS OWN neighborhood mean is high — the exact
+    // hubness correction the ratio margin exists for: no hub pair
+    // mined even with the threshold dropped to 0.95
+    val lax = graft.ml.Similarity.marginMining(a, b, k = 2, minMargin = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!lax.exists(_._2 == 5L), lax.toString)
+  }
 }

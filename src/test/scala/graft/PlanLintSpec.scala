@@ -142,7 +142,15 @@ class PlanLintSpec extends SparkSpec {
       "global-window" ->
         "descending cumulative sums over the distinct-value table",
       "cartesian" ->
-        "1-row total + literal fraction grid broadcast onto the cumulative table"))
+        "1-row total + literal fraction grid broadcast onto the cumulative table"),
+    "q_eval_bootstrap" -> Map(
+      "global-window" ->
+        "rank pass over the b(=200)-row replicate-mean table",
+      "cartesian" ->
+        "1-row sample stats × 1-row lo × 1-row hi quantile picks"),
+    "q_text_langid_textcat" -> Map("cartesian" ->
+      ("distinct-language table (|langs| rows, broadcast) crossed onto " +
+        "per-doc top-20 gram rows — every doc scores every profile")))
 
   test("every cartesian/global-window in any gate plan is whitelisted") {
     val dir = sf("sf0.001")
