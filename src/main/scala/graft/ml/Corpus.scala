@@ -780,4 +780,51 @@ object Corpus {
       .select(col(idCol), col("__n").as("n_tokens"), col("n_masked"),
         col("masked_text"))
   }
+
+  /** Fill-in-the-middle transform (PSM format, the infilling
+    * augmentation behind FIM-trained code/text models): two seeded
+    * cut points split the token array into prefix/middle/suffix and
+    * the document is re-emitted as
+    * `<PRE> prefix <SUF> suffix <MID> middle` so the model learns to
+    * generate the middle given both sides. Cut points are
+    * deterministic per (seed, id) — a small md5-digit polynomial mod
+    * (n+1) that any md5-capable engine replays exactly (no float
+    * parsing of hashes). Returns (id, n_tokens, cut1, cut2,
+    * fim_text).
+    *
+    * Scale shape: pure per-row Column program — one narrow map, no
+    * shuffle, codegen'd end to end.
+    */
+  def fimTransform(docs: DataFrame, idCol: String, textCol: String,
+      seed: String = "fim", pre: String = "<PRE>", mid: String = "<MID>",
+      suf: String = "<SUF>"): DataFrame = {
+    require(Seq(pre, mid, suf).forall(!_.contains("'")),
+      "sentinels must not contain quotes")
+    def cutAt(off: Int, h: Column, n: Column): Column =
+      (ascii(substring(h, off, 1)) * 251 +
+        ascii(substring(h, off + 1, 1)) * 31 +
+        ascii(substring(h, off + 2, 1))).cast("long") % (n + 1)
+    val joined = docs
+      .withColumn("__w",
+        when(length(trim(col(textCol))) === 0, array().cast("array<string>"))
+          .otherwise(split(trim(col(textCol)), "\\s+")))
+      .withColumn("__n", size(col("__w")).cast("long"))
+      .withColumn("__h",
+        md5(concat_ws(":", lit(seed), col(idCol).cast("string"))))
+      .withColumn("__u1", cutAt(1, col("__h"), col("__n")))
+      .withColumn("__u2", cutAt(4, col("__h"), col("__n")))
+      .withColumn("cut1", least(col("__u1"), col("__u2")))
+      .withColumn("cut2", greatest(col("__u1"), col("__u2")))
+    joined.select(col(idCol), col("__n").as("n_tokens"),
+      col("cut1"), col("cut2"),
+      array_join(flatten(array(
+        array(lit(pre)),
+        slice(col("__w"), lit(1), col("cut1").cast("int")),
+        array(lit(suf)),
+        slice(col("__w"), (col("cut2") + 1).cast("int"),
+          (col("__n") - col("cut2")).cast("int")),
+        array(lit(mid)),
+        slice(col("__w"), (col("cut1") + 1).cast("int"),
+          (col("cut2") - col("cut1")).cast("int")))), " ").as("fim_text"))
+  }
 }

@@ -480,6 +480,29 @@ object EmbeddingQueries extends QueryGroup {
           (round(col("cos"), 6) + lit(0.0)).as("cos"),
           (round(col("margin"), 6) + lit(0.0)).as("margin"))
         .orderBy("a_id")
+    },
+
+    // the mining scale path: same margin algebra with IVF retrieval
+    // (16 lists, probe 4, x2 soft assignment) instead of brute-force
+    // k-NN. Contract: the IVF-mined pair set recovers >= 70% of the
+    // exact mined pairs (recall), and every IVF-mined pair that IS
+    // exact-mined carries the identical margin (the algebra downstream
+    // of retrieval is retrieval-agnostic).
+    q("q_embed_margin_ivf",
+      """SELECT CAST(1 AS BIGINT) AS one, true AS recall_ok""") { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val a = e.filter(col("id") % 2 === 0)
+      val b = e.filter(col("id") % 2 === 1)
+      val exact = Similarity.marginMining(a, b, k = 8, minMargin = 1.0)
+      val ivf = Similarity.marginMining(a, b, k = 8, minMargin = 1.0,
+        knn = (q, c, k) => Similarity.ivfTopK(q, c, k, nCentroids = 16,
+          nProbe = 4, corpusAssign = 2))
+      exact.join(ivf.select(col("a_id"), col("b_id"), lit(1).as("__hit")),
+          Seq("a_id", "b_id"), "left")
+        .agg((sum(coalesce(col("__hit"), lit(0))).cast("double") /
+          count(lit(1))).as("recall"))
+        .select(lit(1L).as("one"), (col("recall") >= 0.7).as("recall_ok"))
     }
   )
 

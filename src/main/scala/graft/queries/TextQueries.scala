@@ -1244,6 +1244,39 @@ object TextQueries extends QueryGroup {
         .orderBy("doc_id")
     },
 
+    // fill-in-the-middle (PSM) infilling transform: seeded md5-digit
+    // cut points split each doc's tokens into prefix/middle/suffix,
+    // re-emitted as <PRE> prefix <SUF> suffix <MID> middle. The
+    // oracle replays the cut-point polynomial and the exact segment
+    // order; md5 of the transformed text proves byte fidelity.
+    q("q_text_fim",
+      """WITH cw AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents WHERE strlen(trim(text)) > 0
+        |), uv AS (
+        |  SELECT doc_id, w, len(w) AS n,
+        |    (ascii(substr(h,1,1))*251 + ascii(substr(h,2,1))*31 +
+        |      ascii(substr(h,3,1))) % (len(w)+1) AS u1,
+        |    (ascii(substr(h,4,1))*251 + ascii(substr(h,5,1))*31 +
+        |      ascii(substr(h,6,1))) % (len(w)+1) AS u2
+        |  FROM cw, LATERAL (SELECT md5('fim:' || doc_id::VARCHAR) AS h) x
+        |), cc AS (
+        |  SELECT doc_id, w, n, least(u1, u2) AS cut1,
+        |    greatest(u1, u2) AS cut2
+        |  FROM uv
+        |)
+        |SELECT doc_id, n AS n_tokens, cut1, cut2,
+        |  md5(array_to_string(flatten([['<PRE>'], w[1:cut1], ['<SUF>'],
+        |    w[cut2+1:n], ['<MID>'], w[cut1+1:cut2]]), ' ')) AS h
+        |FROM cc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.ml.Corpus.fimTransform(
+          t(s, dir, "documents").filter(length(trim(col("text"))) > 0),
+          "doc_id", "text", seed = "fim")
+        .select(col("doc_id"), col("n_tokens"), col("cut1"), col("cut2"),
+          md5(col("fim_text")).as("h"))
+        .orderBy("doc_id")
+    },
+
     q("q_text_pack",
       """WITH d AS (
         |  SELECT doc_id,

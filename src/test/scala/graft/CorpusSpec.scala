@@ -617,4 +617,36 @@ class CorpusSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Corpus.weightedSamplePerStratum(df, "id", "src", "w", 0))
   }
+
+  test("fimTransform: cut invariants, token preservation, exact reassembly") {
+    import spark.implicits._
+    val docs = (1L to 40L)
+      .map(i => (i, (0 until (i % 11).toInt + 1).map(j => s"t$j").mkString(" ")))
+      .toDF("id", "text")
+    val rows = Corpus.fimTransform(docs, "id", "text").collect()
+    assert(rows.length == 40)
+    val orig = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val (id, n, c1, c2, fim) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))
+      assert(0 <= c1 && c1 <= c2 && c2 <= n, s"id=$id cuts $c1 $c2 n=$n")
+      // PSM layout: <PRE> p <SUF> s <MID> m — reassembling p+m+s
+      // restores the original token sequence exactly
+      val w = orig(id).split("\\s+").toSeq
+      assert(n == w.length)
+      val afterPre = fim.stripPrefix("<PRE>")
+      val Array(p, rest) = afterPre.split("<SUF>", 2)
+      val Array(sfx, m) = rest.split("<MID>", 2)
+      def toks(s: String) = s.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      assert(toks(p) ++ toks(m) ++ toks(sfx) == w, s"id=$id fim=$fim")
+      assert(toks(p).length == c1 && toks(m).length == (c2 - c1))
+    }
+    // determinism + seed sensitivity
+    val again = Corpus.fimTransform(docs, "id", "text").collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    val other = Corpus.fimTransform(docs, "id", "text", seed = "other")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val mine = rows.map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(other != mine)
+  }
 }
