@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -491,15 +491,6 @@ object Eval {
       .withColumn("rr",
         coalesce(lit(1.0) / col("first_relevant_rank"), lit(0.0)))
 
-  /** Poisson(1) inverse-CDF thresholds as 8-hex-digit string bounds
-    * on the first 32 bits of an md5: a lowercase fixed-width hex
-    * compare IS the numeric compare, so the same constants replay in
-    * any engine with md5 — no float parsing of hashes anywhere.
-    */
-  private val poissonHexCdf = Seq(
-    "5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797", "ff1025f5",
-    "ffd90f3b", "fffa8b71", "ffff540c", "ffffed1f")
-
   /** Seeded Poisson bootstrap confidence interval for the mean of
     * `valueCol`: each of `b` replicates reweights every row by an
     * iid Poisson(1) count derived from md5(seed:id:rep) — the
@@ -512,7 +503,11 @@ object Eval {
     *
     * Deterministic: with an integral `valueCol` the replicate means
     * are exact integer-ratio arithmetic, so any md5-capable engine
-    * replays them bit-for-bit.
+    * replays them bit-for-bit. Weight decoding shares
+    * [[graft.events.Events.poissonHexThresholds]] with the
+    * per-variant experiment bootstrap ([[graft.events.Events
+    * .bootstrapCI]]) — this is the corpus-level (ungrouped,
+    * string-id, string-seed) companion, not a second mechanism.
     *
     * Scale shape: the explode multiplies COMPUTE by b but the rows
     * are pipelined into a partial hash aggregate — the shuffle
@@ -524,14 +519,14 @@ object Eval {
       b: Int = 200, seed: String = "boot", alpha: Double = 0.05): DataFrame = {
     require(b >= 10, s"need b >= 10 replicates, got $b")
     require(alpha > 0 && alpha < 0.5, s"alpha must be in (0, 0.5), got $alpha")
+    val ths = graft.events.Events.poissonHexThresholds
     val base = df.select(col(idCol).cast("string").as("__id"),
       col(valueCol).as("__x"))
     val h = substring(md5(concat_ws(":", lit(seed), col("__id"),
       col("rep").cast("string"))), 1, 8)
-    val w = poissonHexCdf.tail.zipWithIndex
-      .foldLeft(when(h < poissonHexCdf.head, 0)) {
-        case (acc, (t, i)) => acc.when(h < t, i + 1)
-      }.otherwise(9)
+    val w = ths.zipWithIndex.foldRight(lit(ths.length): Column) {
+      case ((t, k), rest) => when(h < lit(t), k).otherwise(rest)
+    }
     val means = base
       .withColumn("rep", explode(sequence(lit(0), lit(b - 1))))
       .withColumn("__w", w)

@@ -630,15 +630,13 @@ object EvalQueries extends QueryGroup {
     // so all 200 replicate means are exact integer-ratio arithmetic
     // both engines replay bit-for-bit. lo/hi = 5th/196th smallest
     // replicate mean (= the 2.5%/97.5% empirical quantiles).
-    q("q_eval_bootstrap",
-      """WITH w AS (
+    q("q_eval_bootstrap", {
+      val ts = graft.events.Events.poissonHexThresholds
+      val cases = ts.zipWithIndex
+        .map { case (h, k) => s"WHEN h < '$h' THEN $k" }.mkString(" ")
+      s"""WITH w AS (
         |  SELECT r.range AS rep, d.n_chars,
-        |    CASE
-        |      WHEN h < '5e2d58d8' THEN 0 WHEN h < 'bc5ab1b1' THEN 1
-        |      WHEN h < 'eb715e1d' THEN 2 WHEN h < 'fb239797' THEN 3
-        |      WHEN h < 'ff1025f5' THEN 4 WHEN h < 'ffd90f3b' THEN 5
-        |      WHEN h < 'fffa8b71' THEN 6 WHEN h < 'ffff540c' THEN 7
-        |      WHEN h < 'ffffed1f' THEN 8 ELSE 9 END AS w
+        |    CASE $cases ELSE ${ts.length} END AS w
         |  FROM documents d CROSS JOIN range(200) r,
         |    LATERAL (SELECT substr(md5(concat_ws(':', 'boot',
         |      d.doc_id, r.range)), 1, 8) AS h) x
@@ -652,8 +650,8 @@ object EvalQueries extends QueryGroup {
         |  round((SELECT sum(n_chars)::DOUBLE / count(*) FROM documents), 6)
         |    AS mean,
         |  round((SELECT m FROM ranked WHERE rk = 5), 6) AS lo,
-        |  round((SELECT m FROM ranked WHERE rk = 196), 6) AS hi""".stripMargin) {
-      (s, dir) =>
+        |  round((SELECT m FROM ranked WHERE rk = 196), 6) AS hi""".stripMargin
+    }) { (s, dir) =>
       Eval.bootstrapMeanCI(t(s, dir, "documents"), "doc_id", "n_chars",
           b = 200, seed = "boot", alpha = 0.05)
         .select(col("n"), round(col("mean"), 6).as("mean"),
