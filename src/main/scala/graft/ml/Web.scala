@@ -527,4 +527,107 @@ object Web {
       })
       .toDF(idCol, "raw_bytes", "compressed_bytes", "ratio")
   }
+
+  // --- outlink extraction / link graph -------------------------------------
+
+  /** Href values of `<a>` tags in document order — the edge-list
+    * input of the crawl link graph. Same one-pass scanner philosophy
+    * as [[extractText]]: case-insensitive tag/attribute names,
+    * single-/double-/un-quoted values, whitespace-tolerant `=`, no
+    * regex per row. A malformed tag (no closing `>` / unterminated
+    * quote) contributes nothing and scanning resumes after it.
+    */
+  def extractLinks(html: String): Seq[String] = {
+    if (html == null) return Nil
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val n = html.length
+    var i = 0
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0 || lt + 2 >= n) i = n
+      else if ((html.charAt(lt + 1) == 'a' || html.charAt(lt + 1) == 'A') &&
+        html.charAt(lt + 2).isWhitespace) {
+        var j = lt + 2
+        var href: String = null
+        while (j < n && html.charAt(j) != '>' && href == null) {
+          if (html.regionMatches(true, j, "href", 0, 4) &&
+            !Character.isLetterOrDigit(html.charAt(j - 1))) {
+            var k = j + 4
+            while (k < n && html.charAt(k).isWhitespace) k += 1
+            if (k < n && html.charAt(k) == '=') {
+              k += 1
+              while (k < n && html.charAt(k).isWhitespace) k += 1
+              if (k < n && (html.charAt(k) == '"' || html.charAt(k) == '\'')) {
+                val ve = html.indexOf(html.charAt(k), k + 1)
+                if (ve >= 0) { href = html.substring(k + 1, ve); j = ve }
+                else j = n // unterminated quote: skip the rest
+              } else { // unquoted value: up to whitespace or '>'
+                var ve = k
+                while (ve < n && !html.charAt(ve).isWhitespace &&
+                  html.charAt(ve) != '>') ve += 1
+                if (ve > k) href = html.substring(k, ve)
+                j = ve
+              }
+            } else j = k
+          } else j += 1
+        }
+        if (href != null) out += href
+        val gt = html.indexOf('>', lt + 1)
+        i = if (gt < 0) n else gt + 1
+      } else i = lt + 1
+    }
+    out.toSeq
+  }
+
+  /** Resolve an href against its page URL (RFC-3986-lite, the crawl
+    * subset): absolute http(s) passes through, `//` inherits the page
+    * scheme, `/` is host-root-relative, anything else resolves
+    * against the page path's directory. Fragments-only, `javascript:`,
+    * `mailto:`, `data:` and `tel:` pseudo-links resolve to None.
+    */
+  def resolveLink(page: ParsedUrl, href0: String): Option[String] = {
+    if (href0 == null) return None
+    val href = href0.trim
+    val low = href.toLowerCase
+    if (href.isEmpty || href.startsWith("#") ||
+      low.startsWith("javascript:") || low.startsWith("mailto:") ||
+      low.startsWith("data:") || low.startsWith("tel:")) None
+    else if (low.startsWith("http://") || low.startsWith("https://"))
+      Some(href)
+    else if (href.startsWith("//")) Some(page.scheme + ":" + href)
+    else if (href.startsWith("/"))
+      Some(s"${page.scheme}://${page.host}$href")
+    else {
+      val dir = page.path.substring(0, page.path.lastIndexOf('/') + 1)
+      Some(s"${page.scheme}://${page.host}$dir$href")
+    }
+  }
+
+  /** Spark wrapper: the crawl's outlink edge list — one row per
+    * resolvable href, (id, src_host, href, resolved, dst_host).
+    * Narrow mapPartitions kernel (nothing shuffles); aggregate to the
+    * host graph with a groupBy(src_host, dst_host) downstream and
+    * feed it straight into the graph suite (PageRank/HITS/k-core) —
+    * hosts are the natural 100 TB-scale vertex set.
+    */
+  def linkEdges(df: DataFrame, idCol: String, urlCol: String,
+      htmlCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(urlCol).cast("string"),
+        col(htmlCol).cast("string"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING,
+        Encoders.STRING))
+      .mapPartitions(_.flatMap { case (id, url, html) =>
+        parseUrl(url).toSeq.flatMap { page =>
+          extractLinks(html).flatMap { href =>
+            resolveLink(page, href).flatMap { resolved =>
+              parseUrl(resolved).map(rp =>
+                (id, page.host, href, resolved, rp.host))
+            }
+          }
+        }
+      })
+      .toDF(idCol, "src_host", "href", "resolved", "dst_host")
+  }
 }

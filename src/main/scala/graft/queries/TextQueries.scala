@@ -836,6 +836,52 @@ object TextQueries extends QueryGroup {
       graft.ml.Web.parseUrls(urls, "id", "url").orderBy("id")
     },
 
+    // outlink extraction + resolution: each doc's planted HTML holds
+    // one absolute, one single-quoted root-relative, one
+    // path-relative, and one protocol-relative link plus fragment /
+    // mailto pseudo-links that must drop. The oracle constructs the
+    // expected edge rows arithmetically (absolute passthrough, scheme
+    // inheritance, host-root and directory resolution) — 4 rows per
+    // doc, pseudo-links absent.
+    q("q_web_links",
+      """WITH d AS (
+        |  SELECT doc_id AS id,
+        |    'site' || (doc_id % 20) || '.example.org' AS sh,
+        |    doc_id % 7 AS ek
+        |  FROM documents
+        |)
+        |SELECT id, src_host, href, resolved, dst_host FROM (
+        |  SELECT id, sh AS src_host,
+        |    'https://ext' || ek || '.com/x' AS href,
+        |    'https://ext' || ek || '.com/x' AS resolved,
+        |    'ext' || ek || '.com' AS dst_host
+        |  FROM d
+        |  UNION ALL
+        |  SELECT id, sh, '/r/' || id,
+        |    'https://' || sh || '/r/' || id, sh FROM d
+        |  UNION ALL
+        |  SELECT id, sh, 'next' || id || '.html',
+        |    'https://' || sh || '/dir/next' || id || '.html', sh FROM d
+        |  UNION ALL
+        |  SELECT id, sh, '//cdn.example.net/l.js',
+        |    'https://cdn.example.net/l.js', 'cdn.example.net' FROM d
+        |)
+        |ORDER BY id, href""".stripMargin) { (s, dir) =>
+      val pages = t(s, dir, "documents").select(col("doc_id").as("id"),
+        concat(lit("https://site"), col("doc_id") % 20,
+          lit(".example.org/dir/page"), col("doc_id"), lit(".html"))
+          .as("url"),
+        concat(
+          lit("<html><body><a href=\"https://ext"), col("doc_id") % 7,
+          lit(".com/x\">A</a><a href='/r/"), col("doc_id"),
+          lit("'>B</a><p><a class=\"z\" href=\"next"), col("doc_id"),
+          lit(".html\">C</a></p><a href=\"//cdn.example.net/l.js\">D</a>" +
+            "<a href=\"#top\">E</a><a href=\"mailto:a@b.example\">F</a>" +
+            "</body></html>")).as("html"))
+      graft.ml.Web.linkEdges(pages, "id", "url", "html")
+        .orderBy("id", "href")
+    },
+
     // HTML table extraction through the gate: a 3×2 table with
     // planted arithmetic cells plus a NESTED decoy table (whose cells
     // must NOT surface as outer rows) — every cell replayed

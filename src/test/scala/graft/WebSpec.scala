@@ -234,4 +234,51 @@ class WebSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
     assert(cs(1L) < 0.1 && cs(2L) == 1.0)
   }
+
+  test("extractLinks: quoting styles, case, malformed tags, document order") {
+    assert(Web.extractLinks(
+      """<a href="/a">x</a><A
+        |HREF='b.html'>y</A><a class=q href=c>z</a>""".stripMargin) ==
+      Seq("/a", "b.html", "c"))
+    // href must be an attribute of an <a> tag, not <area>/<link>/text
+    assert(Web.extractLinks(
+      "<area href=\"/m\"><link href=\"/css\"> href=\"/t\" <a id=3>n</a>")
+      == Nil)
+    // xhref is not href; second attr wins the scan only if first absent
+    assert(Web.extractLinks("<a xhref=\"/n\" href=\"/y\">k</a>") == Seq("/y"))
+    // malformed: unterminated quote, tag never closed
+    assert(Web.extractLinks("<a href=\"/u>never closes") == Nil)
+    assert(Web.extractLinks(null) == Nil)
+  }
+
+  test("resolveLink: absolute, scheme-relative, root, directory, pseudo") {
+    val page = Web.parseUrl("https://h.example.org/dir/sub/p.html").get
+    def r(h: String) = Web.resolveLink(page, h)
+    assert(r("https://other.com/q") == Some("https://other.com/q"))
+    assert(r("//cdn.net/l.js") == Some("https://cdn.net/l.js"))
+    assert(r("/top") == Some("https://h.example.org/top"))
+    assert(r("next.html") ==
+      Some("https://h.example.org/dir/sub/next.html"))
+    assert(r("#frag").isEmpty && r("mailto:a@b.c").isEmpty &&
+      r("javascript:void(0)").isEmpty && r("").isEmpty)
+    // root page (path "/"): relative resolves at the root
+    val root = Web.parseUrl("http://h.io").get
+    assert(Web.resolveLink(root, "a.html") == Some("http://h.io/a.html"))
+  }
+
+  test("linkEdges: distributed edge list with resolution and host fields") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "https://s1.org/d/p.html",
+        "<a href=\"/x\">a</a><a href=\"https://e.com/y\">b</a>" +
+          "<a href=\"#skip\">c</a>"),
+      (2L, "not a url", "<a href=\"/never\">d</a>") // unparseable page drops
+    ).toDF("id", "url", "html")
+    val got = Web.linkEdges(df, "id", "url", "html")
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getString(3),
+        r.getString(4))).toSet
+    assert(got == Set(
+      (1L, "/x", "https://s1.org/x", "s1.org"),
+      (1L, "https://e.com/y", "https://e.com/y", "e.com")))
+  }
 }
