@@ -550,4 +550,37 @@ object Profile {
       .withColumn("clipped", v < col("__lo") || v > col("__hi"))
       .drop("__lo", "__hi")
   }
+
+  /** Per-dimension embedding drift between two vector corpora — the
+    * embedding-space companion to [[driftReport]]'s histogram PSI:
+    * when the encoder, the upstream corpus, or a preprocessing step
+    * changes, WHICH dimensions moved (and by how many pooled standard
+    * deviations) is the actionable readout. Returns one row per
+    * dimension: (i, mean_a, mean_b, var_a, var_b, smd) where smd is
+    * the standardized mean difference |μa−μb| / √((va+vb)/2)
+    * (Cohen's d with pooled population variances; 0 when both
+    * variances are 0).
+    *
+    * Scale shape: one posexplode + (dim)-keyed hash aggregate per
+    * side (map-side partial over every partition), then a d-row
+    * join — the corpora stream through once each and only 2·d rows
+    * shuffle.
+    */
+  def embeddingDrift(a: DataFrame, b: DataFrame,
+      vecCol: String): DataFrame = {
+    def moments(df: DataFrame) = df
+      .select(posexplode(col(vecCol)).as(Seq("i", "x")))
+      .select(col("i").cast("long").as("i"), col("x").cast("double").as("x"))
+      .groupBy("i")
+      .agg(avg("x").as("mean"), var_pop(col("x")).as("var"))
+    val pooled = sqrt((col("var_a") + col("var_b")) / 2.0)
+    moments(a).select(col("i"), col("mean").as("mean_a"),
+        col("var").as("var_a"))
+      .join(moments(b).select(col("i"), col("mean").as("mean_b"),
+        col("var").as("var_b")), Seq("i"))
+      .withColumn("smd",
+        when(pooled > 0, abs(col("mean_a") - col("mean_b")) / pooled)
+          .otherwise(lit(0.0)))
+      .orderBy("i")
+  }
 }

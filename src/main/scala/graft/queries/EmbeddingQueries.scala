@@ -503,6 +503,43 @@ object EmbeddingQueries extends QueryGroup {
         .agg((sum(coalesce(col("__hit"), lit(0))).cast("double") /
           count(lit(1))).as("recall"))
         .select(lit(1L).as("one"), (col("recall") >= 0.7).as("recall_ok"))
+    },
+
+    // per-dimension embedding drift (standardized mean difference)
+    // between the even- and odd-id halves of the corpus: two
+    // dim-keyed moment aggregates + a 64-row join, checked
+    // cell-by-cell against DuckDB's avg/var_pop over unnested
+    // components.
+    q("q_embed_drift",
+      """WITH comp AS (
+        |  SELECT vec_id, CAST(r.range - 1 AS BIGINT) AS i,
+        |    CAST(embedding[CAST(r.range AS INT)] AS DOUBLE) AS x
+        |  FROM embeddings CROSS JOIN range(1, 65) r
+        |), a AS (
+        |  SELECT i, avg(x) AS mean_a, var_pop(x) AS var_a
+        |  FROM comp WHERE vec_id % 2 = 0 GROUP BY 1
+        |), b AS (
+        |  SELECT i, avg(x) AS mean_b, var_pop(x) AS var_b
+        |  FROM comp WHERE vec_id % 2 = 1 GROUP BY 1
+        |)
+        |SELECT a.i AS i,
+        |  round(mean_a, 6) + 0.0 AS mean_a, round(mean_b, 6) + 0.0 AS mean_b,
+        |  round(var_a, 6) + 0.0 AS var_a, round(var_b, 6) + 0.0 AS var_b,
+        |  round(CASE WHEN sqrt((var_a + var_b) / 2) > 0
+        |    THEN abs(mean_a - mean_b) / sqrt((var_a + var_b) / 2)
+        |    ELSE 0.0 END, 6) + 0.0 AS smd
+        |FROM a JOIN b USING (i) ORDER BY i""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      graft.ml.Profile.embeddingDrift(
+          e.filter(col("vec_id") % 2 === 0),
+          e.filter(col("vec_id") % 2 === 1), "embedding")
+        .select(col("i"),
+          (round(col("mean_a"), 6) + lit(0.0)).as("mean_a"),
+          (round(col("mean_b"), 6) + lit(0.0)).as("mean_b"),
+          (round(col("var_a"), 6) + lit(0.0)).as("var_a"),
+          (round(col("var_b"), 6) + lit(0.0)).as("var_b"),
+          (round(col("smd"), 6) + lit(0.0)).as("smd"))
+        .orderBy("i")
     }
   )
 

@@ -1239,6 +1239,29 @@ class MlSpec extends SparkSpec {
     assert(math.abs(d.getAs[Double]("simpson") - 1.0) < 1e-12)
   }
 
+  test("embeddingDrift: shifted dimension flagged, identical dims smd 0") {
+    import spark.implicits._
+    // dim 0 shifted by +2 between the halves; dim 1 identical
+    val a = Seq((1L, Array(0.0f, 5.0f)), (2L, Array(2.0f, 7.0f)),
+      (3L, Array(4.0f, 9.0f))).toDF("id", "v")
+    val b = Seq((4L, Array(2.0f, 5.0f)), (5L, Array(4.0f, 7.0f)),
+      (6L, Array(6.0f, 9.0f))).toDF("id", "v")
+    val got = graft.ml.Profile.embeddingDrift(a, b, "v")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // var_pop of {0,2,4} = 8/3 both sides; smd = 2 / sqrt(8/3)
+    val d0 = got(0L)
+    assert(math.abs(d0.getAs[Double]("mean_a") - 2.0) < 1e-12)
+    assert(math.abs(d0.getAs[Double]("mean_b") - 4.0) < 1e-12)
+    assert(math.abs(d0.getAs[Double]("smd") - 2.0 / math.sqrt(8.0 / 3)) < 1e-12)
+    assert(got(1L).getAs[Double]("smd") == 0.0 ||
+      math.abs(got(1L).getAs[Double]("smd")) < 1e-12)
+    // degenerate: both variances 0 and equal means -> smd defined 0
+    val c1 = Seq((1L, Array(1.0f))).toDF("id", "v")
+    val c2 = Seq((2L, Array(1.0f))).toDF("id", "v")
+    assert(graft.ml.Profile.embeddingDrift(c1, c2, "v")
+      .head().getAs[Double]("smd") == 0.0)
+  }
+
   test("cardCounts/scrubCards: Luhn gates candidates, scrub only valid") {
     import spark.implicits._
     val df = Seq(
