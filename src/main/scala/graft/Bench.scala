@@ -118,7 +118,20 @@ object Bench {
     // the one-pass HTML->text extraction kernel
     "q_multimodal_jpeg",
     "q_multimodal_spectral",
-    "q_web_extract")
+    "q_web_extract",
+    // round-20: winnowing fingerprints (per-window arg-min kernel),
+    // TextCat language ID (rank-profile broadcast join), margin-based
+    // bitext mining (two-direction bounded k-NN + margin algebra),
+    // Luhn card PII (regex + checksum Column program over the corpus),
+    // Poisson-bootstrap CI (x200 replicate explode into partial aggs),
+    // FIM transform (narrow codegen'd map), outlink edge extraction
+    "q_dedup_winnowing",
+    "q_text_langid_textcat",
+    "q_embed_margin_mine",
+    "q_text_card_pii",
+    "q_eval_bootstrap",
+    "q_text_fim",
+    "q_web_links")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -95,6 +95,25 @@ object Dedup {
     fp.join(canon, "fingerprint").select("id", "canonical_id", "fingerprint")
   }
 
+  /** Soft dedup: instead of DROPPING duplicate copies, weight every
+    * copy by 1/cluster_size so each distinct content contributes one
+    * document's worth of training signal regardless of how many times
+    * the crawler saw it — the repetition-damage fix that keeps the
+    * popularity signal available (cluster_size IS the popularity).
+    * Returns every row as (id, fingerprint, cluster_size, weight);
+    * Σ weight = distinct-content count by construction.
+    *
+    * Scale shape: one fingerprint-partitioned count window (a single
+    * hash exchange) — no join, no second scan.
+    */
+  def dedupWeights(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fingerprint")
+    df.select(col(idCol).as("id"),
+        TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("weight", lit(1.0) / col("cluster_size"))
+  }
+
   /** Near-duplicate candidate pairs via MinHash LSH, verified with
     * true shingle Jaccard >= `threshold`. Returns (id1, id2, jaccard)
     * with id1 < id2.

@@ -128,6 +128,26 @@ object DedupQueries extends QueryGroup {
         .orderBy("id")
     },
 
+    // soft dedup: every copy kept, weighted 1/cluster_size (Σweight =
+    // distinct-content count); the planted exact dups get weight 0.5.
+    q("q_dedup_weights",
+      s"""$augmentedSql, fp AS (
+         |  SELECT doc_id AS id,
+         |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+         |      '\\s+', ' ', 'g'))) AS fingerprint
+         |  FROM docs
+         |)
+         |SELECT id, fingerprint,
+         |  count(*) OVER (PARTITION BY fingerprint) AS cluster_size,
+         |  round(1.0::DOUBLE / count(*) OVER (PARTITION BY fingerprint), 6)
+         |    AS weight
+         |FROM fp ORDER BY id""".stripMargin) { (s, dir) =>
+      Dedup.dedupWeights(augmented(s, dir), "doc_id", "text")
+        .select(col("id"), col("fingerprint"), col("cluster_size"),
+          round(col("weight"), 6).as("weight"))
+        .orderBy("id")
+    },
+
     // exact all-pairs n-gram Jaccard within (lang, source) blocks.
     q("q_dedup_ngram_jaccard", exactPairsSql) { (s, dir) =>
       Dedup.ngramJaccardPairs(augmented(s, dir), "doc_id", "text",

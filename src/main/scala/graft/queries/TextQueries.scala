@@ -1323,6 +1323,52 @@ object TextQueries extends QueryGroup {
         .orderBy("doc_id")
     },
 
+    // chat flattening: six planted conversation variants per doc_id
+    // class — valid with/without system turn, broken alternation,
+    // truncated JSON, empty array, empty content. The ENGINE runs the
+    // real from_json parse + protocol validation + rendering; the
+    // oracle emits each class's expected classification and rendered
+    // text arithmetically.
+    q("q_chat_flatten",
+      """SELECT doc_id AS id,
+        |  CASE doc_id % 6 WHEN 0 THEN 3 WHEN 1 THEN 3 WHEN 2 THEN 2
+        |    WHEN 3 THEN 0 WHEN 4 THEN 0 ELSE 1 END AS n_turns,
+        |  doc_id % 6 IN (0, 1) AS valid,
+        |  CASE doc_id % 6 WHEN 0 THEN 'ok' WHEN 1 THEN 'ok'
+        |    WHEN 2 THEN 'role' WHEN 3 THEN 'parse' WHEN 4 THEN 'empty'
+        |    ELSE 'content' END AS reason,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN '<|system|> s' || doc_id || chr(10) ||
+        |      '<|user|> a' || doc_id || chr(10) ||
+        |      '<|assistant|> b' || doc_id
+        |    WHEN 1 THEN '<|user|> a' || doc_id || chr(10) ||
+        |      '<|assistant|> b' || doc_id || chr(10) ||
+        |      '<|user|> c' || doc_id
+        |    ELSE NULL END AS text
+        |FROM documents ORDER BY id""".stripMargin) { (s, dir) =>
+      val id = col("doc_id")
+      val conv = when(id % 6 === 0, concat(
+          lit("[{\"role\":\"system\",\"content\":\"s"), id,
+          lit("\"},{\"role\":\"user\",\"content\":\"a"), id,
+          lit("\"},{\"role\":\"assistant\",\"content\":\"b"), id,
+          lit("\"}]")))
+        .when(id % 6 === 1, concat(
+          lit("[{\"role\":\"user\",\"content\":\"a"), id,
+          lit("\"},{\"role\":\"assistant\",\"content\":\"b"), id,
+          lit("\"},{\"role\":\"user\",\"content\":\"c"), id, lit("\"}]")))
+        .when(id % 6 === 2, concat(
+          lit("[{\"role\":\"user\",\"content\":\"a"), id,
+          lit("\"},{\"role\":\"user\",\"content\":\"b"), id, lit("\"}]")))
+        .when(id % 6 === 3, concat(
+          lit("[{\"role\":\"user\",\"content\":\"a"), id))
+        .when(id % 6 === 4, lit("[]"))
+        .otherwise(lit("[{\"role\":\"user\",\"content\":\"\"}]"))
+      graft.ml.Chat.flattenChat(
+          t(s, dir, "documents").withColumn("conv", conv),
+          "doc_id", "conv")
+        .orderBy("id")
+    },
+
     q("q_text_pack",
       """WITH d AS (
         |  SELECT doc_id,

@@ -27,6 +27,16 @@ class MlSpec extends SparkSpec {
     assert(canon(1L) == 1L && canon(2L) == 2L) // near-dup is NOT exact
   }
 
+  test("dedupWeights: copies weighted 1/cluster, sum = distinct contents") {
+    val w = Dedup.dedupWeights(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(w(3L) == ((2L, 0.5)) && w(4L) == ((2L, 0.5)))
+    assert(w(1L) == ((1L, 1.0)) && w(2L) == ((1L, 1.0)) &&
+      w(5L) == ((1L, 1.0)))
+    assert(math.abs(w.values.map(_._2).sum - 4.0) < 1e-12) // 4 distinct
+  }
+
   test("minhash LSH finds the near-dup pair and skips unrelated docs") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val pairs = Dedup.minHashNearDuplicates(docs, "doc_id", "text",
