@@ -102,4 +102,37 @@ object QualityModel {
   def score(docs: DataFrame, textCol: String,
       weights: Array[Double]): DataFrame =
     scoreOnFeatures(featurize(docs, textCol), weights)
+
+  /** Smoothed target (mean) encoding of a categorical column — the
+    * standard high-cardinality categorical feature for the quality/
+    * preference models here (domain, source, language): encoded =
+    * (Σ label_in_category + prior·smoothing) / (n_category +
+    * smoothing), shrinking rare categories toward the global prior.
+    * `loo = true` excludes each row's OWN label (leave-one-out), the
+    * leakage-safe variant for training folds; categories of size 1
+    * then fall back to the pure prior.
+    *
+    * Returns the input plus `(catCol)_te`. Scale shape: one category
+    * hash aggregate + a broadcast 1-row prior, joined back on the
+    * category key; LOO is per-row arithmetic on the joined totals —
+    * no second scan, no window.
+    */
+  def targetEncode(df: DataFrame, catCol: String, labelCol: String,
+      smoothing: Double = 20.0, loo: Boolean = false): DataFrame = {
+    require(smoothing >= 0, s"smoothing must be >= 0, got $smoothing")
+    val y = col(labelCol).cast("double")
+    val stats = df.groupBy(col(catCol))
+      .agg(sum(y).as("__sum"), count(lit(1)).as("__n"))
+    val prior = df.agg((sum(y) / count(lit(1))).as("__prior"))
+    val joined = df.join(broadcast(prior))
+      .join(stats, Seq(catCol), "left")
+    val (num, den) =
+      if (loo) (col("__sum") - y, col("__n") - 1)
+      else (col("__sum"), col("__n"))
+    joined.withColumn(s"${catCol}_te",
+        when(den + smoothing > 0,
+          (num + col("__prior") * smoothing) / (den + smoothing))
+          .otherwise(col("__prior")))
+      .drop("__sum", "__n", "__prior")
+  }
 }

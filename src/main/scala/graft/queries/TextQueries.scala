@@ -2567,6 +2567,35 @@ object TextQueries extends QueryGroup {
     // features with distant-supervision labels, trained by 3 exact
     // full-batch GD steps — the oracle replays the identical trainer
     // as unrolled SQL (weights are data-determined in both engines).
+    // smoothed target encoding of `source` against a planted binary
+    // label, plain AND leave-one-out — the high-cardinality
+    // categorical feature for the quality models; one category
+    // aggregate + broadcast prior, LOO pure row arithmetic.
+    q("q_text_target_encode",
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 3 = 0 THEN 1.0 ELSE 0.0 END AS y
+        |  FROM documents
+        |), s AS (
+        |  SELECT source, sum(y) AS sy, count(*) AS n FROM d GROUP BY 1
+        |), p AS (SELECT sum(y) / count(*) AS prior FROM d)
+        |SELECT doc_id,
+        |  round((sy + prior * 20) / (n + 20), 6) AS te,
+        |  round((sy - y + prior * 20) / (n - 1 + 20), 6) AS te_loo
+        |FROM d JOIN s USING (source) CROSS JOIN p
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.ml.QualityModel
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") % 3 === 0, 1.0).otherwise(0.0).as("y"))
+      val plain = QualityModel.targetEncode(d, "source", "y", smoothing = 20)
+        .select(col("doc_id"), round(col("source_te"), 6).as("te"))
+      val loo = QualityModel.targetEncode(d, "source", "y", smoothing = 20,
+          loo = true)
+        .select(col("doc_id"), round(col("source_te"), 6).as("te_loo"))
+      plain.join(loo, "doc_id").orderBy("doc_id")
+    },
+
     q("q_text_quality_model", TextQueries.qualityModelOracleSql(3, 0.5)) {
       (s, dir) =>
       import graft.ml.QualityModel

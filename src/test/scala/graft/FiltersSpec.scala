@@ -216,4 +216,30 @@ class FiltersSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Filters.removeBoilerplate(docs, "doc_id", "text", "source", 1))
   }
+
+  test("targetEncode: smoothing shrinks to prior, LOO excludes own label") {
+    import spark.implicits._
+    // cat a: labels 1,1,0 (mean 2/3); cat b: one row label 1; prior 3/4
+    val df = Seq((1L, "a", 1.0), (2L, "a", 1.0), (3L, "a", 0.0),
+      (4L, "b", 1.0)).toDF("id", "cat", "y")
+    val plain = QualityModel.targetEncode(df, "cat", "y", smoothing = 2.0)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("cat_te"))
+      .toMap
+    val prior = 0.75
+    assert(math.abs(plain(1L) - (2.0 + prior * 2) / (3 + 2)) < 1e-12)
+    assert(math.abs(plain(4L) - (1.0 + prior * 2) / (1 + 2)) < 1e-12)
+    // zero smoothing = raw category mean
+    val raw = QualityModel.targetEncode(df, "cat", "y", smoothing = 0.0)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("cat_te"))
+      .toMap
+    assert(math.abs(raw(1L) - 2.0 / 3) < 1e-12 && raw(4L) == 1.0)
+    // LOO: own label excluded; singleton category falls back to prior
+    val loo = QualityModel.targetEncode(df, "cat", "y", smoothing = 0.0,
+        loo = true)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("cat_te"))
+      .toMap
+    assert(math.abs(loo(1L) - 0.5) < 1e-12) // (2-1)/(3-1)
+    assert(math.abs(loo(3L) - 1.0) < 1e-12) // (2-0)/(3-1)
+    assert(loo(4L) == prior)                 // singleton -> prior
+  }
 }

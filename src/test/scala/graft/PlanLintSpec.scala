@@ -150,7 +150,9 @@ class PlanLintSpec extends SparkSpec {
         "1-row sample stats × 1-row lo × 1-row hi quantile picks"),
     "q_text_langid_textcat" -> Map("cartesian" ->
       ("distinct-language table (|langs| rows, broadcast) crossed onto " +
-        "per-doc top-20 gram rows — every doc scores every profile")))
+        "per-doc top-20 gram rows — every doc scores every profile")),
+    "q_text_target_encode" -> Map("cartesian" ->
+      "1-row global-prior aggregate broadcast onto the scan (twice)"))
 
   test("every cartesian/global-window in any gate plan is whitelisted") {
     val dir = sf("sf0.001")
