@@ -659,6 +659,45 @@ object Events {
       .orderBy("period")
   }
 
+  /** STL-lite seasonal decomposition of an event-count series:
+    * bucket the stream to a `periodSec` grain, split each bucket's
+    * count into trend (centered moving average over ±seasonLen/2
+    * observed buckets, partial at the edges) + seasonal (per-phase
+    * mean of the detrended values, centered so the indices sum to
+    * ~0) + residual — the "is this hour actually unusual, or is it
+    * just 3am" read that must precede any count-based anomaly alarm.
+    * Returns (bucket, phase, y, trend, seasonal, residual) per
+    * OBSERVED bucket (a gap in the stream is a missing row, not a
+    * zero — densify upstream if zeros are meaningful).
+    *
+    * Scale shape: the corpus collapses to one row per bucket in the
+    * first hash aggregate; everything after (windows, phase means)
+    * runs on that driver-bounded table (time-range / periodSec rows),
+    * like the other period-grid analytics here.
+    */
+  def seasonalDecompose(events: DataFrame, secCol: String,
+      periodSec: Long, seasonLen: Int): DataFrame = {
+    require(periodSec > 0, s"periodSec must be positive, got $periodSec")
+    require(seasonLen >= 2, s"seasonLen must be >= 2, got $seasonLen")
+    val half = seasonLen / 2
+    val counts = events
+      .select(floor(col(secCol) / periodSec).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("y"))
+    val wTrend = org.apache.spark.sql.expressions.Window
+      .orderBy("bucket").rowsBetween(-half, half)
+    val det = counts
+      .withColumn("trend", avg(col("y")).over(wTrend))
+      .withColumn("phase", pmod(col("bucket"), lit(seasonLen.toLong)))
+      .withColumn("det", col("y") - col("trend"))
+    val phaseMeans = det.groupBy("phase").agg(avg("det").as("s_raw"))
+    val center = phaseMeans.agg(avg("s_raw").as("s_mean"))
+    det.join(broadcast(phaseMeans), Seq("phase"))
+      .crossJoin(broadcast(center))
+      .withColumn("seasonal", col("s_raw") - col("s_mean"))
+      .withColumn("residual", col("y") - col("trend") - col("seasonal"))
+      .select("bucket", "phase", "y", "trend", "seasonal", "residual")
+  }
+
   /** Quantile treatment effects: q_treat(p) − q_ctl(p) at each
     * requested quantile — WHERE in the distribution an experiment
     * moves the metric (a mean-only read hides "helped the tail, hurt

@@ -1065,6 +1065,39 @@ object EventQueries extends QueryGroup {
         .orderBy("event_type")
     },
 
+    // STL-lite seasonal decomposition of the hourly event-count
+    // series (24-phase season): trend = ±12-bucket centered moving
+    // average, seasonal = centered per-phase mean of the detrended
+    // counts, residual = remainder — full window/aggregate replay.
+    q("q_events_seasonal",
+      """WITH c AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS bucket,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1
+        |), tr AS (
+        |  SELECT bucket, y, bucket % 24 AS phase,
+        |    avg(y) OVER (ORDER BY bucket
+        |      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS trend
+        |  FROM c
+        |), pm AS (
+        |  SELECT phase, avg(y - trend) AS s_raw FROM tr GROUP BY 1
+        |), ctr AS (SELECT avg(s_raw) AS s_mean FROM pm)
+        |SELECT bucket, phase, y, round(trend, 6) + 0.0 AS trend,
+        |  round(s_raw - s_mean, 6) + 0.0 AS seasonal,
+        |  round(y - trend - (s_raw - s_mean), 6) + 0.0 AS residual
+        |FROM tr JOIN pm USING (phase) CROSS JOIN ctr
+        |ORDER BY bucket""".stripMargin) { (s, dir) =>
+      val raw = t(s, dir, "events")
+      graft.events.Events.seasonalDecompose(
+          raw.withColumn("sec", Ts.seconds(raw)),
+          "sec", periodSec = 3600L, seasonLen = 24)
+        .select(col("bucket"), col("phase"), col("y"),
+          (round(col("trend"), 6) + lit(0.0)).as("trend"),
+          (round(col("seasonal"), 6) + lit(0.0)).as("seasonal"),
+          (round(col("residual"), 6) + lit(0.0)).as("residual"))
+        .orderBy("bucket")
+    },
+
     // interval concurrency sweep: each event holds for ceil(value)
     // seconds; the sweep reports the active count at every boundary.
     q("q_events_concurrency",

@@ -578,4 +578,40 @@ class EventsSpec extends SparkSpec {
         t._6 >= 1 && t._6 <= 5)
     }
   }
+
+  test("seasonalDecompose recovers a planted pure seasonal pattern") {
+    import spark.implicits._
+    // 8 full days of hourly events, count = 10 + phase pattern:
+    // +5 at phase 0, -5 at phase 12, flat elsewhere. No trend.
+    val phasePat = (p: Long) => if (p == 0L) 5 else if (p == 12L) -5 else 0
+    val rows = for {
+      bucket <- 0L until (8 * 24).toLong
+      n = 10 + phasePat(bucket % 24)
+      i <- 0 until n
+    } yield (bucket * 3600 + i, 1)
+    val df = rows.toDF("sec", "one")
+    val out = Events.seasonalDecompose(df, "sec", 3600L, 24)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(out.size == 8 * 24)
+    // interior buckets: trend ≈ overall mean 10, seasonal carries the
+    // pattern, residual ≈ 0 (edges are partial-window, skip them)
+    val interior = out.filter { case (b, _) => b >= 24 && b < 7 * 24 }
+    interior.foreach { case (b, (phase, y, trend, seasonal, resid)) =>
+      assert(phase == b % 24)
+      assert(y == 10 + phasePat(phase), s"bucket $b")
+      assert(math.abs(trend - 10.0) < 0.25, s"bucket $b trend $trend")
+      assert(math.abs(seasonal - phasePat(phase)) < 0.5,
+        s"bucket $b seasonal $seasonal")
+      assert(math.abs(resid) < 0.6, s"bucket $b residual $resid")
+    }
+    // seasonal indices (one per phase) sum to ~0 by centering
+    val idx = interior.values.groupBy(_._1).map(_._2.head._4)
+    assert(math.abs(idx.sum) < 1e-6)
+    intercept[IllegalArgumentException](
+      Events.seasonalDecompose(df, "sec", 0L, 24))
+    intercept[IllegalArgumentException](
+      Events.seasonalDecompose(df, "sec", 3600L, 1))
+  }
 }

@@ -152,7 +152,12 @@ class PlanLintSpec extends SparkSpec {
       ("distinct-language table (|langs| rows, broadcast) crossed onto " +
         "per-doc top-20 gram rows — every doc scores every profile")),
     "q_text_target_encode" -> Map("cartesian" ->
-      "1-row global-prior aggregate broadcast onto the scan (twice)"))
+      "1-row global-prior aggregate broadcast onto the scan (twice)"),
+    "q_events_seasonal" -> Map(
+      "global-window" ->
+        "±12-bucket trend window over the (time-range/3600)-row bucket-count table",
+      "cartesian" ->
+        "1-row seasonal-center aggregate broadcast onto the bucket table"))
 
   test("every cartesian/global-window in any gate plan is whitelisted") {
     val dir = sf("sf0.001")
