@@ -421,6 +421,32 @@ object Events {
       .select("variant", "n_users", "mean", "ci_lo", "ci_hi", "n_reps")
   }
 
+  /** Wilson score interval for a per-group success rate — the
+    * small-sample-safe rate CI (never escapes [0,1], sane at s=0 or
+    * s=n, unlike the Wald interval) for conversion/pass-rate
+    * dashboards. One count aggregate per group, closed-form
+    * arithmetic after. Returns (group, n, s, rate, wilson_lo,
+    * wilson_hi).
+    */
+  def wilsonInterval(df: DataFrame, groupCol: String, successCol: String,
+      z: Double = 1.96): DataFrame = {
+    require(z > 0, s"z must be positive, got $z")
+    val zz = z * z
+    val agg = df.groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(successCol).cast("boolean").cast("int")).as("s"))
+      .withColumn("rate", col("s").cast("double") / col("n"))
+    val denom = lit(1.0) + lit(zz) / col("n")
+    val center = (col("rate") + lit(zz) / (lit(2.0) * col("n"))) / denom
+    val half = (lit(z) * sqrt(col("rate") * (lit(1.0) - col("rate")) /
+      col("n") + lit(zz) / (lit(4.0) * col("n") * col("n")))) / denom
+    // clamp: the Wilson endpoints are mathematically in [0,1] but the
+    // float evaluation can land an ulp outside at p̂ = 0 or 1
+    agg.select(col("group"), col("n"), col("s"), col("rate"),
+      greatest(center - half, lit(0.0)).as("wilson_lo"),
+      least(center + half, lit(1.0)).as("wilson_hi"))
+  }
+
   /** Always-valid sequential test (mSPRT with a normal mixture prior,
     * Johari et al. 2017 "Peeking at A/B/n Tests") per treatment arm
     * per period: users accrue at their first event, convert at their

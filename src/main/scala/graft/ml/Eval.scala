@@ -491,6 +491,28 @@ object Eval {
       .withColumn("rr",
         coalesce(lit(1.0) / col("first_relevant_rank"), lit(0.0)))
 
+  /** Precision@k and recall@k per query over a ranked result table —
+    * the retrieval-eval companions to [[meanReciprocalRank]]/NDCG:
+    * precision@k = relevant-in-top-k / k, recall@k =
+    * relevant-in-top-k / relevant-anywhere-in-the-list (NULL when a
+    * query has no relevant items at all). One conditional hash
+    * aggregate per query key; the corpus collapses to |queries| rows.
+    */
+  def precisionRecallAtK(df: DataFrame, queryCol: String, rankCol: String,
+      relevantCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val rel = col(relevantCol).cast("boolean")
+    df.groupBy(col(queryCol).as("query"))
+      .agg(
+        sum(when(rel && col(rankCol) <= k, 1L).otherwise(0L))
+          .as("rel_at_k"),
+        sum(when(rel, 1L).otherwise(0L)).as("rel_total"))
+      .withColumn("precision_at_k", col("rel_at_k").cast("double") / k)
+      .withColumn("recall_at_k",
+        when(col("rel_total") > 0,
+          col("rel_at_k").cast("double") / col("rel_total")))
+  }
+
   /** Seeded Poisson bootstrap confidence interval for the mean of
     * `valueCol`: each of `b` replicates reweights every row by an
     * iid Poisson(1) count derived from md5(seed:id:rep) — the

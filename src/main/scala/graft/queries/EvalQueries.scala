@@ -624,6 +624,38 @@ object EvalQueries extends QueryGroup {
         .orderBy("query")
     },
 
+    // precision@10 / recall@10 per query over the same ranked setup
+    // as q_eval_mrr: one conditional aggregate per query key.
+    q("q_eval_pr_at_k",
+      """WITH r AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rank,
+        |    doc_id % 7 = 0 AS rel
+        |  FROM documents
+        |)
+        |SELECT source AS query,
+        |  sum(CASE WHEN rel AND rank <= 10 THEN 1 ELSE 0 END) AS rel_at_k,
+        |  sum(CASE WHEN rel THEN 1 ELSE 0 END) AS rel_total,
+        |  round(sum(CASE WHEN rel AND rank <= 10 THEN 1 ELSE 0 END)
+        |    * 1.0::DOUBLE / 10, 6) AS precision_at_k,
+        |  round(CASE WHEN sum(CASE WHEN rel THEN 1 ELSE 0 END) > 0
+        |    THEN sum(CASE WHEN rel AND rank <= 10 THEN 1 ELSE 0 END)
+        |      * 1.0::DOUBLE / sum(CASE WHEN rel THEN 1 ELSE 0 END)
+        |    END, 6) AS recall_at_k
+        |FROM r GROUP BY 1 ORDER BY query""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.{Window => W}
+      val ranked = t(s, dir, "documents")
+        .withColumn("rank", row_number().over(
+          W.partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))))
+        .withColumn("rel", col("doc_id") % 7 === 0)
+      Eval.precisionRecallAtK(ranked, "source", "rank", "rel", k = 10)
+        .select(col("query"), col("rel_at_k"), col("rel_total"),
+          round(col("precision_at_k"), 6).as("precision_at_k"),
+          round(col("recall_at_k"), 6).as("recall_at_k"))
+        .orderBy("query")
+    },
+
     // Seeded Poisson bootstrap CI of mean document length: replicate
     // weights are Poisson(1) counts decoded from md5(seed:id:rep) via
     // fixed-width hex thresholds (string compare = numeric compare),

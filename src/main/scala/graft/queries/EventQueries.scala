@@ -1065,6 +1065,39 @@ object EventQueries extends QueryGroup {
         .orderBy("event_type")
     },
 
+    // Wilson score interval per event type for the "high-value event"
+    // rate (value > 50): the small-sample-safe rate CI; pure
+    // closed-form replay off the per-group counts.
+    q("q_events_wilson",
+      """WITH g AS (
+        |  SELECT event_type AS grp, count(*) AS n,
+        |    sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS s
+        |  FROM events GROUP BY 1
+        |), r AS (
+        |  SELECT grp, n, s, s * 1.0::DOUBLE / n AS rate,
+        |    1.0::DOUBLE + (1.96 * 1.96) / n AS dn
+        |  FROM g
+        |)
+        |SELECT grp, n, s, round(rate, 6) AS rate,
+        |  round(greatest((rate + (1.96 * 1.96) / (2.0 * n)) / dn
+        |    - 1.96 * sqrt(rate * (1.0::DOUBLE - rate) / n
+        |      + (1.96 * 1.96) / (4.0 * n * n)) / dn, 0.0::DOUBLE), 6) + 0.0
+        |    AS wilson_lo,
+        |  round(least((rate + (1.96 * 1.96) / (2.0 * n)) / dn
+        |    + 1.96 * sqrt(rate * (1.0::DOUBLE - rate) / n
+        |      + (1.96 * 1.96) / (4.0 * n * n)) / dn, 1.0::DOUBLE), 6) + 0.0
+        |    AS wilson_hi
+        |FROM r ORDER BY grp""".stripMargin) { (s, dir) =>
+      graft.events.Events.wilsonInterval(
+          t(s, dir, "events").withColumn("hi", col("value") > 50),
+          "event_type", "hi", z = 1.96)
+        .select(col("group").as("grp"), col("n"), col("s"),
+          round(col("rate"), 6).as("rate"),
+          (round(col("wilson_lo"), 6) + lit(0.0)).as("wilson_lo"),
+          (round(col("wilson_hi"), 6) + lit(0.0)).as("wilson_hi"))
+        .orderBy("grp")
+    },
+
     // STL-lite seasonal decomposition of the hourly event-count
     // series (24-phase season): trend = ±12-bucket centered moving
     // average, seasonal = centered per-phase mean of the detrended

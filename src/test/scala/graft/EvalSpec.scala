@@ -206,6 +206,24 @@ class EvalSpec extends SparkSpec {
     assert(per("q3") == ((true, 0.0)))
   }
 
+  test("precisionRecallAtK: top-k counting, no-relevant NULL recall") {
+    import spark.implicits._
+    val rows = Seq(
+      // q1: 3 relevant total, 2 inside top-3
+      ("q1", 1, true), ("q1", 2, false), ("q1", 3, true), ("q1", 4, true),
+      // q2: nothing relevant
+      ("q2", 1, false), ("q2", 2, false))
+      .toDF("q", "rank", "rel")
+    val got = graft.ml.Eval.precisionRecallAtK(rows, "q", "rank", "rel", 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3),
+          if (r.isNullAt(4)) -1.0 else r.getDouble(4)))).toMap
+    assert(got("q1") == ((2L, 3L, 2.0 / 3, 2.0 / 3)))
+    assert(got("q2") == ((0L, 0L, 0.0, -1.0))) // recall NULL
+    intercept[IllegalArgumentException](
+      graft.ml.Eval.precisionRecallAtK(rows, "q", "rank", "rel", 0))
+  }
+
   test("bootstrapMeanCI: CI brackets the mean, narrows with n, deterministic") {
     import spark.implicits._
     val small = (1L to 50L).map(i => (i, (i % 10) + 1)).toDF("id", "x")

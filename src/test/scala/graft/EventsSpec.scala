@@ -579,6 +579,26 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("wilsonInterval: textbook values, bounds in [0,1], degenerate ends") {
+    import spark.implicits._
+    val df = (Seq.fill(8)(("a", true)) ++ Seq.fill(2)(("a", false)) ++
+      Seq.fill(5)(("z", false)) ++ Seq.fill(3)(("all1", true)))
+      .toDF("g", "ok")
+    val got = Events.wilsonInterval(df, "g", "ok")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    // 8/10 at z=1.96: Wilson interval ≈ [0.490, 0.943]
+    val (n, s, rate, lo, hi) = got("a")
+    assert(n == 10L && s == 8L && rate == 0.8)
+    assert(math.abs(lo - 0.4901) < 5e-4 && math.abs(hi - 0.9433) < 5e-4)
+    // s=0 and s=n stay inside [0,1] with nonzero width (Wald would not)
+    val (_, _, _, lo0, hi0) = got("z")
+    assert(lo0 == 0.0 && hi0 > 0.0 && hi0 < 1.0)
+    val (_, _, _, lo1, hi1) = got("all1")
+    assert(hi1 == 1.0 && lo1 < 1.0 && lo1 > 0.0)
+  }
+
   test("seasonalDecompose recovers a planted pure seasonal pattern") {
     import spark.implicits._
     // 8 full days of hourly events, count = 10 + phase pattern:
