@@ -456,6 +456,46 @@ object TextQueries extends QueryGroup {
     // arithmetic ((tx*w)//2, (ty*h)//2) without ever touching bytes.
     // Hash equality means header parse, pixel extraction and the
     // resample index map are all exact.
+    // WebDataset tar shards round-trip CONTRACT: every document's
+    // text packed as a `<doc_id>.txt` member into size-capped ustar
+    // shards, written as real .tar files, re-read through the
+    // tar parser — per-doc byte md5s must survive, shard payloads
+    // must respect the cap. (No SQL engine reads tar; the oracle
+    // pins the invariants.)
+    q("q_multimodal_tar",
+      """SELECT count(*) AS n_docs, true AS all_match, true AS caps_ok
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(concat(col("doc_id"), lit(".txt")).as("name"),
+          encode(col("text"), "UTF-8").as("bytes"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_tar_gate").toString
+      val shards = graft.sources.TarSource
+        .packShards(docs, "name", "bytes", maxBytes = 1L << 20)
+        .persist()
+      try {
+        graft.sources.TarSource.writeShardFiles(shards, tmp)
+        // the packer checks the cap BEFORE adding, so a shard may
+        // overshoot by at most one member
+        val maxDoc = docs.agg(max(length(col("bytes"))).as("max_doc"))
+        val capsOk = shards
+          .agg(max(when(col("n_entries") > 1,
+            col("n_bytes") - (1L << 20)).otherwise(0L)).as("over"))
+          .crossJoin(maxDoc)
+          .select((col("over") <= col("max_doc")).as("caps_ok"))
+        val back = graft.sources.TarSource.read(s, tmp)
+          .select(col("name"), md5(col("bytes")).as("h_back"))
+        val matches = docs
+          .select(col("name"), md5(col("bytes")).as("h_in"))
+          .join(back, Seq("name"), "left")
+          .agg(count(lit(1)).as("n_docs"),
+            (count(lit(1)) === sum(when(col("h_in") === col("h_back"), 1L)
+              .otherwise(0L))).as("all_match"))
+        matches.crossJoin(capsOk)
+          .select(col("n_docs"), col("all_match"), col("caps_ok"))
+      } finally shards.unpersist(blocking = false)
+    },
+
     q("q_multimodal_decode",
       """WITH d AS (
         |  SELECT doc_id AS id, 4 + doc_id % 13 AS w, 4 + doc_id % 7 AS h
