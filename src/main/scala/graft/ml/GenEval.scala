@@ -229,4 +229,86 @@ object GenEval {
       .select(col(groupCol), col("n"), col("concordant"), col("discordant"),
         col("tau").cast("double"))
   }
+
+  /** Word error rate per pair (the ASR / generation-fidelity metric):
+    * token-level Levenshtein alignment of candidate vs reference with
+    * the standard substitution/insertion/deletion decomposition —
+    * WER = (S+D+I) / |ref|, which can exceed 1. Same bounded two-row
+    * DP kernel as [[rougeL]] (O(|c|·|r|) per pair, `maxTokens` cap,
+    * narrow mapPartitions, nothing shuffles); the S/D/I split comes
+    * from the identity S+D = max-cost-path bookkeeping, recovered
+    * exactly as S = dist − D − I with D/I from the length imbalance
+    * against the matched count. Empty reference rows drop (WER
+    * undefined). Returns (id, distance, subs, dels, ins, cand_tokens,
+    * ref_tokens, wer).
+    */
+  def wer(df: DataFrame, idCol: String, candCol: String, refCol: String,
+      maxTokens: Int = 400): DataFrame = {
+    require(maxTokens >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"),
+        toks(col(candCol)), toks(col(refCol)))
+      .as(Encoders.tuple(Encoders.scalaLong,
+        implicitly[org.apache.spark.sql.Encoder[Seq[String]]],
+        implicitly[org.apache.spark.sql.Encoder[Seq[String]]]))
+      .mapPartitions(_.flatMap { case (id, c0, r0) =>
+        val c = c0.take(maxTokens).toArray
+        val r = r0.take(maxTokens).toArray
+        if (r.isEmpty) None
+        else {
+          // two-row Levenshtein over (ref rows r, cand cols c),
+          // tracking the matched-pair count M of the optimal path so
+          // the S/D/I decomposition is exact:
+          //   S = min(|c|,|r|) adjustments... recovered via M:
+          //   matches M, subs S = aligned-but-unequal, then
+          //   D = |r| - M - S (unaligned ref), I = |c| - M - S.
+          var prevD = new Array[Int](c.length + 1)
+          var curD = new Array[Int](c.length + 1)
+          var prevM = new Array[Int](c.length + 1)
+          var curM = new Array[Int](c.length + 1)
+          var j = 0
+          while (j <= c.length) { prevD(j) = j; j += 1 }
+          var i = 0
+          while (i < r.length) {
+            curD(0) = i + 1; curM(0) = 0
+            var k = 0
+            while (k < c.length) {
+              val eq = r(i) == c(k)
+              val diag = prevD(k) + (if (eq) 0 else 1)
+              val del = prevD(k + 1) + 1
+              val ins = curD(k) + 1
+              // prefer the path with more matches on distance ties
+              var d = diag
+              var m = prevM(k) + (if (eq) 1 else 0)
+              if (del < d || (del == d && prevM(k + 1) > m)) {
+                d = del; m = prevM(k + 1)
+              }
+              if (ins < d || (ins == d && curM(k) > m)) {
+                d = ins; m = curM(k)
+              }
+              curD(k + 1) = d; curM(k + 1) = m
+              k += 1
+            }
+            var t = prevD; prevD = curD; curD = t
+            t = prevM; prevM = curM; curM = t
+            i += 1
+          }
+          val dist = prevD(c.length)
+          val m = prevM(c.length)
+          // exact decomposition from (dist, m): an optimal path has
+          // A = m + S aligned pairs, D = |r| − A dels, I = |c| − A
+          // ins, and dist = S + D + I = |r| + |c| − 2m − S
+          //   ⇒ S = |r| + |c| − 2m − dist
+          val subs = r.length + c.length - 2 * m - dist
+          val a = m + subs
+          val dels = r.length - a
+          val insr = c.length - a
+          Some((id, dist, subs, dels, insr, c.length, r.length,
+            dist.toDouble / r.length))
+        }
+      })
+      .toDF(idCol, "distance", "subs", "dels", "ins", "cand_tokens",
+        "ref_tokens", "wer")
+  }
 }

@@ -83,6 +83,33 @@ object TextFix {
 
   private def isLatin1(s: String): Boolean = s.forall(_ <= 0xFF)
 
+  /** Unicode canonical composition (NFC): combining sequences
+    * collapse to their precomposed forms, so visually identical
+    * strings hash/compare identically — run it BEFORE any
+    * fingerprint/dedup step on crawl text (the same page arrives in
+    * both forms routinely). Narrow kernel over java.text.Normalizer;
+    * returns the input plus `(textCol)_nfc` and a `composed` flag.
+    * (NFKC — compatibility folding — is deliberately NOT the default:
+    * it destroys meaning-bearing distinctions like ² vs 2; pass
+    * `compat = true` where that trade is wanted.)
+    */
+  def normalizeNfc(df: DataFrame, idCol: String, textCol: String,
+      compat: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val form =
+      if (compat) java.text.Normalizer.Form.NFKC
+      else java.text.Normalizer.Form.NFC
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+      .mapPartitions(_.map { case (id, t) =>
+        val s = if (t == null) "" else t
+        val n = java.text.Normalizer.normalize(s, form)
+        (id, s, n, n != s)
+      })
+      .toDF(idCol, textCol, s"${textCol}_nfc", "composed")
+  }
+
   /** Spark wrapper: (id, text, repaired, changed) — mojibake repair +
     * the Column cleaning pass in one narrow kernel + projection.
     */

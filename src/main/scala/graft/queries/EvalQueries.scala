@@ -815,6 +815,41 @@ object EvalQueries extends QueryGroup {
     // output of the O(c·r) DP kernel is arithmetically replayable —
     // precision 1, recall |cand|/|ref| — without the oracle running
     // any DP.
+    // word error rate of the dropped-token candidate: a subsequence's
+    // Levenshtein alignment is pure deletions, so distance = dropped
+    // count, S = I = 0 — the whole S/D/I decomposition replays
+    // arithmetically.
+    q("q_eval_wer",
+      s"""WITH tk AS (
+         |  SELECT doc_id, list_filter(string_split($normSql, ' '),
+         |    t -> t <> '') AS rt
+         |  FROM documents
+         |), pr AS (
+         |  SELECT doc_id, len(rt) AS rn,
+         |    len(list_filter(rt, (t, i) -> i % 3 != 0)) AS cn FROM tk
+         |)
+         |SELECT doc_id AS id, CAST(rn - cn AS BIGINT) AS distance,
+         |  CAST(0 AS BIGINT) AS subs, CAST(rn - cn AS BIGINT) AS dels,
+         |  CAST(0 AS BIGINT) AS ins, CAST(cn AS BIGINT) AS cand_tokens,
+         |  CAST(rn AS BIGINT) AS ref_tokens,
+         |  round((rn - cn)::DOUBLE / rn, 6) AS wer
+         |FROM pr WHERE rn > 0 ORDER BY id""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("doc_id").as("id"),
+        col("text").as("ref"),
+        concat_ws(" ", filter(
+          filter(split(TA.normalize(col("text")), " "), t => length(t) > 0),
+          (t, i) => (i + 1) % 3 =!= 0)).as("cand"))
+      graft.ml.GenEval.wer(d, "id", "cand", "ref")
+        .select(col("id"), col("distance").cast("long").as("distance"),
+          col("subs").cast("long").as("subs"),
+          col("dels").cast("long").as("dels"),
+          col("ins").cast("long").as("ins"),
+          col("cand_tokens").cast("long").as("cand_tokens"),
+          col("ref_tokens").cast("long").as("ref_tokens"),
+          round(col("wer"), 6).as("wer"))
+        .orderBy("id")
+    },
+
     q("q_eval_rouge_l",
       s"""WITH tk AS (
          |  SELECT doc_id, list_filter(string_split($normSql, ' '),

@@ -1068,6 +1068,24 @@ object TextQueries extends QueryGroup {
     // accented phrase is UTF-8-encoded and misread as Latin-1 once
     // (even ids) or twice (odd ids); repairMojibake must restore the
     // exact original and flag the change.
+    // unicode canonical composition (NFC) — cross-engine gate against
+    // DuckDB's nfc_normalize: combining-mark suffixes planted on
+    // every (pure-ASCII) doc must collapse to the precomposed forms
+    // byte-identically in both engines before any fingerprint/dedup.
+    q("q_text_nfc",
+      """SELECT doc_id, true AS composed,
+        |  md5(nfc_normalize(text || ' cafe' || chr(769) || ' A'
+        |    || chr(778))) AS h
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.ml.TextFix.normalizeNfc(
+          t(s, dir, "documents").withColumn("t",
+            // decomposed: e + U+0301 combining acute, A + U+030A ring
+            concat(col("text"), lit(" cafe\u0301 A\u030a"))),
+          "doc_id", "t")
+        .select(col("doc_id"), col("composed"), md5(col("t_nfc")).as("h"))
+        .orderBy("doc_id")
+    },
+
     q("q_text_mojibake",
       """SELECT doc_id AS id, true AS repaired_ok, true AS changed
         |FROM documents ORDER BY id""".stripMargin) { (s, dir) =>

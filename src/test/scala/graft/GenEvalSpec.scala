@@ -114,4 +114,34 @@ class GenEvalSpec extends SparkSpec {
         "g", "x", "y", maxGroup = 10).collect()
     }
   }
+
+  test("wer: exact S/D/I decomposition on hand alignments") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c", "a b c"),          // identical
+      (2L, "a x c", "a b c"),          // 1 substitution
+      (3L, "a b c d", "a b c"),        // 1 insertion
+      (4L, "a c", "a b c"),            // 1 deletion
+      (5L, "x y z q", "a"),            // 1 sub + 3 ins, wer 4 > 1
+      (6L, "", "a b"),                 // empty cand: 2 deletions
+      (7L, "a b", ""),                 // empty ref: row dropped
+      (8L, "b a", "a b")               // tie: match-max path = 1D+1I
+    ).toDF("id", "cand", "ref")
+    val got = GenEval.wer(df, "id", "cand", "ref")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
+          r.getDouble(7)))).toMap
+    assert(got(1L) == ((0, 0, 0, 0, 0.0)))
+    assert(got(2L) == ((1, 1, 0, 0, 1.0 / 3)))
+    assert(got(3L) == ((1, 0, 0, 1, 1.0 / 3)))
+    assert(got(4L) == ((1, 0, 1, 0, 1.0 / 3)))
+    assert(got(5L) == ((4, 1, 0, 3, 4.0)))
+    assert(got(6L) == ((2, 0, 2, 0, 1.0)))
+    assert(!got.contains(7L))
+    // dist 2 either as 2 subs or del+ins; the match-maximizing
+    // tie-break keeps one token aligned -> S=0, D=1, I=1
+    assert(got(8L) == ((2, 0, 1, 1, 1.0)))
+    // identity: distance = S + D + I on every row
+    got.values.foreach { case (d, s, dl, i, _) => assert(d == s + dl + i) }
+  }
 }
