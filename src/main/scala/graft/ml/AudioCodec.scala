@@ -290,6 +290,41 @@ object AudioCodec {
     Audio(a.sampleRate, 1, a.bitsPerSample, out)
   }
 
+  /** Linear-interpolation resample to `toRate` Hz (per channel,
+    * endpoint-matched positions p = t·(nIn−1)/(nOut−1)) — the
+    * sample-rate unification every ASR/audio-training pipeline runs
+    * before batching (16 kHz is the usual target). Values stay in the
+    * integer sample domain (round-half-up). Nyquist caveat by design:
+    * no low-pass pre-filter — downsampling far below the signal's
+    * band aliases, same trade as every cheap-lerp resampler; use it
+    * to UNIFY nearby rates, not to decimate.
+    */
+  def resampleLinear(a: Audio, toRate: Int): Audio = {
+    require(toRate >= 1, s"toRate must be >= 1, got $toRate")
+    val nIn = a.nFrames
+    if (toRate == a.sampleRate || nIn == 0) return a.copy(sampleRate = toRate)
+    val nOut = math.max(1,
+      math.round(nIn.toLong * toRate / a.sampleRate.toDouble).toInt)
+    val out = new Array[Int](nOut * a.channels)
+    var c = 0
+    while (c < a.channels) {
+      var t = 0
+      while (t < nOut) {
+        val p =
+          if (nOut == 1) 0.0 else t.toDouble * (nIn - 1) / (nOut - 1)
+        val i0 = p.toInt
+        val i1 = math.min(nIn - 1, i0 + 1)
+        val frac = p - i0
+        val v = a.samples(i0 * a.channels + c) * (1.0 - frac) +
+          a.samples(i1 * a.channels + c) * frac
+        out(t * a.channels + c) = math.floor(v + 0.5).toInt
+        t += 1
+      }
+      c += 1
+    }
+    Audio(toRate, a.channels, a.bitsPerSample, out)
+  }
+
   // --- spectral analysis (pure-JVM FFT) ----------------------------------
 
   /** In-place iterative radix-2 Cooley–Tukey FFT. `re.length` must be

@@ -563,6 +563,31 @@ object ImageCodec {
     if (n == 0.0) v else v.map(x => (x / n).toFloat)
   }
 
+  /** Difference hash (dHash): 64 bits from a 9×8 grayscale resize,
+    * bit = left pixel < right neighbor — more robust to global
+    * brightness/contrast shifts than [[aHash64]] (a gamma change
+    * flips aHash bits near the mean but rarely flips adjacent-pixel
+    * ORDER). Returned as a packed Long; near-duplicate distance =
+    * Hamming via `java.lang.Long.bitCount(h1 ^ h2)`. The standard
+    * complement: block on dHash bands, verify with aHash cosine.
+    */
+  def dHash64(img: Image): Long = {
+    val g = resizeNearest(grayscale(img), 9, 8).pixels.map(_ & 0xFF)
+    var h = 0L
+    var bit = 0
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (g(y * 9 + x) < g(y * 9 + x + 1)) h |= (1L << bit)
+        bit += 1
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
   /** Write P6/P5 (binary netpbm) — the round-trip encoder. */
   def encodePnm(img: Image): Array[Byte] = {
     val magic = if (img.channels == 1) "P5" else "P6"

@@ -1223,6 +1223,51 @@ object TextQueries extends QueryGroup {
     // mono-mixes (floor of the channel mean), and reports exact signal
     // features plus a nearest-neighbor 8-frame resample, while the
     // oracle replays the construction and the kernels arithmetically.
+    // linear resample 8 kHz -> 12 kHz of per-doc integer ramps: every
+    // interpolated sample replays arithmetically (identical lerp
+    // expression shape on both sides), md5 over the joined series.
+    q("q_multimodal_resample",
+      """WITH d AS (
+        |  SELECT doc_id AS id, CAST(50 + doc_id % 20 AS BIGINT) AS n,
+        |    CAST(doc_id % 17 + 1 AS BIGINT) AS k
+        |  FROM documents
+        |), o AS (
+        |  SELECT id, n, k,
+        |    CAST(round(n * 12000 / 8000.0) AS BIGINT) AS n_out
+        |  FROM d
+        |), rs AS (
+        |  SELECT id, n, k, n_out, u.t AS t,
+        |    CASE WHEN n_out = 1 THEN 0.0
+        |      ELSE u.t * (n - 1) / (n_out - 1.0) END AS p
+        |  FROM o, unnest(range(0, n_out)) AS u(t)
+        |), v AS (
+        |  SELECT id, n, n_out, t,
+        |    CAST(floor(
+        |      k * CAST(floor(p) AS BIGINT) * (1.0 - (p - floor(p)))
+        |      + k * least(n - 1, CAST(floor(p) AS BIGINT) + 1)
+        |        * (p - floor(p)) + 0.5) AS BIGINT) AS val
+        |  FROM rs
+        |)
+        |SELECT id, n AS n_in, n_out,
+        |  md5(string_agg(CAST(val AS VARCHAR), ',' ORDER BY t)) AS res_h
+        |FROM v GROUP BY 1, 2, 3 ORDER BY id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.ml.AudioCodec
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val n = (50 + id % 20).toInt
+          val k = (id % 17 + 1).toInt
+          val a = AudioCodec.Audio(8000, 1, 16,
+            Array.tabulate(n)(j => k * j))
+          val r = AudioCodec.resampleLinear(a, 12000)
+          (id, n.toLong, r.nFrames.toLong, r.samples.mkString(","))
+        }
+        .toDF("id", "n_in", "n_out", "res")
+        .select(col("id"), col("n_in"), col("n_out"),
+          md5(col("res")).as("res_h"))
+        .orderBy("id")
+    },
+
     q("q_multimodal_audio",
       """WITH d AS (
         |  SELECT doc_id AS id, 40 + doc_id % 30 AS n FROM documents

@@ -215,4 +215,36 @@ class AudioCodecSpec extends SparkSpec {
         s"id $id: ${got(id).dominantHz} vs $f")
     }
   }
+
+  test("resampleLinear: exact on ramps, tone frequency preserved, stereo") {
+    import graft.ml.AudioCodec.Audio
+    // a linear ramp is reproduced exactly by linear interpolation
+    val ramp = Audio(8000, 1, 16, Array.tabulate(801)(i => i * 4))
+    val up = AudioCodec.resampleLinear(ramp, 16000)
+    assert(up.sampleRate == 16000 && up.nFrames == 1602)
+    // endpoint-matched: first/last preserved; interior on the line
+    assert(up.samples.head == 0 && up.samples.last == 800 * 4)
+    (0 until up.nFrames).foreach { t =>
+      val expect = t.toDouble * 800 / (up.nFrames - 1) * 4
+      assert(math.abs(up.samples(t) - expect) <= 0.5 + 1e-9, s"t=$t")
+    }
+    // a resampled tone keeps its physical frequency: 1 kHz at 8 kHz
+    // resampled to 12 kHz still reads ~1 kHz through the FFT features
+    val sr = 8000
+    val tone = Audio(sr, 1, 16, Array.tabulate(4096)(i =>
+      (8000 * math.sin(2 * math.Pi * 1000.0 * i / sr)).toInt))
+    val rs = AudioCodec.resampleLinear(tone, 12000)
+    val feats = AudioCodec.spectralFeatures(rs)
+    assert(math.abs(feats.dominantHz - 1000.0) <= 12000.0 / 256.0,
+      s"dominant ${feats.dominantHz}")
+    // stereo: channels resample independently
+    val st = Audio(8000, 2, 16, Array.tabulate(402)(i =>
+      if (i % 2 == 0) (i / 2) * 10 else 5000))
+    val st2 = AudioCodec.resampleLinear(st, 4000)
+    assert(st2.channels == 2 && st2.nFrames == 101)
+    assert(st2.samples.zipWithIndex.filter(_._2 % 2 == 1)
+      .forall(_._1 == 5000))
+    // identity when rates match (same backing array, no copy)
+    assert(AudioCodec.resampleLinear(ramp, 8000).samples eq ramp.samples)
+  }
 }

@@ -374,6 +374,23 @@ class ImageCodecSpec extends SparkSpec {
     assert(diff < 0.5, s"unrelated cosine $diff")
   }
 
+  test("dHash: brightness-shift invariant, scaled copy near, unrelated far") {
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val rnd = new scala.util.Random(11)
+    val base = Image(16, 16, 3, Array.fill(768)(rnd.nextInt(256).toByte))
+    // +40 brightness with clipping: adjacent-pixel ORDER mostly holds
+    val bright = Image(16, 16, 3, base.pixels.map(p =>
+      math.min(255, (p & 0xFF) + 40).toByte))
+    val scaled = ImageCodec.resizeNearest(base, 32, 32)
+    val other = Image(16, 16, 3, Array.fill(768)(rnd.nextInt(256).toByte))
+    val h = ImageCodec.dHash64(base)
+    assert(ham(h, ImageCodec.dHash64(bright)) <= 8,
+      s"brightness shift moved ${ham(h, ImageCodec.dHash64(bright))} bits")
+    assert(ham(h, ImageCodec.dHash64(scaled)) <= 8)
+    assert(ham(h, ImageCodec.dHash64(other)) >= 16,
+      s"unrelated at ${ham(h, ImageCodec.dHash64(other))} bits")
+  }
+
   // --- Spark plumbing with the real codec --------------------------------
 
   test("decodeMetadata uses the real parser for images and the stub for opaque bytes") {
