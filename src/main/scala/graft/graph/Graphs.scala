@@ -552,6 +552,56 @@ object Graphs {
           .as("assortativity"))
   }
 
+  /** Link prediction over 2-hop candidate pairs: common-neighbor
+    * count, Jaccard (cn / (da + db − cn)), and Adamic–Adar
+    * (Σ_w 1/ln deg(w)) for every unordered non-adjacent pair sharing
+    * at least `minCommon` neighbors — the classic
+    * who-should-be-connected scores (recommendation, record linkage,
+    * crawl frontier ranking). Already-adjacent pairs are excluded
+    * (they're edges, not predictions).
+    *
+    * Scale shape: wedges are generated by a self-join bucketed on the
+    * SHARED neighbor, so all-pairs work happens only inside one
+    * node's neighborhood — and neighborhoods above `maxDegree` are
+    * skipped as wedge centers (the standard hub cap: a celebrity
+    * neighbor carries ~no signal, ln-degree weight ≈ 0, but costs
+    * deg² wedges). Degrees for Jaccard/AA use the TRUE degree, cap or
+    * not. Shuffles: one degree aggregate, one bucketed self-join, one
+    * pair aggregate, one anti-join — all O(wedges), never all-pairs.
+    */
+  def linkPrediction(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", maxDegree: Int = 1000,
+      minCommon: Int = 1): DataFrame = {
+    require(maxDegree >= 2, s"maxDegree must be >= 2, got $maxDegree")
+    require(minCommon >= 1, s"minCommon must be >= 1, got $minCommon")
+    val e = persistTracked(canonicalEdges(edges, srcCol, dstCol))
+    val adj = e.select(col("u").as("node"), col("v").as("nbr"))
+      .unionAll(e.select(col("v").as("node"), col("u").as("nbr")))
+    val deg = persistTracked(
+      adj.groupBy("node").agg(count(lit(1)).as("degree")))
+    // wedge centers: (w, endpoint) with w's degree and hub cap
+    val centers = adj.select(col("nbr").as("w"), col("node").as("x"))
+      .join(deg.select(col("node").as("w"), col("degree").as("dw")), "w")
+      .filter(col("dw") <= maxDegree)
+    val pairs = centers.alias("l")
+      .join(centers.alias("r"), Seq("w"))
+      .filter(col("l.x") < col("r.x"))
+      .select(col("l.x").as("a"), col("r.x").as("b"),
+        (lit(1.0) / log(col("l.dw").cast("double"))).as("aa_w"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum("aa_w").as("adamic_adar"))
+      .filter(col("common_neighbors") >= minCommon)
+    pairs
+      .join(e.select(col("u").as("a"), col("v").as("b")),
+        Seq("a", "b"), "left_anti")
+      .join(deg.select(col("node").as("a"), col("degree").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("degree").as("db")), "b")
+      .withColumn("jaccard", col("common_neighbors").cast("double") /
+        (col("da") + col("db") - col("common_neighbors")))
+      .select("a", "b", "common_neighbors", "jaccard", "adamic_adar")
+  }
+
   private def persistTracked(df: DataFrame): DataFrame =
     graft.core.PipelineCaches.persistTracked(df)
 }

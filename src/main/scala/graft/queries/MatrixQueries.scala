@@ -416,6 +416,54 @@ object MatrixQueries extends QueryGroup {
         .orderBy("node")
     },
 
+    // link prediction on the co-purchase graph: common-neighbor /
+    // Jaccard / Adamic-Adar scores for non-adjacent 2-hop pairs
+    // (hub cap 100 on wedge centers, >= 3 shared neighbors), full
+    // wedge-join replay.
+    q("q_graph_linkpred",
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |), e AS (
+        |  SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+        |), adj AS (
+        |  SELECT u AS node, v AS nbr FROM e
+        |  UNION ALL SELECT v, u FROM e
+        |), deg AS (
+        |  SELECT node, count(*)::BIGINT AS d FROM adj GROUP BY 1
+        |), ctr AS (
+        |  SELECT adj.nbr AS w, adj.node AS x, deg.d AS dw
+        |  FROM adj JOIN deg ON deg.node = adj.nbr WHERE deg.d <= 100
+        |), pr AS (
+        |  SELECT l.x AS a, r.x AS b,
+        |    count(*)::BIGINT AS common_neighbors,
+        |    sum(1.0::DOUBLE / ln(l.dw::DOUBLE)) AS adamic_adar
+        |  FROM ctr l JOIN ctr r ON l.w = r.w AND l.x < r.x
+        |  GROUP BY 1, 2 HAVING count(*) >= 3
+        |), nonadj AS (
+        |  SELECT pr.* FROM pr ANTI JOIN e ON pr.a = e.u AND pr.b = e.v
+        |)
+        |SELECT n.a, n.b, n.common_neighbors,
+        |  round(n.common_neighbors::DOUBLE /
+        |    (da.d + db.d - n.common_neighbors), 6) AS jaccard,
+        |  round(n.adamic_adar, 6) AS adamic_adar
+        |FROM nonadj n
+        |JOIN deg da ON da.node = n.a JOIN deg db ON db.node = n.b
+        |ORDER BY a, b""".stripMargin) { (s, dir) =>
+      val items = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = items.alias("a").join(items.alias("b"), Seq("o"))
+        .filter(col("a.p") < col("b.p"))
+        .select(col("a.p").as("src"), col("b.p").as("dst"))
+      graft.graph.Graphs.linkPrediction(edges, maxDegree = 100,
+          minCommon = 3)
+        .select(col("a"), col("b"), col("common_neighbors"),
+          round(col("jaccard"), 6).as("jaccard"),
+          round(col("adamic_adar"), 6).as("adamic_adar"))
+        .orderBy("a", "b")
+    },
+
     // degree assortativity (Newman 2002) of the co-purchase graph:
     // Pearson correlation of endpoint degrees with each undirected
     // edge contributing both orientations. Pearson r is identical

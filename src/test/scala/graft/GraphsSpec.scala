@@ -339,4 +339,26 @@ class GraphsSpec extends SparkSpec {
     val rg = Graphs.degreeAssortativity(g).head()
     assert(math.abs(rg.getDouble(1) - expected) < 1e-12, rg.getDouble(1))
   }
+
+  test("linkPrediction: hand-computed CN/Jaccard/AA, adjacency excluded, hub cap") {
+    import spark.implicits._
+    // path-ish graph: 1-3, 2-3, 1-4, 2-4, 1-2  ->  candidate (3,4)
+    // shares {1,2}; (1,2) shares {3,4} but IS an edge -> excluded
+    val g = Seq((1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L), (1L, 2L))
+      .toDF("src", "dst")
+    val got = Graphs.linkPrediction(g, minCommon = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // deg: 1->3, 2->3, 3->2, 4->2
+    val (cn, jac, aa) = got((3L, 4L))
+    assert(cn == 2L)
+    assert(math.abs(jac - 2.0 / (2 + 2 - 2)) < 1e-12)
+    assert(math.abs(aa - 2.0 / math.log(3.0)) < 1e-12)
+    assert(!got.contains((1L, 2L)), "existing edge must be excluded")
+    // hub cap: with maxDegree = 2 nodes 1 and 2 (deg 3) are not wedge
+    // centers anymore -> (3,4) loses both its wedges
+    val capped = Graphs.linkPrediction(g, maxDegree = 2, minCommon = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.contains((3L, 4L)))
+  }
 }
