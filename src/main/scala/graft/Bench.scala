@@ -131,7 +131,16 @@ object Bench {
     "q_text_card_pii",
     "q_eval_bootstrap",
     "q_text_fim",
-    "q_web_links")
+    "q_web_links",
+    // round-20 second batch: link prediction (bucketed wedge join),
+    // WER (two-row DP kernel), chat flattening (from_json protocol
+    // validation), target encoding (category agg + broadcast prior),
+    // seasonal decomposition (bucket collapse + bounded windows)
+    "q_graph_linkpred",
+    "q_eval_wer",
+    "q_chat_flatten",
+    "q_text_target_encode",
+    "q_events_seasonal")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

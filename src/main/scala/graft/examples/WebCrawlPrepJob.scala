@@ -45,8 +45,8 @@ class WebCrawlPrepJob(args: Args) extends GraftJob(args) {
 object WebCrawlPrepJob {
 
   /** The pipeline body, factored for testing: input (id, url, html) →
-    * (id, url, domain, text, text_ratio, ratio, lang, quality,
-    * domain_rank).
+    * (id, url, host, domain, text, text_ratio, ratio, lang, quality,
+    * host_authority, domain_rank).
     */
   def prepare(raw: DataFrame, minTextRatio: Double = 0.05,
       cap: Int = 1000): DataFrame = {
@@ -75,13 +75,36 @@ object WebCrawlPrepJob {
 
     // 5: language + quality on the extracted text (single scan)
     val scored = extracted.join(signals, "id")
-      .join(urlDeduped.select(col("id"), col("url"), col("domain")), "id")
+      .join(urlDeduped.select(col("id"), col("url"), col("host"),
+        col("domain")), "id")
       .withColumn("lang", TextAnalysis.langId(col("text")))
       .withColumn("quality", TextAnalysis.qualityScore(col("text")))
 
+    // 5b: host authority from the crawl's OWN link graph — outlinks
+    // at host granularity (hosts hashed to stable long ids for the
+    // graph kernel; collision odds are 64-bit-negligible), 5 HITS
+    // rounds, authority joined back as a crawl-intrinsic quality
+    // prior (0 for hosts no page links to)
+    val links = graft.ml.Web.linkEdges(
+        urlDeduped.select(col("id"), col("url"), col("html")),
+        "id", "url", "html")
+      .filter(col("src_host") =!= col("dst_host"))
+      .select(col("src_host"), col("dst_host")).distinct()
+    val auth = graft.graph.Graphs.hits(
+        links.select(xxhash64(col("src_host")).as("src"),
+          xxhash64(col("dst_host")).as("dst")), iters = 5)
+      .select(col("node").as("__hid"),
+        col("authority").as("host_authority"))
+    val withAuth = scored
+      .withColumn("__hid", xxhash64(col("host")))
+      .join(auth, Seq("__hid"), "left")
+      .withColumn("host_authority",
+        coalesce(col("host_authority"), lit(0.0)))
+      .drop("__hid")
+
     // 6: crawl-skew guard — best-quality `cap` pages per domain
-    Corpus.capPerDomain(scored, "id", "domain", "quality", cap)
-      .select("id", "url", "domain", "text", "text_ratio", "ratio",
-        "lang", "quality", "domain_rank")
+    Corpus.capPerDomain(withAuth, "id", "domain", "quality", cap)
+      .select("id", "url", "host", "domain", "text", "text_ratio",
+        "ratio", "lang", "quality", "host_authority", "domain_rank")
   }
 }

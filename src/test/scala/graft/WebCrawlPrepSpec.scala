@@ -60,4 +60,29 @@ class WebCrawlPrepSpec extends SparkSpec {
     assert(r1.getAs[Double]("quality") > 0.5)
     assert(r1.getAs[Double]("ratio") > 0.02 && r1.getAs[Double]("ratio") < 1.0)
   }
+
+  test("host authority: the host every page links to outranks the rest") {
+    import spark.implicits._
+    def linkTo(host: String) = s"""<a href="https://$host/x">l</a>"""
+    val rows = Seq(
+      // three pages on distinct hosts all link to hub.example.com
+      (1L, "https://a1.example.com/p", page(goodText + " one " +
+        linkTo("hub.example.com"))),
+      (2L, "https://a2.example.org/p", page(goodText + " two " +
+        linkTo("hub.example.com"))),
+      (3L, "https://a3.example.net/p", page(goodText + " three " +
+        linkTo("hub.example.com"))),
+      // the hub itself links out to one of them
+      (4L, "https://hub.example.com/p", page(goodText + " hub " +
+        linkTo("a1.example.com"))))
+      .toDF("id", "url", "html")
+    val out = WebCrawlPrepJob.prepare(rows, minTextRatio = 0.05, cap = 10)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out.size == 4)
+    val hub = out(4L).getAs[Double]("host_authority")
+    val others = Seq(1L, 2L, 3L).map(out(_).getAs[Double]("host_authority"))
+    assert(hub > 0.5, s"hub authority $hub") // 3-of-4 links point at it
+    assert(others.forall(_ < hub), s"hub $hub vs $others")
+    assert(out(1L).getAs[String]("host") == "a1.example.com")
+  }
 }
