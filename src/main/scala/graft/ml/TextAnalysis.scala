@@ -258,6 +258,32 @@ object TextAnalysis {
         phonePattern, "<PHONE>"),
       ipv4Pattern, "<IP>")
 
+  /** Rule-based sentence segmentation: split after [.!?] followed by
+    * whitespace and an uppercase/digit/quote opener, protecting
+    * common abbreviations (Mr./Dr./e.g./i.e./No./Fig. …) and decimal
+    * points — the boundary detector behind sentence-aligned chunking
+    * (chunk at sentence edges, not mid-thought). Pure Column program
+    * (three protect passes + one split + restore); Java-regex
+    * lookaround stays engine-side only, gates replay expected output
+    * arithmetically. Returns an array of trimmed sentences.
+    */
+  def splitSentences(text: Column): Column = {
+    val protect = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, "\\be\\.g\\.", "e\u0001g\u0001"),
+          "\\bi\\.e\\.", "i\u0001e\u0001"),
+        "\\b(Mr|Mrs|Ms|Dr|Prof|St|vs|No|Fig)\\.", "$1\u0001"),
+      "([0-9])\\.([0-9])", "$1\u0001$2")
+    // terminator, optionally followed by ONE closing quote/bracket,
+    // then whitespace and an opener (bounded lookbehind — Java regex
+    // accepts {0,1} where unbounded lookbehind would be rejected)
+    val parts = split(protect,
+      "(?<=[.!?][\"')\\]]{0,1})\\s+(?=[\"'A-Z0-9])")
+    filter(transform(parts,
+      p => trim(regexp_replace(p, "\u0001", "."))), p => length(p) > 0)
+  }
+
   /** Payment-card candidates: 13-19 digits, single optional space or
     * hyphen between digits (covers the common 4-4-4-4 groupings). A
     * regex alone over-fires on any long number — [[luhnValid]] is the

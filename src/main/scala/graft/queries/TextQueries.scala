@@ -1068,6 +1068,28 @@ object TextQueries extends QueryGroup {
     // accented phrase is UTF-8-encoded and misread as Latin-1 once
     // (even ids) or twice (odd ids); repairMojibake must restore the
     // exact original and flag the change.
+    // rule-based sentence segmentation on planted three-sentence
+    // texts (title abbreviation + decimal point + exclamation): the
+    // splitter must protect "Dr." and "$N.50" and cut exactly twice.
+    // Oracle emits the three expected sentences arithmetically
+    // (lookaround regex stays engine-side).
+    q("q_text_sentences",
+      """SELECT doc_id, 3 AS n_sentences,
+        |  md5('Dr. Smith saw ' || doc_id || ' items.' || chr(2) ||
+        |    'It cost $' || (doc_id % 100) || '.50 today!' || chr(2) ||
+        |    'Done.') AS h
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val planted = concat(
+        lit("Dr. Smith saw "), col("doc_id"), lit(" items. It cost $"),
+        col("doc_id") % 100, lit(".50 today! Done."))
+      t(s, dir, "documents")
+        .withColumn("sents", TA.splitSentences(planted))
+        .select(col("doc_id"),
+          size(col("sents")).cast("int").as("n_sentences"),
+          md5(array_join(col("sents"), "\u0002")).as("h"))
+        .orderBy("doc_id")
+    },
+
     // unicode canonical composition (NFC) — cross-engine gate against
     // DuckDB's nfc_normalize: combining-mark suffixes planted on
     // every (pure-ASCII) doc must collapse to the precomposed forms

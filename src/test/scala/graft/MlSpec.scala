@@ -1320,4 +1320,25 @@ class MlSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(!lax.exists(_._2 == 5L), lax.toString)
   }
+  test("splitSentences: abbreviations and decimals protected, quotes open") {
+    import spark.implicits._
+    val got = Seq((1L,
+      "Dr. Smith saw 3 items. It cost $4.50 today! \"Why?\" No. 7 is next. End."))
+      .toDF("id", "t")
+      .select(graft.ml.TextAnalysis.splitSentences(org.apache.spark.sql.functions.col("t")).as("s"))
+      .head().getSeq[String](0)
+    assert(got == Seq(
+      "Dr. Smith saw 3 items.",
+      "It cost $4.50 today!",
+      "\"Why?\"",
+      "No. 7 is next.",
+      "End."), got.toString)
+    // e.g./i.e. never split; blank input -> empty array
+    val eg = Seq((1L, "Use tools, e.g. hammers, wisely. Next one."))
+      .toDF("id", "t")
+      .select(graft.ml.TextAnalysis.splitSentences(org.apache.spark.sql.functions.col("t")).as("s"))
+      .head().getSeq[String](0)
+    assert(eg == Seq("Use tools, e.g. hammers, wisely.", "Next one."))
+  }
+
 }
