@@ -44,6 +44,12 @@ def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     con = duckdb.connect()
+    # big-SF runs on a busy box can fail thread/buffer allocation with
+    # DuckDB's defaults (nproc threads, 80%-RAM limit) — cap via env
+    if os.environ.get("GRAFT_DUCKDB_THREADS"):
+        con.execute(f"SET threads TO {int(os.environ['GRAFT_DUCKDB_THREADS'])}")
+    if os.environ.get("GRAFT_DUCKDB_MEM"):
+        con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCKDB_MEM']}'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
