@@ -410,13 +410,18 @@ object DedupQueries extends QueryGroup {
          |  FROM m, unnest(range(greatest(pos, 4),
          |    least(pos + 3, ng) + 1)) AS w(wp)
          |), sel AS (
-         |  SELECT doc_id, wp,
-         |    arg_min(struct_pack(p := pos, g := gram), key) AS s
-         |  FROM mem GROUP BY 1, 2
+         |  -- min(key) + join-back instead of arg_min(struct_pack, key):
+         |  -- same selection (key is unique within a window), but
+         |  -- DuckDB 1.0's struct-payload arg_min materialization blows
+         |  -- memory at sf0.1 (observed: nondeterministic OOM under a
+         |  -- 60-90 GB limit on a ~1M-row input; min+join runs in <1 GB)
+         |  SELECT doc_id, wp, min(key) AS mkey FROM mem GROUP BY 1, 2
          |)
-         |SELECT DISTINCT doc_id AS id, CAST(s.p AS INT) AS pos,
-         |  s.g AS gram
-         |FROM sel ORDER BY id, pos""".stripMargin
+         |SELECT DISTINCT mem.doc_id AS id, CAST(mem.pos AS INT) AS pos,
+         |  mem.gram AS gram
+         |FROM sel JOIN mem ON mem.doc_id = sel.doc_id
+         |  AND mem.wp = sel.wp AND mem.key = sel.mkey
+         |ORDER BY id, pos""".stripMargin
     }) { (s, dir) =>
       Dedup.winnowingFingerprints(t(s, dir, "documents"),
           "doc_id", "text", k = 4, w = 4)

@@ -65,6 +65,19 @@ def main():
             results[name] = "NO_OUTPUT"
             n_fail += 1
             continue
+        # run the DuckDB oracle BEFORE touching the engine parquet:
+        # pyarrow's allocator state can make a subsequent memory-heavy
+        # DuckDB query fail spuriously (observed: q_dedup_winnowing at
+        # sf0.1 OOMs iff an arrow read precedes it in the process)
+        if name in oracles:
+            try:
+                cur = con.execute(oracles[name])
+                ocols = [d[0] for d in cur.description]
+                orows = cur.fetchall()
+            except Exception as e:
+                results[name] = f"ORACLE_ERROR: {e}"
+                n_fail += 1
+                continue
         tbl = pq.read_table(files[0])
         scols = tbl.column_names
         data = tbl.to_pydict()
@@ -72,14 +85,6 @@ def main():
         if name not in oracles:
             results[name] = f"ROWS_ONLY({len(srows)})"
             n_pass += 1
-            continue
-        try:
-            cur = con.execute(oracles[name])
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
-        except Exception as e:
-            results[name] = f"ORACLE_ERROR: {e}"
-            n_fail += 1
             continue
         sc, sm = table_matrix(scols, srows)
         oc, om = table_matrix(ocols, orows)
