@@ -911,16 +911,22 @@ object ExtrasQueries extends QueryGroup {
         |SELECT cls.c_nationkey, CAST(max(cls.nc) AS BIGINT) AS n,
         |  round((sum(abs(CAST(cls.ns AS DOUBLE) / cls.nc - globp.p))
         |    + (1.0::DOUBLE - sum(globp.p))) / 2.0::DOUBLE, 6) AS tvd,
-        |  (sum(abs(CAST(cls.ns AS DOUBLE) / cls.nc - globp.p))
-        |    + (1.0::DOUBLE - sum(globp.p))) / 2.0::DOUBLE
+        |  round((sum(abs(CAST(cls.ns AS DOUBLE) / cls.nc - globp.p))
+        |    + (1.0::DOUBLE - sum(globp.p))) / 2.0::DOUBLE, 6)
         |    <= 0.1::DOUBLE AS pass
         |FROM cls JOIN globp USING (s)
         |GROUP BY cls.c_nationkey
         |ORDER BY cls.c_nationkey""".stripMargin) { (s, dir) =>
+      // the gate compares pass on the ROUNDED tvd: one nationkey's
+      // true TVD sits exactly at the 0.1 threshold, so the raw-double
+      // compare flips with parallel summation order (observed flaky
+      // across otherwise-green runs); the operator keeps the raw
+      // compare, the cross-engine contract pins the rounded one
       graft.ml.Privacy.tClosenessReport(t(s, dir, "customer"),
           Seq("c_nationkey"), "c_mktsegment", t = 0.1)
         .select(col("c_nationkey"), col("n"),
-          round(col("tvd"), 6).as("tvd"), col("pass"))
+          round(col("tvd"), 6).as("tvd"),
+          (round(col("tvd"), 6) <= 0.1).as("pass"))
         .orderBy("c_nationkey")
     },
 
