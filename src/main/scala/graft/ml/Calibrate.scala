@@ -103,6 +103,19 @@ object Calibrate {
       .orderBy("bucket")
   }
 
+  /** Expected calibration error over FROZEN bins: the n-weighted
+    * average of the per-bin |mean_score − rate| gaps from
+    * [[reliability]] — the one-number summary reviewers ask for
+    * after the diagram. Returns one row (n, n_bins, ece, max_gap);
+    * max_gap is the MCE companion (worst bin, not the average).
+    */
+  def ece(scored: DataFrame, scoreCol: String, labelCol: String,
+      cuts: Seq[Double]): DataFrame =
+    reliability(scored, scoreCol, labelCol, cuts)
+      .agg(sum("n").as("n"), count(lit(1)).as("n_bins"),
+        (sum(col("gap") * col("n")) / sum("n")).as("ece"),
+        max("gap").as("max_gap"))
+
   def applyBins(scoreCol: Column, cuts: Seq[Double],
       calibrated: Array[Double]): Column = {
     require(calibrated.length == cuts.size + 1, "bin arity mismatch")

@@ -50,6 +50,30 @@ object EvalQueries extends QueryGroup {
 
   val all: Seq[QueryDef] = Seq(
 
+    // expected calibration error over the frozen reliability bins
+    // (strict-> cutoffs, matching Calibrate.reliability): n-weighted
+    // average gap + the worst-bin MCE companion.
+    q("q_eval_ece",
+      s"""WITH $scoredSql, b AS (
+         |  SELECT p, y,
+         |    1 + (CASE WHEN p > 0.6 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN p > 0.8 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN p > 0.9 THEN 1 ELSE 0 END) AS bucket
+         |  FROM sc
+         |), bins AS (
+         |  SELECT bucket, count(*)::BIGINT AS n, avg(p) AS ms, avg(y) AS r
+         |  FROM b GROUP BY 1
+         |)
+         |SELECT sum(n)::BIGINT AS n, count(*)::BIGINT AS n_bins,
+         |  round(sum(abs(ms - r) * n) / sum(n), 6) AS ece,
+         |  round(max(abs(ms - r)), 6) AS max_gap
+         |FROM bins""".stripMargin) { (s, dir) =>
+      graft.ml.Calibrate.ece(scoredDocs(s, dir), "p", "y",
+          Seq(0.6, 0.8, 0.9))
+        .select(col("n"), col("n_bins"), round(col("ece"), 6).as("ece"),
+          round(col("max_gap"), 6).as("max_gap"))
+    },
+
     // ROC AUC of event value (rounded to 1 decimal so tie blocks are
     // real and the midrank arithmetic is exercised) against the
     // "click" label: one distinct-score aggregate + one vocab-sized

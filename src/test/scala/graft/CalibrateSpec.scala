@@ -144,4 +144,19 @@ class CalibrateSpec extends SparkSpec {
       assert(math.abs(calMean - baseRate) < 1e-9, s"$calMean vs $baseRate")
     } finally feats.unpersist(blocking = false)
   }
+  test("ece: weighted gap average, MCE max, perfect calibration = 0") {
+    import spark.implicits._
+    // bin 1 (<=0.5): scores 0.2/0.4 (mean .3), rate 0.5 -> gap 0.2, n=2
+    // bin 2 (>0.5):  scores 0.8 x2  (mean .8), rate 1.0 -> gap 0.2, n=2
+    val df = Seq((0.2, 0), (0.4, 1), (0.8, 1), (0.8, 1)).toDF("p", "y")
+    val r = Calibrate.ece(df, "p", "y", Seq(0.5)).head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L)
+    assert(math.abs(r.getDouble(2) - 0.2) < 1e-12)
+    assert(math.abs(r.getDouble(3) - 0.2) < 1e-12)
+    // perfectly calibrated degenerate scores
+    val ok = Seq((1.0, 1), (1.0, 1), (0.0, 0)).toDF("p", "y")
+    val r2 = Calibrate.ece(ok, "p", "y", Seq(0.5)).head()
+    assert(r2.getDouble(2) == 0.0 && r2.getDouble(3) == 0.0)
+  }
+
 }
