@@ -759,6 +759,38 @@ object Similarity {
     df.withColumn("proj", array(comps: _*))
   }
 
+  /** Pairwise cosine similarity between per-stratum embedding
+    * centroids — the "which sources are semantically close" matrix
+    * behind mixing/dedup decisions at source granularity (two
+    * near-identical crawls don't deserve two budget lines; the
+    * embedding-space complement to [[TextAnalysis.vocabularyOverlap]]).
+    * Returns (stratum_a, stratum_b, cos) for unordered pairs.
+    *
+    * Scale shape: one posexplode + (stratum, dim) hash aggregate
+    * collapses the corpus to |strata|·d rows; everything after
+    * (norms, the pair join on dim) runs on that dashboard-sized
+    * table. Fully relational — no array materialization.
+    */
+  def strataCentroidSimilarity(df: DataFrame, strataCol: String,
+      vecCol: String): DataFrame = {
+    val means = graft.core.PipelineCaches.persistTracked(
+      df.select(col(strataCol).cast("string").as("s"),
+          posexplode(col(vecCol)).as(Seq("i", "x")))
+        .groupBy("s", "i").agg(avg(col("x").cast("double")).as("m")))
+    val norms = means.groupBy("s").agg(sqrt(sum(col("m") * col("m")))
+      .as("nrm"))
+    val dots = means.alias("a").join(means.alias("b"), Seq("i"))
+      .filter(col("a.s") < col("b.s"))
+      .groupBy(col("a.s").as("sa"), col("b.s").as("sb"))
+      .agg(sum(col("a.m") * col("b.m")).as("dot"))
+    dots
+      .join(norms.select(col("s").as("sa"), col("nrm").as("na")), "sa")
+      .join(norms.select(col("s").as("sb"), col("nrm").as("nb")), "sb")
+      .select(col("sa").as("stratum_a"), col("sb").as("stratum_b"),
+        when(col("na") > 0 && col("nb") > 0,
+          col("dot") / (col("na") * col("nb"))).as("cos"))
+  }
+
   /** Margin-based parallel-pair mining between two embedding corpora
     * — the LASER bitext-mining criterion (Artetxe & Schwenk 2019,
     * "ratio" margin). Candidates are each side's k nearest neighbors

@@ -505,6 +505,34 @@ object EmbeddingQueries extends QueryGroup {
         .select(lit(1L).as("one"), (col("recall") >= 0.7).as("recall_ok"))
     },
 
+    // pairwise cosine between per-label embedding centroids — the
+    // source-similarity matrix behind mixing decisions; fully
+    // relational ((label, dim) mean table, dim-joined dot products).
+    q("q_embed_strata_sim",
+      """WITH comp AS (
+        |  SELECT CAST(label AS VARCHAR) AS s,
+        |    CAST(r.range - 1 AS BIGINT) AS i,
+        |    CAST(embedding[CAST(r.range AS INT)] AS DOUBLE) AS x
+        |  FROM embeddings CROSS JOIN range(1, 65) r
+        |), m AS (
+        |  SELECT s, i, avg(x) AS m FROM comp GROUP BY 1, 2
+        |), n AS (
+        |  SELECT s, sqrt(sum(m * m)) AS nrm FROM m GROUP BY 1
+        |), d AS (
+        |  SELECT a.s AS sa, b.s AS sb, sum(a.m * b.m) AS dot
+        |  FROM m a JOIN m b ON a.i = b.i AND a.s < b.s GROUP BY 1, 2
+        |)
+        |SELECT sa AS stratum_a, sb AS stratum_b,
+        |  round(dot / (na.nrm * nb.nrm), 6) + 0.0 AS cos
+        |FROM d JOIN n na ON na.s = d.sa JOIN n nb ON nb.s = d.sb
+        |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      Similarity.strataCentroidSimilarity(
+          t(s, dir, "embeddings"), "label", "embedding")
+        .select(col("stratum_a"), col("stratum_b"),
+          (round(col("cos"), 6) + lit(0.0)).as("cos"))
+        .orderBy("stratum_a", "stratum_b")
+    },
+
     // per-dimension embedding drift (standardized mean difference)
     // between the even- and odd-id halves of the corpus: two
     // dim-keyed moment aggregates + a 64-row join, checked

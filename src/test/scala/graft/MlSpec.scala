@@ -1341,4 +1341,20 @@ class MlSpec extends SparkSpec {
     assert(eg == Seq("Use tools, e.g. hammers, wisely.", "Next one."))
   }
 
+  test("strataCentroidSimilarity: identical strata 1, orthogonal 0") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Array(1f, 0f)), ("a", Array(1f, 0f)),
+      ("b", Array(2f, 0f)),                       // same direction as a
+      ("c", Array(0f, 3f)), ("c", Array(0f, 1f))  // orthogonal
+    ).toDF("src", "vec")
+    val got = graft.ml.Similarity
+      .strataCentroidSimilarity(df, "src", "vec")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(math.abs(got(("a", "b")) - 1.0) < 1e-12)
+    assert(math.abs(got(("a", "c"))) < 1e-12)
+    assert(math.abs(got(("b", "c"))) < 1e-12)
+  }
+
 }
