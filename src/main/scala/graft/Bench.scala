@@ -140,7 +140,19 @@ object Bench {
     "q_eval_wer",
     "q_chat_flatten",
     "q_text_target_encode",
-    "q_events_seasonal")
+    "q_events_seasonal",
+    // round-21: RAKE phrase extraction (islands window + two hash
+    // aggs), corpus TextRank (10 joined PR iterations on the word
+    // co-occurrence graph), chrF (one multi-order gram explode per
+    // side + clip join), Holt-Winters (bucket collapse + bounded
+    // per-series recursion), DPO pairs (two prompt windows + self-
+    // join), split conformal (per-group rank + coverage join)
+    "q_text_rake",
+    "q_text_textrank",
+    "q_eval_chrf",
+    "q_events_holtwinters",
+    "q_pref_dpo",
+    "q_eval_conformal")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -179,7 +191,9 @@ object Bench {
     // Per-query seconds rounded to 3 decimals: round 6 lost its bench
     // artifact because the full-precision 59-query line outgrew the
     // driver's tail-capture window and the JSON arrived decapitated.
-    def f3(v: Double): String = if (v < 0) "-1.0" else f"$v%.3f"
+    def f3(v: Double): String =
+      if (v < 0) "-1.0"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum

@@ -24,7 +24,8 @@ object SparkEntry {
     EmbeddingQueries,
     ExtrasQueries,
     EvalQueries,
-    SupersetQueries)
+    SupersetQueries,
+    CurationQueries)
 
   private lazy val defs: Seq[QueryDef] = groups.flatMap(_.all)
 

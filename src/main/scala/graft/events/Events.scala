@@ -724,6 +724,80 @@ object Events {
       .select("bucket", "phase", "y", "trend", "seasonal", "residual")
   }
 
+  /** Holt–Winters additive triple exponential smoothing per series:
+    * bucket counts per (series key, floor(sec/periodSec)) with the
+    * dense per-key bucket range zero-filled (an empty period is a
+    * real 0, not a gap), then the fully-specified recursion
+    *
+    *   init (first two seasons):
+    *     l_{m−1} = mean(y_0..y_{m−1})
+    *     b_{m−1} = (mean(y_m..y_{2m−1}) − mean(y_0..y_{m−1})) / m
+    *     s_i     = y_i − l_{m−1}              for i = 0..m−1
+    *   for t = m..T−1:
+    *     fitted_t = l_{t−1} + b_{t−1} + s_{t−m}
+    *     l_t = α(y_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+    *     b_t = β(l_t − l_{t−1}) + (1−β) b_{t−1}
+    *     s_t = γ(y_t − l_t) + (1−γ) s_{t−m}
+    *
+    * Series shorter than 2 seasons are dropped (undefined init).
+    * Returns (key, bucket, y, level, trend, seasonal, fitted) for
+    * t ≥ m. One shuffle by key; the per-series recursion runs in a
+    * bounded in-memory pass (bucket count = time range / period —
+    * the same bounded-series contract as every kernel here).
+    */
+  def holtWinters(events: DataFrame, keyCol: String, secCol: String,
+      periodSec: Long, seasonLen: Int, alpha: Double = 0.3,
+      beta: Double = 0.1, gamma: Double = 0.2): DataFrame = {
+    require(periodSec > 0 && seasonLen >= 2)
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1 &&
+      gamma > 0 && gamma < 1)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val counts = events
+      .select(col(keyCol).cast("string").as("key"),
+        floor(col(secCol) / periodSec).cast("long").as("bucket"))
+      .groupBy("key", "bucket").agg(count(lit(1)).as("y"))
+    val spans = counts.groupBy("key")
+      .agg(min("bucket").as("b0"), max("bucket").as("b1"))
+    val dense = spans
+      .select(col("key"), explode(sequence(col("b0"), col("b1")))
+        .as("bucket"))
+      .join(counts, Seq("key", "bucket"), "left")
+      .select(col("key"), col("bucket"),
+        coalesce(col("y"), lit(0L)).cast("double").as("y"))
+    val m = seasonLen
+    dense.as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        val ys = it.toArray.sortBy(_._2)
+        if (ys.length < 2 * m) Iterator.empty
+        else {
+          val y = ys.map(_._3)
+          val mean1 = y.slice(0, m).sum / m
+          val mean2 = y.slice(m, 2 * m).sum / m
+          var l = mean1
+          var b = (mean2 - mean1) / m
+          val s = new Array[Double](y.length)
+          var i = 0
+          while (i < m) { s(i) = y(i) - mean1; i += 1 }
+          val out = Array.newBuilder[(String, Long, Double, Double,
+            Double, Double, Double)]
+          var t = m
+          while (t < y.length) {
+            val fitted = l + b + s(t - m)
+            val lPrev = l
+            l = alpha * (y(t) - s(t - m)) + (1 - alpha) * (l + b)
+            b = beta * (l - lPrev) + (1 - beta) * b
+            s(t) = gamma * (y(t) - l) + (1 - gamma) * s(t - m)
+            out += ((key, ys(t)._2, y(t), l, b, s(t), fitted))
+            t += 1
+          }
+          out.result().iterator
+        }
+      }
+      .toDF("key", "bucket", "y", "level", "trend", "seasonal", "fitted")
+  }
+
   /** Quantile treatment effects: q_treat(p) − q_ctl(p) at each
     * requested quantile — WHERE in the distribution an experiment
     * moves the metric (a mean-only read hides "helped the tail, hurt

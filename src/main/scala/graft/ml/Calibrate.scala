@@ -159,4 +159,63 @@ object Calibrate {
       .withColumn("calibrated", sig(col("a") * col("__s") + col("b")))
       .drop("__s", "__y", "a", "b")
   }
+
+  /** Split conformal prediction intervals per group: from a
+    * CALIBRATION set of nonconformity scores (e.g. |y − ŷ|), the
+    * finite-sample-valid radius is the k-th smallest calibration
+    * score where k = ⌈(n+1)(1−α)⌉ — guaranteeing coverage ≥ 1−α on
+    * exchangeable eval rows (Vovk; Lei et al. 2018). Groups where
+    * k > n (too few calibration rows for the requested α) get a
+    * NULL radius = infinite interval, surfaced rather than silently
+    * clamped. The k-th order statistic is selected DISCRETELY
+    * (row_number = k), not via an interpolating percentile, so any
+    * engine replays it exactly.
+    *
+    * Returns per group: (group, n_cal, k, qhat) plus eval coverage
+    * (n_eval, covered, coverage) when evalDf is supplied — covered =
+    * eval rows whose score ≤ qhat.
+    *
+    * Shape: one window rank over calibration scores within group +
+    * one broadcast-join of per-group radii onto eval — no global
+    * sort, no quadratic.
+    */
+  def conformal(calDf: DataFrame, groupCol: String, scoreCol: String,
+      alpha: Double, evalDf: Option[DataFrame] = None): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha in (0,1)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("s"), col("rnd"))
+    val cal = calDf.select(col(groupCol).as("g"),
+      col(scoreCol).cast("double").as("s"))
+      // deterministic tie order: equal scores are interchangeable for
+      // the order statistic, but a stable secondary key keeps the
+      // window rank reproducible
+      .withColumn("rnd", xxhash64(col("s")))
+    val stats = cal.groupBy("g").agg(count(lit(1)).as("n_cal"))
+      .withColumn("k",
+        ceil((col("n_cal") + 1) * lit(1.0 - alpha)).cast("long"))
+    val ranked = cal.withColumn("rk", row_number().over(w))
+    val qhat = stats.join(
+      ranked.select(col("g"), col("rk"), col("s")),
+      stats("g") === ranked("g") && col("rk") === col("k"), "left")
+      .select(stats("g").as("group"), col("n_cal"), col("k"),
+        col("s").as("qhat"))
+    evalDf match {
+      case None => qhat.orderBy("group")
+      case Some(ev) =>
+        val e = ev.select(col(groupCol).as("group"),
+          col(scoreCol).cast("double").as("es"))
+        qhat.join(e, Seq("group"), "left")
+          .groupBy("group")
+          .agg(first("n_cal").as("n_cal"), first("k").as("k"),
+            first("qhat").as("qhat"),
+            sum(when(col("es").isNotNull, 1L).otherwise(0L)).as("n_eval"),
+            // NULL qhat = infinite interval: everything is covered
+            sum(when(col("es").isNotNull &&
+              (col("qhat").isNull || col("es") <= col("qhat")), 1L)
+              .otherwise(0L)).as("covered"))
+          .withColumn("coverage",
+            when(col("n_eval") > 0,
+              col("covered").cast("double") / col("n_eval")))
+    }
+  }
 }

@@ -8,7 +8,12 @@ import org.apache.spark.sql.types._
   * message arrays, validate the role protocol, and render the
   * training text — the step that turns raw assistant-log exports into
   * SFT training rows. Everything is a per-row Column program over
-  * `from_json` (codegen'd, no UDF, no shuffle); malformed rows are
+  * `from_json` — no UDF and no shuffle, but NOT codegen'd:
+  * `from_json` and the higher-order array functions are
+  * CodegenFallback in Spark (interpreted per row). To bound that
+  * cost the validation+render is a SINGLE `aggregate` fold over the
+  * message array (one interpreted pass, struct accumulator), not a
+  * chain of forall/transform/aggregate passes. Malformed rows are
   * CLASSIFIED, not dropped, so the reject stream is auditable.
   */
 object Chat {
@@ -37,17 +42,33 @@ object Chat {
     val role = (m: Column) => m.getField("role")
     val content = (m: Column) => m.getField("content")
     val offset = when(role(element_at(msgs, 1)) === "system", 1).otherwise(0)
-    val contentOk = coalesce(
-      forall(msgs, m => content(m).isNotNull && length(content(m)) > 0),
-      lit(false))
-    val roleChecks = transform(msgs, (m, i) =>
-      when(i < offset, role(m) === "system")
-        .otherwise(role(m) ===
-          when(((i - offset) % 2) === 0, "user").otherwise("assistant")))
-    val rolesOk = coalesce(
-      aggregate(roleChecks, lit(true), (acc, x) => acc && coalesce(x,
-        lit(false))),
-      lit(false)) && n > offset
+    // one fold computes content validity, role-protocol validity and
+    // the rendered text together: acc = (index, contentOk, rolesOk,
+    // text). role/content nulls are coalesced so one bad turn can't
+    // nullify the running flags; the rendered text for an invalid row
+    // is masked to NULL at the end regardless.
+    val folded = aggregate(
+      msgs,
+      struct(lit(0).as("i"), lit(true).as("c"), lit(true).as("r"),
+        lit("").as("t")),
+      (acc, m) => {
+        val i = acc.getField("i")
+        struct(
+          (i + 1).as("i"),
+          (acc.getField("c") &&
+            coalesce(length(content(m)) > 0, lit(false))).as("c"),
+          (acc.getField("r") && coalesce(
+            when(i < offset, role(m) === "system")
+              .otherwise(role(m) === when(((i - offset) % 2) === 0, "user")
+                .otherwise("assistant")),
+            lit(false))).as("r"),
+          concat(acc.getField("t"),
+            when(i > 0, lit("\n")).otherwise(lit("")),
+            lit("<|"), coalesce(role(m), lit("")), lit("|> "),
+            coalesce(content(m), lit(""))).as("t"))
+      })
+    val contentOk = coalesce(folded.getField("c"), lit(false))
+    val rolesOk = coalesce(folded.getField("r"), lit(false)) && n > offset
     val valid = msgs.isNotNull && n > 0 && contentOk && rolesOk
     val reason = when(msgs.isNull, "parse")
       .when(n === 0, "empty")
@@ -57,8 +78,6 @@ object Chat {
     df.select(col(idCol).as("id"),
       greatest(n, lit(0)).cast("long").as("n_turns"), // size(null) = -1
       valid.as("valid"), reason.as("reason"),
-      when(valid, array_join(transform(msgs, m =>
-        concat(lit("<|"), role(m), lit("|> "), content(m))), "\n"))
-        .as("text"))
+      when(valid, folded.getField("t")).as("text"))
   }
 }

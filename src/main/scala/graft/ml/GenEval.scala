@@ -252,11 +252,44 @@ object GenEval {
       .as(Encoders.tuple(Encoders.scalaLong,
         implicitly[org.apache.spark.sql.Encoder[Seq[String]]],
         implicitly[org.apache.spark.sql.Encoder[Seq[String]]]))
-      .mapPartitions(_.flatMap { case (id, c0, r0) =>
-        val c = c0.take(maxTokens).toArray
-        val r = r0.take(maxTokens).toArray
-        if (r.isEmpty) None
+      .mapPartitions { part =>
+        // per-partition token interner: string equality dominated the
+        // DP inner loop (round-7 bench breach), so tokens are hashed
+        // to dense Int ids once per pair and the DP compares ints
+        val interner = new java.util.HashMap[String, Integer](2048)
+        part.flatMap { case (id, c0, r0) =>
+        interner.clear()
+        def enc(ts: Seq[String]): Array[Int] = {
+          val out = new Array[Int](math.min(ts.length, maxTokens))
+          var i = 0
+          val it = ts.iterator
+          while (i < out.length) {
+            val t = it.next()
+            var v = interner.get(t)
+            if (v == null) {
+              v = Integer.valueOf(interner.size); interner.put(t, v)
+            }
+            out(i) = v.intValue; i += 1
+          }
+          out
+        }
+        val cFull = enc(c0)
+        val rFull = enc(r0)
+        if (rFull.isEmpty) None
         else {
+          // strip the common prefix/suffix before the O(|c|·|r|) DP:
+          // those cells are forced matches — distance is unchanged
+          // and the optimal-path match count grows by exactly the
+          // stripped length, so the S/D/I decomposition is preserved
+          val maxStrip = math.min(cFull.length, rFull.length)
+          var pre = 0
+          while (pre < maxStrip && cFull(pre) == rFull(pre)) pre += 1
+          var suf = 0
+          while (suf < maxStrip - pre &&
+            cFull(cFull.length - 1 - suf) == rFull(rFull.length - 1 - suf))
+            suf += 1
+          val c = java.util.Arrays.copyOfRange(cFull, pre, cFull.length - suf)
+          val r = java.util.Arrays.copyOfRange(rFull, pre, rFull.length - suf)
           // two-row Levenshtein over (ref rows r, cand cols c),
           // tracking the matched-pair count M of the optimal path so
           // the S/D/I decomposition is exact:
@@ -295,20 +328,94 @@ object GenEval {
             i += 1
           }
           val dist = prevD(c.length)
-          val m = prevM(c.length)
+          val m = prevM(c.length) + pre + suf // stripped cells are matches
           // exact decomposition from (dist, m): an optimal path has
           // A = m + S aligned pairs, D = |r| − A dels, I = |c| − A
           // ins, and dist = S + D + I = |r| + |c| − 2m − S
           //   ⇒ S = |r| + |c| − 2m − dist
-          val subs = r.length + c.length - 2 * m - dist
+          val cn = cFull.length
+          val rn = rFull.length
+          val subs = rn + cn - 2 * m - dist
           val a = m + subs
-          val dels = r.length - a
-          val insr = c.length - a
-          Some((id, dist, subs, dels, insr, c.length, r.length,
-            dist.toDouble / r.length))
+          val dels = rn - a
+          val insr = cn - a
+          Some((id, dist, subs, dels, insr, cn, rn,
+            dist.toDouble / rn))
         }
-      })
+      }}
       .toDF(idCol, "distance", "subs", "dels", "ins", "cand_tokens",
         "ref_tokens", "wer")
+  }
+
+  /** chrF (Popović 2015) per pair: character n-gram F-β over orders
+    * 1..maxN on whitespace-stripped normalized text. Per order n the
+    * clipped match count m_n = Σ_g min(cand_g, ref_g) gives
+    * P_n = m_n / |cand grams|, R_n = m_n / |ref grams| (0 when the
+    * denominator is 0); chrP/chrR are the plain means over ALL maxN
+    * orders (short texts contribute 0 for missing orders) and
+    * chrF = (1+β²)·P·R / (β²·P + R) (0 when both are 0). Returns
+    * (id, chr_p, chr_r, chrf).
+    *
+    * Scale shape: one explode per side emits (id, n, gram) for all
+    * orders in a single scan (the gram array is built once per row),
+    * then everything is hash aggregation + one (id, n, gram) join —
+    * the BLEU clip-join shape, never quadratic. The per-id mean
+    * folds a SORTED per-order array so float summation order is
+    * engine-independent.
+    */
+  def chrF(df: DataFrame, idCol: String, candCol: String, refCol: String,
+      maxN: Int = 6, beta: Double = 2.0): DataFrame = {
+    require(maxN >= 1 && maxN <= 10)
+    val strip = (c: Column) =>
+      regexp_replace(TextAnalysis.normalize(c), " ", "")
+    val pairs = df.select(col(idCol).as("id"),
+      strip(col(candCol)).as("c"), strip(col(refCol)).as("r"))
+
+    // (id, n, gram) for all orders in one explode; sequence() would
+    // generate a DESCENDING range when the text is shorter than n, so
+    // short orders are masked to an empty array explicitly
+    def grams(side: String): DataFrame = {
+      val perOrder = transform(sequence(lit(1), lit(maxN)), n =>
+        when(length(col(side)) >= n,
+          transform(sequence(lit(1), length(col(side)) - n + 1),
+            i => struct(n.as("n"), col(side).substr(i, n).as("gram"))))
+          .otherwise(array().cast("array<struct<n:int,gram:string>>")))
+      pairs.select(col("id"), explode(flatten(perOrder)).as("g"))
+        .select(col("id"), col("g.n").as("n"), col("g.gram").as("gram"))
+        .groupBy("id", "n", "gram").agg(count(lit(1)).as("cnt"))
+    }
+    val cCnt = grams("c").withColumnRenamed("cnt", "cc")
+    val rCnt = grams("r").withColumnRenamed("cnt", "rc")
+    val perOrder = cCnt.join(rCnt, Seq("id", "n", "gram"), "full_outer")
+      .groupBy("id", "n")
+      .agg(sum(least(coalesce(col("cc"), lit(0L)),
+          coalesce(col("rc"), lit(0L)))).as("m"),
+        sum(coalesce(col("cc"), lit(0L))).as("tc"),
+        sum(coalesce(col("rc"), lit(0L))).as("tr"))
+      .select(col("id"), col("n"),
+        when(col("tc") > 0, col("m").cast("double") / col("tc"))
+          .otherwise(0.0).as("p"),
+        when(col("tr") > 0, col("m").cast("double") / col("tr"))
+          .otherwise(0.0).as("r"))
+    // fixed-order fold (sorted by n) so the double sum is identical
+    // in any engine / partitioning
+    val perId = perOrder.groupBy("id")
+      .agg(sort_array(collect_list(struct(col("n"), col("p"), col("r"))))
+        .as("o"))
+      .select(col("id"),
+        (aggregate(col("o"), lit(0.0), (a, x) => a + x.getField("p")) /
+          maxN).as("chr_p"),
+        (aggregate(col("o"), lit(0.0), (a, x) => a + x.getField("r")) /
+          maxN).as("chr_r"))
+    val b2 = beta * beta
+    pairs.select(col("id")).join(perId, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("chr_p"), lit(0.0)).as("chr_p"),
+        coalesce(col("chr_r"), lit(0.0)).as("chr_r"))
+      .withColumn("chrf",
+        when(col("chr_p") + col("chr_r") > 0,
+          (lit(1 + b2) * col("chr_p") * col("chr_r")) /
+            (lit(b2) * col("chr_p") + col("chr_r")))
+          .otherwise(0.0))
   }
 }

@@ -394,6 +394,9 @@ object ImageCodec {
             i += lctSize * 3
           }
           if (table == null || iw <= 0 || ih <= 0) return None
+          // untrusted 16-bit dims: bound iw*ih*3 in Long before any
+          // Int-space allocation (65535*65535*3 overflows Int)
+          if (iw.toLong * ih * 3 > Int.MaxValue - 64) return None
           val mcs = u8(b, i); i += 1
           if (mcs < 2 || mcs > 8) return None
           // concatenate data sub-blocks

@@ -481,7 +481,10 @@ object JpegCodec {
     */
   def decode(bytes: Array[Byte]): Option[Image] =
     try decodeUnsafe(bytes)
-    catch { case _: ArrayIndexOutOfBoundsException => None }
+    catch {
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException     => None
+    }
 
   private def decodeUnsafe(bytes: Array[Byte]): Option[Image] = {
     if (bytes.length < 4 || (bytes(0) & 0xFF) != 0xFF ||
@@ -569,13 +572,26 @@ object JpegCodec {
       comps: Array[Component], quant: Array[Array[Int]],
       dcTabs: Array[HuffTable], acTabs: Array[HuffTable],
       restartInterval: Int): Option[Image] = {
+    // per T.81 a non-interleaved (single-component) scan has MCU = 1
+    // data unit regardless of the SOF sampling factors; honoring the
+    // factors here would misdecode valid grayscale files with h=v=2
+    if (comps.length == 1 && (comps(0).h != 1 || comps(0).v != 1)) {
+      val c0 = comps(0)
+      val r = Component(c0.id, 1, 1, c0.tq)
+      r.dcTable = c0.dcTable; r.acTable = c0.acTable
+      comps(0) = r
+    }
     val maxH = comps.map(_.h).max
     val maxV = comps.map(_.v).max
     val mcusX = (w + 8 * maxH - 1) / (8 * maxH)
     val mcusY = (h + 8 * maxV - 1) / (8 * maxV)
-    // per-component full plane at ITS resolution
+    // per-component full plane at ITS resolution; untrusted 16-bit
+    // dims → bound the plane size in Long before Int-space allocation
     val planeW = comps.map(c => mcusX * c.h * 8)
     val planeH = comps.map(c => mcusY * c.v * 8)
+    if (comps.indices.exists(ci =>
+        planeW(ci).toLong * planeH(ci) > Int.MaxValue - 64) ||
+      w.toLong * h * 3 > Int.MaxValue - 64) return None
     val planes = comps.indices.map(ci =>
       new Array[Int](planeW(ci) * planeH(ci))).toArray
     val br = new BitReader(bytes, start)

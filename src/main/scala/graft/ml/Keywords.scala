@@ -1,0 +1,136 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Unsupervised keyword extraction — the corpus-curation primitives
+  * for topic tagging, domain profiling, and prompt-mining over a
+  * crawl. Two standard algorithms, both expressed as hash
+  * aggregations and key joins (no per-doc python, no quadratics):
+  *
+  *  - RAKE (Rose et al. 2010): stopword-delimited candidate phrases
+  *    scored by member-word degree/frequency ratios. Per document.
+  *  - TextRank (Mihalcea & Tarau 2004) in its corpus-level form:
+  *    PageRank over the window-2 word co-occurrence graph — word
+  *    salience for the whole corpus (or any stratum via groupCols on
+  *    the caller's side).
+  */
+object Keywords {
+
+  private def toks(c: Column): Column =
+    filter(split(TextAnalysis.normalize(c), " "), t => length(t) > 0)
+
+  /** RAKE candidate phrases and scores, per document.
+    *
+    * Tokens are normalized words; stopwords ([[TextAnalysis
+    * .stopwords]], the repo-wide list) delimit phrases; maximal
+    * non-stopword runs of length ≤ maxPhraseLen become candidates.
+    * Word statistics over the document's candidate set:
+    * freq(w) = number of candidate phrases containing w (counted per
+    * occurrence), deg(w) = Σ over those phrases of the phrase length
+    * (the common python-rake convention where a word's own
+    * occurrence counts toward its degree); score(w) = deg(w) /
+    * freq(w); phrase score = Σ member-word scores (per occurrence).
+    * Returns (id, phrase, n_words, score) — every candidate phrase
+    * occurrence collapsed to its distinct text per doc, scores from
+    * doc-level word stats.
+    *
+    * Shape: posexplode → islands-by-position grouping (one window
+    * over (id, pos)) → two hash aggregations + one (id, word) join.
+    */
+  def rake(df: DataFrame, idCol: String, textCol: String,
+      maxPhraseLen: Int = 4): DataFrame = {
+    require(maxPhraseLen >= 1)
+    val sw = TextAnalysis.stopwords
+    val words = df
+      .select(col(idCol).as("id"), posexplode(toks(col(textCol)))
+        .as(Seq("pos", "word")))
+      .withColumn("stop", col("word").isInCollection(sw))
+    // islands: consecutive non-stopword positions share (pos − rank)
+    val isl = Window.partitionBy("id").orderBy("pos")
+    val phrases = words.filter(!col("stop"))
+      .withColumn("grp", col("pos") - row_number().over(isl))
+      .groupBy("id", "grp")
+      .agg(sort_array(collect_list(struct(col("pos"), col("word"))))
+        .as("ws"))
+      .select(col("id"),
+        transform(col("ws"), w => w.getField("word")).as("ws"))
+      .filter(size(col("ws")) <= maxPhraseLen)
+      .select(col("id"), col("ws"), size(col("ws")).as("len"),
+        array_join(col("ws"), " ").as("phrase"))
+    val wordStats = phrases
+      .select(col("id"), col("len"), explode(col("ws")).as("word"))
+      .groupBy("id", "word")
+      .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+      .withColumn("wscore", col("deg").cast("double") / col("freq"))
+    phrases
+      .select(col("id"), col("phrase"), col("len"),
+        explode(col("ws")).as("word"))
+      .join(wordStats.select("id", "word", "wscore"), Seq("id", "word"))
+      .groupBy("id", "phrase")
+      // phrase occurrences are identical score-wise; count each
+      // distinct phrase text once via the occurrence count divisor
+      .agg((sum(col("wscore")) /
+          (count(lit(1)) / first(col("len")))).as("score"),
+        first(col("len")).cast("long").as("n_words"))
+      .select(col("id"), col("phrase"), col("n_words"), col("score"))
+  }
+
+  /** Corpus-level TextRank: PageRank (damping d, `iters` fixed
+    * iterations from the uniform vector) over the undirected
+    * window-2 co-occurrence graph of non-stopword tokens, edge
+    * weight = co-occurrence count. Transition mass from u to v is
+    * w(u,v)/wdeg(u); isolated words keep the teleport floor
+    * (1−d)/N; dangling mass is NOT redistributed (the standard
+    * simplified TextRank recursion — document-replayable in plain
+    * SQL). Returns (word, score) for the whole vocabulary.
+    *
+    * Shape: one adjacent-pair self-join builds the edge counts; each
+    * iteration is one (word) hash join + aggregation over the edge
+    * table — identical cost profile to [[graft.graph.Graphs]]'
+    * iterate-and-join kernels, linear in |edges| per iteration.
+    */
+  def textRank(df: DataFrame, idCol: String, textCol: String,
+      damping: Double = 0.85, iters: Int = 10): DataFrame = {
+    require(iters >= 1 && damping > 0 && damping < 1)
+    val sw = TextAnalysis.stopwords
+    val words = df
+      .select(col(idCol).as("did"),
+        filter(toks(col(textCol)), t => !t.isInCollection(sw)).as("ws"))
+      .select(col("did"), posexplode(col("ws")).as(Seq("pos", "word")))
+    // adjacent non-stop tokens (window 2 after stopword removal)
+    val co = words.alias("a")
+      .join(words.alias("b"),
+        col("a.did") === col("b.did") && col("b.pos") === col("a.pos") + 1)
+      .select(col("a.word").as("u"), col("b.word").as("v"))
+      .filter(col("u") =!= col("v"))
+    val und = co.unionAll(co.select(col("v").as("u"), col("u").as("v")))
+      .groupBy("u", "v").agg(count(lit(1)).cast("double").as("w"))
+    // localCheckpoint (the personalizedPageRank idiom): the edge and
+    // vocab tables are re-read every iteration and the per-iteration
+    // result is referenced by the next join — eager materialization
+    // cuts the 10-deep lineage and avoids recomputing the
+    // co-occurrence build per round
+    val vocab = words.select(col("word")).distinct().localCheckpoint()
+    val n = vocab.count()
+    val wdeg = und.groupBy("u").agg(sum("w").as("wd"))
+    val trans = und.join(wdeg, "u")
+      .select(col("u"), col("v"), (col("w") / col("wd")).as("t"))
+      .localCheckpoint()
+    val base = 1.0 / n
+    val floor = (1.0 - damping) / n
+    var pr = vocab.select(col("word"), lit(base).as("score"))
+    (1 to iters).foreach { _ =>
+      val inbound = trans.join(pr, trans("u") === pr("word"))
+        .groupBy(col("v").as("word"))
+        .agg(sum(col("t") * col("score")).as("mass"))
+      pr = vocab.join(inbound, Seq("word"), "left")
+        .select(col("word"),
+          (lit(floor) + lit(damping) * coalesce(col("mass"), lit(0.0)))
+            .as("score"))
+        .localCheckpoint()
+    }
+    pr
+  }
+}

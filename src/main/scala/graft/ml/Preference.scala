@@ -41,6 +41,56 @@ object Preference {
     * @return (item, wins, matches, rating): total wins, total matches
     *         played, and the normalized strength θ (Σθ = 1)
     */
+  /** DPO / RLHF preference-pair construction from scored responses:
+    * per prompt, rank responses by (score desc, id asc) and pair the
+    * k-th best with the k-th worst for k = 1..maxPairsPerPrompt —
+    * the deterministic "outside-in" pairing that extracts the
+    * largest-margin pairs first without reusing one chosen response
+    * for every pair. A pair is emitted only when (a) the two rows
+    * are distinct and non-crossing (2k ≤ n responses) and (b)
+    * chosen_score − rejected_score ≥ minMargin (low-signal
+    * near-ties poison a DPO loss; the margin floor is explicit, not
+    * an afterthought).
+    *
+    * Returns (prompt, pair_rank, chosen, rejected, chosen_score,
+    * rejected_score, margin).
+    *
+    * Scale shape: two row_number windows inside the prompt partition
+    * and one self-join on (prompt, pair_rank) — a single
+    * hashpartitioning(prompt) exchange; response groups are
+    * panel-sized by contract (a prompt has k model samples, not a
+    * corpus).
+    */
+  def dpoPairs(responses: DataFrame, promptCol: String, respCol: String,
+      scoreCol: String, minMargin: Double = 0.0,
+      maxPairsPerPrompt: Int = 1): DataFrame = {
+    require(maxPairsPerPrompt >= 1, "maxPairsPerPrompt must be >= 1")
+    val base = responses.select(col(promptCol).as("prompt"),
+      col(respCol).as("resp"), col(scoreCol).cast("double").as("score"))
+    val byPrompt = org.apache.spark.sql.expressions.Window
+      .partitionBy("prompt")
+    val best = row_number().over(
+      byPrompt.orderBy(col("score").desc, col("resp").asc))
+    val worst = row_number().over(
+      byPrompt.orderBy(col("score").asc, col("resp").desc))
+    val ranked = base
+      .withColumn("rb", best).withColumn("rw", worst)
+      .withColumn("n", count(lit(1)).over(byPrompt))
+    val chosen = ranked.filter(col("rb") <= maxPairsPerPrompt &&
+        col("rb") * 2 <= col("n"))
+      .select(col("prompt"), col("rb").as("pair_rank"),
+        col("resp").as("chosen"), col("score").as("chosen_score"))
+    val rejected = ranked.filter(col("rw") <= maxPairsPerPrompt &&
+        col("rw") * 2 <= col("n"))
+      .select(col("prompt"), col("rw").as("pair_rank"),
+        col("resp").as("rejected"), col("score").as("rejected_score"))
+    chosen.join(rejected, Seq("prompt", "pair_rank"))
+      .withColumn("margin", col("chosen_score") - col("rejected_score"))
+      .filter(col("margin") >= minMargin)
+      .select("prompt", "pair_rank", "chosen", "rejected",
+        "chosen_score", "rejected_score", "margin")
+  }
+
   def bradleyTerry(matches: DataFrame, winnerCol: String, loserCol: String,
       iters: Int = 10, countCol: Option[String] = None): DataFrame = {
     require(iters >= 1, "bradleyTerry needs at least one iteration")

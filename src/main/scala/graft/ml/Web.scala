@@ -97,25 +97,35 @@ object Web {
       } else if (c == '&') {
         // entity
         val semi = html.indexOf(';', i + 1)
-        val decoded: Option[Char] =
+        // numeric references may name supplementary-plane code points
+        // (emoji): decode to the full char sequence, not a truncated
+        // BMP char
+        def codePoint(cp: Int): Option[String] =
+          if (Character.isValidCodePoint(cp))
+            Some(new String(Character.toChars(cp)))
+          else None
+        val decoded: Option[String] =
           if (semi < 0 || semi - i > 8) None
           else html.substring(i + 1, semi) match {
-            case "amp" => Some('&')
-            case "lt" => Some('<')
-            case "gt" => Some('>')
-            case "quot" => Some('"')
-            case "apos" => Some('\'')
-            case "nbsp" => Some(' ')
+            case "amp" => Some("&")
+            case "lt" => Some("<")
+            case "gt" => Some(">")
+            case "quot" => Some("\"")
+            case "apos" => Some("'")
+            case "nbsp" => Some(" ")
             case e if e.startsWith("#x") || e.startsWith("#X") =>
-              try Some(Integer.parseInt(e.drop(2), 16).toChar)
+              try codePoint(Integer.parseInt(e.drop(2), 16))
               catch { case _: NumberFormatException => None }
             case e if e.startsWith("#") =>
-              try Some(Integer.parseInt(e.drop(1)).toChar)
+              try codePoint(Integer.parseInt(e.drop(1)))
               catch { case _: NumberFormatException => None }
             case _ => None
           }
         decoded match {
-          case Some(ch) => emit(ch); i = semi + 1
+          case Some(s) =>
+            var k = 0
+            while (k < s.length) { emit(s.charAt(k)); k += 1 }
+            i = semi + 1
           case None => emit('&'); i += 1
         }
       } else { emit(c); i += 1 }

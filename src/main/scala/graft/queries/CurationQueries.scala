@@ -1,0 +1,347 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ml.{Calibrate, GenEval, Keywords, Preference}
+import graft.events.Events
+
+/** Round-8 curation/eval superset gates: keyword extraction (RAKE,
+  * corpus TextRank), chrF generation scoring, Holt–Winters triple
+  * smoothing, DPO preference-pair construction, and split-conformal
+  * prediction intervals. Every gate has a full DuckDB value-hash
+  * oracle (the recursive/iterative ones replay the exact float
+  * expression order; multi-referenced CTEs are AS MATERIALIZED per
+  * the round-8 CTE-inlining postmortem).
+  */
+object CurationQueries extends QueryGroup {
+
+  private val normSql =
+    """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+      |'\s+', ' ', 'g'))""".stripMargin.replace("\n", " ")
+
+  private val stopSql = graft.ml.TextAnalysis.stopwords
+    .map(w => s"'$w'").mkString(", ")
+
+  val all: Seq[QueryDef] = Seq(
+
+    // RAKE candidate phrases + scores per document (stopword-
+    // delimited islands; deg/freq word scores; phrase = Σ wscore).
+    q("q_text_rake",
+      s"""WITH tk AS (
+         |  SELECT doc_id, list_filter(string_split($normSql, ' '),
+         |    t -> t <> '') AS ws FROM documents
+         |), w AS (
+         |  SELECT doc_id, ws[u.i] AS word, u.i AS pos,
+         |    ws[u.i] IN ($stopSql) AS stop
+         |  FROM tk, unnest(range(1, len(ws) + 1)) AS u(i)
+         |), isl AS (
+         |  SELECT doc_id, word, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+         |      AS grp
+         |  FROM w WHERE NOT stop
+         |), ph AS (
+         |  SELECT doc_id, grp, list(word ORDER BY pos) AS pws,
+         |    count(*) AS len,
+         |    array_to_string(list(word ORDER BY pos), ' ') AS phrase
+         |  FROM isl GROUP BY 1, 2
+         |), phf AS (
+         |  SELECT * FROM ph WHERE len <= 4
+         |), phw AS (
+         |  SELECT doc_id, phrase, len, u.w AS word
+         |  FROM phf, unnest(phf.pws) AS u(w)
+         |), wstat AS (
+         |  SELECT doc_id, word, count(*) AS freq, sum(len) AS deg
+         |  FROM phw GROUP BY 1, 2
+         |), scored AS (
+         |  SELECT p.doc_id, p.phrase, p.len,
+         |    s.deg * 1.0::DOUBLE / s.freq AS wscore
+         |  FROM phw p
+         |  JOIN wstat s ON s.doc_id = p.doc_id AND s.word = p.word
+         |)
+         |SELECT doc_id AS id, phrase, CAST(min(len) AS BIGINT) AS n_words,
+         |  round(sum(wscore) / (count(*) * 1.0 / min(len)), 6) AS score
+         |FROM scored GROUP BY 1, 2 ORDER BY id, phrase""".stripMargin) {
+      (s, dir) =>
+      Keywords.rake(t(s, dir, "documents"), "doc_id", "text",
+          maxPhraseLen = 4)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy("id", "phrase")
+    },
+
+    // corpus-level TextRank: 10 PageRank iterations over the window-2
+    // co-occurrence word graph. The oracle unrolls the iteration with
+    // MATERIALIZED CTEs (each pr_k is referenced by pr_{k+1}'s join —
+    // default inlining would expand the chain multiplicatively).
+    q("q_text_textrank", {
+      val steps = (1 to 10).map { k =>
+        s"""pr$k AS MATERIALIZED (
+           |  SELECT v.word, (1 - 0.85) / nv.n + 0.85 * coalesce(m.mass,
+           |    0.0) AS score
+           |  FROM vocab v CROSS JOIN nv
+           |  LEFT JOIN (
+           |    SELECT t.v AS word, sum(t.t * p.score) AS mass
+           |    FROM trans t JOIN pr${k - 1} p ON t.u = p.word GROUP BY 1
+           |  ) m ON m.word = v.word
+           |)""".stripMargin
+      }
+      s"""WITH tk AS MATERIALIZED (
+         |  SELECT doc_id, list_filter(string_split($normSql, ' '),
+         |    t -> t <> '' AND t NOT IN ($stopSql)) AS ws FROM documents
+         |), w AS MATERIALIZED (
+         |  SELECT doc_id, ws[u.i] AS word, u.i AS pos
+         |  FROM tk, unnest(range(1, len(ws) + 1)) AS u(i)
+         |), co AS (
+         |  SELECT a.word AS u, b.word AS v
+         |  FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |  WHERE a.word <> b.word
+         |), und AS MATERIALIZED (
+         |  SELECT u, v, count(*) * 1.0::DOUBLE AS w FROM (
+         |    SELECT u, v FROM co UNION ALL SELECT v, u FROM co
+         |  ) GROUP BY 1, 2
+         |), vocab AS MATERIALIZED (SELECT DISTINCT word FROM w),
+         |nv AS MATERIALIZED (SELECT count(*) * 1.0::DOUBLE AS n FROM vocab),
+         |trans AS MATERIALIZED (
+         |  SELECT und.u, und.v, und.w / d.wd AS t
+         |  FROM und JOIN (SELECT u, sum(w) AS wd FROM und GROUP BY 1) d
+         |    ON und.u = d.u
+         |), pr0 AS MATERIALIZED (
+         |  SELECT word, 1.0 / nv.n AS score FROM vocab CROSS JOIN nv
+         |), ${steps.mkString(", ")}
+         |SELECT word, round(score, 6) AS score FROM pr10
+         |ORDER BY word""".stripMargin
+    }) { (s, dir) =>
+      Keywords.textRank(t(s, dir, "documents"), "doc_id", "text",
+          damping = 0.85, iters = 10)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy("word")
+    },
+
+    // chrF (β=2, orders 1..6) of the every-3rd-token-dropped
+    // candidate vs the document itself — same synthetic pair
+    // construction as q_eval_wer, full gram-count replay.
+    q("q_eval_chrf",
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    replace($normSql, ' ', '') AS r,
+         |    array_to_string(list_filter(string_split($normSql, ' '),
+         |      (t, i) -> i % 3 != 0), '') AS c
+         |  FROM documents
+         |), cg AS (
+         |  SELECT doc_id, n.n AS n, substr(c, u.i, n.n) AS gram
+         |  FROM base, unnest(range(1, 7)) AS n(n),
+         |    unnest(range(1, greatest(strlen(c) - n.n + 2, 1))) AS u(i)
+         |), rg AS (
+         |  SELECT doc_id, n.n AS n, substr(r, u.i, n.n) AS gram
+         |  FROM base, unnest(range(1, 7)) AS n(n),
+         |    unnest(range(1, greatest(strlen(r) - n.n + 2, 1))) AS u(i)
+         |), cc AS (SELECT doc_id, n, gram, count(*) AS cc
+         |  FROM cg GROUP BY 1, 2, 3),
+         |rc AS (SELECT doc_id, n, gram, count(*) AS rc
+         |  FROM rg GROUP BY 1, 2, 3),
+         |po AS (
+         |  SELECT coalesce(cc.doc_id, rc.doc_id) AS doc_id,
+         |    coalesce(cc.n, rc.n) AS n,
+         |    sum(least(coalesce(cc.cc, 0), coalesce(rc.rc, 0))) AS m,
+         |    sum(coalesce(cc.cc, 0)) AS tc, sum(coalesce(rc.rc, 0)) AS tr
+         |  FROM cc FULL OUTER JOIN rc
+         |    ON cc.doc_id = rc.doc_id AND cc.n = rc.n AND cc.gram = rc.gram
+         |  GROUP BY 1, 2
+         |), pr AS (
+         |  SELECT doc_id, n,
+         |    CASE WHEN tc > 0 THEN m * 1.0::DOUBLE / tc ELSE 0.0 END AS p,
+         |    CASE WHEN tr > 0 THEN m * 1.0::DOUBLE / tr ELSE 0.0 END AS r
+         |  FROM po
+         |), piv AS (
+         |  SELECT doc_id,
+         |    coalesce(max(CASE WHEN n=1 THEN p END), 0) AS p1,
+         |    coalesce(max(CASE WHEN n=2 THEN p END), 0) AS p2,
+         |    coalesce(max(CASE WHEN n=3 THEN p END), 0) AS p3,
+         |    coalesce(max(CASE WHEN n=4 THEN p END), 0) AS p4,
+         |    coalesce(max(CASE WHEN n=5 THEN p END), 0) AS p5,
+         |    coalesce(max(CASE WHEN n=6 THEN p END), 0) AS p6,
+         |    coalesce(max(CASE WHEN n=1 THEN r END), 0) AS r1,
+         |    coalesce(max(CASE WHEN n=2 THEN r END), 0) AS r2,
+         |    coalesce(max(CASE WHEN n=3 THEN r END), 0) AS r3,
+         |    coalesce(max(CASE WHEN n=4 THEN r END), 0) AS r4,
+         |    coalesce(max(CASE WHEN n=5 THEN r END), 0) AS r5,
+         |    coalesce(max(CASE WHEN n=6 THEN r END), 0) AS r6
+         |  FROM pr GROUP BY 1
+         |), fin AS (
+         |  SELECT b.doc_id AS id,
+         |    coalesce(((((((0.0 + p1) + p2) + p3) + p4) + p5) + p6) / 6,
+         |      0.0) AS chr_p,
+         |    coalesce(((((((0.0 + r1) + r2) + r3) + r4) + r5) + r6) / 6,
+         |      0.0) AS chr_r
+         |  FROM base b LEFT JOIN piv ON piv.doc_id = b.doc_id
+         |)
+         |SELECT id, round(chr_p, 6) AS chr_p, round(chr_r, 6) AS chr_r,
+         |  round(CASE WHEN chr_p + chr_r > 0
+         |    THEN 5.0 * chr_p * chr_r / (4.0 * chr_p + chr_r)
+         |    ELSE 0.0 END, 6) AS chrf
+         |FROM fin ORDER BY id""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("doc_id").as("id"),
+        col("text").as("ref"),
+        concat_ws(" ", filter(
+          filter(split(graft.ml.TextAnalysis.normalize(col("text")), " "),
+            x => length(x) > 0),
+          (x, i) => (i + 1) % 3 =!= 0)).as("cand"))
+      GenEval.chrF(d, "id", "cand", "ref", maxN = 6, beta = 2.0)
+        .select(col("id"), round(col("chr_p"), 6).as("chr_p"),
+          round(col("chr_r"), 6).as("chr_r"),
+          round(col("chrf"), 6).as("chrf"))
+        .orderBy("id")
+    },
+
+    // Holt–Winters additive (α=0.3 β=0.1 γ=0.2, daily buckets, weekly
+    // season) per event type. The oracle's recursive CTE carries the
+    // seasonal ring as a LIST and spells (1 − α) etc. literally so
+    // the float expression tree matches the kernel bit-for-bit.
+    q("q_events_holtwinters",
+      """WITH RECURSIVE counts AS MATERIALIZED (
+        |  SELECT event_type AS key,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS bucket,
+        |    count(*) * 1.0::DOUBLE AS y
+        |  FROM events GROUP BY 1, 2
+        |), spans AS (
+        |  SELECT key, min(bucket) AS b0, max(bucket) AS b1
+        |  FROM counts GROUP BY 1
+        |), grid AS MATERIALIZED (
+        |  SELECT s.key, u.b AS bucket
+        |  FROM spans s, unnest(range(s.b0, s.b1 + 1)) AS u(b)
+        |), dense AS MATERIALIZED (
+        |  SELECT g.key, g.bucket, coalesce(c.y, 0.0) AS y
+        |  FROM grid g
+        |  LEFT JOIN counts c ON c.key = g.key AND c.bucket = g.bucket
+        |), ys AS MATERIALIZED (
+        |  SELECT key, list(y ORDER BY bucket) AS yl,
+        |    list(bucket ORDER BY bucket) AS bl, count(*) AS tn
+        |  FROM dense GROUP BY 1
+        |), init AS (
+        |  SELECT key, yl, bl, tn,
+        |    list_sum(yl[1:7]) / 7 AS mean1,
+        |    list_sum(yl[8:14]) / 7 AS mean2
+        |  FROM ys WHERE tn >= 14
+        |), rec(key, yl, bl, tn, t, l, b, sl, yt, st, fitted) AS (
+        |  SELECT key, yl, bl, tn, 6, mean1, (mean2 - mean1) / 7,
+        |    list_transform(yl[1:7], x -> x - mean1),
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |    CAST(NULL AS DOUBLE)
+        |  FROM init
+        |  UNION ALL
+        |  SELECT key, yl, bl, tn, t + 1,
+        |    0.3 * (yl[t + 2] - sl[1]) + (1 - 0.3) * (l + b),
+        |    0.1 * ((0.3 * (yl[t + 2] - sl[1]) + (1 - 0.3) * (l + b)) - l)
+        |      + (1 - 0.1) * b,
+        |    sl[2:7] || [0.2 * (yl[t + 2] - (0.3 * (yl[t + 2] - sl[1])
+        |      + (1 - 0.3) * (l + b))) + (1 - 0.2) * sl[1]],
+        |    yl[t + 2],
+        |    0.2 * (yl[t + 2] - (0.3 * (yl[t + 2] - sl[1])
+        |      + (1 - 0.3) * (l + b))) + (1 - 0.2) * sl[1],
+        |    l + b + sl[1]
+        |  FROM rec WHERE t + 1 <= tn - 1
+        |)
+        |SELECT key, bl[t + 1] AS bucket, yt AS y,
+        |  round(l, 6) AS level, round(b, 6) AS trend,
+        |  round(st, 6) AS seasonal, round(fitted, 6) AS fitted
+        |FROM rec WHERE t >= 7 ORDER BY key, bucket""".stripMargin) {
+      (s, dir) =>
+      val evd = t(s, dir, "events")
+      Events.holtWinters(
+          evd.select(col("event_type"),
+            graft.core.Ts.seconds(evd).as("sec")),
+          "event_type", "sec", periodSec = 86400L, seasonLen = 7,
+          alpha = 0.3, beta = 0.1, gamma = 0.2)
+        .select(col("key"), col("bucket"), col("y"),
+          round(col("level"), 6).as("level"),
+          round(col("trend"), 6).as("trend"),
+          round(col("seasonal"), 6).as("seasonal"),
+          round(col("fitted"), 6).as("fitted"))
+        .orderBy("key", "bucket")
+    },
+
+    // DPO preference pairs: outside-in (k-th best vs k-th worst)
+    // pairing per prompt with a margin floor.
+    q("q_pref_dpo",
+      """WITH base AS (
+        |  SELECT user_id AS prompt, event_id AS resp, value AS score
+        |  FROM events
+        |), ranked AS (
+        |  SELECT prompt, resp, score,
+        |    row_number() OVER (PARTITION BY prompt
+        |      ORDER BY score DESC, resp ASC) AS rb,
+        |    row_number() OVER (PARTITION BY prompt
+        |      ORDER BY score ASC, resp DESC) AS rw,
+        |    count(*) OVER (PARTITION BY prompt) AS n
+        |  FROM base
+        |), chosen AS (
+        |  SELECT prompt, rb AS pair_rank, resp AS chosen,
+        |    score AS chosen_score
+        |  FROM ranked WHERE rb <= 2 AND rb * 2 <= n
+        |), rejected AS (
+        |  SELECT prompt AS rprompt, rw AS rpair_rank, resp AS rejected,
+        |    score AS rejected_score
+        |  FROM ranked WHERE rw <= 2 AND rw * 2 <= n
+        |)
+        |SELECT c.prompt, CAST(c.pair_rank AS BIGINT) AS pair_rank,
+        |  c.chosen, r.rejected, c.chosen_score, r.rejected_score,
+        |  round(c.chosen_score - r.rejected_score, 6) AS margin
+        |FROM chosen c JOIN rejected r
+        |  ON c.prompt = r.rprompt AND c.pair_rank = r.rpair_rank
+        |WHERE c.chosen_score - r.rejected_score >= 5.0
+        |ORDER BY c.prompt, pair_rank""".stripMargin) { (s, dir) =>
+      Preference.dpoPairs(
+          t(s, dir, "events").select(col("user_id"), col("event_id"),
+            col("value")),
+          "user_id", "event_id", "value", minMargin = 5.0,
+          maxPairsPerPrompt = 2)
+        .select(col("prompt"), col("pair_rank").cast("long").as("pair_rank"),
+          col("chosen"), col("rejected"), col("chosen_score"),
+          col("rejected_score"), round(col("margin"), 6).as("margin"))
+        .orderBy("prompt", "pair_rank")
+    },
+
+    // split conformal: per event type, calibration = 4/5 of events,
+    // eval = the held-out fifth, α = 0.1 → k-th order statistic
+    // radius + measured eval coverage (≈ 0.9 by the guarantee).
+    q("q_eval_conformal",
+      """WITH cal AS (
+        |  SELECT event_type AS grp, value AS s FROM events
+        |  WHERE event_id % 5 != 0
+        |), ev AS (
+        |  SELECT event_type AS egrp, value AS es FROM events
+        |  WHERE event_id % 5 = 0
+        |), stats AS (
+        |  SELECT grp, count(*) AS n_cal,
+        |    CAST(ceil((count(*) + 1) * (1.0 - 0.1)) AS BIGINT) AS k
+        |  FROM cal GROUP BY 1
+        |), ranked AS (
+        |  SELECT grp AS rgrp, s,
+        |    row_number() OVER (PARTITION BY grp ORDER BY s) AS rk
+        |  FROM cal
+        |), qh AS (
+        |  SELECT st.grp, st.n_cal, st.k, r.s AS qhat
+        |  FROM stats st
+        |  LEFT JOIN ranked r ON r.rgrp = st.grp AND r.rk = st.k
+        |)
+        |SELECT q.grp AS "group", q.n_cal, q.k, round(q.qhat, 6) AS qhat,
+        |  count(e.es) AS n_eval,
+        |  CAST(sum(CASE WHEN e.es IS NOT NULL AND (q.qhat IS NULL
+        |    OR e.es <= q.qhat) THEN 1 ELSE 0 END) AS BIGINT) AS covered,
+        |  round(sum(CASE WHEN e.es IS NOT NULL AND (q.qhat IS NULL
+        |    OR e.es <= q.qhat) THEN 1 ELSE 0 END) * 1.0::DOUBLE
+        |    / count(e.es), 6) AS coverage
+        |FROM qh q LEFT JOIN ev e ON e.egrp = q.grp
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val cal = ev.filter(col("event_id") % 5 =!= 0)
+        .select(col("event_type"), col("value"))
+      val hold = ev.filter(col("event_id") % 5 === 0)
+        .select(col("event_type"), col("value"))
+      Calibrate.conformal(cal, "event_type", "value", alpha = 0.1,
+          evalDf = Some(hold))
+        .select(col("group"), col("n_cal"), col("k"),
+          round(col("qhat"), 6).as("qhat"), col("n_eval"), col("covered"),
+          round(col("coverage"), 6).as("coverage"))
+        .orderBy("group")
+    }
+  )
+}

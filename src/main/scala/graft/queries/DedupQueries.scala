@@ -90,15 +90,20 @@ object DedupQueries extends QueryGroup {
   /** Transitive closure over the exact-Jaccard pair set (recursive
     * CTE) — shared oracle for both connected-components algorithms.
     */
+  // pairs/edges are AS MATERIALIZED: both are referenced twice and
+  // DuckDB's default CTE inlining recomputes the quadratic shingle
+  // pair join per reference — measured 26 s inlined vs ~10 s at
+  // sf0.01 (round-8; `sh` stays inline — materializing the big list
+  // column measured SLOWER than recomputing it)
   private val componentsCteSql =
     s"""${augmentedSql.replaceFirst("WITH ", "WITH RECURSIVE ")}, sh AS (
        |  SELECT doc_id, $shinglesSql AS s FROM docs
-       |), pairs AS (
+       |), pairs AS MATERIALIZED (
        |  SELECT a.doc_id AS id1, b.doc_id AS id2
        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
        |  WHERE len(list_intersect(a.s, b.s)) * 1.0::DOUBLE /
        |        len(list_distinct(a.s || b.s)) >= 0.7
-       |), edges AS (
+       |), edges AS MATERIALIZED (
        |  SELECT id1 AS src, id2 AS dst FROM pairs
        |  UNION ALL SELECT id2, id1 FROM pairs
        |), reach(id, r) AS (
@@ -405,11 +410,14 @@ object DedupQueries extends QueryGroup {
          |    md5(gram) || '@' ||
          |      lpad(CAST(10000000 - pos AS VARCHAR), 7, '0') AS key
          |  FROM g
-         |), mem AS (
+         |), mem AS MATERIALIZED (
+         |  -- MATERIALIZED: referenced by sel AND the final join-back;
+         |  -- default inlining recomputes the unnest twice (4.1 s vs
+         |  -- 1.3 s at sf0.01, round-8)
          |  SELECT doc_id, w.wp AS wp, pos, gram, key
          |  FROM m, unnest(range(greatest(pos, 4),
          |    least(pos + 3, ng) + 1)) AS w(wp)
-         |), sel AS (
+         |), sel AS MATERIALIZED (
          |  -- min(key) + join-back instead of arg_min(struct_pack, key):
          |  -- same selection (key is unique within a window), but
          |  -- DuckDB 1.0's struct-payload arg_min materialization blows

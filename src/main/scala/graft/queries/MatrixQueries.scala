@@ -550,19 +550,27 @@ object MatrixQueries extends QueryGroup {
     * joins (w = A v, u = Aᵀ w) + a norm CTE, starting from the
     * all-ones column vector, same normalization each step.
     */
+  /** Every CTE `AS MATERIALIZED`: the w/u/v chain references each
+    * predecessor 2-3×, and DuckDB's default CTE inlining expands the
+    * chain multiplicatively — measured 37 s inlined vs 0.12 s
+    * materialized at sf0.01 (round-8, same class as the kcore fix).
+    */
   def powerOracleSql(iters: Int): String = {
-    val v0 = "v0 AS (SELECT DISTINCT col AS c, 1.0::DOUBLE AS v FROM A)"
+    val matBase = baseSql.replace("WITH A AS (", "WITH A AS MATERIALIZED (")
+    val v0 =
+      "v0 AS MATERIALIZED (SELECT DISTINCT col AS c, 1.0::DOUBLE AS v FROM A)"
     val steps = (1 to iters).map { i =>
-      s"""w$i AS (
+      s"""w$i AS MATERIALIZED (
          |  SELECT A.row AS r, sum(A.val * p.v) AS v
          |  FROM A JOIN v${i - 1} p ON A.col = p.c GROUP BY 1
-         |), u$i AS (
+         |), u$i AS MATERIALIZED (
          |  SELECT A.col AS c, sum(A.val * w$i.v) AS v
          |  FROM A JOIN w$i ON A.row = w$i.r GROUP BY 1
-         |), n$i AS (SELECT sqrt(sum(v * v)) AS nrm FROM u$i),
-         |v$i AS (SELECT c, v / nrm AS v FROM u$i, n$i)""".stripMargin
+         |), n$i AS MATERIALIZED (SELECT sqrt(sum(v * v)) AS nrm FROM u$i),
+         |v$i AS MATERIALIZED (SELECT c, v / nrm AS v FROM u$i, n$i)"""
+        .stripMargin
     }
-    s"""$baseSql, $v0, ${steps.mkString(", ")}
+    s"""$matBase, $v0, ${steps.mkString(", ")}
        |SELECT c AS col, round(v, 6) AS weight,
        |  round(sqrt(nrm), 2) AS sigma
        |FROM v$iters, n$iters ORDER BY col""".stripMargin
@@ -573,21 +581,27 @@ object MatrixQueries extends QueryGroup {
     * whose degree within level i−1 is ≥ k. Idempotent past the
     * fixpoint. Final row set = surviving nodes with their in-core
     * degree.
+    *
+    * Every CTE is `AS MATERIALIZED`: each a_i is referenced twice,
+    * and DuckDB's default CTE INLINING makes the chain expand
+    * 2^levels copies of the base scan — measured ~15 min at sf0.01
+    * vs 0.5 s materialized (round-8 fix; this was why the driver's
+    * whole 307-query compare stalled).
     */
   def kCoreOracleSql(k: Int, levels: Int): String = {
     val base =
-      """items AS (
+      """items AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
-        |), e AS (
+        |), e AS MATERIALIZED (
         |  SELECT DISTINCT a.p AS u, b.p AS v
         |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
-        |), und AS (
+        |), und AS MATERIALIZED (
         |  SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e
-        |), a0 AS (
+        |), a0 AS MATERIALIZED (
         |  SELECT DISTINCT a AS node FROM und
         |)""".stripMargin
     val steps = (1 to levels).map { i =>
-      s"""a$i AS (
+      s"""a$i AS MATERIALIZED (
          |  SELECT node FROM (
          |    SELECT und.a AS node, count(*) AS c
          |    FROM und

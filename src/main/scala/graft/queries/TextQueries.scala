@@ -491,9 +491,21 @@ object TextQueries extends QueryGroup {
           .agg(count(lit(1)).as("n_docs"),
             (count(lit(1)) === sum(when(col("h_in") === col("h_back"), 1L)
               .otherwise(0L))).as("all_match"))
-        matches.crossJoin(capsOk)
+        // force the single summary row now so the shard directory can
+        // be deleted before returning (lazy evaluation would need the
+        // files to outlive this gate — they leaked one dir per run)
+        val out = matches.crossJoin(capsOk)
           .select(col("n_docs"), col("all_match"), col("caps_ok"))
-      } finally shards.unpersist(blocking = false)
+        val rows = out.collect().toSeq
+        s.createDataFrame(
+          s.sparkContext.parallelize(rows, 1), out.schema)
+      } finally {
+        shards.unpersist(blocking = false)
+        val root = java.nio.file.Paths.get(tmp)
+        java.nio.file.Files.walk(root).sorted(
+          java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
     },
 
     q("q_multimodal_decode",

@@ -86,6 +86,28 @@ object StageAudit {
     collapsed(collector.drain(), cores)
   }
 
+  /** Like [[auditOne]] but also returns the dominant stage whether or
+    * not it trips the collapse criterion — the per-round
+    * STAGEAUDIT.json artifact records every query so collapse
+    * regressions are diffable round-over-round without a re-run.
+    */
+  def auditOneFull(spark: SparkSession, cores: Int,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+      dir: String, collector: Collector)
+      : (Option[(StageStat, Double)], Option[(StageStat, Double)]) = {
+    collector.drain()
+    fn(spark, dir).write.format("noop").mode("overwrite").save()
+    val stats = collector.drain()
+    val dom =
+      if (stats.isEmpty) None
+      else {
+        val total = stats.map(_.runTimeMs).sum.max(1L)
+        val d = stats.maxBy(_.runTimeMs)
+        Some((d, d.runTimeMs.toDouble / total))
+      }
+    (collapsed(stats, cores), dom)
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -102,12 +124,23 @@ object StageAudit {
       case Some(list) => list.split(',').toSeq.filter(queries.contains)
       case None => graft.Bench.headline.filter(queries.contains)
     }
+    val rows = new scala.collection.mutable.ArrayBuffer[String]()
     val flags = names.flatMap { name =>
-      val r = try auditOne(spark, cpus, queries(name), dir, collector)
-      catch { case e: Throwable =>
-        println(s"AUDIT $name: ERROR ${e.getMessage}"); None
+      val (r, dom) =
+        try auditOneFull(spark, cpus, queries(name), dir, collector)
+        catch { case e: Throwable =>
+          println(s"AUDIT $name: ERROR ${e.getMessage}")
+          rows += s""""$name":{"error":true}"""
+          (None, None)
+        }
+        finally graft.ml.Dedup.unpersistPipelineCaches()
+      dom.foreach { case (st, share) =>
+        val shareStr =
+          String.format(java.util.Locale.ROOT, "%.3f", Double.box(share))
+        rows += s""""$name":{"dominant_tasks":${st.numTasks},""" +
+          s""""run_ms":${st.runTimeMs},"share":$shareStr,""" +
+          s""""collapsed":${r.isDefined}}"""
       }
-      finally graft.ml.Dedup.unpersistPipelineCaches()
       r match {
         case Some((st, share)) =>
           println(f"AUDIT $name: COLLAPSED dominant stage ${st.stageId} " +
@@ -120,6 +153,13 @@ object StageAudit {
       }
     }
     println(s"AUDIT done: ${flags.size} flagged of ${names.size}")
+    val json = s"""{"cores":$cpus,"sf_dir":"$dir","flagged":${flags.size},""" +
+      s""""queries":{${rows.mkString(",")}}}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("STAGEAUDIT.json"), json + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[audit] STAGEAUDIT.json write failed: ${e.getMessage}")
+    }
     spark.stop()
     if (flags.nonEmpty) sys.exit(1)
   }

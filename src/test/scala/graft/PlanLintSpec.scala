@@ -157,9 +157,10 @@ class PlanLintSpec extends SparkSpec {
       "global-window" ->
         "±12-bucket trend window over the (time-range/3600)-row bucket-count table",
       "cartesian" ->
-        "1-row seasonal-center aggregate broadcast onto the bucket table"),
-    "q_multimodal_tar" -> Map("cartesian" ->
-      "1-row match-count × 1-row cap-check × 1-row max-doc aggregates"))
+        "1-row seasonal-center aggregate broadcast onto the bucket table"))
+  // q_multimodal_tar's former cartesian entry dropped in round 8: the
+  // gate now collects its 1-row summary eagerly (so the shard temp dir
+  // can be deleted) and returns a parallelized literal — no join plan.
 
   test("every cartesian/global-window in any gate plan is whitelisted") {
     val dir = sf("sf0.001")

@@ -106,6 +106,36 @@ def main():
         flag = "PASS" if status.startswith(("OK", "ROWS_ONLY")) else "FAIL"
         print(f"{flag}  {name}: {status[:300]}")
     print(f"\n{n_pass} pass / {n_fail} fail")
+    # Persist the compare result so the round artifact exists even if
+    # stdout is lost (two rounds running the driver's CORRECTNESS came
+    # back empty; the repo-root summary is the durable fallback).
+    # GRAFT_CHECK_SUMMARY overrides the output path; chunked sf0.1 runs
+    # point it at per-chunk files and merge afterwards.
+    summary_path = os.environ.get(
+        "GRAFT_CHECK_SUMMARY",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "CORRECTNESS_SUMMARY.json"))
+    summary = {"pass": n_pass, "fail": n_fail, "sf_dir": sf_dir,
+               "queries": {n: results[n][:300] for n in names}}
+    if summary_path and summary_path != "-":
+        # merge into an existing summary (chunked runs append)
+        if os.environ.get("GRAFT_CHECK_MERGE") and os.path.exists(summary_path):
+            try:
+                prev = json.load(open(summary_path))
+                merged = dict(prev.get("queries", {}))
+                merged.update(summary["queries"])
+                ok = ("OK", "ROWS_ONLY")
+                summary = {
+                    "pass": sum(1 for v in merged.values() if v.startswith(ok)),
+                    "fail": sum(1 for v in merged.values() if not v.startswith(ok)),
+                    "sf_dir": sf_dir, "queries": merged}
+            except Exception as e:
+                print(f"WARN: could not merge {summary_path}: {e}")
+        tmp = summary_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(summary, f, indent=1, sort_keys=True)
+        os.replace(tmp, summary_path)
+        print(f"wrote {summary_path}")
     sys.exit(1 if n_fail else 0)
 
 
