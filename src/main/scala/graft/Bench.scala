@@ -152,7 +152,15 @@ object Bench {
     "q_eval_chrf",
     "q_events_holtwinters",
     "q_pref_dpo",
-    "q_eval_conformal")
+    "q_eval_conformal",
+    // round-21 second batch: sequence mining (two lead windows + one
+    // pattern agg), RFM (user agg + distinct-value quintiles),
+    // quantile normalization (bucketed pooled-position join),
+    // Matryoshka recall (4 bounded brute-force passes)
+    "q_events_seqpat",
+    "q_events_rfm",
+    "q_text_quantile_norm",
+    "q_embed_matryoshka")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

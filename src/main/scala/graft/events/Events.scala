@@ -724,6 +724,104 @@ object Events {
       .select("bucket", "phase", "y", "trend", "seasonal", "residual")
   }
 
+  /** RFM segmentation: per user recency (seconds since last event at
+    * `asOfSec`), frequency (event count) and monetary (value sum),
+    * each scored into `k` quantile buckets, 1 = worst, k = best
+    * (recent / frequent / high-spend). Returns (user, recency,
+    * frequency, monetary, r_score, f_score, m_score, rfm) with rfm
+    * the concatenated "RFM" digit code.
+    *
+    * Bucketing is TIE-COHERENT, not ntile: score(v) = 1 +
+    * floor(cum_before(v) · k / N) over the per-dimension
+    * distinct-VALUE cumulative count table, so equal values always
+    * land in the same bucket (ntile splits ties across buckets by
+    * arbitrary row order — non-reproducible across engines) and the
+    * window runs over distinct values, never a global row sort of
+    * the user table (the [[graft.ml.Eval.rocAuc]] midrank shape).
+    * Better dimensions sort DESC for recency (small = recent = high
+    * cum_before share... handled by scoring −recency) and ASC for
+    * frequency/monetary.
+    *
+    * Scale shape: one user hash aggregate collapses events to one
+    * row per user; each dimension adds a distinct-value count
+    * aggregate + a bounded cumulative window + one value-keyed join
+    * back.
+    */
+  def rfmSegments(events: DataFrame, userCol: String, secCol: String,
+      valueCol: String, asOfSec: Long, k: Int = 5): DataFrame = {
+    require(k >= 2, "need at least 2 buckets")
+    val W = org.apache.spark.sql.expressions.Window
+    val users = events
+      .select(col(userCol).as("user"), col(secCol).cast("long").as("sec"),
+        col(valueCol).cast("double").as("v"))
+      .groupBy("user")
+      .agg((lit(asOfSec) - max("sec")).as("recency"),
+        count(lit(1)).as("frequency"),
+        // monetary is rounded to cents BEFORE bucketing: the true sum
+        // of 2-decimal values is an exact multiple of 0.01, so the
+        // round kills the engine-dependent summation-order ulp noise
+        // that would otherwise split "equal" spenders across buckets
+        round(sum("v"), 2).as("monetary"))
+
+    // score(v): tie-coherent bucket 1 + floor(cum_before * k / N)
+    // over the distinct-value cumulative table
+    def scored(dim: String, asc: Boolean): DataFrame = {
+      val vals = users.groupBy(col(dim).as("v"))
+        .agg(count(lit(1)).as("c"))
+      val w = W.orderBy(if (asc) col("v").asc else col("v").desc)
+        .rowsBetween(W.unboundedPreceding, -1)
+      val tot = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+      vals
+        .withColumn("cb", coalesce(sum("c").over(w), lit(0L)))
+        .withColumn("n", sum("c").over(tot))
+        .select(col("v").as(dim),
+          (lit(1) + floor(col("cb") * k / col("n"))).cast("int")
+            .as(s"${dim.charAt(0)}_score"))
+    }
+    users
+      .join(scored("recency", asc = false), Seq("recency"))
+      .join(scored("frequency", asc = true), Seq("frequency"))
+      .join(scored("monetary", asc = true), Seq("monetary"))
+      .select(col("user"), col("recency"), col("frequency"),
+        col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score"), col("f_score"), col("m_score")).as("rfm"))
+  }
+
+  /** Ordered event-type n-gram mining (PrefixSpan-lite for the
+    * overwhelmingly common "what sequences happen" ask): per user the
+    * time-ordered event-type sequence, sliding windows of length n
+    * counted corpus-wide, patterns below `minSupport` users dropped.
+    * Counting is PER OCCURRENCE (a user repeating a pattern counts
+    * each time) with a parallel distinct-user support column.
+    * Returns (pattern, occurrences, users).
+    *
+    * Scale shape: one user shuffle for the lead windows, then one
+    * pattern hash aggregate — no per-user state beyond the n−1 lead
+    * columns; ties in simultaneous events break on event id for a
+    * deterministic sequence.
+    */
+  def sequentialPatterns(events: DataFrame, userCol: String,
+      secCol: String, idCol: String, typeCol: String, n: Int,
+      minSupport: Long = 1L): DataFrame = {
+    require(n >= 2 && n <= 5, "pattern length 2..5")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user").orderBy(col("sec").asc, col("eid").asc)
+    val base = events.select(col(userCol).as("user"),
+      col(secCol).cast("long").as("sec"), col(idCol).as("eid"),
+      col(typeCol).as("t0"))
+    val withLeads = (1 until n).foldLeft(base) { (d, i) =>
+      d.withColumn(s"t$i", lead(col("t0"), i).over(w))
+    }
+    val pat = concat_ws(">", (0 until n).map(i => col(s"t$i")): _*)
+    withLeads
+      .filter(col(s"t${n - 1}").isNotNull)
+      .select(col("user"), pat.as("pattern"))
+      .groupBy("pattern")
+      .agg(count(lit(1)).as("occurrences"),
+        countDistinct("user").as("users"))
+      .filter(col("users") >= minSupport)
+  }
+
   /** Holt–Winters additive triple exponential smoothing per series:
     * bucket counts per (series key, floor(sec/periodSec)) with the
     * dense per-key bucket range zero-filled (an empty period is a

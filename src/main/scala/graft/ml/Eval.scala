@@ -582,4 +582,69 @@ object Eval {
         when(col("pe") < 1.0,
           (col("po") - col("pe")) / (lit(1.0) - col("pe"))).as("kappa"))
   }
+
+  /** One-way ANOVA F statistic across groups — "does ANY variant
+    * move the metric" before pairwise tests: decompose total sum of
+    * squares into between-group and within-group parts via the
+    * computational identities SSB = Σ_g s_g²/n_g − S²/N and
+    * SSW = Σx² − Σ_g s_g²/n_g (s_g = group sum, S = grand sum).
+    * Returns one row (k, n, ss_between, ss_within, f, eta_sq) with
+    * F = (SSB/(k−1)) / (SSW/(N−k)), NULL when a denominator
+    * degenerates (k < 2 or N ≤ k or SSW = 0); eta_sq = SSB/SST is
+    * the effect size. No p-value — like [[chiSquared]], the statistic
+    * is the distributed part, threshold lookup is the caller's.
+    *
+    * Scale shape: one (group) hash aggregate collapses the corpus to
+    * k rows, then one k-row aggregate — the corpus is scanned once.
+    */
+  def anovaF(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val per = df.select(col(groupCol).as("g"),
+        col(valueCol).cast("double").as("x"))
+      .groupBy("g").agg(count(lit(1)).as("ng"), sum("x").as("sg"),
+        sum(col("x") * col("x")).as("qg"))
+    per.agg(count(lit(1)).as("k"), sum("ng").as("n"),
+        sum(col("sg") * col("sg") / col("ng")).as("gs"),
+        sum("sg").as("s"), sum("qg").as("q"))
+      .select(col("k"), col("n"),
+        (col("gs") - col("s") * col("s") / col("n")).as("ss_between"),
+        (col("q") - col("gs")).as("ss_within"))
+      .select(col("k"), col("n"), col("ss_between"), col("ss_within"),
+        when(col("k") > 1 && col("n") > col("k") && col("ss_within") > 0,
+          (col("ss_between") / (col("k") - 1)) /
+            (col("ss_within") / (col("n") - col("k")))).as("f"),
+        when(col("ss_between") + col("ss_within") > 0,
+          col("ss_between") / (col("ss_between") + col("ss_within")))
+          .as("eta_sq"))
+  }
+
+  /** Benjamini–Hochberg FDR step-up over a table of hypothesis
+    * p-values — the multiple-comparison correction for a metrics
+    * dashboard that tests dozens of (metric, segment) cells per
+    * experiment. adjusted_i = min_{j ≥ i} (p_j · m / j) clamped to 1
+    * (ranks ascending by (p, test) so ties are deterministic);
+    * significant = adjusted ≤ alpha, which reproduces the classic
+    * step-up decision set. Returns (test, p, rank, p_adj,
+    * significant).
+    *
+    * Scale contract: one row per HYPOTHESIS (panel-sized — the
+    * experiment count, not the corpus), so the two global windows run
+    * over a bounded table; every corpus-sized reduction happens
+    * upstream in the tests that produced the p-values.
+    */
+  def bhFdr(df: DataFrame, testCol: String, pCol: String,
+      alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha in (0,1)")
+    val byP = Window.orderBy(col("p"), col("test"))
+    val tail = Window.orderBy(col("rank"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    df.select(col(testCol).as("test"), col(pCol).cast("double").as("p"))
+      .withColumn("rank", row_number().over(byP))
+      .withColumn("m", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("p_adj",
+        least(min(col("p") * col("m") / col("rank")).over(tail), lit(1.0)))
+      .withColumn("significant", col("p_adj") <= alpha)
+      .select("test", "p", "rank", "p_adj", "significant")
+  }
 }

@@ -583,4 +583,63 @@ object Profile {
           .otherwise(lit(0.0)))
       .orderBy("i")
   }
+
+  /** Quantile normalization across strata: map every row's value onto
+    * the POOLED distribution's quantile at the row's within-stratum
+    * rank — the cross-source score harmonizer (a "0.8" from an
+    * easy-grading source and a "0.5" from a harsh one land on
+    * comparable pooled values before any global threshold is
+    * applied). The mapping is fully discrete: within stratum g of
+    * size n_g, the row ranked r (row_number by (value, id)) targets
+    * pooled position ⌈r · N / n_g⌉ and receives the pooled value
+    * whose cumulative count first reaches that position — no
+    * interpolating percentile, so any engine replays it exactly.
+    * Returns the rows + (stratum_rank, pooled_pos, normalized).
+    *
+    * Scale shape: per-stratum rank windows (partitioned), ONE
+    * distinct-VALUE cumulative window on the pooled side (the
+    * midrank discipline — never a global row sort of the corpus),
+    * and a cum-range join (cb < pos ≤ cb + c) that is an
+    * interval-bucketed lookup, not all-pairs.
+    */
+  def quantileNormalize(df: DataFrame, idCol: String, strataCol: String,
+      valueCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("id"), col(strataCol).as("stratum"),
+      col(valueCol).cast("double").as("v"))
+    val perStratum = W.partitionBy("stratum")
+      .orderBy(col("v").asc, col("id").asc)
+    val sized = base
+      .withColumn("stratum_rank", row_number().over(perStratum))
+      .withColumn("ng", count(lit(1)).over(W.partitionBy("stratum")))
+    val pooledVals = base.groupBy(col("v").as("pv"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cb", coalesce(sum("c").over(
+        W.orderBy("pv").rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+    val n = base.groupBy().agg(count(lit(1)).as("n_total"))
+    // position→value lookup as a BUCKETED interval join (the
+    // q_join_interval shape): a pooled value covers positions
+    // (cb, cb+c]; both sides key on floor((pos−1)·B/N) so the range
+    // predicate only runs within a bucket, never all-pairs
+    val B = 1024
+    val intervals = pooledVals.crossJoin(broadcast(n))
+      .withColumn("bkt", explode(sequence(
+        floor(col("cb") * B / col("n_total")),
+        floor((col("cb") + col("c") - 1) * B / col("n_total")))))
+      .select(col("bkt"), col("pv"), col("c"), col("cb"))
+    sized.crossJoin(broadcast(n))
+      // double math (not long·long) so the rank×N product can't
+      // overflow at corpus scale; the oracle spells the identical
+      // expression
+      .withColumn("pooled_pos",
+        ceil(col("stratum_rank").cast("double") * col("n_total") /
+          col("ng")).cast("long"))
+      .withColumn("bkt",
+        floor((col("pooled_pos") - 1) * B / col("n_total")))
+      .join(intervals, Seq("bkt"))
+      .filter(col("cb") < col("pooled_pos") &&
+        col("pooled_pos") <= col("cb") + col("c"))
+      .select(col("id"), col("stratum"), col("v"), col("stratum_rank"),
+        col("pooled_pos"), col("pv").as("normalized"))
+  }
 }

@@ -841,4 +841,36 @@ object Similarity {
         col("margin") >= minMargin)
       .select(col("a_id"), col("b_id"), col("cos"), col("margin"))
   }
+
+  /** Matryoshka-truncation retrieval eval: recall@k of brute-force
+    * cosine search run on PREFIX-truncated embeddings (the MRL
+    * deployment question — how many leading dimensions does the
+    * adaptive-retrieval fast pass need?) against the full-dimension
+    * top-k as ground truth. Returns (dim, qid, hits, recall) per
+    * probe per truncation width; recall = |truncated ∩ full| / k.
+    *
+    * Scale shape: one [[bruteForceTopK]] pass per width + the full
+    * pass (each: broadcast probes, one corpus scan, bounded top-k
+    * aggregation — the documented probe-side-bounded contract), then
+    * an (qid, cid) hash semi-join per width. Truncation is a slice
+    * projection; no vector is rewritten or re-stored.
+    */
+  def matryoshkaRecall(corpus: DataFrame, probes: DataFrame,
+      dims: Seq[Int], k: Int): DataFrame = {
+    require(dims.nonEmpty && k >= 1)
+    val full = bruteForceTopK(probes, corpus, k)
+      .select(col("qid"), col("cid"), lit(1).as("hit"))
+    val perDim = dims.map { d =>
+      require(d >= 1)
+      val tc = corpus.select(col("id"), slice(col("vec"), 1, d).as("vec"))
+      val tp = probes.select(col("id"), slice(col("vec"), 1, d).as("vec"))
+      bruteForceTopK(tp, tc, k)
+        .select(lit(d).as("dim"), col("qid"), col("cid"))
+    }.reduce(_ unionAll _)
+    perDim.join(full, Seq("qid", "cid"), "left")
+      .groupBy("dim", "qid")
+      .agg(sum(coalesce(col("hit"), lit(0))).as("hits"))
+      .select(col("dim"), col("qid"), col("hits"),
+        (col("hits").cast("double") / k).as("recall"))
+  }
 }

@@ -342,6 +342,227 @@ object CurationQueries extends QueryGroup {
           round(col("qhat"), 6).as("qhat"), col("n_eval"), col("covered"),
           round(col("coverage"), 6).as("coverage"))
         .orderBy("group")
+    },
+
+    // one-way ANOVA F across event types. Group sums are rounded to
+    // their exact decimal grid (values have 2 decimals → sums are
+    // 0.01-multiples) before the SS algebra so engine summation-order
+    // ulps can't leak into the 6-decimal compare.
+    q("q_eval_anova",
+      """WITH per AS (
+        |  SELECT event_type AS g, count(*) AS ng,
+        |    round(sum(value), 2) AS sg, round(sum(value * value), 4) AS qg
+        |  FROM events GROUP BY 1
+        |), agg AS (
+        |  SELECT count(*) AS k, sum(ng) AS n, sum(sg * sg / ng) AS gs,
+        |    sum(sg) AS s, sum(qg) AS q FROM per
+        |)
+        |SELECT k, n, round(gs - s * s / n, 3) AS ss_between,
+        |  round(q - gs, 3) AS ss_within,
+        |  round(CASE WHEN k > 1 AND n > k AND q - gs > 0
+        |    THEN ((gs - s * s / n) / (k - 1)) / ((q - gs) / (n - k))
+        |    END, 6) AS f,
+        |  round(CASE WHEN (gs - s * s / n) + (q - gs) > 0
+        |    THEN (gs - s * s / n) / ((gs - s * s / n) + (q - gs))
+        |    END, 6) AS eta_sq
+        |FROM agg""".stripMargin) { (s, dir) =>
+      // the kernel computes raw sums; replicate the decimal-grid
+      // rounding by pre-collapsing to the same rounded group stats
+      val per = t(s, dir, "events")
+        .groupBy(col("event_type").as("g"))
+        .agg(count(lit(1)).as("ng"), round(sum("value"), 2).as("sg"),
+          round(sum(col("value") * col("value")), 4).as("qg"))
+      per.agg(count(lit(1)).as("k"), sum("ng").as("n"),
+          sum(col("sg") * col("sg") / col("ng")).as("gs"),
+          sum("sg").as("s"), sum("qg").as("q"))
+        .select(col("k"), col("n"),
+          round(col("gs") - col("s") * col("s") / col("n"), 3)
+            .as("ss_between"),
+          round(col("q") - col("gs"), 3).as("ss_within"),
+          round(when(col("k") > 1 && col("n") > col("k") &&
+              col("q") - col("gs") > 0,
+            ((col("gs") - col("s") * col("s") / col("n")) / (col("k") - 1)) /
+              ((col("q") - col("gs")) / (col("n") - col("k")))), 6).as("f"),
+          round(when((col("gs") - col("s") * col("s") / col("n")) +
+              (col("q") - col("gs")) > 0,
+            (col("gs") - col("s") * col("s") / col("n")) /
+              ((col("gs") - col("s") * col("s") / col("n")) +
+                (col("q") - col("gs")))), 6).as("eta_sq"))
+    },
+
+    // Benjamini–Hochberg step-up over 20 per-source pseudo p-values
+    // (deterministic construction from the data itself).
+    q("q_eval_bh_fdr",
+      """WITH tests AS (
+        |  SELECT source AS test, (sum(doc_id) % 1000) / 1000.0 AS p
+        |  FROM documents GROUP BY 1
+        |), ranked AS (
+        |  SELECT test, p, row_number() OVER (ORDER BY p, test) AS rank,
+        |    count(*) OVER () AS m
+        |  FROM tests
+        |)
+        |SELECT test, round(p, 6) AS p, CAST(rank AS BIGINT) AS rank,
+        |  round(least(min(p * m / rank) OVER (ORDER BY rank
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 1.0), 6)
+        |    AS p_adj,
+        |  least(min(p * m / rank) OVER (ORDER BY rank
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 1.0) <= 0.05
+        |    AS significant
+        |FROM ranked ORDER BY test""".stripMargin) { (s, dir) =>
+      val tests = t(s, dir, "documents")
+        .groupBy(col("source").as("test"))
+        .agg((sum("doc_id") % 1000 / 1000.0).as("p"))
+      graft.ml.Eval.bhFdr(tests, "test", "p", alpha = 0.05)
+        .select(col("test"), round(col("p"), 6).as("p"),
+          col("rank").cast("long").as("rank"),
+          round(col("p_adj"), 6).as("p_adj"), col("significant"))
+        .orderBy("test")
+    },
+
+    // RFM quintile segmentation as of 2024-01-31 00:00 UTC
+    // (1706659200): tie-coherent buckets from distinct-value
+    // cumulative counts — never an ntile over arbitrary row order.
+    q("q_events_rfm",
+      """WITH u AS (
+        |  SELECT user_id AS "user",
+        |    1706659200 - max(CAST(floor(epoch(ts)) AS BIGINT)) AS recency,
+        |    count(*) AS frequency, round(sum(value), 2) AS monetary
+        |  FROM events GROUP BY 1
+        |), rv AS (SELECT recency AS v, count(*) AS c FROM u GROUP BY 1),
+        |rs AS (
+        |  SELECT v AS recency, CAST(1 + floor(coalesce(sum(c) OVER (
+        |    ORDER BY v DESC ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    1 PRECEDING), 0) * 5 / (sum(c) OVER ())) AS INT) AS r_score
+        |  FROM rv
+        |), fv AS (SELECT frequency AS v, count(*) AS c FROM u GROUP BY 1),
+        |fs AS (
+        |  SELECT v AS frequency, CAST(1 + floor(coalesce(sum(c) OVER (
+        |    ORDER BY v ASC ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    1 PRECEDING), 0) * 5 / (sum(c) OVER ())) AS INT) AS f_score
+        |  FROM fv
+        |), mv AS (SELECT monetary AS v, count(*) AS c FROM u GROUP BY 1),
+        |ms AS (
+        |  SELECT v AS monetary, CAST(1 + floor(coalesce(sum(c) OVER (
+        |    ORDER BY v ASC ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    1 PRECEDING), 0) * 5 / (sum(c) OVER ())) AS INT) AS m_score
+        |  FROM mv
+        |)
+        |SELECT u."user", u.recency, u.frequency, u.monetary,
+        |  rs.r_score, fs.f_score, ms.m_score,
+        |  rs.r_score || '' || fs.f_score || '' || ms.m_score AS rfm
+        |FROM u JOIN rs USING (recency) JOIN fs USING (frequency)
+        |  JOIN ms USING (monetary)
+        |ORDER BY u."user"""".stripMargin) { (s, dir) =>
+      val evd = t(s, dir, "events")
+      Events.rfmSegments(
+          evd.select(col("user_id"), graft.core.Ts.seconds(evd).as("sec"),
+            col("value")),
+          "user_id", "sec", "value", asOfSec = 1706659200L, k = 5)
+        .orderBy("user")
+    },
+
+    // ordered event-type trigram mining (PrefixSpan-lite) with
+    // distinct-user support >= 50.
+    q("q_events_seqpat",
+      """WITH e AS (
+        |  SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    event_id AS eid, event_type AS t0
+        |  FROM events
+        |), led AS (
+        |  SELECT u, t0,
+        |    lead(t0, 1) OVER (PARTITION BY u ORDER BY sec, eid) AS t1,
+        |    lead(t0, 2) OVER (PARTITION BY u ORDER BY sec, eid) AS t2
+        |  FROM e
+        |)
+        |SELECT t0 || '>' || t1 || '>' || t2 AS pattern,
+        |  count(*) AS occurrences, count(DISTINCT u) AS users
+        |FROM led WHERE t2 IS NOT NULL
+        |GROUP BY 1 HAVING count(DISTINCT u) >= 50
+        |ORDER BY pattern""".stripMargin) { (s, dir) =>
+      val evd = t(s, dir, "events")
+      Events.sequentialPatterns(
+          evd.select(col("user_id"), graft.core.Ts.seconds(evd).as("sec"),
+            col("event_id"), col("event_type")),
+          "user_id", "sec", "event_id", "event_type", n = 3,
+          minSupport = 50L)
+        .orderBy("pattern")
+    },
+
+    // quantile normalization of n_chars across sources: discrete
+    // rank→pooled-order-statistic mapping, all-integer values so the
+    // compare is exact.
+    q("q_text_quantile_norm",
+      """WITH base AS (
+        |  SELECT doc_id AS id, source AS stratum,
+        |    CAST(n_chars AS DOUBLE) AS v
+        |  FROM documents
+        |), sized AS (
+        |  SELECT id, stratum, v,
+        |    row_number() OVER (PARTITION BY stratum ORDER BY v, id)
+        |      AS stratum_rank,
+        |    count(*) OVER (PARTITION BY stratum) AS ng,
+        |    (SELECT count(*) FROM base) AS n_total
+        |  FROM base
+        |), pooled AS (
+        |  SELECT v AS pv, count(*) AS c,
+        |    coalesce(sum(count(*)) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM base GROUP BY v
+        |), pos AS (
+        |  SELECT id, stratum, v, stratum_rank,
+        |    CAST(ceil(CAST(stratum_rank AS DOUBLE) * n_total / ng)
+        |      AS BIGINT) AS pooled_pos
+        |  FROM sized
+        |)
+        |SELECT p.id, p.stratum, p.v,
+        |  CAST(p.stratum_rank AS BIGINT) AS stratum_rank, p.pooled_pos,
+        |  pl.pv AS normalized
+        |FROM pos p JOIN pooled pl
+        |  ON pl.cb < p.pooled_pos AND p.pooled_pos <= pl.cb + pl.c
+        |ORDER BY p.id""".stripMargin) { (s, dir) =>
+      graft.ml.Profile.quantileNormalize(
+          t(s, dir, "documents").select(col("doc_id"), col("source"),
+            col("n_chars")),
+          "doc_id", "source", "n_chars")
+        .select(col("id"), col("stratum"), col("v"),
+          col("stratum_rank").cast("long").as("stratum_rank"),
+          col("pooled_pos"), col("normalized"))
+        .orderBy("id")
+    },
+
+    // Matryoshka truncation eval: brute-force recall@5 at prefix
+    // widths 8/16/32 vs the full 64-dim top-5, probes = vec_id < 10.
+    q("q_embed_matryoshka", {
+      def topk(dim: Option[Int]): String = {
+        val v = dim.map(d => s"CAST(q.embedding[1:$d] AS DOUBLE[])")
+          .getOrElse("CAST(q.embedding AS DOUBLE[])")
+        val c = dim.map(d => s"CAST(c.embedding[1:$d] AS DOUBLE[])")
+          .getOrElse("CAST(c.embedding AS DOUBLE[])")
+        s"""SELECT q.vec_id AS qid, c.vec_id AS cid
+           |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+           |  WHERE q.vec_id < 10
+           |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+           |    ORDER BY list_cosine_similarity($v, $c) DESC, c.vec_id)
+           |    <= 5""".stripMargin
+      }
+      val parts = Seq(8, 16, 32).map(d =>
+        s"SELECT $d AS dim, qid AS tqid, cid AS tcid FROM (${topk(Some(d))})")
+        .mkString(" UNION ALL ")
+      s"""WITH full_top AS MATERIALIZED (${topk(None)}),
+         |trunc_top AS ($parts)
+         |SELECT t.dim, t.tqid AS qid, CAST(count(f.cid) AS BIGINT) AS hits,
+         |  round(count(f.cid) * 1.0::DOUBLE / 5, 6) AS recall
+         |FROM trunc_top t
+         |LEFT JOIN full_top f ON f.qid = t.tqid AND f.cid = t.tcid
+         |GROUP BY 1, 2 ORDER BY dim, qid""".stripMargin
+    }) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      graft.ml.Similarity.matryoshkaRecall(e, e.filter(col("id") < 10),
+          dims = Seq(8, 16, 32), k = 5)
+        .select(col("dim"), col("qid"), col("hits"),
+          round(col("recall"), 6).as("recall"))
+        .orderBy("dim", "qid")
     }
   )
 }

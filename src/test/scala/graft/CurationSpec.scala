@@ -169,4 +169,123 @@ class CurationSpec extends SparkSpec {
     assert(margined.map(r => (r.getString(0), r.getString(2))).toSet ===
       Set(("p1", "r1")))
   }
+
+  test("anovaF: textbook two-group and degenerate cases") {
+    import spark.implicits._
+    // groups {1,2,3} and {4,5,6}: means 2 and 5, grand 3.5
+    // SSB = 3(2-3.5)^2 + 3(5-3.5)^2 = 13.5; SSW = 2+2 = 4
+    // F = (13.5/1)/(4/4) = 13.5
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 4.0), ("b", 5.0), ("b", 6.0)).toDF("g", "x")
+    val r = graft.ml.Eval.anovaF(df, "x", "g").collect().head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 6L)
+    assert(math.abs(r.getDouble(2) - 13.5) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 4.0) < 1e-9)
+    assert(math.abs(r.getDouble(4) - 13.5) < 1e-9)
+    assert(math.abs(r.getDouble(5) - 13.5 / 17.5) < 1e-9)
+    // one group → F undefined
+    val one = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "x")
+    assert(graft.ml.Eval.anovaF(one, "x", "g").collect().head.isNullAt(4))
+  }
+
+  test("bhFdr: step-up adjustment matches the textbook example") {
+    import spark.implicits._
+    // classic: p = .01 .04 .03 .005 with m=4 →
+    // sorted .005 .01 .03 .04; p*m/i = .02 .02 .04 .04
+    // running min from the tail: .02 .02 .04 .04
+    val df = Seq(("t1", 0.01), ("t2", 0.04), ("t3", 0.03), ("t4", 0.005))
+      .toDF("test", "p")
+    val got = graft.ml.Eval.bhFdr(df, "test", "p", alpha = 0.05)
+      .collect().map(r => r.getString(0) ->
+        ((r.getInt(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got("t4") === ((1, 0.02, true)))
+    assert(got("t1") === ((2, 0.02, true)))
+    assert(got("t3") === ((3, 0.04, true)))
+    assert(got("t2") === ((4, 0.04, true)))
+    // adjusted values clamp at 1
+    val high = Seq(("a", 0.9), ("b", 0.99)).toDF("test", "p")
+    assert(graft.ml.Eval.bhFdr(high, "test", "p").collect()
+      .forall(r => r.getDouble(3) <= 1.0))
+  }
+
+  test("rfmSegments: tie-coherent buckets and score orientation") {
+    import spark.implicits._
+    // 10 users, user i has (i+1) events at sec = 100*i (last event),
+    // value 10*(i+1) total → higher i = more recent, more frequent,
+    // higher spend → all three scores increase with i
+    val rows = (0 until 10).flatMap { i =>
+      (0 to i).map(j => (i.toLong, 100L * i - j, 10.0))
+    }
+    val df = rows.toDF("u", "sec", "v")
+    val got = graft.events.Events.rfmSegments(df, "u", "sec", "v",
+      asOfSec = 10000L, k = 5)
+      .orderBy("user").collect()
+    val r = got.map(_.getInt(4)); val f = got.map(_.getInt(5))
+    val m = got.map(_.getInt(6))
+    // 10 distinct values into 5 buckets → exactly 2 users per bucket
+    assert(r.toSeq === Seq(1, 1, 2, 2, 3, 3, 4, 4, 5, 5))
+    assert(f.toSeq === r.toSeq && m.toSeq === r.toSeq)
+    assert(got.head.getString(7) === "111" && got.last.getString(7) === "555")
+    // ties: all users same monetary → all land in bucket 1 together
+    val tied = Seq((1L, 10L, 5.0), (2L, 20L, 5.0), (3L, 30L, 5.0))
+      .toDF("u", "sec", "v")
+    val tg = graft.events.Events.rfmSegments(tied, "u", "sec", "v",
+      asOfSec = 100L, k = 5).collect()
+    assert(tg.map(_.getInt(6)).toSet === Set(1))
+  }
+
+  test("sequentialPatterns: ordered n-grams with occurrence and user counts") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1L, 10L, "a"), (1L, 2L, 11L, "b"), (1L, 3L, 12L, "a"),
+      (1L, 4L, 13L, "b"),
+      (2L, 1L, 20L, "a"), (2L, 2L, 21L, "b"), (2L, 3L, 22L, "c"))
+      .toDF("u", "sec", "eid", "t")
+    val got = graft.events.Events.sequentialPatterns(df, "u", "sec", "eid",
+      "t", n = 2).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("a>b") === ((3L, 2L))) // twice for user 1, once for user 2
+    assert(got("b>a") === ((1L, 1L)))
+    assert(got("b>c") === ((1L, 1L)))
+    assert(!got.contains("a>c"))
+  }
+
+  test("quantileNormalize: rank-to-pooled-order-statistic mapping") {
+    import spark.implicits._
+    // strata A = {1,2,3,4}, B = {10,20} → pooled sorted:
+    // 1,2,3,4,10,20 (N=6). B's rank 1 → pos ceil(1*6/2)=3 → value 3;
+    // B's rank 2 → pos 6 → 20. A's rank r → pos ceil(r*6/4)
+    val df = Seq((1L, "A", 1.0), (2L, "A", 2.0), (3L, "A", 3.0),
+      (4L, "A", 4.0), (5L, "B", 10.0), (6L, "B", 20.0))
+      .toDF("id", "s", "v")
+    val got = graft.ml.Profile.quantileNormalize(df, "id", "s", "v")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(4), r.getDouble(5)))).toMap
+    assert(got(5L) === ((3L, 3.0)))
+    assert(got(6L) === ((6L, 20.0)))
+    assert(got(1L) === ((2L, 2.0))) // ceil(6/4)=2
+    assert(got(4L) === ((6L, 20.0)))
+    // every row mapped exactly once
+    assert(got.size === 6)
+  }
+
+  test("matryoshkaRecall: full-width truncation recalls everything") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.9f, 0.1f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f, 0.0f))).toDF("id", "vec")
+    val got = graft.ml.Similarity.matryoshkaRecall(vecs,
+      vecs.filter(col("id") === 0), dims = Seq(4, 1), k = 2)
+      .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    // dim 4 = the full vectors → recall 1 by construction
+    assert(got(4) === 1.0)
+    // dim 1: neighbors ranked by first component only; vec 1 (0.9)
+    // still top, but 2/3/4 tie at 0 → tie-break by id keeps cid 2,
+    // while full-dim top-2 is {1, 2}... both present → recall 1;
+    // assert bounds rather than exact second place
+    assert(got(1) >= 0.5)
+  }
 }

@@ -157,7 +157,18 @@ class PlanLintSpec extends SparkSpec {
       "global-window" ->
         "±12-bucket trend window over the (time-range/3600)-row bucket-count table",
       "cartesian" ->
-        "1-row seasonal-center aggregate broadcast onto the bucket table"))
+        "1-row seasonal-center aggregate broadcast onto the bucket table"),
+    "q_eval_bh_fdr" -> Map("global-window" ->
+      ("rank/min windows over the hypothesis table (one row per test — " +
+        "panel-sized by contract, corpus reductions happen upstream)")),
+    "q_events_rfm" -> Map("global-window" ->
+      ("cumulative windows over per-dimension distinct-VALUE count " +
+        "tables (the rocAuc midrank shape), never the user table")),
+    "q_text_quantile_norm" -> Map(
+      "global-window" ->
+        "cumulative window over the pooled distinct-VALUE count table",
+      "cartesian" ->
+        "1-row corpus-count aggregate broadcast onto both sides"))
   // q_multimodal_tar's former cartesian entry dropped in round 8: the
   // gate now collects its 1-row summary eagerly (so the shard temp dir
   // can be deleted) and returns a parallelized literal — no join plan.
