@@ -143,8 +143,8 @@ object Bench {
     "q_events_seasonal",
     // round-21: RAKE phrase extraction (islands window + two hash
     // aggs), corpus TextRank (10 joined PR iterations on the word
-    // co-occurrence graph), chrF (one multi-order gram explode per
-    // side + clip join), Holt-Winters (bucket collapse + bounded
+    // co-occurrence graph), chrF (bounded per-pair multi-order gram
+    // kernel), Holt-Winters (bucket collapse + bounded
     // per-series recursion), DPO pairs (two prompt windows + self-
     // join), split conformal (per-group rank + coverage join)
     "q_text_rake",
@@ -158,9 +158,15 @@ object Bench {
     // quantile normalization (bucketed pooled-position join),
     // Matryoshka recall (4 bounded brute-force passes)
     "q_events_seqpat",
-    "q_events_rfm",
+    "q_events_rfm_exactq",
     "q_text_quantile_norm",
-    "q_embed_matryoshka")
+    "q_embed_matryoshka",
+    // round-21 third batch: signed feature hashing (explode + hash
+    // agg), token-label MI (distinct-presence counts + broadcast
+    // label totals), WoE/IV encoding (category agg + 1-row totals)
+    "q_text_feature_hash",
+    "q_text_token_mi",
+    "q_events_woe")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

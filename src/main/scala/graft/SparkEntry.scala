@@ -13,7 +13,7 @@ import graft.queries._
   */
 object SparkEntry {
 
-  private def groups: Seq[QueryGroup] = Seq(
+  private[graft] def groups: Seq[QueryGroup] = Seq(
     RelationalQueries,
     JoinStrategyQueries,
     TypedQueries,

@@ -356,66 +356,63 @@ object GenEval {
     * chrF = (1+β²)·P·R / (β²·P + R) (0 when both are 0). Returns
     * (id, chr_p, chr_r, chrf).
     *
-    * Scale shape: one explode per side emits (id, n, gram) for all
-    * orders in a single scan (the gram array is built once per row),
-    * then everything is hash aggregation + one (id, n, gram) join —
-    * the BLEU clip-join shape, never quadratic. The per-id mean
-    * folds a SORTED per-order array so float summation order is
-    * engine-independent.
+    * Scale shape: a bounded PER-PAIR kernel (the [[rougeL]]/[[wer]]
+    * discipline — narrow mapPartitions, one reusable count map, no
+    * gram ever shuffled): char grams are ~|text|·maxN per document,
+    * an order of magnitude denser than word n-grams, and the first
+    * cut of this metric as a BLEU-style explode + (id, n, gram)
+    * clip join benched 19.5 s at sf0.1 where this kernel runs ~1 s.
+    * P_n accumulates in fixed n = 1..maxN order so the float sum is
+    * engine-independent (the oracle folds the same order).
     */
   def chrF(df: DataFrame, idCol: String, candCol: String, refCol: String,
       maxN: Int = 6, beta: Double = 2.0): DataFrame = {
     require(maxN >= 1 && maxN <= 10)
     val strip = (c: Column) =>
       regexp_replace(TextAnalysis.normalize(c), " ", "")
-    val pairs = df.select(col(idCol).as("id"),
-      strip(col(candCol)).as("c"), strip(col(refCol)).as("r"))
-
-    // (id, n, gram) for all orders in one explode; sequence() would
-    // generate a DESCENDING range when the text is shorter than n, so
-    // short orders are masked to an empty array explicitly
-    def grams(side: String): DataFrame = {
-      val perOrder = transform(sequence(lit(1), lit(maxN)), n =>
-        when(length(col(side)) >= n,
-          transform(sequence(lit(1), length(col(side)) - n + 1),
-            i => struct(n.as("n"), col(side).substr(i, n).as("gram"))))
-          .otherwise(array().cast("array<struct<n:int,gram:string>>")))
-      pairs.select(col("id"), explode(flatten(perOrder)).as("g"))
-        .select(col("id"), col("g.n").as("n"), col("g.gram").as("gram"))
-        .groupBy("id", "n", "gram").agg(count(lit(1)).as("cnt"))
-    }
-    val cCnt = grams("c").withColumnRenamed("cnt", "cc")
-    val rCnt = grams("r").withColumnRenamed("cnt", "rc")
-    val perOrder = cCnt.join(rCnt, Seq("id", "n", "gram"), "full_outer")
-      .groupBy("id", "n")
-      .agg(sum(least(coalesce(col("cc"), lit(0L)),
-          coalesce(col("rc"), lit(0L)))).as("m"),
-        sum(coalesce(col("cc"), lit(0L))).as("tc"),
-        sum(coalesce(col("rc"), lit(0L))).as("tr"))
-      .select(col("id"), col("n"),
-        when(col("tc") > 0, col("m").cast("double") / col("tc"))
-          .otherwise(0.0).as("p"),
-        when(col("tr") > 0, col("m").cast("double") / col("tr"))
-          .otherwise(0.0).as("r"))
-    // fixed-order fold (sorted by n) so the double sum is identical
-    // in any engine / partitioning
-    val perId = perOrder.groupBy("id")
-      .agg(sort_array(collect_list(struct(col("n"), col("p"), col("r"))))
-        .as("o"))
-      .select(col("id"),
-        (aggregate(col("o"), lit(0.0), (a, x) => a + x.getField("p")) /
-          maxN).as("chr_p"),
-        (aggregate(col("o"), lit(0.0), (a, x) => a + x.getField("r")) /
-          maxN).as("chr_r"))
+    val spark = df.sparkSession
+    import spark.implicits._
     val b2 = beta * beta
-    pairs.select(col("id")).join(perId, Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("chr_p"), lit(0.0)).as("chr_p"),
-        coalesce(col("chr_r"), lit(0.0)).as("chr_r"))
-      .withColumn("chrf",
-        when(col("chr_p") + col("chr_r") > 0,
-          (lit(1 + b2) * col("chr_p") * col("chr_r")) /
-            (lit(b2) * col("chr_p") + col("chr_r")))
-          .otherwise(0.0))
+    df.select(col(idCol).cast("long"),
+        coalesce(strip(col(candCol)), lit("")),
+        coalesce(strip(col(refCol)), lit("")))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val counts = new java.util.HashMap[String, Integer](1024)
+        it.map { case (id, c, r) =>
+          var sumP = 0.0
+          var sumR = 0.0
+          var n = 1
+          while (n <= maxN) {
+            counts.clear()
+            val tc = math.max(c.length - n + 1, 0)
+            var i = 0
+            while (i < tc) {
+              val g = c.substring(i, i + n)
+              val v = counts.get(g)
+              counts.put(g, if (v == null) 1 else v + 1)
+              i += 1
+            }
+            val tr = math.max(r.length - n + 1, 0)
+            var m = 0
+            var j = 0
+            while (j < tr) {
+              val g = r.substring(j, j + n)
+              val v = counts.get(g)
+              if (v != null && v > 0) { counts.put(g, v - 1); m += 1 }
+              j += 1
+            }
+            sumP += (if (tc > 0) m.toDouble / tc else 0.0)
+            sumR += (if (tr > 0) m.toDouble / tr else 0.0)
+            n += 1
+          }
+          val p = sumP / maxN
+          val rr = sumR / maxN
+          val f =
+            if (p + rr > 0) (1 + b2) * p * rr / (b2 * p + rr) else 0.0
+          (id, p, rr, f)
+        }
+      }
+      .toDF(idCol, "chr_p", "chr_r", "chrf")
   }
 }

@@ -422,7 +422,7 @@ object CurationQueries extends QueryGroup {
     // RFM quintile segmentation as of 2024-01-31 00:00 UTC
     // (1706659200): tie-coherent buckets from distinct-value
     // cumulative counts — never an ntile over arbitrary row order.
-    q("q_events_rfm",
+    q("q_events_rfm_exactq",
       """WITH u AS (
         |  SELECT user_id AS "user",
         |    1706659200 - max(CAST(floor(epoch(ts)) AS BIGINT)) AS recency,
@@ -563,6 +563,86 @@ object CurationQueries extends QueryGroup {
         .select(col("dim"), col("qid"), col("hits"),
           round(col("recall"), 6).as("recall"))
         .orderBy("dim", "qid")
+    },
+
+    // signed feature hashing into 64 buckets (md5-prefix hash — the
+    // engine-portable hash; exact-zero cancellations kept).
+    q("q_text_feature_hash",
+      s"""WITH tok AS (
+         |  SELECT doc_id AS id, u.t AS t FROM (
+         |    SELECT doc_id, list_filter(string_split($normSql, ' '),
+         |      x -> x <> '') AS ws
+         |    FROM documents), unnest(ws) AS u(t)
+         |)
+         |SELECT id,
+         |  CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 64 AS idx,
+         |  sum(CASE WHEN substr(md5(t), 9, 1) IN
+         |    ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END) AS value
+         |FROM tok GROUP BY 1, 2 ORDER BY id, idx""".stripMargin) {
+      (s, dir) =>
+      graft.ml.Features.featureHash(t(s, dir, "documents"), "doc_id",
+          "text", dim = 64)
+        .orderBy("id", "idx")
+    },
+
+    // token↔language mutual information (presence-based 2×L
+    // contingency per token, absent cells derived).
+    q("q_text_token_mi",
+      s"""WITH dt AS (
+         |  SELECT DISTINCT doc_id AS id, lang AS lab, u.t AS t FROM (
+         |    SELECT doc_id, lang,
+         |      list_distinct(list_filter(string_split($normSql, ' '),
+         |        x -> x <> '')) AS ws FROM documents), unnest(ws) AS u(t)
+         |), present AS (
+         |  SELECT t, lab, count(*) AS a FROM dt GROUP BY 1, 2
+         |), labtot AS (
+         |  SELECT lang AS lab, count(*) AS nl FROM documents GROUP BY 1
+         |), ntot AS (SELECT count(*) * 1.0::DOUBLE AS n FROM documents),
+         |tokens AS (SELECT t, sum(a) AS nt FROM present GROUP BY 1),
+         |grid AS (
+         |  SELECT tk.t, tk.nt, lt.nl, coalesce(p.a, 0) AS a, ntot.n
+         |  FROM tokens tk CROSS JOIN labtot lt CROSS JOIN ntot
+         |  LEFT JOIN present p ON p.t = tk.t AND p.lab = lt.lab
+         |)
+         |SELECT t AS token, CAST(min(nt) AS BIGINT) AS doc_freq,
+         |  round(sum(
+         |    (CASE WHEN a > 0 THEN (a / n) *
+         |      ln((a / n) / ((nt / n) * (nl / n))) ELSE 0.0 END) +
+         |    (CASE WHEN nl - a > 0 THEN ((nl - a) / n) *
+         |      ln(((nl - a) / n) / (((n - nt) / n) * (nl / n)))
+         |      ELSE 0.0 END)
+         |  ), 6) AS mi
+         |FROM grid GROUP BY 1 ORDER BY token""".stripMargin) { (s, dir) =>
+      graft.ml.Features.tokenLabelMI(t(s, dir, "documents"), "doc_id",
+          "text", "lang")
+        .select(col("token"), col("doc_freq"),
+          round(col("mi"), 6).as("mi"))
+        .orderBy("token")
+    },
+
+    // weight-of-evidence + information value per event type against
+    // the high-value label (value > 100).
+    q("q_events_woe",
+      """WITH per AS (
+        |  SELECT event_type AS category, count(*) AS n,
+        |    CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS good
+        |  FROM events GROUP BY 1
+        |), tot AS (SELECT sum(good) AS gt, sum(n - good) AS bt FROM per)
+        |SELECT category, n, good, n - good AS bad,
+        |  round(ln(((good + 0.5) / gt) / (((n - good) + 0.5) / bt)), 6)
+        |    AS woe,
+        |  round((((good + 0.5) / gt) - (((n - good) + 0.5) / bt)) *
+        |    ln(((good + 0.5) / gt) / (((n - good) + 0.5) / bt)), 6) AS iv
+        |FROM per CROSS JOIN tot ORDER BY category""".stripMargin) {
+      (s, dir) =>
+      graft.ml.Features.woeEncode(
+          t(s, dir, "events").select(col("event_type"),
+            (col("value") > 100).cast("int").as("y")),
+          "event_type", "y")
+        .select(col("category"), col("n"), col("good"), col("bad"),
+          round(col("woe"), 6).as("woe"), round(col("iv"), 6).as("iv"))
+        .orderBy("category")
     }
   )
 }

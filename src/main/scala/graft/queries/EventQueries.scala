@@ -900,11 +900,15 @@ object EventQueries extends QueryGroup {
         .orderBy("variant")
     },
 
-    // per-SESSION aggregates through the native sessionize exec: the
-    // (key, session_id) groupBy rides SessionizeExec's preserved
+    // per-SESSION VALUE aggregates through the native sessionize exec:
+    // the (key, session_id) groupBy rides SessionizeExec's preserved
     // partitioning, so the whole query is ONE exchange end-to-end
-    // (pinned in PlanAuditSpec). 30-minute gap sessions.
-    q("q_events_session_stats",
+    // (pinned in PlanAuditSpec). 30-minute gap sessions. (Renamed in
+    // round 8: this gate and the later per-session summary both
+    // registered as q_events_session_stats, so this one was silently
+    // shadowed in the queries Map — the uniqueness guard in
+    // CurationSpec now fails the build on any recurrence.)
+    q("q_events_session_value",
       """WITH e AS (
         |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
         |    event_id, value

@@ -11,6 +11,16 @@ import graft.ml.{Calibrate, GenEval, Keywords, Preference}
   */
 class CurationSpec extends SparkSpec {
 
+  test("gate names are unique across query groups") {
+    // a duplicate name silently shadows the earlier gate in the
+    // queries Map (caught live in round 8: a second q_events_rfm)
+    val names = graft.SparkEntry.queries.keySet
+    val defs = graft.SparkEntry.groups.flatMap(_.all.map(_.name))
+    val dups = defs.groupBy(identity).filter(_._2.size > 1).keys.toSeq
+    assert(dups.isEmpty, s"duplicate gate names: $dups")
+    assert(names.size === defs.size)
+  }
+
   test("rake: stopword-delimited phrases scored deg/freq") {
     import spark.implicits._
     val df = Seq(
@@ -267,6 +277,52 @@ class CurationSpec extends SparkSpec {
     assert(got(4L) === ((6L, 20.0)))
     // every row mapped exactly once
     assert(got.size === 6)
+  }
+
+  test("featureHash: md5 buckets, sign cancellation, sparse output") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha alpha beta")).toDF("id", "text")
+    val got = graft.ml.Features.featureHash(df, "id", "text", dim = 64)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    def h(t: String): (Long, Long) = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val idx = java.lang.Long.parseLong(md5.substring(0, 8), 16) % 64
+      val sign = if (md5.charAt(8) < '8') 1L else -1L
+      (idx, sign)
+    }
+    val (ia, sa) = h("alpha"); val (ib, sb) = h("beta")
+    if (ia != ib) {
+      assert(got(ia) === 2 * sa && got(ib) === sb)
+    } else assert(got(ia) === 2 * sa + sb)
+  }
+
+  test("tokenLabelMI: perfectly label-identifying token maximizes MI, uniform token scores 0") {
+    import spark.implicits._
+    // 4 docs, 2 labels; "xx" only in label a docs, "cc" in all
+    val df = Seq((1L, "xx cc", "a"), (2L, "xx cc", "a"),
+      (3L, "cc dd", "b"), (4L, "cc dd", "b")).toDF("id", "text", "lab")
+    val got = graft.ml.Features.tokenLabelMI(df, "id", "text", "lab")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // cc present everywhere → MI 0; xx/dd perfectly split → ln2
+    assert(math.abs(got("cc")) < 1e-12)
+    assert(math.abs(got("xx") - math.log(2)) < 1e-12)
+    assert(math.abs(got("dd") - math.log(2)) < 1e-12)
+  }
+
+  test("woeEncode: hand-computed WOE/IV with Laplace smoothing") {
+    import spark.implicits._
+    val df = Seq(("a", 1), ("a", 1), ("a", 0), ("b", 0), ("b", 0),
+      ("b", 1)).toDF("c", "y")
+    val got = graft.ml.Features.woeEncode(df, "c", "y").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // G = 3, B = 3; a: good 2 bad 1 → woe = ln((2.5/3)/(1.5/3)) = ln(5/3)
+    val (ga, ba, wa) = got("a")
+    assert(ga === 2L && ba === 1L)
+    assert(math.abs(wa - math.log(2.5 / 1.5)) < 1e-12)
+    val (_, _, wb) = got("b")
+    assert(math.abs(wb - math.log(1.5 / 2.5)) < 1e-12)
   }
 
   test("matryoshkaRecall: full-width truncation recalls everything") {

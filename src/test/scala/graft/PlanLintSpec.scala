@@ -161,14 +161,19 @@ class PlanLintSpec extends SparkSpec {
     "q_eval_bh_fdr" -> Map("global-window" ->
       ("rank/min windows over the hypothesis table (one row per test — " +
         "panel-sized by contract, corpus reductions happen upstream)")),
-    "q_events_rfm" -> Map("global-window" ->
+    "q_events_rfm_exactq" -> Map("global-window" ->
       ("cumulative windows over per-dimension distinct-VALUE count " +
         "tables (the rocAuc midrank shape), never the user table")),
     "q_text_quantile_norm" -> Map(
       "global-window" ->
         "cumulative window over the pooled distinct-VALUE count table",
       "cartesian" ->
-        "1-row corpus-count aggregate broadcast onto both sides"))
+        "1-row corpus-count aggregate broadcast onto both sides"),
+    "q_events_woe" -> Map("cartesian" ->
+      "1-row good/bad totals broadcast onto the category table"),
+    "q_text_token_mi" -> Map("cartesian" ->
+      ("token×label grid: |labels|-row + 1-row broadcast crosses onto " +
+        "the token table (absent cells must exist to contribute)")))
   // q_multimodal_tar's former cartesian entry dropped in round 8: the
   // gate now collects its 1-row summary eagerly (so the shard temp dir
   // can be deleted) and returns a parallelized literal — no join plan.
