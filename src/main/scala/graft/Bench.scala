@@ -166,7 +166,13 @@ object Bench {
     // label totals), WoE/IV encoding (category agg + 1-row totals)
     "q_text_feature_hash",
     "q_text_token_mi",
-    "q_events_woe")
+    "q_events_woe",
+    // round-21 fourth batch: Heaps' law fit (first-occurrence agg +
+    // 10 checkpoint joins), Burrows' Delta (top-50 z-grid pair join),
+    // LSH dedup-quality audit (exact blocked pairs vs banded MinHash)
+    "q_text_heaps",
+    "q_text_burrows",
+    "q_dedup_lsh_quality")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

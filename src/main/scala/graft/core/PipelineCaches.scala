@@ -13,8 +13,18 @@ object PipelineCaches {
 
   private val tracked =
     new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
+  private val trackedRdds =
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.rdd.RDD[_]]()
   private val clearHooks =
     new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
+
+  /** Track a directly-persisted RDD (the lineage-truncation path —
+    * [[org.apache.spark.sql.graft.Lineage.truncateTracked]] — persists
+    * at the RDD level where Dataset.unpersist can't reach).
+    */
+  def trackRdd(rdd: org.apache.spark.rdd.RDD[_]): Unit =
+    trackedRdds.add(rdd)
 
   def persistTracked(df: DataFrame): DataFrame = {
     val p = df.persist()
@@ -46,6 +56,11 @@ object PipelineCaches {
     while (df != null) {
       df.unpersist(blocking = false)
       df = tracked.poll()
+    }
+    var rdd = trackedRdds.poll()
+    while (rdd != null) {
+      rdd.unpersist(blocking = false)
+      rdd = trackedRdds.poll()
     }
     clearHooks.forEach(h => h())
   }

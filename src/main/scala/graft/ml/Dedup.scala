@@ -143,6 +143,35 @@ object Dedup {
     out
   }
 
+  /** Dedup-quality audit of the banded MinHash configuration: recall
+    * of [[minHashNearDuplicates]] against the EXACT blocked Jaccard
+    * pair set from [[prefixFilterJaccardPairs]] (lossless, so it IS
+    * ground truth within blocks). The number that answers "is 32×4
+    * banding still catching our near-dups on THIS corpus" before a
+    * threshold or band change ships — LSH recall is corpus-dependent
+    * (it depends on where the Jaccard mass sits relative to the
+    * S-curve), so it must be measured, not assumed. Returns ONE row
+    * (n_truth, n_found, recall, recall_ok).
+    *
+    * Scale shape: both inputs are the existing bounded pipelines;
+    * the audit adds one pair-keyed join + a 1-row aggregate.
+    */
+  def lshQualityReport(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, blockCols: Seq[String],
+      minRecall: Double = 0.9): DataFrame = {
+    val truth = prefixFilterJaccardPairs(df, idCol, textCol, threshold,
+      blockCols = blockCols).select(col("id1"), col("id2"))
+    val found = minHashNearDuplicates(df, idCol, textCol, threshold)
+      .select(col("id1"), col("id2"), lit(1L).as("__hit"))
+    truth.join(found, Seq("id1", "id2"), "left")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_found"))
+      .select(col("n_truth"), col("n_found"),
+        (col("n_found").cast("double") / col("n_truth")).as("recall"),
+        (col("n_found").cast("double") / col("n_truth") >= minRecall)
+          .as("recall_ok"))
+  }
+
   /** One linear typed pass over the corpus: per document its shingle
     * hash set, and its LSH band hashes — the durable signature record.
     * Persist this (parquet) and a growing corpus never rescans old

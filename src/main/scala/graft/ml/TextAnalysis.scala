@@ -928,6 +928,119 @@ object TextAnalysis {
             (col("n") * col("syy") - col("sy") * col("sy")))).as("r2"))
   }
 
+  /** Heaps' law fit V = k·Nᵝ (vocabulary growth): vocabulary size at
+    * `checkpoints` equal-document-count prefixes of the corpus in
+    * doc-id order, log-log OLS over the checkpoint points. The
+    * sub-linear exponent β is the "will dedup/vocab tables keep
+    * fitting" number a corpus owner reads before the next 10×.
+    *
+    * Checkpoint boundaries are the ⌈N·j/cp⌉-th smallest doc ids
+    * (discrete order statistics via a cumulative window over the
+    * per-doc AGGREGATE — never a raw-corpus sort); vocabulary at a
+    * boundary counts tokens whose FIRST document id is within it, so
+    * one token scan serves every checkpoint. Returns one row per
+    * checkpoint (checkpoint, n_tokens, vocab) with the fitted
+    * (beta, log_k, r2) repeated.
+    */
+  def heapsFit(df: DataFrame, idCol: String, textCol: String,
+      checkpoints: Int = 10): DataFrame = {
+    require(checkpoints >= 2, "need at least 2 checkpoints")
+    import org.apache.spark.sql.expressions.Window
+    val tokens = filter(split(normalize(col(textCol)), " "),
+      t => length(t) > 0)
+    val docs = df.select(col(idCol).cast("long").as("id"),
+      tokens.as("ws"))
+    val perDoc = docs.groupBy("id")
+      .agg(sum(size(col("ws"))).as("ntok"))
+    val firstDoc = docs.select(col("id"), explode(col("ws")).as("tk"))
+      .groupBy("tk").agg(min("id").as("first_id"))
+    val n = perDoc.count()
+    val ranked = perDoc
+      .withColumn("rk", row_number().over(Window.orderBy("id")))
+    val thresholds = ranked
+      .crossJoin(broadcast(
+        docs.sparkSession.range(1, checkpoints + 1).toDF("cp")))
+      .filter(col("rk") === ceil(col("cp") * n / lit(checkpoints))
+        .cast("int"))
+      .select(col("cp"), col("id").as("thr"))
+    val vocab = firstDoc.crossJoin(broadcast(thresholds))
+      .filter(col("first_id") <= col("thr"))
+      .groupBy("cp").agg(count(lit(1)).as("vocab"))
+    val toks = perDoc.crossJoin(broadcast(thresholds))
+      .filter(col("id") <= col("thr"))
+      .groupBy("cp").agg(sum("ntok").as("n_tokens"))
+    val points = toks.join(vocab, Seq("cp"))
+      .select(col("cp").as("checkpoint"), col("n_tokens"), col("vocab"))
+    val x = log(col("n_tokens").cast("double"))
+    val y = log(col("vocab").cast("double"))
+    val fit = points
+      .agg(count(lit(1)).cast("double").as("m"),
+        sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      .select(
+        ((col("m") * col("sxy") - col("sx") * col("sy")) /
+          (col("m") * col("sxx") - col("sx") * col("sx"))).as("beta"),
+        col("m"), col("sx"), col("sy"), col("sxy"), col("sxx"),
+        col("syy"))
+      .select(col("beta"),
+        ((col("sy") - col("beta") * col("sx")) / col("m")).as("log_k"),
+        (pow(col("m") * col("sxy") - col("sx") * col("sy"), 2.0) /
+          ((col("m") * col("sxx") - col("sx") * col("sx")) *
+            (col("m") * col("syy") - col("sy") * col("sy")))).as("r2"))
+    points.crossJoin(broadcast(fit))
+  }
+
+  /** Burrows' Delta stylometric distance between strata (Burrows
+    * 2002): z-scores of the top-M corpus words' relative frequencies
+    * within each stratum (zero frequencies included — a source
+    * NEVER using a common word is signal), Delta(s1, s2) = mean
+    * |z₁ − z₂| over the M words. The authorship-attribution
+    * workhorse, here as a source-style distance matrix (same shape
+    * family as the vocabulary-overlap and centroid-similarity
+    * matrices). Words whose frequency is constant across strata
+    * (σ = 0) contribute 0. Returns (s1, s2, delta) for s1 < s2.
+    *
+    * Scale shape: one token scan → (stratum, word) counts; top-M
+    * selection ranks the distinct-WORD aggregate (never corpus
+    * rows); the z-grid is M×|strata| — panel-sized — and the pair
+    * join runs on it.
+    */
+  def burrowsDelta(df: DataFrame, strataCol: String, textCol: String,
+      topM: Int = 50): DataFrame = {
+    require(topM >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(col(strataCol).cast("string").as("s"),
+      explode(filter(split(normalize(col(textCol)), " "),
+        t => length(t) > 0)).as("tk"))
+    val sw = tok.groupBy("s", "tk").agg(count(lit(1)).as("c"))
+    val stot = sw.groupBy("s").agg(sum("c").as("tot"))
+    val top = sw.groupBy("tk").agg(sum("c").as("g"))
+      .withColumn("r",
+        row_number().over(Window.orderBy(col("g").desc, col("tk"))))
+      .filter(col("r") <= topM).select("tk")
+    val grid = broadcast(top).crossJoin(broadcast(stot))
+      .join(sw, Seq("s", "tk"), "left")
+      .select(col("s"), col("tk"),
+        (coalesce(col("c"), lit(0L)).cast("double") / col("tot"))
+          .as("f"))
+    // explicit population-σ formula (not stddev_pop) so both engines
+    // evaluate the IDENTICAL expression tree — library variance
+    // kernels differ across engines exactly where σ → 0 matters
+    val stats = grid.groupBy("tk")
+      .agg(avg("f").as("mu"), avg(col("f") * col("f")).as("m2"))
+      .select(col("tk"), col("mu"),
+        sqrt(greatest(col("m2") - col("mu") * col("mu"), lit(0.0)))
+          .as("sigma"))
+    val z = grid.join(broadcast(stats), Seq("tk"))
+      .select(col("s"), col("tk"),
+        when(col("sigma") > 0, (col("f") - col("mu")) / col("sigma"))
+          .otherwise(0.0).as("z"))
+    z.alias("a").join(z.alias("b"),
+        col("a.tk") === col("b.tk") && col("a.s") < col("b.s"))
+      .groupBy(col("a.s").as("s1"), col("b.s").as("s2"))
+      .agg(avg(abs(col("a.z") - col("b.z"))).as("delta"))
+  }
+
   /** Per-stratum token-distribution diversity: Shannon entropy
     * (nats), Simpson concentration Σp², Gini coefficient of the
     * frequency distribution, and type/token counts — the corpus-mix

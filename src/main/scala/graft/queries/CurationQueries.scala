@@ -620,6 +620,106 @@ object CurationQueries extends QueryGroup {
         .orderBy("token")
     },
 
+    // Heaps' law V = k·N^β: vocabulary at 10 equal-doc-count
+    // checkpoints (doc-id order) + log-log OLS fit.
+    q("q_text_heaps",
+      s"""WITH d AS (
+         |  SELECT doc_id AS id, list_filter(string_split($normSql, ' '),
+         |    t -> t <> '') AS ws FROM documents
+         |), pd AS (
+         |  SELECT id, CAST(sum(len(ws)) AS BIGINT) AS ntok
+         |  FROM d GROUP BY id
+         |), fd AS (
+         |  SELECT u.t AS tk, min(id) AS first_id
+         |  FROM d, unnest(ws) AS u(t) GROUP BY 1
+         |), nn AS (SELECT count(*) AS n FROM pd),
+         |rk AS (
+         |  SELECT id, row_number() OVER (ORDER BY id) AS rk FROM pd
+         |), thr AS (
+         |  SELECT cp.cp, rk.id AS thr
+         |  FROM rk, nn, unnest(range(1, 11)) AS cp(cp)
+         |  WHERE rk.rk = CAST(ceil(cp.cp * nn.n / 10) AS BIGINT)
+         |), vocab AS (
+         |  SELECT t.cp, count(*) AS vocab FROM fd, thr t
+         |  WHERE fd.first_id <= t.thr GROUP BY 1
+         |), toks AS (
+         |  SELECT t.cp, sum(ntok) AS n_tokens FROM pd, thr t
+         |  WHERE pd.id <= t.thr GROUP BY 1
+         |), points AS (
+         |  SELECT toks.cp AS checkpoint, toks.n_tokens, vocab.vocab
+         |  FROM toks JOIN vocab ON toks.cp = vocab.cp
+         |), fit AS (
+         |  SELECT count(*) * 1.0::DOUBLE AS m,
+         |    sum(ln(n_tokens)) AS sx, sum(ln(vocab)) AS sy,
+         |    sum(ln(n_tokens) * ln(vocab)) AS sxy,
+         |    sum(ln(n_tokens) * ln(n_tokens)) AS sxx,
+         |    sum(ln(vocab) * ln(vocab)) AS syy
+         |  FROM points
+         |), params AS (
+         |  SELECT (m * sxy - sx * sy) / (m * sxx - sx * sx) AS beta,
+         |    m, sx, sy, sxy, sxx, syy FROM fit
+         |)
+         |SELECT p.checkpoint, p.n_tokens, CAST(p.vocab AS BIGINT) AS vocab,
+         |  round(q.beta, 6) + 0.0 AS beta,
+         |  round((q.sy - q.beta * q.sx) / q.m, 6) + 0.0 AS log_k,
+         |  round(pow(q.m * q.sxy - q.sx * q.sy, 2.0) /
+         |    ((q.m * q.sxx - q.sx * q.sx) * (q.m * q.syy - q.sy * q.sy)),
+         |    6) + 0.0 AS r2
+         |FROM points p CROSS JOIN params q
+         |ORDER BY checkpoint""".stripMargin) { (s, dir) =>
+      graft.ml.TextAnalysis.heapsFit(t(s, dir, "documents"), "doc_id",
+          "text", checkpoints = 10)
+        .select(col("checkpoint"), col("n_tokens"),
+          col("vocab").cast("long").as("vocab"),
+          // + 0.0 collapses IEEE -0.0 (the degenerate constant-vocab
+          // fit) to 0.0 on both sides — the signed-zero gotcha
+          (round(col("beta"), 6) + 0.0).as("beta"),
+          (round(col("log_k"), 6) + 0.0).as("log_k"),
+          (round(col("r2"), 6) + 0.0).as("r2"))
+        .orderBy("checkpoint")
+    },
+
+    // Burrows' Delta stylometric distance between sources over the
+    // top-50 corpus words (zero cells included, explicit population
+    // sigma so the expression tree is engine-identical).
+    q("q_text_burrows",
+      s"""WITH tok AS (
+         |  SELECT source AS s, u.t AS tk FROM (
+         |    SELECT source, list_filter(string_split($normSql, ' '),
+         |      t -> t <> '') AS ws FROM documents), unnest(ws) AS u(t)
+         |), sw AS (
+         |  SELECT s, tk, count(*) AS c FROM tok GROUP BY 1, 2
+         |), stot AS (SELECT s, sum(c) AS tot FROM sw GROUP BY 1),
+         |top AS (
+         |  SELECT tk FROM (
+         |    SELECT tk, row_number() OVER (ORDER BY sum(c) DESC, tk) AS r
+         |    FROM sw GROUP BY tk
+         |  ) WHERE r <= 50
+         |), grid AS (
+         |  SELECT st.s, tp.tk,
+         |    coalesce(sw.c, 0) * 1.0::DOUBLE / st.tot AS f
+         |  FROM top tp CROSS JOIN stot st
+         |  LEFT JOIN sw ON sw.s = st.s AND sw.tk = tp.tk
+         |), stats AS (
+         |  SELECT tk, avg(f) AS mu,
+         |    sqrt(greatest(avg(f * f) - avg(f) * avg(f), 0.0)) AS sigma
+         |  FROM grid GROUP BY 1
+         |), z AS (
+         |  SELECT g.s, g.tk,
+         |    CASE WHEN st.sigma > 0 THEN (g.f - st.mu) / st.sigma
+         |      ELSE 0.0 END AS z
+         |  FROM grid g JOIN stats st USING (tk)
+         |)
+         |SELECT a.s AS s1, b.s AS s2,
+         |  round(avg(abs(a.z - b.z)), 6) AS delta
+         |FROM z a JOIN z b ON a.tk = b.tk AND a.s < b.s
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      graft.ml.TextAnalysis.burrowsDelta(t(s, dir, "documents"),
+          "source", "text", topM = 50)
+        .select(col("s1"), col("s2"), round(col("delta"), 6).as("delta"))
+        .orderBy("s1", "s2")
+    },
+
     // weight-of-evidence + information value per event type against
     // the high-value label (value > 100).
     q("q_events_woe",

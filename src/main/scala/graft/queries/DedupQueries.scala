@@ -216,6 +216,20 @@ object DedupQueries extends QueryGroup {
         .orderBy("id1", "id2")
     },
 
+    // dedup-quality audit: banded-MinHash recall against the exact
+    // blocked pair set. n_found/recall are engine-side only (the
+    // signature hash has no DuckDB counterpart); the oracle pins the
+    // ground-truth pair count and the recall contract — the
+    // q_embed_margin_ivf invariant-pin pattern.
+    q("q_dedup_lsh_quality",
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_truth, true AS recall_ok
+         |FROM ($exactPairsSql)""".stripMargin) { (s, dir) =>
+      Dedup.lshQualityReport(augmented(s, dir), "doc_id", "text",
+          threshold = 0.7, blockCols = Seq("lang", "source"),
+          minRecall = 0.9)
+        .select(col("n_truth"), col("recall_ok"))
+    },
+
     // near-dup pairs → connected components → canonical doc per
     // cluster (Dedup.connectedComponents: min-label propagation with
     // pointer jumping). Oracle: transitive closure via recursive CTE

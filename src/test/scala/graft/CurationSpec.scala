@@ -325,6 +325,53 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(wb - math.log(1.5 / 2.5)) < 1e-12)
   }
 
+  test("heapsFit: hand-computed two-checkpoint fit") {
+    import spark.implicits._
+    val df = Seq((1L, "aa bb"), (2L, "aa cc"), (3L, "aa dd"),
+      (4L, "aa bb cc dd ee")).toDF("doc_id", "text")
+    val got = graft.ml.TextAnalysis.heapsFit(df, "doc_id", "text",
+      checkpoints = 2).orderBy("checkpoint").collect()
+    // cp1 = first 2 docs: 4 tokens, vocab {aa,bb,cc} = 3
+    // cp2 = all 4 docs: 11 tokens, vocab 5
+    assert(got.map(r => (r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((4L, 3L), (11L, 5L)))
+    val beta = got.head.getDouble(3)
+    val expected = (math.log(5) - math.log(3)) /
+      (math.log(11) - math.log(4))
+    assert(math.abs(beta - expected) < 1e-9)
+    assert(math.abs(got.head.getDouble(5) - 1.0) < 1e-9) // 2 points: r2=1
+  }
+
+  test("burrowsDelta: two mirrored strata score delta 2 on the shared vocabulary") {
+    import spark.implicits._
+    val df = Seq(("A", "xx xx yy"), ("B", "xx yy yy"))
+      .toDF("src", "text")
+    val got = graft.ml.TextAnalysis.burrowsDelta(df, "src", "text",
+      topM = 2).collect()
+    assert(got.length === 1)
+    // f_A(xx)=2/3 f_B(xx)=1/3 → z = ±1 for both words → mean |Δz| = 2
+    assert(got.head.getString(0) === "A" && got.head.getString(1) === "B")
+    assert(math.abs(got.head.getDouble(2) - 2.0) < 1e-9)
+  }
+
+  test("lshQualityReport: planted near-dup pairs are all recalled") {
+    import spark.implicits._
+    val base = (0 until 4).map { i =>
+      (0 until 30).map(j => s"w${i}_$j").mkString(" ")
+    }
+    // two near-dup pairs: docs 10/11 share doc 0's text (one truncated)
+    val rows = base.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+      Seq((10L, base(0)), (11L, base(1).split(" ").dropRight(2)
+        .mkString(" ")))
+    val df = rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+    val got = graft.ml.Dedup.lshQualityReport(df, "doc_id", "text",
+      threshold = 0.7, blockCols = Seq("lang", "source")).collect().head
+    assert(got.getLong(0) === 2L) // n_truth
+    assert(got.getLong(1) === 2L) // n_found
+    assert(got.getDouble(2) === 1.0 && got.getBoolean(3))
+  }
+
   test("matryoshkaRecall: full-width truncation recalls everything") {
     import spark.implicits._
     val vecs = Seq(

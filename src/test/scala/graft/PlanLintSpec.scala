@@ -171,6 +171,17 @@ class PlanLintSpec extends SparkSpec {
         "1-row corpus-count aggregate broadcast onto both sides"),
     "q_events_woe" -> Map("cartesian" ->
       "1-row good/bad totals broadcast onto the category table"),
+    "q_text_heaps" -> Map(
+      "global-window" ->
+        "checkpoint rank over the per-doc AGGREGATE (N rows, not tokens)",
+      "cartesian" ->
+        ("10-row checkpoint-threshold and 1-row fit tables broadcast " +
+          "onto the aggregates")),
+    "q_text_burrows" -> Map(
+      "global-window" ->
+        "top-M rank over the distinct-WORD aggregate",
+      "cartesian" ->
+        "top-50 word × |strata| grid build (panel-sized broadcasts)"),
     "q_text_token_mi" -> Map("cartesian" ->
       ("token×label grid: |labels|-row + 1-row broadcast crosses onto " +
         "the token table (absent cells must exist to contribute)")))
