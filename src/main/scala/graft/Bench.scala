@@ -172,7 +172,18 @@ object Bench {
     // LSH dedup-quality audit (exact blocked pairs vs banded MinHash)
     "q_text_heaps",
     "q_text_burrows",
-    "q_dedup_lsh_quality")
+    "q_dedup_lsh_quality",
+    // round-22: ACF/Ljung-Box + Mann-Kendall (bucket-grid pair
+    // joins), post-stratified ATE (two tiny aggregates), soundex
+    // (pure string Column program over the vocabulary), simplified
+    // silhouette (corpus scan vs broadcast centroids), binary
+    // sign-bit ANN (packed Hamming pass + exact rerank)
+    "q_events_acf",
+    "q_events_mann_kendall",
+    "q_events_poststrat_ate",
+    "q_text_soundex",
+    "q_embed_silhouette",
+    "q_ann_binary")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

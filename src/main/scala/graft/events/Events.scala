@@ -1411,4 +1411,178 @@ object Events {
       scoreUp(col("frequency").cast("double"), "fq").as("f_score"),
       scoreUp(col("monetary"), "mq").as("m_score"))
   }
+
+  /** Sample autocorrelation of the event-count series at lags
+    * 1..`maxLag`, plus the cumulative Ljung–Box Q statistic — the
+    * white-noise / periodicity probe run before fitting any seasonal
+    * model ([[seasonalDecompose]], [[holtWinters]]): a spike at lag
+    * 24 on hourly buckets says "daily cycle", a flat ACF says the
+    * stream is memoryless and the smoother is wasted work.
+    *
+    * r_h = Σ_t (y_t−ȳ)(y_{t+h}−ȳ) / Σ_t (y_t−ȳ)² over the DENSE
+    * zero-filled bucket grid (a missing bucket is a real zero count,
+    * not a gap to skip — skipping shifts every lag). Q at lag L =
+    * n(n+2) Σ_{h≤L} r_h²/(n−h), χ²(L) under the null.
+    *
+    * Scale shape: the corpus collapses to the bucket table in the
+    * first hash aggregate; the lag pairs come from one range
+    * self-join of that driver-bounded table (≤ n·maxLag rows), like
+    * the other period-grid analytics here.
+    */
+  def autocorrelation(events: DataFrame, secCol: String,
+      periodSec: Long, maxLag: Int): DataFrame = {
+    require(periodSec > 0 && maxLag >= 1)
+    val counts = events
+      .select(floor(col(secCol) / periodSec).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("y"))
+    val spans = counts.agg(min("bucket").as("b0"), max("bucket").as("b1"))
+    val dense = spans
+      .select(explode(sequence(col("b0"), col("b1"))).as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("y"), lit(0L))
+        .cast("double").as("y"))
+    val stats = dense.agg(count(lit(1)).as("n"), avg("y").as("m"))
+    val d = graft.core.PipelineCaches.persistTracked(
+      dense.crossJoin(broadcast(stats))
+        .select(col("bucket"), (col("y") - col("m")).as("dy"),
+          col("n")))
+    val denom = d.agg(sum(col("dy") * col("dy")).as("ss"))
+    // the lag pairs carry n through the aggregate so the cumulative
+    // Ljung–Box window runs DIRECTLY over the per-lag aggregate (the
+    // lint-clean reduced-input shape), with the 1-row denominator
+    // joined on afterwards
+    val pairs = d.alias("a").join(d.alias("b"),
+        col("b.bucket") - col("a.bucket") >= 1 &&
+        col("b.bucket") - col("a.bucket") <= maxLag)
+      .select((col("b.bucket") - col("a.bucket")).as("lag"),
+        (col("a.dy") * col("b.dy")).as("prod"), col("a.n").as("n"))
+    val Window = org.apache.spark.sql.expressions.Window
+    val wCum = Window.orderBy("lag")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    pairs.groupBy("lag")
+      .agg(sum("prod").as("num"), first("n").as("n"))
+      .withColumn("cum", sum(col("num") * col("num") /
+        (col("n") - col("lag"))).over(wCum))
+      .crossJoin(broadcast(denom))
+      .select(col("lag"), (col("num") / col("ss")).as("r"),
+        (col("n") * (col("n") + lit(2)) * col("cum") /
+          (col("ss") * col("ss"))).as("lb_q"))
+  }
+
+  /** Mann–Kendall monotone-trend test + Theil–Sen slope over the
+    * event-count series — the nonparametric "is traffic drifting"
+    * read that an OLS line gets wrong under heavy tails and seasonal
+    * noise. S = Σ_{i<j} sign(y_j − y_i); Var(S) carries the tie
+    * correction [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)]/18 (count
+    * series tie constantly); Z applies the ±1 continuity correction.
+    * The slope is the LOWER MEDIAN (discrete order statistic
+    * k = ⌈m/2⌉ under (slope, i, j) ordering) of the pairwise slopes
+    * (y_j−y_i)/(j−i) — never an interpolated percentile, so the
+    * number replays bit-exactly across engines.
+    *
+    * Scale shape: corpus → bucket table in one hash aggregate; the
+    * pair set is the bounded self-join of that grid (n(n−1)/2 rows
+    * for n = time-range/periodSec buckets, driver-bounded by
+    * contract), one tie aggregate, one order statistic.
+    */
+  def mannKendall(events: DataFrame, secCol: String,
+      periodSec: Long): DataFrame = {
+    require(periodSec > 0)
+    val counts = events
+      .select(floor(col(secCol) / periodSec).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("y"))
+    val spans = counts.agg(min("bucket").as("b0"), max("bucket").as("b1"))
+    val dense = spans
+      .select(explode(sequence(col("b0"), col("b1"))).as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("y"), lit(0L))
+        .cast("double").as("y"))
+    val pairs = graft.core.PipelineCaches.persistTracked(
+      dense.alias("a").join(dense.alias("b"),
+          col("b.bucket") > col("a.bucket"))
+        .select(signum(col("b.y") - col("a.y")).as("sgn"),
+          ((col("b.y") - col("a.y")) /
+            (col("b.bucket") - col("a.bucket")).cast("double"))
+            .as("slope")))
+    val sStat = pairs.agg(sum("sgn").as("s"), count(lit(1)).as("m"))
+    val ties = dense.groupBy("y").agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(when(col("t") > 1,
+        col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))), lit(0L))
+        .as("tie_term"))
+    val nRow = dense.agg(count(lit(1)).as("n"))
+    // k-th order statistic over the distinct-SLOPE count table (the
+    // rocAuc midrank shape): the cumulative window runs on the
+    // aggregate, never the pair set
+    val Window = org.apache.spark.sql.expressions.Window
+    val wSlope = Window.orderBy("slope")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val med = pairs.groupBy("slope").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(wSlope))
+      .crossJoin(broadcast(sStat.select(ceil(col("m") / 2).as("k"))))
+      .filter(col("cum") >= col("k") && col("cum") - col("c") < col("k"))
+      .select(col("slope").as("sen_slope"))
+    sStat.crossJoin(broadcast(ties)).crossJoin(broadcast(nRow))
+      .crossJoin(broadcast(med))
+      .withColumn("var_s",
+        (col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) - col("tie_term"))
+          .cast("double") / 18.0)
+      .withColumn("z", when(col("s") > 0,
+          (col("s") - 1).cast("double") / sqrt(col("var_s")))
+        .when(col("s") < 0,
+          (col("s") + 1).cast("double") / sqrt(col("var_s")))
+        .otherwise(lit(0.0)))
+      .select(col("n"), col("s").cast("long").as("s_stat"), col("var_s"),
+        col("z"), col("sen_slope"))
+  }
+
+  /** Post-stratified average treatment effect: the covariate-adjusted
+    * A/B read when randomization was (or may have been) imbalanced —
+    * slice users into pre-treatment strata, difference the arm means
+    * WITHIN each stratum, and recombine weighted by stratum size.
+    * ATE = Σ_s (n_s/N)·(ȳ_Ts − ȳ_Cs); SE² = Σ_s (n_s/N)²·(s²_Ts/n_Ts
+    * + s²_Cs/n_Cs) with population variances (the replayable choice,
+    * documented). Strata missing either arm are dropped from the
+    * estimate (their weight is excluded from N — the standard
+    * complete-case convention) and flagged by used = false.
+    *
+    * Returns one row per stratum (n, per-arm n/mean, diff, weight,
+    * used) with the pooled `ate` / `se` repeated on every row so a
+    * single result surface carries both grains.
+    *
+    * Scale shape: one (stratum, variant) hash aggregate over the
+    * per-user table; everything after runs on the stratum grid.
+    */
+  def postStratifiedAte(perUser: DataFrame, variantCol: String,
+      metricCol: String, strataCol: String): DataFrame = {
+    val arm = perUser.groupBy(col(strataCol).as("stratum"),
+        col(variantCol).cast("string").as("variant"))
+      .agg(count(lit(1)).as("n"),
+        avg(col(metricCol).cast("double")).as("m"),
+        var_pop(col(metricCol).cast("double")).as("v"))
+    val grid = arm.groupBy("stratum")
+      .agg(sum("n").as("n_all"),
+        max(when(col("variant") === "1", col("n"))).as("n_t"),
+        max(when(col("variant") === "1", col("m"))).as("mean_t"),
+        max(when(col("variant") === "1", col("v"))).as("var_t"),
+        max(when(col("variant") === "0", col("n"))).as("n_c"),
+        max(when(col("variant") === "0", col("m"))).as("mean_c"),
+        max(when(col("variant") === "0", col("v"))).as("var_c"))
+      .withColumn("used", col("n_t").isNotNull && col("n_c").isNotNull)
+    val tot = grid.filter(col("used"))
+      .agg(sum("n_all").as("n_used"))
+    val parts = graft.core.PipelineCaches.persistTracked(
+      grid.crossJoin(broadcast(tot))
+        .withColumn("weight", when(col("used"),
+          col("n_all").cast("double") / col("n_used")))
+        .withColumn("diff", col("mean_t") - col("mean_c")))
+    val pooled = parts.filter(col("used"))
+      .agg(sum(col("weight") * col("diff")).as("ate"),
+        sqrt(sum(col("weight") * col("weight") *
+          (col("var_t") / col("n_t") + col("var_c") / col("n_c"))))
+          .as("se"))
+    parts.crossJoin(broadcast(pooled))
+      .select(col("stratum"), col("n_all"), col("n_t"), col("n_c"),
+        col("mean_t"), col("mean_c"), col("diff"), col("weight"),
+        col("used"), col("ate"), col("se"))
+  }
 }

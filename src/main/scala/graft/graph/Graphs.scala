@@ -604,4 +604,32 @@ object Graphs {
 
   private def persistTracked(df: DataFrame): DataFrame =
     graft.core.PipelineCaches.persistTracked(df)
+
+  /** Power-law tail exponent of the degree distribution by the Hill
+    * / discrete-MLE estimator (Clauset–Shalizi–Newman 2009 eq. 3.7):
+    * α = 1 + n / Σ ln(d / (xmin − ½)) over nodes with degree ≥ xmin,
+    * σ = (α − 1)/√n. The one-number scale diagnostic behind every
+    * skew decision in this library — a crawl graph with α ≈ 2 says
+    * "hub caps and salting are mandatory", α ≥ 3 says degrees are
+    * tame. `edges` must be canonicalized distinct undirected pairs
+    * (the [[triangleCounts]] input contract).
+    *
+    * Scale shape: one edge scan → degree hash aggregate → one 1-row
+    * tail aggregate. Nothing else.
+    */
+  def powerLawAlpha(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", xmin: Long = 2L): DataFrame = {
+    require(xmin >= 1, s"xmin must be >= 1, got $xmin")
+    val und = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    deg.filter(col("degree") >= xmin)
+      .agg(count(lit(1)).as("n_tail"),
+        (lit(1.0) + count(lit(1)) /
+          sum(log(col("degree").cast("double") / (xmin - 0.5))))
+          .as("alpha"))
+      .select(lit(xmin).as("xmin"), col("n_tail"), col("alpha"),
+        ((col("alpha") - 1) / sqrt(col("n_tail"))).as("sigma"))
+  }
 }

@@ -647,4 +647,41 @@ object Eval {
       .withColumn("significant", col("p_adj") <= alpha)
       .select("test", "p", "rank", "p_adj", "significant")
   }
+
+  /** Cronbach's alpha internal-consistency reliability over a
+    * (subject, item, value) long table — do the k items measure one
+    * construct (rater batteries, multi-probe eval suites, quality
+    * rubrics)? α = k/(k−1) · (1 − Σᵢσ²ᵢ / σ²_total), population
+    * variances, computed over COMPLETE subjects only (a subject
+    * missing an item would corrupt the total-score variance; the
+    * standard complete-case convention, the dropped count is
+    * visible as n_subjects). Repeated (subject, item) observations
+    * average first. Returns one row (k, n_subjects, alpha).
+    *
+    * Scale shape: one (subject, item) hash aggregate, one subject
+    * aggregate, one item aggregate — the corpus collapses in the
+    * first step; everything after is grid-sized.
+    */
+  def cronbachAlpha(df: DataFrame, subjectCol: String, itemCol: String,
+      valueCol: String): DataFrame = {
+    val cell = graft.core.PipelineCaches.persistTracked(
+      df.groupBy(col(subjectCol).as("subj"), col(itemCol).as("item"))
+        .agg(avg(col(valueCol).cast("double")).as("x")))
+    val kRow = cell.agg(countDistinct("item").as("k"))
+    val complete = graft.core.PipelineCaches.persistTracked(
+      cell.groupBy("subj")
+        .agg(count(lit(1)).as("ki"), sum("x").as("total"))
+        .crossJoin(broadcast(kRow))
+        .filter(col("ki") === col("k")))
+    val itemVar = cell.join(complete.select("subj"), "subj")
+      .groupBy("item").agg(var_pop("x").as("v"))
+      .agg(sum("v").as("siv"))
+    val totVar = complete
+      .agg(var_pop("total").as("vt"), count(lit(1)).as("n_subjects"),
+        first("k").as("k"))
+    totVar.crossJoin(broadcast(itemVar))
+      .select(col("k"), col("n_subjects"),
+        (col("k") / (col("k") - lit(1.0)) *
+          (lit(1.0) - col("siv") / col("vt"))).as("alpha"))
+  }
 }

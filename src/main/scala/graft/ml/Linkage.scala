@@ -114,4 +114,64 @@ object Linkage {
         .when(col("match_weight") < lower, "non_match")
         .otherwise("possible"))
   }
+
+  /** American Soundex phonetic key (Russell 1918, the NARA variant
+    * with the H/W-transparency rule) — the classic BLOCKING key for
+    * name fields: "Robert"/"Rupert" → R163, so the candidate
+    * generator feeding [[emTrain]] pairs only within a code bucket
+    * instead of all-pairs. Pure codegen'd Column program (string
+    * functions only, no UDF, no backreference regex — RE2-safe):
+    *
+    *  1. letters only, uppercased; empty → NULL
+    *  2. H/W dropped AFTER the first letter (same-code letters
+    *     separated by h/w collapse — "Ashcraft" → A261 not A226)
+    *  3. letters → digit classes (vowels → 0 as separators)
+    *  4. adjacent equal digits collapse (one regexp per digit class
+    *     — RE2 has no backreferences)
+    *  5. the FIRST digit (the coded first letter, which always
+    *     survives collapsing as its run's head) is dropped, vowel
+    *     separators are removed, and the rest is right-padded with
+    *     zeros to code length 3 behind the leading letter
+    */
+  def soundex(c: Column): Column = {
+    val letters = upper(regexp_replace(c, "[^A-Za-z]", ""))
+    val first = substring(letters, 1, 1)
+    val body = concat(first,
+      translate(substring(letters, 2, 1 << 20), "HW", ""))
+    val digits = translate(body,
+      "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "01230120022455012623010202")
+    val collapsed = (0 to 6).foldLeft(digits) { (d, i) =>
+      regexp_replace(d, s"$i$i+", s"$i")
+    }
+    val rest = regexp_replace(
+      substring(collapsed, 2, 1 << 20), "0", "")
+    when(length(letters) === 0, lit(null))
+      .otherwise(concat(first, rpad(substring(rest, 1, 3), 3, "0")))
+  }
+
+  /** Phonetic-blocked candidate pairs: distinct values of `nameCol`
+    * keyed by [[soundex]], paired within a code bucket (a < b), with
+    * buckets above `maxBlock` dropped whole — the skew guard every
+    * blocking scheme needs (one degenerate code must not produce a
+    * quadratic bucket; the same hub-cap discipline as the wedge
+    * join). Returns (code, a, b).
+    *
+    * Scale shape: one distinct aggregate, one bucket-count
+    * aggregate, one code-keyed self-join — pairs only ever form
+    * inside a bounded bucket.
+    */
+  def phoneticPairs(df: DataFrame, nameCol: String,
+      maxBlock: Int = 1000): DataFrame = {
+    require(maxBlock >= 2, s"maxBlock must be >= 2, got $maxBlock")
+    val keyed = graft.core.PipelineCaches.persistTracked(
+      df.select(col(nameCol).cast("string").as("name")).distinct()
+        .select(col("name"), soundex(col("name")).as("code"))
+        .filter(col("code").isNotNull))
+    val ok = keyed.groupBy("code").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBlock)
+    keyed.alias("x").join(keyed.alias("y"), "code")
+      .filter(col("x.name") < col("y.name"))
+      .join(ok, "code")
+      .select(col("code"), col("x.name").as("a"), col("y.name").as("b"))
+  }
 }

@@ -873,4 +873,165 @@ object Similarity {
       .select(col("dim"), col("qid"), col("hits"),
         (col("hits").cast("double") / k).as("recall"))
   }
+
+  /** Sign-bit binary quantization kernels: dimension i of word j is
+    * bit i (set iff x ≥ 0), 32 dimensions per Long word so every
+    * packed value stays below 2³² and replays in plain integer SQL
+    * (a 64-bit pack would need unsigned semantics). 32× smaller than
+    * float32; Hamming distance = Σ bitCount(xor) is the standard
+    * first-pass filter for cosine search because E[hamming] is
+    * monotone in the angle (Charikar 2002 SimHash bound:
+    * P[bit differs] = θ/π per random hyperplane — sign-of-coordinate
+    * is the axis-aligned instance).
+    */
+  object BinUtil {
+    def pack(v: Array[Float]): Array[Long] = {
+      val words = new Array[Long]((v.length + 31) / 32)
+      var i = 0
+      while (i < v.length) {
+        if (v(i) >= 0f) words(i / 32) |= (1L << (i % 32))
+        i += 1
+      }
+      words
+    }
+    def hamming(a: Array[Long], b: Array[Long]): Int = {
+      var h = 0; var i = 0
+      while (i < a.length) {
+        h += java.lang.Long.bitCount(a(i) ^ b(i)); i += 1
+      }
+      h
+    }
+  }
+
+  /** Binary (sign-bit) ANN with exact rerank: Hamming top-(k·mult)
+    * candidates over the packed corpus, then exact float cosine on
+    * the survivors, final top-k. The memory story is the point at
+    * 100 TB: the Hamming pass touches 32×-compressed vectors (the
+    * packed table can live where the float table cannot), and only
+    * k·mult float vectors per probe are ever re-read.
+    *
+    * Returns (qid, cid, hamming, cos). Scale shape: probes collected
+    * + broadcast (bounded by the ANN probe contract), corpus scanned
+    * once with the packing fused into the scan kernel, candidate
+    * selection a bounded per-query top-M aggregation (hamming asc,
+    * cid asc — integer, so selection is bit-identical across
+    * engines), rerank joins only the candidate ids back to the float
+    * table.
+    */
+  def binaryTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      rerankMult: Int = 4): DataFrame = {
+    require(k >= 1 && rerankMult >= 1)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qs = queries.select(col("id"), col("vec")).as[(Long, Array[Float])]
+      .collect().map { case (id, v) =>
+        (id, v, VecUtil.norm(v), BinUtil.pack(v)) }
+    val bq = spark.sparkContext.broadcast(qs)
+    val m = k * rerankMult
+
+    val ham = corpus.select(col("id"), col("vec")).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val queries = bq.value
+        it.flatMap { case (cid, cv) =>
+          val cw = BinUtil.pack(cv)
+          queries.iterator.collect {
+            case (qid, _, _, qw) if qid != cid =>
+              (qid, (BinUtil.hamming(qw, cw), cid))
+          }
+        }
+      }
+    implicit val ord: Ordering[(Int, Long)] =
+      Ordering.Tuple2(Ordering.Int, Ordering.Long)
+    val cand = new graft.typed.Grouped(ham).sortedTake(m)
+      .ds.flatMap { case (qid, tops) =>
+        tops.map { case (h, cid) => (qid, cid, h) }
+      }
+      .toDF("qid", "cid", "hamming")
+    // exact rerank: candidate ids join back to the float table, the
+    // broadcast probe array supplies the query side
+    val rer = cand.join(corpus.select(col("id").as("cid"),
+        col("vec").as("cvec")), "cid")
+      .as[(Long, Long, Int, Array[Float])]
+      .mapPartitions { it =>
+        val byId = bq.value.map(q => q._1 -> q).toMap
+        it.map { case (cid, qid, h, cv) =>
+          val q = byId(qid)
+          val cos = VecUtil.dot(q._2, cv) / (q._3 * VecUtil.norm(cv))
+          (qid, cid, h, cos)
+        }
+      }
+      .toDF("qid", "cid", "hamming", "cos")
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    rer.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k)
+      .select(col("qid"), col("cid"), col("hamming"), col("cos"))
+  }
+
+  /** Simplified (centroid-based) silhouette per cluster — the
+    * clustering-quality audit run before any centroid-blocked
+    * operator (semantic dedup, IVF) trusts its partition: a(i) =
+    * distance to the OWN centroid, b(i) = distance to the nearest
+    * OTHER centroid, s(i) = (b−a)/max(a,b). The full silhouette is
+    * all-pairs (O(n²) — dead at scale); the simplified form is the
+    * standard surrogate (Hruschka et al. 2004) and needs one corpus
+    * scan against k broadcast centroids.
+    *
+    * `df`: rows with a cluster column and a vector column; centroids
+    * are computed from the assignment itself (per-cluster dimension
+    * means). Returns per-cluster (cluster, n, mean_a, mean_b,
+    * mean_sil) — mean_sil near 1 = tight/separated, near 0 =
+    * touching, negative = misassigned mass.
+    *
+    * Scale shape: one (cluster, dim) hash aggregate builds the
+    * centroid table (k·d rows, driver-bounded by the centroid
+    * contract), one corpus scan with the k×d matrix broadcast, one
+    * cluster hash aggregate. Distances accumulate dimension-major in
+    * the kernel (fixed order, engine-replayable).
+    */
+  def simplifiedSilhouette(df: DataFrame, clusterCol: String,
+      vecCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = df
+      .select(col(clusterCol).cast("long").as("c"),
+        posexplode(col(vecCol)).as(Seq("i", "x")))
+      .groupBy("c", "i").agg(avg(col("x").cast("double")).as("m"))
+      .groupBy("c").agg(collect_list(struct(col("i"), col("m"))).as("ms"))
+      .as[(Long, Seq[(Int, Double)])]
+      .collect()
+      .map { case (c, ms) =>
+        (c, ms.sortBy(_._1).map(_._2).toArray)
+      }
+      .sortBy(_._1)
+    require(cents.length >= 2, "need at least 2 clusters")
+    val bc = spark.sparkContext.broadcast(cents)
+    df.select(col(clusterCol).cast("long").as("c"),
+        col(vecCol).cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+      .map { case (c, v) =>
+        val cs = bc.value
+        var a = 0.0
+        var b = Double.MaxValue
+        var ci = 0
+        while (ci < cs.length) {
+          val mu = cs(ci)._2
+          var ss = 0.0
+          var i = 0
+          while (i < v.length) {
+            val d = v(i) - mu(i); ss += d * d; i += 1
+          }
+          val dist = math.sqrt(ss)
+          if (cs(ci)._1 == c) a = dist
+          else if (dist < b) b = dist
+          ci += 1
+        }
+        val s = if (math.max(a, b) == 0.0) 0.0
+          else (b - a) / math.max(a, b)
+        (c, a, b, s)
+      }
+      .toDF("cluster", "a", "b", "sil")
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"), avg("a").as("mean_a"),
+        avg("b").as("mean_b"), avg("sil").as("mean_sil"))
+  }
 }

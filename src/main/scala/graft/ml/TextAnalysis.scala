@@ -1335,4 +1335,51 @@ object TextAnalysis {
           (count(lit(1)).cast("double") * max("nt").cast("double")) -
           (count(lit(1)) + lit(1.0)) / count(lit(1))).as("gini"))
   }
+
+  /** Harman S-stemmer (1991) — the light, precision-first plural
+    * stemmer used where Porter over-stems retrieval vocabularies:
+    * exactly three rules, FIRST match wins, each guarded by its
+    * exception suffixes ("ies"→"y" unless e/aies; drop "es"-final s
+    * unless a/e/oes; drop final s unless us/ss). Pure codegen'd
+    * Column program — the BM25/keyword pipelines fold it into the
+    * tokenize scan with zero extra passes.
+    */
+  def sStem(c: Column): Column =
+    when(c.endsWith("ies") && !c.endsWith("eies") && !c.endsWith("aies"),
+      concat(c.substr(lit(1), length(c) - 3), lit("y")))
+      .when(c.endsWith("es") && !c.endsWith("aes") && !c.endsWith("ees") &&
+        !c.endsWith("oes"),
+        c.substr(lit(1), length(c) - 1))
+      .when(c.endsWith("s") && !c.endsWith("us") && !c.endsWith("ss"),
+        c.substr(lit(1), length(c) - 1))
+      .otherwise(c)
+
+  /** Keyword-in-context concordance (KWIC): every occurrence of
+    * `term` in the normalized token stream with up to `window`
+    * tokens of context on each side — the corpus-linguistics read
+    * ("how is this word actually used") behind sense disambiguation
+    * and collocation inspection. Returns (id, pos, left, right),
+    * pos = 0-based token position.
+    *
+    * Scale shape: one tokenize scan + one posexplode filtered to the
+    * term (the context slices read the row's OWN token array — no
+    * join, no second scan); output is occurrence-sized, not
+    * corpus-sized.
+    */
+  def kwic(df: DataFrame, idCol: String, textCol: String,
+      term: String, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val toks = split(normalize(col(textCol)), " ")
+    df.select(col(idCol).as("id"), toks.as("tks"))
+      .select(col("id"), col("tks"),
+        posexplode(col("tks")).as(Seq("pos", "w")))
+      .filter(col("w") === term)
+      .select(col("id"), col("pos"),
+        array_join(slice(col("tks"),
+          greatest(lit(1), col("pos") + 1 - window),
+          col("pos") + 1 - greatest(lit(1), col("pos") + 1 - window)),
+          " ").as("left"),
+        array_join(slice(col("tks"), col("pos") + 2, window), " ")
+          .as("right"))
+  }
 }

@@ -125,4 +125,38 @@ object TextIndex {
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(topK)
   }
+
+  /** Exact phrase search over positional postings: occurrences of
+    * `phrase` as CONSECUTIVE tokens. The position-join formulation —
+    * anchor on the first term's postings, then one (doc, pos−i)
+    * equi-join per remaining term — is how positional inverted
+    * indexes answer phrase queries without ever re-reading text.
+    * Returns (doc_id, n_hits, first_pos) per matching document.
+    *
+    * Scale shape: the posting stream is filtered to the phrase's own
+    * terms BEFORE any join (the pushed-down predicate is the whole
+    * point — a phrase touches |phrase| postings lists, not the
+    * corpus), and every join is a (doc_id, pos) hash equi-join.
+    */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val toks = split(TextAnalysis.normalize(col(textCol)), " ")
+    val pos = graft.core.PipelineCaches.persistTracked(
+      docs.select(col(idCol).cast("long").as("doc_id"), toks.as("tks"))
+        .select(col("doc_id"),
+          posexplode(col("tks")).as(Seq("pos", "tk")))
+        .filter(col("tk").isin(phrase.distinct: _*)))
+    val anchor = pos.filter(col("tk") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    val hits = phrase.zipWithIndex.tail.foldLeft(anchor) {
+      case (acc, (term, i)) =>
+        acc.join(pos.filter(col("tk") === term)
+            .select(col("doc_id"), (col("pos") - i).as("pos")),
+          Seq("doc_id", "pos"))
+    }
+    hits.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"),
+        min("pos").cast("long").as("first_pos"))
+  }
 }

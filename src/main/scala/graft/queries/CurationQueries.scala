@@ -743,6 +743,288 @@ object CurationQueries extends QueryGroup {
         .select(col("category"), col("n"), col("good"), col("bad"),
           round(col("woe"), 6).as("woe"), round(col("iv"), 6).as("iv"))
         .orderBy("category")
+    },
+
+    // sample autocorrelation of the hourly event-count series at
+    // lags 1..24 + cumulative Ljung–Box Q — dense zero-filled grid,
+    // full pair-join replay.
+    q("q_events_acf",
+      """WITH c AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS bucket,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1
+        |), sp AS (SELECT min(bucket) AS b0, max(bucket) AS b1 FROM c),
+        |dense AS MATERIALIZED (
+        |  SELECT g.bucket, coalesce(c.y, 0)::DOUBLE AS y
+        |  FROM (SELECT unnest(range(b0, b1 + 1)) AS bucket FROM sp) g
+        |  LEFT JOIN c USING (bucket)
+        |), st AS (SELECT count(*)::BIGINT AS n, avg(y) AS m FROM dense),
+        |d AS MATERIALIZED (
+        |  SELECT bucket, y - m AS dy, n FROM dense CROSS JOIN st
+        |), den AS (SELECT sum(dy * dy) AS ss FROM d),
+        |pl AS (
+        |  SELECT (b.bucket - a.bucket) AS lag, sum(a.dy * b.dy) AS num,
+        |    max(a.n) AS n
+        |  FROM d a JOIN d b ON b.bucket - a.bucket BETWEEN 1 AND 24
+        |  GROUP BY 1
+        |), cum AS (
+        |  SELECT lag, num, n, sum(num * num / (n - lag)) OVER (
+        |    ORDER BY lag
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM pl
+        |)
+        |SELECT lag, round(num / ss, 6) + 0.0 AS r,
+        |  round(n * (n + 2) * cum / (ss * ss), 6) + 0.0 AS lb_q
+        |FROM cum CROSS JOIN den ORDER BY lag""".stripMargin) { (s, dir) =>
+      val raw = t(s, dir, "events")
+      Events.autocorrelation(
+          raw.withColumn("sec", graft.core.Ts.seconds(raw)),
+          "sec", periodSec = 3600L, maxLag = 24)
+        .select(col("lag"),
+          (round(col("r"), 6) + 0.0).as("r"),
+          (round(col("lb_q"), 6) + 0.0).as("lb_q"))
+        .orderBy("lag")
+    },
+
+    // Mann–Kendall monotone-trend test + Theil–Sen slope over the
+    // hourly count series — tie-corrected Var(S), continuity-
+    // corrected Z, lower-median slope as a discrete order statistic.
+    q("q_events_mann_kendall",
+      """WITH c AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS bucket,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1
+        |), sp AS (SELECT min(bucket) AS b0, max(bucket) AS b1 FROM c),
+        |dense AS MATERIALIZED (
+        |  SELECT g.bucket, coalesce(c.y, 0)::DOUBLE AS y
+        |  FROM (SELECT unnest(range(b0, b1 + 1)) AS bucket FROM sp) g
+        |  LEFT JOIN c USING (bucket)
+        |), p AS MATERIALIZED (
+        |  SELECT sign(b.y - a.y) AS sgn,
+        |    (b.y - a.y) / (b.bucket - a.bucket)::DOUBLE AS slope
+        |  FROM dense a JOIN dense b ON b.bucket > a.bucket
+        |), s AS MATERIALIZED (
+        |  SELECT sum(sgn) AS s, count(*)::BIGINT AS m FROM p
+        |), tt AS (
+        |  SELECT coalesce(sum(CASE WHEN t > 1
+        |      THEN t * (t - 1) * (2 * t + 5) END), 0)::BIGINT AS tie_term
+        |  FROM (SELECT count(*)::BIGINT AS t FROM dense GROUP BY y)
+        |), nn AS (SELECT count(*)::BIGINT AS n FROM dense),
+        |sc AS (SELECT slope, count(*)::BIGINT AS c FROM p GROUP BY 1),
+        |cu AS (
+        |  SELECT slope, c, sum(c) OVER (ORDER BY slope
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM sc
+        |), med AS (
+        |  SELECT slope AS sen_slope FROM cu
+        |  CROSS JOIN (SELECT CAST(ceil(m / 2.0) AS BIGINT) AS k FROM s)
+        |  WHERE cum >= k AND cum - c < k
+        |), vs AS (
+        |  SELECT n, s, (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+        |    AS var_s
+        |  FROM s CROSS JOIN tt CROSS JOIN nn
+        |)
+        |SELECT n, CAST(s AS BIGINT) AS s_stat,
+        |  round(var_s, 6) AS var_s,
+        |  round(CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+        |    WHEN s < 0 THEN (s + 1) / sqrt(var_s) ELSE 0.0 END, 6) + 0.0
+        |    AS z,
+        |  round(sen_slope, 6) + 0.0 AS sen_slope
+        |FROM vs CROSS JOIN med""".stripMargin) { (s, dir) =>
+      val raw = t(s, dir, "events")
+      Events.mannKendall(
+          raw.withColumn("sec", graft.core.Ts.seconds(raw)),
+          "sec", periodSec = 3600L)
+        .select(col("n"), col("s_stat"),
+          round(col("var_s"), 6).as("var_s"),
+          (round(col("z"), 6) + 0.0).as("z"),
+          (round(col("sen_slope"), 6) + 0.0).as("sen_slope"))
+    },
+
+    // post-stratified ATE: users stratified by event-count decile
+    // band, variant = user parity, metric = mean event value —
+    // within-stratum arm diffs recombined by stratum weight.
+    q("q_events_poststrat_ate",
+      """WITH pu AS (
+        |  SELECT user_id, user_id % 2 AS variant,
+        |    count(*) // 10 AS stratum, avg(value) AS metric
+        |  FROM events GROUP BY user_id
+        |), arm AS (
+        |  SELECT stratum, variant, count(*)::BIGINT AS n,
+        |    avg(metric) AS m, var_pop(metric) AS v
+        |  FROM pu GROUP BY 1, 2
+        |), grid AS MATERIALIZED (
+        |  SELECT stratum, sum(n)::BIGINT AS n_all,
+        |    max(CASE WHEN variant = 1 THEN n END) AS n_t,
+        |    max(CASE WHEN variant = 1 THEN m END) AS mean_t,
+        |    max(CASE WHEN variant = 1 THEN v END) AS var_t,
+        |    max(CASE WHEN variant = 0 THEN n END) AS n_c,
+        |    max(CASE WHEN variant = 0 THEN m END) AS mean_c,
+        |    max(CASE WHEN variant = 0 THEN v END) AS var_c
+        |  FROM arm GROUP BY 1
+        |), g2 AS MATERIALIZED (
+        |  SELECT *, (n_t IS NOT NULL AND n_c IS NOT NULL) AS used
+        |  FROM grid
+        |), tot AS (SELECT sum(n_all) AS n_used FROM g2 WHERE used),
+        |parts AS MATERIALIZED (
+        |  SELECT g2.*, CASE WHEN used
+        |      THEN n_all::DOUBLE / n_used END AS weight,
+        |    mean_t - mean_c AS diff
+        |  FROM g2 CROSS JOIN tot
+        |), pooled AS (
+        |  SELECT sum(weight * diff) AS ate,
+        |    sqrt(sum(weight * weight *
+        |      (var_t / n_t + var_c / n_c))) AS se
+        |  FROM parts WHERE used
+        |)
+        |SELECT stratum, n_all, n_t, n_c,
+        |  round(mean_t, 6) AS mean_t, round(mean_c, 6) AS mean_c,
+        |  round(diff, 6) + 0.0 AS diff, round(weight, 6) AS weight,
+        |  used, round(ate, 6) + 0.0 AS ate, round(se, 6) AS se
+        |FROM parts CROSS JOIN pooled ORDER BY stratum""".stripMargin) {
+      (s, dir) =>
+      val perUser = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("freq"), avg("value").as("metric"))
+        .select(col("user_id"), (col("user_id") % 2).as("variant"),
+          floor(col("freq") / 10).cast("long").as("stratum"),
+          col("metric"))
+      Events.postStratifiedAte(perUser, "variant", "metric", "stratum")
+        .select(col("stratum"), col("n_all"), col("n_t"), col("n_c"),
+          round(col("mean_t"), 6).as("mean_t"),
+          round(col("mean_c"), 6).as("mean_c"),
+          (round(col("diff"), 6) + 0.0).as("diff"),
+          round(col("weight"), 6).as("weight"), col("used"),
+          (round(col("ate"), 6) + 0.0).as("ate"),
+          round(col("se"), 6).as("se"))
+        .orderBy("stratum")
+    },
+
+    // American Soundex phonetic key over the corpus vocabulary —
+    // the record-linkage blocking key, replayed step-for-step
+    // (letters / H-W drop / digit classes / per-class collapse /
+    // zero removal / pad) in pure string SQL on both engines.
+    q("q_text_soundex", {
+      val collapsed = (0 to 6).foldLeft("digits") { (e, i) =>
+        s"regexp_replace($e, '$i$i+', '$i', 'g')"
+      }
+      s"""WITH w AS (
+         |  SELECT DISTINCT u.t AS word FROM (
+         |    SELECT list_filter(string_split($normSql, ' '),
+         |      t -> t <> '') AS ws FROM documents), unnest(ws) AS u(t)
+         |), k AS (
+         |  SELECT word, regexp_replace(upper(word), '[^A-Z]', '', 'g')
+         |    AS letters
+         |  FROM w
+         |), b AS (
+         |  SELECT word, substring(letters, 1, 1) AS f,
+         |    substring(letters, 1, 1) ||
+         |      translate(substring(letters, 2, 1048576), 'HW', '')
+         |      AS body
+         |  FROM k WHERE length(letters) > 0
+         |), d AS (
+         |  SELECT word, f, translate(body,
+         |    'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+         |    '01230120022455012623010202') AS digits
+         |  FROM b
+         |)
+         |SELECT word, f || rpad(substring(replace(
+         |    substring($collapsed, 2, 1048576), '0', ''), 1, 3), 3, '0')
+         |  AS code
+         |FROM d ORDER BY word""".stripMargin
+    }) { (s, dir) =>
+      import graft.ml.TextAnalysis
+      val words = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(
+          TextAnalysis.normalize(col("text")))).as("word"))
+        .filter(col("word") =!= "").distinct()
+      words
+        .select(col("word"),
+          graft.ml.Linkage.soundex(col("word")).as("code"))
+        .filter(col("code").isNotNull)
+        .orderBy("word")
+    },
+
+    // simplified (centroid-based) silhouette of the label partition
+    // of the embedding corpus — one corpus scan against the k
+    // broadcast centroids, full explode-join replay.
+    q("q_embed_silhouette",
+      """WITH v AS MATERIALIZED (
+        |  SELECT vec_id, label, u.i AS i,
+        |    CAST(embedding[u.i] AS DOUBLE) AS x
+        |  FROM embeddings,
+        |    unnest(range(1, len(embedding) + 1)) AS u(i)
+        |), cent AS MATERIALIZED (
+        |  SELECT label AS c, i, avg(x) AS m FROM v GROUP BY 1, 2
+        |), dist AS MATERIALIZED (
+        |  SELECT v.vec_id, v.label, cent.c,
+        |    sqrt(sum((v.x - cent.m) * (v.x - cent.m))) AS dist
+        |  FROM v JOIN cent USING (i)
+        |  GROUP BY 1, 2, 3
+        |), ab AS (
+        |  SELECT vec_id, label,
+        |    max(CASE WHEN c = label THEN dist END) AS a,
+        |    min(CASE WHEN c <> label THEN dist END) AS b
+        |  FROM dist GROUP BY 1, 2
+        |)
+        |SELECT label::BIGINT AS cluster, count(*)::BIGINT AS n,
+        |  round(avg(a), 6) AS mean_a, round(avg(b), 6) AS mean_b,
+        |  round(avg(CASE WHEN greatest(a, b) = 0 THEN 0.0
+        |    ELSE (b - a) / greatest(a, b) END), 6) + 0.0 AS mean_sil
+        |FROM ab GROUP BY 1 ORDER BY cluster""".stripMargin) { (s, dir) =>
+      graft.ml.Similarity.simplifiedSilhouette(
+          t(s, dir, "embeddings"), "label", "embedding")
+        .select(col("cluster"), col("n"),
+          round(col("mean_a"), 6).as("mean_a"),
+          round(col("mean_b"), 6).as("mean_b"),
+          (round(col("mean_sil"), 6) + 0.0).as("mean_sil"))
+        .orderBy("cluster")
+    },
+
+    // binary sign-bit ANN: Hamming top-20 over 32-dim-per-word
+    // packed vectors (integer selection — bit-identical across
+    // engines), exact-cosine rerank to top-5. Probe batch =
+    // vec_id < 10, the ANN contract.
+    q("q_ann_binary",
+      """WITH pk AS MATERIALIZED (
+        |  SELECT vec_id, (u.i - 1) // 32 AS w,
+        |    sum(CASE WHEN embedding[u.i] >= 0
+        |      THEN (1::BIGINT << ((u.i - 1) % 32)) ELSE 0 END)::BIGINT
+        |      AS word
+        |  FROM embeddings,
+        |    unnest(range(1, len(embedding) + 1)) AS u(i)
+        |  GROUP BY 1, 2
+        |), ham AS MATERIALIZED (
+        |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+        |    sum(bit_count(xor(a.word, b.word)))::BIGINT AS hamming
+        |  FROM pk a JOIN pk b
+        |    ON a.w = b.w AND a.vec_id < 10 AND b.vec_id <> a.vec_id
+        |  GROUP BY 1, 2
+        |), cand AS (
+        |  SELECT qid, cid, hamming FROM ham
+        |  QUALIFY row_number() OVER (PARTITION BY qid
+        |    ORDER BY hamming, cid) <= 20
+        |), rer AS (
+        |  SELECT cand.qid, cand.cid, cand.hamming,
+        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |      CAST(c.embedding AS DOUBLE[])) AS cos
+        |  FROM cand JOIN embeddings q ON q.vec_id = cand.qid
+        |  JOIN embeddings c ON c.vec_id = cand.cid
+        |), rk AS (
+        |  SELECT qid, cid, hamming, cos, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cos DESC, cid) AS r
+        |  FROM rer
+        |)
+        |SELECT qid, cid, hamming, round(cos, 6) + 0.0 AS cos
+        |FROM rk WHERE r <= 5 ORDER BY qid, cid""".stripMargin) {
+      (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      graft.ml.Similarity.binaryTopK(
+          e.filter(col("id") < 10), e, k = 5, rerankMult = 4)
+        .select(col("qid"), col("cid"), col("hamming").cast("long")
+          .as("hamming"), (round(col("cos"), 6) + 0.0).as("cos"))
+        .orderBy("qid", "cid")
     }
   )
 }

@@ -391,4 +391,141 @@ class CurationSpec extends SparkSpec {
     // assert bounds rather than exact second place
     assert(got(1) >= 0.5)
   }
+
+  test("soundex: canonical NARA vectors incl. the H/W-transparency rule") {
+    import spark.implicits._
+    val cases = Seq(
+      "Robert" -> "R163", "Rupert" -> "R163", "Jackson" -> "J250",
+      // S,C separated by H collapse (A261, not A226); same for
+      // Pf (both code 1) and the Tymczak vowel separators
+      "Ashcraft" -> "A261", "Ashcroft" -> "A261",
+      "Pfister" -> "P236", "Tymczak" -> "T522",
+      "Honeyman" -> "H555", "Washington" -> "W252",
+      "Lee" -> "L000", "Gutierrez" -> "G362", "o'brien" -> "O165")
+    val df = cases.map(_._1).toDF("w")
+      .select(col("w"), graft.ml.Linkage.soundex(col("w")).as("c"))
+    val got = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (w, want) =>
+      assert(got(w) === want, s"soundex($w)")
+    }
+    // no letters at all → NULL key (never a fake block)
+    val nulls = Seq("123", "").toDF("w")
+      .select(graft.ml.Linkage.soundex(col("w"))).collect()
+    assert(nulls.forall(_.isNullAt(0)))
+  }
+
+  test("phoneticPairs: same-code candidates, oversized blocks dropped whole") {
+    import spark.implicits._
+    val names = Seq("Robert", "Rupert", "Smith", "Smyth", "Lee")
+      .toDF("name")
+    val got = graft.ml.Linkage.phoneticPairs(names, "name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(got === Set(("R163", "Robert", "Rupert"),
+      ("S530", "Smith", "Smyth")))
+    // cap = 2 drops the 3-name block entirely, keeps the pair block
+    val skew = Seq("Robert", "Rupert", "Rubard", "Smith", "Smyth")
+      .toDF("name")
+    val capped = graft.ml.Linkage.phoneticPairs(skew, "name",
+      maxBlock = 2).collect()
+    assert(capped.map(_.getString(0)).toSet === Set("S530"))
+  }
+
+  test("autocorrelation: hand ACF + Ljung-Box on an alternating series") {
+    import spark.implicits._
+    // buckets 0..5 (periodSec=1): counts 2,1,2,1,2,1 — alternation
+    // means r1 < 0, r2 > 0; hand values from the textbook formula
+    val secs = Seq.tabulate(6)(identity).flatMap(t =>
+      Seq.fill(if (t % 2 == 0) 2 else 1)(t.toLong))
+    val df = secs.toDF("sec")
+    val got = graft.events.Events.autocorrelation(df, "sec", 1L, 2)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    // ȳ = 1.5, dy = ±.5; Σdy² = 1.5
+    // r1 = Σ_{t=0..4} dy_t·dy_{t+1} / 1.5 = (5·(-0.25))/1.5 = -5/6
+    // r2 = (4·0.25)/1.5 = 2/3
+    assert(math.abs(got(1L)._1 - (-5.0 / 6)) < 1e-12)
+    assert(math.abs(got(2L)._1 - 2.0 / 3) < 1e-12)
+    // Q(1) = n(n+2)·r1²/(n−1) = 6·8·(25/36)/5
+    assert(math.abs(got(1L)._2 - 48.0 * (25.0 / 36) / 5) < 1e-9)
+    assert(got(2L)._2 > got(1L)._2) // Q is cumulative
+  }
+
+  test("mannKendall: strictly increasing series has S = C(n,2), positive Z, exact Sen slope") {
+    import spark.implicits._
+    // counts 1,2,3,4 over buckets 0..3: every pair concordant
+    val secs = (0 to 3).flatMap(t => Seq.fill(t + 1)(t.toLong))
+    val got = graft.events.Events.mannKendall(secs.toDF("sec"), "sec", 1L)
+      .collect().head
+    assert(got.getLong(0) === 4L)     // n
+    assert(got.getLong(1) === 6L)     // S = C(4,2)
+    // no ties: Var = 4·3·13/18
+    assert(math.abs(got.getDouble(2) - 4.0 * 3 * 13 / 18) < 1e-12)
+    assert(got.getDouble(3) > 0)
+    // all pairwise slopes are exactly 1
+    assert(got.getDouble(4) === 1.0)
+  }
+
+  test("postStratifiedAte: hand two-stratum recombination, one-armed stratum excluded") {
+    import spark.implicits._
+    val rows = Seq(
+      // stratum A: T mean 4 (2,6), C mean 1 (0,2) → diff 3, n=4
+      ("u1", 1, "A", 2.0), ("u2", 1, "A", 6.0),
+      ("u3", 0, "A", 0.0), ("u4", 0, "A", 2.0),
+      // stratum B: T mean 10, C mean 4 → diff 6, n=4
+      ("u5", 1, "B", 10.0), ("u6", 1, "B", 10.0),
+      ("u7", 0, "B", 4.0), ("u8", 0, "B", 4.0),
+      // stratum C: control only → excluded, flagged unused
+      ("u9", 0, "C", 99.0))
+      .toDF("user", "variant", "stratum", "metric")
+    val got = graft.events.Events.postStratifiedAte(rows, "variant",
+      "metric", "stratum").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("C").getBoolean(8) === false)
+    assert(got("C").isNullAt(7)) // no weight
+    // ATE = .5·3 + .5·6 = 4.5 (C's users excluded from N)
+    assert(math.abs(got("A").getDouble(9) - 4.5) < 1e-12)
+    assert(got("A").getDouble(9) === got("B").getDouble(9))
+    // SE² = Σ w²(v_t/n_t + v_c/n_c): A has v_t=4,v_c=1; B v=0
+    val se = math.sqrt(0.25 * (4.0 / 2 + 1.0 / 2))
+    assert(math.abs(got("A").getDouble(10) - se) < 1e-12)
+  }
+
+  test("simplifiedSilhouette: separated clusters near 1, misassigned cluster negative") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, Array(0f, 0f)), (0L, Array(0f, 2f)),
+      (1L, Array(10f, 0f)), (1L, Array(10f, 2f)),
+      // cluster 2 sits ON cluster 1's mass → a > b, negative sil
+      (2L, Array(10f, 1f)), (2L, Array(0f, 1f)))
+      .toDF("cluster", "vec")
+    val got = graft.ml.Similarity.simplifiedSilhouette(rows, "cluster",
+      "vec").collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(got(0L) > 0.7 && got(1L) > 0.7)
+    assert(got(2L) < 0)
+  }
+
+  test("binaryTopK: packing, hamming, and exact-rerank ordering") {
+    import graft.ml.Similarity.BinUtil
+    // 33 dims exercises the word boundary: dim 32 lands in word 1
+    val v = Array.fill(33)(-1.0f); v(0) = 1f; v(32) = 1f
+    val w = BinUtil.pack(v)
+    assert(w.length === 2 && w(0) === 1L && w(1) === 1L)
+    assert(BinUtil.hamming(w, Array(0L, 0L)) === 2)
+    assert(BinUtil.hamming(w, w) === 0)
+
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(1f, 1f, -1f, -1f)),   // sign-identical to the probe
+      (2L, Array(1f, -1f, -1f, -1f)),  // hamming 1
+      (3L, Array(-1f, -1f, 1f, 1f)))   // hamming 4
+      .toDF("id", "vec")
+    val probe = Seq((0L, Array(2f, 1f, -1f, -2f))).toDF("id", "vec")
+    val got = graft.ml.Similarity.binaryTopK(probe, corpus, k = 2,
+      rerankMult = 1).collect()
+      .map(r => (r.getLong(1), r.getInt(2))).toList
+    // candidates = hamming top-2 = ids 1,2; rerank by true cosine
+    // keeps that order (id 1 is the aligned vector)
+    assert(got === List((1L, 0), (2L, 1)))
+  }
 }

@@ -184,7 +184,24 @@ class PlanLintSpec extends SparkSpec {
         "top-50 word × |strata| grid build (panel-sized broadcasts)"),
     "q_text_token_mi" -> Map("cartesian" ->
       ("token×label grid: |labels|-row + 1-row broadcast crosses onto " +
-        "the token table (absent cells must exist to contribute)")))
+        "the token table (absent cells must exist to contribute)")),
+    "q_events_acf" -> Map(
+      "cartesian" ->
+        ("1-row (n, mean) / denominator aggregates broadcast onto the " +
+          "bucket grid; the lag-pair range join is bucket-grid × " +
+          "bucket-grid, both sides time-range/periodSec-bounded"),
+      "global-window" ->
+        "cumulative Ljung–Box window over the maxLag-row per-lag aggregate"),
+    "q_events_mann_kendall" -> Map(
+      "cartesian" ->
+        ("bucket-grid triangle join (both sides time-range/periodSec-" +
+          "bounded) + 1-row k/tie/n aggregates broadcast into the report"),
+      "global-window" ->
+        ("cumulative window over the distinct-SLOPE count aggregate " +
+          "(the rocAuc midrank shape), never the pair set")),
+    "q_events_poststrat_ate" -> Map("cartesian" ->
+      ("1-row used-stratum total and pooled (ate, se) aggregates " +
+        "broadcast onto the stratum grid")))
   // q_multimodal_tar's former cartesian entry dropped in round 8: the
   // gate now collects its 1-row summary eagerly (so the shard temp dir
   // can be deleted) and returns a parallelized literal — no join plan.
