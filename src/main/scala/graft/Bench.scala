@@ -183,7 +183,16 @@ object Bench {
     "q_events_poststrat_ate",
     "q_text_soundex",
     "q_embed_silhouette",
-    "q_ann_binary")
+    "q_ann_binary",
+    // round-22 second batch: S-stemmer + KWIC (tokenize scans),
+    // positional phrase search (term-filtered postings + position
+    // equi-joins), power-law tail fit (degree agg + 1-row tail),
+    // Cronbach's alpha (three grid aggregates)
+    "q_text_sstem",
+    "q_text_kwic",
+    "q_text_phrase",
+    "q_graph_powerlaw",
+    "q_eval_cronbach")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1379,7 +1379,7 @@ object TextAnalysis {
           greatest(lit(1), col("pos") + 1 - window),
           col("pos") + 1 - greatest(lit(1), col("pos") + 1 - window)),
           " ").as("left"),
-        array_join(slice(col("tks"), col("pos") + 2, window), " ")
+        array_join(slice(col("tks"), col("pos") + 2, lit(window)), " ")
           .as("right"))
   }
 }

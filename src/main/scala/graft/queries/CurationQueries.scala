@@ -1025,6 +1025,143 @@ object CurationQueries extends QueryGroup {
         .select(col("qid"), col("cid"), col("hamming").cast("long")
           .as("hamming"), (round(col("cos"), 6) + 0.0).as("cos"))
         .orderBy("qid", "cid")
+    },
+
+    // Harman S-stemmer over the corpus vocabulary: three guarded
+    // plural rules, first match wins — CASE-for-CASE replay.
+    q("q_text_sstem",
+      s"""WITH w AS (
+         |  SELECT DISTINCT u.t AS word FROM (
+         |    SELECT list_filter(string_split($normSql, ' '),
+         |      t -> t <> '') AS ws FROM documents), unnest(ws) AS u(t)
+         |)
+         |SELECT word, CASE
+         |  WHEN word LIKE '%ies' AND word NOT LIKE '%eies'
+         |    AND word NOT LIKE '%aies'
+         |    THEN substring(word, 1, length(word) - 3) || 'y'
+         |  WHEN word LIKE '%es' AND word NOT LIKE '%aes'
+         |    AND word NOT LIKE '%ees' AND word NOT LIKE '%oes'
+         |    THEN substring(word, 1, length(word) - 1)
+         |  WHEN word LIKE '%s' AND word NOT LIKE '%us'
+         |    AND word NOT LIKE '%ss'
+         |    THEN substring(word, 1, length(word) - 1)
+         |  ELSE word END AS stem
+         |FROM w ORDER BY word""".stripMargin) { (s, dir) =>
+      import graft.ml.TextAnalysis
+      t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(
+          TextAnalysis.normalize(col("text")))).as("word"))
+        .filter(col("word") =!= "").distinct()
+        .select(col("word"),
+          TextAnalysis.sStem(col("word")).as("stem"))
+        .orderBy("word")
+    },
+
+    // keyword-in-context concordance for "spark", ±3 tokens — the
+    // context slices replayed by list slicing on both engines.
+    q("q_text_kwic",
+      s"""WITH tk AS (
+         |  SELECT doc_id, string_split($normSql, ' ') AS ws
+         |  FROM documents
+         |), w AS (
+         |  SELECT doc_id, ws, u.i - 1 AS pos, ws[u.i] AS tok
+         |  FROM tk, unnest(range(1, len(ws) + 1)) AS u(i)
+         |)
+         |SELECT doc_id AS id, CAST(pos AS BIGINT) AS pos,
+         |  -- DuckDB yields NULL (not []) for empty/inverted slices;
+         |  -- the engine's slice/array_join contract is ''
+         |  coalesce(array_to_string(ws[greatest(1, pos - 2) : pos],
+         |    ' '), '') AS l_ctx,
+         |  coalesce(array_to_string(ws[pos + 2 : pos + 4], ' '), '')
+         |    AS r_ctx
+         |FROM w WHERE tok = 'spark'
+         |ORDER BY id, pos""".stripMargin) { (s, dir) =>
+      graft.ml.TextAnalysis.kwic(t(s, dir, "documents"), "doc_id",
+          "text", term = "spark", window = 3)
+        .select(col("id"), col("pos").cast("long").as("pos"),
+          col("left").as("l_ctx"), col("right").as("r_ctx"))
+        .orderBy("id", "pos")
+    },
+
+    // exact phrase search over positional postings: "fast table" as
+    // consecutive tokens via the position equi-join.
+    q("q_text_phrase",
+      s"""WITH tk AS (
+         |  SELECT doc_id, string_split($normSql, ' ') AS ws
+         |  FROM documents
+         |), w AS MATERIALIZED (
+         |  SELECT doc_id, u.i - 1 AS pos, ws[u.i] AS tok
+         |  FROM tk, unnest(range(1, len(ws) + 1)) AS u(i)
+         |  WHERE ws[u.i] IN ('fast', 'table')
+         |), a AS (SELECT doc_id, pos FROM w WHERE tok = 'fast'),
+         |b AS (SELECT doc_id, pos - 1 AS pos FROM w WHERE tok = 'table'),
+         |h AS (SELECT doc_id, pos FROM a JOIN b USING (doc_id, pos))
+         |SELECT doc_id, count(*)::BIGINT AS n_hits,
+         |  CAST(min(pos) AS BIGINT) AS first_pos
+         |FROM h GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.ml.TextIndex.phraseSearch(t(s, dir, "documents"), "doc_id",
+          "text", Seq("fast", "table"))
+        .orderBy("doc_id")
+    },
+
+    // Hill/discrete-MLE power-law exponent of the co-purchase
+    // graph's degree tail (xmin = 2) — closed-form replay.
+    q("q_graph_powerlaw",
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |), e AS (
+        |  SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+        |), deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        |    SELECT u AS node FROM e UNION ALL SELECT v FROM e
+        |  ) GROUP BY node
+        |), tail AS (SELECT degree FROM deg WHERE degree >= 2)
+        |SELECT 2::BIGINT AS xmin, count(*)::BIGINT AS n_tail,
+        |  round(1.0 + count(*) / sum(ln(degree / 1.5)), 6) AS alpha,
+        |  round((1.0 + count(*) / sum(ln(degree / 1.5)) - 1)
+        |    / sqrt(count(*)), 6) AS sigma
+        |FROM tail""".stripMargin) { (s, dir) =>
+      val items = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = items.alias("a").join(items.alias("b"), Seq("o"))
+        .filter(col("a.p") < col("b.p"))
+        .select(col("a.p").as("src"), col("b.p").as("dst"))
+        .distinct()
+      graft.graph.Graphs.powerLawAlpha(edges, xmin = 2L)
+        .select(col("xmin"), col("n_tail"),
+          round(col("alpha"), 6).as("alpha"),
+          round(col("sigma"), 6).as("sigma"))
+    },
+
+    // Cronbach's alpha of the 5 event types as an item battery
+    // (subject = user, item score = mean event value).
+    q("q_eval_cronbach",
+      """WITH cell AS MATERIALIZED (
+        |  SELECT user_id AS subj, event_type AS item, avg(value) AS x
+        |  FROM events GROUP BY 1, 2
+        |), k AS (SELECT count(DISTINCT item)::BIGINT AS k FROM cell),
+        |comp AS MATERIALIZED (
+        |  SELECT subj, count(*)::BIGINT AS ki, sum(x) AS total
+        |  FROM cell GROUP BY 1
+        |), compf AS MATERIALIZED (
+        |  SELECT comp.* FROM comp CROSS JOIN k WHERE ki = k.k
+        |), iv AS (
+        |  SELECT sum(v) AS siv FROM (
+        |    SELECT var_pop(x) AS v FROM cell
+        |    JOIN compf USING (subj) GROUP BY item)
+        |), tv AS (
+        |  SELECT var_pop(total) AS vt, count(*)::BIGINT AS n_subjects
+        |  FROM compf
+        |)
+        |SELECT k.k, tv.n_subjects,
+        |  round(k.k / (k.k - 1.0) * (1 - iv.siv / tv.vt), 6) AS alpha
+        |FROM k CROSS JOIN iv CROSS JOIN tv""".stripMargin) { (s, dir) =>
+      graft.ml.Eval.cronbachAlpha(t(s, dir, "events"), "user_id",
+          "event_type", "value")
+        .select(col("k"), col("n_subjects"),
+          round(col("alpha"), 6).as("alpha"))
     }
   )
 }

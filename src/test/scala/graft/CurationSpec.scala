@@ -505,6 +505,79 @@ class CurationSpec extends SparkSpec {
     assert(got(2L) < 0)
   }
 
+  test("sStem: the three guarded Harman rules, first match wins") {
+    import spark.implicits._
+    val cases = Seq(
+      "flies" -> "fly", "studies" -> "study",
+      // 'eies'/'aies' guards block rule 1 → fall through to rule 3
+      "eies" -> "eie", "daies" -> "daie",
+      "arches" -> "arche", "dogs" -> "dog",
+      // 'ees'/'oes'/'aes' guards block rule 2 → rule 3 still drops s
+      "trees" -> "tree", "goes" -> "goe",
+      // 'us'/'ss' endings never stem
+      "focus" -> "focus", "glass" -> "glass",
+      "table" -> "table")
+    val got = cases.map(_._1).toDF("w")
+      .select(col("w"), graft.ml.TextAnalysis.sStem(col("w")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (w, want) => assert(got(w) === want, w) }
+  }
+
+  test("kwic: context windows clamp at both document edges") {
+    import spark.implicits._
+    val df = Seq((1L, "spark b c spark d")).toDF("doc_id", "text")
+    val got = graft.ml.TextAnalysis.kwic(df, "doc_id", "text",
+      term = "spark", window = 2)
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(got === Set((0, "", "b c"), (3, "b c", "d")))
+  }
+
+  test("phraseSearch: consecutive positions only, repeated hits counted") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "x y x y x"),     // "x y" at 0 and 2
+      (2L, "x z y"),          // x and y present but not adjacent
+      (3L, "y x")).toDF("doc_id", "text")
+    val got = graft.ml.TextIndex.phraseSearch(df, "doc_id", "text",
+      Seq("x", "y")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 2L, 0L)))
+    // three-term phrase chains two position joins
+    val tri = graft.ml.TextIndex.phraseSearch(df, "doc_id", "text",
+      Seq("x", "y", "x")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(tri === Set((1L, 2L, 0L)))
+  }
+
+  test("powerLawAlpha: hand Hill estimate on a star graph") {
+    import spark.implicits._
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+      .toDF("src", "dst")
+    val got = graft.graph.Graphs.powerLawAlpha(star, xmin = 2L)
+      .collect().head
+    // only the hub (degree 4) is in the tail
+    assert(got.getLong(1) === 1L)
+    val alpha = 1.0 + 1.0 / math.log(4.0 / 1.5)
+    assert(math.abs(got.getDouble(2) - alpha) < 1e-12)
+    assert(math.abs(got.getDouble(3) - (alpha - 1.0)) < 1e-12)
+  }
+
+  test("cronbachAlpha: perfectly correlated items, incomplete subject dropped") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "i1", 1.0), (1L, "i2", 2.0),
+      (2L, "i1", 2.0), (2L, "i2", 4.0),
+      (3L, "i1", 3.0), (3L, "i2", 6.0),
+      (4L, "i1", 9.9)) // missing i2 → excluded
+      .toDF("subj", "item", "v")
+    val got = graft.ml.Eval.cronbachAlpha(df, "subj", "item", "v")
+      .collect().head
+    assert(got.getLong(0) === 2L && got.getLong(1) === 3L)
+    // var1 = 2/3, var2 = 8/3, var(total) = 6 → α = 2(1 − (10/3)/6)
+    assert(math.abs(got.getDouble(2) - 8.0 / 9) < 1e-12)
+  }
+
   test("binaryTopK: packing, hamming, and exact-rerank ordering") {
     import graft.ml.Similarity.BinUtil
     // 33 dims exercises the word boundary: dim 32 lands in word 1

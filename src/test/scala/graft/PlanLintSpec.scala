@@ -201,7 +201,10 @@ class PlanLintSpec extends SparkSpec {
           "(the rocAuc midrank shape), never the pair set")),
     "q_events_poststrat_ate" -> Map("cartesian" ->
       ("1-row used-stratum total and pooled (ate, se) aggregates " +
-        "broadcast onto the stratum grid")))
+        "broadcast onto the stratum grid")),
+    "q_eval_cronbach" -> Map("cartesian" ->
+      ("1-row k (distinct-item count) and 1-row Σitem-variance " +
+        "aggregates broadcast onto the subject/report rows")))
   // q_multimodal_tar's former cartesian entry dropped in round 8: the
   // gate now collects its 1-row summary eagerly (so the shard temp dir
   // can be deleted) and returns a parallelized literal — no join plan.
