@@ -684,4 +684,46 @@ object Eval {
         (col("k") / (col("k") - lit(1.0)) *
           (lit(1.0) - col("siv") / col("vt"))).as("alpha"))
   }
+
+  /** Unbiased pass@k (Chen et al. 2021, "Evaluating Large Language
+    * Models Trained on Code", eq. 1) — THE sampled code-eval metric:
+    * given n attempts per problem of which c passed,
+    * pass@k = 1 − C(n−c, k)/C(n, k) = 1 − Π_{i<k} (n−c−i)/(n−i),
+    * the probability that at least one of k randomly drawn attempts
+    * passes. Exactly 1 when n−c < k (some term hits 0), NULL when
+    * k > n (undefined — fewer attempts than the draw). Returns one
+    * row per (problem, k) plus the corpus mean per k in a second
+    * aggregate the caller can reuse.
+    *
+    * The product is evaluated as exp(Σ ln tᵢ) over an exploded
+    * i-grid — problems × Σk rows, every term strictly positive on
+    * that path — so both engines reduce the identical term list.
+    *
+    * Scale shape: one (problem) hash aggregate collapses the attempt
+    * corpus; the k/i explosion multiplies the PROBLEM table only.
+    */
+  def passAtK(df: DataFrame, problemCol: String, correctCol: String,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), "ks must be >= 1")
+    val per = graft.core.PipelineCaches.persistTracked(
+      df.groupBy(col(problemCol).as("problem"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col(correctCol), 1L).otherwise(0L)).as("c")))
+    val grid = per.select(col("problem"), col("n"), col("c"),
+      explode(lit(ks.distinct.sorted.toArray)).as("k"))
+    val terms = grid
+      .filter(col("k") <= col("n") && col("n") - col("c") >= col("k"))
+      .select(col("problem"), col("k"), col("n"), col("c"),
+        explode(sequence(lit(0), col("k") - 1)).as("i"))
+      .select(col("problem"), col("k"),
+        log((col("n") - col("c") - col("i")).cast("double") /
+          (col("n") - col("i")).cast("double")).as("lt"))
+      .groupBy("problem", "k")
+      .agg((lit(1.0) - exp(sum("lt"))).as("p"))
+    grid.join(terms, Seq("problem", "k"), "left")
+      .select(col("problem"), col("k"), col("n"), col("c"),
+        when(col("k") > col("n"), lit(null).cast("double"))
+          .when(col("n") - col("c") < col("k"), lit(1.0))
+          .otherwise(col("p")).as("pass_at_k"))
+  }
 }

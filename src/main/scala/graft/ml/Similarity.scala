@@ -967,6 +967,105 @@ object Similarity {
       .select(col("qid"), col("cid"), col("hamming"), col("cos"))
   }
 
+  /** Orthogonal Procrustes alignment between two paired embedding
+    * spaces (Schönemann 1966): the orthogonal W minimizing ‖XW − Y‖
+    * is W = UVᵀ from the SVD of M = XᵀY — the standard cross-lingual
+    * / cross-model-version embedding aligner (Artetxe 2016, Smith
+    * 2017 use exactly this). `pairs` carries both vectors per row
+    * (row convention: x·W ≈ y). Returns the d×d matrix, row-major.
+    *
+    * The SVD runs driver-side on the d×d cross-covariance (the PCA
+    * eigensolver on MᵀM gives V and σ²; U = MVΣ⁻¹), so the only
+    * distributed work is ONE map-side-combined d²-buffer aggregate —
+    * the [[Pca]] moments shape. Full-rank M is a documented contract
+    * (rank-deficient pairs → IllegalStateException, not a silently
+    * non-orthogonal W).
+    */
+  def procrustesAlign(pairs: DataFrame, aCol: String, bCol: String,
+      dim: Int): Array[Array[Double]] = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val m = pairs.select(col(aCol), col(bCol))
+      .as[(Array[Float], Array[Float])]
+      .mapPartitions { it =>
+        val acc = new Array[Double](dim * dim)
+        var any = false
+        it.foreach { case (x, y) =>
+          require(x.length == dim && y.length == dim, "dim mismatch")
+          any = true
+          var i = 0
+          while (i < dim) {
+            val xi = x(i).toDouble
+            var j = 0
+            while (j < dim) { acc(i * dim + j) += xi * y(j); j += 1 }
+            i += 1
+          }
+        }
+        if (any) Iterator.single(acc) else Iterator.empty
+      }
+      .reduce { (a, b) =>
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      }
+    // MᵀM = V Σ² Vᵀ; U columns = M v_i / σ_i
+    val mtm = Array.tabulate(dim, dim) { (i, j) =>
+      var s = 0.0
+      var r = 0
+      while (r < dim) { s += m(r * dim + i) * m(r * dim + j); r += 1 }
+      s
+    }
+    val (evals, vecs) = Pca.jacobiEigen(mtm)
+    val sigma = evals.map(v => math.sqrt(math.max(v, 0.0)))
+    val sMax = sigma.max
+    require(sMax > 0, "procrustes: M is zero — no signal to align")
+    if (sigma.exists(_ < 1e-9 * sMax))
+      throw new IllegalStateException(
+        "procrustes: rank-deficient cross-covariance (documented " +
+          "full-rank contract) — reduce dim or add pairs")
+    // eigenvector k lives in COLUMN k of vecs; u_k = M v_k / σ_k
+    val u = Array.tabulate(dim, dim) { (r, k) =>
+      var s = 0.0
+      var c = 0
+      while (c < dim) { s += m(r * dim + c) * vecs(c)(k); c += 1 }
+      s / sigma(k)
+    }
+    // W = U Vᵀ: W(i)(j) = Σ_k U(i,k) · V(j,k)
+    Array.tabulate(dim, dim) { (i, j) =>
+      var s = 0.0
+      var k = 0
+      while (k < dim) { s += u(i)(k) * vecs(j)(k); k += 1 }
+      s
+    }
+  }
+
+  /** Apply a [[procrustesAlign]] matrix: one typed-map corpus scan
+    * with the d×d matrix in the closure (plan-literal, no join, no
+    * shuffle). Row convention x·W.
+    */
+  def applyAlign(df: DataFrame, idCol: String, vecCol: String,
+      w: Array[Array[Double]]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dim = w.length
+    df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+      .map { case (id, x) =>
+        val out = new Array[Float](dim)
+        var j = 0
+        while (j < dim) {
+          var s = 0.0
+          var i = 0
+          while (i < dim) { s += x(i) * w(i)(j); i += 1 }
+          out(j) = s.toFloat
+          j += 1
+        }
+        (id, out)
+      }
+      .toDF("id", "vec")
+  }
+
   /** Simplified (centroid-based) silhouette per cluster — the
     * clustering-quality audit run before any centroid-blocked
     * operator (semantic dedup, IVF) trusts its partition: a(i) =

@@ -1366,6 +1366,35 @@ object TextAnalysis {
     * join, no second scan); output is occurrence-sized, not
     * corpus-sized.
     */
+  /** Out-of-vocabulary rate per stratum against a vocabulary table —
+    * the tokenizer-coverage read run before committing a vocab to a
+    * training run (an OOV rate that differs by stratum says the
+    * vocab was trained on a skewed mix). `vocab`: one token per row
+    * in `vocabCol`. Returns (stratum, n_tokens, n_oov, oov_rate).
+    *
+    * Scale shape: one tokenize scan → (stratum, token) hash
+    * aggregate, one broadcast-able left join against the vocab (a
+    * vocab is ≤ a few hundred k rows by construction), one stratum
+    * rollup. The corpus never joins row-wise — only its distinct
+    * (stratum, token) counts do.
+    */
+  def oovRate(df: DataFrame, strataCol: String, textCol: String,
+      vocab: DataFrame, vocabCol: String): DataFrame = {
+    val counts = df.select(col(strataCol).as("stratum"),
+        explode(split(normalize(col(textCol)), " ")).as("tk"))
+      .filter(length(col("tk")) > 0)
+      .groupBy("stratum", "tk").agg(count(lit(1)).as("c"))
+    val v = vocab.select(col(vocabCol).as("tk")).distinct()
+      .withColumn("in_vocab", lit(1L))
+    counts.join(broadcast(v), Seq("tk"), "left")
+      .groupBy("stratum")
+      .agg(sum("c").as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("c")).otherwise(0L))
+          .as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens"))
+  }
+
   def kwic(df: DataFrame, idCol: String, textCol: String,
       term: String, window: Int): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")

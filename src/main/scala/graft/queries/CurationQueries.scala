@@ -1162,6 +1162,123 @@ object CurationQueries extends QueryGroup {
           "event_type", "value")
         .select(col("k"), col("n_subjects"),
           round(col("alpha"), 6).as("alpha"))
+    },
+
+    // unbiased pass@k (Chen et al. 2021): problem = user, attempt
+    // passes when value > 100; k = 1/5/10/200 exercises the
+    // all-fail-short path, the exact product, and the k > n NULL.
+    q("q_eval_passk",
+      """WITH per AS MATERIALIZED (
+        |  SELECT user_id AS problem, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN value > 100 THEN 1 ELSE 0 END)::BIGINT AS c
+        |  FROM events GROUP BY 1
+        |), grid AS MATERIALIZED (
+        |  SELECT problem, n, c, u.k
+        |  FROM per, unnest([1, 5, 10, 200]) AS u(k)
+        |), terms AS (
+        |  SELECT problem, k,
+        |    1.0 - exp(sum(ln((n - c - i.i)::DOUBLE / (n - i.i)))) AS p
+        |  FROM grid, unnest(range(0, k)) AS i(i)
+        |  WHERE k <= n AND n - c >= k
+        |  GROUP BY 1, 2
+        |)
+        |SELECT g.problem, g.k, g.n, g.c,
+        |  round(CASE WHEN g.k > g.n THEN NULL
+        |    WHEN g.n - g.c < g.k THEN 1.0::DOUBLE
+        |    ELSE t.p END, 6) + 0.0 AS pass_at_k
+        |FROM grid g LEFT JOIN terms t USING (problem, k)
+        |ORDER BY problem, k""".stripMargin) { (s, dir) =>
+      graft.ml.Eval.passAtK(
+          t(s, dir, "events").select(col("user_id"),
+            (col("value") > 100).as("ok")),
+          "user_id", "ok", ks = Seq(1, 5, 10, 200))
+        .select(col("problem"), col("k"), col("n"), col("c"),
+          (round(col("pass_at_k"), 6) + 0.0).as("pass_at_k"))
+        .orderBy("problem", "k")
+    },
+
+    // OOV rate per source against the corpus top-20 vocabulary —
+    // the tokenizer-coverage read, stratum-keyed.
+    q("q_text_oov",
+      s"""WITH tok AS MATERIALIZED (
+         |  SELECT source, u.t AS tk FROM (
+         |    SELECT source, list_filter(string_split($normSql, ' '),
+         |      t -> t <> '') AS ws FROM documents), unnest(ws) AS u(t)
+         |), vocab AS MATERIALIZED (
+         |  SELECT tk FROM (
+         |    SELECT tk, row_number() OVER (ORDER BY count(*) DESC, tk)
+         |      AS r
+         |    FROM tok GROUP BY tk
+         |  ) WHERE r <= 20
+         |), cnt AS (
+         |  SELECT source AS stratum, tk, count(*)::BIGINT AS c
+         |  FROM tok GROUP BY 1, 2
+         |)
+         |SELECT stratum, sum(c)::BIGINT AS n_tokens,
+         |  sum(CASE WHEN v.tk IS NULL THEN c ELSE 0 END)::BIGINT
+         |    AS n_oov,
+         |  round(sum(CASE WHEN v.tk IS NULL THEN c ELSE 0 END)
+         |    * 1.0::DOUBLE / sum(c), 6) AS oov_rate
+         |FROM cnt LEFT JOIN vocab v USING (tk)
+         |GROUP BY 1 ORDER BY stratum""".stripMargin) { (s, dir) =>
+      import graft.ml.TextAnalysis
+      val docs = t(s, dir, "documents")
+      val counts = docs
+        .select(explode(TextAnalysis.tokens(
+          TextAnalysis.normalize(col("text")))).as("tk"))
+        .filter(col("tk") =!= "")
+        .groupBy("tk").agg(count(lit(1)).as("n"))
+      val vocab = counts.orderBy(col("n").desc, col("tk")).limit(20)
+      TextAnalysis.oovRate(docs, "source", "text", vocab, "tk")
+        .select(col("stratum"), col("n_tokens"), col("n_oov"),
+          round(col("oov_rate"), 6).as("oov_rate"))
+        .orderBy("stratum")
+    },
+
+    // orthogonal Procrustes alignment: the b-space is the a-space
+    // under a known rotation+sign-flip permutation; the gate pins
+    // the recovery contract (mean cosine of aligned-vs-target ≈ 1,
+    // WᵀW ≈ I) — the SVD itself is driver-side and spec-tested.
+    q("q_embed_procrustes",
+      """SELECT count(*)::BIGINT AS n_pairs, 1.0::DOUBLE AS mean_cos,
+        |  0.0::DOUBLE AS orth_err, true AS recovered
+        |FROM embeddings""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val dim = 64
+      val signs = Array.tabulate(dim)(j => if (j % 2 == 1) -1f else 1f)
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("a"))
+        .as[(Long, Array[Float])]
+      val pairs = base.map { case (id, x) =>
+        val y = Array.tabulate(dim)(j => x((j + 7) % dim) * signs(j))
+        (id, x, y)
+      }.toDF("id", "a", "b")
+      val w = graft.ml.Similarity.procrustesAlign(pairs, "a", "b", dim)
+      var orthErr = 0.0
+      var i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) {
+          var sdot = 0.0
+          var k = 0
+          while (k < dim) { sdot += w(k)(i) * w(k)(j); k += 1 }
+          val target = if (i == j) 1.0 else 0.0
+          orthErr = math.max(orthErr, math.abs(sdot - target))
+          j += 1
+        }
+        i += 1
+      }
+      val aligned = graft.ml.Similarity.applyAlign(
+        pairs.select(col("id"), col("a").as("vec")), "id", "vec", w)
+      aligned
+        .join(pairs.select(col("id"), col("b")), "id")
+        .agg(count(lit(1)).as("n_pairs"),
+          avg(graft.ml.Similarity.cosine(col("vec"), col("b")))
+            .as("mc"))
+        .select(col("n_pairs"),
+          (round(col("mc"), 4) + 0.0).as("mean_cos"),
+          (round(lit(orthErr), 4) + 0.0).as("orth_err"),
+          (col("mc") >= 0.999 && lit(orthErr) < 1e-4).as("recovered"))
     }
   )
 }

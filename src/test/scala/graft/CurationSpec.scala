@@ -578,6 +578,66 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(got.getDouble(2) - 8.0 / 9) < 1e-12)
   }
 
+  test("passAtK: hand combinatorics incl. the short and undefined branches") {
+    import spark.implicits._
+    // problem A: n=4, c=2; problem B: n=4, c=0
+    val df = (Seq.fill(2)(("A", true)) ++ Seq.fill(2)(("A", false)) ++
+      Seq.fill(4)(("B", false))).toDF("problem", "ok")
+    val got = graft.ml.Eval.passAtK(df, "problem", "ok",
+      ks = Seq(1, 2, 3, 5)).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(got(("A", 1)).exists(v => math.abs(v - 0.5) < 1e-12))
+    // 1 − C(2,2)/C(4,2) = 1 − 1/6
+    assert(got(("A", 2)).exists(v => math.abs(v - 5.0 / 6) < 1e-12))
+    assert(got(("A", 3)) === Some(1.0)) // n−c < k → certain hit
+    assert(got(("A", 5)) === None)      // k > n → undefined
+    assert(got(("B", 1)).exists(v => math.abs(v) < 1e-12))
+    assert(got(("B", 3)).exists(v => math.abs(v) < 1e-12))
+  }
+
+  test("oovRate: per-stratum coverage against an explicit vocab") {
+    import spark.implicits._
+    val docs = Seq(("s1", "aa aa bb cc"), ("s2", "cc cc"))
+      .toDF("source", "text")
+    val vocab = Seq("aa", "bb").toDF("tk")
+    val got = graft.ml.TextAnalysis.oovRate(docs, "source", "text",
+      vocab, "tk").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(got("s1") === ((4L, 1L, 0.25)))
+    assert(got("s2") === ((2L, 2L, 1.0)))
+  }
+
+  test("procrustesAlign: recovers a planted rotation, rejects rank deficiency") {
+    import spark.implicits._
+    // y = x rotated 90°: (x1, x2) → (−x2, x1); W = [[0,1],[−1,0]]
+    val xs = Seq(Array(1f, 0f), Array(0f, 1f), Array(2f, 3f),
+      Array(-1f, 4f))
+    val pairs = xs.zipWithIndex.map { case (x, i) =>
+      (i.toLong, x, Array(-x(1), x(0)))
+    }.toDF("id", "a", "b")
+    val w = graft.ml.Similarity.procrustesAlign(pairs, "a", "b", 2)
+    val want = Array(Array(0.0, 1.0), Array(-1.0, 0.0))
+    for (i <- 0 until 2; j <- 0 until 2)
+      assert(math.abs(w(i)(j) - want(i)(j)) < 1e-9, s"W($i)($j)")
+    // applyAlign lands each a on its b
+    val aligned = graft.ml.Similarity.applyAlign(
+      pairs.select(col("id"), col("a").as("vec")), "id", "vec", w)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    pairs.collect().foreach { r =>
+      val b = r.getSeq[Float](2)
+      val got = aligned(r.getLong(0))
+      b.zip(got).foreach { case (x, y) => assert(math.abs(x - y) < 1e-5) }
+    }
+    // all mass on one axis → rank-deficient M → documented throw
+    val degen = Seq((0L, Array(1f, 0f), Array(1f, 0f)),
+      (1L, Array(2f, 0f), Array(2f, 0f))).toDF("id", "a", "b")
+    intercept[IllegalStateException] {
+      graft.ml.Similarity.procrustesAlign(degen, "a", "b", 2)
+    }
+  }
+
   test("binaryTopK: packing, hamming, and exact-rerank ordering") {
     import graft.ml.Similarity.BinUtil
     // 33 dims exercises the word boundary: dim 32 lands in word 1
