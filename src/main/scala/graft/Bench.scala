@@ -192,7 +192,17 @@ object Bench {
     "q_text_kwic",
     "q_text_phrase",
     "q_graph_powerlaw",
-    "q_eval_cronbach")
+    "q_eval_cronbach",
+    // round-22 third batch: pass@k (problem agg + log-term grid),
+    // OOV rate (token agg + broadcast vocab), Procrustes alignment
+    // (one d^2 moments aggregate + driver SVD + kernel apply),
+    // seasonal anomalies (decomposition + 1-row sigma), gain
+    // normalization (narrow kernel)
+    "q_eval_passk",
+    "q_text_oov",
+    "q_embed_procrustes",
+    "q_events_anomaly",
+    "q_multimodal_gain")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -724,6 +724,36 @@ object Events {
       .select("bucket", "phase", "y", "trend", "seasonal", "residual")
   }
 
+  /** Seasonal-adjusted anomaly detection on the event-count series:
+    * [[seasonalDecompose]]'s residual, standardized by the GLOBAL
+    * residual population sigma, flagged at |z| > `zThreshold` — the
+    * monitoring read that survives daily/weekly cycles (a raw
+    * threshold fires every rush hour; a seasonally-adjusted one
+    * fires only on what the cycle does NOT explain). Returns the
+    * decomposition rows with (zscore, is_anomaly) appended. An
+    * all-explained series (sigma = 0) flags nothing. Use
+    * [[graft.ml.Profile.madOutliers]] on the residual column instead
+    * when single huge spikes would inflate sigma and mask smaller
+    * ones.
+    *
+    * Scale shape: [[seasonalDecompose]]'s bucket collapse + one
+    * 1-row sigma aggregate broadcast back over the bucket grid.
+    */
+  def seasonalAnomalies(events: DataFrame, secCol: String,
+      periodSec: Long, seasonLen: Int,
+      zThreshold: Double = 3.0): DataFrame = {
+    require(zThreshold > 0, s"zThreshold must be positive")
+    val dec = graft.core.PipelineCaches.persistTracked(
+      seasonalDecompose(events, secCol, periodSec, seasonLen))
+    val sd = dec.agg(stddev_pop("residual").as("sigma"))
+    dec.crossJoin(broadcast(sd))
+      .withColumn("zscore", when(col("sigma") > 0,
+        col("residual") / col("sigma")).otherwise(lit(0.0)))
+      .withColumn("is_anomaly", abs(col("zscore")) > zThreshold)
+      .select("bucket", "phase", "y", "trend", "seasonal", "residual",
+        "zscore", "is_anomaly")
+  }
+
   /** RFM segmentation: per user recency (seconds since last event at
     * `asOfSec`), frequency (event count) and monetary (value sum),
     * each scored into `k` quantile buckets, 1 = worst, k = best

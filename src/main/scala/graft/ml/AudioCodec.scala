@@ -325,6 +325,37 @@ object AudioCodec {
     Audio(toRate, a.channels, a.bitsPerSample, out)
   }
 
+  /** RMS gain normalization to a target level — the pre-batching
+    * loudness unifier (a VAD threshold or an energy feature tuned on
+    * one corpus silently breaks on another recorded 20 dB hotter;
+    * normalize FIRST). scale = targetRms / rms over ALL samples
+    * (channel-coupled, so stereo balance is preserved), round-half-up
+    * back to the integer domain, clamped to the bit depth. Silence
+    * (rms = 0) returns unchanged — there is no gain that makes
+    * silence loud, and NaNs must not escape into features.
+    */
+  def normalizeGain(a: Audio, targetRms: Double): Audio = {
+    require(targetRms > 0, s"targetRms must be positive, got $targetRms")
+    if (a.samples.isEmpty) return a
+    var ss = 0.0
+    var i = 0
+    while (i < a.samples.length) {
+      val s = a.samples(i).toDouble; ss += s * s; i += 1
+    }
+    val rms = math.sqrt(ss / a.samples.length)
+    if (rms == 0.0) return a
+    val scale = targetRms / rms
+    val lim = (1 << (a.bitsPerSample - 1)) - 1
+    val out = new Array[Int](a.samples.length)
+    i = 0
+    while (i < out.length) {
+      val v = math.floor(a.samples(i) * scale + 0.5)
+      out(i) = math.max(-lim - 1, math.min(lim, v)).toInt
+      i += 1
+    }
+    a.copy(samples = out)
+  }
+
   // --- spectral analysis (pure-JVM FFT) ----------------------------------
 
   /** In-place iterative radix-2 Cooley–Tukey FFT. `re.length` must be

@@ -1279,6 +1279,85 @@ object CurationQueries extends QueryGroup {
           (round(col("mc"), 4) + 0.0).as("mean_cos"),
           (round(lit(orthErr), 4) + 0.0).as("orth_err"),
           (col("mc") >= 0.999 && lit(orthErr) < 1e-4).as("recovered"))
+    },
+
+    // seasonal-adjusted anomaly flags on the hourly count series:
+    // q_events_seasonal's decomposition + a global residual-sigma
+    // standardization, |z| > 3.
+    q("q_events_anomaly",
+      """WITH c AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS bucket,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1
+        |), tr AS (
+        |  SELECT bucket, y, bucket % 24 AS phase,
+        |    avg(y) OVER (ORDER BY bucket
+        |      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS trend
+        |  FROM c
+        |), pm AS (
+        |  SELECT phase, avg(y - trend) AS s_raw FROM tr GROUP BY 1
+        |), ctr AS (SELECT avg(s_raw) AS s_mean FROM pm),
+        |dec AS MATERIALIZED (
+        |  SELECT bucket, phase, y, trend,
+        |    s_raw - s_mean AS seasonal,
+        |    y - trend - (s_raw - s_mean) AS residual
+        |  FROM tr JOIN pm USING (phase) CROSS JOIN ctr
+        |), sd AS (SELECT stddev_pop(residual) AS sigma FROM dec)
+        |SELECT bucket, phase, y,
+        |  round(residual, 6) + 0.0 AS residual,
+        |  round(CASE WHEN sigma > 0 THEN residual / sigma
+        |    ELSE 0.0 END, 6) + 0.0 AS zscore,
+        |  CASE WHEN sigma > 0 THEN abs(residual / sigma) > 3.0
+        |    ELSE false END AS is_anomaly
+        |FROM dec CROSS JOIN sd ORDER BY bucket""".stripMargin) {
+      (s, dir) =>
+      val raw = t(s, dir, "events")
+      Events.seasonalAnomalies(
+          raw.withColumn("sec", graft.core.Ts.seconds(raw)),
+          "sec", periodSec = 3600L, seasonLen = 24, zThreshold = 3.0)
+        .select(col("bucket"), col("phase"), col("y"),
+          (round(col("residual"), 6) + 0.0).as("residual"),
+          (round(col("zscore"), 6) + 0.0).as("zscore"),
+          col("is_anomaly"))
+        .orderBy("bucket")
+    },
+
+    // RMS gain normalization to target 1000 over synthesized ramp
+    // signals — scale/round/clamp replayed arithmetically, md5 over
+    // the joined sample series.
+    q("q_multimodal_gain",
+      """WITH d AS (
+        |  SELECT doc_id AS id, CAST(50 + doc_id % 20 AS BIGINT) AS n,
+        |    CAST(doc_id % 17 + 1 AS BIGINT) AS k
+        |  FROM documents
+        |), rms AS (
+        |  SELECT id, n, k,
+        |    sqrt(sum((k * u.j)::DOUBLE * (k * u.j)) / n) AS r
+        |  FROM d, unnest(range(0, n)) AS u(j)
+        |  GROUP BY 1, 2, 3
+        |), v AS (
+        |  SELECT id, n, u.j AS j,
+        |    greatest(-32768, least(32767, CAST(floor(
+        |      k * u.j * (1000.0 / r) + 0.5) AS BIGINT))) AS val
+        |  FROM rms, unnest(range(0, n)) AS u(j)
+        |)
+        |SELECT id, n AS n_in,
+        |  md5(string_agg(CAST(val AS VARCHAR), ',' ORDER BY j)) AS g_h
+        |FROM v GROUP BY 1, 2 ORDER BY id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.ml.AudioCodec
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val n = (50 + id % 20).toInt
+          val k = (id % 17 + 1).toInt
+          val a = AudioCodec.Audio(8000, 1, 16,
+            Array.tabulate(n)(j => k * j))
+          val g = AudioCodec.normalizeGain(a, 1000.0)
+          (id, n.toLong, g.samples.mkString(","))
+        }
+        .toDF("id", "n_in", "g")
+        .select(col("id"), col("n_in"), md5(col("g")).as("g_h"))
+        .orderBy("id")
     }
   )
 }

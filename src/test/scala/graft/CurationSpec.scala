@@ -638,6 +638,36 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("normalizeGain: exact scale, silence no-op, bit-depth clamp") {
+    import graft.ml.AudioCodec
+    val a = AudioCodec.Audio(8000, 1, 16, Array(3, 4))
+    // rms = sqrt(12.5); target 2·rms → every sample exactly doubles
+    val g = AudioCodec.normalizeGain(a, 2.0 * math.sqrt(12.5))
+    assert(g.samples.toSeq === Seq(6, 8))
+    val silent = AudioCodec.Audio(8000, 1, 16, Array(0, 0, 0))
+    assert(AudioCodec.normalizeGain(silent, 1000.0).samples.toSeq ===
+      Seq(0, 0, 0))
+    val hot = AudioCodec.normalizeGain(
+      AudioCodec.Audio(8000, 1, 16, Array(1, -1)), 1e9)
+    assert(hot.samples.toSeq === Seq(32767, -32768))
+  }
+
+  test("seasonalAnomalies: the planted spike is flagged, the cycle is not") {
+    import spark.implicits._
+    // 48 hourly buckets alternating 1/3 events, one bucket burst to 40
+    val secs = (0 until 48).flatMap { b =>
+      val base = if (b % 2 == 0) 1 else 3
+      val n = if (b == 24) 40 else base
+      Seq.fill(n)(b * 3600L + 5L)
+    }
+    val got = graft.events.Events.seasonalAnomalies(secs.toDF("sec"),
+      "sec", periodSec = 3600L, seasonLen = 2, zThreshold = 3.0)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(7)).toMap
+    assert(got(24L) === true)
+    assert(got.count(_._2) <= 3) // the spike (plus its trend spill)
+    assert(got.filterKeys(k => k < 20 || k > 30).forall(!_._2))
+  }
+
   test("binaryTopK: packing, hamming, and exact-rerank ordering") {
     import graft.ml.Similarity.BinUtil
     // 33 dims exercises the word boundary: dim 32 lands in word 1

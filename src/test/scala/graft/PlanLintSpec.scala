@@ -204,7 +204,14 @@ class PlanLintSpec extends SparkSpec {
         "broadcast onto the stratum grid")),
     "q_eval_cronbach" -> Map("cartesian" ->
       ("1-row k (distinct-item count) and 1-row Σitem-variance " +
-        "aggregates broadcast onto the subject/report rows")))
+        "aggregates broadcast onto the subject/report rows")),
+    "q_events_anomaly" -> Map(
+      "global-window" ->
+        ("seasonalDecompose's ±12-bucket trend window over the " +
+          "(time-range/3600)-row bucket-count table"),
+      "cartesian" ->
+        ("1-row seasonal-center and 1-row residual-sigma aggregates " +
+          "broadcast onto the bucket grid")))
   // q_multimodal_tar's former cartesian entry dropped in round 8: the
   // gate now collects its 1-row summary eagerly (so the shard temp dir
   // can be deleted) and returns a parallelized literal — no join plan.
