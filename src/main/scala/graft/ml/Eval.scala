@@ -685,6 +685,58 @@ object Eval {
           (lit(1.0) - col("siv") / col("vt"))).as("alpha"))
   }
 
+  /** Expected reciprocal rank (Chapelle et al. 2009) — the cascade-
+    * model ranking metric: the user scans down, stops at a satisfying
+    * result with probability R_r = (2^rel − 1)/2^maxGrade, and ERR =
+    * Σ_r (R_r/r)·Π_{i<r}(1 − R_i). Unlike DCG it DISCOUNTS results
+    * sitting below a likely-satisfying one — the metric of record
+    * when one great answer is worth more than three good ones.
+    * `df`: (query, rank 1-based, rel graded 0..maxGrade). A
+    * fully-satisfying result (R = 1) zeroes everything below it —
+    * handled by an explicit preceding-saturation count, never ln(0).
+    *
+    * Scale shape: one partitioned cumulative window over rank-bounded
+    * ranking lists + one query aggregate.
+    */
+  def expectedReciprocalRank(df: DataFrame, queryCol: String,
+      rankCol: String, relCol: String, maxGrade: Int): DataFrame = {
+    require(maxGrade >= 1, s"maxGrade must be >= 1, got $maxGrade")
+    val r = (pow(lit(2.0), col(relCol).cast("double")) - 1.0) /
+      math.pow(2.0, maxGrade)
+    val before = Window.partitionBy(col(queryCol))
+      .orderBy(col(rankCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(queryCol).as("query"),
+        col(rankCol).cast("long").as("rank"), r.as("rr"))
+      .withColumn("sat_before",
+        coalesce(sum(when(col("rr") >= 1.0, 1L).otherwise(0L))
+          .over(before), lit(0L)))
+      .withColumn("log_surv",
+        coalesce(sum(when(col("rr") < 1.0, log(lit(1.0) - col("rr")))
+          .otherwise(lit(0.0))).over(before), lit(0.0)))
+      .withColumn("term", when(col("sat_before") > 0, lit(0.0))
+        .otherwise(col("rr") / col("rank") * exp(col("log_surv"))))
+      .groupBy("query")
+      .agg(count(lit(1)).as("n"), sum("term").as("err"))
+  }
+
+  /** Rank-biased precision (Moffat & Zobel 2008): RBP =
+    * (1 − p)·Σ_r rel_r·p^(r−1) with persistence `p` — the
+    * top-weighted precision whose weights never run out (unlike
+    * P@k's cliff). Binary or graded-in-[0,1] relevance.
+    */
+  def rankBiasedPrecision(df: DataFrame, queryCol: String,
+      rankCol: String, relCol: String, p: Double): DataFrame = {
+    require(p > 0 && p < 1, s"persistence must be in (0,1), got $p")
+    df.select(col(queryCol).as("query"),
+        col(rankCol).cast("long").as("rank"),
+        col(relCol).cast("double").as("rel"))
+      .groupBy("query")
+      .agg(count(lit(1)).as("n"),
+        ((lit(1.0) - p) *
+          sum(col("rel") * pow(lit(p), col("rank") - 1))).as("rbp"))
+  }
+
   /** Unbiased pass@k (Chen et al. 2021, "Evaluating Large Language
     * Models Trained on Code", eq. 1) — THE sampled code-eval metric:
     * given n attempts per problem of which c passed,
