@@ -691,9 +691,12 @@ object Eval {
     * Σ_r (R_r/r)·Π_{i<r}(1 − R_i). Unlike DCG it DISCOUNTS results
     * sitting below a likely-satisfying one — the metric of record
     * when one great answer is worth more than three good ones.
-    * `df`: (query, rank 1-based, rel graded 0..maxGrade). A
-    * fully-satisfying result (R = 1) zeroes everything below it —
-    * handled by an explicit preceding-saturation count, never ln(0).
+    * `df`: (query, rank 1-based, rel graded 0..maxGrade). In-contract
+    * R is strictly < 1 (even rel = maxGrade gives (2^m−1)/2^m), so
+    * ln(1−R) is always finite; the explicit preceding-saturation
+    * count guards the OUT-of-contract rel > maxGrade case, which
+    * would otherwise push ln(1−R) to NULL/NaN instead of the
+    * correct "everything below a sure hit scores 0".
     *
     * Scale shape: one partitioned cumulative window over rank-bounded
     * ranking lists + one query aggregate.
@@ -703,8 +706,8 @@ object Eval {
     require(maxGrade >= 1, s"maxGrade must be >= 1, got $maxGrade")
     val r = (pow(lit(2.0), col(relCol).cast("double")) - 1.0) /
       math.pow(2.0, maxGrade)
-    val before = Window.partitionBy(col(queryCol))
-      .orderBy(col(rankCol))
+    val before = Window.partitionBy(col("query"))
+      .orderBy(col("rank"))
       .rowsBetween(Window.unboundedPreceding, -1)
     df.select(col(queryCol).as("query"),
         col(rankCol).cast("long").as("rank"), r.as("rr"))

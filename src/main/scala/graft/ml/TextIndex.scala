@@ -159,4 +159,60 @@ object TextIndex {
       .agg(count(lit(1)).as("n_hits"),
         min("pos").cast("long").as("first_pos"))
   }
+
+  /** Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    * Lafferty 2001) — the language-modeling counterpart to BM25:
+    * score(q, d) = Σ_{t∈q} ln((tf_{t,d} + μ·P(t|C)) / (dl_d + μ)),
+    * P(t|C) the collection unigram model. Candidates are documents
+    * matching ≥ 1 query term (the standard inverted-index contract —
+    * a no-hit document's pure-smoothing score ranks below every
+    * candidate for any query it shares no term with at equal dl);
+    * ABSENT query terms still contribute their smoothing mass via
+    * the candidate × term grid, so scores are the true QL values.
+    * Returns top-k (doc_id, ql) with doc_id tie-break.
+    *
+    * Scale shape: term frequencies are filtered to the query's own
+    * terms BEFORE aggregation (|terms| postings lists, never the
+    * corpus); collection stats are two 1-row/|terms|-row broadcasts;
+    * the grid multiplies the CANDIDATE table by |terms|.
+    */
+  def queryLikelihood(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], mu: Double = 1000.0,
+      topK: Int = 10): DataFrame = {
+    require(terms.nonEmpty && mu > 0 && topK >= 1)
+    val qts = terms.distinct
+    val toks = split(TextAnalysis.normalize(col(textCol)), " ")
+    val base = graft.core.PipelineCaches.persistTracked(
+      docs.select(col(idCol).cast("long").as("doc_id"),
+          size(toks).cast("long").as("dl"),
+          explode(toks).as("tk"))
+        .filter(length(col("tk")) > 0))
+    // collection model: total token count + per-query-term counts
+    val ctot = base.agg(count(lit(1)).cast("double").as("c_tokens"))
+    val cf = base.filter(col("tk").isin(qts: _*))
+      .groupBy("tk").agg(count(lit(1)).cast("double").as("cf"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val termDf = qts.toDF("tk")
+      .join(cf, Seq("tk"), "left")
+      .na.fill(0.0, Seq("cf")) // a term absent from the corpus
+    val tf = base.filter(col("tk").isin(qts: _*))
+      .groupBy("doc_id", "dl", "tk")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val cand = tf.select("doc_id", "dl").distinct()
+    val grid = cand.crossJoin(broadcast(termDf))
+      .join(tf, Seq("doc_id", "dl", "tk"), "left")
+      .na.fill(0.0, Seq("tf"))
+      .crossJoin(broadcast(ctot))
+    val scored = grid
+      // an OOV query term (cf = 0 everywhere) has P(t|C) = 0 → every
+      // document scores −∞ on it equally; drop it (standard QL
+      // practice) instead of letting ln(0) poison the sum
+      .filter(col("cf") > 0 || col("tf") > 0)
+      .select(col("doc_id"),
+        log((col("tf") + lit(mu) * (col("cf") / col("c_tokens"))) /
+          (col("dl") + mu)).as("lt"))
+      .groupBy("doc_id").agg(sum("lt").as("ql"))
+    scored.orderBy(col("ql").desc, col("doc_id")).limit(topK)
+  }
 }

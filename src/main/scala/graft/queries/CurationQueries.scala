@@ -21,6 +21,29 @@ object CurationQueries extends QueryGroup {
   private val stopSql = graft.ml.TextAnalysis.stopwords
     .map(w => s"'$w'").mkString(", ")
 
+  /** Shared retrieval setup for the ranking-metric gates (the
+    * q_eval_ndcg construction): probes vec_id < 20, top-20 cosine
+    * ranking, binary label-match relevance, rank by (rounded score
+    * desc, cid) so both engines break ties identically.
+    */
+  private def rankedRetrieval(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val labels = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("score").desc, col("cid"))
+    graft.ml.Similarity.bruteForceTopK(e.filter(col("id") < 20), e, 20)
+      .join(labels.select(col("vec_id").as("qid"),
+        col("label").as("ql")), "qid")
+      .join(labels.select(col("vec_id").as("cid"),
+        col("label").as("cl")), "cid")
+      .select(col("qid"), col("cid"), round(col("cos"), 6).as("score"),
+        when(col("ql") === col("cl"), 1).otherwise(0).as("rel"))
+      .withColumn("r", row_number().over(w))
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // RAKE candidate phrases + scores per document (stopword-
@@ -1320,6 +1343,125 @@ object CurationQueries extends QueryGroup {
           (round(col("zscore"), 6) + 0.0).as("zscore"),
           col("is_anomaly"))
         .orderBy("bucket")
+    },
+
+    // expected reciprocal rank (cascade model) over the same
+    // retrieval setup as q_eval_ndcg: top-20 cosine ranking, binary
+    // label-match relevance (maxGrade 1).
+    q("q_eval_err",
+      """WITH top AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |      CAST(c.embedding AS DOUBLE[])), 6) AS score,
+        |    CASE WHEN q.label = c.label THEN 1 ELSE 0 END AS rel
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        |  WHERE q.vec_id < 20
+        |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |      CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) <= 20
+        |), ranked AS (
+        |  SELECT qid, rel, row_number() OVER (PARTITION BY qid
+        |    ORDER BY score DESC, cid) AS r
+        |  FROM top
+        |), rr AS (
+        |  SELECT qid, r, (pow(2.0, rel) - 1) / 2.0 AS rv FROM ranked
+        |), w AS (
+        |  SELECT qid, r, rv,
+        |    coalesce(sum(CASE WHEN rv >= 1.0 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY qid ORDER BY r
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS satb,
+        |    coalesce(sum(CASE WHEN rv < 1.0 THEN ln(1.0 - rv)
+        |        ELSE 0.0 END)
+        |      OVER (PARTITION BY qid ORDER BY r
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+        |      AS lsv
+        |  FROM rr
+        |)
+        |SELECT qid AS query, count(*)::BIGINT AS n,
+        |  round(sum(CASE WHEN satb > 0 THEN 0.0
+        |    ELSE rv / r * exp(lsv) END), 6) + 0.0 AS err
+        |FROM w GROUP BY 1 ORDER BY query""".stripMargin) { (s, dir) =>
+      val ranked = rankedRetrieval(s, dir)
+      graft.ml.Eval.expectedReciprocalRank(ranked, "qid", "r", "rel",
+          maxGrade = 1)
+        .select(col("query"), col("n"),
+          (round(col("err"), 6) + 0.0).as("err"))
+        .orderBy("query")
+    },
+
+    // rank-biased precision (persistence 0.8) over the same ranking.
+    q("q_eval_rbp",
+      """WITH top AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |      CAST(c.embedding AS DOUBLE[])), 6) AS score,
+        |    CASE WHEN q.label = c.label THEN 1 ELSE 0 END AS rel
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        |  WHERE q.vec_id < 20
+        |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |      CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) <= 20
+        |), ranked AS (
+        |  SELECT qid, rel, row_number() OVER (PARTITION BY qid
+        |    ORDER BY score DESC, cid) AS r
+        |  FROM top
+        |)
+        |SELECT qid AS query, count(*)::BIGINT AS n,
+        |  round(0.2 * sum(rel * pow(0.8, r - 1)), 6) + 0.0 AS rbp
+        |FROM ranked GROUP BY 1 ORDER BY query""".stripMargin) {
+      (s, dir) =>
+      val ranked = rankedRetrieval(s, dir)
+      graft.ml.Eval.rankBiasedPrecision(ranked, "qid", "r", "rel",
+          p = 0.8)
+        .select(col("query"), col("n"),
+          (round(col("rbp"), 6) + 0.0).as("rbp"))
+        .orderBy("query")
+    },
+
+    // query-likelihood retrieval with Dirichlet smoothing (μ=1000)
+    // for the 2-term query — candidate × term grid so absent terms
+    // contribute their smoothing mass, full score replay.
+    q("q_text_qld",
+      s"""WITH tk AS MATERIALIZED (
+         |  SELECT doc_id, string_split($normSql, ' ') AS ws
+         |  FROM documents
+         |), base AS MATERIALIZED (
+         |  SELECT doc_id, len(ws)::BIGINT AS dl, u.t AS tok
+         |  FROM tk, unnest(ws) AS u(t) WHERE u.t <> ''
+         |), ctot AS (SELECT count(*)::DOUBLE AS c_tokens FROM base),
+         |cf AS MATERIALIZED (
+         |  SELECT tok, count(*)::DOUBLE AS cf FROM base
+         |  WHERE tok IN ('fast', 'table') GROUP BY 1
+         |), tf AS MATERIALIZED (
+         |  SELECT doc_id, dl, tok, count(*)::DOUBLE AS tf FROM base
+         |  WHERE tok IN ('fast', 'table') GROUP BY 1, 2, 3
+         |), cand AS (SELECT DISTINCT doc_id, dl FROM tf),
+         |grid AS (
+         |  SELECT c.doc_id, c.dl, q.tok,
+         |    coalesce(tf.tf, 0.0) AS tf, coalesce(cf.cf, 0.0) AS cf
+         |  FROM cand c
+         |  CROSS JOIN (SELECT unnest(['fast', 'table']) AS tok) q
+         |  LEFT JOIN tf ON tf.doc_id = c.doc_id AND tf.tok = q.tok
+         |  LEFT JOIN cf ON cf.tok = q.tok
+         |), sc AS (
+         |  SELECT doc_id, sum(ln((tf + 1000.0 * (cf / c_tokens))
+         |    / (dl + 1000.0))) AS ql
+         |  FROM grid CROSS JOIN ctot
+         |  WHERE cf > 0 OR tf > 0
+         |  GROUP BY 1
+         |), rk AS (
+         |  SELECT doc_id, ql,
+         |    row_number() OVER (ORDER BY ql DESC, doc_id) AS r
+         |  FROM sc
+         |)
+         |SELECT doc_id, round(ql, 6) AS ql FROM rk WHERE r <= 10
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.ml.TextIndex.queryLikelihood(t(s, dir, "documents"),
+          "doc_id", "text", Seq("fast", "table"), mu = 1000.0,
+          topK = 10)
+        .select(col("doc_id"), round(col("ql"), 6).as("ql"))
+        .orderBy("doc_id")
     },
 
     // RMS gain normalization to target 1000 over synthesized ramp

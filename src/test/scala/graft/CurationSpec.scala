@@ -668,6 +668,56 @@ class CurationSpec extends SparkSpec {
     assert(got.filterKeys(k => k < 20 || k > 30).forall(!_._2))
   }
 
+  test("err: hand cascade sums, saturation zeroes the tail") {
+    import spark.implicits._
+    val df = Seq(("q", 1L, 1), ("q", 2L, 0), ("q", 3L, 1))
+      .toDF("query", "rank", "rel")
+    val got = graft.ml.Eval.expectedReciprocalRank(df, "query", "rank",
+      "rel", maxGrade = 1).collect().head
+    // R = (.5, 0, .5): ERR = .5 + 0 + (.5/3)·.5 = .5 + 1/12
+    assert(math.abs(got.getDouble(2) - (0.5 + 1.0 / 12)) < 1e-12)
+    // out-of-contract rel > maxGrade → R ≥ 1 at rank 1: the
+    // saturation guard zeroes the tail instead of ln(1−R) → NaN
+    val sat = Seq(("q", 1L, 2), ("q", 2L, 1)).toDF("query", "rank", "rel")
+    val g2 = graft.ml.Eval.expectedReciprocalRank(sat, "query", "rank",
+      "rel", maxGrade = 1).collect().head
+    assert(g2.getDouble(2) === 1.5 && !g2.getDouble(2).isNaN)
+  }
+
+  test("rbp: hand geometric weighting") {
+    import spark.implicits._
+    val df = Seq(("q", 1L, 1), ("q", 2L, 0), ("q", 3L, 1))
+      .toDF("query", "rank", "rel")
+    val got = graft.ml.Eval.rankBiasedPrecision(df, "query", "rank",
+      "rel", p = 0.5).collect().head
+    assert(math.abs(got.getDouble(2) - 0.625) < 1e-12)
+  }
+
+  test("queryLikelihood: hand Dirichlet scores, OOV term dropped") {
+    import spark.implicits._
+    val docs = Seq((1L, "x x y"), (2L, "y z"), (3L, "z z"))
+      .toDF("doc_id", "text")
+    // collection: 7 tokens, cf(x)=2; query = (x, oovterm): the OOV
+    // term is dropped, doc scores = ln((tf_x + μ·2/7)/(dl + μ))
+    val mu = 10.0
+    val got = graft.ml.TextIndex.queryLikelihood(docs, "doc_id",
+      "text", Seq("x", "oovterm"), mu = mu, topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val p = 2.0 / 7
+    assert(math.abs(got(1L) - math.log((2 + mu * p) / (3 + mu))) < 1e-12)
+    // docs 2, 3 contain no query term → not candidates
+    assert(got.keySet === Set(1L))
+    // two-term query: candidates = any hit; absent terms add their
+    // smoothing mass
+    val got2 = graft.ml.TextIndex.queryLikelihood(docs, "doc_id",
+      "text", Seq("x", "z"), mu = mu, topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pz = 3.0 / 7
+    assert(math.abs(got2(3L) - (math.log((0 + mu * p) / (2 + mu)) +
+      math.log((2 + mu * pz) / (2 + mu)))) < 1e-12)
+    assert(got2.keySet === Set(1L, 2L, 3L))
+  }
+
   test("binaryTopK: packing, hamming, and exact-rerank ordering") {
     import graft.ml.Similarity.BinUtil
     // 33 dims exercises the word boundary: dim 32 lands in word 1

@@ -211,7 +211,11 @@ class PlanLintSpec extends SparkSpec {
           "(time-range/3600)-row bucket-count table"),
       "cartesian" ->
         ("1-row seasonal-center and 1-row residual-sigma aggregates " +
-          "broadcast onto the bucket grid")))
+          "broadcast onto the bucket grid")),
+    "q_text_qld" -> Map("cartesian" ->
+      ("|terms|-row query grid and 1-row collection-total aggregate " +
+        "broadcast onto the CANDIDATE table (absent terms must " +
+        "contribute smoothing mass)")))
   // q_multimodal_tar's former cartesian entry dropped in round 8: the
   // gate now collects its 1-row summary eagerly (so the shard temp dir
   // can be deleted) and returns a parallelized literal — no join plan.
