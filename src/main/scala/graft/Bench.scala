@@ -202,7 +202,14 @@ object Bench {
     "q_text_oov",
     "q_embed_procrustes",
     "q_events_anomaly",
-    "q_multimodal_gain")
+    "q_multimodal_gain",
+    // round-22 fourth batch: cascade/geometric ranking metrics over
+    // the shared retrieval construction, Dirichlet QL retrieval
+    // (term-filtered postings), MMR re-rank (bounded greedy kernel)
+    "q_eval_err",
+    "q_eval_rbp",
+    "q_text_qld",
+    "q_embed_mmr")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1066,6 +1066,80 @@ object Similarity {
       .toDF("id", "vec")
   }
 
+  /** Maximal-marginal-relevance diversified top-k (Carbonell &
+    * Goldstein 1998): greedily pick argmax λ·rel(d) −
+    * (1−λ)·max_{s∈S} cos(d, s) — the standard de-redundancy pass on
+    * a retrieval shortlist (RAG context assembly, search result
+    * diversification) where the plain top-k returns five paraphrases
+    * of one document. `candidates`: (query, id, rel, vec) with
+    * BOUNDED per-query candidate lists (the ANN shortlist contract —
+    * MMR is quadratic in the shortlist, which is the point of
+    * running it on a shortlist). First pick is the max-rel item;
+    * ties break by id. All similarity terms are quantized to 1e-6 by
+    * floor(x·1e6 + 0.5)/1e6 so the greedy argmax replays bit-exactly
+    * across engines (the ENVELOPES round-half-up convention).
+    * Returns (query, rank, id, rel, mmr) — mmr = the score the item
+    * was selected at (= rel·λ for the first pick).
+    *
+    * Scale shape: one shuffle keyed by query; each group is a
+    * bounded in-memory greedy loop (k·|cand| cosine evaluations).
+    */
+  def mmrSelect(candidates: DataFrame, queryCol: String, idCol: String,
+      relCol: String, vecCol: String, k: Int,
+      lambda: Double = 0.7): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambda >= 0 && lambda <= 1, s"lambda in [0,1], got $lambda")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    candidates
+      .select(col(queryCol).cast("long").as("q"),
+        col(idCol).cast("long").as("id"),
+        col(relCol).cast("double").as("rel"), col(vecCol).as("vec"))
+      .as[(Long, Long, Double, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (q, it) =>
+        val cand = it.toArray.sortBy(_._2) // id order for determinism
+        val n = cand.length
+        val norms = cand.map(c => VecUtil.norm(c._4))
+        val picked = new Array[Boolean](n)
+        // running max-sim of each candidate to the selected set
+        val maxSim = Array.fill(n)(Double.NegativeInfinity)
+        val out = Array.newBuilder[(Long, Int, Long, Double, Double)]
+        var rank = 1
+        while (rank <= math.min(k, n)) {
+          var best = -1
+          var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < n) {
+            if (!picked(i)) {
+              val score =
+                if (rank == 1) lambda * cand(i)._3
+                else lambda * cand(i)._3 - (1 - lambda) * maxSim(i)
+              // strict > keeps the lowest id on ties (id-sorted scan)
+              if (score > bestScore) { bestScore = score; best = i }
+            }
+            i += 1
+          }
+          picked(best) = true
+          out += ((q, rank, cand(best)._2, cand(best)._3, bestScore))
+          // fold the new pick into every survivor's max-sim
+          var j = 0
+          while (j < n) {
+            if (!picked(j)) {
+              val s = q6(VecUtil.dot(cand(j)._4, cand(best)._4) /
+                (norms(j) * norms(best)))
+              if (s > maxSim(j)) maxSim(j) = s
+            }
+            j += 1
+          }
+          rank += 1
+        }
+        out.result().iterator
+      }
+      .toDF("query", "rank", "id", "rel", "mmr")
+  }
+
   /** Simplified (centroid-based) silhouette per cluster — the
     * clustering-quality audit run before any centroid-blocked
     * operator (semantic dedup, IVF) trusts its partition: a(i) =

@@ -1464,6 +1464,102 @@ object CurationQueries extends QueryGroup {
         .orderBy("doc_id")
     },
 
+    // MMR diversified top-4 (λ=0.7) over the 10-candidate cosine
+    // shortlist — the greedy argmax unrolled as one CTE level per
+    // pick. The gate quantizes vectors to integers (×1000,
+    // round-half-up) so every dot/norm is an EXACT integer sum
+    // (order-free in double) and both engines' cosines are
+    // bit-identical: no 1e-6-boundary flakes in the selection; the
+    // oracle also spells (1 - 0.7), never 0.3, matching the
+    // kernel's float tree exactly.
+    q("q_embed_mmr", {
+      val steps = (2 to 4).map { r =>
+        val prev = s"picked${r - 1}"
+        s"""r$r AS (
+           |  SELECT c.qid, c.cid, c.rel,
+           |    0.7 * c.rel - (1 - 0.7) * max(s.s) AS mmr
+           |  FROM cand c
+           |  JOIN sim s ON s.qid = c.qid AND s.x = c.cid
+           |  JOIN $prev p ON p.qid = s.qid AND p.cid = s.y
+           |  WHERE NOT EXISTS (SELECT 1 FROM $prev e
+           |    WHERE e.qid = c.qid AND e.cid = c.cid)
+           |  GROUP BY 1, 2, 3
+           |), p$r AS MATERIALIZED (
+           |  SELECT qid, cid, rel, mmr FROM r$r
+           |  QUALIFY row_number() OVER (PARTITION BY qid
+           |    ORDER BY mmr DESC, cid) = 1
+           |), picked$r AS MATERIALIZED (
+           |  SELECT qid, cid FROM picked${r - 1}
+           |  UNION ALL SELECT qid, cid FROM p$r
+           |)""".stripMargin
+      }
+      val out = (1 to 4).map(r =>
+        s"SELECT qid, $r AS rank, cid, rel, mmr FROM p$r")
+        .mkString(" UNION ALL ")
+      s"""WITH eq AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> floor(CAST(x AS DOUBLE) * 1000 + 0.5)) AS v
+         |  FROM embeddings
+         |), dots AS MATERIALIZED (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    sum(q.v[u.i] * c.v[u.i]) AS dot,
+         |    sum(q.v[u.i] * q.v[u.i]) AS sa,
+         |    sum(c.v[u.i] * c.v[u.i]) AS sb
+         |  FROM eq q JOIN eq c
+         |    ON q.vec_id < 10 AND c.vec_id <> q.vec_id,
+         |    unnest(range(1, len(q.v) + 1)) AS u(i)
+         |  GROUP BY 1, 2
+         |), cand AS MATERIALIZED (
+         |  SELECT qid, cid,
+         |    dot / (sqrt(CAST(sa AS DOUBLE)) * sqrt(CAST(sb AS DOUBLE)))
+         |      AS rel
+         |  FROM dots
+         |  QUALIFY row_number() OVER (PARTITION BY qid
+         |    ORDER BY dot / (sqrt(CAST(sa AS DOUBLE))
+         |      * sqrt(CAST(sb AS DOUBLE))) DESC, cid) <= 10
+         |), simd AS MATERIALIZED (
+         |  SELECT a.qid, a.cid AS x, b.cid AS y,
+         |    sum(ea.v[u.i] * eb.v[u.i]) AS dot,
+         |    sum(ea.v[u.i] * ea.v[u.i]) AS sa,
+         |    sum(eb.v[u.i] * eb.v[u.i]) AS sb
+         |  FROM cand a JOIN cand b ON a.qid = b.qid AND a.cid <> b.cid
+         |  JOIN eq ea ON ea.vec_id = a.cid
+         |  JOIN eq eb ON eb.vec_id = b.cid,
+         |  unnest(range(1, len(ea.v) + 1)) AS u(i)
+         |  GROUP BY 1, 2, 3
+         |), sim AS MATERIALIZED (
+         |  SELECT qid, x, y, floor(dot / (sqrt(CAST(sa AS DOUBLE))
+         |    * sqrt(CAST(sb AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS s
+         |  FROM simd
+         |), p1 AS MATERIALIZED (
+         |  SELECT qid, cid, rel, 0.7 * rel AS mmr FROM cand
+         |  QUALIFY row_number() OVER (PARTITION BY qid
+         |    ORDER BY rel DESC, cid) = 1
+         |), picked1 AS MATERIALIZED (SELECT qid, cid FROM p1),
+         |${steps.mkString(", ")}
+         |SELECT qid AS query, rank, cid AS id,
+         |  floor(rel * 1e6 + 0.5) / 1e6 AS rel,
+         |  floor(mmr * 1e6 + 0.5) / 1e6 AS mmr
+         |FROM ($out)
+         |ORDER BY query, rank""".stripMargin
+    }) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 1000 + lit(0.5)))
+            .cast("array<float>").as("vec"))
+      val shortlist = graft.ml.Similarity.bruteForceTopK(
+          e.filter(col("id") < 10), e, 10)
+        .select(col("qid"), col("cid"), col("cos").as("rel"))
+        .join(e.select(col("id").as("cid"), col("vec")), "cid")
+      graft.ml.Similarity.mmrSelect(shortlist, "qid", "cid", "rel",
+          "vec", k = 4, lambda = 0.7)
+        .select(col("query"), col("rank"), col("id"),
+          (floor(col("rel") * 1e6 + 0.5) / 1e6).as("rel"),
+          (floor(col("mmr") * 1e6 + 0.5) / 1e6).as("mmr"))
+        .orderBy("query", "rank")
+    },
+
     // RMS gain normalization to target 1000 over synthesized ramp
     // signals — scale/round/clamp replayed arithmetically, md5 over
     // the joined sample series.

@@ -718,6 +718,29 @@ class CurationSpec extends SparkSpec {
     assert(got2.keySet === Set(1L, 2L, 3L))
   }
 
+  test("mmrSelect: diversifies where pure relevance picks the near-dup") {
+    import spark.implicits._
+    // candidates for one query: a = exact hit, b = near-dup of a,
+    // c = orthogonal-ish but relevant
+    val cand = Seq(
+      (7L, 1L, 1.0, Array(1f, 0f)),
+      (7L, 2L, 0.999, Array(0.999f, 0.045f)), // sim(b,a) ≈ 0.99898
+      (7L, 3L, 0.9, Array(0.7f, 0.7f)))       // sim(c,a) ≈ 0.70711
+      .toDF("query", "id", "rel", "vec")
+    val divers = graft.ml.Similarity.mmrSelect(cand, "query", "id",
+      "rel", "vec", k = 2, lambda = 0.5)
+      .orderBy("rank").collect().map(_.getLong(2)).toList
+    assert(divers === List(1L, 3L)) // near-dup b displaced by c
+    val greedy = graft.ml.Similarity.mmrSelect(cand, "query", "id",
+      "rel", "vec", k = 2, lambda = 1.0)
+      .orderBy("rank").collect().map(_.getLong(2)).toList
+    assert(greedy === List(1L, 2L)) // λ=1 degenerates to plain top-k
+    // first pick's mmr = λ·rel
+    val first = graft.ml.Similarity.mmrSelect(cand, "query", "id",
+      "rel", "vec", k = 1, lambda = 0.5).collect().head
+    assert(first.getDouble(4) === 0.5)
+  }
+
   test("binaryTopK: packing, hamming, and exact-rerank ordering") {
     import graft.ml.Similarity.BinUtil
     // 33 dims exercises the word boundary: dim 32 lands in word 1
