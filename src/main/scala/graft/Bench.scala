@@ -209,7 +209,11 @@ object Bench {
     "q_eval_err",
     "q_eval_rbp",
     "q_text_qld",
-    "q_embed_mmr")
+    "q_embed_mmr",
+    // round-22 fifth batch: SCD2 build (key-partitioned windows) +
+    // as-of validity lookup (equi hash join + interval condition)
+    "q_events_scd2",
+    "q_events_scd2_lookup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

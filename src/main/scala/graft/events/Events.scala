@@ -724,6 +724,59 @@ object Events {
       .select("bucket", "phase", "y", "trend", "seasonal", "residual")
   }
 
+  /** Slowly-changing-dimension (SCD Type 2) history builder: collapse
+    * an observation stream (key, attribute, timestamp) into validity
+    * intervals — one row per value RUN, `valid_from` inclusive,
+    * `valid_to` exclusive (NULL = current), `version` 1-based per
+    * key. The warehouse-dimension shape every training-data pipeline
+    * needs the moment a label or user attribute can change under it
+    * (join facts AS OF their event time, not to today's value —
+    * silent leakage otherwise). Re-observations of the same value do
+    * NOT open a new version (runs collapse); ties on the timestamp
+    * break by observation order `obsCol` for determinism.
+    *
+    * Scale shape: one shuffle keyed by `keyCol`; lag/lead windows
+    * run inside each key partition.
+    */
+  def scd2(df: DataFrame, keyCol: String, attrCol: String,
+      secCol: String, obsCol: String): DataFrame = {
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy(col("sec"), col("obs"))
+    val changes = df
+      .select(col(keyCol).as("key"), col(attrCol).as("value"),
+        col(secCol).cast("long").as("sec"), col(obsCol).as("obs"))
+      .withColumn("rn", row_number().over(wk))
+      .withColumn("prev", lag("value", 1).over(wk))
+      // null-SAFE inequality: a run of NULL values is still one run
+      .filter(col("rn") === 1 || !(col("prev") <=> col("value")))
+    changes
+      .withColumn("version", row_number().over(wk))
+      .withColumn("valid_from", col("sec"))
+      .withColumn("valid_to", lead("sec", 1).over(wk))
+      .select("key", "value", "version", "valid_from", "valid_to")
+  }
+
+  /** Temporal (AS-OF validity) lookup against an [[scd2]] dimension:
+    * each fact row joins the version whose [valid_from, valid_to)
+    * interval contains its timestamp; facts before the key's first
+    * version get NULLs (left join — dropping them silently would
+    * bias any downstream aggregate). The equi-join is on the KEY,
+    * the interval check is a post-join filter inside each key group
+    * — never a cartesian.
+    */
+  def scd2Lookup(facts: DataFrame, dim: DataFrame, keyCol: String,
+      secCol: String): DataFrame = {
+    val d = dim.select(col("key").as("__dim_key"), col("value"),
+      col("version"), col("valid_from"), col("valid_to"))
+    // interval containment rides ON the left join so unmatched facts
+    // (no dim key, or timestamp before version 1) surface as NULLs
+    // instead of vanishing; the equi term keeps it a hash join
+    val cond = facts(keyCol) === d("__dim_key") &&
+      facts(secCol) >= d("valid_from") &&
+      (d("valid_to").isNull || facts(secCol) < d("valid_to"))
+    facts.join(d, cond, "left").drop("__dim_key")
+  }
+
   /** Seasonal-adjusted anomaly detection on the event-count series:
     * [[seasonalDecompose]]'s residual, standardized by the GLOBAL
     * residual population sigma, flagged at |z| > `zThreshold` — the

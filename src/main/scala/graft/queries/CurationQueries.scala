@@ -1560,6 +1560,73 @@ object CurationQueries extends QueryGroup {
         .orderBy("query", "rank")
     },
 
+    // SCD Type 2 history: event_type observation runs per user
+    // collapsed into validity intervals — full lag/lead replay.
+    q("q_events_scd2",
+      """WITH e AS (
+        |  SELECT user_id AS key, event_type AS value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id AS obs
+        |  FROM events
+        |), r AS (
+        |  SELECT key, value, sec, obs,
+        |    row_number() OVER w AS rn, lag(value) OVER w AS prev
+        |  FROM e WINDOW w AS (PARTITION BY key ORDER BY sec, obs)
+        |), ch AS MATERIALIZED (
+        |  SELECT * FROM r WHERE rn = 1 OR prev IS DISTINCT FROM value
+        |)
+        |SELECT key, value,
+        |  row_number() OVER w2 AS version,
+        |  sec AS valid_from, lead(sec) OVER w2 AS valid_to
+        |FROM ch WINDOW w2 AS (PARTITION BY key ORDER BY sec, obs)
+        |ORDER BY key, version""".stripMargin) { (s, dir) =>
+      val raw = t(s, dir, "events")
+      Events.scd2(raw.withColumn("sec", graft.core.Ts.seconds(raw)),
+          "user_id", "event_type", "sec", "event_id")
+        .select(col("key"), col("value"),
+          col("version").cast("long").as("version"),
+          col("valid_from"), col("valid_to"))
+        .orderBy("key", "version")
+    },
+
+    // temporal AS-OF lookup against the SCD2 dimension: every event
+    // resolves to the version whose interval contains it.
+    q("q_events_scd2_lookup",
+      """WITH e AS (
+        |  SELECT user_id AS key, event_type AS value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id AS obs
+        |  FROM events
+        |), r AS (
+        |  SELECT key, value, sec, obs,
+        |    row_number() OVER w AS rn, lag(value) OVER w AS prev
+        |  FROM e WINDOW w AS (PARTITION BY key ORDER BY sec, obs)
+        |), ch AS MATERIALIZED (
+        |  SELECT * FROM r WHERE rn = 1 OR prev IS DISTINCT FROM value
+        |), dim AS MATERIALIZED (
+        |  SELECT key, value, row_number() OVER w2 AS version,
+        |    sec AS valid_from, lead(sec) OVER w2 AS valid_to
+        |  FROM ch WINDOW w2 AS (PARTITION BY key ORDER BY sec, obs)
+        |)
+        |SELECT f.obs AS event_id, d.version, d.value
+        |FROM e f LEFT JOIN dim d ON f.key = d.key
+        |  AND f.sec >= d.valid_from
+        |  AND (d.valid_to IS NULL OR f.sec < d.valid_to)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val raw = t(s, dir, "events")
+      val withSec = raw.withColumn("sec", graft.core.Ts.seconds(raw))
+      val dim = Events.scd2(withSec, "user_id", "event_type", "sec",
+        "event_id")
+      Events.scd2Lookup(
+          withSec.select(col("event_id"),
+            col("user_id"), col("sec")),
+          dim.withColumnRenamed("key", "key")
+            .select(col("key"), col("value"),
+              col("version").cast("long").as("version"),
+              col("valid_from"), col("valid_to")),
+          "user_id", "sec")
+        .select(col("event_id"), col("version"), col("value"))
+        .orderBy("event_id")
+    },
+
     // RMS gain normalization to target 1000 over synthesized ramp
     // signals — scale/round/clamp replayed arithmetically, md5 over
     // the joined sample series.

@@ -741,6 +741,41 @@ class CurationSpec extends SparkSpec {
     assert(first.getDouble(4) === 0.5)
   }
 
+  test("scd2: runs collapse (null-safe), versions and half-open intervals") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a"), 10L), (2L, Some("a"), 20L), (3L, Some("b"), 30L),
+      (4L, None, 40L), (5L, None, 50L), (6L, Some("a"), 60L))
+      .toDF("obs", "value", "sec").withColumn("key", lit("u1"))
+    val got = graft.events.Events.scd2(df, "key", "value", "sec", "obs")
+      .orderBy("version").collect()
+      .map(r => (Option(r.getString(1)), r.getInt(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(got.toList === List(
+      (Some("a"), 1, 10L, Some(30L)),   // the re-observation at 20
+      (Some("b"), 2, 30L, Some(40L)),   //   does not open a version
+      (None, 3, 40L, Some(60L)),        // a NULL run is one run
+      (Some("a"), 4, 60L, None)))       // current version is open
+  }
+
+  test("scd2Lookup: as-of resolution, pre-history and unknown keys keep NULLs") {
+    import spark.implicits._
+    val obsDf = Seq(("u1", "a", 10L, 1L), ("u1", "b", 30L, 2L))
+      .toDF("key", "value", "sec", "obs")
+    val dim = graft.events.Events.scd2(obsDf, "key", "value", "sec",
+      "obs")
+    val facts = Seq(("f1", "u1", 25L), ("f2", "u1", 30L),
+      ("f3", "u1", 5L), ("f4", "u9", 25L))
+      .toDF("fact_id", "key", "sec")
+    val got = graft.events.Events.scd2Lookup(facts, dim, "key", "sec")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getString(3)))).toMap
+    assert(got("f1") === Some("a"))  // 25 ∈ [10, 30)
+    assert(got("f2") === Some("b"))  // boundary lands in the NEW version
+    assert(got("f3") === None)       // before version 1 — kept, not dropped
+    assert(got("f4") === None)       // unknown key — kept
+  }
+
   test("binaryTopK: packing, hamming, and exact-rerank ordering") {
     import graft.ml.Similarity.BinUtil
     // 33 dims exercises the word boundary: dim 32 lands in word 1
