@@ -213,7 +213,12 @@ object Bench {
     // round-22 fifth batch: SCD2 build (key-partitioned windows) +
     // as-of validity lookup (equi hash join + interval condition)
     "q_events_scd2",
-    "q_events_scd2_lookup")
+    "q_events_scd2_lookup",
+    // round-22 sixth batch: ranking experimentation suite (PBM
+    // curve, IPS counterfactual value, team-draft interleaving)
+    "q_eval_position_bias",
+    "q_eval_ips",
+    "q_eval_interleave")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -685,6 +685,147 @@ object Eval {
           (lit(1.0) - col("siv") / col("vt"))).as("alpha"))
   }
 
+  /** Team-draft interleaving (Radlinski et al. 2008) — the online
+    * ranker A/B method that needs ~100× fewer sessions than
+    * metric-based tests: merge two rankings by alternating team
+    * drafts, serve the merged list, credit each click to the team
+    * that contributed the document. Per round, the team drafting
+    * FIRST is decided by a deterministic md5 coin
+    * (md5("query|round") first hex digit parity — replayable
+    * anywhere, no RNG state), then each team takes its highest-
+    * ranked not-yet-picked document. Returns (query, pos, doc,
+    * team) with team ∈ 'A'/'B'.
+    *
+    * `a`, `b`: (query, doc, rank) per-query ranked lists, BOUNDED
+    * depth by construction (they are served pages). Scale shape: one
+    * shuffle keyed by query; the draft is a bounded in-memory loop
+    * per group.
+    */
+  def teamDraftInterleave(a: DataFrame, b: DataFrame, queryCol: String,
+      docCol: String, rankCol: String, depth: Int): DataFrame = {
+    require(depth >= 1, s"depth must be >= 1, got $depth")
+    val spark = a.sparkSession
+    import spark.implicits._
+    def side(df: DataFrame, tag: String) =
+      df.select(col(queryCol).cast("long").as("q"),
+        col(docCol).cast("long").as("doc"),
+        col(rankCol).cast("long").as("rank"), lit(tag).as("team"))
+        .as[(Long, Long, Long, String)]
+    side(a, "A").unionAll(side(b, "B"))
+      .groupByKey(_._1)
+      .flatMapGroups { (q, it) =>
+        val rows = it.toArray
+        val la = rows.filter(_._4 == "A").sortBy(r => (r._3, r._2))
+          .map(_._2)
+        val lb = rows.filter(_._4 == "B").sortBy(r => (r._3, r._2))
+          .map(_._2)
+        val picked = scala.collection.mutable.LinkedHashMap
+          .empty[Long, String]
+        def draft(list: Array[Long], team: String): Boolean = {
+          val next = list.find(d => !picked.contains(d))
+          next.foreach(d => picked(d) = team)
+          next.isDefined
+        }
+        var round = 1
+        var progress = true
+        while (picked.size < depth && progress) {
+          val hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$q|$round".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          val aFirst = Integer.parseInt(hex.substring(0, 1), 16) % 2 == 0
+          val order = if (aFirst) Seq(("A", la), ("B", lb))
+            else Seq(("B", lb), ("A", la))
+          progress = false
+          order.foreach { case (team, list) =>
+            if (picked.size < depth && draft(list, team))
+              progress = true
+          }
+          round += 1
+        }
+        picked.iterator.zipWithIndex.map { case ((doc, team), i) =>
+          (q, (i + 1).toLong, doc, team)
+        }
+      }
+      .toDF("query", "pos", "doc", "team")
+  }
+
+  /** Credit interleaved clicks to teams and call the per-query
+    * winner: A / B / tie. `clicks`: (query, doc) the clicked
+    * documents of the served interleaved list.
+    */
+  def interleaveWinner(interleaved: DataFrame,
+      clicks: DataFrame): DataFrame = {
+    interleaved
+      .join(clicks.select(col("query"), col("doc"),
+        lit(1L).as("clk")), Seq("query", "doc"), "left")
+      .groupBy("query")
+      .agg(sum(when(col("team") === "A", col("clk"))).as("a0"),
+        sum(when(col("team") === "B", col("clk"))).as("b0"))
+      .select(col("query"), coalesce(col("a0"), lit(0L)).as("credit_a"),
+        coalesce(col("b0"), lit(0L)).as("credit_b"))
+      .withColumn("winner",
+        when(col("credit_a") > col("credit_b"), "A")
+          .when(col("credit_b") > col("credit_a"), "B")
+          .otherwise("tie"))
+  }
+
+  /** Position-bias (examination) curve from logged impressions under
+    * the position-based model: P(click | rank) factorizes as
+    * θ_rank · relevance, so the rank-1-normalized CTR curve
+    * θ̂_r = CTR(r)/CTR(1) estimates examination propensities — the
+    * denominator every counterfactual (IPS) evaluation needs. Naive
+    * but standard as the first-cut estimator (result-randomized
+    * logs); returns (rank, n, clicks, ctr, propensity).
+    */
+  def positionBias(logs: DataFrame, rankCol: String,
+      clickCol: String): DataFrame = {
+    val per = logs.groupBy(col(rankCol).cast("long").as("rank"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(clickCol), 1L).otherwise(0L)).as("clicks"))
+      .withColumn("ctr", col("clicks").cast("double") / col("n"))
+    val top = per.filter(col("rank") === 1)
+      .select(col("ctr").as("ctr1"))
+    per.crossJoin(broadcast(top))
+      .select(col("rank"), col("n"), col("clicks"), col("ctr"),
+        when(col("ctr1") > 0, col("ctr") / col("ctr1")).as("propensity"))
+  }
+
+  /** Inverse-propensity-scored (IPS) offline evaluation of a NEW
+    * ranking against logged clicks (Joachims et al. 2017 shape):
+    * each logged click is weighted by 1/θ(logged rank) and credited
+    * when the new ranker would have shown that document at rank ≤ k
+    * — the unbiased counterfactual answer to "would the new ranker
+    * have earned these clicks", without an online test.
+    * `logs`: (query, doc, rank, clicked); `newRanks`: (query, doc,
+    * new_rank); `propensities`: (rank, propensity) from
+    * [[positionBias]]. Returns one row (n_clicks, ips_value,
+    * matched_clicks) — ips_value = Σ credited 1/θ divided by the
+    * total click count (a rate, comparable across rankers).
+    *
+    * Scale shape: two hash equi-joins on (query, doc)/(rank), one
+    * 1-row aggregate; the propensity table is rank-bounded.
+    */
+  def ipsValue(logs: DataFrame, newRanks: DataFrame,
+      propensities: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val clicks = logs.filter(col("clicked"))
+      .select(col("query"), col("doc"), col("rank"))
+    clicks
+      .join(broadcast(propensities.select(col("rank"),
+        col("propensity"))), Seq("rank"), "left")
+      .join(newRanks.select(col("query"), col("doc"),
+        col("new_rank")), Seq("query", "doc"), "left")
+      .agg(count(lit(1)).as("n_clicks"),
+        sum(when(col("new_rank").isNotNull && col("new_rank") <= k &&
+            col("propensity") > 0, lit(1.0) / col("propensity"))
+          .otherwise(0.0)).as("ips_sum"),
+        sum(when(col("new_rank").isNotNull && col("new_rank") <= k,
+          1L).otherwise(0L)).as("matched_clicks"))
+      .select(col("n_clicks"),
+        (col("ips_sum") / col("n_clicks")).as("ips_value"),
+        col("matched_clicks"))
+  }
+
   /** Expected reciprocal rank (Chapelle et al. 2009) — the cascade-
     * model ranking metric: the user scans down, stops at a satisfying
     * result with probability R_r = (2^rel − 1)/2^maxGrade, and ERR =

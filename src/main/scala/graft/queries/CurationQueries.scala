@@ -1627,6 +1627,162 @@ object CurationQueries extends QueryGroup {
         .orderBy("event_id")
     },
 
+    // position-bias (examination) curve from synthesized impression
+    // logs: rank-1-normalized CTR under the position-based model.
+    q("q_eval_position_bias",
+      """WITH logs AS (
+        |  SELECT 1 + event_id % 10 AS rank, value > 150 AS clicked
+        |  FROM events
+        |), per AS (
+        |  SELECT rank::BIGINT AS rank, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN clicked THEN 1 ELSE 0 END)::BIGINT AS clicks
+        |  FROM logs GROUP BY 1
+        |), top AS (
+        |  SELECT clicks * 1.0::DOUBLE / n AS ctr1 FROM per
+        |  WHERE rank = 1
+        |)
+        |SELECT rank, n, clicks,
+        |  round(clicks * 1.0::DOUBLE / n, 6) AS ctr,
+        |  round(CASE WHEN ctr1 > 0
+        |    THEN (clicks * 1.0::DOUBLE / n) / ctr1 END, 6) AS propensity
+        |FROM per CROSS JOIN top ORDER BY rank""".stripMargin) {
+      (s, dir) =>
+      graft.ml.Eval.positionBias(
+          t(s, dir, "events").select(
+            (lit(1) + col("event_id") % 10).as("rank"),
+            (col("value") > 150).as("clicked")),
+          "rank", "clicked")
+        .select(col("rank"), col("n"), col("clicks"),
+          round(col("ctr"), 6).as("ctr"),
+          round(col("propensity"), 6).as("propensity"))
+        .orderBy("rank")
+    },
+
+    // IPS counterfactual value of a synthetic new ranking against
+    // the same logged clicks, k = 10 — the offline "would the new
+    // ranker have earned these clicks" number.
+    q("q_eval_ips",
+      """WITH logs AS MATERIALIZED (
+        |  SELECT user_id % 20 AS query, event_id % 50 AS doc,
+        |    (1 + event_id % 10)::BIGINT AS rank,
+        |    value > 150 AS clicked
+        |  FROM events
+        |), per AS MATERIALIZED (
+        |  SELECT rank, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN clicked THEN 1 ELSE 0 END)::BIGINT AS clicks
+        |  FROM logs GROUP BY 1
+        |), prop AS MATERIALIZED (
+        |  SELECT rank, (clicks * 1.0::DOUBLE / n) /
+        |    (SELECT clicks * 1.0::DOUBLE / n FROM per WHERE rank = 1)
+        |    AS propensity
+        |  FROM per
+        |), nr AS MATERIALIZED (
+        |  SELECT DISTINCT query, doc,
+        |    (1 + (doc * 7 + query) % 25)::BIGINT AS new_rank
+        |  FROM logs
+        |), ck AS (
+        |  SELECT l.query, l.doc, l.rank FROM logs l WHERE clicked
+        |)
+        |SELECT count(*)::BIGINT AS n_clicks,
+        |  round(sum(CASE WHEN nr.new_rank IS NOT NULL
+        |      AND nr.new_rank <= 10 AND p.propensity > 0
+        |      THEN 1.0 / p.propensity ELSE 0.0 END) / count(*), 6)
+        |    AS ips_value,
+        |  sum(CASE WHEN nr.new_rank IS NOT NULL AND nr.new_rank <= 10
+        |    THEN 1 ELSE 0 END)::BIGINT AS matched_clicks
+        |FROM ck LEFT JOIN prop p USING (rank)
+        |LEFT JOIN nr ON nr.query = ck.query AND nr.doc = ck.doc"""
+        .stripMargin) { (s, dir) =>
+      val logs = t(s, dir, "events").select(
+        (col("user_id") % 20).as("query"),
+        (col("event_id") % 50).as("doc"),
+        (lit(1) + col("event_id") % 10).cast("long").as("rank"),
+        (col("value") > 150).as("clicked"))
+      val prop = graft.ml.Eval.positionBias(logs, "rank", "clicked")
+      val newRanks = logs.select("query", "doc").distinct()
+        .withColumn("new_rank",
+          (lit(1) + (col("doc") * 7 + col("query")) % 25).cast("long"))
+      graft.ml.Eval.ipsValue(logs, newRanks, prop, k = 10)
+        .select(col("n_clicks"),
+          round(col("ips_value"), 6).as("ips_value"),
+          col("matched_clicks"))
+    },
+
+    // team-draft interleaving of two overlapping top-8 rankings
+    // (md5 per-round coin) — the draft unrolled pick-by-pick with
+    // the picked-set cap, bit-exact on both engines.
+    q("q_eval_interleave", {
+      val levels = (1 to 8).flatMap { r =>
+        val c = s"(CASE WHEN strpos('02468ace', " +
+          s"substring(md5('0|$r'), 1, 1)) > 0 THEN 'A' ELSE 'B' END)"
+        Seq(
+          s"""pk${2 * r - 1} AS MATERIALIZED (
+             |  SELECT doc, team, ${2 * r - 1} AS lvl FROM ranks
+             |  WHERE team = $c
+             |    AND doc NOT IN (SELECT doc FROM picked${2 * r - 2})
+             |    AND (SELECT count(*) FROM picked${2 * r - 2}) < 8
+             |  ORDER BY rank, doc LIMIT 1
+             |)""".stripMargin,
+          s"""picked${2 * r - 1} AS MATERIALIZED (
+             |  SELECT * FROM picked${2 * r - 2}
+             |  UNION ALL SELECT * FROM pk${2 * r - 1}
+             |)""".stripMargin,
+          s"""pk${2 * r} AS MATERIALIZED (
+             |  SELECT doc, team, ${2 * r} AS lvl FROM ranks
+             |  WHERE team <> $c
+             |    AND doc NOT IN (SELECT doc FROM picked${2 * r - 1})
+             |    AND (SELECT count(*) FROM picked${2 * r - 1}) < 8
+             |  ORDER BY rank, doc LIMIT 1
+             |)""".stripMargin,
+          s"""picked${2 * r} AS MATERIALIZED (
+             |  SELECT * FROM picked${2 * r - 1}
+             |  UNION ALL SELECT * FROM pk${2 * r}
+             |)""".stripMargin)
+      }
+      s"""WITH ra AS (
+         |  SELECT doc_id AS doc,
+         |    row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+         |  FROM documents QUALIFY rank <= 8
+         |), rb AS (
+         |  SELECT doc_id AS doc,
+         |    row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+         |  FROM documents WHERE doc_id % 2 = 0 QUALIFY rank <= 8
+         |), ranks AS MATERIALIZED (
+         |  SELECT doc, rank, 'A' AS team FROM ra
+         |  UNION ALL SELECT doc, rank, 'B' FROM rb
+         |), picked0 AS MATERIALIZED (
+         |  SELECT NULL::BIGINT AS doc, NULL::VARCHAR AS team,
+         |    0 AS lvl WHERE false
+         |), ${levels.mkString(", ")}
+         |SELECT 0::BIGINT AS query,
+         |  row_number() OVER (ORDER BY lvl) AS pos, doc, team
+         |FROM picked16 ORDER BY pos""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      // bounded-PQ top-8 (never a raw global window): per the
+      // sortedTake pattern, largest n_chars first, doc_id tie-break
+      implicit val byLenDesc: Ordering[(Long, Long)] =
+        Ordering.by((t: (Long, Long)) => (-t._1, t._2))(
+          Ordering.Tuple2(Ordering.Long, Ordering.Long))
+      def top8(df: org.apache.spark.sql.DataFrame) = {
+        val keyed = df
+          .select(col("n_chars").cast("long"), col("doc_id"))
+          .as[(Long, Long)].map(t => (0L, t))
+        new graft.typed.Grouped(keyed).sortedTake(8).ds
+          .flatMap { case (_, tops) =>
+            tops.zipWithIndex.map { case ((_, id), i) =>
+              (0L, id, (i + 1).toLong)
+            }
+          }
+          .toDF("query", "doc", "rank")
+      }
+      graft.ml.Eval.teamDraftInterleave(top8(docs),
+          top8(docs.filter(col("doc_id") % 2 === 0)),
+          "query", "doc", "rank", depth = 8)
+        .orderBy("pos")
+    },
+
     // RMS gain normalization to target 1000 over synthesized ramp
     // signals — scale/round/clamp replayed arithmetically, md5 over
     // the joined sample series.

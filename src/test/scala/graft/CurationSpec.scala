@@ -776,6 +776,72 @@ class CurationSpec extends SparkSpec {
     assert(got("f4") === None)       // unknown key — kept
   }
 
+  test("positionBias: rank-1-normalized CTR curve") {
+    import spark.implicits._
+    val logs = (Seq.fill(2)((1L, true)) ++ Seq.fill(2)((1L, false)) ++
+      Seq.fill(1)((2L, true)) ++ Seq.fill(3)((2L, false)))
+      .toDF("rank", "clicked")
+    val got = graft.ml.Eval.positionBias(logs, "rank", "clicked")
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(got(1L) === 1.0 && got(2L) === 0.5)
+  }
+
+  test("ipsValue: propensity-weighted counterfactual credit") {
+    import spark.implicits._
+    val logs = Seq(
+      (1L, 10L, 1L, true),   // θ=1, new rank 1 → credit 1
+      (1L, 11L, 2L, true),   // θ=0.5, new rank 2 → credit 2
+      (1L, 12L, 2L, true),   // new rank 99 → no credit
+      (1L, 13L, 1L, false))  // not clicked
+      .toDF("query", "doc", "rank", "clicked")
+    val prop = Seq((1L, 1.0), (2L, 0.5)).toDF("rank", "propensity")
+    val newRanks = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 99L))
+      .toDF("query", "doc", "new_rank")
+    val got = graft.ml.Eval.ipsValue(logs, newRanks, prop, k = 10)
+      .collect().head
+    assert(got.getLong(0) === 3L)                       // clicks
+    assert(math.abs(got.getDouble(1) - 3.0 / 3) < 1e-12) // (1+2+0)/3
+    assert(got.getLong(2) === 2L)                       // matched
+  }
+
+  test("teamDraftInterleave: deterministic draft, dedup skip, both teams serve") {
+    import spark.implicits._
+    val a = Seq((0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L))
+      .toDF("query", "doc", "rank")
+    val b = Seq((0L, 10L, 1L), (0L, 13L, 2L), (0L, 14L, 3L))
+      .toDF("query", "doc", "rank")
+    val rows = graft.ml.Eval.teamDraftInterleave(a, b, "query", "doc",
+      "rank", depth = 5).orderBy("pos").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    // all five distinct docs served exactly once, both teams present
+    assert(rows.map(_._2).toSet === Set(10L, 11L, 12L, 13L, 14L))
+    assert(rows.map(_._2).distinct.length === 5)
+    assert(rows.map(_._3).toSet === Set("A", "B"))
+    // whoever lost the coin for doc 10 drafts its own next-best, so
+    // position 2's doc is a rank-2 item, never the shared rank-1
+    assert(Set(11L, 13L).contains(rows(1)._2))
+    // deterministic: a second run replays identically
+    val again = graft.ml.Eval.teamDraftInterleave(a, b, "query", "doc",
+      "rank", depth = 5).orderBy("pos").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.toSeq === again.toSeq)
+  }
+
+  test("interleaveWinner: click credit and the tie case") {
+    import spark.implicits._
+    val served = Seq((0L, 1L, 10L, "A"), (0L, 2L, 11L, "B"),
+      (0L, 3L, 12L, "A"))
+      .toDF("query", "pos", "doc", "team")
+    val clicks = Seq((0L, 10L), (0L, 12L)).toDF("query", "doc")
+    val got = graft.ml.Eval.interleaveWinner(served, clicks)
+      .collect().head
+    assert(got.getLong(1) === 2L && got.getLong(2) === 0L)
+    assert(got.getString(3) === "A")
+    val tie = graft.ml.Eval.interleaveWinner(served,
+      Seq((0L, 10L), (0L, 11L)).toDF("query", "doc")).collect().head
+    assert(tie.getString(3) === "tie")
+  }
+
   test("binaryTopK: packing, hamming, and exact-rerank ordering") {
     import graft.ml.Similarity.BinUtil
     // 33 dims exercises the word boundary: dim 32 lands in word 1

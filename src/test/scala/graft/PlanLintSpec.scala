@@ -215,7 +215,12 @@ class PlanLintSpec extends SparkSpec {
     "q_text_qld" -> Map("cartesian" ->
       ("|terms|-row query grid and 1-row collection-total aggregate " +
         "broadcast onto the CANDIDATE table (absent terms must " +
-        "contribute smoothing mass)")))
+        "contribute smoothing mass)")),
+    "q_eval_position_bias" -> Map("cartesian" ->
+      "1-row rank-1 CTR aggregate broadcast onto the rank-bounded curve"),
+    "q_eval_ips" -> Map("cartesian" ->
+      ("positionBias's 1-row rank-1 CTR aggregate broadcast onto the " +
+        "rank-bounded propensity table")))
   // q_multimodal_tar's former cartesian entry dropped in round 8: the
   // gate now collects its 1-row summary eagerly (so the shard temp dir
   // can be deleted) and returns a parallelized literal — no join plan.
