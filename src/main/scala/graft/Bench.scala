@@ -218,7 +218,12 @@ object Bench {
     // curve, IPS counterfactual value, team-draft interleaving)
     "q_eval_position_bias",
     "q_eval_ips",
-    "q_eval_interleave")
+    "q_eval_interleave",
+    // round-22 seventh batch: related items (capped pair table),
+    // hubness (self-kNN + moments), MMD (bounded-sample kernel grid)
+    "q_assoc_item_cosine",
+    "q_embed_hubness",
+    "q_embed_mmd")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

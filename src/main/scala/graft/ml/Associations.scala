@@ -64,4 +64,34 @@ object Associations {
         (col("n_ab").cast("double") * col("nb") /
           (col("n_a").cast("double") * col("n_b"))).as("lift"))
   }
+
+  /** Item-item cosine neighbors from co-occurrence counts — the
+    * classic "related items" model (Sarwar et al. 2001 item-based
+    * CF on implicit data): sim(a,b) = n_ab / √(n_a·n_b), top-k
+    * neighbors per item by (sim desc, item). Runs ON TOP of
+    * [[frequentPairs]]'s bounded pair table, so the same per-basket
+    * cap bounds the candidate volume; per-item top-k is a
+    * partitioned window over basket-bounded neighbor lists.
+    */
+  def itemCosineNeighbors(df: DataFrame, basketCol: String,
+      itemCol: String, topK: Int, minSupport: Long = 2L,
+      maxBasketSize: Int = 0): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val pairs = frequentPairs(df, basketCol, itemCol, minSupport,
+      maxBasketSize)
+    // symmetrize: frequentPairs emits each unordered pair once
+    val sym = pairs.select(col("item_a").as("item"),
+        col("item_b").as("neighbor"), col("n_a"), col("n_b"),
+        col("n_ab"))
+      .unionByName(pairs.select(col("item_b").as("item"),
+        col("item_a").as("neighbor"), col("n_b").as("n_a"),
+        col("n_a").as("n_b"), col("n_ab")))
+      .withColumn("cosine", col("n_ab").cast("double") /
+        sqrt(col("n_a").cast("double") * col("n_b")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("item").orderBy(col("cosine").desc, col("neighbor"))
+    sym.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= topK)
+      .select("item", "neighbor", "n_ab", "cosine")
+  }
 }

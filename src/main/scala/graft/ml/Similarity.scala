@@ -1066,6 +1066,79 @@ object Similarity {
       .toDF("id", "vec")
   }
 
+  /** Hubness diagnostic of an embedding space (Radovanović et al.
+    * 2010): k-occurrence N_k(x) = how often x appears in other
+    * points' k-NN lists. High-dimensional spaces grow HUBS (points
+    * in everyone's neighbor list) that silently dominate ANN
+    * retrieval, margin mining, and k-NN classification — the
+    * skewness of N_k is the one-number alarm (≳ 1 = hubby, fix with
+    * centering or margin rescaling). Returns one row
+    * (k, n, mean_nk, max_nk, skewness) where skewness is the
+    * population third standardized moment of N_k, zero-occurrence
+    * points included (they are the antihubs that make the tail).
+    *
+    * Scale shape: one [[bruteForceTopK]] pass (broadcast probes /
+    * bounded top-k contract — swap in the IVF retriever above this
+    * scale), one cid hash aggregate, one moments aggregate.
+    */
+  def hubness(corpus: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val knn = bruteForceTopK(corpus, corpus, k)
+    val occ = knn.groupBy(col("cid").as("id"))
+      .agg(count(lit(1)).as("nk"))
+    // zero-occurrence points must enter the moments
+    val all = corpus.select(col("id")).join(occ, Seq("id"), "left")
+      .select(coalesce(col("nk"), lit(0L)).cast("double").as("nk"))
+    all.agg(count(lit(1)).as("n"), avg("nk").as("m"),
+        stddev_pop("nk").as("sd"),
+        avg(col("nk") * col("nk") * col("nk")).as("m3raw"),
+        avg(col("nk") * col("nk")).as("m2raw"))
+      .select(lit(k).as("k"), col("n"), col("m").as("mean_nk"),
+        // E[(x−μ)³]/σ³ expanded in raw moments so both engines
+        // evaluate one aggregate pass
+        when(col("sd") > 0,
+          (col("m3raw") - lit(3) * col("m") * col("m2raw") +
+            lit(2) * col("m") * col("m") * col("m")) /
+            (col("sd") * col("sd") * col("sd"))).as("skewness"))
+  }
+
+  /** Squared maximum mean discrepancy (biased V-statistic, RBF
+    * kernel) between two embedding samples — the kernel two-sample
+    * test behind "did my embedding distribution move" (Gretton et
+    * al. 2012): MMD² = E[k(x,x′)] + E[k(y,y′)] − 2E[k(x,y)] with
+    * k(a,b) = exp(−‖a−b‖²/(2σ²)). BOUNDED-SAMPLE contract: both
+    * sides are all-pairs — run it on a few-thousand-row sample per
+    * side, never the corpus (the corpus-scale read is
+    * [[strataCentroidSimilarity]] / [[graft.ml.Profile.embeddingDrift]];
+    * MMD is the sensitive confirmatory test on samples).
+    * Returns (n_x, n_y, kxx, kyy, kxy, mmd2).
+    */
+  def mmdRbf(x: DataFrame, y: DataFrame, vecCol: String,
+      sigma: Double): DataFrame = {
+    require(sigma > 0, s"sigma must be positive, got $sigma")
+    def pairsMean(a: DataFrame, b: DataFrame, tag: String) = {
+      val l = a.select(col(vecCol).as("va"))
+      val r = b.select(col(vecCol).as("vb"))
+      import graft.functions.VectorFunctions.dot_f
+      // ‖a−b‖² = a·a + b·b − 2 a·b through the codegen'd dot kernel
+      val sq = dot_f(col("va"), col("va")) +
+        dot_f(col("vb"), col("vb")) -
+        lit(2.0) * dot_f(col("va"), col("vb"))
+      l.crossJoin(r)
+        .select(exp(-sq / (2 * sigma * sigma)).as("kv"))
+        .agg(avg("kv").as(tag))
+    }
+    val nx = x.agg(count(lit(1)).as("n_x"))
+    val ny = y.agg(count(lit(1)).as("n_y"))
+    nx.crossJoin(broadcast(ny))
+      .crossJoin(broadcast(pairsMean(x, x, "kxx")))
+      .crossJoin(broadcast(pairsMean(y, y, "kyy")))
+      .crossJoin(broadcast(pairsMean(x, y, "kxy")))
+      .select(col("n_x"), col("n_y"), col("kxx"), col("kyy"),
+        col("kxy"),
+        (col("kxx") + col("kyy") - lit(2) * col("kxy")).as("mmd2"))
+  }
+
   /** Maximal-marginal-relevance diversified top-k (Carbonell &
     * Goldstein 1998): greedily pick argmax λ·rel(d) −
     * (1−λ)·max_{s∈S} cos(d, s) — the standard de-redundancy pass on

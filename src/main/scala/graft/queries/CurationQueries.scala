@@ -1783,6 +1783,128 @@ object CurationQueries extends QueryGroup {
         .orderBy("pos")
     },
 
+    // item-item cosine neighbors (related items) from co-purchase
+    // counts, top-5 per item — exact integer-count cosines, so the
+    // per-item ranking replays bit-identically.
+    q("q_assoc_item_cosine",
+      """WITH inc AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+        |), ic AS (SELECT i, count(*)::BIGINT AS n FROM inc GROUP BY 1
+        |), p AS (
+        |  SELECT a.i AS ia, c.i AS ib, count(*)::BIGINT AS n_ab
+        |  FROM inc a JOIN inc c ON a.b = c.b AND a.i < c.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), sym AS (
+        |  SELECT p.ia AS item, p.ib AS neighbor, x.n AS n_a,
+        |    y.n AS n_b, p.n_ab
+        |  FROM p JOIN ic x ON p.ia = x.i JOIN ic y ON p.ib = y.i
+        |  UNION ALL
+        |  SELECT p.ib, p.ia, y.n, x.n, p.n_ab
+        |  FROM p JOIN ic x ON p.ia = x.i JOIN ic y ON p.ib = y.i
+        |), rk AS (
+        |  SELECT item, neighbor, n_ab,
+        |    n_ab::DOUBLE / sqrt(n_a::DOUBLE * n_b) AS cosine,
+        |    row_number() OVER (PARTITION BY item
+        |      ORDER BY n_ab::DOUBLE / sqrt(n_a::DOUBLE * n_b) DESC,
+        |        neighbor) AS r
+        |  FROM sym
+        |)
+        |SELECT item, neighbor, n_ab, round(cosine, 6) AS cosine
+        |FROM rk WHERE r <= 5
+        |ORDER BY item, neighbor""".stripMargin) { (s, dir) =>
+      graft.ml.Associations.itemCosineNeighbors(
+          t(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey", topK = 5, minSupport = 2L)
+        .select(col("item"), col("neighbor"), col("n_ab"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("item", "neighbor")
+    },
+
+    // hubness diagnostic of the embedding space: k-occurrence
+    // skewness at k = 10 over the full self-kNN.
+    q("q_embed_hubness",
+      """WITH knn AS MATERIALIZED (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id <> c.vec_id
+        |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(
+        |      CAST(q.embedding AS DOUBLE[]),
+        |      CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) <= 10
+        |), occ AS (
+        |  SELECT cid AS id, count(*)::BIGINT AS nk FROM knn GROUP BY 1
+        |), allp AS (
+        |  SELECT coalesce(occ.nk, 0)::DOUBLE AS nk
+        |  FROM embeddings e LEFT JOIN occ ON occ.id = e.vec_id
+        |), m AS (
+        |  SELECT count(*)::BIGINT AS n, avg(nk) AS m,
+        |    stddev_pop(nk) AS sd, avg(nk * nk * nk) AS m3raw,
+        |    avg(nk * nk) AS m2raw
+        |  FROM allp
+        |)
+        |SELECT 10::BIGINT AS k, n, round(m, 6) AS mean_nk,
+        |  round(CASE WHEN sd > 0 THEN
+        |    (m3raw - 3 * m * m2raw + 2 * m * m * m) / (sd * sd * sd)
+        |    END, 6) + 0.0 AS skewness
+        |FROM m""".stripMargin) { (s, dir) =>
+      graft.ml.Similarity.hubness(
+          t(s, dir, "embeddings").select(col("vec_id").as("id"),
+            col("embedding").as("vec")), k = 10)
+        .select(col("k").cast("long").as("k"), col("n"),
+          round(col("mean_nk"), 6).as("mean_nk"),
+          (round(col("skewness"), 6) + 0.0).as("skewness"))
+    },
+
+    // RBF-kernel MMD² between the label<5 and label≥5 embedding
+    // samples (bounded-sample all-pairs contract), σ = 2.
+    q("q_embed_mmd",
+      """WITH x AS (SELECT embedding AS v FROM embeddings
+        |  WHERE label < 5),
+        |y AS (SELECT embedding AS v FROM embeddings WHERE label >= 5),
+        |kxx AS (
+        |  SELECT avg(exp(-(list_inner_product(CAST(a.v AS DOUBLE[]),
+        |      CAST(a.v AS DOUBLE[]))
+        |    + list_inner_product(CAST(b.v AS DOUBLE[]),
+        |      CAST(b.v AS DOUBLE[]))
+        |    - 2 * list_inner_product(CAST(a.v AS DOUBLE[]),
+        |      CAST(b.v AS DOUBLE[]))) / (2 * 2.0 * 2.0))) AS kxx
+        |  FROM x a CROSS JOIN x b
+        |), kyy AS (
+        |  SELECT avg(exp(-(list_inner_product(CAST(a.v AS DOUBLE[]),
+        |      CAST(a.v AS DOUBLE[]))
+        |    + list_inner_product(CAST(b.v AS DOUBLE[]),
+        |      CAST(b.v AS DOUBLE[]))
+        |    - 2 * list_inner_product(CAST(a.v AS DOUBLE[]),
+        |      CAST(b.v AS DOUBLE[]))) / (2 * 2.0 * 2.0))) AS kyy
+        |  FROM y a CROSS JOIN y b
+        |), kxy AS (
+        |  SELECT avg(exp(-(list_inner_product(CAST(a.v AS DOUBLE[]),
+        |      CAST(a.v AS DOUBLE[]))
+        |    + list_inner_product(CAST(b.v AS DOUBLE[]),
+        |      CAST(b.v AS DOUBLE[]))
+        |    - 2 * list_inner_product(CAST(a.v AS DOUBLE[]),
+        |      CAST(b.v AS DOUBLE[]))) / (2 * 2.0 * 2.0))) AS kxy
+        |  FROM x a CROSS JOIN y b
+        |), nx AS (SELECT count(*)::BIGINT AS n_x FROM x),
+        |ny AS (SELECT count(*)::BIGINT AS n_y FROM y)
+        |SELECT n_x, n_y, round(kxx, 6) AS kxx, round(kyy, 6) AS kyy,
+        |  round(kxy, 6) AS kxy,
+        |  round(kxx + kyy - 2 * kxy, 6) + 0.0 AS mmd2
+        |FROM nx CROSS JOIN ny CROSS JOIN kxx CROSS JOIN kyy
+        |CROSS JOIN kxy""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      graft.ml.Similarity.mmdRbf(
+          e.filter(col("label") < 5).select(col("embedding").as("v")),
+          e.filter(col("label") >= 5).select(col("embedding").as("v")),
+          "v", sigma = 2.0)
+        .select(col("n_x"), col("n_y"),
+          round(col("kxx"), 6).as("kxx"),
+          round(col("kyy"), 6).as("kyy"),
+          round(col("kxy"), 6).as("kxy"),
+          (round(col("mmd2"), 6) + 0.0).as("mmd2"))
+    },
+
     // RMS gain normalization to target 1000 over synthesized ramp
     // signals — scale/round/clamp replayed arithmetically, md5 over
     // the joined sample series.

@@ -842,6 +842,53 @@ class CurationSpec extends SparkSpec {
     assert(tie.getString(3) === "tie")
   }
 
+  test("itemCosineNeighbors: hand cosines, symmetric emit, top-k cut") {
+    import spark.implicits._
+    val rows = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "c")).toDF("basket", "item")
+    val got = graft.ml.Associations.itemCosineNeighbors(rows, "basket",
+      "item", topK = 5, minSupport = 1L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3))
+      .toMap
+    assert(math.abs(got(("a", "b")) - 2.0 / math.sqrt(6)) < 1e-12)
+    assert(got(("a", "b")) === got(("b", "a"))) // symmetric
+    assert(math.abs(got(("a", "c")) - 1.0 / math.sqrt(3)) < 1e-12)
+    // topK = 1 keeps only the best neighbor per item
+    val top1 = graft.ml.Associations.itemCosineNeighbors(rows,
+      "basket", "item", topK = 1, minSupport = 1L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(top1("a") === "b")
+  }
+
+  test("hubness: mean k-occurrence is exactly k, planted hub skews positive") {
+    import spark.implicits._
+    // h sits between all three axes: everyone's 1-NN
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)),
+      (2L, Array(0f, 0f, 1f)), (3L, Array(1f, 1f, 1f)))
+      .toDF("id", "vec")
+    val got = graft.ml.Similarity.hubness(vecs, k = 1).collect().head
+    assert(got.getLong(1) === 4L)
+    assert(got.getDouble(2) === 1.0) // Σ N_k = n·k identically
+    // N_1 = (1,0,0,3): skew = 1.5/1.5^1.5 = 0.8165
+    assert(math.abs(got.getDouble(3) - 1.5 / math.pow(1.5, 1.5)) < 1e-9)
+  }
+
+  test("mmdRbf: zero on identical samples, hand value on separated ones") {
+    import spark.implicits._
+    val x = Seq(Tuple1(Array(0f, 0f))).toDF("v")
+    val y = Seq(Tuple1(Array(3f, 0f))).toDF("v")
+    val sep = graft.ml.Similarity.mmdRbf(x, y, "v", sigma = 2.0)
+      .collect().head
+    // kxx = kyy = 1, kxy = exp(−9/8)
+    assert(math.abs(sep.getDouble(5) -
+      (2.0 - 2 * math.exp(-9.0 / 8))) < 1e-12)
+    val same = graft.ml.Similarity.mmdRbf(x, x, "v", sigma = 2.0)
+      .collect().head
+    assert(same.getDouble(5) === 0.0)
+  }
+
   test("binaryTopK: packing, hamming, and exact-rerank ordering") {
     import graft.ml.Similarity.BinUtil
     // 33 dims exercises the word boundary: dim 32 lands in word 1

@@ -220,7 +220,12 @@ class PlanLintSpec extends SparkSpec {
       "1-row rank-1 CTR aggregate broadcast onto the rank-bounded curve"),
     "q_eval_ips" -> Map("cartesian" ->
       ("positionBias's 1-row rank-1 CTR aggregate broadcast onto the " +
-        "rank-bounded propensity table")))
+        "rank-bounded propensity table")),
+    "q_assoc_item_cosine" -> Map("cartesian" ->
+      "frequentPairs' 1-row basket-total aggregate broadcast onto the pair table"),
+    "q_embed_mmd" -> Map("cartesian" ->
+      ("all-pairs kernel grid on the BOUNDED samples (documented " +
+        "sample contract) + 1-row kernel-mean aggregates into the report")))
   // q_multimodal_tar's former cartesian entry dropped in round 8: the
   // gate now collects its 1-row summary eagerly (so the shard temp dir
   // can be deleted) and returns a parallelized literal — no join plan.
