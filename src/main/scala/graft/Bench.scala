@@ -223,7 +223,11 @@ object Bench {
     // hubness (self-kNN + moments), MMD (bounded-sample kernel grid)
     "q_assoc_item_cosine",
     "q_embed_hubness",
-    "q_embed_mmd")
+    "q_embed_mmd",
+    // round-22 eighth batch: fairness audit (group aggregates),
+    // LSH banding planner (pure grid arithmetic)
+    "q_eval_fairness",
+    "q_dedup_lsh_plan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1220,4 +1220,43 @@ object Dedup {
     clustered
       .withColumn("keep", row_number().over(w) === 1)
   }
+
+  /** LSH banding planner: given a target Jaccard threshold and a
+    * signature budget, choose (bands, rowsPer) whose S-curve
+    * inflection (1/b)^(1/r) sits closest to the target (log-scale
+    * distance; smaller b breaks ties), and emit the full candidate
+    * curve P(candidate | s) = 1 − (1 − s^r)^b over a similarity
+    * grid — the design table consulted BEFORE a banding change
+    * ships, with [[lshQualityReport]] as the after-the-fact measure.
+    * Uses only exact divisions of the budget (b·r = nHashes — a
+    * partial band would hash fewer rows and lie about the curve).
+    * Returns (bands, rows_per, t_star, s, p_candidate) — one row per
+    * grid point, the chosen plan repeated.
+    *
+    * Scale shape: entirely grid arithmetic on an explode of the
+    * divisor set; nothing touches data.
+    */
+  def lshPlan(spark: org.apache.spark.sql.SparkSession,
+      threshold: Double, nHashes: Int,
+      sGrid: Seq[Double] =
+        (1 to 19).map(_ * 0.05)): org.apache.spark.sql.DataFrame = {
+    require(threshold > 0 && threshold < 1,
+      s"threshold in (0,1), got $threshold")
+    require(nHashes >= 2, s"nHashes must be >= 2, got $nHashes")
+    import spark.implicits._
+    val grid = Seq(nHashes).toDF("nh")
+      .select(explode(sequence(lit(1), lit(nHashes))).as("b"),
+        col("nh"))
+      .filter(col("nh") % col("b") === 0)
+      .select(col("b"), (col("nh") / col("b")).cast("int").as("r"))
+      .withColumn("t_star", pow(lit(1.0) / col("b"),
+        lit(1.0) / col("r")))
+      .withColumn("dist", abs(log(col("t_star")) - math.log(threshold)))
+    val best = grid.orderBy(col("dist"), col("b")).limit(1)
+    best.select(col("b").as("bands"), col("r").as("rows_per"),
+        col("t_star"), explode(lit(sGrid.toArray)).as("s"))
+      .select(col("bands"), col("rows_per"), col("t_star"), col("s"),
+        (lit(1.0) - pow(lit(1.0) - pow(col("s"), col("rows_per")),
+          col("bands"))).as("p_candidate"))
+  }
 }

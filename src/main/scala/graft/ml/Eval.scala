@@ -685,6 +685,48 @@ object Eval {
           (lit(1.0) - col("siv") / col("vt"))).as("alpha"))
   }
 
+  /** Group-fairness report for a binary classifier (Hardt et al.
+    * 2016 vocabulary): per group n, base rate, predicted-positive
+    * rate (demographic parity read), TPR/FPR (equalized-odds reads)
+    * and precision, with the corpus-level gaps (max − min across
+    * groups) repeated on every row — dp_gap on the positive rate,
+    * eo_gap = max(TPR gap, FPR gap). The pre-deployment audit table
+    * for any quality/toxicity/PII classifier that gates training
+    * data: a filter with a 20-point TPR gap between languages is
+    * silently rewriting the corpus mix.
+    *
+    * Scale shape: one (group) hash aggregate, one 1-row gap
+    * aggregate broadcast back. Groups with no positives (TPR NULL)
+    * or no negatives (FPR NULL) are excluded from that gap only.
+    */
+  def fairnessReport(df: DataFrame, groupCol: String, labelCol: String,
+      predCol: String): DataFrame = {
+    val per = graft.core.PipelineCaches.persistTracked(
+      df.groupBy(col(groupCol).cast("string").as("group"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col(labelCol), 1L).otherwise(0L)).as("pos"),
+          sum(when(col(predCol), 1L).otherwise(0L)).as("pred_pos"),
+          sum(when(col(labelCol) && col(predCol), 1L).otherwise(0L))
+            .as("tp"),
+          sum(when(!col(labelCol) && col(predCol), 1L).otherwise(0L))
+            .as("fp"))
+        .withColumn("base_rate", col("pos").cast("double") / col("n"))
+        .withColumn("ppr", col("pred_pos").cast("double") / col("n"))
+        .withColumn("tpr", when(col("pos") > 0,
+          col("tp").cast("double") / col("pos")))
+        .withColumn("fpr", when(col("n") - col("pos") > 0,
+          col("fp").cast("double") / (col("n") - col("pos"))))
+        .withColumn("precision", when(col("pred_pos") > 0,
+          col("tp").cast("double") / col("pred_pos"))))
+    val gaps = per.agg(
+      (max("ppr") - min("ppr")).as("dp_gap"),
+      greatest(coalesce(max("tpr") - min("tpr"), lit(0.0)),
+        coalesce(max("fpr") - min("fpr"), lit(0.0))).as("eo_gap"))
+    per.crossJoin(broadcast(gaps))
+      .select("group", "n", "base_rate", "ppr", "tpr", "fpr",
+        "precision", "dp_gap", "eo_gap")
+  }
+
   /** Team-draft interleaving (Radlinski et al. 2008) — the online
     * ranker A/B method that needs ~100× fewer sessions than
     * metric-based tests: merge two rankings by alternating team

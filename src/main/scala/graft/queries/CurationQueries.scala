@@ -1905,6 +1905,89 @@ object CurationQueries extends QueryGroup {
           (round(col("mmd2"), 6) + 0.0).as("mmd2"))
     },
 
+    // group-fairness audit of a threshold classifier across event
+    // types: per-group rates + demographic-parity / equalized-odds
+    // gaps — closed-form replay.
+    q("q_eval_fairness",
+      """WITH per AS MATERIALIZED (
+        |  SELECT event_type AS grp, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN value > 100 THEN 1 ELSE 0 END)::BIGINT
+        |      AS pos,
+        |    sum(CASE WHEN value > 80 THEN 1 ELSE 0 END)::BIGINT
+        |      AS pred_pos,
+        |    sum(CASE WHEN value > 100 AND value > 80 THEN 1 ELSE 0
+        |      END)::BIGINT AS tp,
+        |    sum(CASE WHEN value <= 100 AND value > 80 THEN 1 ELSE 0
+        |      END)::BIGINT AS fp
+        |  FROM events GROUP BY 1
+        |), rates AS MATERIALIZED (
+        |  SELECT grp, n, pos::DOUBLE / n AS base_rate,
+        |    pred_pos::DOUBLE / n AS ppr,
+        |    CASE WHEN pos > 0 THEN tp::DOUBLE / pos END AS tpr,
+        |    CASE WHEN n - pos > 0 THEN fp::DOUBLE / (n - pos) END
+        |      AS fpr,
+        |    CASE WHEN pred_pos > 0 THEN tp::DOUBLE / pred_pos END
+        |      AS prec
+        |  FROM per
+        |), gaps AS (
+        |  SELECT max(ppr) - min(ppr) AS dp_gap,
+        |    greatest(coalesce(max(tpr) - min(tpr), 0.0),
+        |      coalesce(max(fpr) - min(fpr), 0.0)) AS eo_gap
+        |  FROM rates
+        |)
+        |SELECT grp, n, round(base_rate, 6) AS base_rate,
+        |  round(ppr, 6) AS ppr, round(tpr, 6) AS tpr,
+        |  round(fpr, 6) AS fpr, round(prec, 6) AS prec,
+        |  round(dp_gap, 6) AS dp_gap, round(eo_gap, 6) AS eo_gap
+        |FROM rates CROSS JOIN gaps ORDER BY grp""".stripMargin) {
+      (s, dir) =>
+      graft.ml.Eval.fairnessReport(
+          t(s, dir, "events").select(col("event_type"),
+            (col("value") > 100).as("label"),
+            (col("value") > 80).as("pred")),
+          "event_type", "label", "pred")
+        .select(col("group").as("grp"), col("n"),
+          round(col("base_rate"), 6).as("base_rate"),
+          round(col("ppr"), 6).as("ppr"),
+          round(col("tpr"), 6).as("tpr"),
+          round(col("fpr"), 6).as("fpr"),
+          round(col("precision"), 6).as("prec"),
+          round(col("dp_gap"), 6).as("dp_gap"),
+          round(col("eo_gap"), 6).as("eo_gap"))
+        .orderBy("grp")
+    },
+
+    // LSH banding planner: choose (bands, rows) for threshold 0.8
+    // under a 128-hash budget and emit the full S-curve.
+    q("q_dedup_lsh_plan",
+      """WITH g AS (
+        |  SELECT b, 128 // b AS r
+        |  FROM (SELECT unnest(range(1, 129)) AS b)
+        |  WHERE 128 % b = 0
+        |), t AS (
+        |  SELECT b, r, pow(1.0::DOUBLE / b, 1.0::DOUBLE / r) AS t_star,
+        |    abs(ln(pow(1.0::DOUBLE / b, 1.0::DOUBLE / r))
+        |      - ln(0.8::DOUBLE)) AS dist
+        |  FROM g
+        |), best AS (
+        |  SELECT b, r, t_star FROM t ORDER BY dist, b LIMIT 1
+        |)
+        |SELECT b::BIGINT AS bands, r::BIGINT AS rows_per,
+        |  round(t_star, 6) AS t_star,
+        |  round(u.i * 0.05::DOUBLE, 6) AS s,
+        |  round(1.0::DOUBLE - pow(1.0::DOUBLE
+        |    - pow(u.i * 0.05::DOUBLE, r), b), 6) + 0.0 AS p_candidate
+        |FROM best, unnest(range(1, 20)) AS u(i)
+        |ORDER BY s""".stripMargin) { (s, dir) =>
+      graft.ml.Dedup.lshPlan(s, threshold = 0.8, nHashes = 128)
+        .select(col("bands").cast("long").as("bands"),
+          col("rows_per").cast("long").as("rows_per"),
+          round(col("t_star"), 6).as("t_star"),
+          round(col("s"), 6).as("s"),
+          (round(col("p_candidate"), 6) + 0.0).as("p_candidate"))
+        .orderBy("s")
+    },
+
     // RMS gain normalization to target 1000 over synthesized ramp
     // signals — scale/round/clamp replayed arithmetically, md5 over
     // the joined sample series.

@@ -889,6 +889,48 @@ class CurationSpec extends SparkSpec {
     assert(same.getDouble(5) === 0.0)
   }
 
+  test("fairnessReport: hand rates and gaps, degenerate groups excluded from gaps") {
+    import spark.implicits._
+    val df = Seq(
+      // group g1: 2 pos (1 caught), 2 neg (1 false-pos)
+      ("g1", true, true), ("g1", true, false),
+      ("g1", false, true), ("g1", false, false),
+      // group g2: all negative, predictor always fires
+      ("g2", false, true), ("g2", false, true))
+      .toDF("grp", "label", "pred")
+    val got = graft.ml.Eval.fairnessReport(df, "grp", "label", "pred")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g1 = got("g1")
+    assert(g1.getDouble(3) === 0.5)          // ppr
+    assert(g1.getDouble(4) === 0.5)          // tpr
+    assert(g1.getDouble(5) === 0.5)          // fpr
+    val g2 = got("g2")
+    assert(g2.isNullAt(4))                   // no positives → TPR null
+    assert(g2.getDouble(5) === 1.0)          // fpr
+    assert(g1.getDouble(7) === 0.5)          // dp gap: 1.0 − 0.5
+    // eo gap = max(tpr gap over non-null = 0, fpr gap = 0.5)
+    assert(g1.getDouble(8) === 0.5)
+  }
+
+  test("lshPlan: exact-divisor argmin and the S-curve endpoints") {
+    val got = graft.ml.Dedup.lshPlan(spark, threshold = 0.8,
+      nHashes = 128).collect()
+    assert(got.length === 19)
+    val bands = got.head.getInt(0)
+    val rows = got.head.getInt(1)
+    assert(bands * rows === 128)
+    // the chosen inflection sits near the target
+    val tStar = got.head.getDouble(2)
+    assert(math.abs(math.log(tStar) - math.log(0.8)) < 0.35)
+    val byS = got.map(r => math.round(r.getDouble(3) * 100).toInt ->
+      r.getDouble(4)).toMap
+    assert(byS(5) < 0.01)   // s = 0.05: nearly never a candidate
+    assert(byS(95) > 0.98)  // s = 0.95: nearly always (b=8, r=16)
+    // monotone curve
+    val ps = got.sortBy(_.getDouble(3)).map(_.getDouble(4))
+    assert(ps.zip(ps.tail).forall { case (a, b) => b >= a })
+  }
+
   test("binaryTopK: packing, hamming, and exact-rerank ordering") {
     import graft.ml.Similarity.BinUtil
     // 33 dims exercises the word boundary: dim 32 lands in word 1

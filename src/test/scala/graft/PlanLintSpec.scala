@@ -225,7 +225,9 @@ class PlanLintSpec extends SparkSpec {
       "frequentPairs' 1-row basket-total aggregate broadcast onto the pair table"),
     "q_embed_mmd" -> Map("cartesian" ->
       ("all-pairs kernel grid on the BOUNDED samples (documented " +
-        "sample contract) + 1-row kernel-mean aggregates into the report")))
+        "sample contract) + 1-row kernel-mean aggregates into the report")),
+    "q_eval_fairness" -> Map("cartesian" ->
+      "1-row gap aggregate broadcast onto the group-rate grid"))
   // q_multimodal_tar's former cartesian entry dropped in round 8: the
   // gate now collects its 1-row summary eagerly (so the shard temp dir
   // can be deleted) and returns a parallelized literal — no join plan.
