@@ -227,7 +227,11 @@ object Bench {
     // round-22 eighth batch: fairness audit (group aggregates),
     // LSH banding planner (pure grid arithmetic)
     "q_eval_fairness",
-    "q_dedup_lsh_plan")
+    "q_dedup_lsh_plan",
+    // round-22 ninth batch: forecast scorecard (offset join + key
+    // agg), tokenizer fertility (per-doc columns + stratum agg)
+    "q_events_forecast_acc",
+    "q_text_fertility")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

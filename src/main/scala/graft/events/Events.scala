@@ -777,6 +777,52 @@ object Events {
     facts.join(d, cond, "left").drop("__dim_key")
   }
 
+  /** Forecast-accuracy metrics over an (actual, predicted) series —
+    * the scorecard for [[holtWinters]]/[[seasonalDecompose]]-class
+    * models: MAE, RMSE, sMAPE (the symmetric percentage error that
+    * stays defined at zero actuals; 0/0 terms contribute 0 by the
+    * standard convention), and MASE (Hyndman–Koehler 2006: MAE
+    * scaled by the in-sample seasonal-naive error ‖y_t −
+    * y_{t−m}‖ — the scale-free "did we beat the naive forecaster",
+    * < 1 = yes). Plain MAPE is deliberately omitted: count series
+    * hit zero actuals and MAPE divides by them.
+    *
+    * `df`: (key, bucket, actual, predicted) per series. The naive
+    * reference is the value at bucket − seasonLen via a BUCKET-OFFSET
+    * self-join (not a row lag: on a gappy grid "m rows back" is a
+    * different season entirely; on a dense grid the two agree).
+    * Returns one row per key. Scale shape: one (key, bucket) hash
+    * equi-join + one key aggregate — no window at all.
+    */
+  def forecastAccuracy(df: DataFrame, keyCol: String, bucketCol: String,
+      actualCol: String, predCol: String,
+      seasonLen: Int): DataFrame = {
+    require(seasonLen >= 1, s"seasonLen must be >= 1, got $seasonLen")
+    val base = graft.core.PipelineCaches.persistTracked(
+      df.select(col(keyCol).as("key"),
+        col(bucketCol).cast("long").as("bucket"),
+        col(actualCol).cast("double").as("y"),
+        col(predCol).cast("double").as("f")))
+    val shifted = base.select(col("key"),
+      (col("bucket") + seasonLen).as("bucket"),
+      col("y").as("naive"))
+    val e = base.join(shifted, Seq("key", "bucket"), "left")
+    e.groupBy("key")
+      .agg(count(lit(1)).as("n"),
+        avg(abs(col("y") - col("f"))).as("mae"),
+        sqrt(avg((col("y") - col("f")) * (col("y") - col("f"))))
+          .as("rmse"),
+        avg(when(abs(col("y")) + abs(col("f")) > 0,
+          lit(2.0) * abs(col("y") - col("f")) /
+            (abs(col("y")) + abs(col("f")))).otherwise(0.0))
+          .as("smape"),
+        avg(when(col("naive").isNotNull,
+          abs(col("y") - col("naive")))).as("naive_mae"))
+      .withColumn("mase", when(col("naive_mae") > 0,
+        col("mae") / col("naive_mae")))
+      .select("key", "n", "mae", "rmse", "smape", "naive_mae", "mase")
+  }
+
   /** Seasonal-adjusted anomaly detection on the event-count series:
     * [[seasonalDecompose]]'s residual, standardized by the GLOBAL
     * residual population sigma, flagged at |z| > `zThreshold` — the

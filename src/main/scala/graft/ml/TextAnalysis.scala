@@ -1366,6 +1366,36 @@ object TextAnalysis {
     * join, no second scan); output is occurrence-sized, not
     * corpus-sized.
     */
+  /** Tokenizer fertility report per stratum: tokens-per-word
+    * (fertility — how many subword pieces a whitespace word costs)
+    * and bytes-per-token (compression — how much raw text one token
+    * carries), the two numbers a tokenizer is judged by across
+    * languages before a vocab ships (a fertility of 4 on one
+    * language vs 1.3 on another means that language pays 3× the
+    * sequence length for the same text). `encoded`: one row per
+    * document with the piece ARRAY (any tokenizer's corpus-encode
+    * output — BPE, unigram-LM); words/bytes come from the raw text.
+    *
+    * Scale shape: one stratum hash aggregate over per-document
+    * columns; no token explosion.
+    */
+  def fertilityReport(encoded: DataFrame, strataCol: String,
+      textCol: String, piecesCol: String): DataFrame = {
+    encoded.select(col(strataCol).as("stratum"),
+        size(col(piecesCol)).cast("long").as("n_pieces"),
+        size(tokens(normalize(col(textCol)))).cast("long").as("n_words"),
+        octet_length(col(textCol)).cast("long").as("n_bytes"))
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_pieces").as("n_pieces"),
+        sum("n_words").as("n_words"),
+        sum("n_bytes").as("n_bytes"))
+      .withColumn("fertility", when(col("n_words") > 0,
+        col("n_pieces").cast("double") / col("n_words")))
+      .withColumn("bytes_per_token", when(col("n_pieces") > 0,
+        col("n_bytes").cast("double") / col("n_pieces")))
+  }
+
   /** Out-of-vocabulary rate per stratum against a vocabulary table —
     * the tokenizer-coverage read run before committing a vocab to a
     * training run (an OOV rate that differs by stratum says the

@@ -1988,6 +1988,104 @@ object CurationQueries extends QueryGroup {
         .orderBy("s")
     },
 
+    // forecast accuracy of the STL-lite fitted values (trend +
+    // seasonal) on the hourly series: MAE/RMSE/sMAPE + MASE vs the
+    // 24-lag seasonal-naive — full decomposition + window replay.
+    q("q_events_forecast_acc",
+      """WITH c AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS bucket,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1
+        |), tr AS (
+        |  SELECT bucket, y, bucket % 24 AS phase,
+        |    avg(y) OVER (ORDER BY bucket
+        |      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS trend
+        |  FROM c
+        |), pm AS (
+        |  SELECT phase, avg(y - trend) AS s_raw FROM tr GROUP BY 1
+        |), ctr AS (SELECT avg(s_raw) AS s_mean FROM pm),
+        |dec AS MATERIALIZED (
+        |  SELECT bucket, y::DOUBLE AS y,
+        |    trend + (s_raw - s_mean) AS f
+        |  FROM tr JOIN pm USING (phase) CROSS JOIN ctr
+        |), acc AS (
+        |  SELECT d.bucket, d.y, d.f, n.y AS naive
+        |  FROM dec d LEFT JOIN dec n ON n.bucket = d.bucket - 24
+        |)
+        |SELECT 'all' AS key, count(*)::BIGINT AS n,
+        |  round(avg(abs(y - f)), 6) AS mae,
+        |  round(sqrt(avg((y - f) * (y - f))), 6) AS rmse,
+        |  round(avg(CASE WHEN abs(y) + abs(f) > 0
+        |    THEN 2.0 * abs(y - f) / (abs(y) + abs(f))
+        |    ELSE 0.0 END), 6) AS smape,
+        |  round(avg(CASE WHEN naive IS NOT NULL
+        |    THEN abs(y - naive) END), 6) AS naive_mae,
+        |  round(CASE WHEN avg(CASE WHEN naive IS NOT NULL
+        |      THEN abs(y - naive) END) > 0
+        |    THEN avg(abs(y - f)) / avg(CASE WHEN naive IS NOT NULL
+        |      THEN abs(y - naive) END) END, 6) AS mase
+        |FROM acc""".stripMargin) { (s, dir) =>
+      val raw = t(s, dir, "events")
+      val dec = Events.seasonalDecompose(
+        raw.withColumn("sec", graft.core.Ts.seconds(raw)),
+        "sec", periodSec = 3600L, seasonLen = 24)
+      Events.forecastAccuracy(
+          dec.select(lit("all").as("key"), col("bucket"),
+            col("y").cast("double").as("y"),
+            (col("trend") + col("seasonal")).as("f")),
+          "key", "bucket", "y", "f", seasonLen = 24)
+        .select(col("key"), col("n"),
+          round(col("mae"), 6).as("mae"),
+          round(col("rmse"), 6).as("rmse"),
+          round(col("smape"), 6).as("smape"),
+          round(col("naive_mae"), 6).as("naive_mae"),
+          round(col("mase"), 6).as("mase"))
+    },
+
+    // tokenizer fertility per source (tokens-per-word and bytes-per-
+    // token) under the deterministic 3-char-chunk tokenizer — the
+    // cross-language cost sheet a vocab ships with.
+    q("q_text_fertility",
+      s"""WITH d AS (
+         |  SELECT source, $normSql AS norm,
+         |    strlen(text)::BIGINT AS n_bytes
+         |  FROM documents
+         |), p AS (
+         |  SELECT source, n_bytes,
+         |    len(list_filter(string_split_regex(
+         |      regexp_replace(norm, '(\\S{3})', '\\1' || chr(1), 'g'),
+         |      '[ ' || chr(1) || ']+'), t -> t <> ''))::BIGINT
+         |      AS n_pieces,
+         |    len(list_filter(string_split(norm, ' '),
+         |      t -> t <> ''))::BIGINT AS n_words
+         |  FROM d
+         |)
+         |SELECT source AS stratum, count(*)::BIGINT AS n_docs,
+         |  sum(n_pieces)::BIGINT AS n_pieces,
+         |  sum(n_words)::BIGINT AS n_words,
+         |  sum(n_bytes)::BIGINT AS n_bytes,
+         |  round(CASE WHEN sum(n_words) > 0
+         |    THEN sum(n_pieces)::DOUBLE / sum(n_words) END, 6)
+         |    AS fertility,
+         |  round(CASE WHEN sum(n_pieces) > 0
+         |    THEN sum(n_bytes)::DOUBLE / sum(n_pieces) END, 6)
+         |    AS bytes_per_token
+         |FROM p GROUP BY 1 ORDER BY stratum""".stripMargin) {
+      (s, dir) =>
+      import graft.ml.TextAnalysis
+      val norm = TextAnalysis.normalize(col("text"))
+      val encoded = t(s, dir, "documents")
+        .withColumn("pieces", array_remove(
+          split(regexp_replace(norm, "(\\S{3})", "$1\u0001"),
+            "[ \u0001]+"), ""))
+      TextAnalysis.fertilityReport(encoded, "source", "text", "pieces")
+        .select(col("stratum"), col("n_docs"), col("n_pieces"),
+          col("n_words"), col("n_bytes"),
+          round(col("fertility"), 6).as("fertility"),
+          round(col("bytes_per_token"), 6).as("bytes_per_token"))
+        .orderBy("stratum")
+    },
+
     // RMS gain normalization to target 1000 over synthesized ramp
     // signals — scale/round/clamp replayed arithmetically, md5 over
     // the joined sample series.

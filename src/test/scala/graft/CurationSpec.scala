@@ -931,6 +931,47 @@ class CurationSpec extends SparkSpec {
     assert(ps.zip(ps.tail).forall { case (a, b) => b >= a })
   }
 
+  test("forecastAccuracy: hand metrics incl. the seasonal-naive scaling") {
+    import spark.implicits._
+    // actual 2,4,2,4; predicted 2,4,4,4; season 2 → naive errors at
+    // t3, t4 = |2−2|, |4−4| = 0... use a drifting series instead:
+    // actual 1,2,3,4 pred 1,2,2,4, season 2 → naive |3−1|,|4−2| = 2,2
+    val df = Seq(("k", 1L, 1.0, 1.0), ("k", 2L, 2.0, 2.0),
+      ("k", 3L, 3.0, 2.0), ("k", 4L, 4.0, 4.0))
+      .toDF("key", "bucket", "y", "f")
+    val got = graft.events.Events.forecastAccuracy(df, "key", "bucket",
+      "y", "f", seasonLen = 2).collect().head
+    assert(got.getLong(1) === 4L)
+    assert(got.getDouble(2) === 0.25)                // MAE
+    assert(math.abs(got.getDouble(3) - 0.5) < 1e-12) // RMSE
+    // sMAPE: only t3 errs: 2·1/(3+2)/4 = 0.1
+    assert(math.abs(got.getDouble(4) - 0.1) < 1e-12)
+    assert(got.getDouble(5) === 2.0)                 // naive MAE
+    assert(got.getDouble(6) === 0.125)               // MASE
+    // all-zero actuals: sMAPE's 0/0 convention contributes 0
+    val z = Seq(("z", 1L, 0.0, 0.0), ("z", 2L, 0.0, 0.0))
+      .toDF("key", "bucket", "y", "f")
+    val gz = graft.events.Events.forecastAccuracy(z, "key", "bucket",
+      "y", "f", seasonLen = 1).collect().head
+    assert(gz.getDouble(4) === 0.0)
+    assert(gz.isNullAt(6)) // naive MAE 0 → MASE undefined
+  }
+
+  test("fertilityReport: hand chunk counts per stratum") {
+    import spark.implicits._
+    // "abcdef gh" under any tokenizer producing the given pieces
+    val df = Seq(("s1", "abcdef gh", Seq("abc", "def", "gh")),
+      ("s2", "xy", Seq("xy")))
+      .toDF("source", "text", "pieces")
+    val got = graft.ml.TextAnalysis.fertilityReport(df, "source",
+      "text", "pieces").collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3),
+        r.getDouble(5), r.getDouble(6))).toMap
+    // s1: 3 pieces / 2 words = 1.5; 9 bytes / 3 pieces = 3
+    assert(got("s1") === ((3L, 2L, 1.5, 3.0)))
+    assert(got("s2") === ((1L, 1L, 1.0, 2.0)))
+  }
+
   test("binaryTopK: packing, hamming, and exact-rerank ordering") {
     import graft.ml.Similarity.BinUtil
     // 33 dims exercises the word boundary: dim 32 lands in word 1

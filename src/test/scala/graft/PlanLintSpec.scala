@@ -227,7 +227,13 @@ class PlanLintSpec extends SparkSpec {
       ("all-pairs kernel grid on the BOUNDED samples (documented " +
         "sample contract) + 1-row kernel-mean aggregates into the report")),
     "q_eval_fairness" -> Map("cartesian" ->
-      "1-row gap aggregate broadcast onto the group-rate grid"))
+      "1-row gap aggregate broadcast onto the group-rate grid"),
+    "q_events_forecast_acc" -> Map(
+      "global-window" ->
+        ("seasonalDecompose's ±12-bucket trend window over the " +
+          "(time-range/3600)-row bucket-count table"),
+      "cartesian" ->
+        "1-row seasonal-center aggregate broadcast onto the bucket grid"))
   // q_multimodal_tar's former cartesian entry dropped in round 8: the
   // gate now collects its 1-row summary eagerly (so the shard temp dir
   // can be deleted) and returns a parallelized literal — no join plan.
