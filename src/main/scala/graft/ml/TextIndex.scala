@@ -182,23 +182,28 @@ object TextIndex {
     require(terms.nonEmpty && mu > 0 && topK >= 1)
     val qts = terms.distinct
     val toks = split(TextAnalysis.normalize(col(textCol)), " ")
-    val base = graft.core.PipelineCaches.persistTracked(
-      docs.select(col(idCol).cast("long").as("doc_id"),
-          size(toks).cast("long").as("dl"),
-          explode(toks).as("tk"))
-        .filter(length(col("tk")) > 0))
-    // collection model: total token count + per-query-term counts
+    // the exploded token stream is deliberately RECOMPUTED, never
+    // persisted (corpus-sized; the round-2 postmortem: caching it
+    // costs more than the narrow codegen'd re-scan) — and the only
+    // full-width pass is the 1-row token total; everything else
+    // reduces on the term-filtered stream first
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+        size(toks).cast("long").as("dl"),
+        explode(toks).as("tk"))
+      .filter(length(col("tk")) > 0)
     val ctot = base.agg(count(lit(1)).cast("double").as("c_tokens"))
-    val cf = base.filter(col("tk").isin(qts: _*))
-      .groupBy("tk").agg(count(lit(1)).cast("double").as("cf"))
+    val tf = graft.core.PipelineCaches.persistTracked(
+      base.filter(col("tk").isin(qts: _*))
+        .groupBy("doc_id", "dl", "tk")
+        .agg(count(lit(1)).cast("double").as("tf")))
+    // collection term counts fold off the tf table — no second
+    // corpus pass
+    val cf = tf.groupBy("tk").agg(sum("tf").as("cf"))
     val spark = docs.sparkSession
     import spark.implicits._
     val termDf = qts.toDF("tk")
       .join(cf, Seq("tk"), "left")
       .na.fill(0.0, Seq("cf")) // a term absent from the corpus
-    val tf = base.filter(col("tk").isin(qts: _*))
-      .groupBy("doc_id", "dl", "tk")
-      .agg(count(lit(1)).cast("double").as("tf"))
     val cand = tf.select("doc_id", "dl").distinct()
     val grid = cand.crossJoin(broadcast(termDf))
       .join(tf, Seq("doc_id", "dl", "tk"), "left")

@@ -2086,6 +2086,34 @@ object CurationQueries extends QueryGroup {
         .orderBy("stratum")
     },
 
+    // closed-form ridge regression recovers a planted linear signal
+    // (y = 3 + 2·x1 − x2 + tiny md5 noise): one normal-equation
+    // moments pass + driver solve; the gate pins the recovered
+    // coefficients and R² (contract oracle — the solve is driver-
+    // side and spec-tested exactly).
+    q("q_eval_ridge",
+      """SELECT count(*)::BIGINT AS n, 3.0::DOUBLE AS intercept,
+        |  2.0::DOUBLE AS w_x1, -1.0::DOUBLE AS w_x2,
+        |  1.0::DOUBLE AS r2
+        |FROM events""".stripMargin) { (s, dir) =>
+      val feats = t(s, dir, "events").select(
+        ((col("event_id") % 100) / 10.0).as("x1"),
+        (col("user_id") % 7).cast("double").as("x2"),
+        ((conv(substring(md5(col("event_id").cast("string")), 1, 8),
+          16, 10).cast("double") / 4294967296.0 - 0.5) * 0.01)
+          .as("noise"))
+        .withColumn("y",
+          lit(3.0) + lit(2.0) * col("x1") - col("x2") + col("noise"))
+      val model = graft.ml.Regression.ridgeFit(feats, Seq("x1", "x2"),
+        "y", lambda = 0.0)
+      graft.ml.Regression.r2Report(feats, Seq("x1", "x2"), "y", model)
+        .select(col("n"),
+          round(lit(model.intercept), 2).as("intercept"),
+          round(lit(model.weights(0)), 2).as("w_x1"),
+          round(lit(model.weights(1)), 2).as("w_x2"),
+          round(col("r2"), 4).as("r2"))
+    },
+
     // RMS gain normalization to target 1000 over synthesized ramp
     // signals — scale/round/clamp replayed arithmetically, md5 over
     // the joined sample series.

@@ -972,6 +972,32 @@ class CurationSpec extends SparkSpec {
     assert(got("s2") === ((1L, 1L, 1.0, 2.0)))
   }
 
+  test("ridgeFit: exact OLS, collinearity throw, ridge shrinkage, r2") {
+    import spark.implicits._
+    val pts = Seq((0.0, 1.0), (1.0, 3.0)).toDF("x", "y")
+    val m = graft.ml.Regression.ridgeFit(pts, Seq("x"), "y")
+    assert(math.abs(m.intercept - 1.0) < 1e-12)
+    assert(math.abs(m.weights(0) - 2.0) < 1e-12)
+    // perfect fit → r2 = 1 (needs >1 distinct y for ss_tot > 0)
+    val r2 = graft.ml.Regression.r2Report(pts, Seq("x"), "y", m)
+      .collect().head.getDouble(3)
+    assert(math.abs(r2 - 1.0) < 1e-12)
+    // duplicated feature is singular at λ = 0 — documented throw
+    val dup = Seq((1.0, 1.0, 1.0), (2.0, 2.0, 2.0), (3.0, 3.0, 4.0))
+      .toDF("a", "b", "y")
+    intercept[IllegalStateException] {
+      graft.ml.Regression.ridgeFit(dup, Seq("a", "b"), "y")
+    }
+    // ...and solvable with ridge, weights split evenly by symmetry
+    val mr = graft.ml.Regression.ridgeFit(dup, Seq("a", "b"), "y",
+      lambda = 0.1)
+    assert(math.abs(mr.weights(0) - mr.weights(1)) < 1e-9)
+    // heavy ridge shrinks slopes toward zero
+    val heavy = graft.ml.Regression.ridgeFit(pts, Seq("x"), "y",
+      lambda = 1e9)
+    assert(math.abs(heavy.weights(0)) < 1e-6)
+  }
+
   test("binaryTopK: packing, hamming, and exact-rerank ordering") {
     import graft.ml.Similarity.BinUtil
     // 33 dims exercises the word boundary: dim 32 lands in word 1
