@@ -1077,13 +1077,21 @@ object Similarity {
     * population third standardized moment of N_k, zero-occurrence
     * points included (they are the antihubs that make the tail).
     *
-    * Scale shape: one [[bruteForceTopK]] pass (broadcast probes /
-    * bounded top-k contract — swap in the IVF retriever above this
-    * scale), one cid hash aggregate, one moments aggregate.
+    * Scale shape: retrieval is PLUGGABLE exactly like
+    * [[marginMining]] — the default brute force is the exact answer
+    * for bounded corpora but is inherently quadratic (measured 429 s
+    * at the 50k-vector sf1 probe vs 3.3 s at 5k: the full n² kernel,
+    * as its shape predicts). Above a few thousand vectors either
+    * pass `ivfTopK(_, _, _)` or measure hubness on a BOUNDED
+    * deterministic sample (hubness is a distributional diagnostic —
+    * a sample answers the question); one cid hash aggregate + one
+    * moments aggregate after.
     */
-  def hubness(corpus: DataFrame, k: Int): DataFrame = {
+  def hubness(corpus: DataFrame, k: Int,
+      knnFn: (DataFrame, DataFrame, Int) => DataFrame =
+        bruteForceTopK(_, _, _)): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val knn = bruteForceTopK(corpus, corpus, k)
+    val knn = knnFn(corpus, corpus, k)
     val occ = knn.groupBy(col("cid").as("id"))
       .agg(count(lit(1)).as("nk"))
     // zero-occurrence points must enter the moments

@@ -1822,12 +1822,17 @@ object CurationQueries extends QueryGroup {
     },
 
     // hubness diagnostic of the embedding space: k-occurrence
-    // skewness at k = 10 over the full self-kNN.
+    // skewness at k = 10 over the self-kNN of the BOUNDED
+    // deterministic sample vec_id < 2000 (the whole table at sf0.01;
+    // hubness is a distributional diagnostic, so a fixed-size sample
+    // answers it at every scale — the sf1 probe measured the
+    // unbounded brute self-kNN at 429 s, the n-squared shape).
     q("q_embed_hubness",
       """WITH knn AS MATERIALIZED (
         |  SELECT q.vec_id AS qid, c.vec_id AS cid
         |  FROM embeddings q JOIN embeddings c
-        |    ON q.vec_id <> c.vec_id
+        |    ON q.vec_id <> c.vec_id AND q.vec_id < 2000
+        |      AND c.vec_id < 2000
         |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
         |    ORDER BY list_cosine_similarity(
         |      CAST(q.embedding AS DOUBLE[]),
@@ -1837,6 +1842,7 @@ object CurationQueries extends QueryGroup {
         |), allp AS (
         |  SELECT coalesce(occ.nk, 0)::DOUBLE AS nk
         |  FROM embeddings e LEFT JOIN occ ON occ.id = e.vec_id
+        |  WHERE e.vec_id < 2000
         |), m AS (
         |  SELECT count(*)::BIGINT AS n, avg(nk) AS m,
         |    stddev_pop(nk) AS sd, avg(nk * nk * nk) AS m3raw,
@@ -1849,19 +1855,24 @@ object CurationQueries extends QueryGroup {
         |    END, 6) + 0.0 AS skewness
         |FROM m""".stripMargin) { (s, dir) =>
       graft.ml.Similarity.hubness(
-          t(s, dir, "embeddings").select(col("vec_id").as("id"),
-            col("embedding").as("vec")), k = 10)
+          t(s, dir, "embeddings").filter(col("vec_id") < 2000)
+            .select(col("vec_id").as("id"),
+              col("embedding").as("vec")), k = 10)
         .select(col("k").cast("long").as("k"), col("n"),
           round(col("mean_nk"), 6).as("mean_nk"),
           (round(col("skewness"), 6) + 0.0).as("skewness"))
     },
 
     // RBF-kernel MMD² between the label<5 and label≥5 embedding
-    // samples (bounded-sample all-pairs contract), σ = 2.
+    // SAMPLES — the bounded-sample contract is explicit in the gate
+    // (vec_id < 1000; the whole table at sf0.01): the sf1 probe
+    // measured the unbounded all-pairs grid at 45 s, the quadratic
+    // shape the operator's own doc warns about. σ = 2.
     q("q_embed_mmd",
       """WITH x AS (SELECT embedding AS v FROM embeddings
-        |  WHERE label < 5),
-        |y AS (SELECT embedding AS v FROM embeddings WHERE label >= 5),
+        |  WHERE label < 5 AND vec_id < 1000),
+        |y AS (SELECT embedding AS v FROM embeddings
+        |  WHERE label >= 5 AND vec_id < 1000),
         |kxx AS (
         |  SELECT avg(exp(-(list_inner_product(CAST(a.v AS DOUBLE[]),
         |      CAST(a.v AS DOUBLE[]))
@@ -1893,7 +1904,7 @@ object CurationQueries extends QueryGroup {
         |  round(kxx + kyy - 2 * kxy, 6) + 0.0 AS mmd2
         |FROM nx CROSS JOIN ny CROSS JOIN kxx CROSS JOIN kyy
         |CROSS JOIN kxy""".stripMargin) { (s, dir) =>
-      val e = t(s, dir, "embeddings")
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 1000)
       graft.ml.Similarity.mmdRbf(
           e.filter(col("label") < 5).select(col("embedding").as("v")),
           e.filter(col("label") >= 5).select(col("embedding").as("v")),
