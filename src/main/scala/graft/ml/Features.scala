@@ -121,4 +121,80 @@ object Features {
       .withColumn("iv", (col("gshare") - col("bshare")) * col("woe"))
       .select("category", "n", "good", "bad", "woe", "iv")
   }
+
+  /** Skip-gram (center, context) training pairs with word2vec's
+    * frequent-word subsampling (Mikolov et al. 2013 eq. 5 as
+    * published: P(keep w) = √(t/f(w)) + t/f(w), clipped to 1) — the
+    * pair generator feeding any embedding trainer. Subsampling is
+    * decided PER TOKEN OCCURRENCE with the deterministic md5 coin
+    * md5(doc|pos) (replayable anywhere, no RNG state), and a dropped
+    * occurrence disappears as BOTH center and context — the paper's
+    * semantics, which shrinks effective windows around frequent
+    * words rather than merely dropping their centers. Window is
+    * symmetric ±window over the SURVIVING token sequence.
+    *
+    * Scale shape: one tokenize scan + one frequency aggregate
+    * (broadcast back), the keep-filter, a per-doc surviving-position
+    * renumber window, then the offset-join pair build (the PPMI
+    * machinery) — pairs ≤ 2·window per surviving token, never
+    * quadratic.
+    */
+  def skipGramPairs(df: DataFrame, idCol: String, textCol: String,
+      window: Int, subsampleT: Double = 1e-3): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(subsampleT > 0, s"subsampleT must be positive")
+    val toks = graft.core.PipelineCaches.persistTracked(
+      df.select(col(idCol).as("doc"),
+          posexplode(split(TextAnalysis.normalize(col(textCol)), " "))
+            .as(Seq("pos", "w")))
+        .filter(length(col("w")) > 0))
+    val tot = toks.agg(count(lit(1)).cast("double").as("nt"))
+    val freq = toks.groupBy("w").agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(tot))
+      .select(col("w"), (col("c") / col("nt")).as("f"))
+    // md5 coin in [0,1): first 8 hex digits / 2^32
+    val u = conv(substring(md5(concat_ws("|",
+      col("doc").cast("string"), col("pos").cast("string"))), 1, 8),
+      16, 10).cast("double") / 4294967296.0
+    val keepP = least(lit(1.0),
+      sqrt(lit(subsampleT) / col("f")) + lit(subsampleT) / col("f"))
+    val survivors = graft.core.PipelineCaches.persistTracked(
+      toks.join(broadcast(freq), "w")
+        .filter(u < keepP)
+        .withColumn("spos", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("doc").orderBy("pos")))
+        .select("doc", "spos", "w"))
+    // offset-exploded EQUI join (the PPMI machinery): never a range
+    // condition, so the pair build stays a hash join
+    val offs = (-window to window).filter(_ != 0).toArray
+    val withOff = survivors
+      .select(col("doc"), col("spos"), col("w").as("center"),
+        explode(lit(offs)).as("offset"))
+      .withColumn("cpos", col("spos") + col("offset"))
+    withOff.join(survivors.select(col("doc"),
+        col("spos").as("cpos"), col("w").as("context")),
+      Seq("doc", "cpos"))
+      .select(col("doc"), col("spos").as("pos"), col("center"),
+        col("context"), col("offset"))
+  }
+
+  /** Unigram^power negative-sampling table (word2vec's 0.75
+    * smoothing): (word, count, prob) with prob normalized over the
+    * vocabulary — the draw distribution every negative sampler needs
+    * precomputed. One token scan + one vocab-sized normalization.
+    */
+  def negativeSamplingTable(df: DataFrame, textCol: String,
+      power: Double = 0.75): DataFrame = {
+    require(power > 0 && power <= 1, s"power in (0,1], got $power")
+    val counts = graft.core.PipelineCaches.persistTracked(
+      df.select(explode(split(TextAnalysis.normalize(col(textCol)),
+          " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("c")))
+    val z = counts.agg(sum(pow(col("c").cast("double"), power)).as("z"))
+    counts.crossJoin(broadcast(z))
+      .select(col("w").as("word"), col("c").as("count"),
+        (pow(col("c").cast("double"), power) / col("z")).as("prob"))
+  }
 }

@@ -2125,6 +2125,65 @@ object CurationQueries extends QueryGroup {
           round(col("r2"), 4).as("r2"))
     },
 
+    // skip-gram (center, context) pair counts, window ±2, word2vec
+    // frequent-word subsampling with the deterministic md5(doc|pos)
+    // coin — full keep-decision + offset-join replay.
+    q("q_text_skipgram",
+      s"""WITH tok AS MATERIALIZED (
+         |  SELECT doc, u.i - 1 AS pos, ws[u.i] AS w
+         |  FROM (SELECT doc_id AS doc, string_split($normSql, ' ')
+         |    AS ws FROM documents),
+         |    unnest(range(1, len(ws) + 1)) AS u(i)
+         |  WHERE ws[u.i] <> ''
+         |), tot AS (SELECT count(*)::DOUBLE AS nt FROM tok),
+         |freq AS MATERIALIZED (
+         |  SELECT w, count(*) / nt AS f
+         |  FROM tok CROSS JOIN tot GROUP BY w, nt
+         |), surv AS MATERIALIZED (
+         |  SELECT doc, w,
+         |    row_number() OVER (PARTITION BY doc ORDER BY pos)
+         |      AS spos
+         |  FROM tok JOIN freq USING (w)
+         |  WHERE list_sum(list_transform(range(1, 9),
+         |      i -> (strpos('0123456789abcdef',
+         |        substr(md5(doc::VARCHAR || '|' || pos::VARCHAR),
+         |          1, 8)[i]) - 1) * 16 ** (8 - i))) / 4294967296.0
+         |    < least(1.0::DOUBLE,
+         |        sqrt(0.001::DOUBLE / f) + 0.001::DOUBLE / f)
+         |)
+         |SELECT a.w AS center, b.w AS context, count(*)::BIGINT AS n
+         |FROM surv a JOIN surv b
+         |  ON a.doc = b.doc AND b.spos <> a.spos
+         |  AND b.spos BETWEEN a.spos - 2 AND a.spos + 2
+         |GROUP BY 1, 2 ORDER BY center, context""".stripMargin) {
+      (s, dir) =>
+      graft.ml.Features.skipGramPairs(t(s, dir, "documents"),
+          "doc_id", "text", window = 2, subsampleT = 0.001)
+        .groupBy("center", "context")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("center", "context")
+    },
+
+    // unigram^0.75 negative-sampling table over the corpus
+    // vocabulary — closed-form replay.
+    q("q_text_negsample",
+      s"""WITH tok AS (
+         |  SELECT u.t AS w FROM (
+         |    SELECT list_filter(string_split($normSql, ' '),
+         |      t -> t <> '') AS ws FROM documents), unnest(ws) AS u(t)
+         |), c AS MATERIALIZED (
+         |  SELECT w, count(*)::BIGINT AS c FROM tok GROUP BY 1
+         |), z AS (SELECT sum(pow(c::DOUBLE, 0.75)) AS z FROM c)
+         |SELECT w AS word, c AS count,
+         |  round(pow(c::DOUBLE, 0.75) / z, 6) AS prob
+         |FROM c CROSS JOIN z ORDER BY word""".stripMargin) { (s, dir) =>
+      graft.ml.Features.negativeSamplingTable(t(s, dir, "documents"),
+          "text", power = 0.75)
+        .select(col("word"), col("count"),
+          round(col("prob"), 6).as("prob"))
+        .orderBy("word")
+    },
+
     // RMS gain normalization to target 1000 over synthesized ramp
     // signals — scale/round/clamp replayed arithmetically, md5 over
     // the joined sample series.

@@ -998,6 +998,41 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(heavy.weights(0)) < 1e-6)
   }
 
+  test("skipGramPairs: symmetric window pairs, deterministic subsampling") {
+    import spark.implicits._
+    val df = Seq((1L, "aa bb cc")).toDF("doc_id", "text")
+    // t large → keepP = 1 everywhere: pure window semantics
+    val got = graft.ml.Features.skipGramPairs(df, "doc_id", "text",
+      window = 1, subsampleT = 10.0)
+      .collect().map(r => (r.getString(2), r.getString(3))).toSet
+    assert(got === Set(("aa", "bb"), ("bb", "aa"), ("bb", "cc"),
+      ("cc", "bb")))
+    val w2 = graft.ml.Features.skipGramPairs(df, "doc_id", "text",
+      window = 2, subsampleT = 10.0).count()
+    assert(w2 === 6L) // + (aa,cc), (cc,aa)
+    // a frequency-1.0 word under tiny t is mostly subsampled away
+    val rep = Seq((1L, Seq.fill(50)("xx").mkString(" ")))
+      .toDF("doc_id", "text")
+    val kept = graft.ml.Features.skipGramPairs(rep, "doc_id", "text",
+      window = 1, subsampleT = 1e-4)
+    assert(kept.count() < 98L) // full series would emit 98 pairs
+    // deterministic: identical on a second run
+    assert(kept.collect().toSet === graft.ml.Features.skipGramPairs(
+      rep, "doc_id", "text", window = 1, subsampleT = 1e-4)
+      .collect().toSet)
+  }
+
+  test("negativeSamplingTable: unigram^0.75 normalization") {
+    import spark.implicits._
+    val df = Seq((1L, "aa aa aa aa bb")).toDF("doc_id", "text")
+    val got = graft.ml.Features.negativeSamplingTable(df, "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val z = math.pow(4, 0.75) + 1.0
+    assert(math.abs(got("aa") - math.pow(4, 0.75) / z) < 1e-12)
+    assert(math.abs(got("bb") - 1.0 / z) < 1e-12)
+    assert(math.abs(got.values.sum - 1.0) < 1e-12)
+  }
+
   test("binaryTopK: packing, hamming, and exact-rerank ordering") {
     import graft.ml.Similarity.BinUtil
     // 33 dims exercises the word boundary: dim 32 lands in word 1

@@ -233,7 +233,12 @@ class PlanLintSpec extends SparkSpec {
         ("seasonalDecompose's ±12-bucket trend window over the " +
           "(time-range/3600)-row bucket-count table"),
       "cartesian" ->
-        "1-row seasonal-center aggregate broadcast onto the bucket grid"))
+        "1-row seasonal-center aggregate broadcast onto the bucket grid"),
+    "q_text_skipgram" -> Map("cartesian" ->
+      ("1-row token-total aggregate broadcast onto the vocab-sized " +
+        "frequency table (the subsampling rates)")),
+    "q_text_negsample" -> Map("cartesian" ->
+      "1-row normalizer aggregate broadcast onto the vocabulary table"))
   // q_multimodal_tar's former cartesian entry dropped in round 8: the
   // gate now collects its 1-row summary eagerly (so the shard temp dir
   // can be deleted) and returns a parallelized literal — no join plan.
