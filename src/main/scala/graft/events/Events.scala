@@ -777,6 +777,59 @@ object Events {
     facts.join(d, cond, "left").drop("__dim_key")
   }
 
+  /** Sample-ratio-mismatch (SRM) check — the guardrail run BEFORE
+    * reading any experiment metric: χ² of observed arm counts
+    * against the design allocation. A randomizer bug shows up here
+    * first, and every downstream read (abTest, CUPED, mSPRT) is
+    * invalid if it fires. `expected`: design weights per arm
+    * (normalized internally); arms observed but not in the design,
+    * or designed but absent, both surface (absent arms contribute
+    * their full expected count to χ²). Returns per-arm rows
+    * (n_observed, n_expected, chi2_term) with the total χ² and df
+    * repeated. Compare χ² to the α=0.001 critical value for df —
+    * SRM convention is a very low α because the test runs on every
+    * experiment every day.
+    *
+    * Scale shape: one variant hash aggregate; everything after is
+    * arm-grid arithmetic.
+    */
+  def srmCheck(df: DataFrame, variantCol: String,
+      expected: Map[String, Double]): DataFrame = {
+    require(expected.nonEmpty && expected.values.forall(_ > 0),
+      "expected allocation must be non-empty and positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wTot = expected.values.sum
+    val design = expected.toSeq.sortBy(_._1)
+      .map { case (a, w) => (a, w / wTot) }
+      .toDF("arm", "share")
+    val obs = df.groupBy(col(variantCol).cast("string").as("arm"))
+      .agg(count(lit(1)).as("n_observed"))
+    val tot = obs.agg(sum("n_observed").as("n_total"))
+    val grid = graft.core.PipelineCaches.persistTracked(
+      design.join(obs, Seq("arm"), "full_outer")
+        .crossJoin(broadcast(tot))
+        .select(col("arm"),
+          coalesce(col("n_observed"), lit(0L)).as("n_observed"),
+          (coalesce(col("share"), lit(0.0)) * col("n_total"))
+            .as("n_expected"))
+        .withColumn("chi2_term",
+          when(col("n_expected") > 0,
+            (col("n_observed") - col("n_expected")) *
+              (col("n_observed") - col("n_expected")) /
+              col("n_expected"))
+            // an undesigned arm with observations is an infinite-
+            // surprise event; surface it as NULL term + designed=false
+            .otherwise(lit(null).cast("double")))
+        .withColumn("designed", col("n_expected") > 0))
+    val totals = grid.agg(sum("chi2_term").as("chi2"),
+      (sum(when(col("designed"), 1L).otherwise(0L)) - 1L).as("df"),
+      max(!col("designed")).as("undesigned_arm"))
+    grid.crossJoin(broadcast(totals))
+      .select("arm", "n_observed", "n_expected", "chi2_term",
+        "designed", "chi2", "df", "undesigned_arm")
+  }
+
   /** Forecast-accuracy metrics over an (actual, predicted) series —
     * the scorecard for [[holtWinters]]/[[seasonalDecompose]]-class
     * models: MAE, RMSE, sMAPE (the symmetric percentage error that

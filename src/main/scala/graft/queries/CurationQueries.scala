@@ -2184,6 +2184,55 @@ object CurationQueries extends QueryGroup {
         .orderBy("word")
     },
 
+    // sample-ratio-mismatch guardrail: user-parity arms against a
+    // deliberately wrong 60/40 design, plus an undesigned arm probe
+    // — χ² replay.
+    q("q_events_srm",
+      """WITH obs AS (
+        |  SELECT CAST(user_id % 2 AS VARCHAR) AS arm,
+        |    count(DISTINCT user_id)::BIGINT AS n_observed
+        |  FROM events GROUP BY 1
+        |), design AS (
+        |  SELECT unnest(['0', '1']) AS arm,
+        |    unnest([0.6::DOUBLE, 0.4::DOUBLE]) AS share
+        |), tot AS (SELECT sum(n_observed) AS n_total FROM obs),
+        |grid AS MATERIALIZED (
+        |  SELECT coalesce(d.arm, o.arm) AS arm,
+        |    coalesce(o.n_observed, 0) AS n_observed,
+        |    coalesce(d.share, 0.0) * n_total AS n_expected
+        |  FROM design d FULL OUTER JOIN obs o ON d.arm = o.arm
+        |  CROSS JOIN tot
+        |), g2 AS MATERIALIZED (
+        |  SELECT arm, n_observed, n_expected,
+        |    CASE WHEN n_expected > 0
+        |      THEN (n_observed - n_expected) * (n_observed - n_expected)
+        |        / n_expected END AS chi2_term,
+        |    n_expected > 0 AS designed
+        |  FROM grid
+        |), t2 AS (
+        |  SELECT sum(chi2_term) AS chi2,
+        |    sum(CASE WHEN designed THEN 1 ELSE 0 END) - 1 AS df,
+        |    bool_or(NOT designed) AS undesigned_arm
+        |  FROM g2
+        |)
+        |SELECT arm, n_observed, round(n_expected, 6) AS n_expected,
+        |  round(chi2_term, 6) AS chi2_term, designed,
+        |  round(chi2, 6) AS chi2, CAST(df AS BIGINT) AS df,
+        |  undesigned_arm
+        |FROM g2 CROSS JOIN t2 ORDER BY arm""".stripMargin) { (s, dir) =>
+      val perUser = t(s, dir, "events")
+        .select(col("user_id")).distinct()
+        .select((col("user_id") % 2).cast("string").as("arm"))
+      Events.srmCheck(perUser, "arm",
+          Map("0" -> 0.6, "1" -> 0.4))
+        .select(col("arm"), col("n_observed"),
+          round(col("n_expected"), 6).as("n_expected"),
+          round(col("chi2_term"), 6).as("chi2_term"), col("designed"),
+          round(col("chi2"), 6).as("chi2"), col("df"),
+          col("undesigned_arm"))
+        .orderBy("arm")
+    },
+
     // RMS gain normalization to target 1000 over synthesized ramp
     // signals — scale/round/clamp replayed arithmetically, md5 over
     // the joined sample series.

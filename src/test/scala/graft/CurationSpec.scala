@@ -1033,6 +1033,29 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(got.values.sum - 1.0) < 1e-12)
   }
 
+  test("srmCheck: hand chi-square, absent and undesigned arms surface") {
+    import spark.implicits._
+    // 60 / 40 observed against a 50/50 design: χ² = 2·(10²/50) = 4
+    val df = (Seq.fill(60)("a") ++ Seq.fill(40)("b")).toDF("arm")
+    val got = graft.events.Events.srmCheck(df, "arm",
+      Map("a" -> 1.0, "b" -> 1.0)).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(math.abs(got("a").getDouble(5) - 4.0) < 1e-12)
+    assert(got("a").getLong(6) === 1L)
+    assert(got("a").getBoolean(7) === false)
+    // a designed arm with ZERO observations contributes its full
+    // expected count; an observed UNDESIGNED arm raises the flag
+    val weird = (Seq.fill(10)("a") ++ Seq.fill(5)("ghost")).toDF("arm")
+    val g2 = graft.events.Events.srmCheck(weird, "arm",
+      Map("a" -> 0.5, "b" -> 0.5)).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(g2("b").getLong(1) === 0L)
+    assert(g2("b").getDouble(2) === 7.5)   // expected, observed 0
+    assert(g2("b").getDouble(3) === 7.5)   // (0−7.5)²/7.5
+    assert(g2("ghost").getBoolean(7) === true)
+    assert(g2("ghost").isNullAt(3))
+  }
+
   test("binaryTopK: packing, hamming, and exact-rerank ordering") {
     import graft.ml.Similarity.BinUtil
     // 33 dims exercises the word boundary: dim 32 lands in word 1

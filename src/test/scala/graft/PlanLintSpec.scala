@@ -238,7 +238,10 @@ class PlanLintSpec extends SparkSpec {
       ("1-row token-total aggregate broadcast onto the vocab-sized " +
         "frequency table (the subsampling rates)")),
     "q_text_negsample" -> Map("cartesian" ->
-      "1-row normalizer aggregate broadcast onto the vocabulary table"))
+      "1-row normalizer aggregate broadcast onto the vocabulary table"),
+    "q_events_srm" -> Map("cartesian" ->
+      ("1-row total and 1-row chi2/df aggregates broadcast onto the " +
+        "arm grid")))
   // q_multimodal_tar's former cartesian entry dropped in round 8: the
   // gate now collects its 1-row summary eagerly (so the shard temp dir
   // can be deleted) and returns a parallelized literal — no join plan.
