@@ -283,18 +283,25 @@ object Bench {
     val failed = results.count { case (_, v) => v < 0 }
     val json =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
-    // Durable fallback against driver tail-capture truncation: the same
-    // JSON lands at the repo root, so the round's bench signal survives
-    // even if stdout capture clips the line (round-6 failure mode).
+    // Durable fallback against driver tail-capture truncation: the FULL
+    // per-query JSON lands at the repo root, so the round's bench signal
+    // survives even if stdout capture clips (round-6 failure mode).
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_SUMMARY.json"), json + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] BENCH_SUMMARY.json write failed: ${e.getMessage}")
     }
+    // The stdout metric line is TOTALS-ONLY: three consecutive rounds of
+    // the driver's tail capture truncated the ~4 KB per-query line
+    // mid-object ("parsed": null in BENCH_r06..r08). A short line always
+    // fits the capture window; per-query seconds live in
+    // BENCH_SUMMARY.json, which the driver reads as the fallback.
+    val shortJson =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"n":${results.size},"sf":"$sfDir","queries_detail":"BENCH_SUMMARY.json"}"""
     // Stop Spark BEFORE printing the metric line so shutdown log noise
     // can't land between the JSON and end-of-stream in a tail capture.
     spark.stop()
-    println(json)
+    println(shortJson)
     if (failed > 0) {
       System.err.println(s"[bench] $failed headline quer${if (failed == 1) "y" else "ies"} FAILED")
       sys.exit(1)

@@ -1703,8 +1703,14 @@ object Events {
       .crossJoin(broadcast(sStat.select(ceil(col("m") / 2).as("k"))))
       .filter(col("cum") >= col("k") && col("cum") - col("c") < col("k"))
       .select(col("slope").as("sen_slope"))
+    // left-join the median so a single-bucket series (empty pair set)
+    // still surfaces its one row with NULL z/sen_slope, matching how
+    // sibling operators report degenerate input — a crossJoin with the
+    // empty median table would silently return zero rows instead
     sStat.crossJoin(broadcast(ties)).crossJoin(broadcast(nRow))
-      .crossJoin(broadcast(med))
+      .withColumn("jk", lit(1))
+      .join(broadcast(med.withColumn("jk", lit(1))), Seq("jk"), "left")
+      .drop("jk")
       .withColumn("var_s",
         (col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) - col("tie_term"))
           .cast("double") / 18.0)
@@ -1712,7 +1718,7 @@ object Events {
           (col("s") - 1).cast("double") / sqrt(col("var_s")))
         .when(col("s") < 0,
           (col("s") + 1).cast("double") / sqrt(col("var_s")))
-        .otherwise(lit(0.0)))
+        .when(col("s") === 0, lit(0.0)))
       .select(col("n"), col("s").cast("long").as("s_stat"), col("var_s"),
         col("z"), col("sen_slope"))
   }
@@ -1766,5 +1772,179 @@ object Events {
       .select(col("stratum"), col("n_all"), col("n_t"), col("n_c"),
         col("mean_t"), col("mean_c"), col("diff"), col("weight"),
         col("used"), col("ate"), col("se"))
+  }
+
+  /** Log-rank test comparing [[kaplanMeier]]-style survival between
+    * user groups — "do these arms churn at the same rate" with the
+    * censoring the naive churn-rate comparison ignores. Same lifetime
+    * convention as [[kaplanMeier]]: duration = (last − first) div
+    * `periodSec`, users whose last event falls within `censorGap` of
+    * the horizon are censored. At each event time t: expected events
+    * per group E_g(t) = d(t)·n_g(t)/n(t); reports per group
+    * (group, n_users, observed, expected) with the k-group
+    * approximation χ² = Σ(O−E)²/E repeated, and — for exactly two
+    * groups — the exact hypergeometric-variance z = (O₁−E₁)/√ΣV(t)
+    * (NULL otherwise).
+    *
+    * Scale shape: one user aggregate, then everything runs on the
+    * (group × duration-bucket) grid — the at-risk table is a bounded
+    * range join of two bucket tables, never a corpus operation.
+    */
+  def logRankTest(events: DataFrame, userCol: String, groupCol: String,
+      secCol: String, periodSec: Long, censorGap: Long): DataFrame = {
+    require(periodSec > 0 && censorGap >= 0,
+      "periodSec must be positive, censorGap non-negative")
+    val perUser = events
+      .groupBy(col(userCol).as("user"))
+      .agg(min(col(groupCol).cast("string")).as("g"),
+        min(col(secCol).cast("long")).as("first_sec"),
+        max(col(secCol).cast("long")).as("last_sec"))
+    val withHorizon = perUser.crossJoin(
+      broadcast(perUser.agg(max("last_sec").as("horizon"))))
+    val lifetimes = graft.core.PipelineCaches.persistTracked(
+      withHorizon.select(col("g"),
+        expr(s"(last_sec - first_sec) div ${periodSec}L").as("t"),
+        (col("last_sec") < col("horizon") - censorGap).as("event")))
+    // bucket tables: leaving (all users by duration) and events only
+    val leaving = lifetimes.groupBy("g", "t")
+      .agg(count(lit(1)).as("leaving"),
+        sum(when(col("event"), 1L).otherwise(0L)).as("d"))
+    val evTimes = leaving.filter(col("d") > 0)
+      .select(col("t").as("et")).distinct()
+    val groups = leaving.select("g").distinct()
+    // at-risk per (group, event time): bounded bucket × bucket range join
+    val risk = groups.crossJoin(evTimes)
+      .join(leaving.select(col("g"), col("t"), col("leaving")),
+        Seq("g"), "left")
+      .filter(col("t") >= col("et"))
+      .groupBy("g", "et").agg(sum("leaving").as("n_gt"))
+    val dAt = leaving.filter(col("d") > 0)
+      .select(col("g"), col("t").as("et"), col("d"))
+    val cell = risk.join(dAt, Seq("g", "et"), "left")
+      .select(col("g"), col("et"), col("n_gt"),
+        coalesce(col("d"), lit(0L)).as("d_gt"))
+    val tot = cell.groupBy("et")
+      .agg(sum("n_gt").as("n_t"), sum("d_gt").as("d_t"))
+    val withTot = cell.join(broadcast(tot), "et")
+      .withColumn("e_gt",
+        col("d_t") * col("n_gt").cast("double") / col("n_t"))
+    val perGroup = withTot.groupBy("g")
+      .agg(sum("d_gt").as("observed"), sum("e_gt").as("expected"))
+    val chi2 = perGroup.agg(
+      sum(pow(col("observed") - col("expected"), 2.0) / col("expected"))
+        .as("chi2"), count(lit(1)).as("k"))
+    // exact 2-group variance: V(t) = d(n−d)/(n−1) · n₁n₂/n²
+    val g1 = groups.agg(min("g").as("g1"))
+    val var2 = withTot.crossJoin(broadcast(g1))
+      .groupBy("et")
+      .agg(first("d_t").as("d_t"), first("n_t").as("n_t"),
+        sum(when(col("g") === col("g1"), col("n_gt"))).as("n_1t"))
+      .agg(coalesce(sum(when(col("n_t") > 1,
+        col("d_t").cast("double") * (col("n_t") - col("d_t")) /
+          (col("n_t") - 1) *
+          col("n_1t") * (col("n_t") - col("n_1t")) /
+          (col("n_t").cast("double") * col("n_t")))), lit(0.0)).as("v"))
+    val nUsers = lifetimes.groupBy("g").agg(count(lit(1)).as("n_users"))
+    // z as a 1-row scalar (group-1 O−E over √ΣV), broadcast onto every
+    // group row — never a constant-key window (the foldable-partitionBy
+    // trap)
+    val zRow = perGroup.crossJoin(broadcast(g1))
+      .filter(col("g") === col("g1"))
+      .crossJoin(broadcast(var2))
+      .crossJoin(broadcast(chi2.select(col("k"))))
+      .select(when(col("k") === 2 && col("v") > 0,
+        (col("observed") - col("expected")) / sqrt(col("v"))).as("z"))
+    nUsers.join(perGroup, "g")
+      .crossJoin(broadcast(chi2))
+      .crossJoin(broadcast(zRow))
+      .select(col("g").as("group"), col("n_users"), col("observed"),
+        col("expected"), col("chi2"), col("z"))
+  }
+
+  /** Page–Hinkley sequential mean-drift detector over the
+    * `periodSec`-bucket count series — the streaming complement to
+    * [[cusum]]: m_T = Σ(x_t − x̄_t − δ) with x̄_t the RUNNING mean,
+    * PH_T = m_T − min_{t≤T} m_t, alarm when PH exceeds λ. Robust to
+    * slow level creep that a fixed-reference CUSUM misses, because
+    * the reference tracks the series itself. Emits the full trace
+    * (bucket, x, running_mean, m_t, ph, alarm).
+    *
+    * Scale shape: the corpus collapses to the dense bucket grid in
+    * one hash aggregate; everything after is cumulative windows over
+    * that bounded table.
+    */
+  def pageHinkley(events: DataFrame, secCol: String, periodSec: Long,
+      delta: Double, lambda: Double): DataFrame = {
+    require(periodSec > 0 && lambda > 0,
+      "periodSec and lambda must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val counts = events
+      .select(floor(col(secCol) / periodSec).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("y"))
+    val dense = counts.agg(min("bucket").as("b0"), max("bucket").as("b1"))
+      .select(explode(sequence(col("b0"), col("b1"))).as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("y"), lit(0L)).cast("double").as("x"))
+    val wc = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // 1e6 floor-quantize instead of round(): the running-mean
+    // recursion is a long float chain and Spark/DuckDB round()
+    // disagree on shortest-repr boundaries (the EWMA trap)
+    def q6(c: org.apache.spark.sql.Column) =
+      floor(c * 1e6 + 0.5) / 1e6
+    dense
+      .withColumn("running_mean",
+        sum("x").over(wc) / count(lit(1)).over(wc))
+      .withColumn("m_t", sum(col("x") - col("running_mean") - delta)
+        .over(wc))
+      .withColumn("ph", col("m_t") - min("m_t").over(wc))
+      .select(col("bucket"), col("x"), q6(col("running_mean"))
+        .as("running_mean"), q6(col("m_t")).as("m_t"),
+        q6(col("ph")).as("ph"), (col("ph") > lambda).as("alarm"))
+  }
+
+  /** Cochran–Mantel–Haenszel test + MH common odds ratio over
+    * stratified 2×2 tables — "does the treatment move the binary
+    * outcome CONTROLLING for the stratification" (source, language,
+    * cohort): the stratum-confounding-safe pooling that a collapsed
+    * 2×2 gets wrong (Simpson). Arms and outcomes are booleans;
+    * per stratum a = n(arm, outcome), E = n₁m₁/T,
+    * V = n₁n₂m₁(T−m₁)/(T²(T−1)); χ²_CMH = (|Σa−ΣE|−½)²/ΣV and
+    * OR_MH = Σ(ad/T)/Σ(bc/T) (NULL when the denominator is 0).
+    * Strata with a zero margin contribute nothing (their V = 0).
+    * Returns one row (strata, a_sum, e_sum, v_sum, chi2_cmh, or_mh).
+    *
+    * Scale shape: one (stratum) hash aggregate with conditional
+    * counters, one scalar aggregate over the stratum table.
+    */
+  def cmhTest(df: DataFrame, strataCol: String, armCol: String,
+      outcomeCol: String): DataFrame = {
+    val arm = col(armCol).cast("boolean")
+    val out = col(outcomeCol).cast("boolean")
+    val per = df.groupBy(col(strataCol).as("stratum"))
+      .agg(count(lit(1)).as("tt"),
+        sum(when(arm && out, 1L).otherwise(0L)).as("a"),
+        sum(when(arm && !out, 1L).otherwise(0L)).as("b"),
+        sum(when(!arm && out, 1L).otherwise(0L)).as("c"),
+        sum(when(!arm && !out, 1L).otherwise(0L)).as("d"))
+      .withColumn("n1", col("a") + col("b"))
+      .withColumn("n2", col("c") + col("d"))
+      .withColumn("m1", col("a") + col("c"))
+    per.agg(count(lit(1)).as("strata"),
+        sum("a").cast("long").as("a_sum"),
+        sum(col("n1").cast("double") * col("m1") / col("tt")).as("e_sum"),
+        coalesce(sum(when(col("tt") > 1,
+          col("n1").cast("double") * col("n2") * col("m1") *
+            (col("tt") - col("m1")) /
+            (col("tt").cast("double") * col("tt") * (col("tt") - 1)))),
+          lit(0.0)).as("v_sum"),
+        sum(col("a").cast("double") * col("d") / col("tt")).as("ad"),
+        sum(col("b").cast("double") * col("c") / col("tt")).as("bc"))
+      .select(col("strata"), col("a_sum"), col("e_sum"), col("v_sum"),
+        when(col("v_sum") > 0,
+          pow(abs(col("a_sum") - col("e_sum")) - lit(0.5), 2.0) /
+            col("v_sum")).as("chi2_cmh"),
+        when(col("bc") > 0, col("ad") / col("bc")).as("or_mh"))
   }
 }

@@ -964,4 +964,185 @@ object Eval {
           .when(col("n") - col("c") < col("k"), lit(1.0))
           .otherwise(col("p")).as("pass_at_k"))
   }
+
+  /** McNemar's test for PAIRED binary classifiers — the right way to
+    * compare two models evaluated on the SAME items (a plain
+    * two-proportion z-test ignores the pairing and overstates the
+    * variance): only the discordant cells carry information,
+    * n01 = A-right/B-wrong, n10 = A-wrong/B-right, and the
+    * continuity-corrected statistic is χ²₁ = (|n01−n10|−1)²/(n01+n10)
+    * (Edwards 1948). NULL when no discordant pairs exist — the models
+    * are indistinguishable on this set by construction, not "χ² = 0".
+    * Returns one row (n, n01, n10, chi2).
+    *
+    * Scale shape: one scan, one 4-counter aggregate.
+    */
+  def mcnemarTest(df: DataFrame, aCorrectCol: String,
+      bCorrectCol: String): DataFrame = {
+    val a = col(aCorrectCol).cast("boolean")
+    val b = col(bCorrectCol).cast("boolean")
+    df.agg(count(lit(1)).as("n"),
+        sum(when(a && !b, 1L).otherwise(0L)).as("n01"),
+        sum(when(!a && b, 1L).otherwise(0L)).as("n10"))
+      .select(col("n"), col("n01"), col("n10"),
+        when(col("n01") + col("n10") > 0,
+          pow(abs(col("n01") - col("n10")) - lit(1.0), 2.0) /
+            (col("n01") + col("n10")).cast("double")).as("chi2"))
+  }
+
+  /** Kruskal–Wallis rank test across k groups — the nonparametric
+    * one-way ANOVA for skewed metrics (latency, doc length): midranks
+    * with tie handling, H = 12/(N(N+1))·Σ R_g²/n_g − 3(N+1), and the
+    * tie-corrected H/C with C = 1 − Σ(t³−t)/(N³−N). `h_adj` is NULL
+    * when every value ties (C = 0). Returns one row (k, n, h, h_adj).
+    *
+    * Scale shape: the [[rocAuc]]/[[mannWhitney]] discipline — one
+    * hash aggregate to the DISTINCT-value table, one vocab-sized
+    * midrank window, one (group) aggregate. The corpus is never
+    * sorted or windowed row-wise.
+    */
+  def kruskalWallis(df: DataFrame, valueCol: String,
+      groupCol: String): DataFrame = {
+    val byVal = df.select(col(valueCol).as("s"), col(groupCol).as("g"))
+      .groupBy("s").agg(count(lit(1)).as("n"))
+    val before = coalesce(sum("n").over(Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    val ranks = byVal.withColumn("midrank", before + (col("n") + 1) / 2.0)
+    val perGv = df.select(col(valueCol).as("s"), col(groupCol).as("g"))
+      .groupBy("g", "s").agg(count(lit(1)).as("gn"))
+    val perG = perGv.join(ranks.select("s", "midrank"), "s")
+      .groupBy("g")
+      .agg(sum("gn").as("ng"), sum(col("gn") * col("midrank")).as("rg"))
+    val ties = byVal.agg(sum("n").as("nt"),
+      sum(col("n") * col("n") * col("n") - col("n")).as("tsum"))
+    perG.agg(count(lit(1)).as("k"),
+        sum(col("rg") * col("rg") / col("ng")).as("rr"))
+      .crossJoin(broadcast(ties))
+      .select(col("k"), col("nt").as("n"),
+        (lit(12.0) / (col("nt").cast("double") * (col("nt") + 1)) *
+          col("rr") - lit(3.0) * (col("nt") + 1)).as("h"),
+        (lit(1.0) - col("tsum").cast("double") /
+          (col("nt").cast("double") * col("nt") * col("nt") - col("nt")))
+          .as("c"))
+      .select(col("k"), col("n"), col("h"),
+        when(col("c") > 0, col("h") / col("c")).as("h_adj"))
+  }
+
+  /** Brown–Forsythe variance-homogeneity test — the robust Levene
+    * variant (median-centered) run BEFORE trusting an [[anovaF]] or a
+    * pooled-variance t: z_ij = |x_ij − med_g| with med_g the LOWER
+    * MEDIAN (discrete order statistic k = ⌈n_g/2⌉ — replays
+    * bit-exactly, never an interpolated percentile), then the one-way
+    * F on the z values. Returns one row (k, n, f); f is NULL for
+    * degenerate inputs (k < 2 or zero within-group spread).
+    *
+    * Scale shape: one (group, value) hash aggregate, per-group
+    * cumulative window over the DISTINCT-value table for the median,
+    * one broadcast join back, one moments aggregate — the
+    * [[graft.ml.Profile.quantileNormalize]] order-statistic pattern.
+    */
+  def brownForsythe(df: DataFrame, valueCol: String,
+      groupCol: String): DataFrame = {
+    val vals = df.select(col(valueCol).cast("double").as("x"),
+      col(groupCol).as("g"))
+    val byGv = vals.groupBy("g", "x").agg(count(lit(1)).as("c"))
+    val wg = Window.partitionBy("g").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withCum = byGv.withColumn("cum", sum("c").over(wg))
+      .withColumn("ng", sum("c").over(Window.partitionBy("g")))
+    val med = withCum
+      .filter(col("cum") >= ceil(col("ng") / 2) &&
+        col("cum") - col("c") < ceil(col("ng") / 2))
+      .select(col("g"), col("x").as("med"))
+    val z = vals.join(broadcast(med), "g")
+      .select(col("g"), abs(col("x") - col("med")).as("z"))
+    val per = z.groupBy("g").agg(count(lit(1)).as("ng"),
+      sum("z").as("sg"), sum(col("z") * col("z")).as("qg"))
+    per.agg(count(lit(1)).as("k"), sum("ng").as("n"),
+        sum(col("sg") * col("sg") / col("ng")).as("gs"),
+        sum("sg").as("s"), sum("qg").as("q"))
+      .select(col("k"), col("n").cast("long").as("n"),
+        when(col("k") > 1 && col("n") > col("k") && col("q") - col("gs") > 0,
+          ((col("gs") - col("s") * col("s") / col("n")) / (col("k") - 1)) /
+            ((col("q") - col("gs")) / (col("n") - col("k")))).as("f"))
+  }
+
+  /** Risk–coverage curve + AURC for selective prediction — the
+    * abstention read behind "answer only when confident" gating of a
+    * generator or quality model: sweep confidence thresholds from the
+    * top, coverage = fraction kept, risk = error rate among the kept.
+    * Tie-coherent by construction: each threshold step admits ALL
+    * items at that confidence (rank-interpolated AURC variants split
+    * ties by arbitrary row order and never replay across engines);
+    * AURC = Σ_steps (step_n/N)·risk(prefix) — the step-weighted mean
+    * of prefix risks. Returns the curve (confidence, n, coverage,
+    * risk) with `aurc` repeated on every row.
+    *
+    * Scale shape: one hash aggregate to the DISTINCT-confidence
+    * table, two cumulative windows over that vocab table, one
+    * broadcast total.
+    */
+  def riskCoverage(df: DataFrame, confCol: String,
+      correctCol: String): DataFrame = {
+    val byConf = df.select(col(confCol).as("confidence"),
+        col(correctCol).cast("boolean").as("ok"))
+      .groupBy("confidence")
+      .agg(count(lit(1)).as("n"),
+        sum(when(!col("ok"), 1L).otherwise(0L)).as("err"))
+    val w = Window.orderBy(col("confidence").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val curve = byConf
+      .withColumn("cn", sum("n").over(w))
+      .withColumn("cerr", sum("err").over(w))
+    val tot = curve.agg(max("cn").as("nt"),
+      sum(col("n").cast("double") * col("cerr") / col("cn")).as("wr"))
+    curve.crossJoin(broadcast(tot))
+      .select(col("confidence"), col("n"),
+        (col("cn").cast("double") / col("nt")).as("coverage"),
+        (col("cerr").cast("double") / col("cn")).as("risk"),
+        (col("wr") / col("nt")).as("aurc"))
+  }
+
+  /** Kendall's τ-b rank agreement between two scorings of the same
+    * items, per group — "do my two rerankers order this query's
+    * candidates the same way", with the tie-corrected denominator
+    * √((n₀−n_x)(n₀−n_y)) so heavily-tied score columns don't inflate
+    * agreement. Concordance counted over the within-group pair set;
+    * NULL τ when either column is constant in the group. Returns per
+    * group (group, n, concordant, discordant, tau_b).
+    *
+    * Scale shape: one id-ordered pair self-join INSIDE each group —
+    * bounded by contract to panel-sized groups (ranking candidate
+    * lists, rater batches), the [[mannWhitney]]-family grain, never a
+    * corpus cross join; tie terms come from (group, value) hash
+    * aggregates, not the pair table.
+    */
+  def kendallTauB(df: DataFrame, groupCol: String, idCol: String,
+      xCol: String, yCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("g"), col(idCol).as("id"),
+      col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+    val pairs = base.alias("a").join(base.alias("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .select(col("a.g").as("g"),
+        ((col("a.x") - col("b.x")) * (col("a.y") - col("b.y"))).as("prod"))
+    val cd = pairs.groupBy("g").agg(
+      sum(when(col("prod") > 0, 1L).otherwise(0L)).as("concordant"),
+      sum(when(col("prod") < 0, 1L).otherwise(0L)).as("discordant"))
+    def tiePairs(c: Column): Column = (c * (c - 1) / 2).cast("long")
+    val tx = base.groupBy("g", "x").agg(count(lit(1)).as("c"))
+      .groupBy("g").agg(sum(tiePairs(col("c"))).as("ntx"))
+    val ty = base.groupBy("g", "y").agg(count(lit(1)).as("c"))
+      .groupBy("g").agg(sum(tiePairs(col("c"))).as("nty"))
+    val nn = base.groupBy("g").agg(count(lit(1)).as("n"))
+    nn.join(cd, Seq("g"), "left").join(tx, "g").join(ty, "g")
+      .select(col("g").as("group"), col("n"),
+        coalesce(col("concordant"), lit(0L)).as("concordant"),
+        coalesce(col("discordant"), lit(0L)).as("discordant"),
+        tiePairs(col("n")).as("n0"), col("ntx"), col("nty"))
+      .select(col("group"), col("n"), col("concordant"), col("discordant"),
+        when(col("n0") > col("ntx") && col("n0") > col("nty"),
+          (col("concordant") - col("discordant")).cast("double") /
+            sqrt((col("n0") - col("ntx")).cast("double") *
+              (col("n0") - col("nty")).cast("double"))).as("tau_b"))
+  }
 }

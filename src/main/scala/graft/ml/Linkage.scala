@@ -169,9 +169,14 @@ object Linkage {
         .filter(col("code").isNotNull))
     val ok = keyed.groupBy("code").agg(count(lit(1)).as("bn"))
       .filter(col("bn") <= maxBlock)
-    keyed.alias("x").join(keyed.alias("y"), "code")
+    // Semi-join the size guard BEFORE the self-join: without CBO stats
+    // Catalyst keeps join order as written, so guarding after the
+    // self-join would still FORM the quadratic pairs of an oversized
+    // bucket and only then discard them — the cap must bound work, not
+    // just output.
+    val bounded = keyed.join(ok.select("code"), Seq("code"), "left_semi")
+    bounded.alias("x").join(bounded.alias("y"), "code")
       .filter(col("x.name") < col("y.name"))
-      .join(ok, "code")
       .select(col("code"), col("x.name").as("a"), col("y.name").as("b"))
   }
 }

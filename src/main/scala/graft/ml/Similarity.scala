@@ -1098,10 +1098,12 @@ object Similarity {
     val all = corpus.select(col("id")).join(occ, Seq("id"), "left")
       .select(coalesce(col("nk"), lit(0L)).cast("double").as("nk"))
     all.agg(count(lit(1)).as("n"), avg("nk").as("m"),
+        max("nk").as("max_nk"),
         stddev_pop("nk").as("sd"),
         avg(col("nk") * col("nk") * col("nk")).as("m3raw"),
         avg(col("nk") * col("nk")).as("m2raw"))
       .select(lit(k).as("k"), col("n"), col("m").as("mean_nk"),
+        col("max_nk"),
         // E[(x−μ)³]/σ³ expanded in raw moments so both engines
         // evaluate one aggregate pass
         when(col("sd") > 0,
@@ -1202,6 +1204,12 @@ object Similarity {
             }
             i += 1
           }
+          if (best < 0) {
+            // every remaining score is NaN (e.g. zero-norm vectors
+            // upstream) — truncate the selection rather than throw
+            // ArrayIndexOutOfBounds inside the executor task
+            rank = Int.MaxValue
+          } else {
           picked(best) = true
           out += ((q, rank, cand(best)._2, cand(best)._3, bestScore))
           // fold the new pick into every survivor's max-sim
@@ -1215,6 +1223,7 @@ object Similarity {
             j += 1
           }
           rank += 1
+          }
         }
         out.result().iterator
       }

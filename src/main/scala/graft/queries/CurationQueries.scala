@@ -377,7 +377,7 @@ object CurationQueries extends QueryGroup {
         |    round(sum(value), 2) AS sg, round(sum(value * value), 4) AS qg
         |  FROM events GROUP BY 1
         |), agg AS (
-        |  SELECT count(*) AS k, sum(ng) AS n, sum(sg * sg / ng) AS gs,
+        |  SELECT count(*) AS k, CAST(sum(ng) AS BIGINT) AS n, sum(sg * sg / ng) AS gs,
         |    sum(sg) AS s, sum(qg) AS q FROM per
         |)
         |SELECT k, n, round(gs - s * s / n, 3) AS ss_between,
@@ -599,8 +599,9 @@ object CurationQueries extends QueryGroup {
          |)
          |SELECT id,
          |  CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 64 AS idx,
-         |  sum(CASE WHEN substr(md5(t), 9, 1) IN
-         |    ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END) AS value
+         |  CAST(sum(CASE WHEN substr(md5(t), 9, 1) IN
+         |    ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END)
+         |    AS BIGINT) AS value
          |FROM tok GROUP BY 1, 2 ORDER BY id, idx""".stripMargin) {
       (s, dir) =>
       graft.ml.Features.featureHash(t(s, dir, "documents"), "doc_id",
@@ -682,7 +683,8 @@ object CurationQueries extends QueryGroup {
          |  SELECT (m * sxy - sx * sy) / (m * sxx - sx * sx) AS beta,
          |    m, sx, sy, sxy, sxx, syy FROM fit
          |)
-         |SELECT p.checkpoint, p.n_tokens, CAST(p.vocab AS BIGINT) AS vocab,
+         |SELECT p.checkpoint, CAST(p.n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(p.vocab AS BIGINT) AS vocab,
          |  round(q.beta, 6) + 0.0 AS beta,
          |  round((q.sy - q.beta * q.sx) / q.m, 6) + 0.0 AS log_k,
          |  round(pow(q.m * q.sxy - q.sx * q.sy, 2.0) /

@@ -659,8 +659,9 @@ object EvalQueries extends QueryGroup {
         |  FROM documents
         |)
         |SELECT source AS query,
-        |  sum(CASE WHEN rel AND rank <= 10 THEN 1 ELSE 0 END) AS rel_at_k,
-        |  sum(CASE WHEN rel THEN 1 ELSE 0 END) AS rel_total,
+        |  CAST(sum(CASE WHEN rel AND rank <= 10 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS rel_at_k,
+        |  CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS rel_total,
         |  round(sum(CASE WHEN rel AND rank <= 10 THEN 1 ELSE 0 END)
         |    * 1.0::DOUBLE / 10, 6) AS precision_at_k,
         |  round(CASE WHEN sum(CASE WHEN rel THEN 1 ELSE 0 END) > 0
@@ -807,7 +808,8 @@ object EvalQueries extends QueryGroup {
          |  SELECT doc_id, greatest(len(ct) - 1, 0) AS cn,
          |    greatest(len(rt) - 1, 0) AS rn FROM pr
          |)
-         |SELECT t.doc_id AS id, coalesce(o.overlap, 0) AS overlap,
+         |SELECT t.doc_id AS id,
+         |  CAST(coalesce(o.overlap, 0) AS BIGINT) AS overlap,
          |  CAST(t.cn AS BIGINT) AS cand_ngrams,
          |  CAST(t.rn AS BIGINT) AS ref_ngrams,
          |  round(CASE WHEN t.cn > 0

@@ -819,7 +819,9 @@ object EventQueries extends QueryGroup {
         |    END AS log_lambda
         |  FROM s2
         |)
-        |SELECT variant, period, n_t, conv_t, n_c, conv_c,
+        |SELECT variant, period,
+        |  CAST(n_t AS BIGINT) AS n_t, CAST(conv_t AS BIGINT) AS conv_t,
+        |  CAST(n_c AS BIGINT) AS n_c, CAST(conv_c AS BIGINT) AS conv_c,
         |  round(theta, 6) + 0.0::DOUBLE AS theta,
         |  round(log_lambda, 6) + 0.0::DOUBLE AS log_lambda,
         |  round(min(CASE WHEN log_lambda IS NOT NULL
@@ -1075,7 +1077,8 @@ object EventQueries extends QueryGroup {
     q("q_events_wilson",
       """WITH g AS (
         |  SELECT event_type AS grp, count(*) AS n,
-        |    sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS s
+        |    CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS s
         |  FROM events GROUP BY 1
         |), r AS (
         |  SELECT grp, n, s, s * 1.0::DOUBLE / n AS rate,

@@ -871,8 +871,9 @@ class CurationSpec extends SparkSpec {
     val got = graft.ml.Similarity.hubness(vecs, k = 1).collect().head
     assert(got.getLong(1) === 4L)
     assert(got.getDouble(2) === 1.0) // Σ N_k = n·k identically
+    assert(got.getDouble(3) === 3.0) // the planted hub's N_1
     // N_1 = (1,0,0,3): skew = 1.5/1.5^1.5 = 0.8165
-    assert(math.abs(got.getDouble(3) - 1.5 / math.pow(1.5, 1.5)) < 1e-9)
+    assert(math.abs(got.getDouble(4) - 1.5 / math.pow(1.5, 1.5)) < 1e-9)
   }
 
   test("mmdRbf: zero on identical samples, hand value on separated ones") {

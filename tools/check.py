@@ -71,9 +71,23 @@ def main():
         # sf0.1 OOMs iff an arrow read precedes it in the process)
         if name in oracles:
             try:
-                cur = con.execute(oracles[name])
-                ocols = [d[0] for d in cur.description]
-                orows = cur.fetchall()
+                rel = con.sql(oracles[name])
+                ocols = list(rel.columns)
+                # guard: the driver's canonicalization hashes DuckDB
+                # HUGEINT (uncast integer sum()) and DECIMAL columns
+                # differently from the engine's BIGINT/DOUBLE even when
+                # values agree — 7 gates went driver-red in round 8 this
+                # way. Fail loudly HERE so the class never reaches the
+                # driver: every oracle column must be cast to
+                # BIGINT/DOUBLE explicitly.
+                badtypes = [(c, str(t)) for c, t in zip(ocols, rel.types)
+                            if str(t) in ("HUGEINT", "UHUGEINT")
+                            or str(t).startswith("DECIMAL")]
+                if badtypes:
+                    results[name] = f"ORACLE_TYPE_DRIFT {badtypes}"
+                    n_fail += 1
+                    continue
+                orows = rel.fetchall()
             except Exception as e:
                 results[name] = f"ORACLE_ERROR: {e}"
                 n_fail += 1
