@@ -231,7 +231,28 @@ object Bench {
     // round-22 ninth batch: forecast scorecard (offset join + key
     // agg), tokenizer fertility (per-doc columns + stratum agg)
     "q_events_forecast_acc",
-    "q_text_fertility")
+    "q_text_fertility",
+    // round-9 statistics batch: paired-model comparison, rank-based
+    // group tests, selective-prediction curve,
+    // survival comparison, sequential drift, stratified 2x2 pooling,
+    // TextTiling-lite segmentation
+    "q_eval_mcnemar",
+    "q_eval_kruskal",
+    "q_eval_brown_forsythe",
+    "q_eval_risk_coverage",
+    "q_events_logrank",
+    "q_events_page_hinkley",
+    "q_events_cmh",
+    "q_text_tiling",
+    // round-9 second batch: generation diversity (distinct-n gram
+    // aggregates; self-BLEU bounded-sample multi-reference kernel),
+    // Chao1 richness, gains/lift deciles, Cohen's d, Hellinger drift
+    "q_text_distinct_n",
+    "q_eval_self_bleu",
+    "q_text_chao1",
+    "q_eval_gains",
+    "q_eval_cohens_d",
+    "q_events_hellinger")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

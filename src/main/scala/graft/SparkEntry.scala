@@ -25,7 +25,8 @@ object SparkEntry {
     ExtrasQueries,
     EvalQueries,
     SupersetQueries,
-    CurationQueries)
+    CurationQueries,
+    StatsQueries)
 
   private lazy val defs: Seq[QueryDef] = groups.flatMap(_.all)
 

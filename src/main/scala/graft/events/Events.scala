@@ -1784,16 +1784,23 @@ object Events {
     * (group, n_users, observed, expected) with the k-group
     * approximation χ² = Σ(O−E)²/E repeated, and — for exactly two
     * groups — the exact hypergeometric-variance z = (O₁−E₁)/√ΣV(t)
-    * (NULL otherwise).
+    * (NULL otherwise). With no churn events anywhere, observed and
+    * expected are 0 and χ²/z are NULL.
     *
-    * Scale shape: one user aggregate, then everything runs on the
-    * (group × duration-bucket) grid — the at-risk table is a bounded
-    * range join of two bucket tables, never a corpus operation.
+    * Scale shape: ONE distributed pass — user aggregate → the
+    * (group, duration-bucket) leaving/event table — then the
+    * statistic is scalar algebra over that BOUNDED bucket table
+    * (|groups| × time-range/periodSec rows by contract), assembled
+    * driver-side in sorted order (the readAtSubmitter idiom the
+    * ridge/EM operators use): a chain of eight tiny joined
+    * aggregates costs more in scheduler overhead than the whole
+    * corpus scan, and the bucket grid never grows with the corpus.
     */
   def logRankTest(events: DataFrame, userCol: String, groupCol: String,
       secCol: String, periodSec: Long, censorGap: Long): DataFrame = {
     require(periodSec > 0 && censorGap >= 0,
       "periodSec must be positive, censorGap non-negative")
+    val spark = events.sparkSession
     val perUser = events
       .groupBy(col(userCol).as("user"))
       .agg(min(col(groupCol).cast("string")).as("g"),
@@ -1801,64 +1808,65 @@ object Events {
         max(col(secCol).cast("long")).as("last_sec"))
     val withHorizon = perUser.crossJoin(
       broadcast(perUser.agg(max("last_sec").as("horizon"))))
-    val lifetimes = graft.core.PipelineCaches.persistTracked(
-      withHorizon.select(col("g"),
+    val leaving = withHorizon
+      .select(col("g"),
         expr(s"(last_sec - first_sec) div ${periodSec}L").as("t"),
-        (col("last_sec") < col("horizon") - censorGap).as("event")))
-    // bucket tables: leaving (all users by duration) and events only
-    val leaving = lifetimes.groupBy("g", "t")
+        (col("last_sec") < col("horizon") - censorGap).as("event"))
+      .groupBy("g", "t")
       .agg(count(lit(1)).as("leaving"),
         sum(when(col("event"), 1L).otherwise(0L)).as("d"))
-    val evTimes = leaving.filter(col("d") > 0)
-      .select(col("t").as("et")).distinct()
-    val groups = leaving.select("g").distinct()
-    // at-risk per (group, event time): bounded bucket × bucket range join
-    val risk = groups.crossJoin(evTimes)
-      .join(leaving.select(col("g"), col("t"), col("leaving")),
-        Seq("g"), "left")
-      .filter(col("t") >= col("et"))
-      .groupBy("g", "et").agg(sum("leaving").as("n_gt"))
-    val dAt = leaving.filter(col("d") > 0)
-      .select(col("g"), col("t").as("et"), col("d"))
-    val cell = risk.join(dAt, Seq("g", "et"), "left")
-      .select(col("g"), col("et"), col("n_gt"),
-        coalesce(col("d"), lit(0L)).as("d_gt"))
-    val tot = cell.groupBy("et")
-      .agg(sum("n_gt").as("n_t"), sum("d_gt").as("d_t"))
-    val withTot = cell.join(broadcast(tot), "et")
-      .withColumn("e_gt",
-        col("d_t") * col("n_gt").cast("double") / col("n_t"))
-    val perGroup = withTot.groupBy("g")
-      .agg(sum("d_gt").as("observed"), sum("e_gt").as("expected"))
-    val chi2 = perGroup.agg(
-      sum(pow(col("observed") - col("expected"), 2.0) / col("expected"))
-        .as("chi2"), count(lit(1)).as("k"))
-    // exact 2-group variance: V(t) = d(n−d)/(n−1) · n₁n₂/n²
-    val g1 = groups.agg(min("g").as("g1"))
-    val var2 = withTot.crossJoin(broadcast(g1))
-      .groupBy("et")
-      .agg(first("d_t").as("d_t"), first("n_t").as("n_t"),
-        sum(when(col("g") === col("g1"), col("n_gt"))).as("n_1t"))
-      .agg(coalesce(sum(when(col("n_t") > 1,
-        col("d_t").cast("double") * (col("n_t") - col("d_t")) /
-          (col("n_t") - 1) *
-          col("n_1t") * (col("n_t") - col("n_1t")) /
-          (col("n_t").cast("double") * col("n_t")))), lit(0.0)).as("v"))
-    val nUsers = lifetimes.groupBy("g").agg(count(lit(1)).as("n_users"))
-    // z as a 1-row scalar (group-1 O−E over √ΣV), broadcast onto every
-    // group row — never a constant-key window (the foldable-partitionBy
-    // trap)
-    val zRow = perGroup.crossJoin(broadcast(g1))
-      .filter(col("g") === col("g1"))
-      .crossJoin(broadcast(var2))
-      .crossJoin(broadcast(chi2.select(col("k"))))
-      .select(when(col("k") === 2 && col("v") > 0,
-        (col("observed") - col("expected")) / sqrt(col("v"))).as("z"))
-    nUsers.join(perGroup, "g")
-      .crossJoin(broadcast(chi2))
-      .crossJoin(broadcast(zRow))
-      .select(col("g").as("group"), col("n_users"), col("observed"),
-        col("expected"), col("chi2"), col("z"))
+    // bounded bucket table → driver; all remaining algebra is scalar
+    val lv = leaving.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3))).sortBy(x => (x._1, x._2))
+    val groups = lv.map(_._1).distinct.sorted
+    val evTimes = lv.filter(_._3 > 0).collect {
+      case (_, t, _, d) if d > 0 => t
+    }.distinct.sorted
+    val nUsers = groups.map(g =>
+      g -> lv.filter(_._1 == g).map(_._3).sum).toMap
+    // per (group, event time): at-risk and events
+    def nGt(g: String, et: Long): Long =
+      lv.filter(c => c._1 == g && c._2 >= et).map(_._3).sum
+    def dGt(g: String, et: Long): Long =
+      lv.filter(c => c._1 == g && c._2 == et).map(_._4).sum
+    val byTime = evTimes.map { et =>
+      val n = groups.map(g => g -> nGt(g, et)).toMap
+      val d = groups.map(g => g -> dGt(g, et)).toMap
+      (et, n, d, n.values.sum, d.values.sum)
+    }
+    val observed = groups.map(g =>
+      g -> byTime.map { case (_, _, d, _, _) => d(g) }.sum).toMap
+    val expected = groups.map { g =>
+      g -> byTime.map { case (_, n, _, nT, dT) =>
+        dT * n(g).toDouble / nT
+      }.sum
+    }.toMap
+    val chi2: Option[Double] =
+      if (evTimes.isEmpty) None
+      else Some(groups.map { g =>
+        val e = expected(g)
+        math.pow(observed(g) - e, 2) / e
+      }.sum)
+    val z: Option[Double] =
+      if (groups.length != 2 || evTimes.isEmpty) None
+      else {
+        val g1 = groups.head
+        val v = byTime.map { case (_, n, _, nT, dT) =>
+          if (nT > 1)
+            dT.toDouble * (nT - dT) / (nT - 1) * n(g1) *
+              (nT - n(g1)) / (nT.toDouble * nT)
+          else 0.0
+        }.sum
+        if (v > 0) Some((observed(g1) - expected(g1)) / math.sqrt(v))
+        else None
+      }
+    import spark.implicits._
+    groups.map { g =>
+      (g, nUsers(g), observed(g), expected(g),
+        chi2.map(Double.box).orNull.asInstanceOf[java.lang.Double],
+        z.map(Double.box).orNull.asInstanceOf[java.lang.Double])
+    }.toSeq
+      .toDF("group", "n_users", "observed", "expected", "chi2", "z")
   }
 
   /** Page–Hinkley sequential mean-drift detector over the
@@ -1881,11 +1889,14 @@ object Events {
     val counts = events
       .select(floor(col(secCol) / periodSec).cast("long").as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("y"))
-    val dense = counts.agg(min("bucket").as("b0"), max("bucket").as("b1"))
-      .select(explode(sequence(col("b0"), col("b1"))).as("bucket"))
-      .join(counts, Seq("bucket"), "left")
-      .select(col("bucket"),
-        coalesce(col("y"), lit(0L)).cast("double").as("x"))
+    // zero-fill as union + re-aggregate (not left join) so the global
+    // cumulative windows below sit directly on an aggregate of the
+    // bounded bucket grid — the shape PlanLint can verify as reduced
+    val grid = counts.agg(min("bucket").as("b0"), max("bucket").as("b1"))
+      .select(explode(sequence(col("b0"), col("b1"))).as("bucket"),
+        lit(0L).as("y"))
+    val dense = grid.unionByName(counts)
+      .groupBy("bucket").agg(sum("y").cast("double").as("x"))
     val wc = Window.orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, 0)
     // 1e6 floor-quantize instead of round(): the running-mean

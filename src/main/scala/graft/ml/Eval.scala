@@ -1102,47 +1102,95 @@ object Eval {
         (col("cerr").cast("double") / col("cn")).as("risk"),
         (col("wr") / col("nt")).as("aurc"))
   }
-
-  /** Kendall's τ-b rank agreement between two scorings of the same
-    * items, per group — "do my two rerankers order this query's
-    * candidates the same way", with the tie-corrected denominator
-    * √((n₀−n_x)(n₀−n_y)) so heavily-tied score columns don't inflate
-    * agreement. Concordance counted over the within-group pair set;
-    * NULL τ when either column is constant in the group. Returns per
-    * group (group, n, concordant, discordant, tau_b).
+  /** Cumulative gains / lift table over tie-coherent score deciles —
+    * the model-targeting read ("the top 20% of scores capture X% of
+    * the positives") behind every quality-gate budget decision.
+    * Buckets are 1 + ⌊cum_before·k/N⌋ over the DISTINCT-score
+    * cumulative table in DESCENDING score order (ntile splits ties by
+    * arbitrary row order and never replays across engines — the
+    * rfmSegments discipline). Returns per bucket (bucket, n, positives,
+    * cum_gain = cumulative positive share, lift = bucket rate over
+    * base rate); lift is NULL when the corpus has no positives.
     *
-    * Scale shape: one id-ordered pair self-join INSIDE each group —
-    * bounded by contract to panel-sized groups (ranking candidate
-    * lists, rater batches), the [[mannWhitney]]-family grain, never a
-    * corpus cross join; tie terms come from (group, value) hash
-    * aggregates, not the pair table.
+    * Scale shape: one hash aggregate to the distinct-score table,
+    * cumulative windows over that table, one bucket aggregate.
     */
-  def kendallTauB(df: DataFrame, groupCol: String, idCol: String,
-      xCol: String, yCol: String): DataFrame = {
-    val base = df.select(col(groupCol).as("g"), col(idCol).as("id"),
-      col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
-    val pairs = base.alias("a").join(base.alias("b"),
-        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
-      .select(col("a.g").as("g"),
-        ((col("a.x") - col("b.x")) * (col("a.y") - col("b.y"))).as("prod"))
-    val cd = pairs.groupBy("g").agg(
-      sum(when(col("prod") > 0, 1L).otherwise(0L)).as("concordant"),
-      sum(when(col("prod") < 0, 1L).otherwise(0L)).as("discordant"))
-    def tiePairs(c: Column): Column = (c * (c - 1) / 2).cast("long")
-    val tx = base.groupBy("g", "x").agg(count(lit(1)).as("c"))
-      .groupBy("g").agg(sum(tiePairs(col("c"))).as("ntx"))
-    val ty = base.groupBy("g", "y").agg(count(lit(1)).as("c"))
-      .groupBy("g").agg(sum(tiePairs(col("c"))).as("nty"))
-    val nn = base.groupBy("g").agg(count(lit(1)).as("n"))
-    nn.join(cd, Seq("g"), "left").join(tx, "g").join(ty, "g")
-      .select(col("g").as("group"), col("n"),
-        coalesce(col("concordant"), lit(0L)).as("concordant"),
-        coalesce(col("discordant"), lit(0L)).as("discordant"),
-        tiePairs(col("n")).as("n0"), col("ntx"), col("nty"))
-      .select(col("group"), col("n"), col("concordant"), col("discordant"),
-        when(col("n0") > col("ntx") && col("n0") > col("nty"),
-          (col("concordant") - col("discordant")).cast("double") /
-            sqrt((col("n0") - col("ntx")).cast("double") *
-              (col("n0") - col("nty")).cast("double"))).as("tau_b"))
+  def gainsTable(df: DataFrame, scoreCol: String, labelCol: String,
+      k: Int = 10): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val byScore = df.select(col(scoreCol).as("s"),
+        col(labelCol).cast("int").as("y"))
+      .groupBy("s").agg(count(lit(1)).as("n"), sum("y").as("p"))
+    val w = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketed = byScore
+      .withColumn("before", coalesce(sum("n").over(w), lit(0L)))
+      .withColumn("nt", sum("n").over(Window.partitionBy()))
+      .withColumn("pt", sum("p").over(Window.partitionBy()))
+      .withColumn("bucket",
+        (lit(1) + floor(col("before") * k / col("nt"))).cast("long"))
+    val perBucket = bucketed.groupBy("bucket")
+      .agg(sum("n").as("n"), sum("p").as("positives"),
+        first("nt").as("nt"), first("pt").as("pt"))
+    val wb = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perBucket
+      .withColumn("cum_p", sum("positives").over(wb))
+      .select(col("bucket"), col("n"), col("positives"),
+        when(col("pt") > 0, col("cum_p").cast("double") / col("pt"))
+          .as("cum_gain"),
+        when(col("pt") > 0,
+          (col("positives").cast("double") / col("n")) /
+            (col("pt").cast("double") / col("nt"))).as("lift"))
+  }
+
+  /** Cohen's d + Hedges' g standardized mean difference between
+    * EXACTLY two groups — the effect size every significant A/B
+    * needs next to its p-value (a tiny d with a huge n is noise you
+    * can ship past a z-test). Pooled SAMPLE variances; Hedges' g
+    * applies the small-sample correction J = 1 − 3/(4(n₁+n₂)−9).
+    * Returns one row (g1, g2, k, n1, n2, mean1, mean2, d, hedges_g)
+    * where g1 is the lexically smaller group and k the OBSERVED
+    * group count — d/hedges_g are NULL unless k = 2, either group
+    * has ≥ 2 rows, and the pooled variance is positive (the caller
+    * reads k to distinguish contract violation from degeneracy).
+    *
+    * Scale shape: one (group) moments aggregate; everything after is
+    * a 2-row pivot.
+    */
+  def cohensD(df: DataFrame, valueCol: String,
+      groupCol: String): DataFrame = {
+    val per = df.groupBy(col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("double")).as("s"),
+        sum(col(valueCol).cast("double") * col(valueCol)).as("q"))
+    val wide = per
+      .withColumn("g1", min("g").over(Window.partitionBy()))
+      .withColumn("k", count(lit(1)).over(Window.partitionBy()))
+      .groupBy("g1", "k")
+      .agg(
+        max(when(col("g") === col("g1"), col("n"))).as("n1"),
+        max(when(col("g") === col("g1"), col("s"))).as("s1"),
+        max(when(col("g") === col("g1"), col("q"))).as("q1"),
+        max(when(col("g") =!= col("g1"), col("g"))).as("g2"),
+        max(when(col("g") =!= col("g1"), col("n"))).as("n2"),
+        max(when(col("g") =!= col("g1"), col("s"))).as("s2"),
+        max(when(col("g") =!= col("g1"), col("q"))).as("q2"))
+    wide
+      .select(col("g1"), col("g2"), col("k"), col("n1"), col("n2"),
+        (col("s1") / col("n1")).as("mean1"),
+        (col("s2") / col("n2")).as("mean2"),
+        ((col("q1") - col("s1") * col("s1") / col("n1")) +
+          (col("q2") - col("s2") * col("s2") / col("n2"))).as("ssw"))
+      .select(col("g1"), col("g2"), col("k"), col("n1"), col("n2"),
+        col("mean1"), col("mean2"),
+        when(col("k") === 2 && col("n1") >= 2 && col("n2") >= 2 &&
+            col("ssw") > 0,
+          (col("mean1") - col("mean2")) /
+            sqrt(col("ssw") / (col("n1") + col("n2") - 2))).as("d"))
+      .select(col("g1"), col("g2"), col("k"), col("n1"), col("n2"),
+        col("mean1"), col("mean2"), col("d"),
+        (col("d") * (lit(1.0) - lit(3.0) /
+          (lit(4.0) * (col("n1") + col("n2")) - 9))).as("hedges_g"))
   }
 }

@@ -415,4 +415,123 @@ object GenEval {
       }
       .toDF(idCol, "chr_p", "chr_r", "chrf")
   }
+  /** Distinct-n generation-diversity report per group: the fraction
+    * of n-grams (orders 1..`maxN`) that are DISTINCT within the
+    * group — the standard mode-collapse alarm for generators (Li et
+    * al. 2016): a sampler that repeats itself scores low long before
+    * eyeballing catches it. Returns per (group, n):
+    * (group, n, total_ngrams, distinct_ngrams, distinct_ratio);
+    * groups with no order-n grams emit no row for that order.
+    *
+    * Scale shape: one token scan per order (explode → (group, gram)
+    * hash aggregate); nothing but hash aggregation, no window.
+    */
+  def distinctN(df: DataFrame, groupCol: String, textCol: String,
+      maxN: Int = 3): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN must be in [1,8], got $maxN")
+    val base = graft.core.PipelineCaches.persistTracked(
+      df.select(col(groupCol).as("grp"), toks(col(textCol)).as("ts")))
+    def grams(tc: Column, n: Int): Column =
+      when(size(tc) >= n,
+        transform(sequence(lit(0), size(tc) - n),
+          i => concat_ws(" ", slice(tc, i + 1, lit(n)))))
+        .otherwise(array())
+    (1 to maxN).map { n =>
+      base.select(col("grp"), explode(grams(col("ts"), n)).as("g"))
+        .groupBy("grp", "g").agg(count(lit(1)).as("c"))
+        .groupBy("grp")
+        .agg(sum("c").as("total_ngrams"),
+          count(lit(1)).as("distinct_ngrams"))
+        .select(col("grp").as("group"), lit(n).as("n"),
+          col("total_ngrams"), col("distinct_ngrams"),
+          (col("distinct_ngrams").cast("double") / col("total_ngrams"))
+            .as("distinct_ratio"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Self-BLEU over a bounded deterministic sample (Zhu et al. 2018,
+    * texygen): each sampled document is sentence-BLEU-scored against
+    * the other K−1 as a MULTI-REFERENCE set — high self-BLEU means
+    * the generator's outputs all look alike (the complement of
+    * [[distinctN]]: diversity of WHOLE texts, not gram vocabulary).
+    * Multi-reference clipping (max reference count per gram,
+    * excluding the candidate itself) uses the top-2-counts-per-gram
+    * trick, so "max over everyone else" never rescans the sample;
+    * brevity penalty uses the CLOSEST other length (ties → shorter —
+    * the sentence-BLEU convention); no smoothing (a zero precision
+    * at any order zeroes that document's score — documented standard
+    * form). Returns per sampled doc (id, p1..p{maxN}, bp, self_bleu).
+    *
+    * Scale shape: BOUNDED-SAMPLE contract like [[graft.ml.Similarity.mmdRbf]]
+    * — the deterministic md5 top-`sampleK` sample caps every
+    * downstream table (gram tables K·len, the length grid K²); the
+    * corpus is touched once for the sample sort.
+    */
+  def selfBleu(df: DataFrame, idCol: String, textCol: String,
+      sampleK: Int = 200, maxN: Int = 4): DataFrame = {
+    require(sampleK >= 2, s"sampleK must be >= 2, got $sampleK")
+    require(maxN >= 1 && maxN <= 8, s"maxN must be in [1,8], got $maxN")
+    import org.apache.spark.sql.expressions.Window
+    val base = graft.core.PipelineCaches.persistTracked(
+      df.select(col(idCol).cast("long").as("id"),
+          toks(col(textCol)).as("ts"))
+        .orderBy(md5(concat(lit("selfbleu:"), col("id"))), col("id"))
+        .limit(sampleK)
+        .select(col("id"), col("ts"), size(col("ts")).as("len")))
+    val lens = base.select(col("id"), col("len"))
+    // closest OTHER length per candidate (ties -> shorter reference)
+    val wClosest = Window.partitionBy("id")
+      .orderBy(abs(col("rlen") - col("len")), col("rlen"))
+    val refLen = lens.alias("a")
+      .join(lens.select(col("id").as("rid"), col("len").as("rlen")),
+        col("id") =!= col("rid"))
+      .withColumn("rk", row_number().over(wClosest))
+      .filter(col("rk") === 1)
+      .select(col("id"), col("rlen"))
+    def grams(tc: Column, n: Int): Column =
+      when(size(tc) >= n,
+        transform(sequence(lit(0), size(tc) - n),
+          i => concat_ws(" ", slice(tc, i + 1, lit(n)))))
+        .otherwise(array())
+    val perOrder = (1 to maxN).map { n =>
+      val gc = base
+        .select(col("id"), explode(grams(col("ts"), n)).as("g"))
+        .groupBy("id", "g").agg(count(lit(1)).as("c"))
+      // top-2 counts per gram across the sample (ties -> lower id),
+      // so max over "everyone but me" is a constant-time lookup
+      val wTop = Window.partitionBy("g")
+        .orderBy(col("c").desc, col("id"))
+      val top2 = gc.withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 2)
+        .groupBy("g")
+        .agg(max(when(col("rk") === 1, col("c"))).as("c1"),
+          max(when(col("rk") === 1, col("id"))).as("id1"),
+          coalesce(max(when(col("rk") === 2, col("c"))), lit(0L))
+            .as("c2"))
+      gc.join(top2, "g")
+        .select(col("id"),
+          least(col("c"), when(col("id1") === col("id"), col("c2"))
+            .otherwise(col("c1"))).as("m"), col("c"))
+        .groupBy("id")
+        .agg(sum("m").as("num"), sum("c").as("den"))
+        .select(col("id"), lit(n).as("n"),
+          (col("num").cast("double") / col("den")).as("p"))
+    }.reduce(_ unionAll _)
+    val wide = perOrder.groupBy("id")
+      .pivot("n", (1 to maxN).map(n => n: Any))
+      .agg(first("p"))
+      .toDF("id" +: (1 to maxN).map(n => s"p$n"): _*)
+    val logSum = (1 to maxN).map(n =>
+      when(col(s"p$n") > 0, log(col(s"p$n"))).otherwise(lit(Double.NaN)))
+      .reduce(_ + _)
+    wide.join(lens, "id").join(refLen, "id")
+      .withColumn("bp", when(col("len") >= col("rlen"), lit(1.0))
+        .otherwise(exp(lit(1.0) -
+          col("rlen").cast("double") / col("len"))))
+      .select(col("id") +: (1 to maxN).map(n =>
+          coalesce(col(s"p$n"), lit(0.0)).as(s"p$n")) :+
+        col("bp") :+
+        (coalesce(when(!isnan(logSum), exp(logSum / maxN)), lit(0.0)) *
+          col("bp")).as("self_bleu"): _*)
+  }
 }

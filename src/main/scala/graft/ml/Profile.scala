@@ -642,4 +642,44 @@ object Profile {
       .select(col("id"), col("stratum"), col("v"), col("stratum_rank"),
         col("pooled_pos"), col("pv").as("normalized"))
   }
+  /** Hellinger + Bhattacharyya distance between two bucket-count
+    * distributions — the bounded, symmetric drift pair reported next
+    * to [[driftFromCounts]]'s PSI/KL/TVD terms: Hellinger ∈ [0,1]
+    * (√(1−BC), proper metric — usable as a threshold that means the
+    * same thing for every column), Bhattacharyya −ln(BC) ∈ [0,∞).
+    * Same smoothed-fraction convention as driftFromCounts so empty
+    * buckets on one side never zero the coefficient. Returns one row
+    * (n_buckets, bc, hellinger, bhattacharyya).
+    *
+    * Scale shape: one full-outer bucket join + one scalar aggregate —
+    * bucket-table sized, the corpus reduced upstream by whoever built
+    * the counts.
+    */
+  def hellingerFromCounts(baseCounts: DataFrame, curCounts: DataFrame,
+      nBuckets: Int, smoothing: Double = 0.5): DataFrame = {
+    require(smoothing > 0, "smoothing must be positive")
+    require(nBuckets > 0, "nBuckets must be positive")
+    val joined0 = baseCounts
+      .select(col("bucket"), col("n").as("base_n"))
+      .join(curCounts.select(col("bucket"), col("n").as("cur_n")),
+        Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("base_n"), lit(0L)).as("base_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+    val joined = joined0.crossJoin(
+      broadcast(joined0.agg(sum("base_n").as("__bt"),
+        sum("cur_n").as("__ct"))))
+    val baseF = (col("base_n") + smoothing) /
+      (col("__bt") + lit(smoothing * nBuckets))
+    val curF = (col("cur_n") + smoothing) /
+      (col("__ct") + lit(smoothing * nBuckets))
+    joined
+      .select(sqrt(baseF * curF).as("bc_term"))
+      .agg(count(lit(1)).as("n_buckets"), sum("bc_term").as("bc"))
+      .select(col("n_buckets"), col("bc"),
+        // the smoothed fractions are proper distributions, but float
+        // summation can land a hair above 1 — clamp before the sqrt
+        sqrt(greatest(lit(1.0) - col("bc"), lit(0.0))).as("hellinger"),
+        (lit(0.0) - log(col("bc"))).as("bhattacharyya"))
+  }
 }

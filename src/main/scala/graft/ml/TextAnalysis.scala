@@ -1510,4 +1510,30 @@ object TextAnalysis {
       .select(col("id"), col("gap"), col("sim"), col("depth"),
         (col("depth") > col("mu") + lit(c) * col("sd")).as("boundary"))
   }
+  /** Chao1 vocabulary-richness estimator per stratum (Chao 1984,
+    * bias-corrected form): how many word types the stratum WOULD show
+    * with unbounded sampling — V + f₁(f₁−1)/(2(f₂+1)) where f₁/f₂ are
+    * the singleton/doubleton type counts. The coverage read behind
+    * "is this source's vocabulary exhausted or did we just not crawl
+    * enough": a big chao1 − V gap means the corpus is still
+    * discovering the stratum. Returns per stratum
+    * (stratum, n_tokens, vocab, f1, f2, chao1).
+    *
+    * Scale shape: one token scan → (stratum, token) hash aggregate →
+    * one stratum aggregate; the f-counts ride the same pass.
+    */
+  def chao1(df: DataFrame, strataCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(strataCol).as("stratum"),
+        explode(filter(split(normalize(col(textCol)), " "),
+          t => length(t) > 0)).as("tok"))
+      .groupBy("stratum", "tok").agg(count(lit(1)).as("c"))
+    tok.groupBy("stratum")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("stratum"), col("n_tokens"), col("vocab"), col("f1"),
+        col("f2"),
+        (col("vocab") + col("f1").cast("double") * (col("f1") - 1) /
+          (lit(2.0) * (col("f2") + 1))).as("chao1"))
+  }
 }

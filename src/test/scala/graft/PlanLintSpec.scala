@@ -161,6 +161,33 @@ class PlanLintSpec extends SparkSpec {
     "q_eval_bh_fdr" -> Map("global-window" ->
       ("rank/min windows over the hypothesis table (one row per test — " +
         "panel-sized by contract, corpus reductions happen upstream)")),
+    "q_eval_kruskal" -> Map(
+      "global-window" ->
+        ("midrank running sum over the distinct-value table (0.1-" +
+          "quantized, the mannWhitney vocab-window shape)"),
+      "cartesian" ->
+        "1-row tie-term aggregate broadcast onto the 1-row H aggregate"),
+    "q_eval_risk_coverage" -> Map(
+      "global-window" ->
+        ("descending cumulative kept/error sums over the DISTINCT-" +
+          "confidence table — threshold-sweep grain, never the corpus"),
+      "cartesian" ->
+        "1-row (N, weighted-risk) aggregate broadcast onto the curve"),
+    "q_eval_cohens_d" -> Map("global-window" ->
+      ("min/count window over the 2-row per-group moments aggregate — " +
+        "group-count sized, never the corpus")),
+    "q_eval_gains" -> Map("global-window" ->
+      ("decile assignment + cumulative windows over the DISTINCT-score " +
+        "table (the rfm_exactq tie-coherent bucket shape)")),
+    "q_eval_self_bleu" -> Map("cartesian" ->
+      ("closest-length reference pick: sampleK x (sampleK-1) length " +
+        "grid (<=100x99 by the bounded-sample contract)")),
+    "q_events_hellinger" -> Map("cartesian" ->
+      "1-row grand-total aggregate broadcast onto the bucket join"),
+    "q_events_page_hinkley" -> Map("global-window" ->
+      ("cumulative mean/deviation/min windows over the zero-filled " +
+        "(time-range/periodSec)-row bucket aggregate — the seasonal/" +
+        "mannKendall bucket-table contract")),
     "q_events_rfm_exactq" -> Map("global-window" ->
       ("cumulative windows over per-dimension distinct-VALUE count " +
         "tables (the rocAuc midrank shape), never the user table")),

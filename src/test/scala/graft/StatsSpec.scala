@@ -1,0 +1,244 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.{Eval, TextAnalysis}
+import graft.events.Events
+
+/** Hand-computed fixtures for the round-9 statistics batch: McNemar,
+  * Kruskal–Wallis, Brown–Forsythe, risk–coverage,
+  * log-rank, Page–Hinkley, CMH, and TextTiling-lite.
+  */
+class StatsSpec extends SparkSpec {
+
+  test("mcnemarTest: continuity-corrected chi2 off the discordant cells") {
+    import spark.implicits._
+    // n01 = 2 (A right, B wrong), n10 = 1 → (|2-1|-1)²/3 = 0
+    val d = Seq((true, true), (true, false), (true, false),
+      (false, true), (false, false)).toDF("a", "b")
+    val r = Eval.mcnemarTest(d, "a", "b").collect().head
+    assert(r.getLong(0) === 5L && r.getLong(1) === 2L && r.getLong(2) === 1L)
+    assert(r.getDouble(3) === 0.0)
+    // n01 = 5, n10 = 1 → (|5-1|-1)²/6 = 1.5
+    val d2 = ((1 to 5).map(_ => (true, false)) :+ ((false, true)))
+      .toDF("a", "b")
+    assert(Eval.mcnemarTest(d2, "a", "b").collect().head.getDouble(3) === 1.5)
+    // no discordant pairs → NULL, not 0
+    val d3 = Seq((true, true), (false, false)).toDF("a", "b")
+    assert(Eval.mcnemarTest(d3, "a", "b").collect().head.isNullAt(3))
+  }
+
+  test("kruskalWallis: textbook two-group H, tie-corrected variant") {
+    import spark.implicits._
+    // a = (1,2), b = (3,4): R_a = 3, R_b = 7, H = 2.4, no ties
+    val d = Seq((1.0, "a"), (2.0, "a"), (3.0, "b"), (4.0, "b"))
+      .toDF("v", "g")
+    val r = Eval.kruskalWallis(d, "v", "g").collect().head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 4L)
+    assert(math.abs(r.getDouble(2) - 2.4) < 1e-12)
+    assert(math.abs(r.getDouble(3) - 2.4) < 1e-12)
+    // full ties inside groups: midranks 1.5/3.5, C = 1 - 12/60 = 0.8
+    val t = Seq((1.0, "a"), (1.0, "a"), (2.0, "b"), (2.0, "b"))
+      .toDF("v", "g")
+    val rt = Eval.kruskalWallis(t, "v", "g").collect().head
+    assert(math.abs(rt.getDouble(2) - 2.4) < 1e-12)
+    assert(math.abs(rt.getDouble(3) - 3.0) < 1e-12)
+    // every value identical → C = 0 → h_adj NULL
+    val c = Seq((5.0, "a"), (5.0, "b")).toDF("v", "g")
+    assert(Eval.kruskalWallis(c, "v", "g").collect().head.isNullAt(3))
+  }
+
+  test("brownForsythe: median-centered F on a hand fixture") {
+    import spark.implicits._
+    // a = (0,0,4,4): lower median 0, z = (0,0,4,4)
+    // b = (1,1,1,1): median 1, z = 0 → F = (8/1)/(16/6) = 3.0
+    val d = (Seq(0.0, 0.0, 4.0, 4.0).map(("a", _)) ++
+      Seq(1.0, 1.0, 1.0, 1.0).map(("b", _))).toDF("g", "v")
+    val r = Eval.brownForsythe(d, "v", "g").collect().head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 8L)
+    assert(math.abs(r.getDouble(2) - 3.0) < 1e-12)
+    // single group → NULL F
+    val one = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v")
+    assert(Eval.brownForsythe(one, "v", "g").collect().head.isNullAt(2))
+  }
+
+  test("riskCoverage: tie-coherent curve and step-weighted AURC") {
+    import spark.implicits._
+    // conf 3: 2 ok; conf 2: 1 err; conf 1: 1 ok + 1 err
+    val d = Seq((3, true), (3, true), (2, false), (1, true), (1, false))
+      .toDF("conf", "ok")
+    val rows = Eval.riskCoverage(d, "conf", "ok")
+      .orderBy(desc("confidence")).collect()
+    assert(rows.length === 3)
+    assert(rows(0).getDouble(2) === 0.4 && rows(0).getDouble(3) === 0.0)
+    assert(rows(1).getDouble(2) === 0.6 &&
+      math.abs(rows(1).getDouble(3) - 1.0 / 3) < 1e-12)
+    assert(rows(2).getDouble(2) === 1.0 && rows(2).getDouble(3) === 0.4)
+    // aurc = (2·0 + 1·(1/3) + 2·0.4)/5
+    val aurc = (1.0 / 3 + 0.8) / 5
+    rows.foreach(r => assert(math.abs(r.getDouble(4) - aurc) < 1e-12))
+  }
+
+  test("logRankTest: hand two-arm fixture with censoring") {
+    import spark.implicits._
+    // A: u1 (0..2, event), u2 (0..5, censored at horizon)
+    // B: u3 (0..3, event), u4 (0..5, censored)
+    val ev = Seq((1L, "a", 0L), (1L, "a", 2L), (2L, "a", 0L),
+      (2L, "a", 5L), (3L, "b", 0L), (3L, "b", 3L), (4L, "b", 0L),
+      (4L, "b", 5L)).toDF("user", "grp", "sec")
+    val rows = Events.logRankTest(ev, "user", "grp", "sec", 1L, 0L)
+      .orderBy("group").collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("a", "b"))
+    assert(rows.map(_.getLong(1)).toSeq === Seq(2L, 2L))
+    assert(rows.map(_.getLong(2)).toSeq === Seq(1L, 1L))
+    // E_a = 1/2 + 1/3 = 5/6; E_b = 1/2 + 2/3 = 7/6
+    assert(math.abs(rows(0).getDouble(3) - 5.0 / 6) < 1e-12)
+    assert(math.abs(rows(1).getDouble(3) - 7.0 / 6) < 1e-12)
+    // chi2 = (1/36)/(5/6) + (1/36)/(7/6) = 12/210
+    assert(math.abs(rows(0).getDouble(4) - 12.0 / 210) < 1e-12)
+    // V = 0.25 + 2/9; z = (1 - 5/6)/sqrt(17/36)
+    val z = (1.0 / 6) / math.sqrt(17.0 / 36)
+    assert(math.abs(rows(0).getDouble(5) - z) < 1e-12)
+    // no churn at all (everyone censored) → NULL chi2/z, zero counts
+    val flat = Seq((1L, "a", 0L), (1L, "a", 9L), (2L, "b", 0L),
+      (2L, "b", 9L)).toDF("user", "grp", "sec")
+    val fr = Events.logRankTest(flat, "user", "grp", "sec", 1L, 0L)
+      .orderBy("group").collect()
+    assert(fr.forall(r => r.getLong(2) === 0L && r.getDouble(3) === 0.0))
+    assert(fr.forall(r => r.isNullAt(4) && r.isNullAt(5)))
+  }
+
+  test("pageHinkley: hand trace with a planted level shift") {
+    import spark.implicits._
+    // buckets (counts): 1, 1, 4 — delta 0, lambda 1
+    val ev = (Seq(0L, 10L) ++ Seq.fill(4)(20L)).map(Tuple1(_)).toDF("sec")
+    val rows = Events.pageHinkley(ev, "sec", 10L, 0.0, 1.0)
+      .orderBy("bucket").collect()
+    assert(rows.map(_.getDouble(1)).toSeq === Seq(1.0, 1.0, 4.0))
+    assert(rows.map(_.getDouble(2)).toSeq === Seq(1.0, 1.0, 2.0))
+    assert(rows.map(_.getDouble(3)).toSeq === Seq(0.0, 0.0, 2.0))
+    assert(rows.map(_.getDouble(4)).toSeq === Seq(0.0, 0.0, 2.0))
+    assert(rows.map(_.getBoolean(5)).toSeq === Seq(false, false, true))
+  }
+
+  test("cmhTest: textbook stratified 2x2 with a zero-margin stratum") {
+    import spark.implicits._
+    // s1: balanced 10/10/10/10; s2: outcome-always-true (V = 0)
+    val rows = Seq.fill(10)(("s1", true, true)) ++
+      Seq.fill(10)(("s1", true, false)) ++
+      Seq.fill(10)(("s1", false, true)) ++
+      Seq.fill(10)(("s1", false, false)) ++
+      Seq.fill(5)(("s2", true, true)) ++ Seq.fill(5)(("s2", false, true))
+    val r = Events.cmhTest(rows.toDF("s", "arm", "outc"), "s", "arm", "outc")
+      .collect().head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 15L)
+    assert(math.abs(r.getDouble(2) - 15.0) < 1e-12)
+    val v = 20.0 * 20 * 20 * 20 / (40.0 * 40 * 39)
+    assert(math.abs(r.getDouble(3) - v) < 1e-12)
+    assert(math.abs(r.getDouble(4) - 0.25 / v) < 1e-12)
+    assert(math.abs(r.getDouble(5) - 1.0) < 1e-12)
+  }
+
+  test("distinctN: hand gram counts per order") {
+    import spark.implicits._
+    val d = Seq(("a", "x y x"), ("a", "x z")).toDF("g", "text")
+    val rows = graft.ml.GenEval.distinctN(d, "g", "text", maxN = 3)
+      .orderBy("n").collect()
+    // 1-grams: 5 total / 3 distinct; 2-grams: 3/3; 3-grams: 1/1
+    assert(rows.map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSeq === Seq((1, 5L, 3L), (2, 3L, 3L), (3, 1L, 1L)))
+    assert(rows(0).getDouble(4) === 0.6)
+  }
+
+  test("selfBleu: duplicate pair scores 1, the odd one out 0") {
+    import spark.implicits._
+    val d = Seq((1L, "a b"), (2L, "a b"), (3L, "c d")).toDF("id", "text")
+    val rows = graft.ml.GenEval.selfBleu(d, "id", "text", sampleK = 3,
+        maxN = 2).orderBy("id").collect()
+    // d1/d2 are exact copies of each other -> BLEU 1; d3 shares no
+    // gram with anyone -> 0. All lengths equal -> bp = 1.
+    // maxN = 2 -> columns (id, p1, p2, bp, self_bleu)
+    assert(rows.map(_.getDouble(4)).toSeq === Seq(1.0, 1.0, 0.0))
+    assert(rows.forall(_.getDouble(3) === 1.0))
+    // the clip must EXCLUDE the candidate itself: d3's own grams
+    // can't match it
+    assert(rows(2).getDouble(1) === 0.0 && rows(2).getDouble(2) === 0.0)
+  }
+
+  test("chao1: bias-corrected estimator off singleton/doubleton counts") {
+    import spark.implicits._
+    val d = Seq(("s", "a a b c")).toDF("src", "text")
+    val r = graft.ml.TextAnalysis.chao1(d, "src", "text").collect().head
+    assert(r.getLong(1) === 4L && r.getLong(2) === 3L)
+    assert(r.getLong(3) === 2L && r.getLong(4) === 1L)
+    // chao1 = 3 + 2*1/(2*(1+1)) = 3.5
+    assert(r.getDouble(5) === 3.5)
+  }
+
+  test("gainsTable: tie-coherent buckets, cumulative gain, lift") {
+    import spark.implicits._
+    val d = Seq((3, 1), (3, 0), (2, 0), (1, 1)).toDF("s", "y")
+    val rows = Eval.gainsTable(d, "s", "y", k = 2)
+      .orderBy("bucket").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq === Seq((1L, 2L, 1L), (2L, 2L, 1L)))
+    assert(rows.map(_.getDouble(3)).toSeq === Seq(0.5, 1.0))
+    assert(rows.map(_.getDouble(4)).toSeq === Seq(1.0, 1.0))
+  }
+
+  test("cohensD: pooled-SD effect size + Hedges correction") {
+    import spark.implicits._
+    val d = (Seq(0.0, 0.0, 4.0, 4.0).map(("a", _)) ++
+      Seq(5.0, 7.0).map(("b", _))).toDF("g", "v")
+    val r = Eval.cohensD(d, "v", "g").collect().head
+    assert(r.getString(0) === "a" && r.getString(1) === "b")
+    assert(r.getLong(3) === 4L && r.getLong(4) === 2L)
+    val expD = (2.0 - 6.0) / math.sqrt(18.0 / 4)
+    assert(math.abs(r.getDouble(7) - expD) < 1e-12)
+    assert(math.abs(r.getDouble(8) - expD * 0.8) < 1e-12)
+    // three groups -> NULL d (contract violation surfaced via k)
+    val tri = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0),
+      ("c", 1.0), ("c", 2.0)).toDF("g", "v")
+    val rt = Eval.cohensD(tri, "v", "g").collect().head
+    assert(rt.getLong(2) === 3L && rt.isNullAt(7))
+  }
+
+  test("hellingerFromCounts: hand smoothed Bhattacharyya coefficient") {
+    import spark.implicits._
+    val base = Seq((0L, 3L), (1L, 1L)).toDF("bucket", "n")
+    val cur = Seq((0L, 1L), (2L, 1L)).toDF("bucket", "n")
+    val r = graft.ml.Profile.hellingerFromCounts(base, cur, nBuckets = 3)
+      .collect().head
+    assert(r.getLong(0) === 3L)
+    val bc = math.sqrt(3.5 * 1.5 / (5.5 * 3.5)) +
+      math.sqrt(1.5 * 0.5 / (5.5 * 3.5)) +
+      math.sqrt(0.5 * 1.5 / (5.5 * 3.5))
+    assert(math.abs(r.getDouble(1) - bc) < 1e-12)
+    assert(math.abs(r.getDouble(2) - math.sqrt(1 - bc)) < 1e-12)
+    assert(math.abs(r.getDouble(3) + math.log(bc)) < 1e-12)
+    // identical sides -> hellinger exactly 0 (clamped, not NaN)
+    val same = graft.ml.Profile.hellingerFromCounts(base, base, 2)
+      .collect().head
+    assert(same.getDouble(2) === 0.0)
+  }
+
+  test("textTiling: vocabulary-shift boundary on a hand document") {
+    import spark.implicits._
+    // blocks [a b][a b][x y][a b]: sims (1, 0, 0), depth (0, 1, 0)
+    val d = Seq((1L, "a b a b x y a b")).toDF("id", "text")
+    val rows = TextAnalysis.textTiling(d, "id", "text", blockSize = 2)
+      .orderBy("gap").collect()
+    assert(rows.map(_.getDouble(2)).toSeq === Seq(1.0, 0.0, 0.0))
+    assert(rows.map(_.getDouble(3)).toSeq === Seq(0.0, 1.0, 0.0))
+    // mu = 1/3, sd = sqrt(2/9) → only the middle gap crosses mu + sd
+    assert(rows.map(_.getBoolean(4)).toSeq === Seq(false, true, false))
+    // single-gap doc: depth 0, no boundary; sub-2-block doc: no rows
+    val one = Seq((1L, "a b a c")).toDF("id", "text")
+    val or = TextAnalysis.textTiling(one, "id", "text", blockSize = 2)
+      .collect()
+    assert(or.length === 1 && or.head.getDouble(2) === 0.5 &&
+      !or.head.getBoolean(4))
+    val tiny = Seq((1L, "a b")).toDF("id", "text")
+    assert(TextAnalysis.textTiling(tiny, "id", "text", blockSize = 2)
+      .collect().isEmpty)
+  }
+}
