@@ -252,7 +252,12 @@ object Bench {
     "q_text_chao1",
     "q_eval_gains",
     "q_eval_cohens_d",
-    "q_events_hellinger")
+    "q_events_hellinger",
+    // round-9 third batch: observational-causal + uplift + ranking
+    // fairness (grid-matched PSM, qini deciles, exposure audit)
+    "q_events_psm",
+    "q_eval_qini",
+    "q_eval_exposure")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1958,4 +1958,66 @@ object Events {
             col("v_sum")).as("chi2_cmh"),
         when(col("bc") > 0, col("ad") / col("bc")).as("or_mh"))
   }
+  /** Propensity-score radius matching on the caliper grid + ATT —
+    * the observational-causal read when arms were NOT randomized:
+    * each treated unit matches the nearest CONTROL-occupied score
+    * value within ±`caliper`, and its counterfactual outcome is the
+    * mean control outcome AT that score (radius/stratification
+    * matching with replacement — the deterministic, join-shaped
+    * member of the PSM family; greedy 1:1 without replacement is an
+    * inherently sequential scan and is not offered). Matching runs
+    * on the caliper GRID: scores quantize to g = ⌊score/caliper⌋,
+    * a treated row joins control grid values in {g−1, g, g+1}, and
+    * the winner is min (|score gap|, control grid value). Unmatched
+    * treated units surface with NULL match columns (and are excluded
+    * from the ATT, reported alongside as the standard overlap
+    * diagnostic). Returns per treated unit (unit, score, treated_y,
+    * matched_score, n_controls_at_match, control_y_mean, matched)
+    * with (att, n_treated, n_matched) repeated.
+    *
+    * Scale shape: controls collapse to their DISTINCT grid values in
+    * one hash aggregate, so the candidate join is treated × ≤3 grid
+    * rows — the quantileNormalize bucketed-interval-join shape; no
+    * all-pairs, no global sort, no per-bucket blow-up.
+    */
+  def propensityMatch(df: DataFrame, unitCol: String, treatedCol: String,
+      scoreCol: String, outcomeCol: String,
+      caliper: Double): DataFrame = {
+    require(caliper > 0, s"caliper must be positive, got $caliper")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(unitCol).as("unit"),
+      col(treatedCol).cast("boolean").as("t"),
+      col(scoreCol).cast("double").as("score"),
+      col(outcomeCol).cast("double").as("y"))
+      .withColumn("g", floor(col("score") / caliper).cast("long"))
+    val controls = base.filter(!col("t"))
+      .groupBy("g", "score")
+      .agg(count(lit(1)).as("nc"), avg("y").as("cy"))
+    val treated = base.filter(col("t"))
+    val cand = treated
+      .select(col("unit"), col("score"), col("y"),
+        explode(array(col("g") - 1, col("g"), col("g") + 1)).as("g"))
+      .join(controls.select(col("g"), col("score").as("cscore"),
+        col("nc"), col("cy")), Seq("g"))
+      .filter(abs(col("score") - col("cscore")) <= caliper)
+    val wBest = Window.partitionBy("unit")
+      .orderBy(abs(col("score") - col("cscore")), col("cscore"))
+    val best = cand.withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+      .select(col("unit"), col("cscore").as("matched_score"),
+        col("nc").as("n_controls_at_match"), col("cy"))
+    val matches = treated.select(col("unit"), col("score"),
+        col("y").as("treated_y"))
+      .join(best, Seq("unit"), "left")
+      .withColumn("matched", col("matched_score").isNotNull)
+    val att = matches.agg(
+      count(lit(1)).as("n_treated"),
+      sum(when(col("matched"), 1L).otherwise(0L)).as("n_matched"),
+      avg(when(col("matched"), col("treated_y") - col("cy"))).as("att"))
+    matches.crossJoin(broadcast(att))
+      .select(col("unit"), col("score"), col("treated_y"),
+        col("matched_score"), col("n_controls_at_match"),
+        col("cy").as("control_y_mean"), col("matched"), col("att"),
+        col("n_treated"), col("n_matched"))
+  }
 }

@@ -1193,4 +1193,100 @@ object Eval {
         (col("d") * (lit(1.0) - lit(3.0) /
           (lit(4.0) * (col("n1") + col("n2")) - 9))).as("hedges_g"))
   }
+  /** Qini / uplift curve over tie-coherent score deciles — does the
+    * uplift model actually RANK persuadable units first: sweep the
+    * score from the top, and at each prefix compare treated
+    * conversions against the control conversions SCALED to the
+    * treated exposure, qini = conv_t − conv_c·n_t/n_c. A targeting
+    * score no better than random tracks the diagonal; the curve's
+    * lift above it is the model's value. Same tie-coherent bucket
+    * construction as [[gainsTable]] (never ntile). Returns per
+    * bucket (bucket, n_t, n_c, conv_t, conv_c, qini,
+    * qini_random) where qini_random is the diagonal at the prefix's
+    * total-population share; NULL qini where the prefix has no
+    * controls yet.
+    *
+    * Scale shape: one (score) hash aggregate with per-arm counters,
+    * cumulative windows over the distinct-score table, one bucket
+    * aggregate.
+    */
+  def qiniCurve(df: DataFrame, scoreCol: String, treatedCol: String,
+      outcomeCol: String, k: Int = 10): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val t = col(treatedCol).cast("boolean")
+    val y = col(outcomeCol).cast("int")
+    val byScore = df.select(col(scoreCol).as("s"), t.as("t"), y.as("y"))
+      .groupBy("s")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("t"), 1L).otherwise(0L)).as("nt"),
+        sum(when(col("t"), col("y")).otherwise(0)).as("ct"),
+        sum(when(!col("t"), col("y")).otherwise(0)).as("cc"))
+    val w = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketed = byScore
+      .withColumn("before", coalesce(sum("n").over(w), lit(0L)))
+      .withColumn("tot", sum("n").over(Window.partitionBy()))
+      .withColumn("bucket",
+        (lit(1) + floor(col("before") * k / col("tot"))).cast("long"))
+    val perBucket = bucketed.groupBy("bucket")
+      .agg(sum("n").as("n"), sum("nt").as("n_t"),
+        (sum("n") - sum("nt")).as("n_c"),
+        sum("ct").as("conv_t"), sum("cc").as("conv_c"),
+        first("tot").as("tot"))
+    val wb = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val totals = Window.partitionBy()
+    perBucket
+      .withColumn("cnt", sum("n_t").over(wb))
+      .withColumn("cnc", sum("n_c").over(wb))
+      .withColumn("cct", sum("conv_t").over(wb))
+      .withColumn("ccc", sum("conv_c").over(wb))
+      .withColumn("cn", sum("n").over(wb))
+      .withColumn("qini_total",
+        when(sum("n_c").over(totals) > 0,
+          sum("conv_t").over(totals) -
+            sum("conv_c").over(totals) *
+              sum("n_t").over(totals).cast("double") /
+              sum("n_c").over(totals)))
+      .select(col("bucket"), col("n_t"), col("n_c"), col("conv_t"),
+        col("conv_c"),
+        when(col("cnc") > 0, col("cct") -
+          col("ccc") * col("cnt").cast("double") / col("cnc"))
+          .as("qini"),
+        (col("qini_total") * col("cn").cast("double") / col("tot"))
+          .as("qini_random"))
+  }
+
+  /** Exposure-fairness audit of a ranking (Singh & Joachims 2018
+    * flavor): per group, the position-discounted exposure
+    * Σ 1/log₂(rank+1) over top-`k` slots across queries, its share
+    * of total exposure, the group's share of ranked items, and the
+    * disparity ratio exposure_share/item_share — a ranker can be
+    * accurate AND starve a group of exposure; this is the audit that
+    * catches it (the ranking-side complement of [[fairnessReport]]).
+    * Returns per group (group, n_items, n_in_topk, exposure,
+    * exposure_share, item_share, disparity).
+    *
+    * Scale shape: one conditional aggregate over the ranked rows +
+    * a 1-row total broadcast.
+    */
+  def exposureReport(df: DataFrame, rankCol: String, groupCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val r = col(rankCol).cast("double")
+    val per = df.groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col(rankCol) <= k, 1L).otherwise(0L)).as("n_in_topk"),
+        coalesce(sum(when(col(rankCol) <= k,
+          lit(1.0) / log2(r + 1.0))), lit(0.0)).as("exposure"))
+    val tot = per.agg(sum("n_items").as("ti"), sum("exposure").as("te"))
+    per.crossJoin(broadcast(tot))
+      .select(col("group"), col("n_items"), col("n_in_topk"),
+        col("exposure"),
+        when(col("te") > 0, col("exposure") / col("te"))
+          .as("exposure_share"),
+        (col("n_items").cast("double") / col("ti")).as("item_share"),
+        when(col("te") > 0, (col("exposure") / col("te")) /
+          (col("n_items").cast("double") / col("ti"))).as("disparity"))
+  }
 }

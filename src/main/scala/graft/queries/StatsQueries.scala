@@ -660,6 +660,171 @@ object StatsQueries extends QueryGroup {
           round(col("bhattacharyya"), 6).as("bhattacharyya"))
     },
 
+    // Propensity radius matching on the 0.03 caliper grid: score =
+    // (user_id % 97)/100, treated = user parity, outcome = any event
+    // value > 90.
+    q("q_events_psm",
+      """WITH pu AS (
+        |  SELECT user_id AS unit, (user_id % 2 = 1) AS t,
+        |    (user_id % 97) / 100.0::DOUBLE AS score,
+        |    CAST(CASE WHEN max(value) > 90 THEN 1 ELSE 0 END AS DOUBLE)
+        |      AS y
+        |  FROM events GROUP BY 1, 2, 3
+        |), b AS (
+        |  SELECT *, CAST(floor(score / 0.03::DOUBLE) AS BIGINT) AS g
+        |  FROM pu
+        |), ctl AS (
+        |  SELECT g, score AS cscore, CAST(count(*) AS BIGINT) AS nc,
+        |    avg(y) AS cy
+        |  FROM b WHERE NOT t GROUP BY 1, 2
+        |), tr AS (SELECT unit, score, y FROM b WHERE t),
+        |cand AS (
+        |  SELECT tr.unit, tr.score, tr.y, c.cscore, c.nc, c.cy
+        |  FROM tr, unnest([
+        |    CAST(floor(tr.score / 0.03::DOUBLE) AS BIGINT) - 1,
+        |    CAST(floor(tr.score / 0.03::DOUBLE) AS BIGINT),
+        |    CAST(floor(tr.score / 0.03::DOUBLE) AS BIGINT) + 1]) AS u(g)
+        |  JOIN ctl c ON c.g = u.g
+        |  WHERE abs(tr.score - c.cscore) <= 0.03::DOUBLE
+        |), best AS (
+        |  SELECT unit, cscore AS matched_score, nc, cy FROM cand
+        |  QUALIFY row_number() OVER (PARTITION BY unit
+        |    ORDER BY abs(score - cscore), cscore) = 1
+        |), m AS (
+        |  SELECT tr.unit, tr.score, tr.y AS treated_y,
+        |    best.matched_score, best.nc, best.cy,
+        |    best.matched_score IS NOT NULL AS matched
+        |  FROM tr LEFT JOIN best USING (unit)
+        |), agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_treated,
+        |    CAST(sum(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_matched,
+        |    avg(CASE WHEN matched THEN treated_y - cy END) AS att
+        |  FROM m
+        |)
+        |SELECT m.unit, round(m.score, 6) AS score, m.treated_y,
+        |  round(m.matched_score, 6) + 0.0 AS matched_score,
+        |  m.nc AS n_controls_at_match,
+        |  round(m.cy, 6) + 0.0 AS control_y_mean, m.matched,
+        |  round(agg.att, 6) + 0.0 AS att, agg.n_treated, agg.n_matched
+        |FROM m, agg ORDER BY unit""".stripMargin) { (s, dir) =>
+      val pu = t(s, dir, "events")
+        .groupBy(col("user_id").as("unit"),
+          (col("user_id") % 2 === 1).as("t"),
+          ((col("user_id") % 97) / 100.0).as("score"))
+        .agg(when(max(col("value")) > 90, 1.0).otherwise(0.0).as("y"))
+      Events.propensityMatch(pu, "unit", "t", "score", "y",
+          caliper = 0.03)
+        .select(col("unit"), round(col("score"), 6).as("score"),
+          col("treated_y"),
+          (round(col("matched_score"), 6) + 0.0).as("matched_score"),
+          col("n_controls_at_match"),
+          (round(col("control_y_mean"), 6) + 0.0).as("control_y_mean"),
+          col("matched"), (round(col("att"), 6) + 0.0).as("att"),
+          col("n_treated"), col("n_matched"))
+        .orderBy("unit")
+    },
+
+    // Qini uplift deciles: score = user_id % 89, treated = parity,
+    // outcome = any event value > 90.
+    q("q_eval_qini",
+      """WITH pu AS (
+        |  SELECT user_id, user_id % 89 AS s, (user_id % 2 = 1) AS t,
+        |    CASE WHEN max(value) > 90 THEN 1 ELSE 0 END AS y
+        |  FROM events GROUP BY 1, 2, 3
+        |), bs AS (
+        |  SELECT s, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |    CAST(sum(CASE WHEN t THEN y ELSE 0 END) AS BIGINT) AS ct,
+        |    CAST(sum(CASE WHEN NOT t THEN y ELSE 0 END) AS BIGINT) AS cc
+        |  FROM pu GROUP BY 1
+        |), cum AS (
+        |  SELECT s, n, nt, ct, cc,
+        |    coalesce(sum(n) OVER (ORDER BY s DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS before,
+        |    sum(n) OVER () AS tot
+        |  FROM bs
+        |), bk AS (
+        |  SELECT CAST(1 + floor(before * 10 / tot) AS BIGINT) AS bucket,
+        |    n, nt, ct, cc, tot
+        |  FROM cum
+        |), pb AS (
+        |  SELECT bucket, CAST(sum(n) AS BIGINT) AS n,
+        |    CAST(sum(nt) AS BIGINT) AS n_t,
+        |    CAST(sum(n) - sum(nt) AS BIGINT) AS n_c,
+        |    CAST(sum(ct) AS BIGINT) AS conv_t,
+        |    CAST(sum(cc) AS BIGINT) AS conv_c,
+        |    CAST(max(tot) AS BIGINT) AS tot
+        |  FROM bk GROUP BY 1
+        |), cc2 AS (
+        |  SELECT *,
+        |    sum(n_t) OVER wb AS cnt, sum(n_c) OVER wb AS cnc,
+        |    sum(conv_t) OVER wb AS cct, sum(conv_c) OVER wb AS ccc,
+        |    sum(n) OVER wb AS cn,
+        |    sum(n_t) OVER () AS tnt, sum(n_c) OVER () AS tnc,
+        |    sum(conv_t) OVER () AS tct, sum(conv_c) OVER () AS tcc
+        |  FROM pb WINDOW wb AS (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT bucket, n_t, n_c, conv_t, conv_c,
+        |  round(CASE WHEN cnc > 0 THEN
+        |    cct - ccc * CAST(cnt AS DOUBLE) / cnc END, 6) + 0.0 AS qini,
+        |  round(CASE WHEN tnc > 0 THEN
+        |    (tct - tcc * CAST(tnt AS DOUBLE) / tnc)
+        |      * CAST(cn AS DOUBLE) / tot END, 6) + 0.0 AS qini_random
+        |FROM cc2 ORDER BY bucket""".stripMargin) { (s, dir) =>
+      val pu = t(s, dir, "events")
+        .groupBy(col("user_id"), (col("user_id") % 89).as("score"),
+          (col("user_id") % 2 === 1).as("t"))
+        .agg(when(max(col("value")) > 90, 1).otherwise(0).as("y"))
+      Eval.qiniCurve(pu, "score", "t", "y", k = 10)
+        .select(col("bucket"), col("n_t"), col("n_c"), col("conv_t"),
+          col("conv_c"), (round(col("qini"), 6) + 0.0).as("qini"),
+          (round(col("qini_random"), 6) + 0.0).as("qini_random"))
+        .orderBy("bucket")
+    },
+
+    // Exposure-fairness audit: per-source ranking by n_chars, groups
+    // = language, top-20 exposure vs item share.
+    q("q_eval_exposure",
+      """WITH r AS (
+        |  SELECT lang,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rank
+        |  FROM documents
+        |), per AS (
+        |  SELECT lang AS grp, CAST(count(*) AS BIGINT) AS n_items,
+        |    CAST(sum(CASE WHEN rank <= 20 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_in_topk,
+        |    coalesce(sum(CASE WHEN rank <= 20 THEN
+        |      1.0::DOUBLE / log2(CAST(rank AS DOUBLE) + 1.0::DOUBLE)
+        |      END), 0.0::DOUBLE) AS exposure
+        |  FROM r GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(n_items) AS BIGINT) AS ti,
+        |    sum(exposure) AS te FROM per
+        |)
+        |SELECT grp, n_items, n_in_topk, round(exposure, 6) AS exposure,
+        |  round(CASE WHEN te > 0 THEN exposure / te END, 6)
+        |    AS exposure_share,
+        |  round(CAST(n_items AS DOUBLE) / ti, 6) AS item_share,
+        |  round(CASE WHEN te > 0 THEN (exposure / te)
+        |    / (CAST(n_items AS DOUBLE) / ti) END, 6) AS disparity
+        |FROM per, tot ORDER BY grp""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val ranked = t(s, dir, "documents")
+        .withColumn("rank", row_number().over(w))
+      Eval.exposureReport(ranked, "rank", "lang", k = 20)
+        .select(col("group").as("grp"), col("n_items"), col("n_in_topk"),
+          round(col("exposure"), 6).as("exposure"),
+          round(col("exposure_share"), 6).as("exposure_share"),
+          round(col("item_share"), 6).as("item_share"),
+          round(col("disparity"), 6).as("disparity"))
+        .orderBy("grp")
+    },
+
     // TextTiling-lite gaps over 20-token blocks, c = 1.0 — the full
     // similarity/depth/boundary trace per document.
     q("q_text_tiling",

@@ -173,6 +173,13 @@ class PlanLintSpec extends SparkSpec {
           "confidence table — threshold-sweep grain, never the corpus"),
       "cartesian" ->
         "1-row (N, weighted-risk) aggregate broadcast onto the curve"),
+    "q_eval_exposure" -> Map("cartesian" ->
+      "1-row (total items, total exposure) aggregate broadcast onto the group table"),
+    "q_eval_qini" -> Map("global-window" ->
+      ("decile assignment + cumulative per-arm sums over the DISTINCT-" +
+        "score table (the gainsTable shape)")),
+    "q_events_psm" -> Map("cartesian" ->
+      "1-row (ATT, n_treated, n_matched) aggregate broadcast onto the match table"),
     "q_eval_cohens_d" -> Map("global-window" ->
       ("min/count window over the 2-row per-group moments aggregate — " +
         "group-count sized, never the corpus")),

@@ -221,6 +221,56 @@ class StatsSpec extends SparkSpec {
     assert(same.getDouble(2) === 0.0)
   }
 
+  test("propensityMatch: nearest grid control, overlap diagnostic, ATT") {
+    import spark.implicits._
+    // treated u1 (0.10) matches the 0.09 control pair (mean y 0.5);
+    // treated u2 (0.50) has nothing within the 0.05 caliper
+    val d = Seq(
+      (1L, true, 0.10, 1.0), (2L, true, 0.50, 1.0),
+      (3L, false, 0.09, 0.0), (4L, false, 0.09, 1.0),
+      (5L, false, 0.13, 0.0)).toDF("unit", "t", "score", "y")
+    val rows = Events.propensityMatch(d, "unit", "t", "score", "y",
+        caliper = 0.05).orderBy("unit").collect()
+    assert(rows.length === 2)
+    val u1 = rows(0)
+    assert(u1.getDouble(3) === 0.09 && u1.getLong(4) === 2L &&
+      u1.getDouble(5) === 0.5 && u1.getBoolean(6))
+    assert(rows(1).isNullAt(3) && !rows(1).getBoolean(6))
+    rows.foreach { r =>
+      assert(r.getDouble(7) === 0.5) // ATT over the matched unit only
+      assert(r.getLong(8) === 2L && r.getLong(9) === 1L)
+    }
+  }
+
+  test("qiniCurve: cumulative uplift above the scaled-control baseline") {
+    import spark.implicits._
+    // top score: treated converter vs silent control (qini 1);
+    // full population: both arms 1 conversion (qini back to 0)
+    val d = Seq((2, true, 1), (2, false, 0), (1, true, 0),
+      (1, false, 1)).toDF("s", "t", "y")
+    val rows = Eval.qiniCurve(d, "s", "t", "y", k = 2)
+      .orderBy("bucket").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(rows.map(_.getDouble(5)).toSeq === Seq(1.0, 0.0))
+    assert(rows.map(_.getDouble(6)).toSeq === Seq(0.0, 0.0))
+  }
+
+  test("exposureReport: position-discounted share vs item share") {
+    import spark.implicits._
+    val d = Seq((1, "a"), (2, "b"), (3, "a")).toDF("rank", "g")
+    val rows = Eval.exposureReport(d, "rank", "g", k = 2)
+      .orderBy("group").collect()
+    val ea = 1.0 / (math.log(2.0) / math.log(2.0)) // rank 1
+    val eb = 1.0 / (math.log(3.0) / math.log(2.0)) // rank 2
+    val a = rows(0); val b = rows(1)
+    assert(a.getLong(1) === 2L && a.getLong(2) === 1L)
+    assert(math.abs(a.getDouble(3) - ea) < 1e-12)
+    assert(math.abs(b.getDouble(3) - eb) < 1e-12)
+    assert(math.abs(a.getDouble(4) - ea / (ea + eb)) < 1e-12)
+    assert(math.abs(a.getDouble(6) -
+      (ea / (ea + eb)) / (2.0 / 3)) < 1e-12)
+  }
+
   test("textTiling: vocabulary-shift boundary on a hand document") {
     import spark.implicits._
     // blocks [a b][a b][x y][a b]: sims (1, 0, 0), depth (0, 1, 0)
