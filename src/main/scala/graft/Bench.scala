@@ -257,7 +257,14 @@ object Bench {
     // fairness (grid-matched PSM, qini deciles, exposure audit)
     "q_events_psm",
     "q_eval_qini",
-    "q_eval_exposure")
+    "q_eval_exposure",
+    // round-9 fourth batch: clustered ratio-metric SE, bandit replay
+    // eval, TwoNN intrinsic dimension, covariance spectrum shape
+    "q_events_delta_ratio",
+    "q_eval_bandit_replay",
+    "q_eval_bandit_arm",
+    "q_embed_twonn",
+    "q_embed_effrank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2020,4 +2020,58 @@ object Events {
         col("cy").as("control_y_mean"), col("matched"), col("att"),
         col("n_treated"), col("n_matched"))
   }
+  /** Delta-method ratio-metric analysis per variant — the correct SE
+    * for event-level metrics under USER-level randomization
+    * (clicks/views, revenue/session): the naive row-level variance
+    * ignores within-user correlation and understates the SE, the
+    * classic silently-overconfident A/B bug. Per user: (y_u, n_u)
+    * sums; per variant: R = ΣY/ΣN and
+    * Var(R) ≈ (s_yy − 2R·s_yn + R²·s_nn) / (U·n̄²) with SAMPLE
+    * covariances of the per-user sums (Deng et al. 2017 flavor).
+    * Reports per variant (variant, users, num_sum, den_sum, ratio,
+    * se) with the z of each treatment against `controlVariant`
+    * repeated on its row (NULL on control / degenerate SEs).
+    *
+    * Scale shape: one user aggregate, one variant moments aggregate,
+    * a broadcast control row.
+    */
+  def deltaMethodRatio(events: DataFrame, userCol: String,
+      variantCol: String, numCol: String, denCol: String,
+      controlVariant: String): DataFrame = {
+    val perUser = events
+      .groupBy(col(userCol).as("user"),
+        col(variantCol).cast("string").as("variant"))
+      .agg(sum(col(numCol).cast("double")).as("y"),
+        sum(col(denCol).cast("double")).as("n"))
+    val per = perUser.groupBy("variant")
+      .agg(count(lit(1)).as("users"), sum("y").as("ys"),
+        sum("n").as("ns"), sum(col("y") * col("y")).as("yy"),
+        sum(col("y") * col("n")).as("yn"),
+        sum(col("n") * col("n")).as("nn"))
+      .withColumn("ratio", col("ys") / col("ns"))
+      .withColumn("nbar", col("ns") / col("users"))
+      // sample covariances of the per-user (y, n) sums
+      .withColumn("syy", (col("yy") - col("ys") * col("ys") / col("users"))
+        / (col("users") - 1))
+      .withColumn("syn", (col("yn") - col("ys") * col("ns") / col("users"))
+        / (col("users") - 1))
+      .withColumn("snn", (col("nn") - col("ns") * col("ns") / col("users"))
+        / (col("users") - 1))
+      .withColumn("se", when(col("users") > 1 && col("ns") > 0,
+        sqrt(greatest(
+          (col("syy") - lit(2.0) * col("ratio") * col("syn") +
+            col("ratio") * col("ratio") * col("snn")) /
+            (col("users") * col("nbar") * col("nbar")), lit(0.0)))))
+    val ctl = per.filter(col("variant") === controlVariant)
+      .select(col("ratio").as("c_ratio"), col("se").as("c_se"))
+    per.crossJoin(broadcast(ctl))
+      .select(col("variant"), col("users"), col("ys").as("num_sum"),
+        col("ns").as("den_sum"), col("ratio"), col("se"),
+        when(col("variant") =!= controlVariant &&
+            col("se").isNotNull && col("c_se").isNotNull &&
+            (col("se") * col("se") + col("c_se") * col("c_se")) > 0,
+          (col("ratio") - col("c_ratio")) /
+            sqrt(col("se") * col("se") + col("c_se") * col("c_se")))
+          .as("z_vs_control"))
+  }
 }

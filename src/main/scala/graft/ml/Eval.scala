@@ -1289,4 +1289,42 @@ object Eval {
         when(col("te") > 0, (col("exposure") / col("te")) /
           (col("n_items").cast("double") / col("ti"))).as("disparity"))
   }
+  /** Replay (rejection-sampling) off-policy evaluation of a bandit
+    * policy over uniformly-logged data (Li et al. 2011): keep exactly
+    * the logged rounds where the candidate policy would have chosen
+    * the SAME arm, and average their observed rewards — an unbiased
+    * estimate of the policy's online value without deploying it.
+    * Requires uniform logging (documented; for non-uniform logs use
+    * [[ipsValue]]'s propensity weighting). Returns one row
+    * (n_logged, n_matched, match_rate, value) plus per-arm match
+    * diagnostics via [[banditReplayByArm]]; value is NULL when no
+    * rounds match.
+    *
+    * Scale shape: one scan, one conditional aggregate.
+    */
+  def banditReplay(logs: DataFrame, loggedArmCol: String,
+      policyArmCol: String, rewardCol: String): DataFrame = {
+    val m = col(loggedArmCol) === col(policyArmCol)
+    logs.agg(count(lit(1)).as("n_logged"),
+        sum(when(m, 1L).otherwise(0L)).as("n_matched"),
+        avg(when(m, col(rewardCol).cast("double"))).as("value"))
+      .select(col("n_logged"), col("n_matched"),
+        (col("n_matched").cast("double") / col("n_logged"))
+          .as("match_rate"), col("value"))
+  }
+
+  /** Per-arm companion of [[banditReplay]]: how many logged rounds
+    * each policy-chosen arm kept and the arm's replay value — the
+    * diagnostic that catches a "great" overall value carried by one
+    * over-represented arm. Returns per arm (arm, n_policy, n_matched,
+    * value).
+    */
+  def banditReplayByArm(logs: DataFrame, loggedArmCol: String,
+      policyArmCol: String, rewardCol: String): DataFrame = {
+    val m = col(loggedArmCol) === col(policyArmCol)
+    logs.groupBy(col(policyArmCol).as("arm"))
+      .agg(count(lit(1)).as("n_policy"),
+        sum(when(m, 1L).otherwise(0L)).as("n_matched"),
+        avg(when(m, col(rewardCol).cast("double"))).as("value"))
+  }
 }

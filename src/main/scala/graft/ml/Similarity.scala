@@ -1297,4 +1297,64 @@ object Similarity {
       .agg(count(lit(1)).as("n"), avg("a").as("mean_a"),
         avg("b").as("mean_b"), avg("sil").as("mean_sil"))
   }
+  /** TwoNN intrinsic-dimension estimate of an embedding space (Facco
+    * et al. 2017) over a BOUNDED sample: for each point, μ = ln(r₂/r₁)
+    * of its two nearest sample neighbors, and the MLE is
+    * d = n / Σμ — the one-number answer to "how many effective
+    * dimensions does this space actually use", read before trusting
+    * PCA truncation widths or Matryoshka prefixes. Points whose
+    * nearest neighbor is at distance 0 (exact duplicates) are dropped
+    * from the estimate and counted — duplicates make μ undefined and
+    * are a data fact worth surfacing, not averaging over. Returns one
+    * row (n_used, n_dropped, mu_mean, intrinsic_dim).
+    *
+    * Scale shape: the [[mmdRbf]] BOUNDED-SAMPLE contract — the
+    * two-NN scan is all-pairs on the sample (never the corpus); pass
+    * a few thousand deterministic rows. Distances compare as exact
+    * integer squared-euclidean when callers quantize vectors (the
+    * bit-exact-selection discipline).
+    */
+  def intrinsicDimension(sample: DataFrame): DataFrame = {
+    val spark = sample.sparkSession
+    import spark.implicits._
+    val pts = sample.select(col("id").cast("long"), col("vec"))
+      .as[(Long, Array[Float])]
+    val all = pts.collect().sortBy(_._1)
+    require(all.length >= 3, s"need >= 3 sample points, got ${all.length}")
+    val bAll = spark.sparkContext.broadcast(all)
+    val mus = pts.mapPartitions { it =>
+      val arr = bAll.value
+      it.map { case (id, v) =>
+        var d1 = Double.MaxValue
+        var d2 = Double.MaxValue
+        var i = 0
+        while (i < arr.length) {
+          val (oid, ov) = arr(i)
+          if (oid != id) {
+            var s2 = 0.0
+            var j = 0
+            while (j < v.length) {
+              val d = v(j).toDouble - ov(j)
+              s2 += d * d
+              j += 1
+            }
+            if (s2 < d1) { d2 = d1; d1 = s2 }
+            else if (s2 < d2) { d2 = s2 }
+          }
+          i += 1
+        }
+        // mu = ln(r2/r1) = 0.5 ln(d2^2/d1^2) on squared distances
+        (id, if (d1 > 0) 0.5 * math.log(d2 / d1) else Double.NaN)
+      }
+    }.toDF("id", "mu")
+    mus.agg(
+        sum(when(!isnan(col("mu")), 1L).otherwise(0L)).as("n_used"),
+        sum(when(isnan(col("mu")), 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(!isnan(col("mu")), col("mu"))).as("mu_sum"))
+      .select(col("n_used"), col("n_dropped"),
+        (col("mu_sum") / col("n_used")).as("mu_mean"),
+        when(col("mu_sum") > 0,
+          col("n_used").cast("double") / col("mu_sum"))
+          .as("intrinsic_dim"))
+  }
 }

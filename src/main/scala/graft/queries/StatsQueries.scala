@@ -825,6 +825,185 @@ object StatsQueries extends QueryGroup {
         .orderBy("grp")
     },
 
+    // Delta-method ratio metric (value per event) per variant under
+    // user-level randomization; control = variant '0'.
+    q("q_events_delta_ratio",
+      """WITH pu AS (
+        |  SELECT user_id, CAST(user_id % 3 AS VARCHAR) AS variant,
+        |    sum(value) AS y, sum(1.0::DOUBLE) AS n
+        |  FROM events GROUP BY 1, 2
+        |), per AS (
+        |  SELECT variant, CAST(count(*) AS BIGINT) AS users,
+        |    sum(y) AS ys, sum(n) AS ns, sum(y * y) AS yy,
+        |    sum(y * n) AS yn, sum(n * n) AS nn
+        |  FROM pu GROUP BY 1
+        |), d AS (
+        |  SELECT *, ys / ns AS ratio, ns / users AS nbar,
+        |    (yy - ys * ys / users) / (users - 1) AS syy,
+        |    (yn - ys * ns / users) / (users - 1) AS syn,
+        |    (nn - ns * ns / users) / (users - 1) AS snn
+        |  FROM per
+        |), e AS (
+        |  SELECT variant, users, ys, ns, ratio,
+        |    CASE WHEN users > 1 AND ns > 0 THEN
+        |      sqrt(greatest((syy - 2.0::DOUBLE * ratio * syn
+        |        + ratio * ratio * snn) / (users * nbar * nbar),
+        |        0.0::DOUBLE)) END AS se
+        |  FROM d
+        |), ctl AS (
+        |  SELECT ratio AS c_ratio, se AS c_se FROM e WHERE variant = '0'
+        |)
+        |SELECT variant, users, round(ys, 4) AS num_sum,
+        |  round(ns, 4) AS den_sum, round(ratio, 6) AS ratio,
+        |  round(se, 6) AS se,
+        |  round(CASE WHEN variant != '0' AND se IS NOT NULL
+        |      AND c_se IS NOT NULL AND se * se + c_se * c_se > 0 THEN
+        |    (ratio - c_ratio) / sqrt(se * se + c_se * c_se) END, 6)
+        |    + 0.0 AS z_vs_control
+        |FROM e, ctl ORDER BY variant""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("user_id"),
+        (col("user_id") % 3).cast("string").as("variant"),
+        col("value"), lit(1.0).as("one"))
+      Events.deltaMethodRatio(ev, "user_id", "variant", "value", "one",
+          controlVariant = "0")
+        .select(col("variant"), col("users"),
+          round(col("num_sum"), 4).as("num_sum"),
+          round(col("den_sum"), 4).as("den_sum"),
+          round(col("ratio"), 6).as("ratio"), round(col("se"), 6).as("se"),
+          (round(col("z_vs_control"), 6) + 0.0).as("z_vs_control"))
+        .orderBy("variant")
+    },
+
+    // Replay off-policy evaluation: logged arm = event_type, policy
+    // chooses by value threshold, reward = value/100.
+    q("q_eval_bandit_replay",
+      """WITH d AS (
+        |  SELECT event_type AS logged,
+        |    CASE WHEN value > 50 THEN 'purchase' ELSE 'click' END
+        |      AS policy,
+        |    value / 100.0::DOUBLE AS reward
+        |  FROM events
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_logged,
+        |  CAST(sum(CASE WHEN logged = policy THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_matched,
+        |  round(sum(CASE WHEN logged = policy THEN 1 ELSE 0 END)
+        |    * 1.0::DOUBLE / count(*), 6) AS match_rate,
+        |  round(avg(CASE WHEN logged = policy THEN reward END), 6)
+        |    AS value
+        |FROM d""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "events").select(
+        col("event_type").as("logged"),
+        when(col("value") > 50, "purchase").otherwise("click")
+          .as("policy"),
+        (col("value") / 100.0).as("reward"))
+      Eval.banditReplay(d, "logged", "policy", "reward")
+        .select(col("n_logged"), col("n_matched"),
+          round(col("match_rate"), 6).as("match_rate"),
+          round(col("value"), 6).as("value"))
+    },
+
+    // Per-arm replay diagnostics for the same policy.
+    q("q_eval_bandit_arm",
+      """WITH d AS (
+        |  SELECT event_type AS logged,
+        |    CASE WHEN value > 50 THEN 'purchase' ELSE 'click' END
+        |      AS policy,
+        |    value / 100.0::DOUBLE AS reward
+        |  FROM events
+        |)
+        |SELECT policy AS arm, CAST(count(*) AS BIGINT) AS n_policy,
+        |  CAST(sum(CASE WHEN logged = policy THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_matched,
+        |  round(avg(CASE WHEN logged = policy THEN reward END), 6)
+        |    + 0.0 AS value
+        |FROM d GROUP BY 1 ORDER BY arm""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "events").select(
+        col("event_type").as("logged"),
+        when(col("value") > 50, "purchase").otherwise("click")
+          .as("policy"),
+        (col("value") / 100.0).as("reward"))
+      Eval.banditReplayByArm(d, "logged", "policy", "reward")
+        .select(col("arm"), col("n_policy"), col("n_matched"),
+          (round(col("value"), 6) + 0.0).as("value"))
+        .orderBy("arm")
+    },
+
+    // TwoNN intrinsic dimension of the vec_id<1000 embedding sample,
+    // integer-quantized so both engines select identical neighbors.
+    q("q_embed_twonn",
+      """WITH samp AS (
+        |  SELECT vec_id AS id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> floor(x * 1000 + 0.5::DOUBLE)) AS q
+        |  FROM embeddings WHERE vec_id < 1000
+        |), pair AS (
+        |  SELECT a.id AS aid,
+        |    list_aggregate(list_transform(range(1, len(a.q) + 1),
+        |      i -> (a.q[i] - b.q[i]) * (a.q[i] - b.q[i])), 'sum') AS d2
+        |  FROM samp a JOIN samp b ON a.id != b.id
+        |), top2 AS (
+        |  SELECT aid, d2,
+        |    row_number() OVER (PARTITION BY aid ORDER BY d2) AS rk
+        |  FROM pair QUALIFY rk <= 2
+        |), mu AS (
+        |  SELECT aid, CASE WHEN min(d2) > 0 THEN
+        |    0.5::DOUBLE * ln(max(d2) / min(d2)) END AS mu
+        |  FROM top2 GROUP BY 1
+        |)
+        |SELECT CAST(sum(CASE WHEN mu IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_used,
+        |  CAST(sum(CASE WHEN mu IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dropped,
+        |  round(sum(mu) / sum(CASE WHEN mu IS NOT NULL THEN 1 ELSE 0
+        |    END), 6) AS mu_mean,
+        |  round(CASE WHEN sum(mu) > 0 THEN
+        |    sum(CASE WHEN mu IS NOT NULL THEN 1 ELSE 0 END)
+        |      * 1.0::DOUBLE / sum(mu) END, 6) AS intrinsic_dim
+        |FROM mu""".stripMargin) { (s, dir) =>
+      val samp = t(s, dir, "embeddings").filter(col("vec_id") < 1000)
+        .select(col("vec_id").as("id"),
+          // cast to double BEFORE scaling: float*1000 rounds at float
+          // precision and can quantize differently from the oracle's
+          // CAST(embedding AS DOUBLE[]) path
+          transform(col("embedding").cast("array<double>"),
+            x => floor(x * 1000 + 0.5)).cast("array<float>").as("vec"))
+      graft.ml.Similarity.intrinsicDimension(samp)
+        .select(col("n_used"), col("n_dropped"),
+          round(col("mu_mean"), 6).as("mu_mean"),
+          round(col("intrinsic_dim"), 6).as("intrinsic_dim"))
+    },
+
+    // Covariance spectrum shape of the vec_id<2000 embedding sample:
+    // the eigen-free participation ratio replays in SQL; the
+    // eigen-dependent effective rank / top share stay spec-gated.
+    q("q_embed_effrank",
+      """WITH samp AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 2000
+        |), cell AS (
+        |  SELECT i.i AS i, j.j AS j, avg(v[i.i] * v[j.j]) AS exy,
+        |    avg(v[i.i]) AS exi, avg(v[j.j]) AS exj
+        |  FROM samp, range(1, 65) AS i(i), range(1, 65) AS j(j)
+        |  GROUP BY 1, 2
+        |), cov AS (
+        |  SELECT i, j, exy - exi * exj AS c FROM cell
+        |), agg AS (
+        |  SELECT sum(CASE WHEN i = j THEN c ELSE 0.0::DOUBLE END)
+        |      AS trace,
+        |    sum(c * c) AS frob2, CAST(max(i) AS BIGINT) AS dim
+        |  FROM cov
+        |), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM samp)
+        |SELECT dim, n, round(trace, 4) AS trace,
+        |  round(trace * trace / frob2, 4) AS participation_ratio
+        |FROM agg, nn""".stripMargin) { (s, dir) =>
+      graft.ml.Pca.effectiveRank(
+          t(s, dir, "embeddings").filter(col("vec_id") < 2000)
+            .select(col("embedding").as("vec")), "vec", 64)
+        .select(col("dim"), col("n"), round(col("trace"), 4).as("trace"),
+          round(col("participation_ratio"), 4).as("participation_ratio"))
+    },
+
     // TextTiling-lite gaps over 20-token blocks, c = 1.0 — the full
     // similarity/depth/boundary trace per document.
     q("q_text_tiling",

@@ -173,6 +173,8 @@ class PlanLintSpec extends SparkSpec {
           "confidence table — threshold-sweep grain, never the corpus"),
       "cartesian" ->
         "1-row (N, weighted-risk) aggregate broadcast onto the curve"),
+    "q_events_delta_ratio" -> Map("cartesian" ->
+      "1-row control (ratio, se) aggregate broadcast onto the variant table"),
     "q_eval_exposure" -> Map("cartesian" ->
       "1-row (total items, total exposure) aggregate broadcast onto the group table"),
     "q_eval_qini" -> Map("global-window" ->

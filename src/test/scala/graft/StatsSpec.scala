@@ -271,6 +271,81 @@ class StatsSpec extends SparkSpec {
       (ea / (ea + eb)) / (2.0 / 3)) < 1e-12)
   }
 
+  test("deltaMethodRatio: clustered SE, z vs control") {
+    import spark.implicits._
+    // two users per arm; ratio = total y / total n
+    val d = Seq(
+      (1L, "0", 2.0, 1.0), (1L, "0", 2.0, 1.0), (2L, "0", 1.0, 1.0),
+      (3L, "1", 4.0, 1.0), (4L, "1", 6.0, 1.0)).toDF("u", "v", "y", "n")
+    val rows = Events.deltaMethodRatio(d, "u", "v", "y", "n", "0")
+      .orderBy("variant").collect()
+    val c = rows(0); val t = rows(1)
+    // control: users (4,1) over (2,1) events -> ratio 5/3
+    assert(math.abs(c.getDouble(4) - 5.0 / 3) < 1e-12)
+    assert(c.isNullAt(6)) // control has no z
+    assert(math.abs(t.getDouble(4) - 5.0) < 1e-12)
+    // treated per-user sums (4,1), (6,1): syy = 2, syn = 0, snn = 0
+    // se = sqrt(2 / (2 * 1)) = 1
+    assert(math.abs(t.getDouble(5) - 1.0) < 1e-12)
+    // control: y_u = (4, 1), n_u = (2, 1): syy = 4.5, syn = 1.5,
+    // snn = 0.5, nbar = 1.5 -> var = (4.5 - 2R*1.5 + R^2*0.5)/(2*2.25)
+    val r = 5.0 / 3
+    val cv = (4.5 - 2 * r * 1.5 + r * r * 0.5) / (2 * 2.25)
+    assert(math.abs(c.getDouble(5) - math.sqrt(cv)) < 1e-12)
+    assert(math.abs(t.getDouble(6) -
+      (5.0 - r) / math.sqrt(1.0 + cv)) < 1e-12)
+  }
+
+  test("banditReplay: matched-round value, per-arm diagnostics") {
+    import spark.implicits._
+    val d = Seq(("a", "a", 1.0), ("a", "b", 9.0), ("b", "b", 0.5),
+      ("b", "a", 9.0)).toDF("logged", "policy", "r")
+    val r = Eval.banditReplay(d, "logged", "policy", "r").collect().head
+    assert(r.getLong(0) === 4L && r.getLong(1) === 2L)
+    assert(r.getDouble(2) === 0.5 && r.getDouble(3) === 0.75)
+    val arms = Eval.banditReplayByArm(d, "logged", "policy", "r")
+      .orderBy("arm").collect()
+    assert(arms.map(a => (a.getString(0), a.getLong(1), a.getLong(2)))
+      .toSeq === Seq(("a", 2L, 1L), ("b", 2L, 1L)))
+    assert(arms.map(_.getDouble(3)).toSeq === Seq(1.0, 0.5))
+    // no matches -> NULL value
+    val none = Seq(("a", "b", 1.0)).toDF("logged", "policy", "r")
+    assert(Eval.banditReplay(none, "logged", "policy", "r")
+      .collect().head.isNullAt(3))
+  }
+
+  test("intrinsicDimension: hand TwoNN on a 1-D grid + duplicate drop") {
+    import spark.implicits._
+    val pts = Seq((0L, Array(0f, 0f)), (1L, Array(1f, 0f)),
+      (2L, Array(2f, 0f)), (3L, Array(4f, 0f))).toDF("id", "vec")
+    val r = graft.ml.Similarity.intrinsicDimension(pts).collect().head
+    // mu = (ln2, 0, ln2, ln(3/2)); d = 4 / sum
+    val muSum = 2 * math.log(2.0) + math.log(1.5)
+    assert(r.getLong(0) === 4L && r.getLong(1) === 0L)
+    assert(math.abs(r.getDouble(3) - 4.0 / muSum) < 1e-12)
+    // exact duplicate -> dropped, counted
+    val dup = Seq((0L, Array(0f)), (1L, Array(0f)), (2L, Array(1f)))
+      .toDF("id", "vec")
+    val rd = graft.ml.Similarity.intrinsicDimension(dup).collect().head
+    assert(rd.getLong(1) === 2L && rd.getLong(0) === 1L)
+  }
+
+  test("effectiveRank: planted 1-D and isotropic 2-D spectra") {
+    import spark.implicits._
+    val flat = Seq(Array(1f, 0f), Array(-1f, 0f), Array(2f, 0f),
+      Array(-2f, 0f)).map(Tuple1(_)).toDF("vec")
+    val f = graft.ml.Pca.effectiveRank(flat, "vec", 2).collect().head
+    assert(math.abs(f.getDouble(3) - 1.0) < 1e-9) // participation
+    assert(math.abs(f.getDouble(4) - 1.0) < 1e-9) // effective rank
+    assert(math.abs(f.getDouble(5) - 1.0) < 1e-9) // top share
+    val iso = Seq(Array(1f, 0f), Array(-1f, 0f), Array(0f, 1f),
+      Array(0f, -1f)).map(Tuple1(_)).toDF("vec")
+    val i = graft.ml.Pca.effectiveRank(iso, "vec", 2).collect().head
+    assert(math.abs(i.getDouble(3) - 2.0) < 1e-9)
+    assert(math.abs(i.getDouble(4) - 2.0) < 1e-9)
+    assert(math.abs(i.getDouble(5) - 0.5) < 1e-9)
+  }
+
   test("textTiling: vocabulary-shift boundary on a hand document") {
     import spark.implicits._
     // blocks [a b][a b][x y][a b]: sims (1, 0, 0), depth (0, 1, 0)
