@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Args, GraftJob, Ts}
 import graft.events.Events
+import graft.ml.Eval
 
 /** End-to-end experiment/product-analytics report over an event log —
   * the events-family twin of [[TrainingDataJob]]: one input scan
@@ -31,7 +32,15 @@ import graft.events.Events
   *  6. `trending/` — per-window top-k event types with lift;
   *  7. `markov/`   — next-event transition probabilities;
   *  8. `sessions/` — per-session aggregates through the native
-  *     sessionize exec (one exchange end-to-end).
+  *     sessionize exec (one exchange end-to-end);
+  *  9. round-9 causal/guardrail suite off the same shared tables:
+  *     `srm/` — sample-ratio-mismatch chi-square vs the uniform
+  *     design; `logrank/` — survival comparison between arms with
+  *     censoring; `cmh/` — conversion pooled over entry-cohort
+  *     strata (Simpson-safe); `delta_ratio/` — value-per-event with
+  *     the delta-method clustered SE; `psm/` — propensity radius
+  *     matching on the pre-period value + ATT; `qini/` — uplift
+  *     deciles targeting by the pre-period value.
   *
   * Shuffle audit at scale: every stage is hash aggregates and keyed
   * windows over the shared normalized scan; the only per-user sort is
@@ -105,6 +114,18 @@ object ExperimentAnalysisJob {
     val perUserValue = ev
       .groupBy(col("user_id"), col("variant"))
       .agg(sum(col("value")).as("total_value"))
+    // entry cohort (first-event period) — the CMH stratum
+    val cohort = ev.groupBy("user_id")
+      .agg(expr(s"min(sec) div ${periodSec}L").as("cohort"))
+    // pre-period covariate (value before the CUPED split) quantized
+    // to integer units: the PSM score and the qini targeting score
+    val perUserPre = ev
+      .groupBy(col("user_id"), col("variant"))
+      .agg(floor(sum(when(col("sec") < split, col("value"))
+          .otherwise(0.0))).as("pre_value"),
+        max(when(col("event_type") === convType, 1).otherwise(0))
+          .as("converted"))
+    val psmCaliper = 25.0
     Map(
       "abtest" -> Events.abTest(ev, "user_id", "variant", "event_type",
         convType, controlVariant = "0"),
@@ -130,6 +151,30 @@ object ExperimentAnalysisJob {
         topK),
       "markov" -> Events.transitionCounts(ev, "user_id", "sec",
         "event_type", "event_id"),
-      "sessions" -> sessions)
+      "sessions" -> sessions,
+      // round-9 additions: guardrail + causal suite over the same
+      // shared per-user tables
+      "srm" -> Events.srmCheck(
+        ev.select("user_id", "variant").distinct(), "variant",
+        (0 until arms).map(a => a.toString -> 1.0).toMap),
+      "logrank" -> Events.logRankTest(ev, "user_id", "variant", "sec",
+        periodSec, censorGap),
+      "cmh" -> Events.cmhTest(
+        perUserConv.join(cohort, "user_id")
+          .select(col("cohort"), (col("variant") =!= "0").as("arm"),
+            (col("converted") === 1).as("outc")),
+        "cohort", "arm", "outc"),
+      "delta_ratio" -> Events.deltaMethodRatio(
+        ev.withColumn("one", lit(1.0)), "user_id", "variant", "value",
+        "one", controlVariant = "0"),
+      "psm" -> Events.propensityMatch(
+        perUserPre.select(col("user_id"), (col("variant") =!= "0").as("t"),
+          col("pre_value").as("score"),
+          col("converted").cast("double").as("y")),
+        "user_id", "t", "score", "y", caliper = psmCaliper),
+      "qini" -> Eval.qiniCurve(
+        perUserPre.select(col("pre_value").as("s"),
+          (col("variant") =!= "0").as("t"), col("converted").as("y")),
+        "s", "t", "y", k = 10))
   }
 }

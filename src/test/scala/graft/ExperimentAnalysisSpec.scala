@@ -15,7 +15,28 @@ class ExperimentAnalysisSpec extends SparkSpec {
       convType = "purchase")
     assert(r.keySet == Set("abtest", "bootstrap", "sequential", "power",
       "winsorized", "qte", "cuped", "retention", "survival", "trending",
-      "markov", "sessions"))
+      "markov", "sessions", "srm", "logrank", "cmh", "delta_ratio",
+      "psm", "qini"))
+
+    // round-9 suite: SRM on a deterministic hash split should not
+    // scream; logrank emits one row per arm; CMH pools the cohort
+    // strata into one row; delta_ratio carries a z only on treatment;
+    // PSM reports the overlap diagnostic; qini has 10 deciles max
+    val srm = r("srm").collect()
+    assert(srm.length == 2 && srm.forall(!_.getAs[Boolean]("undesigned_arm")))
+    val lr = r("logrank").collect()
+    assert(lr.length == 2 &&
+      lr.map(_.getAs[Long]("observed")).sum >= 0)
+    assert(math.abs(lr.map(_.getAs[Double]("expected")).sum -
+      lr.map(_.getAs[Long]("observed")).sum) < 1e-6)
+    assert(r("cmh").count() == 1)
+    val dr = r("delta_ratio").collect()
+    assert(dr.length == 2)
+    assert(dr.count(_.isNullAt(dr.head.fieldIndex("z_vs_control"))) == 1)
+    val psm = r("psm").collect()
+    assert(psm.nonEmpty &&
+      psm.head.getAs[Long]("n_treated") == psm.length)
+    assert(r("qini").count() <= 10)
 
     // winsorized: per-arm means well-formed; qte rows = arms-1 x 4 ps
     r("winsorized").collect().foreach { row =>
