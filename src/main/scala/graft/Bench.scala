@@ -264,7 +264,12 @@ object Bench {
     "q_eval_bandit_replay",
     "q_eval_bandit_arm",
     "q_embed_twonn",
-    "q_embed_effrank")
+    "q_embed_effrank",
+    // round-9 fifth batch: segmentation eval (tiling + sliding
+    // windows), Markov entropy rate, LM cross-entropy matrix
+    "q_text_windowdiff",
+    "q_events_markov_entropy",
+    "q_text_xent")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

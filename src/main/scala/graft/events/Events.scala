@@ -2074,4 +2074,49 @@ object Events {
             sqrt(col("se") * col("se") + col("c_se") * col("c_se")))
           .as("z_vs_control"))
   }
+  /** Markov entropy rate of the event-type process — how predictable
+    * user behavior is one step ahead: plug-in estimate
+    * H₁ = −Σ_i π̂_i Σ_j p̂_ij·ln p̂_ij over the observed first-order
+    * transition table, with π̂ the EMPIRICAL source-state frequency
+    * (the plug-in convention — no stationary-distribution eigen
+    * solve, documented), next to the zeroth-order H₀ = −Σ π̂·ln π̂;
+    * the gap H₀ − H₁ is the "how much does knowing the current event
+    * help" number behind next-event models and session compression.
+    * Returns one row (n_transitions, n_states, h0, h_rate,
+    * predictability_gain).
+    *
+    * Scale shape: one user-keyed lead window to form transitions,
+    * two bounded (type × type) hash aggregates.
+    */
+  def markovEntropy(events: DataFrame, userCol: String, secCol: String,
+      typeCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(secCol), col(tieCol))
+    val trans = events
+      .withColumn("nxt", lead(col(typeCol), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col(typeCol).as("src"), col("nxt"))
+      .agg(count(lit(1)).as("nij"))
+    val src = trans.groupBy("src").agg(sum("nij").as("ni"))
+    val tot = src.agg(sum("ni").as("nt"),
+      count(lit(1)).as("n_states"))
+    val h1 = trans.join(src, "src")
+      .select((col("nij").cast("double") / col("ni")).as("pij"),
+        col("nij"))
+      .agg(sum(col("nij") * log(col("pij"))).as("sum_n_lnp"))
+    src.crossJoin(broadcast(tot))
+      .select((col("ni").cast("double") / col("nt")).as("pi"),
+        col("ni"), col("nt"), col("n_states"))
+      .agg(first("nt").as("n_transitions"),
+        first("n_states").as("n_states"),
+        (-sum(col("pi") * log(col("pi")))).as("h0"))
+      .crossJoin(broadcast(h1))
+      .select(col("n_transitions"), col("n_states"), col("h0"),
+        (lit(0.0) - col("sum_n_lnp") / col("n_transitions"))
+          .as("h_rate"))
+      .select(col("n_transitions"), col("n_states"), col("h0"),
+        col("h_rate"), (col("h0") - col("h_rate"))
+          .as("predictability_gain"))
+  }
 }

@@ -1536,4 +1536,102 @@ object TextAnalysis {
         (col("vocab") + col("f1").cast("double") * (col("f1") - 1) /
           (lit(2.0) * (col("f2") + 1))).as("chao1"))
   }
+  /** Segmentation-quality metrics Pk (Beeferman 1999) and WindowDiff
+    * (Pevzner–Hearst 2002) per document — how a predicted boundary
+    * set (e.g. [[textTiling]]) compares against a reference, scored
+    * the way the literature does instead of naive boundary
+    * precision/recall (which over-penalizes near misses): slide a
+    * window of `k` gaps; Pk counts windows where prediction and
+    * reference DISAGREE about "is there any boundary in here";
+    * WindowDiff counts windows where the boundary COUNTS differ.
+    * Input is one row per (id, gap) with boolean predicted/reference
+    * boundary columns; documents with fewer than `k` gaps emit no
+    * row (metric undefined). Returns per document
+    * (id, n_gaps, n_windows, pk, window_diff).
+    *
+    * Scale shape: id-partitioned sliding-count windows over the
+    * per-gap table — per-document work only.
+    */
+  def windowDiff(df: DataFrame, idCol: String, gapCol: String,
+      predCol: String, refCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("id").orderBy("gap")
+      .rowsBetween(0, k - 1)
+    val wAll = Window.partitionBy("id")
+    val base = df.select(col(idCol).as("id"), col(gapCol).as("gap"),
+      col(predCol).cast("boolean").as("p"),
+      col(refCol).cast("boolean").as("r"))
+    base
+      .withColumn("pw", sum(when(col("p"), 1L).otherwise(0L)).over(w))
+      .withColumn("rw", sum(when(col("r"), 1L).otherwise(0L)).over(w))
+      .withColumn("n_gaps", count(lit(1)).over(wAll))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("id").orderBy("gap")))
+      // only full windows: the last k-1 positions have short frames
+      .filter(col("pos") <= col("n_gaps") - k + 1)
+      .groupBy("id")
+      .agg(first("n_gaps").as("n_gaps"), count(lit(1)).as("n_windows"),
+        sum(when((col("pw") > 0) =!= (col("rw") > 0), 1L).otherwise(0L))
+          .as("pk_err"),
+        sum(when(col("pw") =!= col("rw"), 1L).otherwise(0L))
+          .as("wd_err"))
+      .select(col("id"), col("n_gaps"), col("n_windows"),
+        (col("pk_err").cast("double") / col("n_windows")).as("pk"),
+        (col("wd_err").cast("double") / col("n_windows"))
+          .as("window_diff"))
+  }
+
+  /** Cross-entropy matrix between per-stratum unigram language
+    * models — which sources "speak like" which: H(a,b) =
+    * −Σ_w p_a(w)·ln q_b(w) with q_b Laplace-smoothed over the POOLED
+    * vocabulary, split into the shared-vocabulary sum (one word-keyed
+    * join of count tables) plus the closed-form absent-mass term —
+    * the LM-similarity complement to vocabularyOverlap (surface
+    * forms) and strataCentroidSimilarity (embeddings). Low H(a,b) −
+    * H(b,b) ≈ "b's model predicts a well" — the mixing/curation
+    * read. Returns all ordered pairs (stratum_a, stratum_b,
+    * shared_types, cross_entropy).
+    *
+    * Scale shape: one token scan → (stratum, token) counts; the pair
+    * term is a word-keyed self-join of those BOUNDED count tables
+    * (vocab × strata grain, never the corpus), plus two broadcast
+    * total tables.
+    */
+  def crossEntropyMatrix(df: DataFrame, strataCol: String,
+      textCol: String, smoothing: Double = 0.5): DataFrame = {
+    require(smoothing > 0, "smoothing must be positive")
+    val counts = graft.core.PipelineCaches.persistTracked(
+      df.select(col(strataCol).as("stratum"),
+          explode(filter(split(normalize(col(textCol)), " "),
+            t => length(t) > 0)).as("tok"))
+        .groupBy("stratum", "tok").agg(count(lit(1)).as("c")))
+    val totals = counts.groupBy("stratum")
+      .agg(sum("c").as("n"))
+    val vocab = counts.select("tok").distinct()
+      .agg(count(lit(1)).as("v"))
+    val pa = counts.select(col("stratum").as("sa"), col("tok"),
+      col("c").as("ca"))
+    val qb = counts.select(col("stratum").as("sb"), col("tok"),
+      col("c").as("cb"))
+    // shared-vocab partial sums per ordered pair
+    val shared = pa.join(qb, "tok")
+      .groupBy("sa", "sb")
+      .agg(count(lit(1)).as("shared_types"), sum("ca").as("ca_shared"),
+        sum(col("ca") *
+          log((col("cb") + smoothing))).as("num_part"))
+    val grid = totals.select(col("stratum").as("sa"), col("n").as("na"))
+      .crossJoin(totals.select(col("stratum").as("sb"),
+        col("n").as("nb")))
+      .crossJoin(broadcast(vocab))
+    grid.join(shared, Seq("sa", "sb"), "left")
+      .select(col("sa").as("stratum_a"), col("sb").as("stratum_b"),
+        coalesce(col("shared_types"), lit(0L)).as("shared_types"),
+        // H = ln(Nb + αV) − (Σ_shared ca·ln(cb+α) + absent·ln α)/Na
+        (log(col("nb") + lit(smoothing) * col("v")) -
+          (coalesce(col("num_part"), lit(0.0)) +
+            (col("na") - coalesce(col("ca_shared"), lit(0L))) *
+              log(lit(smoothing))) / col("na"))
+          .as("cross_entropy"))
+  }
 }

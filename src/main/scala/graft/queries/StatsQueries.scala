@@ -1004,6 +1004,161 @@ object StatsQueries extends QueryGroup {
           round(col("participation_ratio"), 4).as("participation_ratio"))
     },
 
+    // Pk / WindowDiff segmentation eval: textTiling predictions vs a
+    // deterministic every-third-gap reference, window k = 2.
+    q("q_text_windowdiff",
+      s"""WITH tk AS (
+         |  SELECT doc_id AS id,
+         |    list_filter(string_split($normSql, ' '), x -> x <> '') AS ws
+         |  FROM documents
+         |), tok AS (
+         |  SELECT id, CAST(floor((u.i - 1) / 20) AS BIGINT) AS blk,
+         |    ws[u.i] AS tok
+         |  FROM tk, unnest(range(1, len(ws) + 1)) AS u(i)
+         |), cnt AS (
+         |  SELECT id, blk, tok, CAST(count(*) AS BIGINT) AS n
+         |  FROM tok GROUP BY 1, 2, 3
+         |), norms AS (
+         |  SELECT id, blk, CAST(sum(n * n) AS BIGINT) AS sq
+         |  FROM cnt GROUP BY 1, 2
+         |), dots AS (
+         |  SELECT a.id, a.blk AS gap, CAST(sum(a.n * b.n) AS BIGINT) AS dot
+         |  FROM cnt a JOIN cnt b ON a.id = b.id AND a.tok = b.tok
+         |    AND b.blk = a.blk + 1
+         |  GROUP BY 1, 2
+         |), sims AS (
+         |  SELECT x.id, x.blk AS gap,
+         |    CAST(coalesce(d.dot, 0) AS DOUBLE)
+         |      / sqrt(CAST(x.sq AS DOUBLE) * y.sq) AS sim
+         |  FROM norms x JOIN norms y
+         |    ON x.id = y.id AND y.blk = x.blk + 1
+         |  LEFT JOIN dots d ON d.id = x.id AND d.gap = x.blk
+         |), dep AS (
+         |  SELECT id, gap, sim,
+         |    greatest(coalesce(lag(sim) OVER w, sim) - sim, 0.0::DOUBLE)
+         |    + greatest(coalesce(lead(sim) OVER w, sim) - sim,
+         |        0.0::DOUBLE) AS depth
+         |  FROM sims WINDOW w AS (PARTITION BY id ORDER BY gap)
+         |), st AS (
+         |  SELECT id, gap,
+         |    depth > avg(depth) OVER (PARTITION BY id)
+         |      + 1.0::DOUBLE * stddev_pop(depth) OVER (PARTITION BY id)
+         |      AS p,
+         |    gap % 3 = 2 AS r
+         |  FROM dep
+         |), sw AS (
+         |  SELECT id, gap, p, r,
+         |    sum(CASE WHEN p THEN 1 ELSE 0 END) OVER wk AS pw,
+         |    sum(CASE WHEN r THEN 1 ELSE 0 END) OVER wk AS rw,
+         |    count(*) OVER (PARTITION BY id) AS n_gaps,
+         |    row_number() OVER (PARTITION BY id ORDER BY gap) AS pos
+         |  FROM st WINDOW wk AS (PARTITION BY id ORDER BY gap
+         |    ROWS BETWEEN CURRENT ROW AND 1 FOLLOWING)
+         |)
+         |SELECT id, CAST(max(n_gaps) AS BIGINT) AS n_gaps,
+         |  CAST(count(*) AS BIGINT) AS n_windows,
+         |  round(sum(CASE WHEN (pw > 0) != (rw > 0) THEN 1 ELSE 0 END)
+         |    * 1.0::DOUBLE / count(*), 6) AS pk,
+         |  round(sum(CASE WHEN pw != rw THEN 1 ELSE 0 END)
+         |    * 1.0::DOUBLE / count(*), 6) AS window_diff
+         |FROM sw WHERE pos <= n_gaps - 1
+         |GROUP BY 1 ORDER BY id""".stripMargin) { (s, dir) =>
+      val tl = TA.textTiling(t(s, dir, "documents"), "doc_id", "text",
+          blockSize = 20, c = 1.0)
+        .withColumn("ref", col("gap") % 3 === 2)
+      TA.windowDiff(tl, "id", "gap", "boundary", "ref", k = 2)
+        .select(col("id"), col("n_gaps"), col("n_windows"),
+          round(col("pk"), 6).as("pk"),
+          round(col("window_diff"), 6).as("window_diff"))
+        .orderBy("id")
+    },
+
+    // Markov entropy rate of the event-type process.
+    q("q_events_markov_entropy",
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    event_id, event_type
+        |  FROM events
+        |), tr AS (
+        |  SELECT event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY sec, event_id) AS nxt
+        |  FROM e
+        |), cnt AS (
+        |  SELECT src, nxt, CAST(count(*) AS BIGINT) AS nij
+        |  FROM tr WHERE nxt IS NOT NULL GROUP BY 1, 2
+        |), sc AS (
+        |  SELECT src, CAST(sum(nij) AS BIGINT) AS ni FROM cnt GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(ni) AS BIGINT) AS nt,
+        |    CAST(count(*) AS BIGINT) AS n_states
+        |  FROM sc
+        |), h1 AS (
+        |  SELECT sum(nij * ln(nij * 1.0::DOUBLE / sc.ni)) AS sum_n_lnp
+        |  FROM cnt JOIN sc USING (src)
+        |), h0 AS (
+        |  SELECT 0.0::DOUBLE
+        |    - sum(ni * 1.0::DOUBLE / nt * ln(ni * 1.0::DOUBLE / nt))
+        |    AS h0
+        |  FROM sc, tot
+        |)
+        |SELECT tot.nt AS n_transitions, tot.n_states,
+        |  round(h0.h0, 6) + 0.0 AS h0,
+        |  round(0.0::DOUBLE - h1.sum_n_lnp / tot.nt, 6) + 0.0 AS h_rate,
+        |  round(h0.h0 - (0.0::DOUBLE - h1.sum_n_lnp / tot.nt), 6) + 0.0
+        |    AS predictability_gain
+        |FROM tot, h0, h1""".stripMargin) { (s, dir) =>
+      val raw = t(s, dir, "events")
+      val ev = raw.select(col("user_id"), Ts.seconds(raw).as("sec"),
+        col("event_id"), col("event_type"))
+      Events.markovEntropy(ev, "user_id", "sec", "event_type",
+          "event_id")
+        .select(col("n_transitions"), col("n_states"),
+          (round(col("h0"), 6) + 0.0).as("h0"),
+          (round(col("h_rate"), 6) + 0.0).as("h_rate"),
+          (round(col("predictability_gain"), 6) + 0.0)
+            .as("predictability_gain"))
+    },
+
+    // Per-source unigram-LM cross-entropy matrix (alpha = 0.5).
+    q("q_text_xent",
+      s"""WITH cnt AS (
+         |  SELECT source AS stratum, u.t AS tok,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT source, list_filter(string_split($normSql, ' '),
+         |      x -> x <> '') AS ws FROM documents), unnest(ws) AS u(t)
+         |  GROUP BY 1, 2
+         |), tt AS (
+         |  SELECT stratum, CAST(sum(c) AS BIGINT) AS n
+         |  FROM cnt GROUP BY 1
+         |), vb AS (
+         |  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM cnt
+         |), shr AS (
+         |  SELECT a.stratum AS sa, b.stratum AS sb,
+         |    CAST(count(*) AS BIGINT) AS shared_types,
+         |    CAST(sum(a.c) AS BIGINT) AS ca_shared,
+         |    sum(a.c * ln(b.c + 0.5::DOUBLE)) AS num_part
+         |  FROM cnt a JOIN cnt b USING (tok) GROUP BY 1, 2
+         |), grid AS (
+         |  SELECT ta.stratum AS sa, ta.n AS na, tb.stratum AS sb,
+         |    tb.n AS nb, vb.v
+         |  FROM tt ta, tt tb, vb
+         |)
+         |SELECT g.sa AS stratum_a, g.sb AS stratum_b,
+         |  coalesce(s.shared_types, 0) AS shared_types,
+         |  round(ln(g.nb + 0.5::DOUBLE * g.v)
+         |    - (coalesce(s.num_part, 0.0::DOUBLE)
+         |      + (g.na - coalesce(s.ca_shared, 0)) * ln(0.5::DOUBLE))
+         |      / g.na, 6) AS cross_entropy
+         |FROM grid g LEFT JOIN shr s ON s.sa = g.sa AND s.sb = g.sb
+         |ORDER BY stratum_a, stratum_b""".stripMargin) { (s, dir) =>
+      TA.crossEntropyMatrix(t(s, dir, "documents"), "source", "text",
+          smoothing = 0.5)
+        .select(col("stratum_a"), col("stratum_b"), col("shared_types"),
+          round(col("cross_entropy"), 6).as("cross_entropy"))
+        .orderBy("stratum_a", "stratum_b")
+    },
+
     // TextTiling-lite gaps over 20-token blocks, c = 1.0 — the full
     // similarity/depth/boundary trace per document.
     q("q_text_tiling",

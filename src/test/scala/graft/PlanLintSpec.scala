@@ -173,6 +173,12 @@ class PlanLintSpec extends SparkSpec {
           "confidence table — threshold-sweep grain, never the corpus"),
       "cartesian" ->
         "1-row (N, weighted-risk) aggregate broadcast onto the curve"),
+    "q_events_markov_entropy" -> Map("cartesian" ->
+      ("1-row totals + 1-row transition-entropy aggregates broadcast " +
+        "onto the |types|-row state table")),
+    "q_text_xent" -> Map("cartesian" ->
+      ("strata-totals x strata-totals x 1-row vocab grid (|strata|^2 " +
+        "rows); the corpus reduced to counts upstream")),
     "q_events_delta_ratio" -> Map("cartesian" ->
       "1-row control (ratio, se) aggregate broadcast onto the variant table"),
     "q_eval_exposure" -> Map("cartesian" ->

@@ -346,6 +346,60 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(i.getDouble(5) - 0.5) < 1e-9)
   }
 
+  test("windowDiff: hand Pk and WindowDiff over a 5-gap document") {
+    import spark.implicits._
+    // pred boundary at gap 1; ref at gaps 1 and 3; k = 2
+    val d = (0 to 4).map(g => (1L, g.toLong, g == 1, g == 1 || g == 3))
+      .toDF("id", "gap", "p", "r")
+    val r = graft.ml.TextAnalysis.windowDiff(d, "id", "gap", "p", "r",
+      k = 2).collect().head
+    assert(r.getLong(1) === 5L && r.getLong(2) === 4L)
+    // windows over gaps (0,1)(1,2)(2,3)(3,4): the last two disagree
+    assert(r.getDouble(3) === 0.5 && r.getDouble(4) === 0.5)
+    // sub-k documents emit no row
+    val tiny = Seq((1L, 0L, true, false)).toDF("id", "gap", "p", "r")
+    assert(graft.ml.TextAnalysis.windowDiff(tiny, "id", "gap", "p", "r",
+      k = 2).collect().isEmpty)
+  }
+
+  test("markovEntropy: deterministic alternation has zero entropy rate") {
+    import spark.implicits._
+    val d = Seq((1L, 0L, 1L, "a"), (1L, 1L, 2L, "b"), (1L, 2L, 3L, "a"),
+      (1L, 3L, 4L, "b")).toDF("u", "sec", "eid", "t")
+    val r = Events.markovEntropy(d, "u", "sec", "t", "eid")
+      .collect().head
+    assert(r.getLong(0) === 3L && r.getLong(1) === 2L)
+    val h0 = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3))
+    assert(math.abs(r.getDouble(2) - h0) < 1e-12)
+    assert(r.getDouble(3) === 0.0) // perfectly predictable next step
+    assert(math.abs(r.getDouble(4) - h0) < 1e-12)
+    // a->a / a->b split: h_rate = (2/3) ln 2
+    val d2 = Seq((1L, 0L, 1L, "a"), (1L, 1L, 2L, "a"), (1L, 2L, 3L, "b"),
+      (1L, 3L, 4L, "a")).toDF("u", "sec", "eid", "t")
+    val r2 = Events.markovEntropy(d2, "u", "sec", "t", "eid")
+      .collect().head
+    assert(math.abs(r2.getDouble(3) - 2.0 / 3 * math.log(2.0)) < 1e-12)
+  }
+
+  test("crossEntropyMatrix: hand smoothed cross-entropy pair") {
+    import spark.implicits._
+    val d = Seq(("A", "x x y"), ("B", "x z")).toDF("s", "text")
+    val m = graft.ml.TextAnalysis.crossEntropyMatrix(d, "s", "text",
+        smoothing = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // vocab = {x,y,z}; H(A,B) = ln 3.5 - (2 ln 1.5 + ln 0.5)/3
+    val hab = math.log(3.5) -
+      (2 * math.log(1.5) + math.log(0.5)) / 3
+    assert(m(("A", "B"))._1 === 1L)
+    assert(math.abs(m(("A", "B"))._2 - hab) < 1e-12)
+    // self: H(A,A) = ln 4.5 - (2 ln 2.5 + ln 1.5)/3
+    val haa = math.log(4.5) - (2 * math.log(2.5) + math.log(1.5)) / 3
+    assert(math.abs(m(("A", "A"))._2 - haa) < 1e-12)
+    // a model predicts itself at least as well as the other corpus
+    assert(m(("A", "A"))._2 < m(("A", "B"))._2)
+  }
+
   test("textTiling: vocabulary-shift boundary on a hand document") {
     import spark.implicits._
     // blocks [a b][a b][x y][a b]: sims (1, 0, 0), depth (0, 1, 0)
