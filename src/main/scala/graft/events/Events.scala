@@ -2064,7 +2064,12 @@ object Events {
             (col("users") * col("nbar") * col("nbar")), lit(0.0)))))
     val ctl = per.filter(col("variant") === controlVariant)
       .select(col("ratio").as("c_ratio"), col("se").as("c_se"))
-    per.crossJoin(broadcast(ctl))
+    // left-join the control row (the mannKendall jk pattern): a
+    // missing/mistyped controlVariant must surface as per-variant
+    // rows with NULL z, never as a silently empty result
+    per.withColumn("jk", lit(1))
+      .join(broadcast(ctl.withColumn("jk", lit(1))), Seq("jk"), "left")
+      .drop("jk")
       .select(col("variant"), col("users"), col("ys").as("num_sum"),
         col("ns").as("den_sum"), col("ratio"), col("se"),
         when(col("variant") =!= controlVariant &&

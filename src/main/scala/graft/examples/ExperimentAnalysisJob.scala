@@ -48,6 +48,7 @@ import graft.ml.Eval
   *
   * Args: --input <events parquet> --output <dir>
   *       [--variant-col <col>] [--arms 2] [--conv purchase]
+  *       [--control 0]
   *       [--split-sec <epoch>] [--period-sec 86400]
   *       [--censor-gap 259200] [--gap-sec 1800]
   *       [--window-sec 3600] [--top-k 3]
@@ -61,6 +62,7 @@ class ExperimentAnalysisJob(args: Args) extends GraftJob(args) {
       variantCol = args.getOrElse("variant-col", ""),
       arms = args.getOrElse("arms", "2").toInt,
       convType = args.getOrElse("conv", "purchase"),
+      control = args.getOrElse("control", "0"),
       splitSec = args.getOrElse("split-sec", "0").toLong,
       periodSec = args.getOrElse("period-sec", "86400").toLong,
       censorGap = args.getOrElse("censor-gap", "259200").toLong,
@@ -76,12 +78,17 @@ class ExperimentAnalysisJob(args: Args) extends GraftJob(args) {
 
 object ExperimentAnalysisJob {
 
-  /** All reports as named DataFrames (lazy — callers write or test).
+  /** All reports as named DataFrames (lazy — callers write or test;
+    * ONE exception: `logrank` assembles its statistic from the
+    * bounded duration-bucket table at construction time, per the
+    * operator's documented driver-side contract — Map construction
+    * therefore runs that one aggregate).
     * `splitSec` = 0 means "median-free default": the midpoint of the
     * observed time range.
     */
   def analyze(events: DataFrame, variantCol: String = "", arms: Int = 2,
-      convType: String = "purchase", splitSec: Long = 0L,
+      convType: String = "purchase", control: String = "0",
+      splitSec: Long = 0L,
       periodSec: Long = 86400L, censorGap: Long = 259200L,
       gapSec: Long = 1800L, windowSec: Long = 3600L,
       topK: Int = 3, bootstrapReps: Int = 200): Map[String, DataFrame] = {
@@ -128,18 +135,18 @@ object ExperimentAnalysisJob {
     val psmCaliper = 25.0
     Map(
       "abtest" -> Events.abTest(ev, "user_id", "variant", "event_type",
-        convType, controlVariant = "0"),
+        convType, controlVariant = control),
       "bootstrap" -> Events.bootstrapCI(perUserConv, "user_id", "variant",
         "converted", nReps = bootstrapReps),
       "sequential" -> Events.sequentialTest(ev, "user_id", "variant",
-        "sec", "event_type", convType, controlVariant = "0",
+        "sec", "event_type", convType, controlVariant = control,
         periodSec = periodSec),
       "power" -> Events.powerAnalysis(ev, "user_id", "variant",
-        "event_type", convType, controlVariant = "0"),
+        "event_type", convType, controlVariant = control),
       "winsorized" -> Events.winsorizedMeans(perUserValue, "variant",
         "total_value"),
       "qte" -> Events.quantileTreatmentEffects(perUserValue, "variant",
-        "total_value", controlVariant = "0"),
+        "total_value", controlVariant = control),
       "cuped" -> Events.cuped(ev, "user_id", "variant", "sec", "value",
         split),
       "retention" -> Events.retention(ev, "user_id", "sec", "event_type",
@@ -156,25 +163,32 @@ object ExperimentAnalysisJob {
       // shared per-user tables
       "srm" -> Events.srmCheck(
         ev.select("user_id", "variant").distinct(), "variant",
-        (0 until arms).map(a => a.toString -> 1.0).toMap),
+        // hash split: the design IS 0..arms-1 uniform; an external
+        // assignment column has unknown design, so test uniformity
+        // over the OBSERVED labels instead of false-alarming every
+        // arm as undesigned
+        (if (variantCol.isEmpty) (0 until arms).map(_.toString)
+         else ev.select("variant").distinct().collect()
+           .map(_.getString(0)).toSeq)
+          .map(_ -> 1.0).toMap),
       "logrank" -> Events.logRankTest(ev, "user_id", "variant", "sec",
         periodSec, censorGap),
       "cmh" -> Events.cmhTest(
         perUserConv.join(cohort, "user_id")
-          .select(col("cohort"), (col("variant") =!= "0").as("arm"),
+          .select(col("cohort"), (col("variant") =!= control).as("arm"),
             (col("converted") === 1).as("outc")),
         "cohort", "arm", "outc"),
       "delta_ratio" -> Events.deltaMethodRatio(
         ev.withColumn("one", lit(1.0)), "user_id", "variant", "value",
-        "one", controlVariant = "0"),
+        "one", controlVariant = control),
       "psm" -> Events.propensityMatch(
-        perUserPre.select(col("user_id"), (col("variant") =!= "0").as("t"),
+        perUserPre.select(col("user_id"), (col("variant") =!= control).as("t"),
           col("pre_value").as("score"),
           col("converted").cast("double").as("y")),
         "user_id", "t", "score", "y", caliper = psmCaliper),
       "qini" -> Eval.qiniCurve(
         perUserPre.select(col("pre_value").as("s"),
-          (col("variant") =!= "0").as("t"), col("converted").as("y")),
+          (col("variant") =!= control).as("t"), col("converted").as("y")),
         "s", "t", "y", k = 10))
   }
 }

@@ -1172,10 +1172,17 @@ object Eval {
         max(when(col("g") === col("g1"), col("n"))).as("n1"),
         max(when(col("g") === col("g1"), col("s"))).as("s1"),
         max(when(col("g") === col("g1"), col("q"))).as("q1"),
-        max(when(col("g") =!= col("g1"), col("g"))).as("g2"),
-        max(when(col("g") =!= col("g1"), col("n"))).as("n2"),
-        max(when(col("g") =!= col("g1"), col("s"))).as("s2"),
-        max(when(col("g") =!= col("g1"), col("q"))).as("q2"))
+        // only meaningful with EXACTLY one other group: independent
+        // max() over several groups would pair g2 with another
+        // group's moments — null the whole non-control side instead
+        max(when(col("k") === 2 && col("g") =!= col("g1"), col("g")))
+          .as("g2"),
+        max(when(col("k") === 2 && col("g") =!= col("g1"), col("n")))
+          .as("n2"),
+        max(when(col("k") === 2 && col("g") =!= col("g1"), col("s")))
+          .as("s2"),
+        max(when(col("k") === 2 && col("g") =!= col("g1"), col("q")))
+          .as("q2"))
     wide
       .select(col("g1"), col("g2"), col("k"), col("n1"), col("n2"),
         (col("s1") / col("n1")).as("mean1"),

@@ -242,9 +242,12 @@ object Pca {
       val p = v / tot
       -p * math.log(p)
     }.sum
+    // zero covariance (constant column) has NO variance directions —
+    // report NaN like the other spectrum columns, not exp(0) = 1
+    val erank = if (values.isEmpty) Double.NaN else math.exp(ent)
     Seq((dim.toLong, n.toLong, trace,
       if (frob2 > 0) trace * trace / frob2 else Double.NaN,
-      math.exp(ent), if (tot > 0) values.head / tot else Double.NaN))
+      erank, if (tot > 0) values.head / tot else Double.NaN))
       .toDF("dim", "n", "trace", "participation_ratio",
         "effective_rank", "top_share")
   }

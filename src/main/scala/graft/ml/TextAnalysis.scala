@@ -1504,11 +1504,17 @@ object TextAnalysis {
         greatest(coalesce(lead("sim", 1).over(wd), col("sim")) - col("sim"),
           lit(0.0)))
     val wg = Window.partitionBy("id")
+    // 1e6 floor-quantize BOTH sides of the threshold compare: mu/sd
+    // are order-dependent float aggregations, and a depth within an
+    // ulp of the raw threshold would flip the boundary boolean
+    // between engines/partitionings (the pageHinkley discipline)
+    def q6(x: Column): Column = floor(x * 1e6 + 0.5)
     depth
       .withColumn("mu", avg("depth").over(wg))
       .withColumn("sd", stddev_pop("depth").over(wg))
       .select(col("id"), col("gap"), col("sim"), col("depth"),
-        (col("depth") > col("mu") + lit(c) * col("sd")).as("boundary"))
+        (q6(col("depth")) > q6(col("mu") + lit(c) * col("sd")))
+          .as("boundary"))
   }
   /** Chao1 vocabulary-richness estimator per stratum (Chao 1984,
     * bias-corrected form): how many word types the stratum WOULD show

@@ -1041,9 +1041,10 @@ object StatsQueries extends QueryGroup {
          |  FROM sims WINDOW w AS (PARTITION BY id ORDER BY gap)
          |), st AS (
          |  SELECT id, gap,
-         |    depth > avg(depth) OVER (PARTITION BY id)
-         |      + 1.0::DOUBLE * stddev_pop(depth) OVER (PARTITION BY id)
-         |      AS p,
+         |    floor(depth * 1e6 + 0.5::DOUBLE)
+         |      > floor((avg(depth) OVER (PARTITION BY id)
+         |        + 1.0::DOUBLE * stddev_pop(depth) OVER (PARTITION BY id))
+         |        * 1e6 + 0.5::DOUBLE) AS p,
          |    gap % 3 = 2 AS r
          |  FROM dep
          |), sw AS (
@@ -1201,7 +1202,9 @@ object StatsQueries extends QueryGroup {
          |  FROM dep
          |)
          |SELECT id, gap, round(sim, 6) AS sim, round(depth, 6) AS depth,
-         |  depth > mu + 1.0::DOUBLE * sd AS boundary
+         |  floor(depth * 1e6 + 0.5::DOUBLE)
+         |    > floor((mu + 1.0::DOUBLE * sd) * 1e6 + 0.5::DOUBLE)
+         |    AS boundary
          |FROM st ORDER BY id, gap""".stripMargin) { (s, dir) =>
       TA.textTiling(t(s, dir, "documents"), "doc_id", "text",
           blockSize = 20, c = 1.0)

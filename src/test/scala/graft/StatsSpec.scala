@@ -296,6 +296,16 @@ class StatsSpec extends SparkSpec {
       (5.0 - r) / math.sqrt(1.0 + cv)) < 1e-12)
   }
 
+  test("deltaMethodRatio: missing control surfaces NULL z, not 0 rows") {
+    import spark.implicits._
+    val d = Seq((1L, "a", 2.0, 1.0), (2L, "a", 1.0, 1.0),
+      (3L, "b", 4.0, 1.0), (4L, "b", 6.0, 1.0)).toDF("u", "v", "y", "n")
+    val rows = Events.deltaMethodRatio(d, "u", "v", "y", "n",
+      "no-such-arm").orderBy("variant").collect()
+    assert(rows.length === 2)
+    rows.foreach(r => assert(r.isNullAt(6)))
+  }
+
   test("banditReplay: matched-round value, per-arm diagnostics") {
     import spark.implicits._
     val d = Seq(("a", "a", 1.0), ("a", "b", 9.0), ("b", "b", 0.5),
