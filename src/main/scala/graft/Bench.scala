@@ -269,7 +269,11 @@ object Bench {
     // windows), Markov entropy rate, LM cross-entropy matrix
     "q_text_windowdiff",
     "q_events_markov_entropy",
-    "q_text_xent")
+    "q_text_xent",
+    // round-9 sixth batch: directed reciprocity, exact DAU/MAU
+    // stickiness via the interval sweep
+    "q_graph_reciprocity",
+    "q_events_stickiness")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

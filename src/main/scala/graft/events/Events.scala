@@ -2124,4 +2124,62 @@ object Events {
         col("h_rate"), (col("h0") - col("h_rate"))
           .as("predictability_gain"))
   }
+  /** Exact DAU/MAU stickiness per day — the engagement ratio behind
+    * "how much of the monthly audience shows up daily", computed
+    * EXACTLY at any scale: instead of a 28-day explode per active day
+    * (28× row blow-up) or a trailing HLL (approximate), each user's
+    * active days merge into COVERAGE INTERVALS (an activity on day a
+    * keeps the user MAU-active through a+window−1; activities closer
+    * than `windowDays` extend one interval), and the per-day MAU is
+    * a +1/−1 boundary sweep over those intervals — the
+    * interval-concurrency pattern. Returns one row per day of the
+    * observed range (day, dau, mau, stickiness) with dau = 0 rows
+    * kept (quiet days still have a month denominator).
+    *
+    * Scale shape: one (user, day) distinct, one user-keyed lag
+    * window, one boundary aggregate, cumulative windows over the
+    * bounded day grid (union + re-aggregate zero-fill so the global
+    * window sits on an aggregate — the pageHinkley shape).
+    */
+  def stickiness(events: DataFrame, userCol: String, secCol: String,
+      windowDays: Int = 28): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    import org.apache.spark.sql.expressions.Window
+    val ud = graft.core.PipelineCaches.persistTracked(
+      events.select(col(userCol).as("user"),
+          col(secCol).cast("long").as("s"))
+        .select(col("user"), expr("s div 86400L").as("day"))
+        .distinct())
+    val wU = Window.partitionBy("user").orderBy("day")
+    val intervals = ud
+      .withColumn("prev", lag("day", 1).over(wU))
+      .withColumn("brk", when(col("prev").isNull ||
+        col("day") - col("prev") >= windowDays, 1L).otherwise(0L))
+      .withColumn("int_id", sum("brk").over(
+        wU.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user", "int_id")
+      .agg(min("day").as("start"),
+        (max("day") + windowDays - 1).as("end"))
+    val deltas = intervals.select(col("start").as("day"), lit(1L).as("d"))
+      .unionByName(intervals.select((col("end") + 1).as("day"),
+        lit(-1L).as("d")))
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val range = ud.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"),
+        lit(0L).as("d"))
+    val grid = deltas.unionByName(range)
+      .groupBy("day").agg(sum("d").as("delta"))
+    val wD = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid
+      .withColumn("mau", sum("delta").over(wD))
+      .join(dau, Seq("day"), "left")
+      .withColumn("dau", coalesce(col("dau"), lit(0L)))
+      // interval ends extend past the last observed day — clip to the
+      // observed range so every emitted day has a real denominator
+      .crossJoin(broadcast(ud.agg(max("day").as("dmax"))))
+      .filter(col("day") <= col("dmax"))
+      .select(col("day"), col("dau"), col("mau"),
+        (col("dau").cast("double") / col("mau")).as("stickiness"))
+  }
 }

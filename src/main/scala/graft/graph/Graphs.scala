@@ -632,4 +632,33 @@ object Graphs {
       .select(lit(xmin).as("xmin"), col("n_tail"), col("alpha"),
         ((col("alpha") - 1) / sqrt(col("n_tail"))).as("sigma"))
   }
+  /** Directed-graph reciprocity + dyad census — how mutual a directed
+    * relation is ("follows back", "links back", "replies to"):
+    * n_mutual counts unordered pairs with BOTH directions, n_asym
+    * pairs with exactly one, and reciprocity is the classic
+    * edge-based r = 2·n_mutual / n_edges (the probability that a
+    * random directed edge is reciprocated). Self-loops are dropped;
+    * parallel edges collapse. Returns one row
+    * (n_edges, n_pairs, n_mutual, n_asym, reciprocity).
+    *
+    * Scale shape: one distinct, one canonical-pair aggregate — the
+    * mutual count is a (min,max)-keyed hash aggregate over the edge
+    * list, never a self-join.
+    */
+  def reciprocity(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val e = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+      .filter(col("s") =!= col("d")).distinct()
+    val pairs = e.select(least(col("s"), col("d")).as("a"),
+        greatest(col("s"), col("d")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("dirs"))
+    pairs.agg(count(lit(1)).as("n_pairs"),
+        sum("dirs").as("n_edges"),
+        sum(when(col("dirs") === 2, 1L).otherwise(0L)).as("n_mutual"),
+        sum(when(col("dirs") === 1, 1L).otherwise(0L)).as("n_asym"))
+      .select(col("n_edges"), col("n_pairs"), col("n_mutual"),
+        col("n_asym"),
+        (lit(2.0) * col("n_mutual") / col("n_edges"))
+          .as("reciprocity"))
+  }
 }

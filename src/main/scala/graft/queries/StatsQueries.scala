@@ -1160,6 +1160,91 @@ object StatsQueries extends QueryGroup {
         .orderBy("stratum_a", "stratum_b")
     },
 
+    // Directed reciprocity of the event-type transition graph.
+    q("q_graph_reciprocity",
+      """WITH e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT event_type AS src,
+        |      lead(event_type) OVER (PARTITION BY user_id
+        |        ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+        |        AS dst
+        |    FROM events
+        |  ) WHERE dst IS NOT NULL AND src != dst
+        |), p AS (
+        |  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+        |    CAST(count(*) AS BIGINT) AS dirs
+        |  FROM e GROUP BY 1, 2
+        |)
+        |SELECT CAST(sum(dirs) AS BIGINT) AS n_edges,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN dirs = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_mutual,
+        |  CAST(sum(CASE WHEN dirs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_asym,
+        |  round(2.0::DOUBLE * sum(CASE WHEN dirs = 2 THEN 1 ELSE 0 END)
+        |    / sum(dirs), 6) AS reciprocity
+        |FROM p""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.{Window => W}
+      val raw = t(s, dir, "events")
+      val w = W.partitionBy("user_id")
+        .orderBy(Ts.seconds(raw), col("event_id"))
+      val edges = raw
+        .withColumn("dst", lead(col("event_type"), 1).over(w))
+        .filter(col("dst").isNotNull)
+        .select(col("event_type").as("src"), col("dst"))
+      graft.graph.Graphs.reciprocity(edges)
+        .select(col("n_edges"), col("n_pairs"), col("n_mutual"),
+          col("n_asym"), round(col("reciprocity"), 6).as("reciprocity"))
+    },
+
+    // Exact DAU/MAU stickiness (7-day window on the 30-day corpus so
+    // the ratio actually moves).
+    q("q_events_stickiness",
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+        |  FROM events
+        |), iv AS (
+        |  SELECT u, min(day) AS start, max(day) + 6 AS fin FROM (
+        |    SELECT u, day,
+        |      sum(CASE WHEN prev IS NULL OR day - prev >= 7
+        |        THEN 1 ELSE 0 END) OVER (PARTITION BY u ORDER BY day
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        AS int_id
+        |    FROM (SELECT u, day, lag(day) OVER (PARTITION BY u
+        |      ORDER BY day) AS prev FROM ud)
+        |  ) GROUP BY u, int_id
+        |), deltas AS (
+        |  SELECT start AS day, 1 AS d FROM iv
+        |  UNION ALL SELECT fin + 1, -1 FROM iv
+        |  UNION ALL SELECT gs.day, 0 FROM (
+        |    SELECT unnest(range((SELECT min(day) FROM ud),
+        |      (SELECT max(day) FROM ud) + 1)) AS day) gs
+        |), grid AS (
+        |  SELECT day, CAST(sum(d) AS BIGINT) AS delta
+        |  FROM deltas GROUP BY 1
+        |), mau AS (
+        |  SELECT day, sum(delta) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mau
+        |  FROM grid
+        |), dau AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1
+        |)
+        |SELECT m.day, coalesce(d.dau, 0) AS dau,
+        |  CAST(m.mau AS BIGINT) AS mau,
+        |  round(coalesce(d.dau, 0) * 1.0::DOUBLE / m.mau, 6)
+        |    AS stickiness
+        |FROM mau m LEFT JOIN dau d USING (day)
+        |WHERE m.day <= (SELECT max(day) FROM ud)
+        |ORDER BY m.day""".stripMargin) { (s, dir) =>
+      val raw = t(s, dir, "events")
+      val ev = raw.select(col("user_id"), Ts.seconds(raw).as("sec"))
+      Events.stickiness(ev, "user_id", "sec", windowDays = 7)
+        .select(col("day"), col("dau"), col("mau"),
+          round(col("stickiness"), 6).as("stickiness"))
+        .orderBy("day")
+    },
+
     // TextTiling-lite gaps over 20-token blocks, c = 1.0 — the full
     // similarity/depth/boundary trace per document.
     q("q_text_tiling",

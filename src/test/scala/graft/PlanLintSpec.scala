@@ -173,6 +173,12 @@ class PlanLintSpec extends SparkSpec {
           "confidence table — threshold-sweep grain, never the corpus"),
       "cartesian" ->
         "1-row (N, weighted-risk) aggregate broadcast onto the curve"),
+    "q_events_stickiness" -> Map(
+      "global-window" ->
+        ("+1/-1 boundary sweep over the zero-filled day-grid " +
+          "aggregate — time-range/86400 rows, the pageHinkley shape"),
+      "cartesian" ->
+        "1-row max-observed-day aggregate broadcast to clip the grid"),
     "q_events_markov_entropy" -> Map("cartesian" ->
       ("1-row totals + 1-row transition-entropy aggregates broadcast " +
         "onto the |types|-row state table")),

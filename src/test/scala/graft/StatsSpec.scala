@@ -410,6 +410,38 @@ class StatsSpec extends SparkSpec {
     assert(m(("A", "A"))._2 < m(("A", "B"))._2)
   }
 
+  test("reciprocity: dyad census on a hand directed graph") {
+    import spark.implicits._
+    // 1<->2 mutual, 1->3 asymmetric, self-loop + duplicate dropped
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 3L), (1L, 2L))
+      .toDF("src", "dst")
+    val r = graft.graph.Graphs.reciprocity(e).collect().head
+    assert(r.getLong(0) === 3L && r.getLong(1) === 2L)
+    assert(r.getLong(2) === 1L && r.getLong(3) === 1L)
+    assert(math.abs(r.getDouble(4) - 2.0 / 3) < 1e-12)
+  }
+
+  test("stickiness: interval sweep equals brute-force trailing distinct") {
+    import spark.implicits._
+    // u1 active days 0, 2, 10; u2 active day 1 — window 3 days
+    val secs = Seq((1L, 0L), (1L, 2L), (1L, 10L), (2L, 1L))
+      .map { case (u, d) => (u, d * 86400L) }
+    val ev = secs.toDF("user", "sec")
+    val rows = Events.stickiness(ev, "user", "sec", windowDays = 3)
+      .orderBy("day").collect()
+    assert(rows.length === 11)
+    val byDay = rows.map(r => r.getLong(0) -> (r.getLong(1),
+      r.getLong(2))).toMap
+    // brute-force trailing-3-day distinct per day
+    val active = Map(1L -> Set(0L, 2L, 10L), 2L -> Set(1L))
+    (0L to 10L).foreach { d =>
+      val mau = active.count { case (_, ds) =>
+        ds.exists(a => a <= d && a > d - 3) }
+      val dau = active.count { case (_, ds) => ds.contains(d) }
+      assert(byDay(d) === ((dau.toLong, mau.toLong)), s"day $d")
+    }
+  }
+
   test("textTiling: vocabulary-shift boundary on a hand document") {
     import spark.implicits._
     // blocks [a b][a b][x y][a b]: sims (1, 0, 0), depth (0, 1, 0)
