@@ -437,4 +437,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(ids.size == 1,
       s"per-session agg should add no exchange (got $ids):\n$p")
   }
+  test("q_events_psm joins treated rows against the GRID aggregate, not raw controls") {
+    val p = plan("q_events_psm")
+    // the control side must be reduced to distinct grid values before
+    // the candidate join: a (g, score) partial+final hash aggregate
+    // feeds the join build side
+    val partials = p.linesIterator.count(l =>
+      l.contains("HashAggregate") && l.contains("partial_"))
+    assert(partials >= 1, s"controls not pre-aggregated:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"PSM must never cartesian treated x controls:\n$p")
+  }
+
+  test("q_text_tiling windows are id-partitioned, never global") {
+    val p = plan("q_text_tiling")
+    val specs = p.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(specs.nonEmpty, s"no window in plan:\n$p")
+    assert(specs.forall(_.contains("id#")),
+      s"found a window without the id partition key:\n$p")
+  }
+
+  test("q_events_stickiness: the lag window is user-partitioned and the day sweep sits on an aggregate") {
+    val p = plan("q_events_stickiness")
+    val specs = p.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(specs.nonEmpty, s"no window in plan:\n$p")
+    // exactly one window family may be unpartitioned: the bounded
+    // day-grid sweep (keyed by day only); the user-history lag must
+    // carry the user partition key
+    val unpartitioned = specs.filterNot(_.contains("user#"))
+    assert(unpartitioned.forall(_.contains("day#")),
+      s"unpartitioned window that is not the day-grid sweep:\n$p")
+    assert(specs.exists(_.contains("user#")),
+      s"the activity-interval lag lost its user partition:\n$p")
+  }
 }
