@@ -1845,7 +1845,10 @@ object Events {
       if (evTimes.isEmpty) None
       else Some(groups.map { g =>
         val e = expected(g)
-        math.pow(observed(g) - e, 2) / e
+        // a group whose members never overlap any event time has
+        // expected == observed == 0; skip its 0/0 term (the SQL
+        // formulation's NULL-skipping sum does the same)
+        if (e > 0) math.pow(observed(g) - e, 2) / e else 0.0
       }.sum)
     val z: Option[Double] =
       if (groups.length != 2 || evTimes.isEmpty) None

@@ -79,10 +79,12 @@ class ExperimentAnalysisJob(args: Args) extends GraftJob(args) {
 object ExperimentAnalysisJob {
 
   /** All reports as named DataFrames (lazy — callers write or test;
-    * ONE exception: `logrank` assembles its statistic from the
-    * bounded duration-bucket table at construction time, per the
-    * operator's documented driver-side contract — Map construction
-    * therefore runs that one aggregate).
+    * TWO exceptions run eagerly at Map construction time: `logrank`
+    * assembles its statistic from the bounded duration-bucket table,
+    * per the operator's documented driver-side contract; and, when
+    * `variantCol` is non-empty, `srm` collects the distinct observed
+    * variant labels (bounded by the arm count) to build its uniform
+    * expectation map.
     * `splitSec` = 0 means "median-free default": the midpoint of the
     * observed time range.
     */

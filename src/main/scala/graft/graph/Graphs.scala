@@ -653,9 +653,11 @@ object Graphs {
         greatest(col("s"), col("d")).as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("dirs"))
     pairs.agg(count(lit(1)).as("n_pairs"),
-        sum("dirs").as("n_edges"),
-        sum(when(col("dirs") === 2, 1L).otherwise(0L)).as("n_mutual"),
-        sum(when(col("dirs") === 1, 1L).otherwise(0L)).as("n_asym"))
+        coalesce(sum("dirs"), lit(0L)).as("n_edges"),
+        coalesce(sum(when(col("dirs") === 2, 1L).otherwise(0L)),
+          lit(0L)).as("n_mutual"),
+        coalesce(sum(when(col("dirs") === 1, 1L).otherwise(0L)),
+          lit(0L)).as("n_asym"))
       .select(col("n_edges"), col("n_pairs"), col("n_mutual"),
         col("n_asym"),
         (lit(2.0) * col("n_mutual") / col("n_edges"))

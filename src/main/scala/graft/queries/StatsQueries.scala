@@ -586,10 +586,14 @@ object StatsQueries extends QueryGroup {
         |    (SELECT n FROM per WHERE g = w.g1) AS n1,
         |    (SELECT s FROM per WHERE g = w.g1) AS s1,
         |    (SELECT q FROM per WHERE g = w.g1) AS q1,
-        |    (SELECT max(g) FROM per WHERE g != w.g1) AS g2,
-        |    (SELECT max(n) FROM per WHERE g != w.g1) AS n2,
-        |    (SELECT max(s) FROM per WHERE g != w.g1) AS s2,
-        |    (SELECT max(q) FROM per WHERE g != w.g1) AS q2
+        |    CASE WHEN w.k = 2 THEN
+        |      (SELECT max(g) FROM per WHERE g != w.g1) END AS g2,
+        |    CASE WHEN w.k = 2 THEN
+        |      (SELECT max(n) FROM per WHERE g != w.g1) END AS n2,
+        |    CASE WHEN w.k = 2 THEN
+        |      (SELECT max(s) FROM per WHERE g != w.g1) END AS s2,
+        |    CASE WHEN w.k = 2 THEN
+        |      (SELECT max(q) FROM per WHERE g != w.g1) END AS q2
         |  FROM w
         |), fin AS (
         |  SELECT g1, g2, k, n1, n2, s1 / n1 AS mean1, s2 / n2 AS mean2,

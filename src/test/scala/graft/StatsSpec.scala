@@ -105,6 +105,18 @@ class StatsSpec extends SparkSpec {
       .orderBy("group").collect()
     assert(fr.forall(r => r.getLong(2) === 0L && r.getDouble(3) === 0.0))
     assert(fr.forall(r => r.isNullAt(4) && r.isNullAt(5)))
+    // a group never at risk at any event time (all members censored
+    // before the first event) contributes no 0/0 term: chi2 stays
+    // finite instead of going NaN
+    val zer = Seq((1L, "a", 0L), (1L, "a", 5L), (3L, "a", 0L),
+      (3L, "a", 9L), (2L, "c", 8L), (2L, "c", 9L))
+      .toDF("user", "grp", "sec")
+    val zr = Events.logRankTest(zer, "user", "grp", "sec", 1L, 0L)
+      .orderBy("group").collect()
+    assert(zr.map(_.getString(0)).toSeq === Seq("a", "c"))
+    assert(zr(1).getDouble(3) === 0.0) // expected(c) == 0
+    assert(!zr(0).isNullAt(4) && !zr(0).getDouble(4).isNaN)
+    assert(zr(0).getDouble(4) === 0.0)
   }
 
   test("pageHinkley: hand trace with a planted level shift") {
@@ -419,6 +431,13 @@ class StatsSpec extends SparkSpec {
     assert(r.getLong(0) === 3L && r.getLong(1) === 2L)
     assert(r.getLong(2) === 1L && r.getLong(3) === 1L)
     assert(math.abs(r.getDouble(4) - 2.0 / 3) < 1e-12)
+    // degenerate: only self-loops → zero counts (not NULL), with
+    // reciprocity alone NULL (0/0)
+    val lonely = Seq((7L, 7L), (8L, 8L)).toDF("src", "dst")
+    val lr = graft.graph.Graphs.reciprocity(lonely).collect().head
+    assert(lr.getLong(0) === 0L && lr.getLong(1) === 0L)
+    assert(lr.getLong(2) === 0L && lr.getLong(3) === 0L)
+    assert(lr.isNullAt(4))
   }
 
   test("stickiness: interval sweep equals brute-force trailing distinct") {
