@@ -273,7 +273,10 @@ object Bench {
     // round-9 sixth batch: directed reciprocity, exact DAU/MAU
     // stickiness via the interval sweep
     "q_graph_reciprocity",
-    "q_events_stickiness")
+    "q_events_stickiness",
+    // round-10: exception-catching trap (addTrap closure-throw
+    // parity — Try-split mapPartitions scan, both branches consumed)
+    "q_trap_throwing")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

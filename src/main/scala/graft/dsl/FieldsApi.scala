@@ -162,11 +162,49 @@ object FieldsApi {
 
     /** Route rows that fail a validity predicate to a side sink
       * instead of failing the flow (addTrap, RichPipe.scala:515-518).
-      * Returns (good, trapped). The reference caught closure
-      * exceptions; declaratively the contract is a predicate.
+      * Returns (good, trapped). Declarative form for expressible
+      * validity; for the reference's actual closure-exception
+      * contract use [[trapThrows]].
       */
     def trap(valid: Column): (DataFrame, DataFrame) =
       (df.filter(valid), df.filter(!coalesce(valid, lit(false))))
+
+    /** Reference `addTrap` closure-throw semantics (RichPipe.scala:
+      * 515-518, exercised by CoreTest.scala:1366-1399): run a row
+      * closure over the `from` fields, appending its results as the
+      * `out` fields; rows whose closure THROWS are routed to the
+      * returned trap frame — the operation's input fields plus the
+      * error message (the reference carried the fields only) — and
+      * the main flow continues without them. The closure is
+      * re-evaluated once per consumed branch (Spark's own lineage
+      * cost model); `forceToDisk` upstream first if the input is
+      * expensive to recompute.
+      */
+    def trapThrows(from: Seq[String],
+        out: Seq[org.apache.spark.sql.types.StructField])(
+        fn: Seq[Any] => Seq[Any]): (DataFrame, DataFrame) = {
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      val idx = from.map(df.columns.indexOf(_))
+      require(idx.forall(_ >= 0),
+        s"trapThrows: unknown field among $from for ${df.columns.toSeq}")
+      val goodEnc =
+        Encoders.row(StructType(df.schema.fields.toSeq ++ out))
+      val good = df.mapPartitions(_.flatMap { r =>
+        scala.util.Try(fn(idx.map(r.get))).toOption
+          .map(o => Row.fromSeq(r.toSeq ++ o))
+      })(goodEnc)
+      val trapEnc = Encoders.row(StructType(
+        idx.map(df.schema.fields(_)) :+ StructField("error", StringType)))
+      val trapped = df.mapPartitions(_.flatMap { r =>
+        scala.util.Try(fn(idx.map(r.get))) match {
+          case scala.util.Failure(e) =>
+            Some(Row.fromSeq(idx.map(r.get) :+ e.getMessage))
+          case _ => None
+        }
+      })(trapEnc)
+      (good, trapped)
+    }
   }
 
   /** Chained aggregation builder — reference `GroupBuilder`

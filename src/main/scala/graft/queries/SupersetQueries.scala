@@ -171,6 +171,32 @@ object SupersetQueries extends QueryGroup {
         .crossJoin(trapped.agg(count(lit(1)).as("n_trapped")))
     },
 
+    // exception-catching trap — the reference's actual addTrap
+    // contract (RichPipe.scala:515-518; CoreTest.scala:1366-1399):
+    // a closure that divides by zero on every tenth doc routes those
+    // rows to the trap, and the main flow continues without them.
+    q("q_trap_throwing",
+      """SELECT 'good' AS side, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(100 // (doc_id % 10)) AS BIGINT) AS sv
+        |FROM documents WHERE doc_id % 10 != 0
+        |UNION ALL
+        |SELECT 'trap' AS side, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(NULL AS BIGINT) AS sv
+        |FROM documents WHERE doc_id % 10 = 0
+        |ORDER BY side""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types.{LongType, StructField}
+      val d = t(s, dir, "documents").select("doc_id", "lang")
+      val (good, trapped) = d.trapThrows(Seq("doc_id"),
+        Seq(StructField("v", LongType)))(xs =>
+        Seq(100L / (xs.head.asInstanceOf[Long] % 10L)))
+      good.agg(count(lit(1)).as("n"), sum("v").as("sv"))
+        .select(lit("good").as("side"), col("n"), col("sv"))
+        .unionAll(trapped.agg(count(lit(1)).as("n"))
+          .select(lit("trap").as("side"), col("n"),
+            lit(null).cast("long").as("sv")))
+        .orderBy("side")
+    },
+
     // limit (exact here — approximate in the reference,
     // RichPipe.scala:477) and seeded sampling: self-validating
     // properties.

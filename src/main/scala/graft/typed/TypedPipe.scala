@@ -32,6 +32,48 @@ final class TypedPipe[T](val ds: Dataset[T]) extends Serializable {
   def collect[U: Encoder](pf: PartialFunction[T, U]): TypedPipe[U] =
     flatMap(t => pf.lift(t))
 
+  /** Reference `addTrap` closure-throw semantics (RichPipe.scala:
+    * 515-518, exercised by CoreTest.scala:1366-1399) as a typed
+    * split: rows whose closure THROWS land in the second pipe as
+    * (input, error message) — the reference dropped even the message
+    * — and the first pipe is the surviving flow, unaffected. Each
+    * branch re-evaluates the closure on consumption (same cost model
+    * as Spark's own lineage recomputation); `forceToDisk` upstream
+    * first if the input is expensive to recompute.
+    */
+  def tryMap[U: Encoder](f: T => U)(
+      implicit et: Encoder[T]): (TypedPipe[U], TypedPipe[(T, String)]) = {
+    implicit val ts: Encoder[(T, String)] =
+      Encoders.tuple(et, Encoders.STRING)
+    val good = new TypedPipe(ds.flatMap(t => scala.util.Try(f(t)).toOption))
+    val trapped = new TypedPipe(ds.flatMap { t =>
+      scala.util.Try(f(t)) match {
+        case scala.util.Failure(e) => Some((t, e.getMessage))
+        case _ => None
+      }
+    })
+    (good, trapped)
+  }
+
+  /** [[tryMap]] for one-to-many closures. The per-row output is
+    * materialized eagerly so a throw from a lazy iterator mid-stream
+    * still routes the whole input row to the trap.
+    */
+  def tryFlatMap[U: Encoder](f: T => IterableOnce[U])(
+      implicit et: Encoder[T]): (TypedPipe[U], TypedPipe[(T, String)]) = {
+    implicit val ts: Encoder[(T, String)] =
+      Encoders.tuple(et, Encoders.STRING)
+    val good = new TypedPipe(ds.flatMap(t =>
+      scala.util.Try(f(t).iterator.toList).getOrElse(Nil)))
+    val trapped = new TypedPipe(ds.flatMap { t =>
+      scala.util.Try(f(t).iterator.toList) match {
+        case scala.util.Failure(e) => Some((t, e.getMessage))
+        case _ => None
+      }
+    })
+    (good, trapped)
+  }
+
   /** Union / merge (reference `++`, TypedPipe.scala:168). */
   def ++(other: TypedPipe[T]): TypedPipe[T] = new TypedPipe(ds.unionAll(other.ds))
 

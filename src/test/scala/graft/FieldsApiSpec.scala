@@ -21,6 +21,31 @@ class FieldsApiSpec extends SparkSpec {
     assert(kv.insert("one", lit(1)).select("one").head().getInt(0) == 1)
   }
 
+  test("trapThrows routes closure-throwing rows to the trap " +
+      "(reference CoreTest ItsATrapTest scenario)") {
+    import org.apache.spark.sql.types.{IntegerType, StructField}
+    import spark.implicits._
+    // CoreTest.scala:1366-1399: map ('letter,'x) -> 'yPrime throws on
+    // x == 1; output keeps the rest, trap carries the operation's
+    // input fields (+ the error message — our addition).
+    val input = Seq(("a", 1), ("b", 2), ("c", 3), ("d", 1), ("e", 2))
+      .toDF("letter", "x")
+    val (good, trapped) = input.trapThrows(Seq("letter", "x"),
+      Seq(StructField("yPrime", IntegerType))) { xs =>
+      val x = xs(1).asInstanceOf[Int]
+      if (x == 1) throw new Exception("Erroneous Ones") else Seq(x)
+    }
+    assert(good.columns.toSeq == Seq("letter", "x", "yPrime"))
+    assert(good.collect().map(r =>
+      (r.getString(0), r.getInt(1), r.getInt(2))).sorted.toSeq ==
+      Seq(("b", 2, 2), ("c", 3, 3), ("e", 2, 2)))
+    assert(trapped.columns.toSeq == Seq("letter", "x", "error"))
+    val t = trapped.collect().sortBy(_.getString(0))
+    assert(t.map(r => (r.getString(0), r.getInt(1))).toSeq ==
+      Seq(("a", 1), ("d", 1)))
+    assert(t.forall(_.getString(2) == "Erroneous Ones"))
+  }
+
   test("groupByFields builder chains aggregates into one agg") {
     val out = kv.groupByFields("k") {
       _.size("cnt").sum("x", "sum_x").max("n", "max_n")

@@ -21,6 +21,30 @@ class TypedPipeSpec extends SparkSpec {
     assert((p ++ p).distinct.ds.collect().sorted.toSeq == Seq(1, 2, 3, 4))
   }
 
+  test("tryMap/tryFlatMap route throwing rows to the trap " +
+      "(reference CoreTest ItsATrapTest scenario)") {
+    import spark.implicits._
+    // CoreTest.scala:1366-1399: map throws on x == 1; output keeps
+    // the non-throwing rows, trap gets the original input rows.
+    val input = Seq(("a", 1), ("b", 2), ("c", 3), ("d", 1), ("e", 2))
+    val (good, trapped) = pipe(input).tryMap { case (letter, x) =>
+      if (x == 1) throw new Exception("Erroneous Ones")
+      else (letter, x, x)
+    }
+    assert(good.ds.collect().sorted.toSeq ==
+      Seq(("b", 2, 2), ("c", 3, 3), ("e", 2, 2)))
+    val t = trapped.ds.collect().sortBy(_._1._1)
+    assert(t.map(_._1).toSeq == Seq(("a", 1), ("d", 1)))
+    assert(t.forall(_._2 == "Erroneous Ones"))
+    // tryFlatMap: a lazily-throwing iterator still traps the row
+    val (g2, t2) = pipe(Seq(1, 2, 3)).tryFlatMap { x =>
+      Iterator.tabulate(2)(i =>
+        if (x == 2 && i == 1) throw new Exception("late") else x + i)
+    }
+    assert(g2.ds.collect().sorted.toSeq == Seq(1, 2, 3, 4))
+    assert(t2.ds.collect().toSeq == Seq((2, "late")))
+  }
+
   test("group sum with monoid (wordcount shape)") {
     import spark.implicits._
     val words = pipe(Seq("a b", "b c", "c b")).flatMap(_.split(" ").toSeq)
