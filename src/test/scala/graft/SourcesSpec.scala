@@ -23,6 +23,74 @@ class SourcesSpec extends SparkSpec {
       Set((1, "a"), (2, "b")))
   }
 
+  test("SequenceFileSource interops with Hadoop's own writer/reader " +
+      "classes across all three Writable shapes") {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import org.apache.hadoop.io.{BytesWritable, LongWritable, SequenceFile, Text}
+    import spark.implicits._
+    val dir = tmp()
+    val conf = new Configuration()
+    // 1) a file written by Hadoop's OWN writer reads back
+    val tt = new Path(dir, "text.seq")
+    val w1 = SequenceFile.createWriter(conf,
+      SequenceFile.Writer.file(tt),
+      SequenceFile.Writer.keyClass(classOf[Text]),
+      SequenceFile.Writer.valueClass(classOf[Text]))
+    Seq("a" -> "1", "b" -> "2", "c" -> "3")
+      .foreach { case (k, v) => w1.append(new Text(k), new Text(v)) }
+    w1.close()
+    assert(SequenceFileSource(tt.toString).readText(spark).collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq ==
+      Seq("a" -> "1", "b" -> "2", "c" -> "3"))
+    // 2) LongWritable/Text (TextLine shape)
+    val lt = new Path(dir, "lines.seq")
+    val w2 = SequenceFile.createWriter(conf,
+      SequenceFile.Writer.file(lt),
+      SequenceFile.Writer.keyClass(classOf[LongWritable]),
+      SequenceFile.Writer.valueClass(classOf[Text]))
+    Seq(0L -> "first", 6L -> "second").foreach { case (k, v) =>
+      w2.append(new LongWritable(k), new Text(v)) }
+    w2.close()
+    assert(SequenceFileSource(lt.toString).readLines(spark).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
+      Seq(0L -> "first", 6L -> "second"))
+    // 3) engine write → Hadoop's OWN reader sees the records
+    val out = s"$dir/out"
+    SequenceFileSource(out).writeText(
+      Seq(("x", "10"), ("y", "20")).toDF("key", "value"))
+    val parts = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val got = scala.collection.mutable.ListBuffer[(String, String)]()
+    parts.foreach { f =>
+      val r = new SequenceFile.Reader(conf,
+        SequenceFile.Reader.file(new Path(f.getAbsolutePath)))
+      val k = new Text(); val v = new Text()
+      while (r.next(k, v)) got += ((k.toString, v.toString))
+      r.close()
+    }
+    assert(got.sorted.toList == List(("x", "10"), ("y", "20")))
+    // 4) binary shape round-trips through the engine both ways
+    val bin = s"$dir/bin"
+    SequenceFileSource(bin).writeBytes(
+      Seq((Array[Byte](1, 2), Array[Byte](3)),
+        (Array[Byte](4), Array[Byte](5, 6))).toDF("key", "value"))
+    assert(SequenceFileSource(bin).readBytes(spark).collect()
+      .map(r => (r.getAs[Array[Byte]](0).toSeq,
+        r.getAs[Array[Byte]](1).toSeq)).sortBy(_._1.head).toSeq ==
+      Seq((Seq[Byte](1, 2), Seq[Byte](3)), (Seq[Byte](4), Seq[Byte](5, 6))))
+    // 5) Overwrite replaces, Ignore is a no-op
+    SequenceFileSource(out).writeText(
+      Seq(("z", "30")).toDF("key", "value"))
+    assert(SequenceFileSource(out).readText(spark).collect()
+      .map(r => r.getString(0)).toSeq == Seq("z"))
+    SequenceFileSource(out).writeText(
+      Seq(("q", "40")).toDF("key", "value"),
+      org.apache.spark.sql.SaveMode.Ignore)
+    assert(SequenceFileSource(out).readText(spark).collect()
+      .map(r => r.getString(0)).toSeq == Seq("z"))
+  }
+
   test("Orc round trip preserves schema and pushes filters to the scan") {
     import spark.implicits._
     val dir = tmp() + "/o"
