@@ -18,6 +18,20 @@ import scala.reflect.ClassTag
   */
 object Aggregators {
 
+  /** Typed `Seq[T]` encoder derived from the element encoder, so
+    * list-valued aggregator columns surface as Catalyst `array<...>`
+    * (downstream Column ops stay in Tungsten) instead of opaque kryo
+    * binary.
+    */
+  def seqEncoder[T](implicit et: Encoder[T]): Encoder[Seq[T]] = {
+    import org.apache.spark.sql.catalyst.encoders.{encoderFor, ExpressionEncoder}
+    import org.apache.spark.sql.catalyst.encoders.AgnosticEncoders.IterableEncoder
+    val elem = encoderFor(et).encoder
+    ExpressionEncoder(IterableEncoder(
+      scala.reflect.classTag[Seq[T]], elem, elem.nullable,
+      lenientSerialization = false))
+  }
+
   /** `sum[T: Semigroup]` over any monoid (numbers, maps, sets, lists,
     * sketches — ReduceOperations.scala:327-352). Map-side partial
     * aggregation comes from Spark's partial/final planning.
@@ -77,8 +91,8 @@ object Aggregators {
         val grown = (b.take(i) :+ a) ++ b.drop(i)
         if (grown.length > k) grown.take(k) else grown
       }
-      def bufferEncoder: Encoder[Seq[T]] = Encoders.kryo[Seq[T]]
-      def outputEncoder: Encoder[Seq[T]] = Encoders.kryo[Seq[T]]
+      def bufferEncoder: Encoder[Seq[T]] = seqEncoder[T]
+      def outputEncoder: Encoder[Seq[T]] = seqEncoder[T]
     }
 
   /** One-pass (count, mean, variance) via parallel moment merging —

@@ -268,7 +268,9 @@ final class Grouped[K, V](val kvs: Dataset[(K, V)])(
     */
   def sortedTake(k: Int)(implicit ord: Ordering[V],
       ct: ClassTag[V]): TypedPipe[(K, Seq[V])] = {
-    val se: Encoder[Seq[V]] = Encoders.kryo[Seq[V]]
+    // typed array encoder (not kryo): the top-k column stays a
+    // Catalyst array, visible to downstream Column ops
+    val se: Encoder[Seq[V]] = Aggregators.seqEncoder[V](vEnc)
     aggregate(Aggregators.sortedTake[V](k)(vEnc, ct, ord))(se)
   }
 

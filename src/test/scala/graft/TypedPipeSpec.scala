@@ -21,6 +21,20 @@ class TypedPipeSpec extends SparkSpec {
     assert((p ++ p).distinct.ds.collect().sorted.toSeq == Seq(1, 2, 3, 4))
   }
 
+  test("sortedTake output is a Catalyst array column, not kryo binary") {
+    import org.apache.spark.sql.functions.{col, element_at, size}
+    import spark.implicits._
+    val p = pipe(Seq(("a", 3), ("a", 1), ("a", 2), ("b", 5)))
+    val top = p.group[String, Int].sortedTake(2).toDF("k", "top")
+    val dt = top.schema("top").dataType
+    assert(dt.isInstanceOf[org.apache.spark.sql.types.ArrayType], dt.toString)
+    // downstream Column ops run directly — no typed deserialization
+    val rows = top.select(col("k"), size(col("top")).as("n"),
+      element_at(col("top"), 1).as("first"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).sorted
+    assert(rows.toSeq == Seq(("a", 2, 1), ("b", 1, 5)))
+  }
+
   test("tryMap/tryFlatMap route throwing rows to the trap " +
       "(reference CoreTest ItsATrapTest scenario)") {
     import spark.implicits._
