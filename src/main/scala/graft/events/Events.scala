@@ -1797,9 +1797,11 @@ object Events {
     * corpus scan, and the bucket grid never grows with the corpus.
     */
   def logRankTest(events: DataFrame, userCol: String, groupCol: String,
-      secCol: String, periodSec: Long, censorGap: Long): DataFrame = {
+      secCol: String, periodSec: Long, censorGap: Long,
+      maxBuckets: Int = 100000): DataFrame = {
     require(periodSec > 0 && censorGap >= 0,
       "periodSec must be positive, censorGap non-negative")
+    require(maxBuckets > 0, "maxBuckets must be positive")
     val spark = events.sparkSession
     val perUser = events
       .groupBy(col(userCol).as("user"))
@@ -1815,8 +1817,16 @@ object Events {
       .groupBy("g", "t")
       .agg(count(lit(1)).as("leaving"),
         sum(when(col("event"), 1L).otherwise(0L)).as("d"))
-    // bounded bucket table → driver; all remaining algebra is scalar
-    val lv = leaving.collect().map(r => (r.getString(0), r.getLong(1),
+    // bounded bucket table → driver; all remaining algebra is scalar.
+    // limit(max+1) keeps a mis-sized call (periodSec far too small
+    // for the time range) from OOMing the driver: it fails loudly
+    // instead, before more than maxBuckets rows ever land here.
+    val lv0 = leaving.limit(maxBuckets + 1).collect()
+    require(lv0.length <= maxBuckets,
+      s"logRankTest: (group x duration-bucket) table exceeds " +
+        s"$maxBuckets rows - raise periodSec (fewer buckets) or " +
+        s"maxBuckets if the driver can hold it")
+    val lv = lv0.map(r => (r.getString(0), r.getLong(1),
       r.getLong(2), r.getLong(3))).sortBy(x => (x._1, x._2))
     val groups = lv.map(_._1).distinct.sorted
     val evTimes = lv.filter(_._3 > 0).collect {

@@ -27,6 +27,10 @@ object Regression {
   def ridgeFit(df: DataFrame, featureCols: Seq[String],
       labelCol: String, lambda: Double = 0.0): Model = {
     require(featureCols.nonEmpty, "need at least one feature")
+    require(featureCols.size <= 1000,
+      s"ridgeFit: ${featureCols.size} features exceeds the d <= 1000 " +
+        "driver-solve contract (the normal-equation solve is O(d^3) " +
+        "on the driver) - reduce dimensionality first")
     require(lambda >= 0, s"lambda must be >= 0, got $lambda")
     val d = featureCols.size + 1 // [1, x...]
     val spark = df.sparkSession

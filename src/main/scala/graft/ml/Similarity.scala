@@ -1252,16 +1252,26 @@ object Similarity {
     * the kernel (fixed order, engine-replayable).
     */
   def simplifiedSilhouette(df: DataFrame, clusterCol: String,
-      vecCol: String): DataFrame = {
+      vecCol: String, maxClusters: Int = 10000): DataFrame = {
+    require(maxClusters >= 2, "maxClusters must be >= 2")
     val spark = df.sparkSession
     import spark.implicits._
-    val cents = df
+    // limit(max+1) bounds the driver collect: a mis-clustered input
+    // (e.g. a unique id passed as the cluster column) fails loudly
+    // instead of collecting one centroid per row
+    val cents0 = df
       .select(col(clusterCol).cast("long").as("c"),
         posexplode(col(vecCol)).as(Seq("i", "x")))
       .groupBy("c", "i").agg(avg(col("x").cast("double")).as("m"))
       .groupBy("c").agg(collect_list(struct(col("i"), col("m"))).as("ms"))
       .as[(Long, Seq[(Int, Double)])]
+      .limit(maxClusters + 1)
       .collect()
+    require(cents0.length <= maxClusters,
+      s"simplifiedSilhouette: more than $maxClusters clusters - is " +
+        s"'$clusterCol' really a cluster assignment? Raise " +
+        "maxClusters only if the k x d centroid table fits the driver")
+    val cents = cents0
       .map { case (c, ms) =>
         (c, ms.sortBy(_._1).map(_._2).toArray)
       }
@@ -1314,12 +1324,22 @@ object Similarity {
     * integer squared-euclidean when callers quantize vectors (the
     * bit-exact-selection discipline).
     */
-  def intrinsicDimension(sample: DataFrame): DataFrame = {
+  def intrinsicDimension(sample: DataFrame,
+      maxSample: Int = 50000): DataFrame = {
+    require(maxSample >= 3, "maxSample must be >= 3")
     val spark = sample.sparkSession
     import spark.implicits._
     val pts = sample.select(col("id").cast("long"), col("vec"))
       .as[(Long, Array[Float])]
-    val all = pts.collect().sortBy(_._1)
+    // limit(max+1): the two-NN pass is all-pairs ON THE SAMPLE; an
+    // unbounded "sample" is the 429-second sf1 cliff this operator's
+    // contract exists to prevent - fail loudly at the collect
+    val all0 = pts.limit(maxSample + 1).collect()
+    require(all0.length <= maxSample,
+      s"intrinsicDimension: sample exceeds $maxSample points - the " +
+        "TwoNN scan is quadratic in the sample; pre-sample the input " +
+        "(a few thousand rows) or raise maxSample deliberately")
+    val all = all0.sortBy(_._1)
     require(all.length >= 3, s"need >= 3 sample points, got ${all.length}")
     val bAll = spark.sparkContext.broadcast(all)
     val mus = pts.mapPartitions { it =>

@@ -503,6 +503,13 @@ class CurationSpec extends SparkSpec {
       "vec").collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
     assert(got(0L) > 0.7 && got(1L) > 0.7)
     assert(got(2L) < 0)
+    // over-cap cluster count (e.g. a unique id passed as the cluster
+    // column) fails loudly before collecting a centroid per row
+    val e = intercept[IllegalArgumentException] {
+      graft.ml.Similarity.simplifiedSilhouette(rows, "cluster", "vec",
+        maxClusters = 2)
+    }
+    assert(e.getMessage.contains("clusters"))
   }
 
   test("sStem: the three guarded Harman rules, first match wins") {
@@ -997,6 +1004,12 @@ class CurationSpec extends SparkSpec {
     val heavy = graft.ml.Regression.ridgeFit(pts, Seq("x"), "y",
       lambda = 1e9)
     assert(math.abs(heavy.weights(0)) < 1e-6)
+    // the d <= 1000 driver-solve contract throws before any work
+    val e = intercept[IllegalArgumentException] {
+      graft.ml.Regression.ridgeFit(pts,
+        (1 to 1001).map(i => s"f$i"), "y")
+    }
+    assert(e.getMessage.contains("d <= 1000"))
   }
 
   test("skipGramPairs: symmetric window pairs, deterministic subsampling") {

@@ -117,6 +117,13 @@ class StatsSpec extends SparkSpec {
     assert(zr(1).getDouble(3) === 0.0) // expected(c) == 0
     assert(!zr(0).isNullAt(4) && !zr(0).getDouble(4).isNaN)
     assert(zr(0).getDouble(4) === 0.0)
+    // over-cap bucket table (periodSec too small for the range)
+    // fails loudly before the driver collect
+    val eb = intercept[IllegalArgumentException] {
+      Events.logRankTest(ev, "user", "grp", "sec", 1L, 0L,
+        maxBuckets = 2)
+    }
+    assert(eb.getMessage.contains("duration-bucket"))
   }
 
   test("pageHinkley: hand trace with a planted level shift") {
@@ -350,6 +357,11 @@ class StatsSpec extends SparkSpec {
       .toDF("id", "vec")
     val rd = graft.ml.Similarity.intrinsicDimension(dup).collect().head
     assert(rd.getLong(1) === 2L && rd.getLong(0) === 1L)
+    // over-cap sample fails loudly before the quadratic scan
+    val e = intercept[IllegalArgumentException] {
+      graft.ml.Similarity.intrinsicDimension(pts, maxSample = 3)
+    }
+    assert(e.getMessage.contains("quadratic"))
   }
 
   test("effectiveRank: planted 1-D and isotropic 2-D spectra") {
