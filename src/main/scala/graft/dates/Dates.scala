@@ -48,8 +48,10 @@ object RichDate {
     * occurrence strictly before today, `next` = first strictly after,
     * `this` = the occurrence in the current Monday-based week); and
     * `first/second/third/fourth/last <weekday> of <month> [yyyy]`
-    * (year defaults to the reference instant's) — every form a pure
-    * function of the injectable reference instant.
+    * (year defaults to the reference instant's); and a bare
+    * `<month> [yyyy]` name ("january", "march 2025" — start of that
+    * month, year defaulting to the reference instant's) — every form
+    * a pure function of the injectable reference instant.
     */
   def parseAt(s: String, ref: => RichDate)(implicit zone: ZoneId): RichDate = {
     val trimmed = s.trim
@@ -58,6 +60,7 @@ object RichDate {
     val ahead = """in\s+(\d+)\s+(second|minute|hour|day|week|month|year)s?""".r
     val wdRel = """(last|next|this)\s+([a-z]+day)""".r
     val nthOf = """(first|second|third|fourth|last)\s+([a-z]+day)\s+of\s+([a-z]+)(?:\s+(\d{4}))?""".r
+    val monthYr = """([a-z]+)(?:\s+(\d{4}))?""".r
     lower match {
       case "now" => ref
       case "today" => Days(1).floorOf(ref)
@@ -68,9 +71,16 @@ object RichDate {
       case wdRel(rel, wd) => weekdayRelative(rel, weekday(wd), ref)
       case nthOf(ord, wd, mon, year) =>
         nthWeekdayOfMonth(ord, weekday(wd), mon, Option(year), ref)
+      case monthYr(mon, year) if monthOpt(mon).isDefined =>
+        val y = Option(year).map(_.toInt).getOrElse(ref.at(zone).getYear)
+        startOfDay(java.time.LocalDate.of(y, monthOpt(mon).get, 1))
       case _ => parseFormatted(trimmed)
     }
   }
+
+  private[dates] def monthOpt(name: String): Option[java.time.Month] =
+    try Some(java.time.Month.valueOf(name.toUpperCase))
+    catch { case _: IllegalArgumentException => None }
 
   private def weekday(name: String): java.time.DayOfWeek =
     try java.time.DayOfWeek.valueOf(name.toUpperCase)
@@ -263,6 +273,51 @@ final case class DateRange(start: RichDate, end: RichDate) {
 }
 
 object DateRange {
+
+  /** One-phrase natural-language RANGES under the same deterministic
+    * injectable-`ref` contract as [[RichDate.parseAt]] (the reference
+    * delegated these to its NLP library, DateOps.scala:72):
+    * `yesterday`/`today`/`tomorrow` (that calendar day);
+    * `last/this/next day|week|month|year` (the whole calendar period
+    * — weeks are ISO Monday-based, matching [[Weeks.floorOf]]); and a
+    * bare `<month> [yyyy]` name (that whole month, year defaulting to
+    * the reference instant's). Anything else falls back to
+    * [[parse]](s, s) — a single date covers its day.
+    */
+  def parseAt(s: String, ref: => RichDate)(
+      implicit zone: ZoneId): DateRange = {
+    val lower = s.trim.toLowerCase
+    val relUnit = """(last|this|next)\s+(day|week|month|year)""".r
+    val monthYr = """([a-z]+)(?:\s+(\d{4}))?""".r
+    def period(start: RichDate, d: Duration): DateRange =
+      DateRange(start, RichDate(d.addTo(start).timestamp - 1))
+    lower match {
+      case "yesterday" | "today" | "tomorrow" =>
+        period(RichDate.parseAt(lower, ref), Days(1))
+      case relUnit(rel, unit) =>
+        val d: Duration = unit match {
+          case "day" => Days(1)
+          case "week" => Weeks(1)
+          case "month" => Months(1)
+          case "year" => Years(1)
+        }
+        val thisStart = d.floorOf(ref)
+        val start = rel match {
+          case "last" => d.subtractFrom(thisStart)
+          case "this" => thisStart
+          case "next" => d.addTo(thisStart)
+        }
+        period(start, d)
+      case monthYr(mon, _) if RichDate.monthOpt(mon).isDefined =>
+        period(RichDate.parseAt(lower, ref), Months(1))
+      case _ => parse(s, s)
+    }
+  }
+
+  /** [[parseAt]] with the submit clock as the reference instant. */
+  def parse(s: String)(implicit zone: ZoneId): DateRange =
+    parseAt(s, RichDate.now)
+
   def parse(from: String, to: String)(implicit zone: ZoneId): DateRange = {
     // end is inclusive at the granularity implied by the string
     // (reference `DateRange.parse` semantics): "2026-01-02" covers the

@@ -102,6 +102,42 @@ class DatesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](p("third thursday of smarch"))
   }
 
+  test("natural-language parse: bare month names against a pinned now") {
+    val ref = RichDate.parse("2026-08-13 10:30:15")
+    def p(s: String) = RichDate.parseAt(s, ref)
+    assert(p("january") == RichDate.parse("2026-01-01"))
+    assert(p("March 2025") == RichDate.parse("2025-03-01"))
+    assert(p("december") == RichDate.parse("2026-12-01"))
+    // not months: still the documented failures
+    intercept[IllegalArgumentException](p("smarch"))
+    intercept[IllegalArgumentException](p("janu 2025"))
+  }
+
+  test("natural-language RANGE parse: calendar periods against a pinned now") {
+    // 2026-08-13 is a Thursday
+    val ref = RichDate.parse("2026-08-13 10:30:15")
+    def r(s: String) = DateRange.parseAt(s, ref)
+    def d(s: String) = RichDate.parse(s)
+    def lastMs(s: String) =
+      RichDate(Days(1).addTo(d(s)).timestamp - 1)
+    assert(r("today") == DateRange(d("2026-08-13"), lastMs("2026-08-13")))
+    assert(r("yesterday") == DateRange(d("2026-08-12"), lastMs("2026-08-12")))
+    // ISO Monday-based weeks
+    assert(r("this week") == DateRange(d("2026-08-10"), lastMs("2026-08-16")))
+    assert(r("last week") == DateRange(d("2026-08-03"), lastMs("2026-08-09")))
+    assert(r("next week") == DateRange(d("2026-08-17"), lastMs("2026-08-23")))
+    assert(r("last month") == DateRange(d("2026-07-01"), lastMs("2026-07-31")))
+    assert(r("next month") == DateRange(d("2026-09-01"), lastMs("2026-09-30")))
+    assert(r("this year") == DateRange(d("2026-01-01"), lastMs("2026-12-31")))
+    assert(r("last year") == DateRange(d("2025-01-01"), lastMs("2025-12-31")))
+    // bare month name covers the whole month (leap-aware)
+    assert(DateRange.parseAt("february 2024", ref) ==
+      DateRange(d("2024-02-01"), lastMs("2024-02-29")))
+    // fallback: a single date covers its day, junk raises
+    assert(r("2026-08-01") == DateRange(d("2026-08-01"), lastMs("2026-08-01")))
+    intercept[IllegalArgumentException](r("a week from next tuesday"))
+  }
+
   test("TimePathUtil expands day paths over a range") {
     val r = DateRange.parse("2020-01-30", "2020-02-02")
     val ps = TimePathUtil.paths("/logs/%1$tY/%1$tm/%1$td", r, Days(1))
