@@ -278,6 +278,23 @@ object Bench {
     // parity — Try-split mapPartitions scan, both branches consumed)
     "q_trap_throwing")
 
+  /** (1-min load average, cumulative steal jiffies) — captured before
+    * and after the timed list so external-load interference on the
+    * shared box (BASELINE.md's documented 2-7x flake class) is
+    * adjudicable from the artifact alone.
+    */
+  private[graft] def loadEvidence(): (Double, Long) = {
+    def readFirstLine(p: String): String =
+      try java.nio.file.Files.readAllLines(java.nio.file.Paths.get(p)).get(0)
+      catch { case _: Throwable => "" }
+    val load1 = readFirstLine("/proc/loadavg").split("\\s+")
+      .headOption.flatMap(_.toDoubleOption).getOrElse(-1.0)
+    // /proc/stat first line: cpu user nice system idle iowait irq softirq steal ...
+    val steal = readFirstLine("/proc/stat").split("\\s+")
+      .drop(8).headOption.flatMap(_.toLongOption).getOrElse(-1L)
+    (load1, steal)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -299,6 +316,7 @@ object Bench {
       finally graft.ml.Dedup.unpersistPipelineCaches()
     }
 
+    val (load1Before, stealBefore) = loadEvidence()
     val results = headline.filter(queries.contains).map { name =>
       val t0 = System.nanoTime()
       val ok = try { runOne(spark, queries(name), sfDir); true }
@@ -326,8 +344,13 @@ object Bench {
     // count keeps the artifact honest, and the run exits non-zero so
     // automation can't parse a red bench as green.
     val failed = results.count { case (_, v) => v < 0 }
+    val (load1After, stealAfter) = loadEvidence()
+    val loadJson =
+      s""""load":{"load1_before":$load1Before,"load1_after":$load1After,""" +
+        s""""steal_before":$stealBefore,"steal_after":$stealAfter,""" +
+        s""""steal_delta":${stealAfter - stealBefore}}"""
     val json =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,$loadJson,"queries":$qs,"sf":"$sfDir"}"""
     // Durable fallback against driver tail-capture truncation: the FULL
     // per-query JSON lands at the repo root, so the round's bench signal
     // survives even if stdout capture clips (round-6 failure mode).
@@ -342,7 +365,7 @@ object Bench {
     // fits the capture window; per-query seconds live in
     // BENCH_SUMMARY.json, which the driver reads as the fallback.
     val shortJson =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"n":${results.size},"sf":"$sfDir","queries_detail":"BENCH_SUMMARY.json"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"n":${results.size},"load1":[$load1Before,$load1After],"sf":"$sfDir","queries_detail":"BENCH_SUMMARY.json"}"""
     // Stop Spark BEFORE printing the metric line so shutdown log noise
     // can't land between the JSON and end-of-stream in a tail capture.
     spark.stop()

@@ -44,6 +44,7 @@ object IsoBench {
         graft.ml.Dedup.unpersistPipelineCaches()
       }
     }
+    val (l1b, stb) = graft.Bench.loadEvidence()
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
       fn(spark, dir).write.format("noop").mode("overwrite").save()
@@ -51,6 +52,9 @@ object IsoBench {
       graft.ml.Dedup.unpersistPipelineCaches()
       println(f"[iso] $name rep$i: $dt%.2f s")
     }
+    val (l1a, sta) = graft.Bench.loadEvidence()
+    // same adjudication evidence Bench embeds in BENCH_SUMMARY.json
+    println(f"[iso] load1 $l1b%.2f -> $l1a%.2f, steal_delta ${sta - stb}")
     spark.stop()
   }
 }
