@@ -276,7 +276,9 @@ object Bench {
     "q_events_stickiness",
     // round-10: exception-catching trap (addTrap closure-throw
     // parity — Try-split mapPartitions scan, both branches consumed)
-    "q_trap_throwing")
+    // + the Buffer/every escape hatch (sorted-run streaming buffer)
+    "q_trap_throwing",
+    "q_fields_mapstream")
 
   /** (1-min load average, cumulative steal jiffies) — captured before
     * and after the timed list so external-load interference on the

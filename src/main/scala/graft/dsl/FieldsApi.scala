@@ -169,6 +169,45 @@ object FieldsApi {
     def trap(valid: Column): (DataFrame, DataFrame) =
       (df.filter(valid), df.filter(!coalesce(valid, lit(false))))
 
+    /** The reference's raw Cascading Buffer / `every` escape hatch in
+      * its semantic form (GroupBuilder.buffer / mapStream,
+      * GroupBuilder.scala:121-140, 215-229): stream each group's rows
+      * — secondary-sorted by `sortBy` — LAZILY through a closure that
+      * may keep, drop, scan, or expand them. Output rows carry the
+      * grouping fields plus the declared `out` fields only (Cascading
+      * did not keep other fields aligned either — its in-source
+      * warning is this contract made explicit). Like the reference's
+      * warning says, this kills map-side aggregation: one shuffle by
+      * key, values arrive as sorted runs (`repartition` +
+      * `sortWithinPartitions` + run-grouping — the typed
+      * `mapValueStream` machinery), no per-group materialization
+      * beyond the closure's own state.
+      */
+    def mapStreamByKey(keys: Seq[String], sortBy: Seq[String] = Nil)(
+        from: Seq[String],
+        out: Seq[org.apache.spark.sql.types.StructField])(
+        fn: Iterator[Seq[Any]] => IterableOnce[Seq[Any]]): DataFrame = {
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.types.StructType
+      val kIdx = keys.map(df.columns.indexOf(_))
+      val fIdx = from.map(df.columns.indexOf(_))
+      require((kIdx ++ fIdx).forall(_ >= 0),
+        s"mapStreamByKey: unknown field among ${keys ++ from} for " +
+          s"${df.columns.toSeq}")
+      val sorted = df.repartition(keys.map(col): _*)
+        .sortWithinPartitions((keys ++ sortBy).map(col): _*)
+      val enc = Encoders.row(StructType(
+        kIdx.map(df.schema.fields(_)) ++ out))
+      sorted.mapPartitions { it =>
+        new graft.typed.GroupRunIterator[Row](it, r => kIdx.map(r.get))
+          .flatMap { case (kAny, rows) =>
+            val kVals = kAny.asInstanceOf[Seq[Any]]
+            fn(rows.map(r => fIdx.map(r.get))).iterator
+              .map(o => Row.fromSeq(kVals ++ o))
+          }
+      }(enc)
+    }
+
     /** Reference `addTrap` closure-throw semantics (RichPipe.scala:
       * 515-518, exercised by CoreTest.scala:1366-1399): run a row
       * closure over the `from` fields, appending its results as the

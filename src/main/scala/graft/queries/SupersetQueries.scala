@@ -171,6 +171,42 @@ object SupersetQueries extends QueryGroup {
         .crossJoin(trapped.agg(count(lit(1)).as("n_trapped")))
     },
 
+    // the raw Buffer/`every` escape hatch in its semantic form
+    // (GroupBuilder.mapStream, GroupBuilder.scala:215-229): stream
+    // each customer's orders in date order through a stateful
+    // closure emitting row number + running spend — replayed by the
+    // oracle as the equivalent windows.
+    q("q_fields_mapstream",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(row_number() OVER w AS BIGINT) AS rn,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |    AS running
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types.{DoubleType, LongType, StructField}
+      t(s, dir, "orders")
+        .mapStreamByKey(Seq("o_custkey"), Seq("o_orderdate", "o_orderkey"))(
+          Seq("o_orderkey", "o_totalprice"),
+          Seq(StructField("o_orderkey", LongType),
+            StructField("rn", LongType),
+            StructField("running", DoubleType))) { rows =>
+          var rn = 0L
+          var acc = 0.0
+          rows.map { r =>
+            rn += 1L
+            acc += r(1).asInstanceOf[Double]
+            Seq(r(0), rn, acc)
+          }
+        }
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"),
+          round(col("running"), 2).as("running"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // exception-catching trap — the reference's actual addTrap
     // contract (RichPipe.scala:515-518; CoreTest.scala:1366-1399):
     // a closure that divides by zero on every tenth doc routes those

@@ -448,7 +448,7 @@ final class SortedGrouped[K, V, S](g: Grouped[K, V], sortFn: V => S,
   * intra-partition sort upstream). Lazy: the group iterator must be
   * consumed before advancing — mapValueStream's contract.
   */
-private[typed] final class GroupRunIterator[T](it: Iterator[T], keyOf: T => Any)
+private[graft] final class GroupRunIterator[T](it: Iterator[T], keyOf: T => Any)
     extends Iterator[(Any, Iterator[T])] {
   private val buf = it.buffered
   private var current: Iterator[T] = Iterator.empty

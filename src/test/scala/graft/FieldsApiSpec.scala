@@ -21,6 +21,32 @@ class FieldsApiSpec extends SparkSpec {
     assert(kv.insert("one", lit(1)).select("one").head().getInt(0) == 1)
   }
 
+  test("mapStreamByKey streams sorted group runs through a " +
+      "Buffer-style closure (keep/drop/expand)") {
+    import org.apache.spark.sql.types.{IntegerType, StringType, StructField}
+    import spark.implicits._
+    val df = Seq(("a", 3, "x3"), ("a", 1, "x1"), ("a", 2, "x2"),
+      ("b", 9, "y9"), ("b", 8, "y8")).toDF("k", "ord", "v")
+    // the Cascading Buffer contract: lazily scan the sorted run,
+    // drop the first row, keep the rest with positions, then expand
+    // with a trailing count row — all in one pass of group state
+    val out = df.mapStreamByKey(Seq("k"), Seq("ord"))(Seq("v"),
+      Seq(StructField("pos", IntegerType), StructField("v", StringType))) {
+      rows =>
+        var n = 0
+        val kept = rows.flatMap { r =>
+          n += 1
+          if (n == 1) None else Some(Seq(n, r.head))
+        }.toList
+        kept :+ Seq(0, s"count=$n")
+    }
+    assert(out.columns.toSeq == Seq("k", "pos", "v"))
+    val got = out.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).sorted.toSeq
+    assert(got == Seq(("a", 0, "count=3"), ("a", 2, "x2"), ("a", 3, "x3"),
+      ("b", 0, "count=2"), ("b", 2, "y9")).sorted)
+  }
+
   test("trapThrows routes closure-throwing rows to the trap " +
       "(reference CoreTest ItsATrapTest scenario)") {
     import org.apache.spark.sql.types.{IntegerType, StructField}
