@@ -32,6 +32,16 @@ object Aggregators {
       lenientSerialization = false))
   }
 
+  /** [[seqEncoder]] deserializing to `List` (Grouped.toList). */
+  def listEncoder[T](implicit et: Encoder[T]): Encoder[List[T]] = {
+    import org.apache.spark.sql.catalyst.encoders.{encoderFor, ExpressionEncoder}
+    import org.apache.spark.sql.catalyst.encoders.AgnosticEncoders.IterableEncoder
+    val elem = encoderFor(et).encoder
+    ExpressionEncoder(IterableEncoder(
+      scala.reflect.classTag[List[T]], elem, elem.nullable,
+      lenientSerialization = false))
+  }
+
   /** `sum[T: Semigroup]` over any monoid (numbers, maps, sets, lists,
     * sketches — ReduceOperations.scala:327-352). Map-side partial
     * aggregation comes from Spark's partial/final planning.

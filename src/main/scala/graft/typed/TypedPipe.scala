@@ -245,7 +245,8 @@ final class Grouped[K, V](val kvs: Dataset[(K, V)])(
   def min(implicit ord: Ordering[V]): TypedPipe[(K, V)] = reduce(ord.min)
 
   def toList: TypedPipe[(K, List[V])] = {
-    implicit val le: Encoder[List[V]] = Encoders.kryo[List[V]]
+    // typed list encoder: the collected column is a Catalyst array
+    implicit val le: Encoder[List[V]] = Aggregators.listEncoder[V](vEnc)
     aggregate(new Aggregator[V, List[V], List[V]] {
       def zero: List[V] = Nil
       def reduce(b: List[V], a: V): List[V] = a :: b
