@@ -278,7 +278,12 @@ object Bench {
     // parity — Try-split mapPartitions scan, both branches consumed)
     // + the Buffer/every escape hatch (sorted-run streaming buffer)
     "q_trap_throwing",
-    "q_fields_mapstream")
+    "q_fields_mapstream",
+    // round-10 second batch: temporal texture + concentration
+    // (q_graph_harmonic stays correctness-gated only — the iterative
+    // landmark-BFS class, like kcore/hops, is not a headline shape)
+    "q_events_burstiness",
+    "q_profile_hhi")
 
   /** (1-min load average, cumulative steal jiffies) — captured before
     * and after the timed list so external-load interference on the

@@ -555,6 +555,42 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Goh–Barabási temporal texture of inter-event times (Goh &
+    * Barabási 2008): per arriving event type, burstiness
+    * B = (σ−μ)/(σ+μ) over the gaps since the same user's previous
+    * event (−1 periodic, 0 Poissonian, →1 bursty) and the memory
+    * coefficient M = Pearson correlation of consecutive gap pairs
+    * within a user's stream. The one-table read behind rate-limit
+    * and anomaly thresholds: a bursty-but-memoryless type needs a
+    * token bucket, a high-memory type a trend detector.
+    *
+    * Scale shape: the [[interEventGaps]] shape — one user-keyed lag
+    * window (plus one more lag for the consecutive pair) and one hash
+    * aggregate per type.
+    */
+  def burstiness(events: DataFrame, userCol: String, secCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy(col(secCol), col(idCol))
+    events
+      .withColumn("__gap",
+        (col(secCol) - lag(col(secCol), 1).over(w)).cast("double"))
+      .withColumn("__prev_gap", lag(col("__gap"), 1).over(w))
+      .filter(col("__gap").isNotNull)
+      .groupBy(col(typeCol).as("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        avg("__gap").as("mean_gap"),
+        stddev_pop(col("__gap")).as("sd_gap"),
+        corr(col("__prev_gap"), col("__gap")).as("memory"))
+      .withColumn("burstiness",
+        when(col("sd_gap") + col("mean_gap") > 0,
+          (col("sd_gap") - col("mean_gap")) /
+            (col("sd_gap") + col("mean_gap"))))
+      .select(col("event_type"), col("n_gaps"), col("mean_gap"),
+        col("sd_gap"), col("burstiness"), col("memory"))
+      .orderBy("event_type")
+  }
+
   /** Multi-touch attribution: each conversion's credit splits across
     * ALL its preceding touches within `lookbackSec` — `linear` (1/n
     * per touch) and `time_decay` (weight 2^(−Δt/halflife), normalized

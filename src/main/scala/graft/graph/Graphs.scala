@@ -382,6 +382,66 @@ object Graphs {
     dist
   }
 
+  /** Per-landmark BFS hop distances — [[shortestHops]] generalized to
+    * carry the landmark label: the frontier is keyed on
+    * (landmark, node), so k landmarks ride ONE iterative loop instead
+    * of k BFS runs. Returns (lm, node, dist) for every node within
+    * `maxHops` of each landmark.
+    *
+    * Scale shape per hop: one frontier⋈adjacency hash join + distinct
+    * + anti-join against the visited set, state O(k·n) rows max;
+    * lineage cut per hop via persistTracked.
+    */
+  def landmarkDistances(edges: DataFrame, landmarks: DataFrame,
+      maxHops: Int = 10, srcCol: String = "src", dstCol: String = "dst",
+      nodeCol: String = "node"): DataFrame = {
+    require(maxHops >= 0, "maxHops must be non-negative")
+    val e = canonicalEdges(edges, srcCol, dstCol)
+    val adj = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      .transform(persistTracked)
+    var dist = landmarks.select(col(nodeCol).cast("long").as("lm"))
+      .distinct()
+      .select(col("lm"), col("lm").as("node"), lit(0L).as("dist"))
+      .transform(persistTracked)
+    var frontier = dist
+    var hop = 0L
+    var done = maxHops == 0 || frontier.isEmpty
+    while (!done) {
+      hop += 1L
+      val next = frontier
+        .join(adj, frontier("node") === adj("u"))
+        .select(col("lm"), col("v").as("node")).distinct()
+        .join(dist, Seq("lm", "node"), "left_anti")
+        .withColumn("dist", lit(hop))
+        .transform(persistTracked)
+      done = next.isEmpty
+      if (!done) {
+        dist = dist.unionAll(next).transform(persistTracked)
+        frontier = next
+        done = hop >= maxHops
+      }
+    }
+    dist
+  }
+
+  /** Landmark-approximated harmonic centrality (the k-sweep landmark
+    * heuristic of Eppstein–Wang 2004, harmonic form per Boldi–Vigna
+    * 2014 §3): Ĥ(v) = Σ over landmarks l ≠ v of 1/d(l, v), with
+    * distances from [[landmarkDistances]] within `maxHops` and
+    * unreached pairs contributing 0 (the harmonic convention that
+    * makes disconnected graphs well-defined). Ranks every node by
+    * closeness-to-everywhere at the cost of k BFS sweeps instead of
+    * n. Nodes reached by no landmark are absent from the output.
+    */
+  def harmonicCentrality(edges: DataFrame, landmarks: DataFrame,
+      maxHops: Int = 10, srcCol: String = "src", dstCol: String = "dst",
+      nodeCol: String = "node"): DataFrame =
+    landmarkDistances(edges, landmarks, maxHops, srcCol, dstCol, nodeCol)
+      .filter(col("dist") > 0)
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_landmarks_reached"),
+        sum(lit(1.0) / col("dist")).as("harmonic"))
+
   /** k-truss decomposition (Cohen 2008): iteratively remove edges in
     * fewer than k−2 triangles until fixpoint; the surviving subgraph
     * is the maximal one where EVERY edge is reinforced by ≥ k−2

@@ -113,6 +113,29 @@ object Profile {
       .limit(topN)
   }
 
+  /** Herfindahl–Hirschman concentration index per group: Σ_c share²
+    * of category counts within the group (1 = one category owns the
+    * group, 1/n_cats = perfectly uniform). The one-number "how
+    * concentrated is this stratum" read next to [[keySkew]] and
+    * massConcentration — e.g. does one source dominate a language.
+    * The squared-count sum stays integer, so both this and a SQL
+    * replay produce the IDENTICAL double before rounding.
+    *
+    * Scale shape: one (group, cat) hash aggregate + one group hash
+    * aggregate. Nothing else.
+    */
+  def herfindahl(df: DataFrame, groupCol: String,
+      catCol: String): DataFrame =
+    df.groupBy(col(groupCol).as("grp"), col(catCol).as("cat"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("grp")
+      .agg(sum("n").as("n"), count(lit(1)).as("n_cats"),
+        sum(col("n") * col("n")).as("__sq"))
+      .select(col("grp"), col("n"), col("n_cats"),
+        (col("__sq").cast("double") /
+          (col("n").cast("double") * col("n").cast("double")))
+          .as("hhi"))
+
   /** Approximate per-column quantiles in one pass
     * (Greenwald-Khanna via `approx_percentile`): stacked
     * (col_name, p, value) rows. Rank error ≤ 1/`accuracy` — at any

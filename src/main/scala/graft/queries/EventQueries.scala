@@ -1071,6 +1071,44 @@ object EventQueries extends QueryGroup {
         .orderBy("event_type")
     },
 
+    // Goh–Barabási burstiness + memory coefficient of inter-event
+    // times per arriving type: two lag windows + one moments/corr
+    // aggregate (Events.burstiness).
+    q("q_events_burstiness",
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events
+        |), g AS (
+        |  SELECT event_type,
+        |    CAST(sec - lag(sec) OVER w AS DOUBLE) AS gap,
+        |    CAST(lag(sec) OVER w - lag(sec, 2) OVER w AS DOUBLE)
+        |      AS prev_gap
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY sec, event_id)
+        |)
+        |SELECT event_type, count(*) AS n_gaps,
+        |  round(avg(gap), 6) AS mean_gap,
+        |  round(stddev_pop(gap), 6) AS sd_gap,
+        |  round(CASE WHEN stddev_pop(gap) + avg(gap) > 0 THEN
+        |    (stddev_pop(gap) - avg(gap))
+        |      / (stddev_pop(gap) + avg(gap)) END, 6) + 0.0
+        |    AS burstiness,
+        |  round(corr(prev_gap, gap), 6) + 0.0 AS memory
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val raw = t(s, dir, "events")
+      graft.events.Events.burstiness(
+          raw.withColumn("sec", Ts.seconds(raw)),
+          "user_id", "sec", "event_id", "event_type")
+        .select(col("event_type"), col("n_gaps"),
+          round(col("mean_gap"), 6).as("mean_gap"),
+          round(col("sd_gap"), 6).as("sd_gap"),
+          (round(col("burstiness"), 6) + 0.0).as("burstiness"),
+          (round(col("memory"), 6) + 0.0).as("memory"))
+        .orderBy("event_type")
+    },
+
     // Wilson score interval per event type for the "high-value event"
     // rate (value > 50): the small-sample-safe rate CI; pure
     // closed-form replay off the per-group counts.

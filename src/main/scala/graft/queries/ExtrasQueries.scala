@@ -263,6 +263,25 @@ object ExtrasQueries extends QueryGroup {
           round(col("gini"), 6).as("gini"))
     },
 
+    // Herfindahl–Hirschman source concentration per language: two
+    // hash aggregates, integer-exact squared-count sum.
+    q("q_profile_hhi",
+      """WITH c AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2
+        |)
+        |SELECT lang AS grp, CAST(sum(n) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_cats,
+        |  round(CAST(sum(n * n) AS DOUBLE)
+        |    / (CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE)), 6)
+        |    AS hhi
+        |FROM c GROUP BY 1 ORDER BY grp""".stripMargin) { (s, dir) =>
+      graft.ml.Profile.herfindahl(t(s, dir, "documents"), "lang", "source")
+        .select(col("grp"), col("n"), col("n_cats"),
+          round(col("hhi"), 6).as("hhi"))
+        .orderBy("grp")
+    },
+
     // top-fraction mass concentration of per-doc token counts: the
     // share of corpus tokens owned by the top 1%/10%/50% of docs,
     // tie groups at the cut counted pro-rata.

@@ -416,6 +416,46 @@ object MatrixQueries extends QueryGroup {
         .orderBy("node")
     },
 
+    // landmark-approximated harmonic centrality on the co-purchase
+    // graph: k labeled BFS sweeps in one frontier loop, Ĥ(v) = Σ 1/d
+    // over landmarks (nodes ≡ 0 mod 401), maxHops 3.
+    q("q_graph_harmonic",
+      """WITH RECURSIVE items AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |), e AS (
+        |  SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+        |), adj AS (
+        |  SELECT u, v FROM e UNION ALL SELECT v, u FROM e
+        |), walk(lm, node, dist) AS (
+        |  SELECT DISTINCT u, u, 0 FROM adj WHERE u % 401 = 0
+        |  UNION
+        |  SELECT walk.lm, adj.v, walk.dist + 1
+        |  FROM walk JOIN adj ON walk.node = adj.u
+        |  WHERE walk.dist < 3
+        |), d AS (
+        |  SELECT lm, node, min(dist) AS dist
+        |  FROM walk GROUP BY 1, 2
+        |)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_landmarks_reached,
+        |  round(sum(1.0::DOUBLE / dist), 6) AS harmonic
+        |FROM d WHERE dist > 0
+        |GROUP BY 1 ORDER BY node""".stripMargin) { (s, dir) =>
+      val items = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = items.alias("a").join(items.alias("b"), Seq("o"))
+        .filter(col("a.p") < col("b.p"))
+        .select(col("a.p").as("src"), col("b.p").as("dst"))
+      val lms = edges.select(col("src").as("node"))
+        .unionAll(edges.select(col("dst").as("node")))
+        .filter(col("node") % 401 === 0).distinct()
+      graft.graph.Graphs.harmonicCentrality(edges, lms, maxHops = 3)
+        .select(col("node"), col("n_landmarks_reached"),
+          round(col("harmonic"), 6).as("harmonic"))
+        .orderBy("node")
+    },
+
     // link prediction on the co-purchase graph: common-neighbor /
     // Jaccard / Adamic-Adar scores for non-adjacent 2-hop pairs
     // (hub cap 100 on wedge centers, >= 3 shared neighbors), full

@@ -279,6 +279,18 @@ class ExtrasSpec extends SparkSpec {
     assert(ac == 0L && jacAc == 0.0)
   }
 
+  test("herfindahl: hand category shares per group") {
+    import spark.implicits._
+    val df = Seq(("g1", "a"), ("g1", "a"), ("g1", "a"), ("g1", "b"),
+      ("g2", "a"), ("g2", "a"), ("g2", "b"), ("g2", "b"))
+      .toDF("g", "c")
+    val got = graft.ml.Profile.herfindahl(df, "g", "c").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got("g1") == ((4L, 2L, (9.0 + 1.0) / 16))) // 0.625
+    assert(got("g2") == ((4L, 2L, 0.5)))              // uniform pair
+  }
+
   test("massConcentration: pro-rata tie groups, exact top-f shares") {
     import spark.implicits._
     // 10 rows: one giant (91), nine of 1 -> total 100

@@ -32,6 +32,32 @@ class GraphsSpec extends SparkSpec {
     assert(math.abs(sum.getAs[Double]("global_clustering") - 0.8) < 1e-12)
   }
 
+  test("harmonicCentrality: landmark sweeps on a path graph") {
+    import spark.implicits._
+    // path 1-2-3-4, landmarks {1, 4}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val lms = Seq(1L, 4L).toDF("node")
+    val got = Graphs.harmonicCentrality(edges, lms, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // H(1) = 1/d(4,1) = 1/3 (own-landmark d=0 excluded); ends mirror
+    assert(got(1L)._1 == 1L && math.abs(got(1L)._2 - 1.0 / 3) < 1e-12)
+    assert(got(4L)._1 == 1L && math.abs(got(4L)._2 - 1.0 / 3) < 1e-12)
+    // H(2) = 1/1 + 1/2 = 1.5 = H(3)
+    assert(got(2L) == ((2L, 1.5)) && got(3L) == ((2L, 1.5)))
+    // hop cap: at maxHops=1 the far end is unreached from either
+    // landmark and drops out (the harmonic 0-contribution convention)
+    val capped = Graphs.harmonicCentrality(edges, lms, maxHops = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(capped == Map(2L -> 1.0, 3L -> 1.0))
+    // landmarkDistances carries per-landmark labels, not a min over
+    // the source SET like shortestHops
+    val d = Graphs.landmarkDistances(edges, lms, maxHops = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(d((1L, 4L)) == 3L && d((4L, 1L)) == 3L && d((1L, 1L)) == 0L)
+  }
+
   test("shortestHops: multi-source BFS distances on a known graph") {
     import spark.implicits._
     // path 1-2-3-4-5 plus a separate component {10,11} and an

@@ -343,6 +343,33 @@ class StatsSpec extends SparkSpec {
       .collect().head.isNullAt(3))
   }
 
+  test("burstiness: hand gaps — Goh–Barabási B and memory coefficient") {
+    import spark.implicits._
+    // user 1: events at t = 0(a), 1(b), 4(b), 6(b) → gaps 1, 3, 2,
+    // all attributed to arriving type b; type a has no gap row
+    val ev = Seq((1L, 10L, 0L, "a"), (1L, 11L, 1L, "b"),
+      (1L, 12L, 4L, "b"), (1L, 13L, 6L, "b"))
+      .toDF("user", "id", "sec", "typ")
+    val rows = Events.burstiness(ev, "user", "sec", "id", "typ")
+      .collect()
+    assert(rows.length === 1 && rows.head.getString(0) === "b")
+    val r = rows.head
+    assert(r.getLong(1) === 3L)
+    assert(math.abs(r.getDouble(2) - 2.0) < 1e-12) // mean gap
+    val sd = math.sqrt(2.0 / 3) // pop sd of {1,3,2}
+    assert(math.abs(r.getDouble(3) - sd) < 1e-12)
+    assert(math.abs(r.getDouble(4) - (sd - 2) / (sd + 2)) < 1e-12)
+    // consecutive pairs (1,3),(3,2): two points → Pearson r = −1
+    assert(math.abs(r.getDouble(5) - (-1.0)) < 1e-12)
+    // perfectly periodic stream → B = −1
+    val per = Seq((2L, 20L, 0L, "c"), (2L, 21L, 5L, "c"),
+      (2L, 22L, 10L, "c"), (2L, 23L, 15L, "c"))
+      .toDF("user", "id", "sec", "typ")
+    val pr = Events.burstiness(per, "user", "sec", "id", "typ")
+      .collect().head
+    assert(math.abs(pr.getDouble(4) - (-1.0)) < 1e-12)
+  }
+
   test("intrinsicDimension: hand TwoNN on a 1-D grid + duplicate drop") {
     import spark.implicits._
     val pts = Seq((0L, Array(0f, 0f)), (1L, Array(1f, 0f)),
