@@ -394,8 +394,9 @@ object Graphs {
     */
   def landmarkDistances(edges: DataFrame, landmarks: DataFrame,
       maxHops: Int = 10, srcCol: String = "src", dstCol: String = "dst",
-      nodeCol: String = "node"): DataFrame = {
+      nodeCol: String = "node", maxLandmarks: Int = 1000): DataFrame = {
     require(maxHops >= 0, "maxHops must be non-negative")
+    require(maxLandmarks > 0, "maxLandmarks must be positive")
     val e = canonicalEdges(edges, srcCol, dstCol)
     val adj = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
       .transform(persistTracked)
@@ -403,6 +404,15 @@ object Graphs {
       .distinct()
       .select(col("lm"), col("lm").as("node"), lit(0L).as("dist"))
       .transform(persistTracked)
+    // the visited state is k x n rows — k must be a BOUNDED landmark
+    // set (the whole point of the landmark heuristic); fail loudly on
+    // a mis-sized call instead of materializing an n x n table. The
+    // count materializes the persisted seed state the loop needs
+    // anyway, so the guard adds no extra lineage evaluation.
+    require(dist.count() <= maxLandmarks,
+      s"landmarkDistances: more than $maxLandmarks landmarks - the " +
+        "visited state is k x n; pick a small fixed landmark set or " +
+        "raise maxLandmarks deliberately")
     var frontier = dist
     var hop = 0L
     var done = maxHops == 0 || frontier.isEmpty
@@ -435,8 +445,9 @@ object Graphs {
     */
   def harmonicCentrality(edges: DataFrame, landmarks: DataFrame,
       maxHops: Int = 10, srcCol: String = "src", dstCol: String = "dst",
-      nodeCol: String = "node"): DataFrame =
-    landmarkDistances(edges, landmarks, maxHops, srcCol, dstCol, nodeCol)
+      nodeCol: String = "node", maxLandmarks: Int = 1000): DataFrame =
+    landmarkDistances(edges, landmarks, maxHops, srcCol, dstCol, nodeCol,
+      maxLandmarks)
       .filter(col("dist") > 0)
       .groupBy("node")
       .agg(count(lit(1)).as("n_landmarks_reached"),

@@ -56,6 +56,11 @@ class GraphsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
       .toMap
     assert(d((1L, 4L)) == 3L && d((4L, 1L)) == 3L && d((1L, 1L)) == 0L)
+    // over-cap landmark set fails loudly before k x n state builds
+    val e = intercept[IllegalArgumentException] {
+      Graphs.harmonicCentrality(edges, lms, maxHops = 1, maxLandmarks = 1)
+    }
+    assert(e.getMessage.contains("landmarks"))
   }
 
   test("shortestHops: multi-source BFS distances on a known graph") {
