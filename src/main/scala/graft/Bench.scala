@@ -283,7 +283,13 @@ object Bench {
     // (q_graph_harmonic stays correctness-gated only — the iterative
     // landmark-BFS class, like kcore/hops, is not a headline shape)
     "q_events_burstiness",
-    "q_profile_hhi")
+    "q_profile_hhi",
+    // round-10 third batch: vocabulary richness (token explode +
+    // two hash aggs), categorical MI (joint agg + marginals of the
+    // joint), deterministic per-key sample (md5-rank bounded PQ)
+    "q_text_richness",
+    "q_profile_mi",
+    "q_profile_sample")
 
   /** (1-min load average, cumulative steal jiffies) — captured before
     * and after the timed list so external-load interference on the

@@ -136,6 +136,74 @@ object Profile {
           (col("n").cast("double") * col("n").cast("double")))
           .as("hhi"))
 
+  /** Mutual information between two categorical columns (nats), with
+    * the full entropy decomposition: H(A), H(B), H(A,B),
+    * I = H(A)+H(B)−H(A,B), the conditional entropies, and
+    * NMI = I/√(H(A)·H(B)) — the "is this column redundant given that
+    * one" data-audit read (I ≈ 0 independent, NMI ≈ 1 determined).
+    *
+    * Scale shape: one joint (a, b) hash aggregate; marginals are
+    * aggregates OF the joint table (never a second corpus scan); the
+    * 1-row total broadcasts back. Term arithmetic is spelled
+    * c/n · ln((c·n)/(ca·cb)) so a SQL replay produces identical
+    * doubles per term.
+    */
+  def mutualInformation(df: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val joint = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("c"))
+    val pa = joint.groupBy("a").agg(sum("c").as("ca"))
+    val pb = joint.groupBy("b").agg(sum("c").as("cb"))
+    val tot = broadcast(joint.agg(sum("c").as("n")))
+    def hTerm(c: Column, n: Column): Column =
+      -(c.cast("double") / n) * log(c.cast("double") / n)
+    val ha = pa.crossJoin(tot)
+      .agg(sum(hTerm(col("ca"), col("n"))).as("h_a"))
+    val hb = pb.crossJoin(tot)
+      .agg(sum(hTerm(col("cb"), col("n"))).as("h_b"))
+    val core = joint.join(pa, "a").join(pb, "b").crossJoin(tot)
+      .agg(max("n").as("n"),
+        sum(hTerm(col("c"), col("n"))).as("h_ab"),
+        sum((col("c").cast("double") / col("n")) *
+          log((col("c").cast("double") * col("n")) /
+            (col("ca").cast("double") * col("cb")))).as("mi"))
+    core.crossJoin(broadcast(ha)).crossJoin(broadcast(hb))
+      .select(col("n"), col("h_a"), col("h_b"), col("h_ab"), col("mi"),
+        (col("h_ab") - col("h_b")).as("h_a_given_b"),
+        (col("h_ab") - col("h_a")).as("h_b_given_a"),
+        when(col("h_a") > 0 && col("h_b") > 0,
+          col("mi") / sqrt(col("h_a") * col("h_b"))).as("nmi"))
+  }
+
+  /** Deterministic per-key uniform sample of exactly min(k, |group|)
+    * rows — the distributed replacement for reservoir sampling: rank
+    * by md5(salt, key, id) and keep the k smallest, so the sample is
+    * a pure function of the data (replayable anywhere, stable across
+    * reruns and partitionings). Returns the sampled rows with all
+    * their columns.
+    *
+    * Scale shape: bounded-PQ top-k per key (map-side partials carry
+    * ≤ k rows — no per-key sort of the whole corpus), then one
+    * semi-join back for the full rows.
+    */
+  def uniformSampleByKey(df: DataFrame, keyCols: Seq[String],
+      idCol: String, k: Int, salt: String = "graft"): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(keyCols.nonEmpty, "need at least one key column")
+    val h = md5(concat_ws("\u0001",
+      (lit(salt) +: keyCols.map(c => col(c).cast("string"))) :+
+        col(idCol).cast("string"): _*))
+    val picked = df.withColumn("__h", h)
+      .groupBy(keyCols.map(col): _*)
+      .agg(org.apache.spark.sql.graft.AggShims
+        .sortedTakeAsc(struct(col("__h"), col(idCol)), k).as("__top"))
+      .select((keyCols.map(col) :+
+        explode(col("__top")).as("__t")): _*)
+      .select((keyCols.map(col) :+
+        col("__t").getField(idCol).as(idCol)): _*)
+    df.join(picked, keyCols :+ idCol, "left_semi")
+  }
+
   /** Approximate per-column quantiles in one pass
     * (Greenwald-Khanna via `approx_percentile`): stacked
     * (col_name, p, value) rows. Rank error ≤ 1/`accuracy` — at any

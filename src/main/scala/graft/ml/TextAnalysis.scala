@@ -36,6 +36,41 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column = md5(normalize(text))
 
+  /** Vocabulary-richness profile per stratum over the word frequency
+    * spectrum: token count N, type count V, hapax legomena (count +
+    * share of types), Yule's K = 10⁴·(Σc² − N)/N² and Simpson's
+    * repeat rate D = Σc(c−1)/(N(N−1)) — the size-robust "is this
+    * source repetitive boilerplate or diverse prose" reads (K ≈ 100
+    * for natural English, K in the thousands for templated text).
+    * Every statistic is a ratio of INTEGER sums, so any replay
+    * produces the identical double.
+    *
+    * Scale shape: one normalized-token explode + two hash aggregates
+    * — the unigram-LM count shape with a richer present step.
+    */
+  def vocabularyRichness(df: DataFrame, stratumCol: String,
+      textCol: String): DataFrame =
+    df.select(col(stratumCol).as("stratum"),
+        explode(split(normalize(col(textCol)), " ")).as("tk"))
+      .filter(length(col("tk")) > 0)
+      .groupBy("stratum", "tk").agg(count(lit(1)).as("c"))
+      .groupBy("stratum")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(col("c") * col("c")).as("__sq"),
+        sum(col("c") * (col("c") - 1)).as("__rep"))
+      .select(col("stratum"), col("n_tokens"), col("n_types"),
+        col("n_hapax"),
+        (col("n_hapax").cast("double") / col("n_types"))
+          .as("hapax_share"),
+        (lit(1e4) * (col("__sq") - col("n_tokens")).cast("double") /
+          (col("n_tokens").cast("double") *
+            col("n_tokens").cast("double"))).as("yule_k"),
+        when(col("n_tokens") > 1,
+          col("__rep").cast("double") /
+            (col("n_tokens").cast("double") *
+              (col("n_tokens") - 1).cast("double"))).as("simpson"))
+
   /** Quality components: character count, word count, mean word
     * length, punctuation ratio, stopword ratio, and a composite score
     * in [0,1]. Heuristics follow the public C4/Gopher-style filters.

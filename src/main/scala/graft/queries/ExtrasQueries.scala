@@ -263,6 +263,71 @@ object ExtrasQueries extends QueryGroup {
           round(col("gini"), 6).as("gini"))
     },
 
+    // lang × source mutual information with the full entropy
+    // decomposition — joint hash aggregate + marginals OF the joint,
+    // term-identical ln arithmetic on both sides.
+    q("q_profile_mi",
+      """WITH j AS (
+        |  SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2
+        |), ma AS (
+        |  SELECT a, CAST(sum(c) AS BIGINT) AS ca FROM j GROUP BY 1
+        |), mb AS (
+        |  SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM j GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n FROM j
+        |), ent AS (
+        |  SELECT max(n) AS n,
+        |    (SELECT sum(-(ca::DOUBLE / n) * ln(ca::DOUBLE / n))
+        |      FROM ma, t) AS h_a,
+        |    (SELECT sum(-(cb::DOUBLE / n) * ln(cb::DOUBLE / n))
+        |      FROM mb, t) AS h_b,
+        |    sum(-(c::DOUBLE / n) * ln(c::DOUBLE / n)) AS h_ab,
+        |    sum((c::DOUBLE / n)
+        |      * ln((c::DOUBLE * n) / (ca::DOUBLE * cb))) AS mi
+        |  FROM j JOIN ma USING (a) JOIN mb USING (b), t
+        |)
+        |SELECT n, round(h_a, 6) AS h_a, round(h_b, 6) AS h_b,
+        |  round(h_ab, 6) AS h_ab, round(mi, 6) + 0.0 AS mi,
+        |  round(h_ab - h_b, 6) AS h_a_given_b,
+        |  round(h_ab - h_a, 6) AS h_b_given_a,
+        |  round(CASE WHEN h_a > 0 AND h_b > 0
+        |    THEN mi / sqrt(h_a * h_b) END, 6) + 0.0 AS nmi
+        |FROM ent""".stripMargin) { (s, dir) =>
+      graft.ml.Profile.mutualInformation(
+          t(s, dir, "documents"), "lang", "source")
+        .select(col("n"), round(col("h_a"), 6).as("h_a"),
+          round(col("h_b"), 6).as("h_b"),
+          round(col("h_ab"), 6).as("h_ab"),
+          (round(col("mi"), 6) + 0.0).as("mi"),
+          round(col("h_a_given_b"), 6).as("h_a_given_b"),
+          round(col("h_b_given_a"), 6).as("h_b_given_a"),
+          (round(col("nmi"), 6) + 0.0).as("nmi"))
+    },
+
+    // deterministic per-language uniform sample of 20 docs (md5-rank
+    // bounded-PQ top-k — the reservoir-sampling replacement): exact
+    // row_number replay.
+    q("q_profile_sample",
+      """WITH h AS (
+        |  SELECT lang, doc_id,
+        |    md5(concat_ws(chr(1), 'graft', lang,
+        |      CAST(doc_id AS VARCHAR))) AS hh
+        |  FROM documents
+        |), r AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id)
+        |      AS rn
+        |  FROM h
+        |)
+        |SELECT lang, doc_id FROM r WHERE rn <= 20
+        |ORDER BY lang, doc_id""".stripMargin) { (s, dir) =>
+      graft.ml.Profile.uniformSampleByKey(
+          t(s, dir, "documents"), Seq("lang"), "doc_id", k = 20)
+        .select(col("lang"), col("doc_id"))
+        .orderBy("lang", "doc_id")
+    },
+
     // Herfindahl–Hirschman source concentration per language: two
     // hash aggregates, integer-exact squared-count sum.
     q("q_profile_hhi",

@@ -63,6 +63,41 @@ object TextQueries extends QueryGroup {
     // corpus-trained unigram LM score (CCNet-style perplexity
     // bucketing, deterministic unigram special case): mean token NLL
     // under an add-0.5-smoothed model fit on the whole corpus.
+    q("q_text_richness", {
+      val words = "string_split(trim(regexp_replace(regexp_replace(lower(text), " +
+        "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')"
+      s"""WITH cw AS (
+         |  SELECT lang, $words AS w FROM documents
+         |), tok AS (
+         |  SELECT lang, tk FROM (SELECT lang, unnest(w) AS tk FROM cw)
+         |  WHERE strlen(tk) > 0
+         |), tc AS (
+         |  SELECT lang, tk, CAST(count(*) AS BIGINT) AS c
+         |  FROM tok GROUP BY 1, 2
+         |)
+         |SELECT lang AS stratum, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_types,
+         |  CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax,
+         |  round(CAST(count(*) FILTER (WHERE c = 1) AS DOUBLE)
+         |    / count(*), 6) AS hapax_share,
+         |  round(1e4 * CAST(sum(c * c) - sum(c) AS DOUBLE)
+         |    / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)), 6)
+         |    AS yule_k,
+         |  round(CASE WHEN sum(c) > 1 THEN
+         |    CAST(sum(c * (c - 1)) AS DOUBLE)
+         |      / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) - 1 AS DOUBLE))
+         |    END, 6) AS simpson
+         |FROM tc GROUP BY 1 ORDER BY stratum""".stripMargin
+    }) { (s, dir) =>
+      TA.vocabularyRichness(t(s, dir, "documents"), "lang", "text")
+        .select(col("stratum"), col("n_tokens"), col("n_types"),
+          col("n_hapax"),
+          round(col("hapax_share"), 6).as("hapax_share"),
+          round(col("yule_k"), 6).as("yule_k"),
+          round(col("simpson"), 6).as("simpson"))
+        .orderBy("stratum")
+    },
+
     q("q_text_unigram_nll", {
       val words = "string_split(trim(regexp_replace(regexp_replace(lower(text), " +
         "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')"

@@ -124,6 +124,76 @@ class MlSpec extends SparkSpec {
       Dedup.containmentPairs(fix, "doc_id", "text", Seq.empty, 0.9))
   }
 
+  test("vocabularyRichness: hand frequency spectrum") {
+    import spark.implicits._
+    // stratum s: tokens a,a,b,a,c → counts a=3, b=1, c=1
+    val d = Seq(("s", "a a b"), ("s", "a c")).toDF("src", "text")
+    val r = graft.ml.TextAnalysis.vocabularyRichness(d, "src", "text")
+      .collect().head
+    assert(r.getString(0) === "s")
+    assert(r.getLong(1) === 5L && r.getLong(2) === 3L && r.getLong(3) === 2L)
+    assert(math.abs(r.getDouble(4) - 2.0 / 3) < 1e-12)
+    // K = 1e4·(9+1+1−5)/25 = 2400; D = (6+0+0)/(5·4) = 0.3
+    assert(math.abs(r.getDouble(5) - 2400.0) < 1e-9)
+    assert(math.abs(r.getDouble(6) - 0.3) < 1e-12)
+  }
+
+  test("mutualInformation: independence, determination, decomposition") {
+    import spark.implicits._
+    // independent 2×2 grid → I = 0
+    val ind = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .toDF("a", "b")
+    val ri = graft.ml.Profile.mutualInformation(ind, "a", "b")
+      .collect().head
+    assert(math.abs(ri.getDouble(4)) < 1e-12) // mi
+    assert(math.abs(ri.getDouble(7)) < 1e-12) // nmi
+    // b determined by a → I = H(A) = H(B) = ln 2, NMI = 1
+    val det = Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q"))
+      .toDF("a", "b")
+    val rd = graft.ml.Profile.mutualInformation(det, "a", "b")
+      .collect().head
+    assert(math.abs(rd.getDouble(4) - math.log(2.0)) < 1e-12)
+    assert(math.abs(rd.getDouble(7) - 1.0) < 1e-12)
+    // skewed table: the chain decomposition holds exactly
+    val mix = Seq(("x", "p"), ("x", "p"), ("x", "q"), ("y", "q"))
+      .toDF("a", "b")
+    val rm = graft.ml.Profile.mutualInformation(mix, "a", "b")
+      .collect().head
+    val (ha, hb, hab, mi) = (rm.getDouble(1), rm.getDouble(2),
+      rm.getDouble(3), rm.getDouble(4))
+    assert(math.abs(mi - (ha + hb - hab)) < 1e-12)
+    assert(math.abs(rm.getDouble(5) - (hab - hb)) < 1e-12)
+    assert(math.abs(ha - (-0.75 * math.log(0.75) -
+      0.25 * math.log(0.25))) < 1e-12)
+  }
+
+  test("uniformSampleByKey: deterministic md5-rank top-k per key") {
+    import spark.implicits._
+    val d = (1 to 8).map(i => (if (i <= 4) "g1" else "g2", i.toLong, s"v$i"))
+      .toDF("k", "id", "v")
+    val got = graft.ml.Profile.uniformSampleByKey(d, Seq("k"), "id", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    // exactly 2 per key, stable across invocations
+    assert(got.count(_._1 == "g1") === 2 && got.count(_._1 == "g2") === 2)
+    val again = graft.ml.Profile.uniformSampleByKey(d, Seq("k"), "id", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(got === again)
+    // matches a driver md5 replay of the same rank function
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect = (1 to 8).map { i =>
+      val k = if (i <= 4) "g1" else "g2"
+      (k, i.toLong, md5hex(s"graft\u0001$k\u0001$i"))
+    }.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      rs.sortBy(r => (r._3, r._2)).take(2).map(r => (r._1, r._2))
+    }.sorted
+    assert(got === expect)
+    // full rows come back (all columns preserved)
+    assert(graft.ml.Profile.uniformSampleByKey(d, Seq("k"), "id", 2)
+      .columns.toSeq === Seq("k", "id", "v"))
+  }
+
   test("jsDivergenceByStratum matches a driver replica; bounds hold") {
     import spark.implicits._
     val d = Seq(("A", "a a b"), ("A", "a"), ("B", "b c"), ("C", "a a b c"))
