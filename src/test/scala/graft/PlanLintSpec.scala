@@ -289,7 +289,11 @@ class PlanLintSpec extends SparkSpec {
       "1-row normalizer aggregate broadcast onto the vocabulary table"),
     "q_events_srm" -> Map("cartesian" ->
       ("1-row total and 1-row chi2/df aggregates broadcast onto the " +
-        "arm grid")))
+        "arm grid")),
+    "q_profile_mi" -> Map("cartesian" ->
+      ("1-row total-count aggregate broadcast onto the joint/marginal " +
+        "count tables, then 1-row entropy aggregates cross-joined " +
+        "into the single output row")))
   // q_multimodal_tar's former cartesian entry dropped in round 8: the
   // gate now collects its 1-row summary eagerly (so the shard temp dir
   // can be deleted) and returns a parallelized literal — no join plan.
