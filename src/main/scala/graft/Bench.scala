@@ -323,13 +323,14 @@ object Bench {
     // JVM/codegen warmup on the smallest SF so per-query numbers
     // measure the engine, not JIT: run every headline query once at
     // sf0.001 (compiles each plan's generated code cheaply).
+    // capture BEFORE the warmup pass: load1 must witness the box
+    // state the run inherited, not the warmup's own 32-thread burst
+    val (load1Before, stealBefore) = loadEvidence()
     headline.filter(queries.contains).foreach { name =>
       try runOne(spark, queries(name), "/root/testdata/sf0.001")
       catch { case _: Throwable => }
       finally graft.ml.Dedup.unpersistPipelineCaches()
     }
-
-    val (load1Before, stealBefore) = loadEvidence()
     val results = headline.filter(queries.contains).map { name =>
       val t0 = System.nanoTime()
       val ok = try { runOne(spark, queries(name), sfDir); true }
