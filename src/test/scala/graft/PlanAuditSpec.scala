@@ -54,6 +54,37 @@ class PlanAuditSpec extends SparkSpec {
       s"partial agg must sit below (after in tree print) the exchange:\n$p")
   }
 
+  test("q_fields_mapstream shuffles ONCE by key and sorts within partitions") {
+    val p = plan("q_fields_mapstream")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected exactly 1 key exchange, got $exchanges:\n$p")
+    assert(p.contains("Sort ") && !p.contains("Window"),
+      s"expected an in-partition sort and no window operator:\n$p")
+    assert(p.contains("MapPartitions"), s"no streaming buffer kernel:\n$p")
+  }
+
+  test("q_trap_throwing stays scan-shaped: no key shuffle, no window") {
+    val p = plan("q_trap_throwing")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"trap split must not shuffle by key:\n$p")
+    assert(!p.contains("Window"), s"no window expected:\n$p")
+    assert(p.contains("MapPartitions"), s"no Try-split kernel:\n$p")
+  }
+
+  test("q_profile_sample ships bounded partial top-k and joins back semi") {
+    val p = plan("q_profile_sample")
+    assert(p.toLowerCase.contains("collecttopk") ||
+      p.toLowerCase.contains("collect_top_k"),
+      s"not the bounded-PQ aggregate:\n$p")
+    assert(p.contains("LeftSemi"), s"no semi join back:\n$p")
+    val lines = p.linesIterator.toSeq
+    val partialIdx = lines.indexWhere(l =>
+      l.contains("ObjectHashAggregate") && l.contains("partial_"))
+    val exchangeIdx = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    assert(partialIdx >= 0 && exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"partial bounded top-k must sit below its exchange:\n$p")
+  }
+
   test("q_agg_groupby is a two-phase hash aggregation (map-side combine)") {
     val p = plan("q_agg_groupby")
     val partials = p.linesIterator.count(l =>
