@@ -13,6 +13,19 @@ import org.apache.spark.sql.{functions => F}
   */
 object FieldsApi {
 
+  /** Group-run key for [[RichDataFrame.mapStreamByKey]]: equality and
+    * hashing run on the value-normalized copy (arrays → Seq) so
+    * binary/array key columns group by VALUE, while `orig` keeps the
+    * schema-shaped cells for the output rows.
+    */
+  private[dsl] final case class GroupKey(orig: Seq[Any], cmp: Seq[Any]) {
+    override def equals(o: Any): Boolean = o match {
+      case g: GroupKey => g.cmp == cmp
+      case _ => false
+    }
+    override def hashCode: Int = cmp.hashCode
+  }
+
   implicit class RichDataFrame(val df: DataFrame) extends AnyVal {
 
     /** Keep only these fields (RichPipe.project, RichPipe.scala:126). */
@@ -191,17 +204,32 @@ object FieldsApi {
       import org.apache.spark.sql.types.StructType
       val kIdx = keys.map(df.columns.indexOf(_))
       val fIdx = from.map(df.columns.indexOf(_))
-      require((kIdx ++ fIdx).forall(_ >= 0),
-        s"mapStreamByKey: unknown field among ${keys ++ from} for " +
-          s"${df.columns.toSeq}")
+      val sIdx = sortBy.map(df.columns.indexOf(_))
+      require((kIdx ++ fIdx ++ sIdx).forall(_ >= 0),
+        s"mapStreamByKey: unknown field among ${keys ++ from ++ sortBy} " +
+          s"for ${df.columns.toSeq}")
+      val shadowed = out.map(_.name).toSet.intersect(keys.toSet)
+      require(shadowed.isEmpty,
+        s"mapStreamByKey: out fields $shadowed shadow key fields " +
+          "(the result would carry duplicate columns)")
       val sorted = df.repartition(keys.map(col): _*)
         .sortWithinPartitions((keys ++ sortBy).map(col): _*)
       val enc = Encoders.row(StructType(
         kIdx.map(df.schema.fields(_)) ++ out))
+      // binary / array-typed key cells are java arrays inside Row —
+      // reference equality would make every row its own group, so run
+      // detection compares value-normalized copies while the output
+      // rows carry the original (schema-shaped) key values
+      def normKey(v: Any): Any = v match {
+        case a: Array[_] => a.toSeq.map(normKey)
+        case s: scala.collection.Seq[_] => s.map(normKey)
+        case x => x
+      }
       sorted.mapPartitions { it =>
-        new graft.typed.GroupRunIterator[Row](it, r => kIdx.map(r.get))
+        new graft.typed.GroupRunIterator[Row](it,
+          r => GroupKey(kIdx.map(r.get), kIdx.map(i => normKey(r.get(i)))))
           .flatMap { case (kAny, rows) =>
-            val kVals = kAny.asInstanceOf[Seq[Any]]
+            val kVals = kAny.asInstanceOf[GroupKey].orig
             fn(rows.map(r => fIdx.map(r.get))).iterator
               .map(o => Row.fromSeq(kVals ++ o))
           }
@@ -214,10 +242,15 @@ object FieldsApi {
       * `out` fields; rows whose closure THROWS are routed to the
       * returned trap frame — the operation's input fields plus the
       * error message (the reference carried the fields only) — and
-      * the main flow continues without them. The closure is
-      * re-evaluated once per consumed branch (Spark's own lineage
-      * cost model); `forceToDisk` upstream first if the input is
-      * expensive to recompute.
+      * the main flow continues without them. Like the reference's
+      * single-pass split, the closure and the upstream lineage run
+      * ONCE: one mapPartitions pass produces a persisted tagged union
+      * (registered with [[graft.core.PipelineCaches]]; MEMORY_AND_DISK
+      * so eviction spills rather than recomputes) and both returned
+      * frames filter it — so non-deterministic upstreams (samples,
+      * shuffles, tie-broken limits) still partition the input exactly,
+      * and side-effecting closures fire once per row. Unpersist via
+      * PipelineCaches once both branches are consumed.
       */
     def trapThrows(from: Seq[String],
         out: Seq[org.apache.spark.sql.types.StructField])(
@@ -227,21 +260,26 @@ object FieldsApi {
       val idx = from.map(df.columns.indexOf(_))
       require(idx.forall(_ >= 0),
         s"trapThrows: unknown field among $from for ${df.columns.toSeq}")
-      val goodEnc =
-        Encoders.row(StructType(df.schema.fields.toSeq ++ out))
-      val good = df.mapPartitions(_.flatMap { r =>
-        scala.util.Try(fn(idx.map(r.get))).toOption
-          .map(o => Row.fromSeq(r.toSeq ++ o))
-      })(goodEnc)
-      val trapEnc = Encoders.row(StructType(
-        idx.map(df.schema.fields(_)) :+ StructField("error", StringType)))
-      val trapped = df.mapPartitions(_.flatMap { r =>
-        scala.util.Try(fn(idx.map(r.get))) match {
-          case scala.util.Failure(e) =>
-            Some(Row.fromSeq(idx.map(r.get) :+ e.getMessage))
-          case _ => None
-        }
-      })(trapEnc)
+      val errCol = "__graft_trap_error"
+      require(!df.columns.contains(errCol) && !out.exists(_.name == errCol),
+        s"trapThrows: reserved column name $errCol in input/out")
+      val taggedEnc = Encoders.row(StructType(
+        (df.schema.fields.toSeq ++ out) :+ StructField(errCol, StringType)))
+      val nulls: Seq[Any] = out.map(_ => null)
+      val tagged = graft.core.PipelineCaches.persistTracked(
+        df.mapPartitions(_.map { r =>
+          scala.util.Try(fn(idx.map(r.get))) match {
+            case scala.util.Success(o) => Row.fromSeq((r.toSeq ++ o) :+ null)
+            case scala.util.Failure(e) =>
+              // a null message would mis-route the row to the good
+              // branch; the class name is also stable across retries
+              Row.fromSeq((r.toSeq ++ nulls) :+
+                Option(e.getMessage).getOrElse(e.getClass.getName))
+          }
+        })(taggedEnc))
+      val good = tagged.filter(col(errCol).isNull).drop(errCol)
+      val trapped = tagged.filter(col(errCol).isNotNull)
+        .select(from.map(col) :+ col(errCol).as("error"): _*)
       (good, trapped)
     }
   }

@@ -691,10 +691,15 @@ object Profile {
     * distinct-VALUE cumulative window on the pooled side (the
     * midrank discipline — never a global row sort of the corpus),
     * and a cum-range join (cb < pos ≤ cb + c) that is an
-    * interval-bucketed lookup, not all-pairs.
+    * interval-bucketed lookup, not all-pairs. The pooled cumulative
+    * window runs on one task sized by |distinct values| — fine for
+    * scores; set `bigVocab = true` when values are high-cardinality
+    * (open-ended ids, raw floats at corpus scale) to compute the same
+    * prefix sums via [[graft.functions.Ranks.distributedPrefixSum]]'s
+    * two-pass range-partitioned shape instead.
     */
   def quantileNormalize(df: DataFrame, idCol: String, strataCol: String,
-      valueCol: String): DataFrame = {
+      valueCol: String, bigVocab: Boolean = false): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val base = df.select(col(idCol).as("id"), col(strataCol).as("stratum"),
       col(valueCol).cast("double").as("v"))
@@ -703,9 +708,12 @@ object Profile {
     val sized = base
       .withColumn("stratum_rank", row_number().over(perStratum))
       .withColumn("ng", count(lit(1)).over(W.partitionBy("stratum")))
-    val pooledVals = base.groupBy(col("v").as("pv"))
+    val pooledCounts = base.groupBy(col("v").as("pv"))
       .agg(count(lit(1)).as("c"))
-      .withColumn("cb", coalesce(sum("c").over(
+    val pooledVals =
+      if (bigVocab) graft.functions.Ranks.distributedPrefixSum(
+        pooledCounts, Seq(col("pv")), col("c"), "cb", inclusive = false)
+      else pooledCounts.withColumn("cb", coalesce(sum("c").over(
         W.orderBy("pv").rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
     val n = base.groupBy().agg(count(lit(1)).as("n_total"))
     // position→value lookup as a BUCKETED interval join (the

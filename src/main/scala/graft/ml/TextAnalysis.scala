@@ -931,20 +931,29 @@ object TextAnalysis {
     * ln(predicted freq at rank 1), `r2` the fit quality in log-log
     * space (NULL for single-type corpora, where variance is zero).
     *
-    * Scale shape: one token scan → vocabulary hash count; the rank
-    * window sorts the VOCABULARY (bounded by |V|, not the corpus —
-    * the same single-partition-over-vocab tradeoff [[heavyHitters]]
-    * documents); the regression itself is one 6-number aggregate of
-    * (x, y, xy, x², y²) partials — nothing is collected.
+    * Scale shape: one token scan → vocabulary hash count; by default
+    * the rank window sorts the VOCABULARY on one task (bounded by
+    * |V|, not the corpus — the same single-partition-over-vocab
+    * tradeoff [[heavyHitters]] documents — fine for word vocabs);
+    * set `bigVocab = true` for open vocabularies (n-grams, URLs) to
+    * rank via [[graft.functions.Ranks.distributedRank]]'s two-pass
+    * range-partitioned shape instead — identical ranks (the order is
+    * total), no single-partition window. The regression itself is one
+    * 6-number aggregate of (x, y, xy, x², y²) partials — nothing is
+    * collected.
     */
-  def zipfFit(df: DataFrame, textCol: String): DataFrame = {
+  def zipfFit(df: DataFrame, textCol: String,
+      bigVocab: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = df.select(
         explode(split(normalize(col(textCol)), " ")).as("tk"))
       .filter(length(col("tk")) > 0)
       .groupBy("tk").agg(count(lit(1)).as("c"))
-    val ranked = counts.withColumn("rank",
-      row_number().over(Window.orderBy(col("c").desc, col("tk"))))
+    val ranked =
+      if (bigVocab) graft.functions.Ranks.distributedRank(counts,
+        Seq(col("c").desc, col("tk")), "rank")
+      else counts.withColumn("rank",
+        row_number().over(Window.orderBy(col("c").desc, col("tk"))))
     val x = log(col("rank").cast("double"))
     val y = log(col("c").cast("double"))
     ranked
@@ -969,9 +978,12 @@ object TextAnalysis {
     * sub-linear exponent β is the "will dedup/vocab tables keep
     * fitting" number a corpus owner reads before the next 10×.
     *
-    * Checkpoint boundaries are the ⌈N·j/cp⌉-th smallest doc ids
-    * (discrete order statistics via a cumulative window over the
-    * per-doc AGGREGATE — never a raw-corpus sort); vocabulary at a
+    * Checkpoint boundaries are the ⌈N·j/cp⌉-th smallest doc ids —
+    * discrete order statistics via [[graft.functions.Ranks
+    * .distributedRank]]'s two-pass per-partition count + offset over
+    * the per-doc AGGREGATE (never a raw-corpus sort, and no
+    * single-partition window: N is the corpus DOCUMENT count, which
+    * at 100 TB is billions of rows); vocabulary at a
     * boundary counts tokens whose FIRST document id is within it, so
     * one token scan serves every checkpoint. Returns one row per
     * checkpoint (checkpoint, n_tokens, vocab) with the fitted
@@ -980,7 +992,6 @@ object TextAnalysis {
   def heapsFit(df: DataFrame, idCol: String, textCol: String,
       checkpoints: Int = 10): DataFrame = {
     require(checkpoints >= 2, "need at least 2 checkpoints")
-    import org.apache.spark.sql.expressions.Window
     val tokens = filter(split(normalize(col(textCol)), " "),
       t => length(t) > 0)
     val docs = df.select(col(idCol).cast("long").as("id"),
@@ -990,8 +1001,8 @@ object TextAnalysis {
     val firstDoc = docs.select(col("id"), explode(col("ws")).as("tk"))
       .groupBy("tk").agg(min("id").as("first_id"))
     val n = perDoc.count()
-    val ranked = perDoc
-      .withColumn("rk", row_number().over(Window.orderBy("id")))
+    val ranked =
+      graft.functions.Ranks.distributedRank(perDoc, Seq(col("id")), "rk")
     val thresholds = ranked
       .crossJoin(broadcast(
         docs.sparkSession.range(1, checkpoints + 1).toDF("cp")))
@@ -1041,7 +1052,7 @@ object TextAnalysis {
     * join runs on it.
     */
   def burrowsDelta(df: DataFrame, strataCol: String, textCol: String,
-      topM: Int = 50): DataFrame = {
+      topM: Int = 50, bigVocab: Boolean = false): DataFrame = {
     require(topM >= 1)
     import org.apache.spark.sql.expressions.Window
     val tok = df.select(col(strataCol).cast("string").as("s"),
@@ -1049,9 +1060,15 @@ object TextAnalysis {
         t => length(t) > 0)).as("tk"))
     val sw = tok.groupBy("s", "tk").agg(count(lit(1)).as("c"))
     val stot = sw.groupBy("s").agg(sum("c").as("tot"))
-    val top = sw.groupBy("tk").agg(sum("c").as("g"))
-      .withColumn("r",
-        row_number().over(Window.orderBy(col("g").desc, col("tk"))))
+    val gc = sw.groupBy("tk").agg(sum("c").as("g"))
+    // default: top-M rank over the distinct-WORD aggregate on one
+    // task (|V|-bounded); bigVocab: the two-pass distributed rank —
+    // same total order, no single-partition window
+    val top = (if (bigVocab)
+        graft.functions.Ranks.distributedRank(gc,
+          Seq(col("g").desc, col("tk")), "r")
+      else gc.withColumn("r",
+        row_number().over(Window.orderBy(col("g").desc, col("tk")))))
       .filter(col("r") <= topM).select("tk")
     val grid = broadcast(top).crossJoin(broadcast(stot))
       .join(sw, Seq("s", "tk"), "left")

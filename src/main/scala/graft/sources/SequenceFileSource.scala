@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.Path
 import org.apache.hadoop.io.{BytesWritable, LongWritable, Text}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 
 /** Native Hadoop SequenceFile interop — the reference's
   * SequenceFile/WritableSequenceFile family (FileSource.scala:194-212)
@@ -60,23 +60,51 @@ final case class SequenceFileSource(path: String) extends Source {
       .toDF("key", "value")
   }
 
-  /** Writes the first two columns (cast to string) as Text/Text. */
-  def writeText(df: DataFrame, mode: SaveMode = SaveMode.Overwrite): Unit =
+  /** Writes the first two columns (cast to string) as Text/Text.
+    * Null cells coalesce to the empty string — Text has no null form.
+    */
+  def writeText(df: DataFrame, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val (k, v) = keyValueColumns(df, "writeText")
     if (prepare(df.sparkSession, mode)) {
-      val Array(k, v) = df.columns.take(2)
-      df.select(col(k).cast("string"), col(v).cast("string")).rdd
+      df.select(coalesce(col(k).cast("string"), lit("")),
+          coalesce(col(v).cast("string"), lit("")))
+        .rdd
         .map(r => (r.getString(0), r.getString(1)))
         .saveAsSequenceFile(path)
     }
+  }
 
-  /** Writes the first two binary columns as BytesWritable pairs. */
-  def writeBytes(df: DataFrame, mode: SaveMode = SaveMode.Overwrite): Unit =
+  /** Writes the first two binary columns as BytesWritable pairs.
+    * Null cells coalesce to empty byte arrays — BytesWritable has no
+    * null form.
+    */
+  def writeBytes(df: DataFrame, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val (k, v) = keyValueColumns(df, "writeBytes")
+    Seq(k, v).foreach { c =>
+      require(df.schema(c).dataType ==
+          org.apache.spark.sql.types.BinaryType,
+        s"SequenceFileSource.writeBytes: column $c is " +
+          s"${df.schema(c).dataType.simpleString}, expected binary")
+    }
     if (prepare(df.sparkSession, mode)) {
-      val Array(k, v) = df.columns.take(2)
       df.select(col(k), col(v)).rdd
-        .map(r => (r.getAs[Array[Byte]](0), r.getAs[Array[Byte]](1)))
+        .map { r =>
+          def bytes(i: Int): Array[Byte] =
+            if (r.isNullAt(i)) Array.emptyByteArray
+            else r.getAs[Array[Byte]](i)
+          (bytes(0), bytes(1))
+        }
         .saveAsSequenceFile(path)
     }
+  }
+
+  private def keyValueColumns(df: DataFrame, op: String): (String, String) = {
+    require(df.columns.length >= 2,
+      s"SequenceFileSource.$op needs (key, value) as the first two " +
+        s"columns; got ${df.columns.length} column(s): " +
+        df.columns.mkString("[", ", ", "]"))
+    (df.columns(0), df.columns(1))
+  }
 
   /** Returns false when the write should be skipped (Ignore on an
     * existing path); deletes first for Overwrite like the DataFrame

@@ -35,7 +35,7 @@ object PlanLint {
     * leaves (whose inner plan hides behind a LeafExecNode), reused
     * exchanges, and subquery plans.
     */
-  private def nodes(root: SparkPlan): Seq[SparkPlan] = {
+  private[graft] def nodes(root: SparkPlan): Seq[SparkPlan] = {
     val here = root.collectWithSubqueries { case p => p }
     val nested = here.flatMap {
       case a: AdaptiveSparkPlanExec => Seq(a.initialPlan)

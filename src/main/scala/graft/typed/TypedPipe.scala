@@ -36,23 +36,22 @@ final class TypedPipe[T](val ds: Dataset[T]) extends Serializable {
     * 515-518, exercised by CoreTest.scala:1366-1399) as a typed
     * split: rows whose closure THROWS land in the second pipe as
     * (input, error message) — the reference dropped even the message
-    * — and the first pipe is the surviving flow, unaffected. Each
-    * branch re-evaluates the closure on consumption (same cost model
-    * as Spark's own lineage recomputation); `forceToDisk` upstream
-    * first if the input is expensive to recompute.
+    * — and the first pipe is the surviving flow, unaffected. The
+    * split decision is made ONCE: a single tagged pass over the input
+    * is persisted (via [[graft.core.PipelineCaches]]) and both pipes
+    * filter it, so a non-deterministic upstream cannot land a row in
+    * both or neither branch. The closure re-runs on the persisted
+    * inputs of surviving rows to produce the good outputs — it must
+    * be deterministic given its input (the reference's Cascading
+    * functions carried the same requirement); side effects may fire
+    * twice per surviving row.
     */
   def tryMap[U: Encoder](f: T => U)(
       implicit et: Encoder[T]): (TypedPipe[U], TypedPipe[(T, String)]) = {
-    implicit val ts: Encoder[(T, String)] =
-      Encoders.tuple(et, Encoders.STRING)
-    val good = new TypedPipe(ds.flatMap(t => scala.util.Try(f(t)).toOption))
-    val trapped = new TypedPipe(ds.flatMap { t =>
-      scala.util.Try(f(t)) match {
-        case scala.util.Failure(e) => Some((t, e.getMessage))
-        case _ => None
-      }
-    })
-    (good, trapped)
+    val tagged = tagFailures(t => { f(t); () })
+    val good = new TypedPipe(
+      tagged.filter(_._2 == null).map(_._1)(et).map(f))
+    (good, trappedOf(tagged))
   }
 
   /** [[tryMap]] for one-to-many closures. The per-row output is
@@ -61,17 +60,35 @@ final class TypedPipe[T](val ds: Dataset[T]) extends Serializable {
     */
   def tryFlatMap[U: Encoder](f: T => IterableOnce[U])(
       implicit et: Encoder[T]): (TypedPipe[U], TypedPipe[(T, String)]) = {
+    val tagged = tagFailures(t => { f(t).iterator.toList; () })
+    val good = new TypedPipe(tagged.filter(_._2 == null).map(_._1)(et)
+      .flatMap(t => f(t).iterator.toList))
+    (good, trappedOf(tagged))
+  }
+
+  /** One persisted (input, error-or-null) pass — the shared split
+    * decision for [[tryMap]]/[[tryFlatMap]]. A null error message is
+    * replaced by the exception class name so it cannot mis-route the
+    * row (and stays stable across Spark task retries).
+    */
+  private def tagFailures(probe: T => Unit)(
+      implicit et: Encoder[T]): Dataset[(T, String)] = {
     implicit val ts: Encoder[(T, String)] =
       Encoders.tuple(et, Encoders.STRING)
-    val good = new TypedPipe(ds.flatMap(t =>
-      scala.util.Try(f(t).iterator.toList).getOrElse(Nil)))
-    val trapped = new TypedPipe(ds.flatMap { t =>
-      scala.util.Try(f(t).iterator.toList) match {
-        case scala.util.Failure(e) => Some((t, e.getMessage))
-        case _ => None
+    graft.core.PipelineCaches.persistTrackedDs(ds.map { t =>
+      scala.util.Try(probe(t)) match {
+        case scala.util.Failure(e) =>
+          (t, Option(e.getMessage).getOrElse(e.getClass.getName))
+        case _ => (t, null: String)
       }
     })
-    (good, trapped)
+  }
+
+  private def trappedOf(tagged: Dataset[(T, String)])(
+      implicit et: Encoder[T]): TypedPipe[(T, String)] = {
+    implicit val ts: Encoder[(T, String)] =
+      Encoders.tuple(et, Encoders.STRING)
+    new TypedPipe(tagged.filter(_._2 != null))
   }
 
   /** Union / merge (reference `++`, TypedPipe.scala:168). */

@@ -72,6 +72,75 @@ class FieldsApiSpec extends SparkSpec {
     assert(t.forall(_.getString(2) == "Erroneous Ones"))
   }
 
+  test("trapThrows runs the closure ONCE per row even when both " +
+      "branches are consumed (single-pass persisted split)") {
+    import org.apache.spark.sql.types.{IntegerType, StructField}
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("trap-evals")
+    val input = Seq(1, 2, 3, 4, 5).toDF("x")
+    val (good, trapped) = input.trapThrows(Seq("x"),
+      Seq(StructField("y", IntegerType))) { xs =>
+      acc.add(1)
+      val x = xs.head.asInstanceOf[Int]
+      if (x % 2 == 0) throw new Exception("even") else Seq(x * 10)
+    }
+    assert(good.count() == 3L && trapped.count() == 2L)
+    assert(acc.value == 5L,
+      s"closure ran ${acc.value} times for 5 rows — the split must " +
+        "evaluate once and both branches read the persisted tag")
+    graft.core.PipelineCaches.unpersistAll()
+  }
+
+  test("trapThrows falls back to the exception class when the " +
+      "message is null (a null tag would mis-route the row)") {
+    import org.apache.spark.sql.types.{IntegerType, StructField}
+    import spark.implicits._
+    val (good, trapped) = Seq(1, 2).toDF("x").trapThrows(Seq("x"),
+      Seq(StructField("y", IntegerType))) { xs =>
+      val x = xs.head.asInstanceOf[Int]
+      if (x == 2) throw new RuntimeException() else Seq(x)
+    }
+    assert(good.count() == 1L)
+    val t = trapped.collect()
+    assert(t.length == 1 && t.head.getString(1) ==
+      "java.lang.RuntimeException")
+    graft.core.PipelineCaches.unpersistAll()
+  }
+
+  test("mapStreamByKey groups binary keys by VALUE, not array " +
+      "reference") {
+    import org.apache.spark.sql.types.{IntegerType, StructField}
+    import spark.implicits._
+    val df = Seq((Array[Byte](1, 2), 10), (Array[Byte](1, 2), 20),
+      (Array[Byte](3), 30)).toDF("bk", "v")
+    val out = df.mapStreamByKey(Seq("bk"), Seq("v"))(Seq("v"),
+      Seq(StructField("n", IntegerType),
+        StructField("sum", IntegerType))) { rows =>
+      val xs = rows.map(_.head.asInstanceOf[Int]).toList
+      Seq(Seq(xs.length, xs.sum))
+    }.collect().map(r =>
+      (r.getAs[Array[Byte]](0).toSeq, r.getInt(1), r.getInt(2))).sortBy(_._2)
+    // the two Array(1,2) rows must form ONE group of size 2
+    assert(out.toSeq == Seq((Seq[Byte](3), 1, 30), (Seq[Byte](1, 2), 2, 30)))
+  }
+
+  test("mapStreamByKey validates sortBy columns and rejects out " +
+      "fields that shadow keys") {
+    import org.apache.spark.sql.types.{IntegerType, StructField}
+    import spark.implicits._
+    val df = Seq(("a", 1)).toDF("k", "v")
+    val typo = intercept[IllegalArgumentException] {
+      df.mapStreamByKey(Seq("k"), Seq("nope"))(Seq("v"),
+        Seq(StructField("n", IntegerType)))(_.map(identity))
+    }
+    assert(typo.getMessage.contains("nope"))
+    val shadow = intercept[IllegalArgumentException] {
+      df.mapStreamByKey(Seq("k"))(Seq("v"),
+        Seq(StructField("k", IntegerType)))(_.map(identity))
+    }
+    assert(shadow.getMessage.contains("shadow"))
+  }
+
   test("groupByFields builder chains aggregates into one agg") {
     val out = kv.groupByFields("k") {
       _.size("cnt").sum("x", "sum_x").max("n", "max_n")

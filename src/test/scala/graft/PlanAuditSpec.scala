@@ -63,12 +63,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("MapPartitions"), s"no streaming buffer kernel:\n$p")
   }
 
-  test("q_trap_throwing stays scan-shaped: no key shuffle, no window") {
+  test("q_trap_throwing stays scan-shaped: no key shuffle, no window, " +
+      "one persisted tagged pass feeding both branches") {
     val p = plan("q_trap_throwing")
     assert(!p.contains("Exchange hashpartitioning"),
       s"trap split must not shuffle by key:\n$p")
     assert(!p.contains("Window"), s"no window expected:\n$p")
-    assert(p.contains("MapPartitions"), s"no Try-split kernel:\n$p")
+    // round 11: the split is a SINGLE tagged mapPartitions pass,
+    // persisted; both branches read the cache (so a non-deterministic
+    // upstream cannot diverge the branches) — the kernel lives inside
+    // the cached relation's plan
+    assert(p.contains("InMemoryTableScan"),
+      s"no persisted tagged union:\n$p")
+    val exec = SparkEntry.queries("q_trap_throwing")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan
+    val cached = graft.tools.PlanLint.nodes(exec).collect {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        m.relation.cachedPlan.toString
+    }
+    assert(cached.exists(_.contains("MapPartitions")),
+      s"no Try-split kernel inside the cached plan:\n${cached.mkString}")
+    graft.core.PipelineCaches.unpersistAll()
+  }
+
+  test("q_text_heaps checkpoint thresholds carry no window at all " +
+      "(distributed order statistics, round 11)") {
+    val p = plan("q_text_heaps")
+    assert(!p.contains("Window"),
+      s"heapsFit must not plan any WindowExec:\n$p")
   }
 
   test("q_profile_sample ships bounded partial top-k and joins back semi") {

@@ -219,12 +219,12 @@ class PlanLintSpec extends SparkSpec {
         "1-row corpus-count aggregate broadcast onto both sides"),
     "q_events_woe" -> Map("cartesian" ->
       "1-row good/bad totals broadcast onto the category table"),
-    "q_text_heaps" -> Map(
-      "global-window" ->
-        "checkpoint rank over the per-doc AGGREGATE (N rows, not tokens)",
-      "cartesian" ->
-        ("10-row checkpoint-threshold and 1-row fit tables broadcast " +
-          "onto the aggregates")),
+    // q_text_heaps' former global-window entry retired in round 11:
+    // checkpoint thresholds now come from Ranks.distributedRank's
+    // two-pass order statistics — no window at all in the plan.
+    "q_text_heaps" -> Map("cartesian" ->
+      ("10-row checkpoint-threshold and 1-row fit tables broadcast " +
+        "onto the aggregates")),
     "q_text_burrows" -> Map(
       "global-window" ->
         "top-M rank over the distinct-WORD aggregate",

@@ -428,4 +428,38 @@ class ScaleInvariantsSpec extends SparkSpec {
       val nl = row.getAs[Long]("n_lists"); nl >= 1 && nl <= 2
     }))
   }
+
+  test("bigVocab distributed-rank path equals the window path at sf0.1 " +
+      "(zipfFit, burrowsDelta, quantileNormalize)") {
+    import graft.ml.{Profile, TextAnalysis => TA}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+
+    // zipfFit returns ONE row of regression stats — ranks feed the
+    // OLS sums, so any rank divergence changes the doubles
+    def row1(df: org.apache.spark.sql.DataFrame): Seq[Any] =
+      df.collect().map(_.toSeq).toSeq.flatten
+    assert(row1(TA.zipfFit(docs, "text")) ==
+      row1(TA.zipfFit(docs, "text", bigVocab = true)))
+
+    // burrowsDelta: the full source-pair distance matrix must match
+    def deltaMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getDouble(2)).toMap
+    assert(deltaMap(TA.burrowsDelta(docs, "source", "text")) ==
+      deltaMap(TA.burrowsDelta(docs, "source", "text", bigVocab = true)))
+
+    // quantileNormalize: per-row equality via a value checksum (the
+    // frame is corpus-sized — don't collect it)
+    def checksum(df: org.apache.spark.sql.DataFrame): Seq[Any] = {
+      val h = xxhash64(col("id"), col("stratum"), col("v"),
+        col("stratum_rank"), col("pooled_pos"), col("normalized"))
+      df.agg(count(lit(1)), sum(h)).collect().head.toSeq
+    }
+    val q = docs.select(col("doc_id"), col("source"),
+      (col("doc_id") % 1000).cast("double").as("score"))
+    assert(checksum(Profile.quantileNormalize(q, "doc_id", "source",
+        "score")) ==
+      checksum(Profile.quantileNormalize(q, "doc_id", "source",
+        "score", bigVocab = true)))
+  }
 }

@@ -91,6 +91,39 @@ class SourcesSpec extends SparkSpec {
       .map(r => r.getString(0)).toSeq == Seq("z"))
   }
 
+  test("SequenceFileSource write guards: <2 columns rejected with a " +
+      "clear message, nulls coalesce, writeBytes type-checked") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-seqguard").toString
+    val narrow = intercept[IllegalArgumentException] {
+      SequenceFileSource(s"$dir/one").writeText(Seq("a").toDF("only"))
+    }
+    assert(narrow.getMessage.contains("(key, value)") &&
+      narrow.getMessage.contains("1 column"))
+    // null key/value cells become empty strings, not NPEs
+    val out = s"$dir/nulls"
+    SequenceFileSource(out).writeText(
+      Seq((null: String, "v1"), ("k2", null: String))
+        .toDF("key", "value"))
+    assert(SequenceFileSource(out).readText(spark).collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq ==
+      Seq(("", "v1"), ("k2", "")))
+    val typed = intercept[IllegalArgumentException] {
+      SequenceFileSource(s"$dir/typed").writeBytes(
+        Seq(("s", Array[Byte](1))).toDF("key", "value"))
+    }
+    assert(typed.getMessage.contains("expected binary"))
+    // null binary cells become empty byte arrays
+    val binOut = s"$dir/binnulls"
+    SequenceFileSource(binOut).writeBytes(
+      Seq((Array[Byte](7), null: Array[Byte])).toDF("key", "value"))
+    assert(SequenceFileSource(binOut).readBytes(spark).collect()
+      .map(r => (r.getAs[Array[Byte]](0).toSeq,
+        r.getAs[Array[Byte]](1).toSeq)).toSeq ==
+      Seq((Seq[Byte](7), Seq.empty[Byte])))
+  }
+
   test("Orc round trip preserves schema and pushes filters to the scan") {
     import spark.implicits._
     val dir = tmp() + "/o"
