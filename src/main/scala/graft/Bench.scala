@@ -308,6 +308,33 @@ object Bench {
     (load1, steal)
   }
 
+  /** Contention accept/reject rule (docs/ENVELOPES.md): a capture is
+    * CONTENDED when hypervisor steal during the timed list exceeds 2%
+    * of the run's cpu-seconds budget (wall × cores; steal jiffies at
+    * USER_HZ=100). Below that, co-tenant noise cannot move any
+    * per-query number past its envelope by itself; above it, the
+    * capture is flagged (and retried once) rather than committed as a
+    * regression baseline — the round-10 failure mode (46/156 rows over
+    * ceiling at steal_delta 55,813 ≈ 6.7% of a 260 s × 32-core run).
+    */
+  private[graft] def contentionFlag(stealDelta: Long, wallSec: Double,
+      cpus: Int): Boolean =
+    stealDelta > 0 && wallSec > 0 &&
+      stealDelta / 100.0 > 0.02 * wallSec * cpus
+
+  private[graft] final case class Attempt(
+      results: Seq[(String, Double)],
+      load1Before: Double, load1After: Double,
+      stealBefore: Long, stealAfter: Long) {
+    def stealDelta: Long = stealAfter - stealBefore
+    def wall: Double = results.collect { case (_, v) if v >= 0 => v }.sum
+    def failed: Int = results.count { case (_, v) => v < 0 }
+    def loadJson: String =
+      s""""load1_before":$load1Before,"load1_after":$load1After,""" +
+        s""""steal_before":$stealBefore,"steal_after":$stealAfter,""" +
+        s""""steal_delta":$stealDelta"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -320,49 +347,68 @@ object Bench {
     // (the driver always runs the full list)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
     val headline = Bench.headline.filter(n => only.forall(_.contains(n)))
+      .filter(queries.contains)
     // JVM/codegen warmup on the smallest SF so per-query numbers
     // measure the engine, not JIT: run every headline query once at
     // sf0.001 (compiles each plan's generated code cheaply).
     // capture BEFORE the warmup pass: load1 must witness the box
     // state the run inherited, not the warmup's own 32-thread burst
-    val (load1Before, stealBefore) = loadEvidence()
-    headline.filter(queries.contains).foreach { name =>
+    val (load1Inherited, stealInherited) = loadEvidence()
+    headline.foreach { name =>
       try runOne(spark, queries(name), "/root/testdata/sf0.001")
       catch { case _: Throwable => }
       finally graft.ml.Dedup.unpersistPipelineCaches()
     }
-    val results = headline.filter(queries.contains).map { name =>
-      val t0 = System.nanoTime()
-      val ok = try { runOne(spark, queries(name), sfDir); true }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+
+    def runList(load1Before: Double, stealBefore: Long): Attempt = {
+      val results = headline.map { name =>
+        val t0 = System.nanoTime()
+        val ok = try { runOne(spark, queries(name), sfDir); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // drop pipeline caches a query persisted before timing the next
+        // one — resident blocks from earlier queries otherwise squeeze
+        // executor memory and skew later numbers
+        graft.ml.Dedup.unpersistPipelineCaches()
+        name -> (if (ok) dt else -1.0)
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // drop pipeline caches a query persisted before timing the next
-      // one — resident blocks from earlier queries otherwise squeeze
-      // executor memory and skew later numbers
-      graft.ml.Dedup.unpersistPipelineCaches()
-      name -> (if (ok) dt else -1.0)
+      val (load1After, stealAfter) = loadEvidence()
+      Attempt(results, load1Before, load1After, stealBefore, stealAfter)
     }
-    // Per-query seconds rounded to 3 decimals: round 6 lost its bench
-    // artifact because the full-precision 59-query line outgrew the
-    // driver's tail-capture window and the JSON arrived decapitated.
-    def f3(v: Double): String =
-      if (v < 0) "-1.0"
-      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+    val first = runList(load1Inherited, stealInherited)
+    // contended capture (rule above): retry ONCE in-process — warm
+    // plans, fresh load window — unless disabled. Keep the
+    // lower-steal attempt; both load blocks land in the artifact.
+    val retryEnabled =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY", "1") != "0"
+    val firstContended =
+      contentionFlag(first.stealDelta, first.wall, cpus.toInt)
+    val attempts: Seq[Attempt] =
+      if (firstContended && retryEnabled) {
+        System.err.println(
+          s"[bench] contended capture (steal_delta ${first.stealDelta} " +
+            s"over ${f1(first.wall)} s x $cpus cores) — retrying once")
+        val (l2, s2) = loadEvidence()
+        Seq(first, runList(l2, s2))
+      } else Seq(first)
+    val chosen = attempts.minBy(_.stealDelta)
+    val results = chosen.results
+    val contended =
+      contentionFlag(chosen.stealDelta, chosen.wall, cpus.toInt)
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val total = chosen.wall
     // A failed query times as -1.0 and contributes zero seconds to the
     // total, which makes a broken round look FASTER — the "failed"
     // count keeps the artifact honest, and the run exits non-zero so
     // automation can't parse a red bench as green.
-    val failed = results.count { case (_, v) => v < 0 }
-    val (load1After, stealAfter) = loadEvidence()
-    val loadJson =
-      s""""load":{"load1_before":$load1Before,"load1_after":$load1After,""" +
-        s""""steal_before":$stealBefore,"steal_after":$stealAfter,""" +
-        s""""steal_delta":${stealAfter - stealBefore}}"""
+    val failed = chosen.failed
+    val loadJson = s""""load":{${chosen.loadJson}},"contended":$contended,""" +
+      s""""attempts":[${attempts.map(a => s"{${a.loadJson}}").mkString(",")}]"""
     val json =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,$loadJson,"queries":$qs,"sf":"$sfDir"}"""
     // Durable fallback against driver tail-capture truncation: the FULL
@@ -379,7 +425,7 @@ object Bench {
     // fits the capture window; per-query seconds live in
     // BENCH_SUMMARY.json, which the driver reads as the fallback.
     val shortJson =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"n":${results.size},"load1":[$load1Before,$load1After],"sf":"$sfDir","queries_detail":"BENCH_SUMMARY.json"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"n":${results.size},"load1":[${chosen.load1Before},${chosen.load1After}],"steal_delta":${chosen.stealDelta},"contended":$contended,"sf":"$sfDir","queries_detail":"BENCH_SUMMARY.json"}"""
     // Stop Spark BEFORE printing the metric line so shutdown log noise
     // can't land between the JSON and end-of-stream in a tail capture.
     spark.stop()
@@ -394,4 +440,14 @@ object Bench {
       fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
       dir: String): Unit =
     fn(spark, dir).write.format("noop").mode("overwrite").save()
+
+  // Per-query seconds rounded to 3 decimals: round 6 lost its bench
+  // artifact because the full-precision 59-query line outgrew the
+  // driver's tail-capture window and the JSON arrived decapitated.
+  private def f3(v: Double): String =
+    if (v < 0) "-1.0"
+    else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  private def f1(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
 }
