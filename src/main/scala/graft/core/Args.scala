@@ -51,6 +51,53 @@ final class Args(val m: Map[String, List[String]]) extends Serializable {
   override def hashCode: Int = m.hashCode
 }
 
+/** Validated inclusive range parsed from an argument — rebuild of
+  * scalding-args `Range[T]` (RangedArgs.scala:23-46; renamed to avoid
+  * shadowing scala.Range). Construction asserts lower ≤ upper; the
+  * bound assertions are the reference's job-submission guards.
+  */
+final case class ArgRange[T](lower: T, upper: T)(
+    implicit ord: Ordering[T]) {
+  require(ord.lteq(lower, upper), s"Bad range: $lower > $upper")
+
+  def assertLowerBound(min: T): Unit =
+    require(ord.lteq(min, lower), s"Range out of bounds: $lower < $min")
+
+  def assertUpperBound(max: T): Unit =
+    require(ord.gteq(max, upper), s"Range out of bounds: $upper > $max")
+
+  def assertBounds(min: T, max: T): Unit = {
+    assertLowerBound(min)
+    assertUpperBound(max)
+  }
+
+  /** "lo<sep>hi", collapsed to one value when degenerate
+    * (RangedArgs.scala:39-45).
+    */
+  def mkString(sep: String): String =
+    if (ord.equiv(lower, upper)) lower.toString
+    else s"$lower$sep$upper"
+}
+
+/** `args.range("date")(parse)` — one value makes a point range, two
+  * make an interval, anything else is rejected (reference
+  * `RangedArgs`, RangedArgs.scala:48-57; here an implicit extension
+  * on [[Args]] via `import graft.core.RangedArgs._`).
+  */
+object RangedArgs {
+  implicit class Ranged(val args: Args) extends AnyVal {
+    def range[T](argName: String)(cnv: String => T)(
+        implicit ord: Ordering[T]): ArgRange[T] =
+      args.list(argName) match {
+        case List(v) => ArgRange(cnv(v), cnv(v))
+        case List(v1, v2) => ArgRange(cnv(v1), cnv(v2))
+        case other => throw new IllegalArgumentException(
+          s"--$argName must have either 1 or 2 values specified " +
+            s"(got ${other.size})")
+      }
+  }
+}
+
 object Args {
   /** Tokenize: values attach to the most recent `--key`; a bare `-x`
     * where x is not a number is also a key (reference Args.scala:35-54

@@ -81,13 +81,22 @@ object Tool {
     finally spark.stop()
   }
 
-  def run(jobClass: String, args: Args, spark: SparkSession): Unit = {
-    var job = Option(newJob(jobClass, args))
-    while (job.isDefined) {
-      job.get.run(spark)
-      job = job.get.next
+  /** Runs the job chain; a failure is re-thrown AFTER printing the
+    * [[RichXHandler]] GUESS line (reference Tool.scala's XHandler
+    * application), so logs lead with something actionable.
+    */
+  def run(jobClass: String, args: Args, spark: SparkSession): Unit =
+    try {
+      var job = Option(newJob(jobClass, args))
+      while (job.isDefined) {
+        job.get.run(spark)
+        job = job.get.next
+      }
+    } catch {
+      case t: Throwable =>
+        System.err.println(s"[tool] ${RichXHandler().messageFor(t)}")
+        throw t
     }
-  }
 
   private def newJob(className: String, args: Args): GraftJob =
     Class.forName(className)

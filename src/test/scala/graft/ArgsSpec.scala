@@ -41,4 +41,33 @@ class ArgsSpec extends AnyFunSuite {
     val a = Args("--b 1 --a x y")
     assert(Args(a.toString) == a)
   }
+
+  test("ranged args: 1 value = point, 2 = interval, else rejected; " +
+      "bounds asserted (reference RangedArgs)") {
+    import graft.core.RangedArgs._
+    import graft.core.ArgRange
+    val point = Args("--date 20240101").range("date")(_.toInt)
+    assert(point == ArgRange(20240101, 20240101))
+    assert(point.mkString("-") == "20240101")
+    val span = Args("--date 20240101 20240301").range("date")(_.toInt)
+    assert(span == ArgRange(20240101, 20240301))
+    assert(span.mkString("-") == "20240101-20240301")
+    span.assertBounds(20240101, 20241231)
+    intercept[IllegalArgumentException] {
+      span.assertUpperBound(20240201)
+    }
+    intercept[IllegalArgumentException] {
+      span.assertLowerBound(20240201)
+    }
+    intercept[IllegalArgumentException] {
+      ArgRange(3, 1)
+    }
+    val bad = intercept[IllegalArgumentException] {
+      Args("--date 1 2 3").range("date")(_.toInt)
+    }
+    assert(bad.getMessage.contains("either 1 or 2 values"))
+    intercept[IllegalArgumentException] {
+      Args("").range("date")(_.toInt)
+    }
+  }
 }

@@ -33,6 +33,14 @@ object StepJob {
   @volatile var trace: Seq[String] = Nil
 }
 
+/** Planted failure for the XHandler message test (top-level for
+  * Class.forName).
+  */
+class MissingSourceJob(args: Args) extends GraftJob(args) {
+  def run(spark: SparkSession): Unit =
+    spark.read.parquet("/no/such/graft/path-harness-spec").count()
+}
+
 class HarnessSpec extends SparkSpec {
 
   test("CascadeJob runs members in declared-dependency topological order") {
@@ -58,6 +66,34 @@ class HarnessSpec extends SparkSpec {
     CountJob.observed = Nil
     Tool.run("graft.CountJob", Args("--n 5 --chain"), spark)
     assert(CountJob.observed == Seq(5L, 5L))
+  }
+
+  test("Tool failures lead with the RichXHandler GUESS line, then " +
+      "rethrow (reference XHandler at the tool boundary)") {
+    import graft.core.RichXHandler
+    val bos = new java.io.ByteArrayOutputStream()
+    val orig = System.err
+    System.setErr(new java.io.PrintStream(bos, true))
+    val thrown =
+      try intercept[Throwable] {
+        Tool.run("graft.MissingSourceJob", Args(""), spark)
+      } finally System.setErr(orig)
+    assert(thrown.isInstanceOf[org.apache.spark.sql.AnalysisException])
+    assert(bos.toString.contains("[tool] " + RichXHandler.UnresolvedPlan),
+      s"no GUESS line on stderr: ${bos.toString.take(400)}")
+    assert(RichXHandler().messageFor(thrown) == RichXHandler.UnresolvedPlan)
+    assert(RichXHandler().messageFor(new NoSuchMethodError("m")) ==
+      RichXHandler.BinaryProblem)
+    assert(RichXHandler().messageFor(new RuntimeException(
+      new java.io.FileNotFoundException("f"))) ==
+      RichXHandler.DataIsMissing) // cause-chain walk
+    assert(RichXHandler().messageFor(new IllegalStateException("x")) ==
+      RichXHandler.Default)
+    // reference-shape surface: handlers are class-equality predicates
+    val h = RichXHandler()
+    assert(h.handlers.exists(_(new NoSuchMethodError("m"))))
+    assert(h.mapping(classOf[NoClassDefFoundError]) ==
+      RichXHandler.BinaryProblem)
   }
 
   test("JobTest harness: mocked sources in, asserted sink out") {

@@ -124,6 +124,38 @@ class SourcesSpec extends SparkSpec {
       Seq((Seq[Byte](7), Seq.empty[Byte])))
   }
 
+  test("DistributedCacheFile ships a lookup file to tasks under a " +
+      "stable collision-proof name (reference filecache contract)") {
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    def mk(dir: java.nio.file.Path, content: String): String = {
+      val f = dir.resolve("lookup.txt")
+      java.nio.file.Files.writeString(f, content)
+      f.toString
+    }
+    val p1 = mk(java.nio.file.Files.createTempDirectory("graft-dcf1"), "alpha")
+    val p2 = mk(java.nio.file.Files.createTempDirectory("graft-dcf2"), "beta")
+    val c1 = graft.sources.DistributedCacheFile(p1)
+    val c2 = graft.sources.DistributedCacheFile(p2)
+    // same basename, different sources -> different shipped names
+    assert(c1.name != c2.name)
+    assert(c1.name.startsWith("lookup.txt-") && c1.name.length > 12)
+    // the handle is Serializable and resolves INSIDE task closures
+    val got = spark.range(3).as[Long].map { i =>
+      val src = scala.io.Source.fromFile(c1.file)
+      try s"$i:${src.mkString}" finally src.close()
+    }.collect().sorted.toSeq
+    assert(got == Seq("0:alpha", "1:alpha", "2:alpha"))
+    // both files coexist; driver-side resolution reads the right one
+    assert(scala.io.Source.fromFile(c2.file).mkString == "beta")
+    // re-adding the same source is idempotent (same name, no clash)
+    assert(graft.sources.DistributedCacheFile(p1) == c1)
+    // a missing source fails loudly at registration, not in a task
+    intercept[IllegalArgumentException] {
+      graft.sources.DistributedCacheFile("/no/such/file.txt")
+    }
+  }
+
   test("Orc round trip preserves schema and pushes filters to the scan") {
     import spark.implicits._
     val dir = tmp() + "/o"
