@@ -86,6 +86,54 @@ class PlanAuditSpec extends SparkSpec {
     graft.core.PipelineCaches.unpersistAll()
   }
 
+  test("q_events_burstiness: both lag windows are user-partitioned " +
+      "over ONE key exchange, then a type hash aggregate") {
+    val p = plan("q_events_burstiness")
+    // every windowspec carries the user_id partition column
+    assert(p.contains("Window ") &&
+      p.linesIterator.filter(_.contains("windowspecdefinition"))
+        .forall(_.contains("user_id")),
+      s"window not user-partitioned:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning(user_id")) == 1,
+      s"expected exactly one user-key exchange:\n$p")
+    assert(p.contains("HashAggregate(keys=[event_type"),
+      s"no type hash aggregate:\n$p")
+  }
+
+  test("q_profile_hhi is two stacked hash aggregates off a pruned " +
+      "2-column scan — no window, no join") {
+    val p = plan("q_profile_hhi")
+    assert(!p.contains("Window") && !p.contains("Join"), s"extra ops:\n$p")
+    assert(p.linesIterator.count(_.contains("partial_")) == 2,
+      s"expected two partial (map-side) aggregates:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema"))
+      .flatMap(_.split("ReadSchema: ").lastOption).getOrElse("")
+    assert(readSchema.count(_ == ',') + 1 == 2,
+      s"scan must read exactly 2 columns: $readSchema")
+  }
+
+  test("q_profile_mi reduces to (lang,source) counts before every " +
+      "join; totals ride whitelisted 1-row broadcasts") {
+    val p = plan("q_profile_mi")
+    assert(!p.contains("Window"), s"no window expected:\n$p")
+    // every parquet scan is the pruned 2-column projection — the
+    // corpus never reaches a join un-aggregated
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(schemas.nonEmpty &&
+      schemas.forall(_.contains("struct<lang:string,source:string>")),
+      s"un-pruned scan:\n${schemas.mkString("\n")}")
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross"),
+      s"1-row totals must broadcast:\n$p")
+  }
+
+  test("q_text_richness is one token explode into hash aggregates — " +
+      "no window, no join") {
+    val p = plan("q_text_richness")
+    assert(p.contains("Generate explode"), s"no token explode:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"), s"extra ops:\n$p")
+    assert(p.contains("HashAggregate"), s"no hash aggregate:\n$p")
+  }
+
   test("q_text_heaps checkpoint thresholds carry no window at all " +
       "(distributed order statistics, round 11)") {
     val p = plan("q_text_heaps")
