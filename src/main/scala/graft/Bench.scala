@@ -289,7 +289,11 @@ object Bench {
     // joint), deterministic per-key sample (md5-rank bounded PQ)
     "q_text_richness",
     "q_profile_mi",
-    "q_profile_sample")
+    "q_profile_sample",
+    // round-11: perceptual image dedup — dHash kernel + banded
+    // Hamming self-join (brightness-shifted re-encodes that byte
+    // dedup misses), discovery + exact verify in one plan
+    "q_multimodal_dhash")
 
   /** (1-min load average, cumulative steal jiffies) — captured before
     * and after the timed list so external-load interference on the

@@ -146,6 +146,54 @@ object Multimodal {
       useLsh = useLsh, nBits = nBits)
   }
 
+  /** Perceptual near-duplicate discovery on the 64-bit difference
+    * hash ([[ImageCodec.dHash64]]) via banded Hamming blocking — the
+    * integer twin of [[imageNearDuplicates]]' cosine path and the
+    * image-side analogue of [[Dedup.simHashNearDuplicates]]: decode →
+    * dHash (narrow, no payload shuffle) → explode `bands` hash
+    * slices → equi-join on (band, slice) → exact Hamming verify
+    * ≤ `maxHamming`. Catches what byte-level dedup misses (a
+    * brightness-shifted re-encode has different bytes but an
+    * IDENTICAL dHash). Output (id, dup_id, hamming), id < dup_id,
+    * with every emitted pair carrying its true distance.
+    *
+    * Scale shape: the quadratic step runs only inside (band, slice)
+    * buckets. Pigeonhole recall guarantee: a pair with fewer than
+    * `bands` differing bits always shares a clean band; beyond that,
+    * recall is the standard LSH-banding trade (more/narrower bands =
+    * higher recall, more candidates — expected RANDOM candidates
+    * ≈ bands · n²/2^(64/bands+1), so at billion-image scale use
+    * `bands = 2` and a second pass for the missed tail).
+    */
+  def dhashNearDuplicates(df: DataFrame, maxHamming: Int = 8,
+      bands: Int = 4, idCol: String = "id",
+      mediaCol: String = "media"): DataFrame = {
+    require(bands > 0 && bands <= 64 && 64 % bands == 0,
+      s"bands must divide 64, got $bands")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val hashes = df.select(col(idCol).cast("long"), col(mediaCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        ImageCodec.decode(bytes).map(img => (id, ImageCodec.dHash64(img)))
+      }).toDF("id", "dh")
+    val slices = hashes.select(col("id"), col("dh"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("dh"), b * width).bitwiseAND(mask).as("bv"))
+      }: _*)).as("s"))
+      .select(col("id"), col("dh"), col("s.band"), col("s.bv"))
+    slices.alias("l").join(slices.alias("r"), Seq("band", "bv"))
+      .filter(col("l.id") < col("r.id"))
+      .select(col("l.id").as("id"), col("r.id").as("dup_id"),
+        Dedup.hammingDistance(col("l.dh"), col("r.dh"))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** "Resize" stub: deterministic byte-slice standing in for a pixel
     * transform; preserves the batch/partition shape of a real kernel.
     */

@@ -584,6 +584,87 @@ object TextQueries extends QueryGroup {
       dec.join(rdec, "id").orderBy("id")
     },
 
+    // Perceptual dHash dedup through the gate: every doc gets a
+    // deterministic image (w = 9+id%8 × h = 8+id%5 — at least 9×8 so
+    // every dHash grid cell reads a DISTINCT source pixel; byte bi =
+    // ((id*2654435761 XOR bi*2246822519)/64) % 200, xor-mixed so
+    // different ids decorrelate — a linear pixel ramp would make
+    // neighboring ids look like brightness shifts of each other,
+    // which dHash is invariant to BY DESIGN); every 10th doc also a
+    // BRIGHTNESS-SHIFTED copy (+25 on every byte — different bytes,
+    // identical dHash: integer luma shifts by exactly 25, comparisons
+    // unchanged) and every (10k+5)th a ONE-PIXEL edit ((b0+100)%200
+    // on the first red byte — flips at most dHash bit 0). The engine
+    // DISCOVERS the pairs via the banded Hamming join at maxHamming=4
+    // (simulated accidental floor at sf0.1 scale is 7 bits — a 3-bit
+    // margin); the oracle replays the whole pixel → BT.601 luma →
+    // 9×8 nearest-resize → comparison-bit pipeline arithmetically and
+    // emits the planted pairs with their exact Hamming distance — so
+    // the gate fails on any false positive, any missed pair, or any
+    // kernel-arithmetic drift.
+    q("q_multimodal_dhash",
+      """WITH d AS (
+        |  SELECT doc_id AS id, 9 + doc_id % 8 AS w, 8 + doc_id % 5 AS h,
+        |    CASE WHEN doc_id % 10 = 0 THEN doc_id + 10000000
+        |         ELSE doc_id + 20000000 END AS dup_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN 25 ELSE 0 END AS shift,
+        |    CASE WHEN doc_id % 10 = 5 THEN 1 ELSE 0 END AS onepix
+        |  FROM documents WHERE doc_id % 10 IN (0, 5)
+        |), cells AS (
+        |  SELECT d.id, d.dup_id, d.shift, d.onepix, g.ty, g.tx,
+        |    (((g.ty * d.h) // 8) * d.w + ((g.tx * d.w) // 9)) * 3 AS bi
+        |  FROM d, (SELECT a.x AS tx, b.y AS ty
+        |           FROM unnest(range(0, 9)) a(x),
+        |                unnest(range(0, 8)) b(y)) g
+        |), bytes AS (
+        |  SELECT id, dup_id, shift, onepix, ty, tx, bi,
+        |    (xor(id * 2654435761, bi * 2246822519) // 64) % 200 AS b0,
+        |    (xor(id * 2654435761, (bi + 1) * 2246822519) // 64) % 200 AS b1,
+        |    (xor(id * 2654435761, (bi + 2) * 2246822519) // 64) % 200 AS b2
+        |  FROM cells
+        |), gray AS (
+        |  SELECT id, dup_id, ty, tx,
+        |    (299 * b0 + 587 * b1 + 114 * b2) // 1000 AS gb,
+        |    (299 * (CASE WHEN onepix = 1 AND bi = 0 THEN (b0 + 100) % 200
+        |                 ELSE b0 + shift END)
+        |     + 587 * (b1 + shift) + 114 * (b2 + shift)) // 1000 AS gd
+        |  FROM bytes
+        |), bits AS (
+        |  SELECT l.id, l.dup_id,
+        |    CASE WHEN l.gb < r.gb THEN 1 ELSE 0 END AS bb,
+        |    CASE WHEN l.gd < r.gd THEN 1 ELSE 0 END AS bd
+        |  FROM gray l JOIN gray r
+        |    ON l.id = r.id AND l.ty = r.ty AND r.tx = l.tx + 1
+        |  WHERE l.tx < 8
+        |)
+        |SELECT id, dup_id,
+        |  CAST(sum(CASE WHEN bb != bd THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        |FROM bits GROUP BY id, dup_id ORDER BY id, dup_id""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      import graft.ml.ImageCodec
+      def px(id: Long, bi: Long): Int =
+        ((((id * 2654435761L) ^ (bi * 2246822519L)) / 64L) % 200L).toInt
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val w = (9 + id % 8).toInt
+          val h = (8 + id % 5).toInt
+          def enc(p: Array[Byte]) =
+            ImageCodec.encodePnm(ImageCodec.Image(w, h, 3, p))
+          val base = Array.tabulate(w * h * 3)(i => px(id, i.toLong).toByte)
+          val dup =
+            if (id % 10 == 0) Some(id + 10000000L -> base.map(b => (b + 25).toByte))
+            else if (id % 10 == 5) {
+              val p = base.clone()
+              p(0) = ((px(id, 0L) + 100) % 200).toByte
+              Some(id + 20000000L -> p)
+            } else None
+          (id -> enc(base)) :: dup.map { case (di, p) => di -> enc(p) }.toList
+        }.toDF("id", "media")
+      Multimodal.dhashNearDuplicates(media, maxHamming = 4)
+        .orderBy("id", "dup_id")
+    },
+
     // REAL video container parse through the gate: both engines
     // construct the same AVI per document — nf = 2 + id%3 netpbm
     // frames of w = 3 + id%5 × h = 2 + id%4, pixel byte i of frame f

@@ -639,6 +639,50 @@ class MlSpec extends SparkSpec {
     assert(lsh.contains((1L, 2L)))
   }
 
+  test("dhashNearDuplicates: banded Hamming finds brightness-shifted " +
+      "and one-pixel copies, rejects unrelated and undecodable") {
+    import spark.implicits._
+    import graft.ml.ImageCodec
+    def img(seed: Long, edit: Array[Byte] => Array[Byte]): Array[Byte] = {
+      val px = Array.tabulate(12 * 10 * 3)(i =>
+        ((((seed * 2654435761L) ^ (i * 2246822519L)) / 64 % 200)).toByte)
+      ImageCodec.encodePnm(ImageCodec.Image(12, 10, 3, edit(px)))
+    }
+    val media = Seq(
+      1L -> img(5, identity),
+      2L -> img(5, _.map(b => (b + 30).toByte)), // brightness: dHash-equal
+      3L -> img(5, { p => val q = p.clone(); q(0) = (q(0) + 90).toByte; q }),
+      4L -> img(777, identity), // unrelated
+      5L -> "not an image".getBytes("UTF-8"))
+      .toDF("id", "media")
+    val got = graft.ml.Multimodal.dhashNearDuplicates(media, maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.contains((1L, 2L)) && got((1L, 2L)) == 0L,
+      s"brightness copy must hash identically: $got")
+    assert(got.contains((1L, 3L)) && got((1L, 3L)) <= 4L,
+      s"one-pixel copy missed: $got")
+    assert(got.contains((2L, 3L)), s"copies of the same base pair up: $got")
+    assert(!got.keys.exists(p => p._1 == 4L || p._2 == 4L),
+      s"unrelated image paired: $got")
+    assert(!got.keys.exists(p => p._1 == 5L || p._2 == 5L),
+      "undecodable payload paired")
+    // pigeonhole recall: with 4 bands, any pair under 4 differing
+    // bits shares a clean band — verified against the brute count
+    val allHashes = Seq(1L, 2L, 3L, 4L).map { id =>
+      val bytes = media.filter(col("id") === id).collect()(0).getAs[Array[Byte]]("media")
+      id -> ImageCodec.dHash64(ImageCodec.decode(bytes).get)
+    }
+    val brute = (for {
+      (a, ha) <- allHashes; (b, hb) <- allHashes if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    assert(brute.subsetOf(got.keySet), s"pigeonhole recall violated: " +
+      s"brute=$brute got=${got.keySet}")
+    intercept[IllegalArgumentException] {
+      graft.ml.Multimodal.dhashNearDuplicates(media, bands = 7)
+    }
+  }
+
   test("multimodal decode + frame sampling plumbing") {
     import spark.implicits._
     val media = Seq((1L, Array.fill[Byte](1000)(7)), (2L, Array.fill[Byte](64)(1)))
