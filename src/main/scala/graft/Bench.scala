@@ -293,7 +293,13 @@ object Bench {
     // round-11: perceptual image dedup — dHash kernel + banded
     // Hamming self-join (brightness-shifted re-encodes that byte
     // dedup misses), discovery + exact verify in one plan
-    "q_multimodal_dhash")
+    "q_multimodal_dhash",
+    // round-11 second batch: the audio + video twins — energy-envelope
+    // print (gain-invariant) through the shared banded-Hamming kernel,
+    // and per-frame dHash with (frame_idx, slice) candidates + aligned
+    // Hamming-sum verify
+    "q_multimodal_audiofp",
+    "q_multimodal_vhash")
 
   /** (1-min load average, cumulative steal jiffies) — captured before
     * and after the timed list so external-load interference on the

@@ -168,17 +168,29 @@ object Multimodal {
   def dhashNearDuplicates(df: DataFrame, maxHamming: Int = 8,
       bands: Int = 4, idCol: String = "id",
       mediaCol: String = "media"): DataFrame = {
-    require(bands > 0 && bands <= 64 && 64 % bands == 0,
-      s"bands must divide 64, got $bands")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val width = 64 / bands
-    val mask = if (width == 64) -1L else (1L << width) - 1
     val hashes = df.select(col(idCol).cast("long"), col(mediaCol))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions(_.flatMap { case (id, bytes) =>
         ImageCodec.decode(bytes).map(img => (id, ImageCodec.dHash64(img)))
-      }).toDF("id", "dh")
+      })(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      .toDF("id", "dh")
+    bandedHamming64(hashes, maxHamming, bands)
+  }
+
+  /** Banded-Hamming self-join on a 64-bit hash column — the shared
+    * candidate-generation + exact-verify kernel behind
+    * [[dhashNearDuplicates]] and [[audioFpNearDuplicates]]. Input
+    * `(id: Long, dh: Long)`; output `(id, dup_id, hamming)`, id <
+    * dup_id, hamming ≤ `maxHamming`. The quadratic step runs only
+    * inside (band, slice) buckets; pigeonhole guarantees recall for
+    * pairs with fewer than `bands` differing bits.
+    */
+  private[graft] def bandedHamming64(hashes: DataFrame, maxHamming: Int,
+      bands: Int): DataFrame = {
+    require(bands > 0 && bands <= 64 && 64 % bands == 0,
+      s"bands must divide 64, got $bands")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val slices = hashes.select(col("id"), col("dh"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
@@ -192,6 +204,116 @@ object Multimodal {
           .cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** 64-bit temporal energy-envelope difference hash of a decoded
+    * clip — the audio twin of [[ImageCodec.dHash64]]: the clip is cut
+    * into 65 equal spans by sample index (sample `f` lands in span
+    * `f*65/n`), each span's energy is the exact integer sum of squared
+    * samples, and bit `k` is set when span `k` carries more energy
+    * than span `k+1`. Comparing only ADJACENT spans makes the print
+    * invariant to uniform gain (a volume-normalized or amplified
+    * re-encode scales every span energy by the same factor, preserving
+    * every comparison — the audio analogue of dHash's brightness
+    * invariance) and all arithmetic is Long-exact, so the same clip
+    * always prints identically.
+    */
+  def audioFp64(a: AudioCodec.Audio): Long = {
+    val v = a.samples
+    val n = v.length
+    val e = new Array[Long](65)
+    var f = 0
+    while (f < n) {
+      val k = (f.toLong * 65 / n).toInt
+      e(k) += v(f).toLong * v(f)
+      f += 1
+    }
+    var h = 0L
+    var k = 0
+    while (k < 64) {
+      if (e(k) > e(k + 1)) h |= (1L << k)
+      k += 1
+    }
+    h
+  }
+
+  /** Perceptual near-duplicate discovery on audio payloads via
+    * [[audioFp64]] + the banded-Hamming kernel — catches what
+    * byte-level dedup misses (a gain-adjusted re-encode has different
+    * bytes but an IDENTICAL energy-envelope print). Decode + print is
+    * a narrow per-clip map (the payload never shuffles); candidates
+    * come from the 4×16-bit slice equi-join; every emitted pair
+    * carries its exact Hamming distance. Clips that fail WAV decode
+    * or carry fewer than 65 samples are skipped (a sub-65-sample
+    * print would alias empty spans).
+    */
+  def audioFpNearDuplicates(df: DataFrame, maxHamming: Int = 4,
+      bands: Int = 4, idCol: String = "id",
+      mediaCol: String = "media"): DataFrame = {
+    val hashes = df.select(col(idCol).cast("long"), col(mediaCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        AudioCodec.decode(bytes).filter(_.samples.length >= 65)
+          .map(a => (id, audioFp64(a)))
+      })(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      .toDF("id", "dh")
+    bandedHamming64(hashes, maxHamming, bands)
+  }
+
+  /** Temporal perceptual near-duplicate discovery on video payloads:
+    * every decoded frame gets a [[ImageCodec.dHash64]], candidates
+    * come from a (frame_idx, hash-slice) equi-join — two videos pair
+    * up when ANY aligned frame shares a clean band — and each
+    * candidate pair is verified by the exact Hamming distance summed
+    * over all frame-index-aligned frames. Output `(id, dup_id,
+    * n_aligned, hamming)`, id < dup_id, total hamming ≤
+    * `maxTotalHamming`. Catches re-encodes byte dedup misses (a
+    * brightness-shifted transcode prints identically frame by frame).
+    *
+    * Scale shape: payloads never shuffle — the per-frame hash table
+    * (one narrow row per frame) is the only shuffled data, persisted
+    * once (via [[graft.core.PipelineCaches]]) because candidate
+    * generation and aligned verification both read it; the quadratic
+    * step runs only inside (frame_idx, band, slice) buckets.
+    */
+  def videoFpNearDuplicates(df: DataFrame, maxTotalHamming: Int = 8,
+      bands: Int = 4, idCol: String = "id",
+      mediaCol: String = "media"): DataFrame = {
+    require(bands > 0 && bands <= 64 && 64 % bands == 0,
+      s"bands must divide 64, got $bands")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val frameHashes = graft.core.PipelineCaches.persistTracked(
+      df.select(col(idCol).cast("long"), col(mediaCol))
+        .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+        .mapPartitions(_.flatMap { case (id, bytes) =>
+          AviCodec.frames(bytes).zipWithIndex.flatMap { case (fr, fi) =>
+            ImageCodec.decode(fr).map(img =>
+              (id, fi, ImageCodec.dHash64(img)))
+          }
+        })(Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt,
+          Encoders.scalaLong))
+        .toDF("id", "fi", "dh"))
+    val slices = frameHashes.select(col("id"), col("fi"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("dh"), b * width).bitwiseAND(mask).as("bv"))
+      }: _*)).as("s"))
+      .select(col("id"), col("fi"), col("s.band"), col("s.bv"))
+    val cands = slices.alias("l").join(slices.alias("r"),
+        Seq("fi", "band", "bv"))
+      .filter(col("l.id") < col("r.id"))
+      .select(col("l.id").as("id"), col("r.id").as("dup_id"))
+      .distinct()
+    cands.join(frameHashes.select(col("id"), col("fi"),
+        col("dh").as("dh_l")), Seq("id"))
+      .join(frameHashes.select(col("id").as("dup_id"), col("fi"),
+        col("dh").as("dh_r")), Seq("dup_id", "fi"))
+      .groupBy("id", "dup_id")
+      .agg(count(lit(1)).as("n_aligned"),
+        sum(Dedup.hammingDistance(col("dh_l"), col("dh_r")).cast("long"))
+          .as("hamming"))
+      .filter(col("hamming") <= maxTotalHamming)
   }
 
   /** "Resize" stub: deterministic byte-slice standing in for a pixel

@@ -665,6 +665,159 @@ object TextQueries extends QueryGroup {
         .orderBy("id", "dup_id")
     },
 
+    // Perceptual AUDIO dedup through the gate — the audio twin of
+    // q_multimodal_dhash: both engines construct the same 16-bit mono
+    // WAV per document (n = 520 + id%7*130 samples, sample f =
+    // (xor(id*2654435761, f*2246822519)//64) % 4001 - 2000), plant a
+    // gain-x3 re-encode for id%10=0 (energy-envelope print IDENTICAL
+    // — every span energy scales by 9, preserving all 64 adjacent
+    // comparisons) and a one-span noise burst (+500 on span 10) for
+    // id%10=5 (flips at most the two bits touching span 10). The
+    // engine decodes the WAVs, prints them (Multimodal.audioFp64) and
+    // discovers pairs via the banded-Hamming self-join; the oracle
+    // replays the integer span-energy arithmetic. Fails on any false
+    // positive, missed pair, or kernel drift.
+    q("q_multimodal_audiofp",
+      """WITH d AS (
+        |  SELECT doc_id AS id, 520 + doc_id % 7 * 130 AS n,
+        |    CASE WHEN doc_id % 10 = 0 THEN doc_id + 30000000
+        |         ELSE doc_id + 40000000 END AS dup_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN 3 ELSE 1 END AS gain,
+        |    CASE WHEN doc_id % 10 = 5 THEN 500 ELSE 0 END AS bump
+        |  FROM documents WHERE doc_id % 10 IN (0, 5)
+        |), s AS (
+        |  SELECT id, dup_id, gain, bump, u.f AS f, (u.f * 65) // n AS k,
+        |    (xor(id * 2654435761, u.f * 2246822519) // 64) % 4001 - 2000 AS v
+        |  FROM d, unnest(range(0, n)) AS u(f)
+        |), e AS (
+        |  SELECT id, dup_id, k, sum(v * v) AS eb,
+        |    sum((v * gain + CASE WHEN k = 10 THEN bump ELSE 0 END)
+        |      * (v * gain + CASE WHEN k = 10 THEN bump ELSE 0 END)) AS ed
+        |  FROM s GROUP BY id, dup_id, k
+        |), bits AS (
+        |  SELECT l.id, l.dup_id,
+        |    CASE WHEN l.eb > r.eb THEN 1 ELSE 0 END AS bb,
+        |    CASE WHEN l.ed > r.ed THEN 1 ELSE 0 END AS bd
+        |  FROM e l JOIN e r ON l.id = r.id AND r.k = l.k + 1
+        |  WHERE l.k < 64
+        |)
+        |SELECT id, dup_id,
+        |  CAST(sum(CASE WHEN bb != bd THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        |FROM bits GROUP BY id, dup_id ORDER BY id, dup_id""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      import graft.ml.AudioCodec
+      def smp(id: Long, f: Long): Int =
+        ((((id * 2654435761L) ^ (f * 2246822519L)) / 64L) % 4001L).toInt - 2000
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val n = (520 + id % 7 * 130).toInt
+          val base = Array.tabulate(n)(f => smp(id, f.toLong))
+          def enc(v: Array[Int]) =
+            AudioCodec.encodeWav(AudioCodec.Audio(8000, 1, 16, v))
+          val dup =
+            if (id % 10 == 0) Some(id + 30000000L -> base.map(_ * 3))
+            else if (id % 10 == 5) Some(id + 40000000L -> Array.tabulate(n)(
+              f => if (f.toLong * 65 / n == 10) base(f) + 500 else base(f)))
+            else None
+          (id -> enc(base)) :: dup.map { case (di, v) => di -> enc(v) }.toList
+        }.toDF("id", "media")
+      Multimodal.audioFpNearDuplicates(media, maxHamming = 4)
+        .orderBy("id", "dup_id")
+    },
+
+    // Temporal perceptual VIDEO dedup through the gate: same AVI
+    // construction discipline as q_multimodal_video (nf = 3 + id%3
+    // netpbm frames, w = 9 + id%4, h = 8 + id%3, pixel byte i of
+    // frame f = (xor(id*2654435761, (f*100000 + i)*2246822519)//64)
+    // % 200), planting a +25-brightness transcode for id%10=0 (every
+    // frame's dHash identical — the 299/587/114 weights sum to 1000,
+    // so grays shift uniformly by 25) and a one-pixel frame-1 edit
+    // for id%10=5 (flips at most one bit of one frame). The engine
+    // walks the RIFF tree, dHashes every frame, finds candidates via
+    // the (frame_idx, hash-slice) equi-join and verifies the exact
+    // Hamming sum over aligned frames; the oracle replays the 9x8
+    // grid sample + grayscale + comparison arithmetic per frame.
+    q("q_multimodal_vhash",
+      """WITH d AS (
+        |  SELECT doc_id AS id, 3 + doc_id % 3 AS nf, 9 + doc_id % 4 AS w,
+        |    8 + doc_id % 3 AS h,
+        |    CASE WHEN doc_id % 10 = 0 THEN doc_id + 50000000
+        |         ELSE doc_id + 60000000 END AS dup_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN 25 ELSE 0 END AS shift,
+        |    CASE WHEN doc_id % 10 = 5 THEN 1 ELSE 0 END AS onepix
+        |  FROM documents WHERE doc_id % 10 IN (0, 5)
+        |), fr AS (
+        |  SELECT id, dup_id, nf, w, h, shift, onepix, u.f AS f
+        |  FROM d, unnest(range(0, nf)) AS u(f)
+        |), cells AS (
+        |  SELECT id, dup_id, nf, shift, onepix, f, g.ty, g.tx,
+        |    (((g.ty * h) // 8) * w + ((g.tx * w) // 9)) * 3 AS bi
+        |  FROM fr, (SELECT a.x AS tx, b.y AS ty
+        |            FROM unnest(range(0, 9)) a(x),
+        |                 unnest(range(0, 8)) b(y)) g
+        |), bytes AS (
+        |  SELECT id, dup_id, nf, shift, onepix, f, ty, tx, bi,
+        |    (xor(id * 2654435761, (f * 100000 + bi) * 2246822519) // 64)
+        |      % 200 AS b0,
+        |    (xor(id * 2654435761, (f * 100000 + bi + 1) * 2246822519) // 64)
+        |      % 200 AS b1,
+        |    (xor(id * 2654435761, (f * 100000 + bi + 2) * 2246822519) // 64)
+        |      % 200 AS b2
+        |  FROM cells
+        |), gray AS (
+        |  SELECT id, dup_id, nf, f, ty, tx,
+        |    (299 * b0 + 587 * b1 + 114 * b2) // 1000 AS gb,
+        |    (299 * (CASE WHEN onepix = 1 AND f = 1 AND bi = 0
+        |                 THEN (b0 + 100) % 200 ELSE b0 + shift END)
+        |     + 587 * (b1 + shift) + 114 * (b2 + shift)) // 1000 AS gd
+        |  FROM bytes
+        |), bits AS (
+        |  SELECT l.id, l.dup_id, l.nf,
+        |    CASE WHEN l.gb < r.gb THEN 1 ELSE 0 END AS bb,
+        |    CASE WHEN l.gd < r.gd THEN 1 ELSE 0 END AS bd
+        |  FROM gray l JOIN gray r
+        |    ON l.id = r.id AND l.f = r.f AND l.ty = r.ty
+        |      AND r.tx = l.tx + 1
+        |  WHERE l.tx < 8
+        |)
+        |SELECT id, dup_id, CAST(min(nf) AS BIGINT) AS n_aligned,
+        |  CAST(sum(CASE WHEN bb != bd THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        |FROM bits GROUP BY id, dup_id ORDER BY id, dup_id""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      import graft.ml.{AviCodec, ImageCodec}
+      def px(id: Long, f: Int, i: Int): Int =
+        ((((id * 2654435761L) ^ ((f * 100000L + i) * 2246822519L)) / 64L)
+          % 200L).toInt
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val nf = (3 + id % 3).toInt
+          val w = (9 + id % 4).toInt
+          val h = (8 + id % 3).toInt
+          def avi(edit: (Int, Array[Byte]) => Array[Byte]) =
+            AviCodec.encodeAvi((0 until nf).map { f =>
+              val p = Array.tabulate(w * h * 3)(i => px(id, f, i).toByte)
+              ImageCodec.encodePnm(ImageCodec.Image(w, h, 3, edit(f, p)))
+            }, w, h, 40000)
+          val dup =
+            if (id % 10 == 0) Some(id + 50000000L ->
+              avi((_, p) => p.map(b => (b + 25).toByte)))
+            else if (id % 10 == 5) Some(id + 60000000L -> avi { (f, p) =>
+              if (f == 1) {
+                val q = p.clone()
+                q(0) = ((px(id, 1, 0) + 100) % 200).toByte
+                q
+              } else p
+            })
+            else None
+          (id -> avi((_, p) => p)) ::
+            dup.map { case (di, b) => di -> b }.toList
+        }.toDF("id", "media")
+      Multimodal.videoFpNearDuplicates(media, maxTotalHamming = 8)
+        .orderBy("id", "dup_id")
+    },
+
     // REAL video container parse through the gate: both engines
     // construct the same AVI per document — nf = 2 + id%3 netpbm
     // frames of w = 3 + id%5 × h = 2 + id%4, pixel byte i of frame f

@@ -683,6 +683,78 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  test("audioFpNearDuplicates: gain-invariant print pairs re-encodes, " +
+      "noise burst stays near, unrelated and undecodable rejected") {
+    import spark.implicits._
+    import graft.ml.{AudioCodec, Multimodal}
+    def wav(seed: Long, edit: Array[Int] => Array[Int]): Array[Byte] = {
+      val v = Array.tabulate(650)(f =>
+        ((((seed * 2654435761L) ^ (f * 2246822519L)) / 64 % 4001) - 2000).toInt)
+      AudioCodec.encodeWav(AudioCodec.Audio(8000, 1, 16, edit(v)))
+    }
+    val media = Seq(
+      1L -> wav(5, identity),
+      2L -> wav(5, _.map(_ * 4)),              // gain x4: print-identical
+      3L -> wav(5, v => v.zipWithIndex.map { case (x, f) =>
+        if (f * 65L / 650 == 20) x + 400 else x }), // one-span burst
+      4L -> wav(999, identity),                // unrelated
+      5L -> "not audio".getBytes("UTF-8"),     // undecodable
+      6L -> AudioCodec.encodeWav(               // too short for a print
+        AudioCodec.Audio(8000, 1, 16, Array.fill(40)(100))))
+      .toDF("id", "media")
+    val got = Multimodal.audioFpNearDuplicates(media, maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.get((1L, 2L)).contains(0L),
+      s"gain re-encode must print identically: $got")
+    assert(got.contains((1L, 3L)) && got((1L, 3L)) <= 2L,
+      s"one-span burst flips at most the two adjacent bits: $got")
+    assert(got.contains((2L, 3L)), s"copies of one base pair up: $got")
+    assert(!got.keys.exists(p => Set(4L, 5L, 6L)(p._1) || Set(4L, 5L, 6L)(p._2)),
+      s"unrelated/undecodable/short clip paired: $got")
+    // print equality checked directly: the kernel sees gain-scaled
+    // energies (x16) with every adjacent comparison preserved
+    val a = AudioCodec.decode(wav(5, identity)).get
+    val b = AudioCodec.decode(wav(5, _.map(_ * 4))).get
+    assert(Multimodal.audioFp64(a) == Multimodal.audioFp64(b))
+  }
+
+  test("videoFpNearDuplicates: brightness transcode sums to zero, " +
+      "one-pixel frame edit stays near, alignment bounded by shorter video") {
+    import spark.implicits._
+    import graft.ml.{AviCodec, ImageCodec, Multimodal}
+    def frame(seed: Long, f: Int, edit: Array[Byte] => Array[Byte]) = {
+      val p = Array.tabulate(10 * 9 * 3)(i =>
+        ((((seed * 2654435761L) ^ ((f * 100000L + i) * 2246822519L)) / 64)
+          % 200).toByte)
+      ImageCodec.encodePnm(ImageCodec.Image(10, 9, 3, edit(p)))
+    }
+    def avi(seed: Long, nf: Int, edit: (Int, Array[Byte]) => Array[Byte]) =
+      AviCodec.encodeAvi((0 until nf).map(f =>
+        frame(seed, f, p => edit(f, p))), 10, 9, 40000)
+    val media = Seq(
+      1L -> avi(5, 4, (_, p) => p),
+      2L -> avi(5, 4, (_, p) => p.map(b => (b + 25).toByte)), // transcode
+      3L -> avi(5, 4, { (f, p) =>                              // frame-1 edit
+        if (f == 1) { val q = p.clone(); q(0) = (q(0) + 90).toByte; q }
+        else p
+      }),
+      4L -> avi(5, 2, (_, p) => p), // same content, shorter: aligns 2 frames
+      5L -> avi(777, 4, (_, p) => p)) // unrelated
+      .toDF("id", "media")
+    val got = Multimodal.videoFpNearDuplicates(media, maxTotalHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got.get((1L, 2L)).contains((4L, 0L)),
+      s"brightness transcode must print identically on all 4 frames: $got")
+    assert(got.contains((1L, 3L)) && got((1L, 3L))._1 == 4L &&
+      got((1L, 3L))._2 <= 2L, s"one-pixel frame edit missed: $got")
+    assert(got.get((1L, 4L)).exists(_._1 == 2L),
+      s"shorter copy aligns exactly its own frames: $got")
+    assert(!got.keys.exists(p => p._1 == 5L || p._2 == 5L),
+      s"unrelated video paired: $got")
+    graft.ml.Dedup.unpersistPipelineCaches()
+  }
+
   test("multimodal decode + frame sampling plumbing") {
     import spark.implicits._
     val media = Seq((1L, Array.fill[Byte](1000)(7)), (2L, Array.fill[Byte](64)(1)))
