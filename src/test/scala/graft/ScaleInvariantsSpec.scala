@@ -434,25 +434,44 @@ class ScaleInvariantsSpec extends SparkSpec {
     import graft.ml.{Profile, TextAnalysis => TA}
     val docs = spark.read.parquet(s"$dir/documents.parquet")
 
+    // The two paths assign IDENTICAL integer ranks (that's the
+    // invariant under test), but they partition the ranked rows
+    // differently, so downstream double aggregates (OLS sums, delta
+    // means) accumulate in a different order — compare integers
+    // exactly and doubles to relative 1e-9 (ULP-level drift only; a
+    // rank divergence would move the stats by whole data points).
+    def close(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Double, y: Double) =>
+        x == y || math.abs(x - y) <= 1e-9 * math.max(math.abs(x),
+          math.abs(y)).max(1e-12)
+      case _ => a == b
+    }
+
     // zipfFit returns ONE row of regression stats — ranks feed the
     // OLS sums, so any rank divergence changes the doubles
     def row1(df: org.apache.spark.sql.DataFrame): Seq[Any] =
       df.collect().map(_.toSeq).toSeq.flatten
-    assert(row1(TA.zipfFit(docs, "text")) ==
+    val (z1, z2) = (row1(TA.zipfFit(docs, "text")),
       row1(TA.zipfFit(docs, "text", bigVocab = true)))
+    assert(z1.length == z2.length &&
+      z1.lazyZip(z2).forall(close), s"$z1 vs $z2")
 
     // burrowsDelta: the full source-pair distance matrix must match
     def deltaMap(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getString(0), r.getString(1)) ->
         r.getDouble(2)).toMap
-    assert(deltaMap(TA.burrowsDelta(docs, "source", "text")) ==
+    val (d1, d2) = (deltaMap(TA.burrowsDelta(docs, "source", "text")),
       deltaMap(TA.burrowsDelta(docs, "source", "text", bigVocab = true)))
+    assert(d1.keySet == d2.keySet &&
+      d1.forall { case (k, v) => close(v, d2(k)) }, s"$d1 vs $d2")
 
     // quantileNormalize: per-row equality via a value checksum (the
-    // frame is corpus-sized — don't collect it)
+    // frame is corpus-sized — don't collect it). The double column is
+    // quantized to 1e-6 before hashing for the same reason.
     def checksum(df: org.apache.spark.sql.DataFrame): Seq[Any] = {
       val h = xxhash64(col("id"), col("stratum"), col("v"),
-        col("stratum_rank"), col("pooled_pos"), col("normalized"))
+        col("stratum_rank"), col("pooled_pos"),
+        floor(col("normalized") * 1e6 + 0.5))
       df.agg(count(lit(1)), sum(h)).collect().head.toSeq
     }
     val q = docs.select(col("doc_id"), col("source"),
