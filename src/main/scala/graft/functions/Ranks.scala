@@ -45,40 +45,76 @@ object Ranks {
     * Null weights count as 0.
     */
   def distributedPrefixSum(df: DataFrame, orderBy: Seq[Column],
-      weight: Column, as: String, inclusive: Boolean): DataFrame = {
-    require(orderBy.nonEmpty, "distributedPrefixSum: empty order")
-    val wCol = "__graft_psum_w"
-    require(!df.columns.contains(as),
-      s"distributedPrefixSum: output column $as already exists")
-    require(!df.columns.contains(wCol),
-      s"distributedPrefixSum: reserved column $wCol in input")
+      weight: Column, as: String, inclusive: Boolean): DataFrame =
+    distributedPrefixSums(df, orderBy, Seq(weight -> as), inclusive)
+
+  /** Several running sums in ONE sorted pass — the multi-weight form
+    * (e.g. riskCoverage needs cumulative counts AND cumulative errors
+    * over the same confidence order; two separate calls would sort
+    * twice). Weights are `(expression, outputName)` pairs; all
+    * prefixes share the same `orderBy` and `inclusive` convention.
+    */
+  def distributedPrefixSums(df: DataFrame, orderBy: Seq[Column],
+      weights: Seq[(Column, String)], inclusive: Boolean,
+      totalsAs: Seq[String] = Nil): DataFrame = {
+    require(orderBy.nonEmpty, "distributedPrefixSums: empty order")
+    require(weights.nonEmpty, "distributedPrefixSums: no weights")
+    require(totalsAs.isEmpty || totalsAs.length == weights.length,
+      "distributedPrefixSums: totalsAs must name one column per weight")
+    val names = weights.map(_._2) ++ totalsAs
+    require(names.distinct == names,
+      s"distributedPrefixSums: duplicate output names $names")
+    names.foreach(n => require(!df.columns.contains(n),
+      s"distributedPrefixSums: output column $n already exists"))
+    val k = weights.length
+    val wCols = (0 until k).map(i => s"__graft_psum_w$i")
+    wCols.foreach(w => require(!df.columns.contains(w),
+      s"distributedPrefixSums: reserved column $w in input"))
     val spark = df.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
-    val sorted = df
-      .withColumn(wCol, coalesce(weight.cast("long"), lit(0L)))
+    val sorted = weights.zip(wCols).foldLeft(df) {
+        case (d, ((c, _), w)) =>
+          d.withColumn(w, coalesce(c.cast("long"), lit(0L)))
+      }
       .repartitionByRange(parts, orderBy: _*)
       .sortWithinPartitions(orderBy: _*)
-    val wIdx = df.columns.length // wCol appended last
+    val base = df.columns.length // weight cols appended last, in order
     val rdd = sorted.rdd
-    // pass 1: one long per partition (bounded by the partition count)
+    // pass 1: k longs per partition (bounded by the partition count)
     val partSums = rdd.mapPartitionsWithIndex { (i, it) =>
-      var s = 0L
-      it.foreach(r => s += r.getLong(wIdx))
+      val s = new Array[Long](k)
+      it.foreach { r =>
+        var j = 0
+        while (j < k) { s(j) += r.getLong(base + j); j += 1 }
+      }
       Iterator((i, s))
     }.collect().sortBy(_._1).map(_._2)
-    val offsets = partSums.scanLeft(0L)(_ + _)
-    // pass 2: stream each partition adding its exclusive offset; the
+    val offsets = partSums.scanLeft(new Array[Long](k)) { (acc, x) =>
+      Array.tabulate(k)(j => acc(j) + x(j))
+    }
+    // pass 2: stream each partition adding its exclusive offsets; the
     // sort shuffle from pass 1 is reused (same RDD lineage)
     val out = rdd.mapPartitionsWithIndex { (i, it) =>
-      var acc = offsets(i)
+      val acc = offsets(i).clone()
       it.map { r =>
-        val w = r.getLong(wIdx)
-        val v = if (inclusive) acc + w else acc
-        acc += w
-        Row.fromSeq(r.toSeq.dropRight(1) :+ v)
+        val vals = new Array[Any](k)
+        var j = 0
+        while (j < k) {
+          val w = r.getLong(base + j)
+          vals(j) = if (inclusive) acc(j) + w else acc(j)
+          acc(j) += w
+          j += 1
+        }
+        Row.fromSeq(r.toSeq.dropRight(k) ++ vals)
       }
     }
-    spark.createDataFrame(out,
-      StructType(df.schema.fields :+ StructField(as, LongType, false)))
+    val prefixed = spark.createDataFrame(out,
+      StructType(df.schema.fields ++
+        weights.map { case (_, n) => StructField(n, LongType, false) }))
+    // grand totals fall out of pass 1 for free (offsets.last is the
+    // all-partition sum) — append as literals, no extra scan
+    totalsAs.zipWithIndex.foldLeft(prefixed) { case (d, (n, j)) =>
+      d.withColumn(n, lit(offsets.last(j)))
+    }
   }
 }

@@ -26,18 +26,28 @@ object Eval {
     * single-partition but over the SCORE VOCABULARY, not the corpus —
     * for calibrated model scores rounded to a few decimals that is
     * thousands of rows regardless of input size (the same
-    * vocab-window tradeoff [[TextAnalysis.zipfFit]] documents).
+    * vocab-window tradeoff [[TextAnalysis.zipfFit]] documents). For
+    * CONTINUOUS scores the distinct-score table approaches corpus
+    * size — set `bigDomain = true` to assign the prefix via
+    * [[graft.functions.Ranks.distributedPrefixSum]]'s two-pass order
+    * statistics instead (no window in the plan; identical integer
+    * prefixes).
     */
-  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String,
+      bigDomain: Boolean = false): DataFrame = {
     val lab = col(labelCol).cast("int")
     val byScore = df.select(col(scoreCol).as("s"), lab.as("y"))
       .groupBy("s").agg(count(lit(1)).as("n"), sum("y").as("p"))
-    val before = coalesce(sum("n").over(Window.orderBy("s")
-      .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
     // midrank of a tie block starting after `before` rows with n
     // members = before + (n+1)/2; U = sum of positive midranks
-    byScore
-      .withColumn("midrank", before + (col("n") + 1) / 2.0)
+    val withBefore =
+      if (bigDomain) graft.functions.Ranks.distributedPrefixSum(
+        byScore, Seq(col("s")), col("n"), "b", inclusive = false)
+      else byScore.withColumn("b",
+        coalesce(sum("n").over(Window.orderBy("s")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    withBefore
+      .withColumn("midrank", col("b") + (col("n") + 1) / 2.0)
       .agg(sum("p").as("n_pos"), (sum("n") - sum("p")).as("n_neg"),
         sum(col("p") * col("midrank")).as("rank_sum"))
       .select(col("n_pos"), col("n_neg"),
@@ -289,17 +299,22 @@ object Eval {
     * when σ = 0 (all values tied).
     *
     * Same scale shape as [[rocAuc]] — the tie-block sizes fall out of
-    * the same distinct-score table the midranks use.
+    * the same distinct-score table the midranks use; `bigDomain`
+    * swaps the window for the same two-pass prefix.
     */
   def mannWhitney(df: DataFrame, valueCol: String,
-      labelCol: String): DataFrame = {
+      labelCol: String, bigDomain: Boolean = false): DataFrame = {
     val lab = col(labelCol).cast("int")
     val byScore = df.select(col(valueCol).as("s"), lab.as("y"))
       .groupBy("s").agg(count(lit(1)).as("n"), sum("y").as("p"))
-    val before = coalesce(sum("n").over(Window.orderBy("s")
-      .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
-    byScore
-      .withColumn("midrank", before + (col("n") + 1) / 2.0)
+    val withBefore =
+      if (bigDomain) graft.functions.Ranks.distributedPrefixSum(
+        byScore, Seq(col("s")), col("n"), "b", inclusive = false)
+      else byScore.withColumn("b",
+        coalesce(sum("n").over(Window.orderBy("s")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    withBefore
+      .withColumn("midrank", col("b") + (col("n") + 1) / 2.0)
       .agg(sum("p").as("n1"), (sum("n") - sum("p")).as("n2"),
         sum("n").as("nt"),
         sum(col("p") * col("midrank")).as("rank_sum"),
@@ -1080,10 +1095,13 @@ object Eval {
     *
     * Scale shape: one hash aggregate to the DISTINCT-confidence
     * table, two cumulative windows over that vocab table, one
-    * broadcast total.
+    * broadcast total. `bigDomain` computes both cumulative sums in
+    * ONE two-pass sorted prefix ([[graft.functions.Ranks
+    * .distributedPrefixSums]]) for continuous confidences whose
+    * distinct table approaches corpus size.
     */
   def riskCoverage(df: DataFrame, confCol: String,
-      correctCol: String): DataFrame = {
+      correctCol: String, bigDomain: Boolean = false): DataFrame = {
     val byConf = df.select(col(confCol).as("confidence"),
         col(correctCol).cast("boolean").as("ok"))
       .groupBy("confidence")
@@ -1091,9 +1109,15 @@ object Eval {
         sum(when(!col("ok"), 1L).otherwise(0L)).as("err"))
     val w = Window.orderBy(col("confidence").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val curve = byConf
-      .withColumn("cn", sum("n").over(w))
-      .withColumn("cerr", sum("err").over(w))
+    // bigDomain: both cumulative sums in ONE two-pass sorted prefix
+    // (continuous confidences make the distinct table corpus-sized)
+    val curve =
+      if (bigDomain) graft.functions.Ranks.distributedPrefixSums(
+        byConf, Seq(col("confidence").desc),
+        Seq(col("n") -> "cn", col("err") -> "cerr"), inclusive = true)
+      else byConf
+        .withColumn("cn", sum("n").over(w))
+        .withColumn("cerr", sum("err").over(w))
     val tot = curve.agg(max("cn").as("nt"),
       sum(col("n").cast("double") * col("cerr") / col("cn")).as("wr"))
     curve.crossJoin(broadcast(tot))
@@ -1114,19 +1138,33 @@ object Eval {
     *
     * Scale shape: one hash aggregate to the distinct-score table,
     * cumulative windows over that table, one bucket aggregate.
+    * `bigDomain` swaps the whole-table windows for the two-pass
+    * prefix + pass-1 grand totals (continuous scores).
     */
   def gainsTable(df: DataFrame, scoreCol: String, labelCol: String,
-      k: Int = 10): DataFrame = {
+      k: Int = 10, bigDomain: Boolean = false): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     val byScore = df.select(col(scoreCol).as("s"),
         col(labelCol).cast("int").as("y"))
       .groupBy("s").agg(count(lit(1)).as("n"), sum("y").as("p"))
     val w = Window.orderBy(col("s").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val bucketed = byScore
-      .withColumn("before", coalesce(sum("n").over(w), lit(0L)))
-      .withColumn("nt", sum("n").over(Window.partitionBy()))
-      .withColumn("pt", sum("p").over(Window.partitionBy()))
+    // bigDomain: the exclusive prefix comes from the two-pass order
+    // statistics and the grand totals from a 1-row broadcast instead
+    // of whole-table windows (continuous scores make the distinct
+    // table corpus-sized)
+    val bucketed = (
+      if (bigDomain)
+        graft.functions.Ranks.distributedPrefixSums(byScore,
+          Seq(col("s").desc),
+          Seq(col("n") -> "before", col("p") -> "__gains_pp"),
+          inclusive = false, totalsAs = Seq("nt", "pt"))
+          .drop("__gains_pp")
+      else byScore
+        .withColumn("before", coalesce(sum("n").over(w), lit(0L)))
+        .withColumn("nt", sum("n").over(Window.partitionBy()))
+        .withColumn("pt", sum("p").over(Window.partitionBy()))
+    )
       .withColumn("bucket",
         (lit(1) + floor(col("before") * k / col("nt"))).cast("long"))
     val perBucket = bucketed.groupBy("bucket")
@@ -1215,10 +1253,13 @@ object Eval {
     *
     * Scale shape: one (score) hash aggregate with per-arm counters,
     * cumulative windows over the distinct-score table, one bucket
-    * aggregate.
+    * aggregate. `bigDomain` swaps the distinct-score windows for the
+    * two-pass prefix + pass-1 total (continuous scores); the k-row
+    * bucket windows stay.
     */
   def qiniCurve(df: DataFrame, scoreCol: String, treatedCol: String,
-      outcomeCol: String, k: Int = 10): DataFrame = {
+      outcomeCol: String, k: Int = 10,
+      bigDomain: Boolean = false): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     val t = col(treatedCol).cast("boolean")
     val y = col(outcomeCol).cast("int")
@@ -1230,9 +1271,17 @@ object Eval {
         sum(when(!col("t"), col("y")).otherwise(0)).as("cc"))
     val w = Window.orderBy(col("s").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val bucketed = byScore
-      .withColumn("before", coalesce(sum("n").over(w), lit(0L)))
-      .withColumn("tot", sum("n").over(Window.partitionBy()))
+    // bigDomain: two-pass prefix + 1-row total broadcast (see
+    // gainsTable — same continuous-score rationale)
+    val bucketed = (
+      if (bigDomain)
+        graft.functions.Ranks.distributedPrefixSums(byScore,
+          Seq(col("s").desc), Seq(col("n") -> "before"),
+          inclusive = false, totalsAs = Seq("tot"))
+      else byScore
+        .withColumn("before", coalesce(sum("n").over(w), lit(0L)))
+        .withColumn("tot", sum("n").over(Window.partitionBy()))
+    )
       .withColumn("bucket",
         (lit(1) + floor(col("before") * k / col("tot"))).cast("long"))
     val perBucket = bucketed.groupBy("bucket")

@@ -334,4 +334,39 @@ class PlanLintSpec extends SparkSpec {
     assert(raw.isEmpty,
       s"raw-input global windows (corpus to one task): ${raw.mkString(", ")}")
   }
+
+  test("bigDomain eval paths carry NO window operator at all " +
+      "(the open-distinct-domain escape hatch is window-free)") {
+    import graft.ml.Eval
+    import org.apache.spark.sql.functions.{col, lit}
+    val scored = spark.range(0, 5000).select(col("id"),
+      ((col("id") * 2654435761L) % 9973L).cast("double")
+        ./(lit(9973.0)).as("score"),
+      (col("id") % 3 === 0).cast("int").as("label"),
+      (col("id") % 2 === 0).as("treated"))
+    def windowless(df: org.apache.spark.sql.DataFrame,
+        allowBounded: Boolean = false): Unit = {
+      df.collect() // materialize so the executed plan is final
+      val windows = graft.tools.PlanLint
+        .nodes(df.queryExecution.executedPlan)
+        .collect { case w: org.apache.spark.sql.execution.window
+          .WindowExec => w }
+      if (allowBounded)
+        // gains/qini keep their k-row BUCKET windows — but none may
+        // be fed by the distinct-score table (its marker column)
+        assert(windows.forall(!_.child.output.exists(
+            _.name == "before")),
+          s"distinct-score window survived: $windows")
+      else assert(windows.isEmpty, s"unexpected windows: $windows")
+    }
+    windowless(Eval.rocAuc(scored, "score", "label", bigDomain = true))
+    windowless(Eval.mannWhitney(scored, "score", "label",
+      bigDomain = true))
+    windowless(Eval.riskCoverage(scored, "score", "label",
+      bigDomain = true))
+    windowless(Eval.gainsTable(scored, "score", "label",
+      bigDomain = true), allowBounded = true)
+    windowless(Eval.qiniCurve(scored, "score", "treated", "label",
+      bigDomain = true), allowBounded = true)
+  }
 }

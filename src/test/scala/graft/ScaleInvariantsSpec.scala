@@ -481,4 +481,64 @@ class ScaleInvariantsSpec extends SparkSpec {
       checksum(Profile.quantileNormalize(q, "doc_id", "source",
         "score", bigVocab = true)))
   }
+
+  test("bigDomain prefix path equals the window path at sf0.1 on " +
+      "CONTINUOUS scores (rocAuc, mannWhitney, riskCoverage, " +
+      "gainsTable, qiniCurve)") {
+    import graft.ml.Eval
+    // ~|corpus| distinct score values — the open-domain case the
+    // single-partition distinct-score window cannot hold at scale
+    val scored = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        ((col("doc_id") * 2654435761L) % 1000003L).cast("double")
+          ./(lit(1000003.0)).as("score"),
+        (col("doc_id") % 3 === 0).cast("int").as("label"),
+        (col("doc_id") % 2 === 0).as("treated"))
+    // integer prefixes are EXACT in both paths; only double columns
+    // whose aggregation order differs may drift at the ULP level
+    def close(a: Any, b: Any): Boolean = (a, b) match {
+      case (null, null) => true
+      case (x: Double, y: Double) =>
+        x == y || math.abs(x - y) <= 1e-9 * math.max(math.abs(x),
+          math.abs(y)).max(1e-12)
+      case _ => a == b
+    }
+    def rows1(df: org.apache.spark.sql.DataFrame): Seq[Any] =
+      df.collect().map(_.toSeq).toSeq.flatten
+    def eq1(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame): Unit = {
+      val (x, y) = (rows1(a), rows1(b))
+      assert(x.length == y.length && x.lazyZip(y).forall(close),
+        s"$x vs $y")
+    }
+    eq1(Eval.rocAuc(scored, "score", "label"),
+      Eval.rocAuc(scored, "score", "label", bigDomain = true))
+    eq1(Eval.mannWhitney(scored, "score", "label"),
+      Eval.mannWhitney(scored, "score", "label", bigDomain = true))
+    // gains/qini collapse to k buckets — integer columns exact, the
+    // ratio columns derive from exact integers
+    def sortedRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("bucket").collect().map(_.toSeq).toSeq
+    val (g1, g2) = (sortedRows(Eval.gainsTable(scored, "score", "label")),
+      sortedRows(Eval.gainsTable(scored, "score", "label",
+        bigDomain = true)))
+    assert(g1.length == g2.length && g1.lazyZip(g2).forall(
+      (r1, r2) => r1.lazyZip(r2).forall(close)), s"$g1 vs $g2")
+    val (u1, u2) = (sortedRows(
+        Eval.qiniCurve(scored, "score", "treated", "label")),
+      sortedRows(Eval.qiniCurve(scored, "score", "treated", "label",
+        bigDomain = true)))
+    assert(u1.length == u2.length && u1.lazyZip(u2).forall(
+      (r1, r2) => r1.lazyZip(r2).forall(close)), s"$u1 vs $u2")
+    // riskCoverage keeps one row per distinct confidence — compare by
+    // checksum (coverage/risk are ratios of the exact integer
+    // prefixes; aurc aggregates doubles, so it is 1e-6-quantized)
+    def rcSum(df: org.apache.spark.sql.DataFrame): Seq[Any] =
+      df.agg(count(lit(1)), sum(xxhash64(col("confidence"), col("n"),
+        col("coverage"), col("risk"),
+        floor(col("aurc") * 1e6 + 0.5)))).collect().head.toSeq
+    assert(rcSum(Eval.riskCoverage(scored, "score", "label")) ==
+      rcSum(Eval.riskCoverage(scored, "score", "label",
+        bigDomain = true)))
+  }
 }
