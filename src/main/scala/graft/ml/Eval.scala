@@ -64,18 +64,23 @@ object Eval {
     * (n_pos, ap); NULL ap when there are no positives.
     *
     * Same scale shape as [[rocAuc]]: the window runs over distinct
-    * scores only.
+    * scores only — and the same `bigDomain` escape hatch computes
+    * both cumulative sums via the two-pass prefix for continuous
+    * scores.
     */
   def averagePrecision(df: DataFrame, scoreCol: String,
-      labelCol: String): DataFrame = {
+      labelCol: String, bigDomain: Boolean = false): DataFrame = {
     val lab = col(labelCol).cast("int")
     val byScore = df.select(col(scoreCol).as("s"), lab.as("y"))
       .groupBy("s").agg(count(lit(1)).as("n"), sum("y").as("p"))
     val w = Window.orderBy(col("s").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    byScore
+    (if (bigDomain) graft.functions.Ranks.distributedPrefixSums(
+        byScore, Seq(col("s").desc),
+        Seq(col("n") -> "cum_n", col("p") -> "cum_p"), inclusive = true)
+     else byScore
       .withColumn("cum_n", sum("n").over(w))
-      .withColumn("cum_p", sum("p").over(w))
+      .withColumn("cum_p", sum("p").over(w)))
       .agg(sum("p").as("n_pos"),
         sum(col("p") * col("cum_p") / col("cum_n")).as("wsum"))
       .select(col("n_pos"),

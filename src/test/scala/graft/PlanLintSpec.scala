@@ -362,6 +362,8 @@ class PlanLintSpec extends SparkSpec {
     windowless(Eval.rocAuc(scored, "score", "label", bigDomain = true))
     windowless(Eval.mannWhitney(scored, "score", "label",
       bigDomain = true))
+    windowless(Eval.averagePrecision(scored, "score", "label",
+      bigDomain = true))
     windowless(Eval.riskCoverage(scored, "score", "label",
       bigDomain = true))
     windowless(Eval.gainsTable(scored, "score", "label",

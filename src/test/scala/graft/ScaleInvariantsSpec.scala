@@ -515,6 +515,8 @@ class ScaleInvariantsSpec extends SparkSpec {
       Eval.rocAuc(scored, "score", "label", bigDomain = true))
     eq1(Eval.mannWhitney(scored, "score", "label"),
       Eval.mannWhitney(scored, "score", "label", bigDomain = true))
+    eq1(Eval.averagePrecision(scored, "score", "label"),
+      Eval.averagePrecision(scored, "score", "label", bigDomain = true))
     // gains/qini collapse to k buckets — integer columns exact, the
     // ratio columns derive from exact integers
     def sortedRows(df: org.apache.spark.sql.DataFrame) =
