@@ -963,10 +963,15 @@ object Events {
     * Scale shape: one user hash aggregate collapses events to one
     * row per user; each dimension adds a distinct-value count
     * aggregate + a bounded cumulative window + one value-keyed join
-    * back.
+    * back. The monetary dimension's distinct-value table is
+    * near-user-count-sized (sums are near-continuous even at cent
+    * grain) — `bigDomain = true` swaps each dimension's window for
+    * [[graft.functions.Ranks.distributedPrefixSums]]' two-pass
+    * prefix (identical integer cumulative counts, no window).
     */
   def rfmSegments(events: DataFrame, userCol: String, secCol: String,
-      valueCol: String, asOfSec: Long, k: Int = 5): DataFrame = {
+      valueCol: String, asOfSec: Long, k: Int = 5,
+      bigDomain: Boolean = false): DataFrame = {
     require(k >= 2, "need at least 2 buckets")
     val W = org.apache.spark.sql.expressions.Window
     val users = events
@@ -989,12 +994,17 @@ object Events {
       val w = W.orderBy(if (asc) col("v").asc else col("v").desc)
         .rowsBetween(W.unboundedPreceding, -1)
       val tot = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-      vals
-        .withColumn("cb", coalesce(sum("c").over(w), lit(0L)))
-        .withColumn("n", sum("c").over(tot))
-        .select(col("v").as(dim),
-          (lit(1) + floor(col("cb") * k / col("n"))).cast("int")
-            .as(s"${dim.charAt(0)}_score"))
+      val cum =
+        if (bigDomain) graft.functions.Ranks.distributedPrefixSums(
+          vals, Seq(if (asc) col("v").asc else col("v").desc),
+          Seq(col("c") -> "cb"), inclusive = false,
+          totalsAs = Seq("n"))
+        else vals
+          .withColumn("cb", coalesce(sum("c").over(w), lit(0L)))
+          .withColumn("n", sum("c").over(tot))
+      cum.select(col("v").as(dim),
+        (lit(1) + floor(col("cb") * k / col("n"))).cast("int")
+          .as(s"${dim.charAt(0)}_score"))
     }
     users
       .join(scored("recency", asc = false), Seq("recency"))

@@ -370,5 +370,10 @@ class PlanLintSpec extends SparkSpec {
       bigDomain = true), allowBounded = true)
     windowless(Eval.qiniCurve(scored, "score", "treated", "label",
       bigDomain = true), allowBounded = true)
+    val ev = spark.range(0, 5000).select(
+      (col("id") % 400).as("u"), col("id").as("sec"),
+      ((col("id") * 37) % 101).cast("double").as("v"))
+    windowless(graft.events.Events.rfmSegments(ev, "u", "sec", "v",
+      asOfSec = 10000L, k = 5, bigDomain = true))
   }
 }

@@ -532,6 +532,20 @@ class ScaleInvariantsSpec extends SparkSpec {
         bigDomain = true)))
     assert(u1.length == u2.length && u1.lazyZip(u2).forall(
       (r1, r2) => r1.lazyZip(r2).forall(close)), s"$u1 vs $u2")
+    // rfmSegments: per-user frame with three near-continuous bucket
+    // dimensions (monetary distinct values ≈ user count) — scores and
+    // dims are integers/rounded, so an exact checksum holds
+    val evd = spark.read.parquet(s"$dir/events.parquet")
+    val rfmIn = evd.select(col("user_id"),
+      graft.core.Ts.seconds(evd).as("sec"), col("value"))
+    def rfmSum(bigDomain: Boolean): Seq[Any] = {
+      val r = graft.events.Events.rfmSegments(rfmIn, "user_id", "sec",
+        "value", asOfSec = 1706659200L, k = 5, bigDomain = bigDomain)
+      r.agg(count(lit(1)), sum(xxhash64(col("user"), col("recency"),
+        col("frequency"), col("monetary"), col("rfm")))).collect()
+        .head.toSeq
+    }
+    assert(rfmSum(false) == rfmSum(true))
     // riskCoverage keeps one row per distinct confidence — compare by
     // checksum (coverage/risk are ratios of the exact integer
     // prefixes; aurc aggregates doubles, so it is 1e-6-quantized)
