@@ -974,7 +974,7 @@ object Events {
       bigDomain: Boolean = false): DataFrame = {
     require(k >= 2, "need at least 2 buckets")
     val W = org.apache.spark.sql.expressions.Window
-    val users = events
+    val usersPlan = events
       .select(col(userCol).as("user"), col(secCol).cast("long").as("sec"),
         col(valueCol).cast("double").as("v"))
       .groupBy("user")
@@ -985,6 +985,13 @@ object Events {
         // round kills the engine-dependent summation-order ulp noise
         // that would otherwise split "equal" spenders across buckets
         round(sum("v"), 2).as("monetary"))
+    // bigDomain's three eager pass-1 jobs (one per dimension) plus
+    // the final join would each recompute the events aggregate from
+    // scratch (no shared lazy plan for ReuseExchange to collapse) —
+    // persist the user spine once instead of scanning events 4x
+    val users =
+      if (bigDomain) graft.core.PipelineCaches.persistTracked(usersPlan)
+      else usersPlan
 
     // score(v): tie-coherent bucket 1 + floor(cum_before * k / N)
     // over the distinct-value cumulative table

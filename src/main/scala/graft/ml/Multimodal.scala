@@ -246,6 +246,12 @@ object Multimodal {
     * carries its exact Hamming distance. Clips that fail WAV decode
     * or carry fewer than 65 samples are skipped (a sub-65-sample
     * print would alias empty spans).
+    *
+    * Recall follows the banding pigeonhole: pairs with FEWER than
+    * `bands` differing bits are always found; pairs at exactly
+    * `maxHamming` ≥ `bands` bits are found only when some band is
+    * clean (the standard LSH-banding trade — see
+    * [[bandedHamming64]]).
     */
   def audioFpNearDuplicates(df: DataFrame, maxHamming: Int = 4,
       bands: Int = 4, idCol: String = "id",
@@ -269,6 +275,11 @@ object Multimodal {
     * n_aligned, hamming)`, id < dup_id, total hamming ≤
     * `maxTotalHamming`. Catches re-encodes byte dedup misses (a
     * brightness-shifted transcode prints identically frame by frame).
+    * Recall is per-frame pigeonhole: a pair is guaranteed a candidate
+    * only when SOME aligned frame differs by fewer than `bands` bits
+    * — a pair whose every frame spreads ≥ `bands` flips across all
+    * bands can sit under `maxTotalHamming` yet be missed (the LSH
+    * banding trade, per-frame).
     *
     * Scale shape: payloads never shuffle — the per-frame hash table
     * (one narrow row per frame) is the only shuffled data, persisted

@@ -467,11 +467,14 @@ class ScaleInvariantsSpec extends SparkSpec {
 
     // quantileNormalize: per-row equality via a value checksum (the
     // frame is corpus-sized — don't collect it). The double column is
-    // quantized to 1e-6 before hashing for the same reason.
+    // quantized (coarsely — 1e4: each extra digit multiplies the
+    // chance that a ULP-divergent value straddles a floor boundary
+    // and flips the checksum; a real rank divergence moves values at
+    // data-point scale, far above 1e-4) before hashing.
     def checksum(df: org.apache.spark.sql.DataFrame): Seq[Any] = {
       val h = xxhash64(col("id"), col("stratum"), col("v"),
         col("stratum_rank"), col("pooled_pos"),
-        floor(col("normalized") * 1e6 + 0.5))
+        floor(col("normalized") * 1e4 + 0.5))
       df.agg(count(lit(1)), sum(h)).collect().head.toSeq
     }
     val q = docs.select(col("doc_id"), col("source"),
@@ -548,11 +551,12 @@ class ScaleInvariantsSpec extends SparkSpec {
     assert(rfmSum(false) == rfmSum(true))
     // riskCoverage keeps one row per distinct confidence — compare by
     // checksum (coverage/risk are ratios of the exact integer
-    // prefixes; aurc aggregates doubles, so it is 1e-6-quantized)
+    // prefixes; aurc aggregates doubles, so it is quantized — 1e4,
+    // coarse on purpose: see the bigVocab test's boundary rationale)
     def rcSum(df: org.apache.spark.sql.DataFrame): Seq[Any] =
       df.agg(count(lit(1)), sum(xxhash64(col("confidence"), col("n"),
         col("coverage"), col("risk"),
-        floor(col("aurc") * 1e6 + 0.5)))).collect().head.toSeq
+        floor(col("aurc") * 1e4 + 0.5)))).collect().head.toSeq
     assert(rcSum(Eval.riskCoverage(scored, "score", "label")) ==
       rcSum(Eval.riskCoverage(scored, "score", "label",
         bigDomain = true)))
