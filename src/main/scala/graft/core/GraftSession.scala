@@ -39,6 +39,17 @@ object GraftSession {
       // metadata — a stats query over a 100 TB table becomes a
       // metadata-only job
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // ObjectHashAggregate (collect_list / collect_set / typed
+      // buffers) abandons its hash map for sort-based aggregation
+      // after only 128 distinct keys per task (Spark's conservative
+      // default) — measured in r11 as numTasksFallBacked=ALL on every
+      // adjacency/basket collect in the repo, turning each into a
+      // full per-task sort. 64k keys × bounded buffers is well inside
+      // executor memory at any scale (the fallback still protects
+      // pathological key counts beyond it); tunable via
+      // SPARK_GRAFT_OBJ_AGG_KEYS for constrained executors.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_KEYS", "65536"))
       // Java wraparound integer semantics — required by the hash
       // arithmetic in MinHash signatures and matching the reference's
       // JVM behavior (scalding had no ANSI overflow checks).

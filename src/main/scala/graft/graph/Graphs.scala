@@ -20,6 +20,42 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
+  /** Co-occurrence pair multiset from a (group, item) incidence list:
+    * one row per (group, unordered item pair), src < dst — the
+    * co-purchase/co-tag edge-build primitive. Exactly the multiset the
+    * classic form produces (distinct incidence, self-join on the group
+    * key, i < j filter) but with ONE exchange instead of that form's
+    * distinct + both join sides: a single group-keyed aggregate builds
+    * each group's sorted distinct item array (collect_set collapses
+    * duplicate incidences) and pair enumeration runs inside
+    * whole-stage codegen ([[org.apache.spark.sql.graft.PackedPairs]]).
+    * The quadratic-in-group-size volume is inherent and identical to
+    * the join form's; cap group sizes upstream if a degenerate mega
+    * group is possible.
+    *
+    * `packedIds = true` (default) requires item ids < 2³¹ (fails
+    * loudly otherwise); set false for wider id spaces — the fallback
+    * enumerates struct pairs via interpreted higher-order transforms,
+    * same single-exchange shape, slower per row.
+    */
+  def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String,
+      packedIds: Boolean = true): DataFrame = {
+    val arrs = df
+      .select(col(groupCol).as("g"), col(itemCol).cast("long").as("i"))
+      .groupBy("g")
+      .agg(sort_array(collect_set(col("i"))).as("items"))
+    if (packedIds)
+      arrs.select(explode(org.apache.spark.sql.graft.PairFunctions
+          .packed_pairs(col("items"))).as("pk"))
+        .select(shiftrightunsigned(col("pk"), 32).as("src"),
+          col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("dst"))
+    else
+      arrs.select(explode(flatten(transform(col("items"), (x, i) =>
+          transform(slice(col("items"), i + lit(2), size(col("items"))),
+            y => struct(x.as("src"), y.as("dst")))))).as("p"))
+        .select(col("p.src").as("src"), col("p.dst").as("dst"))
+  }
+
   /** Canonical undirected edge set: (u, v) with u < v, self-loops and
     * duplicate/reverse sightings collapsed.
     */
@@ -47,7 +83,7 @@ object Graphs {
     * any node's degree thanks to the orientation.
     */
   def triangleCounts(edges: DataFrame, srcCol: String = "src",
-      dstCol: String = "dst"): DataFrame = {
+      dstCol: String = "dst", compactIds: Boolean = true): DataFrame = {
     val e = canonicalEdges(edges, srcCol, dstCol)
     val deg = e.select(col("u").as("node"))
       .unionAll(e.select(col("v").as("node")))
@@ -79,8 +115,21 @@ object Graphs {
     // — the join traffic is 3 edge-sized inputs, and only actual
     // triangles (≪ wedges) come out. This is what makes the plan
     // survive both a skew-free dense graph and a power-law one.
+    // compact (int) adjacency when ids fit 32 bits: the first oa join
+    // attaches `an` to every oriented edge, and that array RIDES THE
+    // EXCHANGE feeding the second join (r11 metrics: 697 MB at sf0.1,
+    // the plan's largest shuffle) — int elements halve it. Ids ≥ 2³¹
+    // need compactIds = false (long arrays, same plan).
+    val nbrCol = if (compactIds) col("b").cast("int") else col("b")
     val oa = oriented.groupBy(col("a"))
-      .agg(sort_array(collect_list(col("b"))).as("nbrs"))
+      .agg(sort_array(collect_list(nbrCol)).as("nbrs"))
+    val intersected =
+      if (compactIds)
+        org.apache.spark.sql.graft.VectorFunctions
+          .sorted_intersect_int(col("an"), col("bn"))
+      else
+        org.apache.spark.sql.graft.VectorFunctions
+          .sorted_intersect(col("an"), col("bn"))
     val triangles = oriented
       .join(oa.select(col("a"), col("nbrs").as("an"))
         .hint("shuffle_hash"), "a")
@@ -90,8 +139,8 @@ object Graphs {
         // native merge-walk over the sorted adjacency arrays — the
         // codegen'd SortedIntersect beats array_intersect's per-row
         // hash set on the O(m^{3/2}) wedge volume
-        explode(org.apache.spark.sql.graft.VectorFunctions
-          .sorted_intersect(col("an"), col("bn"))).as("c"))
+        explode(intersected).as("c0"))
+      .select(col("a"), col("b"), col("c0").cast("long").as("c"))
 
     val perNode = triangles
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
@@ -631,18 +680,30 @@ object Graphs {
     * crawl frontier ranking). Already-adjacent pairs are excluded
     * (they're edges, not predictions).
     *
-    * Scale shape: wedges are generated by a self-join bucketed on the
-    * SHARED neighbor, so all-pairs work happens only inside one
-    * node's neighborhood — and neighborhoods above `maxDegree` are
-    * skipped as wedge centers (the standard hub cap: a celebrity
-    * neighbor carries ~no signal, ln-degree weight ≈ 0, but costs
-    * deg² wedges). Degrees for Jaccard/AA use the TRUE degree, cap or
-    * not. Shuffles: one degree aggregate, one bucketed self-join, one
-    * pair aggregate, one anti-join — all O(wedges), never all-pairs.
+    * Scale shape: one center-keyed aggregate builds each shared
+    * neighbor's sorted endpoint array (for the undirected adjacency
+    * the array length IS the center's degree, so the hub cap and the
+    * Adamic–Adar 1/ln(deg) weight come for free — no degree join on
+    * the wedge path), wedge pairs are enumerated inside whole-stage
+    * codegen ([[org.apache.spark.sql.graft.PackedPairs]]) straight
+    * into the pair aggregate's partial, and that aggregate — the
+    * wedge-volume whale (r11 metrics: ~17 M wedge rows at sf0.1 with
+    * near-zero map-side collapse) — keys on ONE packed long instead
+    * of a two-column struct. The pair table stays packed through the
+    * single-long-key anti-join against the packed edge set and only
+    * unpacks for the two (node-sized, broadcastable) degree joins.
+    * Shuffles: one degree aggregate, one adjacency group-by, one pair
+    * aggregate, one anti-join — all O(wedges), never all-pairs; the
+    * old form's TWO wedge self-join exchanges (the centers subtree
+    * was planned twice, once per join side) are gone.
+    *
+    * `packedIds = true` (default) requires node ids < 2³¹ (fails
+    * loudly otherwise); set false for wider id spaces — same plan
+    * shape with struct pairs and a two-column aggregate key.
     */
   def linkPrediction(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst", maxDegree: Int = 1000,
-      minCommon: Int = 1): DataFrame = {
+      minCommon: Int = 1, packedIds: Boolean = true): DataFrame = {
     require(maxDegree >= 2, s"maxDegree must be >= 2, got $maxDegree")
     require(minCommon >= 1, s"minCommon must be >= 1, got $minCommon")
     val e = persistTracked(canonicalEdges(edges, srcCol, dstCol))
@@ -650,22 +711,46 @@ object Graphs {
       .unionAll(e.select(col("v").as("node"), col("u").as("nbr")))
     val deg = persistTracked(
       adj.groupBy("node").agg(count(lit(1)).as("degree")))
-    // wedge centers: (w, endpoint) with w's degree and hub cap
-    val centers = adj.select(col("nbr").as("w"), col("node").as("x"))
-      .join(deg.select(col("node").as("w"), col("degree").as("dw")), "w")
-      .filter(col("dw") <= maxDegree)
-    val pairs = centers.alias("l")
-      .join(centers.alias("r"), Seq("w"))
-      .filter(col("l.x") < col("r.x"))
-      .select(col("l.x").as("a"), col("r.x").as("b"),
-        (lit(1.0) / log(col("l.dw").cast("double"))).as("aa_w"))
-      .groupBy("a", "b")
-      .agg(count(lit(1)).as("common_neighbors"),
-        sum("aa_w").as("adamic_adar"))
-      .filter(col("common_neighbors") >= minCommon)
+    // wedge centers: the center's sorted endpoint array. Both
+    // orientations of every edge are in `adj`, so |{x : (x,w)}| =
+    // |{x : (w,x)}| = deg(w) — size(xs) is the center's true degree.
+    val centers = adj.groupBy(col("nbr").as("w"))
+      .agg(sort_array(collect_list(col("node"))).as("xs"))
+      .filter(size(col("xs")) <= maxDegree)
+      .select(col("xs"),
+        (lit(1.0) / log(size(col("xs")).cast("double"))).as("aa_w"))
+    val pairs =
+      if (packedIds)
+        centers
+          .select(col("aa_w"),
+            explode(org.apache.spark.sql.graft.PairFunctions
+              .packed_pairs(col("xs"))).as("pk"))
+          .groupBy("pk")
+          .agg(count(lit(1)).as("common_neighbors"),
+            sum("aa_w").as("adamic_adar"))
+          .filter(col("common_neighbors") >= minCommon)
+          // packed anti-join: one 8-byte key against the packed edge
+          // set (u < v == a < b, both canonical)
+          .join(e.select((shiftleft(col("u"), 32)
+              .bitwiseOR(col("v"))).as("pk")),
+            Seq("pk"), "left_anti")
+          .select(shiftrightunsigned(col("pk"), 32).as("a"),
+            col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("b"),
+            col("common_neighbors"), col("adamic_adar"))
+      else
+        centers
+          .select(col("aa_w"), explode(flatten(transform(col("xs"),
+            (x, i) => transform(
+              slice(col("xs"), i + lit(2), size(col("xs"))),
+              y => struct(x.as("a"), y.as("b")))))).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"), col("aa_w"))
+          .groupBy("a", "b")
+          .agg(count(lit(1)).as("common_neighbors"),
+            sum("aa_w").as("adamic_adar"))
+          .filter(col("common_neighbors") >= minCommon)
+          .join(e.select(col("u").as("a"), col("v").as("b")),
+            Seq("a", "b"), "left_anti")
     pairs
-      .join(e.select(col("u").as("a"), col("v").as("b")),
-        Seq("a", "b"), "left_anti")
       .join(deg.select(col("node").as("a"), col("degree").as("da")), "a")
       .join(deg.select(col("node").as("b"), col("degree").as("db")), "b")
       .withColumn("jaccard", col("common_neighbors").cast("double") /

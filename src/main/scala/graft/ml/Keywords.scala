@@ -86,26 +86,37 @@ object Keywords {
     * simplified TextRank recursion — document-replayable in plain
     * SQL). Returns (word, score) for the whole vocabulary.
     *
-    * Shape: one adjacent-pair self-join builds the edge counts; each
-    * iteration is one (word) hash join + aggregation over the edge
-    * table — identical cost profile to [[graft.graph.Graphs]]'
-    * iterate-and-join kernels, linear in |edges| per iteration.
+    * Shape: adjacent pairs are read straight off each document's
+    * token array (two slices zipped — no positional self-join: the
+    * old form shuffled the exploded token table twice and joined on
+    * (doc, pos+1)), both orientations of each pair leave ONE pass via
+    * a 2-element explode (a union of the pair stream with its swap
+    * would evaluate the tokenize+pair subtree twice); each iteration
+    * is one broadcast of the vocabulary-sized rank vector against the
+    * cached edge table + one vocabulary-sized aggregation — the rank
+    * vector is the side that must travel, never the edges (the old
+    * form broadcast the EDGE table every iteration and sort-merged
+    * the vocabulary join).
     */
   def textRank(df: DataFrame, idCol: String, textCol: String,
       damping: Double = 0.85, iters: Int = 10): DataFrame = {
     require(iters >= 1 && damping > 0 && damping < 1)
     val sw = TextAnalysis.stopwords
-    val words = df
-      .select(col(idCol).as("did"),
-        filter(toks(col(textCol)), t => !t.isInCollection(sw)).as("ws"))
-      .select(col("did"), posexplode(col("ws")).as(Seq("pos", "word")))
-    // adjacent non-stop tokens (window 2 after stopword removal)
-    val co = words.alias("a")
-      .join(words.alias("b"),
-        col("a.did") === col("b.did") && col("b.pos") === col("a.pos") + 1)
-      .select(col("a.word").as("u"), col("b.word").as("v"))
+    val docs = df.select(
+      filter(toks(col(textCol)), t => !t.isInCollection(sw)).as("ws"))
+    // adjacent non-stop tokens (window 2 after stopword removal),
+    // both orientations in one generator pass
+    val und = docs
+      .select(explode(arrays_zip(
+        slice(col("ws"), lit(1), greatest(size(col("ws")) - 1, lit(0)))
+          .as("u"),
+        slice(col("ws"), lit(2), greatest(size(col("ws")) - 1, lit(0)))
+          .as("v"))).as("bp"))
+      .select(col("bp.u").as("u"), col("bp.v").as("v"))
       .filter(col("u") =!= col("v"))
-    val und = co.unionAll(co.select(col("v").as("u"), col("u").as("v")))
+      .select(explode(array(struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
       .groupBy("u", "v").agg(count(lit(1)).cast("double").as("w"))
     // tracked pipeline caches (NOT localCheckpoint, which leaves
     // untracked resident RDDs behind — the bench-hygiene rule): the
@@ -114,7 +125,7 @@ object Keywords {
     // two cached inputs. Caller drops the caches via
     // PipelineCaches.unpersistAll once the result is consumed.
     val vocab = graft.core.PipelineCaches.persistTracked(
-      words.select(col("word")).distinct())
+      docs.select(explode(col("ws")).as("word")).distinct())
     val n = vocab.count()
     val wdeg = und.groupBy("u").agg(sum("w").as("wd"))
     val trans = graft.core.PipelineCaches.persistTracked(
@@ -124,10 +135,14 @@ object Keywords {
     val floor = (1.0 - damping) / n
     var pr = vocab.select(col("word"), lit(base).as("score"))
     (1 to iters).foreach { i =>
-      val inbound = trans.join(pr, trans("u") === pr("word"))
+      // broadcast the |V|-sized rank vector and mass table — the
+      // truncated iterate is a LogicalRDD with default (maximal) size
+      // stats, so without the hint Spark broadcast the EDGE table
+      // into this join and sort-merged the vocab join every iteration
+      val inbound = trans.join(broadcast(pr), trans("u") === pr("word"))
         .groupBy(col("v").as("word"))
         .agg(sum(col("t") * col("score")).as("mass"))
-      pr = vocab.join(inbound, Seq("word"), "left")
+      pr = vocab.join(broadcast(inbound), Seq("word"), "left")
         .select(col("word"),
           (lit(floor) + lit(damping) * coalesce(col("mass"), lit(0.0)))
             .as("score"))

@@ -1515,9 +1515,15 @@ object TextAnalysis {
     * norms exact in double), so scores replay bit-identically.
     *
     * Scale shape: per-document work only — one posexplode, one
-    * (id, block, token) hash aggregate, an adjacent-block equi-join
-    * keyed (id, token), and id-partitioned windows; nothing crosses
-    * documents.
+    * (id, block, token) hash aggregate, one (id, block) aggregate
+    * building each block's sorted sparse count vector (norm riding the
+    * same pass), and id-partitioned windows: the adjacent-block dot
+    * product is a lead() of the next block's vector + a codegen'd
+    * merge walk ([[org.apache.spark.sql.graft.SortedDot]], integer-
+    * exact). Nothing crosses documents, and nothing joins — the old
+    * form's token-level adjacent-block equi-join (two more exchanges
+    * of the count table + a norms self-join) is gone, as is the count
+    * table's pipeline cache (it is consumed exactly once now).
     */
   def textTiling(df: DataFrame, idCol: String, textCol: String,
       blockSize: Int = 20, c: Double = 1.0): DataFrame = {
@@ -1528,26 +1534,23 @@ object TextAnalysis {
           t => length(t) > 0)).as(Seq("pos", "tok")))
       .select(col("id"), (col("pos") / blockSize).cast("long").as("blk"),
         col("tok"))
-    val cnt = graft.core.PipelineCaches.persistTracked(
-      toks.groupBy("id", "blk", "tok").agg(count(lit(1)).as("n")))
-    val norms = cnt.groupBy("id", "blk")
-      .agg(sum(col("n") * col("n")).as("sq"))
-    val dots = cnt.alias("a")
-      .join(cnt.alias("b"),
-        col("a.id") === col("b.id") && col("a.tok") === col("b.tok") &&
-          col("b.blk") === col("a.blk") + 1)
-      .groupBy(col("a.id").as("id"), col("a.blk").as("gap"))
-      .agg(sum(col("a.n") * col("b.n")).as("dot"))
+    val cnt = toks.groupBy("id", "blk", "tok").agg(count(lit(1)).as("n"))
+    // per-block sorted sparse vector + its squared norm in one pass;
+    // blocks are position-contiguous, so lead(blk) IS blk + 1
+    val blocks = cnt.groupBy("id", "blk")
+      .agg(sort_array(collect_list(struct(col("tok"), col("n"))))
+          .as("ents"),
+        sum(col("n") * col("n")).as("sq"))
+    val wb = Window.partitionBy("id").orderBy("blk")
     // every adjacent pair gets a sim row even with zero shared terms
-    val sims = norms.alias("x")
-      .join(norms.alias("y"),
-        col("x.id") === col("y.id") && col("y.blk") === col("x.blk") + 1)
-      .select(col("x.id").as("id"), col("x.blk").as("gap"),
-        col("x.sq").as("sqa"), col("y.sq").as("sqb"))
-      .join(dots, Seq("id", "gap"), "left")
-      .select(col("id"), col("gap"),
-        (coalesce(col("dot"), lit(0L)).cast("double") /
-          sqrt(col("sqa").cast("double") * col("sqb"))).as("sim"))
+    val sims = blocks
+      .withColumn("nents", lead("ents", 1).over(wb))
+      .withColumn("nsq", lead("sq", 1).over(wb))
+      .filter(col("nents").isNotNull)
+      .select(col("id"), col("blk").as("gap"),
+        (org.apache.spark.sql.graft.PairFunctions
+          .sorted_dot(col("ents"), col("nents")).cast("double") /
+          sqrt(col("sq").cast("double") * col("nsq"))).as("sim"))
     val wd = Window.partitionBy("id").orderBy("gap")
     val depth = sims
       .withColumn("depth",

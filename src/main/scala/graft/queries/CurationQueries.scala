@@ -1147,12 +1147,8 @@ object CurationQueries extends QueryGroup {
         |  round((1.0 + count(*) / sum(ln(degree / 1.5)) - 1)
         |    / sqrt(count(*)), 6) AS sigma
         |FROM tail""".stripMargin) { (s, dir) =>
-      val items = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val edges = items.alias("a").join(items.alias("b"), Seq("o"))
-        .filter(col("a.p") < col("b.p"))
-        .select(col("a.p").as("src"), col("b.p").as("dst"))
+      val edges = graft.graph.Graphs.coOccurrenceEdges(
+          t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
         .distinct()
       graft.graph.Graphs.powerLawAlpha(edges, xmin = 2L)
         .select(col("xmin"), col("n_tail"),

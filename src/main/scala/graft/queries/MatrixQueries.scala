@@ -343,12 +343,8 @@ object MatrixQueries extends QueryGroup {
         |      / (deg.degree * (deg.degree - 1)) END, 6) AS clustering_coeff
         |FROM deg LEFT JOIN pernode USING (node)
         |ORDER BY node""".stripMargin) { (s, dir) =>
-      val items = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val edges = items.alias("a").join(items.alias("b"), Seq("o"))
-        .filter(col("a.p") < col("b.p"))
-        .select(col("a.p").as("src"), col("b.p").as("dst"))
+      val edges = graft.graph.Graphs.coOccurrenceEdges(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
       graft.graph.Graphs.triangleCounts(edges)
         .select(col("node"), col("degree"), col("triangles"),
           round(col("clustering_coeff"), 6).as("clustering_coeff"))
@@ -371,12 +367,8 @@ object MatrixQueries extends QueryGroup {
     // idempotent, so over-provisioning is safe.
     q("q_graph_kcore", MatrixQueries.kCoreOracleSql(k = 80, levels = 8)) {
       (s, dir) =>
-      val items = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val edges = items.alias("a").join(items.alias("b"), Seq("o"))
-        .filter(col("a.p") < col("b.p"))
-        .select(col("a.p").as("src"), col("b.p").as("dst"))
+      val edges = graft.graph.Graphs.coOccurrenceEdges(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
       graft.graph.Graphs.kCore(edges, k = 80)
         .orderBy("node")
     },
@@ -403,12 +395,8 @@ object MatrixQueries extends QueryGroup {
         |)
         |SELECT node, CAST(min(dist) AS BIGINT) AS dist
         |FROM walk GROUP BY node ORDER BY node""".stripMargin) { (s, dir) =>
-      val items = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val edges = items.alias("a").join(items.alias("b"), Seq("o"))
-        .filter(col("a.p") < col("b.p"))
-        .select(col("a.p").as("src"), col("b.p").as("dst"))
+      val edges = graft.graph.Graphs.coOccurrenceEdges(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
       val srcs = edges.select(col("src").as("node"))
         .unionAll(edges.select(col("dst").as("node")))
         .filter(col("node") % 211 === 0).distinct()
@@ -441,12 +429,8 @@ object MatrixQueries extends QueryGroup {
         |  round(sum(1.0::DOUBLE / dist), 6) AS harmonic
         |FROM d WHERE dist > 0
         |GROUP BY 1 ORDER BY node""".stripMargin) { (s, dir) =>
-      val items = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val edges = items.alias("a").join(items.alias("b"), Seq("o"))
-        .filter(col("a.p") < col("b.p"))
-        .select(col("a.p").as("src"), col("b.p").as("dst"))
+      val edges = graft.graph.Graphs.coOccurrenceEdges(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
       val lms = edges.select(col("src").as("node"))
         .unionAll(edges.select(col("dst").as("node")))
         .filter(col("node") % 401 === 0).distinct()
@@ -490,12 +474,8 @@ object MatrixQueries extends QueryGroup {
         |FROM nonadj n
         |JOIN deg da ON da.node = n.a JOIN deg db ON db.node = n.b
         |ORDER BY a, b""".stripMargin) { (s, dir) =>
-      val items = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val edges = items.alias("a").join(items.alias("b"), Seq("o"))
-        .filter(col("a.p") < col("b.p"))
-        .select(col("a.p").as("src"), col("b.p").as("dst"))
+      val edges = graft.graph.Graphs.coOccurrenceEdges(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
       graft.graph.Graphs.linkPrediction(edges, maxDegree = 100,
           minCommon = 3)
         .select(col("a"), col("b"), col("common_neighbors"),
@@ -529,12 +509,8 @@ object MatrixQueries extends QueryGroup {
         |SELECT CAST(count(*) / 2 AS BIGINT) AS n_edges,
         |  round(corr(da::DOUBLE, db::DOUBLE), 6) AS assortativity
         |FROM pairs""".stripMargin) { (s, dir) =>
-      val items = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val edges = items.alias("a").join(items.alias("b"), Seq("o"))
-        .filter(col("a.p") < col("b.p"))
-        .select(col("a.p").as("src"), col("b.p").as("dst"))
+      val edges = graft.graph.Graphs.coOccurrenceEdges(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
       graft.graph.Graphs.degreeAssortativity(edges)
         .select(col("n_edges"),
           round(col("assortativity"), 6).as("assortativity"))
@@ -571,13 +547,10 @@ object MatrixQueries extends QueryGroup {
         |  round(ec_tot::DOUBLE / n_edges
         |    - dc_sq / (two_m::DOUBLE * two_m), 6) AS modularity
         |FROM agg""".stripMargin) { (s, dir) =>
-      val items = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val edges = items.alias("a").join(items.alias("b"), Seq("o"))
-        .filter(col("a.p") < col("b.p"))
-        .select(col("a.p").as("src"), col("b.p").as("dst"))
-      val nodes = items.select(col("p").as("node")).distinct()
+      val edges = graft.graph.Graphs.coOccurrenceEdges(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+      val nodes = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("node")).distinct()
         .withColumn("community", col("node") % 7)
       graft.graph.Graphs.modularity(edges, nodes)
         .select(col("n_edges"), col("n_communities"),

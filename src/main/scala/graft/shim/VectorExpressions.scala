@@ -231,6 +231,73 @@ case class SortedIntersect(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(newLeft, newRight)
 }
 
+/** [[SortedIntersect]] over int arrays — same merge-walk contract
+  * (sorted ascending, distinct), half the bytes per element. The
+  * triangle kernel's adjacency lists are node ids; when they fit in
+  * 32 bits (the [[PackedPairs]] id contract) the int form halves the
+  * one array-carrying exchange in the triangle plan.
+  */
+case class SortedIntersectInt(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes with Serializable {
+
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.IntegerType),
+      ArrayType(org.apache.spark.sql.types.IntegerType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n1 = x.numElements()
+    val n2 = y.numElements()
+    val tmp = new Array[Int](math.min(n1, n2))
+    var i = 0
+    var j = 0
+    var k = 0
+    while (i < n1 && j < n2) {
+      val xv = x.getInt(i)
+      val yv = y.getInt(j)
+      if (xv < yv) i += 1
+      else if (xv > yv) j += 1
+      else { tmp(k) = xv; k += 1; i += 1; j += 1 }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(tmp, k))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val n1 = ctx.freshName("n1")
+      val n2 = ctx.freshName("n2")
+      val tmp = ctx.freshName("tmp")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $n1 = $a.numElements();
+         |int $n2 = $b.numElements();
+         |int[] $tmp = new int[java.lang.Math.min($n1, $n2)];
+         |int $i = 0; int $j = 0; int $k = 0;
+         |while ($i < $n1 && $j < $n2) {
+         |  int $xv = $a.getInt($i);
+         |  int $yv = $b.getInt($j);
+         |  if ($xv < $yv) { $i++; }
+         |  else if ($xv > $yv) { $j++; }
+         |  else { $tmp[$k] = $xv; $k++; $i++; $j++; }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(java.util.Arrays.copyOf($tmp, $k));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(newLeft, newRight)
+}
+
 object VectorFunctions {
   def dot_f(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(
@@ -240,6 +307,9 @@ object VectorFunctions {
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def sorted_intersect(a: Column, b: Column): Column =
     ExpressionUtils.column(SortedIntersect(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  def sorted_intersect_int(a: Column, b: Column): Column =
+    ExpressionUtils.column(SortedIntersectInt(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   /** Register for SQL use. */
