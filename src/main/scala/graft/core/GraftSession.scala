@@ -27,6 +27,16 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // prefer shuffled-hash over sort-merge when the planner can
+      // prove a per-partition build side fits (guide §3.1/§9: SMJ
+      // pays two full sorts for no benefit there; SHJ spills via the
+      // same unified memory manager). The size conditions still gate
+      // it, so large-×-large joins keep sort-merge — scale-safe, not
+      // a local[32] tune. AQE additionally rewrites SMJ→SHJ at
+      // runtime when every post-shuffle partition is under 64 MB.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        "67108864")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // runtime row-level filtering: a selective dimension filter

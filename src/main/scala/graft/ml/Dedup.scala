@@ -1091,13 +1091,23 @@ object Dedup {
     val hi = least(col("pos") + w - 1, col("ng"))
     val member = grams.select(col("id"), col("pos"), col("gram"),
       explode(when(lo <= hi, sequence(lo, hi)).otherwise(array())).as("wp"))
-    // composite minimizable key: md5 asc, then RIGHTMOST pos on ties
+    // composite minimizable key: md5 asc, then RIGHTMOST pos on ties.
+    // The whole selection rides ONE string: the comparable prefix is
+    // fixed-width (32 md5 + '@' + 7 digits), so appending the payload
+    // after a separator never changes the argmin — and min(string) is
+    // hash-aggregable, where the previous min(struct) forced a
+    // SortAggregate pair (two full sorts of the w-fold window stream,
+    // the plan's dominant cost in the r11 before-capture).
     val key = concat(md5(col("gram")), lit("@"),
-      lpad((lit(10000000) - col("pos")).cast("string"), 7, "0"))
+      lpad((lit(10000000) - col("pos")).cast("string"), 7, "0"),
+      lit("|"), col("gram"))
     member
       .groupBy("id", "wp")
-      .agg(min(struct(key.as("k"), col("pos"), col("gram"))).as("sel"))
-      .select(col("id"), col("sel.pos").as("pos"), col("sel.gram").as("gram"))
+      .agg(min(key).as("sel"))
+      .select(col("id"),
+        (lit(10000000) - substring(col("sel"), 34, 7).cast("int"))
+          .cast("int").as("pos"),
+        expr("substring(sel, 42)").as("gram"))
       .distinct()
   }
 
