@@ -420,14 +420,23 @@ object Bench {
     val loadJson = s""""load":{${chosen.loadJson}},"contended":$contended,""" +
       s""""attempts":[${attempts.map(a => s"{${a.loadJson}}").mkString(",")}]"""
     val json =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,$loadJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"cpus":$cpus,$loadJson,"queries":$qs,"sf":"$sfDir"}"""
     // Durable fallback against driver tail-capture truncation: the FULL
     // per-query JSON lands at the repo root, so the round's bench signal
     // survives even if stdout capture clips (round-6 failure mode).
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_SUMMARY.json"), json + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] BENCH_SUMMARY.json write failed: ${e.getMessage}")
+    // ALSO write a cpus-stamped copy: the driver benches the same tree
+    // at two core counts and both runs previously wrote the same path,
+    // so the scaling run clobbered the main run's per-query capture
+    // (PERF_r11.per_query came out empty). The stamped file preserves
+    // each core count's capture; BENCH_SUMMARY.json stays the
+    // last-run fallback the driver already reads, now with a "cpus"
+    // key so a mismatched capture is detectable.
+    Seq("BENCH_SUMMARY.json", s"BENCH_SUMMARY_c$cpus.json").foreach { p =>
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(p), json + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $p write failed: ${e.getMessage}")
+      }
     }
     // The stdout metric line is TOTALS-ONLY: three consecutive rounds of
     // the driver's tail capture truncated the ~4 KB per-query line

@@ -974,6 +974,7 @@ object Events {
       bigDomain: Boolean = false): DataFrame = {
     require(k >= 2, "need at least 2 buckets")
     val W = org.apache.spark.sql.expressions.Window
+    var big = bigDomain // || autoBig below, once usersPlan exists
     val usersPlan = events
       .select(col(userCol).as("user"), col(secCol).cast("long").as("sec"),
         col(valueCol).cast("double").as("v"))
@@ -989,8 +990,9 @@ object Events {
     // the final join would each recompute the events aggregate from
     // scratch (no shared lazy plan for ReuseExchange to collapse) —
     // persist the user spine once instead of scanning events 4x
+    big = bigDomain || graft.functions.Ranks.autoBig(usersPlan)
     val users =
-      if (bigDomain) graft.core.PipelineCaches.persistTracked(usersPlan)
+      if (big) graft.core.PipelineCaches.persistTracked(usersPlan)
       else usersPlan
 
     // score(v): tie-coherent bucket 1 + floor(cum_before * k / N)
@@ -1002,7 +1004,7 @@ object Events {
         .rowsBetween(W.unboundedPreceding, -1)
       val tot = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
       val cum =
-        if (bigDomain) graft.functions.Ranks.distributedPrefixSums(
+        if (big) graft.functions.Ranks.distributedPrefixSums(
           vals, Seq(if (asc) col("v").asc else col("v").desc),
           Seq(col("c") -> "cb"), inclusive = false,
           totalsAs = Seq("n"))
@@ -1715,10 +1717,18 @@ object Events {
     * (y_j−y_i)/(j−i) — never an interpolated percentile, so the
     * number replays bit-exactly across engines.
     *
-    * Scale shape: corpus → bucket table in one hash aggregate; the
-    * pair set is the bounded self-join of that grid (n(n−1)/2 rows
-    * for n = time-range/periodSec buckets, driver-bounded by
-    * contract), one tie aggregate, one order statistic.
+    * Scale shape (r12): corpus → bucket table in one hash aggregate;
+    * the dense grid (n = time-range/periodSec buckets, driver-bounded
+    * by contract) collapses into ONE row and a single kernel computes
+    * S by merge-sort inversion counting (O(n log n) — never the old
+    * n(n−1)/2 pair self-join, which shuffled and persisted the
+    * quadratic pair set and ran a single-partition window over it),
+    * the tie term and n off the same array, and the Sen slope by
+    * exact enumeration + quickselect while m = n(n−1)/2 fits the
+    * in-kernel cap (2²⁷ slopes ≈ 1 GB — n ≤ ~16 000 buckets). Above
+    * the cap it FAILS LOUDLY with the remedy (coarsen periodSec):
+    * bounding the grid is the contract, and a loud bound beats the
+    * old form's silent multi-TB pair shuffle.
     */
   def mannKendall(events: DataFrame, secCol: String,
       periodSec: Long): DataFrame = {
@@ -1732,38 +1742,18 @@ object Events {
       .join(counts, Seq("bucket"), "left")
       .select(col("bucket"), coalesce(col("y"), lit(0L))
         .cast("double").as("y"))
-    val pairs = graft.core.PipelineCaches.persistTracked(
-      dense.alias("a").join(dense.alias("b"),
-          col("b.bucket") > col("a.bucket"))
-        .select(signum(col("b.y") - col("a.y")).as("sgn"),
-          ((col("b.y") - col("a.y")) /
-            (col("b.bucket") - col("a.bucket")).cast("double"))
-            .as("slope")))
-    val sStat = pairs.agg(sum("sgn").as("s"), count(lit(1)).as("m"))
-    val ties = dense.groupBy("y").agg(count(lit(1)).as("t"))
-      .agg(coalesce(sum(when(col("t") > 1,
-        col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))), lit(0L))
-        .as("tie_term"))
-    val nRow = dense.agg(count(lit(1)).as("n"))
-    // k-th order statistic over the distinct-SLOPE count table (the
-    // rocAuc midrank shape): the cumulative window runs on the
-    // aggregate, never the pair set
-    val Window = org.apache.spark.sql.expressions.Window
-    val wSlope = Window.orderBy("slope")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val med = pairs.groupBy("slope").agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum("c").over(wSlope))
-      .crossJoin(broadcast(sStat.select(ceil(col("m") / 2).as("k"))))
-      .filter(col("cum") >= col("k") && col("cum") - col("c") < col("k"))
-      .select(col("slope").as("sen_slope"))
-    // left-join the median so a single-bucket series (empty pair set)
-    // still surfaces its one row with NULL z/sen_slope, matching how
-    // sibling operators report degenerate input — a crossJoin with the
-    // empty median table would silently return zero rows instead
-    sStat.crossJoin(broadcast(ties)).crossJoin(broadcast(nRow))
-      .withColumn("jk", lit(1))
-      .join(broadcast(med.withColumn("jk", lit(1))), Seq("jk"), "left")
-      .drop("jk")
+    // ONE pass collapses the grid into a single row (the old form
+    // evaluated the dense subtree four times: twice as self-join
+    // sides, once for ties, once for n) and the kernel emits every
+    // statistic the pair join used to produce, bit-identically
+    val kr = dense
+      .agg(sort_array(collect_list(struct(col("bucket"), col("y"))))
+        .as("series"))
+      .select(Events.mkKernel(col("series")).as("r"))
+      .select(col("r.s").as("s"), col("r.m").as("m"),
+        col("r.tie_term").as("tie_term"), col("r.n").as("n"),
+        col("r.sen_slope").as("sen_slope"))
+    kr
       .withColumn("var_s",
         (col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) - col("tie_term"))
           .cast("double") / 18.0)
@@ -2248,4 +2238,123 @@ object Events {
       .select(col("day"), col("dau"), col("mau"),
         (col("dau").cast("double") / col("mau")).as("stickiness"))
   }
+
+  /** In-kernel exact-Sen cap: 2²⁷ pairwise slopes ≈ 1 GB of doubles
+    * in one task — n ≤ ~16 000 buckets. Past it the kernel throws
+    * with the remedy instead of silently allocating (or, as the old
+    * pair-join form did, silently shuffling a multi-TB pair set).
+    */
+  private[events] val mkMaxExactPairs: Long = 1L << 27
+
+  /** Mann–Kendall single-row kernel over the time-ordered dense
+    * series: S = Σ_{i<j} sign(y_j − y_i) by merge-sort inversion
+    * counting (O(n log n); with T tied pairs and D strict descents,
+    * S = (m − T − D) − D), tie_term and n off a sorted copy, Sen
+    * slope = the ⌈m/2⌉-th smallest of the m pairwise slopes
+    * (y_j − y_i)/(x_j − x_i) by enumeration + quickselect — the exact
+    * doubles and the exact lower-median rule of the old relational
+    * form (subtraction of equal doubles yields +0.0, so the −0.0 /
+    * +0.0 grouping divergence cannot occur). Returns (s, m, tie_term,
+    * n, sen_slope) with s/sen_slope null on a degenerate < 2-bucket
+    * series, matching the old empty-pair-set behavior.
+    */
+  private[events] final case class MkStats(s: Option[Long], m: Long,
+      tie_term: Long, n: Long, sen_slope: Option[Double])
+
+  private def mkStats(rows: Seq[org.apache.spark.sql.Row]): MkStats = {
+    val n = rows.length
+    val x = new Array[Long](n)
+    val y = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val r = rows(i); x(i) = r.getLong(0); y(i) = r.getDouble(1); i += 1
+    }
+    val m = n.toLong * (n - 1) / 2
+    // tie term over a sorted copy: Σ_{t_g>1} t_g(t_g−1)(2t_g+5), and
+    // tied-pair count T = Σ t_g(t_g−1)/2 for the S identity below
+    val sortedY = y.clone()
+    java.util.Arrays.sort(sortedY)
+    var tieTerm = 0L
+    var tiedPairs = 0L
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n && sortedY(j) == sortedY(i)) j += 1
+      val t = (j - i).toLong
+      if (t > 1) {
+        tieTerm += t * (t - 1) * (2 * t + 5)
+        tiedPairs += t * (t - 1) / 2
+      }
+      i = j
+    }
+    if (m == 0L) MkStats(None, 0L, tieTerm, n.toLong, None)
+    else {
+      // D = #{i<j : y_i > y_j} (strict descents) via merge count
+      val work = y.clone()
+      val tmp = new Array[Double](n)
+      def mergeCount(lo: Int, hi: Int): Long = { // [lo, hi)
+        if (hi - lo < 2) 0L
+        else {
+          val mid = (lo + hi) >>> 1
+          var inv = mergeCount(lo, mid) + mergeCount(mid, hi)
+          var a = lo; var b = mid; var k = lo
+          while (a < mid && b < hi) {
+            if (work(a) <= work(b)) { tmp(k) = work(a); a += 1 }
+            else { tmp(k) = work(b); b += 1; inv += (mid - a) }
+            k += 1
+          }
+          while (a < mid) { tmp(k) = work(a); a += 1; k += 1 }
+          while (b < hi) { tmp(k) = work(b); b += 1; k += 1 }
+          System.arraycopy(tmp, lo, work, lo, hi - lo)
+          inv
+        }
+      }
+      val d = mergeCount(0, n)
+      val s = m - tiedPairs - 2 * d
+      if (m > mkMaxExactPairs)
+        throw new IllegalArgumentException(
+          s"mannKendall: $n buckets -> $m pairwise slopes exceeds the " +
+            s"exact Sen-slope cap $mkMaxExactPairs; coarsen periodSec " +
+            "so the bucket grid stays bounded")
+      val slopes = new Array[Double](m.toInt)
+      var k = 0
+      i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) {
+          slopes(k) = (y(j) - y(i)) / (x(j) - x(i)).toDouble
+          k += 1; j += 1
+        }
+        i += 1
+      }
+      // lower median: the ⌈m/2⌉-th smallest, 1-indexed — quickselect
+      var target = ((m + 1) / 2 - 1).toInt
+      var lo = 0; var hi = slopes.length - 1
+      var seed = 0x9E3779B97F4A7C15L // deterministic pivots
+      while (lo < hi) {
+        seed = seed * 6364136223846793005L + 1442695040888963407L
+        val p = lo + (((seed >>> 33) % (hi - lo + 1)).toInt)
+        val pv = slopes(p)
+        slopes(p) = slopes(hi); slopes(hi) = pv
+        var store = lo
+        var q = lo
+        while (q < hi) {
+          if (slopes(q) < pv) {
+            val t0 = slopes(store); slopes(store) = slopes(q)
+            slopes(q) = t0; store += 1
+          }
+          q += 1
+        }
+        slopes(hi) = slopes(store); slopes(store) = pv
+        if (store == target) { lo = target; hi = target }
+        else if (store < target) lo = store + 1
+        else hi = store - 1
+      }
+      MkStats(Some(s), m, tieTerm, n.toLong, Some(slopes(target)))
+    }
+  }
+
+  private[events] val mkKernel =
+    udf(Events.mkStats _)
+      .withName("mann_kendall_kernel")
 }

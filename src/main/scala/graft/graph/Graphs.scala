@@ -30,8 +30,12 @@ object Graphs {
     * duplicate incidences) and pair enumeration runs inside
     * whole-stage codegen ([[org.apache.spark.sql.graft.PackedPairs]]).
     * The quadratic-in-group-size volume is inherent and identical to
-    * the join form's; cap group sizes upstream if a degenerate mega
-    * group is possible.
+    * the join form's; `maxGroupSize` makes the contract LOUD: a group
+    * above it raises with a remedy instead of materializing an
+    * n(n−1)/2 pair array in one row (the old streaming self-join
+    * merely got slow on the same degenerate group; this primitive
+    * must not trade that for a multi-GB row). The guard REJECTS, never
+    * silently drops — capping is a caller decision.
     *
     * `packedIds = true` (default) requires item ids < 2³¹ (fails
     * loudly otherwise); set false for wider id spaces — the fallback
@@ -39,11 +43,20 @@ object Graphs {
     * same single-exchange shape, slower per row.
     */
   def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String,
-      packedIds: Boolean = true): DataFrame = {
+      packedIds: Boolean = true, maxGroupSize: Int = 16384): DataFrame = {
+    require(maxGroupSize >= 2, s"maxGroupSize must be >= 2, got $maxGroupSize")
     val arrs = df
       .select(col(groupCol).as("g"), col(itemCol).cast("long").as("i"))
       .groupBy("g")
       .agg(sort_array(collect_set(col("i"))).as("items"))
+      // one size() compare per GROUP — free next to the aggregate
+      .select(when(size(col("items")) > maxGroupSize,
+          raise_error(concat(
+            lit("coOccurrenceEdges: group "), col("g").cast("string"),
+            lit(" has "), size(col("items")).cast("string"),
+            lit(s" distinct items (> maxGroupSize=$maxGroupSize) — " +
+              "cap group sizes upstream or raise maxGroupSize"))))
+        .otherwise(col("items")).as("items"))
     if (packedIds)
       arrs.select(explode(org.apache.spark.sql.graft.PairFunctions
           .packed_pairs(col("items"))).as("pk"))
@@ -120,7 +133,19 @@ object Graphs {
     // EXCHANGE feeding the second join (r11 metrics: 697 MB at sf0.1,
     // the plan's largest shuffle) — int elements halve it. Ids ≥ 2³¹
     // need compactIds = false (long arrays, same plan).
-    val nbrCol = if (compactIds) col("b").cast("int") else col("b")
+    // LOUD contract (ADVICE r11): with ansi off a bare cast("int")
+    // silently wraps ids >= 2³¹ and two distinct longs can collapse to
+    // one int — corrupt triangle counts with no error. Every compacted
+    // value flows through this cast (adjacency arrays hold only `b`
+    // endpoints), so one guard here covers the whole compact path.
+    val nbrCol =
+      if (compactIds)
+        when(col("b") < Int.MinValue.toLong || col("b") > Int.MaxValue.toLong,
+          raise_error(concat(
+            lit("triangleCounts: node id "), col("b").cast("string"),
+            lit(" outside 32-bit range — pass compactIds=false"))))
+          .otherwise(col("b")).cast("int")
+      else col("b")
     val oa = oriented.groupBy(col("a"))
       .agg(sort_array(collect_list(nbrCol)).as("nbrs"))
     val intersected =
@@ -730,9 +755,21 @@ object Graphs {
             sum("aa_w").as("adamic_adar"))
           .filter(col("common_neighbors") >= minCommon)
           // packed anti-join: one 8-byte key against the packed edge
-          // set (u < v == a < b, both canonical)
-          .join(e.select((shiftleft(col("u"), 32)
-              .bitwiseOR(col("v"))).as("pk")),
+          // set (u < v == a < b, both canonical). The edge side packs
+          // OUTSIDE packed_pairs, so it needs its own loud range check
+          // (ADVICE r11): an id >= 2³¹ whose neighbors are all above
+          // maxDegree never reaches packed_pairs' guard, and its
+          // corrupted edge key could collide with a legit wedge key
+          // and silently anti-join away a valid prediction. u < v
+          // (canonical), so u < 0 and v > max cover both bounds.
+          .join(e.select(
+              when(col("u") < 0L || col("v") > 0x7FFFFFFFL,
+                raise_error(concat(
+                  lit("linkPrediction: edge ("), col("u").cast("string"),
+                  lit(","), col("v").cast("string"),
+                  lit(") outside [0, 2^31) — pass packedIds=false"))))
+                .otherwise(shiftleft(col("u"), 32)
+                  .bitwiseOR(col("v"))).as("pk")),
             Seq("pk"), "left_anti")
           .select(shiftrightunsigned(col("pk"), 32).as("a"),
             col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("b"),

@@ -33,18 +33,21 @@ object Associations {
     * Everything downstream runs on the (observed-pair) count table
     * with item-keyed marginal joins and a broadcast 1-row basket
     * total. Integral item ids take the packed path (they must fit in
-    * 31 bits — PackedPairs fails loudly otherwise); any other item
-    * type enumerates struct pairs from the same sorted array and
-    * aggregates on the two-column key, preserving the item type and
-    * the old `<`-ordering semantics.
+    * 31 bits — PackedPairs fails loudly otherwise); pass
+    * `packedIds = false` for integral ids outside that range (hash-
+    * derived, negative): the struct-pair path enumerates from the same
+    * sorted array with the two-column key, preserving the item type
+    * and the old `<`-ordering semantics for any id domain.
     */
   def frequentPairs(df: DataFrame, basketCol: String, itemCol: String,
-      minSupport: Long = 2L, maxBasketSize: Int = 0): DataFrame = {
+      minSupport: Long = 2L, maxBasketSize: Int = 0,
+      packedIds: Boolean = true): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
     require(maxBasketSize >= 0, s"maxBasketSize must be >= 0, got $maxBasketSize")
     import org.apache.spark.sql.types.{IntegerType, LongType}
     val itemType = df.schema(df.schema.fieldIndex(itemCol)).dataType
-    val packed = itemType == LongType || itemType == IntegerType
+    val packed =
+      packedIds && (itemType == LongType || itemType == IntegerType)
     val itemExpr =
       if (packed) col(itemCol).cast("long") else col(itemCol)
     val baskets0 = df
@@ -102,10 +105,10 @@ object Associations {
     */
   def itemCosineNeighbors(df: DataFrame, basketCol: String,
       itemCol: String, topK: Int, minSupport: Long = 2L,
-      maxBasketSize: Int = 0): DataFrame = {
+      maxBasketSize: Int = 0, packedIds: Boolean = true): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
     val pairs = frequentPairs(df, basketCol, itemCol, minSupport,
-      maxBasketSize)
+      maxBasketSize, packedIds)
     // symmetrize: frequentPairs emits each unordered pair once. A
     // two-branch union would evaluate the whole frequentPairs subtree
     // twice (Spark plans each union child independently — measured as

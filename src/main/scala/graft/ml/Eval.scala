@@ -41,8 +41,9 @@ object Eval {
     // midrank of a tie block starting after `before` rows with n
     // members = before + (n+1)/2; U = sum of positive midranks
     val withBefore =
-      if (bigDomain) graft.functions.Ranks.distributedPrefixSum(
-        byScore, Seq(col("s")), col("n"), "b", inclusive = false)
+      if (bigDomain || graft.functions.Ranks.autoBig(byScore))
+        graft.functions.Ranks.distributedPrefixSum(
+          byScore, Seq(col("s")), col("n"), "b", inclusive = false)
       else byScore.withColumn("b",
         coalesce(sum("n").over(Window.orderBy("s")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -75,7 +76,8 @@ object Eval {
       .groupBy("s").agg(count(lit(1)).as("n"), sum("y").as("p"))
     val w = Window.orderBy(col("s").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    (if (bigDomain) graft.functions.Ranks.distributedPrefixSums(
+    (if (bigDomain || graft.functions.Ranks.autoBig(byScore))
+       graft.functions.Ranks.distributedPrefixSums(
         byScore, Seq(col("s").desc),
         Seq(col("n") -> "cum_n", col("p") -> "cum_p"), inclusive = true)
      else byScore
@@ -313,8 +315,9 @@ object Eval {
     val byScore = df.select(col(valueCol).as("s"), lab.as("y"))
       .groupBy("s").agg(count(lit(1)).as("n"), sum("y").as("p"))
     val withBefore =
-      if (bigDomain) graft.functions.Ranks.distributedPrefixSum(
-        byScore, Seq(col("s")), col("n"), "b", inclusive = false)
+      if (bigDomain || graft.functions.Ranks.autoBig(byScore))
+        graft.functions.Ranks.distributedPrefixSum(
+          byScore, Seq(col("s")), col("n"), "b", inclusive = false)
       else byScore.withColumn("b",
         coalesce(sum("n").over(Window.orderBy("s")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -1117,7 +1120,8 @@ object Eval {
     // bigDomain: both cumulative sums in ONE two-pass sorted prefix
     // (continuous confidences make the distinct table corpus-sized)
     val curve =
-      if (bigDomain) graft.functions.Ranks.distributedPrefixSums(
+      if (bigDomain || graft.functions.Ranks.autoBig(byConf))
+        graft.functions.Ranks.distributedPrefixSums(
         byConf, Seq(col("confidence").desc),
         Seq(col("n") -> "cn", col("err") -> "cerr"), inclusive = true)
       else byConf
@@ -1159,7 +1163,7 @@ object Eval {
     // of whole-table windows (continuous scores make the distinct
     // table corpus-sized)
     val bucketed = (
-      if (bigDomain)
+      if (bigDomain || graft.functions.Ranks.autoBig(byScore))
         graft.functions.Ranks.distributedPrefixSums(byScore,
           Seq(col("s").desc),
           Seq(col("n") -> "before", col("p") -> "__gains_pp"),
@@ -1279,7 +1283,7 @@ object Eval {
     // bigDomain: two-pass prefix + 1-row total broadcast (see
     // gainsTable — same continuous-score rationale)
     val bucketed = (
-      if (bigDomain)
+      if (bigDomain || graft.functions.Ranks.autoBig(byScore))
         graft.functions.Ranks.distributedPrefixSums(byScore,
           Seq(col("s").desc), Seq(col("n") -> "before"),
           inclusive = false, totalsAs = Seq("tot"))

@@ -18,6 +18,17 @@ import org.apache.spark.sql.functions._
   */
 object Keywords {
 
+  /** Vocabulary-count ceiling under which textRank's per-iteration
+    * rank-vector joins use a broadcast hint; above it the plan falls
+    * to a shuffled-hash join (identical results). 10M words ≈ a few
+    * hundred MB broadcast — comfortably inside the 8 GB / 512M-row
+    * relation cap with headroom; a 100 TB-corpus Heaps-law vocabulary
+    * (10^8-10^9) must not be broadcast 10 times per run. Env-tunable
+    * for clusters with bigger drivers.
+    */
+  val defaultBroadcastMaxVocab: Long =
+    sys.env.getOrElse("SPARK_GRAFT_TEXTRANK_BCAST_MAX", "10000000").toLong
+
   private def toks(c: Column): Column =
     filter(split(TextAnalysis.normalize(c), " "), t => length(t) > 0)
 
@@ -99,7 +110,9 @@ object Keywords {
     * the vocabulary join).
     */
   def textRank(df: DataFrame, idCol: String, textCol: String,
-      damping: Double = 0.85, iters: Int = 10): DataFrame = {
+      damping: Double = 0.85, iters: Int = 10,
+      broadcastMaxVocab: Long = Keywords.defaultBroadcastMaxVocab)
+      : DataFrame = {
     require(iters >= 1 && damping > 0 && damping < 1)
     val sw = TextAnalysis.stopwords
     val docs = df.select(
@@ -134,15 +147,22 @@ object Keywords {
     val base = 1.0 / n
     val floor = (1.0 - damping) / n
     var pr = vocab.select(col("word"), lit(base).as("score"))
+    // the |V|-sized rank vector and mass table must carry a join hint
+    // every iteration — the truncated iterate is a LogicalRDD with
+    // default (maximal) size stats, so without one Spark broadcast the
+    // EDGE table into this join and sort-merged the vocab join. Below
+    // the vocab-count gate (n is already measured) broadcast is the
+    // cheapest; above it a broadcast of a Heaps-law vocabulary
+    // (10^8-10^9 words at corpus scale) would blow the 8 GB broadcast
+    // ceiling and the driver, so fall to a shuffled-hash join with the
+    // rank vector as the build side — same results, all-exchange plan.
+    def vecHint(d: DataFrame): DataFrame =
+      if (n <= broadcastMaxVocab) broadcast(d) else d.hint("shuffle_hash")
     (1 to iters).foreach { i =>
-      // broadcast the |V|-sized rank vector and mass table — the
-      // truncated iterate is a LogicalRDD with default (maximal) size
-      // stats, so without the hint Spark broadcast the EDGE table
-      // into this join and sort-merged the vocab join every iteration
-      val inbound = trans.join(broadcast(pr), trans("u") === pr("word"))
+      val inbound = trans.join(vecHint(pr), trans("u") === pr("word"))
         .groupBy(col("v").as("word"))
         .agg(sum(col("t") * col("score")).as("mass"))
-      pr = vocab.join(broadcast(inbound), Seq("word"), "left")
+      pr = vocab.join(vecHint(inbound), Seq("word"), "left")
         .select(col("word"),
           (lit(floor) + lit(damping) * coalesce(col("mass"), lit(0.0)))
             .as("score"))

@@ -711,7 +711,8 @@ object Profile {
     val pooledCounts = base.groupBy(col("v").as("pv"))
       .agg(count(lit(1)).as("c"))
     val pooledVals =
-      if (bigVocab) graft.functions.Ranks.distributedPrefixSum(
+      if (bigVocab || graft.functions.Ranks.autoBig(pooledCounts))
+        graft.functions.Ranks.distributedPrefixSum(
         pooledCounts, Seq(col("pv")), col("c"), "cb", inclusive = false)
       else pooledCounts.withColumn("cb", coalesce(sum("c").over(
         W.orderBy("pv").rowsBetween(W.unboundedPreceding, -1)), lit(0L)))

@@ -950,8 +950,9 @@ object TextAnalysis {
       .filter(length(col("tk")) > 0)
       .groupBy("tk").agg(count(lit(1)).as("c"))
     val ranked =
-      if (bigVocab) graft.functions.Ranks.distributedRank(counts,
-        Seq(col("c").desc, col("tk")), "rank")
+      if (bigVocab || graft.functions.Ranks.autoBig(counts))
+        graft.functions.Ranks.distributedRank(counts,
+          Seq(col("c").desc, col("tk")), "rank")
       else counts.withColumn("rank",
         row_number().over(Window.orderBy(col("c").desc, col("tk"))))
     val x = log(col("rank").cast("double"))
@@ -1064,7 +1065,7 @@ object TextAnalysis {
     // default: top-M rank over the distinct-WORD aggregate on one
     // task (|V|-bounded); bigVocab: the two-pass distributed rank —
     // same total order, no single-partition window
-    val top = (if (bigVocab)
+    val top = (if (bigVocab || graft.functions.Ranks.autoBig(gc))
         graft.functions.Ranks.distributedRank(gc,
           Seq(col("g").desc, col("tk")), "r")
       else gc.withColumn("r",

@@ -44,7 +44,16 @@ case class PackedPairs(child: Expression)
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val n = x.numElements()
-    val out = new Array[Long](n * (n - 1) / 2)
+    // pair count in LONG: n >= 65536 overflows 32-bit n*(n-1)/2, and a
+    // group that large means a degenerate mega-group upstream — fail
+    // with the remedy, never a NegativeArraySizeException
+    val cnt = n.toLong * (n - 1) / 2
+    if (cnt > PackedPairs.maxPairsPerGroup)
+      throw new IllegalArgumentException(
+        s"packed_pairs: group of $n items would emit $cnt pairs " +
+          s"(> ${PackedPairs.maxPairsPerGroup}); cap group sizes " +
+          "upstream (maxBasketSize / maxGroupSize / maxDegree)")
+    val out = new Array[Long](cnt.toInt)
     var k = 0
     var i = 0
     while (i < n) {
@@ -70,9 +79,18 @@ case class PackedPairs(child: Expression)
       val k = ctx.freshName("k")
       val xi = ctx.freshName("xi")
       val hi = ctx.freshName("hi")
+      val cnt = ctx.freshName("cnt")
       s"""
          |int $n = $a.numElements();
-         |long[] $out = new long[$n * ($n - 1) / 2];
+         |long $cnt = (long) $n * ($n - 1) / 2;
+         |if ($cnt > org.apache.spark.sql.graft.PackedPairs.maxPairsPerGroup())
+         |  throw new IllegalArgumentException(
+         |    "packed_pairs: group of " + $n + " items would emit " + $cnt +
+         |    " pairs (> " +
+         |    org.apache.spark.sql.graft.PackedPairs.maxPairsPerGroup() +
+         |    "); cap group sizes upstream (maxBasketSize / maxGroupSize" +
+         |    " / maxDegree)");
+         |long[] $out = new long[(int) $cnt];
          |int $k = 0;
          |for (int $i = 0; $i < $n; $i++) {
          |  long $xi = $a.getLong($i);
@@ -91,6 +109,17 @@ case class PackedPairs(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(newChild)
+}
+
+object PackedPairs {
+  /** Hard per-group pair ceiling: 128M pairs = a 1 GB long array in
+    * ONE row — far past any sane group, well inside int indexing.
+    * Callers are expected to cap group sizes long before this fires;
+    * it exists so a degenerate mega-group fails with a remedy instead
+    * of a NegativeArraySizeException (int overflow at n >= 65536) or a
+    * silent multi-GB row.
+    */
+  val maxPairsPerGroup: Long = 128L * 1024 * 1024
 }
 
 /** Integer-exact dot product of two sparse count vectors held as
