@@ -58,6 +58,15 @@ object GraftSession {
       // executor memory at any scale (the fallback still protects
       // pathological key counts beyond it); tunable via
       // SPARK_GRAFT_OBJ_AGG_KEYS for constrained executors.
+      // MEMORY ENVELOPE ASSUMPTION (ADVICE r11): the raised threshold
+      // multiplies the buffers a task holds before the sort fallback,
+      // so collect_list/collect_set call sites must bound their
+      // per-key buffer — and in this repo they do: baskets/groups via
+      // maxBasketSize/maxGroupSize (Associations, coOccurrenceEdges),
+      // adjacency via the O(√m) orientation bound (triangleCounts) or
+      // maxDegree (linkPrediction), per-doc token arrays by document
+      // size. A new UNBOUNDED collect site must either cap its key's
+      // buffer or run with SPARK_GRAFT_OBJ_AGG_KEYS lowered.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_KEYS", "65536"))
       // Java wraparound integer semantics — required by the hash

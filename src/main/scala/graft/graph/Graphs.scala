@@ -97,6 +97,11 @@ object Graphs {
     */
   def triangleCounts(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst", compactIds: Boolean = true): DataFrame = {
+    // NOT persisted (measured r12): the canonical edge set appears
+    // three times in the plan, but ReuseExchange already shares the
+    // distinct's shuffle files across those subtrees — an explicit
+    // cache only added write cost (5.25 s vs 4.90 s med A/B at
+    // sf0.1/32c) and would be an m-row resident at 100 TB
     val e = canonicalEdges(edges, srcCol, dstCol)
     val deg = e.select(col("u").as("node"))
       .unionAll(e.select(col("v").as("node")))

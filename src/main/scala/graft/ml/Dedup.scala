@@ -129,7 +129,16 @@ object Dedup {
       shingleWidth: Int = 2, seed: Long = 42L): DataFrame = {
     val sigs = buildSignatureStore(df, idCol, textCol, nHashes, bands,
       shingleWidth, seed).transform(persistTracked)
+    minHashFromSigs(sigs, threshold)
+  }
 
+  /** Candidate + verify stage of [[minHashNearDuplicates]] over an
+    * already-materialized signature store (id, sh, bands) — split out
+    * so [[lshQualityReport]] can feed both its pipelines from ONE
+    * shingle/signature pass instead of re-running the text kernel.
+    */
+  private[ml] def minHashFromSigs(sigs: DataFrame,
+      threshold: Double): DataFrame = {
     val buckets = sigs.select(col("id"),
       posexplode(col("bands")).as(Seq("band", "h")))
 
@@ -139,8 +148,7 @@ object Dedup {
       .select(col("l.id").as("id1"), col("r.id").as("id2"))
       .distinct()
 
-    val out = verifyJaccard(candidates, sigs.select("id", "sh"), threshold)
-    out
+    verifyJaccard(candidates, sigs.select("id", "sh"), threshold)
   }
 
   /** Dedup-quality audit of the banded MinHash configuration: recall
@@ -159,9 +167,42 @@ object Dedup {
   def lshQualityReport(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, blockCols: Seq[String],
       minRecall: Double = 0.9): DataFrame = {
-    val truth = prefixFilterJaccardPairs(df, idCol, textCol, threshold,
-      blockCols = blockCols).select(col("id1"), col("id2"))
-    val found = minHashNearDuplicates(df, idCol, textCol, threshold)
+    // ONE text-kernel pass feeds BOTH pipelines (r12): the old form
+    // ran MinHashUtil.shingleHashes over the whole corpus twice —
+    // once into prefixFilterJaccardPairs' shingle-set cache, once
+    // into minHashNearDuplicates' signature store. One combined typed
+    // pass computes (sh, bands, blk, blank-keep) per document; the
+    // truth side reads the blank-filtered (id, sh, blk) projection,
+    // the found side the (id, sh, bands) projection, both off the
+    // same cache. Results are bit-identical: the same kernel produces
+    // sh, and blank docs never verified on the found side anyway
+    // (empty shingle sets give NULL jaccard, filtered by >= t).
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nHashes = 128
+    val bands = 32
+    val shingleWidth = 2
+    val coeffs = MinHashUtil.coefficients(nHashes, 42L)
+    val rowsPer = nHashes / bands
+    val blkExpr =
+      if (blockCols.isEmpty) lit("")
+      else concat_ws("\u0001", blockCols.map(c => col(c).cast("string")): _*)
+    val store = persistTracked(
+      df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"),
+          blkExpr.as("blk"),
+          (length(TextAnalysis.normalize(col(textCol))) > 0).as("keep"))
+        .as[(Long, String, String, Boolean)]
+        .map { case (id, text, b, keep) =>
+          val sh = MinHashUtil.shingleHashes(text, shingleWidth)
+          val sig = MinHashUtil.signature(sh, coeffs)
+          (id, sh, MinHashUtil.bandHashes(sig, bands, rowsPer), b, keep)
+        }
+        .toDF("id", "sh", "bands", "blk", "keep"))
+    val truth = prefixFilterFromSets(
+      store.filter(col("keep")).select("id", "sh", "blk"), threshold)
+      .select(col("id1"), col("id2"))
+    val found = minHashFromSigs(store.select("id", "sh", "bands"),
+      threshold)
       .select(col("id1"), col("id2"), lit(1L).as("__hit"))
     truth.join(found, Seq("id1", "id2"), "left")
       .agg(count(lit(1)).as("n_truth"),
@@ -549,10 +590,17 @@ object Dedup {
       blockCols: Seq[String] = Seq.empty): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       "threshold must be in (0, 1]")
-    import org.apache.spark.sql.expressions.Window
-    val spark = df.sparkSession
-    import spark.implicits._
     val sets = shingleSets(df, idCol, textCol, shingleWidth, blockCols)
+    prefixFilterFromSets(sets, threshold)
+  }
+
+  /** Prefix-filter + verify over already-materialized (id, sh, blk)
+    * shingle sets — split out so [[lshQualityReport]] can share one
+    * text-kernel pass between its two pipelines.
+    */
+  private[ml] def prefixFilterFromSets(sets: DataFrame,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val toks = sets.select(col("id"), size(col("sh")).as("len"),
       explode(col("sh")).as("g"), col("blk"))
     val freq = toks.groupBy("g").agg(count(lit(1)).as("f"))
@@ -560,11 +608,16 @@ object Dedup {
     // ⌈t·len⌉ computed with a downward bias so float noise on an
     // integer product can only LENGTHEN the prefix (longer = still
     // lossless; shorter would drop true pairs)
-    val pref = toks.join(freq, "g")
+    // the prefix table feeds BOTH sides of the candidate self-join:
+    // unpersisted, the join+window subtree above was planned and
+    // executed twice (r12 metrics: the two per-doc rarity-rank window
+    // sorts were the plan's top pipelines at 2.1 s + 1.2 s of task
+    // time) — persist it so rank assignment runs once
+    val pref = persistTracked(toks.join(freq, "g")
       .withColumn("rk", row_number().over(byRarity))
       .filter(col("rk") <=
         col("len") - ceil(lit(threshold) * col("len") - lit(1e-9)) + 1)
-      .select(col("id"), col("g"), col("len"), col("rk"), col("blk"))
+      .select(col("id"), col("g"), col("len"), col("rk"), col("blk")))
     val joinKeys = Seq("g", "blk")
     // PPJoin-style group bound (Xiao et al. 2008): with c shared
     // prefix grams and m1/m2 their LAST positions in each rarity
@@ -1089,21 +1142,24 @@ object Dedup {
     // would emit phantom windows instead of none
     val lo = greatest(col("pos"), lit(w))
     val hi = least(col("pos") + w - 1, col("ng"))
-    val member = grams.select(col("id"), col("pos"), col("gram"),
-      explode(when(lo <= hi, sequence(lo, hi)).otherwise(array())).as("wp"))
     // composite minimizable key: md5 asc, then RIGHTMOST pos on ties.
     // The whole selection rides ONE string: the comparable prefix is
     // fixed-width (32 md5 + '@' + 7 digits), so appending the payload
     // after a separator never changes the argmin — and min(string) is
     // hash-aggregable, where the previous min(struct) forced a
     // SortAggregate pair (two full sorts of the w-fold window stream,
-    // the plan's dominant cost in the r11 before-capture).
+    // the plan's dominant cost in the r11 before-capture). Computed
+    // BEFORE the window-membership explode (r12): per GRAM, not per
+    // member row — the old placement ran md5+concat+lpad w times per
+    // gram on the w-fold stream.
     val key = concat(md5(col("gram")), lit("@"),
       lpad((lit(10000000) - col("pos")).cast("string"), 7, "0"),
       lit("|"), col("gram"))
+    val member = grams.select(col("id"), key.as("sel0"),
+      explode(when(lo <= hi, sequence(lo, hi)).otherwise(array())).as("wp"))
     member
       .groupBy("id", "wp")
-      .agg(min(key).as("sel"))
+      .agg(min(col("sel0")).as("sel"))
       .select(col("id"),
         (lit(10000000) - substring(col("sel"), 34, 7).cast("int"))
           .cast("int").as("pos"),

@@ -373,9 +373,10 @@ object GenEval {
     val spark = df.sparkSession
     import spark.implicits._
     val b2 = beta * beta
-    df.select(col(idCol).cast("long"),
+    graft.core.Parallelism.ensure(
+      df.select(col(idCol).cast("long"),
         coalesce(strip(col(candCol)), lit("")),
-        coalesce(strip(col(refCol)), lit("")))
+        coalesce(strip(col(refCol)), lit(""))))
       .as[(Long, String, String)]
       .mapPartitions { it =>
         val counts = new java.util.HashMap[String, Integer](1024)

@@ -43,7 +43,7 @@ object LangId {
     */
   private def explodeTrigrams(df: DataFrame, text: Column): DataFrame = {
     val padded = concat(lit(" "), TextAnalysis.normalize(text), lit(" "))
-    df.withColumn("__p", padded)
+    graft.core.Parallelism.ensure(df).withColumn("__p", padded)
       .filter(length(col("__p")) >= 3)
       .select(col("*"),
         explode(transform(sequence(lit(1), length(col("__p")) - 2),
@@ -70,13 +70,19 @@ object LangId {
     val topDoc = docGrams.withColumn("dr", row_number().over(wd))
       .filter(col("dr") <= docTop)
       .select("id", "gram", "dr")
-    val langs = profiles.select("lang").distinct()
+    // persist the (languages × k)-row profile table: it is consumed
+    // twice (the language list and the join side), and unpersisted
+    // each consumer re-ran the whole train-corpus trigram explode
+    // (r12 metrics: two of the query's three 740k-row Generate
+    // pipelines were duplicate profile evaluations)
+    val prof = graft.core.PipelineCaches.persistTracked(
+      profiles.withColumnRenamed("rank", "pr"))
+    val langs = prof.select("lang").distinct()
     // a gram absent from a language's profile must still charge k to
     // THAT language: cross the doc's grams with the (tiny) language
     // list and left-join the profile hit
     val perLang = topDoc.crossJoin(broadcast(langs))
-      .join(broadcast(profiles.withColumnRenamed("rank", "pr")),
-        Seq("gram", "lang"), "left")
+      .join(broadcast(prof), Seq("gram", "lang"), "left")
       .groupBy("id", "lang")
       .agg(sum(coalesce(abs(col("dr") - col("pr")), lit(k.toLong)))
         .as("distance"))

@@ -494,11 +494,19 @@ object Profile {
     val v = col(valCol).cast("double")
     val byV = df.select(v.as("v")).filter(col("v") >= 0)
       .groupBy("v").agg(count(lit(1)).as("c"))
-    val before = coalesce(sum("c").over(W.orderBy("v")
-      .rowsBetween(W.unboundedPreceding, -1)), lit(0L))
-    byV
+    // size-adaptive (r12): two-pass exact prefix above the single-
+    // task sort budget, window below — same integer prefixes
+    val cum =
+      if (graft.functions.Ranks.autoBig(byV))
+        graft.functions.Ranks.distributedPrefixSum(
+          byV, Seq(col("v")), col("c"), "__before", inclusive = false)
+      else byV.withColumn("__before",
+        coalesce(sum("c").over(W.orderBy("v")
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+    cum
       .withColumn("ranksum",
-        col("v") * (col("c") * before + col("c") * (col("c") + 1) / 2.0))
+        col("v") * (col("c") * col("__before") +
+          col("c") * (col("c") + 1) / 2.0))
       .agg(sum("c").as("n"), sum(col("v") * col("c")).as("total"),
         sum("ranksum").as("rs"))
       .select(col("n"), col("total"),
@@ -604,9 +612,16 @@ object Profile {
     import org.apache.spark.sql.expressions.{Window => W}
     def midranks(c: String) = {
       val byV = df.groupBy(col(c).as("v")).agg(count(lit(1)).as("n"))
-      val before = coalesce(sum("n").over(W.orderBy("v")
-        .rowsBetween(W.unboundedPreceding, -1)), lit(0L))
-      byV.select(col("v"), (before + (col("n") + 1) / 2.0).as(s"__r_$c"))
+      // size-adaptive (r12): same integer prefixes either way
+      val cum =
+        if (graft.functions.Ranks.autoBig(byV))
+          graft.functions.Ranks.distributedPrefixSum(
+            byV, Seq(col("v")), col("n"), "__b", inclusive = false)
+        else byV.withColumn("__b",
+          coalesce(sum("n").over(W.orderBy("v")
+            .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      cum.select(col("v"),
+        (col("__b") + (col("n") + 1) / 2.0).as(s"__r_$c"))
     }
     df.select(col(xCol), col(yCol))
       .join(midranks(xCol).withColumnRenamed("v", xCol), xCol)

@@ -57,7 +57,14 @@ object Similarity {
       .collect().map { case (id, v) => (id, v, VecUtil.norm(v)) }
     val bq = spark.sparkContext.broadcast(qs)
 
-    val scored = corpus.select(col("id"), col("vec")).as[(Long, Array[Float])]
+    // the |corpus|×|queries| dot kernel is pure CPU over a tiny input
+    // — without the parallelism floor a one-split scan (or an AQE-
+    // coalesced single partition) runs the whole quadratic kernel in
+    // ONE task (r12 metrics: q_embed_hubness spent 2×3.6 s single-
+    // task here)
+    val scored = graft.core.Parallelism
+      .ensure(corpus.select(col("id"), col("vec")))
+      .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val queries = bq.value
         it.flatMap { case (cid, cv) =>

@@ -1132,22 +1132,35 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.{Window => W}
     require(window >= 1, s"window must be >= 1, got $window")
     require(topK >= 1, s"topK must be >= 1, got $topK")
-    val toks = df.select(col(idCol).as("__doc"),
-        posexplode(split(normalize(col(textCol)), " ")).as(Seq("pos", "tk")))
-      .filter(length(col("tk")) > 0)
-    // ordered pairs (lower position, higher position) via offset-exploded
-    // equi-join; symmetrize by unioning the mirror
-    val left = toks.select(col("__doc"), col("tk").as("w"),
-      explode(sequence(col("pos") + 1, col("pos") + window)).as("pk"))
-    val right = toks.select(col("__doc"), col("tk").as("c"),
-      col("pos").as("pk"))
-    val ordered = left.join(right, Seq("__doc", "pk"))
+    // ordered pairs (lower position, higher position) read straight
+    // off each document's RAW token array (r12): one arrays_zip per
+    // offset 1..window, flattened into a single generator — the old
+    // positional equi-join exploded the token stream ×window, planned
+    // the tokenize subtree twice (once per join side), exchanged both
+    // sides, and then evaluated the WHOLE join twice more for the
+    // unionAll mirror. Positions are raw split() positions (empty
+    // tokens occupy a slot but never pair — same as the old
+    // post-explode length filter), and both orientations leave one
+    // pass via a 2-element explode. Multiset identical, zero joins.
+    val docsArr = df.select(split(normalize(col(textCol)), " ").as("ws"))
+    val ordered = docsArr
+      .select(explode(flatten(array((1 to window).map { o =>
+        arrays_zip(
+          slice(col("ws"), lit(1),
+            greatest(size(col("ws")) - o, lit(0))).as("w"),
+          slice(col("ws"), lit(o + 1),
+            greatest(size(col("ws")) - o, lit(0))).as("c"))
+      }: _*))).as("bp"))
+      .select(col("bp.w").as("w"), col("bp.c").as("c"))
+      .filter(length(col("w")) > 0 && length(col("c")) > 0)
     // marginals and N come from the UNFILTERED pair counts — the
     // standard PMI definition; minPair prunes only the REPORTED pairs,
     // so scores of surviving pairs don't shift as minPair changes
     val pairsAll = graft.core.PipelineCaches.persistTracked(
-      ordered.select(col("w"), col("c"))
-        .unionAll(ordered.select(col("c").as("w"), col("w").as("c")))
+      ordered
+        .select(explode(array(struct(col("w"), col("c")),
+          struct(col("c").as("w"), col("w").as("c")))).as("p"))
+        .select(col("p.w").as("w"), col("p.c").as("c"))
         .groupBy("w", "c").agg(count(lit(1)).as("n_pair")))
     val pairs = pairsAll.filter(col("n_pair") >= minPair)
     val wTot = pairsAll.groupBy("w").agg(sum("n_pair").as("cw"))

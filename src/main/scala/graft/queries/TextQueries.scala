@@ -991,7 +991,10 @@ object TextQueries extends QueryGroup {
         |FROM documents ORDER BY id""".stripMargin) { (s, dir) =>
       import s.implicits._
       import graft.ml.{ImageCodec, JpegCodec}
-      t(s, dir, "documents").select(col("doc_id")).as[Long]
+      // parallelism floor: the encode→decode codec kernel is pure CPU
+      // over a one-split scan — without it the whole pass is 1 task
+      graft.core.Parallelism
+        .ensure(t(s, dir, "documents").select(col("doc_id"))).as[Long]
         .map { id =>
           val w = (16 + id % 17).toInt
           val h = (16 + id % 13).toInt
@@ -1039,7 +1042,8 @@ object TextQueries extends QueryGroup {
         |FROM documents ORDER BY id""".stripMargin) { (s, dir) =>
       import s.implicits._
       import graft.ml.AudioCodec
-      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val media = graft.core.Parallelism
+        .ensure(t(s, dir, "documents").select(col("doc_id"))).as[Long]
         .map { id =>
           val f = 500.0 + (id % 20) * 250.0
           val sine = Array.tabulate(2048)(i =>

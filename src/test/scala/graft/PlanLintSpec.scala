@@ -240,13 +240,9 @@ class PlanLintSpec extends SparkSpec {
           "bucket-grid, both sides time-range/periodSec-bounded"),
       "global-window" ->
         "cumulative Ljung–Box window over the maxLag-row per-lag aggregate"),
-    "q_events_mann_kendall" -> Map(
-      "cartesian" ->
-        ("bucket-grid triangle join (both sides time-range/periodSec-" +
-          "bounded) + 1-row k/tie/n aggregates broadcast into the report"),
-      "global-window" ->
-        ("cumulative window over the distinct-SLOPE count aggregate " +
-          "(the rocAuc midrank shape), never the pair set")),
+    // q_events_mann_kendall entries removed in r12: the pair self-
+    // join (cartesian) and the slope-median window are gone — the
+    // statistics now come from the single-row inversion-count kernel
     "q_events_poststrat_ate" -> Map("cartesian" ->
       ("1-row used-stratum total and pooled (ate, se) aggregates " +
         "broadcast onto the stratum grid")),
