@@ -156,6 +156,19 @@ class R12GuardsSpec extends SparkSpec {
     assert(got.getDouble(4) == sen)
   }
 
+  test("mannKendall: grid past the exact-Sen cap fails with a remedy") {
+    import spark.implicits._
+    // two events 30k sec apart at periodSec=1 -> 30001 buckets ->
+    // ~4.5e8 pairwise slopes > the 2^27 in-kernel cap; must throw the
+    // coarsen-periodSec message, never allocate the slope array
+    val e = intercept[Exception] {
+      graft.events.Events
+        .mannKendall(Seq(0L, 30000L).toDF("sec"), "sec", 1L).collect()
+    }
+    assert(e.getMessage.contains("coarsen periodSec"),
+      s"wrong error: ${e.getMessage}")
+  }
+
   test("mannKendall: single-bucket series yields null z and slope") {
     import spark.implicits._
     val got = graft.events.Events
