@@ -137,8 +137,9 @@ object GenEval {
     require(maxTokens >= 1)
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"),
-        toks(col(candCol)), toks(col(refCol)))
+    graft.core.Parallelism.ensure(
+      df.select(col(idCol).cast("long"),
+        toks(col(candCol)), toks(col(refCol))))
       .as(Encoders.tuple(Encoders.scalaLong,
         implicitly[org.apache.spark.sql.Encoder[Seq[String]]],
         implicitly[org.apache.spark.sql.Encoder[Seq[String]]]))
@@ -247,8 +248,9 @@ object GenEval {
     require(maxTokens >= 1)
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"),
-        toks(col(candCol)), toks(col(refCol)))
+    graft.core.Parallelism.ensure(
+      df.select(col(idCol).cast("long"),
+        toks(col(candCol)), toks(col(refCol))))
       .as(Encoders.tuple(Encoders.scalaLong,
         implicitly[org.apache.spark.sql.Encoder[Seq[String]]],
         implicitly[org.apache.spark.sql.Encoder[Seq[String]]]))
